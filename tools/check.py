@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Local oracle-compare harness (mimics the driver's t2 check).
+
+Usage: python3 tools/check.py <verify_out_dir> <sf_dir>
+
+For each <name> subdir in verify_out_dir, runs oracle_sql.json[name] in
+DuckDB against the sf_dir parquet tables and compares with the Spark
+parquet dump: columns sorted by name, rows sorted, values normalized
+(ints as ints, floats rounded to 9 sig figs).
+"""
+import sys, os, json, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        if v == int(v) and abs(v) < 2**53:
+            return str(int(v))
+        return f"{v:.9g}"
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def canon(df: pd.DataFrame):
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = sorted(tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False, name=None))
+    return list(df.columns), rows
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = [d for d in sorted(os.listdir(out_dir))
+             if os.path.isdir(os.path.join(out_dir, d))]
+    failed = []
+    for name in names:
+        spark_df = pd.read_parquet(f"{out_dir}/{name}")
+        if name not in oracles:
+            print(f"{name:24s} ROWS-ONLY rows={len(spark_df)}")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"{name:24s} ORACLE-ERROR {e}")
+            failed.append(name)
+            continue
+        scols, srows = canon(spark_df)
+        ocols, orows = canon(odf)
+        if scols != ocols:
+            print(f"{name:24s} SCHEMA-MISMATCH spark={scols} oracle={ocols}")
+            failed.append(name)
+        elif srows != orows:
+            print(f"{name:24s} HASH-MISMATCH rows spark={len(srows)} oracle={len(orows)}")
+            for i, (a, b) in enumerate(zip(srows, orows)):
+                if a != b:
+                    print(f"    first diff row {i}:\n      spark : {a}\n      oracle: {b}")
+                    break
+            if len(srows) != len(orows):
+                only_s = [r for r in srows if r not in set(map(tuple, orows))][:2]
+                only_o = [r for r in orows if r not in set(map(tuple, srows))][:2]
+                print(f"    spark-only: {only_s}\n    oracle-only: {only_o}")
+            failed.append(name)
+        else:
+            print(f"{name:24s} OK rows={len(srows)}")
+    print(f"\n{len(names)-len(failed)}/{len(names)} queries match")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
