@@ -16,11 +16,23 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "b1_pricing_summary" -> (Queries.pricingSummary _)
+    "b1_pricing_summary" -> (Queries.pricingSummary _),
+    "b2_top_unshipped" -> (Queries.topUnshipped _),
+    "b3_region_volume" -> (Queries.regionVolume _),
+    "b4_topk_per_group" -> (Queries.topkPerGroup _),
+    "b5_event_sessions" -> (Queries.eventSessions _),
+    "b6_event_windowed" -> (Queries.eventWindowed _),
+    "b7_json_extract" -> (Queries.jsonExtract _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
   def oracleSql: Map[String, String] = Map(
-    "b1_pricing_summary" -> Queries.pricingSummarySql
+    "b1_pricing_summary" -> Queries.pricingSummarySql,
+    "b2_top_unshipped" -> Queries.topUnshippedSql,
+    "b3_region_volume" -> Queries.regionVolumeSql,
+    "b4_topk_per_group" -> Queries.topkPerGroupSql,
+    "b5_event_sessions" -> Queries.eventSessionsSql,
+    "b6_event_windowed" -> Queries.eventWindowedSql,
+    "b7_json_extract" -> Queries.jsonExtractSql
   )
 }

@@ -1,6 +1,7 @@
 package graft.relational
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -44,4 +45,183 @@ object Queries {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** B2: TPC-H Q3-style shipping priority — selective dim filter first,
+    * broadcast customer into orders, then join the lineitem fact last so
+    * only one fact-side shuffle (on l_orderkey) happens; top-k via
+    * TakeOrderedAndProject (no global sort materialization).
+    */
+  def topUnshipped(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-06-01 00:00:00").cast("timestamp"))
+    val l = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-06-01 00:00:00").cast("timestamp"))
+    l.join(broadcast(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))),
+        l("l_orderkey") === o("o_orderkey"))
+      .groupBy(l("l_orderkey"), o("o_orderdate"), o("o_orderpriority"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_c"))
+      .orderBy(col("revenue_c").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val topUnshippedSql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100.0) AS BIGINT)) AS BIGINT) AS revenue_c
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue_c DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** B3: TPC-H Q5-style snowflake rollup: every dim (region→nation→
+    * customer/supplier) broadcasts; the only shuffles are fact-side on
+    * join keys + final partial-agg exchange.
+    */
+  def regionVolume(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val n = Tables(spark, dir, "nation")
+    val c = Tables(spark, dir, "customer")
+    val s = Tables(spark, dir, "supplier")
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("o_orderdate") < lit("1999-01-01 00:00:00").cast("timestamp"))
+    val l = Tables(spark, dir, "lineitem")
+    l.join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey")
+        && c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(n("n_name"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_c"))
+      .orderBy(col("revenue_c").desc, col("n_name"))
+  }
+
+  val regionVolumeSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100.0) AS BIGINT)) AS BIGINT) AS revenue_c
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue_c DESC, n_name""".stripMargin
+
+  /** B4: top-3 orders per market segment — solardb's
+    * order-by + limit per partition pattern (solardb.py:231-242) as a
+    * rank window; partial ranking happens per shuffle partition.
+    */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), cents(col("o_totalprice")).as("totalprice_c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("c_mktsegment")).orderBy(col("totalprice_c").desc, col("o_orderkey"))))
+      .filter(col("rk") <= 3)
+      .orderBy(col("c_mktsegment"), col("rk"))
+  }
+
+  val topkPerGroupSql: String =
+    """SELECT c_mktsegment, o_orderkey, totalprice_c, rk FROM (
+      |  SELECT c_mktsegment, o_orderkey,
+      |    CAST(ROUND(o_totalprice*100.0) AS BIGINT) AS totalprice_c,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY CAST(ROUND(o_totalprice*100.0) AS BIGINT) DESC, o_orderkey) AS rk
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |) WHERE rk <= 3
+      |ORDER BY c_mktsegment, rk""".stripMargin
+
+  /** B5: 30-minute-gap sessionization of the events stream — lag +
+    * running-sum windows keyed by user; all integer (epoch-µs) math so the
+    * oracle matches bit-for-bit. One shuffle on user_id serves both windows.
+    */
+  def eventSessions(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsWithUs(spark, dir)
+      .select(col("user_id"), col("event_id"), col("us"), cents(col("value")).as("value_c"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    e.withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > lit(1800000000L), 1L).otherwise(0L))
+      .withColumn("sess_seq", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_seq"))
+      .agg(count(lit(1)).as("n_events"), min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"), sum(col("value_c")).as("sum_value_c"))
+      .orderBy(col("user_id"), col("sess_seq"))
+  }
+
+  val eventSessionsSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CAST(ROUND(value*100.0) AS BIGINT) AS value_c,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |), s AS (
+      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess_seq
+      |  FROM g
+      |)
+      |SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq,
+      |  COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us,
+      |  CAST(SUM(value_c) AS BIGINT) AS sum_value_c
+      |FROM s GROUP BY user_id, sess_seq
+      |ORDER BY user_id, sess_seq""".stripMargin
+
+  /** B6: tumbling 1-hour windowed aggregation over events — the batch
+    * mirror of the Structured Streaming op (SURVEY §2 D1). Integer-division
+    * bucketing keeps the oracle exact.
+    */
+  def eventWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsWithUs(spark, dir)
+      .select(col("event_type"), col("us"), cents(col("value")).as("value_c"))
+    e.withColumn("hour_bucket", expr("us div 3600000000"))
+      .groupBy(col("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_value_c"))
+      .withColumn("window_start", timestamp_micros(col("hour_bucket") * lit(3600000000L)))
+      .select(col("window_start"), col("event_type"), col("n"), col("sum_value_c"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val eventWindowedSql: String =
+    """SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(value*100.0) AS BIGINT)) AS BIGINT) AS sum_value_c
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** B7: JSON field extraction + rollup over the events `props` payload —
+    * `get_json_object` stays codegen'd; avg derived from exact integer
+    * sums via integer division (µ-units) for oracle stability.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    e.select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .withColumn("avg_k_micro", expr("(sum_k * 1000000) div n"))
+      .orderBy(col("event_type"))
+  }
+
+  val jsonExtractSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) * 1000000
+      |    // COUNT(*) AS avg_k_micro
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 }
