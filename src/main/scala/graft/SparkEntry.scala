@@ -15,7 +15,12 @@ object SparkEntry {
     Queries.pricingSummary(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.tiles.GeoQueries.queries ++
+    graft.text.TextQueries.queries ++
+    graft.dedup.DedupQueries.queries ++
+    graft.embed.EmbedQueries.queries ++
+    graft.multimodal.Multimodal.queries ++ Map(
     "b1_pricing_summary" -> (Queries.pricingSummary _),
     "b2_top_unshipped" -> (Queries.topUnshipped _),
     "b3_region_volume" -> (Queries.regionVolume _),
@@ -26,7 +31,12 @@ object SparkEntry {
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    graft.tiles.GeoQueries.oracles ++
+    graft.text.TextQueries.oracles ++
+    graft.dedup.DedupQueries.oracles ++
+    graft.embed.EmbedQueries.oracles ++
+    graft.multimodal.Multimodal.oracles ++ Map(
     "b1_pricing_summary" -> Queries.pricingSummarySql,
     "b2_top_unshipped" -> Queries.topUnshippedSql,
     "b3_region_volume" -> Queries.regionVolumeSql,

@@ -1,0 +1,483 @@
+package graft.tiles
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY.md §2 block A: the reference's tile/geo pipeline as Spark
+  * queries with DuckDB oracle twins. Every query reads the driver
+  * testdata via the deterministic derivation in [[GeoDerive]].
+  */
+object GeoQueries {
+  import GeoDerive.{Threshold => Th}
+  import TileFunctions._
+
+  private def withCtes(recursive: Boolean, ctes: String*)(body: String): String =
+    (if (recursive) "WITH RECURSIVE " else "WITH ") + ctes.mkString(",\n") + "\n" + body
+
+  /** Cell (0-based grid) → globally-plausible z21 tile coordinates. */
+  private val TX = 600000L
+  private val TY = 700000L
+
+  // ---------------------------------------------------------------- A1
+  /** deg2num over the lineitem-derived point cloud: pure column math, no
+    * UDF — whole-stage codegen, pushdown-transparent.
+    */
+  def a1Deg2num(spark: SparkSession, dir: String): DataFrame =
+    GeoDerive.points(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("lon"), col("lat"),
+        lonToCol(col("lon")).as("tile_col"),
+        latToRow(col("lat")).as("tile_row"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val a1Sql: String = withCtes(false, GeoDerive.pointsCte)(
+    s"""SELECT l_orderkey, l_linenumber, lon, lat,
+       |  ${lonToColSql("lon")} AS tile_col,
+       |  ${latToRowSql("lat")} AS tile_row
+       |FROM points
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+
+  // ---------------------------------------------------------------- A2
+  /** num2deg (tile center → lon/lat), reference process_city_shapes.py:38. */
+  def a2Num2deg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_orderkey") % lit(2097152L)).as("tx"),
+        ((col("l_partkey") * lit(104729L)) % lit(2097152L)).as("ty"))
+      .withColumn("lon", colToLon(col("tx")))
+      .withColumn("lat", rowToLat(col("ty")))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val a2Sql: String =
+    s"""SELECT l_orderkey, l_linenumber,
+       |  (l_orderkey % 2097152) AS tx,
+       |  ((l_partkey * 104729) % 2097152) AS ty,
+       |  ${colToLonSql("(l_orderkey % 2097152)")} AS lon,
+       |  ${rowToLatSql("((l_partkey * 104729) % 2097152)")} AS lat
+       |FROM lineitem
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- A3
+  def a3GridFill(spark: SparkSession, dir: String): DataFrame =
+    GridOps.fillPolygons(spark).orderBy("poly", "x", "y")
+
+  val a3Sql: String = withCtes(false, Polygons.bboxCte, Polygons.edgesCte, Polygons.gridCte)(
+    "SELECT poly, x, y FROM grid ORDER BY poly, x, y")
+
+  // ---------------------------------------------------------------- A4
+  def a4CentroidDistance(spark: SparkSession, dir: String): DataFrame =
+    GridOps.centroidDistance(GeoDerive.cells(spark, dir), GridOps.centroids(spark))
+      .select("poly", "x", "y", "score", "w", "centroid_distance")
+      .orderBy("poly", "x", "y")
+
+  private val a4Ctes = Seq(GeoDerive.cellsCte, Polygons.bboxCte, Polygons.edgesCte,
+    Polygons.gridCte, Polygons.centroidsCte)
+
+  val a4Sql: String = withCtes(false, a4Ctes: _*)(
+    """SELECT c.poly, c.x, c.y, c.score, c.w,
+      |  round(sqrt((c.x - t.cx) * (c.x - t.cx) + (c.y - t.cy) * (c.y - t.cy)), 6)
+      |    AS centroid_distance
+      |FROM cells c JOIN cent t USING (poly)
+      |ORDER BY poly, x, y""".stripMargin)
+
+  // ---------------------------------------------------------------- A5
+  /** Center-outwards inference batch (solardb.py:215-221): global topK by
+    * (poly, distance) → TakeOrderedAndProject, no full sort materialized.
+    */
+  def a5InferenceOrder(spark: SparkSession, dir: String): DataFrame =
+    GridOps.centroidDistance(GeoDerive.cells(spark, dir), GridOps.centroids(spark))
+      .select("poly", "x", "y", "centroid_distance")
+      .orderBy(col("poly"), col("centroid_distance"), col("x"), col("y"))
+      .limit(400)
+
+  val a5Sql: String = withCtes(false, a4Ctes: _*)(
+    """SELECT c.poly, c.x, c.y,
+      |  round(sqrt((c.x - t.cx) * (c.x - t.cx) + (c.y - t.cy) * (c.y - t.cy)), 6)
+      |    AS centroid_distance
+      |FROM cells c JOIN cent t USING (poly)
+      |ORDER BY poly, centroid_distance, x, y
+      |LIMIT 400""".stripMargin)
+
+  // ---------------------------------------------------------------- A6
+  def a6ThresholdRank(spark: SparkSession, dir: String): DataFrame =
+    GeoDerive.cells(spark, dir)
+      .filter(col("score") >= 0.5)
+      .select("x", "y", "score", "w")
+      .orderBy(col("score").desc, col("x"), col("y"))
+
+  val a6Sql: String = withCtes(false, GeoDerive.cellsCte)(
+    """SELECT x, y, score, w FROM cells WHERE score >= 0.5
+      |ORDER BY score DESC, x, y""".stripMargin)
+
+  // ---------------------------------------------------------------- A7
+  def a7GridCluster(spark: SparkSession, dir: String): DataFrame =
+    Clustering.connectedComponents4(GeoDerive.positives(spark, dir))
+      .orderBy("x", "y")
+
+  val a7Sql: String = withCtes(true, GeoDerive.cellsCte, GeoDerive.positivesCte, Clustering.ccCte)(
+    "SELECT x, y, cluster_id FROM cc ORDER BY x, y")
+
+  // ---------------------------------------------------------------- A8
+  /** Largest clusters + representative tile lon/lat
+    * (solardb.py:262-280).
+    */
+  def a8LargestClusters(spark: SparkSession, dir: String): DataFrame =
+    Clustering.connectedComponents4(GeoDerive.positives(spark, dir))
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_tiles"))
+      .withColumn("rep_lon", colToLon(expr("cluster_id div 100000") + lit(TX)))
+      .withColumn("rep_lat", rowToLat((col("cluster_id") % 100000L) + lit(TY)))
+      .orderBy(col("n_tiles").desc, col("cluster_id"))
+      .limit(10)
+
+  val a8Sql: String = withCtes(true, GeoDerive.cellsCte, GeoDerive.positivesCte, Clustering.ccCte)(
+    s"""SELECT cluster_id, COUNT(*) AS n_tiles,
+       |  ${colToLonSql(s"(cluster_id // 100000 + $TX)")} AS rep_lon,
+       |  ${rowToLatSql(s"(cluster_id % 100000 + $TY)")} AS rep_lat
+       |FROM cc GROUP BY cluster_id
+       |ORDER BY n_tiles DESC, cluster_id
+       |LIMIT 10""".stripMargin)
+
+  // ---------------------------------------------------------------- A9
+  def a9Dilate(spark: SparkSession, dir: String): DataFrame =
+    GridOps.dilate3x3(GeoDerive.positives(spark, dir)).orderBy("x", "y")
+
+  val a9Sql: String = withCtes(false, GeoDerive.cellsCte, GeoDerive.positivesCte, GridOps.dilate3x3Cte)(
+    "SELECT x, y FROM dil ORDER BY x, y")
+
+  // ---------------------------------------------------------------- A10
+  /** Imagery cleanup (run_inference.py:63-92): observed cells NOT inside
+    * the dilated positive set — left-anti hash join, both sides already
+    * partitioned on (x, y).
+    */
+  def a10ImageryCleanup(spark: SparkSession, dir: String): DataFrame = {
+    val dil = GridOps.dilate3x3(GeoDerive.positives(spark, dir))
+    GeoDerive.cells(spark, dir)
+      .join(dil, Seq("x", "y"), "left_anti")
+      .select("x", "y", "w")
+      .orderBy("x", "y")
+  }
+
+  val a10Sql: String = withCtes(false, GeoDerive.cellsCte, GeoDerive.positivesCte, GridOps.dilate3x3Cte)(
+    """SELECT c.x, c.y, c.w FROM cells c
+      |WHERE NOT EXISTS (SELECT 1 FROM dil d WHERE d.x = c.x AND d.y = c.y)
+      |ORDER BY x, y""".stripMargin)
+
+  // ---------------------------------------------------------------- A11
+  /** mark_has_imagery (solardb.py:139-162): 20×20 download blocks around
+    * positives; meshgrid-fill tiles that were never observed
+    * (existed=false ⇔ reference's "create new tile objects").
+    */
+  def a11MarkImagery(spark: SparkSession, dir: String): DataFrame = {
+    val cells = GeoDerive.cells(spark, dir)
+    val blocks = GeoDerive.positives(spark, dir)
+      .select(GridOps.blockBase(col("x"), 20).as("bx"), GridOps.blockBase(col("y"), 20).as("by"))
+      .distinct()
+    blocks
+      .withColumn("x", explode(sequence(col("bx"), col("bx") + 19)))
+      .repartition(col("bx"), col("by"), col("x"))
+      .withColumn("y", explode(sequence(col("by"), col("by") + 19)))
+      .join(cells.select(col("x"), col("y"), lit(true).as("existed")), Seq("x", "y"), "left")
+      .select(col("bx"), col("by"), col("x"), col("y"),
+        coalesce(col("existed"), lit(false)).as("existed"))
+      .orderBy("bx", "by", "x", "y")
+  }
+
+  val a11Sql: String = withCtes(false, GeoDerive.cellsCte, GeoDerive.positivesCte,
+    """blocks AS (SELECT DISTINCT (x - x % 20) AS bx, (y - y % 20) AS by FROM pos),
+      |bgx AS (SELECT bx, by, UNNEST(range(bx, bx + 20)) AS x FROM blocks),
+      |bg AS (SELECT bx, by, x, UNNEST(range(by, by + 20)) AS y FROM bgx)""".stripMargin)(
+    """SELECT g.bx, g.by, g.x, g.y, (c.x IS NOT NULL) AS existed
+      |FROM bg g LEFT JOIN cells c ON g.x = c.x AND g.y = c.y
+      |ORDER BY g.bx, g.by, g.x, g.y""".stripMargin)
+
+  // ---------------------------------------------------------------- A12
+  def a12OsmDedup(spark: SparkSession, dir: String): DataFrame =
+    GeoDerive.nodes(spark, dir)
+      .select(round(col("lon"), 5).as("lon5"), round(col("lat"), 5).as("lat5"))
+      .distinct()
+      .orderBy("lon5", "lat5")
+
+  val a12Sql: String = withCtes(false, GeoDerive.nodesCte)(
+    """SELECT DISTINCT round(lon, 5) AS lon5, round(lat, 5) AS lat5
+      |FROM nodes ORDER BY lon5, lat5""".stripMargin)
+
+  // ---------------------------------------------------------------- A13
+  /** Drop clusters containing an existing OSM node
+    * (maproulette.py:69-83) — bbox containment anti-join; node dim
+    * broadcast after its distinct.
+    */
+  def a13SpatialAntijoin(spark: SparkSession, dir: String): DataFrame = {
+    val cc = Clustering.connectedComponents4(GeoDerive.positives(spark, dir))
+    val boxes = cc.groupBy("cluster_id")
+      .agg(min("x").as("minx"), max("x").as("maxx"),
+        min("y").as("miny"), max("y").as("maxy"), count(lit(1)).as("n_tiles"))
+    val nds = GeoDerive.nodes(spark, dir).select("nx", "ny").distinct()
+    boxes.join(broadcast(nds),
+        col("nx").between(col("minx"), col("maxx"))
+          && col("ny").between(col("miny"), col("maxy")), "left_anti")
+      .orderBy("cluster_id")
+  }
+
+  val a13Sql: String = withCtes(true, GeoDerive.cellsCte, GeoDerive.positivesCte,
+    Clustering.ccCte, GeoDerive.nodesCte,
+    """boxes AS (
+      |  SELECT cluster_id, MIN(x) AS minx, MAX(x) AS maxx,
+      |         MIN(y) AS miny, MAX(y) AS maxy, COUNT(*) AS n_tiles
+      |  FROM cc GROUP BY cluster_id
+      |)""".stripMargin)(
+    """SELECT b.* FROM boxes b
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM (SELECT DISTINCT nx, ny FROM nodes) n
+      |  WHERE n.nx BETWEEN b.minx AND b.maxx AND n.ny BETWEEN b.miny AND b.maxy)
+      |ORDER BY cluster_id""".stripMargin)
+
+  // ---------------------------------------------------------------- A14
+  /** Per-tile challenge GeoJSON line (maproulette.py:17-33): tile bbox
+    * corners through num2deg, one formatted string per positive tile.
+    */
+  private val geojsonFmt =
+    """{"type": "FeatureCollection", "features": [{"type": "Feature", "properties": {"prediction_confidence": %.3f}, "geometry": {"type": "Polygon", "coordinates": [[[%.6f, %.6f], [%.6f, %.6f], [%.6f, %.6f], [%.6f, %.6f], [%.6f, %.6f]]]}}]}"""
+
+  def a14TileGeojson(spark: SparkSession, dir: String): DataFrame = {
+    val p = GeoDerive.positives(spark, dir)
+      .withColumn("tx", col("x") + lit(TX)).withColumn("ty", col("y") + lit(TY))
+    def lon(c: Column) = colToLon(c, center = false)
+    def lat(c: Column) = rowToLat(c, center = false)
+    p.select(col("x"), col("y"),
+        format_string(geojsonFmt,
+          col("score"),
+          lon(col("tx")), lat(col("ty")),
+          lon(col("tx") + 1), lat(col("ty")),
+          lon(col("tx") + 1), lat(col("ty") + 1),
+          lon(col("tx")), lat(col("ty") + 1),
+          lon(col("tx")), lat(col("ty"))).as("geojson"))
+      .orderBy("x", "y")
+  }
+
+  val a14Sql: String = {
+    def lon(c: String) = colToLonSql(c, center = false)
+    def lat(c: String) = rowToLatSql(c, center = false)
+    val tx = s"(x + $TX)"; val ty = s"(y + $TY)"
+    val tx1 = s"(x + ${TX + 1})"; val ty1 = s"(y + ${TY + 1})"
+    withCtes(false, GeoDerive.cellsCte, GeoDerive.positivesCte)(
+      s"""SELECT x, y, printf('$geojsonFmt',
+         |  score,
+         |  ${lon(tx)}, ${lat(ty)},
+         |  ${lon(tx1)}, ${lat(ty)},
+         |  ${lon(tx1)}, ${lat(ty1)},
+         |  ${lon(tx)}, ${lat(ty1)},
+         |  ${lon(tx)}, ${lat(ty)}) AS geojson
+         |FROM pos
+         |ORDER BY x, y""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- A15
+  /** Cluster outline = boundary edges of the rectilinear union of tile
+    * squares (maproulette.py:36-66): every tile contributes 4 edges,
+    * interior edges appear twice → keep count()=1.
+    */
+  def a15ClusterOutline(spark: SparkSession, dir: String): DataFrame = {
+    val cc = Clustering.connectedComponents4(GeoDerive.positives(spark, dir))
+    val edges = cc.select(col("cluster_id"), explode(array(
+      struct(col("x").as("x1"), col("y").as("y1"), (col("x") + 1).as("x2"), col("y").as("y2")),
+      struct(col("x").as("x1"), (col("y") + 1).as("y1"), (col("x") + 1).as("x2"), (col("y") + 1).as("y2")),
+      struct(col("x").as("x1"), col("y").as("y1"), col("x").as("x2"), (col("y") + 1).as("y2")),
+      struct((col("x") + 1).as("x1"), col("y").as("y1"), (col("x") + 1).as("x2"), (col("y") + 1).as("y2"))
+    )).as("e"))
+    edges.select(col("cluster_id"), col("e.x1"), col("e.y1"), col("e.x2"), col("e.y2"))
+      .groupBy("cluster_id", "x1", "y1", "x2", "y2")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") === 1)
+      .drop("cnt")
+      .orderBy("cluster_id", "x1", "y1", "x2", "y2")
+  }
+
+  val a15Sql: String = withCtes(true, GeoDerive.cellsCte, GeoDerive.positivesCte, Clustering.ccCte,
+    """tedge AS (
+      |  SELECT cluster_id, x AS x1, y AS y1, x + 1 AS x2, y AS y2 FROM cc
+      |  UNION ALL
+      |  SELECT cluster_id, x, y + 1, x + 1, y + 1 FROM cc
+      |  UNION ALL
+      |  SELECT cluster_id, x, y, x, y + 1 FROM cc
+      |  UNION ALL
+      |  SELECT cluster_id, x + 1, y, x + 1, y + 1 FROM cc
+      |)""".stripMargin)(
+    """SELECT cluster_id, x1, y1, x2, y2 FROM tedge
+      |GROUP BY cluster_id, x1, y1, x2, y2
+      |HAVING COUNT(*) = 1
+      |ORDER BY cluster_id, x1, y1, x2, y2""".stripMargin)
+
+  // ---------------------------------------------------------------- A16
+  def a16PolygonArea(spark: SparkSession, dir: String): DataFrame =
+    GridOps.fillPolygons(spark)
+      .rollup("poly").agg(count(lit(1)).as("n_tiles"))
+      .orderBy(col("poly").asc_nulls_first)
+
+  val a16Sql: String = withCtes(false, Polygons.bboxCte, Polygons.edgesCte, Polygons.gridCte)(
+    """SELECT poly, COUNT(*) AS n_tiles FROM grid
+      |GROUP BY ROLLUP(poly)
+      |ORDER BY poly ASC NULLS FIRST""".stripMargin)
+
+  // ---------------------------------------------------------------- A17
+  /** ON-CONFLICT-IGNORE upsert (solardb.py:51): first batch wins per PK. */
+  def a17UpsertIgnore(spark: SparkSession, dir: String): DataFrame = {
+    val b1 = GeoDerive.cells(spark, dir).select(col("x"), col("y"), col("score"), lit(1L).as("src"))
+    val b2 = Tables(spark, dir, "orders")
+      .select((col("o_orderkey") % GeoDerive.W).as("x"), (col("o_custkey") % GeoDerive.H).as("y"),
+        ((((col("o_orderkey") * 48271L) + (col("o_custkey") * 16807L)) % 1000) / lit(1000.0)).as("score"))
+      .groupBy("x", "y").agg(max("score").as("score"))
+      .select(col("x"), col("y"), col("score"), lit(2L).as("src"))
+    b1.union(b2)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("x"), col("y")).orderBy(col("src"))))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy("x", "y")
+  }
+
+  val a17Sql: String = withCtes(false, GeoDerive.cellsCte,
+    """b2 AS (
+      |  SELECT (o_orderkey % 97) AS x, (o_custkey % 89) AS y,
+      |         MAX((((o_orderkey * 48271) + (o_custkey * 16807)) % 1000) / 1000.0) AS score
+      |  FROM orders GROUP BY 1, 2
+      |),
+      |unioned AS (
+      |  SELECT x, y, score, 1 AS src FROM cells
+      |  UNION ALL
+      |  SELECT x, y, score, 2 AS src FROM b2
+      |)""".stripMargin)(
+    """SELECT x, y, score, CAST(src AS BIGINT) AS src FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY x, y ORDER BY src) AS rn FROM unioned
+      |) WHERE rn = 1
+      |ORDER BY x, y""".stripMargin)
+
+  // ---------------------------------------------------------------- A18
+  /** 3×3 stitch plan (imagery.py:113-139, stitch_image_at_coordinate):
+    * per inference tile, the 9 source tiles with crop boxes and paste
+    * offsets (STITCH_WIDTH=32 constants from the reference).
+    */
+  private val stitchConsts: Seq[(Int, Int, Int, Int, Int, Int, Int)] = Seq(
+    // i, cx1, cy1, cx2, cy2, px, py  (i = (colOff+1)*3 + (rowOff+1))
+    (0, 224, 224, 256, 256, 0, 0),
+    (1, 224, 0, 256, 256, 0, 32),
+    (2, 224, 0, 256, 32, 0, 288),
+    (3, 0, 224, 256, 256, 32, 0),
+    (4, 0, 0, 256, 256, 32, 32),
+    (5, 0, 0, 256, 32, 32, 288),
+    (6, 0, 224, 32, 256, 288, 0),
+    (7, 0, 0, 32, 256, 288, 32),
+    (8, 0, 0, 32, 32, 288, 288))
+
+  def a18StitchPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val consts = stitchConsts.toDF("i", "cx1", "cy1", "cx2", "cy2", "px", "py")
+      .select(col("i").cast("long"), col("cx1").cast("long"), col("cy1").cast("long"),
+        col("cx2").cast("long"), col("cy2").cast("long"), col("px").cast("long"), col("py").cast("long"))
+    a5InferenceOrder(spark, dir)
+      .select("x", "y")
+      .crossJoin(broadcast(consts))
+      .withColumn("nx", col("x") + expr("i div 3") - 1)
+      .withColumn("ny", col("y") + (col("i") % 3) - 1)
+      .select("x", "y", "i", "nx", "ny", "cx1", "cy1", "cx2", "cy2", "px", "py")
+      .orderBy("x", "y", "i")
+  }
+
+  val a18Sql: String = {
+    val rows = stitchConsts.map { case (i, a, b, c, d, e, f) => s"($i, $a, $b, $c, $d, $e, $f)" }
+    withCtes(false, a4Ctes: _*)(
+      s"""SELECT t.x, t.y, CAST(s.i AS BIGINT) AS i,
+         |  t.x + (s.i // 3) - 1 AS nx, t.y + (s.i % 3) - 1 AS ny,
+         |  CAST(s.cx1 AS BIGINT) AS cx1, CAST(s.cy1 AS BIGINT) AS cy1,
+         |  CAST(s.cx2 AS BIGINT) AS cx2, CAST(s.cy2 AS BIGINT) AS cy2,
+         |  CAST(s.px AS BIGINT) AS px, CAST(s.py AS BIGINT) AS py
+         |FROM (
+         |  SELECT c.x, c.y,
+         |    round(sqrt((c.x - t.cx) * (c.x - t.cx) + (c.y - t.cy) * (c.y - t.cy)), 6) AS centroid_distance,
+         |    c.poly
+         |  FROM cells c JOIN cent t USING (poly)
+         |  ORDER BY poly, centroid_distance, x, y
+         |  LIMIT 400
+         |) t
+         |CROSS JOIN (VALUES ${rows.mkString(", ")}) s(i, cx1, cy1, cx2, cy2, px, py)
+         |ORDER BY x, y, i""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- A19
+  /** Stubbed batch inference (run_inference.py:95-128): deterministic
+    * scorer over the 3×3 stitched neighborhood — integer hash sum of the
+    * 9 source tiles, one exact double division at the end. Map-side only:
+    * the 9-term sum inlines into codegen, no explode/shuffle.
+    */
+  private def h(a: Column, b: Column): Column =
+    ((a * lit(73856093L)) + (b * lit(19349663L))) % 1000
+
+  def a19InferenceScored(spark: SparkSession, dir: String): DataFrame = {
+    val terms = for (dc <- -1 to 1; dr <- -1 to 1)
+      yield h(col("x") + lit(dc.toLong), col("y") + lit(dr.toLong))
+    a5InferenceOrder(spark, dir)
+      .select("poly", "x", "y")
+      .withColumn("softmax", terms.reduce(_ + _) / lit(9000.0))
+      .withColumn("inference_ran", lit(true))
+      .orderBy("x", "y")
+  }
+
+  val a19Sql: String = {
+    val terms = for (dc <- -1 to 1; dr <- -1 to 1)
+      yield s"(((x + $dc) * 73856093 + (y + $dr) * 19349663) % 1000)"
+    withCtes(false, a4Ctes: _*)(
+      s"""SELECT poly, x, y, (${terms.mkString(" + ")}) / 9000.0 AS softmax,
+         |  TRUE AS inference_ran
+         |FROM (
+         |  SELECT c.poly, c.x, c.y,
+         |    round(sqrt((c.x - t.cx) * (c.x - t.cx) + (c.y - t.cy) * (c.y - t.cy)), 6) AS centroid_distance
+         |  FROM cells c JOIN cent t USING (poly)
+         |  ORDER BY poly, centroid_distance, x, y
+         |  LIMIT 400
+         |)
+         |ORDER BY x, y""".stripMargin)
+  }
+
+  /** All A-block entries for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_deg2num" -> (a1Deg2num _),
+    "a2_num2deg" -> (a2Num2deg _),
+    "a3_grid_fill" -> (a3GridFill _),
+    "a4_centroid_distance" -> (a4CentroidDistance _),
+    "a5_inference_order" -> (a5InferenceOrder _),
+    "a6_threshold_rank" -> (a6ThresholdRank _),
+    "a7_grid_cluster" -> (a7GridCluster _),
+    "a8_largest_clusters" -> (a8LargestClusters _),
+    "a9_dilate3x3" -> (a9Dilate _),
+    "a10_imagery_cleanup" -> (a10ImageryCleanup _),
+    "a11_mark_imagery" -> (a11MarkImagery _),
+    "a12_osm_dedup" -> (a12OsmDedup _),
+    "a13_spatial_antijoin" -> (a13SpatialAntijoin _),
+    "a14_tile_geojson" -> (a14TileGeojson _),
+    "a15_cluster_outline" -> (a15ClusterOutline _),
+    "a16_polygon_area" -> (a16PolygonArea _),
+    "a17_upsert_ignore" -> (a17UpsertIgnore _),
+    "a18_stitch_plan" -> (a18StitchPlan _),
+    "a19_inference_scored" -> (a19InferenceScored _))
+
+  val oracles: Map[String, String] = Map(
+    "a1_deg2num" -> a1Sql,
+    "a2_num2deg" -> a2Sql,
+    "a3_grid_fill" -> a3Sql,
+    "a4_centroid_distance" -> a4Sql,
+    "a5_inference_order" -> a5Sql,
+    "a6_threshold_rank" -> a6Sql,
+    "a7_grid_cluster" -> a7Sql,
+    "a8_largest_clusters" -> a8Sql,
+    "a9_dilate3x3" -> a9Sql,
+    "a10_imagery_cleanup" -> a10Sql,
+    "a11_mark_imagery" -> a11Sql,
+    "a12_osm_dedup" -> a12Sql,
+    "a13_spatial_antijoin" -> a13Sql,
+    "a14_tile_geojson" -> a14Sql,
+    "a15_cluster_outline" -> a15Sql,
+    "a16_polygon_area" -> a16Sql,
+    "a17_upsert_ignore" -> a17Sql,
+    "a18_stitch_plan" -> a18Sql,
+    "a19_inference_scored" -> a19Sql)
+}

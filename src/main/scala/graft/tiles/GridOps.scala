@@ -1,0 +1,77 @@
+package graft.tiles
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed grid operators mirroring the reference's polygon/tile
+  * machinery (process_city_shapes.py, solardb.py, run_inference.py).
+  *
+  * Scale notes (SURVEY.md §6): the polygon dim is always broadcast; grids
+  * are generated distributed via `sequence`+`explode` with a repartition
+  * between the two explodes so one polygon's bbox fans out across
+  * executors instead of living in a single task (at z21 a city bbox is
+  * millions of tiles); the inside-test is a map-side `forall` over the
+  * broadcast edge array — no shuffle.
+  */
+object GridOps {
+
+  /** Edge half-plane cross product (>= 0 for all edges ⇔ inside CCW poly). */
+  private def cross(e: Column, x: Column, y: Column): Column =
+    (e("ex2") - e("ex1")) * (y - e("ey1")) - (e("ey2") - e("ey1")) * (x - e("ex1"))
+
+  /** All integer cells inside each polygon (reference
+    * get_coords_inside_polygon, process_city_shapes.py:146-171: meshgrid
+    * over bbox + containment mask — here the meshgrid is distributed).
+    */
+  def fillPolygons(spark: SparkSession): DataFrame = {
+    val p = broadcast(Polygons.df(spark))
+    p.withColumn("x", explode(sequence(col("minx"), col("maxx"))))
+      .repartition(col("poly"), col("x"))
+      .withColumn("y", explode(sequence(col("miny"), col("maxy"))))
+      .filter(forall(col("edges"), e => cross(e, col("x"), col("y")) >= 0))
+      .select(col("poly"), col("x"), col("y"))
+  }
+
+  /** Discrete centroid per polygon from the filled grid — exact integer
+    * sums, one double division (oracle-stable).
+    */
+  def centroids(spark: SparkSession): DataFrame =
+    fillPolygons(spark).groupBy("poly")
+      .agg(
+        (sum("x").cast("double") / count(lit(1))).as("cx"),
+        (sum("y").cast("double") / count(lit(1))).as("cy"))
+
+  /** Tile→centroid distance (reference compute_centroid_distances,
+    * solardb.py:121-134) — centroid dim broadcast onto the cell fact.
+    */
+  def centroidDistance(cells: DataFrame, centroids: DataFrame): DataFrame = {
+    val d = sqrt((col("x") - col("cx")) * (col("x") - col("cx"))
+      + (col("y") - col("cy")) * (col("y") - col("cy")))
+    cells.join(broadcast(centroids), "poly")
+      .withColumn("centroid_distance", round(d, 6))
+      .drop("cx", "cy")
+  }
+
+  /** 3×3 dilation of a cell set (reference run_inference.py:68-72:
+    * expanded_coords_above_threshold). Map-side explode then one distinct
+    * shuffle.
+    */
+  def dilate3x3(cells: DataFrame): DataFrame = {
+    val offs = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")))): _*)
+    cells.select(explode(offs).as("o"), col("x"), col("y"))
+      .select((col("x") + col("o.dx")).as("x"), (col("y") + col("o.dy")).as("y"))
+      .distinct()
+  }
+
+  val dilate3x3Cte: String =
+    """dil AS (
+      |  SELECT DISTINCT p.x + dx.d AS x, p.y + dy.d AS y
+      |  FROM pos p, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)
+      |)""".stripMargin
+
+  /** Imagery-block math (imagery.py:146-157): top-left of the query grid a
+    * cell belongs to, for `gridSize`-aligned download blocks.
+    */
+  def blockBase(c: Column, gridSize: Long): Column = c - (c % gridSize)
+}
