@@ -1,0 +1,200 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextQueries.{tokenHash, tokenHashSql, tokens}
+
+/** SURVEY.md §2 block C6–C8: near-duplicate detection over `documents`.
+  *
+  * MinHash+LSH (C6) → exact Jaccard re-rank (C7), plus SimHash hamming
+  * buckets (C8). Shingle width is 1 token (the synthetic corpus shares a
+  * ~40-word vocabulary, so token-set Jaccard is the discriminating
+  * signal; the machinery is width-agnostic — swap [[shingleHashes]]).
+  *
+  * Scale shape (SURVEY.md §6): signatures are computed map-side from the
+  * text column only; the only shuffles are (band, band_hash) for the LSH
+  * bucket join and the candidate-pair join back to the (small) signature
+  * sets — never full document text.
+  */
+object MinHashLsh {
+  val M = 1000000007L
+  val NumPerms = 16
+  val Bands = 4
+  val Rows = 4 // NumPerms / Bands
+
+  /** Affine permutation family a_j·x + b_j mod M — explicit constants so
+    * the DuckDB twin reproduces them (SURVEY.md §5 hash rule).
+    */
+  def a(j: Int): Long = 4967L * j + 8191L
+  def b(j: Int): Long = 104729L * j + 12953L
+
+  /** Token-hash "shingles" (width 1, see class doc). */
+  def shingleHashes(text: Column): Column = transform(tokens(text), tokenHash _)
+
+  val shingleHashesSql: String =
+    s"list_transform(string_split(text, ' '), w -> ${tokenHashSql("w")})"
+
+  /** 16-slot minhash signature as an array column (map-side only). */
+  def signature(shs: Column): Column =
+    array((0 until NumPerms).map { j =>
+      array_min(transform(shs, s => (s * lit(a(j)) + lit(b(j))) % lit(M)))
+    }: _*)
+
+  /** Band hash = base-31 combine of the band's 4 signature slots mod M. */
+  def bandHash(sig: Column, band: Int): Column =
+    (0 until Rows).map(r => sig.getItem(band * Rows + r))
+      .reduceLeft((acc, s) => (acc * lit(31L) + s) % lit(M))
+
+  def bandHashSql(band: Int): String =
+    (0 until Rows).map(r => s"mhs[${band * Rows + r + 1}]")
+      .reduceLeft((acc, s) => s"(($acc) * 31 + $s) % $M")
+}
+
+object DedupQueries {
+  import MinHashLsh._
+
+  /** doc_id + band-hash rows: the unit the LSH bucket join shuffles. */
+  private def bandRows(spark: SparkSession, dir: String): DataFrame = {
+    val sig = signature(shingleHashes(col("text")))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(array((0 until Bands).map(bn =>
+        bandHash(sig, bn)): _*)).as(Seq("band", "bh")))
+  }
+
+  private val bandRowsCtes: Seq[String] = Seq(
+    s"toks AS (SELECT doc_id, $shingleHashesSql AS ths FROM documents)",
+    s"""mh AS (
+       |  SELECT doc_id, [${(0 until NumPerms).map(j =>
+              s"list_min(list_transform(ths, s -> (s * ${a(j)} + ${b(j)}) % $M))").mkString(",\n    ")}] AS mhs
+       |  FROM toks
+       |)""".stripMargin,
+    s"""bands AS (
+       |  ${(0 until Bands).map(bn =>
+            s"SELECT doc_id, CAST($bn AS INT) AS band, ${bandHashSql(bn)} AS bh FROM mh")
+            .mkString("\n  UNION ALL\n  ")}
+       |)""".stripMargin)
+
+  // ---------------------------------------------------------------- C6
+  /** LSH candidate pairs: self-equi-join on (band, band_hash), a < b,
+    * counted per pair. The join key is 16 bytes/doc/band — at 100 TB this
+    * is the only all-to-all movement and AQE handles hot buckets.
+    */
+  def c6MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val br = bandRows(spark, dir)
+    val l = br.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+    val r = br.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
+    l.join(r, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val c6Sql: String =
+    s"""WITH ${bandRowsCtes.mkString(",\n")}
+       |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS n_bands
+       |FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- C7
+  /** Exact n-gram Jaccard on the C6 candidates: join the pair list back
+    * to per-doc distinct shingle sets (array_intersect/union sizes, one
+    * final rounded division). Candidate-driven — never all-pairs.
+    */
+  def c7NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val cand = c6MinhashLsh(spark, dir).select("doc_a", "doc_b")
+    val sets = Tables(spark, dir, "documents")
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("s"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sa"), col("sb"))).cast("double")
+          / size(array_union(col("sa"), col("sb"))), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val c7Sql: String =
+    s"""WITH ${bandRowsCtes.mkString(",\n")},
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+       |),
+       |sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents)
+       |SELECT c.doc_a, c.doc_b,
+       |  round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
+       |FROM cand c
+       |JOIN sets x ON x.doc_id = c.doc_a
+       |JOIN sets y ON y.doc_id = c.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- C8
+  /** 32-bit SimHash: per-token hashes spread over 32 bits (Knuth
+    * multiplicative), per-bit ±1 sums aggregated per doc, near-dup
+    * candidates = same top-16-bit bucket AND hamming ≤ 3. One explode +
+    * one agg (map-side combinable) + one bucket self-join.
+    */
+  val SimBits = 32
+  val Spread = 2654435761L
+  val SpreadMod = 4294967296L // 2^32
+  val HammingMax = 3
+  val BucketShift = 16
+
+  def c8Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val th32 = (tokenHash(col("tok")) * lit(Spread)) % lit(SpreadMod)
+    val bitSums = (0 until SimBits).map(bn =>
+      sum(when(shiftright(col("th32"), bn).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        .as(s"s_$bn"))
+    val sim = (0 until SimBits).map(bn =>
+      when(col(s"s_$bn") > 0, lit(1L << bn)).otherwise(lit(0L))).reduce(_ + _)
+    val sims = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), th32.as("th32"))
+      .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sim.as("sim"))
+      .withColumn("bucket", shiftright(col("sim"), BucketShift))
+    val l = sims.select(col("bucket"), col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+    val r = sims.select(col("bucket"), col("doc_id").as("doc_b"), col("sim").as("sim_b"))
+    l.join(r, "bucket").filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= HammingMax)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val c8Sql: String = {
+    val sumDefs = (0 until SimBits).map(bn =>
+      s"SUM(CASE WHEN (th32 >> $bn) & 1 = 1 THEN 1 ELSE -1 END) AS s_$bn").mkString(",\n    ")
+    val simExpr = (0 until SimBits).map(bn =>
+      s"CASE WHEN s_$bn > 0 THEN ${1L << bn} ELSE 0 END").mkString(" + ")
+    s"""WITH tokrows AS (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+       |), th AS (
+       |  SELECT doc_id, (${tokenHashSql("tok")} * $Spread) % $SpreadMod AS th32 FROM tokrows
+       |), bs AS (
+       |  SELECT doc_id,
+       |    $sumDefs
+       |  FROM th GROUP BY doc_id
+       |), sims AS (
+       |  SELECT doc_id, CAST($simExpr AS BIGINT) AS sim FROM bs
+       |), sb AS (
+       |  SELECT doc_id, sim, sim >> $BucketShift AS bucket FROM sims
+       |)
+       |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |  CAST(bit_count(xor(l.sim, r.sim)) AS BIGINT) AS hamming
+       |FROM sb l JOIN sb r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+       |WHERE bit_count(xor(l.sim, r.sim)) <= $HammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c6_minhash_lsh" -> (c6MinhashLsh _),
+    "c7_ngram_jaccard" -> (c7NgramJaccard _),
+    "c8_simhash" -> (c8Simhash _))
+
+  val oracles: Map[String, String] = Map(
+    "c6_minhash_lsh" -> c6Sql,
+    "c7_ngram_jaccard" -> c7Sql,
+    "c8_simhash" -> c8Sql)
+}

@@ -1,0 +1,184 @@
+package graft.embed
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY.md §2 block C9–C11: embedding similarity over `embeddings`
+  * (64-dim float vectors).
+  *
+  * Dot products are left-folds over `zip_with` arrays with float→double
+  * cast per element — the DuckDB twin (`list_reduce` over `list_zip`,
+  * init prepended) performs the identical IEEE operation sequence, so
+  * cosines match bit-for-bit before the final round(…,6).
+  *
+  * Scale shape (SURVEY.md §6): C10 broadcasts the (tiny) probe set over
+  * the corpus — a map-side scan + per-probe top-k, no corpus shuffle.
+  * C11 buckets the corpus ONCE by 8 random-hyperplane sign bits, then
+  * equi-joins probes on the bucket — the 100 TB path where brute force
+  * stops being an option. C9 is the honest all-pairs baseline.
+  */
+object EmbedQueries {
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm2(a: Column): Column =
+    aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+       |    (x, y) -> x + y)""".stripMargin
+
+  private def norm2Sql(a: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform($a, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))),
+       |    (x, y) -> x + y)""".stripMargin
+
+  /** cos(a,b) from precomputed squared norms — single canonical form
+    * `dot / sqrt(n2a * n2b)` on both engines.
+    */
+  private def cosine(d: Column, n2a: Column, n2b: Column): Column =
+    round(d / sqrt(n2a * n2b), 6)
+
+  val CosThreshold = 0.3
+  val TopK = 10
+  val ProbeMod = 100 // probes = vec_id % 100 == 0
+
+  private def withNorms(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+
+  private val normsCte: String =
+    s"norms AS (SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2 FROM embeddings)"
+
+  // ---------------------------------------------------------------- C9
+  /** All-pairs cosine near-dup over threshold (baseline; quadratic by
+    * definition — C11 is the scale path).
+    */
+  def c9CosinePairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorms(spark, dir)
+    val l = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("n2").as("na"))
+    val r = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("n2").as("nb"))
+    l.join(r, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosine(dot(col("ea"), col("eb")), col("na"), col("nb")).as("cos"))
+      .filter(col("cos") >= CosThreshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val c9Sql: String =
+    s"""WITH $normsCte
+       |SELECT vec_a, vec_b, cos FROM (
+       |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+       |    round(${dotSql("l.embedding", "r.embedding")} / sqrt(l.n2 * r.n2), 6) AS cos
+       |  FROM norms l JOIN norms r ON l.vec_id < r.vec_id
+       |) WHERE cos >= $CosThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---------------------------------------------------------------- C10
+  /** Brute-force top-k cosine neighbors for the probe set: probes are
+    * broadcast (they're ~1% of rows); ranking is a window partitioned by
+    * probe — deterministic tiebreak on (rounded cos desc, vec_id).
+    */
+  def c10AnnBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorms(spark, dir)
+    val probes = e.filter(col("vec_id") % ProbeMod === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("n2").as("pn"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    broadcast(probes).join(e, col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(dot(col("pe"), col("embedding")), col("pn"), col("n2")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .orderBy("probe_id", "rnk")
+  }
+
+  val c10Sql: String =
+    s"""WITH $normsCte,
+       |probes AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn FROM norms WHERE vec_id % $ProbeMod = 0),
+       |scored AS (
+       |  SELECT p.probe_id, e.vec_id,
+       |    round(${dotSql("p.pe", "e.embedding")} / sqrt(p.pn * e.n2), 6) AS cos
+       |  FROM probes p JOIN norms e ON e.vec_id <> p.probe_id
+       |)
+       |SELECT probe_id, vec_id, cos, rnk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM scored
+       |) WHERE rnk <= $TopK
+       |ORDER BY probe_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- C11
+  /** Random-hyperplane LSH ANN: 8 deterministic pseudo-random hyperplanes
+    * (w[j][d] derived from a Knuth multiplicative hash of j·64+d) give an
+    * 8-bit sign bucket; candidate set = same-bucket corpus rows; then
+    * exact cosine top-k within candidates. The corpus is bucketed in one
+    * map-side pass and the join is an equi-join on the bucket id.
+    */
+  val Planes = 8
+
+  /** w[j][d] as the exact expression (m/1000 − 0.5) both engines. */
+  private def planeWeightNum(j: Int, d: Int): Long = (j * 64L + d) * 2654435761L % 1000L
+
+  private def bucketCol(emb: Column): Column =
+    (0 until Planes).map { j =>
+      val dotJ = (0 until 64).map { d =>
+        element_at(emb, d + 1).cast("double") *
+          (lit(planeWeightNum(j, d)) / lit(1000.0) - lit(0.5))
+      }.reduce(_ + _)
+      when(dotJ > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def bucketSql(emb: String): String =
+    (0 until Planes).map { j =>
+      val dotJ = (0 until 64).map { d =>
+        s"CAST($emb[${d + 1}] AS DOUBLE) * (${planeWeightNum(j, d)} / 1000.0 - 0.5)"
+      }.mkString(" + ")
+      s"CASE WHEN ($dotJ) > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+
+  def c11AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorms(spark, dir).withColumn("bucket", bucketCol(col("embedding")))
+    val probes = e.filter(col("vec_id") % ProbeMod === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("n2").as("pn"), col("bucket"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    broadcast(probes).join(e, "bucket").filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(dot(col("pe"), col("embedding")), col("pn"), col("n2")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .orderBy("probe_id", "rnk")
+  }
+
+  val c11Sql: String =
+    s"""WITH $normsCte,
+       |bucketed AS (SELECT vec_id, embedding, n2, CAST(${bucketSql("embedding")} AS BIGINT) AS bucket FROM norms),
+       |probes AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn, bucket FROM bucketed WHERE vec_id % $ProbeMod = 0),
+       |scored AS (
+       |  SELECT p.probe_id, e.vec_id,
+       |    round(${dotSql("p.pe", "e.embedding")} / sqrt(p.pn * e.n2), 6) AS cos
+       |  FROM probes p JOIN bucketed e ON e.bucket = p.bucket AND e.vec_id <> p.probe_id
+       |)
+       |SELECT probe_id, vec_id, cos, rnk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM scored
+       |) WHERE rnk <= $TopK
+       |ORDER BY probe_id, rnk""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c9_cosine_pairs" -> (c9CosinePairs _),
+    "c10_ann_bruteforce" -> (c10AnnBruteforce _),
+    "c11_ann_lsh" -> (c11AnnLsh _))
+
+  val oracles: Map[String, String] = Map(
+    "c9_cosine_pairs" -> c9Sql,
+    "c10_ann_bruteforce" -> c10Sql,
+    "c11_ann_lsh" -> c11Sql)
+}

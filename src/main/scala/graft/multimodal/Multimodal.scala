@@ -1,0 +1,80 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY.md §2 C12: multimodal-column plumbing. Media lives as an
+  * opaque `binary` column + typed metadata; decode/feature-extract runs
+  * batch-wise in `mapPartitions` (the shape a real image decoder — absent
+  * in this container — would slot into: fixed-size batches, Iterator in /
+  * Iterator out, no whole-partition materialization).
+  *
+  * The decode step is a DETERMINISTIC STUB (header check + byte
+  * arithmetic standing in for width/height extraction); everything
+  * around it — payload synthesis, schema, batching, partition flow — is
+  * real. The DuckDB twin recomputes the same bytes from `text` (ASCII ⇒
+  * 1 byte/char), which is what makes the stub oracle-checkable.
+  */
+object Multimodal {
+
+  val BatchSize = 64
+  val Magic: Array[Byte] = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+
+  final case class DocBin(doc_id: Long, payload: Array[Byte])
+
+  /** Synthesize the binary column: 4-byte magic + UTF-8 text payload. */
+  def payloads(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit(Magic), col("text").cast("binary")).as("payload"))
+
+  /** Stub "decode": header sniff + pseudo width/height from the first 8
+    * body bytes. Replace the body of [[decodeOne]] with a real codec
+    * call; the batching and schema stay.
+    */
+  private def decodeOne(d: DocBin): (Long, Long, Long, Long, String) = {
+    val isPng = d.payload.take(4).sameElements(Magic)
+    val body = d.payload.drop(4)
+    val s8 = body.take(8).map(b => (b.toLong & 0xffL)).sum
+    val width = 64L + (s8 * 31L) % 960L
+    val height = 64L + (s8 * 17L) % 960L
+    val fmt =
+      if (!isPng) "raw"
+      else (body.length % 3) match { case 0 => "png"; case 1 => "jpg"; case _ => "webm" }
+    (d.doc_id, d.payload.length.toLong, width, height, fmt)
+  }
+
+  def c12MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    payloads(spark, dir).as[DocBin]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch => batch.iterator.map(decodeOne) }
+      }
+      .toDF("doc_id", "n_bytes", "width", "height", "format")
+      .orderBy("doc_id")
+  }
+
+  val c12Sql: String = {
+    val s8 = (1 to 8).map(i => s"ascii(substring(text, $i, 1))").mkString(" + ")
+    s"""WITH m AS (
+       |  SELECT doc_id, CAST(length(text) + 4 AS BIGINT) AS n_bytes,
+       |    CAST($s8 AS BIGINT) AS s8, length(text) AS body_len
+       |  FROM documents
+       |)
+       |SELECT doc_id, n_bytes,
+       |  64 + (s8 * 31) % 960 AS width,
+       |  64 + (s8 * 17) % 960 AS height,
+       |  CASE WHEN body_len % 3 = 0 THEN 'png'
+       |       WHEN body_len % 3 = 1 THEN 'jpg'
+       |       ELSE 'webm' END AS format
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c12_multimodal_meta" -> (c12MultimodalMeta _))
+
+  val oracles: Map[String, String] = Map(
+    "c12_multimodal_meta" -> c12Sql)
+}

@@ -1,0 +1,198 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY.md §2 block C1–C5: text-pipeline operators over `documents`.
+  *
+  * Everything is native column math / higher-order array functions — no
+  * UDFs — so the expressions inline into whole-stage codegen and the scan
+  * keeps column pruning (only `doc_id`/`text` are read). Each operator
+  * has a DuckDB SQL twin computing the identical integer arithmetic;
+  * doubles appear only as one final division + round(…,6) (SURVEY.md §5).
+  */
+object TextQueries {
+
+  /** Portable token hash: length·1009 + 31·first-char + last-char code.
+    * Engine-neutral (no murmur/xxhash), collision-tolerant — consumers
+    * (fingerprint, minhash, simhash) only need determinism.
+    */
+  def tokenHash(w: Column): Column =
+    (length(w) * lit(1009L) + ascii(substring(w, 1, 1)) * lit(31L) + ascii(substring(w, -1, 1)))
+      .cast("long")
+
+  def tokenHashSql(w: String): String =
+    s"CAST(length($w)*1009 + ascii(left($w,1))*31 + ascii(right($w,1)) AS BIGINT)"
+
+  def tokens(c: Column): Column = split(c, " ")
+
+  // ---------------------------------------------------------------- C1
+  /** Exact dedup, keep-min-id per identical text: one hash-agg shuffle on
+    * the text key; at 100 TB swap the raw text key for sha2(text) to
+    * shuffle 32 bytes/row instead of the document (same semantics).
+    */
+  def c1DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  val c1Sql: String =
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------- C2
+  /** Token counting: whitespace tokens + a BPE-ish piece regex
+    * (letter-runs / digit-runs / single other-glyphs). Pure map-side.
+    */
+  def c2TokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z0-9]+|[^a-z0-9\\s]")).cast("long").as("bpe_tokens"),
+        col("n_chars"))
+      .orderBy("doc_id")
+
+  val c2Sql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS bpe_tokens,
+      |  n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- C3
+  /** Quality features: stopword ratio, punctuation count, mean token
+    * length, composite score. Exact integer counts; doubles only in the
+    * final ratio (identical expression both engines).
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+
+  def c3QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val stopCnt = size(filter(toks, t => t.isin(Stopwords: _*))).cast("long")
+    val punctCnt = regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("long")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), nTok.as("n_tokens"),
+        stopCnt.as("stop_cnt"), punctCnt.as("punct_cnt"))
+      // micro-unit (1e-6) ratios via integer division: exact on every
+      // engine, no double rounding ties (SURVEY.md §5)
+      .withColumn("stop_ratio_micro", expr("(stop_cnt * 1000000) div n_tokens"))
+      .withColumn("mean_token_len_micro",
+        expr("((n_chars - n_tokens + 1) * 1000000) div n_tokens"))
+      .withColumn("quality_micro",
+        expr("(stop_cnt * 300000) div n_tokens + least(n_tokens, 200) * 3500"))
+      .drop("n_chars")
+      .orderBy("doc_id")
+  }
+
+  val c3Sql: String = {
+    val stops = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH f AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS BIGINT) AS stop_cnt,
+       |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS punct_cnt
+       |  FROM documents
+       |)
+       |SELECT doc_id, n_tokens, stop_cnt, punct_cnt,
+       |  (stop_cnt * 1000000) // n_tokens AS stop_ratio_micro,
+       |  ((n_chars - n_tokens + 1) * 1000000) // n_tokens AS mean_token_len_micro,
+       |  (stop_cnt * 300000) // n_tokens + least(n_tokens, 200) * 3500 AS quality_micro
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- C4
+  /** Language ID by character-bigram profile: each language scores a
+    * weighted count of three characteristic bigrams; argmax with a fixed
+    * precedence. Output is the (lang, guess) confusion matrix — one
+    * map-side pass plus a tiny agg.
+    */
+  val LangProfiles: Seq[(String, Seq[(String, Int)])] = Seq(
+    "en" -> Seq("th" -> 3, "he" -> 2, "er" -> 2),
+    "es" -> Seq("ll" -> 3, "os" -> 2, "ar" -> 2),
+    "de" -> Seq("ch" -> 3, "ei" -> 2, "en" -> 2),
+    "fr" -> Seq("ou" -> 3, "le" -> 2, "es" -> 2),
+    "zh" -> Seq("sh" -> 3, "ng" -> 2, "an" -> 2))
+
+  def c4LangId(spark: SparkSession, dir: String): DataFrame = {
+    val scores = LangProfiles.map { case (lg, grams) =>
+      lg -> grams.map { case (g, w) => regexp_count(col("text"), lit(g)).cast("long") * lit(w.toLong) }
+        .reduce(_ + _)
+    }
+    // argmax with precedence = profile order
+    val guess = LangProfiles.init.foldRight(lit(LangProfiles.last._1)) { case ((lg, _), els) =>
+      val s = scores.toMap.apply(lg)
+      when(scores.filter(_._1 != lg).map(_._2).map(o => s >= o).reduce(_ && _), lit(lg)).otherwise(els)
+    }
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), guess.as("guess"))
+      .groupBy("lang", "guess").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "guess")
+  }
+
+  val c4Sql: String = {
+    val scoreExpr = LangProfiles.map { case (lg, grams) =>
+      val e = grams.map { case (g, w) => s"$w * len(regexp_extract_all(text, '$g'))" }.mkString(" + ")
+      lg -> s"CAST($e AS BIGINT)"
+    }
+    val defs = scoreExpr.map { case (lg, e) => s"$e AS s_$lg" }.mkString(",\n    ")
+    val langs = LangProfiles.map(_._1)
+    val cases = langs.init.map { lg =>
+      val conds = langs.filter(_ != lg).map(o => s"s_$lg >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$lg'"
+    }.mkString("\n      ")
+    s"""WITH s AS (
+       |  SELECT doc_id, lang,
+       |    $defs
+       |  FROM documents
+       |), g AS (
+       |  SELECT lang,
+       |    CASE $cases ELSE '${langs.last}' END AS guess
+       |  FROM s
+       |)
+       |SELECT lang, guess, COUNT(*) AS n FROM g
+       |GROUP BY lang, guess ORDER BY lang, guess""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- C5
+  /** Rolling polynomial document fingerprint:
+    * fp = foldLeft over tokens of (acc·1000003 + tokenHash) mod 1e9+7.
+    * Left-fold via `aggregate` — same order and arithmetic in DuckDB's
+    * `list_reduce` (init prepended), so hashes match bit-for-bit.
+    */
+  val FpB = 1000003L
+  val FpM = 1000000007L
+
+  def c5Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        aggregate(transform(tokens(col("text")), tokenHash _), lit(0L),
+          (acc, h) => (acc * lit(FpB) + h) % lit(FpM)).as("fingerprint"))
+      .orderBy("doc_id")
+
+  val c5Sql: String =
+    s"""SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(text, ' '), w -> ${tokenHashSql("w")})),
+       |    (acc, h) -> (acc * $FpB + h) % $FpM) AS fingerprint
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c1_dedup_exact" -> (c1DedupExact _),
+    "c2_token_count" -> (c2TokenCount _),
+    "c3_quality_score" -> (c3QualityScore _),
+    "c4_lang_id" -> (c4LangId _),
+    "c5_fingerprint" -> (c5Fingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "c1_dedup_exact" -> c1Sql,
+    "c2_token_count" -> c2Sql,
+    "c3_quality_score" -> c3Sql,
+    "c4_lang_id" -> c4Sql,
+    "c5_fingerprint" -> c5Sql)
+}
