@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY.md §2 block D: Structured Streaming operators over the
+  * `events` table.
+  *
+  * The transform bodies are stream/batch agnostic — the same function is
+  * applied to `readStream` (D1/D2 proper) and to the batch table (the
+  * parity oracle, mirrored by B6). Streaming state is bounded by the
+  * 2-hour watermark: window state ages out, dropDuplicates keeps only
+  * in-watermark event_ids. At scale the shuffle key is (window,
+  * event_type) / event_id respectively, both high-cardinality and
+  * skew-free.
+  */
+object StreamingOps {
+
+  val WatermarkDelay = "2 hours"
+  val WindowLen = "1 hour"
+
+  private def cents(c: Column): Column = round(c * lit(100.0), 0).cast("long")
+
+  /** Raw events (ts possibly parquet-nanos BIGINT) → typed stream with
+    * `event_time` timestamp. Works on batch and streaming frames alike.
+    */
+  def normalize(e: DataFrame): DataFrame = {
+    val eventTime = e.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts")
+    }
+    e.withColumn("event_time", eventTime)
+  }
+
+  /** D1: tumbling 1-hour windowed agg with watermark — streaming twin of
+    * the batch B6 query (same buckets, counts, cent-sums).
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", WatermarkDelay)
+      .groupBy(window(col("event_time"), WindowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value_c"))
+
+  /** D2: streaming dedup on event_id within the watermark horizon. */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", WatermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** File-source stream over a DIRECTORY of events parquet files (the
+    * shape a real ingest lands: files arriving in a watched directory).
+    * `sfDir` is only used to pin the schema from the batch table; the
+    * driver testdata's single-file `events.parquet` must be staged into a
+    * directory first (see [[stageEventsDir]]).
+    */
+  def eventsStream(spark: SparkSession, sfDir: String, sourceDir: String): DataFrame = {
+    val schema = Tables(spark, sfDir, "events").schema
+    normalize(spark.readStream.schema(schema).parquet(sourceDir))
+  }
+
+  /** Stage the single-file events table as a streaming source directory. */
+  def stageEventsDir(spark: SparkSession, sfDir: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sfDir, "events.parquet"),
+      dir.resolve("part-0.parquet"))
+    dir.toString
+  }
+}

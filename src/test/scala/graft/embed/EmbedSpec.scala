@@ -1,0 +1,49 @@
+package graft.embed
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.multimodal.Multimodal
+import graft.Tables
+
+class EmbedQueriesSpec extends SparkTestBase {
+
+  test("c10 brute-force: exactly TopK neighbors per probe, cos in [-1, 1]") {
+    val r = EmbedQueries.c10AnnBruteforce(spark, sf)
+    val perProbe = r.groupBy("probe_id").count()
+    assert(perProbe.filter(col("count") =!= EmbedQueries.TopK).count() == 0)
+    assert(r.filter(abs(col("cos")) > 1.000001).count() == 0)
+    assert(r.filter(col("vec_id") === col("probe_id")).count() == 0)
+  }
+
+  test("c11 LSH recall: every LSH hit is a true neighbor pair with the same cosine") {
+    val bf = EmbedQueries.c10AnnBruteforce(spark, sf)
+      .select(col("probe_id"), col("vec_id"), col("cos").as("cos_bf"))
+    val lsh = EmbedQueries.c11AnnLsh(spark, sf)
+      .select(col("probe_id"), col("vec_id"), col("cos"))
+    // cosines agree exactly where both rank the same pair
+    val joined = lsh.join(bf, Seq("probe_id", "vec_id"))
+    assert(joined.filter(col("cos") =!= col("cos_bf")).count() == 0)
+  }
+
+  test("c9 pairs are ordered and above threshold") {
+    val p = EmbedQueries.c9CosinePairs(spark, sf)
+    assert(p.filter(col("vec_a") >= col("vec_b")).count() == 0)
+    assert(p.filter(col("cos") < EmbedQueries.CosThreshold).count() == 0)
+  }
+}
+
+class MultimodalSpec extends SparkTestBase {
+
+  test("c12 payload metadata: n_bytes = n_chars + magic, format from body length") {
+    val m = Multimodal.c12MultimodalMeta(spark, sf)
+      .join(Tables(spark, sf, "documents").select("doc_id", "n_chars"), "doc_id")
+    assert(m.filter(col("n_bytes") =!= col("n_chars") + lit(4)).count() == 0)
+    assert(m.filter(!col("format").isin("png", "jpg", "webm")).count() == 0)
+    assert(m.filter(col("width") < 64 || col("width") >= 1024).count() == 0)
+  }
+
+  test("c12 covers every document exactly once") {
+    val n = Tables(spark, sf, "documents").count()
+    assert(Multimodal.c12MultimodalMeta(spark, sf).count() == n)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.{SparkTestBase, Tables}
+import graft.relational.Queries
+
+class StreamingSpec extends SparkTestBase {
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String): org.apache.spark.sql.DataFrame = {
+    val ckpt = Files.createTempDirectory(s"graft-ckpt-$name").toString
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  private lazy val stagedDir = StreamingOps.stageEventsDir(spark, sf)
+
+  test("D1 streaming windowed agg == batch B6 mirror (same buckets and sums)") {
+    val stream = StreamingOps.eventsStream(spark, sf, stagedDir)
+    // complete mode so not-yet-finalized tail windows are emitted too —
+    // append mode would (correctly) hold back windows newer than the
+    // watermark, which the batch mirror has no notion of
+    val got = runToMemory(StreamingOps.windowedAgg(stream), "d1_windowed", "complete")
+    // batch twin through the identical transform
+    val batch = StreamingOps.windowedAgg(
+      StreamingOps.normalize(Tables(spark, sf, "events")))
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(got).count() == 0)
+    // and the B6 production query agrees on every (window, type, n, sum)
+    val b6 = Queries.eventWindowed(spark, sf)
+    assert(b6.exceptAll(got.select(col("window_start"), col("event_type"),
+      col("n"), col("sum_value_c"))).count() == 0)
+  }
+
+  test("D2 streaming dedup drops nothing on unique ids and is idempotent") {
+    val stream = StreamingOps.eventsStream(spark, sf, stagedDir)
+    val got = runToMemory(
+      StreamingOps.dedup(stream).select("event_id"), "d2_dedup", "append")
+    val distinctIds = Tables(spark, sf, "events").select("event_id").distinct().count()
+    assert(got.count() == distinctIds)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.{SparkTestBase, Tables}
+import graft.dedup.{DedupQueries, MinHashLsh}
+
+class TextQueriesSpec extends SparkTestBase {
+
+  test("c5 fingerprint matches a plain-Scala reimplementation") {
+    val doc = Tables(spark, sf, "documents")
+      .select("doc_id", "text").orderBy("doc_id").head
+    val text = doc.getString(1)
+    val expected = text.split(" ").foldLeft(0L) { (acc, w) =>
+      val th = w.length.toLong * 1009L + w.head.toLong * 31L + w.last.toLong
+      (acc * TextQueries.FpB + th) % TextQueries.FpM
+    }
+    val got = TextQueries.c5Fingerprint(spark, sf)
+      .filter(col("doc_id") === doc.getLong(0)).head.getLong(1)
+    assert(got == expected)
+  }
+
+  test("c2 token counts: ws_tokens equals split size on single-spaced text") {
+    val bad = TextQueries.c2TokenCount(spark, sf)
+      .join(Tables(spark, sf, "documents"), "doc_id")
+      .filter(col("ws_tokens") =!= size(split(col("text"), " "))).count()
+    assert(bad == 0)
+  }
+
+  test("c3 micro-ratios live in [0, 1e6]") {
+    val q = TextQueries.c3QualityScore(spark, sf)
+    assert(q.filter(col("stop_ratio_micro") < 0 || col("stop_ratio_micro") > 1000000).count() == 0)
+    assert(q.filter(col("quality_micro") < 0 || col("quality_micro") > 1000000).count() == 0)
+  }
+
+  test("c4 lang-id confusion matrix covers every document") {
+    val n = TextQueries.c4LangId(spark, sf).agg(sum("n")).head.getLong(0)
+    assert(n == Tables(spark, sf, "documents").count())
+  }
+}
+
+class DedupQueriesSpec extends SparkTestBase {
+
+  test("c6 pairs are ordered, distinct, with 1..4 agreeing bands") {
+    val p = DedupQueries.c6MinhashLsh(spark, sf)
+    assert(p.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    assert(p.filter(col("n_bands") < 1 || col("n_bands") > MinHashLsh.Bands).count() == 0)
+    assert(p.groupBy("doc_a", "doc_b").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("c7 jaccard of an identical pair would be 1; all scores in [0, 1]") {
+    val j = DedupQueries.c7NgramJaccard(spark, sf)
+    assert(j.filter(col("jaccard") < 0 || col("jaccard") > 1).count() == 0)
+  }
+
+  test("c8 simhash candidates respect the hamming cutoff") {
+    val s = DedupQueries.c8Simhash(spark, sf)
+    assert(s.filter(col("hamming") > DedupQueries.HammingMax.toLong
+      || col("hamming") < 0).count() == 0)
+  }
+}
