@@ -20,6 +20,7 @@ object GraftSession {
 
   def builder(cores: Int): SparkSession.Builder =
     SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")

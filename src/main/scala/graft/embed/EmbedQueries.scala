@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.vector.{vec_dot, vec_norm2}
 
 /** SURVEY.md §2 block C9–C11: embedding similarity over `embeddings`
   * (64-dim float vectors).
@@ -21,13 +22,13 @@ import graft.Tables
   */
 object EmbedQueries {
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Native codegen'd expressions (graft.functions.VecDot) — same
+    * sequential double accumulation as the interpreted HOF fold and the
+    * oracle's list_reduce, ~100x faster than the lambda path.
+    */
+  private def dot(a: Column, b: Column): Column = vec_dot(a, b)
 
-  private def norm2(a: Column): Column =
-    aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  private def norm2(a: Column): Column = vec_norm2(a)
 
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),

@@ -1,0 +1,28 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook registering graft's native expressions as
+  * SQL functions (`vec_dot`, `vec_norm2`), so `spark.sql("... vec_dot(a,
+  * b) ...")` works next to the Column API. Install with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[VecDot].getName, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two float/double array vectors"),
+      (args: Seq[Expression]) => VecDot(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_norm2"),
+      info("vec_norm2", "vec_norm2(a) - sum of squares of a float/double array vector"),
+      (args: Seq[Expression]) => VecNorm2(args.head)))
+  }
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal Column ↔ catalyst Expression bridge for graft's custom
+  * expressions. Spark 4 Columns wrap ColumnNodes and the conversion
+  * utilities are `private[sql]`, so this one-file shim lives in the
+  * org.apache.spark.sql package — the conventional extension point for
+  * libraries that ship native expressions (no Spark internals are
+  * modified).
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

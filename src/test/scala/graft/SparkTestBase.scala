@@ -7,14 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * test wall-clock otherwise).
   */
 object TestSpark {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", 4)
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false")
-    .appName("graft-test")
-    .getOrCreate()
+  lazy val spark: SparkSession =
+    GraftSession.builder(4).appName("graft-test").getOrCreate()
 }
 
 trait SparkTestBase extends AnyFunSuite {
