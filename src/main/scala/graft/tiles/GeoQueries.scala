@@ -113,7 +113,7 @@ object GeoQueries {
 
   // ---------------------------------------------------------------- A7
   def a7GridCluster(spark: SparkSession, dir: String): DataFrame =
-    Clustering.connectedComponents4(GeoDerive.positives(spark, dir))
+    Clustering.componentsFor(spark, dir)
       .orderBy("x", "y")
 
   val a7Sql: String = withCtes(true, GeoDerive.cellsCte, GeoDerive.positivesCte, Clustering.ccCte)(
@@ -124,7 +124,7 @@ object GeoQueries {
     * (solardb.py:262-280).
     */
   def a8LargestClusters(spark: SparkSession, dir: String): DataFrame =
-    Clustering.connectedComponents4(GeoDerive.positives(spark, dir))
+    Clustering.componentsFor(spark, dir)
       .groupBy("cluster_id").agg(count(lit(1)).as("n_tiles"))
       .withColumn("rep_lon", colToLon(expr("cluster_id div 100000") + lit(TX)))
       .withColumn("rep_lat", rowToLat((col("cluster_id") % 100000L) + lit(TY)))
@@ -209,7 +209,7 @@ object GeoQueries {
     * broadcast after its distinct.
     */
   def a13SpatialAntijoin(spark: SparkSession, dir: String): DataFrame = {
-    val cc = Clustering.connectedComponents4(GeoDerive.positives(spark, dir))
+    val cc = Clustering.componentsFor(spark, dir)
     val boxes = cc.groupBy("cluster_id")
       .agg(min("x").as("minx"), max("x").as("maxx"),
         min("y").as("miny"), max("y").as("maxy"), count(lit(1)).as("n_tiles"))
@@ -279,7 +279,7 @@ object GeoQueries {
     * interior edges appear twice → keep count()=1.
     */
   def a15ClusterOutline(spark: SparkSession, dir: String): DataFrame = {
-    val cc = Clustering.connectedComponents4(GeoDerive.positives(spark, dir))
+    val cc = Clustering.componentsFor(spark, dir)
     val edges = cc.select(col("cluster_id"), explode(array(
       struct(col("x").as("x1"), col("y").as("y1"), (col("x") + 1).as("x2"), col("y").as("y2")),
       struct(col("x").as("x1"), (col("y") + 1).as("y1"), (col("x") + 1).as("x2"), (col("y") + 1).as("y2")),
