@@ -21,8 +21,13 @@ import graft.text.TextQueries.{tokenHash, tokenHashSql, tokens}
 object MinHashLsh {
   val M = 1000000007L
   val NumPerms = 16
-  val Bands = 4
-  val Rows = 4 // NumPerms / Bands
+  /** 2 bands × 8 rows: the synthetic corpus is homogeneous (shared ~40
+    * word vocabulary → token-set Jaccard ~0.6 between random docs), so
+    * r=8 keeps the per-band collision probability J^8 selective; r=4
+    * would flag ~2/3 of ALL pairs as candidates, which defeats LSH.
+    */
+  val Bands = 2
+  val Rows = 8 // NumPerms / Bands
 
   /** Affine permutation family a_j·x + b_j mod M — explicit constants so
     * the DuckDB twin reproduces them (SURVEY.md §5 hash rule).

@@ -51,6 +51,60 @@ object StreamingOps {
       .withWatermark("event_time", WatermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  // ------------------------------------------------------- D3: sessions
+  /** Typed event for stateful processing. */
+  final case class Ev(user_id: Long, event_id: Long, us: Long, value_c: Long)
+
+  /** Open-session state carried between micro-batches. */
+  final case class OpenSession(start_us: Long, end_us: Long, n_events: Long, sum_value_c: Long)
+
+  /** Emitted (closed) session — schema mirrors the batch B5 aggregate. */
+  final case class Session(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, sum_value_c: Long)
+
+  val SessionGapUs: Long = 1800000000L // 30 min, matches B5
+
+  /** D3: streaming sessionization with custom state
+    * (flatMapGroupsWithState) — the stream twin of the batch B5
+    * lag/cumsum sessionizer. Each invocation folds the micro-batch's
+    * events (sorted by event time) into the per-user open session,
+    * EMITS sessions closed by a >30-min gap, and keeps the still-open
+    * tail session in state for the next batch. State per user is one
+    * fixed-size record — bounded regardless of stream length.
+    */
+  def sessionize(events: DataFrame): org.apache.spark.sql.Dataset[Session] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("event_time")).as("us"),
+        cents(col("value")).as("value_c"))
+      .as[Ev]
+
+    def fold(userId: Long, it: Iterator[Ev], state: GroupState[OpenSession]): Iterator[Session] = {
+      val evs = it.toSeq.sortBy(e => (e.us, e.event_id))
+      var open = state.getOption
+      val closed = Seq.newBuilder[Session]
+      evs.foreach { e =>
+        open match {
+          case Some(s) if e.us - s.end_us <= SessionGapUs =>
+            open = Some(OpenSession(s.start_us, e.us, s.n_events + 1, s.sum_value_c + e.value_c))
+          case Some(s) =>
+            closed += Session(userId, s.start_us, s.end_us, s.n_events, s.sum_value_c)
+            open = Some(OpenSession(e.us, e.us, 1L, e.value_c))
+          case None =>
+            open = Some(OpenSession(e.us, e.us, 1L, e.value_c))
+        }
+      }
+      open.foreach(state.update)
+      closed.result().iterator
+    }
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
+  }
+
   /** File-source stream over a DIRECTORY of events parquet files (the
     * shape a real ingest lands: files arriving in a watched directory).
     * `sfDir` is only used to pin the schema from the batch table; the

@@ -1,0 +1,45 @@
+package graft.relational
+
+import org.apache.spark.sql.functions._
+import graft.{SparkTestBase, Tables}
+
+class RelationalSpec extends SparkTestBase {
+
+  test("b1 pricing summary: cent sums are exact and groups are complete") {
+    val r = Queries.pricingSummary(spark, sf)
+    assert(r.count() > 0)
+    assert(r.filter(col("sum_qty_c") <= 0 || col("count_order") <= 0).count() == 0)
+  }
+
+  test("b2 top-unshipped returns at most 10 rows in strict revenue order") {
+    val rows = Queries.topUnshipped(spark, sf).collect()
+    assert(rows.length <= 10)
+    val revs = rows.map(_.getAs[Long]("revenue_c"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("b4 top-k per group: at most 3 per segment, ranks 1..3 contiguous") {
+    val r = Queries.topkPerGroup(spark, sf)
+    val bad = r.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), max("rk").as("maxrk"))
+      .filter(col("n") > 3 || col("maxrk") =!= col("n")).count()
+    assert(bad == 0)
+  }
+
+  test("b5 sessionization: session bounds ordered, gaps within sessions <= 30min") {
+    val s = Queries.eventSessions(spark, sf)
+    assert(s.filter(col("start_us") > col("end_us")).count() == 0)
+    // sessions of one user must not overlap and must be separated by > gap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("sess_seq")
+    val overlaps = s.withColumn("prev_end", lag("end_us", 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        col("start_us") - col("prev_end") <= 1800000000L).count()
+    assert(overlaps == 0)
+  }
+
+  test("b6 windowed agg event count equals total events") {
+    val total = Queries.eventWindowed(spark, sf).agg(sum("n")).head.getLong(0)
+    assert(total == Tables(spark, sf, "events").count())
+  }
+}

@@ -40,6 +40,21 @@ class StreamingSpec extends SparkTestBase {
       col("n"), col("sum_value_c"))).count() == 0)
   }
 
+  test("D3 stateful sessionization: closed sessions match batch B5 exactly") {
+    val stream = StreamingOps.eventsStream(spark, sf, stagedDir)
+    val got = runToMemory(StreamingOps.sessionize(stream).toDF(), "d3_sessions", "append")
+    // batch B5 sessions, minus each user's final (still-open) session —
+    // exactly what the stream must have emitted after one batch
+    val b5 = Queries.eventSessions(spark, sf)
+    val lastSess = b5.groupBy("user_id").agg(max("sess_seq").as("sess_seq"))
+    val closedBatch = b5.join(lastSess, Seq("user_id", "sess_seq"), "left_anti")
+      .select("user_id", "start_us", "end_us", "n_events", "sum_value_c")
+    val gotCmp = got.select("user_id", "start_us", "end_us", "n_events", "sum_value_c")
+    assert(gotCmp.count() > 0)
+    assert(gotCmp.exceptAll(closedBatch).count() == 0)
+    assert(closedBatch.exceptAll(gotCmp).count() == 0)
+  }
+
   test("D2 streaming dedup drops nothing on unique ids and is idempotent") {
     val stream = StreamingOps.eventsStream(spark, sf, stagedDir)
     val got = runToMemory(
