@@ -99,12 +99,24 @@ object DedupQueries {
     */
   private val candCache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
+  /** Hot-bucket chunk fan-out: a band bucket with k docs yields k²/2
+    * pairs in ONE join partition — the classic LSH skew straggler (this
+    * corpus makes it extreme: near-identical token sets collapse most
+    * docs into one bucket). Salting the join key with a doc-id chunk
+    * spreads each bucket's pair generation over `PairChunks` tasks.
+    */
+  val PairChunks = 16
+
   private def candidatePairs(spark: SparkSession, dir: String): DataFrame =
     candCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       val br = bandRows(spark, dir)
-      val l = br.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
-      val r = br.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
-      l.join(r, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
+      val l = br
+        .withColumn("ck", explode(array((0 until PairChunks).map(lit): _*)))
+        .select(col("band"), col("bh"), col("ck"), col("doc_id").as("doc_a"))
+      val r = br
+        .select(col("band"), col("bh"),
+          pmod(col("doc_id"), lit(PairChunks)).as("ck"), col("doc_id").as("doc_b"))
+      l.join(r, Seq("band", "bh", "ck")).filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
         .localCheckpoint(true)
     })

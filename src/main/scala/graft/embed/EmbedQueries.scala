@@ -126,13 +126,15 @@ object EmbedQueries {
   /** w[j][d] as the exact expression (m/1000 − 0.5) both engines. */
   private def planeWeightNum(j: Int, d: Int): Long = (j * 64L + d) * 2654435761L % 1000L
 
+  /** Hyperplane dots via the native VecDot against literal weight
+    * arrays — one fused loop per plane instead of a 64-term expression
+    * tree (same sequential accumulation order, so the sign decisions
+    * match the SQL twin's term-by-term sum exactly).
+    */
   private def bucketCol(emb: Column): Column =
     (0 until Planes).map { j =>
-      val dotJ = (0 until 64).map { d =>
-        element_at(emb, d + 1).cast("double") *
-          (lit(planeWeightNum(j, d)) / lit(1000.0) - lit(0.5))
-      }.reduce(_ + _)
-      when(dotJ > 0, lit(1L << j)).otherwise(lit(0L))
+      val w = typedLit((0 until 64).map(d => planeWeightNum(j, d) / 1000.0 - 0.5))
+      when(vec_dot(emb, w) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   private def bucketSql(emb: String): String =

@@ -1,0 +1,52 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale techniques as reusable operators (SURVEY.md §6): skew-salted
+  * joins and bucketed co-located storage. These are the knobs a 100 TB
+  * deployment reaches for when AQE alone isn't enough — packaged here so
+  * pipelines use one audited implementation instead of ad-hoc copies.
+  */
+object ScaleOps {
+
+  /** Equi-join `fact ⋈ dim` on `key`, salted against a skewed fact:
+    * the fact side gets a uniform salt in [0, buckets); the dim side is
+    * exploded `buckets`-fold so every (key, salt) pair finds its match.
+    * Result is row-identical to the plain join, but a hot key's rows now
+    * spread over `buckets` reducers instead of one straggler.
+    *
+    * Use when ONE side is small enough to replicate `buckets`× but too
+    * big to broadcast outright, and the fact's key histogram is spiky
+    * (AQE skew-join handles sort-merge spills; salting fixes hash-agg
+    * and storage-partition skew too). The salt is derived from fact
+    * columns (hash), not rand(), so the plan stays deterministic.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, buckets: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val salted = fact.withColumn("__salt", pmod(hash(fact.columns.map(col).toSeq: _*), lit(buckets)))
+    val exploded = dim.withColumn("__salt", explode(array((0 until buckets).map(lit): _*)))
+    salted.join(exploded, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Write `df` as a bucketed+sorted table so subsequent equi-joins and
+    * aggregations on `bucketCols` skip their shuffle entirely (the scan
+    * reports the bucket hash-partitioning to Catalyst). This is the
+    * storage-layout half of SURVEY §6's "co-located joins via bucketing".
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      bucketCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two bucketed tables on their bucket columns — with matching
+    * bucket counts Catalyst plans a shuffle-free sort-merge join.
+    */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      on: Seq[String]): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), on)
+}
