@@ -27,7 +27,8 @@ object SparkEntry {
     "b4_topk_per_group" -> (Queries.topkPerGroup _),
     "b5_event_sessions" -> (Queries.eventSessions _),
     "b6_event_windowed" -> (Queries.eventWindowed _),
-    "b7_json_extract" -> (Queries.jsonExtract _)
+    "b7_json_extract" -> (Queries.jsonExtract _),
+    "b8_promo_revenue" -> (Queries.promoRevenue _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -43,6 +44,7 @@ object SparkEntry {
     "b4_topk_per_group" -> Queries.topkPerGroupSql,
     "b5_event_sessions" -> Queries.eventSessionsSql,
     "b6_event_windowed" -> Queries.eventWindowedSql,
-    "b7_json_extract" -> Queries.jsonExtractSql
+    "b7_json_extract" -> Queries.jsonExtractSql,
+    "b8_promo_revenue" -> Queries.promoRevenueSql
   )
 }

@@ -99,26 +99,55 @@ object DedupQueries {
     */
   private val candCache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
-  /** Hot-bucket chunk fan-out: a band bucket with k docs yields k²/2
-    * pairs in ONE join partition — the classic LSH skew straggler (this
-    * corpus makes it extreme: near-identical token sets collapse most
-    * docs into one bucket). Salting the join key with a doc-id chunk
-    * spreads each bucket's pair generation over `PairChunks` tasks.
+  /** Signature-supernode pair generation. Duplicate-heavy corpora (the
+    * normal case for LLM training data — and extreme here) collapse
+    * thousands of docs onto identical band-hash vectors; joining at the
+    * doc level then dedup-counting pairs shuffles O(pairs) rows and
+    * piles one bucket's k²/2 pairs onto one task. Instead:
+    *   1. group docs by their FULL band-hash vector → supernode groups
+    *      (one small shuffle of |docs| rows);
+    *   2. count band agreement between GROUPS (tiny: |groups|² at most,
+    *      same-group docs agree on every band by construction);
+    *   3. expand group pairs back to doc pairs — two equi-joins against
+    *      the (broadcastable) member table: pure output generation, no
+    *      pair-keyed shuffle, no dedup, no straggler bucket.
+    * Semantics are identical to the per-band bucket join: n_bands =
+    * number of bands whose hashes agree.
     */
-  val PairChunks = 16
-
   private def candidatePairs(spark: SparkSession, dir: String): DataFrame =
     candCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      val br = bandRows(spark, dir)
-      val l = br
-        .withColumn("ck", explode(array((0 until PairChunks).map(lit): _*)))
-        .select(col("band"), col("bh"), col("ck"), col("doc_id").as("doc_a"))
-      val r = br
-        .select(col("band"), col("bh"),
-          pmod(col("doc_id"), lit(PairChunks)).as("ck"), col("doc_id").as("doc_b"))
-      l.join(r, Seq("band", "bh", "ck")).filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
+      val bhCols = (0 until Bands).map(bn => s"bh$bn")
+      val sigs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), shingleHashes(col("text")).as("ths"))
+        .select(col("doc_id"), signature(col("ths")).as("sig"))
+        .select(col("doc_id") +: (0 until Bands).map(bn =>
+          bandHash(col("sig"), bn).as(s"bh$bn")): _*)
+      val groups = sigs.groupBy(bhCols.map(col): _*)
+        .agg(min("doc_id").as("gid"))
         .localCheckpoint(true)
+      val members = sigs.join(broadcast(groups), bhCols)
+        .select(col("gid"), col("doc_id"))
+        .localCheckpoint(true)
+      // band agreement between distinct groups
+      val gpairs = (0 until Bands).map { bn =>
+        val gl = groups.select(col(s"bh$bn").as("bh"), col("gid").as("g1"))
+        val gr = groups.select(col(s"bh$bn").as("bh"), col("gid").as("g2"))
+        gl.join(gr, "bh").filter(col("g1") < col("g2")).select("g1", "g2")
+      }.reduce(_ union _)
+        .groupBy("g1", "g2").agg(count(lit(1)).as("n_bands"))
+        .localCheckpoint(true)
+      // same-signature docs: every band agrees
+      val m1 = members.select(col("gid"), col("doc_id").as("doc_a"))
+      val m2 = members.select(col("gid"), col("doc_id").as("doc_b"))
+      val intra = m1.join(m2, "gid").filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), lit(Bands.toLong).as("n_bands"))
+      // cross-group expansion (groups are disjoint → each pair emitted once)
+      val cross = gpairs
+        .join(members.select(col("gid").as("g1"), col("doc_id").as("da")), "g1")
+        .join(members.select(col("gid").as("g2"), col("doc_id").as("db")), "g2")
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"), col("n_bands"))
+      intra.union(cross)
     })
 
   def c6MinhashLsh(spark: SparkSession, dir: String): DataFrame =

@@ -224,4 +224,41 @@ object Queries {
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  /** B8: TPC-H Q14-style promo revenue share per part type — fact joins
+    * the broadcast `part` dim; share as integer micro-units (exact int
+    * division, SURVEY §5). Conditional aggregation stays map-side
+    * combinable.
+    */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+    val l = Tables(spark, dir, "lineitem")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_c"),
+        sum(when(col("p_brand") === "Brand#13",
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).otherwise(0L))
+          .as("brand13_revenue_c"),
+        count(lit(1)).as("n_items"))
+      .withColumn("brand13_share_micro",
+        expr("(brand13_revenue_c * 1000000) div revenue_c"))
+      .orderBy(col("p_type"))
+  }
+
+  val promoRevenueSql: String =
+    """SELECT p_type,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100.0) AS BIGINT)) AS BIGINT) AS revenue_c,
+      |  CAST(SUM(CASE WHEN p_brand = 'Brand#13'
+      |    THEN CAST(ROUND(l_extendedprice*(1.0-l_discount)*100.0) AS BIGINT)
+      |    ELSE 0 END) AS BIGINT) AS brand13_revenue_c,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CASE WHEN p_brand = 'Brand#13'
+      |    THEN CAST(ROUND(l_extendedprice*(1.0-l_discount)*100.0) AS BIGINT)
+      |    ELSE 0 END) AS BIGINT) * 1000000
+      |    // CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100.0) AS BIGINT)) AS BIGINT)
+      |    AS brand13_share_micro
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_type
+      |ORDER BY p_type""".stripMargin
 }
