@@ -19,6 +19,15 @@ import graft.tiles.{Clustering, GeoDerive, GeoQueries, GridOps}
   */
 object Pipeline {
 
+  /** spark-submit entry: runMain graft.Pipeline <sfDir> <outDir>. */
+  def main(args: Array[String]): Unit = {
+    val Array(dir, outDir) = args
+    val spark = GraftSession.local()
+    val r = runEntireProcess(spark, dir, outDir)
+    println(s"PIPELINE $r")
+    spark.stop()
+  }
+
   final case class Result(
       searchTiles: Long, scored: Long, positives: Long,
       clusters: Long, unmappedClusters: Long, challengeLines: Long)
