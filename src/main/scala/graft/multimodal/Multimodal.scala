@@ -72,9 +72,51 @@ object Multimodal {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C13
+  /** Frame sampling over "video" payloads: treat the binary body as
+    * fixed-size 64-byte frames, keep every 4th frame, and emit
+    * (frame_idx, byte offset, presentation timestamp, stub feature).
+    * The frame table explodes map-side (`sequence`+`explode`), so at
+    * 100 TB the fan-out happens inside the scan partition — no shuffle
+    * until a consumer aggregates. The per-frame "feature" is the stub
+    * standing in for a real decoder+encoder pass (c12's contract).
+    */
+  val FrameBytes = 64L
+  val SampleEvery = 4L
+  val FrameMs = 40L // 25 fps
+
+  def c13FrameSample(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        greatest(lit(1L), expr(s"n_chars div $FrameBytes")).as("n_frames"))
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
+      .filter(col("frame_idx") % SampleEvery === 0)
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        (lit(4L) + col("frame_idx") * FrameBytes).as("byte_offset"),
+        (col("frame_idx") * FrameMs).as("pts_ms"),
+        (((col("doc_id") * lit(2654435761L)) + col("frame_idx") * lit(40503L)) % 1000L)
+          .as("frame_feature"))
+      .orderBy("doc_id", "frame_idx")
+
+  val c13Sql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, greatest(1, n_chars // $FrameBytes) AS n_frames FROM documents
+       |), fr AS (
+       |  SELECT doc_id, n_frames, UNNEST(range(0, n_frames)) AS frame_idx FROM f
+       |)
+       |SELECT doc_id, n_frames, frame_idx,
+       |  4 + frame_idx * $FrameBytes AS byte_offset,
+       |  frame_idx * $FrameMs AS pts_ms,
+       |  ((doc_id * 2654435761) + frame_idx * 40503) % 1000 AS frame_feature
+       |FROM fr WHERE frame_idx % $SampleEvery = 0
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "c12_multimodal_meta" -> (c12MultimodalMeta _))
+    "c12_multimodal_meta" -> (c12MultimodalMeta _),
+    "c13_frame_sample" -> (c13FrameSample _))
 
   val oracles: Map[String, String] = Map(
-    "c12_multimodal_meta" -> c12Sql)
+    "c12_multimodal_meta" -> c12Sql,
+    "c13_frame_sample" -> c13Sql)
 }

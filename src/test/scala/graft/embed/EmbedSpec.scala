@@ -46,4 +46,13 @@ class MultimodalSpec extends SparkTestBase {
     val n = Tables(spark, sf, "documents").count()
     assert(Multimodal.c12MultimodalMeta(spark, sf).count() == n)
   }
+
+  test("c13 frame sampling: offsets aligned, every doc sampled, stride respected") {
+    val f = Multimodal.c13FrameSample(spark, sf)
+    assert(f.select("doc_id").distinct().count() ==
+      Tables(spark, sf, "documents").count()) // frame 0 always kept
+    assert(f.filter(col("frame_idx") % Multimodal.SampleEvery =!= 0).count() == 0)
+    assert(f.filter((col("byte_offset") - 4) % Multimodal.FrameBytes =!= 0).count() == 0)
+    assert(f.filter(col("frame_idx") >= col("n_frames")).count() == 0)
+  }
 }
