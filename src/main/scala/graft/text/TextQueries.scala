@@ -182,17 +182,65 @@ object TextQueries {
        |    (acc, h) -> (acc * $FpB + h) % $FpM) AS fingerprint
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- C14
+  /** Corpus vocabulary: token frequencies with doc frequencies, top 30.
+    * Map-side explode + partially-aggregated count — the shuffle carries
+    * one row per distinct (partition, token), not per token occurrence.
+    */
+  val VocabTopK = 30
+
+  def c14VocabTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(VocabTopK)
+
+  val c14Sql: String =
+    s"""SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+       |FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
+       |GROUP BY token
+       |ORDER BY tf DESC, token
+       |LIMIT $VocabTopK""".stripMargin
+
+  // ---------------------------------------------------------------- C15
+  /** Document length histogram (width-50 char buckets) with per-bucket
+    * token mass — the at-a-glance corpus shape check every data pipeline
+    * runs before training. Single partial-agg shuffle.
+    */
+  val HistBucket = 50L
+
+  def c15LengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(expr(s"(n_chars div $HistBucket) * $HistBucket").as("bucket_lo"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("bucket_lo")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+      .orderBy("bucket_lo")
+
+  val c15Sql: String =
+    s"""SELECT (n_chars // $HistBucket) * $HistBucket AS bucket_lo,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+       |FROM documents
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_exact" -> (c1DedupExact _),
     "c2_token_count" -> (c2TokenCount _),
     "c3_quality_score" -> (c3QualityScore _),
     "c4_lang_id" -> (c4LangId _),
-    "c5_fingerprint" -> (c5Fingerprint _))
+    "c5_fingerprint" -> (c5Fingerprint _),
+    "c14_vocab_topk" -> (c14VocabTopk _),
+    "c15_length_histogram" -> (c15LengthHistogram _))
 
   val oracles: Map[String, String] = Map(
     "c1_dedup_exact" -> c1Sql,
     "c2_token_count" -> c2Sql,
     "c3_quality_score" -> c3Sql,
     "c4_lang_id" -> c4Sql,
-    "c5_fingerprint" -> c5Sql)
+    "c5_fingerprint" -> c5Sql,
+    "c14_vocab_topk" -> c14Sql,
+    "c15_length_histogram" -> c15Sql)
 }

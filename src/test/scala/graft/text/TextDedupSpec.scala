@@ -36,6 +36,21 @@ class TextQueriesSpec extends SparkTestBase {
     val n = TextQueries.c4LangId(spark, sf).agg(sum("n")).head.getLong(0)
     assert(n == Tables(spark, sf, "documents").count())
   }
+
+  test("c14 vocab: df <= tf, df <= corpus size, descending tf order") {
+    val v = TextQueries.c14VocabTopk(spark, sf).collect()
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(v.nonEmpty && v.length <= TextQueries.VocabTopK)
+    assert(v.forall(r => r.getAs[Long]("df") <= r.getAs[Long]("tf")
+      && r.getAs[Long]("df") <= nDocs))
+    val tfs = v.map(_.getAs[Long]("tf"))
+    assert(tfs.zip(tfs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("c15 histogram conserves the document count") {
+    val total = TextQueries.c15LengthHistogram(spark, sf).agg(sum("n_docs")).head.getLong(0)
+    assert(total == Tables(spark, sf, "documents").count())
+  }
 }
 
 class DedupQueriesSpec extends SparkTestBase {
