@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale smoke: exercises the two iterative/skew-sensitive paths on
+  * synthetic data orders of magnitude beyond the driver testdata, as
+  * evidence the designs survive a scale-up (SURVEY §6):
+  *
+  *  - connected components on an N-cell grid world with long snaking
+  *    corridors (worst-case diameter >> sqrt(N));
+  *  - supernode LSH expansion on a corpus with heavy exact duplication.
+  *
+  * Usage: runMain graft.ScaleSmoke [cells] [docs]
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    import spark.implicits._
+    val nCells = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val nDocs = args.lift(1).map(_.toLong).getOrElse(200000L)
+
+    // --- CC: a W-wide serpentine — rows fully filled, alternating ends
+    // connected, so the whole grid is ONE component with diameter ~N/W*2.
+    val w = 2000L
+    val cells = spark.range(nCells)
+      .select((col("id") % w).as("x"), expr(s"id div $w").as("y"))
+    var t0 = System.nanoTime()
+    val cc = graft.tiles.Clustering.connectedComponents4(
+      cells.filter(col("x") =!= (col("y") % 2) * (w - 1) || col("y") % 2 === 0))
+    val nComp = cc.select("cluster_id").distinct().count()
+    val ccRows = cc.count()
+    println(f"SCALE cc cells=$ccRows components=$nComp ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // --- LSH supernode: nDocs docs, only ~nDocs/1000 distinct texts →
+    // massive signature groups, the hot-bucket worst case.
+    t0 = System.nanoTime()
+    val texts = spark.range(nDocs)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(i =>
+          concat(lit(s"w$i"), ((col("id") % 1000L) * (i + 1) % 97L))): _*).as("text"))
+    texts.createOrReplaceTempView("scale_docs")
+    import graft.dedup.MinHashLsh._
+    val sigs = texts
+      .select(col("doc_id"), shingleHashes(col("text")).as("ths"))
+      .select(col("doc_id"), signature(col("ths")).as("sig"))
+      .select(col("doc_id") +: (0 until Bands).map(bn =>
+        bandHash(col("sig"), bn).as(s"bh$bn")): _*)
+    val groups = sigs.groupBy("bh0", "bh1").agg(min("doc_id").as("gid"), count(lit(1)).as("k"))
+    val stats = groups.agg(count(lit(1)), max("k")).head
+    println(f"SCALE lsh docs=$nDocs groups=${stats.getLong(0)} maxGroup=${stats.getLong(1)} " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    spark.stop()
+  }
+}

@@ -112,11 +112,57 @@ object Multimodal {
        |FROM fr WHERE frame_idx % $SampleEvery = 0
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- C16
+  /** Resize planning over the decoded image metadata: aspect-preserving
+    * fit into a 256×256 target using exact integer math (scale in ppm so
+    * both engines agree bit-for-bit), plus the crop box for the
+    * center-crop variant. Consumes C12's width/height — pure map-side
+    * column math; a real resize kernel slots in downstream exactly like
+    * C12's decoder stub.
+    */
+  val TargetDim = 256L
+
+  def c16ResizePlan(spark: SparkSession, dir: String): DataFrame =
+    c12MultimodalMeta(spark, dir)
+      .select(col("doc_id"), col("width"), col("height"))
+      // scale_ppm = floor(1e6 * target / max(w, h)) — aspect-preserving fit
+      .withColumn("scale_ppm", expr(s"($TargetDim * 1000000) div greatest(width, height)"))
+      .withColumn("out_w", expr("(width * scale_ppm) div 1000000"))
+      .withColumn("out_h", expr("(height * scale_ppm) div 1000000"))
+      // center-crop box to the square min(w, h)
+      .withColumn("crop_x", expr("(width - least(width, height)) div 2"))
+      .withColumn("crop_y", expr("(height - least(width, height)) div 2"))
+      .withColumn("crop_side", expr("least(width, height)"))
+      .orderBy("doc_id")
+
+  val c16Sql: String = {
+    val s8 = (1 to 8).map(i => s"ascii(substring(text, $i, 1))").mkString(" + ")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    64 + (CAST($s8 AS BIGINT) * 31) % 960 AS width,
+       |    64 + (CAST($s8 AS BIGINT) * 17) % 960 AS height
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, width, height,
+       |    ($TargetDim * 1000000) // greatest(width, height) AS scale_ppm
+       |  FROM m
+       |)
+       |SELECT doc_id, width, height, scale_ppm,
+       |  (width * scale_ppm) // 1000000 AS out_w,
+       |  (height * scale_ppm) // 1000000 AS out_h,
+       |  (width - least(width, height)) // 2 AS crop_x,
+       |  (height - least(width, height)) // 2 AS crop_y,
+       |  least(width, height) AS crop_side
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c12_multimodal_meta" -> (c12MultimodalMeta _),
-    "c13_frame_sample" -> (c13FrameSample _))
+    "c13_frame_sample" -> (c13FrameSample _),
+    "c16_resize_plan" -> (c16ResizePlan _))
 
   val oracles: Map[String, String] = Map(
     "c12_multimodal_meta" -> c12Sql,
-    "c13_frame_sample" -> c13Sql)
+    "c13_frame_sample" -> c13Sql,
+    "c16_resize_plan" -> c16Sql)
 }

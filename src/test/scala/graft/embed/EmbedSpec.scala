@@ -47,6 +47,16 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.c12MultimodalMeta(spark, sf).count() == n)
   }
 
+  test("c16 resize plan: output fits the target box and preserves aspect") {
+    val r = Multimodal.c16ResizePlan(spark, sf)
+    assert(r.filter(col("out_w") > Multimodal.TargetDim
+      || col("out_h") > Multimodal.TargetDim).count() == 0)
+    // the longer side lands within 1px of the target (integer floor)
+    assert(r.filter(greatest(col("out_w"), col("out_h")) < Multimodal.TargetDim - 1).count() == 0)
+    assert(r.filter(col("crop_x") + col("crop_side") > col("width")
+      || col("crop_y") + col("crop_side") > col("height")).count() == 0)
+  }
+
   test("c13 frame sampling: offsets aligned, every doc sampled, stride respected") {
     val f = Multimodal.c13FrameSample(spark, sf)
     assert(f.select("doc_id").distinct().count() ==
