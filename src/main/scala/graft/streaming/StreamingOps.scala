@@ -105,6 +105,26 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
   }
 
+  // ------------------------------------------- D4: stream-static join
+  /** D4: enrich the event stream with a static dimension (stream-static
+    * join — the dim is re-read per micro-batch and broadcast, no state)
+    * and aggregate revenue-weighted counts per segment window. The
+    * pattern every streaming fact pipeline needs; at scale the static
+    * side is a broadcastable dim or a pre-bucketed table.
+    */
+  def enrichedWindowedAgg(events: DataFrame, userDim: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", WatermarkDelay)
+      .join(broadcast(userDim), col("user_id") === userDim("c_custkey"))
+      .groupBy(window(col("event_time"), WindowLen), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+      .select(col("window.start").as("window_start"), col("c_mktsegment"),
+        col("n"), col("sum_value_c"))
+
+  /** The static user dimension for [[enrichedWindowedAgg]]. */
+  def userDim(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+
   /** File-source stream over a DIRECTORY of events parquet files (the
     * shape a real ingest lands: files arriving in a watched directory).
     * `sfDir` is only used to pin the schema from the batch table; the

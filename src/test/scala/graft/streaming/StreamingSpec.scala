@@ -55,6 +55,18 @@ class StreamingSpec extends SparkTestBase {
     assert(closedBatch.exceptAll(gotCmp).count() == 0)
   }
 
+  test("D4 stream-static join: enriched windowed agg matches the batch twin") {
+    val stream = StreamingOps.eventsStream(spark, sf, stagedDir)
+    val dim = StreamingOps.userDim(spark, sf)
+    val got = runToMemory(
+      StreamingOps.enrichedWindowedAgg(stream, dim), "d4_enriched", "complete")
+    val batch = StreamingOps.enrichedWindowedAgg(
+      StreamingOps.normalize(graft.Tables(spark, sf, "events")), dim)
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(got).count() == 0)
+  }
+
   test("D2 streaming dedup drops nothing on unique ids and is idempotent") {
     val stream = StreamingOps.eventsStream(spark, sf, stagedDir)
     val got = runToMemory(
