@@ -33,10 +33,14 @@ object Clustering {
     * where cluster_id = min (x*100000+y) over the component.
     */
   def connectedComponents4(cells: DataFrame, maxIter: Int = 60): DataFrame = {
+    // sum(lbl) is null on an empty frame — coalesce so an empty input
+    // converges immediately instead of NPE-ing
+    def lblSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
     val keys = cells.select("x", "y").distinct().localCheckpoint(true)
     var labels = keys.withColumn("lbl", col("x") * lit(100000L) + col("y"))
       .localCheckpoint(true)
-    var prevSum = labels.agg(sum("lbl")).head.getLong(0)
+    var prevSum = lblSum(labels)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -58,7 +62,7 @@ object Clustering {
         .select(col("x"), col("y"),
           least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
-      val s = next.agg(sum("lbl")).head.getLong(0)
+      val s = lblSum(next)
       done = s == prevSum
       prevSum = s
       labels = next

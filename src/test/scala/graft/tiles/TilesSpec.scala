@@ -51,6 +51,17 @@ class ClusteringSpec extends SparkTestBase {
       .select("cluster_id").distinct().count()
     assert(ids == 2)
   }
+
+  test("edge cases: empty and single-cell inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    assert(Clustering.connectedComponents4(empty).count() == 0)
+    assert(GridOps.dilate3x3(empty).count() == 0)
+    val one = Seq((7L, 7L)).toDF("x", "y")
+    val cc1 = Clustering.connectedComponents4(one).collect()
+    assert(cc1.length == 1 && cc1.head.getLong(2) == 700007L)
+    assert(GridOps.dilate3x3(one).count() == 9)
+  }
 }
 
 class GeoQueriesSpec extends SparkTestBase {
