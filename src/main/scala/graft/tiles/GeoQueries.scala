@@ -438,8 +438,24 @@ object GeoQueries {
          |ORDER BY x, y""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- A20
+  /** Polygons whose inner grid is already calculated
+    * (solardb.py:107-118, an EXISTS query) — left-semi join of the
+    * polygon dim against the filled grid.
+    */
+  def a20PolygonsWithGrid(spark: SparkSession, dir: String): DataFrame =
+    Polygons.df(spark).select(col("poly"))
+      .join(GridOps.fillPolygons(spark), Seq("poly"), "left_semi")
+      .orderBy("poly")
+
+  val a20Sql: String = withCtes(false, Polygons.bboxCte, Polygons.edgesCte, Polygons.gridCte)(
+    """SELECT b.poly FROM bbox b
+      |WHERE EXISTS (SELECT 1 FROM grid g WHERE g.poly = b.poly)
+      |ORDER BY poly""".stripMargin)
+
   /** All A-block entries for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a20_polygons_with_grid" -> (a20PolygonsWithGrid _),
     "a1_deg2num" -> (a1Deg2num _),
     "a2_num2deg" -> (a2Num2deg _),
     "a3_grid_fill" -> (a3GridFill _),
@@ -461,6 +477,7 @@ object GeoQueries {
     "a19_inference_scored" -> (a19InferenceScored _))
 
   val oracles: Map[String, String] = Map(
+    "a20_polygons_with_grid" -> a20Sql,
     "a1_deg2num" -> a1Sql,
     "a2_num2deg" -> a2Sql,
     "a3_grid_fill" -> a3Sql,
