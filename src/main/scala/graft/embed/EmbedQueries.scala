@@ -175,13 +175,36 @@ object EmbedQueries {
        |) WHERE rnk <= $TopK
        |ORDER BY probe_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- C17
+  /** Unit-normalize the embedding column (the preprocessing step before
+    * any cosine/IP index build). Map-side only; per-element double math
+    * with a final round(…,6) so both engines agree.
+    */
+  def c17Normalize(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorms(spark, dir)
+    e.select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") / sqrt(col("n2")), 6)).as("unit"),
+        round(sqrt(col("n2")), 6).as("norm"))
+      .orderBy("vec_id")
+  }
+
+  val c17Sql: String =
+    s"""WITH $normsCte
+       |SELECT vec_id,
+       |  list_transform(embedding, x -> round(CAST(x AS DOUBLE) / sqrt(n2), 6)) AS unit,
+       |  round(sqrt(n2), 6) AS norm
+       |FROM norms ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c9_cosine_pairs" -> (c9CosinePairs _),
     "c10_ann_bruteforce" -> (c10AnnBruteforce _),
-    "c11_ann_lsh" -> (c11AnnLsh _))
+    "c11_ann_lsh" -> (c11AnnLsh _),
+    "c17_normalize" -> (c17Normalize _))
 
   val oracles: Map[String, String] = Map(
     "c9_cosine_pairs" -> c9Sql,
     "c10_ann_bruteforce" -> c10Sql,
-    "c11_ann_lsh" -> c11Sql)
+    "c11_ann_lsh" -> c11Sql,
+    "c17_normalize" -> c17Sql)
 }
