@@ -20,7 +20,8 @@ object SparkEntry {
     graft.text.TextQueries.queries ++
     graft.dedup.DedupQueries.queries ++
     graft.embed.EmbedQueries.queries ++
-    graft.multimodal.Multimodal.queries ++ Map(
+    graft.multimodal.Multimodal.queries ++
+    graft.streaming.StreamingQueries.queries ++ Map(
     "b1_pricing_summary" -> (Queries.pricingSummary _),
     "b2_top_unshipped" -> (Queries.topUnshipped _),
     "b3_region_volume" -> (Queries.regionVolume _),
@@ -37,7 +38,8 @@ object SparkEntry {
     graft.text.TextQueries.oracles ++
     graft.dedup.DedupQueries.oracles ++
     graft.embed.EmbedQueries.oracles ++
-    graft.multimodal.Multimodal.oracles ++ Map(
+    graft.multimodal.Multimodal.oracles ++
+    graft.streaming.StreamingQueries.oracles ++ Map(
     "b1_pricing_summary" -> Queries.pricingSummarySql,
     "b2_top_unshipped" -> Queries.topUnshippedSql,
     "b3_region_volume" -> Queries.regionVolumeSql,

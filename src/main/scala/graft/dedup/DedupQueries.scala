@@ -117,25 +117,33 @@ object DedupQueries {
   private def candidatePairs(spark: SparkSession, dir: String): DataFrame =
     candCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       val bhCols = (0 until Bands).map(bn => s"bh$bn")
+      // The ONE materialization: tokenize + 16 minhash perms is the
+      // expensive map-side pass, and everything downstream (groups,
+      // members, band pairs — and C7's re-rank) re-reads it. One eager
+      // checkpoint = one doc scan per session; the downstream joins are
+      // cheap recomputes from the cached blocks, so they stay lazy and
+      // fuse into the consuming job instead of forming a serial job
+      // chain (three extra checkpoints here used to serialize ≥6 jobs).
       val sigs = Tables(spark, dir, "documents")
         .select(col("doc_id"), shingleHashes(col("text")).as("ths"))
         .select(col("doc_id"), signature(col("ths")).as("sig"))
         .select(col("doc_id") +: (0 until Bands).map(bn =>
           bandHash(col("sig"), bn).as(s"bh$bn")): _*)
+        .localCheckpoint(true)
       val groups = sigs.groupBy(bhCols.map(col): _*)
         .agg(min("doc_id").as("gid"))
-        .localCheckpoint(true)
       val members = sigs.join(broadcast(groups), bhCols)
         .select(col("gid"), col("doc_id"))
-        .localCheckpoint(true)
-      // band agreement between distinct groups
+      // band agreement between distinct groups: dup-heavy corpora
+      // collapse docs onto few signatures, so `groups` is the small
+      // (broadcastable) side — if a corpus ever had ~|docs| distinct
+      // signatures, drop the broadcast hint and let the equi-join shuffle
       val gpairs = (0 until Bands).map { bn =>
         val gl = groups.select(col(s"bh$bn").as("bh"), col("gid").as("g1"))
         val gr = groups.select(col(s"bh$bn").as("bh"), col("gid").as("g2"))
-        gl.join(gr, "bh").filter(col("g1") < col("g2")).select("g1", "g2")
+        gl.join(broadcast(gr), "bh").filter(col("g1") < col("g2")).select("g1", "g2")
       }.reduce(_ union _)
         .groupBy("g1", "g2").agg(count(lit(1)).as("n_bands"))
-        .localCheckpoint(true)
       // same-signature docs: every band agrees
       val m1 = members.select(col("gid"), col("doc_id").as("doc_a"))
       val m2 = members.select(col("gid"), col("doc_id").as("doc_b"))

@@ -58,14 +58,40 @@ object EmbedQueries {
     s"norms AS (SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2 FROM embeddings)"
 
   // ---------------------------------------------------------------- C9
-  /** All-pairs cosine near-dup over threshold (baseline; quadratic by
-    * definition — C11 is the scale path).
+  /** Block count for the C9 self-join: each side is replicated
+    * `CosBlocks`-fold, pairs meet in CosBlocks² equi-join buckets. The
+    * compute is inherently O(N²) (exact threshold join), but the buckets
+    * spread it over CosBlocks² tasks and neither side is ever broadcast
+    * or nested-loop scanned.
+    */
+  val CosBlocks = 8
+
+  /** All-pairs cosine near-dup over threshold — the EXACT join (C11's
+    * LSH buckets are the approximate scale path when O(N²) compute is
+    * unaffordable).
+    *
+    * Expressed as a blocked self-join, not an inequality θ-join: a
+    * `vec_a < vec_b` condition plans as a BroadcastNestedLoopJoin, which
+    * requires one whole side in executor memory and serializes the scan.
+    * Instead each row gets a deterministic block id (vec_id mod B), the
+    * left side is exploded over all right-blocks and vice versa, and the
+    * join is a shuffled hash EQUI-join on (ba, bb): every ordered pair
+    * meets in exactly one of the B² buckets, `vec_a < vec_b` filters to
+    * unordered pairs BEFORE the dot products are evaluated. Shuffle is
+    * O(N·B) rows; no broadcast, no NLJ — survives any corpus size that
+    * affords the quadratic compute.
     */
   def c9CosinePairs(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorms(spark, dir)
-    val l = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("n2").as("na"))
-    val r = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("n2").as("nb"))
-    l.join(r, col("vec_a") < col("vec_b"))
+    val blocks = array((0 until CosBlocks).map(lit): _*)
+    val l = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("n2").as("na"),
+        pmod(col("vec_id"), lit(CosBlocks)).as("ba"))
+      .withColumn("bb", explode(blocks))
+    val r = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("n2").as("nb"),
+        pmod(col("vec_id"), lit(CosBlocks)).as("bb"))
+      .withColumn("ba", explode(blocks))
+    l.join(r, Seq("ba", "bb"))
+      .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         cosine(dot(col("ea"), col("eb")), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= CosThreshold)
@@ -176,11 +202,42 @@ object EmbedQueries {
        |ORDER BY probe_id, rnk""".stripMargin
 
   // ---------------------------------------------------------------- C17
+  /** Embedding dimensionality of the `embeddings` testdata (also baked
+    * into the C11 hyperplane family).
+    */
+  val Dims = 64
+
   /** Unit-normalize the embedding column (the preprocessing step before
     * any cosine/IP index build). Map-side only; per-element double math
     * with a final round(…,6) so both engines agree.
+    *
+    * Emitted in long form — one (vec_id, dim_idx, unit_val, norm) row per
+    * component — so every output column is a sortable scalar (the driver
+    * oracle lexsorts columns; an array column is unhashable there). The
+    * array-shaped variant remains available as [[normalized]].
     */
   def c17Normalize(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorms(spark, dir)
+    e.select(col("vec_id"), col("n2"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("dim_idx"),
+        round(col("col").cast("double") / sqrt(col("n2")), 6).as("unit_val"),
+        round(sqrt(col("n2")), 6).as("norm"))
+      .orderBy("vec_id", "dim_idx")
+  }
+
+  val c17Sql: String =
+    s"""WITH $normsCte
+       |SELECT vec_id, CAST(d.dim_idx AS INT) AS dim_idx,
+       |  round(CAST(embedding[CAST(d.dim_idx AS INT) + 1] AS DOUBLE) / sqrt(n2), 6) AS unit_val,
+       |  round(sqrt(n2), 6) AS norm
+       |FROM norms, range($Dims) d(dim_idx)
+       |ORDER BY vec_id, dim_idx""".stripMargin
+
+  /** Array-shaped unit vectors (vec_id, unit, norm) — the form an index
+    * build consumes; not driver-checked (array columns don't lexsort in
+    * the oracle harness), covered by EmbedSpec instead.
+    */
+  def normalized(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorms(spark, dir)
     e.select(col("vec_id"),
         transform(col("embedding"),
@@ -188,13 +245,6 @@ object EmbedQueries {
         round(sqrt(col("n2")), 6).as("norm"))
       .orderBy("vec_id")
   }
-
-  val c17Sql: String =
-    s"""WITH $normsCte
-       |SELECT vec_id,
-       |  list_transform(embedding, x -> round(CAST(x AS DOUBLE) / sqrt(n2), 6)) AS unit,
-       |  round(sqrt(n2), 6) AS norm
-       |FROM norms ORDER BY vec_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c9_cosine_pairs" -> (c9CosinePairs _),

@@ -1,0 +1,142 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Driver-checkable executions of the D-block streaming operators
+  * (SURVEY.md §2 D1–D4): each entry stages the events table as a file
+  * source directory, runs the [[StreamingOps]] transform as a real
+  * Structured Streaming query with `Trigger.AvailableNow`, collects the
+  * memory-sink result, and returns it totally ordered — so the driver's
+  * DuckDB oracle can hash-compare it like any batch query.
+  *
+  * The oracle SQL is the batch semantics of each stream (parity between
+  * the streaming and batch application of the same transform is proven
+  * in StreamingSpec): D1 ≡ B6's tumbling windows, D3 ≡ B5's sessions
+  * minus each user's final (still-open) session, which a correct
+  * append-mode sessionizer must keep in state, not emit.
+  */
+object StreamingQueries {
+
+  /** One staged source dir per (session, sfDir) — the four queries (and
+    * repeated bench runs) reuse the same copy.
+    */
+  private val stagedCache = TrieMap.empty[(String, String), String]
+
+  private def staged(spark: SparkSession, sfDir: String): String =
+    stagedCache.getOrElseUpdate((spark.sparkContext.applicationId, sfDir),
+      StreamingOps.stageEventsDir(spark, sfDir))
+
+  /** Run a streaming frame to completion (AvailableNow) into a memory
+    * sink and return the sink table. `complete` mode for windowed aggs so
+    * not-yet-finalized tail windows are emitted too; `append` for
+    * row-emitting operators.
+    */
+  private def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
+    val ckpt = Files.createTempDirectory(s"graft-ckpt-$name").toString
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  private def stream(spark: SparkSession, sfDir: String): DataFrame =
+    StreamingOps.eventsStream(spark, sfDir, staged(spark, sfDir))
+
+  // ---------------------------------------------------------------- D1
+  /** Tumbling 1-hour windowed agg, executed as a stream. Oracle = B6's
+    * batch windows (StreamingSpec proves the window() buckets equal the
+    * integer-division buckets).
+    */
+  def d1StreamWindowed(spark: SparkSession, sfDir: String): DataFrame =
+    runToTable(StreamingOps.windowedAgg(stream(spark, sfDir)), "graft_d1_sink", "complete")
+      .orderBy("window_start", "event_type")
+
+  val d1Sql: String = graft.relational.Queries.eventWindowedSql
+
+  // ---------------------------------------------------------------- D2
+  /** Streaming dedup on event_id. Only the id column is emitted so the
+    * result is deterministic even if the source carried duplicate ids
+    * (which row of a duplicate group survives is arrival-order dependent;
+    * the set of ids is not).
+    */
+  def d2StreamDedup(spark: SparkSession, sfDir: String): DataFrame =
+    runToTable(StreamingOps.dedup(stream(spark, sfDir)).select("event_id"),
+        "graft_d2_sink", "append")
+      .orderBy("event_id")
+
+  val d2Sql: String =
+    "SELECT DISTINCT event_id FROM events ORDER BY event_id"
+
+  // ---------------------------------------------------------------- D3
+  /** Stateful sessionization (flatMapGroupsWithState), append mode: emits
+    * every session CLOSED by a >30-min gap; each user's final session
+    * stays open in state — so the oracle is B5's sessions minus each
+    * user's max sess_seq row.
+    */
+  def d3StreamSessions(spark: SparkSession, sfDir: String): DataFrame =
+    runToTable(StreamingOps.sessionize(stream(spark, sfDir)).toDF(),
+        "graft_d3_sink", "append")
+      .select("user_id", "start_us", "end_us", "n_events", "sum_value_c")
+      .orderBy("user_id", "start_us")
+
+  val d3Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CAST(ROUND(value*100.0) AS BIGINT) AS value_c,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |), s AS (
+      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess_seq
+      |  FROM g
+      |), sess AS (
+      |  SELECT user_id, sess_seq, COUNT(*) AS n_events, MIN(us) AS start_us,
+      |    MAX(us) AS end_us, CAST(SUM(value_c) AS BIGINT) AS sum_value_c
+      |  FROM s GROUP BY user_id, sess_seq
+      |)
+      |SELECT user_id, start_us, end_us, n_events, sum_value_c
+      |FROM sess
+      |WHERE sess_seq < (SELECT MAX(s2.sess_seq) FROM sess s2 WHERE s2.user_id = sess.user_id)
+      |ORDER BY user_id, start_us""".stripMargin
+
+  // ---------------------------------------------------------------- D4
+  /** Stream-static join + windowed agg, executed as a stream against the
+    * broadcast customer dim.
+    */
+  def d4StreamEnriched(spark: SparkSession, sfDir: String): DataFrame =
+    runToTable(
+        StreamingOps.enrichedWindowedAgg(stream(spark, sfDir),
+          StreamingOps.userDim(spark, sfDir)),
+        "graft_d4_sink", "complete")
+      .orderBy("window_start", "c_mktsegment")
+
+  val d4Sql: String =
+    """SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+      |  c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(value*100.0) AS BIGINT)) AS BIGINT) AS sum_value_c
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_stream_windowed" -> (d1StreamWindowed _),
+    "d2_stream_dedup" -> (d2StreamDedup _),
+    "d3_stream_sessions" -> (d3StreamSessions _),
+    "d4_stream_enriched" -> (d4StreamEnriched _))
+
+  val oracles: Map[String, String] = Map(
+    "d1_stream_windowed" -> d1Sql,
+    "d2_stream_dedup" -> d2Sql,
+    "d3_stream_sessions" -> d3Sql,
+    "d4_stream_enriched" -> d4Sql)
+}

@@ -2,73 +2,134 @@ package graft.tiles
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
 
 /** Connected components of positive tiles under 4-neighbor adjacency —
   * the reference's cluster detection (run_inference.py:21-60), which is a
-  * driver-recursive DFS there, re-expressed as distributed label
-  * propagation.
+  * driver-recursive DFS there, re-expressed as distributed pointer-jumping
+  * label propagation.
   *
   * Each round does two steps:
-  *   1. neighbor-min: label(c) ← min(label over c and its 4 neighbors)
-  *      — one map-side 4-way union of shifted copies + one agg shuffle
-  *      keyed on (x, y);
-  *   2. pointer jump (path halving): label(c) ← label(label(c)) — one
-  *      equi-join shuffle keyed on the label id.
+  *   1. neighbor-min: label(c) ← min(label over c and its 4 neighbors);
+  *   2. pointer jump ×2: label(c) ← label(label(c)) — propagation
+  *      distance grows ~4× per round, so rounds ≈ log4(diameter).
   * Neighbor-min alone needs diameter-many rounds (a solar-farm blob at
-  * z21 can span thousands of tiles); the jump step doubles propagation
-  * distance per round, giving O(log diameter) rounds total. Lineage is
-  * truncated every round with eager localCheckpoint so plans stay O(1);
-  * convergence is detected via the strictly-decreasing global label sum.
+  * z21 can span thousands of tiles); jumping makes the loop logarithmic.
   *
-  * At 100 TB the same loop holds: both shuffle keys (cell coordinate,
-  * label id) are high-cardinality; per-round traffic is |positive
-  * cells|, never the full tile fact; checkpoint would go to durable
-  * storage instead of local blocks.
+  * The loop body is the ONE deliberately RDD-shaped piece of this engine
+  * (the carve-out SURVEY.md §6 reserves for genuinely iterative
+  * fixpoints, the same reason GraphX is RDD-based): a DataFrame fixpoint
+  * re-plans, re-codegens, and — crucially — re-SHUFFLES both sides of
+  * every join on every round, because Catalyst cannot know two frames
+  * share a partitioning across queries. Here the label RDD is hash-
+  * partitioned by packed cell id ONCE; the membership filter and the
+  * parent lookups are then narrow co-partitioned joins, so each round
+  * moves only the neighbor messages and the (tiny) jump relinks. Lineage
+  * is truncated every round (localCheckpoint on the persisted blocks);
+  * convergence is the label-sum fixpoint, computed in the same action
+  * that materializes the round.
+  *
+  * At 100 TB the same loop holds: the partition count scales with the
+  * positive-cell count (`graft.cc.partitions` overrides), per-round
+  * traffic is O(|positive cells|), never the full tile fact, and every
+  * key (cell id, label id) is high-cardinality. localCheckpoint stores
+  * blocks on executors — an executor loss on a long cluster run costs a
+  * recompute from the last materialization; set a durable
+  * `SparkContext.setCheckpointDir` and `graft.cc.durable=true` to trade
+  * latency for fault tolerance.
   */
 object Clustering {
 
-  /** cells must have integer columns x, y. Returns (x, y, cluster_id)
-    * where cluster_id = min (x*100000+y) over the component.
+  /** Label encoding: id = x * 2^32 + y. Real slippy coordinates reach
+    * 2^zoom (z21 ≈ 2.1M > 100000), so the shift must clear 32 bits; the
+    * packed id still fits a signed long for any zoom ≤ 30 and the
+    * encoding stays monotone in (x, y) lexicographic order, so the
+    * component representative (min id) is the same cell under any
+    * order-preserving encoding.
+    */
+  val IdShift = 4294967296L // 2^32
+
+  private def packId(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+    x * lit(IdShift) + y
+
+  /** cells must have integer columns x, y (0 ≤ x, y < 2^31). Returns
+    * (x, y, cluster_id) where cluster_id = min (x*2^32+y) over the
+    * component.
     */
   def connectedComponents4(cells: DataFrame, maxIter: Int = 60): DataFrame = {
-    // sum(lbl) is null on an empty frame — coalesce so an empty input
-    // converges immediately instead of NPE-ing
-    def lblSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
-    val keys = cells.select("x", "y").distinct().localCheckpoint(true)
-    var labels = keys.withColumn("lbl", col("x") * lit(100000L) + col("y"))
-      .localCheckpoint(true)
-    var prevSum = lblSum(labels)
+    val spark = cells.sparkSession
+    val sc = spark.sparkContext
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    def stamp(what: String): Unit =
+      if (debug) System.err.println(s"[cc] $what t=${System.nanoTime() / 1e9}")
+    val durable = spark.conf.getOption("graft.cc.durable").contains("true")
+    def truncate[T](rdd: RDD[T]): RDD[T] =
+      if (durable) { rdd.checkpoint(); rdd } else rdd.localCheckpoint()
+
+    stamp("start")
+    val ids0: RDD[Long] = cells.select(col("x").cast("long"), col("y").cast("long"))
+      .distinct()
+      .rdd.map(r => r.getLong(0) * IdShift + r.getLong(1))
+    // Partition count scales with the labeled set (~100k ids/partition),
+    // capped below by the cluster's parallelism for big inputs; the same
+    // partitioner is reused every round so all id-keyed joins are narrow.
+    var labels: RDD[(Long, Long)] = ids0.map(id => (id, id))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = labels.count()
+    stamp(s"init n=$n")
+    val numParts = spark.conf.getOption("graft.cc.partitions").map(_.toInt).getOrElse(
+      math.max(1L, math.min(sc.defaultParallelism.toLong, n / 100000L + 1L)).toInt)
+    val part = new HashPartitioner(numParts)
+    labels = truncate(labels.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK))
+    var prevSum = labels.map(_._2).fold(0L)(_ + _)
+    stamp(s"sum0 parts=$numParts")
+
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      // 1. neighbor-min over the 4-adjacency
-      val shifted = Seq((0L, 1L), (0L, -1L), (1L, 0L), (-1L, 0L)).map { case (dx, dy) =>
-        labels.select((col("x") + lit(dx)).as("x"), (col("y") + lit(dy)).as("y"), col("lbl"))
-      }.reduce(_ union _)
-      val nmin = shifted.union(labels)
-        .groupBy("x", "y").agg(min("lbl").as("lbl"))
-        .join(keys, Seq("x", "y"))
-      // 2. pointer jump: follow the label to ITS current label (labels
-      // are always live cell ids, so the self-join always resolves);
-      // one jump doubles propagation distance per round — a second jump
-      // was measured slower (extra join outweighs the round savings)
-      val ids = nmin.select(col("x"), col("y"),
-        (col("x") * lit(100000L) + col("y")).as("id"), col("lbl"))
-      val parents = ids.select(col("id").as("pid"), col("lbl").as("plbl"))
-      val next = ids.join(parents, ids("lbl") === parents("pid"), "left")
-        .select(col("x"), col("y"),
-          least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
-      val s = lblSum(next)
+      // 1. neighbor-min: each cell messages its label to itself and its 4
+      // neighbors; reduceByKey(min) lands on `part`, and the narrow join
+      // against the live label set drops phantom ids (messages aimed at
+      // non-cells; y±1 under/overflow packs to an id outside the 0 ≤ y <
+      // 2^31 contract, so it can never alias a real cell).
+      val nmin = labels
+        .flatMap { case (id, lbl) =>
+          Iterator((id, lbl), (id + 1L, lbl), (id - 1L, lbl),
+            (id + IdShift, lbl), (id - IdShift, lbl))
+        }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        .join(labels) // same partitioner → narrow
+        .mapValues { case (m, old) => math.min(m, old): Long }
+      // 2. pointer jump ×2: re-key by label (one small shuffle), look the
+      // label's own label up in the co-partitioned parent table, re-key
+      // back. Labels are always live cell ids, so the lookup resolves.
+      def jump(cur: RDD[(Long, Long)]): RDD[(Long, Long)] =
+        cur.map { case (id, lbl) => (lbl, id) }
+          .partitionBy(part)
+          .join(cur) // (lbl, (id, parentLbl)) — narrow vs cur
+          .map { case (lbl, (id, plbl)) => (id, math.min(lbl, plbl)) }
+          .partitionBy(part)
+      val nminP = nmin.persist(StorageLevel.MEMORY_AND_DISK)
+      val next = truncate(jump(jump(nminP)).persist(StorageLevel.MEMORY_AND_DISK))
+      val s = next.map(_._2).fold(0L)(_ + _) // materializes the round
+      nminP.unpersist(blocking = false)
+      labels.unpersist(blocking = false)
       done = s == prevSum
       prevSum = s
       labels = next
       iter += 1
+      stamp(s"round $iter sum=$s done=$done")
     }
-    labels.withColumnRenamed("lbl", "cluster_id")
+    val rows = labels.map { case (id, lbl) => Row(id / IdShift, id % IdShift, lbl) }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("x", LongType, nullable = false),
+      StructField("y", LongType, nullable = false),
+      StructField("cluster_id", LongType, nullable = false))))
   }
 
   /** Session-scoped memo of the positive-tile components per testdata
@@ -84,7 +145,7 @@ object Clustering {
 
   /** DuckDB twin: min reachable id via recursive CTE (expects `pos`). */
   val ccCte: String =
-    """ids AS (SELECT x, y, x * 100000 + y AS id FROM pos),
+    s"""ids AS (SELECT x, y, x * $IdShift + y AS id FROM pos),
       |edge AS (
       |  SELECT a.id AS src, b.id AS dst FROM ids a JOIN ids b
       |  ON (abs(a.x - b.x) + abs(a.y - b.y)) = 1

@@ -126,15 +126,15 @@ object GeoQueries {
   def a8LargestClusters(spark: SparkSession, dir: String): DataFrame =
     Clustering.componentsFor(spark, dir)
       .groupBy("cluster_id").agg(count(lit(1)).as("n_tiles"))
-      .withColumn("rep_lon", colToLon(expr("cluster_id div 100000") + lit(TX)))
-      .withColumn("rep_lat", rowToLat((col("cluster_id") % 100000L) + lit(TY)))
+      .withColumn("rep_lon", colToLon(expr(s"cluster_id div ${Clustering.IdShift}") + lit(TX)))
+      .withColumn("rep_lat", rowToLat((col("cluster_id") % Clustering.IdShift) + lit(TY)))
       .orderBy(col("n_tiles").desc, col("cluster_id"))
       .limit(10)
 
   val a8Sql: String = withCtes(true, GeoDerive.cellsCte, GeoDerive.positivesCte, Clustering.ccCte)(
     s"""SELECT cluster_id, COUNT(*) AS n_tiles,
-       |  ${colToLonSql(s"(cluster_id // 100000 + $TX)")} AS rep_lon,
-       |  ${rowToLatSql(s"(cluster_id % 100000 + $TY)")} AS rep_lat
+       |  ${colToLonSql(s"(cluster_id // ${Clustering.IdShift} + $TX)")} AS rep_lon,
+       |  ${rowToLatSql(s"(cluster_id % ${Clustering.IdShift} + $TY)")} AS rep_lat
        |FROM cc GROUP BY cluster_id
        |ORDER BY n_tiles DESC, cluster_id
        |LIMIT 10""".stripMargin)
@@ -204,9 +204,21 @@ object GeoQueries {
       |FROM nodes ORDER BY lon5, lat5""".stripMargin)
 
   // ---------------------------------------------------------------- A13
+  /** Coarse-grid bucket width for the a13 spatial prefilter: a cluster
+    * bbox spans few buckets (solar farms are tiles-wide, not
+    * continent-wide), so the fan-out per bbox stays small while node
+    * lookups become an equi-join.
+    */
+  private val BucketW = 16L
+
   /** Drop clusters containing an existing OSM node
-    * (maproulette.py:69-83) — bbox containment anti-join; node dim
-    * broadcast after its distinct.
+    * (maproulette.py:69-83). The containment test is NOT a θ-join (that
+    * plans as a BroadcastNestedLoopJoin over |boxes|×|nodes| — OSM has
+    * millions of solar nodes, so at scale that's a straggler): nodes are
+    * bucketed once by coarse grid cell, each bbox explodes over the
+    * buckets it covers, candidates meet in a shuffled hash EQUI-join on
+    * the bucket, and the exact `between` test + anti-join run on that
+    * (tiny) candidate set only.
     */
   def a13SpatialAntijoin(spark: SparkSession, dir: String): DataFrame = {
     val cc = Clustering.componentsFor(spark, dir)
@@ -214,9 +226,16 @@ object GeoQueries {
       .agg(min("x").as("minx"), max("x").as("maxx"),
         min("y").as("miny"), max("y").as("maxy"), count(lit(1)).as("n_tiles"))
     val nds = GeoDerive.nodes(spark, dir).select("nx", "ny").distinct()
-    boxes.join(broadcast(nds),
-        col("nx").between(col("minx"), col("maxx"))
-          && col("ny").between(col("miny"), col("maxy")), "left_anti")
+      .withColumn("bx", expr(s"nx div $BucketW"))
+      .withColumn("by", expr(s"ny div $BucketW"))
+    val hit = boxes
+      .withColumn("bx", explode(sequence(expr(s"minx div $BucketW"), expr(s"maxx div $BucketW"))))
+      .withColumn("by", explode(sequence(expr(s"miny div $BucketW"), expr(s"maxy div $BucketW"))))
+      .join(nds, Seq("bx", "by"))
+      .filter(col("nx").between(col("minx"), col("maxx"))
+        && col("ny").between(col("miny"), col("maxy")))
+      .select("cluster_id").distinct()
+    boxes.join(hit, Seq("cluster_id"), "left_anti")
       .orderBy("cluster_id")
   }
 

@@ -25,6 +25,20 @@ class EmbedQueriesSpec extends SparkTestBase {
     assert(joined.filter(col("cos") =!= col("cos_bf")).count() == 0)
   }
 
+  test("c17 normalization: unit vectors have norm 1, long form matches array form") {
+    val arr = EmbedQueries.normalized(spark, sf)
+    // ||unit||² ≈ 1 (rounded components, so 1e-4 slack)
+    val n2 = arr.select(col("vec_id"),
+      aggregate(col("unit"), lit(0.0), (acc, x) => acc + x * x).as("u2"))
+    assert(n2.filter(abs(col("u2") - 1.0) > 1e-4).count() == 0)
+    // the driver-checked long form carries the same values per (vec, dim)
+    val long = EmbedQueries.c17Normalize(spark, sf)
+    val rejoined = arr.select(col("vec_id"), posexplode(col("unit")).as(Seq("dim_idx", "u")))
+      .join(long, Seq("vec_id", "dim_idx"))
+    assert(rejoined.filter(col("u") =!= col("unit_val")).count() == 0)
+    assert(long.count() == arr.count() * EmbedQueries.Dims)
+  }
+
   test("c9 pairs are ordered and above threshold") {
     val p = EmbedQueries.c9CosinePairs(spark, sf)
     assert(p.filter(col("vec_a") >= col("vec_b")).count() == 0)

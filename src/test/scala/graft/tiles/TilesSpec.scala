@@ -41,7 +41,20 @@ class ClusteringSpec extends SparkTestBase {
     assert(got((0L, 0L)) == 0L)
     assert(got((0L, 1L)) == 0L)
     assert(got((1L, 1L)) == 0L)
-    assert(got((5L, 5L)) == 500005L)
+    assert(got((5L, 5L)) == 5L * Clustering.IdShift + 5L)
+  }
+
+  test("label encoding clears 32 bits: no collision at real z21 coordinates") {
+    import spark.implicits._
+    // with the old x*100000+y encoding, (0, 200000) and (2, 0) collided
+    // (0*100000+200000 == 2*100000+0) — two far-apart cells would merge
+    val cells = Seq((0L, 200000L), (2L, 0L), (2097151L, 2097151L)).toDF("x", "y")
+    val got = Clustering.connectedComponents4(cells)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.values.toSet.size == 3) // all three isolated cells distinct
+    assert(got((0L, 200000L)) == 200000L)
+    assert(got((2L, 0L)) == 2L * Clustering.IdShift)
+    assert(got((2097151L, 2097151L)) == 2097151L * Clustering.IdShift + 2097151L)
   }
 
   test("diagonal tiles are NOT connected (4-neighbor, run_inference.py:21)") {
@@ -59,7 +72,7 @@ class ClusteringSpec extends SparkTestBase {
     assert(GridOps.dilate3x3(empty).count() == 0)
     val one = Seq((7L, 7L)).toDF("x", "y")
     val cc1 = Clustering.connectedComponents4(one).collect()
-    assert(cc1.length == 1 && cc1.head.getLong(2) == 700007L)
+    assert(cc1.length == 1 && cc1.head.getLong(2) == 7L * Clustering.IdShift + 7L)
     assert(GridOps.dilate3x3(one).count() == 9)
   }
 }
