@@ -10,15 +10,31 @@ object Bench {
     // query, not first-touch costs (the driver compares totals; keep it in)
     Tables.names.foreach(n =>
       try Tables(spark, sfDir, n).count() catch { case _: Throwable => () })
+    // failures surface: stack trace to stderr, the query's time slot is
+    // -1 in the JSON (unmistakable vs a real duration), and the names
+    // ride along in an "errors" array — a broken query must never bench
+    // as merely fast
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          e.printStackTrace()
+          failed += name
+          name -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
     spark.stop()
   }
 }

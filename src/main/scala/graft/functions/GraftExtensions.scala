@@ -12,17 +12,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[VecDot].getName, name)
+  private def info(clazz: Class[_], name: String, usage: String) =
+    new ExpressionInfo(clazz.getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
-      info("vec_dot", "vec_dot(a, b) - dot product of two float/double array vectors"),
+      info(classOf[VecDot], "vec_dot",
+        "vec_dot(a, b) - dot product of two float/double array vectors"),
       (args: Seq[Expression]) => VecDot(args(0), args(1))))
     ext.injectFunction((
       FunctionIdentifier("vec_norm2"),
-      info("vec_norm2", "vec_norm2(a) - sum of squares of a float/double array vector"),
+      info(classOf[VecNorm2], "vec_norm2",
+        "vec_norm2(a) - sum of squares of a float/double array vector"),
       (args: Seq[Expression]) => VecNorm2(args.head)))
   }
 }

@@ -123,9 +123,67 @@ object Geometry {
     -s / 2.0
   }
 
+  /** Sutherland–Hodgman clip: intersection of a polygon with a CONVEX
+    * CCW clip ring. Exact for convex⋂convex; for a concave subject the
+    * result is the standard clipped (possibly degenerate-edged) ring.
+    */
+  def intersectConvex(subject: Seq[Pt], clip: Seq[Pt]): Seq[Pt] = {
+    require(clip.size >= 3, "clip ring needs >= 3 vertices")
+    def inside(p: Pt, a: Pt, b: Pt): Boolean = cross(a, b, p) >= 0
+    def lineIntersect(p1: Pt, p2: Pt, a: Pt, b: Pt): Pt = {
+      val d1x = p2.x - p1.x; val d1y = p2.y - p1.y
+      val d2x = b.x - a.x; val d2y = b.y - a.y
+      val den = d1x * d2y - d1y * d2x
+      val t = ((a.x - p1.x) * d2y - (a.y - p1.y) * d2x) / den
+      Pt(p1.x + t * d1x, p1.y + t * d1y)
+    }
+    clip.indices.foldLeft(subject) { (poly, i) =>
+      if (poly.isEmpty) poly
+      else {
+        val a = clip(i); val b = clip((i + 1) % clip.size)
+        val out = Vector.newBuilder[Pt]
+        var j = 0
+        while (j < poly.size) {
+          val cur = poly(j)
+          val prev = poly((j + poly.size - 1) % poly.size)
+          (inside(prev, a, b), inside(cur, a, b)) match {
+            case (true, true) => out += cur
+            case (true, false) => out += lineIntersect(prev, cur, a, b)
+            case (false, true) => out += lineIntersect(prev, cur, a, b); out += cur
+            case (false, false) => ()
+          }
+          j += 1
+        }
+        out.result()
+      }
+    }
+  }
+
+  /** Union of polygon rings as the reference consumes it
+    * (combine_all_polygons, process_city_shapes.py:80-90, immediately
+    * followed by convex_hull in simplify_polygon): hull of the union =
+    * hull of all vertices, so the union itself never needs an explicit
+    * boundary walk in that chain.
+    */
+  def unionHull(rings: Seq[Seq[Pt]]): Seq[Pt] = convexHull(rings.flatten)
+
+  /** Exact area of the union of two convex CCW rings by
+    * inclusion–exclusion: |A∪B| = |A| + |B| − |A∩B|.
+    */
+  def unionArea(a: Seq[Pt], b: Seq[Pt]): Double = {
+    val inter = intersectConvex(a, b)
+    signedArea(a) + signedArea(b) - (if (inter.size >= 3) signedArea(inter) else 0.0)
+  }
+
   /** The reference's full preprocessing chain
     * (process_city_shapes.py:93-104): hull → simplify(eps) → buffer(r).
     */
   def prepareSearchPolygon(points: Seq[Pt], eps: Double, r: Double): Seq[Pt] =
     bufferConvex(simplifyRing(convexHull(points), eps), r)
+
+  /** Multi-ring variant: union-hull of several city rings → one search
+    * polygon, the combine_all_polygons → simplify_polygon flow.
+    */
+  def prepareCombinedSearchPolygon(rings: Seq[Seq[Pt]], eps: Double, r: Double): Seq[Pt] =
+    bufferConvex(simplifyRing(unionHull(rings), eps), r)
 }

@@ -25,6 +25,13 @@ object ScaleOps {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, buckets: Int,
       joinType: String = "inner"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    // right/full outer would emit every unmatched dim row `buckets`
+    // times (the dim side is exploded); fact-preserving join types only
+    val factPreserving = Set("inner", "cross", "left", "leftouter", "left_outer",
+      "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti")
+    require(factPreserving.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports fact-preserving join types only, got '$joinType' " +
+        "(right/full outer would duplicate unmatched dim rows across salt buckets)")
     val salted = fact.withColumn("__salt", pmod(hash(fact.columns.map(col).toSeq: _*), lit(buckets)))
     val exploded = dim.withColumn("__salt", explode(array((0 until buckets).map(lit): _*)))
     salted.join(exploded, Seq(key, "__salt"), joinType).drop("__salt")

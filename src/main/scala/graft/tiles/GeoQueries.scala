@@ -472,8 +472,68 @@ object GeoQueries {
       |WHERE EXISTS (SELECT 1 FROM grid g WHERE g.poly = b.poly)
       |ORDER BY poly""".stripMargin)
 
+  // ---------------------------------------------------------------- A21
+  /** Inference work queue (solardb.py:205 query_tile_batch: has_image ∧
+    * NOT inference_ran, paged LIMIT): cells inside a 20×20 imagery
+    * download block (the a11 mark set) that the center-outwards batch
+    * (a5/a19) has not scored yet — semi/anti joins on (x, y), total
+    * (x, y) order so the page is deterministic.
+    */
+  val TileBatchSize = 500
+
+  def a21TileBatch(spark: SparkSession, dir: String): DataFrame = {
+    val cells = GeoDerive.cells(spark, dir)
+    val marked = a11MarkImagery(spark, dir).select("x", "y")
+    val scored = a19InferenceScored(spark, dir).select("x", "y")
+    cells.join(marked, Seq("x", "y"), "left_semi")
+      .join(scored, Seq("x", "y"), "left_anti")
+      .select("x", "y", "score", "w")
+      .orderBy("x", "y")
+      .limit(TileBatchSize)
+  }
+
+  val a21Sql: String = withCtes(false, (Seq(GeoDerive.cellsCte, GeoDerive.positivesCte,
+    """blocks AS (SELECT DISTINCT (x - x % 20) AS bx, (y - y % 20) AS by FROM pos),
+      |bgx AS (SELECT bx, by, UNNEST(range(bx, bx + 20)) AS x FROM blocks),
+      |bg AS (SELECT bx, by, x, UNNEST(range(by, by + 20)) AS y FROM bgx)""".stripMargin,
+    Polygons.bboxCte, Polygons.edgesCte, Polygons.gridCte, Polygons.centroidsCte,
+    """inf AS (
+      |  SELECT c.x, c.y,
+      |    round(sqrt((c.x - t.cx) * (c.x - t.cx) + (c.y - t.cy) * (c.y - t.cy)), 6)
+      |      AS centroid_distance, c.poly
+      |  FROM cells c JOIN cent t USING (poly)
+      |  ORDER BY poly, centroid_distance, x, y
+      |  LIMIT 400
+      |)""".stripMargin)): _*)(
+    s"""SELECT c.x, c.y, c.score, c.w FROM cells c
+       |WHERE EXISTS (SELECT 1 FROM bg g WHERE g.x = c.x AND g.y = c.y)
+       |  AND NOT EXISTS (SELECT 1 FROM inf i WHERE i.x = c.x AND i.y = c.y)
+       |ORDER BY x, y LIMIT $TileBatchSize""".stripMargin)
+
+  // ---------------------------------------------------------------- A22
+  /** Threshold tiles outside any multi-tile cluster (solardb.py:231-242,
+    * query_tiles_over_threshold with filter_clustered=True — cluster_id
+    * IS NULL there ⇔ the tile never joined a ≥2-tile component here).
+    */
+  def a22UnclusteredThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val cc = Clustering.componentsFor(spark, dir)
+    val singletons = cc.groupBy("cluster_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") === 1).select("cluster_id")
+    cc.join(singletons, Seq("cluster_id"), "left_semi")
+      .select("x", "y", "cluster_id")
+      .orderBy("x", "y")
+  }
+
+  val a22Sql: String = withCtes(true, GeoDerive.cellsCte, GeoDerive.positivesCte, Clustering.ccCte)(
+    """SELECT c.x, c.y, c.cluster_id FROM cc c
+      |JOIN (SELECT cluster_id FROM cc GROUP BY cluster_id HAVING COUNT(*) = 1) s
+      |  USING (cluster_id)
+      |ORDER BY x, y""".stripMargin)
+
   /** All A-block entries for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a21_tile_batch" -> (a21TileBatch _),
+    "a22_unclustered_threshold" -> (a22UnclusteredThreshold _),
     "a20_polygons_with_grid" -> (a20PolygonsWithGrid _),
     "a1_deg2num" -> (a1Deg2num _),
     "a2_num2deg" -> (a2Num2deg _),
@@ -496,6 +556,8 @@ object GeoQueries {
     "a19_inference_scored" -> (a19InferenceScored _))
 
   val oracles: Map[String, String] = Map(
+    "a21_tile_batch" -> a21Sql,
+    "a22_unclustered_threshold" -> a22Sql,
     "a20_polygons_with_grid" -> a20Sql,
     "a1_deg2num" -> a1Sql,
     "a2_num2deg" -> a2Sql,

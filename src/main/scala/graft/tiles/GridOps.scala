@@ -15,20 +15,56 @@ import org.apache.spark.sql.functions._
   */
 object GridOps {
 
-  /** Edge half-plane cross product (>= 0 for all edges ⇔ inside CCW poly). */
+  /** Edge cross product (x2−x1)(y−y1) − (y2−y1)(x−x1): zero ⇔ the point
+    * is on the edge's carrier line.
+    */
   private def cross(e: Column, x: Column, y: Column): Column =
     (e("ex2") - e("ex1")) * (y - e("ey1")) - (e("ey2") - e("ey1")) * (x - e("ex1"))
+
+  /** Point on the edge segment: collinear AND within the segment bbox —
+    * exact integer math.
+    */
+  private def onEdge(e: Column, x: Column, y: Column): Column =
+    cross(e, x, y) === 0 &&
+      x.between(least(e("ex1"), e("ex2")), greatest(e("ex1"), e("ex2"))) &&
+      y.between(least(e("ey1"), e("ey2")), greatest(e("ey1"), e("ey2")))
+
+  /** The edge strictly crosses the +x ray from (x, y): spans y (strict
+    * `>` convention handles ray-through-vertex consistently) and the
+    * crossing lies right of the point. `px < x1 + (y−y1)(x2−x1)/(y2−y1)`
+    * cross-multiplied by (y2−y1) to stay in exact integers: cross > 0
+    * when the edge ascends, cross < 0 when it descends.
+    */
+  private def crossesRay(e: Column, x: Column, y: Column): Column =
+    ((e("ey1") > y) =!= (e("ey2") > y)) &&
+      when(e("ey2") > e("ey1"), cross(e, x, y) > 0).otherwise(cross(e, x, y) < 0)
+
+  /** Ray-cast containment over an edge array (boundary counts as
+    * inside): works for ANY simple polygon, concave included — the
+    * reference's `shapely.contains`-equivalent
+    * (process_city_shapes.py:146-171) without the convexity assumption a
+    * half-plane test needs. Map-side HOFs over the broadcast edge array;
+    * exact integer math throughout, so Spark and the DuckDB twin can
+    * never disagree on a boundary cell.
+    */
+  def containsPoint(edges: Column, x: Column, y: Column): Column =
+    exists(edges, e => onEdge(e, x, y)) ||
+      size(filter(edges, e => crossesRay(e, x, y))) % 2 === 1
 
   /** All integer cells inside each polygon (reference
     * get_coords_inside_polygon, process_city_shapes.py:146-171: meshgrid
     * over bbox + containment mask — here the meshgrid is distributed).
+    * For the convex CCW polygons of the oracle world this agrees exactly
+    * with the half-plane `MIN(cross) >= 0` test the DuckDB twin runs
+    * (interior: winding parity 1; boundary: onEdge ⇔ some cross = 0 with
+    * the rest ≥ 0).
     */
   def fillPolygons(spark: SparkSession): DataFrame = {
     val p = broadcast(Polygons.df(spark))
     p.withColumn("x", explode(sequence(col("minx"), col("maxx"))))
       .repartition(col("poly"), col("x"))
       .withColumn("y", explode(sequence(col("miny"), col("maxy"))))
-      .filter(forall(col("edges"), e => cross(e, col("x"), col("y")) >= 0))
+      .filter(containsPoint(col("edges"), col("x"), col("y")))
       .select(col("poly"), col("x"), col("y"))
   }
 

@@ -41,6 +41,29 @@ class GeometrySpec extends AnyFunSuite {
     assert(pointInPolygon(Pt(-0.5, 2), buffered))
   }
 
+  test("intersectConvex clips two overlapping squares to their overlap") {
+    val shifted = square.map(p => Pt(p.x + 2, p.y + 2)) // overlap = 2x2
+    val inter = intersectConvex(square, shifted)
+    assert(math.abs(signedArea(inter) - 4.0) < 1e-9)
+    assert(inter.forall(p => pointInPolygon(p, bufferConvex(square, 1e-9))))
+    // disjoint squares clip to nothing
+    val far = square.map(p => Pt(p.x + 10, p.y))
+    assert(intersectConvex(square, far).size < 3)
+  }
+
+  test("unionArea by inclusion-exclusion and unionHull of overlapping rings") {
+    val shifted = square.map(p => Pt(p.x + 2, p.y + 2))
+    // |A| + |B| - |A∩B| = 16 + 16 - 4
+    assert(math.abs(unionArea(square, shifted) - 28.0) < 1e-9)
+    // hull-of-union covers both rings (the reference takes convex_hull
+    // right after combine_all_polygons, so this IS its union consumer)
+    val hull = unionHull(Seq(square, shifted))
+    assert(signedArea(hull) >= 28.0 - 1e-9)
+    val grown = bufferConvex(hull, 1e-9)
+    assert((square ++ shifted).forall(p => pointInPolygon(p, grown) ||
+      hull.contains(p)))
+  }
+
   test("prepareSearchPolygon chain: hull -> simplify -> buffer") {
     val cloud = (for (x <- 0 to 10; y <- 0 to 10) yield Pt(x, y)) ++ Seq(Pt(5.0, 5.0))
     val poly = prepareSearchPolygon(cloud, eps = 0.01, r = 2.0)

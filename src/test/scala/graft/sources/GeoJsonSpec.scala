@@ -36,6 +36,42 @@ class GeoJsonSpec extends SparkTestBase {
     }
   }
 
+  private val multiSample =
+    """{"type": "FeatureCollection", "features": [
+      |  {"type": "Feature", "properties": {"name": "donut"},
+      |   "geometry": {"type": "Polygon",
+      |     "coordinates": [
+      |       [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]],
+      |       [[4.0, 4.0], [6.0, 4.0], [6.0, 6.0], [4.0, 6.0], [4.0, 4.0]]]}},
+      |  {"type": "Feature", "properties": {"name": "isles"},
+      |   "geometry": {"type": "MultiPolygon",
+      |     "coordinates": [
+      |       [[[20.0, 20.0], [21.0, 20.0], [21.0, 21.0], [20.0, 20.0]]],
+      |       [[[30.0, 30.0], [31.0, 30.0], [31.0, 31.0], [30.0, 30.0]],
+      |        [[30.2, 30.2], [30.4, 30.2], [30.3, 30.4], [30.2, 30.2]]]]}}
+      |]}""".stripMargin
+
+  test("readPolygonRings: MultiPolygon features and interior rings (holes)") {
+    val dir = Files.createTempDirectory("graft-geojson-multi")
+    val p = dir.resolve("multi.geojson")
+    Files.writeString(p, multiSample)
+    val rings = GeoJson.readPolygonRings(spark, p.toString)
+    // donut: 1 polygon, outer + 1 hole (2 rings); isles: 2 polygons,
+    // second holed (1 + 2 rings)
+    assert(rings.count() == 5)
+    val donut = rings.filter(col("feature_id") === 0).orderBy("polygon_idx", "ring_idx").collect()
+    assert(donut.length == 2)
+    assert(!donut(0).getBoolean(5) && donut(1).getBoolean(5)) // is_hole
+    val isles = rings.filter(col("feature_id") === 1)
+    assert(isles.select("polygon_idx").distinct().count() == 2)
+    assert(isles.filter(col("is_hole")).count() == 1)
+    // the back-compat view still returns one outer ring per feature,
+    // for MultiPolygon the first polygon's outer boundary
+    val flat = GeoJson.readPolygons(spark, p.toString).orderBy("feature_id").collect()
+    assert(flat.length == 2)
+    assert(flat(1).getSeq[org.apache.spark.sql.Row](2).head.getDouble(0) == 20.0)
+  }
+
   test("writeChallengeLines emits one GeoJSON document per line") {
     val out = Files.createTempDirectory("graft-mr").resolve("challenge").toString
     val df = graft.tiles.GeoQueries.a14TileGeojson(spark, sf).select("geojson").limit(20)

@@ -95,6 +95,64 @@ class GeoQueriesSpec extends SparkTestBase {
     assert(odd == 0)
   }
 
+  test("containsPoint handles a concave polygon (notch excluded, boundary inside)") {
+    import spark.implicits._
+    // CCW L-shape with the notch at the top-right quadrant
+    val vs = Seq((0L, 0L), (4L, 0L), (4L, 2L), (2L, 2L), (2L, 4L), (0L, 4L))
+    val edges = vs.indices.map { i =>
+      val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % vs.size)
+      Polygons.Edge(x1, y1, x2, y2)
+    }
+    val pts = Seq(
+      (1L, 1L, true), (3L, 1L, true), (1L, 3L, true), // interior
+      (3L, 3L, false), (4L, 4L, false), (5L, 1L, false), // notch + outside
+      (2L, 2L, true), (3L, 2L, true), (2L, 3L, true)) // vertices + edges
+    val got = pts.toDF("x", "y", "want")
+      .withColumn("edges", typedLit(edges))
+      .withColumn("got", GridOps.containsPoint(col("edges"), col("x"), col("y")))
+    assert(got.filter(col("got") =!= col("want")).count() == 0)
+  }
+
+  test("outline ring assembly: square is CCW, donut yields outer CCW + hole CW") {
+    import graft.geom.Geometry
+    def area(ring: Seq[(Long, Long)]): Double =
+      Geometry.signedArea(ring.map(p => Geometry.Pt(p._1.toDouble, p._2.toDouble)))
+    // unit square
+    val sq = Outline.chainEdges(Seq(
+      ((0L, 0L), (1L, 0L)), ((1L, 0L), (1L, 1L)), ((0L, 1L), (1L, 1L)), ((0L, 0L), (0L, 1L))))
+    assert(sq.size == 1 && sq.head.size == 4 && area(sq.head) > 0)
+    // 3x3 tile block minus the center tile: 12-edge outer ring + 4-edge hole
+    val tiles = for (x <- 0 until 3; y <- 0 until 3 if (x, y) != ((1, 1))) yield (x.toLong, y.toLong)
+    val edgeCount = scala.collection.mutable.Map.empty[((Long, Long), (Long, Long)), Int]
+    tiles.foreach { case (x, y) =>
+      Seq(((x, y), (x + 1, y)), ((x, y + 1), (x + 1, y + 1)),
+        ((x, y), (x, y + 1)), ((x + 1, y), (x + 1, y + 1)))
+        .foreach(e => edgeCount(e) = edgeCount.getOrElse(e, 0) + 1)
+    }
+    val boundary = edgeCount.filter(_._2 == 1).keys.toSeq
+    val rings = Outline.chainEdges(boundary).sortBy(-_.size)
+    assert(rings.map(_.size) == Seq(12, 4))
+    assert(area(rings.head) > 0) // outer CCW
+    assert(area(rings(1)) < 0) // hole CW
+  }
+
+  test("assembleRings covers every a15 boundary edge exactly once, closed") {
+    val outline = GeoQueries.a15ClusterOutline(spark, sf)
+    val rings = Outline.assembleRings(outline).collect()
+    // every consecutive pair (and the wrap-around) is a unit step
+    rings.foreach { r =>
+      val vs = r.vertices
+      (vs :+ vs.head).sliding(2).foreach { case Seq(a, b) =>
+        assert(math.abs(a._1 - b._1) + math.abs(a._2 - b._2) == 1)
+      }
+    }
+    // ring edges per cluster == a15 edge count per cluster
+    val perCluster = rings.groupBy(_.cluster_id).view.mapValues(_.map(_.xs.size).sum)
+    val want = outline.groupBy("cluster_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perCluster.toMap.map { case (k, v) => k -> v.toLong } == want)
+  }
+
   test("a3 grid fill stays inside each polygon bbox") {
     val g = GridOps.fillPolygons(spark)
     val p = Polygons.df(spark).select("poly", "minx", "maxx", "miny", "maxy")
