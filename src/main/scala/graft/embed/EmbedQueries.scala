@@ -201,6 +201,81 @@ object EmbedQueries {
        |) WHERE rnk <= $TopK
        |ORDER BY probe_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- C18
+  /** IVF codebook density: every CentroidMod-th vector is a coarse
+    * centroid (deterministic stand-in for a k-means codebook — the
+    * partitioning mechanics, list assignment, and nprobe search are
+    * identical; only centroid quality differs).
+    */
+  val CentroidMod = 50
+  /** Lists probed per query. */
+  val NProbe = 2
+
+  /** IVF-style ANN: the second approximate scale path next to C11's LSH.
+    * 1. codebook = the CentroidMod-strided vectors (tiny, broadcast);
+    * 2. every corpus vector is assigned to its single nearest centroid —
+    *    one map-side pass over the corpus against the broadcast codebook
+    *    (the crossJoin is against an O(√N)-sized codebook, the a18
+    *    constant-table pattern, NOT a data×data nested loop);
+    * 3. each probe searches only its NProbe nearest centroids' lists —
+    *    an equi-join on the centroid id, so the per-probe work is
+    *    |corpus|·nprobe/|lists| instead of |corpus|.
+    * Lists are disjoint (single assignment), so no pair dedup is needed.
+    */
+  def c18AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorms(spark, dir)
+    val cents = e.filter(col("vec_id") % CentroidMod === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn"))
+    def nearestCents(src: DataFrame, keep: Column): DataFrame =
+      src.crossJoin(broadcast(cents))
+        .select(src("vec_id"), src("embedding"), src("n2"), col("cid"),
+          cosine(dot(src("embedding"), col("ce")), src("n2"), col("cn")).as("ccos"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))))
+        .filter(keep)
+    val assigned = nearestCents(e, col("crn") === 1)
+      .select("vec_id", "embedding", "n2", "cid")
+    val probeLists = nearestCents(e.filter(col("vec_id") % ProbeMod === 0), col("crn") <= NProbe)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("n2").as("pn"), col("cid"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    broadcast(probeLists).join(assigned, "cid")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(dot(col("pe"), col("embedding")), col("pn"), col("n2")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .orderBy("probe_id", "rnk")
+  }
+
+  val c18Sql: String = {
+    def centRank(filter: String): String =
+      s"""SELECT e.vec_id, e.embedding, e.n2, c.cid,
+         |  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |    round(${dotSql("e.embedding", "c.ce")} / sqrt(e.n2 * c.cn), 6) DESC, c.cid) AS crn
+         |FROM norms e CROSS JOIN cents c$filter""".stripMargin
+    s"""WITH $normsCte,
+       |cents AS (SELECT vec_id AS cid, embedding AS ce, n2 AS cn FROM norms WHERE vec_id % $CentroidMod = 0),
+       |assign AS (
+       |  SELECT vec_id, embedding, n2, cid FROM (${centRank("")}) WHERE crn = 1
+       |),
+       |pl AS (
+       |  SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn, cid
+       |  FROM (${centRank(" WHERE e.vec_id % " + ProbeMod + " = 0")}) WHERE crn <= $NProbe
+       |),
+       |scored AS (
+       |  SELECT p.probe_id, a.vec_id,
+       |    round(${dotSql("p.pe", "a.embedding")} / sqrt(p.pn * a.n2), 6) AS cos
+       |  FROM pl p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.probe_id
+       |)
+       |SELECT probe_id, vec_id, cos, rnk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM scored
+       |) WHERE rnk <= $TopK
+       |ORDER BY probe_id, rnk""".stripMargin
+  }
+
   // ---------------------------------------------------------------- C17
   /** Embedding dimensionality of the `embeddings` testdata (also baked
     * into the C11 hyperplane family).
@@ -250,11 +325,13 @@ object EmbedQueries {
     "c9_cosine_pairs" -> (c9CosinePairs _),
     "c10_ann_bruteforce" -> (c10AnnBruteforce _),
     "c11_ann_lsh" -> (c11AnnLsh _),
-    "c17_normalize" -> (c17Normalize _))
+    "c17_normalize" -> (c17Normalize _),
+    "c18_ann_ivf" -> (c18AnnIvf _))
 
   val oracles: Map[String, String] = Map(
     "c9_cosine_pairs" -> c9Sql,
     "c10_ann_bruteforce" -> c10Sql,
     "c11_ann_lsh" -> c11Sql,
-    "c17_normalize" -> c17Sql)
+    "c17_normalize" -> c17Sql,
+    "c18_ann_ivf" -> c18Sql)
 }

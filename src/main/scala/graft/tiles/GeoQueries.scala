@@ -530,10 +530,55 @@ object GeoQueries {
       |  USING (cluster_id)
       |ORDER BY x, y""".stripMargin)
 
+  // ---------------------------------------------------------------- A23
+  /** Imagery fetch + slice plan (gather_and_persist_imagery_at_coordinate
+    * + slice_image, imagery.py:81-98,146-167): per 20×20 download block,
+    * the fetch-center lon/lat (num2deg of the block-center corner,
+    * grid_size even → center=False) and the 400 slice rows — target tile
+    * coordinate plus crop box in the upsampled source image
+    * (1280px · 2^max(ZOOM_FACTOR−1,0) / 20 = 128px per slice).
+    */
+  val SliceGrid = 20L
+  val SliceSide = 128L // MAX_IMAGE_SIDE_LENGTH * 2^(ZOOM_FACTOR-1) / GRID_SIZE
+
+  def a23SlicePlan(spark: SparkSession, dir: String): DataFrame = {
+    val blocks = GeoDerive.positives(spark, dir)
+      .select(GridOps.blockBase(col("x"), SliceGrid).as("bx"),
+        GridOps.blockBase(col("y"), SliceGrid).as("by"))
+      .distinct()
+    def lon(c: Column) = colToLon(c, center = false)
+    def lat(c: Column) = rowToLat(c, center = false)
+    blocks
+      .withColumn("center_lon", lon(col("bx") + SliceGrid / 2 + TX))
+      .withColumn("center_lat", lat(col("by") + SliceGrid / 2 + TY))
+      .withColumn("co", explode(sequence(lit(0L), lit(SliceGrid - 1))))
+      .repartition(col("bx"), col("by"), col("co"))
+      .withColumn("ro", explode(sequence(lit(0L), lit(SliceGrid - 1))))
+      .select(col("bx"), col("by"), col("center_lon"), col("center_lat"),
+        (col("bx") + col("co")).as("x"), (col("by") + col("ro")).as("y"),
+        (col("co") * SliceSide).as("cx1"), (col("ro") * SliceSide).as("cy1"),
+        ((col("co") + 1) * SliceSide).as("cx2"), ((col("ro") + 1) * SliceSide).as("cy2"))
+      .orderBy("x", "y")
+  }
+
+  val a23Sql: String = withCtes(false, GeoDerive.cellsCte, GeoDerive.positivesCte,
+    s"""blocks AS (SELECT DISTINCT (x - x % $SliceGrid) AS bx, (y - y % $SliceGrid) AS by FROM pos),
+       |bc AS (SELECT bx, by, UNNEST(range(0, $SliceGrid)) AS co FROM blocks),
+       |bcr AS (SELECT bx, by, co, UNNEST(range(0, $SliceGrid)) AS ro FROM bc)""".stripMargin)(
+    s"""SELECT bx, by,
+       |  ${colToLonSql(s"(bx + ${SliceGrid / 2} + $TX)", center = false)} AS center_lon,
+       |  ${rowToLatSql(s"(by + ${SliceGrid / 2} + $TY)", center = false)} AS center_lat,
+       |  bx + co AS x, by + ro AS y,
+       |  co * $SliceSide AS cx1, ro * $SliceSide AS cy1,
+       |  (co + 1) * $SliceSide AS cx2, (ro + 1) * $SliceSide AS cy2
+       |FROM bcr
+       |ORDER BY x, y""".stripMargin)
+
   /** All A-block entries for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a21_tile_batch" -> (a21TileBatch _),
     "a22_unclustered_threshold" -> (a22UnclusteredThreshold _),
+    "a23_slice_plan" -> (a23SlicePlan _),
     "a20_polygons_with_grid" -> (a20PolygonsWithGrid _),
     "a1_deg2num" -> (a1Deg2num _),
     "a2_num2deg" -> (a2Num2deg _),
@@ -558,6 +603,7 @@ object GeoQueries {
   val oracles: Map[String, String] = Map(
     "a21_tile_batch" -> a21Sql,
     "a22_unclustered_threshold" -> a22Sql,
+    "a23_slice_plan" -> a23Sql,
     "a20_polygons_with_grid" -> a20Sql,
     "a1_deg2num" -> a1Sql,
     "a2_num2deg" -> a2Sql,

@@ -25,6 +25,18 @@ class EmbedQueriesSpec extends SparkTestBase {
     assert(joined.filter(col("cos") =!= col("cos_bf")).count() == 0)
   }
 
+  test("c18 IVF: at most TopK per probe, every hit carries the true cosine") {
+    val ivf = EmbedQueries.c18AnnIvf(spark, sf)
+    val perProbe = ivf.groupBy("probe_id").count()
+    assert(perProbe.filter(col("count") > EmbedQueries.TopK).count() == 0)
+    assert(ivf.filter(col("vec_id") === col("probe_id")).count() == 0)
+    // wherever IVF and brute force rank the same pair, cosines agree exactly
+    val bf = EmbedQueries.c10AnnBruteforce(spark, sf)
+      .select(col("probe_id"), col("vec_id"), col("cos").as("cos_bf"))
+    val joined = ivf.join(bf, Seq("probe_id", "vec_id"))
+    assert(joined.filter(col("cos") =!= col("cos_bf")).count() == 0)
+  }
+
   test("c17 normalization: unit vectors have norm 1, long form matches array form") {
     val arr = EmbedQueries.normalized(spark, sf)
     // ||unit||² ≈ 1 (rounded components, so 1e-4 slack)
