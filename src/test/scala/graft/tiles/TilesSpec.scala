@@ -57,6 +57,19 @@ class ClusteringSpec extends SparkTestBase {
     assert(got((2097151L, 2097151L)) == 2097151L * Clustering.IdShift + 2097151L)
   }
 
+  test("rdd and df fixpoint engines produce identical labels") {
+    val pos = GeoDerive.positives(spark, sf)
+    def run(impl: String): Seq[(Long, Long, Long)] = {
+      spark.conf.set("graft.cc.impl", impl)
+      try Clustering.connectedComponents4(pos).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      finally spark.conf.unset("graft.cc.impl")
+    }
+    val rdd = run("rdd")
+    val df = run("df")
+    assert(rdd.nonEmpty && rdd == df)
+  }
+
   test("diagonal tiles are NOT connected (4-neighbor, run_inference.py:21)") {
     import spark.implicits._
     val cells = Seq((0L, 0L), (1L, 1L)).toDF("x", "y")
