@@ -14,8 +14,12 @@ object Bench {
     // -1 in the JSON (unmistakable vs a real duration), and the names
     // ride along in an "errors" array — a broken query must never bench
     // as merely fast
+    // optional args: query-name prefixes to bench a subset (dev loops)
+    val prefixes = args.toSeq
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => prefixes.isEmpty || prefixes.exists(name.startsWith) }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()

@@ -37,13 +37,27 @@ object StreamingQueries {
     * not-yet-finalized tail windows are emitted too; `append` for
     * row-emitting operators.
     */
+  /** State-store parallelism for these bounded replays: every shuffle
+    * partition carries a state store whose init/commit cost is paid per
+    * micro-batch regardless of data volume, so a bounded AvailableNow
+    * replay wants few, fat state partitions. A live 100 TB/day stream
+    * would size this to the cluster instead (it's baked into the
+    * checkpoint at first start).
+    */
+  val StatePartitions = 8
+
   private def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
+    val spark = df.sparkSession
     val ckpt = Files.createTempDirectory(s"graft-ckpt-$name").toString
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(name)
   }
 
   private def stream(spark: SparkSession, sfDir: String): DataFrame =
