@@ -18,6 +18,11 @@ object Bench {
     val prefixes = args.toSeq
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => prefixes.isEmpty || prefixes.exists(name.startsWith) }
+    // an unmatched prefix must not masquerade as an impossibly fast
+    // clean run (total=0, no errors)
+    require(selected.nonEmpty,
+      s"no query matches prefixes ${prefixes.mkString("[", ", ", "]")} — " +
+        s"known queries: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()

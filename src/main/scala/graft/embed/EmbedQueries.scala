@@ -227,16 +227,29 @@ object EmbedQueries {
     val e = withNorms(spark, dir)
     val cents = e.filter(col("vec_id") % CentroidMod === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn"))
-    def nearestCents(src: DataFrame, keep: Column): DataFrame =
+    def withCcos(src: DataFrame): DataFrame =
       src.crossJoin(broadcast(cents))
         .select(src("vec_id"), src("embedding"), src("n2"), col("cid"),
           cosine(dot(src("embedding"), col("ce")), src("n2"), col("cn")).as("ccos"))
-        .withColumn("crn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))))
-        .filter(keep)
-    val assigned = nearestCents(e, col("crn") === 1)
-      .select("vec_id", "embedding", "n2", "cid")
-    val probeLists = nearestCents(e.filter(col("vec_id") % ProbeMod === 0), col("crn") <= NProbe)
+    // Corpus assignment is a partial-agg groupBy, NOT a window: min of
+    // (−ccos, cid) is map-side combinable, so only N assigned rows
+    // shuffle — a row_number window over the corpus×codebook product
+    // would shuffle all N·|cents| scored rows. The (−ccos, cid) struct
+    // makes the argmin unique (ties break to the smallest centroid id)
+    // and lexicographic struct/list MIN is identical in both engines.
+    val assigned = withCcos(e)
+      .groupBy("vec_id")
+      // +0.0 normalizes a possible −0.0 (round of a tiny negative) so
+      // both engines order the tie identically
+      .agg(min(struct((negate(col("ccos")) + lit(0.0)).as("nc"), col("cid").as("cid"))).as("sc"),
+        first("embedding").as("embedding"), first("n2").as("n2"))
+      .select(col("vec_id"), col("embedding"), col("n2"), col("sc.cid").as("cid"))
+    // Probe routing keeps the window (top-NProbe needs ranked rows) —
+    // it runs over |probes|·|cents| rows only, both tiny.
+    val probeLists = withCcos(e.filter(col("vec_id") % ProbeMod === 0))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("crn") <= NProbe)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
         col("n2").as("pn"), col("cid"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
@@ -250,19 +263,21 @@ object EmbedQueries {
   }
 
   val c18Sql: String = {
-    def centRank(filter: String): String =
-      s"""SELECT e.vec_id, e.embedding, e.n2, c.cid,
-         |  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-         |    round(${dotSql("e.embedding", "c.ce")} / sqrt(e.n2 * c.cn), 6) DESC, c.cid) AS crn
-         |FROM norms e CROSS JOIN cents c$filter""".stripMargin
+    def ccosSql: String = s"round(${dotSql("e.embedding", "c.ce")} / sqrt(e.n2 * c.cn), 6)"
     s"""WITH $normsCte,
        |cents AS (SELECT vec_id AS cid, embedding AS ce, n2 AS cn FROM norms WHERE vec_id % $CentroidMod = 0),
        |assign AS (
-       |  SELECT vec_id, embedding, n2, cid FROM (${centRank("")}) WHERE crn = 1
+       |  SELECT e.vec_id, first(e.embedding) AS embedding, first(e.n2) AS n2,
+       |    CAST(min([-($ccosSql) + 0.0, CAST(c.cid AS DOUBLE)])[2] AS BIGINT) AS cid
+       |  FROM norms e CROSS JOIN cents c
+       |  GROUP BY e.vec_id
        |),
        |pl AS (
-       |  SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn, cid
-       |  FROM (${centRank(" WHERE e.vec_id % " + ProbeMod + " = 0")}) WHERE crn <= $NProbe
+       |  SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn, cid FROM (
+       |    SELECT e.vec_id, e.embedding, e.n2, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $ccosSql DESC, c.cid) AS crn
+       |    FROM norms e CROSS JOIN cents c WHERE e.vec_id % $ProbeMod = 0
+       |  ) WHERE crn <= $NProbe
        |),
        |scored AS (
        |  SELECT p.probe_id, a.vec_id,
@@ -300,13 +315,16 @@ object EmbedQueries {
       .orderBy("vec_id", "dim_idx")
   }
 
+  /** Oracle derives the per-row length from the data (generate_subscripts
+    * aligned with unnest), so it can never diverge from Spark's
+    * posexplode on a non-[[Dims]]-dimensional table.
+    */
   val c17Sql: String =
     s"""WITH $normsCte
-       |SELECT vec_id, CAST(d.dim_idx AS INT) AS dim_idx,
-       |  round(CAST(embedding[CAST(d.dim_idx AS INT) + 1] AS DOUBLE) / sqrt(n2), 6) AS unit_val,
+       |SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim_idx,
+       |  round(CAST(unnest(embedding) AS DOUBLE) / sqrt(n2), 6) AS unit_val,
        |  round(sqrt(n2), 6) AS norm
-       |FROM norms, range($Dims) d(dim_idx)
-       |ORDER BY vec_id, dim_idx""".stripMargin
+       |FROM norms ORDER BY vec_id, dim_idx""".stripMargin
 
   /** Array-shaped unit vectors (vec_id, unit, norm) — the form an index
     * build consumes; not driver-checked (array columns don't lexsort in

@@ -52,11 +52,26 @@ object GeoJson {
       .select(posexplode(col("features")).as(Seq("feature_id", "f")))
       .select(col("feature_id"), col("f.properties").as("properties"),
         col("f.geometry.type").as("geom_type"),
-        when(col("f.geometry.type") === "Polygon",
-            array(from_json(col("f.geometry.coordinates"), polyCoordsType)))
-          .when(col("f.geometry.type") === "MultiPolygon",
-            from_json(col("f.geometry.coordinates"), multiCoordsType))
-          .as("polys"))
+        col("f.geometry.coordinates").as("raw_coords"),
+        from_json(col("f.geometry.coordinates"), polyCoordsType).as("pc"),
+        from_json(col("f.geometry.coordinates"), multiCoordsType).as("mc"))
+      // parse FIRST, wrap after: array(from_json(...)) would turn a
+      // Polygon parse failure into the non-null [NULL], hiding it
+      .withColumn("polys",
+        when(col("geom_type") === "Polygon" && col("pc").isNotNull, array(col("pc")))
+          .when(col("geom_type") === "MultiPolygon", col("mc")))
+      // fail loudly (the pinned-schema contract): a SUPPORTED geometry
+      // type whose coordinates string doesn't parse must not silently
+      // drop the feature — a vanished city boundary has no other signal.
+      // Unsupported types (Point, GeometryCollection, …) still yield no
+      // rows, as documented.
+      .withColumn("polys",
+        when(col("geom_type").isin("Polygon", "MultiPolygon")
+            && col("raw_coords").isNotNull
+            && (col("polys").isNull || exists(col("polys"), p => p.isNull)),
+          raise_error(concat(lit("unparseable GeoJSON coordinates for feature "),
+            col("feature_id").cast("string"), lit(" (type "), col("geom_type"), lit(")"))))
+          .otherwise(col("polys")))
       .select(col("feature_id"), col("properties"), col("geom_type"),
         posexplode(col("polys")).as(Seq("polygon_idx", "rings")))
       .select(col("feature_id"), col("properties"), col("geom_type"), col("polygon_idx"),

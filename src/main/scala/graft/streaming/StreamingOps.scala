@@ -136,12 +136,24 @@ object StreamingOps {
     normalize(spark.readStream.schema(schema).parquet(sourceDir))
   }
 
-  /** Stage the single-file events table as a streaming source directory. */
+  /** Stage the single-file events table as a streaming source directory.
+    *
+    * LOAD-BEARING single-file contract: exactly one source file ⇒ the
+    * AvailableNow replay is one micro-batch, which is what makes the
+    * D2/D3 driver oracles exact — across multiple micro-batches,
+    * dropDuplicatesWithinWatermark may re-admit an id whose first
+    * occurrence aged past the watermark, and the sessionizer folds each
+    * batch in event-time order only within the batch. The require fails
+    * loudly if the testdata ever becomes a multi-file table (then the
+    * oracles must model watermark aging instead).
+    */
   def stageEventsDir(spark: SparkSession, sfDir: String): String = {
+    val src = java.nio.file.Paths.get(sfDir, "events.parquet")
+    require(java.nio.file.Files.isRegularFile(src),
+      s"$src must be a single parquet file — the D-block oracles assume a " +
+        "one-file, one-micro-batch AvailableNow replay")
     val dir = java.nio.file.Files.createTempDirectory("graft-events-src")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(sfDir, "events.parquet"),
-      dir.resolve("part-0.parquet"))
+    java.nio.file.Files.copy(src, dir.resolve("part-0.parquet"))
     dir.toString
   }
 }

@@ -30,7 +30,25 @@ object StreamingQueries {
 
   private def staged(spark: SparkSession, sfDir: String): String =
     stagedCache.getOrElseUpdate((spark.sparkContext.applicationId, sfDir),
-      StreamingOps.stageEventsDir(spark, sfDir))
+      track(StreamingOps.stageEventsDir(spark, sfDir)))
+
+  /** Staged copies and per-run checkpoints are deleted when the JVM
+    * exits — repeated bench/verify sessions must not accumulate /tmp
+    * garbage.
+    */
+  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  private lazy val cleanupHook: Unit = {
+    sys.addShutdownHook {
+      tracked.forEach { p =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(p))
+      }
+    }: Unit
+  }
+  private def track(path: String): String = { cleanupHook; tracked.add(path); path }
 
   /** Run a streaming frame to completion (AvailableNow) into a memory
     * sink and return the sink table. `complete` mode for windowed aggs so
@@ -48,7 +66,7 @@ object StreamingQueries {
 
   private def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
     val spark = df.sparkSession
-    val ckpt = Files.createTempDirectory(s"graft-ckpt-$name").toString
+    val ckpt = track(Files.createTempDirectory(s"graft-ckpt-$name").toString)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
     try {

@@ -111,7 +111,16 @@ object Clustering {
         .map(id => (id, id))
         .partitionBy(part)
         .persist(StorageLevel.MEMORY_AND_DISK))
-    var prevSum = labels.map(_._2).fold(0L)(_ + _)
+    // Convergence metric: the label sum as an overflow-free (hi, lo)
+    // pair — hi = Σ(lbl >> 32) ≤ 2^31·n, lo = Σ(lbl & 0xffffffff) <
+    // 2^32·n, so neither half wraps for any n < 2^31 and pair equality
+    // ⇔ true-sum equality (a plain Long sum of 2^32-packed labels wraps
+    // — or throws under ANSI — already at millions of real-zoom cells).
+    def lblSum(rdd: RDD[(Long, Long)]): (Long, Long) =
+      rdd.map(_._2).aggregate((0L, 0L))(
+        (acc, l) => (acc._1 + (l >>> 32), acc._2 + (l & 0xffffffffL)),
+        (a, b) => (a._1 + b._1, a._2 + b._2))
+    var prevSum = lblSum(labels)
     stamp(s"sum0 parts=$numParts")
 
     var iter = 0
@@ -141,7 +150,7 @@ object Clustering {
           .partitionBy(part)
       val nminP = nmin.persist(StorageLevel.MEMORY_AND_DISK)
       val next = truncate(jump(jump(nminP)).persist(StorageLevel.MEMORY_AND_DISK))
-      val s = next.map(_._2).fold(0L)(_ + _) // materializes the round
+      val s = lblSum(next) // materializes the round
       nminP.unpersist(blocking = false)
       labels.unpersist(blocking = false)
       done = s == prevSum
@@ -167,8 +176,13 @@ object Clustering {
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     var labels = keys.withColumn("lbl", packId(col("x"), col("y")))
       .localCheckpoint(true)
-    def lblSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
+    // DECIMAL(38,0) sum: exact and overflow-free to ~1e19 labels. A
+    // LongType sum of 2^32-packed ids would exceed 2^63 — and THROW
+    // under ANSI mode (the Spark 4 default) — on any realistic
+    // real-zoom input of the very sizes this path is selected for.
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
     var prevSum = lblSum(labels)
     var iter = 0
     var done = false
@@ -194,7 +208,7 @@ object Clustering {
             least(col("l.lbl"), coalesce(col(s"$tag.plbl"), col("l.lbl"))).as("lbl"))
       val next = jump(jump(ids, "p1"), "p2").drop("id").localCheckpoint(false)
       val s = lblSum(next)
-      done = s == prevSum
+      done = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
       iter += 1

@@ -92,13 +92,19 @@ object GeoQueries {
       .orderBy(col("poly"), col("centroid_distance"), col("x"), col("y"))
       .limit(400)
 
-  val a5Sql: String = withCtes(false, a4Ctes: _*)(
+  /** SQL twin of [[a5InferenceOrder]] — ONE definition, embedded by
+    * a5/a18/a19/a21 so the oracles can't drift apart (outer queries
+    * reference its columns by name).
+    */
+  private val inferenceBatchSql: String =
     """SELECT c.poly, c.x, c.y,
       |  round(sqrt((c.x - t.cx) * (c.x - t.cx) + (c.y - t.cy) * (c.y - t.cy)), 6)
       |    AS centroid_distance
       |FROM cells c JOIN cent t USING (poly)
       |ORDER BY poly, centroid_distance, x, y
-      |LIMIT 400""".stripMargin)
+      |LIMIT 400""".stripMargin
+
+  val a5Sql: String = withCtes(false, a4Ctes: _*)(inferenceBatchSql)
 
   // ---------------------------------------------------------------- A6
   def a6ThresholdRank(spark: SparkSession, dir: String): DataFrame =
@@ -184,10 +190,16 @@ object GeoQueries {
       .orderBy("bx", "by", "x", "y")
   }
 
-  val a11Sql: String = withCtes(false, GeoDerive.cellsCte, GeoDerive.positivesCte,
+  /** Shared blocks/bg CTEs: the 20×20 imagery block grid around
+    * positives — embedded by a11 and a21 from one definition.
+    */
+  private val imageryBlockCtes: String =
     """blocks AS (SELECT DISTINCT (x - x % 20) AS bx, (y - y % 20) AS by FROM pos),
       |bgx AS (SELECT bx, by, UNNEST(range(bx, bx + 20)) AS x FROM blocks),
-      |bg AS (SELECT bx, by, x, UNNEST(range(by, by + 20)) AS y FROM bgx)""".stripMargin)(
+      |bg AS (SELECT bx, by, x, UNNEST(range(by, by + 20)) AS y FROM bgx)""".stripMargin
+
+  val a11Sql: String = withCtes(false, GeoDerive.cellsCte, GeoDerive.positivesCte,
+    imageryBlockCtes)(
     """SELECT g.bx, g.by, g.x, g.y, (c.x IS NOT NULL) AS existed
       |FROM bg g LEFT JOIN cells c ON g.x = c.x AND g.y = c.y
       |ORDER BY g.bx, g.by, g.x, g.y""".stripMargin)
@@ -411,12 +423,7 @@ object GeoQueries {
          |  CAST(s.cx2 AS BIGINT) AS cx2, CAST(s.cy2 AS BIGINT) AS cy2,
          |  CAST(s.px AS BIGINT) AS px, CAST(s.py AS BIGINT) AS py
          |FROM (
-         |  SELECT c.x, c.y,
-         |    round(sqrt((c.x - t.cx) * (c.x - t.cx) + (c.y - t.cy) * (c.y - t.cy)), 6) AS centroid_distance,
-         |    c.poly
-         |  FROM cells c JOIN cent t USING (poly)
-         |  ORDER BY poly, centroid_distance, x, y
-         |  LIMIT 400
+         |$inferenceBatchSql
          |) t
          |CROSS JOIN (VALUES ${rows.mkString(", ")}) s(i, cx1, cy1, cx2, cy2, px, py)
          |ORDER BY x, y, i""".stripMargin)
@@ -448,11 +455,7 @@ object GeoQueries {
       s"""SELECT poly, x, y, (${terms.mkString(" + ")}) / 9000.0 AS softmax,
          |  TRUE AS inference_ran
          |FROM (
-         |  SELECT c.poly, c.x, c.y,
-         |    round(sqrt((c.x - t.cx) * (c.x - t.cx) + (c.y - t.cy) * (c.y - t.cy)), 6) AS centroid_distance
-         |  FROM cells c JOIN cent t USING (poly)
-         |  ORDER BY poly, centroid_distance, x, y
-         |  LIMIT 400
+         |$inferenceBatchSql
          |)
          |ORDER BY x, y""".stripMargin)
   }
@@ -493,18 +496,9 @@ object GeoQueries {
   }
 
   val a21Sql: String = withCtes(false, (Seq(GeoDerive.cellsCte, GeoDerive.positivesCte,
-    """blocks AS (SELECT DISTINCT (x - x % 20) AS bx, (y - y % 20) AS by FROM pos),
-      |bgx AS (SELECT bx, by, UNNEST(range(bx, bx + 20)) AS x FROM blocks),
-      |bg AS (SELECT bx, by, x, UNNEST(range(by, by + 20)) AS y FROM bgx)""".stripMargin,
+    imageryBlockCtes,
     Polygons.bboxCte, Polygons.edgesCte, Polygons.gridCte, Polygons.centroidsCte,
-    """inf AS (
-      |  SELECT c.x, c.y,
-      |    round(sqrt((c.x - t.cx) * (c.x - t.cx) + (c.y - t.cy) * (c.y - t.cy)), 6)
-      |      AS centroid_distance, c.poly
-      |  FROM cells c JOIN cent t USING (poly)
-      |  ORDER BY poly, centroid_distance, x, y
-      |  LIMIT 400
-      |)""".stripMargin)): _*)(
+    s"inf AS (\n$inferenceBatchSql\n)")): _*)(
     s"""SELECT c.x, c.y, c.score, c.w FROM cells c
        |WHERE EXISTS (SELECT 1 FROM bg g WHERE g.x = c.x AND g.y = c.y)
        |  AND NOT EXISTS (SELECT 1 FROM inf i WHERE i.x = c.x AND i.y = c.y)

@@ -72,6 +72,22 @@ class GeoJsonSpec extends SparkTestBase {
     assert(flat(1).getSeq[org.apache.spark.sql.Row](2).head.getDouble(0) == 20.0)
   }
 
+  test("a supported geometry with unparseable coordinates fails loudly, not silently") {
+    val dir = Files.createTempDirectory("graft-geojson-bad")
+    val p = dir.resolve("bad.geojson")
+    Files.writeString(p,
+      """{"type": "FeatureCollection", "features": [
+        |  {"type": "Feature", "properties": {"name": "broken"},
+        |   "geometry": {"type": "Polygon", "coordinates": "not-an-array"}}
+        |]}""".stripMargin)
+    val e = intercept[Exception] {
+      GeoJson.readPolygonRings(spark, p.toString).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("unparseable GeoJSON coordinates")))
+  }
+
   test("writeChallengeLines emits one GeoJSON document per line") {
     val out = Files.createTempDirectory("graft-mr").resolve("challenge").toString
     val df = graft.tiles.GeoQueries.a14TileGeojson(spark, sf).select("geojson").limit(20)
