@@ -30,7 +30,8 @@ object Pipeline {
 
   final case class Result(
       searchTiles: Long, scored: Long, positives: Long,
-      clusters: Long, unmappedClusters: Long, challengeLines: Long)
+      clusters: Long, unmappedClusters: Long, challengeLines: Long,
+      clusteredChallengeLines: Long)
 
   def runEntireProcess(spark: SparkSession, dir: String, outDir: String): Result = {
     // 1. polygon grid enumeration (process_city_shapes.py:146-171)
@@ -48,6 +49,11 @@ object Pipeline {
       .join(keep.select("x", "y"), Seq("x", "y"), "left_semi")
       .select("geojson")
     GeoJson.writeChallengeLines(lines, s"$outDir/challenge")
+    // 6. clustered variant: one challenge document per unmapped cluster
+    // with its assembled outline rings (maproulette.py:36-66,91-99)
+    GeoJson.writeChallengeLines(
+      GeoQueries.clusteredChallenge(spark, dir).select("geojson"),
+      s"$outDir/challenge_clustered")
 
     Result(
       searchTiles = grid.count(),
@@ -55,6 +61,7 @@ object Pipeline {
       positives = GeoDerive.positives(spark, dir).count(),
       clusters = clusters.select("cluster_id").distinct().count(),
       unmappedClusters = unmapped.count(),
-      challengeLines = spark.read.text(s"$outDir/challenge").count())
+      challengeLines = spark.read.text(s"$outDir/challenge").count(),
+      clusteredChallengeLines = spark.read.text(s"$outDir/challenge_clustered").count())
   }
 }

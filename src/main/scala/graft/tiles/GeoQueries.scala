@@ -568,6 +568,38 @@ object GeoQueries {
        |FROM bcr
        |ORDER BY x, y""".stripMargin)
 
+  // --------------------------------------------------- clustered challenge
+  /** One MapRoulette challenge document per unmapped cluster with its
+    * ASSEMBLED outline polygon (create_clustered_maproulette_geojson,
+    * maproulette.py:36-66,91-99): a15's boundary edge set → Outline ring
+    * chaining (outer CCW first, holes CW after) → lon/lat vertices →
+    * one GeoJSON FeatureCollection line. Not driver-oracle-checked (ring
+    * chaining has no SQL twin); PipelineSpec covers it.
+    */
+  def clusteredChallenge(spark: SparkSession, dir: String): DataFrame = {
+    val unmapped = a13SpatialAntijoin(spark, dir).select("cluster_id")
+    val edges = a15ClusterOutline(spark, dir)
+      .join(unmapped, Seq("cluster_id"), "left_semi")
+    def lon(c: Column) = colToLon(c + lit(TX), center = false)
+    def lat(c: Column) = rowToLat(c + lit(TY), center = false)
+    Outline.assembleRings(edges).toDF()
+      .withColumn("pts", arrays_zip(col("xs"), col("ys")))
+      // GeoJSON rings are explicitly closed: repeat the first vertex
+      .withColumn("pts", concat(col("pts"), slice(col("pts"), 1, 1)))
+      .withColumn("ring_json", concat(lit("["),
+        array_join(transform(col("pts"), p =>
+          format_string("[%.6f, %.6f]", lon(p("xs")), lat(p("ys")))), ", "),
+        lit("]")))
+      .groupBy("cluster_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("ring_idx"), col("ring_json")))),
+          r => r("ring_json")), ", ").as("rings_json"))
+      .select(col("cluster_id"), format_string(
+        """{"type": "FeatureCollection", "features": [{"type": "Feature", "properties": {"cluster_id": %d}, "geometry": {"type": "Polygon", "coordinates": [%s]}}]}""",
+        col("cluster_id"), col("rings_json")).as("geojson"))
+      .orderBy("cluster_id")
+  }
+
   /** All A-block entries for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a21_tile_batch" -> (a21TileBatch _),

@@ -16,5 +16,13 @@ class PipelineSpec extends SparkTestBase {
     assert(r.challengeLines <= r.positives)
     val first = spark.read.text(s"$out/challenge").head.getString(0)
     assert(first.contains("\"prediction_confidence\""))
+    // clustered variant: exactly one document per unmapped cluster, each
+    // a parseable FeatureCollection with a closed polygon ring
+    assert(r.clusteredChallengeLines == r.unmappedClusters)
+    val cc = spark.read.json(s"$out/challenge_clustered")
+    assert(cc.count() == r.unmappedClusters)
+    val doc = spark.read.text(s"$out/challenge_clustered").head.getString(0)
+    assert(doc.startsWith("{\"type\": \"FeatureCollection\""))
+    assert(doc.contains("\"coordinates\": [["))
   }
 }
