@@ -31,6 +31,20 @@ object ScaleSmoke {
     val ccRows = cc.count()
     println(f"SCALE cc cells=$ccRows components=$nComp ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
+    // --- box anti-join: OSM-scale point set vs 50k cluster boxes — the
+    // a13 shape via ScaleOps.boxAntiJoin (bucket equi-join, no NLJ).
+    t0 = System.nanoTime()
+    val boxes = spark.range(50000).select(col("id"),
+      (col("id") * 7919L % 100000L).as("minx"),
+      (col("id") * 7919L % 100000L + col("id") * 104729L % 64L).as("maxx"),
+      (col("id") * 12347L % 100000L).as("miny"),
+      (col("id") * 12347L % 100000L + col("id") * 31L % 48L).as("maxy"))
+    val points = spark.range(nCells)
+      .select((col("id") * 48271L % 100064L).as("px"), (col("id") * 16807L % 100064L).as("py"))
+    val kept = graft.scale.ScaleOps.boxAntiJoin(boxes, Seq("id"), points, 64L).count()
+    println(f"SCALE boxAntiJoin boxes=50000 points=$nCells kept=$kept " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+
     // --- LSH supernode: nDocs docs, only ~nDocs/1000 distinct texts →
     // massive signature groups, the hot-bucket worst case.
     t0 = System.nanoTime()

@@ -37,6 +37,32 @@ object ScaleOps {
     salted.join(exploded, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Bounding-box containment ANTI-join that never plans a nested loop:
+    * `boxes` (minx/maxx/miny/maxy + `keyCols`) minus every box that
+    * contains a point of `points` (px/py). A direct `between` θ-join
+    * plans as a BroadcastNestedLoopJoin over |boxes|×|points| — fatal
+    * when points are OSM-scale. Instead points are bucketed once by
+    * coarse `bucketW` grid cell, each box explodes over the buckets it
+    * covers (boxes span few buckets when bucketW ≈ typical box size),
+    * candidates meet in a shuffled hash EQUI-join on the bucket, and the
+    * exact test + anti-join run on that small candidate set.
+    */
+  def boxAntiJoin(boxes: DataFrame, keyCols: Seq[String], points: DataFrame,
+      bucketW: Long): DataFrame = {
+    require(bucketW > 0, "bucketW must be positive")
+    val pts = points.select(col("px"), col("py"),
+      expr(s"px div $bucketW").as("bx"), expr(s"py div $bucketW").as("by"))
+    val hit = boxes
+      .withColumn("bx", explode(sequence(expr(s"minx div $bucketW"), expr(s"maxx div $bucketW"))))
+      .withColumn("by", explode(sequence(expr(s"miny div $bucketW"), expr(s"maxy div $bucketW"))))
+      .join(pts, Seq("bx", "by"))
+      .filter(col("px").between(col("minx"), col("maxx"))
+        && col("py").between(col("miny"), col("maxy")))
+      .select(keyCols.map(col): _*)
+      .distinct()
+    boxes.join(hit, keyCols, "left_anti")
+  }
+
   /** Write `df` as a bucketed+sorted table so subsequent equi-joins and
     * aggregations on `bucketCols` skip their shuffle entirely (the scan
     * reports the bucket hash-partitioning to Catalyst). This is the

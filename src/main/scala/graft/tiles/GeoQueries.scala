@@ -226,28 +226,18 @@ object GeoQueries {
   /** Drop clusters containing an existing OSM node
     * (maproulette.py:69-83). The containment test is NOT a θ-join (that
     * plans as a BroadcastNestedLoopJoin over |boxes|×|nodes| — OSM has
-    * millions of solar nodes, so at scale that's a straggler): nodes are
-    * bucketed once by coarse grid cell, each bbox explodes over the
-    * buckets it covers, candidates meet in a shuffled hash EQUI-join on
-    * the bucket, and the exact `between` test + anti-join run on that
-    * (tiny) candidate set only.
+    * millions of solar nodes, so at scale that's a straggler): it's the
+    * audited coarse-grid bucket equi-join in
+    * [[graft.scale.ScaleOps.boxAntiJoin]], smoke-tested at 2M points.
     */
   def a13SpatialAntijoin(spark: SparkSession, dir: String): DataFrame = {
     val cc = Clustering.componentsFor(spark, dir)
     val boxes = cc.groupBy("cluster_id")
       .agg(min("x").as("minx"), max("x").as("maxx"),
         min("y").as("miny"), max("y").as("maxy"), count(lit(1)).as("n_tiles"))
-    val nds = GeoDerive.nodes(spark, dir).select("nx", "ny").distinct()
-      .withColumn("bx", expr(s"nx div $BucketW"))
-      .withColumn("by", expr(s"ny div $BucketW"))
-    val hit = boxes
-      .withColumn("bx", explode(sequence(expr(s"minx div $BucketW"), expr(s"maxx div $BucketW"))))
-      .withColumn("by", explode(sequence(expr(s"miny div $BucketW"), expr(s"maxy div $BucketW"))))
-      .join(nds, Seq("bx", "by"))
-      .filter(col("nx").between(col("minx"), col("maxx"))
-        && col("ny").between(col("miny"), col("maxy")))
-      .select("cluster_id").distinct()
-    boxes.join(hit, Seq("cluster_id"), "left_anti")
+    val nds = GeoDerive.nodes(spark, dir)
+      .select(col("nx").as("px"), col("ny").as("py")).distinct()
+    graft.scale.ScaleOps.boxAntiJoin(boxes, Seq("cluster_id"), nds, BucketW)
       .orderBy("cluster_id")
   }
 
