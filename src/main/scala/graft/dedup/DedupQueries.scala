@@ -259,13 +259,65 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C19
+  /** Near-dup cluster collapse threshold: pairs at or above this exact
+    * Jaccard are merged. High, because the synthetic corpus's shared
+    * vocabulary puts even unrelated docs around 0.6.
+    */
+  val CollapseJaccard = 0.9
+
+  /** C19: collapse the near-duplicate graph into canonical clusters —
+    * the final step of every at-scale dedup pipeline (pairs alone don't
+    * dedupe; transitive closure does). Edges = C7's exact-Jaccard
+    * re-ranked candidates ≥ [[CollapseJaccard]]; components via the
+    * generic [[GraphCC]] pointer-jumping loop; every document maps to
+    * the min doc_id of its cluster (singletons map to themselves), so
+    * `keep = (doc_id == canonical_id)` is the dedup filter.
+    */
+  def c19DedupCollapse(spark: SparkSession, dir: String): DataFrame = {
+    val edges = c7NgramJaccard(spark, dir)
+      .filter(col("jaccard") >= CollapseJaccard)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val vertices = Tables(spark, dir, "documents").select(col("doc_id").as("id"))
+    GraphCC.connectedComponents(vertices, edges)
+      .select(col("id").as("doc_id"), col("cluster_id").as("canonical_id"))
+      .withColumn("keep", col("doc_id") === col("canonical_id"))
+      .orderBy("doc_id")
+  }
+
+  val c19Sql: String =
+    s"""WITH RECURSIVE ${bandRowsCtes.mkString(",\n")},
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+       |),
+       |sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents),
+       |jac AS (
+       |  SELECT c.doc_a, c.doc_b FROM cand c
+       |  JOIN sets x ON x.doc_id = c.doc_a
+       |  JOIN sets y ON y.doc_id = c.doc_b
+       |  WHERE round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(x.s, y.s))), 6) >= $CollapseJaccard
+       |),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM jac
+       |      UNION ALL SELECT doc_b, doc_a FROM jac),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id
+       |)
+       |SELECT id AS doc_id, MIN(lbl) AS canonical_id, id = MIN(lbl) AS keep
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c6_minhash_lsh" -> (c6MinhashLsh _),
     "c7_ngram_jaccard" -> (c7NgramJaccard _),
-    "c8_simhash" -> (c8Simhash _))
+    "c8_simhash" -> (c8Simhash _),
+    "c19_dedup_collapse" -> (c19DedupCollapse _))
 
   val oracles: Map[String, String] = Map(
     "c6_minhash_lsh" -> c6Sql,
     "c7_ngram_jaccard" -> c7Sql,
-    "c8_simhash" -> c8Sql)
+    "c8_simhash" -> c8Sql,
+    "c19_dedup_collapse" -> c19Sql)
 }

@@ -72,4 +72,26 @@ class DedupQueriesSpec extends SparkTestBase {
     assert(s.filter(col("hamming") > DedupQueries.HammingMax.toLong
       || col("hamming") < 0).count() == 0)
   }
+
+  test("GraphCC: chain collapses to one min-labeled component, isolate stays alone") {
+    import spark.implicits._
+    val vertices = Seq(10L, 20L, 30L, 40L, 99L).toDF("id")
+    val edges = Seq((20L, 10L), (20L, 30L), (40L, 30L)).toDF("src", "dst")
+    val got = graft.dedup.GraphCC.connectedComponents(vertices, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L, 99L -> 99L))
+  }
+
+  test("c19 collapse: every doc maps into its cluster, canonicals keep themselves") {
+    val c = DedupQueries.c19DedupCollapse(spark, sf)
+    assert(c.count() == Tables(spark, sf, "documents").count())
+    assert(c.filter(col("canonical_id") > col("doc_id")).count() == 0)
+    // the canonical of every cluster is itself kept
+    val canonicals = c.select(col("canonical_id").as("doc_id")).distinct()
+    val keptCanonicals = c.filter(col("keep")).select("doc_id")
+    assert(canonicals.exceptAll(keptCanonicals).count() == 0)
+    // collapsing removed at least the exact duplicates c1 finds
+    val kept = c.filter(col("keep")).count()
+    assert(kept <= graft.text.TextQueries.c1DedupExact(spark, sf).count())
+  }
 }
