@@ -1,0 +1,40 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, Tables}
+import graft.dedup.MinHashLsh.shingleHashes
+
+/** Dev tool: stage-by-stage timing of the C19 collapse at an SF dir. */
+object C19Profile {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local()
+    def time[T](what: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[c19] $what ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val docs = Tables(spark, dir, "documents")
+    val classes = docs.groupBy("text").agg(min("doc_id").as("rep"))
+    val reps = time("reps checkpoint")(
+      classes.select(col("rep").as("doc_id"), col("text")).localCheckpoint(true))
+    val pairs = time("candidatePairsFor(reps) build + count") {
+      val p = DedupQueries.candidatePairsForProfile(reps)
+      println(s"[c19] pairs=${p.count()}")
+      p
+    }
+    val sets = reps.select(col("doc_id"), array_distinct(shingleHashes(col("text"))).as("s"))
+    time("jaccard filter count") {
+      val n = pairs.select("doc_a", "doc_b")
+        .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+        .filter(round(size(array_intersect(col("sa"), col("sb"))).cast("double")
+          / size(array_union(col("sa"), col("sb"))), 6) >= DedupQueries.CollapseJaccard)
+        .count()
+      println(s"[c19] edges>=0.9: $n")
+    }
+    spark.stop()
+  }
+}

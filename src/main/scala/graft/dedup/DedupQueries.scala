@@ -115,7 +115,18 @@ object DedupQueries {
     * number of bands whose hashes agree.
     */
   private def candidatePairs(spark: SparkSession, dir: String): DataFrame =
-    candCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+    candCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      candidatePairsFor(Tables(spark, dir, "documents")))
+
+  /** Dev-profiling access to [[candidatePairsFor]]. */
+  private[dedup] def candidatePairsForProfile(docs: DataFrame): DataFrame =
+    candidatePairsFor(docs)
+
+  /** Supernode candidate generation over any (doc_id, text) frame —
+    * shared by the whole-corpus C6/C7 path and C19's
+    * representatives-only path.
+    */
+  private def candidatePairsFor(docs: DataFrame): DataFrame = {
       val bhCols = (0 until Bands).map(bn => s"bh$bn")
       // The ONE materialization: tokenize + 16 minhash perms is the
       // expensive map-side pass, and everything downstream (groups,
@@ -124,7 +135,7 @@ object DedupQueries {
       // cheap recomputes from the cached blocks, so they stay lazy and
       // fuse into the consuming job instead of forming a serial job
       // chain (three extra checkpoints here used to serialize ≥6 jobs).
-      val sigs = Tables(spark, dir, "documents")
+      val sigs = docs
         .select(col("doc_id"), shingleHashes(col("text")).as("ths"))
         .select(col("doc_id"), signature(col("ths")).as("sig"))
         .select(col("doc_id") +: (0 until Bands).map(bn =>
@@ -156,7 +167,7 @@ object DedupQueries {
         .select(least(col("da"), col("db")).as("doc_a"),
           greatest(col("da"), col("db")).as("doc_b"), col("n_bands"))
       intra.union(cross)
-    })
+  }
 
   def c6MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     candidatePairs(spark, dir).orderBy("doc_a", "doc_b")
@@ -268,18 +279,54 @@ object DedupQueries {
 
   /** C19: collapse the near-duplicate graph into canonical clusters —
     * the final step of every at-scale dedup pipeline (pairs alone don't
-    * dedupe; transitive closure does). Edges = C7's exact-Jaccard
-    * re-ranked candidates ≥ [[CollapseJaccard]]; components via the
-    * generic [[GraphCC]] pointer-jumping loop; every document maps to
-    * the min doc_id of its cluster (singletons map to themselves), so
-    * `keep = (doc_id == canonical_id)` is the dedup filter.
+    * dedupe; transitive closure does). Semantics: transitive closure of
+    * the LSH-candidate pairs whose exact Jaccard — over the distinct
+    * SHINGLE-HASH sets, i.e. precisely the sets whose similarity the
+    * MinHash signatures estimate — is ≥ [[CollapseJaccard]]; every
+    * document maps to the min doc_id of its component (singletons to
+    * themselves), so `keep = (doc_id == canonical_id)` is the dedup
+    * filter.
+    *
+    * Computed with EXACT-DUP STAR COMPRESSION (the shape every big
+    * dedup pipeline uses — exact dedup before near-dedup): identical
+    * text ⇒ identical token set ⇒ identical signature ⇒ an LSH
+    * candidate pair with Jaccard 1, so the closure over all docs equals,
+    * component for component, the closure over one representative per
+    * distinct text plus doc→rep star edges. Candidate generation and the
+    * quadratic-ish pair Jaccard then run over |distinct texts| docs, not
+    * |docs| — on a dup-heavy corpus that's orders of magnitude less work
+    * with bit-identical results (the driver oracle closes over the FULL
+    * pair graph and must agree).
     */
   def c19DedupCollapse(spark: SparkSession, dir: String): DataFrame = {
-    val edges = c7NgramJaccard(spark, dir)
-      .filter(col("jaccard") >= CollapseJaccard)
+    val docs = Tables(spark, dir, "documents")
+    val classes = docs.groupBy("text").agg(min("doc_id").as("rep"))
+    val stars = docs.select(col("doc_id"), col("text")).join(classes, "text")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("src"), col("rep").as("dst"))
+    val reps = classes.select(col("rep").as("doc_id"), col("text")).localCheckpoint(true)
+    // Jaccard in the SHINGLE-HASH space (long arrays — the exact set
+    // the MinHash signatures estimate; primitive intersects are several
+    // times cheaper than string sets at ~10M candidate scorings), with
+    // the size-ratio prefilter J≥t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|)
+    // (A∩B⊆A and A∪B⊇B give |A| ≥ 0.9·max) — a pure pushdown that skips
+    // the array work for obviously-too-different pairs. Sets broadcast:
+    // they're one row per distinct text.
+    val sets = reps.select(col("doc_id"),
+        array_distinct(shingleHashes(col("text"))).as("s"))
+      .withColumn("ns", size(col("s")))
+    val repEdges = candidatePairsFor(reps).select("doc_a", "doc_b")
+      .join(broadcast(sets.select(col("doc_id").as("doc_a"),
+        col("s").as("sa"), col("ns").as("na"))), "doc_a")
+      .join(broadcast(sets.select(col("doc_id").as("doc_b"),
+        col("s").as("sb"), col("ns").as("nb"))), "doc_b")
+      .filter(least(col("na"), col("nb")).cast("double")
+        >= lit(CollapseJaccard) * greatest(col("na"), col("nb")))
+      .filter(round(size(array_intersect(col("sa"), col("sb"))).cast("double")
+        / size(array_union(col("sa"), col("sb"))), 6) >= CollapseJaccard)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val vertices = Tables(spark, dir, "documents").select(col("doc_id").as("id"))
-    GraphCC.connectedComponents(vertices, edges)
+    val vertices = docs.select(col("doc_id").as("id"))
+    GraphCC.connectedComponents(vertices, repEdges.union(stars))
       .select(col("id").as("doc_id"), col("cluster_id").as("canonical_id"))
       .withColumn("keep", col("doc_id") === col("canonical_id"))
       .orderBy("doc_id")
@@ -291,7 +338,7 @@ object DedupQueries {
        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
        |),
-       |sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents),
+       |sets AS (SELECT doc_id, list_distinct($shingleHashesSql) AS s FROM documents),
        |jac AS (
        |  SELECT c.doc_a, c.doc_b FROM cand c
        |  JOIN sets x ON x.doc_id = c.doc_a

@@ -26,15 +26,24 @@ object GraphCC {
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxIter: Int = 40): DataFrame = {
-    // undirected, deduped edge list, materialized once for the loop
-    val und = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    def stamp(what: String): Unit =
+      if (debug) System.err.println(s"[gcc] $what t=${System.nanoTime() / 1e9}")
+    stamp("start")
+    // undirected, deduped edge list. The input is sealed FIRST — the
+    // union's two branches would otherwise each evaluate the (possibly
+    // expensive) edge-derivation subtree.
+    val e0 = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val und = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
+    stamp(s"edges materialized")
     var labels = vertices.select(col("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint(true)
+    stamp("labels")
     def lblSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
@@ -67,6 +76,7 @@ object GraphCC {
       prevSum = s
       labels = next
       iter += 1
+      stamp(s"round $iter done=$done")
     }
     labels.withColumnRenamed("lbl", "cluster_id")
   }
