@@ -25,13 +25,16 @@ object C19Profile {
       println(s"[c19] pairs=${p.count()}")
       p
     }
-    val sets = reps.select(col("doc_id"), array_distinct(shingleHashes(col("text"))).as("s"))
-    time("jaccard filter count") {
+    val sets = reps.select(col("doc_id"),
+        array_sort(array_distinct(shingleHashes(col("text")))).as("s"))
+      .withColumn("ns", size(col("s")))
+    time("jaccard filter count (sorted merge)") {
       val n = pairs.select("doc_a", "doc_b")
-        .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
-        .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
-        .filter(round(size(array_intersect(col("sa"), col("sb"))).cast("double")
-          / size(array_union(col("sa"), col("sb"))), 6) >= DedupQueries.CollapseJaccard)
+        .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa"), col("ns").as("na")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb"), col("ns").as("nb")), "doc_b")
+        .withColumn("inter", graft.functions.sets.sorted_intersect_count(col("sa"), col("sb")))
+        .filter(round(col("inter").cast("double")
+          / (col("na") + col("nb") - col("inter")).cast("double"), 6) >= DedupQueries.CollapseJaccard)
         .count()
       println(s"[c19] edges>=0.9: $n")
     }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.sets.sorted_intersect_count
 import graft.text.TextQueries.{tokenHash, tokenHashSql, tokens}
 
 /** SURVEY.md §2 block C6–C8: near-duplicate detection over `documents`.
@@ -306,14 +307,19 @@ object DedupQueries {
       .select(col("doc_id").as("src"), col("rep").as("dst"))
     val reps = classes.select(col("rep").as("doc_id"), col("text")).localCheckpoint(true)
     // Jaccard in the SHINGLE-HASH space (long arrays — the exact set
-    // the MinHash signatures estimate; primitive intersects are several
-    // times cheaper than string sets at ~10M candidate scorings), with
-    // the size-ratio prefilter J≥t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|)
-    // (A∩B⊆A and A∪B⊇B give |A| ≥ 0.9·max) — a pure pushdown that skips
-    // the array work for obviously-too-different pairs. Sets broadcast:
+    // the MinHash signatures estimate), scored by the native
+    // sorted_intersect_count merge scan: sets are sorted ONCE per
+    // distinct text, then each of the ~10M candidate scorings is one
+    // allocation-free fused loop (array_intersect/array_union build two
+    // hash sets per pair — that generic path measured 19 s at sf0.1
+    // where this one takes ~1 s). |A∪B| = na + nb − |A∩B| since the
+    // sets are distinct, so the Jaccard double is bit-identical to the
+    // intersect/union form the oracle computes. The size-ratio
+    // prefilter J≥t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|) still skips
+    // obviously-too-different pairs before the merge. Sets broadcast:
     // they're one row per distinct text.
     val sets = reps.select(col("doc_id"),
-        array_distinct(shingleHashes(col("text"))).as("s"))
+        array_sort(array_distinct(shingleHashes(col("text")))).as("s"))
       .withColumn("ns", size(col("s")))
     val repEdges = candidatePairsFor(reps).select("doc_a", "doc_b")
       .join(broadcast(sets.select(col("doc_id").as("doc_a"),
@@ -322,8 +328,9 @@ object DedupQueries {
         col("s").as("sb"), col("ns").as("nb"))), "doc_b")
       .filter(least(col("na"), col("nb")).cast("double")
         >= lit(CollapseJaccard) * greatest(col("na"), col("nb")))
-      .filter(round(size(array_intersect(col("sa"), col("sb"))).cast("double")
-        / size(array_union(col("sa"), col("sb"))), 6) >= CollapseJaccard)
+      .withColumn("inter", sorted_intersect_count(col("sa"), col("sb")))
+      .filter(round(col("inter").cast("double")
+        / (col("na") + col("nb") - col("inter")).cast("double"), 6) >= CollapseJaccard)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val vertices = docs.select(col("doc_id").as("id"))
     GraphCC.connectedComponents(vertices, repEdges.union(stars))

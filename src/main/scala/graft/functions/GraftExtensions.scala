@@ -26,5 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[VecNorm2], "vec_norm2",
         "vec_norm2(a) - sum of squares of a float/double array vector"),
       (args: Seq[Expression]) => VecNorm2(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      info(classOf[SortedIntersectCount], "sorted_intersect_count",
+        "sorted_intersect_count(a, b) - |a ∩ b| of two ascending-sorted distinct bigint arrays"),
+      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
   }
 }

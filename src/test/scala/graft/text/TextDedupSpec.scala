@@ -82,6 +82,23 @@ class DedupQueriesSpec extends SparkTestBase {
     assert(got == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L, 99L -> 99L))
   }
 
+  test("GraphCC local union-find and df pointer-jumping agree on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val n = 300
+    val vertices = (0L until n.toLong).toDF("id")
+    val edges = Seq.fill(220)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).toDF("src", "dst")
+    def run(impl: String): Map[Long, Long] = {
+      spark.conf.set("graft.gcc.impl", impl)
+      try graft.dedup.GraphCC.connectedComponents(vertices, edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("graft.gcc.impl")
+    }
+    val local = run("local")
+    assert(local == run("df"))
+    assert(local.size == n)
+  }
+
   test("c19 collapse: every doc maps into its cluster, canonicals keep themselves") {
     val c = DedupQueries.c19DedupCollapse(spark, sf)
     assert(c.count() == Tables(spark, sf, "documents").count())
