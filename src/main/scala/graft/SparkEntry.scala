@@ -29,7 +29,8 @@ object SparkEntry {
     "b5_event_sessions" -> (Queries.eventSessions _),
     "b6_event_windowed" -> (Queries.eventWindowed _),
     "b7_json_extract" -> (Queries.jsonExtract _),
-    "b8_promo_revenue" -> (Queries.promoRevenue _)
+    "b8_promo_revenue" -> (Queries.promoRevenue _),
+    "b9_asof_join" -> (Queries.asofJoin _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -47,6 +48,7 @@ object SparkEntry {
     "b5_event_sessions" -> Queries.eventSessionsSql,
     "b6_event_windowed" -> Queries.eventWindowedSql,
     "b7_json_extract" -> Queries.jsonExtractSql,
-    "b8_promo_revenue" -> Queries.promoRevenueSql
+    "b8_promo_revenue" -> Queries.promoRevenueSql,
+    "b9_asof_join" -> Queries.asofJoinSql
   )
 }

@@ -81,7 +81,10 @@ object EmbedQueries {
     * O(N·B) rows; no broadcast, no NLJ — survives any corpus size that
     * affords the quadratic compute.
     */
-  def c9CosinePairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Unordered over-threshold pair frame — shared by C9 (reported as-is)
+    * and C20 (collapsed into clusters).
+    */
+  private def cosinePairFrame(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorms(spark, dir)
     val blocks = array((0 until CosBlocks).map(lit): _*)
     val l = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("n2").as("na"),
@@ -95,8 +98,10 @@ object EmbedQueries {
       .select(col("vec_a"), col("vec_b"),
         cosine(dot(col("ea"), col("eb")), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= CosThreshold)
-      .orderBy("vec_a", "vec_b")
   }
+
+  def c9CosinePairs(spark: SparkSession, dir: String): DataFrame =
+    cosinePairFrame(spark, dir).orderBy("vec_a", "vec_b")
 
   val c9Sql: String =
     s"""WITH $normsCte
@@ -291,6 +296,46 @@ object EmbedQueries {
        |ORDER BY probe_id, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C20
+  /** C20: SEMANTIC dedup collapse — the embedding-space twin of C19's
+    * lexical collapse, the other near-dup mode an LLM training pipeline
+    * runs (paraphrases and re-encodings that share no n-grams but sit
+    * together in embedding space). Same closure algebra: connected
+    * components over the exact cosine-threshold pair graph (C9's blocked
+    * self-join — no NLJ, no broadcast of the corpus), canonical = min
+    * vec_id of the component, `keep` flags the representative. GraphCC
+    * dispatches local/distributed by edge count, so the operator's scale
+    * path is the C19 one.
+    */
+  def c20SemanticCollapse(spark: SparkSession, dir: String): DataFrame = {
+    val verts = Tables(spark, dir, "embeddings").select(col("vec_id").as("id"))
+    val edges = cosinePairFrame(spark, dir)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    graft.dedup.GraphCC.connectedComponents(verts, edges)
+      .select(col("id").as("vec_id"), col("cluster_id").as("canonical_id"))
+      .withColumn("keep", col("vec_id") === col("canonical_id"))
+      .orderBy("vec_id")
+  }
+
+  val c20Sql: String =
+    s"""WITH RECURSIVE $normsCte,
+       |pairs AS (
+       |  SELECT vec_a, vec_b FROM (
+       |    SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+       |      round(${dotSql("l.embedding", "r.embedding")} / sqrt(l.n2 * r.n2), 6) AS cos
+       |    FROM norms l JOIN norms r ON l.vec_id < r.vec_id
+       |  ) WHERE cos >= $CosThreshold
+       |),
+       |e AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+       |      UNION ALL SELECT vec_b, vec_a FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id
+       |)
+       |SELECT id AS vec_id, MIN(lbl) AS canonical_id, id = MIN(lbl) AS keep
+       |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- C17
   /** Embedding dimensionality of the `embeddings` testdata (also baked
     * into the C11 hyperplane family).
@@ -344,12 +389,14 @@ object EmbedQueries {
     "c10_ann_bruteforce" -> (c10AnnBruteforce _),
     "c11_ann_lsh" -> (c11AnnLsh _),
     "c17_normalize" -> (c17Normalize _),
-    "c18_ann_ivf" -> (c18AnnIvf _))
+    "c18_ann_ivf" -> (c18AnnIvf _),
+    "c20_semantic_collapse" -> (c20SemanticCollapse _))
 
   val oracles: Map[String, String] = Map(
     "c9_cosine_pairs" -> c9Sql,
     "c10_ann_bruteforce" -> c10Sql,
     "c11_ann_lsh" -> c11Sql,
     "c17_normalize" -> c17Sql,
-    "c18_ann_ivf" -> c18Sql)
+    "c18_ann_ivf" -> c18Sql,
+    "c20_semantic_collapse" -> c20Sql)
 }

@@ -261,4 +261,54 @@ object Queries {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_type
       |ORDER BY p_type""".stripMargin
+
+  /** B9: as-of join — attribute every `error` event to the same user's
+    * most recent `click` at-or-before it (inner as-of semantics: errors
+    * with no prior click drop out). Spark has no ASOF JOIN operator and
+    * the naive `c.ts <= e.ts` θ-join plans as a nested loop, so this is
+    * the scalable union+window re-expression: tag both sides, union,
+    * and carry the last non-null click forward per user with
+    * `last(_, ignoreNulls)` over a running row frame. ONE shuffle on
+    * user_id and a linear per-user scan — no range explosion, no NLJ —
+    * which is exactly how an as-of join should run on 100 TB of events
+    * (the sort is Tungsten's spillable window sort, and users are
+    * high-cardinality so partitions stay balanced). Clicks sort before
+    * errors at equal ts (tag 0 < 1) so a click AT the error's timestamp
+    * counts; (user_id, ts) is unique in the testdata, and event_id is
+    * the final total-order tiebreaker.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsWithUs(spark, dir) // us = epoch micros (B5's shape)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us"), lit(0).as("tag"), col("event_id"),
+        col("event_id").as("c_id"), col("us").as("c_us"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("us"), lit(1).as("tag"), col("event_id"),
+        lit(null).cast("long").as("c_id"), lit(null).cast("long").as("c_us"))
+    val w = Window.partitionBy("user_id").orderBy("us", "tag", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.union(errors)
+      .withColumn("click_id", last("c_id", ignoreNulls = true).over(w))
+      .withColumn("click_us", last("c_us", ignoreNulls = true).over(w))
+      .filter(col("tag") === 1 && col("click_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("us").as("err_us"),
+        col("click_id"), col("click_us"),
+        (col("us") - col("click_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** DuckDB twin uses its native ASOF JOIN — deterministic because
+    * (user_id, ts) is unique, so "greatest click_ts ≤ err_ts" picks
+    * exactly one row, the same row the window form carries forward.
+    */
+  val asofJoinSql: String =
+    """WITH clicks AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
+      |  FROM events WHERE event_type = 'click'),
+      |errors AS (SELECT event_id, user_id, epoch_us(ts) AS err_us
+      |  FROM events WHERE event_type = 'error')
+      |SELECT e.event_id, e.user_id, e.err_us, c.click_id, c.click_us,
+      |  e.err_us - c.click_us AS gap_us
+      |FROM errors e ASOF JOIN clicks c
+      |  ON e.user_id = c.user_id AND c.click_us <= e.err_us
+      |ORDER BY event_id""".stripMargin
 }

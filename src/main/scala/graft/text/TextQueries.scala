@@ -226,6 +226,55 @@ object TextQueries {
        |FROM documents
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- C21
+  /** TF-IDF top terms per document — the keyword/topic signal feeding
+    * corpus curation and per-domain sampling. Two partial-agg shuffles
+    * (term counts per doc, then doc frequencies per term) + one window
+    * ranked within each doc; the corpus size joins in as a broadcast
+    * 1-row aggregate, never a driver-side constant. idf = ln((N+1)/
+    * (df+1)) (smoothed), computed with the identical double expression
+    * on both engines, rounded only at the end.
+    */
+  val TfidfTopK = 3
+
+  def c21TfidfTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf").cast("double")
+        * log((col("n_docs") + lit(1L)).cast("double") / (col("df") + lit(1L)).cast("double")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TfidfTopK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  val c21Sql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY doc_id, term
+       |), dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+       |SELECT doc_id, term, tf, df, tfidf, rnk FROM (
+       |  SELECT t.doc_id, t.term, t.tf, d.df,
+       |    round(CAST(t.tf AS DOUBLE)
+       |      * ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE)), 6) AS tfidf,
+       |    ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY
+       |      round(CAST(t.tf AS DOUBLE)
+       |        * ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE)), 6) DESC,
+       |      t.term) AS rnk
+       |  FROM tf t JOIN dfreq d ON d.term = t.term CROSS JOIN n
+       |) WHERE rnk <= $TfidfTopK
+       |ORDER BY doc_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_exact" -> (c1DedupExact _),
     "c2_token_count" -> (c2TokenCount _),
@@ -233,7 +282,8 @@ object TextQueries {
     "c4_lang_id" -> (c4LangId _),
     "c5_fingerprint" -> (c5Fingerprint _),
     "c14_vocab_topk" -> (c14VocabTopk _),
-    "c15_length_histogram" -> (c15LengthHistogram _))
+    "c15_length_histogram" -> (c15LengthHistogram _),
+    "c21_tfidf_topk" -> (c21TfidfTopk _))
 
   val oracles: Map[String, String] = Map(
     "c1_dedup_exact" -> c1Sql,
@@ -242,5 +292,6 @@ object TextQueries {
     "c4_lang_id" -> c4Sql,
     "c5_fingerprint" -> c5Sql,
     "c14_vocab_topk" -> c14Sql,
-    "c15_length_histogram" -> c15Sql)
+    "c15_length_histogram" -> c15Sql,
+    "c21_tfidf_topk" -> c21Sql)
 }

@@ -91,4 +91,17 @@ class MultimodalSpec extends SparkTestBase {
     assert(f.filter((col("byte_offset") - 4) % Multimodal.FrameBytes =!= 0).count() == 0)
     assert(f.filter(col("frame_idx") >= col("n_frames")).count() == 0)
   }
+
+  test("c20 semantic collapse: total cover, canonical is min, pairs land together") {
+    val c = EmbedQueries.c20SemanticCollapse(spark, sf)
+    assert(c.count() == Tables(spark, sf, "embeddings").count())
+    assert(c.filter(col("canonical_id") > col("vec_id")).count() == 0)
+    // every over-threshold pair ends up in the same cluster
+    val lbl = c.select(col("vec_id"), col("canonical_id"))
+    val split = EmbedQueries.c9CosinePairs(spark, sf)
+      .join(lbl.select(col("vec_id").as("vec_a"), col("canonical_id").as("ca")), "vec_a")
+      .join(lbl.select(col("vec_id").as("vec_b"), col("canonical_id").as("cb")), "vec_b")
+      .filter(col("ca") =!= col("cb"))
+    assert(split.count() == 0)
+  }
 }

@@ -42,4 +42,24 @@ class RelationalSpec extends SparkTestBase {
     val total = Queries.eventWindowed(spark, sf).agg(sum("n")).head.getLong(0)
     assert(total == Tables(spark, sf, "events").count())
   }
+
+  test("b9 as-of join: click precedes its error, and it is the LATEST such click") {
+    val ev = Tables.eventsWithUs(spark, sf)
+    val r = Queries.asofJoin(spark, sf)
+    assert(r.count() > 0)
+    assert(r.filter(col("gap_us") < 0).count() == 0)
+    // no click of the same user lies strictly between the matched click
+    // and the error (i.e. the match is the most recent prior click)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("other_us"))
+    val skipped = r.join(clicks, "user_id")
+      .filter(col("other_us") > col("click_us") && col("other_us") <= col("err_us"))
+    assert(skipped.count() == 0)
+    // errors with an earlier click are all matched (inner as-of completeness)
+    val expected = ev.filter(col("event_type") === "error").as("e")
+      .join(clicks.as("c"), col("e.user_id") === col("c.user_id")
+        && col("c.other_us") <= col("e.us"), "leftsemi")
+      .count()
+    assert(r.count() == expected)
+  }
 }

@@ -47,6 +47,18 @@ class TextQueriesSpec extends SparkTestBase {
     assert(tfs.zip(tfs.tail).forall { case (a, b) => a >= b })
   }
 
+  test("c21 tfidf: every doc gets TopK ranked terms in non-increasing score order") {
+    val t = TextQueries.c21TfidfTopk(spark, sf)
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(t.select("doc_id").distinct().count() == nDocs)
+    assert(t.filter(col("rnk") < 1 || col("rnk") > TextQueries.TfidfTopK).count() == 0)
+    val disorder = t.withColumn("prev",
+      lag("tfidf", 1).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("rnk")))
+      .filter(col("prev").isNotNull && col("prev") < col("tfidf"))
+    assert(disorder.count() == 0)
+  }
+
   test("c15 histogram conserves the document count") {
     val total = TextQueries.c15LengthHistogram(spark, sf).agg(sum("n_docs")).head.getLong(0)
     assert(total == Tables(spark, sf, "documents").count())
