@@ -58,7 +58,7 @@ object Clustering {
     x * lit(IdShift) + y
 
   /** Above this many distinct cells the DataFrame (Tungsten) loop takes
-    * over from the RDD micro-loop — see [[connectedComponents4]].
+    * over from the single-task union-find — see [[connectedComponents4]].
     */
   val SmallLoopMax = 1000000L
 
@@ -66,18 +66,21 @@ object Clustering {
     * (x, y, cluster_id) where cluster_id = min (x*2^32+y) over the
     * component.
     *
-    * Two interchangeable fixpoint engines, picked by the measured input
-    * size (`graft.cc.impl` forces `rdd` or `df`):
-    *  - small labeled sets are LATENCY-bound — per-round Catalyst
-    *    planning/AQE stage scheduling dwarfs the compute — so a
-    *    co-partitioned RDD micro-loop (narrow joins, no re-planning)
-    *    wins ~2×;
+    * Three interchangeable engines, picked by the measured input size
+    * (`graft.cc.impl` forces `local`, `rdd`, or `df`):
+    *  - small labeled sets are LATENCY-bound — ANY per-round scheduling
+    *    dwarfs the compute — so one `mapPartitions` union-find task
+    *    closes them with zero per-round jobs (adjacency stays implicit:
+    *    each id unions with id+1 / id+2^32 when present, so no edge
+    *    list is ever materialized);
+    *  - the RDD micro-loop (narrow co-partitioned joins, no
+    *    re-planning) remains selectable as the middle ground;
     *  - large sets are THROUGHPUT-bound — boxed Tuple2 shuffles and
     *    cogroup hash maps lose to Tungsten's off-heap rows by an order
     *    of magnitude — so the DataFrame loop takes over (measured on a
     *    2M-cell serpentine: DF rounds are ~10× cheaper than RDD rounds).
-    * Both run identical label algebra (neighbor-min + double pointer
-    * jump, ~log4(diameter) rounds) and yield identical labels.
+    * All run identical label algebra (component label = min packed id)
+    * and yield identical labels.
     */
   def connectedComponents4(cells: DataFrame, maxIter: Int = 60): DataFrame = {
     val spark = cells.sparkSession
@@ -85,8 +88,59 @@ object Clustering {
       .distinct().localCheckpoint(true)
     val n = keys.count()
     val impl = spark.conf.getOption("graft.cc.impl")
-      .getOrElse(if (n <= SmallLoopMax) "rdd" else "df")
-    if (impl == "rdd") ccRdd(keys, n, maxIter) else ccDf(keys, maxIter)
+      .getOrElse(if (n <= SmallLoopMax) "local" else "df")
+    impl match {
+      case "local" => ccLocal(keys)
+      case "rdd" => ccRdd(keys, n, maxIter)
+      case _ => ccDf(keys, maxIter)
+    }
+  }
+
+  /** Single-task union-find for small cell sets (see
+    * [[connectedComponents4]]): one `mapPartitions` task builds the id
+    * set, unions each id with its +x/+y neighbors when present (the
+    * −x/−y directions are those same unions seen from the other side),
+    * and resolves labels with path compression, unioning by MIN so the
+    * root IS the component's smallest packed id. Runs on an executor,
+    * not the driver — no collect.
+    */
+  private def ccLocal(keys: DataFrame): DataFrame = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    keys.select((col("x") * lit(IdShift) + col("y")).as("id")).as[Long]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val ids = new java.util.HashSet[Long]()
+        it.foreach(ids.add)
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrDefault(x, x)
+          while (p != x) {
+            val gp = parent.getOrDefault(p, p)
+            parent.put(x, gp)
+            x = p
+            p = gp
+          }
+          x
+        }
+        def union(a: Long, b: Long): Unit = {
+          val ra = find(a)
+          val rb = find(b)
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        ids.forEach { id =>
+          // y+1 stays inside the same x-row iff y+1 < 2^32 (contract:
+          // 0 ≤ y < 2^31, so id+1 can't alias the next row's y=0)
+          if (ids.contains(id + 1L)) union(id, id + 1L)
+          if (ids.contains(id + IdShift)) union(id, id + IdShift)
+        }
+        val out = Iterator.newBuilder[(Long, Long, Long)]
+        ids.forEach(id => out += ((id / IdShift, id % IdShift, find(id))))
+        out.result()
+      }
+      .toDF("x", "y", "cluster_id")
   }
 
   /** RDD micro-loop for small label sets (see [[connectedComponents4]]). */

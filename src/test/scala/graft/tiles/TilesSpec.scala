@@ -57,7 +57,7 @@ class ClusteringSpec extends SparkTestBase {
     assert(got((2097151L, 2097151L)) == 2097151L * Clustering.IdShift + 2097151L)
   }
 
-  test("rdd and df fixpoint engines produce identical labels") {
+  test("local, rdd, and df engines produce identical labels") {
     val pos = GeoDerive.positives(spark, sf)
     def run(impl: String): Seq[(Long, Long, Long)] = {
       spark.conf.set("graft.cc.impl", impl)
@@ -65,9 +65,10 @@ class ClusteringSpec extends SparkTestBase {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
       finally spark.conf.unset("graft.cc.impl")
     }
+    val local = run("local")
     val rdd = run("rdd")
     val df = run("df")
-    assert(rdd.nonEmpty && rdd == df)
+    assert(local.nonEmpty && local == rdd && local == df)
   }
 
   test("diagonal tiles are NOT connected (4-neighbor, run_inference.py:21)") {
