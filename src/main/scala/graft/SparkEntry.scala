@@ -30,7 +30,8 @@ object SparkEntry {
     "b6_event_windowed" -> (Queries.eventWindowed _),
     "b7_json_extract" -> (Queries.jsonExtract _),
     "b8_promo_revenue" -> (Queries.promoRevenue _),
-    "b9_asof_join" -> (Queries.asofJoin _)
+    "b9_asof_join" -> (Queries.asofJoin _),
+    "b10_range_join" -> (Queries.rangeJoin _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -49,6 +50,7 @@ object SparkEntry {
     "b6_event_windowed" -> Queries.eventWindowedSql,
     "b7_json_extract" -> Queries.jsonExtractSql,
     "b8_promo_revenue" -> Queries.promoRevenueSql,
-    "b9_asof_join" -> Queries.asofJoinSql
+    "b9_asof_join" -> Queries.asofJoinSql,
+    "b10_range_join" -> Queries.rangeJoinSql
   )
 }

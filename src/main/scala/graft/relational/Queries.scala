@@ -311,4 +311,51 @@ object Queries {
       |FROM errors e ASOF JOIN clicks c
       |  ON e.user_id = c.user_id AND c.click_us <= e.err_us
       |ORDER BY event_id""".stripMargin
+
+  /** B10 trailing-window width: clicks within the 24 h before an error. */
+  val RangeWindowUs = 86400000000L
+
+  /** B10: range (interval) join — every click of the same user inside
+    * the trailing [[RangeWindowUs]] window before each error. The naive
+    * plan is an equi-join on user_id with the range as a post-join
+    * filter, which is scale-WRONG here even though it avoids a nested
+    * loop: user_id is low-cardinality (150 at sf0.01), so one shuffle
+    * key carries a user's whole history and the hot user becomes a
+    * straggler task. Instead the range dimension is folded INTO the
+    * join key: clicks bucket once by a coarse time cell the width of
+    * the window, each error explodes over the ≤2 cells its window
+    * covers, and the equi-join runs on (user_id, cell) — per-task work
+    * is bounded by events-per-user-per-window however skewed the user
+    * histogram gets (the 1-D analog of ScaleOps.boxAntiJoin's grid
+    * bucketing). Each (error, click) pair meets in exactly one cell —
+    * the click's own — so no post-join dedup is needed.
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsWithUs(spark, dir)
+    val w = lit(RangeWindowUs)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), expr(s"us div $RangeWindowUs").as("cell"),
+        col("event_id").as("click_id"), col("us").as("click_us"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("us").as("err_us"))
+      .withColumn("cell", explode(sequence(
+        expr(s"(err_us - $RangeWindowUs) div $RangeWindowUs"),
+        expr(s"err_us div $RangeWindowUs"))))
+    errors.join(clicks, Seq("user_id", "cell"))
+      .filter(col("click_us").between(col("err_us") - w, col("err_us")))
+      .select(col("event_id"), col("user_id"), col("err_us"),
+        col("click_id"), col("click_us"))
+      .orderBy("event_id", "click_id")
+  }
+
+  val rangeJoinSql: String =
+    s"""WITH clicks AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
+       |  FROM events WHERE event_type = 'click'),
+       |errors AS (SELECT event_id, user_id, epoch_us(ts) AS err_us
+       |  FROM events WHERE event_type = 'error')
+       |SELECT e.event_id, e.user_id, e.err_us, c.click_id, c.click_us
+       |FROM errors e JOIN clicks c
+       |  ON c.user_id = e.user_id
+       |  AND c.click_us BETWEEN e.err_us - $RangeWindowUs AND e.err_us
+       |ORDER BY event_id, click_id""".stripMargin
 }

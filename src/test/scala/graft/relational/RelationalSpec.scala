@@ -62,4 +62,18 @@ class RelationalSpec extends SparkTestBase {
       .count()
     assert(r.count() == expected)
   }
+
+  test("b10 bucketed range join matches the naive theta-join row set exactly") {
+    val ev = Tables.eventsWithUs(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("us").as("click_us"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("us").as("err_us"))
+    val naive = errors.join(clicks, Seq("user_id"))
+      .filter(col("click_us").between(col("err_us") - Queries.RangeWindowUs, col("err_us")))
+      .select("event_id", "user_id", "err_us", "click_id", "click_us")
+    val got = Queries.rangeJoin(spark, sf)
+    assert(got.count() == naive.count())
+    assert(got.exceptAll(naive).count() == 0 && naive.exceptAll(got).count() == 0)
+  }
 }
