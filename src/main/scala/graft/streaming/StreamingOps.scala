@@ -125,6 +125,33 @@ object StreamingOps {
   def userDim(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "customer").select(col("c_custkey"), col("c_mktsegment"))
 
+  // ------------------------------------- D5: stream-stream interval join
+  /** D5: stream-stream INTERVAL join — each error event joined to every
+    * same-user click in the trailing [[graft.relational.Queries.RangeWindowUs]]
+    * window (the streaming twin of the batch B10 range join). Both sides
+    * carry watermarks and the join condition carries the event-time
+    * range, which is what lets Spark bound the join state: click rows
+    * age out once the error-side watermark passes their time + window.
+    * At scale this is THE canonical stream-stream join shape — without
+    * the time bound, state grows without limit.
+    */
+  def intervalJoin(errors: DataFrame, clicks: DataFrame): DataFrame = {
+    val windowUs = graft.relational.Queries.RangeWindowUs
+    val e = errors.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("event_time").as("err_time"))
+      .withWatermark("err_time", WatermarkDelay)
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", WatermarkDelay)
+    e.join(c, col("user_id") === col("c_user_id")
+        && unix_micros(col("click_time")) >= unix_micros(col("err_time")) - lit(windowUs)
+        && col("click_time") <= col("err_time"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("err_time")).as("err_us"),
+        col("click_id"), unix_micros(col("click_time")).as("click_us"))
+  }
+
   /** File-source stream over a DIRECTORY of events parquet files (the
     * shape a real ingest lands: files arriving in a watched directory).
     * `sfDir` is only used to pin the schema from the batch table; the

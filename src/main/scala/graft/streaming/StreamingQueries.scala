@@ -160,15 +160,31 @@ object StreamingQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- D5
+  /** Stream-stream interval join (two independent file-source streams
+    * over the same staged dir), executed with AvailableNow — the single
+    * micro-batch makes the inner-join output exactly the batch range
+    * join, so the oracle is B10's inequality-join SQL verbatim.
+    */
+  def d5StreamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame =
+    runToTable(
+        StreamingOps.intervalJoin(stream(spark, sfDir), stream(spark, sfDir)),
+        "graft_d5_sink", "append")
+      .orderBy("event_id", "click_id")
+
+  val d5Sql: String = graft.relational.Queries.rangeJoinSql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_stream_windowed" -> (d1StreamWindowed _),
     "d2_stream_dedup" -> (d2StreamDedup _),
     "d3_stream_sessions" -> (d3StreamSessions _),
-    "d4_stream_enriched" -> (d4StreamEnriched _))
+    "d4_stream_enriched" -> (d4StreamEnriched _),
+    "d5_stream_interval_join" -> (d5StreamIntervalJoin _))
 
   val oracles: Map[String, String] = Map(
     "d1_stream_windowed" -> d1Sql,
     "d2_stream_dedup" -> d2Sql,
     "d3_stream_sessions" -> d3Sql,
-    "d4_stream_enriched" -> d4Sql)
+    "d4_stream_enriched" -> d4Sql,
+    "d5_stream_interval_join" -> d5Sql)
 }

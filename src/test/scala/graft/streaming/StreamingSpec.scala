@@ -67,6 +67,18 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.exceptAll(got).count() == 0)
   }
 
+  test("D5 stream-stream interval join matches the batch B10 range join exactly") {
+    val got = runToMemory(
+      StreamingOps.intervalJoin(
+        StreamingOps.eventsStream(spark, sf, stagedDir),
+        StreamingOps.eventsStream(spark, sf, stagedDir)),
+      "d5_interval", "append")
+    val b10 = Queries.rangeJoin(spark, sf)
+    assert(got.count() > 0)
+    assert(got.exceptAll(b10).count() == 0)
+    assert(b10.exceptAll(got).count() == 0)
+  }
+
   test("D2 streaming dedup drops nothing on unique ids and is idempotent") {
     val stream = StreamingOps.eventsStream(spark, sf, stagedDir)
     val got = runToMemory(
