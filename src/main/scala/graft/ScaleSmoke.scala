@@ -45,6 +45,29 @@ object ScaleSmoke {
     println(f"SCALE boxAntiJoin boxes=50000 points=$nCells kept=$kept " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")
 
+    // --- bucketed range join: ONE pathological user owns 20% of an
+    // event stream (the skew the (user, time-cell) key exists for) —
+    // the B10 shape; per-task work stays bounded by events-per-window.
+    t0 = System.nanoTime()
+    val nEv = nCells / 2
+    val ev = spark.range(nEv).select(col("id").as("event_id"),
+      when(col("id") % 5L === 0L, 0L).otherwise(col("id") % 997L).as("user_id"),
+      (col("id") * 13007L % 86400000000L * 30L).as("us"),
+      when(col("id") % 2L === 0L, "click").otherwise("error").as("event_type"))
+    val w24 = graft.relational.Queries.RangeWindowUs
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), expr(s"us div $w24").as("cell"),
+        col("event_id").as("click_id"), col("us").as("click_us"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("us").as("err_us"))
+      .withColumn("cell", explode(sequence(
+        expr(s"(err_us - $w24) div $w24"), expr(s"err_us div $w24"))))
+    val nPairs = errors.join(clicks, Seq("user_id", "cell"))
+      .filter(col("click_us").between(col("err_us") - w24, col("err_us")))
+      .count()
+    println(f"SCALE rangeJoin events=$nEv hotUserShare=0.2 pairs=$nPairs " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+
     // --- LSH supernode: nDocs docs, only ~nDocs/1000 distinct texts →
     // massive signature groups, the hot-bucket worst case.
     t0 = System.nanoTime()

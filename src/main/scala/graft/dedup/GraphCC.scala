@@ -104,18 +104,27 @@ object GraphCC {
     labeled
   }
 
+  /** Per-round lineage truncation: executor-local blocks by default
+    * (fast), or a durable `checkpoint` under `graft.gcc.durable=true`
+    * (requires `SparkContext.setCheckpointDir`) so a long cluster run
+    * survives executor loss — same trade Clustering's RDD loop offers
+    * via `graft.cc.durable`.
+    */
+  private def truncate(df: DataFrame, eager: Boolean): DataFrame =
+    if (df.sparkSession.conf.getOption("graft.gcc.durable").contains("true"))
+      df.checkpoint(eager)
+    else df.localCheckpoint(eager)
+
   /** DataFrame pointer-jumping fixpoint for large graphs (class doc). */
   private def ccDf(vertices: DataFrame, e0: DataFrame, maxIter: Int,
       stamp: String => Unit): DataFrame = {
-    val und = e0
+    val und = truncate(e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct(), eager = true)
     stamp("edges materialized")
-    var labels = vertices.select(col("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint(true)
+    var labels = truncate(vertices.select(col("id")).distinct()
+      .withColumn("lbl", col("id")), eager = true)
     stamp("labels")
     def lblSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
@@ -135,15 +144,15 @@ object GraphCC {
         .join(labels.select(col("id").as("src"), col("lbl").as("mlbl")), "src")
         .groupBy("dst").agg(min("mlbl").as("mlbl"))
         .withColumnRenamed("dst", "id")
-      val nmin = labels.join(msgs, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("mlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+      val nmin = truncate(labels.join(msgs, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("mlbl"), col("lbl"))).as("lbl")),
+        eager = true)
       val parents = nmin.select(col("id").as("pid"), col("lbl").as("plbl"))
       def jump(df: DataFrame, tag: String): DataFrame =
         df.as("l").join(parents.as(tag), col("l.lbl") === col(s"$tag.pid"), "left")
           .select(col("l.id").as("id"),
             least(col("l.lbl"), coalesce(col(s"$tag.plbl"), col("l.lbl"))).as("lbl"))
-      val next = jump(jump(nmin, "p1"), "p2").localCheckpoint(false)
+      val next = truncate(jump(jump(nmin, "p1"), "p2"), eager = false)
       val s = lblSum(next)
       done = s.compareTo(prevSum) == 0
       prevSum = s

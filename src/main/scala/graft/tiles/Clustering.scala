@@ -228,8 +228,14 @@ object Clustering {
     */
   private def ccDf(keys: DataFrame, maxIter: Int): DataFrame = {
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
-    var labels = keys.withColumn("lbl", packId(col("x"), col("y")))
-      .localCheckpoint(true)
+    // same durable/local trade the RDD loop offers: graft.cc.durable=true
+    // (+ SparkContext.setCheckpointDir) survives executor loss
+    def truncate(df: DataFrame, eager: Boolean): DataFrame =
+      if (df.sparkSession.conf.getOption("graft.cc.durable").contains("true"))
+        df.checkpoint(eager)
+      else df.localCheckpoint(eager)
+    var labels = truncate(keys.withColumn("lbl", packId(col("x"), col("y"))),
+      eager = true)
     // DECIMAL(38,0) sum: exact and overflow-free to ~1e19 labels. A
     // LongType sum of 2^32-packed ids would exceed 2^63 — and THROW
     // under ANSI mode (the Spark 4 default) — on any realistic
@@ -260,7 +266,7 @@ object Clustering {
         df.as("l").join(parents.as(tag), col("l.lbl") === col(s"$tag.pid"), "left")
           .select(col("l.x").as("x"), col("l.y").as("y"), col("l.id").as("id"),
             least(col("l.lbl"), coalesce(col(s"$tag.plbl"), col("l.lbl"))).as("lbl"))
-      val next = jump(jump(ids, "p1"), "p2").drop("id").localCheckpoint(false)
+      val next = truncate(jump(jump(ids, "p1"), "p2").drop("id"), eager = false)
       val s = lblSum(next)
       done = s.compareTo(prevSum) == 0
       prevSum = s

@@ -109,6 +109,12 @@ class DedupQueriesSpec extends SparkTestBase {
     val local = run("local")
     assert(local == run("df"))
     assert(local.size == n)
+    // durable-checkpoint df variant: same labels, lineage cut to disk
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-gcc-ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    spark.conf.set("graft.gcc.durable", "true")
+    try assert(local == run("df"))
+    finally spark.conf.unset("graft.gcc.durable")
   }
 
   test("c19 collapse: every doc maps into its cluster, canonicals keep themselves") {

@@ -69,6 +69,12 @@ class ClusteringSpec extends SparkTestBase {
     val rdd = run("rdd")
     val df = run("df")
     assert(local.nonEmpty && local == rdd && local == df)
+    // durable-checkpoint df variant: same labels, lineage cut to disk
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    spark.conf.set("graft.cc.durable", "true")
+    try assert(local == run("df"))
+    finally spark.conf.unset("graft.cc.durable")
   }
 
   test("diagonal tiles are NOT connected (4-neighbor, run_inference.py:21)") {
