@@ -275,6 +275,76 @@ object TextQueries {
        |) WHERE rnk <= $TfidfTopK
        |ORDER BY doc_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- C22
+  /** Exact per-language length quantiles (p50/p90/p99 of n_chars) — the
+    * corpus-shape numbers a curation pipeline gates on. EXACT discrete
+    * quantiles via one ranked window per language (value at row
+    * ceil(q·n) in (n_chars, doc_id) order — doc_id only breaks rank
+    * ties; the value at a position is tiebreak-independent). The
+    * per-group sort is Tungsten's spillable window sort, so groups far
+    * larger than memory still work; at 100 TB with huge groups the
+    * approximate t-digest/`approx_percentile` path trades exactness for
+    * a partial-agg shuffle — this operator is the exact gate, sized for
+    * per-group sorts the cluster can afford.
+    */
+  def c22LengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    val wn = Window.partitionBy("lang")
+    def pick(q: Double) =
+      max(when(col("rn") === ceil(lit(q) * col("n")).cast("long"), col("n_chars")))
+    Tables(spark, dir, "documents")
+      .select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy("lang")
+      .agg(max(col("n")).as("n_docs"), pick(0.5).as("p50"),
+        pick(0.9).as("p90"), pick(0.99).as("p99"))
+      .orderBy("lang")
+  }
+
+  val c22Sql: String =
+    """WITH r AS (
+      |  SELECT lang, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents
+      |)
+      |SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+      |  CAST(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN n_chars END) AS BIGINT) AS p50,
+      |  CAST(MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN n_chars END) AS BIGINT) AS p90,
+      |  CAST(MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN n_chars END) AS BIGINT) AS p99
+      |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- C23
+  /** Deterministic train/val/test split — reproducible hash-based
+    * assignment (NEVER rand(): re-runs and late-arriving shards must
+    * land identically), reported as per-(lang, split) doc and token
+    * mass. The split hash is the same explicit affine family as the
+    * dedup hashes (SURVEY §5), keyed on doc_id; 80/10/10. Pure map-side
+    * assignment + one partial-agg shuffle.
+    */
+  def c23SplitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val h = pmod(col("doc_id") * lit(2654435761L) + lit(40503L), lit(100L))
+    Tables(spark, dir, "documents")
+      .withColumn("split",
+        when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("sum_tokens"))
+      .orderBy("lang", "split")
+  }
+
+  val c23Sql: String =
+    """SELECT lang,
+      |  CASE WHEN (doc_id * 2654435761 + 40503) % 100 < 80 THEN 'train'
+      |       WHEN (doc_id * 2654435761 + 40503) % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+      |FROM documents
+      |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_exact" -> (c1DedupExact _),
     "c2_token_count" -> (c2TokenCount _),
@@ -283,7 +353,9 @@ object TextQueries {
     "c5_fingerprint" -> (c5Fingerprint _),
     "c14_vocab_topk" -> (c14VocabTopk _),
     "c15_length_histogram" -> (c15LengthHistogram _),
-    "c21_tfidf_topk" -> (c21TfidfTopk _))
+    "c21_tfidf_topk" -> (c21TfidfTopk _),
+    "c22_length_quantiles" -> (c22LengthQuantiles _),
+    "c23_split_assign" -> (c23SplitAssign _))
 
   val oracles: Map[String, String] = Map(
     "c1_dedup_exact" -> c1Sql,
@@ -293,5 +365,7 @@ object TextQueries {
     "c5_fingerprint" -> c5Sql,
     "c14_vocab_topk" -> c14Sql,
     "c15_length_histogram" -> c15Sql,
-    "c21_tfidf_topk" -> c21Sql)
+    "c21_tfidf_topk" -> c21Sql,
+    "c22_length_quantiles" -> c22Sql,
+    "c23_split_assign" -> c23Sql)
 }

@@ -59,6 +59,23 @@ class TextQueriesSpec extends SparkTestBase {
     assert(disorder.count() == 0)
   }
 
+  test("c22 quantiles are ordered and cover every document") {
+    val q = TextQueries.c22LengthQuantiles(spark, sf)
+    assert(q.filter(col("p50") > col("p90") || col("p90") > col("p99")).count() == 0)
+    assert(q.agg(sum("n_docs")).head.getLong(0) ==
+      Tables(spark, sf, "documents").count())
+  }
+
+  test("c23 split assignment partitions the corpus deterministically") {
+    val s = TextQueries.c23SplitAssign(spark, sf)
+    assert(s.filter(!col("split").isin("train", "val", "test")).count() == 0)
+    assert(s.agg(sum("n_docs")).head.getLong(0) ==
+      Tables(spark, sf, "documents").count())
+    // deterministic: a second run yields the identical frame
+    val s2 = TextQueries.c23SplitAssign(spark, sf)
+    assert(s.exceptAll(s2).count() == 0 && s2.exceptAll(s).count() == 0)
+  }
+
   test("c15 histogram conserves the document count") {
     val total = TextQueries.c15LengthHistogram(spark, sf).agg(sum("n_docs")).head.getLong(0)
     assert(total == Tables(spark, sf, "documents").count())
