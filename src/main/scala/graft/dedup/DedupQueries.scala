@@ -305,7 +305,22 @@ object DedupQueries {
     val stars = docs.select(col("doc_id"), col("text")).join(classes, "text")
       .filter(col("doc_id") =!= col("rep"))
       .select(col("doc_id").as("src"), col("rep").as("dst"))
-    val reps = classes.select(col("rep").as("doc_id"), col("text")).localCheckpoint(true)
+    val textReps = classes.select(col("rep").as("doc_id"), col("text"))
+    // SECOND compression level: distinct texts whose distinct SHINGLE
+    // SETS coincide (word order / multiplicity differ) have Jaccard 1
+    // AND identical minhash signatures — so they are guaranteed LSH
+    // candidates and guaranteed closure edges. Collapse them to one
+    // set-representative before candidate generation: the pair graph
+    // shrinks quadratically in the set-dup rate with bit-identical
+    // components (same star argument as the text level).
+    val setKey = array_sort(array_distinct(shingleHashes(col("text"))))
+    val withSet = textReps.withColumn("s", setKey)
+    val setClasses = withSet.groupBy("s").agg(min("doc_id").as("srep"))
+    val joined = withSet.join(setClasses, "s").localCheckpoint(true)
+    val stars2 = joined.filter(col("doc_id") =!= col("srep"))
+      .select(col("doc_id").as("src"), col("srep").as("dst"))
+    val reps = joined.filter(col("doc_id") === col("srep"))
+      .select(col("doc_id"), col("text"), col("s")).localCheckpoint(true)
     // Jaccard in the SHINGLE-HASH space (long arrays — the exact set
     // the MinHash signatures estimate), scored by the native
     // sorted_intersect_count merge scan: sets are sorted ONCE per
@@ -318,8 +333,7 @@ object DedupQueries {
     // prefilter J≥t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|) still skips
     // obviously-too-different pairs before the merge. Sets broadcast:
     // they're one row per distinct text.
-    val sets = reps.select(col("doc_id"),
-        array_sort(array_distinct(shingleHashes(col("text")))).as("s"))
+    val sets = reps.select(col("doc_id"), col("s"))
       .withColumn("ns", size(col("s")))
     val repEdges = candidatePairsFor(reps).select("doc_a", "doc_b")
       .join(broadcast(sets.select(col("doc_id").as("doc_a"),
@@ -333,7 +347,7 @@ object DedupQueries {
         / (col("na") + col("nb") - col("inter")).cast("double"), 6) >= CollapseJaccard)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val vertices = docs.select(col("doc_id").as("id"))
-    GraphCC.connectedComponents(vertices, repEdges.union(stars))
+    GraphCC.connectedComponents(vertices, repEdges.union(stars).union(stars2))
       .select(col("id").as("doc_id"), col("cluster_id").as("canonical_id"))
       .withColumn("keep", col("doc_id") === col("canonical_id"))
       .orderBy("doc_id")
