@@ -31,7 +31,8 @@ object SparkEntry {
     "b7_json_extract" -> (Queries.jsonExtract _),
     "b8_promo_revenue" -> (Queries.promoRevenue _),
     "b9_asof_join" -> (Queries.asofJoin _),
-    "b10_range_join" -> (Queries.rangeJoin _)
+    "b10_range_join" -> (Queries.rangeJoin _),
+    "b11_rollup_revenue" -> (Queries.rollupRevenue _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -51,6 +52,7 @@ object SparkEntry {
     "b7_json_extract" -> Queries.jsonExtractSql,
     "b8_promo_revenue" -> Queries.promoRevenueSql,
     "b9_asof_join" -> Queries.asofJoinSql,
-    "b10_range_join" -> Queries.rangeJoinSql
+    "b10_range_join" -> Queries.rangeJoinSql,
+    "b11_rollup_revenue" -> Queries.rollupRevenueSql
   )
 }

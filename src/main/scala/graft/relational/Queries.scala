@@ -358,4 +358,43 @@ object Queries {
        |  ON c.user_id = e.user_id
        |  AND c.click_us BETWEEN e.err_us - $RangeWindowUs AND e.err_us
        |ORDER BY event_id, click_id""".stripMargin
+
+  /** B11: ROLLUP — revenue at (year, priority), per-year, and grand
+    * total in ONE pass (Spark expands the grouping sets into a single
+    * partial-agg shuffle; a UNION of three GROUP BYs would scan the
+    * fact three times). Null group keys are coalesced to sentinels and
+    * the grouping id is emitted explicitly, so every output column is a
+    * sortable scalar for the driver's oracle compare (nulls don't
+    * lexsort portably — the c17 lesson).
+    */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    o.select(year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_orderpriority"), cents(col("o_totalprice")).as("price_c"))
+      .rollup("o_year", "o_orderpriority")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+        sum("price_c").as("sum_price_c"))
+      .select(col("gid"),
+        coalesce(col("o_year"), lit(-1L)).as("o_year"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n_orders"), col("sum_price_c"))
+      .orderBy("gid", "o_year", "o_orderpriority")
+  }
+
+  /** DuckDB's GROUPING() returns per-column bits; combined as
+    * 2·g(year)+g(priority) it equals Spark's grouping_id() bit layout.
+    */
+  val rollupRevenueSql: String =
+    """SELECT 2 * GROUPING(o_year) + GROUPING(o_orderpriority) AS gid,
+      |  COALESCE(o_year, -1) AS o_year,
+      |  COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderpriority,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS price_c
+      |  FROM orders
+      |)
+      |GROUP BY ROLLUP (o_year, o_orderpriority)
+      |ORDER BY gid, o_year, o_orderpriority""".stripMargin
 }

@@ -345,6 +345,51 @@ object TextQueries {
       |FROM documents
       |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
 
+  // ---------------------------------------------------------------- C24
+  /** Bigram language-model counts — the n-gram statistics a data
+    * pipeline feeds into contamination checks and perplexity-ish
+    * filters. Adjacent-token pairs come from one `lead` window per doc
+    * (posexplode → lead over (doc_id, pos) — identical construction on
+    * both engines), aggregated into bigram counts joined with unigram
+    * context counts; the conditional probability is exact integer
+    * micro-units. Top [[BigramTopK]] by raw count with a total
+    * tiebreak. Scale shape: the window partitions by doc_id (high
+    * cardinality), both aggs are partial-agg shuffles, and the unigram
+    * join key is the context word.
+    */
+  val BigramTopK = 50
+
+  def c24BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w1")))
+    val pairs = toks
+      .withColumn("w2", lead("w1", 1).over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("w2").isNotNull)
+    val uni = pairs.groupBy(col("w1")).agg(count(lit(1)).as("n_w1"))
+    pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .join(uni, "w1")
+      .withColumn("cond_micro", expr("n_pair * 1000000 div n_w1"))
+      .orderBy(col("n_pair").desc, col("w1"), col("w2"))
+      .limit(BigramTopK)
+  }
+
+  val c24Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+       |    UNNEST(string_split(text, ' ')) AS w1
+       |  FROM documents
+       |), pairs AS (
+       |  SELECT w1, LEAD(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM toks
+       |), pp AS (SELECT w1, w2 FROM pairs WHERE w2 IS NOT NULL),
+       |uni AS (SELECT w1, COUNT(*) AS n_w1 FROM pp GROUP BY w1),
+       |big AS (SELECT w1, w2, COUNT(*) AS n_pair FROM pp GROUP BY w1, w2)
+       |SELECT b.w1, b.w2, b.n_pair, u.n_w1, b.n_pair * 1000000 // u.n_w1 AS cond_micro
+       |FROM big b JOIN uni u ON u.w1 = b.w1
+       |ORDER BY b.n_pair DESC, b.w1, b.w2
+       |LIMIT $BigramTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_exact" -> (c1DedupExact _),
     "c2_token_count" -> (c2TokenCount _),
@@ -355,7 +400,8 @@ object TextQueries {
     "c15_length_histogram" -> (c15LengthHistogram _),
     "c21_tfidf_topk" -> (c21TfidfTopk _),
     "c22_length_quantiles" -> (c22LengthQuantiles _),
-    "c23_split_assign" -> (c23SplitAssign _))
+    "c23_split_assign" -> (c23SplitAssign _),
+    "c24_bigram_lm" -> (c24BigramLm _))
 
   val oracles: Map[String, String] = Map(
     "c1_dedup_exact" -> c1Sql,
@@ -367,5 +413,6 @@ object TextQueries {
     "c15_length_histogram" -> c15Sql,
     "c21_tfidf_topk" -> c21Sql,
     "c22_length_quantiles" -> c22Sql,
-    "c23_split_assign" -> c23Sql)
+    "c23_split_assign" -> c23Sql,
+    "c24_bigram_lm" -> c24Sql)
 }

@@ -63,6 +63,19 @@ class RelationalSpec extends SparkTestBase {
     assert(r.count() == expected)
   }
 
+  test("b11 rollup: per-year totals sum detail rows, grand total covers all orders") {
+    val r = Queries.rollupRevenue(spark, sf).collect()
+    val detail = r.filter(_.getAs[Long]("gid") == 0)
+    val years = r.filter(_.getAs[Long]("gid") == 1)
+    val grand = r.filter(_.getAs[Long]("gid") == 3)
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n_orders") == Tables(spark, sf, "orders").count())
+    assert(detail.map(_.getAs[Long]("sum_price_c")).sum ==
+      grand.head.getAs[Long]("sum_price_c"))
+    assert(years.map(_.getAs[Long]("n_orders")).sum ==
+      grand.head.getAs[Long]("n_orders"))
+  }
+
   test("b10 bucketed range join matches the naive theta-join row set exactly") {
     val ev = Tables.eventsWithUs(spark, sf)
     val clicks = ev.filter(col("event_type") === "click")

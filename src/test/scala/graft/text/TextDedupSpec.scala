@@ -76,6 +76,13 @@ class TextQueriesSpec extends SparkTestBase {
     assert(s.exceptAll(s2).count() == 0 && s2.exceptAll(s).count() == 0)
   }
 
+  test("c24 bigrams: cond_micro <= 1e6, pair counts bounded by context counts") {
+    val b = TextQueries.c24BigramLm(spark, sf)
+    assert(b.count() > 0 && b.count() <= TextQueries.BigramTopK)
+    assert(b.filter(col("cond_micro") > 1000000 || col("cond_micro") < 0).count() == 0)
+    assert(b.filter(col("n_pair") > col("n_w1")).count() == 0)
+  }
+
   test("c15 histogram conserves the document count") {
     val total = TextQueries.c15LengthHistogram(spark, sf).agg(sum("n_docs")).head.getLong(0)
     assert(total == Tables(spark, sf, "documents").count())
