@@ -384,13 +384,61 @@ object EmbedQueries {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------- C28
+  /** Scalar (int8-style) vector quantization — the index-compression
+    * step between C17's normalize and an IVF/HNSW build: per-dimension
+    * global min/max, then code = floor((v − min)·254/(max − min)) ∈
+    * [0, 254]. Two passes over the corpus: a 64-row min/max partial agg
+    * (broadcast back — the codebook never shuffles the corpus) and a
+    * map-side encode, re-aggregated per vector into scalar digest
+    * columns (code sum / min / max) because the driver oracle can't
+    * lexsort an array column. All doubles come from the identical
+    * `(v − mn) * 254.0 / (mx − mn)` expression on both engines; floor is
+    * exact on IEEE-identical inputs. Constant dims (mx = mn) encode 0.
+    */
+  val QSteps = 254.0
+
+  def c28VectorQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"), col("v").cast("double").as("v"))
+    val stats = e.groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+    e.join(broadcast(stats), "dim")
+      .select(col("vec_id"),
+        when(col("mx") > col("mn"),
+          floor((col("v") - col("mn")) * lit(QSteps) / (col("mx") - col("mn"))))
+          .otherwise(lit(0L)).cast("long").as("code"))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_dims"), sum("code").as("code_sum"),
+        min("code").as("code_min"), max("code").as("code_max"))
+      .orderBy("vec_id")
+  }
+
+  val c28Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+       |    CAST(UNNEST(embedding) AS DOUBLE) AS v
+       |  FROM embeddings
+       |), d AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM e GROUP BY dim),
+       |q AS (
+       |  SELECT vec_id,
+       |    CASE WHEN mx > mn
+       |      THEN CAST(floor((v - mn) * $QSteps / (mx - mn)) AS BIGINT)
+       |      ELSE 0 END AS code
+       |  FROM e JOIN d USING (dim)
+       |)
+       |SELECT vec_id, COUNT(*) AS n_dims, CAST(SUM(code) AS BIGINT) AS code_sum,
+       |  MIN(code) AS code_min, MAX(code) AS code_max
+       |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c9_cosine_pairs" -> (c9CosinePairs _),
     "c10_ann_bruteforce" -> (c10AnnBruteforce _),
     "c11_ann_lsh" -> (c11AnnLsh _),
     "c17_normalize" -> (c17Normalize _),
     "c18_ann_ivf" -> (c18AnnIvf _),
-    "c20_semantic_collapse" -> (c20SemanticCollapse _))
+    "c20_semantic_collapse" -> (c20SemanticCollapse _),
+    "c28_vector_quantize" -> (c28VectorQuantize _))
 
   val oracles: Map[String, String] = Map(
     "c9_cosine_pairs" -> c9Sql,
@@ -398,5 +446,6 @@ object EmbedQueries {
     "c11_ann_lsh" -> c11Sql,
     "c17_normalize" -> c17Sql,
     "c18_ann_ivf" -> c18Sql,
-    "c20_semantic_collapse" -> c20Sql)
+    "c20_semantic_collapse" -> c20Sql,
+    "c28_vector_quantize" -> c28Sql)
 }

@@ -152,6 +152,18 @@ object StreamingOps {
         col("click_id"), unix_micros(col("click_time")).as("click_us"))
   }
 
+  // --------------------------------------- D6: running (global) totals
+  /** D6: unwindowed running aggregate per event_type — the live
+    * counters/dashboard shape (complete output mode). State is one row
+    * per event_type regardless of stream length, so no watermark is
+    * needed: this is the one streaming agg whose state does NOT grow
+    * with event time, the complement of D1's windowed/watermarked shape.
+    */
+  def typeTotals(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+
   /** File-source stream over a DIRECTORY of events parquet files (the
     * shape a real ingest lands: files arriving in a watched directory).
     * `sfDir` is only used to pin the schema from the batch table; the

@@ -174,17 +174,32 @@ object StreamingQueries {
 
   val d5Sql: String = graft.relational.Queries.rangeJoinSql
 
+  // ---------------------------------------------------------------- D6
+  /** Running totals per event_type, complete mode — final state after the
+    * AvailableNow replay is exactly the batch GROUP BY.
+    */
+  def d6StreamTotals(spark: SparkSession, sfDir: String): DataFrame =
+    runToTable(StreamingOps.typeTotals(stream(spark, sfDir)), "graft_d6_sink", "complete")
+      .orderBy("event_type")
+
+  val d6Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(value*100.0) AS BIGINT)) AS BIGINT) AS sum_value_c
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_stream_windowed" -> (d1StreamWindowed _),
     "d2_stream_dedup" -> (d2StreamDedup _),
     "d3_stream_sessions" -> (d3StreamSessions _),
     "d4_stream_enriched" -> (d4StreamEnriched _),
-    "d5_stream_interval_join" -> (d5StreamIntervalJoin _))
+    "d5_stream_interval_join" -> (d5StreamIntervalJoin _),
+    "d6_stream_totals" -> (d6StreamTotals _))
 
   val oracles: Map[String, String] = Map(
     "d1_stream_windowed" -> d1Sql,
     "d2_stream_dedup" -> d2Sql,
     "d3_stream_sessions" -> d3Sql,
     "d4_stream_enriched" -> d4Sql,
-    "d5_stream_interval_join" -> d5Sql)
+    "d5_stream_interval_join" -> d5Sql,
+    "d6_stream_totals" -> d6Sql)
 }

@@ -390,6 +390,241 @@ object TextQueries {
        |ORDER BY b.n_pair DESC, b.w1, b.w2
        |LIMIT $BigramTopK""".stripMargin
 
+  // ---------------------------------------------------------------- C25
+  /** PII scan + redaction — the compliance pass every training corpus
+    * takes before anything else. Three pattern classes (email, long digit
+    * run, an entity-mention proxy `customer <word>` that actually occurs
+    * in this corpus) are counted on the raw text and redacted
+    * sequentially (same order both engines — leftmost-first,
+    * non-overlapping in Java regex and RE2 alike), then the redacted text
+    * is re-fingerprinted with the C5 rolling hash so downstream exact
+    * dedup runs on the REDACTED corpus. Pure map-side: counts, replaces
+    * and the fingerprint fold all inline into one codegen stage.
+    */
+  val PiiToken = "_pii_"
+  /** (class name, regex valid in both Java regex and RE2). */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+    "longnum" -> "[0-9]{6,}",
+    "entity" -> "customer [a-z]+")
+
+  def c25PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val redacted = PiiPatterns.foldLeft(col("text")) { case (c, (_, pat)) =>
+      regexp_replace(c, lit(pat), lit(PiiToken))
+    }
+    val counts = PiiPatterns.map { case (name, pat) =>
+      regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$name")
+    }
+    Tables(spark, dir, "documents")
+      .select(col("doc_id") +: counts :+ redacted.as("red"): _*)
+      .select(col("doc_id"), col("n_email"), col("n_longnum"), col("n_entity"),
+        length(col("red")).cast("long").as("redacted_len"),
+        aggregate(transform(tokens(col("red")), tokenHash _), lit(0L),
+          (acc, h) => (acc * lit(FpB) + h) % lit(FpM)).as("redacted_fp"))
+      .orderBy("doc_id")
+  }
+
+  val c25Sql: String = {
+    val red = PiiPatterns.foldLeft("text") { case (c, (_, pat)) =>
+      s"regexp_replace($c, '$pat', '$PiiToken', 'g')"
+    }
+    val counts = PiiPatterns.map { case (name, pat) =>
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$name"
+    }.mkString(",\n    ")
+    s"""WITH r AS (
+       |  SELECT doc_id,
+       |    $counts,
+       |    $red AS red
+       |  FROM documents
+       |)
+       |SELECT doc_id, n_email, n_longnum, n_entity,
+       |  CAST(length(red) AS BIGINT) AS redacted_len,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(red, ' '), w -> ${tokenHashSql("w")})),
+       |    (acc, h) -> (acc * $FpB + h) % $FpM) AS redacted_fp
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- C26
+  /** Per-document repetition signals (the Gopher-style quality gates):
+    * duplicate-token fraction, most-frequent-token count, and
+    * top-bigram mass fraction. Two partial-agg shuffles keyed on doc_id
+    * (+ the token / bigram within), one high-cardinality per-doc lead
+    * window for adjacency — no token list ever collects to one row.
+    * Fractions are exact integer micro-units (SURVEY §5).
+    */
+  def c26Repetition(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+    val uni = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max("cnt").as("top_token_cnt"))
+    val bi = toks
+      .withColumn("w2", lead("w", 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("w2").isNotNull)
+      .groupBy("doc_id", "w", "w2").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_bigrams"), max("cnt").as("top_bigram_cnt"))
+    uni.join(bi, Seq("doc_id"))
+      .withColumn("dup_frac_micro", expr("(n_tokens - n_distinct) * 1000000 div n_tokens"))
+      .withColumn("top_bigram_frac_micro", expr("top_bigram_cnt * 1000000 div n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  val c26Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+      |    UNNEST(string_split(text, ' ')) AS w
+      |  FROM documents
+      |), uni AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
+      |    MAX(cnt) AS top_token_cnt
+      |  FROM (SELECT doc_id, w, COUNT(*) AS cnt FROM toks GROUP BY doc_id, w)
+      |  GROUP BY doc_id
+      |), pairs AS (
+      |  SELECT doc_id, w, LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM toks
+      |), bi AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams, MAX(cnt) AS top_bigram_cnt
+      |  FROM (SELECT doc_id, w, w2, COUNT(*) AS cnt FROM pairs WHERE w2 IS NOT NULL
+      |        GROUP BY doc_id, w, w2)
+      |  GROUP BY doc_id
+      |)
+      |SELECT u.doc_id, n_tokens, n_distinct, top_token_cnt, n_bigrams, top_bigram_cnt,
+      |  (n_tokens - n_distinct) * 1000000 // n_tokens AS dup_frac_micro,
+      |  top_bigram_cnt * 1000000 // n_bigrams AS top_bigram_frac_micro
+      |FROM uni u JOIN bi b USING (doc_id) ORDER BY u.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- C27
+  /** Deterministic sequence packing — assign documents to fixed
+    * token-budget training sequences (contiguous fill in doc_id order
+    * within each source shard). The cumulative sum is one window per
+    * source; shards are bounded (a real pipeline packs per input shard,
+    * never globally), so no single task sees the whole corpus. seq_id /
+    * seq_off are exact integer math — re-runs and backfills land
+    * identically.
+    */
+  val SeqBudget = 2048L
+
+  def c27DocPack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        expr(s"(cum - n_tok) div $SeqBudget").as("seq_id"),
+        expr(s"(cum - n_tok) % $SeqBudget").as("seq_off"))
+      .orderBy("doc_id")
+  }
+
+  val c27Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, source, n_tok,
+       |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM t
+       |)
+       |SELECT doc_id, source, n_tok,
+       |  (cum - n_tok) // $SeqBudget AS seq_id,
+       |  (cum - n_tok) % $SeqBudget AS seq_off
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- C29
+  /** Train/test contamination check — which training docs share a
+    * [[ContamN]]-gram with any held-out test doc (the decontamination
+    * pass every eval suite needs). Splits come from C23's deterministic
+    * hash; n-grams are hashed with the C5 rolling family (screening on
+    * hashes, exactly like production dedup/decontam passes). The test
+    * side reduces to a DISTINCT hash set (tiny vs the corpus — at scale
+    * it's the benchmark suite) and the match is one equi-join on the
+    * hash, never a text comparison. Output: contaminated train docs with
+    * their distinct overlapping-gram count.
+    */
+  val ContamN = 4
+
+  def c29Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val h = pmod(col("doc_id") * lit(2654435761L) + lit(40503L), lit(100L))
+    val grams = Tables(spark, dir, "documents")
+      .withColumn("split",
+        when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= ContamN)
+      .select(col("doc_id"), col("split"),
+        explode(transform(sequence(lit(1), size(col("toks")) - ContamN + 1),
+          i => aggregate(transform(slice(col("toks"), i, lit(ContamN)), tokenHash _),
+            lit(0L), (acc, g) => (acc * lit(FpB) + g) % lit(FpM)))).as("gh"))
+    val test = grams.filter(col("split") === "test").select("gh").distinct()
+    grams.filter(col("split") === "train")
+      .join(test, "gh")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("gh")).as("n_hit"))
+      .orderBy("doc_id")
+  }
+
+  val c29Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN (doc_id * 2654435761 + 40503) % 100 < 80 THEN 'train'
+       |         WHEN (doc_id * 2654435761 + 40503) % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    string_split(text, ' ') AS toks
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, split,
+       |    UNNEST(list_transform(range(1, len(toks) - $ContamN + 2),
+       |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(list_slice(toks, i, i + $ContamN - 1),
+       |               w -> ${tokenHashSql("w")})),
+       |           (acc, h) -> (acc * $FpB + h) % $FpM))) AS gh
+       |  FROM d WHERE len(toks) >= $ContamN
+       |), test AS (SELECT DISTINCT gh FROM g WHERE split = 'test')
+       |SELECT g.doc_id, COUNT(DISTINCT g.gh) AS n_hit
+       |FROM g JOIN test USING (gh) WHERE g.split = 'train'
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- C30
+  /** Domain mixing weights — per-source token mass with a sqrt-tempered
+    * sampling weight (the domain-balancing step before training-set
+    * assembly; sqrt tempering is the classic upweighting of small
+    * domains). Weight is relative to the LARGEST source (max is exact
+    * integer agg, so the only doubles are one sqrt-ratio computed with
+    * the identical expression both sides — never a double SUM, whose
+    * addition order is engine-dependent). One partial-agg shuffle + a
+    * broadcast 1-row max.
+    */
+  def c30DomainMix(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = Tables(spark, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(regexp_count(col("text"), lit("\\S+")).cast("long")).as("sum_tokens"))
+    val mx = bySource.agg(max("sum_tokens").as("max_tokens"))
+    bySource.crossJoin(broadcast(mx))
+      .select(col("source"), col("n_docs"), col("sum_tokens"),
+        floor(sqrt(col("sum_tokens").cast("double")) * lit(1000000.0)
+          / sqrt(col("max_tokens").cast("double"))).cast("long").as("weight_micro"))
+      .orderBy("source")
+  }
+
+  val c30Sql: String =
+    """WITH s AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sum_tokens
+      |  FROM documents GROUP BY source
+      |), m AS (SELECT MAX(sum_tokens) AS max_tokens FROM s)
+      |SELECT source, n_docs, sum_tokens,
+      |  CAST(floor(sqrt(CAST(sum_tokens AS DOUBLE)) * 1000000.0
+      |    / sqrt(CAST(max_tokens AS DOUBLE))) AS BIGINT) AS weight_micro
+      |FROM s CROSS JOIN m ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_exact" -> (c1DedupExact _),
     "c2_token_count" -> (c2TokenCount _),
@@ -401,7 +636,12 @@ object TextQueries {
     "c21_tfidf_topk" -> (c21TfidfTopk _),
     "c22_length_quantiles" -> (c22LengthQuantiles _),
     "c23_split_assign" -> (c23SplitAssign _),
-    "c24_bigram_lm" -> (c24BigramLm _))
+    "c24_bigram_lm" -> (c24BigramLm _),
+    "c25_pii_redact" -> (c25PiiRedact _),
+    "c26_repetition" -> (c26Repetition _),
+    "c27_doc_pack" -> (c27DocPack _),
+    "c29_contamination" -> (c29Contamination _),
+    "c30_domain_mix" -> (c30DomainMix _))
 
   val oracles: Map[String, String] = Map(
     "c1_dedup_exact" -> c1Sql,
@@ -414,5 +654,10 @@ object TextQueries {
     "c21_tfidf_topk" -> c21Sql,
     "c22_length_quantiles" -> c22Sql,
     "c23_split_assign" -> c23Sql,
-    "c24_bigram_lm" -> c24Sql)
+    "c24_bigram_lm" -> c24Sql,
+    "c25_pii_redact" -> c25Sql,
+    "c26_repetition" -> c26Sql,
+    "c27_doc_pack" -> c27Sql,
+    "c29_contamination" -> c29Sql,
+    "c30_domain_mix" -> c30Sql)
 }

@@ -92,6 +92,17 @@ class MultimodalSpec extends SparkTestBase {
     assert(f.filter(col("frame_idx") >= col("n_frames")).count() == 0)
   }
 
+  test("c28 quantization: codes span [0, 254], every vector covers all dims") {
+    val q = EmbedQueries.c28VectorQuantize(spark, sf)
+    assert(q.count() == Tables(spark, sf, "embeddings").count())
+    assert(q.filter(col("n_dims") =!= EmbedQueries.Dims).count() == 0)
+    assert(q.filter(col("code_min") < 0 || col("code_max") > 254).count() == 0)
+    // per-dim min/max are attained: some vector hits 0 and some hits 254
+    import org.apache.spark.sql.functions.{max => smax, min => smin}
+    val bounds = q.agg(smin("code_min").as("lo"), smax("code_max").as("hi")).head
+    assert(bounds.getLong(0) == 0 && bounds.getLong(1) == 254)
+  }
+
   test("c20 semantic collapse: total cover, canonical is min, pairs land together") {
     val c = EmbedQueries.c20SemanticCollapse(spark, sf)
     assert(c.count() == Tables(spark, sf, "embeddings").count())

@@ -86,4 +86,12 @@ class StreamingSpec extends SparkTestBase {
     val distinctIds = Tables(spark, sf, "events").select("event_id").distinct().count()
     assert(got.count() == distinctIds)
   }
+
+  test("D6 streaming running totals == batch GROUP BY after the replay") {
+    val stream = StreamingOps.eventsStream(spark, sf, stagedDir)
+    val got = runToMemory(StreamingOps.typeTotals(stream), "d6_totals", "complete")
+    val want = StreamingOps.typeTotals(
+      StreamingOps.normalize(Tables(spark, sf, "events")))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
 }

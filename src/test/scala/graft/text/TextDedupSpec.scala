@@ -141,6 +141,60 @@ class DedupQueriesSpec extends SparkTestBase {
     finally spark.conf.unset("graft.gcc.durable")
   }
 
+  test("c25 redaction: entity mentions counted and removed, lengths shrink accordingly") {
+    val r = TextQueries.c25PiiRedact(spark, sf)
+      .join(Tables(spark, sf, "documents").select("doc_id", "n_chars"), "doc_id")
+    assert(r.count() == Tables(spark, sf, "documents").count())
+    // this corpus has entity mentions but no emails / long digit runs
+    assert(r.agg(sum("n_entity")).head.getLong(0) > 0)
+    assert(r.agg(sum("n_email")).head.getLong(0) == 0)
+    // redaction only ever shortens or preserves (pattern >= token length here)
+    val grew = r.filter(col("redacted_len") > col("n_chars"))
+    assert(grew.count() == 0)
+    // docs with no hits are untouched
+    val untouched = r.filter(col("n_email") + col("n_longnum") + col("n_entity") === 0)
+    assert(untouched.filter(col("redacted_len") =!= col("n_chars")).count() == 0)
+  }
+
+  test("c26 repetition signals: distinct <= total, fractions in [0,1e6], bigram count = n-1") {
+    val r = TextQueries.c26Repetition(spark, sf)
+    assert(r.filter(col("n_distinct") > col("n_tokens")).count() == 0)
+    assert(r.filter(col("top_token_cnt") > col("n_tokens")).count() == 0)
+    assert(r.filter(col("n_bigrams") =!= col("n_tokens") - 1).count() == 0)
+    for (c <- Seq("dup_frac_micro", "top_bigram_frac_micro"))
+      assert(r.filter(col(c) < 0 || col(c) > 1000000).count() == 0)
+  }
+
+  test("c27 packing: offsets within budget, sequences fill contiguously per source") {
+    val p = TextQueries.c27DocPack(spark, sf)
+    assert(p.count() == Tables(spark, sf, "documents").count())
+    assert(p.filter(col("seq_off") < 0 || col("seq_off") >= TextQueries.SeqBudget).count() == 0)
+    // within a source, seq_id is non-decreasing in doc_id order
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("doc_id")
+    val regress = p.withColumn("prev", lag("seq_id", 1).over(w))
+      .filter(col("prev").isNotNull && col("seq_id") < col("prev"))
+    assert(regress.count() == 0)
+  }
+
+  test("c29 contamination: hits are train docs only and each shares a gram with test") {
+    val hits = TextQueries.c29Contamination(spark, sf)
+    val h = pmod(col("doc_id") * lit(2654435761L) + lit(40503L), lit(100L))
+    val trainIds = Tables(spark, sf, "documents")
+      .filter(h < 80).select("doc_id")
+    assert(hits.select("doc_id").exceptAll(trainIds).count() == 0)
+    assert(hits.filter(col("n_hit") < 1).count() == 0)
+  }
+
+  test("c30 domain mix: largest source gets weight 1e6, all weights in (0, 1e6]") {
+    val m = TextQueries.c30DomainMix(spark, sf).collect()
+    val maxTokens = m.map(_.getAs[Long]("sum_tokens")).max
+    m.foreach { r =>
+      val w = r.getAs[Long]("weight_micro")
+      assert(w > 0 && w <= 1000000)
+      if (r.getAs[Long]("sum_tokens") == maxTokens) assert(w == 1000000)
+    }
+  }
+
   test("c19 collapse: every doc maps into its cluster, canonicals keep themselves") {
     val c = DedupQueries.c19DedupCollapse(spark, sf)
     assert(c.count() == Tables(spark, sf, "documents").count())
