@@ -1,0 +1,125 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, Tables}
+
+/** The LLM-training-data curation flow, composed end-to-end from the
+  * audited SURVEY §2 C-block operators — the text-side counterpart of
+  * [[graft.Pipeline]]'s geo flow. Stages:
+  *
+  *  1. quality gate (C3 composite score) + repetition gate (C26
+  *     duplicate-token fraction) — map-side filters;
+  *  2. exact dedup, keep-min-id per identical text (C1);
+  *  3. near-duplicate collapse — keep only each C19 cluster's canonical
+  *     (the corpus-wide MinHash-LSH + Jaccard closure);
+  *  4. deterministic train/val/test split (C23's affine hash);
+  *  5. decontamination — drop TRAIN docs sharing a 4-gram with any
+  *     held-out test doc (C29);
+  *  6. sequence packing per source shard (C27's contiguous fill);
+  *  7. write the curated corpus as parquet partitioned by split — the
+  *     layout a training job consumes (split pruning for free).
+  *
+  * Every stage is declarative DataFrame algebra over the same operators
+  * the driver hash-checks individually; the composition adds no new
+  * semantics, only joins on doc_id. At 100 TB each stage is the same
+  * shape it is here: the gates are map-side, dedup/collapse shuffle
+  * once on their keys, the split is a pure column, decontamination is
+  * one hash equi-join against a DISTINCT test-gram set, and the final
+  * write is partitioned so downstream readers prune.
+  */
+object CurationPipeline {
+
+  /** Gate thresholds (micro-units, SURVEY §5): chosen so each gate
+    * actually fires on the synthetic corpus — quality cuts the bottom
+    * ~decile, the repetition gate the most degenerate tail.
+    */
+  val MinQualityMicro = 80000L
+  val MaxDupFracMicro = 700000L
+
+  final case class Result(
+      total: Long, afterGates: Long, afterExact: Long, afterNear: Long,
+      train: Long, val_ : Long, test: Long, droppedContaminated: Long,
+      sequences: Long)
+
+  /** spark-submit entry: runMain graft.text.CurationPipeline <sfDir> <outDir>. */
+  def main(args: Array[String]): Unit = {
+    val Array(dir, outDir) = args
+    val spark = GraftSession.local()
+    val r = run(spark, dir, outDir)
+    println(s"CURATION $r")
+    spark.stop()
+  }
+
+  /** C23's split assignment as a reusable column (same affine hash). */
+  def splitCol(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = pmod(docId * lit(2654435761L) + lit(40503L), lit(100L))
+    when(h < 80, "train").when(h < 90, "val").otherwise("test")
+  }
+
+  def run(spark: SparkSession, dir: String, outDir: String): Result = {
+    val docs = Tables(spark, dir, "documents")
+
+    // 1. quality + repetition gates (C3, C26)
+    val quality = TextQueries.c3QualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_micro"))
+    val repetition = TextQueries.c26Repetition(spark, dir)
+      .select(col("doc_id"), col("dup_frac_micro"))
+    val gated = docs
+      .join(quality, "doc_id").join(repetition, "doc_id")
+      .filter(col("quality_micro") >= MinQualityMicro
+        && col("dup_frac_micro") <= MaxDupFracMicro)
+      .select("doc_id", "text", "lang", "source")
+
+    // 2. exact dedup: keep the min surviving doc_id per identical text
+    val exact = gated
+      .join(gated.groupBy("text").agg(min("doc_id").as("doc_id")),
+        Seq("doc_id", "text"), "left_semi")
+
+    // 3. near-dup collapse: the corpus-wide C19 closure's canonicals.
+    // Collapse decisions come from the FULL corpus graph (a gated-out
+    // doc still witnesses that its near-twins are duplicates).
+    val canonicals = graft.dedup.DedupQueries.c19DedupCollapse(spark, dir)
+      .filter(col("keep")).select("doc_id")
+    val near = exact.join(canonicals, Seq("doc_id"), "left_semi")
+
+    // 4. deterministic split (C23)
+    val split = near.withColumn("split", splitCol(col("doc_id")))
+
+    // 5. decontamination (C29): train docs sharing a gram with test
+    val contaminated = TextQueries.c29Contamination(spark, dir).select("doc_id")
+    val clean = split.join(
+      contaminated.withColumn("is_train_hit", lit(true)), Seq("doc_id"), "left")
+      .filter(col("split") =!= "train" || col("is_train_hit").isNull)
+      .drop("is_train_hit")
+
+    // 6. sequence packing per source shard (C27's window)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val packed = clean
+      .withColumn("n_tok", regexp_count(col("text"), lit("\\S+")).cast("long"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("seq_id", expr(s"(cum - n_tok) div ${TextQueries.SeqBudget}"))
+      .drop("cum")
+
+    // 7. partitioned corpus write — training readers prune on split
+    packed.write.mode("overwrite").partitionBy("split")
+      .parquet(s"$outDir/corpus")
+    val out = spark.read.parquet(s"$outDir/corpus")
+
+    def n(df: DataFrame): Long = df.count()
+    val bySplit = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Result(
+      total = n(docs), afterGates = n(gated), afterExact = n(exact),
+      afterNear = n(near),
+      train = bySplit.getOrElse("train", 0L),
+      val_ = bySplit.getOrElse("val", 0L),
+      test = bySplit.getOrElse("test", 0L),
+      droppedContaminated = n(split) - n(clean),
+      sequences = out.select("source", "seq_id").distinct().count())
+  }
+}

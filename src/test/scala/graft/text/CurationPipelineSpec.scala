@@ -1,0 +1,47 @@
+package graft.text
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+
+class CurationPipelineSpec extends SparkTestBase {
+
+  test("curation composition: every stage monotone, output decontaminated and packed") {
+    val out = Files.createTempDirectory("graft-curation").toString
+    val r = CurationPipeline.run(spark, sf, out)
+
+    // monotone funnel — and every gate actually fires on this corpus
+    assert(r.total > 0)
+    assert(r.afterGates < r.total)
+    assert(r.afterExact <= r.afterGates)
+    assert(r.afterNear < r.afterExact)
+    val kept = r.train + r.val_ + r.test
+    assert(kept == r.afterNear - r.droppedContaminated)
+    assert(r.sequences > 0 && r.sequences <= kept)
+
+    // the written corpus is split-partitioned and re-readable
+    val corpus = spark.read.parquet(s"$out/corpus")
+    assert(corpus.count() == kept)
+    assert(corpus.select("split").distinct().count() == 3)
+
+    // no surviving train doc shares a gram with the test split
+    val contaminated = TextQueries.c29Contamination(spark, sf)
+      .select("doc_id")
+    val dirty = corpus.filter(col("split") === "train")
+      .join(contaminated, "doc_id")
+    assert(dirty.count() == 0)
+
+    // texts are unique after the exact-dedup stage
+    assert(corpus.select("text").distinct().count() == corpus.count())
+
+    // quality and repetition gates really applied
+    val gatesViolated = corpus
+      .join(TextQueries.c3QualityScore(spark, sf).select("doc_id", "quality_micro"), "doc_id")
+      .join(TextQueries.c26Repetition(spark, sf).select("doc_id", "dup_frac_micro"), "doc_id")
+      .filter(col("quality_micro") < CurationPipeline.MinQualityMicro
+        || col("dup_frac_micro") > CurationPipeline.MaxDupFracMicro)
+    assert(gatesViolated.count() == 0)
+  }
+}
