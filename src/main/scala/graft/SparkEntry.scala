@@ -32,7 +32,10 @@ object SparkEntry {
     "b8_promo_revenue" -> (Queries.promoRevenue _),
     "b9_asof_join" -> (Queries.asofJoin _),
     "b10_range_join" -> (Queries.rangeJoin _),
-    "b11_rollup_revenue" -> (Queries.rollupRevenue _)
+    "b11_rollup_revenue" -> (Queries.rollupRevenue _),
+    "b12_small_qty_revenue" -> (Queries.smallQtyRevenue _),
+    "b13_no_order_customers" -> (Queries.noOrderCustomers _),
+    "b14_exists_returned" -> (Queries.existsReturned _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -53,6 +56,9 @@ object SparkEntry {
     "b8_promo_revenue" -> Queries.promoRevenueSql,
     "b9_asof_join" -> Queries.asofJoinSql,
     "b10_range_join" -> Queries.rangeJoinSql,
-    "b11_rollup_revenue" -> Queries.rollupRevenueSql
+    "b11_rollup_revenue" -> Queries.rollupRevenueSql,
+    "b12_small_qty_revenue" -> Queries.smallQtyRevenueSql,
+    "b13_no_order_customers" -> Queries.noOrderCustomersSql,
+    "b14_exists_returned" -> Queries.existsReturnedSql
   )
 }

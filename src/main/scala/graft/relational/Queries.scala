@@ -397,4 +397,122 @@ object Queries {
       |)
       |GROUP BY ROLLUP (o_year, o_orderpriority)
       |ORDER BY gid, o_year, o_orderpriority""".stripMargin
+
+  /** B12: TPC-H Q17-style correlated aggregate, decorrelated — revenue
+    * from line items whose quantity is below 20% of their part's average.
+    * The correlated subquery (`WHERE l_quantity < 0.2 * (SELECT avg …
+    * WHERE l2.partkey = l.partkey)`) becomes one per-partkey partial
+    * aggregate joined back to the fact on the SAME key, so the agg and
+    * the join share a single shuffle of the fact (Catalyst reuses the
+    * exchange). The 0.2·avg threshold stays in exact integers:
+    * qty < 0.2·(sum/cnt)  ⇔  5·qty_c·cnt < sum_qty_c — no double
+    * division anywhere, so the DuckDB twin is bit-identical.
+    */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey"), cents(col("l_quantity")).as("qty_c"),
+        cents(col("l_extendedprice")).as("price_c"))
+    val perPart = l.groupBy("l_partkey")
+      .agg(sum("qty_c").as("sum_qty_c"), count(lit(1)).as("cnt"))
+    val p = Tables(spark, dir, "part").select(col("p_partkey"), col("p_brand"))
+    l.join(perPart, "l_partkey")
+      .filter(col("qty_c") * lit(5L) * col("cnt") < col("sum_qty_c"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small"), sum("price_c").as("sum_price_c"))
+      .orderBy("p_brand")
+  }
+
+  val smallQtyRevenueSql: String =
+    """WITH l AS (
+      |  SELECT l_partkey,
+      |    CAST(ROUND(l_quantity * 100.0) AS BIGINT) AS qty_c,
+      |    CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS price_c
+      |  FROM lineitem
+      |), per_part AS (
+      |  SELECT l_partkey, CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c,
+      |    COUNT(*) AS cnt
+      |  FROM l GROUP BY l_partkey
+      |)
+      |SELECT p.p_brand, COUNT(*) AS n_small,
+      |  CAST(SUM(l.price_c) AS BIGINT) AS sum_price_c
+      |FROM l JOIN per_part pp USING (l_partkey)
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE l.qty_c * 5 * pp.cnt < pp.sum_qty_c
+      |GROUP BY p.p_brand
+      |ORDER BY p.p_brand""".stripMargin
+
+  /** B13 recency cutoff: "lapsed" = no order on/after this date. */
+  val LapsedCutoff = "1998-09-01 00:00:00"
+
+  /** B13: TPC-H Q22-style — well-funded customers with no RECENT order,
+    * per nation. Two classic decorrelations in one plan: the scalar
+    * subquery (average positive balance) is a 1-row aggregate broadcast
+    * into the filter, and `NOT EXISTS (orders since cutoff)` is a LEFT
+    * ANTI hash join on custkey (never a per-row probe) whose date filter
+    * is pushed to the orders scan. The avg threshold is exact:
+    * bal > sum/cnt ⇔ bal_c·cnt > sum_c. At scale the anti join shuffles
+    * customer and the filtered orders once each on custkey; nation is a
+    * broadcast.
+    */
+  def noOrderCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), cents(col("c_acctbal")).as("bal_c"))
+    val thresh = c.filter(col("bal_c") > 0)
+      .agg(sum("bal_c").as("sum_c"), count(lit(1)).as("cnt"))
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(LapsedCutoff).cast("timestamp"))
+      .select(col("o_custkey"))
+    val n = Tables(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    c.crossJoin(broadcast(thresh))
+      .filter(col("bal_c") * col("cnt") > col("sum_c"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"), sum("bal_c").as("sum_bal_c"))
+      .orderBy("n_name")
+  }
+
+  val noOrderCustomersSql: String =
+    s"""WITH c AS (
+       |  SELECT c_custkey, c_nationkey,
+       |    CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS bal_c
+       |  FROM customer
+       |), t AS (
+       |  SELECT CAST(SUM(bal_c) AS BIGINT) AS sum_c, COUNT(*) AS cnt
+       |  FROM c WHERE bal_c > 0
+       |)
+       |SELECT n.n_name, COUNT(*) AS n_cust,
+       |  CAST(SUM(c.bal_c) AS BIGINT) AS sum_bal_c
+       |FROM c, t
+       |JOIN nation n ON n.n_nationkey = c.c_nationkey
+       |WHERE c.bal_c * t.cnt > t.sum_c
+       |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+       |                  AND o.o_orderdate >= TIMESTAMP '$LapsedCutoff')
+       |GROUP BY n.n_name
+       |ORDER BY n.n_name""".stripMargin
+
+  /** B14: TPC-H Q4-style EXISTS — orders with at least one returned line
+    * item, counted by priority. The EXISTS subquery is a LEFT SEMI hash
+    * join on orderkey: the fact side is filtered (returnflag = 'R') and
+    * deduplicated by the semi join itself — no DISTINCT materialization,
+    * no row multiplication, one shuffle per side on the join key.
+    */
+  def existsReturned(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+    val ret = Tables(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+    o.join(ret, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  val existsReturnedSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 }

@@ -76,6 +76,41 @@ class RelationalSpec extends SparkTestBase {
       grand.head.getAs[Long]("n_orders"))
   }
 
+  test("b12 small-qty revenue: integer threshold agrees with the double form") {
+    val r = Queries.smallQtyRevenue(spark, sf)
+    assert(r.count() > 0)
+    // the integer predicate 5*qty_c*cnt < sum_qty_c must equal qty < 0.2*avg
+    val l = Tables(spark, sf, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"))
+    val avg20 = l.groupBy("l_partkey").agg((avg("l_quantity") * 0.2).as("thr"))
+    val expected = l.join(avg20, "l_partkey")
+      .filter(col("l_quantity") < col("thr")).count()
+    assert(r.agg(sum("n_small")).head.getLong(0) == expected)
+  }
+
+  test("b13 lapsed customers: non-empty, none has a recent order, all above mean") {
+    val r = Queries.noOrderCustomers(spark, sf)
+    assert(r.count() > 0)
+    val c = Tables(spark, sf, "customer")
+    val recent = Tables(spark, sf, "orders")
+      .filter(col("o_orderdate") >= lit(Queries.LapsedCutoff).cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    val meanPos = c.filter(col("c_acctbal") > 0).agg(avg("c_acctbal")).head.getDouble(0)
+    val expected = c.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .filter(col("c_acctbal") * 100 > meanPos * 100 - 1e-6).count()
+    assert(r.agg(sum("n_cust")).head.getLong(0) == expected)
+  }
+
+  test("b14 exists-returned: semi join counts match a distinct-key join") {
+    val r = Queries.existsReturned(spark, sf)
+    val expected = Tables(spark, sf, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey")).distinct()
+      .join(Tables(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(r.agg(sum("n_orders")).head.getLong(0) == expected)
+  }
+
   test("b10 bucketed range join matches the naive theta-join row set exactly") {
     val ev = Tables.eventsWithUs(spark, sf)
     val clicks = ev.filter(col("event_type") === "click")
