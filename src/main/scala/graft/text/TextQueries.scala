@@ -346,27 +346,37 @@ object TextQueries {
       |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
 
   // ---------------------------------------------------------------- C24
+  /** Adjacent-token pairs, extracted MAP-SIDE: each token array is
+    * zipped with its own tail inside the scan stage — no per-doc window,
+    * so bigram extraction costs zero shuffles at any corpus size (the
+    * lead-window formulation shuffles and sorts every token once just
+    * to look one position ahead). Docs with fewer than 2 tokens have no
+    * pairs and drop here, matching the window form's IS NOT NULL.
+    */
+  private def bigramPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"""
+          .stripMargin)).as("pair"))
+      .select(col("doc_id"), col("pair.w1").as("w1"), col("pair.w2").as("w2"))
+
   /** Bigram language-model counts — the n-gram statistics a data
     * pipeline feeds into contamination checks and perplexity-ish
-    * filters. Adjacent-token pairs come from one `lead` window per doc
-    * (posexplode → lead over (doc_id, pos) — identical construction on
-    * both engines), aggregated into bigram counts joined with unigram
-    * context counts; the conditional probability is exact integer
-    * micro-units. Top [[BigramTopK]] by raw count with a total
-    * tiebreak. Scale shape: the window partitions by doc_id (high
-    * cardinality), both aggs are partial-agg shuffles, and the unigram
-    * join key is the context word.
+    * filters. Map-side pair extraction ([[bigramPairs]]), aggregated
+    * into bigram counts joined with unigram context counts; the
+    * conditional probability is exact integer micro-units. Top
+    * [[BigramTopK]] by raw count with a total tiebreak. Scale shape:
+    * both aggs are partial-agg shuffles and the unigram join key is the
+    * context word; the oracle twin keeps the definitional lead-window
+    * form, proving the zip extraction equivalent.
     */
   val BigramTopK = 50
 
   def c24BigramLm(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = Tables(spark, dir, "documents")
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w1")))
-    val pairs = toks
-      .withColumn("w2", lead("w1", 1).over(
-        Window.partitionBy("doc_id").orderBy("pos")))
-      .filter(col("w2").isNotNull)
+    val pairs = bigramPairs(spark, dir)
     val uni = pairs.groupBy(col("w1")).agg(count(lit(1)).as("n_w1"))
     pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
       .join(uni, "w1")
@@ -625,6 +635,149 @@ object TextQueries {
       |    / sqrt(CAST(max_tokens AS DOUBLE))) AS BIGINT) AS weight_micro
       |FROM s CROSS JOIN m ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- C31
+  /** Per-document LM score — the perplexity-style quality filter built on
+    * the C24 bigram model: every adjacent-token occurrence in a document
+    * looks up its corpus-wide conditional probability (integer
+    * micro-units, the exact `n_pair·10⁶ div n_w1` C24 emits) and the
+    * document aggregates count/sum/avg. A document whose bigrams are
+    * corpus-typical scores high; token soup scores low. Scale shape: the
+    * occurrence→model lookup is an equi-join on the bigram key (the
+    * model is a shuffle hash join side, NOT a broadcast — a 100 TB
+    * corpus has a model bigger than driver memory), then one partial-agg
+    * shuffle on doc_id. Docs with fewer than 2 tokens have no bigrams
+    * and drop out, same as the oracle.
+    */
+  def c31LmScore(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = bigramPairs(spark, dir)
+    val uni = pairs.groupBy("w1").agg(count(lit(1)).as("n_w1"))
+    val model = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .join(uni, "w1")
+      .withColumn("cond_micro", expr("n_pair * 1000000 div n_w1"))
+      .select("w1", "w2", "cond_micro")
+    pairs.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("cond_micro").as("sum_cond_micro"))
+      .withColumn("avg_cond_micro", expr("sum_cond_micro div n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  val c31Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+      |    UNNEST(string_split(text, ' ')) AS w1
+      |  FROM documents
+      |), pairs AS (
+      |  SELECT doc_id, w1, LEAD(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      |  FROM toks
+      |), pp AS (SELECT doc_id, w1, w2 FROM pairs WHERE w2 IS NOT NULL),
+      |uni AS (SELECT w1, COUNT(*) AS n_w1 FROM pp GROUP BY w1),
+      |big AS (SELECT w1, w2, COUNT(*) AS n_pair FROM pp GROUP BY w1, w2),
+      |model AS (
+      |  SELECT b.w1, b.w2, b.n_pair * 1000000 // u.n_w1 AS cond_micro
+      |  FROM big b JOIN uni u USING (w1)
+      |)
+      |SELECT p.doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(m.cond_micro) AS BIGINT) AS sum_cond_micro,
+      |  CAST(SUM(m.cond_micro) AS BIGINT) // COUNT(*) AS avg_cond_micro
+      |FROM pp p JOIN model m ON m.w1 = p.w1 AND m.w2 = p.w2
+      |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- C32
+  /** Token-budget stratified subsample — cap each (lang, source) stratum
+    * at [[StratumTokenBudget]] tokens, admitting documents in a
+    * deterministic scrambled-hash order (same multiplicative scramble as
+    * the C23 split assignment) until the document's START would exceed
+    * the budget. This is the corpus-balancing sampler that assembles a
+    * fixed token mix per domain; hash order makes re-runs reproducible
+    * and admission order unbiased by doc_id locality. One running-sum
+    * window per stratum — strata are numerous and the per-stratum sort
+    * is by the 8-byte hash key, so the window parallelizes across
+    * strata; no global sort, no collect.
+    */
+  val StratumTokenBudget = 150L
+
+  def c32SampleBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_toks"))
+      .withColumn("hkey", expr("(doc_id * 2654435761 + 40503) % 1000000007"))
+    val w = Window.partitionBy("lang", "source").orderBy("hkey", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum_toks", sum("n_toks").over(w))
+      .filter(col("cum_toks") - col("n_toks") < lit(StratumTokenBudget))
+      .select("doc_id", "lang", "source", "n_toks", "cum_toks")
+      .orderBy("doc_id")
+  }
+
+  val c32Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_toks,
+       |    (doc_id * 2654435761 + 40503) % 1000000007 AS hkey
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, lang, source, n_toks,
+       |    CAST(SUM(n_toks) OVER (PARTITION BY lang, source ORDER BY hkey, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+       |  FROM d
+       |)
+       |SELECT doc_id, lang, source, n_toks, cum_toks
+       |FROM c WHERE cum_toks - n_toks < $StratumTokenBudget
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- C33
+  /** Prefix-containment duplicates — truncation artifacts where one
+    * document is a strict token-prefix of another (the scraped-web dup
+    * mode exact and near dedup both miss: Jaccard of a short prefix vs
+    * its host is low). One pass builds every document's ROLLING prefix
+    * hash array (the C5 polynomial, so prefix k's hash of doc B equals
+    * the full fingerprint of any doc equal to that prefix), posexplode
+    * keys candidates on (hash, token-length) — an equi-join, never a
+    * quadratic LIKE scan — and the few candidates re-verify exactly
+    * against the texts, so a 1e9+7 hash collision can't produce a false
+    * pair. Cost is O(total tokens) explode + equi-joins: survives a
+    * corpus where the DuckDB twin's O(n²) startswith does not.
+    */
+  def c33PrefixDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val step = (acc: Column, w: Column) => {
+      val nh = (acc.getField("h") * lit(FpB) + tokenHash(w)) % lit(FpM)
+      struct(nh.as("h"), array_append(acc.getField("arr"), nh).as("arr"))
+    }
+    val pref = d
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        aggregate(col("toks"),
+          struct(lit(0L).as("h"), expr("CAST(array() AS ARRAY<BIGINT>)").as("arr")),
+          step, _.getField("arr")).as("phashes"))
+    val hosts = pref
+      .select(col("doc_id").as("host_id"), col("n_toks").as("host_tokens"),
+        posexplode(col("phashes")).as(Seq("p", "phash")))
+      .withColumn("plen", col("p") + 1).drop("p")
+    val sigs = pref
+      .select(col("doc_id").as("dup_id"), col("n_toks").as("dup_tokens"),
+        element_at(col("phashes"), -1).as("sig"))
+    hosts.join(sigs,
+        col("phash") === col("sig") && col("plen") === col("dup_tokens") &&
+        col("host_id") =!= col("dup_id") && col("host_tokens") > col("dup_tokens"))
+      .join(d.select(col("doc_id").as("dup_id"), col("text").as("dup_text")), "dup_id")
+      .join(d.select(col("doc_id").as("host_id"), col("text").as("host_text")), "host_id")
+      .filter(col("host_text").startsWith(concat(col("dup_text"), lit(" "))))
+      .select("dup_id", "host_id", "dup_tokens", "host_tokens")
+      .orderBy("dup_id", "host_id")
+  }
+
+  /** The twin is the O(n²) definitional form — fine at oracle scale. */
+  val c33Sql: String =
+    """SELECT a.doc_id AS dup_id, b.doc_id AS host_id,
+      |  CAST(len(string_split(a.text, ' ')) AS BIGINT) AS dup_tokens,
+      |  CAST(len(string_split(b.text, ' ')) AS BIGINT) AS host_tokens
+      |FROM documents a JOIN documents b
+      |  ON a.doc_id <> b.doc_id AND starts_with(b.text, a.text || ' ')
+      |ORDER BY dup_id, host_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_exact" -> (c1DedupExact _),
     "c2_token_count" -> (c2TokenCount _),
@@ -641,7 +794,10 @@ object TextQueries {
     "c26_repetition" -> (c26Repetition _),
     "c27_doc_pack" -> (c27DocPack _),
     "c29_contamination" -> (c29Contamination _),
-    "c30_domain_mix" -> (c30DomainMix _))
+    "c30_domain_mix" -> (c30DomainMix _),
+    "c31_lm_score" -> (c31LmScore _),
+    "c32_sample_budget" -> (c32SampleBudget _),
+    "c33_prefix_dups" -> (c33PrefixDups _))
 
   val oracles: Map[String, String] = Map(
     "c1_dedup_exact" -> c1Sql,
@@ -659,5 +815,8 @@ object TextQueries {
     "c26_repetition" -> c26Sql,
     "c27_doc_pack" -> c27Sql,
     "c29_contamination" -> c29Sql,
-    "c30_domain_mix" -> c30Sql)
+    "c30_domain_mix" -> c30Sql,
+    "c31_lm_score" -> c31Sql,
+    "c32_sample_budget" -> c32Sql,
+    "c33_prefix_dups" -> c33Sql)
 }

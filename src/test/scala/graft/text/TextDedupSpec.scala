@@ -207,4 +207,44 @@ class DedupQueriesSpec extends SparkTestBase {
     val kept = c.filter(col("keep")).count()
     assert(kept <= graft.text.TextQueries.c1DedupExact(spark, sf).count())
   }
+
+  test("c31 LM score: bigram counts conserve, probabilities within (0, 1e6]") {
+    val r = TextQueries.c31LmScore(spark, sf)
+    // every doc with >=2 tokens appears with exactly (tokens - 1) bigrams
+    val expected = Tables(spark, sf, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .filter(col("n") >= 2).agg(sum(col("n") - 1)).head.getLong(0)
+    assert(r.agg(sum("n_bigrams")).head.getLong(0) == expected)
+    assert(r.filter(col("avg_cond_micro") <= 0 ||
+      col("avg_cond_micro") > 1000000L).count() == 0)
+    // avg is the floor of sum/n
+    assert(r.filter(col("avg_cond_micro") =!=
+      expr("sum_cond_micro div n_bigrams")).count() == 0)
+  }
+
+  test("c32 budget sample: admission is prefix-closed in hash order per stratum") {
+    val r = TextQueries.c32SampleBudget(spark, sf)
+    assert(r.count() > 0)
+    // a doc is admitted iff it STARTS within budget
+    assert(r.filter(col("cum_toks") - col("n_toks") >=
+      TextQueries.StratumTokenBudget).count() == 0)
+    // every stratum admits at least its first doc, and the stratum's
+    // total admitted tokens start within budget by construction
+    val strata = Tables(spark, sf, "documents").select("lang", "source").distinct().count()
+    assert(r.select("lang", "source").distinct().count() == strata)
+  }
+
+  test("c33 prefix dups: equals the brute-force startswith pair set") {
+    val d = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val brute = d.as("a").crossJoin(d.as("b"))
+      .filter(col("a.doc_id") =!= col("b.doc_id") &&
+        col("b.text").startsWith(concat(col("a.text"), lit(" "))))
+      .select(col("a.doc_id").as("dup_id"), col("b.doc_id").as("host_id"))
+    val got = TextQueries.c33PrefixDups(spark, sf)
+    assert(got.count() > 0)
+    assert(got.select("dup_id", "host_id").exceptAll(brute).count() == 0)
+    assert(brute.exceptAll(got.select("dup_id", "host_id")).count() == 0)
+    // a strict prefix always has fewer tokens than its host
+    assert(got.filter(col("dup_tokens") >= col("host_tokens")).count() == 0)
+  }
 }
