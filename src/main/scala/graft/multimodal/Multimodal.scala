@@ -156,13 +156,73 @@ object Multimodal {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C34
+  /** ViT-style patchify plan over the resized images: the row-major
+    * [[PatchSide]]² patch grid of each C16 output frame, with the exact
+    * byte offset of every patch's top-left pixel in a packed RGB buffer
+    * (stride 3·out_w, 4-byte header — the C13 framing convention).
+    * Partial patches at the right/bottom edge are dropped, images
+    * thinner than one patch vanish, like a ViT preprocessor. The
+    * fan-out is `sequence`+`explode` inside the scan stage (the grid
+    * never materializes driver-side); the real pixel gather slots in
+    * downstream of this plan exactly like C12's decoder stub.
+    */
+  val PatchSide = 32L
+
+  def c34Patchify(spark: SparkSession, dir: String): DataFrame =
+    c16ResizePlan(spark, dir)
+      .select(col("doc_id"), col("out_w"), col("out_h"))
+      .withColumn("n_cols", expr(s"out_w div $PatchSide"))
+      .withColumn("n_rows", expr(s"out_h div $PatchSide"))
+      .filter(col("n_cols") > 0 && col("n_rows") > 0)
+      .withColumn("patch_idx", explode(expr("sequence(0L, n_cols * n_rows - 1)")))
+      .select(col("doc_id"), col("n_cols"), col("n_rows"), col("patch_idx"),
+        expr(s"(patch_idx % n_cols) * $PatchSide").as("px"),
+        expr(s"(patch_idx div n_cols) * $PatchSide").as("py"),
+        expr(s"4 + ((patch_idx div n_cols) * $PatchSide * out_w + (patch_idx % n_cols) * $PatchSide) * 3")
+          .as("byte_offset"))
+      .orderBy("doc_id", "patch_idx")
+
+  val c34Sql: String = {
+    val s8 = (1 to 8).map(i => s"ascii(substring(text, $i, 1))").mkString(" + ")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    64 + (CAST($s8 AS BIGINT) * 31) % 960 AS width,
+       |    64 + (CAST($s8 AS BIGINT) * 17) % 960 AS height
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, width, height,
+       |    ($TargetDim * 1000000) // greatest(width, height) AS scale_ppm
+       |  FROM m
+       |), r AS (
+       |  SELECT doc_id, (width * scale_ppm) // 1000000 AS out_w,
+       |    (height * scale_ppm) // 1000000 AS out_h
+       |  FROM s
+       |), g AS (
+       |  SELECT doc_id, out_w, out_w // $PatchSide AS n_cols,
+       |    out_h // $PatchSide AS n_rows
+       |  FROM r WHERE out_w // $PatchSide > 0 AND out_h // $PatchSide > 0
+       |), p AS (
+       |  SELECT doc_id, out_w, n_cols, n_rows,
+       |    UNNEST(range(0, n_cols * n_rows)) AS patch_idx
+       |  FROM g
+       |)
+       |SELECT doc_id, n_cols, n_rows, patch_idx,
+       |  (patch_idx % n_cols) * $PatchSide AS px,
+       |  (patch_idx // n_cols) * $PatchSide AS py,
+       |  4 + ((patch_idx // n_cols) * $PatchSide * out_w + (patch_idx % n_cols) * $PatchSide) * 3 AS byte_offset
+       |FROM p ORDER BY doc_id, patch_idx""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c12_multimodal_meta" -> (c12MultimodalMeta _),
     "c13_frame_sample" -> (c13FrameSample _),
-    "c16_resize_plan" -> (c16ResizePlan _))
+    "c16_resize_plan" -> (c16ResizePlan _),
+    "c34_patchify" -> (c34Patchify _))
 
   val oracles: Map[String, String] = Map(
     "c12_multimodal_meta" -> c12Sql,
     "c13_frame_sample" -> c13Sql,
-    "c16_resize_plan" -> c16Sql)
+    "c16_resize_plan" -> c16Sql,
+    "c34_patchify" -> c34Sql)
 }

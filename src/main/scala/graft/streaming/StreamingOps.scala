@@ -175,7 +175,7 @@ object StreamingOps {
     normalize(spark.readStream.schema(schema).parquet(sourceDir))
   }
 
-  /** Stage the single-file events table as a streaming source directory.
+  /** Stage a single-file table as a streaming source directory.
     *
     * LOAD-BEARING single-file contract: exactly one source file ⇒ the
     * AvailableNow replay is one micro-batch, which is what makes the
@@ -186,13 +186,36 @@ object StreamingOps {
     * loudly if the testdata ever becomes a multi-file table (then the
     * oracles must model watermark aging instead).
     */
-  def stageEventsDir(spark: SparkSession, sfDir: String): String = {
-    val src = java.nio.file.Paths.get(sfDir, "events.parquet")
+  def stageTableDir(spark: SparkSession, sfDir: String, table: String): String = {
+    val src = java.nio.file.Paths.get(sfDir, s"$table.parquet")
     require(java.nio.file.Files.isRegularFile(src),
       s"$src must be a single parquet file — the D-block oracles assume a " +
         "one-file, one-micro-batch AvailableNow replay")
-    val dir = java.nio.file.Files.createTempDirectory("graft-events-src")
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-$table-src")
     java.nio.file.Files.copy(src, dir.resolve("part-0.parquet"))
     dir.toString
   }
+
+  def stageEventsDir(spark: SparkSession, sfDir: String): String =
+    stageTableDir(spark, sfDir, "events")
+
+  /** File-source stream over a staged documents directory — the ingest
+    * side of a continuously-crawled corpus.
+    */
+  def docsStream(spark: SparkSession, sfDir: String, sourceDir: String): DataFrame = {
+    val schema = Tables(spark, sfDir, "documents").schema
+    spark.readStream.schema(schema).parquet(sourceDir)
+  }
+
+  /** D7: running vocabulary counts over a document stream — unwindowed
+    * stateful aggregation keyed on the token (high-cardinality,
+    * skew-bounded by token frequency; the state row is one counter per
+    * distinct token, the same footprint a batch partial agg holds). The
+    * stream side maintains counts; ranking happens on the sink table
+    * after the replay, as a top-k over the final state.
+    */
+  def vocabCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"))
 }

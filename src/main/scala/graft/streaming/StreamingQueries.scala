@@ -26,11 +26,11 @@ object StreamingQueries {
   /** One staged source dir per (session, sfDir) — the four queries (and
     * repeated bench runs) reuse the same copy.
     */
-  private val stagedCache = TrieMap.empty[(String, String), String]
+  private val stagedCache = TrieMap.empty[(String, String, String), String]
 
-  private def staged(spark: SparkSession, sfDir: String): String =
-    stagedCache.getOrElseUpdate((spark.sparkContext.applicationId, sfDir),
-      track(StreamingOps.stageEventsDir(spark, sfDir)))
+  private def staged(spark: SparkSession, sfDir: String, table: String = "events"): String =
+    stagedCache.getOrElseUpdate((spark.sparkContext.applicationId, sfDir, table),
+      track(StreamingOps.stageTableDir(spark, sfDir, table)))
 
   /** Staged copies and per-run checkpoints are deleted when the JVM
     * exits — repeated bench/verify sessions must not accumulate /tmp
@@ -187,13 +187,38 @@ object StreamingQueries {
       |  CAST(SUM(CAST(ROUND(value*100.0) AS BIGINT)) AS BIGINT) AS sum_value_c
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- D7
+  /** Running vocabulary counts over a streamed documents directory,
+    * complete mode; top-k ranking happens on the sink table after the
+    * replay (a streaming query can't sort in update/append, and the
+    * top-k over final state is what a live dashboard reads anyway).
+    * Oracle = C14's tf ranking (tf only: COUNT(DISTINCT doc_id) is not
+    * a streamable aggregate — df would need a two-level agg chain,
+    * which Structured Streaming disallows in one query).
+    */
+  def d7StreamVocab(spark: SparkSession, sfDir: String): DataFrame =
+    runToTable(
+        StreamingOps.vocabCounts(
+          StreamingOps.docsStream(spark, sfDir, staged(spark, sfDir, "documents"))),
+        "graft_d7_sink", "complete")
+      .orderBy(col("tf").desc, col("token"))
+      .limit(graft.text.TextQueries.VocabTopK)
+
+  val d7Sql: String =
+    s"""SELECT token, COUNT(*) AS tf
+       |FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+       |GROUP BY token
+       |ORDER BY tf DESC, token
+       |LIMIT ${graft.text.TextQueries.VocabTopK}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_stream_windowed" -> (d1StreamWindowed _),
     "d2_stream_dedup" -> (d2StreamDedup _),
     "d3_stream_sessions" -> (d3StreamSessions _),
     "d4_stream_enriched" -> (d4StreamEnriched _),
     "d5_stream_interval_join" -> (d5StreamIntervalJoin _),
-    "d6_stream_totals" -> (d6StreamTotals _))
+    "d6_stream_totals" -> (d6StreamTotals _),
+    "d7_stream_vocab" -> (d7StreamVocab _))
 
   val oracles: Map[String, String] = Map(
     "d1_stream_windowed" -> d1Sql,
@@ -201,5 +226,6 @@ object StreamingQueries {
     "d3_stream_sessions" -> d3Sql,
     "d4_stream_enriched" -> d4Sql,
     "d5_stream_interval_join" -> d5Sql,
-    "d6_stream_totals" -> d6Sql)
+    "d6_stream_totals" -> d6Sql,
+    "d7_stream_vocab" -> d7Sql)
 }

@@ -94,4 +94,13 @@ class StreamingSpec extends SparkTestBase {
       StreamingOps.normalize(Tables(spark, sf, "events")))
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
+
+  test("D7 streaming vocab counts == batch token counts after the replay") {
+    val docsDir = StreamingOps.stageTableDir(spark, sf, "documents")
+    val got = runToMemory(
+      StreamingOps.vocabCounts(StreamingOps.docsStream(spark, sf, docsDir)),
+      "d7_vocab", "complete")
+    val want = StreamingOps.vocabCounts(Tables(spark, sf, "documents"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
 }
