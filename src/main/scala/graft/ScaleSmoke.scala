@@ -86,6 +86,23 @@ object ScaleSmoke {
     val stats = groups.agg(count(lit(1)), max("k")).head
     println(f"SCALE lsh docs=$nDocs groups=${stats.getLong(0)} maxGroup=${stats.getLong(1)} " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // --- prefix-containment dedup on LONG documents: families of 50
+    // docs sharing a token stream at 7 truncation lengths (1000..2200
+    // tokens) — the C33 shape where the O(L²) aggregate fold would pay
+    // ~5M copies per doc; rolling_hashes keeps it one pass per doc and
+    // the candidate join stays an equi-join on (hash, len).
+    t0 = System.nanoTime()
+    val nPd = nDocs / 10
+    val longDocs = spark.range(nPd)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", expr(
+          """transform(sequence(0L, 999 + (id % 7) * 200),
+            |  j -> concat('w', ((id div 50) * 31 + j) % 9973))""".stripMargin))
+          .as("text"))
+    val nPairs2 = graft.text.TextQueries.prefixDups(longDocs).count()
+    println(f"SCALE prefixDups docs=$nPd avgToks=1600 pairs=$nPairs2 " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 }

@@ -31,5 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[SortedIntersectCount], "sorted_intersect_count",
         "sorted_intersect_count(a, b) - |a ∩ b| of two ascending-sorted distinct bigint arrays"),
       (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hashes"),
+      info(classOf[RollingHashes], "rolling_hashes",
+        "rolling_hashes(t, b, m) - array of all prefix hashes (t1*b^(k-1)+...+tk) mod m"),
+      (args: Seq[Expression]) => RollingHashes(args(0), args(1), args(2))))
   }
 }

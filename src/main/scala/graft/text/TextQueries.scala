@@ -740,18 +740,18 @@ object TextQueries {
     * pair. Cost is O(total tokens) explode + equi-joins: survives a
     * corpus where the DuckDB twin's O(n²) startswith does not.
     */
-  def c33PrefixDups(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val step = (acc: Column, w: Column) => {
-      val nh = (acc.getField("h") * lit(FpB) + tokenHash(w)) % lit(FpM)
-      struct(nh.as("h"), array_append(acc.getField("arr"), nh).as("arr"))
-    }
+  def c33PrefixDups(spark: SparkSession, dir: String): DataFrame =
+    prefixDups(Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
+
+  /** Frame-level core of C33 over any (doc_id, text) frame — reused by
+    * the ScaleSmoke long-document worst case.
+    */
+  def prefixDups(d: DataFrame): DataFrame = {
     val pref = d
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
-        aggregate(col("toks"),
-          struct(lit(0L).as("h"), expr("CAST(array() AS ARRAY<BIGINT>)").as("arr")),
-          step, _.getField("arr")).as("phashes"))
+        graft.functions.hashes.rolling_hashes(
+          transform(col("toks"), tokenHash _), lit(FpB), lit(FpM)).as("phashes"))
     val hosts = pref
       .select(col("doc_id").as("host_id"), col("n_toks").as("host_tokens"),
         posexplode(col("phashes")).as(Seq("p", "phash")))
