@@ -377,15 +377,64 @@ object DedupQueries {
        |SELECT id AS doc_id, MIN(lbl) AS canonical_id, id = MIN(lbl) AS keep
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- C35
+  /** Per-source duplicate inflation — the "how much does near-dedup
+    * shrink each domain" report every curation run publishes (domains
+    * with high inflation are over-crawled; the C30 mixing weights are
+    * usually computed AFTER collapse for exactly this reason). Composes
+    * the C19 closure with per-doc token mass: one doc_id equi-join and
+    * one partial-agg shuffle on source. inflation_micro =
+    * total·10⁶ div kept (exact integers; −1 sentinel if a source keeps
+    * no canonical at all, so the ANSI div can't hit zero).
+    */
+  def c35DedupInflation(spark: SparkSession, dir: String): DataFrame = {
+    val collapse = c19DedupCollapse(spark, dir).select(col("doc_id"), col("keep"))
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_toks"))
+    docs.join(collapse, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum("n_toks").as("sum_tokens"),
+        sum(when(col("keep"), col("n_toks")).otherwise(0L)).as("kept_tokens"))
+      .withColumn("inflation_micro", expr(
+        "CASE WHEN kept_tokens = 0 THEN -1 ELSE sum_tokens * 1000000 div kept_tokens END"))
+      .orderBy("source")
+  }
+
+  val c35Sql: String = {
+    val c19Body = c19Sql.stripSuffix("ORDER BY doc_id").trim
+    s"""WITH collapse AS (
+       |$c19Body
+       |), d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_toks
+       |  FROM documents
+       |)
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN c.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(d.n_toks) AS BIGINT) AS sum_tokens,
+       |  CAST(SUM(CASE WHEN c.keep THEN d.n_toks ELSE 0 END) AS BIGINT) AS kept_tokens,
+       |  CASE WHEN SUM(CASE WHEN c.keep THEN d.n_toks ELSE 0 END) = 0 THEN -1
+       |       ELSE CAST(SUM(d.n_toks) AS BIGINT) * 1000000
+       |         // CAST(SUM(CASE WHEN c.keep THEN d.n_toks ELSE 0 END) AS BIGINT)
+       |  END AS inflation_micro
+       |FROM d JOIN collapse c USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c6_minhash_lsh" -> (c6MinhashLsh _),
     "c7_ngram_jaccard" -> (c7NgramJaccard _),
     "c8_simhash" -> (c8Simhash _),
-    "c19_dedup_collapse" -> (c19DedupCollapse _))
+    "c19_dedup_collapse" -> (c19DedupCollapse _),
+    "c35_dedup_inflation" -> (c35DedupInflation _))
 
   val oracles: Map[String, String] = Map(
     "c6_minhash_lsh" -> c6Sql,
     "c7_ngram_jaccard" -> c7Sql,
     "c8_simhash" -> c8Sql,
-    "c19_dedup_collapse" -> c19Sql)
+    "c19_dedup_collapse" -> c19Sql,
+    "c35_dedup_inflation" -> c35Sql)
 }

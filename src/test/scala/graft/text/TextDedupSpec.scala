@@ -208,6 +208,21 @@ class DedupQueriesSpec extends SparkTestBase {
     assert(kept <= graft.text.TextQueries.c1DedupExact(spark, sf).count())
   }
 
+  test("c35 dedup inflation: token mass conserves and inflation >= 1e6") {
+    val r = DedupQueries.c35DedupInflation(spark, sf)
+    // every source appears, kept <= total on both docs and tokens
+    assert(r.count() ==
+      Tables(spark, sf, "documents").select("source").distinct().count())
+    assert(r.filter(col("n_kept") > col("n_docs") ||
+      col("kept_tokens") > col("sum_tokens")).count() == 0)
+    // whoever keeps anything inflates by at least 1.0 (micro-units)
+    assert(r.filter(col("kept_tokens") > 0 &&
+      col("inflation_micro") < 1000000L).count() == 0)
+    // global doc counts agree with the collapse itself
+    val keep = DedupQueries.c19DedupCollapse(spark, sf).filter(col("keep")).count()
+    assert(r.agg(sum("n_kept")).head.getLong(0) == keep)
+  }
+
   test("c31 LM score: bigram counts conserve, probabilities within (0, 1e6]") {
     val r = TextQueries.c31LmScore(spark, sf)
     // every doc with >=2 tokens appears with exactly (tokens - 1) bigrams
