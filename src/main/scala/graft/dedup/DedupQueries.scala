@@ -299,7 +299,21 @@ object DedupQueries {
     * with bit-identical results (the driver oracle closes over the FULL
     * pair graph and must agree).
     */
-  def c19DedupCollapse(spark: SparkSession, dir: String): DataFrame = {
+  /** Memoized per session+dir (localCheckpoint, the GeoDerive.cells
+    * pattern): the C19 query, the C35 inflation report and the curation
+    * pipeline all consume this closure, so the LSH + scoring + CC chain
+    * runs once per session. The checkpointed frame is doc_id →
+    * (canonical_id, keep) — a few columns per doc, far smaller than any
+    * intermediate.
+    */
+  private val collapseCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  def c19DedupCollapse(spark: SparkSession, dir: String): DataFrame =
+    collapseCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      collapseUncached(spark, dir).localCheckpoint(true))
+
+  private def collapseUncached(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val classes = docs.groupBy("text").agg(min("doc_id").as("rep"))
     val stars = docs.select(col("doc_id"), col("text")).join(classes, "text")
