@@ -31,12 +31,14 @@ import graft.{GraftSession, Tables}
   */
 object CurationPipeline {
 
-  /** Gate thresholds (micro-units, SURVEY §5): chosen so each gate
-    * actually fires on the synthetic corpus — quality cuts the bottom
-    * ~decile, the repetition gate the most degenerate tail.
+  /** Gate thresholds (micro-units, SURVEY §5): shared with the C36
+    * decision table so the pipeline and the audit report can't drift —
+    * chosen so each gate actually fires on the synthetic corpus
+    * (quality cuts the bottom ~decile, the repetition gate the most
+    * degenerate tail).
     */
-  val MinQualityMicro = 80000L
-  val MaxDupFracMicro = 700000L
+  val MinQualityMicro = TextQueries.MinQualityMicro
+  val MaxDupFracMicro = TextQueries.MaxDupFracMicro
 
   final case class Result(
       total: Long, afterGates: Long, afterExact: Long, afterNear: Long,

@@ -778,6 +778,65 @@ object TextQueries {
       |  ON a.doc_id <> b.doc_id AND starts_with(b.text, a.text || ' ')
       |ORDER BY dup_id, host_id""".stripMargin
 
+  // ---------------------------------------------------------------- C36
+  /** Composite quality-gate decision table — the keep/reject verdict
+    * (with the FIRST failing gate as the reason) that curation runs
+    * materialize next to the corpus, so every dropped doc is auditable.
+    * Combines the C3 quality score, the C26 repetition signal (LEFT
+    * join — a doc too short to have bigrams is not "repetitive") and a
+    * token-length floor, in fixed precedence. Same thresholds the
+    * [[CurationPipeline]] gates on. All inputs are existing partial-agg
+    * frames joined on doc_id; the verdict itself is map-side.
+    */
+  val MinQualityMicro = 80000L
+  val MaxDupFracMicro = 700000L
+  val MinGateTokens = 10L
+
+  def c36QualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val q = c3QualityScore(spark, dir).select(col("doc_id"), col("quality_micro"))
+    val r = c26Repetition(spark, dir).select(col("doc_id"), col("dup_frac_micro"))
+    d.join(q, "doc_id").join(r, Seq("doc_id"), "left")
+      .withColumn("dup_frac_micro", coalesce(col("dup_frac_micro"), lit(0L)))
+      .withColumn("reason",
+        when(col("n_tokens") < MinGateTokens, "too_short")
+          .when(col("quality_micro") < MinQualityMicro, "low_quality")
+          .when(col("dup_frac_micro") > MaxDupFracMicro, "repetitive")
+          .otherwise("ok"))
+      .withColumn("keep", col("reason") === "ok")
+      .select("doc_id", "n_tokens", "quality_micro", "dup_frac_micro", "keep", "reason")
+      .orderBy("doc_id")
+  }
+
+  /** Twin reuses the C3/C26 queries verbatim as subqueries (their own
+    * WITH blocks nest inside the parens), so the gate can't drift from
+    * the signals it audits.
+    */
+  val c36Sql: String = {
+    val qBody = c3Sql.stripSuffix("ORDER BY doc_id").trim
+    val rBody = c26Sql.stripSuffix("ORDER BY u.doc_id").trim
+    s"""WITH q AS (SELECT doc_id, quality_micro FROM (
+       |$qBody
+       |)), r AS (SELECT doc_id, dup_frac_micro FROM (
+       |$rBody
+       |)), d AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), g AS (
+       |  SELECT d.doc_id, d.n_tokens, q.quality_micro,
+       |    COALESCE(r.dup_frac_micro, 0) AS dup_frac_micro,
+       |    CASE WHEN d.n_tokens < $MinGateTokens THEN 'too_short'
+       |         WHEN q.quality_micro < $MinQualityMicro THEN 'low_quality'
+       |         WHEN COALESCE(r.dup_frac_micro, 0) > $MaxDupFracMicro THEN 'repetitive'
+       |         ELSE 'ok' END AS reason
+       |  FROM d JOIN q USING (doc_id) LEFT JOIN r USING (doc_id)
+       |)
+       |SELECT doc_id, n_tokens, quality_micro, dup_frac_micro,
+       |  reason = 'ok' AS keep, reason
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_exact" -> (c1DedupExact _),
     "c2_token_count" -> (c2TokenCount _),
@@ -797,7 +856,8 @@ object TextQueries {
     "c30_domain_mix" -> (c30DomainMix _),
     "c31_lm_score" -> (c31LmScore _),
     "c32_sample_budget" -> (c32SampleBudget _),
-    "c33_prefix_dups" -> (c33PrefixDups _))
+    "c33_prefix_dups" -> (c33PrefixDups _),
+    "c36_quality_gate" -> (c36QualityGate _))
 
   val oracles: Map[String, String] = Map(
     "c1_dedup_exact" -> c1Sql,
@@ -818,5 +878,6 @@ object TextQueries {
     "c30_domain_mix" -> c30Sql,
     "c31_lm_score" -> c31Sql,
     "c32_sample_budget" -> c32Sql,
-    "c33_prefix_dups" -> c33Sql)
+    "c33_prefix_dups" -> c33Sql,
+    "c36_quality_gate" -> c36Sql)
 }

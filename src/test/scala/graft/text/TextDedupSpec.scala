@@ -208,6 +208,23 @@ class DedupQueriesSpec extends SparkTestBase {
     assert(kept <= graft.text.TextQueries.c1DedupExact(spark, sf).count())
   }
 
+  test("c36 quality gate: covers every doc, verdict consistent with its inputs") {
+    val r = TextQueries.c36QualityGate(spark, sf)
+    assert(r.count() == Tables(spark, sf, "documents").count())
+    assert(r.filter(col("keep") =!= (col("reason") === "ok")).count() == 0)
+    // kept docs pass every gate; each reject reason implies its own gate fails
+    assert(r.filter(col("keep") &&
+      (col("n_tokens") < TextQueries.MinGateTokens ||
+       col("quality_micro") < TextQueries.MinQualityMicro ||
+       col("dup_frac_micro") > TextQueries.MaxDupFracMicro)).count() == 0)
+    assert(r.filter(col("reason") === "low_quality" &&
+      col("quality_micro") >= TextQueries.MinQualityMicro).count() == 0)
+    assert(r.filter(col("reason") === "repetitive" &&
+      col("dup_frac_micro") <= TextQueries.MaxDupFracMicro).count() == 0)
+    // both gates fire somewhere on this corpus (thresholds are live)
+    assert(r.filter(!col("keep")).count() > 0)
+  }
+
   test("c35 dedup inflation: token mass conserves and inflation >= 1e6") {
     val r = DedupQueries.c35DedupInflation(spark, sf)
     // every source appears, kept <= total on both docs and tokens
