@@ -460,22 +460,20 @@ object TextQueries {
   /** Per-document repetition signals (the Gopher-style quality gates):
     * duplicate-token fraction, most-frequent-token count, and
     * top-bigram mass fraction. Two partial-agg shuffles keyed on doc_id
-    * (+ the token / bigram within), one high-cardinality per-doc lead
-    * window for adjacency — no token list ever collects to one row.
-    * Fractions are exact integer micro-units (SURVEY §5).
+    * (+ the token / bigram within); adjacency comes from the map-side
+    * [[bigramPairs]] zip, so there is no window anywhere — no token
+    * list ever collects to one row. Fractions are exact integer
+    * micro-units (SURVEY §5).
     */
   def c26Repetition(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = Tables(spark, dir, "documents")
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
-    val uni = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+    val uni = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_tokens"), count(lit(1)).as("n_distinct"),
         max("cnt").as("top_token_cnt"))
-    val bi = toks
-      .withColumn("w2", lead("w", 1).over(Window.partitionBy("doc_id").orderBy("pos")))
-      .filter(col("w2").isNotNull)
-      .groupBy("doc_id", "w", "w2").agg(count(lit(1)).as("cnt"))
+    val bi = bigramPairs(spark, dir)
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_bigrams"), max("cnt").as("top_bigram_cnt"))
     uni.join(bi, Seq("doc_id"))
