@@ -35,7 +35,8 @@ object SparkEntry {
     "b11_rollup_revenue" -> (Queries.rollupRevenue _),
     "b12_small_qty_revenue" -> (Queries.smallQtyRevenue _),
     "b13_no_order_customers" -> (Queries.noOrderCustomers _),
-    "b14_exists_returned" -> (Queries.existsReturned _)
+    "b14_exists_returned" -> (Queries.existsReturned _),
+    "b15_distinct_sketch" -> (Queries.distinctSketch _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -59,6 +60,7 @@ object SparkEntry {
     "b11_rollup_revenue" -> Queries.rollupRevenueSql,
     "b12_small_qty_revenue" -> Queries.smallQtyRevenueSql,
     "b13_no_order_customers" -> Queries.noOrderCustomersSql,
-    "b14_exists_returned" -> Queries.existsReturnedSql
+    "b14_exists_returned" -> Queries.existsReturnedSql,
+    "b15_distinct_sketch" -> Queries.distinctSketchSql
   )
 }

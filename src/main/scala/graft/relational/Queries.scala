@@ -515,4 +515,64 @@ object Queries {
       |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
+
+  /** B15 sketch parameters: bottom-k size and the hash range (Mersenne
+    * prime 2^31−1; the affine multiplier is the Knuth constant already
+    * used for the testdata score derivation, SURVEY.md §4).
+    */
+  val KmvK = 64
+  val KmvMod = 2147483647L
+
+  /** B15: KMV (bottom-k / k-minimum-values) distinct-count sketch —
+    * per-month estimated distinct customers next to the exact count.
+    * Unlike HLL the estimator is a pure order statistic
+    * (`(k−1)·M / kth_min_hash`), so every intermediate is exact integer
+    * arithmetic and the result hash-matches any engine — no float
+    * bit-tricks, no engine-specific hash. Plan shape at scale: the
+    * DISTINCT on (month, hash) is a map-side-combinable hash agg (the
+    * sketch's "insert"), and the bottom-k per month is a window over
+    * ≤ k·partitions survivors per group after that dedup — both shuffle
+    * only (month, hash) pairs, never raw rows. Estimate quality is the
+    * textbook k≈64 ⇒ ~12% relative error; groups with fewer than k
+    * distinct hashes report exactly.
+    */
+  def distinctSketch(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders").select(
+      (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("long").as("ym"),
+      col("o_custkey"))
+    val exact = o.groupBy("ym").agg(countDistinct("o_custkey").as("n_exact"))
+    val hashes = o.select(col("ym"),
+        ((col("o_custkey") * lit(2654435761L) + lit(40503L)) % lit(KmvMod)).as("h"))
+      .distinct()
+    val sk = hashes
+      .withColumn("rn", row_number().over(Window.partitionBy("ym").orderBy("h")))
+      .filter(col("rn") <= KmvK)
+      .groupBy("ym").agg(max("h").as("kth_min"), count(lit(1)).as("n_k"))
+    exact.join(sk, "ym")
+      .withColumn("est_distinct",
+        when(col("n_k") < KmvK, col("n_k"))
+          .otherwise(expr(s"(${KmvK - 1} * CAST($KmvMod AS BIGINT)) div kth_min")))
+      .select("ym", "n_exact", "n_k", "kth_min", "est_distinct")
+      .orderBy("ym")
+  }
+
+  val distinctSketchSql: String =
+    s"""WITH o AS (
+       |  SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS ym, o_custkey
+       |  FROM orders
+       |), exact AS (
+       |  SELECT ym, COUNT(DISTINCT o_custkey) AS n_exact FROM o GROUP BY ym
+       |), h AS (
+       |  SELECT DISTINCT ym, (o_custkey * 2654435761 + 40503) % $KmvMod AS h FROM o
+       |), topk AS (
+       |  SELECT ym, h FROM h
+       |  QUALIFY row_number() OVER (PARTITION BY ym ORDER BY h) <= $KmvK
+       |), sk AS (
+       |  SELECT ym, MAX(h) AS kth_min, COUNT(*) AS n_k FROM topk GROUP BY ym
+       |)
+       |SELECT e.ym, e.n_exact, s.n_k, s.kth_min,
+       |  CASE WHEN s.n_k < $KmvK THEN s.n_k
+       |       ELSE (${KmvK - 1} * CAST($KmvMod AS BIGINT)) // s.kth_min END AS est_distinct
+       |FROM exact e JOIN sk s ON e.ym = s.ym
+       |ORDER BY e.ym""".stripMargin
 }

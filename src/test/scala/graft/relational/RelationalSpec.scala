@@ -111,6 +111,22 @@ class RelationalSpec extends SparkTestBase {
     assert(r.agg(sum("n_orders")).head.getLong(0) == expected)
   }
 
+  test("b15 KMV sketch: exact below k, estimate within 50% above k") {
+    val r = Queries.distinctSketch(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val exact = row.getAs[Long]("n_exact")
+      val nk = row.getAs[Long]("n_k")
+      val est = row.getAs[Long]("est_distinct")
+      assert(nk <= Queries.KmvK)
+      if (nk < Queries.KmvK) assert(est == nk)
+      // k=64 gives ~12% expected relative error; 50% is a loose gate that
+      // still catches an off-by-bucket or wrong-modulus estimator
+      else assert(math.abs(est - exact).toDouble / exact < 0.5,
+        s"ym=${row.getAs[Long]("ym")} est=$est exact=$exact")
+    }
+  }
+
   test("b10 bucketed range join matches the naive theta-join row set exactly") {
     val ev = Tables.eventsWithUs(spark, sf)
     val clicks = ev.filter(col("event_type") === "click")
