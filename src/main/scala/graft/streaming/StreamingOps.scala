@@ -207,6 +207,45 @@ object StreamingOps {
     spark.readStream.schema(schema).parquet(sourceDir)
   }
 
+  // ------------------------------------------------- D8: upsert sink
+  /** Projection for the D8 upsert sink: one row per event with the keyed
+    * columns the sink maintains.
+    */
+  def latestPerUser(events: DataFrame): DataFrame =
+    events.select(col("user_id"), col("event_id"),
+      unix_micros(col("event_time")).as("us"), col("event_type"),
+      cents(col("value")).as("value_c"))
+
+  /** D8 merge body: MERGE a micro-batch into the keyed state table at
+    * `stateDir`, keeping each user's LATEST event (max event time,
+    * event_id tiebreak) — the streaming twin of A17's conflict-handling
+    * persist, in the keep-latest direction (`solardb.py:83-97` is
+    * keep-first on insert; a live mirror wants newest-wins). Keep-max is
+    * associative and commutative, so the sink state is independent of
+    * micro-batch boundaries (spec-proven by replaying a split stream).
+    * Locally the sink is a versioned-parquet swap; on a cluster the same
+    * body is a `MERGE INTO` against a table format, and the per-batch
+    * cost is one shuffle of (batch ∪ state) on the key.
+    */
+  def upsertLatest(batch: DataFrame, stateDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val cur = new java.io.File(s"$stateDir/current")
+    val all =
+      if (cur.exists) batch.unionByName(spark.read.parquet(cur.getPath))
+      else batch
+    val w = Window.partitionBy("user_id").orderBy(col("us").desc, col("event_id").desc)
+    val merged = all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val next = new java.io.File(s"$stateDir/next")
+    merged.write.mode("overwrite").parquet(next.getPath)
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmrf)); f.delete(): Unit
+    }
+    if (cur.exists) rmrf(cur)
+    if (!next.renameTo(cur)) sys.error(s"d8 upsert: rename $next -> $cur failed")
+  }
+
   /** D7: running vocabulary counts over a document stream — unwindowed
     * stateful aggregation keyed on the token (high-cardinality,
     * skew-bounded by token frequency; the state row is one counter per

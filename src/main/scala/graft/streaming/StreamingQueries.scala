@@ -211,6 +211,40 @@ object StreamingQueries {
        |ORDER BY tf DESC, token
        |LIMIT ${graft.text.TextQueries.VocabTopK}""".stripMargin
 
+  // ---------------------------------------------------------------- D8
+  /** Keyed upsert sink via foreachBatch: after the AvailableNow replay
+    * the sink table holds each user's latest event — newest-wins MERGE
+    * semantics (see [[StreamingOps.upsertLatest]]). The oracle is the
+    * batch keep-latest window over the whole events table, which the
+    * sink state must equal REGARDLESS of how the stream was
+    * micro-batched, because the merge is associative.
+    */
+  def d8StreamUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val stateDir = track(Files.createTempDirectory("graft-d8-state").toString)
+    val ckpt = track(Files.createTempDirectory("graft-ckpt-d8").toString)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+    try {
+      val merge: (DataFrame, Long) => Unit =
+        (batch, _) => StreamingOps.upsertLatest(batch, stateDir)
+      val q = StreamingOps.latestPerUser(stream(spark, sfDir))
+        .writeStream
+        .foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.read.parquet(s"$stateDir/current").orderBy("user_id")
+  }
+
+  val d8Sql: String =
+    """SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+      |  CAST(ROUND(value*100.0) AS BIGINT) AS value_c
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id
+      |  ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_stream_windowed" -> (d1StreamWindowed _),
     "d2_stream_dedup" -> (d2StreamDedup _),
@@ -218,7 +252,8 @@ object StreamingQueries {
     "d4_stream_enriched" -> (d4StreamEnriched _),
     "d5_stream_interval_join" -> (d5StreamIntervalJoin _),
     "d6_stream_totals" -> (d6StreamTotals _),
-    "d7_stream_vocab" -> (d7StreamVocab _))
+    "d7_stream_vocab" -> (d7StreamVocab _),
+    "d8_stream_upsert" -> (d8StreamUpsert _))
 
   val oracles: Map[String, String] = Map(
     "d1_stream_windowed" -> d1Sql,
@@ -227,5 +262,6 @@ object StreamingQueries {
     "d4_stream_enriched" -> d4Sql,
     "d5_stream_interval_join" -> d5Sql,
     "d6_stream_totals" -> d6Sql,
-    "d7_stream_vocab" -> d7Sql)
+    "d7_stream_vocab" -> d7Sql,
+    "d8_stream_upsert" -> d8Sql)
 }

@@ -95,6 +95,23 @@ class StreamingSpec extends SparkTestBase {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("D8 upsert merge is micro-batch-boundary independent (split replay == one-shot)") {
+    val ev = StreamingOps.latestPerUser(
+      StreamingOps.normalize(Tables(spark, sf, "events")))
+    // one-shot merge
+    val oneDir = Files.createTempDirectory("d8-one").toString
+    StreamingOps.upsertLatest(ev, oneDir)
+    val one = spark.read.parquet(s"$oneDir/current")
+    // two-batch replay split by event time (arbitrary boundary)
+    val cut = ev.agg(expr("percentile_approx(us, 0.5)")).head.getLong(0)
+    val splitDir = Files.createTempDirectory("d8-split").toString
+    StreamingOps.upsertLatest(ev.filter(col("us") <= cut), splitDir)
+    StreamingOps.upsertLatest(ev.filter(col("us") > cut), splitDir)
+    val split = spark.read.parquet(s"$splitDir/current")
+    assert(one.count() == Tables(spark, sf, "events").select("user_id").distinct().count())
+    assert(one.exceptAll(split).count() == 0 && split.exceptAll(one).count() == 0)
+  }
+
   test("D7 streaming vocab counts == batch token counts after the replay") {
     val docsDir = StreamingOps.stageTableDir(spark, sf, "documents")
     val got = runToMemory(
