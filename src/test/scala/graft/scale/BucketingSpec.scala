@@ -1,0 +1,60 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+
+class BucketingSpec extends SparkTestBase {
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  private lazy val tablesReady: Unit = {
+    Bucketing.writeBucketed(
+      Tables(spark, sf, "lineitem").select("l_orderkey", "l_partkey", "l_quantity"),
+      "bk_lineitem", "l_orderkey", 8)
+    Bucketing.writeBucketed(
+      Tables(spark, sf, "orders").select("o_orderkey", "o_custkey"),
+      "bk_orders", "o_orderkey", 8)
+  }
+
+  test("co-bucketed join on the bucket key plans with zero Exchange") {
+    tablesReady
+    val j = Bucketing.cobucketedJoin(spark, "bk_lineitem", "bk_orders",
+      "l_orderkey", "o_orderkey")
+    val plan = finalPlan(j)
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    // row parity vs the plain (shuffled) join
+    val expected = Tables(spark, sf, "lineitem")
+      .join(Tables(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(j.count() == expected)
+  }
+
+  test("aggregation on the bucket key reuses the bucket layout (no Exchange)") {
+    tablesReady
+    val agg = spark.table("bk_lineitem")
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+    val plan = finalPlan(agg)
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  test("point filter on the bucket key prunes to a single bucket") {
+    tablesReady
+    // a bare filter doesn't need the bucketing DISTRIBUTION, so AQE's
+    // auto-bucketed-scan turns bucketed reading off for parallelism;
+    // force it on to exercise bucket pruning (a real deployment leaves
+    // this on for point-lookup-heavy tables)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val key = spark.table("bk_lineitem").select(min("l_orderkey")).head.getLong(0)
+      val q = spark.table("bk_lineitem").filter(col("l_orderkey") === key)
+      val plan = finalPlan(q)
+      // FileSourceScanExec reports bucket pruning as SelectedBucketsCount
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"), plan.take(2000))
+    } finally spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+}
