@@ -558,6 +558,35 @@ object GeoQueries {
        |FROM bcr
        |ORDER BY x, y""".stripMargin)
 
+  // ---------------------------------------------------------------- A24
+  /** A24: the meshgrid tile enumeration served by the DSv2
+    * [[graft.sources.TileRange]] connector instead of `sequence+explode`
+    * — the query asks for a whole zoom-12 tile world (16.8M tiles) and
+    * filters a 100×100 bbox; the source's filter pushdown tightens the
+    * GENERATED range to exactly the bbox before planning, and column
+    * pruning keeps lon/lat ungenerated until projected (TileRangeSpec
+    * asserts both on the physical plan). Oracle = the same grid via
+    * generate_series and the shared num2deg SQL fragments.
+    */
+  val A24Zoom = 12
+  def a24TileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("tilerange")
+      .option("minX", 0).option("maxX", (1 << A24Zoom) - 1)
+      .option("minY", 0).option("maxY", (1 << A24Zoom) - 1)
+      .option("zoom", A24Zoom)
+      .load()
+      .filter(col("x").between(2048, 2147) && col("y").between(1300, 1399))
+      .select(col("x"), col("y"),
+        round(col("lon"), 6).as("lon"), round(col("lat"), 6).as("lat"))
+      .orderBy("x", "y")
+
+  val a24Sql: String =
+    s"""SELECT gx.x AS x, gy.y AS y,
+       |  ${colToLonSql("gx.x", A24Zoom)} AS lon,
+       |  ${rowToLatSql("gy.y", A24Zoom)} AS lat
+       |FROM generate_series(2048, 2147) gx(x), generate_series(1300, 1399) gy(y)
+       |ORDER BY x, y""".stripMargin
+
   // --------------------------------------------------- clustered challenge
   /** One MapRoulette challenge document per unmapped cluster with its
     * ASSEMBLED outline polygon (create_clustered_maproulette_geojson,
@@ -595,6 +624,7 @@ object GeoQueries {
     "a21_tile_batch" -> (a21TileBatch _),
     "a22_unclustered_threshold" -> (a22UnclusteredThreshold _),
     "a23_slice_plan" -> (a23SlicePlan _),
+    "a24_tile_source" -> (a24TileSource _),
     "a20_polygons_with_grid" -> (a20PolygonsWithGrid _),
     "a1_deg2num" -> (a1Deg2num _),
     "a2_num2deg" -> (a2Num2deg _),
@@ -620,6 +650,7 @@ object GeoQueries {
     "a21_tile_batch" -> a21Sql,
     "a22_unclustered_threshold" -> a22Sql,
     "a23_slice_plan" -> a23Sql,
+    "a24_tile_source" -> a24Sql,
     "a20_polygons_with_grid" -> a20Sql,
     "a1_deg2num" -> a1Sql,
     "a2_num2deg" -> a2Sql,
