@@ -1,0 +1,112 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** `bottom_k(v, k)`: the k smallest DISTINCT bigint values per group, as
+  * an ascending array — the collection step of a KMV / bottom-k distinct
+  * sketch (SURVEY.md §2 B15) as a real Catalyst aggregate.
+  *
+  * Why an aggregate and not a window: `row_number() OVER (ORDER BY h)`
+  * must SHUFFLE AND SORT every row of the group before it can cut at k.
+  * A TypedImperativeAggregate gets Spark's two-phase agg machinery for
+  * free — each map task folds its partition into a ≤k-element buffer,
+  * and only those k-element buffers cross the wire and merge. That
+  * partial-merge shape (sketch union = merge + trim) is exactly how a
+  * distinct sketch is meant to distribute at 100 TB: shuffle bytes are
+  * O(k · partitions), independent of row count.
+  *
+  * The buffer is a capped TreeSet: insert, dedup, drop-max when above k
+  * — O(log k) per row, O(k) serialized.
+  */
+case class BottomK(child: Expression, kExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  lazy val k: Int = kExpr.eval(InternalRow.empty).asInstanceOf[Number].intValue()
+
+  override def children: Seq[Expression] = Seq(child, kExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"bottom_k expects a bigint value, got ${child.dataType}")
+    else if (!kExpr.foldable ||
+        !Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(kExpr.dataType))
+      TypeCheckResult.TypeCheckFailure("bottom_k expects a literal integer k")
+    else if (k <= 0)
+      TypeCheckResult.TypeCheckFailure(s"bottom_k expects k > 0, got $k")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(buffer: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      buffer.add(v.asInstanceOf[Long])
+      if (buffer.size > k) buffer.pollLast(): Unit
+    }
+    buffer
+  }
+
+  override def merge(buffer: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) {
+      buffer.add(it.next())
+      if (buffer.size > k) buffer.pollLast(): Unit
+    }
+    buffer
+  }
+
+  override def eval(buffer: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buffer.size)
+    val it = buffer.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buffer.size)
+    val it = buffer.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val set = new java.util.TreeSet[java.lang.Long]()
+    val bb = ByteBuffer.wrap(bytes)
+    while (bb.remaining() >= 8) set.add(bb.getLong): Unit
+    set
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BottomK =
+    copy(child = newChildren(0), kExpr = newChildren(1))
+  override def prettyName: String = "bottom_k"
+}
+
+/** Column-API entry point. */
+object aggs {
+  import org.apache.spark.sql.GraftBridge.{column, expression}
+
+  def bottom_k(v: Column, k: Int): Column =
+    column(BottomK(expression(v), Literal(k)).toAggregateExpression())
+}

@@ -32,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_intersect_count(a, b) - |a ∩ b| of two ascending-sorted distinct bigint arrays"),
       (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("bottom_k"),
+      info(classOf[BottomK], "bottom_k",
+        "bottom_k(v, k) - aggregate: k smallest distinct bigint values, ascending array"),
+      (args: Seq[Expression]) => BottomK(args(0), args(1))))
+    ext.injectFunction((
       FunctionIdentifier("rolling_hashes"),
       info(classOf[RollingHashes], "rolling_hashes",
         "rolling_hashes(t, b, m) - array of all prefix hashes (t1*b^(k-1)+...+tk) mod m"),

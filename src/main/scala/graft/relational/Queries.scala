@@ -528,26 +528,26 @@ object Queries {
     * Unlike HLL the estimator is a pure order statistic
     * (`(k−1)·M / kth_min_hash`), so every intermediate is exact integer
     * arithmetic and the result hash-matches any engine — no float
-    * bit-tricks, no engine-specific hash. Plan shape at scale: the
-    * DISTINCT on (month, hash) is a map-side-combinable hash agg (the
-    * sketch's "insert"), and the bottom-k per month is a window over
-    * ≤ k·partitions survivors per group after that dedup — both shuffle
-    * only (month, hash) pairs, never raw rows. Estimate quality is the
-    * textbook k≈64 ⇒ ~12% relative error; groups with fewer than k
-    * distinct hashes report exactly.
+    * bit-tricks, no engine-specific hash. The collection step is the
+    * custom [[graft.functions.BottomK]] TypedImperativeAggregate: each
+    * map task folds its rows into a ≤k-element buffer and only those
+    * buffers shuffle and merge — O(k·partitions) wire bytes regardless
+    * of row count, the real distributed-sketch shape (the window
+    * formulation would shuffle+sort every distinct hash). Estimate
+    * quality is the textbook k≈64 ⇒ ~12% relative error; groups with
+    * fewer than k distinct hashes report exactly.
     */
   def distinctSketch(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir, "orders").select(
       (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("long").as("ym"),
       col("o_custkey"))
     val exact = o.groupBy("ym").agg(countDistinct("o_custkey").as("n_exact"))
-    val hashes = o.select(col("ym"),
+    val sk = o.select(col("ym"),
         ((col("o_custkey") * lit(2654435761L) + lit(40503L)) % lit(KmvMod)).as("h"))
-      .distinct()
-    val sk = hashes
-      .withColumn("rn", row_number().over(Window.partitionBy("ym").orderBy("h")))
-      .filter(col("rn") <= KmvK)
-      .groupBy("ym").agg(max("h").as("kth_min"), count(lit(1)).as("n_k"))
+      .groupBy("ym").agg(graft.functions.aggs.bottom_k(col("h"), KmvK).as("bk"))
+      .select(col("ym"),
+        element_at(col("bk"), size(col("bk"))).as("kth_min"),
+        size(col("bk")).cast("long").as("n_k"))
     exact.join(sk, "ym")
       .withColumn("est_distinct",
         when(col("n_k") < KmvK, col("n_k"))
