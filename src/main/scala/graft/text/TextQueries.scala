@@ -835,6 +835,61 @@ object TextQueries {
        |FROM g ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C37
+  /** C37: winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS algorithm): slide a w-window over the k-gram
+    * hash sequence and keep each window's MINIMUM hash; the distinct
+    * selected values are the doc's fingerprint set. Guarantee: any
+    * shared run of ≥ w+k−1 tokens between two docs shares a fingerprint
+    * — position-robust local dedup between C5's whole-doc hash and C6's
+    * probabilistic MinHash. Because only hash VALUES are kept (not
+    * positions), the window tie-break is irrelevant and the result is
+    * engine-exact. Pure map-side higher-order-function work: no shuffle
+    * at all until the final ORDER BY; the k-gram fold reuses C29's
+    * proven-parity slice-fold hash.
+    */
+  val WinnowK = 4
+  val WinnowW = 4
+
+  def c37Winnowing(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= WinnowK)
+      .withColumn("g", transform(sequence(lit(1), size(col("toks")) - WinnowK + 1),
+        i => aggregate(transform(slice(col("toks"), i, lit(WinnowK)), tokenHash _),
+          lit(0L), (acc, t) => (acc * lit(FpB) + t) % lit(FpM))))
+      .withColumn("fps", array_distinct(transform(
+        sequence(lit(1), greatest(lit(1), size(col("g")) - WinnowW + 1)),
+        i => array_min(slice(col("g"), i, lit(WinnowW))))))
+      .select(col("doc_id"),
+        size(col("g")).cast("long").as("n_grams"),
+        size(col("fps")).cast("long").as("n_fps"),
+        aggregate(col("fps"), lit(0L), (a, b) => a + b).as("fp_sum"),
+        array_min(col("fps")).as("fp_min"))
+      .orderBy("doc_id")
+
+  val c37Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), g AS (
+       |  SELECT doc_id, list_transform(range(1, len(toks) - $WinnowK + 2),
+       |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(list_slice(toks, i, i + $WinnowK - 1),
+       |             w -> ${tokenHashSql("w")})),
+       |         (acc, h) -> (acc * $FpB + h) % $FpM)) AS g
+       |  FROM d WHERE len(toks) >= $WinnowK
+       |), s AS (
+       |  SELECT doc_id, g, list_distinct(list_transform(
+       |    range(1, greatest(1, len(g) - $WinnowW + 1) + 1),
+       |    i -> list_min(list_slice(g, i, i + $WinnowW - 1)))) AS fps
+       |  FROM g
+       |)
+       |SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+       |  CAST(len(fps) AS BIGINT) AS n_fps,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), fps), (a, b) -> a + b) AS fp_sum,
+       |  list_min(fps) AS fp_min
+       |FROM s ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_exact" -> (c1DedupExact _),
     "c2_token_count" -> (c2TokenCount _),
@@ -855,7 +910,8 @@ object TextQueries {
     "c31_lm_score" -> (c31LmScore _),
     "c32_sample_budget" -> (c32SampleBudget _),
     "c33_prefix_dups" -> (c33PrefixDups _),
-    "c36_quality_gate" -> (c36QualityGate _))
+    "c36_quality_gate" -> (c36QualityGate _),
+    "c37_winnowing" -> (c37Winnowing _))
 
   val oracles: Map[String, String] = Map(
     "c1_dedup_exact" -> c1Sql,
@@ -877,5 +933,6 @@ object TextQueries {
     "c31_lm_score" -> c31Sql,
     "c32_sample_budget" -> c32Sql,
     "c33_prefix_dups" -> c33Sql,
-    "c36_quality_gate" -> c36Sql)
+    "c36_quality_gate" -> c36Sql,
+    "c37_winnowing" -> c37Sql)
 }

@@ -19,6 +19,33 @@ class TextQueriesSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("c37 winnowing guarantee: docs sharing a >= w+k-1 token run share a fingerprint") {
+    import spark.implicits._
+    // two docs with a common 8-token run (w+k-1 = 7) embedded at
+    // different positions inside different surrounding text
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two three $shared four five"),
+      (2L, s"$shared nine ten eleven twelve thirteen fourteen"),
+      (3L, "totally different words with no overlap at all whatsoever"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("winnow_docs_v")
+    def fps(id: Long) = {
+      val d = docs.filter(col("doc_id") === id)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("g", transform(sequence(lit(1), size(col("toks")) - TextQueries.WinnowK + 1),
+          i => aggregate(transform(slice(col("toks"), i, lit(TextQueries.WinnowK)),
+            TextQueries.tokenHash _),
+            lit(0L), (acc, t) => (acc * lit(TextQueries.FpB) + t) % lit(TextQueries.FpM))))
+        .withColumn("fps", array_distinct(transform(
+          sequence(lit(1), greatest(lit(1), size(col("g")) - TextQueries.WinnowW + 1)),
+          i => array_min(slice(col("g"), i, lit(TextQueries.WinnowW))))))
+      d.select("fps").head.getSeq[Long](0).toSet
+    }
+    assert(fps(1L).intersect(fps(2L)).nonEmpty)
+    assert(fps(1L).intersect(fps(3L)).isEmpty)
+  }
+
   test("c2 token counts: ws_tokens equals split size on single-spaced text") {
     val bad = TextQueries.c2TokenCount(spark, sf)
       .join(Tables(spark, sf, "documents"), "doc_id")
