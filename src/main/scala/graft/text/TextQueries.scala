@@ -890,6 +890,56 @@ object TextQueries {
        |  list_min(fps) AS fp_min
        |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- C38
+  /** C38: k-gram novelty — per doc, the fraction of its distinct k-gram
+    * hashes whose FIRST occurrence (min doc_id, i.e. crawl order) is
+    * this doc. The incremental-crawl freshness signal: a re-crawled or
+    * boilerplate-heavy doc scores near 0, genuinely new text near 1e6.
+    * Plan: distinct (doc_id, gram) hash-agg → min(doc_id) per gram
+    * (map-side combinable) → equi-join back on the gram hash → per-doc
+    * agg. Every shuffle is keyed on the high-cardinality gram hash or
+    * doc_id — no skew, no broadcast of anything unbounded.
+    */
+  def c38GramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= ContamN)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - ContamN + 1),
+          i => aggregate(transform(slice(col("toks"), i, lit(ContamN)), tokenHash _),
+            lit(0L), (acc, t) => (acc * lit(FpB) + t) % lit(FpM)))).as("gh"))
+      .distinct()
+    val first = g.groupBy("gh").agg(min("doc_id").as("first_doc"))
+    g.join(first, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_micro", expr("(n_novel * 1000000) div n_grams"))
+      .orderBy("doc_id")
+  }
+
+  val c38Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), g AS (
+       |  SELECT DISTINCT doc_id,
+       |    UNNEST(list_transform(range(1, len(toks) - $ContamN + 2),
+       |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(list_slice(toks, i, i + $ContamN - 1),
+       |               w -> ${tokenHashSql("w")})),
+       |           (acc, h) -> (acc * $FpB + h) % $FpM))) AS gh
+       |  FROM d WHERE len(toks) >= $ContamN
+       |), f AS (
+       |  SELECT gh, MIN(doc_id) AS first_doc FROM g GROUP BY gh
+       |), p AS (
+       |  SELECT g.doc_id, COUNT(*) AS n_grams,
+       |    CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+       |  FROM g JOIN f USING (gh) GROUP BY g.doc_id
+       |)
+       |SELECT doc_id, n_grams, n_novel,
+       |  (n_novel * 1000000) // n_grams AS novelty_micro
+       |FROM p ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_exact" -> (c1DedupExact _),
     "c2_token_count" -> (c2TokenCount _),
@@ -911,7 +961,8 @@ object TextQueries {
     "c32_sample_budget" -> (c32SampleBudget _),
     "c33_prefix_dups" -> (c33PrefixDups _),
     "c36_quality_gate" -> (c36QualityGate _),
-    "c37_winnowing" -> (c37Winnowing _))
+    "c37_winnowing" -> (c37Winnowing _),
+    "c38_gram_novelty" -> (c38GramNovelty _))
 
   val oracles: Map[String, String] = Map(
     "c1_dedup_exact" -> c1Sql,
@@ -934,5 +985,6 @@ object TextQueries {
     "c32_sample_budget" -> c32Sql,
     "c33_prefix_dups" -> c33Sql,
     "c36_quality_gate" -> c36Sql,
-    "c37_winnowing" -> c37Sql)
+    "c37_winnowing" -> c37Sql,
+    "c38_gram_novelty" -> c38Sql)
 }
