@@ -7,8 +7,9 @@ import scala.collection.mutable
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -101,11 +102,13 @@ private[sources] class TileRangeTable(properties: util.Map[String, String])
 }
 
 private[sources] class TileRangeScanBuilder(initial: TileRange.Bounds)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var bounds = initial
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = TileRange.Schema
+  private var aggOps: Option[Seq[String]] = None
 
   /** Accept x/y range predicates by tightening the generated bounds;
     * everything else stays a residual filter for Spark to evaluate.
@@ -148,7 +151,92 @@ private[sources] class TileRangeScanBuilder(initial: TileRange.Bounds)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new TileRangeScan(bounds, required)
+  /** COUNT(*) / MIN / MAX over x or y are closed-form on a generated
+    * grid — answer them from the (already filter-tightened) bounds
+    * without generating a single row. Complete pushdown: the one
+    * emitted row IS the final answer (no group-by supported).
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    decodeAgg(aggregation).isDefined
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    decodeAgg(aggregation) match {
+      case some @ Some(_) => aggOps = some; true
+      case None => false
+    }
+
+  private def decodeAgg(agg: Aggregation): Option[Seq[String]] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    def name(f: AggregateFunc): Option[String] = f match {
+      case _: CountStar => Some("count")
+      case m: Min => xy(m.column).map("min:" + _)
+      case m: Max => xy(m.column).map("max:" + _)
+      case _ => None
+    }
+    def xy(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 &&
+            (r.fieldNames()(0) == "x" || r.fieldNames()(0) == "y") =>
+          Some(r.fieldNames()(0))
+        case _ => None
+      }
+    val ops = agg.aggregateExpressions.toSeq.map(name)
+    if (ops.nonEmpty && ops.forall(_.isDefined)) Some(ops.flatten) else None
+  }
+
+  override def build(): Scan = aggOps match {
+    case Some(ops) => new TileRangeAggScan(bounds, ops)
+    case None => new TileRangeScan(bounds, required)
+  }
+}
+
+/** Closed-form answer scan for pushed-down aggregates: one partition,
+  * one row, zero tiles generated.
+  */
+private[sources] class TileRangeAggScan(bounds: TileRange.Bounds, ops: Seq[String])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(ops.zipWithIndex.map {
+    case (op, i) => StructField(s"agg_$i${op.replace(':', '_')}", LongType,
+      nullable = op != "count")
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"tilerange CLOSED-FORM aggregates [${ops.mkString(",")}] over " +
+      s"${bounds.minX}<=x<=${bounds.maxX} ${bounds.minY}<=y<=${bounds.maxY}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(TileRangeAggPartition(bounds, ops))
+
+  override def createReaderFactory(): PartitionReaderFactory = TileRangeAggReaderFactory
+}
+
+private[sources] final case class TileRangeAggPartition(bounds: TileRange.Bounds,
+    ops: Seq[String]) extends InputPartition
+
+private[sources] object TileRangeAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[TileRangeAggPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = {
+        val empty = p.bounds.rows == 0
+        val row = new GenericInternalRow(p.ops.length)
+        p.ops.zipWithIndex.foreach {
+          case ("count", i) => row.setLong(i, p.bounds.rows)
+          case (op, i) if empty => row.setNullAt(i)
+          case ("min:x", i) => row.setLong(i, p.bounds.minX)
+          case ("max:x", i) => row.setLong(i, p.bounds.maxX)
+          case ("min:y", i) => row.setLong(i, p.bounds.minY)
+          case ("max:y", i) => row.setLong(i, p.bounds.maxY)
+          case (op, _) => sys.error(s"tilerange: unexpected pushed aggregate '$op'")
+        }
+        row
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[sources] class TileRangeScan(bounds: TileRange.Bounds, required: StructType)

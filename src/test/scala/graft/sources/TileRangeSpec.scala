@@ -46,6 +46,21 @@ class TileRangeSpec extends SparkTestBase {
     assert(df.agg(sum("x")).head.getLong(0) == (0L to 99L).sum)
   }
 
+  test("COUNT/MIN/MAX push down as closed-form answers (no row generation)") {
+    // zoom 30 world: 2^60 ≈ 1.15e18 tiles — any per-row path would never finish
+    val n = (1L << 30) - 1
+    val df = grid("minX" -> "0", "maxX" -> n.toString, "minY" -> "0",
+      "maxY" -> n.toString, "zoom" -> "30")
+      .filter(col("x").between(5, 1000004) && col("y").between(10, 2000009))
+    val agg = df.agg(count(lit(1)).as("n"), min("x").as("mnx"), max("x").as("mxx"),
+      min("y").as("mny"), max("y").as("mxy"))
+    val r = agg.head
+    assert(r.getAs[Long]("n") == 1000000L * 2000000L)
+    assert(r.getAs[Long]("mnx") == 5 && r.getAs[Long]("mxx") == 1000004)
+    assert(r.getAs[Long]("mny") == 10 && r.getAs[Long]("mxy") == 2000009)
+    assert(agg.queryExecution.executedPlan.toString.contains("CLOSED-FORM"))
+  }
+
   test("a z21 world-scale table plans without generating anything") {
     val n = (1L << 21) - 1
     val df = grid("minX" -> "0", "maxX" -> n.toString, "minY" -> "0",
