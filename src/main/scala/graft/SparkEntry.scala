@@ -36,7 +36,8 @@ object SparkEntry {
     "b12_small_qty_revenue" -> (Queries.smallQtyRevenue _),
     "b13_no_order_customers" -> (Queries.noOrderCustomers _),
     "b14_exists_returned" -> (Queries.existsReturned _),
-    "b15_distinct_sketch" -> (Queries.distinctSketch _)
+    "b15_distinct_sketch" -> (Queries.distinctSketch _),
+    "b16_big_orders" -> (Queries.bigOrders _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -61,6 +62,7 @@ object SparkEntry {
     "b12_small_qty_revenue" -> Queries.smallQtyRevenueSql,
     "b13_no_order_customers" -> Queries.noOrderCustomersSql,
     "b14_exists_returned" -> Queries.existsReturnedSql,
-    "b15_distinct_sketch" -> Queries.distinctSketchSql
+    "b15_distinct_sketch" -> Queries.distinctSketchSql,
+    "b16_big_orders" -> Queries.bigOrdersSql
   )
 }

@@ -516,6 +516,46 @@ object Queries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** B16 threshold: orders whose total quantity (in cents) exceeds this. */
+  val BigOrderQtyC = 25000L
+
+  /** B16: TPC-H Q18-style large-volume customers — the correlated
+    * `HAVING SUM(qty) > t` membership test decorrelated into a plain
+    * aggregate-then-join: the per-order quantity aggregate happens ONCE
+    * on the l_orderkey shuffle, its (rare) survivors join orders on the
+    * same key, and the customer dim broadcasts. No per-row subquery
+    * probe, no DISTINCT: the aggregate itself is the membership set and
+    * carries the sum the report needs anyway. Total order by (sum desc,
+    * orderkey) + LIMIT plans as TakeOrderedAndProject.
+    */
+  def bigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"))
+      .filter(col("sum_qty_c") > BigOrderQtyC)
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val c = Tables(spark, dir, "customer").select(col("c_custkey"), col("c_name"))
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "sum_qty_c")
+      .orderBy(col("sum_qty_c").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val bigOrdersSql: String =
+    s"""SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, b.sum_qty_c
+       |FROM (
+       |  SELECT l_orderkey,
+       |    CAST(SUM(CAST(ROUND(l_quantity*100.0) AS BIGINT)) AS BIGINT) AS sum_qty_c
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING sum_qty_c > $BigOrderQtyC
+       |) b
+       |JOIN orders o ON o.o_orderkey = b.l_orderkey
+       |JOIN customer c ON c.c_custkey = o.o_custkey
+       |ORDER BY b.sum_qty_c DESC, o.o_orderkey
+       |LIMIT 100""".stripMargin
+
   /** B15 sketch parameters: bottom-k size and the hash range (Mersenne
     * prime 2^31−1; the affine multiplier is the Knuth constant already
     * used for the testdata score derivation, SURVEY.md §4).
