@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.{Files, Paths}
-
 /** Targeted correctness dump: like [[Verify]] but only for the query
   * names given as trailing args — fast inner loop for checking a single
   * new operator against its DuckDB oracle via tools/check.py.
@@ -11,22 +9,17 @@ object Dump {
     val sfDir = args(0)
     val outDir = args(1)
     val names = args.drop(2).toSet
+    val unknown = names.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown queries ${unknown.toSeq.sorted.mkString(", ")} — known: " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => names.contains(kv._1)).foreach {
       case (name, fn) =>
         fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    OracleJson.write(outDir, names.contains)
     spark.stop()
   }
 }

@@ -42,8 +42,9 @@ case class BottomK(child: Expression, kExpr: Expression,
       TypeCheckResult.TypeCheckFailure(
         s"bottom_k expects a bigint value, got ${child.dataType}")
     else if (!kExpr.foldable ||
-        !Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(kExpr.dataType))
-      TypeCheckResult.TypeCheckFailure("bottom_k expects a literal integer k")
+        !Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(kExpr.dataType) ||
+        kExpr.eval(InternalRow.empty) == null)
+      TypeCheckResult.TypeCheckFailure("bottom_k expects a non-null literal integer k")
     else if (k <= 0)
       TypeCheckResult.TypeCheckFailure(s"bottom_k expects k > 0, got $k")
     else TypeCheckResult.TypeCheckSuccess

@@ -22,12 +22,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketing {
 
   /** Write `df` as a managed parquet table bucketed AND per-bucket sorted
-    * on `key`. One `repartition(key)` first so each bucket is a single
-    * file — that is what lets the bucketed sort-merge join skip both the
-    * Exchange and the Sort.
+    * on `key`. Repartitioning to exactly `buckets` partitions on the key
+    * first makes each bucket a single file (Spark's bucket id
+    * `pmod(murmur3(key), n)` coincides with the shuffle partition id) —
+    * the Exchange elimination needs only the bucket spec, and the
+    * single-file layout additionally lets the scan expose the sortBy
+    * order so the sort-merge join skips its Sort too (Spark 3+ consults
+    * that ordering behind `spark.sql.legacy.bucketedTableScan
+    * .outputOrdering`, SPARK-28595; a bucket split across files would
+    * make the flag unsafe).
     */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.repartition(df.col(key))
+    df.repartition(buckets, df.col(key))
       .write.format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .mode("overwrite").saveAsTable(table)

@@ -97,7 +97,10 @@ private[sources] class TileRangeTable(properties: util.Map[String, String])
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new util.HashMap[String, String](properties)
     merged.putAll(options)
-    new TileRangeScanBuilder(TileRange.boundsFrom(k => Option(merged.get(k))))
+    // honor the CaseInsensitiveStringMap contract for every lookup path
+    // (SQL OPTIONS arrive lowercased)
+    val ci = new CaseInsensitiveStringMap(merged)
+    new TileRangeScanBuilder(TileRange.boundsFrom(k => Option(ci.get(k))))
   }
 }
 
@@ -125,10 +128,14 @@ private[sources] class TileRangeScanBuilder(initial: TileRange.Bounds)
     }
     filters.foreach { f =>
       val handled = f match {
+        // saturating +1/−1: at Long extremes the comparison can match
+        // nothing, which an empty [1, 0] range encodes without wrapping
         case EqualTo(c @ ("x" | "y"), v) => asLong(v).map(l => clamp(c, l, l))
-        case GreaterThan(c @ ("x" | "y"), v) => asLong(v).map(l => clamp(c, l + 1, Long.MaxValue))
+        case GreaterThan(c @ ("x" | "y"), v) => asLong(v).map(l =>
+          if (l == Long.MaxValue) clamp(c, 1L, 0L) else clamp(c, l + 1, Long.MaxValue))
         case GreaterThanOrEqual(c @ ("x" | "y"), v) => asLong(v).map(l => clamp(c, l, Long.MaxValue))
-        case LessThan(c @ ("x" | "y"), v) => asLong(v).map(l => clamp(c, Long.MinValue, l - 1))
+        case LessThan(c @ ("x" | "y"), v) => asLong(v).map(l =>
+          if (l == Long.MinValue) clamp(c, 1L, 0L) else clamp(c, Long.MinValue, l - 1))
         case LessThanOrEqual(c @ ("x" | "y"), v) => asLong(v).map(l => clamp(c, Long.MinValue, l))
         case _ => None
       }

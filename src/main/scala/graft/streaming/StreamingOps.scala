@@ -231,6 +231,16 @@ object StreamingOps {
     import org.apache.spark.sql.expressions.Window
     val spark = batch.sparkSession
     val cur = new java.io.File(s"$stateDir/current")
+    val old = new java.io.File(s"$stateDir/old")
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmrf)); f.delete(): Unit
+    }
+    // crash recovery: a previous swap that died between the two renames
+    // left the base state at old/ — restore it before merging, so no
+    // window of the swap can lose accumulated state (the keep-max merge
+    // makes the checkpointed batch replay itself idempotent)
+    if (!cur.exists && old.exists && !old.renameTo(cur))
+      sys.error(s"d8 upsert: recovery rename $old -> $cur failed")
     val all =
       if (cur.exists) batch.unionByName(spark.read.parquet(cur.getPath))
       else batch
@@ -239,11 +249,11 @@ object StreamingOps {
       .filter(col("__rn") === 1).drop("__rn")
     val next = new java.io.File(s"$stateDir/next")
     merged.write.mode("overwrite").parquet(next.getPath)
-    def rmrf(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rmrf)); f.delete(): Unit
-    }
-    if (cur.exists) rmrf(cur)
+    if (old.exists) rmrf(old)
+    if (cur.exists && !cur.renameTo(old))
+      sys.error(s"d8 upsert: rename $cur -> $old failed")
     if (!next.renameTo(cur)) sys.error(s"d8 upsert: rename $next -> $cur failed")
+    rmrf(old)
   }
 
   /** D7: running vocabulary counts over a document stream — unwindowed

@@ -27,6 +27,18 @@ class BucketingSpec extends SparkTestBase {
     val plan = finalPlan(j)
     assert(plan.contains("SortMergeJoin"), plan.take(2000))
     assert(!plan.contains("Exchange"), plan.take(2000))
+    // one file per bucket (repartition(buckets, key) at write) lets the
+    // scan expose the per-bucket sortBy order, which Spark 3+ only
+    // consults behind this flag (SPARK-28595) — with it on, the SMJ
+    // needs no Sort either
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val j2 = Bucketing.cobucketedJoin(spark, "bk_lineitem", "bk_orders",
+        "l_orderkey", "o_orderkey")
+      val plan2 = finalPlan(j2)
+      assert(!plan2.contains("Sort ["), plan2.take(2000))
+      assert(!plan2.contains("Exchange"), plan2.take(2000))
+    } finally spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
     // row parity vs the plain (shuffled) join
     val expected = Tables(spark, sf, "lineitem")
       .join(Tables(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))

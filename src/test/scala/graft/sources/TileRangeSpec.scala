@@ -61,6 +61,16 @@ class TileRangeSpec extends SparkTestBase {
     assert(agg.queryExecution.executedPlan.toString.contains("CLOSED-FORM"))
   }
 
+  test("options are case-insensitive and Long-extreme filters return empty, not the world") {
+    val lower = grid("minx" -> "0", "maxx" -> "9", "miny" -> "0", "maxy" -> "0",
+      "zoom" -> "12")
+    assert(lower.count() == 10)
+    // consumed-but-unapplied would return all rows here; saturating
+    // bounds must make these provably empty instead
+    assert(lower.filter(col("x") > Long.MaxValue).count() == 0)
+    assert(lower.filter(col("x") < Long.MinValue).count() == 0)
+  }
+
   test("a z21 world-scale table plans without generating anything") {
     val n = (1L << 21) - 1
     val df = grid("minX" -> "0", "maxX" -> n.toString, "minY" -> "0",

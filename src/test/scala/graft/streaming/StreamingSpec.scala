@@ -112,6 +112,23 @@ class StreamingSpec extends SparkTestBase {
     assert(one.exceptAll(split).count() == 0 && split.exceptAll(one).count() == 0)
   }
 
+  test("D8 upsert recovers state parked at old/ by an interrupted swap") {
+    val ev = StreamingOps.latestPerUser(
+      StreamingOps.normalize(Tables(spark, sf, "events")))
+    val cut = ev.agg(expr("percentile_approx(us, 0.5)")).head.getLong(0)
+    val dir = Files.createTempDirectory("d8-crash").toString
+    StreamingOps.upsertLatest(ev.filter(col("us") <= cut), dir)
+    // simulate a crash between the two swap renames: current -> old done,
+    // next -> current not
+    assert(new java.io.File(s"$dir/current").renameTo(new java.io.File(s"$dir/old")))
+    StreamingOps.upsertLatest(ev.filter(col("us") > cut), dir)
+    val got = spark.read.parquet(s"$dir/current")
+    val oneDir = Files.createTempDirectory("d8-one2").toString
+    StreamingOps.upsertLatest(ev, oneDir)
+    val want = spark.read.parquet(s"$oneDir/current")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("D7 streaming vocab counts == batch token counts after the replay") {
     val docsDir = StreamingOps.stageTableDir(spark, sf, "documents")
     val got = runToMemory(
