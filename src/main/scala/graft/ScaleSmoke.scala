@@ -103,6 +103,35 @@ object ScaleSmoke {
     val nPairs2 = graft.text.TextQueries.prefixDups(longDocs).count()
     println(f"SCALE prefixDups docs=$nPd avgToks=1600 pairs=$nPairs2 " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // --- bottom_k sketch collection: 25× the cell count of raw rows
+    // across 1000 groups — the B15 shape; shuffle bytes stay
+    // O(k·partitions·groups) because each map task folds its partition
+    // into ≤k-element buffers before the exchange.
+    t0 = System.nanoTime()
+    val nVals = nCells * 25L
+    val skRows = spark.range(nVals)
+      .select((col("id") % 1000L).as("g"),
+        ((col("id") * 48271L + 11L) % 2147483647L).as("h"))
+      .groupBy("g").agg(graft.functions.aggs.bottom_k(col("h"), 64).as("bk"))
+      .count()
+    println(f"SCALE bottomK rows=$nVals groups=$skRows k=64 " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // --- tilerange generation throughput: a 100M-tile bbox fully
+    // generated and aggregated (count + coordinate checksum) through
+    // the DSv2 reader; the closed-form COUNT path is spec-proven
+    // separately, this measures the per-row generation loop.
+    t0 = System.nanoTime()
+    val side = math.max(1000L, math.min(10000L, math.round(math.sqrt(nCells.toDouble * 50))))
+    val tiles = spark.read.format("tilerange")
+      .option("minX", 0).option("maxX", side - 1)
+      .option("minY", 0).option("maxY", side - 1)
+      .option("zoom", 21).option("partitions", 64)
+      .load()
+    val cs = tiles.agg(sum(col("x") + col("y"))).head.getLong(0)
+    println(f"SCALE tilerange tiles=${side * side} checksum=$cs " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 }
