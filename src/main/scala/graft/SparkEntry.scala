@@ -37,7 +37,8 @@ object SparkEntry {
     "b13_no_order_customers" -> (Queries.noOrderCustomers _),
     "b14_exists_returned" -> (Queries.existsReturned _),
     "b15_distinct_sketch" -> (Queries.distinctSketch _),
-    "b16_big_orders" -> (Queries.bigOrders _)
+    "b16_big_orders" -> (Queries.bigOrders _),
+    "b17_session_window" -> (Queries.sessionWindow _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -63,6 +64,7 @@ object SparkEntry {
     "b13_no_order_customers" -> Queries.noOrderCustomersSql,
     "b14_exists_returned" -> Queries.existsReturnedSql,
     "b15_distinct_sketch" -> Queries.distinctSketchSql,
-    "b16_big_orders" -> Queries.bigOrdersSql
+    "b16_big_orders" -> Queries.bigOrdersSql,
+    "b17_session_window" -> Queries.sessionWindowSql
   )
 }

@@ -180,6 +180,47 @@ object Queries {
       |FROM s GROUP BY user_id, sess_seq
       |ORDER BY user_id, sess_seq""".stripMargin
 
+  /** B17: sessionization via Spark's NATIVE `session_window` aggregation
+    * — the declarative twin of B5's lag/cumsum construction. One
+    * groupBy(user, session_window) replaces B5's two window passes: the
+    * engine merges per-user event-time gaps < 30 min inside the
+    * aggregation operator itself (and the same expression is the
+    * streaming sessionizer when fed a stream, complementing D3's
+    * flatMapGroupsWithState). Boundary semantics match B5 exactly:
+    * touching sessions MERGE (an event at last+gap extends the session;
+    * spec-pinned), so only a strictly-greater-than-30-min gap splits —
+    * the oracle is B5's `>` sessionization reshaped to this output.
+    */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsWithUs(spark, dir)
+      .select(col("user_id"), timestamp_micros(col("us")).as("event_time"),
+        col("us"), cents(col("value")).as("value_c"))
+    e.groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), min("us").as("start_us"),
+        max("us").as("end_us"), sum("value_c").as("sum_value_c"))
+      .select("user_id", "start_us", "end_us", "n_events", "sum_value_c")
+      .orderBy("user_id", "start_us")
+  }
+
+  val sessionWindowSql: String =
+    """WITH g AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |    CAST(ROUND(value*100.0) AS BIGINT) AS value_c,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |), s AS (
+      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+      |    ORDER BY us ROWS UNBOUNDED PRECEDING) AS sess_seq
+      |  FROM g
+      |)
+      |SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
+      |  COUNT(*) AS n_events, CAST(SUM(value_c) AS BIGINT) AS sum_value_c
+      |FROM s GROUP BY user_id, sess_seq
+      |ORDER BY user_id, start_us""".stripMargin
+
   /** B6: tumbling 1-hour windowed aggregation over events — the batch
     * mirror of the Structured Streaming op (SURVEY §2 D1). Integer-division
     * bucketing keeps the oracle exact.

@@ -127,6 +127,29 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("b17 native session_window agrees with B5's lag/cumsum sessions on real data") {
+    val b5 = Queries.eventSessions(spark, sf)
+      .select("user_id", "start_us", "end_us", "n_events", "sum_value_c")
+    val b17 = Queries.sessionWindow(spark, sf)
+    // the testdata has no exactly-30-min gaps, so the two gap semantics
+    // (> vs >=) coincide and the constructions must agree row-for-row
+    assert(b17.count() == b5.count())
+    assert(b17.exceptAll(b5).count() == 0 && b5.exceptAll(b17).count() == 0)
+  }
+
+  test("b17 session_window merges touching sessions: exactly-30-min gap does NOT split") {
+    import spark.implicits._
+    val gap = 1800000000L
+    def sessions(usVals: Long*): Long = usVals.map((1L, _)).toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("event_time"))
+      .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
+      .count().count()
+    // this pins the boundary semantics the b17 oracle encodes (B5's >):
+    // an event at exactly last+gap extends; one microsecond later splits
+    assert(sessions(0L, gap) == 1)
+    assert(sessions(0L, gap + 1) == 2)
+  }
+
   test("b10 bucketed range join matches the naive theta-join row set exactly") {
     val ev = Tables.eventsWithUs(spark, sf)
     val clicks = ev.filter(col("event_type") === "click")
