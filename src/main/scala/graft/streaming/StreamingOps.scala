@@ -105,6 +105,28 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
   }
 
+  // ------------------------------ D9: native session_window sessions
+  /** D9: sessionization via Spark's NATIVE `session_window` aggregation
+    * with a watermark — the declarative streaming sessionizer next to
+    * D3's hand-rolled flatMapGroupsWithState state machine. In append
+    * mode the engine emits a session only once the watermark passes its
+    * end (the no-data flush micro-batch after the last data batch
+    * finalizes emission), so the replayed result is every session that
+    * CLOSED ≥ watermark-delay before the stream's max event time —
+    * which is exactly what the DuckDB oracle computes. Boundary
+    * semantics are the ones spec-pinned for B17 (touching sessions
+    * merge ≡ B5's strict >).
+    */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", WatermarkDelay)
+      .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("event_time"))).as("start_us"),
+        max(unix_micros(col("event_time"))).as("end_us"),
+        sum(cents(col("value"))).as("sum_value_c"))
+      .select("user_id", "start_us", "end_us", "n_events", "sum_value_c")
+
   // ------------------------------------------- D4: stream-static join
   /** D4: enrich the event stream with a static dimension (stream-static
     * join — the dim is re-read per micro-batch and broadcast, no state)

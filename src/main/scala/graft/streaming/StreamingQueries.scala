@@ -245,6 +245,43 @@ object StreamingQueries {
       |  ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
       |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- D9
+  /** Native session_window sessionization executed as a stream (append
+    * mode): the sink holds every session the watermark closed; each
+    * user's trailing sessions stay in state. The eviction boundary is
+    * the session WINDOW end = last event + gap (numerically verified:
+    * sessions with `end_us < wm` but `end_us + gap ≥ wm` are retained),
+    * so the oracle = the B17 session construction filtered to
+    * `end_us + gap <` (global max event time − watermark delay).
+    */
+  def d9StreamSessionsNative(spark: SparkSession, sfDir: String): DataFrame =
+    runToTable(StreamingOps.sessionWindowAgg(stream(spark, sfDir)),
+        "graft_d9_sink", "append")
+      .orderBy("user_id", "start_us")
+
+  val d9Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |    CAST(ROUND(value*100.0) AS BIGINT) AS value_c,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |), s AS (
+      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+      |    ORDER BY us ROWS UNBOUNDED PRECEDING) AS sess_seq
+      |  FROM g
+      |), sess AS (
+      |  SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
+      |    COUNT(*) AS n_events, CAST(SUM(value_c) AS BIGINT) AS sum_value_c
+      |  FROM s GROUP BY user_id, sess_seq
+      |)
+      |SELECT user_id, start_us, end_us, n_events, sum_value_c
+      |FROM sess
+      |WHERE end_us + 1800000000 < (SELECT MAX(epoch_us(ts)) FROM events) - 7200000000
+      |ORDER BY user_id, start_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_stream_windowed" -> (d1StreamWindowed _),
     "d2_stream_dedup" -> (d2StreamDedup _),
@@ -253,7 +290,8 @@ object StreamingQueries {
     "d5_stream_interval_join" -> (d5StreamIntervalJoin _),
     "d6_stream_totals" -> (d6StreamTotals _),
     "d7_stream_vocab" -> (d7StreamVocab _),
-    "d8_stream_upsert" -> (d8StreamUpsert _))
+    "d8_stream_upsert" -> (d8StreamUpsert _),
+    "d9_stream_sessions_native" -> (d9StreamSessionsNative _))
 
   val oracles: Map[String, String] = Map(
     "d1_stream_windowed" -> d1Sql,
@@ -263,5 +301,6 @@ object StreamingQueries {
     "d5_stream_interval_join" -> d5Sql,
     "d6_stream_totals" -> d6Sql,
     "d7_stream_vocab" -> d7Sql,
-    "d8_stream_upsert" -> d8Sql)
+    "d8_stream_upsert" -> d8Sql,
+    "d9_stream_sessions_native" -> d9Sql)
 }
