@@ -431,6 +431,78 @@ object EmbedQueries {
        |  MIN(code) AS code_min, MAX(code) AS code_max
        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- C39
+  /** C39: product-quantization codes — the vector-compression step an
+    * IVF-PQ index adds on top of C18's coarse lists: each 64-dim vector
+    * splits into [[PqSub]] 8-dim subvectors and each subvector is
+    * replaced by the id of its nearest of [[PqCents]] per-subspace
+    * centroids (16 codes ⇒ 4 bits/subspace, 64 dims → 4 bytes). The
+    * codebook is sample-initialized (the first [[PqCents]] vectors
+    * donate their subvectors — k-means refinement iterations are the
+    * stubbed non-deterministic part, the assignment/encode plumbing is
+    * real and exact). Distances are rounded to 6dp BEFORE the argmin
+    * and ties break on centroid id (the c18 parity pattern), and the
+    * argmin is a map-side-combinable `min(struct)` — only N·subspaces
+    * assigned rows shuffle, the 128-row codebook broadcasts.
+    */
+  val PqSub = 8
+  val PqSubDim = 8
+  val PqCents = 16
+
+  def c39PqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    def subspaces(src: DataFrame): DataFrame = src
+      .select(col("vec_id"), explode(sequence(lit(0), lit(PqSub - 1))).as("s"),
+        col("embedding"))
+      .select(col("vec_id"), col("s"),
+        slice(col("embedding"), col("s") * PqSubDim + 1, lit(PqSubDim)).as("sub"))
+    val cents = subspaces(e.filter(col("vec_id") < PqCents))
+      .select(col("s"), col("vec_id").as("cid"), col("sub").as("ce"))
+    val dist6 = round(aggregate(zip_with(col("sub"), col("ce"),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v), 6)
+    subspaces(e).join(broadcast(cents), "s")
+      .select(col("vec_id"), col("s"), col("cid"), dist6.as("d"))
+      .groupBy("vec_id", "s")
+      .agg(min(struct(col("d"), col("cid"))).as("sc"))
+      .select(col("vec_id"), col("s"), col("sc.cid").as("code"),
+        expr("CAST(ROUND(sc.d * 1000000) AS BIGINT)").as("err_micro"))
+      .groupBy("vec_id")
+      .agg(
+        concat_ws("-", transform(array_sort(collect_list(struct(col("s"), col("code")))),
+          a => a("code").cast("string"))).as("codes"),
+        sum("err_micro").as("err_sum_micro"))
+      .orderBy("vec_id")
+  }
+
+  val c39Sql: String = {
+    val distSql =
+      """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list_zip(v.sub, c.ce),
+        |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+        |           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+        |      (x, y) -> x + y)""".stripMargin
+    s"""WITH sub AS (
+       |  SELECT vec_id, s, embedding[s*$PqSubDim+1 : s*$PqSubDim+$PqSubDim] AS sub
+       |  FROM (SELECT vec_id, embedding, UNNEST(range(0, $PqSub)) AS s FROM embeddings)
+       |), cents AS (
+       |  SELECT s, vec_id AS cid, sub AS ce FROM sub WHERE vec_id < $PqCents
+       |), assigned AS (
+       |  SELECT v.vec_id, v.s,
+       |    min([round($distSql, 6), CAST(c.cid AS DOUBLE)]) AS sc
+       |  FROM sub v JOIN cents c USING (s)
+       |  GROUP BY v.vec_id, v.s
+       |), codes AS (
+       |  SELECT vec_id, s, CAST(sc[2] AS BIGINT) AS code,
+       |    CAST(ROUND(sc[1] * 1000000) AS BIGINT) AS err_micro
+       |  FROM assigned
+       |)
+       |SELECT vec_id,
+       |  string_agg(CAST(code AS VARCHAR), '-' ORDER BY s) AS codes,
+       |  CAST(SUM(err_micro) AS BIGINT) AS err_sum_micro
+       |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c9_cosine_pairs" -> (c9CosinePairs _),
     "c10_ann_bruteforce" -> (c10AnnBruteforce _),
@@ -438,7 +510,8 @@ object EmbedQueries {
     "c17_normalize" -> (c17Normalize _),
     "c18_ann_ivf" -> (c18AnnIvf _),
     "c20_semantic_collapse" -> (c20SemanticCollapse _),
-    "c28_vector_quantize" -> (c28VectorQuantize _))
+    "c28_vector_quantize" -> (c28VectorQuantize _),
+    "c39_pq_codes" -> (c39PqCodes _))
 
   val oracles: Map[String, String] = Map(
     "c9_cosine_pairs" -> c9Sql,
@@ -447,5 +520,6 @@ object EmbedQueries {
     "c17_normalize" -> c17Sql,
     "c18_ann_ivf" -> c18Sql,
     "c20_semantic_collapse" -> c20Sql,
-    "c28_vector_quantize" -> c28Sql)
+    "c28_vector_quantize" -> c28Sql,
+    "c39_pq_codes" -> c39Sql)
 }

@@ -898,7 +898,8 @@ object TextQueries {
     * Plan: distinct (doc_id, gram) hash-agg → min(doc_id) per gram
     * (map-side combinable) → equi-join back on the gram hash → per-doc
     * agg. Every shuffle is keyed on the high-cardinality gram hash or
-    * doc_id — no skew, no broadcast of anything unbounded.
+    * doc_id — no skew; the first-doc side broadcasts only while it fits
+    * the AQE threshold and degrades to a gh-keyed shuffle join at scale.
     */
   def c38GramNovelty(spark: SparkSession, dir: String): DataFrame = {
     val g = Tables(spark, dir, "documents")
