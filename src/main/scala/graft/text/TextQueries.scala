@@ -559,22 +559,37 @@ object TextQueries {
     */
   val ContamN = 4
 
+  /** Memoized DISTINCT (doc_id, gh) 4-gram hash table — C29 and C38
+    * both start from exactly this frame (same k, same fold hash), so it
+    * materializes once per session (the GeoDerive.cells pattern).
+    * Distinctness is harmless to C29: COUNT(DISTINCT gh) over raw grams
+    * equals COUNT(*) over distinct pairs.
+    */
+  private val gramCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  def distinctGrams(spark: SparkSession, dir: String): DataFrame =
+    gramCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      Tables(spark, dir, "documents")
+        .withColumn("toks", tokens(col("text")))
+        .filter(size(col("toks")) >= ContamN)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("toks")) - ContamN + 1),
+            i => aggregate(transform(slice(col("toks"), i, lit(ContamN)), tokenHash _),
+              lit(0L), (acc, g) => (acc * lit(FpB) + g) % lit(FpM)))).as("gh"))
+        .distinct()
+        .localCheckpoint(true))
+
   def c29Contamination(spark: SparkSession, dir: String): DataFrame = {
     val h = pmod(col("doc_id") * lit(2654435761L) + lit(40503L), lit(100L))
-    val grams = Tables(spark, dir, "documents")
+    val grams = distinctGrams(spark, dir)
       .withColumn("split",
         when(h < 80, "train").when(h < 90, "val").otherwise("test"))
-      .withColumn("toks", tokens(col("text")))
-      .filter(size(col("toks")) >= ContamN)
-      .select(col("doc_id"), col("split"),
-        explode(transform(sequence(lit(1), size(col("toks")) - ContamN + 1),
-          i => aggregate(transform(slice(col("toks"), i, lit(ContamN)), tokenHash _),
-            lit(0L), (acc, g) => (acc * lit(FpB) + g) % lit(FpM)))).as("gh"))
     val test = grams.filter(col("split") === "test").select("gh").distinct()
     grams.filter(col("split") === "train")
       .join(test, "gh")
       .groupBy("doc_id")
-      .agg(count_distinct(col("gh")).as("n_hit"))
+      .agg(count(lit(1)).as("n_hit"))
       .orderBy("doc_id")
   }
 
@@ -902,14 +917,7 @@ object TextQueries {
     * the AQE threshold and degrades to a gh-keyed shuffle join at scale.
     */
   def c38GramNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val g = Tables(spark, dir, "documents")
-      .withColumn("toks", tokens(col("text")))
-      .filter(size(col("toks")) >= ContamN)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("toks")) - ContamN + 1),
-          i => aggregate(transform(slice(col("toks"), i, lit(ContamN)), tokenHash _),
-            lit(0L), (acc, t) => (acc * lit(FpB) + t) % lit(FpM)))).as("gh"))
-      .distinct()
+    val g = distinctGrams(spark, dir)
     val first = g.groupBy("gh").agg(min("doc_id").as("first_doc"))
     g.join(first, "gh")
       .groupBy("doc_id")
