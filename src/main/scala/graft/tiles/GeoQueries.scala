@@ -625,6 +625,9 @@ object GeoQueries {
     "a22_unclustered_threshold" -> (a22UnclusteredThreshold _),
     "a23_slice_plan" -> (a23SlicePlan _),
     "a24_tile_source" -> (a24TileSource _),
+    // rows-only (no oracle entry): ring assembly has no SQL twin — the
+    // driver records a rows>0 check; PipelineSpec proves the geometry
+    "a25_clustered_challenge" -> (clusteredChallenge _),
     "a20_polygons_with_grid" -> (a20PolygonsWithGrid _),
     "a1_deg2num" -> (a1Deg2num _),
     "a2_num2deg" -> (a2Num2deg _),
