@@ -24,11 +24,31 @@ object Bench {
       s"no query matches prefixes ${prefixes.mkString("[", ", ", "]")} — " +
         s"known queries: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // cumulative task-level shuffle-write / spill counters; per-query
+    // deltas are diagnostics (listener delivery is async, so a few
+    // straggler bytes can land on the next query's row — totals are
+    // exact). Never affects the timed path.
+    val shuffleW = new java.util.concurrent.atomic.AtomicLong
+    val spillB = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          shuffleW.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+          spillB.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled): Unit
+        }
+      }
+    })
+    val shuffle = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val results = selected.map { case (name, fn) =>
+      val before = shuffleW.get
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(15) // let straggler task-end events drain
+        shuffle(name) = shuffleW.get - before
+        name -> dt
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: $e")
@@ -39,9 +59,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val sh = shuffle.map { case (k, v) =>
+      s"\"" + k + "\":" + v / 1048576.0
+    }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"spill_mb_total":${spillB.get / 1048576.0},"errors":$errs,"sf":"$sfDir"}""")
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
     spark.stop()
