@@ -202,9 +202,14 @@ object Queries {
       .orderBy("user_id", "start_us")
   }
 
-  val sessionWindowSql: String =
+  /** The gap-sessionization CTE chain shared by the B17 and D9 oracles
+    * (B5's construction reshaped to session_window's output; the
+    * event_id tiebreak in BOTH windows keeps tied timestamps
+    * deterministic, same as eventSessionsSql/d3Sql).
+    */
+  val sessionWindowBodySql: String =
     """WITH g AS (
-      |  SELECT user_id, epoch_us(ts) AS us,
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
       |    CAST(ROUND(value*100.0) AS BIGINT) AS value_c,
       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
@@ -213,13 +218,15 @@ object Queries {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
       |), s AS (
       |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
-      |    ORDER BY us ROWS UNBOUNDED PRECEDING) AS sess_seq
+      |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess_seq
       |  FROM g
       |)
       |SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
       |  COUNT(*) AS n_events, CAST(SUM(value_c) AS BIGINT) AS sum_value_c
-      |FROM s GROUP BY user_id, sess_seq
-      |ORDER BY user_id, start_us""".stripMargin
+      |FROM s GROUP BY user_id, sess_seq""".stripMargin
+
+  val sessionWindowSql: String =
+    s"$sessionWindowBodySql\nORDER BY user_id, start_us"
 
   /** B6: tumbling 1-hour windowed aggregation over events — the batch
     * mirror of the Structured Streaming op (SURVEY §2 D1). Integer-division

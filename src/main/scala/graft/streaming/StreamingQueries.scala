@@ -259,28 +259,15 @@ object StreamingQueries {
         "graft_d9_sink", "append")
       .orderBy("user_id", "start_us")
 
+  /** One shared session construction: the B17 body wrapped with the
+    * watermark-eviction filter (no second hand-maintained copy).
+    */
   val d9Sql: String =
-    """WITH g AS (
-      |  SELECT user_id, epoch_us(ts) AS us,
-      |    CAST(ROUND(value*100.0) AS BIGINT) AS value_c,
-      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
-      |         THEN 1 ELSE 0 END AS new_sess
-      |  FROM events
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-      |), s AS (
-      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
-      |    ORDER BY us ROWS UNBOUNDED PRECEDING) AS sess_seq
-      |  FROM g
-      |), sess AS (
-      |  SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
-      |    COUNT(*) AS n_events, CAST(SUM(value_c) AS BIGINT) AS sum_value_c
-      |  FROM s GROUP BY user_id, sess_seq
-      |)
-      |SELECT user_id, start_us, end_us, n_events, sum_value_c
-      |FROM sess
-      |WHERE end_us + 1800000000 < (SELECT MAX(epoch_us(ts)) FROM events) - 7200000000
-      |ORDER BY user_id, start_us""".stripMargin
+    s"""SELECT user_id, start_us, end_us, n_events, sum_value_c FROM (
+       |${graft.relational.Queries.sessionWindowBodySql}
+       |)
+       |WHERE end_us + 1800000000 < (SELECT MAX(epoch_us(ts)) FROM events) - 7200000000
+       |ORDER BY user_id, start_us""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_stream_windowed" -> (d1StreamWindowed _),

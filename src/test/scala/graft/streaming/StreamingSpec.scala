@@ -129,6 +129,19 @@ class StreamingSpec extends SparkTestBase {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("D9 native session_window stream emits exactly the watermark-closed B17 sessions") {
+    val stream = StreamingOps.eventsStream(spark, sf, stagedDir)
+    val got = runToMemory(StreamingOps.sessionWindowAgg(stream), "d9_sessions", "append")
+    val maxUs = Tables.eventsWithUs(spark, sf).agg(max("us")).head.getLong(0)
+    // eviction boundary = session WINDOW end (last event + gap) vs the
+    // final watermark (max event time − delay); this pins the strict-<
+    // predicate the d9 oracle encodes
+    val want = Queries.sessionWindow(spark, sf)
+      .filter(col("end_us") + StreamingOps.SessionGapUs < maxUs - 7200000000L)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("D7 streaming vocab counts == batch token counts after the replay") {
     val docsDir = StreamingOps.stageTableDir(spark, sf, "documents")
     val got = runToMemory(
