@@ -186,6 +186,25 @@ object StreamingOps {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
 
+  // --------------------------------- D10: streaming distinct sketch
+  /** D10: running per-type distinct-user KMV sketch — the custom
+    * [[graft.functions.BottomK]] aggregate executing INSIDE Structured
+    * Streaming (ObjectHashAggregate state): each micro-batch folds into
+    * one ≤k TreeSet buffer per event_type, so the live cardinality
+    * estimate costs O(k·types) state forever — the streaming
+    * counterpart of the batch B15 sketch, sharing its hash and
+    * estimator constants.
+    */
+  def distinctSketch(events: DataFrame): DataFrame = {
+    val mod = graft.relational.Queries.KmvMod
+    val k = graft.relational.Queries.KmvK
+    events
+      .select(col("event_type"),
+        ((col("user_id") * lit(2654435761L) + lit(40503L)) % lit(mod)).as("h"))
+      .groupBy("event_type")
+      .agg(graft.functions.aggs.bottom_k(col("h"), k).as("bk"))
+  }
+
   /** File-source stream over a DIRECTORY of events parquet files (the
     * shape a real ingest lands: files arriving in a watched directory).
     * `sfDir` is only used to pin the schema from the batch table; the

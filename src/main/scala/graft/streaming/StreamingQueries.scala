@@ -269,6 +269,44 @@ object StreamingQueries {
        |WHERE end_us + 1800000000 < (SELECT MAX(epoch_us(ts)) FROM events) - 7200000000
        |ORDER BY user_id, start_us""".stripMargin
 
+  // --------------------------------------------------------------- D10
+  /** Streaming KMV distinct sketch (complete mode): after the replay the
+    * sink holds one ≤k bottom-k buffer per event_type; the estimator
+    * post-processing on the sink table is B15's exact-integer order
+    * statistic. Oracle = the batch sketch over the same hash.
+    */
+  def d10StreamDistinctSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.relational.Queries.{KmvK, KmvMod}
+    runToTable(StreamingOps.distinctSketch(stream(spark, sfDir)),
+        "graft_d10_sink", "complete")
+      .select(col("event_type"),
+        size(col("bk")).cast("long").as("n_k"),
+        element_at(col("bk"), size(col("bk"))).as("kth_min"))
+      .withColumn("est_distinct",
+        when(col("n_k") < KmvK, col("n_k"))
+          .otherwise(expr(s"(${KmvK - 1} * CAST($KmvMod AS BIGINT)) div kth_min")))
+      .orderBy("event_type")
+  }
+
+  val d10Sql: String = {
+    import graft.relational.Queries.{KmvK, KmvMod}
+    s"""WITH h AS (
+       |  SELECT DISTINCT event_type,
+       |    (user_id * 2654435761 + 40503) % $KmvMod AS h
+       |  FROM events
+       |), topk AS (
+       |  SELECT event_type, h FROM h
+       |  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h) <= $KmvK
+       |), sk AS (
+       |  SELECT event_type, MAX(h) AS kth_min, COUNT(*) AS n_k
+       |  FROM topk GROUP BY event_type
+       |)
+       |SELECT event_type, n_k, kth_min,
+       |  CASE WHEN n_k < $KmvK THEN n_k
+       |       ELSE (${KmvK - 1} * CAST($KmvMod AS BIGINT)) // kth_min END AS est_distinct
+       |FROM sk ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_stream_windowed" -> (d1StreamWindowed _),
     "d2_stream_dedup" -> (d2StreamDedup _),
@@ -278,7 +316,8 @@ object StreamingQueries {
     "d6_stream_totals" -> (d6StreamTotals _),
     "d7_stream_vocab" -> (d7StreamVocab _),
     "d8_stream_upsert" -> (d8StreamUpsert _),
-    "d9_stream_sessions_native" -> (d9StreamSessionsNative _))
+    "d9_stream_sessions_native" -> (d9StreamSessionsNative _),
+    "d10_stream_distinct_sketch" -> (d10StreamDistinctSketch _))
 
   val oracles: Map[String, String] = Map(
     "d1_stream_windowed" -> d1Sql,
@@ -289,5 +328,6 @@ object StreamingQueries {
     "d6_stream_totals" -> d6Sql,
     "d7_stream_vocab" -> d7Sql,
     "d8_stream_upsert" -> d8Sql,
-    "d9_stream_sessions_native" -> d9Sql)
+    "d9_stream_sessions_native" -> d9Sql,
+    "d10_stream_distinct_sketch" -> d10Sql)
 }

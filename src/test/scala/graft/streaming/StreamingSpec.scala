@@ -142,6 +142,15 @@ class StreamingSpec extends SparkTestBase {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("D10 streaming bottom_k sketch state == batch sketch after the replay") {
+    val stream = StreamingOps.eventsStream(spark, sf, stagedDir)
+    val got = runToMemory(StreamingOps.distinctSketch(stream), "d10_sketch", "complete")
+    val want = StreamingOps.distinctSketch(
+      StreamingOps.normalize(Tables(spark, sf, "events")))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("D7 streaming vocab counts == batch token counts after the replay") {
     val docsDir = StreamingOps.stageTableDir(spark, sf, "documents")
     val got = runToMemory(
