@@ -83,7 +83,7 @@ object ScaleSmoke {
       .select(col("doc_id") +: (0 until Bands).map(bn =>
         bandHash(col("sig"), bn).as(s"bh$bn")): _*)
     val groups = sigs.groupBy("bh0", "bh1").agg(min("doc_id").as("gid"), count(lit(1)).as("k"))
-    val stats = groups.agg(count(lit(1)), max("k")).head
+    val stats = groups.agg(count(lit(1)), max("k")).head()
     println(f"SCALE lsh docs=$nDocs groups=${stats.getLong(0)} maxGroup=${stats.getLong(1)} " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")
 
@@ -129,7 +129,7 @@ object ScaleSmoke {
       .option("minY", 0).option("maxY", side - 1)
       .option("zoom", 21).option("partitions", 64)
       .load()
-    val cs = tiles.agg(sum(col("x") + col("y"))).head.getLong(0)
+    val cs = tiles.agg(sum(col("x") + col("y"))).head().getLong(0)
     println(f"SCALE tilerange tiles=${side * side} checksum=$cs " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()

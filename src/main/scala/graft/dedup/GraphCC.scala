@@ -128,7 +128,7 @@ object GraphCC {
     stamp("labels")
     def lblSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = lblSum(labels)
     var iter = 0
     var done = false
