@@ -6,10 +6,26 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
+    // cumulative task-level shuffle-write / spill counters, registered
+    // BEFORE the warmup so queued warmup events can't bleed into the
+    // first query's delta (late-added listeners receive in-flight events)
+    val shuffleW = new java.util.concurrent.atomic.AtomicLong
+    val spillB = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          shuffleW.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+          spillB.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled): Unit
+        }
+      }
+    })
     // warm the parquet footers + JIT once so per-query numbers measure the
     // query, not first-touch costs (the driver compares totals; keep it in)
     Tables.names.foreach(n =>
       try Tables(spark, sfDir, n).count() catch { case _: Throwable => () })
+    Thread.sleep(50) // drain warmup task-end events before baselining
+    val spillBase = spillB.get
     // failures surface: stack trace to stderr, the query's time slot is
     // -1 in the JSON (unmistakable vs a real duration), and the names
     // ride along in an "errors" array — a broken query must never bench
@@ -24,38 +40,29 @@ object Bench {
       s"no query matches prefixes ${prefixes.mkString("[", ", ", "]")} — " +
         s"known queries: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    // cumulative task-level shuffle-write / spill counters; per-query
-    // deltas are diagnostics (listener delivery is async, so a few
-    // straggler bytes can land on the next query's row — totals are
-    // exact). Never affects the timed path.
-    val shuffleW = new java.util.concurrent.atomic.AtomicLong
-    val spillB = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        val m = e.taskMetrics
-        if (m != null) {
-          shuffleW.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
-          spillB.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled): Unit
-        }
-      }
-    })
+    // per-query deltas of the cumulative counters are diagnostics
+    // (listener delivery is async, so a few straggler bytes can land on
+    // the next query's row — totals are exact); never affects the timed
+    // path, and a FAILED query still records its delta so its bytes
+    // don't inflate the next query's row
     val shuffle = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val results = selected.map { case (name, fn) =>
       val before = shuffleW.get
       val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(15) // let straggler task-end events drain
-        shuffle(name) = shuffleW.get - before
-        name -> dt
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: $e")
-          e.printStackTrace()
-          failed += name
-          name -> -1.0
-      }
+      val timed =
+        try {
+          fn(spark, sfDir).count()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            e.printStackTrace()
+            failed += name
+            name -> -1.0
+        }
+      Thread.sleep(15) // let straggler task-end events drain
+      shuffle(name) = shuffleW.get - before
+      timed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -64,7 +71,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"spill_mb_total":${spillB.get / 1048576.0},"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"spill_mb_total":${(spillB.get - spillBase) / 1048576.0},"errors":$errs,"sf":"$sfDir"}""")
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
     spark.stop()

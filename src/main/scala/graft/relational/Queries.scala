@@ -1,6 +1,6 @@
 package graft.relational
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -611,6 +611,24 @@ object Queries {
   val KmvK = 64
   val KmvMod = 2147483647L
 
+  /** The sketch's hash and estimator, shared by the batch (B15) and
+    * streaming (D10) sketches so the two can never diverge. The
+    * estimator expressions require the input columns to be aliased
+    * `n_k` / `kth_min`.
+    */
+  def kmvHash(c: Column): Column =
+    (c * lit(2654435761L) + lit(40503L)) % lit(KmvMod)
+
+  def kmvHashSql(c: String): String = s"($c * 2654435761 + 40503) % $KmvMod"
+
+  def kmvEstimate: Column =
+    when(col("n_k") < KmvK, col("n_k"))
+      .otherwise(expr(s"(${KmvK - 1} * CAST($KmvMod AS BIGINT)) div kth_min"))
+
+  val kmvEstimateSql: String =
+    s"""CASE WHEN n_k < $KmvK THEN n_k
+       |       ELSE (${KmvK - 1} * CAST($KmvMod AS BIGINT)) // kth_min END""".stripMargin
+
   /** B15: KMV (bottom-k / k-minimum-values) distinct-count sketch —
     * per-month estimated distinct customers next to the exact count.
     * Unlike HLL the estimator is a pure order statistic
@@ -630,16 +648,16 @@ object Queries {
       (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("long").as("ym"),
       col("o_custkey"))
     val exact = o.groupBy("ym").agg(countDistinct("o_custkey").as("n_exact"))
-    val sk = o.select(col("ym"),
-        ((col("o_custkey") * lit(2654435761L) + lit(40503L)) % lit(KmvMod)).as("h"))
+    val sk = o.select(col("ym"), kmvHash(col("o_custkey")).as("h"))
       .groupBy("ym").agg(graft.functions.aggs.bottom_k(col("h"), KmvK).as("bk"))
+      // all-null-key groups yield an empty buffer: drop them (the oracle
+      // has no such group) instead of erroring in ANSI element_at
+      .filter(size(col("bk")) > 0)
       .select(col("ym"),
         element_at(col("bk"), size(col("bk"))).as("kth_min"),
         size(col("bk")).cast("long").as("n_k"))
     exact.join(sk, "ym")
-      .withColumn("est_distinct",
-        when(col("n_k") < KmvK, col("n_k"))
-          .otherwise(expr(s"(${KmvK - 1} * CAST($KmvMod AS BIGINT)) div kth_min")))
+      .withColumn("est_distinct", kmvEstimate)
       .select("ym", "n_exact", "n_k", "kth_min", "est_distinct")
       .orderBy("ym")
   }
@@ -651,16 +669,15 @@ object Queries {
        |), exact AS (
        |  SELECT ym, COUNT(DISTINCT o_custkey) AS n_exact FROM o GROUP BY ym
        |), h AS (
-       |  SELECT DISTINCT ym, (o_custkey * 2654435761 + 40503) % $KmvMod AS h FROM o
+       |  SELECT DISTINCT ym, ${kmvHashSql("o_custkey")} AS h FROM o
        |), topk AS (
        |  SELECT ym, h FROM h
        |  QUALIFY row_number() OVER (PARTITION BY ym ORDER BY h) <= $KmvK
        |), sk AS (
        |  SELECT ym, MAX(h) AS kth_min, COUNT(*) AS n_k FROM topk GROUP BY ym
        |)
-       |SELECT e.ym, e.n_exact, s.n_k, s.kth_min,
-       |  CASE WHEN s.n_k < $KmvK THEN s.n_k
-       |       ELSE (${KmvK - 1} * CAST($KmvMod AS BIGINT)) // s.kth_min END AS est_distinct
-       |FROM exact e JOIN sk s ON e.ym = s.ym
-       |ORDER BY e.ym""".stripMargin
+       |SELECT ym, n_exact, n_k, kth_min,
+       |  $kmvEstimateSql AS est_distinct
+       |FROM exact JOIN sk USING (ym)
+       |ORDER BY ym""".stripMargin
 }

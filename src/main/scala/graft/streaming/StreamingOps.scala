@@ -18,7 +18,11 @@ import graft.Tables
   */
 object StreamingOps {
 
-  val WatermarkDelay = "2 hours"
+  /** Watermark delay in microseconds — single source for the string
+    * config, the D9 oracle's eviction horizon, and the specs.
+    */
+  val WatermarkDelayUs: Long = 7200000000L
+  val WatermarkDelay: String = s"${WatermarkDelayUs / 3600000000L} hours"
   val WindowLen = "1 hour"
 
   private def cents(c: Column): Column = round(c * lit(100.0), 0).cast("long")
@@ -195,15 +199,12 @@ object StreamingOps {
     * counterpart of the batch B15 sketch, sharing its hash and
     * estimator constants.
     */
-  def distinctSketch(events: DataFrame): DataFrame = {
-    val mod = graft.relational.Queries.KmvMod
-    val k = graft.relational.Queries.KmvK
+  def distinctSketch(events: DataFrame): DataFrame =
     events
       .select(col("event_type"),
-        ((col("user_id") * lit(2654435761L) + lit(40503L)) % lit(mod)).as("h"))
+        graft.relational.Queries.kmvHash(col("user_id")).as("h"))
       .groupBy("event_type")
-      .agg(graft.functions.aggs.bottom_k(col("h"), k).as("bk"))
-  }
+      .agg(graft.functions.aggs.bottom_k(col("h"), graft.relational.Queries.KmvK).as("bk"))
 
   /** File-source stream over a DIRECTORY of events parquet files (the
     * shape a real ingest lands: files arriving in a watched directory).

@@ -266,7 +266,8 @@ object StreamingQueries {
     s"""SELECT user_id, start_us, end_us, n_events, sum_value_c FROM (
        |${graft.relational.Queries.sessionWindowBodySql}
        |)
-       |WHERE end_us + 1800000000 < (SELECT MAX(epoch_us(ts)) FROM events) - 7200000000
+       |WHERE end_us + ${StreamingOps.SessionGapUs} <
+       |  (SELECT MAX(epoch_us(ts)) FROM events) - ${StreamingOps.WatermarkDelayUs}
        |ORDER BY user_id, start_us""".stripMargin
 
   // --------------------------------------------------------------- D10
@@ -275,24 +276,20 @@ object StreamingQueries {
     * post-processing on the sink table is B15's exact-integer order
     * statistic. Oracle = the batch sketch over the same hash.
     */
-  def d10StreamDistinctSketch(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.relational.Queries.{KmvK, KmvMod}
+  def d10StreamDistinctSketch(spark: SparkSession, sfDir: String): DataFrame =
     runToTable(StreamingOps.distinctSketch(stream(spark, sfDir)),
         "graft_d10_sink", "complete")
+      .filter(size(col("bk")) > 0) // all-null-key group: oracle has no row
       .select(col("event_type"),
         size(col("bk")).cast("long").as("n_k"),
         element_at(col("bk"), size(col("bk"))).as("kth_min"))
-      .withColumn("est_distinct",
-        when(col("n_k") < KmvK, col("n_k"))
-          .otherwise(expr(s"(${KmvK - 1} * CAST($KmvMod AS BIGINT)) div kth_min")))
+      .withColumn("est_distinct", graft.relational.Queries.kmvEstimate)
       .orderBy("event_type")
-  }
 
   val d10Sql: String = {
-    import graft.relational.Queries.{KmvK, KmvMod}
+    import graft.relational.Queries.{kmvEstimateSql, kmvHashSql, KmvK}
     s"""WITH h AS (
-       |  SELECT DISTINCT event_type,
-       |    (user_id * 2654435761 + 40503) % $KmvMod AS h
+       |  SELECT DISTINCT event_type, ${kmvHashSql("user_id")} AS h
        |  FROM events
        |), topk AS (
        |  SELECT event_type, h FROM h
@@ -302,8 +299,7 @@ object StreamingQueries {
        |  FROM topk GROUP BY event_type
        |)
        |SELECT event_type, n_k, kth_min,
-       |  CASE WHEN n_k < $KmvK THEN n_k
-       |       ELSE (${KmvK - 1} * CAST($KmvMod AS BIGINT)) // kth_min END AS est_distinct
+       |  $kmvEstimateSql AS est_distinct
        |FROM sk ORDER BY event_type""".stripMargin
   }
 

@@ -137,7 +137,8 @@ class StreamingSpec extends SparkTestBase {
     // final watermark (max event time − delay); this pins the strict-<
     // predicate the d9 oracle encodes
     val want = Queries.sessionWindow(spark, sf)
-      .filter(col("end_us") + StreamingOps.SessionGapUs < maxUs - 7200000000L)
+      .filter(col("end_us") + StreamingOps.SessionGapUs <
+        maxUs - StreamingOps.WatermarkDelayUs)
     assert(got.count() == want.count())
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
