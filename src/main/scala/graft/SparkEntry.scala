@@ -38,7 +38,8 @@ object SparkEntry {
     "b14_exists_returned" -> (Queries.existsReturned _),
     "b15_distinct_sketch" -> (Queries.distinctSketch _),
     "b16_big_orders" -> (Queries.bigOrders _),
-    "b17_session_window" -> (Queries.sessionWindow _)
+    "b17_session_window" -> (Queries.sessionWindow _),
+    "b18_pivot_revenue" -> (Queries.pivotRevenue _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -65,6 +66,7 @@ object SparkEntry {
     "b14_exists_returned" -> Queries.existsReturnedSql,
     "b15_distinct_sketch" -> Queries.distinctSketchSql,
     "b16_big_orders" -> Queries.bigOrdersSql,
-    "b17_session_window" -> Queries.sessionWindowSql
+    "b17_session_window" -> Queries.sessionWindowSql,
+    "b18_pivot_revenue" -> Queries.pivotRevenueSql
   )
 }

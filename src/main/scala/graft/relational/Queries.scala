@@ -604,6 +604,41 @@ object Queries {
        |ORDER BY b.sum_qty_c DESC, o.o_orderkey
        |LIMIT 100""".stripMargin
 
+  /** B18 pivot columns: the testdata's order-date year range. EXPLICIT
+    * values matter at scale — `.pivot(col)` without them runs an extra
+    * collect-distinct job over the fact table before planning; with
+    * them the pivot is a single partial-aggregable pass.
+    */
+  val PivotYears: Seq[Int] = 1995 to 2001
+
+  /** B18: PIVOT — revenue cents per order priority × year as a matrix
+    * (one row per priority, one column per year). Spark's relational
+    * pivot lowers to CASE-filtered aggregates, identical to the
+    * oracle's manual CASE columns; empty cells are NULL on both
+    * engines (SUM over an empty set).
+    */
+  def pivotRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders").select(col("o_orderpriority"),
+      year(col("o_orderdate")).as("yr"), cents(col("o_totalprice")).as("price_c"))
+    o.groupBy("o_orderpriority")
+      .pivot("yr", PivotYears.map(y => y: Any))
+      .agg(sum("price_c"))
+      .toDF("o_orderpriority" +: PivotYears.map("y" + _): _*)
+      .orderBy("o_orderpriority")
+  }
+
+  val pivotRevenueSql: String = {
+    val cases = PivotYears.map(y =>
+      s"CAST(SUM(CASE WHEN yr = $y THEN price_c END) AS BIGINT) AS y$y").mkString(",\n  ")
+    s"""SELECT o_orderpriority,
+       |  $cases
+       |FROM (SELECT o_orderpriority, year(o_orderdate) AS yr,
+       |        CAST(ROUND(o_totalprice*100.0) AS BIGINT) AS price_c
+       |      FROM orders)
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+  }
+
   /** B15 sketch parameters: bottom-k size and the hash range (Mersenne
     * prime 2^31−1; the affine multiplier is the Knuth constant already
     * used for the testdata score derivation, SURVEY.md §4).

@@ -587,6 +587,39 @@ object GeoQueries {
        |FROM generate_series(2048, 2147) gx(x), generate_series(1300, 1399) gy(y)
        |ORDER BY x, y""".stripMargin
 
+  // ---------------------------------------------------------------- A26
+  /** A26: quadkey encoding — the Bing-maps tile addressing scheme every
+    * slippy-tile ecosystem interoperates with (digit i from the MSB is
+    * `2·bit_i(y) + bit_i(x)`, one digit per zoom level). Zoom-12 keys
+    * for the z21-derived tiles (9-bit shift), computed as a pure
+    * higher-order-function string fold — map-side only, identical
+    * integer bit math on both engines. Quadkeys sort by Z-order, so the
+    * key doubles as a locality-preserving partition/cluster key at
+    * scale (prefix = parent tile).
+    */
+  val QkZoom = 12
+  def a26Quadkey(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        ((col("l_orderkey") % lit(2097152L)) / lit(512L)).cast("long").as("qx"),
+        (((col("l_partkey") * lit(104729L)) % lit(2097152L)) / lit(512L)).cast("long").as("qy"))
+      .withColumn("quadkey", concat_ws("",
+        transform(sequence(lit(QkZoom - 1), lit(0), lit(-1)), i => {
+          def bit(c: Column) = floor(c / pow(lit(2.0), i)).cast("long") % 2
+          (bit(col("qy")) * 2 + bit(col("qx"))).cast("string")
+        })))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val a26Sql: String =
+    s"""SELECT l_orderkey, l_linenumber,
+       |  (l_orderkey % 2097152) // 512 AS qx,
+       |  ((l_partkey * 104729) % 2097152) // 512 AS qy,
+       |  array_to_string(list_transform(range(${QkZoom - 1}, -1, -1),
+       |    i -> CAST((((((l_partkey * 104729) % 2097152) // 512) // (1 << i)) % 2) * 2
+       |            + (((l_orderkey % 2097152) // 512) // (1 << i)) % 2 AS VARCHAR)), '') AS quadkey
+       |FROM lineitem
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   // --------------------------------------------------- clustered challenge
   /** One MapRoulette challenge document per unmapped cluster with its
     * ASSEMBLED outline polygon (create_clustered_maproulette_geojson,
@@ -628,6 +661,7 @@ object GeoQueries {
     // rows-only (no oracle entry): ring assembly has no SQL twin — the
     // driver records a rows>0 check; PipelineSpec proves the geometry
     "a25_clustered_challenge" -> (clusteredChallenge _),
+    "a26_quadkey" -> (a26Quadkey _),
     "a20_polygons_with_grid" -> (a20PolygonsWithGrid _),
     "a1_deg2num" -> (a1Deg2num _),
     "a2_num2deg" -> (a2Num2deg _),
@@ -654,6 +688,7 @@ object GeoQueries {
     "a22_unclustered_threshold" -> a22Sql,
     "a23_slice_plan" -> a23Sql,
     "a24_tile_source" -> a24Sql,
+    "a26_quadkey" -> a26Sql,
     "a20_polygons_with_grid" -> a20Sql,
     "a1_deg2num" -> a1Sql,
     "a2_num2deg" -> a2Sql,

@@ -150,6 +150,15 @@ class RelationalSpec extends SparkTestBase {
     assert(sessions(0L, gap + 1) == 2)
   }
 
+  test("b18 pivot cells sum to the total revenue and cover every order") {
+    val r = Queries.pivotRevenue(spark, sf)
+    val cellSum = r.select(Queries.PivotYears.map(y => sum(col("y" + y))): _*)
+      .head().toSeq.map { case l: Long => l case null => 0L }.sum
+    val want = Tables(spark, sf, "orders")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))).head().getLong(0)
+    assert(cellSum == want)
+  }
+
   test("b10 bucketed range join matches the naive theta-join row set exactly") {
     val ev = Tables.eventsWithUs(spark, sf)
     val clicks = ev.filter(col("event_type") === "click")

