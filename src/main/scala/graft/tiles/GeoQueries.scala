@@ -620,6 +620,41 @@ object GeoQueries {
        |FROM lineitem
        |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // ---------------------------------------------------------------- A27
+  /** A27: tile-pyramid rollup — per-tile observation counts and max
+    * score aggregated up the zoom pyramid (z21 → z18 → z15 → z12), the
+    * heatmap-tiles shape every slippy-map overlay renders from. Parent
+    * coords are integer right-shifts of the child's; the explode over
+    * levels happens in the scan stage so one pass feeds every level,
+    * and each level's aggregate is partial (map-side combinable) on its
+    * own (zoom, px, py) key. At scale this materializes the same
+    * pyramid a tile server pre-computes, in one shuffle.
+    */
+  val PyramidZooms: Seq[Int] = Seq(21, 18, 15, 12)
+
+  def a27Pyramid(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(
+        (col("l_orderkey") % lit(2097152L)).as("tx"),
+        ((col("l_partkey") * lit(104729L)) % lit(2097152L)).as("ty"),
+        GeoDerive.scoreCol.as("score"))
+      .select(col("tx"), col("ty"), col("score"),
+        explode(lit(PyramidZooms.toArray)).as("zoom"))
+      .withColumn("px", expr("tx div cast(pow(2, 21 - zoom) as bigint)"))
+      .withColumn("py", expr("ty div cast(pow(2, 21 - zoom) as bigint)"))
+      .groupBy("zoom", "px", "py")
+      .agg(count(lit(1)).as("n"), round(max("score"), 6).as("max_score"))
+      .orderBy("zoom", "px", "py")
+
+  val a27Sql: String =
+    s"""SELECT z.zoom, (l_orderkey % 2097152) // CAST(pow(2, 21 - z.zoom) AS BIGINT) AS px,
+       |  ((l_partkey * 104729) % 2097152) // CAST(pow(2, 21 - z.zoom) AS BIGINT) AS py,
+       |  COUNT(*) AS n,
+       |  round(MAX((((l_orderkey * 2654435761) + (l_partkey * 40503)) % 1000) / 1000.0), 6) AS max_score
+       |FROM lineitem, (SELECT UNNEST([${PyramidZooms.mkString(", ")}]) AS zoom) z
+       |GROUP BY 1, 2, 3
+       |ORDER BY 1, 2, 3""".stripMargin
+
   // --------------------------------------------------- clustered challenge
   /** One MapRoulette challenge document per unmapped cluster with its
     * ASSEMBLED outline polygon (create_clustered_maproulette_geojson,
@@ -662,6 +697,7 @@ object GeoQueries {
     // driver records a rows>0 check; PipelineSpec proves the geometry
     "a25_clustered_challenge" -> (clusteredChallenge _),
     "a26_quadkey" -> (a26Quadkey _),
+    "a27_pyramid" -> (a27Pyramid _),
     "a20_polygons_with_grid" -> (a20PolygonsWithGrid _),
     "a1_deg2num" -> (a1Deg2num _),
     "a2_num2deg" -> (a2Num2deg _),
@@ -689,6 +725,7 @@ object GeoQueries {
     "a23_slice_plan" -> a23Sql,
     "a24_tile_source" -> a24Sql,
     "a26_quadkey" -> a26Sql,
+    "a27_pyramid" -> a27Sql,
     "a20_polygons_with_grid" -> a20Sql,
     "a1_deg2num" -> a1Sql,
     "a2_num2deg" -> a2Sql,
