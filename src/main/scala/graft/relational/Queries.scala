@@ -310,20 +310,37 @@ object Queries {
       |GROUP BY p_type
       |ORDER BY p_type""".stripMargin
 
+  /** B9 time-cell width. Narrower than B10's window on purpose: the
+    * sf0.01 events span weeks, so 6 h cells give every user a multi-cell
+    * history and the cross-cell carry path is genuinely exercised.
+    */
+  val AsofCellUs = 21600000000L
+
   /** B9: as-of join — attribute every `error` event to the same user's
     * most recent `click` at-or-before it (inner as-of semantics: errors
     * with no prior click drop out). Spark has no ASOF JOIN operator and
-    * the naive `c.ts <= e.ts` θ-join plans as a nested loop, so this is
-    * the scalable union+window re-expression: tag both sides, union,
-    * and carry the last non-null click forward per user with
-    * `last(_, ignoreNulls)` over a running row frame. ONE shuffle on
-    * user_id and a linear per-user scan — no range explosion, no NLJ —
-    * which is exactly how an as-of join should run on 100 TB of events
-    * (the sort is Tungsten's spillable window sort, and users are
-    * high-cardinality so partitions stay balanced). Clicks sort before
-    * errors at equal ts (tag 0 < 1) so a click AT the error's timestamp
-    * counts; (user_id, ts) is unique in the testdata, and event_id is
-    * the final total-order tiebreaker.
+    * the naive `c.ts <= e.ts` θ-join plans as a nested loop. The
+    * union+window carry-forward over bare user_id avoids the NLJ but
+    * still sorts each user's ENTIRE history in one task — one bot-like
+    * hot user at 100× is a straggler. So the time axis is folded into
+    * the partition key, B10-style:
+    *   1. every event lands in a [[AsofCellUs]] cell; the in-cell
+    *      carry-forward (`last(_, ignoreNulls)` over a running row
+    *      frame) runs per (user_id, cell) — task size is bounded by one
+    *      user's events per 6 h, not per lifetime, and narrows with the
+    *      cell width knob;
+    *   2. each cell's last click collapses to ONE row via a map-side
+    *      combinable max(struct) — the only per-user serial pass left
+    *      is a window over these per-cell rows, bounded by calendar
+    *      cells (time_range / cell width), independent of event volume;
+    *   3. an error with no in-cell predecessor takes the carry from the
+    *      strictly-previous cells (always ≤ any in-cell click since
+    *      cells partition time monotonically, so coalesce is exact).
+    * Same answer as the flat window — clicks sort before errors at
+    * equal ts (tag 0 < 1) so a click AT the error's timestamp counts —
+    * with every task bounded under arbitrary user skew
+    * (ScaleSmoke.b9HotUser pins this at one user owning half of 10M
+    * events).
     */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.eventsWithUs(spark, dir) // us = epoch micros (B5's shape)
@@ -333,12 +350,33 @@ object Queries {
     val errors = ev.filter(col("event_type") === "error")
       .select(col("user_id"), col("us"), lit(1).as("tag"), col("event_id"),
         lit(null).cast("long").as("c_id"), lit(null).cast("long").as("c_us"))
-    val w = Window.partitionBy("user_id").orderBy("us", "tag", "event_id")
+    val tagged = clicks.union(errors)
+      .withColumn("cell", expr(s"us div $AsofCellUs"))
+    // 1. in-cell carry: bounded (user, cell) partitions
+    val wInCell = Window.partitionBy("user_id", "cell")
+      .orderBy("us", "tag", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    clicks.union(errors)
-      .withColumn("click_id", last("c_id", ignoreNulls = true).over(w))
-      .withColumn("click_us", last("c_us", ignoreNulls = true).over(w))
-      .filter(col("tag") === 1 && col("click_id").isNotNull)
+    val inCell = tagged
+      .withColumn("ic_id", last("c_id", ignoreNulls = true).over(wInCell))
+      .withColumn("ic_us", last("c_us", ignoreNulls = true).over(wInCell))
+    // 2. per-cell last click (map-side partial agg) + tiny per-user
+    // window over cells for the strictly-before-this-cell carry
+    val cellLast = tagged.filter(col("tag") === 0)
+      .groupBy("user_id", "cell")
+      .agg(max(struct(col("c_us"), col("c_id"))).as("lc"))
+    val wCarry = Window.partitionBy("user_id").orderBy("cell")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = tagged.select("user_id", "cell").distinct()
+      .join(cellLast, Seq("user_id", "cell"), "left")
+      .withColumn("pc", last("lc", ignoreNulls = true).over(wCarry))
+      .select(col("user_id"), col("cell"),
+        col("pc.c_id").as("pc_id"), col("pc.c_us").as("pc_us"))
+    // 3. stitch: in-cell hit wins, else carry from earlier cells
+    inCell.filter(col("tag") === 1)
+      .join(carry, Seq("user_id", "cell"))
+      .withColumn("click_id", coalesce(col("ic_id"), col("pc_id")))
+      .withColumn("click_us", coalesce(col("ic_us"), col("pc_us")))
+      .filter(col("click_id").isNotNull)
       .select(col("event_id"), col("user_id"), col("us").as("err_us"),
         col("click_id"), col("click_us"),
         (col("us") - col("click_us")).as("gap_us"))

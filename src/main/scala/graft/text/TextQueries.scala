@@ -278,25 +278,32 @@ object TextQueries {
   // ---------------------------------------------------------------- C22
   /** Exact per-language length quantiles (p50/p90/p99 of n_chars) — the
     * corpus-shape numbers a curation pipeline gates on. EXACT discrete
-    * quantiles via one ranked window per language (value at row
-    * ceil(q·n) in (n_chars, doc_id) order — doc_id only breaks rank
-    * ties; the value at a position is tiebreak-independent). The
-    * per-group sort is Tungsten's spillable window sort, so groups far
-    * larger than memory still work; at 100 TB with huge groups the
-    * approximate t-digest/`approx_percentile` path trades exactness for
-    * a partial-agg shuffle — this operator is the exact gate, sized for
-    * per-group sorts the cluster can afford.
+    * quantiles (value at rank ceil(q·n) in n_chars order) WITHOUT ever
+    * sorting a language's documents in one task: the value at a rank
+    * only depends on the value HISTOGRAM, so phase 1 collapses the
+    * corpus to per-(lang, n_chars) counts — a map-side-combinable
+    * aggregate that shuffles one row per distinct value — and phase 2
+    * runs the running-sum CDF window per language over those distinct
+    * values. p_q = min n_chars with cum ≥ ceil(q·n), which is exactly
+    * the sorted-position value (ties collapse into one histogram row,
+    * so no tiebreaker is even needed). Per-task work is bounded by the
+    * VALUE DOMAIN (langs × distinct lengths), independent of document
+    * count — a 90%-one-language 100 TB corpus costs the same tiny
+    * window as a uniform one (ScaleSmoke.c22DominantLang pins this),
+    * where the former one-ranked-window-per-language form sorted the
+    * dominant language's entire corpus in a single task.
     */
   def c22LengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-    val wn = Window.partitionBy("lang")
+    val wCum = Window.partitionBy("lang").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("lang")
     def pick(q: Double) =
-      max(when(col("rn") === ceil(lit(q) * col("n")).cast("long"), col("n_chars")))
+      min(when(col("cum") >= ceil(lit(q) * col("n")).cast("long"), col("n_chars")))
     Tables(spark, dir, "documents")
-      .select(col("lang"), col("n_chars"), col("doc_id"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy("lang", "n_chars").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wAll))
       .groupBy("lang")
       .agg(max(col("n")).as("n_docs"), pick(0.5).as("p50"),
         pick(0.9).as("p90"), pick(0.99).as("p99"))

@@ -687,6 +687,92 @@ object GeoQueries {
       .orderBy("cluster_id")
   }
 
+  // ---------------------------------------------------------------- A25b
+  /** A25 companion with a hash-checked oracle: per boundary-COMPONENT
+    * stats of the assembled outline rings (rings sharing a pinch vertex
+    * merged — [[Outline.componentStats]] explains why that granularity
+    * is exactly what a SQL twin can recompute). The Spark side goes
+    * through the REAL `chainEdges` walk + winding post-pass, so this
+    * closes the one rows-only gap the a25 GeoJSON had: edge coverage,
+    * winding signs and extents of every ring are now DuckDB-verified;
+    * only the pinch pairing choice (invisible at component level by
+    * construction) stays spec-checked in OutlinePropSpec. The oracle
+    * recomputes components with a recursive min-label propagation over
+    * the undirected boundary edges (535 components, ≤870 vertices each
+    * at sf0.01) and the signed area as the interior-left edge sum
+    * Σ ±2x·dy — the same identity `chainEdges`' shoelace satisfies
+    * (validated ring-by-ring, 955/955, before shipping).
+    */
+  def a25RingStats(spark: SparkSession, dir: String): DataFrame = {
+    val edges = a15ClusterOutline(spark, dir)
+    import spark.implicits._
+    Outline.assembleRings(edges)
+      .groupByKey(_.cluster_id)
+      .flatMapGroups { (cid: Long, it: Iterator[Outline.Ring]) =>
+        Outline.componentStats(cid, it.map(r => r.xs.zip(r.ys).toVector).toSeq).iterator
+      }
+      .toDF()
+      .orderBy("cluster_id", "comp_x", "comp_y")
+  }
+
+  /** Vertex id packing for the oracle's CC: coords are 0-based cell
+    * space (≪ 2^22), so vid = x·2^22 + y is collision-free and its
+    * integer order IS the lexicographic (x, y) vertex order — MIN(vid)
+    * decodes straight back to the component's min vertex.
+    */
+  private val VidShift = 4194304L
+
+  val a25RingStatsSql: String = withCtes(true, GeoDerive.cellsCte, GeoDerive.positivesCte,
+    Clustering.ccCte,
+    s"""tedge4 AS MATERIALIZED (
+       |  SELECT cluster_id, x AS x1, y AS y1, x + 1 AS x2, y AS y2, x AS tx, y AS ty FROM cc
+       |  UNION ALL SELECT cluster_id, x, y + 1, x + 1, y + 1, x, y FROM cc
+       |  UNION ALL SELECT cluster_id, x, y, x, y + 1, x, y FROM cc
+       |  UNION ALL SELECT cluster_id, x + 1, y, x + 1, y + 1, x, y FROM cc
+       |),
+       |bedge AS MATERIALIZED (
+       |  SELECT cluster_id, x1, y1, x2, y2, MAX(tx) AS tx
+       |  FROM tedge4 GROUP BY cluster_id, x1, y1, x2, y2 HAVING COUNT(*) = 1
+       |),
+       |adj AS MATERIALIZED (
+       |  SELECT cluster_id, x1 * $VidShift + y1 AS a, x2 * $VidShift + y2 AS b FROM bedge
+       |  UNION ALL
+       |  SELECT cluster_id, x2 * $VidShift + y2, x1 * $VidShift + y1 FROM bedge
+       |),
+       |verts AS MATERIALIZED (SELECT DISTINCT cluster_id, a AS v FROM adj),
+       |oreach AS (
+       |  SELECT cluster_id, v AS node, v AS lbl FROM verts
+       |  UNION
+       |  SELECT a.cluster_id, a.b AS node, r.lbl
+       |  FROM oreach r JOIN adj a ON a.cluster_id = r.cluster_id AND a.a = r.node
+       |),
+       |comp AS MATERIALIZED (SELECT cluster_id, node, MIN(lbl) AS comp FROM oreach GROUP BY cluster_id, node),
+       |vdeg AS MATERIALIZED (SELECT cluster_id, a AS v, COUNT(*) AS deg FROM adj GROUP BY cluster_id, a),
+       |estat AS MATERIALIZED (
+       |  SELECT e.cluster_id, c.comp,
+       |    COUNT(*) AS n_edges,
+       |    SUM(CASE WHEN e.x1 = e.x2
+       |        THEN 2 * e.x1 * (CASE WHEN e.tx = e.x1 - 1 THEN 1 ELSE -1 END)
+       |        ELSE 0 END) AS area2,
+       |    MIN(LEAST(e.x1, e.x2)) AS min_x, MIN(LEAST(e.y1, e.y2)) AS min_y,
+       |    MAX(GREATEST(e.x1, e.x2)) AS max_x, MAX(GREATEST(e.y1, e.y2)) AS max_y
+       |  FROM bedge e JOIN comp c
+       |    ON c.cluster_id = e.cluster_id AND c.node = e.x1 * $VidShift + e.y1
+       |  GROUP BY e.cluster_id, c.comp
+       |),
+       |pstat AS MATERIALIZED (
+       |  SELECT d.cluster_id, c.comp, COUNT(*) FILTER (WHERE d.deg = 4) AS n_pinch
+       |  FROM vdeg d JOIN comp c ON c.cluster_id = d.cluster_id AND c.node = d.v
+       |  GROUP BY d.cluster_id, c.comp
+       |)""".stripMargin)(
+    s"""SELECT e.cluster_id,
+       |  e.comp // $VidShift AS comp_x, e.comp % $VidShift AS comp_y,
+       |  CAST(e.n_edges AS BIGINT) AS n_edges, CAST(e.area2 AS BIGINT) AS area2,
+       |  e.min_x, e.min_y, e.max_x, e.max_y,
+       |  CAST(p.n_pinch AS BIGINT) AS n_pinch
+       |FROM estat e JOIN pstat p ON p.cluster_id = e.cluster_id AND p.comp = e.comp
+       |ORDER BY e.cluster_id, comp_x, comp_y""".stripMargin)
+
   /** All A-block entries for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a21_tile_batch" -> (a21TileBatch _),
@@ -696,6 +782,7 @@ object GeoQueries {
     // rows-only (no oracle entry): ring assembly has no SQL twin — the
     // driver records a rows>0 check; PipelineSpec proves the geometry
     "a25_clustered_challenge" -> (clusteredChallenge _),
+    "a25_ring_stats" -> (a25RingStats _),
     "a26_quadkey" -> (a26Quadkey _),
     "a27_pyramid" -> (a27Pyramid _),
     "a20_polygons_with_grid" -> (a20PolygonsWithGrid _),
@@ -724,6 +811,7 @@ object GeoQueries {
     "a22_unclustered_threshold" -> a22Sql,
     "a23_slice_plan" -> a23Sql,
     "a24_tile_source" -> a24Sql,
+    "a25_ring_stats" -> a25RingStatsSql,
     "a26_quadkey" -> a26Sql,
     "a27_pyramid" -> a27Sql,
     "a20_polygons_with_grid" -> a20Sql,
