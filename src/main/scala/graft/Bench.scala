@@ -24,7 +24,9 @@ object Bench {
     // query, not first-touch costs (the driver compares totals; keep it in)
     Tables.names.foreach(n =>
       try Tables(spark, sfDir, n).count() catch { case _: Throwable => () })
-    Thread.sleep(50) // drain warmup task-end events before baselining
+    // drain warmup task-end events before baselining — deterministic,
+    // unlike a sleep (the listener bus is async)
+    org.apache.spark.sql.GraftBridge.drainListeners(spark.sparkContext)
     val spillBase = spillB.get
     // failures surface: stack trace to stderr, the query's time slot is
     // -1 in the JSON (unmistakable vs a real duration), and the names
@@ -40,11 +42,11 @@ object Bench {
       s"no query matches prefixes ${prefixes.mkString("[", ", ", "]")} — " +
         s"known queries: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    // per-query deltas of the cumulative counters are diagnostics
-    // (listener delivery is async, so a few straggler bytes can land on
-    // the next query's row — totals are exact); never affects the timed
-    // path, and a FAILED query still records its delta so its bytes
-    // don't inflate the next query's row
+    // per-query deltas of the cumulative counters are exact: the bus is
+    // drained after every query (outside the timed span), so no
+    // straggler task-end event can land on the next query's row; a
+    // FAILED query still records its delta so its bytes don't inflate
+    // the next query's row
     val shuffle = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val results = selected.map { case (name, fn) =>
       val before = shuffleW.get
@@ -60,7 +62,7 @@ object Bench {
             failed += name
             name -> -1.0
         }
-      Thread.sleep(15) // let straggler task-end events drain
+      org.apache.spark.sql.GraftBridge.drainListeners(spark.sparkContext)
       shuffle(name) = shuffleW.get - before
       timed
     }
@@ -71,7 +73,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"spill_mb_total":${(spillB.get - spillBase) / 1048576.0},"errors":$errs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"spill_mb_total":${(spillB.get - spillBase) / 1048576.0},"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // also persist to a file: the driver's stdout capture has truncated
+    // mid-line before, losing the totals — the file copy is authoritative
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $out: $e") }
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
     spark.stop()

@@ -118,6 +118,80 @@ object ScaleSmoke {
     println(f"SCALE bottomK rows=$nVals groups=$skRows k=64 " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")
 
+    // helper for the skew cases below: run an action while recording the
+    // slowest task — the straggler metric the de-skewed plans bound.
+    // (result, max task ms, mean task ms): a de-skewed plan shows
+    // max ≈ mean; a straggler shows max >> mean. Task duration is
+    // per-task WALL time, so on a fully-parallel flat stage max can
+    // legitimately approach the stage's elapsed time.
+    def withMaxTask[T](f: => T): (T, Long, Long) = {
+      val maxMs = new java.util.concurrent.atomic.AtomicLong(0L)
+      val sumMs = new java.util.concurrent.atomic.AtomicLong(0L)
+      val nTask = new java.util.concurrent.atomic.AtomicLong(0L)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskInfo != null) {
+            maxMs.getAndUpdate(m => math.max(m, te.taskInfo.duration)): Unit
+            sumMs.addAndGet(te.taskInfo.duration): Unit
+            nTask.incrementAndGet(): Unit
+          }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val r = f
+        org.apache.spark.sql.GraftBridge.drainListeners(spark.sparkContext)
+        (r, maxMs.get, sumMs.get / math.max(1L, nTask.get))
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+
+    // --- B9 as-of join under pathological user skew: ONE user owns 50%
+    // of 10M events. The time-cell plan bounds any task by
+    // events-per-user-per-6h-cell (~42k here), not per-lifetime (5M);
+    // the reported max task time is the straggler ceiling.
+    t0 = System.nanoTime()
+    val nAsof = nCells * 5L
+    val asofEv = spark.range(nAsof).select(
+      col("id").as("event_id"),
+      when(col("id") % 2L === 0L, 0L).otherwise(col("id") % 100003L).as("user_id"),
+      (col("id") * 48271L % 2592000000000L).as("us"), // 30 days of micros
+      when(col("id") % 3L === 0L, "click").otherwise("error").as("event_type"))
+    val (nAsofPairs, asofMaxMs, asofMeanMs) = withMaxTask(
+      graft.relational.Queries.asofJoinOn(asofEv).count())
+    println(f"SCALE asofJoin events=$nAsof hotUserShare=0.5 pairs=$nAsofPairs " +
+      f"maxTaskMs=$asofMaxMs meanTaskMs=$asofMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // --- C22 exact quantiles under language skew: 90% of 10M docs in
+    // one language. The histogram-CDF plan's windows see one row per
+    // DISTINCT length (≤20k), so the dominant language costs the same
+    // as a rare one.
+    t0 = System.nanoTime()
+    val docs = spark.range(nAsof).select(
+      when(col("id") % 10L < 9L, lit("en"))
+        .otherwise(concat(lit("l"), col("id") % 40L)).as("lang"),
+      (col("id") * 7919L % 20000L).as("n_chars"))
+    val (nLangs, c22MaxMs, c22MeanMs) = withMaxTask(
+      graft.text.TextQueries.lengthQuantilesOn(docs).count())
+    println(f"SCALE lengthQuantiles docs=$nAsof dominantShare=0.9 langs=$nLangs " +
+      f"maxTaskMs=$c22MaxMs meanTaskMs=$c22MeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // --- C9/C20 blocked cosine self-join: the one quadratic operator.
+    // N is sized so N²/2 dots are a ~minute of local compute (full N²
+    // at 1M+ is a cluster-scale job BY DESIGN — c11/c18 are the
+    // approximate paths); what this pins is per-task FLATNESS, which is
+    // N-invariant: all CosBlocks² buckets carry (N/B)² pairs, so max
+    // task time ≈ mean, no broadcast, no NLJ.
+    t0 = System.nanoTime()
+    val nVec = math.max(60000L, nCells / 20L)
+    val vecs = spark.range(nVec).select(col("id").as("vec_id"),
+      expr("cast(transform(sequence(0, 15), i -> " +
+        "cast((id * (i + 7919) % 1000) as double) / 500.0 - 1.0) as array<float>)")
+        .as("embedding"))
+      .withColumn("n2", graft.functions.vector.vec_norm2(col("embedding")))
+    val (nCosPairs, cosMaxMs, cosMeanMs) = withMaxTask(
+      graft.embed.EmbedQueries.cosinePairFrameOn(vecs).count())
+    println(f"SCALE cosBlocked vecs=$nVec dim=16 pairs=$nCosPairs " +
+      f"maxTaskMs=$cosMaxMs meanTaskMs=$cosMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
     // --- tilerange generation throughput: a 100M-tile bbox fully
     // generated and aggregated (count + coordinate checksum) through
     // the DSv2 reader; the closed-form COUNT path is spec-proven

@@ -84,8 +84,14 @@ object EmbedQueries {
   /** Unordered over-threshold pair frame — shared by C9 (reported as-is)
     * and C20 (collapsed into clusters).
     */
-  private def cosinePairFrame(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorms(spark, dir)
+  private def cosinePairFrame(spark: SparkSession, dir: String): DataFrame =
+    cosinePairFrameOn(withNorms(spark, dir))
+
+  /** The blocked pair frame on any (vec_id, embedding, n2) frame —
+    * ScaleSmoke drives this same code at 100k+ vectors and records the
+    * per-task max to show the CosBlocks² buckets stay flat.
+    */
+  private[graft] def cosinePairFrameOn(e: DataFrame): DataFrame = {
     val blocks = array((0 until CosBlocks).map(lit): _*)
     val l = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("n2").as("na"),
         pmod(col("vec_id"), lit(CosBlocks)).as("ba"))

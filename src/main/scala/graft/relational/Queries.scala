@@ -342,8 +342,13 @@ object Queries {
     * (ScaleSmoke.b9HotUser pins this at one user owning half of 10M
     * events).
     */
-  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.eventsWithUs(spark, dir) // us = epoch micros (B5's shape)
+  def asofJoin(spark: SparkSession, dir: String): DataFrame =
+    asofJoinOn(Tables.eventsWithUs(spark, dir)) // us = epoch micros (B5's shape)
+
+  /** The operator body on any (event_id, user_id, us, event_type) frame —
+    * ScaleSmoke drives this same code at 10M events with a 50% hot user.
+    */
+  def asofJoinOn(ev: DataFrame): DataFrame = {
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("us"), lit(0).as("tag"), col("event_id"),
         col("event_id").as("c_id"), col("us").as("c_us"))
@@ -742,7 +747,10 @@ object Queries {
        |), exact AS (
        |  SELECT ym, COUNT(DISTINCT o_custkey) AS n_exact FROM o GROUP BY ym
        |), h AS (
+       |  -- NULL keys dropped explicitly: the Spark BottomK aggregate
+       |  -- skips nulls, DuckDB's DISTINCT would keep a (ym, NULL) row
        |  SELECT DISTINCT ym, ${kmvHashSql("o_custkey")} AS h FROM o
+       |  WHERE o_custkey IS NOT NULL
        |), topk AS (
        |  SELECT ym, h FROM h
        |  QUALIFY row_number() OVER (PARTITION BY ym ORDER BY h) <= $KmvK

@@ -277,12 +277,20 @@ object StreamingOps {
     def rmrf(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(rmrf)); f.delete(): Unit
     }
+    // ATOMIC_MOVE instead of File.renameTo: renameTo returns a bare
+    // false on cross-filesystem moves, ATOMIC_MOVE throws with a cause —
+    // so pointing stateDir at a mount where same-dir renames aren't
+    // atomic fails loudly instead of corrupting the swap protocol
+    def mv(from: java.io.File, to: java.io.File, what: String): Unit =
+      try java.nio.file.Files.move(from.toPath, to.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      catch { case e: java.io.IOException =>
+        sys.error(s"d8 upsert: $what move $from -> $to failed: $e") }
     // crash recovery: a previous swap that died between the two renames
     // left the base state at old/ — restore it before merging, so no
     // window of the swap can lose accumulated state (the keep-max merge
     // makes the checkpointed batch replay itself idempotent)
-    if (!cur.exists && old.exists && !old.renameTo(cur))
-      sys.error(s"d8 upsert: recovery rename $old -> $cur failed")
+    if (!cur.exists && old.exists) mv(old, cur, "recovery")
     val all =
       if (cur.exists) batch.unionByName(spark.read.parquet(cur.getPath))
       else batch
@@ -292,9 +300,8 @@ object StreamingOps {
     val next = new java.io.File(s"$stateDir/next")
     merged.write.mode("overwrite").parquet(next.getPath)
     if (old.exists) rmrf(old)
-    if (cur.exists && !cur.renameTo(old))
-      sys.error(s"d8 upsert: rename $cur -> $old failed")
-    if (!next.renameTo(cur)) sys.error(s"d8 upsert: rename $next -> $cur failed")
+    if (cur.exists) mv(cur, old, "retire")
+    mv(next, cur, "publish")
     rmrf(old)
   }
 

@@ -250,9 +250,11 @@ object StreamingQueries {
     * mode): the sink holds every session the watermark closed; each
     * user's trailing sessions stay in state. The eviction boundary is
     * the session WINDOW end = last event + gap (numerically verified:
-    * sessions with `end_us < wm` but `end_us + gap ≥ wm` are retained),
-    * so the oracle = the B17 session construction filtered to
-    * `end_us + gap <` (global max event time − watermark delay).
+    * sessions with `end_us < wm` but `end_us + gap > wm` are retained),
+    * and a window ending EXACTLY on the watermark IS emitted — the
+    * StreamingSpec tie pin found Spark evicts on `window_end ≤ wm`, so
+    * the oracle = the B17 session construction filtered to
+    * `end_us + gap ≤` (global max event time − watermark delay).
     */
   def d9StreamSessionsNative(spark: SparkSession, sfDir: String): DataFrame =
     runToTable(StreamingOps.sessionWindowAgg(stream(spark, sfDir)),
@@ -266,7 +268,7 @@ object StreamingQueries {
     s"""SELECT user_id, start_us, end_us, n_events, sum_value_c FROM (
        |${graft.relational.Queries.sessionWindowBodySql}
        |)
-       |WHERE end_us + ${StreamingOps.SessionGapUs} <
+       |WHERE end_us + ${StreamingOps.SessionGapUs} <=
        |  (SELECT MAX(epoch_us(ts)) FROM events) - ${StreamingOps.WatermarkDelayUs}
        |ORDER BY user_id, start_us""".stripMargin
 
@@ -289,8 +291,10 @@ object StreamingQueries {
   val d10Sql: String = {
     import graft.relational.Queries.{kmvEstimateSql, kmvHashSql, KmvK}
     s"""WITH h AS (
+       |  -- NULL keys dropped explicitly: the Spark BottomK aggregate
+       |  -- skips nulls, DuckDB's DISTINCT would keep an all-NULL row
        |  SELECT DISTINCT event_type, ${kmvHashSql("user_id")} AS h
-       |  FROM events
+       |  FROM events WHERE user_id IS NOT NULL
        |), topk AS (
        |  SELECT event_type, h FROM h
        |  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h) <= $KmvK

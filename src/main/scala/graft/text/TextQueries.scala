@@ -293,14 +293,20 @@ object TextQueries {
     * where the former one-ranked-window-per-language form sorted the
     * dominant language's entire corpus in a single task.
     */
-  def c22LengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+  def c22LengthQuantiles(spark: SparkSession, dir: String): DataFrame =
+    lengthQuantilesOn(Tables(spark, dir, "documents"))
+
+  /** The operator body on any (lang, n_chars) frame — ScaleSmoke drives
+    * this same code at 10M docs with a 90% dominant language.
+    */
+  def lengthQuantilesOn(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wCum = Window.partitionBy("lang").orderBy("n_chars")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("lang")
     def pick(q: Double) =
       min(when(col("cum") >= ceil(lit(q) * col("n")).cast("long"), col("n_chars")))
-    Tables(spark, dir, "documents")
+    docs
       .groupBy("lang", "n_chars").agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum("cnt").over(wCum))
       .withColumn("n", sum("cnt").over(wAll))

@@ -60,7 +60,9 @@ object GridOps {
     * the rest ≥ 0).
     */
   def fillPolygons(spark: SparkSession): DataFrame = {
-    val p = broadcast(Polygons.df(spark))
+    // no broadcast() hint: the dim is exploded in place, not joined —
+    // a dangling hint here is what HintErrorLogger warned about
+    val p = Polygons.df(spark)
     p.withColumn("x", explode(sequence(col("minx"), col("maxx"))))
       .repartition(col("poly"), col("x"))
       .withColumn("y", explode(sequence(col("miny"), col("maxy"))))

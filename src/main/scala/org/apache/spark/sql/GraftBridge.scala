@@ -12,4 +12,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Block until every queued SparkListener event has been delivered —
+    * the deterministic replacement for sleep-and-hope when attributing
+    * per-query task metrics (`listenerBus` is `private[spark]`, hence
+    * here).
+    */
+  def drainListeners(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

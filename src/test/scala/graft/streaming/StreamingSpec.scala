@@ -134,13 +134,41 @@ class StreamingSpec extends SparkTestBase {
     val got = runToMemory(StreamingOps.sessionWindowAgg(stream), "d9_sessions", "append")
     val maxUs = Tables.eventsWithUs(spark, sf).agg(max("us")).head.getLong(0)
     // eviction boundary = session WINDOW end (last event + gap) vs the
-    // final watermark (max event time − delay); this pins the strict-<
-    // predicate the d9 oracle encodes
+    // final watermark (max event time − delay); ≤ because a window
+    // ending exactly on the watermark IS emitted (tie test below)
     val want = Queries.sessionWindow(spark, sf)
-      .filter(col("end_us") + StreamingOps.SessionGapUs <
+      .filter(col("end_us") + StreamingOps.SessionGapUs <=
         maxUs - StreamingOps.WatermarkDelayUs)
     assert(got.count() == want.count())
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("D9 watermark-boundary tie: a session ending EXACTLY on the final watermark is held back") {
+    // Synthetic three-user micro-dataset engineered so one session's
+    // eviction predicate is an exact tie: user 1's window end
+    // (last event + gap) == final watermark (max ts − delay). Spark
+    // emits on the tie (evict ⇔ window_end ≤ wm) — this pin originally
+    // shipped asserting strict < and FAILED, exposing that the d9
+    // oracle's < was a latent divergence real data never hit; the
+    // oracle now encodes ≤ and this test keeps it honest.
+    import StreamingOps.{SessionGapUs, WatermarkDelayUs}
+    val base = 1000000000000L // µs
+    val rows = Seq(
+      (1L, base, 1L, "click", 1.0, "{}"), //  end+gap == wm: tie, emitted
+      (2L, base - 1L, 2L, "click", 1.0, "{}"), // end+gap == wm−1: emitted
+      (3L, base + SessionGapUs + WatermarkDelayUs, 3L, "click", 1.0, "{}")) // wm anchor, open
+    val dir = Files.createTempDirectory("graft-d9-tie")
+    import spark.implicits._
+    rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), (col("us") * 1000L).as("ts"), // parquet-nanos shape
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val stream = StreamingOps.normalize(
+      spark.readStream.schema(spark.read.parquet(dir.toString).schema)
+        .parquet(dir.toString))
+    val got = runToMemory(StreamingOps.sessionWindowAgg(stream), "d9_tie", "append")
+    assert(got.select("user_id").as[Long].collect().toSet == Set(1L, 2L),
+      "the tie session is emitted (≤), the anchor's open session is not")
   }
 
   test("D10 streaming bottom_k sketch state == batch sketch after the replay") {
