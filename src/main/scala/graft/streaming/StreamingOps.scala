@@ -109,6 +109,54 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
   }
 
+  // --------------------------------------- D11: streaming as-of join
+  final case class AsofEv(user_id: Long, event_id: Long, us: Long, is_click: Boolean)
+  final case class LastClick(c_id: Long, c_us: Long)
+  final case class AsofMatch(event_id: Long, user_id: Long, err_us: Long,
+      click_id: Long, click_us: Long, gap_us: Long)
+
+  /** D11: streaming as-of attribution — every `error` event enriched
+    * with the same user's most recent `click` at-or-before it, the
+    * stream twin of the batch B9 as-of join. Where B9 folds the time
+    * axis into a shuffle key, the stream needs no such trick: state per
+    * user is ONE fixed-size (click_id, click_us) record however long
+    * the stream runs — the canonical "enrich with latest state"
+    * flatMapGroupsWithState shape. Each micro-batch folds its events in
+    * (us, clicks-first, event_id) order, so a click AT the error's
+    * timestamp counts — B9's exact tie rule — and errors before any
+    * click drop out (inner as-of). Per-batch work per user is bounded
+    * by that user's events in the batch; a hot user bounds at batch
+    * size, never stream length.
+    */
+  def asofAttribute(events: DataFrame): org.apache.spark.sql.Dataset[AsofMatch] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("event_time")).as("us"),
+        (col("event_type") === "click").as("is_click"))
+      .as[AsofEv]
+
+    def fold(userId: Long, it: Iterator[AsofEv],
+        state: GroupState[LastClick]): Iterator[AsofMatch] = {
+      val evs = it.toSeq.sortBy(e => (e.us, !e.is_click, e.event_id))
+      var last = state.getOption
+      val out = Seq.newBuilder[AsofMatch]
+      evs.foreach { e =>
+        if (e.is_click) last = Some(LastClick(e.event_id, e.us))
+        else last.foreach(lc =>
+          out += AsofMatch(e.event_id, userId, e.us, lc.c_id, lc.c_us, e.us - lc.c_us))
+      }
+      last.foreach(state.update)
+      out.result().iterator
+    }
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
+  }
+
   // ------------------------------ D9: native session_window sessions
   /** D9: sessionization via Spark's NATIVE `session_window` aggregation
     * with a watermark — the declarative streaming sessionizer next to

@@ -272,6 +272,21 @@ object StreamingQueries {
        |  (SELECT MAX(epoch_us(ts)) FROM events) - ${StreamingOps.WatermarkDelayUs}
        |ORDER BY user_id, start_us""".stripMargin
 
+  // --------------------------------------------------------------- D11
+  /** Streaming as-of attribution ([[StreamingOps.asofAttribute]]):
+    * after the single-batch replay the emitted matches are EXACTLY the
+    * batch B9 as-of join, so the oracle is B9's DuckDB ASOF JOIN —
+    * one definition, no drift (the stream keeps one (click_id,
+    * click_us) record per user in state; B9's time-cell shuffle is the
+    * batch re-expression of the same carry).
+    */
+  def d11StreamAsof(spark: SparkSession, sfDir: String): DataFrame =
+    runToTable(StreamingOps.asofAttribute(stream(spark, sfDir)).toDF(),
+        "graft_d11_sink", "append")
+      .orderBy("event_id")
+
+  val d11Sql: String = graft.relational.Queries.asofJoinSql
+
   // --------------------------------------------------------------- D10
   /** Streaming KMV distinct sketch (complete mode): after the replay the
     * sink holds one ≤k bottom-k buffer per event_type; the estimator
@@ -317,7 +332,8 @@ object StreamingQueries {
     "d7_stream_vocab" -> (d7StreamVocab _),
     "d8_stream_upsert" -> (d8StreamUpsert _),
     "d9_stream_sessions_native" -> (d9StreamSessionsNative _),
-    "d10_stream_distinct_sketch" -> (d10StreamDistinctSketch _))
+    "d10_stream_distinct_sketch" -> (d10StreamDistinctSketch _),
+    "d11_stream_asof" -> (d11StreamAsof _))
 
   val oracles: Map[String, String] = Map(
     "d1_stream_windowed" -> d1Sql,
@@ -329,5 +345,6 @@ object StreamingQueries {
     "d7_stream_vocab" -> d7Sql,
     "d8_stream_upsert" -> d8Sql,
     "d9_stream_sessions_native" -> d9Sql,
-    "d10_stream_distinct_sketch" -> d10Sql)
+    "d10_stream_distinct_sketch" -> d10Sql,
+    "d11_stream_asof" -> d11Sql)
 }

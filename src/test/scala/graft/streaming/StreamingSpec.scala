@@ -171,6 +171,56 @@ class StreamingSpec extends SparkTestBase {
       "the tie session is emitted (≤), the anchor's open session is not")
   }
 
+  test("D11 streaming as-of attribution == batch B9 as-of join after the replay") {
+    val stream = StreamingOps.eventsStream(spark, sf, stagedDir)
+    val got = runToMemory(StreamingOps.asofAttribute(stream).toDF(), "d11_asof", "append")
+    val want = Queries.asofJoin(spark, sf)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("D11 as-of state carries across micro-batches (time-split two-batch replay == batch)") {
+    // two sequential AvailableNow runs over the SAME checkpoint: batch 1
+    // sees only the early half, batch 2 only the late half — errors in
+    // batch 2 whose nearest click is in batch 1 can only match through
+    // the per-user LastClick state the first run checkpointed
+    val evUs = Tables.eventsWithUs(spark, sf)
+    val cut = evUs.agg(expr("percentile_approx(us, 0.5)")).head.getLong(0)
+    val srcDir = Files.createTempDirectory("d11-src")
+    val outDir = Files.createTempDirectory("d11-out").toString
+    val ckpt = Files.createTempDirectory("d11-ckpt").toString
+    val cols = Tables(spark, sf, "events").columns.map(col)
+    def run(): Unit = {
+      val q = StreamingOps.asofAttribute(
+          StreamingOps.eventsStream(spark, sf, srcDir.toString)).toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // the file source only lists files directly under srcDir, so each
+    // half is written to a scratch dir and its part file moved in
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"d11-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, srcDir.resolve(s"$name.parquet"))
+    }
+    stage(evUs.filter(col("us") <= cut).select(cols: _*), "b1")
+    run()
+    stage(evUs.filter(col("us") > cut).select(cols: _*), "b2")
+    run()
+    val got = spark.read.parquet(outDir)
+    val want = Queries.asofJoin(spark, sf)
+    // cross-batch dependency really exercised: some error in the late
+    // half must attribute to a click from the early half
+    val crossCount = want.filter(col("err_us") > cut && col("click_us") <= cut).count()
+    assert(crossCount > 0, "split must create cross-batch attributions")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("D10 streaming bottom_k sketch state == batch sketch after the replay") {
     val stream = StreamingOps.eventsStream(spark, sf, stagedDir)
     val got = runToMemory(StreamingOps.distinctSketch(stream), "d10_sketch", "complete")

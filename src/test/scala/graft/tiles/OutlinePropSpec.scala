@@ -68,4 +68,46 @@ class OutlinePropSpec extends AnyFunSuite {
       rings.map(shoelace2).sum == 2L * tiles.size
     })
   }
+
+  test("component stats from chained rings == direct edge aggregation (pinch-pairing invariant)") {
+    // the a25_ring_stats contract: at vertex-connected-component
+    // granularity, every stat derived from the WALKED rings must equal
+    // what plain vertex-CC over the raw edge set computes (that is what
+    // lets the DuckDB oracle verify the walk without reimplementing the
+    // left-first turn rule) — including the signed-area identity
+    // Σ shoelace2(ring) == Σ_vertical ±2x per component
+    check(Prop.forAll(blobGen) { tiles =>
+      val edges = boundaryEdges(tiles)
+      val rings = Outline.chainEdges(edges)
+      val got = Outline.componentStats(0L, rings)
+        .map(s => (s.comp_x, s.comp_y, s.n_edges, s.area2,
+          s.min_x, s.min_y, s.max_x, s.max_y, s.n_pinch)).sorted
+      // reference: union-find over raw edge endpoints (no walk at all)
+      val parent = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+      def find(v: (Long, Long)): (Long, Long) = {
+        var r = v
+        while (parent.getOrElseUpdate(r, r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val deg = scala.collection.mutable.Map.empty[(Long, Long), Int]
+      edges.foreach { case (a, b) =>
+        deg(a) = deg.getOrElse(a, 0) + 1; deg(b) = deg.getOrElse(b, 0) + 1
+      }
+      val byComp = edges.groupBy { case (a, _) => find(a) }
+      val want = byComp.values.map { es =>
+        val verts = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+        val mn = verts.min
+        val area2 = es.collect { case (a, b) if a._1 == b._1 => // vertical
+          val insideLeft = !tiles.contains((a._1, math.min(a._2, b._2)))
+          2L * a._1 * (if (insideLeft) 1L else -1L)
+        }.sum
+        (mn._1, mn._2, es.size.toLong, area2,
+          verts.map(_._1).min, verts.map(_._2).min,
+          verts.map(_._1).max, verts.map(_._2).max,
+          verts.count(deg(_) == 4).toLong)
+      }.toSeq.sorted
+      got == want
+    })
+  }
 }
