@@ -1,0 +1,61 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) clustered layout — the write-side complement to
+  * [[Bucketing]] for RANGE predicates instead of equi-joins.
+  *
+  * Hash bucketing co-locates equal keys but scatters nearby ones; a
+  * slippy-tile workload's dominant predicate is a 2-D bbox
+  * (`query_tile_batch`, solardb.py:190-213, always scans a polygon's
+  * coordinate rectangle), which hash layout turns into a full scan. A
+  * clustered file layout by this spatial key turns bbox queries into a
+  * tiny file subset — but a concatenation sort key (x then y) clusters
+  * one dimension only, leaving the other unbounded per file. Z-ordering
+  * interleaves the coordinate bits so consecutive z-values are spatially
+  * adjacent squares: each range-partitioned output file covers a compact
+  * z-range ⇒ a tight (x, y) rectangle ⇒ tight parquet column min/max
+  * stats on BOTH raw coordinate columns, and the reader's row-group
+  * stats filtering skips every file whose rectangle misses the bbox —
+  * no index structure, just parquet footers (measured in ZOrderSpec:
+  * >10× bytes-read reduction on a 1% bbox at 16 files).
+  *
+  * At 100 TB this is the difference between "bbox query = cluster-wide
+  * scan" and "bbox query = a handful of input splits"; the quadkey
+  * (a26) is the same curve as a string prefix key, this is the numeric
+  * form the writer sorts by.
+  */
+object ZOrder {
+
+  /** Morton z-value: interleave the low `bits` bits of x (even
+    * positions) and y (odd positions). Pure codegen'd column math —
+    * shift/mask/add, no UDF; supports coordinates up to 2^bits−1, so
+    * bits=21 covers the full z21 slippy grid within one 42-bit long.
+    */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .plus(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
+        .plus(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Write `df` to `path` as `files` parquet files clustered by the
+    * z-order of (`xCol`, `yCol`): range-partition on the z-value (equal
+    * ROW counts per file however skewed the point distribution — a
+    * fixed z-range split would put a city's whole corpus in one file),
+    * sort within each partition so row groups inside a file are tight
+    * too, and drop the helper column before writing. The payoff needs
+    * no reader cooperation: it is entirely in the parquet min/max
+    * stats the layout induces.
+    */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+      bits: Int, files: Int): Unit =
+    df.withColumn("__z", zValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+}

@@ -880,6 +880,32 @@ object GeoQueries {
        |FROM bucr
        |ORDER BY u, x, y""".stripMargin)
 
+  // ---------------------------------------------------------------- A30
+  /** A30: numeric Morton z-value for the z21-derived tiles — the sort
+    * key [[graft.scale.ZOrder.writeZOrdered]] clusters files by (a26's
+    * quadkey is the same curve as a string prefix; this is the integer
+    * form). Driver-checked here so the layout writer's key math has a
+    * DuckDB twin: identical shift/mask interleave on both engines.
+    */
+  val ZBits = 12
+  def a30Zorder(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        ((col("l_orderkey") % lit(2097152L)) / lit(512L)).cast("long").as("qx"),
+        (((col("l_partkey") * lit(104729L)) % lit(2097152L)) / lit(512L)).cast("long").as("qy"))
+      .withColumn("z", graft.scale.ZOrder.zValue(col("qx"), col("qy"), ZBits))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val a30Sql: String =
+    s"""SELECT l_orderkey, l_linenumber,
+       |  (l_orderkey % 2097152) // 512 AS qx,
+       |  ((l_partkey * 104729) % 2097152) // 512 AS qy,
+       |  list_sum(list_transform(range(0, $ZBits), i ->
+       |    ((((l_orderkey % 2097152) // 512 >> i) & 1) << (2*i))
+       |    + (((((l_partkey * 104729) % 2097152) // 512 >> i) & 1) << (2*i + 1)))) AS z
+       |FROM lineitem
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** All A-block entries for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a21_tile_batch" -> (a21TileBatch _),
@@ -892,6 +918,7 @@ object GeoQueries {
     "a25_ring_stats" -> (a25RingStats _),
     "a28_degenerate_polygons" -> (a28DegeneratePolygons _),
     "a29_upsample_slice" -> (a29UpsampleSlice _),
+    "a30_zorder" -> (a30Zorder _),
     "a26_quadkey" -> (a26Quadkey _),
     "a27_pyramid" -> (a27Pyramid _),
     "a20_polygons_with_grid" -> (a20PolygonsWithGrid _),
@@ -923,6 +950,7 @@ object GeoQueries {
     "a25_ring_stats" -> a25RingStatsSql,
     "a28_degenerate_polygons" -> a28Sql,
     "a29_upsample_slice" -> a29Sql,
+    "a30_zorder" -> a30Sql,
     "a26_quadkey" -> a26Sql,
     "a27_pyramid" -> a27Sql,
     "a20_polygons_with_grid" -> a20Sql,
