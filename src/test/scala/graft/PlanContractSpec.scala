@@ -1,0 +1,58 @@
+package graft
+
+/** Physical-plan contracts over the WHOLE batch query surface — the
+  * automated form of the per-round `.explain` audit. A regression that
+  * silently turns a bucketed equi-join back into a
+  * BroadcastNestedLoopJoin (the round-2 c9/a13 bugs) passes every
+  * value-correctness check and only shows up at scale; this spec makes
+  * it a test failure instead.
+  */
+class PlanContractSpec extends SparkTestBase {
+
+  /** The intentional exceptions, each justified at its definition site.
+    * Every one broadcasts a BOUNDED side — a 1-row aggregate, a constant
+    * frame, or a ≤1% probe/codebook set — so the "nested loop" is a
+    * map-side scalar/constant application, not an O(N·M) hazard:
+    * a13's coarse-grid prefilter keeps a tiny residual bbox θ-join
+    * (a25 embeds it), a18 crosses 9 stitch constants, b13 broadcasts
+    * the 1-row avg-balance aggregate, c10 the ~1% probe set, c18 the
+    * 64-row IVF codebook, c21/c30 a 1-row corpus total.
+    */
+  private val allowedNlj = Set(
+    "a13_spatial_antijoin", "a18_stitch_plan", "a25_clustered_challenge",
+    "b13_no_order_customers", "c10_ann_bruteforce", "c18_ann_ivf",
+    "c21_tfidf_topk", "c30_domain_mix")
+
+  test("no unexpected BroadcastNestedLoopJoin / CartesianProduct in any batch plan") {
+    val batch = SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("d"))
+    val offenders = batch.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      val nlj = plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct")
+      if (nlj && !allowedNlj.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unexpected nested-loop/cartesian joins in: ${offenders.mkString(", ")}")
+  }
+
+  test("column pruning reaches the scan: a1 reads 3 of lineitem's 11 columns") {
+    val plan = SparkEntry.queries("a1_deg2num")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the derivation needs only orderkey/partkey/linenumber; any other
+    // lineitem column in the plan means pruning broke and a 100 TB scan
+    // would read the wide fact for a 3-column projection
+    Seq("l_extendedprice", "l_quantity", "l_shipdate", "l_returnflag")
+      .foreach(c => assert(!plan.contains(c), s"unpruned column $c in a1 scan"))
+    assert(plan.contains("ReadSchema"))
+  }
+
+  test("predicate pushdown reaches the scan: b9's event_type filters are in PushedFilters") {
+    val plan = SparkEntry.queries("b9_asof_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // both union branches filter event_type on the raw parquet column —
+    // the scan, not a post-scan Filter, must carry it
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(event_type,click)"),
+      "click filter not pushed to the events scan")
+    assert(plan.contains("EqualTo(event_type,error)"),
+      "error filter not pushed to the events scan")
+  }
+}
