@@ -962,6 +962,63 @@ object TextQueries {
        |  (n_novel * 1000000) // n_grams AS novelty_micro
        |FROM p ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- C40
+  /** Segment-level dedup (the CCNet/C4 paragraph-dedup shape: drop text
+    * UNITS duplicated across the corpus, keep the rest of the doc).
+    * This corpus has no newlines, so the unit is a fixed
+    * [[SegTokens]]-token window of the token stream: segmentation is
+    * array slicing in the scan stage (no shuffle, no window), the
+    * duplicate test is ONE hash-aggregate on seg_text + an equi-join
+    * back — never a window over segment text, whose hottest partition
+    * would be the most-duplicated segment, i.e. exactly the skew the
+    * operator exists to find. Per doc: segments, duplicated segments
+    * (global occurrence ≥ 2, within-doc repeats count), and the exact
+    * token mass a drop-duplicated-segments pass would keep.
+    */
+  val SegTokens = 10
+  def c40SegmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val k = SegTokens
+    val segs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("seg", explode(sequence(
+        lit(0L), ceil(size(col("toks")) / lit(k.toDouble)).cast("long") - 1)))
+      .select(col("doc_id"),
+        array_join(slice(col("toks"), (col("seg") * k + 1).cast("int"), lit(k)), " ")
+          .as("seg_text"),
+        least(lit(k), size(col("toks")) - col("seg") * k).cast("long").as("seg_len"))
+    val counts = segs.groupBy("seg_text").agg(count(lit(1)).as("occ"))
+    segs.join(counts, "seg_text")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup_segs"),
+        sum("seg_len").as("total_tokens"),
+        sum(when(col("occ") >= 2, 0L).otherwise(col("seg_len"))).as("kept_tokens"))
+      .withColumn("kept_micro",
+        expr("kept_tokens * 1000000L div total_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val c40Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), s AS (
+       |  SELECT doc_id,
+       |    array_to_string(toks[(u.seg*$SegTokens+1):((u.seg+1)*$SegTokens)], ' ') AS seg_text,
+       |    len(toks[(u.seg*$SegTokens+1):((u.seg+1)*$SegTokens)]) AS seg_len
+       |  FROM t, UNNEST(range(0, CAST(ceil(len(toks) / $SegTokens.0) AS BIGINT))) AS u(seg)
+       |), c AS (
+       |  SELECT seg_text, COUNT(*) AS occ FROM s GROUP BY seg_text
+       |)
+       |SELECT s.doc_id, COUNT(*) AS n_segs,
+       |  CAST(SUM(CASE WHEN c.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+       |  CAST(SUM(s.seg_len) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(CASE WHEN c.occ >= 2 THEN 0 ELSE s.seg_len END) AS BIGINT) AS kept_tokens,
+       |  CAST(SUM(CASE WHEN c.occ >= 2 THEN 0 ELSE s.seg_len END) AS BIGINT) * 1000000
+       |    // CAST(SUM(s.seg_len) AS BIGINT) AS kept_micro
+       |FROM s JOIN c USING (seg_text)
+       |GROUP BY s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_exact" -> (c1DedupExact _),
     "c2_token_count" -> (c2TokenCount _),
@@ -984,7 +1041,8 @@ object TextQueries {
     "c33_prefix_dups" -> (c33PrefixDups _),
     "c36_quality_gate" -> (c36QualityGate _),
     "c37_winnowing" -> (c37Winnowing _),
-    "c38_gram_novelty" -> (c38GramNovelty _))
+    "c38_gram_novelty" -> (c38GramNovelty _),
+    "c40_segment_dedup" -> (c40SegmentDedup _))
 
   val oracles: Map[String, String] = Map(
     "c1_dedup_exact" -> c1Sql,
@@ -1008,5 +1066,6 @@ object TextQueries {
     "c33_prefix_dups" -> c33Sql,
     "c36_quality_gate" -> c36Sql,
     "c37_winnowing" -> c37Sql,
-    "c38_gram_novelty" -> c38Sql)
+    "c38_gram_novelty" -> c38Sql,
+    "c40_segment_dedup" -> c40Sql)
 }
