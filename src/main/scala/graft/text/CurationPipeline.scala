@@ -16,7 +16,9 @@ import graft.{GraftSession, Tables}
   *     (the corpus-wide MinHash-LSH + Jaccard closure);
   *  4. deterministic train/val/test split (C23's affine hash);
   *  5. decontamination — drop TRAIN docs sharing a 4-gram with any
-  *     held-out test doc (C29);
+  *     held-out test doc (C29), then segment-level trim — duplicated
+  *     10-token segments cut from every surviving doc (C40, the CCNet
+  *     paragraph-dedup step);
   *  6. sequence packing per source shard (C27's contiguous fill);
   *  7. write the curated corpus as parquet partitioned by split — the
   *     layout a training job consumes (split pruning for free).
@@ -43,6 +45,7 @@ object CurationPipeline {
   final case class Result(
       total: Long, afterGates: Long, afterExact: Long, afterNear: Long,
       train: Long, val_ : Long, test: Long, droppedContaminated: Long,
+      afterSegTrim: Long, segTokensDropped: Long,
       sequences: Long)
 
   /** spark-submit entry: runMain graft.text.CurationPipeline <sfDir> <outDir>. */
@@ -96,12 +99,36 @@ object CurationPipeline {
       .filter(col("split") =!= "train" || col("is_train_hit").isNull)
       .drop("is_train_hit")
 
+    // 5b. segment-level trim (C40): rewrite each surviving doc without
+    // its globally-duplicated 10-token segments — the CCNet paragraph
+    // dedup applied INSIDE the funnel (duplicate counts come from the
+    // post-decontamination corpus, so a gated-out doc's boilerplate no
+    // longer condemns a survivor's). A doc that is pure boilerplate
+    // loses every segment and drops out here.
+    val k = TextQueries.SegTokens
+    val seg = clean
+      .withColumn("toks", expr("split(text, ' ')")) // `split` val shadows functions.split here
+      .withColumn("seg", explode(sequence(lit(0L),
+        ceil(size(col("toks")) / lit(k.toDouble)).cast("long") - 1)))
+      .select(col("doc_id"), col("lang"), col("source"), col("split"), col("seg"),
+        array_join(slice(col("toks"), (col("seg") * k + 1).cast("int"), lit(k)), " ")
+          .as("seg_text"))
+    val dupSegs = seg.groupBy("seg_text").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select("seg_text")
+    val trimmed = seg
+      .join(dupSegs.withColumn("dup", lit(true)), Seq("seg_text"), "left")
+      .filter(col("dup").isNull)
+      .groupBy("doc_id", "lang", "source", "split")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("seg"), col("seg_text")))),
+          s => s("seg_text")), " ").as("text"))
+
     // 6. sequence packing per source shard (C27's window)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val packed = clean
+    val packed = trimmed
       .withColumn("n_tok", regexp_count(col("text"), lit("\\S+")).cast("long"))
       .withColumn("cum", sum("n_tok").over(w))
       .withColumn("seq_id", expr(s"(cum - n_tok) div ${TextQueries.SeqBudget}"))
@@ -115,6 +142,8 @@ object CurationPipeline {
     def n(df: DataFrame): Long = df.count()
     val bySplit = out.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def tokenMass(df: DataFrame): Long = df
+      .agg(sum(regexp_count(col("text"), lit("\\S+")).cast("long"))).head().getLong(0)
     Result(
       total = n(docs), afterGates = n(gated), afterExact = n(exact),
       afterNear = n(near),
@@ -122,6 +151,8 @@ object CurationPipeline {
       val_ = bySplit.getOrElse("val", 0L),
       test = bySplit.getOrElse("test", 0L),
       droppedContaminated = n(split) - n(clean),
+      afterSegTrim = n(trimmed),
+      segTokensDropped = tokenMass(clean) - tokenMass(trimmed),
       sequences = out.select("source", "seq_id").distinct().count())
   }
 }

@@ -18,7 +18,9 @@ class CurationPipelineSpec extends SparkTestBase {
     assert(r.afterExact <= r.afterGates)
     assert(r.afterNear < r.afterExact)
     val kept = r.train + r.val_ + r.test
-    assert(kept == r.afterNear - r.droppedContaminated)
+    assert(r.afterSegTrim <= r.afterNear - r.droppedContaminated)
+    assert(kept == r.afterSegTrim)
+    assert(r.segTokensDropped >= 0)
     assert(r.sequences > 0 && r.sequences <= kept)
 
     // the written corpus is split-partitioned and re-readable
