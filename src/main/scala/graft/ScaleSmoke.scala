@@ -153,7 +153,7 @@ object ScaleSmoke {
     val asofEv = spark.range(nAsof).select(
       col("id").as("event_id"),
       when(col("id") % 2L === 0L, 0L).otherwise(col("id") % 100003L).as("user_id"),
-      (col("id") * 48271L % 2592000000000L).as("us"), // 30 days of micros
+      (col("id") * 2558363L % 2592000000000L).as("us"), // wraps ~10× over 30 days of micros
       when(col("id") % 3L === 0L, "click").otherwise("error").as("event_type"))
     val (nAsofPairs, asofMaxMs, asofMeanMs) = withMaxTask(
       graft.relational.Queries.asofJoinOn(asofEv).count())

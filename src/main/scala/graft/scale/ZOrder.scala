@@ -50,12 +50,28 @@ object ZOrder {
     * too, and drop the helper column before writing. The payoff needs
     * no reader cooperation: it is entirely in the parquet min/max
     * stats the layout induces.
+    *
+    * Coordinates outside [0, 2^bits) would alias silently in
+    * [[zValue]]'s bit masking (x=0 and x=2^bits interleave identically)
+    * and quietly destroy the clustering the layout exists for, so the
+    * writer validates the data range first — one cheap min/max agg
+    * before the write, a rounding error next to the layout job itself.
     */
   def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
-      bits: Int, files: Int): Unit =
+      bits: Int, files: Int): Unit = {
+    val Array(minX, maxX, minY, maxY) = df
+      .agg(min(xCol), max(xCol), min(yCol), max(yCol))
+      .head().toSeq.map(v => v.asInstanceOf[Number].longValue).toArray
+    val lim = 1L << bits
+    require(minX >= 0 && maxX < lim && minY >= 0 && maxY < lim,
+      s"coordinates out of [0, $lim) for bits=$bits: " +
+        s"$xCol in [$minX, $maxX], $yCol in [$minY, $maxY] — " +
+        "out-of-range values would alias in the interleave and silently " +
+        "destroy the clustering; raise bits or rescale the coordinates")
     df.withColumn("__z", zValue(col(xCol), col(yCol), bits))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+  }
 }

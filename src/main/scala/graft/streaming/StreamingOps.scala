@@ -145,9 +145,22 @@ object StreamingOps {
       var last = state.getOption
       val out = Seq.newBuilder[AsofMatch]
       evs.foreach { e =>
-        if (e.is_click) last = Some(LastClick(e.event_id, e.us))
-        else last.foreach(lc =>
-          out += AsofMatch(e.event_id, userId, e.us, lc.c_id, lc.c_us, e.us - lc.c_us))
+        if (e.is_click) {
+          // keep the LATEST click: a late-arriving older click must not
+          // regress the carried state
+          if (last.forall(lc =>
+              lc.c_us < e.us || (lc.c_us == e.us && lc.c_id < e.event_id)))
+            last = Some(LastClick(e.event_id, e.us))
+        } else last.foreach { lc =>
+          // at-or-before guard: with cross-batch disorder the carried
+          // click can postdate a late error — emitting it would violate
+          // the as-of contract (negative gap), so the error drops
+          // instead (matches inner as-of for in-order streams; a
+          // disordered error whose true click was never seen is
+          // unanswerable with O(1) state by design)
+          if (lc.c_us <= e.us)
+            out += AsofMatch(e.event_id, userId, e.us, lc.c_id, lc.c_us, e.us - lc.c_us)
+        }
       }
       last.foreach(state.update)
       out.result().iterator

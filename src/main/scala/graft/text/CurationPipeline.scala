@@ -105,14 +105,8 @@ object CurationPipeline {
     // post-decontamination corpus, so a gated-out doc's boilerplate no
     // longer condemns a survivor's). A doc that is pure boilerplate
     // loses every segment and drops out here.
-    val k = TextQueries.SegTokens
-    val seg = clean
-      .withColumn("toks", expr("split(text, ' ')")) // `split` val shadows functions.split here
-      .withColumn("seg", explode(sequence(lit(0L),
-        ceil(size(col("toks")) / lit(k.toDouble)).cast("long") - 1)))
-      .select(col("doc_id"), col("lang"), col("source"), col("split"), col("seg"),
-        array_join(slice(col("toks"), (col("seg") * k + 1).cast("int"), lit(k)), " ")
-          .as("seg_text"))
+    val seg = TextQueries.segmentsOn(clean)
+      .select("doc_id", "lang", "source", "split", "seg", "seg_text")
     val dupSegs = seg.groupBy("seg_text").agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2).select("seg_text")
     val trimmed = seg
@@ -143,7 +137,8 @@ object CurationPipeline {
     val bySplit = out.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     def tokenMass(df: DataFrame): Long = df
-      .agg(sum(regexp_count(col("text"), lit("\\S+")).cast("long"))).head().getLong(0)
+      .agg(coalesce(sum(regexp_count(col("text"), lit("\\S+")).cast("long")), lit(0L)))
+      .head().getLong(0)
     Result(
       total = n(docs), afterGates = n(gated), afterExact = n(exact),
       afterNear = n(near),

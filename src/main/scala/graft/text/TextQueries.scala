@@ -976,16 +976,29 @@ object TextQueries {
     * token mass a drop-duplicated-segments pass would keep.
     */
   val SegTokens = 10
-  def c40SegmentDedup(spark: SparkSession, dir: String): DataFrame = {
+
+  /** One row per [[SegTokens]]-token segment of `text`, keeping every
+    * input column plus (seg, seg_text, seg_len) — the ONE segmentation
+    * definition shared by c40 and CurationPipeline's trim stage so the
+    * hash-checked operator and the funnel can't drift.
+    */
+  def segmentsOn(docs: DataFrame): DataFrame = {
     val k = SegTokens
-    val segs = Tables(spark, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    docs
+      .withColumn("toks", expr("split(text, ' ')"))
       .withColumn("seg", explode(sequence(
         lit(0L), ceil(size(col("toks")) / lit(k.toDouble)).cast("long") - 1)))
-      .select(col("doc_id"),
-        array_join(slice(col("toks"), (col("seg") * k + 1).cast("int"), lit(k)), " ")
-          .as("seg_text"),
-        least(lit(k), size(col("toks")) - col("seg") * k).cast("long").as("seg_len"))
+      .withColumn("seg_text",
+        array_join(slice(col("toks"), (col("seg") * k + 1).cast("int"), lit(k)), " "))
+      .withColumn("seg_len",
+        least(lit(k), size(col("toks")) - col("seg") * k).cast("long"))
+      .drop("toks")
+  }
+
+  def c40SegmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val segs = segmentsOn(
+      Tables(spark, dir, "documents").select("doc_id", "text"))
+      .select("doc_id", "seg_text", "seg_len")
     val counts = segs.groupBy("seg_text").agg(count(lit(1)).as("occ"))
     segs.join(counts, "seg_text")
       .groupBy("doc_id")

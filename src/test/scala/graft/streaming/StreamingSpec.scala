@@ -221,6 +221,48 @@ class StreamingSpec extends SparkTestBase {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("D11 never attributes a click AFTER the error under cross-batch disorder") {
+    // batch 1 carries user 1's click at t=100s; batch 2 delivers a LATE
+    // error at t=50s. The carried state postdates the error — emitting
+    // it would mean a negative gap, so the error must drop. User 2 is
+    // the in-order control.
+    val base = 2000000000000L
+    val srcDir = Files.createTempDirectory("d11-dis")
+    val outDir = Files.createTempDirectory("d11-dis-out").toString
+    val ckpt = Files.createTempDirectory("d11-dis-ckpt").toString
+    import spark.implicits._
+    def stage(rows: Seq[(Long, Long, Long, String)], name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"d11-dis-$name")
+      rows.toDF("event_id", "us", "user_id", "event_type")
+        .select(col("event_id"), (col("us") * 1000L).as("ts"),
+          col("user_id"), col("event_type"), lit(1.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, srcDir.resolve(s"$name.parquet"))
+    }
+    def run(): Unit = {
+      val stream = StreamingOps.normalize(
+        spark.readStream.schema(spark.read.parquet(s"$srcDir").schema)
+          .parquet(srcDir.toString))
+      val q = StreamingOps.asofAttribute(stream).toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    stage(Seq((1L, base + 100000000L, 1L, "click"),
+      (2L, base, 2L, "click")), "b1")
+    run()
+    stage(Seq((3L, base + 50000000L, 1L, "error"), // late: before user 1's click
+      (4L, base + 60000000L, 2L, "error")), "b2")
+    run()
+    val got = spark.read.parquet(outDir)
+    assert(got.filter(col("gap_us") < 0).count() == 0, "no negative gaps ever")
+    assert(got.select("event_id").as[Long].collect().toSet == Set(4L),
+      "late error drops; in-order control attributes")
+  }
+
   test("D10 streaming bottom_k sketch state == batch sketch after the replay") {
     val stream = StreamingOps.eventsStream(spark, sf, stagedDir)
     val got = runToMemory(StreamingOps.distinctSketch(stream), "d10_sketch", "complete")
