@@ -62,7 +62,15 @@ object EmbedQueries {
     * `CosBlocks`-fold, pairs meet in CosBlocks² equi-join buckets. The
     * compute is inherently O(N²) (exact threshold join), but the buckets
     * spread it over CosBlocks² tasks and neither side is ever broadcast
-    * or nested-loop scanned.
+    * or nested-loop scanned. B trades replication for parallelism: the
+    * exploded shuffle is O(N·B) rows while the B² buckets bound the
+    * schedulable parallelism, so the right B is the SMALLEST with
+    * B² ≥ the partition count (measured at 100k vectors / 32 cores:
+    * B=8 → 164 s wall, B=16 → 193 s — same N² pair compute, double the
+    * shuffle, no balance gain since equal-size buckets already fill
+    * every partition evenly). The pair SET is B-invariant: every
+    * ordered pair meets in exactly one bucket, so correctness never
+    * depends on the knob.
     */
   val CosBlocks = 8
 
