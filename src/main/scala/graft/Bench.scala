@@ -73,6 +73,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // the driver's stdout capture has repeatedly truncated the big line
+    // mid-JSON (losing the totals); print a short, self-contained summary
+    // line FIRST so any prefix capture contains a parseable record, then
+    // the full per-query line the contract asks for
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"spill_mb_total":${(spillB.get - spillBase) / 1048576.0},"errors":$errs,"sf":"$sfDir"}"""
+    println(summary)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"spill_mb_total":${(spillB.get - spillBase) / 1048576.0},"errors":$errs,"sf":"$sfDir"}"""
     println(json)

@@ -59,9 +59,14 @@ object ZOrder {
     */
   def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
       bits: Int, files: Int): Unit = {
-    val Array(minX, maxX, minY, maxY) = df
-      .agg(min(xCol), max(xCol), min(yCol), max(yCol))
-      .head().toSeq.map(v => v.asInstanceOf[Number].longValue).toArray
+    val aggRow = df.agg(min(xCol), max(xCol), min(yCol), max(yCol)).head()
+    // min/max of an empty frame (or an all-null column) is null; fail
+    // with the real diagnosis instead of an opaque NPE from the cast
+    require((0 until 4).forall(!aggRow.isNullAt(_)),
+      s"cannot z-order '$path': input is empty or $xCol/$yCol contain " +
+        "only nulls (min/max aggregate returned null)")
+    val Array(minX, maxX, minY, maxY) =
+      aggRow.toSeq.map(v => v.asInstanceOf[Number].longValue).toArray
     val lim = 1L << bits
     require(minX >= 0 && maxX < lim && minY >= 0 && maxY < lim,
       s"coordinates out of [0, $lim) for bits=$bits: " +

@@ -64,7 +64,8 @@ object StreamingQueries {
     */
   val StatePartitions = 8
 
-  private def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
+  private def runToTable(df: DataFrame, name: String, mode: String,
+      requireSingleBatch: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val ckpt = track(Files.createTempDirectory(s"graft-ckpt-$name").toString)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -74,6 +75,18 @@ object StreamingQueries {
         .outputMode(mode).option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      if (requireSingleBatch) {
+        // d11's batch-ASOF oracle equality holds only when the replay is
+        // ONE in-order micro-batch: the asofAttribute disorder guard
+        // drops a late error whose carried click postdates it, so a
+        // multi-file staging (or maxFilesPerTrigger) with interleaved
+        // time ranges would diverge from the oracle as a silent hash
+        // mismatch. Fail loudly here instead if staging ever changes.
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches <= 1,
+          s"$name expects a single data micro-batch (oracle contract), " +
+            s"got $dataBatches — did the staged source become multi-file?")
+      }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(name)
   }
@@ -282,7 +295,7 @@ object StreamingQueries {
     */
   def d11StreamAsof(spark: SparkSession, sfDir: String): DataFrame =
     runToTable(StreamingOps.asofAttribute(stream(spark, sfDir)).toDF(),
-        "graft_d11_sink", "append")
+        "graft_d11_sink", "append", requireSingleBatch = true)
       .orderBy("event_id")
 
   val d11Sql: String = graft.relational.Queries.asofJoinSql

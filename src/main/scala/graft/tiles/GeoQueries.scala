@@ -216,29 +216,38 @@ object GeoQueries {
       |FROM nodes ORDER BY lon5, lat5""".stripMargin)
 
   // ---------------------------------------------------------------- A13
-  /** Coarse-grid bucket width for the a13 spatial prefilter: a cluster
-    * bbox spans few buckets (solar farms are tiles-wide, not
-    * continent-wide), so the fan-out per bbox stays small while node
-    * lookups become an equi-join.
-    */
-  private val BucketW = 16L
-
   /** Drop clusters containing an existing OSM node
-    * (maproulette.py:69-83). The containment test is NOT a θ-join (that
-    * plans as a BroadcastNestedLoopJoin over |boxes|×|nodes| — OSM has
-    * millions of solar nodes, so at scale that's a straggler): it's the
-    * audited coarse-grid bucket equi-join in
-    * [[graft.scale.ScaleOps.boxAntiJoin]], smoke-tested at 2M points.
+    * (maproulette.py:69-83). The reference rtree-prefilters by bbox then
+    * tests exact `polygon.contains(point)` on the cluster outline; for a
+    * RECTILINEAR union of tile squares the exact test is purely
+    * relational — a point is inside the union iff its deg2num tile is a
+    * member tile — so the whole operator is one distinct + equi-join on
+    * (x, y) + left-anti, with no θ-join, no geometry, and no prefilter
+    * needed (the bbox rtree only existed to make shapely's point test
+    * affordable; the equi-join already is). An L-shaped cluster whose
+    * bbox covers a node that sits outside the tile union is correctly
+    * KEPT — the bbox-only variant (rounds 1–5) wrongly dropped it.
+    * Bbox-prefilter machinery lives on in
+    * [[graft.scale.ScaleOps.boxAntiJoin]] for true box-containment asks.
     */
-  def a13SpatialAntijoin(spark: SparkSession, dir: String): DataFrame = {
-    val cc = Clustering.componentsFor(spark, dir)
+  /** The reusable core of a13: `cc` is the (x, y, cluster_id) membership,
+    * `nodeTiles` the distinct node tile coordinates (x, y). Returns the
+    * bbox summary of every cluster whose tile union contains NO node.
+    */
+  def exactSpatialAntiJoin(cc: DataFrame, nodeTiles: DataFrame): DataFrame = {
     val boxes = cc.groupBy("cluster_id")
       .agg(min("x").as("minx"), max("x").as("maxx"),
         min("y").as("miny"), max("y").as("maxy"), count(lit(1)).as("n_tiles"))
+    val hit = cc.join(nodeTiles, Seq("x", "y"), "left_semi")
+      .select("cluster_id").distinct()
+    boxes.join(hit, Seq("cluster_id"), "left_anti")
+  }
+
+  def a13SpatialAntijoin(spark: SparkSession, dir: String): DataFrame = {
+    val cc = Clustering.componentsFor(spark, dir)
     val nds = GeoDerive.nodes(spark, dir)
-      .select(col("nx").as("px"), col("ny").as("py")).distinct()
-    graft.scale.ScaleOps.boxAntiJoin(boxes, Seq("cluster_id"), nds, BucketW)
-      .orderBy("cluster_id")
+      .select(col("nx").as("x"), col("ny").as("y")).distinct()
+    exactSpatialAntiJoin(cc, nds).orderBy("cluster_id")
   }
 
   val a13Sql: String = withCtes(true, GeoDerive.cellsCte, GeoDerive.positivesCte,
@@ -251,7 +260,8 @@ object GeoQueries {
     """SELECT b.* FROM boxes b
       |WHERE NOT EXISTS (
       |  SELECT 1 FROM (SELECT DISTINCT nx, ny FROM nodes) n
-      |  WHERE n.nx BETWEEN b.minx AND b.maxx AND n.ny BETWEEN b.miny AND b.maxy)
+      |  JOIN cc c ON c.x = n.nx AND c.y = n.ny
+      |  WHERE c.cluster_id = b.cluster_id)
       |ORDER BY cluster_id""".stripMargin)
 
   // ---------------------------------------------------------------- A14
@@ -900,9 +910,9 @@ object GeoQueries {
     s"""SELECT l_orderkey, l_linenumber,
        |  (l_orderkey % 2097152) // 512 AS qx,
        |  ((l_partkey * 104729) % 2097152) // 512 AS qy,
-       |  list_sum(list_transform(range(0, $ZBits), i ->
+       |  CAST(list_sum(list_transform(range(0, $ZBits), i ->
        |    ((((l_orderkey % 2097152) // 512 >> i) & 1) << (2*i))
-       |    + (((((l_partkey * 104729) % 2097152) // 512 >> i) & 1) << (2*i + 1)))) AS z
+       |    + (((((l_partkey * 104729) % 2097152) // 512 >> i) & 1) << (2*i + 1)))) AS BIGINT) AS z
        |FROM lineitem
        |ORDER BY l_orderkey, l_linenumber""".stripMargin
 

@@ -13,13 +13,14 @@ class PlanContractSpec extends SparkTestBase {
     * Every one broadcasts a BOUNDED side — a 1-row aggregate, a constant
     * frame, or a ≤1% probe/codebook set — so the "nested loop" is a
     * map-side scalar/constant application, not an O(N·M) hazard:
-    * a13's coarse-grid prefilter keeps a tiny residual bbox θ-join
-    * (a25 embeds it), a18 crosses 9 stitch constants, b13 broadcasts
-    * the 1-row avg-balance aggregate, c10 the ~1% probe set, c18 the
-    * 64-row IVF codebook, c21/c30 a 1-row corpus total.
+    * a18 crosses 9 stitch constants, b13 broadcasts the 1-row
+    * avg-balance aggregate, c10 the ~1% probe set, c18 the 64-row IVF
+    * codebook, c21/c30 a 1-row corpus total. (a13 left this list in
+    * round 6: exact tile-membership containment made it equi-join-only,
+    * and a25 with it.)
     */
   private val allowedNlj = Set(
-    "a13_spatial_antijoin", "a18_stitch_plan", "a25_clustered_challenge",
+    "a18_stitch_plan",
     "b13_no_order_customers", "c10_ann_bruteforce", "c18_ann_ivf",
     "c21_tfidf_topk", "c30_domain_mix")
 
@@ -49,10 +50,17 @@ class PlanContractSpec extends SparkTestBase {
     val plan = SparkEntry.queries("b9_asof_join")(spark, sf)
       .queryExecution.executedPlan.toString
     // both union branches filter event_type on the raw parquet column —
-    // the scan, not a post-scan Filter, must carry it
-    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(event_type,click)"),
-      "click filter not pushed to the events scan")
-    assert(plan.contains("EqualTo(event_type,error)"),
-      "error filter not pushed to the events scan")
+    // the scan, not a post-scan Filter, must carry it. Match loosely:
+    // the exact rendering ("EqualTo(event_type,click)") varies across
+    // Spark versions, so accept any pushed-filters clause that mentions
+    // the column/value pair, and require the clause itself to exist so a
+    // renamed label can't make the check vacuous.
+    val pushed = "(?i)pushedfilters:?\\s*\\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).mkString("; ")
+    assert(pushed.nonEmpty, "no PushedFilters clause found in the b9 plan")
+    assert("(?i)event_type\\W{0,5}click".r.findFirstIn(pushed).isDefined,
+      s"click filter not pushed to the events scan (pushed=[$pushed])")
+    assert("(?i)event_type\\W{0,5}error".r.findFirstIn(pushed).isDefined,
+      s"error filter not pushed to the events scan (pushed=[$pushed])")
   }
 }

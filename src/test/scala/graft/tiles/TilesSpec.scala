@@ -204,4 +204,21 @@ class GeoQueriesSpec extends SparkTestBase {
     val b1 = GeoDerive.cells(spark, sf).select("x", "y")
     assert(up.filter(col("src") === 1).join(b1, Seq("x", "y"), "left_anti").count() == 0)
   }
+
+  test("a13 exact containment: L-shaped cluster keeps a node inside its bbox but outside its tile union") {
+    import spark.implicits._
+    // L-shape: column x=0, y=0..2 plus foot (1,2),(2,2). Bbox is
+    // [0..2]×[0..2]; tile (2,0) is inside the bbox but NOT a member.
+    val l = Seq((0L, 0L), (0L, 1L), (0L, 2L), (1L, 2L), (2L, 2L))
+    // second cluster far away, actually containing its node -> dropped
+    val sq = Seq((10L, 10L), (10L, 11L), (11L, 10L), (11L, 11L))
+    val cc = (l.map { case (x, y) => (x, y, 1L) } ++
+      sq.map { case (x, y) => (x, y, 2L) }).toDF("x", "y", "cluster_id")
+    val nodes = Seq((2L, 0L), (10L, 11L)).toDF("x", "y")
+    val kept = GeoQueries.exactSpatialAntiJoin(cc, nodes)
+      .select("cluster_id").as[Long].collect().toSet
+    // bbox-only semantics (rounds 1-5) dropped BOTH; exact containment
+    // keeps the L (its union holds no node) and drops only the square
+    assert(kept == Set(1L))
+  }
 }

@@ -6,7 +6,10 @@ Usage: python3 tools/check.py <verify_out_dir> <sf_dir>
 For each <name> subdir in verify_out_dir, runs oracle_sql.json[name] in
 DuckDB against the sf_dir parquet tables and compares with the Spark
 parquet dump: columns sorted by name, rows sorted, values normalized
-(ints as ints, floats rounded to 9 sig figs).
+(floats rounded to 9 sig figs but NEVER collapsed to int — the driver's
+hash distinguishes int64 69 from float64 69.0, so we must too; round 5's
+a30 HUGEINT->float64 drift escaped because this file normalized it away).
+Column dtype KINDS (int vs float vs other) are also compared directly.
 """
 import sys, os, json, math
 import duckdb
@@ -22,18 +25,28 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
+        # Keep the int/float distinction: a whole float renders "69.0",
+        # an int renders "69" — exactly the drift the driver hash sees.
         if v == int(v) and abs(v) < 2**53:
-            return str(int(v))
+            return f"{int(v)}.0"
         return f"{v:.9g}"
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
 
 
+def dtype_kind(dt):
+    # Collapse pandas dtypes to the classes the driver's hash can tell
+    # apart: signed/unsigned ints are interchangeable, int vs float is not.
+    k = dt.kind
+    return {"i": "int", "u": "int", "f": "float", "b": "bool"}.get(k, "obj")
+
+
 def canon(df: pd.DataFrame):
     df = df.reindex(sorted(df.columns), axis=1)
     rows = sorted(tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False, name=None))
-    return list(df.columns), rows
+    kinds = [dtype_kind(df[c].dtype) for c in df.columns]
+    return list(df.columns), kinds, rows
 
 
 def main():
@@ -58,10 +71,15 @@ def main():
             print(f"{name:24s} ORACLE-ERROR {e}")
             failed.append(name)
             continue
-        scols, srows = canon(spark_df)
-        ocols, orows = canon(odf)
+        scols, skinds, srows = canon(spark_df)
+        ocols, okinds, orows = canon(odf)
         if scols != ocols:
             print(f"{name:24s} SCHEMA-MISMATCH spark={scols} oracle={ocols}")
+            failed.append(name)
+        elif skinds != okinds:
+            diffs = [f"{c}: spark={a} oracle={b}"
+                     for c, a, b in zip(scols, skinds, okinds) if a != b]
+            print(f"{name:24s} DTYPE-MISMATCH {'; '.join(diffs)}")
             failed.append(name)
         elif srows != orows:
             print(f"{name:24s} HASH-MISMATCH rows spark={len(srows)} oracle={len(orows)}")
