@@ -306,4 +306,65 @@ object Clustering {
       |  FROM ids i JOIN (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id) m
       |  ON i.id = m.id
       |)""".stripMargin
+
+  /** Incremental cluster-id continuation — the reference's actual
+    * per-batch operating mode (run_inference.py:21-41 clusters only
+    * `cluster_id IS NULL` tiles each batch; solardb.py:245-252 draws
+    * every new component's id from the DB sequence, i.e. above the
+    * persisted max). Persisted labels are IMMUTABLE, exactly as in the
+    * reference: a batch never relabels an existing cluster.
+    *
+    * `existing`: (x, y, cluster_id) — the persisted labeling.
+    * `newCells`: (x, y) — this batch's not-yet-clustered positives.
+    *
+    * Semantics:
+    *  1. new cells are clustered among THEMSELVES (4-adjacency);
+    *  2. a new component 4-adjacent to one or more existing clusters
+    *     adopts the smallest adjacent existing id (the "merge new
+    *     positives into existing labels" mode; where the reference would
+    *     mint a fresh id even for an adjacent tile, adoption is the
+    *     useful incremental refinement — and deterministic);
+    *  3. every other new component gets max(existing id) + its dense
+    *     rank by min packed id — id continuation from the persisted max.
+    *
+    * Scale shape: one CC fixpoint over the NEW batch only (a batch is
+    * orders of magnitude smaller than the accumulated state), one
+    * explode×4 equi-join against `existing` for adjacency (O(4·|new|)
+    * shuffle rows, never O(|existing|) fan-out), one 1-row max-id
+    * broadcast, and one unpartitioned dense_rank over DISTINCT fresh
+    * component labels — cardinality = number of NEW clusters in the
+    * batch (solar farms, not tiles), so the single-task window is
+    * bounded by the thing the pipeline is trying to find, not the data.
+    * A new component bridging two existing clusters adopts the smaller
+    * id and the larger survives unmerged — by design, since persisted
+    * ids are immutable here and in the reference.
+    */
+  def incrementalClusters(existing: DataFrame, newCells: DataFrame): DataFrame = {
+    val newCc = connectedComponents4(newCells).withColumnRenamed("cluster_id", "tmp")
+    val nbrs = newCc.select(col("tmp"),
+      explode(array(
+        struct((col("x") + 1).as("x"), col("y").as("y")),
+        struct((col("x") - 1).as("x"), col("y").as("y")),
+        struct(col("x").as("x"), (col("y") + 1).as("y")),
+        struct(col("x").as("x"), (col("y") - 1).as("y")))).as("n"))
+      .select(col("tmp"), col("n.x").as("x"), col("n.y").as("y"))
+    val exist = existing.select(col("x").cast("long").as("x"),
+      col("y").cast("long").as("y"), col("cluster_id").cast("long").as("cluster_id"))
+    val adopt = nbrs.join(exist.withColumnRenamed("cluster_id", "eid"), Seq("x", "y"))
+      .groupBy("tmp").agg(min("eid").as("adopt_id"))
+    val fresh = newCc.select("tmp").distinct()
+      .join(adopt, Seq("tmp"), "left_anti")
+      .withColumn("rk",
+        dense_rank().over(org.apache.spark.sql.expressions.Window.orderBy("tmp"))
+          .cast("long"))
+    val maxId = exist.agg(coalesce(max("cluster_id"), lit(0L)).as("max_id"))
+    val labeledNew = newCc
+      .join(adopt, Seq("tmp"), "left")
+      .join(fresh, Seq("tmp"), "left")
+      .crossJoin(broadcast(maxId))
+      .select(col("x"), col("y"),
+        coalesce(col("adopt_id"), col("max_id") + col("rk")).as("cluster_id"))
+    exist.withColumn("batch", lit(1))
+      .unionByName(labeledNew.withColumn("batch", lit(2)))
+  }
 }

@@ -691,10 +691,147 @@ object GeoQueries {
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("ring_idx"), col("ring_json")))),
           r => r("ring_json")), ", ").as("rings_json"))
-      .select(col("cluster_id"), format_string(
-        """{"type": "FeatureCollection", "features": [{"type": "Feature", "properties": {"cluster_id": %d}, "geometry": {"type": "Polygon", "coordinates": [%s]}}]}""",
+      .select(col("cluster_id"), format_string(challengeFmt,
         col("cluster_id"), col("rings_json")).as("geojson"))
       .orderBy("cluster_id")
+  }
+
+  /** Vertex id packing for the a25 oracles' CCs: coords are 0-based cell
+    * space (≪ 2^22), so vid = x·2^22 + y is collision-free and its
+    * integer order IS the lexicographic (x, y) vertex order — MIN(vid)
+    * decodes straight back to the component's min vertex. (Declared
+    * before first use: object vals initialize in declaration order.)
+    */
+  private val VidShift = 4194304L
+
+  // --------------------------------------------------------------- A25fp
+  /** Fingerprint of the ASSEMBLED a25 FeatureCollection line — the
+    * direct oracle on the emitted document that a25_ring_stats'
+    * component stats deliberately stopped short of: per cluster, the
+    * exact character count of the GeoJSON string plus an ORDER-INVARIANT
+    * hash over its coordinate tokens (Σ over tokens of
+    * Σ char_code·position — order-sensitive inside a token, insensitive
+    * across tokens). Length pins the template, ring count and every
+    * separator; the token hash pins every formatted coordinate pair
+    * including the per-ring closing repeats. Only the SEQUENCE of tokens
+    * stays unpinned — and winding/coverage of each ring is already
+    * hash-checked by a25_ring_stats.
+    *
+    * Computed FROM the real document string (regexp token scan), so a
+    * bug anywhere in the chaining → formatting path shifts a hash. The
+    * DuckDB twin reassembles the same quantities from first principles:
+    * interior-left DIRECTED boundary edges, ring decomposition as the
+    * cycles of the left-turn successor permutation, each ring starting
+    * (and closing) at its min vertex. `chainEdges` walks the IDENTICAL
+    * directed permutation — the two sides agree by construction, not by
+    * test coverage (the round-6 pinch/hole specs pin the contract).
+    */
+  def a25GeojsonFingerprint(spark: SparkSession, dir: String): DataFrame =
+    clusteredChallenge(spark, dir)
+      .select(col("cluster_id"),
+        length(col("geojson")).cast("long").as("n_chars"),
+        expr("""regexp_extract_all(geojson, '\\[-?\\d+\\.\\d{6}, -?\\d+\\.\\d{6}\\]', 0)""")
+          .as("toks"))
+      .select(col("cluster_id"), col("n_chars"),
+        size(col("toks")).cast("long").as("n_tok"),
+        expr("""aggregate(toks, 0L, (acc, t) -> acc +
+               |  aggregate(sequence(1, length(t)), 0L,
+               |            (a, i) -> a + ascii(substring(t, i, 1)) * i))"""
+          .stripMargin).as("tok_fp"))
+      .orderBy("cluster_id")
+
+  /** The a25 document template ([[clusteredChallenge]]) — one definition
+    * shared with the fingerprint oracle's base-length computation.
+    */
+  private val challengeFmt =
+    """{"type": "FeatureCollection", "features": [{"type": "Feature", "properties": {"cluster_id": %d}, "geometry": {"type": "Polygon", "coordinates": [%s]}}]}"""
+
+  val a25GeojsonFpSql: String = {
+    val lonS = colToLonSql(s"(sx + $TX)", center = false)
+    val latS = rowToLatSql(s"(sy + $TY)", center = false)
+    withCtes(true, GeoDerive.cellsCte, GeoDerive.positivesCte,
+      Clustering.ccCte, GeoDerive.nodesCte,
+      s"""ccu AS MATERIALIZED (
+         |  SELECT c.* FROM cc c WHERE NOT EXISTS (
+         |    SELECT 1 FROM (SELECT DISTINCT nx, ny FROM nodes) n
+         |    JOIN cc c2 ON c2.x = n.nx AND c2.y = n.ny
+         |    WHERE c2.cluster_id = c.cluster_id)),
+         |tedge5 AS (
+         |  SELECT cluster_id, x AS x1, y AS y1, x + 1 AS x2, y AS y2, x AS tx, y AS ty FROM ccu
+         |  UNION ALL SELECT cluster_id, x, y + 1, x + 1, y + 1, x, y FROM ccu
+         |  UNION ALL SELECT cluster_id, x, y, x, y + 1, x, y FROM ccu
+         |  UNION ALL SELECT cluster_id, x + 1, y, x + 1, y + 1, x, y FROM ccu),
+         |fbedge AS MATERIALIZED (
+         |  SELECT cluster_id, x1, y1, x2, y2, MAX(tx) AS tx, MAX(ty) AS ty
+         |  FROM tedge5 GROUP BY cluster_id, x1, y1, x2, y2 HAVING COUNT(*) = 1),
+         |dedge AS MATERIALIZED (
+         |  -- interior-left orientation: horizontal edges run +x when the
+         |  -- tile is above (ty = y1), -x when below; vertical edges run
+         |  -- -y when the tile is right of the edge (tx = x1), +y when left
+         |  SELECT cluster_id,
+         |    CASE WHEN y1 = y2 THEN (CASE WHEN ty = y1 THEN x1 ELSE x2 END) ELSE x1 END AS sx,
+         |    CASE WHEN y1 = y2 THEN y1 ELSE (CASE WHEN tx = x1 THEN y2 ELSE y1 END) END AS sy,
+         |    CASE WHEN y1 = y2 THEN (CASE WHEN ty = y1 THEN 1 ELSE -1 END) ELSE 0 END AS hx,
+         |    CASE WHEN y1 = y2 THEN 0 ELSE (CASE WHEN tx = x1 THEN -1 ELSE 1 END) END AS hy
+         |  FROM fbedge),
+         |dedge2 AS MATERIALIZED (
+         |  SELECT cluster_id, sx, sy, hx, hy, sx + hx AS ex, sy + hy AS ey,
+         |    (sx * $VidShift + sy) * 4
+         |      + (CASE WHEN hx = 1 THEN 0 WHEN hx = -1 THEN 1 WHEN hy = 1 THEN 2 ELSE 3 END) AS eid
+         |  FROM dedge),
+         |succ AS MATERIALIZED (
+         |  -- left-turn-first successor: at a pinch (out-degree 2) the
+         |  -- left turn is always available and is the non-crossing
+         |  -- pairing chainEdges walks; deg-2 vertices have one choice
+         |  SELECT e.cluster_id, e.eid,
+         |    arg_min(o.eid, CASE WHEN o.hx = -e.hy AND o.hy = e.hx THEN 0 ELSE 1 END) AS nxt
+         |  FROM dedge2 e JOIN dedge2 o
+         |    ON o.cluster_id = e.cluster_id AND o.sx = e.ex AND o.sy = e.ey
+         |  GROUP BY e.cluster_id, e.eid),
+         |rreach(eid, lbl) AS (
+         |  SELECT eid, eid FROM dedge2
+         |  UNION
+         |  SELECT s.nxt, r.lbl FROM rreach r JOIN succ s ON s.eid = r.eid),
+         |ring AS MATERIALIZED (
+         |  SELECT d.cluster_id, d.eid, d.sx, d.sy, m.ring
+         |  FROM dedge2 d JOIN (SELECT eid, MIN(lbl) AS ring FROM rreach GROUP BY eid) m
+         |  ON d.eid = m.eid),
+         |vtok AS MATERIALIZED (
+         |  SELECT cluster_id, sx, sy, printf('[%.6f, %.6f]', $lonS, $latS) AS t
+         |  FROM (SELECT DISTINCT cluster_id, sx, sy FROM dedge2)),
+         |tokm AS MATERIALIZED (
+         |  SELECT cluster_id, sx, sy, CAST(length(t) AS BIGINT) AS tl,
+         |    CAST(list_sum(list_transform(range(1, length(t) + 1),
+         |      i -> unicode(substring(t, CAST(i AS INT), 1)) * i)) AS BIGINT) AS th
+         |  FROM vtok),
+         |rings AS MATERIALIZED (
+         |  -- the directed walk starts every ring at its min vertex, so
+         |  -- the emitted first (= closing-repeat) vertex is MIN(vid)
+         |  SELECT r.cluster_id, r.ring,
+         |    MIN(r.sx * $VidShift + r.sy) // $VidShift AS mx,
+         |    MIN(r.sx * $VidShift + r.sy) % $VidShift AS my
+         |  FROM ring r GROUP BY r.cluster_id, r.ring),
+         |rclose AS (
+         |  SELECT r.cluster_id, t.tl, t.th
+         |  FROM rings r JOIN tokm t ON t.cluster_id = r.cluster_id
+         |    AND t.sx = r.mx AND t.sy = r.my),
+         |estat2 AS (
+         |  SELECT d.cluster_id, COUNT(*) AS n_edges,
+         |    CAST(SUM(t.tl) AS BIGINT) AS sum_tl, CAST(SUM(t.th) AS BIGINT) AS sum_th
+         |  FROM ring d JOIN tokm t
+         |    ON t.cluster_id = d.cluster_id AND t.sx = d.sx AND t.sy = d.sy
+         |  GROUP BY d.cluster_id),
+         |rstat AS (
+         |  SELECT cluster_id, COUNT(*) AS n_rings,
+         |    CAST(SUM(tl) AS BIGINT) AS rsum_tl, CAST(SUM(th) AS BIGINT) AS rsum_th
+         |  FROM rclose GROUP BY cluster_id)""".stripMargin)(
+      s"""SELECT e.cluster_id,
+         |  CAST(length(printf('$challengeFmt', e.cluster_id, ''))
+         |    + 4 * r.n_rings + e.sum_tl + r.rsum_tl + 2 * e.n_edges - 2 AS BIGINT) AS n_chars,
+         |  CAST(e.n_edges + r.n_rings AS BIGINT) AS n_tok,
+         |  CAST(e.sum_th + r.rsum_th AS BIGINT) AS tok_fp
+         |FROM estat2 e JOIN rstat r USING (cluster_id)
+         |ORDER BY cluster_id""".stripMargin)
   }
 
   // ---------------------------------------------------------------- A25b
@@ -724,13 +861,6 @@ object GeoQueries {
       .toDF()
       .orderBy("cluster_id", "comp_x", "comp_y")
   }
-
-  /** Vertex id packing for the oracle's CC: coords are 0-based cell
-    * space (≪ 2^22), so vid = x·2^22 + y is collision-free and its
-    * integer order IS the lexicographic (x, y) vertex order — MIN(vid)
-    * decodes straight back to the component's min vertex.
-    */
-  private val VidShift = 4194304L
 
   val a25RingStatsSql: String = withCtes(true, GeoDerive.cellsCte, GeoDerive.positivesCte,
     Clustering.ccCte,
@@ -916,6 +1046,85 @@ object GeoQueries {
        |FROM lineitem
        |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // ---------------------------------------------------------------- A31
+  /** A31: incremental cluster-id continuation — the reference's per-batch
+    * mode (run_inference.py:21-41 clusters only unclustered tiles,
+    * solardb.py:245-252 continues ids from the DB sequence), driven on
+    * the testdata by a score split: the high-confidence cells
+    * (score ≥ 0.9) are the already-persisted batch, relabeled to the
+    * reference's sequential ids (dense rank of the min-packed-id label —
+    * the window runs over DISTINCT cluster labels, not cells), and the
+    * remaining positives (0.8 ≤ score < 0.9) arrive as the new batch.
+    * Semantics + scale notes in [[Clustering.incrementalClusters]].
+    */
+  val IncrementalSplit = 0.9
+  def a31IncrementalCluster(spark: SparkSession, dir: String): DataFrame = {
+    val pos = GeoDerive.positives(spark, dir)
+    val cc1 = Clustering.connectedComponents4(
+      pos.filter(col("score") >= IncrementalSplit))
+      .withColumnRenamed("cluster_id", "tmp")
+    val seq = cc1.select("tmp").distinct()
+      .withColumn("sid", dense_rank().over(Window.orderBy("tmp")).cast("long"))
+    val existing = cc1.join(seq, Seq("tmp"))
+      .select(col("x"), col("y"), col("sid").as("cluster_id"))
+    val batch2 = pos.filter(col("score") < IncrementalSplit).select("x", "y")
+    Clustering.incrementalClusters(existing, batch2).orderBy("x", "y")
+  }
+
+  /** DuckDB twin: two recursive component CTEs (batch-1 and batch-2 cells
+    * never overlap, so the label algebra composes exactly), then the same
+    * adopt/fresh arithmetic. Helper CTEs referenced from inside a
+    * recursion are MATERIALIZED (re-evaluated per iteration otherwise).
+    */
+  val a31Sql: String = withCtes(true, GeoDerive.cellsCte, GeoDerive.positivesCte,
+    s"""ids1 AS MATERIALIZED (
+       |  SELECT x, y, x * ${Clustering.IdShift} + y AS id FROM pos WHERE score >= $IncrementalSplit),
+       |edge1 AS MATERIALIZED (
+       |  SELECT a.id AS src, b.id AS dst FROM ids1 a JOIN ids1 b
+       |  ON (abs(a.x - b.x) + abs(a.y - b.y)) = 1),
+       |reach1(id, lbl) AS (
+       |  SELECT id, id FROM ids1
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach1 r JOIN edge1 e ON e.src = r.id),
+       |cc1 AS MATERIALIZED (
+       |  SELECT i.x, i.y, m.tmp FROM ids1 i
+       |  JOIN (SELECT id, MIN(lbl) AS tmp FROM reach1 GROUP BY id) m ON i.id = m.id),
+       |seq AS (
+       |  SELECT tmp, CAST(dense_rank() OVER (ORDER BY tmp) AS BIGINT) AS sid
+       |  FROM (SELECT DISTINCT tmp FROM cc1)),
+       |existing AS MATERIALIZED (
+       |  SELECT c.x, c.y, s.sid AS cluster_id FROM cc1 c JOIN seq s USING (tmp)),
+       |ids2 AS MATERIALIZED (
+       |  SELECT x, y, x * ${Clustering.IdShift} + y AS id FROM pos WHERE score < $IncrementalSplit),
+       |edge2 AS MATERIALIZED (
+       |  SELECT a.id AS src, b.id AS dst FROM ids2 a JOIN ids2 b
+       |  ON (abs(a.x - b.x) + abs(a.y - b.y)) = 1),
+       |reach2(id, lbl) AS (
+       |  SELECT id, id FROM ids2
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach2 r JOIN edge2 e ON e.src = r.id),
+       |cc2 AS MATERIALIZED (
+       |  SELECT i.x, i.y, m.tmp FROM ids2 i
+       |  JOIN (SELECT id, MIN(lbl) AS tmp FROM reach2 GROUP BY id) m ON i.id = m.id),
+       |adopt AS (
+       |  SELECT c.tmp, MIN(e.cluster_id) AS adopt_id FROM cc2 c
+       |  JOIN existing e ON (abs(c.x - e.x) + abs(c.y - e.y)) = 1
+       |  GROUP BY c.tmp),
+       |maxid AS (SELECT COALESCE(MAX(cluster_id), 0) AS max_id FROM existing),
+       |fresh AS (
+       |  SELECT tmp, CAST(dense_rank() OVER (ORDER BY tmp) AS BIGINT) AS rk
+       |  FROM (SELECT DISTINCT tmp FROM cc2
+       |        WHERE tmp NOT IN (SELECT tmp FROM adopt))),
+       |labeled2 AS (
+       |  SELECT c.x, c.y,
+       |    CAST(COALESCE(a.adopt_id, m.max_id + f.rk) AS BIGINT) AS cluster_id
+       |  FROM cc2 c LEFT JOIN adopt a USING (tmp) LEFT JOIN fresh f USING (tmp)
+       |  CROSS JOIN maxid m)""".stripMargin)(
+    """SELECT x, y, cluster_id, 1 AS batch FROM existing
+      |UNION ALL
+      |SELECT x, y, cluster_id, 2 AS batch FROM labeled2
+      |ORDER BY x, y""".stripMargin)
+
   /** All A-block entries for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a21_tile_batch" -> (a21TileBatch _),
@@ -926,9 +1135,11 @@ object GeoQueries {
     // driver records a rows>0 check; PipelineSpec proves the geometry
     "a25_clustered_challenge" -> (clusteredChallenge _),
     "a25_ring_stats" -> (a25RingStats _),
+    "a25_geojson_fp" -> (a25GeojsonFingerprint _),
     "a28_degenerate_polygons" -> (a28DegeneratePolygons _),
     "a29_upsample_slice" -> (a29UpsampleSlice _),
     "a30_zorder" -> (a30Zorder _),
+    "a31_incremental_cluster" -> (a31IncrementalCluster _),
     "a26_quadkey" -> (a26Quadkey _),
     "a27_pyramid" -> (a27Pyramid _),
     "a20_polygons_with_grid" -> (a20PolygonsWithGrid _),
@@ -958,9 +1169,11 @@ object GeoQueries {
     "a23_slice_plan" -> a23Sql,
     "a24_tile_source" -> a24Sql,
     "a25_ring_stats" -> a25RingStatsSql,
+    "a25_geojson_fp" -> a25GeojsonFpSql,
     "a28_degenerate_polygons" -> a28Sql,
     "a29_upsample_slice" -> a29Sql,
     "a30_zorder" -> a30Sql,
+    "a31_incremental_cluster" -> a31Sql,
     "a26_quadkey" -> a26Sql,
     "a27_pyramid" -> a27Sql,
     "a20_polygons_with_grid" -> a20Sql,

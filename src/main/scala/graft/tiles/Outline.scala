@@ -32,61 +32,83 @@ object Outline {
 
   /** Chain one cluster's unit boundary edges into closed rings. Input
     * edges are unordered unit segments on the lattice (each exactly
-    * once); output rings cover every edge exactly once. At degree-4
-    * vertices (two squares touching diagonally) the left-first turn
-    * rule keeps each ring simple instead of crossing through.
+    * once); output rings cover every edge exactly once.
+    *
+    * The walk is DIRECTED: every edge is first oriented with the tile
+    * interior on its left (the filled side is recovered from the edge
+    * set alone by a downward ray-cast parity per column — no tile set
+    * needed), then rings are the cycles of the successor permutation
+    * "continue along the unique outgoing edge; at a degree-4 pinch
+    * vertex (two squares touching diagonally) take the LEFT turn", which
+    * is the non-crossing pairing. Interior-left orientation makes outer
+    * rings CCW and holes CW by construction (RFC 7946 winding, no
+    * post-pass), and every ring starts at its lexicographically smallest
+    * vertex — both facts the a25_geojson_fp DuckDB oracle reconstructs,
+    * so this walk and that oracle are the SAME permutation by design,
+    * not by test coverage.
     */
   def chainEdges(segs: Seq[((Long, Long), (Long, Long))]): Seq[Vector[(Long, Long)]] = {
-    def norm(a: (Long, Long), b: (Long, Long)): ((Long, Long), (Long, Long)) =
-      if (vertexOrd.lteq(a, b)) (a, b) else (b, a)
-    val unused = mutable.TreeSet.empty(Ordering.Tuple2(vertexOrd, vertexOrd))
-    segs.foreach { case (a, b) => unused += norm(a, b) }
+    if (segs.isEmpty) return Vector.empty
+    // filled-side inference: square (x, y) is inside the tile union iff
+    // a downward ray from its center crosses an odd number of horizontal
+    // boundary edges, i.e. #{(x, y') horizontal edges, y' <= y} is odd
+    val horizByCol: Map[Long, Array[Long]] = segs.iterator
+      .collect { case ((x1, y1), (x2, y2)) if y1 == y2 => (math.min(x1, x2), y1) }
+      .toSeq.groupBy(_._1).map { case (x, es) => x -> es.map(_._2).sorted.toArray }
+    def filled(x: Long, y: Long): Boolean = {
+      val ys = horizByCol.getOrElse(x, Array.empty[Long])
+      var lo = 0; var hi = ys.length
+      while (lo < hi) { val m = (lo + hi) >>> 1; if (ys(m) <= y) lo = m + 1 else hi = m }
+      (lo & 1) == 1
+    }
+    // orient each edge interior-left; out-degree is 1, or 2 at a pinch
+    val out = mutable.Map.empty[(Long, Long), mutable.ListBuffer[(Long, Long)]]
+    def addDir(s: (Long, Long), h: (Long, Long)): Unit =
+      out.getOrElseUpdate(s, mutable.ListBuffer.empty) += h
+    segs.foreach { case (p, q) =>
+      val (a, b) = if (vertexOrd.lteq(p, q)) (p, q) else (q, p)
+      if (a._2 == b._2) { // horizontal, a west: tile above -> +x, below -> -x
+        if (filled(a._1, a._2)) addDir(a, (1L, 0L)) else addDir(b, (-1L, 0L))
+      } else { // vertical, a south: tile right -> -y, left -> +y
+        if (filled(a._1, a._2)) addDir(b, (0L, -1L)) else addDir(a, (0L, 1L))
+      }
+    }
+    val open = mutable.TreeSet.empty[(Long, Long)](vertexOrd)
+    open ++= out.keys
+    def takeOut(v: (Long, Long), prev: (Long, Long)): (Long, Long) = {
+      val hs = out(v)
+      val h =
+        if (hs.size == 1) hs.head
+        else { // pinch: the left turn is the non-crossing continuation
+          val left = (-prev._2, prev._1)
+          require(hs.contains(left), s"no left-turn continuation at pinch $v")
+          left
+        }
+      hs -= h
+      if (hs.isEmpty) { out -= v; open -= v }
+      h
+    }
     val rings = Vector.newBuilder[Vector[(Long, Long)]]
-    while (unused.nonEmpty) {
-      val v0 = unused.head._1 // lexicographically smallest open vertex
-      // v0 is a minimal corner of its ring: its unused edges leave in +x
-      // and/or +y. Starting along +x (fallback +y) with interior-left
-      // walking yields CCW outer rings, CW holes.
-      var heading: (Long, Long) =
-        if (unused.contains(norm(v0, (v0._1 + 1, v0._2)))) (1L, 0L) else (0L, 1L)
-      var cur = v0
+    while (open.nonEmpty) {
+      // the smallest open vertex is its ring's minimal corner (a ring's
+      // min vertex is never a pinch), so it has exactly one outgoing edge
+      val v0 = open.head
       val ring = Vector.newBuilder[(Long, Long)]
+      var cur = v0
+      var heading = takeOut(v0, null)
       var closed = false
       var guard = 0
       while (!closed) {
         require(guard <= segs.size + 1, s"open boundary chain near $cur")
         guard += 1
         ring += cur
-        val nxt = (cur._1 + heading._1, cur._2 + heading._2)
-        unused -= norm(cur, nxt)
-        cur = nxt
+        cur = (cur._1 + heading._1, cur._2 + heading._2)
         if (cur == v0) closed = true
-        else {
-          val turns = Seq(
-            (-heading._2, heading._1), // left
-            heading, // straight
-            (heading._2, -heading._1)) // right
-          heading = turns
-            .find(d => unused.contains(norm(cur, (cur._1 + d._1, cur._2 + d._2))))
-            .getOrElse(sys.error(s"dangling boundary edge at $cur"))
-        }
+        else heading = takeOut(cur, heading)
       }
       rings += ring.result()
     }
-    // Winding post-pass: the ring holding the cluster's minimum vertex
-    // is the outer boundary (CCW per RFC 7946); every other ring is a
-    // hole (CW). The walk itself can't tell the two apart — a hole's
-    // minimal corner looks locally identical to an outer one.
-    val assembled = rings.result()
-    if (assembled.isEmpty) assembled
-    else {
-      val globalMin = assembled.iterator.flatten.min(vertexOrd)
-      assembled.map { r =>
-        val a = shoelace2(r)
-        val outer = r.contains(globalMin)
-        if ((outer && a < 0) || (!outer && a > 0)) r.reverse else r
-      }
-    }
+    rings.result()
   }
 
   /** Twice the signed shoelace area, exact in Long. */

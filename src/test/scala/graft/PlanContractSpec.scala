@@ -13,14 +13,14 @@ class PlanContractSpec extends SparkTestBase {
     * Every one broadcasts a BOUNDED side — a 1-row aggregate, a constant
     * frame, or a ≤1% probe/codebook set — so the "nested loop" is a
     * map-side scalar/constant application, not an O(N·M) hazard:
-    * a18 crosses 9 stitch constants, b13 broadcasts the 1-row
-    * avg-balance aggregate, c10 the ~1% probe set, c18 the 64-row IVF
-    * codebook, c21/c30 a 1-row corpus total. (a13 left this list in
-    * round 6: exact tile-membership containment made it equi-join-only,
-    * and a25 with it.)
+    * a18 crosses 9 stitch constants, a31 the 1-row persisted-max-id
+    * aggregate, b13 the 1-row avg-balance aggregate, c10 the ~1% probe
+    * set, c18 the 64-row IVF codebook, c21/c30 a 1-row corpus total.
+    * (a13 left this list in round 6: exact tile-membership containment
+    * made it equi-join-only, and a25 with it.)
     */
   private val allowedNlj = Set(
-    "a18_stitch_plan",
+    "a18_stitch_plan", "a31_incremental_cluster",
     "b13_no_order_customers", "c10_ann_bruteforce", "c18_ann_ivf",
     "c21_tfidf_topk", "c30_domain_mix")
 

@@ -114,6 +114,30 @@ class ClusteringSpec extends SparkTestBase {
 
 class GeoQueriesSpec extends SparkTestBase {
 
+  test("incremental clustering: persisted labels immutable, adjacent new cells adopt, fresh ids continue above max") {
+    import spark.implicits._
+    // persisted state: cluster 1 = {(0,0),(0,1)}, cluster 2 = {(5,0),(5,1)}
+    val existing = Seq((0L, 0L, 1L), (0L, 1L, 1L), (5L, 0L, 2L), (5L, 1L, 2L))
+      .toDF("x", "y", "cluster_id")
+    // new batch: a bridge touching BOTH clusters + an isolated pair
+    val batch2 = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L),
+      (20L, 20L), (20L, 21L)).toDF("x", "y")
+    val got = Clustering.incrementalClusters(existing, batch2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getInt(3))))
+      .toMap
+    // untouched persisted labels survive the second batch verbatim
+    assert(got((0L, 0L)) == ((1L, 1)) && got((0L, 1L)) == ((1L, 1)))
+    assert(got((5L, 0L)) == ((2L, 1)) && got((5L, 1L)) == ((2L, 1)))
+    // the bridge component adopts the SMALLEST adjacent persisted id;
+    // cluster 2 keeps its id (persisted ids are never merged/relabeled)
+    Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L))
+      .foreach(c => assert(got(c) == ((1L, 2)), s"bridge cell $c"))
+    // the isolated component continues above the persisted max id
+    assert(got((20L, 20L)) == ((3L, 2)) && got((20L, 21L)) == ((3L, 2)))
+    assert(got.values.map(_._1).toSet == Set(1L, 2L, 3L))
+  }
+
   test("a9 dilation is a superset of positives; a10 is disjoint from dilation") {
     val pos = GeoDerive.positives(spark, sf).select("x", "y")
     val dil = GridOps.dilate3x3(pos)
@@ -169,6 +193,37 @@ class GeoQueriesSpec extends SparkTestBase {
     assert(rings.map(_.size) == Seq(12, 4))
     assert(area(rings.head) > 0) // outer CCW
     assert(area(rings(1)) < 0) // hole CW
+    // Emitted start vertices — the contract the a25_geojson_fp oracle
+    // reconstructs: the directed interior-left walk starts EVERY ring
+    // (outer and hole alike) at its lexicographically smallest vertex.
+    assert(rings.head.head == ((0L, 0L)), "outer ring starts at its min vertex")
+    assert(rings(1).head == ((1L, 1L)), "hole ring starts at its min vertex")
+  }
+
+  test("pinch + hole: non-crossing split, hole reversed, starts match the fp-oracle model") {
+    import graft.geom.Geometry
+    def area(ring: Seq[(Long, Long)]): Double =
+      Geometry.signedArea(ring.map(p => Geometry.Pt(p._1.toDouble, p._2.toDouble)))
+    // one 4-connected U-cluster enclosing the hole square (1,1); the
+    // hole's ring and the outer ring SHARE the deg-4 pinch vertex (1,2)
+    // (diagonal squares (0,1) and (1,2) filled, (0,2) and (1,1) empty)
+    val tiles = Seq((0L, 1L), (0L, 0L), (1L, 0L), (2L, 0L), (2L, 1L), (2L, 2L), (1L, 2L))
+    val edgeCount = scala.collection.mutable.Map.empty[((Long, Long), (Long, Long)), Int]
+    tiles.foreach { case (x, y) =>
+      Seq(((x, y), (x + 1, y)), ((x, y + 1), (x + 1, y + 1)),
+        ((x, y), (x, y + 1)), ((x + 1, y), (x + 1, y + 1)))
+        .foreach(e => edgeCount(e) = edgeCount.getOrElse(e, 0) + 1)
+    }
+    val rings = Outline.chainEdges(edgeCount.filter(_._2 == 1).keys.toSeq)
+    // the left-turn (non-crossing) pairing at the pinch MERGES the hole
+    // walk into the outer walk: one 16-edge closed ring visiting the
+    // pinch vertex (1,2) twice, net signed area = outer − hole = 7 tiles
+    assert(rings.map(_.size) == Seq(16))
+    val r = rings.head
+    assert(r.count(_ == ((1L, 2L))) == 2, "pinch vertex visited exactly twice")
+    assert(area(r) == 7.0, "net signed area = 8 outer − 1 hole")
+    // emitted-start contract the a25_geojson_fp oracle reconstructs:
+    assert(r.head == ((0L, 0L)), "merged ring starts at its min vertex")
   }
 
   test("assembleRings covers every a15 boundary edge exactly once, closed") {
