@@ -192,6 +192,41 @@ object ScaleSmoke {
     println(f"SCALE cosBlocked vecs=$nVec dim=16 pairs=$nCosPairs " +
       f"maxTaskMs=$cosMaxMs meanTaskMs=$cosMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
+    // --- A31 incremental clustering under adoption skew: ONE persisted
+    // serpentine cluster spanning half the grid, a new batch where 50%
+    // of cells form a single slab gluing onto it (one giant adopting
+    // component) and 50% form a far-away slab (fresh ids). The giant
+    // component is the hot key, but adopt/fresh are component-granular
+    // frames (tiny) that Spark broadcasts back over the new batch, and
+    // the unpartitioned dense_rank window sees one row per NEW CLUSTER,
+    // not per cell — so max task ≈ mean however big the slab gets.
+    t0 = System.nanoTime()
+    val wInc = 10000L
+    val existing = spark.range(nCells / 2)
+      .select((col("id") % wInc).as("x"), expr(s"id div $wInc").as("y"),
+        lit(1L).as("cluster_id"))
+    val exRows = nCells / 2 / wInc // existing slab height
+    val newBatch = spark.range(nCells)
+      .select((col("id") % wInc).as("x"),
+        // half glued right below the existing slab, half far away
+        when(col("id") % 2L === 0L,
+          lit(exRows) + expr(s"(id div $wInc) div 2"))
+          .otherwise(lit(exRows + 1000000L) + expr(s"(id div $wInc) div 2")).as("y"))
+      .distinct()
+    // pin the DF fixpoint engine (the 100 TB path): the local union-find
+    // the size dispatch would pick at 1M cells is a deliberate
+    // single-task engine and would read as a false straggler here
+    spark.conf.set("graft.cc.impl", "df")
+    val (incFrame, incMaxMs, incMeanMs) = try withMaxTask {
+      val r = graft.tiles.Clustering.incrementalClusters(existing, newBatch)
+      val ids = r.filter(col("batch") === 2).select("cluster_id").distinct().count()
+      val rows = r.count()
+      (ids, rows)
+    } finally spark.conf.unset("graft.cc.impl")
+    println(f"SCALE incrementalCluster existing=${nCells / 2} new=${incFrame._2 - nCells / 2} " +
+      f"newClusterIds=${incFrame._1} maxTaskMs=$incMaxMs meanTaskMs=$incMeanMs " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+
     // --- tilerange generation throughput: a 100M-tile bbox fully
     // generated and aggregated (count + coordinate checksum) through
     // the DSv2 reader; the closed-form COUNT path is spec-proven

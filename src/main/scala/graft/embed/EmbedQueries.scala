@@ -131,7 +131,10 @@ object EmbedQueries {
     * broadcast (they're ~1% of rows); ranking is a window partitioned by
     * probe — deterministic tiebreak on (rounded cos desc, vec_id).
     */
-  def c10AnnBruteforce(spark: SparkSession, dir: String): DataFrame = {
+  /** Exact top-k frame (probe_id, vec_id, cos, rnk) — shared by C10 and
+    * the recall evaluators C41/C42 (where it is the ground truth).
+    */
+  private def exactTopKFrame(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = withNorms(spark, dir)
     val probes = e.filter(col("vec_id") % ProbeMod === 0)
@@ -142,8 +145,10 @@ object EmbedQueries {
         cosine(dot(col("pe"), col("embedding")), col("pn"), col("n2")).as("cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= TopK)
-      .orderBy("probe_id", "rnk")
   }
+
+  def c10AnnBruteforce(spark: SparkSession, dir: String): DataFrame =
+    exactTopKFrame(spark, dir).orderBy("probe_id", "rnk")
 
   val c10Sql: String =
     s"""WITH $normsCte,
@@ -190,7 +195,8 @@ object EmbedQueries {
       s"CASE WHEN ($dotJ) > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString(" + ")
 
-  def c11AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** LSH top-k frame — shared by C11 and its recall evaluation C41. */
+  private def lshTopKFrame(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = withNorms(spark, dir).withColumn("bucket", bucketCol(col("embedding")))
     val probes = e.filter(col("vec_id") % ProbeMod === 0)
@@ -202,8 +208,10 @@ object EmbedQueries {
         cosine(dot(col("pe"), col("embedding")), col("pn"), col("n2")).as("cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= TopK)
-      .orderBy("probe_id", "rnk")
   }
+
+  def c11AnnLsh(spark: SparkSession, dir: String): DataFrame =
+    lshTopKFrame(spark, dir).orderBy("probe_id", "rnk")
 
   val c11Sql: String =
     s"""WITH $normsCte,
@@ -219,6 +227,128 @@ object EmbedQueries {
        |  FROM scored
        |) WHERE rnk <= $TopK
        |ORDER BY probe_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- C41
+  /** recall@k of an approximate top-k against the exact top-k, per
+    * probe — the evaluation harness every production ANN deployment
+    * ships next to its index. Join-only: a left-semi on
+    * (probe_id, vec_id) counts hits, two partial-agg counts normalize;
+    * nothing touches the corpus again, so the evaluator costs two
+    * probe-sized aggregates regardless of corpus size.
+    */
+  private def recallFrame(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select("probe_id", "vec_id")
+    val a = approx.select("probe_id", "vec_id")
+    val hits = e.join(a, Seq("probe_id", "vec_id"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("hits"))
+    val na = a.groupBy("probe_id").agg(count(lit(1)).as("n_approx"))
+    e.groupBy("probe_id").agg(count(lit(1)).as("n_exact"))
+      .join(na, Seq("probe_id"), "left")
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_exact"),
+        coalesce(col("n_approx"), lit(0L)).as("n_approx"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / col("n_exact"), 6)
+          .as("recall"))
+      .orderBy("probe_id")
+  }
+
+  /** C41: recall@k of the C11 LSH index vs the C10 exact ground truth. */
+  def c41AnnRecall(spark: SparkSession, dir: String): DataFrame =
+    recallFrame(exactTopKFrame(spark, dir), lshTopKFrame(spark, dir))
+
+  /** Exact-top-k oracle CTEs (etop) — shared verbatim by c41/c42. */
+  private val exactTopCtes: String =
+    s"""eprob AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn FROM norms WHERE vec_id % $ProbeMod = 0),
+       |esc AS (
+       |  SELECT p.probe_id, e.vec_id,
+       |    round(${dotSql("p.pe", "e.embedding")} / sqrt(p.pn * e.n2), 6) AS cos
+       |  FROM eprob p JOIN norms e ON e.vec_id <> p.probe_id),
+       |etop AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+       |    FROM esc) WHERE rnk <= $TopK)""".stripMargin
+
+  /** Recall-join oracle tail (expects etop + atop). */
+  private val recallTailSql: String =
+    s"""ex AS (SELECT probe_id, COUNT(*) AS n_exact FROM etop GROUP BY probe_id),
+       |la AS (SELECT probe_id, COUNT(*) AS n_approx FROM atop GROUP BY probe_id),
+       |h AS (
+       |  SELECT e.probe_id, COUNT(*) AS hits FROM etop e
+       |  JOIN atop a ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+       |  GROUP BY e.probe_id)
+       |SELECT ex.probe_id, ex.n_exact,
+       |  CAST(COALESCE(la.n_approx, 0) AS BIGINT) AS n_approx,
+       |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       |  round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / ex.n_exact, 6) AS recall
+       |FROM ex LEFT JOIN la USING (probe_id) LEFT JOIN h USING (probe_id)
+       |ORDER BY probe_id""".stripMargin
+
+  val c41Sql: String =
+    s"""WITH $normsCte,
+       |$exactTopCtes,
+       |bucketed AS (SELECT vec_id, embedding, n2, CAST(${bucketSql("embedding")} AS BIGINT) AS bucket FROM norms),
+       |aprob AS (SELECT vec_id AS probe_id, pe, pn, bucket FROM (
+       |  SELECT vec_id, embedding AS pe, n2 AS pn, bucket FROM bucketed) WHERE vec_id % $ProbeMod = 0),
+       |asc0 AS (
+       |  SELECT p.probe_id, e.vec_id,
+       |    round(${dotSql("p.pe", "e.embedding")} / sqrt(p.pn * e.n2), 6) AS cos
+       |  FROM aprob p JOIN bucketed e ON e.bucket = p.bucket AND e.vec_id <> p.probe_id),
+       |atop AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+       |    FROM asc0) WHERE rnk <= $TopK),
+       |$recallTailSql""".stripMargin
+
+  // ---------------------------------------------------------------- C42
+  /** Matryoshka prefix dimensionality for the C42 retrieval-quality
+    * eval: search with only the first 16 of 64 dims (the MRL deployment
+    * trade: 4× less compute/memory per query), score the damage as
+    * recall@k vs the full-dimension ground truth.
+    */
+  val MrlDims = 16
+
+  /** C42: truncated-embedding retrieval recall — the same harness as
+    * C41 but the approximate index is a PREFIX-truncated (Matryoshka)
+    * cosine search: slice each vector to its first [[MrlDims]] dims,
+    * renormalize implicitly via the prefix norm, exact top-k in the
+    * reduced space, then recall against the full-space truth. Pure
+    * column math (slice + the same codegen'd dot), one broadcast of the
+    * probe set — the corpus is scanned once in reduced dims.
+    */
+  def c42MrlRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), slice(col("embedding"), 1, MrlDims).as("te"))
+      .withColumn("n2", norm2(col("te")))
+    val probes = t.filter(col("vec_id") % ProbeMod === 0)
+      .select(col("vec_id").as("probe_id"), col("te").as("pe"), col("n2").as("pn"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    val truncTop = broadcast(probes).join(t, col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosine(dot(col("pe"), col("te")), col("pn"), col("n2")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+    recallFrame(exactTopKFrame(spark, dir), truncTop)
+  }
+
+  val c42Sql: String =
+    s"""WITH $normsCte,
+       |$exactTopCtes,
+       |trunc AS (
+       |  SELECT vec_id, embedding[1:$MrlDims] AS te,
+       |    ${norm2Sql(s"embedding[1:$MrlDims]")} AS n2
+       |  FROM embeddings),
+       |aprob AS (SELECT vec_id AS probe_id, te AS pe, n2 AS pn FROM trunc WHERE vec_id % $ProbeMod = 0),
+       |asc0 AS (
+       |  SELECT p.probe_id, e.vec_id,
+       |    round(${dotSql("p.pe", "e.te")} / sqrt(p.pn * e.n2), 6) AS cos
+       |  FROM aprob p JOIN trunc e ON e.vec_id <> p.probe_id),
+       |atop AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+       |    FROM asc0) WHERE rnk <= $TopK),
+       |$recallTailSql""".stripMargin
 
   // ---------------------------------------------------------------- C18
   /** IVF codebook density: every CentroidMod-th vector is a coarse
@@ -525,7 +655,9 @@ object EmbedQueries {
     "c18_ann_ivf" -> (c18AnnIvf _),
     "c20_semantic_collapse" -> (c20SemanticCollapse _),
     "c28_vector_quantize" -> (c28VectorQuantize _),
-    "c39_pq_codes" -> (c39PqCodes _))
+    "c39_pq_codes" -> (c39PqCodes _),
+    "c41_ann_recall" -> (c41AnnRecall _),
+    "c42_mrl_recall" -> (c42MrlRecall _))
 
   val oracles: Map[String, String] = Map(
     "c9_cosine_pairs" -> c9Sql,
@@ -535,5 +667,7 @@ object EmbedQueries {
     "c18_ann_ivf" -> c18Sql,
     "c20_semantic_collapse" -> c20Sql,
     "c28_vector_quantize" -> c28Sql,
-    "c39_pq_codes" -> c39Sql)
+    "c39_pq_codes" -> c39Sql,
+    "c41_ann_recall" -> c41Sql,
+    "c42_mrl_recall" -> c42Sql)
 }
