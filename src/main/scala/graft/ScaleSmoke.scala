@@ -193,13 +193,15 @@ object ScaleSmoke {
       f"maxTaskMs=$cosMaxMs meanTaskMs=$cosMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
     // --- A31 incremental clustering under adoption skew: ONE persisted
-    // serpentine cluster spanning half the grid, a new batch where 50%
-    // of cells form a single slab gluing onto it (one giant adopting
-    // component) and 50% form a far-away slab (fresh ids). The giant
-    // component is the hot key, but adopt/fresh are component-granular
-    // frames (tiny) that Spark broadcasts back over the new batch, and
-    // the unpartitioned dense_rank window sees one row per NEW CLUSTER,
-    // not per cell — so max task ≈ mean however big the slab gets.
+    // slab cluster spanning half the grid, a new batch where the even
+    // half forms a SINGLE contiguous slab gluing onto it (one 1M-cell
+    // adopting component — the hot key) and the odd half lands far away
+    // as ~5,000 disconnected vertical strips (5,000 fresh ids, which
+    // stresses the id-continuation dense_rank too). The giant component
+    // is the hot key, but adopt/fresh are component-granular frames
+    // (tiny) that Spark broadcasts back over the new batch, and the
+    // unpartitioned dense_rank window sees one row per NEW CLUSTER, not
+    // per cell — so max task ≈ mean however big the slab gets.
     t0 = System.nanoTime()
     val wInc = 10000L
     val existing = spark.range(nCells / 2)
@@ -207,10 +209,14 @@ object ScaleSmoke {
         lit(1L).as("cluster_id"))
     val exRows = nCells / 2 / wInc // existing slab height
     val newBatch = spark.range(nCells)
-      .select((col("id") % wInc).as("x"),
-        // half glued right below the existing slab, half far away
+      .select(
+        // even half: (id div 2) covers EVERY x, so the glued slab is one
+        // connected component (x = id % wInc would couple parity to x
+        // and shred it into even-x strips); odd half: odd-x strips
+        when(col("id") % 2L === 0L, expr(s"(id div 2) % $wInc"))
+          .otherwise(col("id") % wInc).as("x"),
         when(col("id") % 2L === 0L,
-          lit(exRows) + expr(s"(id div $wInc) div 2"))
+          lit(exRows) + expr(s"(id div 2) div $wInc"))
           .otherwise(lit(exRows + 1000000L) + expr(s"(id div $wInc) div 2")).as("y"))
       .distinct()
     // pin the DF fixpoint engine (the 100 TB path): the local union-find

@@ -213,19 +213,26 @@ object EmbedQueries {
   def c11AnnLsh(spark: SparkSession, dir: String): DataFrame =
     lshTopKFrame(spark, dir).orderBy("probe_id", "rnk")
 
-  val c11Sql: String =
-    s"""WITH $normsCte,
-       |bucketed AS (SELECT vec_id, embedding, n2, CAST(${bucketSql("embedding")} AS BIGINT) AS bucket FROM norms),
-       |probes AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn, bucket FROM bucketed WHERE vec_id % $ProbeMod = 0),
-       |scored AS (
+  /** LSH top-k oracle CTEs (→ `atop`) — ONE definition shared by c11
+    * and the c41 recall evaluator, so the evaluator can never silently
+    * score a different index than the one c11 ships.
+    */
+  private lazy val lshTopCtes: String =
+    s"""bucketed AS (SELECT vec_id, embedding, n2, CAST(${bucketSql("embedding")} AS BIGINT) AS bucket FROM norms),
+       |lprob AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn, bucket FROM bucketed WHERE vec_id % $ProbeMod = 0),
+       |lsc AS (
        |  SELECT p.probe_id, e.vec_id,
        |    round(${dotSql("p.pe", "e.embedding")} / sqrt(p.pn * e.n2), 6) AS cos
-       |  FROM probes p JOIN bucketed e ON e.bucket = p.bucket AND e.vec_id <> p.probe_id
-       |)
-       |SELECT probe_id, vec_id, cos, rnk FROM (
-       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
-       |  FROM scored
-       |) WHERE rnk <= $TopK
+       |  FROM lprob p JOIN bucketed e ON e.bucket = p.bucket AND e.vec_id <> p.probe_id),
+       |atop AS (
+       |  SELECT probe_id, vec_id, cos, rnk FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+       |    FROM lsc) WHERE rnk <= $TopK)""".stripMargin
+
+  lazy val c11Sql: String =
+    s"""WITH $normsCte,
+       |$lshTopCtes
+       |SELECT probe_id, vec_id, cos, rnk FROM atop
        |ORDER BY probe_id, rnk""".stripMargin
 
   // ---------------------------------------------------------------- C41
@@ -284,20 +291,10 @@ object EmbedQueries {
        |FROM ex LEFT JOIN la USING (probe_id) LEFT JOIN h USING (probe_id)
        |ORDER BY probe_id""".stripMargin
 
-  val c41Sql: String =
+  lazy val c41Sql: String =
     s"""WITH $normsCte,
        |$exactTopCtes,
-       |bucketed AS (SELECT vec_id, embedding, n2, CAST(${bucketSql("embedding")} AS BIGINT) AS bucket FROM norms),
-       |aprob AS (SELECT vec_id AS probe_id, pe, pn, bucket FROM (
-       |  SELECT vec_id, embedding AS pe, n2 AS pn, bucket FROM bucketed) WHERE vec_id % $ProbeMod = 0),
-       |asc0 AS (
-       |  SELECT p.probe_id, e.vec_id,
-       |    round(${dotSql("p.pe", "e.embedding")} / sqrt(p.pn * e.n2), 6) AS cos
-       |  FROM aprob p JOIN bucketed e ON e.bucket = p.bucket AND e.vec_id <> p.probe_id),
-       |atop AS (
-       |  SELECT probe_id, vec_id FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
-       |    FROM asc0) WHERE rnk <= $TopK),
+       |$lshTopCtes,
        |$recallTailSql""".stripMargin
 
   // ---------------------------------------------------------------- C42

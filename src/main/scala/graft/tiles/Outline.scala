@@ -76,7 +76,8 @@ object Outline {
     val open = mutable.TreeSet.empty[(Long, Long)](vertexOrd)
     open ++= out.keys
     def takeOut(v: (Long, Long), prev: (Long, Long)): (Long, Long) = {
-      val hs = out(v)
+      val hs = out.getOrElse(v,
+        sys.error(s"dangling boundary edge at $v (no outgoing edge — input is not a closed boundary)"))
       val h =
         if (hs.size == 1) hs.head
         else { // pinch: the left turn is the non-crossing continuation

@@ -25,11 +25,12 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
-        # Keep the int/float distinction: a whole float renders "69.0",
-        # an int renders "69" — exactly the drift the driver hash sees.
-        if v == int(v) and abs(v) < 2**53:
-            return f"{int(v)}.0"
-        return f"{v:.9g}"
+        # Keep the int/float distinction (int64 69 vs float64 69.0 — the
+        # drift the driver hash sees) WITHOUT splitting float-vs-float
+        # near-ties: every float renders through the same 9-sig-fig
+        # format with an "f" marker, so 69.0 and 68.99999999999999 both
+        # canonicalize to "f69" (equal), while int 69 stays "69".
+        return f"f{v:.9g}"
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
