@@ -39,7 +39,8 @@ object SparkEntry {
     "b15_distinct_sketch" -> (Queries.distinctSketch _),
     "b16_big_orders" -> (Queries.bigOrders _),
     "b17_session_window" -> (Queries.sessionWindow _),
-    "b18_pivot_revenue" -> (Queries.pivotRevenue _)
+    "b18_pivot_revenue" -> (Queries.pivotRevenue _),
+    "b19_event_funnel" -> (Queries.eventFunnel _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -67,6 +68,7 @@ object SparkEntry {
     "b15_distinct_sketch" -> Queries.distinctSketchSql,
     "b16_big_orders" -> Queries.bigOrdersSql,
     "b17_session_window" -> Queries.sessionWindowSql,
-    "b18_pivot_revenue" -> Queries.pivotRevenueSql
+    "b18_pivot_revenue" -> Queries.pivotRevenueSql,
+    "b19_event_funnel" -> Queries.eventFunnelSql
   )
 }

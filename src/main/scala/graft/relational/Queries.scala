@@ -682,6 +682,72 @@ object Queries {
        |ORDER BY o_orderpriority""".stripMargin
   }
 
+  /** B19 funnel window: 24 h in event-time micros. */
+  val FunnelWindowUs = 86400000000L
+
+  /** B19: windowed event funnel (ClickHouse-windowFunnel-style) —
+    * view → click → purchase per user, anchored at the user's FIRST
+    * view: t2 is the earliest click after t1, t3 the earliest purchase
+    * after t2, all within t1 + 24 h; depth ∈ 0..3 is how far the user
+    * got. Anchoring at the first step-1 event (rather than sliding over
+    * every candidate anchor) is the documented contract — it makes the
+    * semantics identical and deterministic on both engines.
+    *
+    * Scale shape: three conditional min-aggregates chained by user_id
+    * equi-joins — every shuffle is on user_id, every aggregate is
+    * map-side combinable, no windows, no per-user event materialization
+    * (a user with millions of events still folds to one row per stage).
+    */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsWithUs(spark, dir)
+      .select(col("user_id"), col("event_type"), col("us"))
+    val users = e.select("user_id").distinct()
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1_us"))
+    val t2 = e.filter(col("event_type") === "click").join(t1, "user_id")
+      .filter(col("us") > col("t1_us")
+        && col("us") <= col("t1_us") + lit(FunnelWindowUs))
+      .groupBy("user_id").agg(min("us").as("t2_us"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t1, "user_id").join(t2, "user_id")
+      .filter(col("us") > col("t2_us")
+        && col("us") <= col("t1_us") + lit(FunnelWindowUs))
+      .groupBy("user_id").agg(min("us").as("t3_us"))
+    users
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
+        when(col("t3_us").isNotNull, 3L)
+          .when(col("t2_us").isNotNull, 2L)
+          .when(col("t1_us").isNotNull, 1L)
+          .otherwise(0L).as("depth"))
+      .orderBy("user_id")
+  }
+
+  val eventFunnelSql: String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+       |t1 AS (SELECT user_id, MIN(us) AS t1_us FROM e WHERE event_type = 'view' GROUP BY user_id),
+       |t2 AS (
+       |  SELECT e.user_id, MIN(e.us) AS t2_us FROM e JOIN t1 USING (user_id)
+       |  WHERE e.event_type = 'click' AND e.us > t1.t1_us
+       |    AND e.us <= t1.t1_us + $FunnelWindowUs
+       |  GROUP BY e.user_id),
+       |t3 AS (
+       |  SELECT e.user_id, MIN(e.us) AS t3_us
+       |  FROM e JOIN t1 USING (user_id) JOIN t2 USING (user_id)
+       |  WHERE e.event_type = 'purchase' AND e.us > t2.t2_us
+       |    AND e.us <= t1.t1_us + $FunnelWindowUs
+       |  GROUP BY e.user_id),
+       |u AS (SELECT DISTINCT user_id FROM e)
+       |SELECT u.user_id, t1.t1_us, t2.t2_us, t3.t3_us,
+       |  CAST(CASE WHEN t3.t3_us IS NOT NULL THEN 3
+       |            WHEN t2.t2_us IS NOT NULL THEN 2
+       |            WHEN t1.t1_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth
+       |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+       |LEFT JOIN t3 USING (user_id)
+       |ORDER BY user_id""".stripMargin
+
   /** B15 sketch parameters: bottom-k size and the hash range (Mersenne
     * prime 2^31−1; the affine multiplier is the Knuth constant already
     * used for the testdata score derivation, SURVEY.md §4).

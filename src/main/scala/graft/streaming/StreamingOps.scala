@@ -170,6 +170,62 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
   }
 
+  // ---------------------------------------- D12: streaming funnel state
+  final case class FunnelEv(user_id: Long, event_id: Long, us: Long, event_type: String)
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+  final case class FunnelRow(user_id: Long, t1_us: Option[Long],
+      t2_us: Option[Long], t3_us: Option[Long], depth: Long)
+
+  /** D12: the B19 windowed funnel (view → click → purchase within 24 h,
+    * anchored at the first view) as a STATEFUL STREAM. State per user is
+    * ONE fixed-size (t1, t2, t3) record however long the stream runs —
+    * the greedy first-occurrence scan over an in-order stream computes
+    * exactly B19's min-based chain (t2 = earliest click in (t1, t1+W],
+    * etc.), so the batch query IS the oracle. A row is emitted only when
+    * a batch ADVANCES a user's depth (≤ 3 emissions per user ever); the
+    * reader takes the deepest row per user. Per-batch work per user is
+    * bounded by that user's events in the batch.
+    */
+  def funnelState(events: DataFrame): org.apache.spark.sql.Dataset[FunnelRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("event_time")).as("us"), col("event_type"))
+      .as[FunnelEv]
+    val W = graft.relational.Queries.FunnelWindowUs
+
+    def fold(uid: Long, it: Iterator[FunnelEv],
+        state: GroupState[FunnelState]): Iterator[FunnelRow] = {
+      val evs = it.toSeq.sortBy(e => (e.us, e.event_id))
+      var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+      def depthOf(st: FunnelState): Int = Seq(st.t1, st.t2, st.t3).count(_ >= 0)
+      val entryDepth = depthOf(s)
+      evs.foreach { e =>
+        e.event_type match {
+          case "view" if s.t1 < 0 => s = s.copy(t1 = e.us)
+          case "click" if s.t1 >= 0 && s.t2 < 0
+              && e.us > s.t1 && e.us <= s.t1 + W => s = s.copy(t2 = e.us)
+          case "purchase" if s.t2 >= 0 && s.t3 < 0
+              && e.us > s.t2 && e.us <= s.t1 + W => s = s.copy(t3 = e.us)
+          case _ => ()
+        }
+      }
+      val depth = depthOf(s)
+      if (depth > entryDepth) {
+        state.update(s)
+        Iterator.single(FunnelRow(uid,
+          Some(s.t1).filter(_ >= 0), Some(s.t2).filter(_ >= 0),
+          Some(s.t3).filter(_ >= 0), depth.toLong))
+      } else Iterator.empty
+    }
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
+  }
+
   // ------------------------------ D9: native session_window sessions
   /** D9: sessionization via Spark's NATIVE `session_window` aggregation
     * with a watermark — the declarative streaming sessionizer next to

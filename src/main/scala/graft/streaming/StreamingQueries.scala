@@ -300,6 +300,30 @@ object StreamingQueries {
 
   val d11Sql: String = graft.relational.Queries.asofJoinSql
 
+  // --------------------------------------------------------------- D12
+  /** Streaming windowed funnel: B19's view→click→purchase depth per
+    * user, computed by the O(1)-state machine in
+    * [[StreamingOps.funnelState]]. The sink holds one row per depth
+    * ADVANCE (≤3 per user); the reader keeps the deepest and left-joins
+    * the static user universe so depth-0 users surface exactly as in
+    * the batch query — which is also the oracle.
+    */
+  def d12StreamFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sunk = runToTable(StreamingOps.funnelState(stream(spark, sfDir)).toDF(),
+      "graft_d12_sink", "append", requireSingleBatch = false)
+    val w = Window.partitionBy("user_id").orderBy(col("depth").desc)
+    val fin = sunk.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+    val users = graft.Tables.eventsWithUs(spark, sfDir).select("user_id").distinct()
+    users.join(fin, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
+        coalesce(col("depth"), lit(0L)).as("depth"))
+      .orderBy("user_id")
+  }
+
+  val d12Sql: String = graft.relational.Queries.eventFunnelSql
+
   // --------------------------------------------------------------- D10
   /** Streaming KMV distinct sketch (complete mode): after the replay the
     * sink holds one ≤k bottom-k buffer per event_type; the estimator
@@ -346,7 +370,8 @@ object StreamingQueries {
     "d8_stream_upsert" -> (d8StreamUpsert _),
     "d9_stream_sessions_native" -> (d9StreamSessionsNative _),
     "d10_stream_distinct_sketch" -> (d10StreamDistinctSketch _),
-    "d11_stream_asof" -> (d11StreamAsof _))
+    "d11_stream_asof" -> (d11StreamAsof _),
+    "d12_stream_funnel" -> (d12StreamFunnel _))
 
   val oracles: Map[String, String] = Map(
     "d1_stream_windowed" -> d1Sql,
@@ -359,5 +384,6 @@ object StreamingQueries {
     "d8_stream_upsert" -> d8Sql,
     "d9_stream_sessions_native" -> d9Sql,
     "d10_stream_distinct_sketch" -> d10Sql,
-    "d11_stream_asof" -> d11Sql)
+    "d11_stream_asof" -> d11Sql,
+    "d12_stream_funnel" -> d12Sql)
 }

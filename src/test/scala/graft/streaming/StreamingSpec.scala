@@ -221,6 +221,66 @@ class StreamingSpec extends SparkTestBase {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("D12 streaming funnel == batch B19 after the replay, including a two-batch split") {
+    // one-shot replay equals the batch funnel
+    val stream = StreamingOps.eventsStream(spark, sf, stagedDir)
+    def finalize(sunk: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("depth").desc)
+      val fin = sunk.withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rk") === 1).drop("rk")
+      Tables.eventsWithUs(spark, sf).select("user_id").distinct()
+        .join(fin, Seq("user_id"), "left")
+        .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
+          org.apache.spark.sql.functions.coalesce(col("depth"), lit(0L)).as("depth"))
+    }
+    val got = finalize(
+      runToMemory(StreamingOps.funnelState(stream).toDF(), "d12_funnel", "append"))
+    val want = Queries.eventFunnel(spark, sf)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+
+    // time-split two-batch replay: a user whose later funnel steps land
+    // in batch 2 can only advance through the checkpointed (t1,t2,t3)
+    // state — pin that the carried state completes the chain
+    val evUs = Tables.eventsWithUs(spark, sf)
+    // cut inside the widest t1→t2 gap of a depth≥2 user, so batch 1
+    // carries that user's t1 and batch 2 must finish the chain from
+    // checkpointed state (a global-median cut can miss every funnel)
+    val gapRow = want.filter(col("t2_us").isNotNull)
+      .orderBy((col("t2_us") - col("t1_us")).desc).head
+    val cut = (gapRow.getAs[Long]("t1_us") + gapRow.getAs[Long]("t2_us")) / 2
+    val crossUsers = want.filter(col("t1_us") <= cut
+      && (col("t2_us") > cut || col("t3_us") > cut)).count()
+    assert(crossUsers > 0, "split must create cross-batch funnel advances")
+    val srcDir = Files.createTempDirectory("d12-src")
+    val outDir = Files.createTempDirectory("d12-out").toString
+    val ckpt = Files.createTempDirectory("d12-ckpt").toString
+    val cols = Tables(spark, sf, "events").columns.map(col)
+    def run(): Unit = {
+      val q = StreamingOps.funnelState(
+          StreamingOps.eventsStream(spark, sf, srcDir.toString)).toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"d12-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, srcDir.resolve(s"$name.parquet"))
+    }
+    stage(evUs.filter(col("us") <= cut).select(cols: _*), "b1")
+    run()
+    stage(evUs.filter(col("us") > cut).select(cols: _*), "b2")
+    run()
+    val gotSplit = finalize(spark.read.parquet(outDir))
+    assert(gotSplit.exceptAll(want).count() == 0
+      && want.exceptAll(gotSplit).count() == 0)
+  }
+
   test("D11 never attributes a click AFTER the error under cross-batch disorder") {
     // batch 1 carries user 1's click at t=100s; batch 2 delivers a LATE
     // error at t=50s. The carried state postdates the error — emitting
