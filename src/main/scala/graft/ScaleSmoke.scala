@@ -233,6 +233,27 @@ object ScaleSmoke {
       f"newClusterIds=${incFrame._1} maxTaskMs=$incMaxMs meanTaskMs=$incMeanMs " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")
 
+    // --- B21 salted join under hot-key skew: ONE user owns 50% of the
+    // event fact. A plain shuffle join lands every hot row on one
+    // reducer (a 5M-row straggler at this size, unbounded at 100 TB);
+    // ScaleOps.saltedJoin spreads the hot key over SaltBuckets reducers,
+    // so max task ≈ mean. This drives the same saltedJoin code path as
+    // the b21 driver query.
+    t0 = System.nanoTime()
+    val nSj = nCells * 5L
+    val sjFact = spark.range(nSj).select(
+      when(col("id") % 2L === 0L, 0L).otherwise(col("id") % 100003L).as("user_id"),
+      (col("id") % 7L).as("etype"), (col("id") % 1000L).as("value_c"))
+    val sjDim = spark.range(100003L).select(col("id").as("user_id"),
+      (col("id") % 50L + 1L).as("n_orders"))
+    val (sjGroups, sjMaxMs, sjMeanMs) = withMaxTask(
+      graft.scale.ScaleOps.saltedJoin(sjFact, sjDim.hint("shuffle_hash"), "user_id",
+          graft.relational.Queries.SaltBuckets, "left")
+        .groupBy("etype").agg(count(lit(1)).as("n"), sum("n_orders").as("s"))
+        .count())
+    println(f"SCALE saltedJoin events=$nSj hotUserShare=0.5 groups=$sjGroups " +
+      f"maxTaskMs=$sjMaxMs meanTaskMs=$sjMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
     // --- tilerange generation throughput: a 100M-tile bbox fully
     // generated and aggregated (count + coordinate checksum) through
     // the DSv2 reader; the closed-form COUNT path is spec-proven

@@ -40,7 +40,9 @@ object SparkEntry {
     "b16_big_orders" -> (Queries.bigOrders _),
     "b17_session_window" -> (Queries.sessionWindow _),
     "b18_pivot_revenue" -> (Queries.pivotRevenue _),
-    "b19_event_funnel" -> (Queries.eventFunnel _)
+    "b19_event_funnel" -> (Queries.eventFunnel _),
+    "b20_cube_revenue" -> (Queries.cubeRevenue _),
+    "b21_salted_enrich" -> (Queries.saltedEnrich _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -69,6 +71,8 @@ object SparkEntry {
     "b16_big_orders" -> Queries.bigOrdersSql,
     "b17_session_window" -> Queries.sessionWindowSql,
     "b18_pivot_revenue" -> Queries.pivotRevenueSql,
-    "b19_event_funnel" -> Queries.eventFunnelSql
+    "b19_event_funnel" -> Queries.eventFunnelSql,
+    "b20_cube_revenue" -> Queries.cubeRevenueSql,
+    "b21_salted_enrich" -> Queries.saltedEnrichSql
   )
 }

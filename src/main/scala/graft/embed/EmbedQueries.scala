@@ -644,6 +644,66 @@ object EmbedQueries {
        |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C46
+  /** Mutual-kNN graph size — k for the C46 neighbor graph (small by
+    * design: mutual-kNN graphs for clustering/diversity analysis use
+    * k ≈ 5–15).
+    */
+  val KnnK = 5
+
+  /** C46: approximate mutual-kNN graph over the corpus — the backbone of
+    * graph-based diversity sampling and semantic clustering (an edge
+    * (a,b) exists iff b is in a's top-k AND a is in b's top-k). Building
+    * an EXACT kNN graph is inherently O(N²) in compute; the scale path
+    * (this one) restricts candidates to C11's LSH bucket mates, so the
+    * corpus buckets in one map-side pass, candidates meet in a shuffled
+    * hash equi-join on the bucket id, and the per-vector top-k is a
+    * window over bucket-mates only — no all-pairs anywhere. The mutual
+    * filter is a self-equi-join of the directed top-k edge list on the
+    * reversed key: O(k·N) rows on both sides. Output carries the rank in
+    * each direction (rnk_ab/rnk_ba), the signal diversity samplers
+    * weight by.
+    */
+  def c46KnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorms(spark, dir).withColumn("bucket", bucketCol(col("embedding")))
+    val l = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("n2").as("na"), col("bucket"))
+    val r = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("n2").as("nb"), col("bucket"))
+    val w = Window.partitionBy("vec_a").orderBy(col("cos").desc, col("vec_b"))
+    val directed = l.join(r, "bucket").filter(col("vec_a") =!= col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosine(dot(col("ea"), col("eb")), col("na"), col("nb")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= KnnK)
+    val rev = directed.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b"),
+      col("rnk").as("rnk_ba"))
+    directed.join(rev, Seq("vec_a", "vec_b"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("cos"),
+        col("rnk").as("rnk_ab"), col("rnk_ba"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  lazy val c46Sql: String =
+    s"""WITH $normsCte,
+       |bucketed AS (SELECT vec_id, embedding, n2,
+       |  CAST(${bucketSql("embedding")} AS BIGINT) AS bucket FROM norms),
+       |d AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    round(${dotSql("a.embedding", "b.embedding")} / sqrt(a.n2 * b.n2), 6) AS cos
+       |  FROM bucketed a JOIN bucketed b
+       |    ON b.bucket = a.bucket AND b.vec_id <> a.vec_id),
+       |t AS (
+       |  SELECT vec_a, vec_b, cos, rnk FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b) AS rnk
+       |    FROM d) WHERE rnk <= $KnnK)
+       |SELECT t1.vec_a, t1.vec_b, t1.cos, t1.rnk AS rnk_ab, t2.rnk AS rnk_ba
+       |FROM t t1 JOIN t t2 ON t2.vec_a = t1.vec_b AND t2.vec_b = t1.vec_a
+       |WHERE t1.vec_a < t1.vec_b
+       |ORDER BY t1.vec_a, t1.vec_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c9_cosine_pairs" -> (c9CosinePairs _),
     "c10_ann_bruteforce" -> (c10AnnBruteforce _),
@@ -654,7 +714,8 @@ object EmbedQueries {
     "c28_vector_quantize" -> (c28VectorQuantize _),
     "c39_pq_codes" -> (c39PqCodes _),
     "c41_ann_recall" -> (c41AnnRecall _),
-    "c42_mrl_recall" -> (c42MrlRecall _))
+    "c42_mrl_recall" -> (c42MrlRecall _),
+    "c46_knn_graph" -> (c46KnnGraph _))
 
   val oracles: Map[String, String] = Map(
     "c9_cosine_pairs" -> c9Sql,
@@ -666,5 +727,6 @@ object EmbedQueries {
     "c28_vector_quantize" -> c28Sql,
     "c39_pq_codes" -> c39Sql,
     "c41_ann_recall" -> c41Sql,
-    "c42_mrl_recall" -> c42Sql)
+    "c42_mrl_recall" -> c42Sql,
+    "c46_knn_graph" -> c46Sql)
 }

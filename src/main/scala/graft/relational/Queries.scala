@@ -748,6 +748,114 @@ object Queries {
        |LEFT JOIN t3 USING (user_id)
        |ORDER BY user_id""".stripMargin
 
+  /** B20: CUBE revenue — order count and revenue over every subset of
+    * (order year, customer region): per (year, region), per year, per
+    * region, and the grand total, each tagged by `grouping_id`. The
+    * cube is computed in ONE pass: Spark expands each input row to its
+    * 2^d grouping combinations map-side and partial-aggregates before
+    * the single shuffle, so the cost over a plain group-by is the ×4
+    * map-side expansion on ALREADY-REDUCED combiners, not 4 scans of
+    * the fact. Region arrives via custkey → nationkey → regionkey;
+    * nation and region are broadcast (25/5 rows), customer is the one
+    * shuffled join — on the same o_custkey key at any scale.
+    */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), year(col("o_orderdate")).cast("long").as("o_year"),
+        cents(col("o_totalprice")).as("price_c"))
+    val c = Tables(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables(spark, dir, "nation").select(col("n_nationkey"), col("n_regionkey"))
+    val r = Tables(spark, dir, "region").select(col("r_regionkey"), col("r_name"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("o_year").as("yr"), col("r_name").as("reg"), col("price_c"))
+      // unresolved expr() grouping columns: cube("yr","reg") resolves the
+      // strings against the Dataset, which tags them with dataset-id
+      // metadata and trips the ambiguous-self-join check on any
+      // join-derived frame (the cube Expand re-emits its child lineage)
+      .cube(expr("yr"), expr("reg"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+        sum("price_c").as("sum_price_c"))
+      .selectExpr("gid", "coalesce(yr, -1L) AS o_year",
+        "coalesce(reg, 'ALL') AS r_name", "n_orders", "sum_price_c")
+      .orderBy("gid", "o_year", "r_name")
+  }
+
+  val cubeRevenueSql: String =
+    """SELECT 2 * GROUPING(o_year) + GROUPING(r_name) AS gid,
+      |  COALESCE(o_year, -1) AS o_year,
+      |  COALESCE(r_name, 'ALL') AS r_name,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, r.r_name,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS price_c
+      |  FROM orders o
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  JOIN region r ON r.r_regionkey = n.n_regionkey
+      |)
+      |GROUP BY CUBE (o_year, r_name)
+      |ORDER BY gid, o_year, r_name""".stripMargin
+
+  /** B21 salt fan-out — how many reducers a hot user's events spread
+    * over. 8 is plenty for the demo; a production job sizes it to
+    * (hottest key rows) / (target task rows).
+    */
+  val SaltBuckets = 8
+
+  /** B21: skew-salted event enrichment — every event joined to its
+    * user's order-history profile (order count + lifetime spend from
+    * `orders`), rolled up per event type. The events fact is skewed on
+    * user_id (a handful of power users own a large share of rows), and
+    * the profile dim is too big to broadcast at 100 TB — the classic
+    * straggler setup where one reducer gets the hot key's entire
+    * partition. The join runs through [[graft.scale.ScaleOps.saltedJoin]]:
+    * the fact side gets a deterministic hash salt in [0, SaltBuckets),
+    * the dim side replicates SaltBuckets-fold, and the equi-join key
+    * becomes (user_id, salt) — row-identical to the plain join (the
+    * oracle IS the plain join) while the hot user's rows spread over
+    * SaltBuckets reducers. The dim carries a shuffle_hash hint so the
+    * demo exercises the salted SHUFFLE path even at test scale where
+    * Catalyst would otherwise broadcast the small dim away.
+    */
+  def saltedEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), cents(col("value")).as("value_c"))
+    val dim = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("spend_c"))
+    graft.scale.ScaleOps
+      .saltedJoin(fact, dim.hint("shuffle_hash"), "user_id", SaltBuckets, "left")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("n_orders").isNotNull, 1L).otherwise(0L)).as("n_with_history"),
+        sum("value_c").as("sum_value_c"),
+        sum(coalesce(col("n_orders"), lit(0L))).as("sum_orders"),
+        sum(coalesce(col("spend_c"), lit(0L))).as("sum_spend_c"))
+      .orderBy("event_type")
+  }
+
+  val saltedEnrichSql: String =
+    """WITH f AS (
+      |  SELECT user_id, event_type,
+      |    CAST(ROUND(value * 100.0) AS BIGINT) AS value_c
+      |  FROM events
+      |), d AS (
+      |  SELECT o_custkey AS user_id, COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS spend_c
+      |  FROM orders GROUP BY o_custkey
+      |)
+      |SELECT f.event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN d.n_orders IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_history,
+      |  CAST(SUM(f.value_c) AS BIGINT) AS sum_value_c,
+      |  CAST(SUM(COALESCE(d.n_orders, 0)) AS BIGINT) AS sum_orders,
+      |  CAST(SUM(COALESCE(d.spend_c, 0)) AS BIGINT) AS sum_spend_c
+      |FROM f LEFT JOIN d USING (user_id)
+      |GROUP BY f.event_type
+      |ORDER BY f.event_type""".stripMargin
+
   /** B15 sketch parameters: bottom-k size and the hash range (Mersenne
     * prime 2^31−1; the affine multiplier is the Knuth constant already
     * used for the testdata score derivation, SURVEY.md §4).

@@ -359,6 +359,26 @@ object StreamingQueries {
        |FROM sk ORDER BY event_type""".stripMargin
   }
 
+  // --------------------------------------------------------------- D13
+  /** Streaming quality gate: the STATELESS slice of the batch gate
+    * ([[graft.text.TextQueries.gateCols]] — C3's stopword/length score
+    * plus the too-short/low-quality verdict, no cross-document state)
+    * applied to the documents stream in append mode. This is the
+    * ingest-time filter a production curation pipeline runs as data
+    * lands, hours before the stateful dedup passes; sharing the exact
+    * column definitions with the batch gate means the two can never
+    * drift. Stateless ⇒ no watermark, no state store, every micro-batch
+    * emits immediately at any scale.
+    */
+  def d13StreamGate(spark: SparkSession, sfDir: String): DataFrame =
+    runToTable(
+        graft.text.TextQueries.gateCols(
+          StreamingOps.docsStream(spark, sfDir, staged(spark, sfDir, "documents"))),
+        "graft_d13_sink", "append")
+      .orderBy("doc_id")
+
+  val d13Sql: String = graft.text.TextQueries.gateColsSql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_stream_windowed" -> (d1StreamWindowed _),
     "d2_stream_dedup" -> (d2StreamDedup _),
@@ -371,7 +391,8 @@ object StreamingQueries {
     "d9_stream_sessions_native" -> (d9StreamSessionsNative _),
     "d10_stream_distinct_sketch" -> (d10StreamDistinctSketch _),
     "d11_stream_asof" -> (d11StreamAsof _),
-    "d12_stream_funnel" -> (d12StreamFunnel _))
+    "d12_stream_funnel" -> (d12StreamFunnel _),
+    "d13_stream_gate" -> (d13StreamGate _))
 
   val oracles: Map[String, String] = Map(
     "d1_stream_windowed" -> d1Sql,
@@ -385,5 +406,6 @@ object StreamingQueries {
     "d9_stream_sessions_native" -> d9Sql,
     "d10_stream_distinct_sketch" -> d10Sql,
     "d11_stream_asof" -> d11Sql,
-    "d12_stream_funnel" -> d12Sql)
+    "d12_stream_funnel" -> d12Sql,
+    "d13_stream_gate" -> d13Sql)
 }

@@ -1032,6 +1032,263 @@ object TextQueries {
        |GROUP BY s.doc_id
        |ORDER BY s.doc_id""".stripMargin
 
+  /** Stateless quality-gate columns on any (doc_id, text, n_chars)
+    * frame — the subset of C36's gate that needs no cross-document
+    * state (C3's stopword/length score, no C26 repetition join), so it
+    * applies verbatim to a STREAMING documents frame (D13). One shared
+    * definition keeps the batch and stream gates from drifting.
+    */
+  def gateCols(d: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    d.select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => t.isin(Stopwords: _*))).cast("long").as("stop_cnt"))
+      .withColumn("quality_micro",
+        expr("(stop_cnt * 300000) div n_tokens + least(n_tokens, 200) * 3500"))
+      .withColumn("reason",
+        when(col("n_tokens") < MinGateTokens, "too_short")
+          .when(col("quality_micro") < MinQualityMicro, "low_quality")
+          .otherwise("ok"))
+      .withColumn("keep", col("reason") === "ok")
+      .select("doc_id", "n_tokens", "quality_micro", "keep", "reason")
+  }
+
+  /** The SQL twin of [[gateCols]] (shared by the D13 oracle). Lazy:
+    * interpolates gate constants declared further down the object body
+    * (a strict val would capture their pre-init zeros).
+    */
+  lazy val gateColsSql: String = {
+    val stops = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS BIGINT) AS stop_cnt
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, n_tokens,
+       |    (stop_cnt * 300000) // n_tokens + least(n_tokens, 200) * 3500 AS quality_micro
+       |  FROM f
+       |), r AS (
+       |  SELECT doc_id, n_tokens, quality_micro,
+       |    CASE WHEN n_tokens < $MinGateTokens THEN 'too_short'
+       |         WHEN quality_micro < $MinQualityMicro THEN 'low_quality'
+       |         ELSE 'ok' END AS reason
+       |  FROM g
+       |)
+       |SELECT doc_id, n_tokens, quality_micro, reason = 'ok' AS keep, reason
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- C43
+  /** C43: DSIR-style importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how target-like its hashed-unigram distribution
+    * is. Features are unigrams hashed into [[DsirBuckets]] buckets; the
+    * target domain is the `lang = 'en'` slice (a stand-in for the
+    * high-quality corpus DSIR resamples toward); each bucket gets an
+    * add-one-smoothed probability ratio p_target(b)/p_raw(b) and a
+    * document scores the mean ratio over its tokens. DSIR proper works
+    * in log space with doubles; here the ratio stays in exact integer
+    * micro-units (one integer division per bucket) so the oracle
+    * hash-matches — the ranking is identical for a monotone transform.
+    *
+    * Scale shape: token explode is scan-stage; the two bucket
+    * histograms are partial aggs onto [[DsirBuckets]] groups (map-side
+    * combine does almost all the work); the ratio table is ≤256 rows —
+    * broadcast — so the per-doc scoring join adds NO shuffle beyond the
+    * final doc_id agg. The corpus is read once.
+    */
+  val DsirBuckets = 256
+
+  def c43DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), col("lang"),
+        pmod(tokenHash(col("w")), lit(DsirBuckets.toLong)).as("b"))
+    val raw = toks.groupBy("b").agg(count(lit(1)).as("raw_cnt"))
+    val tgt = toks.filter(col("lang") === "en").groupBy("b")
+      .agg(count(lit(1)).as("tgt_cnt"))
+    val totals = toks.agg(count(lit(1)).as("raw_total"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt_total"))
+    val ratio = raw.join(tgt, Seq("b"), "left")
+      .withColumn("tgt_cnt", coalesce(col("tgt_cnt"), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .select(col("b"), expr(
+        s"((tgt_cnt + 1) * (raw_total + $DsirBuckets) * 1000000) div " +
+          s"((raw_cnt + 1) * (tgt_total + $DsirBuckets))").as("ratio_micro"))
+    toks.join(broadcast(ratio), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("ratio_micro").as("sum_ratio_micro"))
+      .withColumn("dsir_micro", expr("sum_ratio_micro div n_toks"))
+      .orderBy("doc_id")
+  }
+
+  val c43Sql: String =
+    s"""WITH tb AS (
+       |  SELECT doc_id, lang, ${tokenHashSql("w")} % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS w FROM documents)
+       |), raw AS (SELECT b, COUNT(*) AS raw_cnt FROM tb GROUP BY b),
+       |tgt AS (SELECT b, COUNT(*) AS tgt_cnt FROM tb WHERE lang = 'en' GROUP BY b),
+       |tot AS (
+       |  SELECT COUNT(*) AS raw_total,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tgt_total
+       |  FROM tb
+       |), ratio AS (
+       |  SELECT b, ((COALESCE(tgt_cnt, 0) + 1) * (raw_total + $DsirBuckets) * 1000000)
+       |    // ((raw_cnt + 1) * (tgt_total + $DsirBuckets)) AS ratio_micro
+       |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot
+       |)
+       |SELECT doc_id, COUNT(*) AS n_toks,
+       |  CAST(SUM(ratio_micro) AS BIGINT) AS sum_ratio_micro,
+       |  CAST(SUM(ratio_micro) AS BIGINT) // COUNT(*) AS dsir_micro
+       |FROM tb JOIN ratio USING (b)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- C44
+  /** C44: sliding-window chunking with overlap — the RAG/embedding prep
+    * step that splits each document into [[ChunkTokens]]-token windows
+    * advancing by [[ChunkStride]] (so consecutive chunks share
+    * ChunkTokens − ChunkStride tokens of context). Each chunk carries
+    * its running fingerprint (the C5/C29 polynomial fold over token
+    * hashes) so downstream chunk-level dedup joins on an 8-byte key,
+    * never the text. Entirely scan-stage: sequence + slice + fold are
+    * per-row array math, no shuffle until the final ORDER BY (which
+    * exists only for the oracle compare — a pipeline would write the
+    * chunks partitioned as produced).
+    */
+  val ChunkTokens = 32
+  val ChunkStride = 24
+
+  def c44ChunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")), lit(ChunkStride))).as("start_tok"))
+      .select(col("doc_id"),
+        ((col("start_tok") - 1) / lit(ChunkStride)).cast("long").as("chunk_idx"),
+        col("start_tok").cast("long"),
+        slice(col("toks"), col("start_tok"), lit(ChunkTokens)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("chunk")).cast("long").as("n_tok"),
+        aggregate(transform(col("chunk"), tokenHash _), lit(0L),
+          (acc, h) => (acc * lit(FpB) + h) % lit(FpM)).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val c44Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), s AS (
+       |  SELECT doc_id, (u.s - 1) // $ChunkStride AS chunk_idx,
+       |    CAST(u.s AS BIGINT) AS start_tok,
+       |    toks[u.s:(u.s + ${ChunkTokens - 1})] AS chunk
+       |  FROM t, UNNEST(range(1, len(toks) + 1, $ChunkStride)) AS u(s)
+       |)
+       |SELECT doc_id, chunk_idx, start_tok,
+       |  CAST(len(chunk) AS BIGINT) AS n_tok,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(chunk, w -> ${tokenHashSql("w")})),
+       |    (acc, h) -> (acc * $FpB + h) % $FpM) AS chunk_hash
+       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------- C45
+  /** C45: character-distribution stats — the float-free entropy
+    * surrogate for spotting binary junk / repeated-glyph spam that
+    * token-level signals (C3, C26) miss. Per document: character count,
+    * distinct characters, the dominant character's count, and the Rényi-2
+    * collision rate Σ cnt² · 10⁶ div n² (the probability two random
+    * positions hold the same glyph — low for natural text, → 10⁶ for
+    * one-glyph spam; monotone in Rényi entropy, so thresholds translate,
+    * and unlike Shannon entropy it needs no log and hash-matches
+    * exactly). Shape: char explode is scan-stage, the (doc, char)
+    * partial agg collapses to ≤ alphabet rows per doc before the
+    * doc-level agg — shuffle is O(docs · alphabet), not O(chars).
+    */
+  def c45CharStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_ch"),
+        count(lit(1)).as("n_distinct_chars"),
+        max("cnt").as("top_char_cnt"),
+        sum(col("cnt") * col("cnt")).as("sum_sq"))
+      .select(col("doc_id"), col("n_ch"), col("n_distinct_chars"),
+        col("top_char_cnt"),
+        expr("sum_sq * 1000000 div (n_ch * n_ch)").as("collision_micro"))
+      .orderBy("doc_id")
+
+  val c45Sql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, UNNEST(string_split(text, '')) AS ch FROM documents
+      |), c AS (
+      |  SELECT doc_id, ch, COUNT(*) AS cnt FROM ch GROUP BY doc_id, ch
+      |)
+      |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_ch,
+      |  COUNT(*) AS n_distinct_chars,
+      |  CAST(MAX(cnt) AS BIGINT) AS top_char_cnt,
+      |  CAST(SUM(cnt * cnt) AS BIGINT) * 1000000
+      |    // (CAST(SUM(cnt) AS BIGINT) * CAST(SUM(cnt) AS BIGINT)) AS collision_micro
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- C47
+  /** C47: phrase mining — word2vec's phrase-detection score
+    * (Mikolov et al. 2013: `(count(ab) − δ) · N / (count(a)·count(b))`)
+    * over corpus bigrams, the pass that discovers "new york"-style
+    * collocations to merge into single tokens before embedding
+    * training. δ discounts rare accidents; the score stays in exact
+    * integer micro-units (one integer division, no log), which
+    * preserves the ranking and hash-matches any engine. Scale shape:
+    * bigram and unigram counts are two partial aggs over the same
+    * scan-stage token stream; the score join is bigram⋈unigram on w1
+    * then w2 (equi-joins on token keys); the final top-k is a
+    * TakeOrdered over the few candidates that survive the min-count
+    * filter, never a global sort of the corpus.
+    */
+  val PhraseDelta = 2L
+  val PhraseMinCount = 3L
+  val PhraseTopK = 30
+
+  def c47PhraseMining(spark: SparkSession, dir: String): DataFrame = {
+    val uniAll = Tables(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val totals = uniAll.agg(sum("n_w").as("n_total"))
+    val pairs = bigramPairs(spark, dir)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= PhraseMinCount)
+    pairs
+      .join(uniAll.select(col("w").as("w1"), col("n_w").as("n_w1")), "w1")
+      .join(uniAll.select(col("w").as("w2"), col("n_w").as("n_w2")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+        expr(s"(n_pair - $PhraseDelta) * n_total * 1000000 div (n_w1 * n_w2)")
+          .as("score_micro"))
+      .orderBy(col("score_micro").desc, col("w1"), col("w2"))
+      .limit(PhraseTopK)
+  }
+
+  val c47Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+       |    UNNEST(string_split(text, ' ')) AS w
+       |  FROM documents
+       |), uni AS (SELECT w, COUNT(*) AS n_w FROM toks GROUP BY w),
+       |tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_total FROM uni),
+       |adj AS (
+       |  SELECT doc_id, w AS w1, LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       |  FROM toks
+       |), pairs AS (
+       |  SELECT w1, w2, COUNT(*) AS n_pair FROM adj WHERE w2 IS NOT NULL
+       |  GROUP BY w1, w2 HAVING COUNT(*) >= $PhraseMinCount
+       |)
+       |SELECT p.w1, p.w2, p.n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+       |  (p.n_pair - $PhraseDelta) * n_total * 1000000 // (u1.n_w * u2.n_w) AS score_micro
+       |FROM pairs p
+       |JOIN uni u1 ON u1.w = p.w1
+       |JOIN uni u2 ON u2.w = p.w2
+       |CROSS JOIN tot
+       |ORDER BY score_micro DESC, p.w1, p.w2
+       |LIMIT $PhraseTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_exact" -> (c1DedupExact _),
     "c2_token_count" -> (c2TokenCount _),
@@ -1055,7 +1312,11 @@ object TextQueries {
     "c36_quality_gate" -> (c36QualityGate _),
     "c37_winnowing" -> (c37Winnowing _),
     "c38_gram_novelty" -> (c38GramNovelty _),
-    "c40_segment_dedup" -> (c40SegmentDedup _))
+    "c40_segment_dedup" -> (c40SegmentDedup _),
+    "c43_dsir_weights" -> (c43DsirWeights _),
+    "c44_chunk_overlap" -> (c44ChunkOverlap _),
+    "c45_char_stats" -> (c45CharStats _),
+    "c47_phrase_mining" -> (c47PhraseMining _))
 
   val oracles: Map[String, String] = Map(
     "c1_dedup_exact" -> c1Sql,
@@ -1080,5 +1341,9 @@ object TextQueries {
     "c36_quality_gate" -> c36Sql,
     "c37_winnowing" -> c37Sql,
     "c38_gram_novelty" -> c38Sql,
-    "c40_segment_dedup" -> c40Sql)
+    "c40_segment_dedup" -> c40Sql,
+    "c43_dsir_weights" -> c43Sql,
+    "c44_chunk_overlap" -> c44Sql,
+    "c45_char_stats" -> c45Sql,
+    "c47_phrase_mining" -> c47Sql)
 }

@@ -23,6 +23,9 @@ class PlanContractSpec extends SparkTestBase {
     "a18_stitch_plan", "a31_incremental_cluster",
     "b13_no_order_customers", "c10_ann_bruteforce", "c18_ann_ivf",
     "c21_tfidf_topk", "c30_domain_mix",
+    // c43 crosses the 1-row (raw_total, tgt_total) aggregate into the
+    // 256-row ratio table — both sides bounded constants
+    "c43_dsir_weights",
     // c41/c42 embed the c10 probe-broadcast as their ground-truth side
     "c41_ann_recall", "c42_mrl_recall")
 

@@ -115,4 +115,18 @@ class MultimodalSpec extends SparkTestBase {
       .filter(col("ca") =!= col("cb"))
     assert(split.count() == 0)
   }
+
+  test("c46 mutual-kNN graph: symmetric by construction, ranks within k, no self-loops") {
+    val g = EmbedQueries.c46KnnGraph(spark, sf)
+    assert(g.count() > 0)
+    assert(g.filter(col("vec_a") >= col("vec_b")).count() == 0)
+    assert(g.filter(col("rnk_ab") < 1 || col("rnk_ab") > EmbedQueries.KnnK ||
+      col("rnk_ba") < 1 || col("rnk_ba") > EmbedQueries.KnnK).count() == 0)
+    assert(g.filter(col("cos") < -1 || col("cos") > 1).count() == 0)
+    // mutuality is strictly rarer than one-directional kNN: the edge
+    // count is bounded by k·N/2 (each vector contributes ≤ k directed
+    // edges, an undirected edge consumes two)
+    val n = Tables(spark, sf, "embeddings").count()
+    assert(g.count() <= EmbedQueries.KnnK * n / 2)
+  }
 }

@@ -172,4 +172,42 @@ class RelationalSpec extends SparkTestBase {
     assert(got.count() == naive.count())
     assert(got.exceptAll(naive).count() == 0 && naive.exceptAll(got).count() == 0)
   }
+
+  test("b20 cube: all four grouping sets present, each slice sums to the grand total") {
+    val r = Queries.cubeRevenue(spark, sf)
+    val nOrders = Tables(spark, sf, "orders").count()
+    // gid 0 = (year, region), 1 = year only, 2 = region only, 3 = total
+    assert(r.select("gid").distinct().count() == 4)
+    val byGid = r.groupBy("gid").agg(sum("n_orders").as("n"), sum("sum_price_c").as("s"))
+      .collect().map(row => row.getAs[Long]("gid") -> (row.getAs[Long]("n"), row.getAs[Long]("s"))).toMap
+    // every grouping set partitions the same fact rows
+    assert(byGid.values.map(_._1).toSet == Set(nOrders))
+    assert(byGid.values.map(_._2).toSet.size == 1)
+    // grand total is a single row with both dims collapsed
+    assert(r.filter(col("gid") === 3).count() == 1)
+    assert(r.filter(col("gid") === 3 && (col("o_year") =!= -1 || col("r_name") =!= "ALL")).count() == 0)
+  }
+
+  test("b21 salted enrich equals the plain unsalted join, and the dim is not broadcast") {
+    val r = Queries.saltedEnrich(spark, sf)
+    // plain-join reference computed inline (the oracle's shape)
+    val cents = (c: org.apache.spark.sql.Column) => round(c * lit(100.0), 0).cast("long")
+    val fact = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), cents(col("value")).as("value_c"))
+    val dim = Tables(spark, sf, "orders")
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("spend_c"))
+    val plain = fact.join(dim, Seq("user_id"), "left")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("n_orders").isNotNull, 1L).otherwise(0L)).as("n_with_history"),
+        sum("value_c").as("sum_value_c"),
+        sum(coalesce(col("n_orders"), lit(0L))).as("sum_orders"),
+        sum(coalesce(col("spend_c"), lit(0L))).as("sum_spend_c"))
+    assert(r.exceptAll(plain).count() == 0 && plain.exceptAll(r).count() == 0)
+    // the de-skew demo must exercise the SHUFFLE path: no broadcast join
+    // of the salted dim even though it is tiny at test scale
+    val plan = Queries.saltedEnrich(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), "salted dim was broadcast — hint lost")
+  }
 }

@@ -340,4 +340,17 @@ class StreamingSpec extends SparkTestBase {
     val want = StreamingOps.vocabCounts(Tables(spark, sf, "documents"))
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
+
+  test("D13 streaming quality gate == the batch gate columns on the same corpus") {
+    val docsDir = StreamingOps.stageTableDir(spark, sf, "documents")
+    val got = runToMemory(
+      graft.text.TextQueries.gateCols(StreamingOps.docsStream(spark, sf, docsDir)),
+      "d13_gate", "append")
+    val want = graft.text.TextQueries.gateCols(Tables(spark, sf, "documents"))
+    assert(got.count() == Tables(spark, sf, "documents").count())
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // the gate fires both ways on this corpus (a vacuous gate proves nothing)
+    assert(got.filter(col("keep")).count() > 0)
+    assert(got.filter(!col("keep")).count() > 0)
+  }
 }

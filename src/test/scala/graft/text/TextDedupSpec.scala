@@ -306,4 +306,73 @@ class DedupQueriesSpec extends SparkTestBase {
     // a strict prefix always has fewer tokens than its host
     assert(got.filter(col("dup_tokens") >= col("host_tokens")).count() == 0)
   }
+
+  test("c43 DSIR: every doc scored, ratios positive, en docs average higher") {
+    val r = TextQueries.c43DsirWeights(spark, sf)
+    val docs = Tables(spark, sf, "documents")
+    assert(r.count() == docs.count())
+    assert(r.filter(col("dsir_micro") <= 0).count() == 0)
+    // token conservation: summed n_toks equals the corpus token count
+    val totTok = docs.select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    assert(r.select(sum("n_toks")).head.getLong(0) == totTok)
+    // the target domain must score above the rest on average (that is
+    // the whole point of importance weighting toward it)
+    val withLang = r.join(docs.select("doc_id", "lang"), "doc_id")
+    val avg = withLang.groupBy(col("lang") === "en")
+      .agg((sum("sum_ratio_micro") / sum("n_toks")).as("a"))
+      .collect().map(x => x.getBoolean(0) -> x.getDouble(1)).toMap
+    assert(avg(true) > avg(false))
+  }
+
+  test("c44 chunking: stride-spaced starts, full coverage, hash matches a rehash") {
+    val r = TextQueries.c44ChunkOverlap(spark, sf)
+    val ct = TextQueries.ChunkTokens
+    val st = TextQueries.ChunkStride
+    assert(r.filter(col("start_tok") =!= col("chunk_idx") * st + 1).count() == 0)
+    assert(r.filter(col("n_tok") < 1 || col("n_tok") > ct).count() == 0)
+    // coverage: per doc, the max chunk reaches the last token and chunk
+    // idxs are contiguous from 0
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    val per = r.groupBy("doc_id").agg(
+      max(col("start_tok") + col("n_tok") - 1).as("covered"),
+      count(lit(1)).as("n_chunks"), max("chunk_idx").as("max_idx"))
+      .join(docs, "doc_id")
+    assert(per.filter(col("covered") =!= col("n")).count() == 0)
+    assert(per.filter(col("max_idx") =!= col("n_chunks") - 1).count() == 0)
+    // chunks overlap by ct - st tokens: consecutive starts differ by st
+    assert(st < ct)
+  }
+
+  test("c45 char stats: conservation vs length, collision bounds, spam extreme") {
+    val r = TextQueries.c45CharStats(spark, sf)
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val j = r.join(docs, "doc_id")
+    assert(j.filter(col("n_ch") =!= col("len")).count() == 0)
+    // collision rate is a probability in micro-units; bounded below by
+    // the uniform-distribution floor 1e6 / n_distinct
+    assert(r.filter(col("collision_micro") <= 0 || col("collision_micro") > 1000000L).count() == 0)
+    assert(r.filter(col("collision_micro") * col("n_distinct_chars") < 1000000L).count() == 0)
+    // dominant char never exceeds total, distinct never exceeds total
+    assert(r.filter(col("top_char_cnt") > col("n_ch") ||
+      col("n_distinct_chars") > col("n_ch")).count() == 0)
+  }
+
+  test("c47 phrase mining: top-k strictly ordered, counts consistent, scores positive") {
+    val r = TextQueries.c47PhraseMining(spark, sf).collect()
+    assert(r.nonEmpty && r.length <= TextQueries.PhraseTopK)
+    // descending score with (w1, w2) tie-break = a total order
+    val keys = r.map(x => (x.getAs[Long]("score_micro"), x.getAs[String]("w1"), x.getAs[String]("w2")))
+    keys.zip(keys.tail).foreach { case ((s1, a1, b1), (s2, a2, b2)) =>
+      assert(s1 > s2 || (s1 == s2 && (a1 < a2 || (a1 == a2 && b1 < b2))))
+    }
+    // a pair occurrence consumes one occurrence of each member
+    r.foreach { x =>
+      assert(x.getAs[Long]("n_pair") >= TextQueries.PhraseMinCount)
+      assert(x.getAs[Long]("n_pair") <= x.getAs[Long]("n_w1"))
+      assert(x.getAs[Long]("n_pair") <= x.getAs[Long]("n_w2"))
+      assert(x.getAs[Long]("score_micro") > 0)
+    }
+  }
 }
