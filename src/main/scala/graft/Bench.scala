@@ -83,6 +83,10 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"spill_mb_total":${(spillB.get - spillBase) / 1048576.0},"errors":$errs,"sf":"$sfDir"}"""
     println(json)
+    // ...and print the short summary LAST too: the driver's capture is a
+    // TAIL, so whatever it keeps must END with a complete JSON record —
+    // round 6's tail still cut the big line's head off (parsed: null)
+    println(summary)
     // also persist to a file: the driver's stdout capture has truncated
     // mid-line before, losing the totals — the file copy is authoritative
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")

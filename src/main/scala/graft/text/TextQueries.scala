@@ -70,6 +70,21 @@ object TextQueries {
     */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
 
+  /** THE composite quality score over (stop_cnt, n_tokens) — one
+    * formula string that C3, C36 (via [[gateCols]]) and the D13 stream
+    * gate all instantiate (Spark `div` / DuckDB `//` spelled via the
+    * placeholder), so the batch score, the batch gate and the
+    * ingest-time stream gate can never drift.
+    */
+  private[text] val QualityMicroFormula: String =
+    "(stop_cnt * 300000) {div} n_tokens + least(n_tokens, 200) * 3500"
+
+  private[text] def qualityMicro: Column =
+    expr(QualityMicroFormula.replace("{div}", "div"))
+
+  private[text] val QualityMicroSql: String =
+    QualityMicroFormula.replace("{div}", "//")
+
   def c3QualityScore(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("long")
@@ -83,8 +98,7 @@ object TextQueries {
       .withColumn("stop_ratio_micro", expr("(stop_cnt * 1000000) div n_tokens"))
       .withColumn("mean_token_len_micro",
         expr("((n_chars - n_tokens + 1) * 1000000) div n_tokens"))
-      .withColumn("quality_micro",
-        expr("(stop_cnt * 300000) div n_tokens + least(n_tokens, 200) * 3500"))
+      .withColumn("quality_micro", qualityMicro)
       .drop("n_chars")
       .orderBy("doc_id")
   }
@@ -101,7 +115,7 @@ object TextQueries {
        |SELECT doc_id, n_tokens, stop_cnt, punct_cnt,
        |  (stop_cnt * 1000000) // n_tokens AS stop_ratio_micro,
        |  ((n_chars - n_tokens + 1) * 1000000) // n_tokens AS mean_token_len_micro,
-       |  (stop_cnt * 300000) // n_tokens + least(n_tokens, 200) * 3500 AS quality_micro
+       |  $QualityMicroSql AS quality_micro
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
@@ -819,15 +833,16 @@ object TextQueries {
   val MinGateTokens = 10L
 
   def c36QualityGate(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir, "documents")
-      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
-    val q = c3QualityScore(spark, dir).select(col("doc_id"), col("quality_micro"))
+    // the stateless gate IS gateCols (the same frame D13 streams) —
+    // C36 only appends the one cross-document signal (C26 repetition)
+    // into the cascade, between low_quality and ok, so batch and
+    // stream gates share a single definition by construction
+    val g = gateCols(Tables(spark, dir, "documents"))
     val r = c26Repetition(spark, dir).select(col("doc_id"), col("dup_frac_micro"))
-    d.join(q, "doc_id").join(r, Seq("doc_id"), "left")
+    g.join(r, Seq("doc_id"), "left")
       .withColumn("dup_frac_micro", coalesce(col("dup_frac_micro"), lit(0L)))
       .withColumn("reason",
-        when(col("n_tokens") < MinGateTokens, "too_short")
-          .when(col("quality_micro") < MinQualityMicro, "low_quality")
+        when(col("reason") =!= "ok", col("reason"))
           .when(col("dup_frac_micro") > MaxDupFracMicro, "repetitive")
           .otherwise("ok"))
       .withColumn("keep", col("reason") === "ok")
@@ -1032,18 +1047,19 @@ object TextQueries {
        |GROUP BY s.doc_id
        |ORDER BY s.doc_id""".stripMargin
 
-  /** Stateless quality-gate columns on any (doc_id, text, n_chars)
-    * frame — the subset of C36's gate that needs no cross-document
-    * state (C3's stopword/length score, no C26 repetition join), so it
-    * applies verbatim to a STREAMING documents frame (D13). One shared
-    * definition keeps the batch and stream gates from drifting.
+  /** Stateless quality-gate columns on any (doc_id, text) frame — the
+    * part of the gate that needs no cross-document state (score via
+    * [[qualityMicro]], the shared C3 formula), so it applies verbatim
+    * to a STREAMING documents frame (D13). [[c36QualityGate]] BUILDS ON
+    * this frame (appending only the C26 repetition branch), so the
+    * batch gate and the stream gate share one definition by
+    * construction, not by convention.
     */
   def gateCols(d: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     d.select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
         size(filter(toks, t => t.isin(Stopwords: _*))).cast("long").as("stop_cnt"))
-      .withColumn("quality_micro",
-        expr("(stop_cnt * 300000) div n_tokens + least(n_tokens, 200) * 3500"))
+      .withColumn("quality_micro", qualityMicro)
       .withColumn("reason",
         when(col("n_tokens") < MinGateTokens, "too_short")
           .when(col("quality_micro") < MinQualityMicro, "low_quality")
@@ -1065,7 +1081,7 @@ object TextQueries {
        |  FROM documents
        |), g AS (
        |  SELECT doc_id, n_tokens,
-       |    (stop_cnt * 300000) // n_tokens + least(n_tokens, 200) * 3500 AS quality_micro
+       |    $QualityMicroSql AS quality_micro
        |  FROM f
        |), r AS (
        |  SELECT doc_id, n_tokens, quality_micro,
@@ -1091,11 +1107,18 @@ object TextQueries {
     * micro-units (one integer division per bucket) so the oracle
     * hash-matches — the ranking is identical for a monotone transform.
     *
-    * Scale shape: token explode is scan-stage; the two bucket
-    * histograms are partial aggs onto [[DsirBuckets]] groups (map-side
-    * combine does almost all the work); the ratio table is ≤256 rows —
-    * broadcast — so the per-doc scoring join adds NO shuffle beyond the
-    * final doc_id agg. The corpus is read once.
+    * Scale shape: token explode is scan-stage; raw and target bucket
+    * counts fall out of ONE conditional partial agg onto [[DsirBuckets]]
+    * groups (map-side combine does almost all the work), and the corpus
+    * totals are a re-agg of that ≤256-row histogram — so the corpus
+    * token stream is scanned exactly TWICE (histogram pass + scoring
+    * pass), never cached and never re-scanned per subplan. The ratio
+    * table is ≤256 rows — broadcast — so scoring adds NO shuffle beyond
+    * the final doc_id agg. The ratio numerator `(tgt+1)·(raw_total+256)
+    * ·10⁶` reaches ~10²⁴ at 10⁹-token corpora — past BIGINT — so both
+    * engines route it through 38-digit decimal (DECIMAL(38,0) /
+    * HUGEINT) and only the divided-down micro-ratio (∼10⁶·corpus-skew,
+    * comfortably BIGINT) lands in the output.
     */
   val DsirBuckets = 256
 
@@ -1104,17 +1127,17 @@ object TextQueries {
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
       .select(col("doc_id"), col("lang"),
         pmod(tokenHash(col("w")), lit(DsirBuckets.toLong)).as("b"))
-    val raw = toks.groupBy("b").agg(count(lit(1)).as("raw_cnt"))
-    val tgt = toks.filter(col("lang") === "en").groupBy("b")
-      .agg(count(lit(1)).as("tgt_cnt"))
-    val totals = toks.agg(count(lit(1)).as("raw_total"),
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt_total"))
-    val ratio = raw.join(tgt, Seq("b"), "left")
-      .withColumn("tgt_cnt", coalesce(col("tgt_cnt"), lit(0L)))
-      .crossJoin(broadcast(totals))
+    val hist = toks.groupBy("b").agg(
+      count(lit(1)).as("raw_cnt"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt_cnt"))
+    val totals = hist.agg(sum("raw_cnt").as("raw_total"),
+      sum("tgt_cnt").as("tgt_total"))
+    // `div` (IntegralDivide) on DECIMAL operands returns BIGINT — the
+    // wide intermediates never escape the expression
+    val ratio = hist.crossJoin(broadcast(totals))
       .select(col("b"), expr(
-        s"((tgt_cnt + 1) * (raw_total + $DsirBuckets) * 1000000) div " +
-          s"((raw_cnt + 1) * (tgt_total + $DsirBuckets))").as("ratio_micro"))
+        s"(cast(tgt_cnt + 1 as decimal(38,0)) * (raw_total + $DsirBuckets) * 1000000) div " +
+          s"(cast(raw_cnt + 1 as decimal(38,0)) * (tgt_total + $DsirBuckets))").as("ratio_micro"))
     toks.join(broadcast(ratio), "b")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"), sum("ratio_micro").as("sum_ratio_micro"))
@@ -1126,16 +1149,18 @@ object TextQueries {
     s"""WITH tb AS (
        |  SELECT doc_id, lang, ${tokenHashSql("w")} % $DsirBuckets AS b
        |  FROM (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS w FROM documents)
-       |), raw AS (SELECT b, COUNT(*) AS raw_cnt FROM tb GROUP BY b),
-       |tgt AS (SELECT b, COUNT(*) AS tgt_cnt FROM tb WHERE lang = 'en' GROUP BY b),
-       |tot AS (
-       |  SELECT COUNT(*) AS raw_total,
-       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tgt_total
-       |  FROM tb
+       |), hist AS (
+       |  SELECT b, COUNT(*) AS raw_cnt,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tgt_cnt
+       |  FROM tb GROUP BY b
+       |), tot AS (
+       |  SELECT CAST(SUM(raw_cnt) AS BIGINT) AS raw_total,
+       |    CAST(SUM(tgt_cnt) AS BIGINT) AS tgt_total
+       |  FROM hist
        |), ratio AS (
-       |  SELECT b, ((COALESCE(tgt_cnt, 0) + 1) * (raw_total + $DsirBuckets) * 1000000)
-       |    // ((raw_cnt + 1) * (tgt_total + $DsirBuckets)) AS ratio_micro
-       |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot
+       |  SELECT b, CAST((CAST(tgt_cnt + 1 AS HUGEINT) * (raw_total + $DsirBuckets) * 1000000)
+       |    // (CAST(raw_cnt + 1 AS HUGEINT) * (tgt_total + $DsirBuckets)) AS BIGINT) AS ratio_micro
+       |  FROM hist CROSS JOIN tot
        |)
        |SELECT doc_id, COUNT(*) AS n_toks,
        |  CAST(SUM(ratio_micro) AS BIGINT) AS sum_ratio_micro,
@@ -1259,9 +1284,11 @@ object TextQueries {
       .join(uniAll.select(col("w").as("w1"), col("n_w").as("n_w1")), "w1")
       .join(uniAll.select(col("w").as("w2"), col("n_w").as("n_w2")), "w2")
       .crossJoin(broadcast(totals))
+      // (n_pair−δ)·N·10⁶ tops 10²⁴ on 10⁹-token corpora — route the
+      // products through DECIMAL(38,0); `div` lands the result in BIGINT
       .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
-        expr(s"(n_pair - $PhraseDelta) * n_total * 1000000 div (n_w1 * n_w2)")
-          .as("score_micro"))
+        expr(s"(cast(n_pair - $PhraseDelta as decimal(38,0)) * n_total * 1000000) div " +
+          "(cast(n_w1 as decimal(38,0)) * n_w2)").as("score_micro"))
       .orderBy(col("score_micro").desc, col("w1"), col("w2"))
       .limit(PhraseTopK)
   }
@@ -1281,7 +1308,8 @@ object TextQueries {
        |  GROUP BY w1, w2 HAVING COUNT(*) >= $PhraseMinCount
        |)
        |SELECT p.w1, p.w2, p.n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
-       |  (p.n_pair - $PhraseDelta) * n_total * 1000000 // (u1.n_w * u2.n_w) AS score_micro
+       |  CAST((CAST(p.n_pair - $PhraseDelta AS HUGEINT) * n_total * 1000000)
+       |    // (CAST(u1.n_w AS HUGEINT) * u2.n_w) AS BIGINT) AS score_micro
        |FROM pairs p
        |JOIN uni u1 ON u1.w = p.w1
        |JOIN uni u2 ON u2.w = p.w2
