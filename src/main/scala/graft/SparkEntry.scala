@@ -42,7 +42,8 @@ object SparkEntry {
     "b18_pivot_revenue" -> (Queries.pivotRevenue _),
     "b19_event_funnel" -> (Queries.eventFunnel _),
     "b20_cube_revenue" -> (Queries.cubeRevenue _),
-    "b21_salted_enrich" -> (Queries.saltedEnrich _)
+    "b21_salted_enrich" -> (Queries.saltedEnrich _),
+    "b22_avg_qty_revenue" -> (Queries.avgQtyRevenue _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -73,6 +74,7 @@ object SparkEntry {
     "b18_pivot_revenue" -> Queries.pivotRevenueSql,
     "b19_event_funnel" -> Queries.eventFunnelSql,
     "b20_cube_revenue" -> Queries.cubeRevenueSql,
-    "b21_salted_enrich" -> Queries.saltedEnrichSql
+    "b21_salted_enrich" -> Queries.saltedEnrichSql,
+    "b22_avg_qty_revenue" -> Queries.avgQtyRevenueSql
   )
 }

@@ -704,6 +704,62 @@ object EmbedQueries {
        |WHERE t1.vec_a < t1.vec_b
        |ORDER BY t1.vec_a, t1.vec_b""".stripMargin
 
+  // ---------------------------------------------------------------- C50
+  /** C50: the assignment step of Lloyd's k-means over the embedding
+    * corpus — the workhorse of semantic clustering / cluster-balanced
+    * sampling (and the refinement loop C18's IVF and C39's PQ codebooks
+    * stub out). Centroids are the first [[KmCents]] vectors by vec_id
+    * (the deterministic sample-init; real k-means iterates this exact
+    * step with re-estimated centroids). Shape: the codebook is K rows —
+    * broadcast — so assignment is ONE map-side pass over the corpus
+    * (crossJoin against K rows, the a18 constant-table pattern, never
+    * data×data); the argmin is a map-side-combinable `min(struct)`
+    * groupBy exactly like C18/C39, distances rounded to 6dp BEFORE the
+    * argmin with ties to the smaller centroid id, so both engines pick
+    * identical clusters. Per-iteration cost at 100 TB: one corpus scan
+    * + an O(N) shuffle of (vec_id, cluster, dist) triples — the update
+    * step (per-cluster mean) is a K·dim-sized partial agg on top.
+    */
+  val KmCents = 8
+
+  def c50KmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < KmCents)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    // same sequential subtract-square fold as C39 (and the oracle's
+    // list_reduce), so the doubles agree bit-for-bit before the round
+    val dist6 = round(aggregate(zip_with(col("embedding"), col("ce"),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v), 6)
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), dist6.as("d"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d"), col("cid"))).as("sc"))
+      .select(col("vec_id"), col("sc.cid").as("cluster"),
+        expr("CAST(ROUND(sc.d * 1000000) AS BIGINT)").as("dist_micro"))
+      .orderBy("vec_id")
+  }
+
+  val c50Sql: String = {
+    val distSql =
+      """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list_zip(v.embedding, c.ce),
+        |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+        |           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+        |      (x, y) -> x + y)""".stripMargin
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $KmCents
+       |), assigned AS (
+       |  SELECT v.vec_id,
+       |    min([round($distSql, 6), CAST(c.cid AS DOUBLE)]) AS sc
+       |  FROM embeddings v CROSS JOIN cents c
+       |  GROUP BY v.vec_id
+       |)
+       |SELECT vec_id, CAST(sc[2] AS BIGINT) AS cluster,
+       |  CAST(ROUND(sc[1] * 1000000) AS BIGINT) AS dist_micro
+       |FROM assigned ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c9_cosine_pairs" -> (c9CosinePairs _),
     "c10_ann_bruteforce" -> (c10AnnBruteforce _),
@@ -715,7 +771,8 @@ object EmbedQueries {
     "c39_pq_codes" -> (c39PqCodes _),
     "c41_ann_recall" -> (c41AnnRecall _),
     "c42_mrl_recall" -> (c42MrlRecall _),
-    "c46_knn_graph" -> (c46KnnGraph _))
+    "c46_knn_graph" -> (c46KnnGraph _),
+    "c50_kmeans_assign" -> (c50KmeansAssign _))
 
   val oracles: Map[String, String] = Map(
     "c9_cosine_pairs" -> c9Sql,
@@ -728,5 +785,6 @@ object EmbedQueries {
     "c39_pq_codes" -> c39Sql,
     "c41_ann_recall" -> c41Sql,
     "c42_mrl_recall" -> c42Sql,
-    "c46_knn_graph" -> c46Sql)
+    "c46_knn_graph" -> c46Sql,
+    "c50_kmeans_assign" -> c50Sql)
 }

@@ -935,4 +935,49 @@ object Queries {
        |  $kmvEstimateSql AS est_distinct
        |FROM exact JOIN sk USING (ym)
        |ORDER BY ym""".stripMargin
+
+  /** B22: TPC-H Q17-style correlated-average filter — revenue from
+    * lineitems whose quantity is below 20% of their part's own average
+    * quantity (the "small order" slice), rolled up per brand. The
+    * correlated scalar subquery (`WHERE l_quantity < 0.2 * (SELECT
+    * avg ... WHERE same part)`) decorrelates into a per-part partial
+    * agg joined back to the fact — the rewrite Catalyst itself applies
+    * to the subquery form, written explicitly so both fact passes
+    * visibly share one l_partkey shuffle key (agg, then equi-join). The
+    * threshold test cross-multiplies (`5 · qty · n < sum_qty`): exact
+    * integer cents, no division, no doubles, so the boundary row can't
+    * flip on a rounding difference. The `part` dim joins AFTER the
+    * selective filter (survivors only) and broadcasts.
+    */
+  def avgQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem").select(col("l_partkey"),
+      cents(col("l_quantity")).as("qty_c"),
+      cents(col("l_extendedprice")).as("price_c"))
+    val perPart = l.groupBy("l_partkey")
+      .agg(sum("qty_c").as("sum_qty_c"), count(lit(1)).as("n_li"))
+    val p = Tables(spark, dir, "part").select("p_partkey", "p_brand")
+    l.join(perPart, "l_partkey")
+      .filter(col("qty_c") * col("n_li") * lit(5L) < col("sum_qty_c"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small"), sum("price_c").as("revenue_c"))
+      .orderBy("p_brand")
+  }
+
+  val avgQtyRevenueSql: String =
+    """WITH l AS (
+      |  SELECT l_partkey,
+      |    CAST(ROUND(l_quantity * 100.0) AS BIGINT) AS qty_c,
+      |    CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS price_c
+      |  FROM lineitem
+      |), a AS (
+      |  SELECT l_partkey, CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c,
+      |    COUNT(*) AS n_li
+      |  FROM l GROUP BY l_partkey
+      |)
+      |SELECT p_brand, COUNT(*) AS n_small,
+      |  CAST(SUM(l.price_c) AS BIGINT) AS revenue_c
+      |FROM l JOIN a USING (l_partkey) JOIN part ON p_partkey = l_partkey
+      |WHERE l.qty_c * a.n_li * 5 < a.sum_qty_c
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 }

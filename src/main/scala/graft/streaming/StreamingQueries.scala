@@ -379,6 +379,43 @@ object StreamingQueries {
 
   val d13Sql: String = graft.text.TextQueries.gateColsSql
 
+  /** D14: streaming decontamination — C29's benchmark n-gram screen as
+    * the ingest-time filter a curation pipeline runs as training data
+    * lands: every arriving train-split document is flagged if it shares
+    * a [[graft.text.TextQueries.ContamN]]-gram with the held-out test
+    * set. The test gram set is STATIC (eval suites are small and fixed
+    * — that's what makes decontamination broadcastable at 100 TB): it
+    * collapses to ONE sorted-array row and equi-joins the stream on a
+    * literal key, so each micro-batch is stateless scan-stage array
+    * math (append mode, no watermark, no state store) — the same
+    * shape as D13's gate, with `array_intersect` doing the distinct-hit
+    * count per row. Gram family and split are the C29/C23 definitions
+    * ([[graft.text.TextQueries.gramHashes]] / `splitCol`), and the
+    * oracle IS c29Sql — batch screen and stream screen can't drift.
+    */
+  def d14StreamDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.TextQueries
+    val testSet = TextQueries.distinctGrams(spark, sfDir)
+      .withColumn("split", TextQueries.splitCol)
+      .filter(col("split") === "test")
+      .agg(sort_array(collect_set(col("gh"))).as("test_ghs"))
+      .withColumn("k", lit(1))
+    val docs = StreamingOps.docsStream(spark, sfDir, staged(spark, sfDir, "documents"))
+      .withColumn("split", TextQueries.splitCol)
+      .filter(col("split") === "train")
+      .withColumn("toks", TextQueries.tokens(col("text")))
+      .filter(size(col("toks")) >= TextQueries.ContamN)
+      .withColumn("k", lit(1))
+    val flagged = docs.join(broadcast(testSet), "k")
+      .select(col("doc_id"),
+        size(array_intersect(TextQueries.gramHashes(col("toks")), col("test_ghs")))
+          .cast("long").as("n_hit"))
+      .filter(col("n_hit") >= 1)
+    runToTable(flagged, "graft_d14_sink", "append").orderBy("doc_id")
+  }
+
+  val d14Sql: String = graft.text.TextQueries.c29Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_stream_windowed" -> (d1StreamWindowed _),
     "d2_stream_dedup" -> (d2StreamDedup _),
@@ -392,7 +429,8 @@ object StreamingQueries {
     "d10_stream_distinct_sketch" -> (d10StreamDistinctSketch _),
     "d11_stream_asof" -> (d11StreamAsof _),
     "d12_stream_funnel" -> (d12StreamFunnel _),
-    "d13_stream_gate" -> (d13StreamGate _))
+    "d13_stream_gate" -> (d13StreamGate _),
+    "d14_stream_decontam" -> (d14StreamDecontam _))
 
   val oracles: Map[String, String] = Map(
     "d1_stream_windowed" -> d1Sql,
@@ -407,5 +445,6 @@ object StreamingQueries {
     "d10_stream_distinct_sketch" -> d10Sql,
     "d11_stream_asof" -> d11Sql,
     "d12_stream_funnel" -> d12Sql,
-    "d13_stream_gate" -> d13Sql)
+    "d13_stream_gate" -> d13Sql,
+    "d14_stream_decontam" -> d14Sql)
 }

@@ -352,10 +352,8 @@ object TextQueries {
     * assignment + one partial-agg shuffle.
     */
   def c23SplitAssign(spark: SparkSession, dir: String): DataFrame = {
-    val h = pmod(col("doc_id") * lit(2654435761L) + lit(40503L), lit(100L))
     Tables(spark, dir, "documents")
-      .withColumn("split",
-        when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+      .withColumn("split", splitCol)
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(tokens(col("text"))).cast("long")).as("sum_tokens"))
@@ -595,23 +593,34 @@ object TextQueries {
   private val gramCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
+  /** Column-level array of every [[ContamN]]-gram fold hash of `toks` —
+    * the ONE gram definition shared by the batch screen ([[c29Contamination]]
+    * / C38 via [[distinctGrams]]) and D14's stateless streaming screen.
+    * Caller must pre-filter `size(toks) >= ContamN` (Spark's `sequence`
+    * reverses direction for an empty range).
+    */
+  def gramHashes(toks: Column): Column =
+    transform(sequence(lit(1), size(toks) - ContamN + 1),
+      i => aggregate(transform(slice(toks, i, lit(ContamN)), tokenHash _),
+        lit(0L), (acc, g) => (acc * lit(FpB) + g) % lit(FpM)))
+
+  /** The deterministic 80/10/10 doc split (C23/C29/D14 — one definition). */
+  def splitCol: Column = {
+    val h = pmod(col("doc_id") * lit(2654435761L) + lit(40503L), lit(100L))
+    when(h < 80, "train").when(h < 90, "val").otherwise("test")
+  }
+
   def distinctGrams(spark: SparkSession, dir: String): DataFrame =
     gramCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
       Tables(spark, dir, "documents")
         .withColumn("toks", tokens(col("text")))
         .filter(size(col("toks")) >= ContamN)
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("toks")) - ContamN + 1),
-            i => aggregate(transform(slice(col("toks"), i, lit(ContamN)), tokenHash _),
-              lit(0L), (acc, g) => (acc * lit(FpB) + g) % lit(FpM)))).as("gh"))
+        .select(col("doc_id"), explode(gramHashes(col("toks"))).as("gh"))
         .distinct()
         .localCheckpoint(true))
 
   def c29Contamination(spark: SparkSession, dir: String): DataFrame = {
-    val h = pmod(col("doc_id") * lit(2654435761L) + lit(40503L), lit(100L))
-    val grams = distinctGrams(spark, dir)
-      .withColumn("split",
-        when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+    val grams = distinctGrams(spark, dir).withColumn("split", splitCol)
     val test = grams.filter(col("split") === "test").select("gh").distinct()
     grams.filter(col("split") === "train")
       .join(test, "gh")
@@ -1317,6 +1326,173 @@ object TextQueries {
        |ORDER BY score_micro DESC, p.w1, p.w2
        |LIMIT $PhraseTopK""".stripMargin
 
+  // ---------------------------------------------------------------- C48
+  /** C48: duplicated-substring spans — the ExactSubstr dedup of Lee et
+    * al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"): for each document, the maximal token runs whose every
+    * [[DupSpanK]]-token window occurs at least twice in the corpus
+    * (cross-document or self-repeat — any second occurrence counts, as
+    * in the paper). Their suffix array is a single-machine structure;
+    * the distributed screen is window hashing: every k-window's
+    * polynomial hash (the C29 slice-fold family), ONE hash-agg for
+    * global occurrence counts, an equi-join back, then a per-document
+    * interval merge of the surviving window starts. The merge window
+    * function partitions by doc_id — its task bound is the longest
+    * single document, never the corpus — and two windows at p < p'
+    * belong to one span iff p' ≤ p + k (overlap or touch), so summed
+    * span lengths are exactly the duplicated token mass (spans are
+    * disjoint by construction). Screening is on hashes, as in
+    * production passes; both engines fold the identical family.
+    */
+  val DupSpanK = 10
+
+  def c48DupSpans(spark: SparkSession, dir: String): DataFrame =
+    dupSpans(Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
+
+  /** Frame-level core of C48 over any (doc_id, text) frame — reused by
+    * the synthetic span-merge pins in the spec.
+    */
+  def dupSpans(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = d
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= DupSpanK)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("toks")) - DupSpanK + 1),
+          i => aggregate(transform(slice(col("toks"), i, lit(DupSpanK)), tokenHash _),
+            lit(0L), (acc, g) => (acc * lit(FpB) + g) % lit(FpM)))).as(Seq("p0", "wh")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("wh"))
+    val occ = wins.groupBy("wh").agg(count(lit(1)).as("occ"))
+    val dup = wins.join(occ.filter(col("occ") >= 2), "wh").select("doc_id", "p")
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val spans = dup
+      .withColumn("brk",
+        when(col("p") - lag("p", 1).over(w) <= DupSpanK, 0L).otherwise(1L))
+      .withColumn("span_id", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "span_id")
+      .agg(min("p").as("s"), max("p").as("e"))
+      .select(col("doc_id"),
+        (col("e") - col("s") + DupSpanK).cast("long").as("span_toks"))
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), max("span_toks").as("max_span_toks"),
+        sum("span_toks").as("dup_toks"))
+      .orderBy("doc_id")
+  }
+
+  val c48Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), w AS (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS p,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(toks[u.i:(u.i + ${DupSpanK - 1})], x -> ${tokenHashSql("x")})),
+       |      (acc, h) -> (acc * $FpB + h) % $FpM) AS wh
+       |  FROM t, UNNEST(range(1, len(toks) - $DupSpanK + 2)) AS u(i)
+       |  WHERE len(toks) >= $DupSpanK
+       |), occ AS (
+       |  SELECT wh, COUNT(*) AS occ FROM w GROUP BY wh
+       |), d AS (
+       |  SELECT doc_id, p FROM w JOIN occ USING (wh) WHERE occ >= 2
+       |), m AS (
+       |  SELECT doc_id, p,
+       |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= $DupSpanK
+       |         THEN 0 ELSE 1 END AS brk
+       |  FROM d
+       |), s AS (
+       |  SELECT doc_id, p,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS span_id
+       |  FROM m
+       |), sp AS (
+       |  SELECT doc_id, span_id, MIN(p) AS lo, MAX(p) AS hi
+       |  FROM s GROUP BY doc_id, span_id
+       |)
+       |SELECT doc_id, COUNT(*) AS n_spans,
+       |  CAST(MAX(hi - lo + $DupSpanK) AS BIGINT) AS max_span_toks,
+       |  CAST(SUM(hi - lo + $DupSpanK) AS BIGINT) AS dup_toks
+       |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- C49
+  /** C49: the Gopher quality rules (Rae et al. 2021, table A1) as a
+    * first-failing-reason decision table: token-count bounds, mean
+    * word-length bounds, symbol-to-word ratio, alphabetic-word
+    * fraction, and the ≥2-distinct-stopwords test. The MassiveText
+    * filter set is the de-facto baseline every curation pipeline starts
+    * from (C4/C36 cover the model-based and composite gates; this is
+    * the rule-based one). All signals are scan-stage integer micro-unit
+    * math on the token array — no shuffle before the final ORDER BY —
+    * and the thresholds are the paper's (50..100k words, mean length
+    * 3..10, 10% symbols, 80% alphabetic, ≥2 stopwords).
+    */
+  val GopherMinTokens = 50L
+  val GopherMaxTokens = 100000L
+  val GopherMinMeanMicro = 3000000L
+  val GopherMaxMeanMicro = 10000000L
+  val GopherMaxPunctPerTokMicro = 100000L
+  val GopherMinAlphaMicro = 800000L
+  val GopherMinStopKinds = 2L
+
+  def c49GopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("long").as("punct_cnt"),
+        size(filter(toks, t => t.rlike("[a-z]"))).cast("long").as("alpha_cnt"),
+        size(array_distinct(filter(toks, t => t.isin(Stopwords: _*))))
+          .cast("long").as("stop_kinds"))
+      // chars-minus-separators over tokens: the C3 mean-length formula
+      .withColumn("mean_len_micro",
+        expr("((n_chars - n_tokens + 1) * 1000000) div n_tokens"))
+      .withColumn("punct_per_tok_micro", expr("(punct_cnt * 1000000) div n_tokens"))
+      .withColumn("alpha_frac_micro", expr("(alpha_cnt * 1000000) div n_tokens"))
+      .withColumn("reason",
+        when(col("n_tokens") < GopherMinTokens, "too_few_tokens")
+          .when(col("n_tokens") > GopherMaxTokens, "too_many_tokens")
+          .when(col("mean_len_micro") < GopherMinMeanMicro, "short_words")
+          .when(col("mean_len_micro") > GopherMaxMeanMicro, "long_words")
+          .when(col("punct_per_tok_micro") > GopherMaxPunctPerTokMicro, "symbol_heavy")
+          .when(col("alpha_frac_micro") < GopherMinAlphaMicro, "low_alpha")
+          .when(col("stop_kinds") < GopherMinStopKinds, "few_stopwords")
+          .otherwise("ok"))
+      .withColumn("keep", col("reason") === "ok")
+      .select("doc_id", "n_tokens", "mean_len_micro", "punct_per_tok_micro",
+        "alpha_frac_micro", "stop_kinds", "keep", "reason")
+      .orderBy("doc_id")
+  }
+
+  val c49Sql: String = {
+    val stops = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH f AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS punct_cnt,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha_cnt,
+       |    CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t IN ($stops)))) AS BIGINT) AS stop_kinds
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, n_tokens, stop_kinds,
+       |    ((n_chars - n_tokens + 1) * 1000000) // n_tokens AS mean_len_micro,
+       |    (punct_cnt * 1000000) // n_tokens AS punct_per_tok_micro,
+       |    (alpha_cnt * 1000000) // n_tokens AS alpha_frac_micro
+       |  FROM f
+       |), r AS (
+       |  SELECT *,
+       |    CASE WHEN n_tokens < $GopherMinTokens THEN 'too_few_tokens'
+       |         WHEN n_tokens > $GopherMaxTokens THEN 'too_many_tokens'
+       |         WHEN mean_len_micro < $GopherMinMeanMicro THEN 'short_words'
+       |         WHEN mean_len_micro > $GopherMaxMeanMicro THEN 'long_words'
+       |         WHEN punct_per_tok_micro > $GopherMaxPunctPerTokMicro THEN 'symbol_heavy'
+       |         WHEN alpha_frac_micro < $GopherMinAlphaMicro THEN 'low_alpha'
+       |         WHEN stop_kinds < $GopherMinStopKinds THEN 'few_stopwords'
+       |         ELSE 'ok' END AS reason
+       |  FROM g
+       |)
+       |SELECT doc_id, n_tokens, mean_len_micro, punct_per_tok_micro,
+       |  alpha_frac_micro, stop_kinds, reason = 'ok' AS keep, reason
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_exact" -> (c1DedupExact _),
     "c2_token_count" -> (c2TokenCount _),
@@ -1344,7 +1520,9 @@ object TextQueries {
     "c43_dsir_weights" -> (c43DsirWeights _),
     "c44_chunk_overlap" -> (c44ChunkOverlap _),
     "c45_char_stats" -> (c45CharStats _),
-    "c47_phrase_mining" -> (c47PhraseMining _))
+    "c47_phrase_mining" -> (c47PhraseMining _),
+    "c48_dup_spans" -> (c48DupSpans _),
+    "c49_gopher_rules" -> (c49GopherRules _))
 
   val oracles: Map[String, String] = Map(
     "c1_dedup_exact" -> c1Sql,
@@ -1373,5 +1551,7 @@ object TextQueries {
     "c43_dsir_weights" -> c43Sql,
     "c44_chunk_overlap" -> c44Sql,
     "c45_char_stats" -> c45Sql,
-    "c47_phrase_mining" -> c47Sql)
+    "c47_phrase_mining" -> c47Sql,
+    "c48_dup_spans" -> c48Sql,
+    "c49_gopher_rules" -> c49Sql)
 }

@@ -27,7 +27,13 @@ class PlanContractSpec extends SparkTestBase {
     // 256-row ratio table — both sides bounded constants
     "c43_dsir_weights",
     // c41/c42 embed the c10 probe-broadcast as their ground-truth side
-    "c41_ann_recall", "c42_mrl_recall")
+    "c41_ann_recall", "c42_mrl_recall",
+    // c47 crosses the 1-row corpus-total aggregate into the surviving
+    // phrase candidates (same shape as c21/c30's corpus totals)
+    "c47_phrase_mining",
+    // c50 crosses the KmCents(=8)-row centroid codebook — the bounded
+    // constant-table pattern c18's IVF codebook already uses
+    "c50_kmeans_assign")
 
   test("no unexpected BroadcastNestedLoopJoin / CartesianProduct in any batch plan") {
     val batch = SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("d"))

@@ -129,4 +129,19 @@ class MultimodalSpec extends SparkTestBase {
     val n = Tables(spark, sf, "embeddings").count()
     assert(g.count() <= EmbedQueries.KnnK * n / 2)
   }
+
+  test("c50 kmeans assign: total assignment, clusters in range, centroids self-assign at zero") {
+    val a = EmbedQueries.c50KmeansAssign(spark, sf)
+    assert(a.count() == Tables(spark, sf, "embeddings").count())
+    assert(a.filter(col("cluster") < 0 || col("cluster") >= EmbedQueries.KmCents).count() == 0)
+    assert(a.filter(col("dist_micro") < 0).count() == 0)
+    // a centroid's nearest centroid is itself, at distance exactly 0
+    val self = a.filter(col("vec_id") < EmbedQueries.KmCents).collect()
+    assert(self.length == EmbedQueries.KmCents)
+    self.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) && r.getLong(2) == 0L)
+    }
+    // every cluster is non-empty under sample-init (its seed is a member)
+    assert(a.select("cluster").distinct().count() == EmbedQueries.KmCents)
+  }
 }

@@ -210,4 +210,21 @@ class RelationalSpec extends SparkTestBase {
     val plan = Queries.saltedEnrich(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastHashJoin"), "salted dim was broadcast — hint lost")
   }
+
+  test("b22 avg-qty filter equals a per-part window-average recompute") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_partkey")
+    val survivors = Tables(spark, sf, "lineitem")
+      .withColumn("qty_c", round(col("l_quantity") * 100.0, 0).cast("long"))
+      .withColumn("sum_c", sum("qty_c").over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("qty_c") * col("n") * 5 < col("sum_c"))
+    val r = Queries.avgQtyRevenue(spark, sf)
+    assert(r.count() > 0)
+    assert(r.agg(sum("n_small")).head.getLong(0) == survivors.count())
+    // the cross-multiplied predicate is the exact 20%-of-average test
+    assert(survivors
+      .filter(!(col("qty_c").cast("double") < col("sum_c").cast("double") / col("n") / 5.0))
+      .count() == 0)
+  }
 }

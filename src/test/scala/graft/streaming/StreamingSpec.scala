@@ -353,4 +353,12 @@ class StreamingSpec extends SparkTestBase {
     assert(got.filter(col("keep")).count() > 0)
     assert(got.filter(!col("keep")).count() > 0)
   }
+
+  test("D14 streaming decontamination == the batch C29 screen") {
+    val got = graft.streaming.StreamingQueries.queries("d14_stream_decontam")(spark, sf)
+    val want = graft.text.TextQueries.c29Contamination(spark, sf)
+    // a vacuous screen (no contaminated doc) would prove nothing
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
 }

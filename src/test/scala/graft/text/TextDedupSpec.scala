@@ -375,4 +375,50 @@ class DedupQueriesSpec extends SparkTestBase {
       assert(x.getAs[Long]("score_micro") > 0)
     }
   }
+
+  test("c48 dup spans: cross-doc run merges to one maximal span; self-repeat splits on the gap") {
+    import spark.implicits._
+    // tokens must be pairwise distinct under the (length, first, last)
+    // token hash — letter-run tokens ("a", "aa", …) differ in length,
+    // different docs use different letters, the shared run "s1".."s12"
+    // differs from all of them in first char
+    val run = (1 to 12).map(i => s"s$i").mkString(" ")
+    def fill(c: Char, n: Int) = (1 to n).map(i => c.toString * i)
+    val docs = Seq(
+      // doc 1/2 share a 12-token run at different offsets → the three
+      // duplicated k-window starts (consecutive) merge into ONE span of
+      // exactly the run's 12 tokens in each doc
+      (1L, (fill('a', 10) :+ run).mkString(" ")),
+      (2L, (run +: fill('b', 10)).mkString(" ")),
+      // doc 3: all windows unique → absent from the output
+      (3L, fill('q', 30).mkString(" ")),
+      // doc 4: the same 12-token run TWICE (self-repeat counts, as in
+      // Lee et al.), separated by 11 unique tokens — the gap between
+      // duplicated window starts exceeds k, so two disjoint spans
+      (4L, (Seq(run) ++ fill('m', 11) ++ Seq(run)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextQueries.dupSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 1L, 12L, 12L), (2L, 1L, 12L, 12L), (4L, 2L, 12L, 24L)))
+  }
+
+  test("c49 gopher rules: verdict matches first-failing signal, gate fires both ways") {
+    val g = TextQueries.c49GopherRules(spark, sf)
+    assert(g.filter(col("keep") =!= (col("reason") === "ok")).count() == 0)
+    // reason implies its own signal violation; ok implies none
+    assert(g.filter(col("reason") === "too_few_tokens" &&
+      col("n_tokens") >= TextQueries.GopherMinTokens).count() == 0)
+    assert(g.filter(col("reason") === "few_stopwords" &&
+      col("stop_kinds") >= TextQueries.GopherMinStopKinds).count() == 0)
+    assert(g.filter(col("reason") === "ok" && (
+      col("n_tokens") < TextQueries.GopherMinTokens ||
+      col("n_tokens") > TextQueries.GopherMaxTokens ||
+      col("mean_len_micro") < TextQueries.GopherMinMeanMicro ||
+      col("mean_len_micro") > TextQueries.GopherMaxMeanMicro ||
+      col("punct_per_tok_micro") > TextQueries.GopherMaxPunctPerTokMicro ||
+      col("alpha_frac_micro") < TextQueries.GopherMinAlphaMicro ||
+      col("stop_kinds") < TextQueries.GopherMinStopKinds)).count() == 0)
+    assert(g.filter(col("keep")).count() > 0)
+    assert(g.filter(!col("keep")).count() > 0)
+  }
 }
