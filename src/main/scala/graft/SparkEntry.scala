@@ -43,7 +43,8 @@ object SparkEntry {
     "b19_event_funnel" -> (Queries.eventFunnel _),
     "b20_cube_revenue" -> (Queries.cubeRevenue _),
     "b21_salted_enrich" -> (Queries.saltedEnrich _),
-    "b22_avg_qty_revenue" -> (Queries.avgQtyRevenue _)
+    "b22_avg_qty_revenue" -> (Queries.avgQtyRevenue _),
+    "b23_moving_avg" -> (Queries.movingAvgRevenue _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -75,6 +76,7 @@ object SparkEntry {
     "b19_event_funnel" -> Queries.eventFunnelSql,
     "b20_cube_revenue" -> Queries.cubeRevenueSql,
     "b21_salted_enrich" -> Queries.saltedEnrichSql,
-    "b22_avg_qty_revenue" -> Queries.avgQtyRevenueSql
+    "b22_avg_qty_revenue" -> Queries.avgQtyRevenueSql,
+    "b23_moving_avg" -> Queries.movingAvgRevenueSql
   )
 }

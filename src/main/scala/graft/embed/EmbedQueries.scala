@@ -722,7 +722,10 @@ object EmbedQueries {
     */
   val KmCents = 8
 
-  def c50KmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared (vec_id, cluster, dist) assignment frame — C50 reports it
+    * directly; C51's SemDeDup partitions its pair search by it.
+    */
+  private def kmAssigned(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val cents = e.filter(col("vec_id") < KmCents)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
@@ -735,30 +738,93 @@ object EmbedQueries {
       .select(col("vec_id"), col("cid"), dist6.as("d"))
       .groupBy("vec_id")
       .agg(min(struct(col("d"), col("cid"))).as("sc"))
-      .select(col("vec_id"), col("sc.cid").as("cluster"),
-        expr("CAST(ROUND(sc.d * 1000000) AS BIGINT)").as("dist_micro"))
-      .orderBy("vec_id")
+      .select(col("vec_id"), col("sc.cid").as("cluster"), col("sc.d").as("dist"))
   }
 
-  val c50Sql: String = {
+  /** The matching DuckDB CTE chain (`cents`, `assigned` with the packed
+    * [dist, cid] argmin) — prefixed into the C50 and C51 oracles.
+    */
+  private val kmAssignedCte: String = {
     val distSql =
       """list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |      list_transform(list_zip(v.embedding, c.ce),
         |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
         |           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
         |      (x, y) -> x + y)""".stripMargin
-    s"""WITH cents AS (
+    s"""cents AS (
        |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $KmCents
        |), assigned AS (
        |  SELECT v.vec_id,
        |    min([round($distSql, 6), CAST(c.cid AS DOUBLE)]) AS sc
        |  FROM embeddings v CROSS JOIN cents c
        |  GROUP BY v.vec_id
-       |)
+       |)""".stripMargin
+  }
+
+  def c50KmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    kmAssigned(spark, dir)
+      .select(col("vec_id"), col("cluster"),
+        expr("CAST(ROUND(dist * 1000000) AS BIGINT)").as("dist_micro"))
+      .orderBy("vec_id")
+
+  val c50Sql: String =
+    s"""WITH $kmAssignedCte
        |SELECT vec_id, CAST(sc[2] AS BIGINT) AS cluster,
        |  CAST(ROUND(sc[1] * 1000000) AS BIGINT) AS dist_micro
        |FROM assigned ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- C51
+  /** C51: SemDeDup (Abbas et al., arXiv:2303.09540) — semantic
+    * deduplication restricted to k-means cluster mates: a vector is
+    * dropped iff a LOWER-id vector in its OWN cluster has cosine ≥ τ
+    * (keep-min-id, the paper's keep-one-representative policy made
+    * deterministic). The clustering is exactly C50's assignment, so the
+    * pair search is an EQUI-join on the cluster id — never the corpus
+    * self-join C9 pays for exactness: with production K (the paper runs
+    * 11k–50k clusters; K grows with N so N/K stays bounded) the
+    * per-cluster quadratic term (N/K)² is a constant and total compute
+    * is O(N·N/K). Here K = [[KmCents]] only because the testdata is
+    * small — the SHAPE (assign once, pair within bucket, min-id keep
+    * flag joined back) is the 100 TB one. Output: every vector with its
+    * cluster, keep flag, and the min duplicate-of id (−1 sentinel).
+    */
+  def c51SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val a = kmAssigned(spark, dir).select(col("vec_id"), col("cluster"))
+      .join(withNorms(spark, dir), Seq("vec_id"))
+    val l = a.select(col("cluster"), col("vec_id").as("va"),
+      col("embedding").as("ea"), col("n2").as("na"))
+    val r = a.select(col("cluster"), col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("n2").as("nb"))
+    val dups = l.join(r, Seq("cluster"))
+      .filter(col("va") < col("vb"))
+      .select(col("vb"),
+        col("va"), cosine(dot(col("ea"), col("eb")), col("na"), col("nb")).as("cos"))
+      .filter(col("cos") >= CosThreshold)
+      .groupBy("vb").agg(min(col("va")).as("dup_of"))
+    kmAssigned(spark, dir).select(col("vec_id"), col("cluster"))
+      .join(dups, col("vec_id") === col("vb"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("dup_of").isNull, lit(1L)).otherwise(lit(0L)).as("keep"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+      .orderBy("vec_id")
   }
+
+  val c51Sql: String =
+    s"""WITH $normsCte, $kmAssignedCte,
+       |a AS (SELECT vec_id, CAST(sc[2] AS BIGINT) AS cluster FROM assigned),
+       |dups AS (
+       |  SELECT r.vec_id AS vb, MIN(l.vec_id) AS dup_of
+       |  FROM a l JOIN a r ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+       |  JOIN norms nl ON nl.vec_id = l.vec_id
+       |  JOIN norms nr ON nr.vec_id = r.vec_id
+       |  WHERE round(${dotSql("nl.embedding", "nr.embedding")} / sqrt(nl.n2 * nr.n2), 6)
+       |    >= $CosThreshold
+       |  GROUP BY r.vec_id)
+       |SELECT a.vec_id, a.cluster,
+       |  CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       |  COALESCE(d.dup_of, -1) AS dup_of
+       |FROM a LEFT JOIN dups d ON d.vb = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c9_cosine_pairs" -> (c9CosinePairs _),
@@ -772,7 +838,8 @@ object EmbedQueries {
     "c41_ann_recall" -> (c41AnnRecall _),
     "c42_mrl_recall" -> (c42MrlRecall _),
     "c46_knn_graph" -> (c46KnnGraph _),
-    "c50_kmeans_assign" -> (c50KmeansAssign _))
+    "c50_kmeans_assign" -> (c50KmeansAssign _),
+    "c51_semdedup" -> (c51SemDedup _))
 
   val oracles: Map[String, String] = Map(
     "c9_cosine_pairs" -> c9Sql,
@@ -786,5 +853,6 @@ object EmbedQueries {
     "c41_ann_recall" -> c41Sql,
     "c42_mrl_recall" -> c42Sql,
     "c46_knn_graph" -> c46Sql,
-    "c50_kmeans_assign" -> c50Sql)
+    "c50_kmeans_assign" -> c50Sql,
+    "c51_semdedup" -> c51Sql)
 }

@@ -980,4 +980,53 @@ object Queries {
       |FROM l JOIN a USING (l_partkey) JOIN part ON p_partkey = l_partkey
       |WHERE l.qty_c * a.n_li * 5 < a.sum_qty_c
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ------------------------------------------------------------- B23
+  /** B23: trailing 7-day moving-average revenue per order priority — the
+    * RANGE-frame window shape (`RANGE BETWEEN 6 PRECEDING AND CURRENT
+    * ROW` over a day index) every ops dashboard computes, and the one
+    * window-frame variant the B block didn't yet cover (B4/B5 use
+    * rank/lag, B15 an unbounded QUALIFY twin). Scale shape: the raw
+    * fact is FIRST collapsed to one row per (priority, day) — a partial
+    * agg whose output is bounded by the value domain (priorities ×
+    * days), the same domain-bounding argument as C22's histogram — so
+    * the window input is tiny no matter how many orders exist, and the
+    * frame scan per row is ≤ 7 rows. Missing days are real gaps: the
+    * RANGE frame (not ROWS) means the average divides by the number of
+    * days PRESENT in the trailing week, pinned by the n_days_7 column.
+    * Exact integer cents; the average in micro-cents via `div`.
+    */
+  def movingAvgRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date")).as("day_idx"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_c"), count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy("priority").orderBy("day_idx").rangeBetween(-6, 0)
+    daily
+      .withColumn("rev_7d_c", sum("rev_c").over(w))
+      .withColumn("n_days_7", count(lit(1)).over(w))
+      .withColumn("avg_7d_micro", expr("(rev_7d_c * 1000000) div n_days_7"))
+      .select("priority", "day_idx", "n_orders", "rev_c", "rev_7d_c", "n_days_7",
+        "avg_7d_micro")
+      .orderBy("priority", "day_idx")
+  }
+
+  val movingAvgRevenueSql: String =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS day_idx,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev_c,
+      |    COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1, 2
+      |), win AS (
+      |  SELECT priority, day_idx, n_orders, rev_c,
+      |    CAST(SUM(rev_c) OVER w AS BIGINT) AS rev_7d_c,
+      |    COUNT(*) OVER w AS n_days_7
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY priority ORDER BY day_idx
+      |               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT priority, day_idx, n_orders, rev_c, rev_7d_c, n_days_7,
+      |  (rev_7d_c * 1000000) // n_days_7 AS avg_7d_micro
+      |FROM win ORDER BY priority, day_idx""".stripMargin
 }

@@ -49,6 +49,25 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value_c"))
 
+  /** D15: SLIDING 2-hour / 30-minute windowed agg with watermark — the
+    * overlapping-window twin of D1's tumbling shape (trend smoothing /
+    * rate-limiting dashboards). Each event lands in exactly
+    * width/slide = 4 open windows; Spark expands that membership
+    * map-side BEFORE the shuffle, so the state store holds one row per
+    * (open window × type) — watermark-bounded like D1, just 4× the
+    * window count, never per-event state.
+    */
+  val SlideWindowLen = "2 hours"
+  val SlideStep = "30 minutes"
+
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", WatermarkDelay)
+      .groupBy(window(col("event_time"), SlideWindowLen, SlideStep), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value_c"))
+
   /** D2: streaming dedup on event_id within the watermark horizon. */
   def dedup(events: DataFrame): DataFrame =
     events

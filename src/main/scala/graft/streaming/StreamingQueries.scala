@@ -416,6 +416,28 @@ object StreamingQueries {
 
   val d14Sql: String = graft.text.TextQueries.c29Sql
 
+  /** D15: sliding-window agg (2 h window / 30 min slide) as a stream —
+    * complete mode for the bounded replay (like D1, tail windows not
+    * yet past the watermark must still reach the sink; a live deploy
+    * runs append + watermark eviction). Oracle: every event belongs to
+    * exactly width/slide = 4 windows, starts at `floor(t/slide)−k` slide
+    * units for k ∈ 0..3 — the DuckDB twin expands that membership with
+    * a 4-row unnest cross join and re-aggregates, the same exact
+    * integer epoch-µs bucket math as B6/D1 (window starts are aligned
+    * to the epoch in both engines).
+    */
+  def d15StreamSliding(spark: SparkSession, sfDir: String): DataFrame =
+    runToTable(StreamingOps.slidingAgg(stream(spark, sfDir)), "graft_d15_sink", "complete")
+      .orderBy("window_start", "event_type")
+
+  val d15Sql: String =
+    """SELECT make_timestamp(((epoch_us(ts) // 1800000000) - k) * 1800000000) AS window_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(value*100.0) AS BIGINT)) AS BIGINT) AS sum_value_c
+      |FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_stream_windowed" -> (d1StreamWindowed _),
     "d2_stream_dedup" -> (d2StreamDedup _),
@@ -430,7 +452,8 @@ object StreamingQueries {
     "d11_stream_asof" -> (d11StreamAsof _),
     "d12_stream_funnel" -> (d12StreamFunnel _),
     "d13_stream_gate" -> (d13StreamGate _),
-    "d14_stream_decontam" -> (d14StreamDecontam _))
+    "d14_stream_decontam" -> (d14StreamDecontam _),
+    "d15_stream_sliding" -> (d15StreamSliding _))
 
   val oracles: Map[String, String] = Map(
     "d1_stream_windowed" -> d1Sql,
@@ -446,5 +469,6 @@ object StreamingQueries {
     "d11_stream_asof" -> d11Sql,
     "d12_stream_funnel" -> d12Sql,
     "d13_stream_gate" -> d13Sql,
-    "d14_stream_decontam" -> d14Sql)
+    "d14_stream_decontam" -> d14Sql,
+    "d15_stream_sliding" -> d15Sql)
 }

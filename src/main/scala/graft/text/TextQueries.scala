@@ -1493,6 +1493,150 @@ object TextQueries {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C53
+  /** C53: Bloom-filter decontamination screen — the approximate-membership
+    * path next to C29/D14's exact one. The exact screen broadcasts the
+    * DISTINCT test-gram hash set, which only works while the held-out
+    * suite is small; when the "reference side" is itself huge (dedup
+    * against an earlier crawl, a multi-benchmark union), the 100 TB play
+    * is a FIXED-SIZE Bloom summary: k=[[BloomK]] probe positions per gram
+    * into an m=[[BloomM]]-bit filter, built once from the test side and
+    * broadcast to every executor (m/8 bytes, whatever the test set's
+    * cardinality), then exact re-check only of the flagged survivors.
+    * Relational realization keeps it oracle-provable: the filter IS the
+    * distinct set of set bit positions (≤ m rows, broadcast); a gram is
+    * bloom-positive iff ALL k of its probe positions are set (count ==
+    * k after the equi-join on position — duplicate probe positions
+    * double-count on both sides, so collisions stay consistent). m is
+    * deliberately small here so false positives actually occur and the
+    * fp accounting is exercised; no false negatives is a THEOREM
+    * (exact_hits <= bloom_hits, spec-pinned). Gram family and split are
+    * the C29/C23 shared definitions.
+    */
+  val BloomM = 1024L
+  val BloomK = 3
+  private val BloomProbes = Seq((48271L, 7L), (16807L, 11L), (69621L, 13L))
+
+  private def bloomPositions(gh: Column): Column =
+    array(BloomProbes.map { case (a, b) => (gh * lit(a) + lit(b)) % lit(BloomM) }: _*)
+
+  def c53BloomDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val grams = distinctGrams(spark, dir).withColumn("split", splitCol)
+    val test = grams.filter(col("split") === "test")
+    val testBits = test.select(explode(bloomPositions(col("gh"))).as("pos")).distinct()
+    val testGh = test.select("gh").distinct()
+    val train = grams.filter(col("split") === "train").select("doc_id", "gh")
+    val bloomPos = train
+      .select(col("doc_id"), col("gh"), explode(bloomPositions(col("gh"))).as("pos"))
+      .join(broadcast(testBits), Seq("pos"))
+      .groupBy("doc_id", "gh").agg(count(lit(1)).as("n_set"))
+      .filter(col("n_set") === BloomK)
+    val perDoc = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val bl = bloomPos.groupBy("doc_id").agg(count(lit(1)).as("bloom_hits"))
+    val ex = train.join(testGh, Seq("gh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("exact_hits"))
+    perDoc
+      .join(bl, Seq("doc_id"), "left")
+      .join(ex, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("bloom_hits"), lit(0L)).as("bloom_hits"),
+        coalesce(col("exact_hits"), lit(0L)).as("exact_hits"))
+      .withColumn("fp_grams", col("bloom_hits") - col("exact_hits"))
+      .withColumn("flagged", (col("bloom_hits") > 0L).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  val c53Sql: String = {
+    val posList = BloomProbes
+      .map { case (a, b) => s"(gh * $a + $b) % $BloomM" }.mkString("[", ", ", "]")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN (doc_id * 2654435761 + 40503) % 100 < 80 THEN 'train'
+       |         WHEN (doc_id * 2654435761 + 40503) % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    string_split(text, ' ') AS toks
+       |  FROM documents
+       |), graw AS (
+       |  SELECT doc_id, split,
+       |    UNNEST(list_transform(range(1, len(toks) - $ContamN + 2),
+       |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(list_slice(toks, i, i + $ContamN - 1),
+       |               w -> ${tokenHashSql("w")})),
+       |           (acc, h) -> (acc * $FpB + h) % $FpM))) AS gh
+       |  FROM d WHERE len(toks) >= $ContamN
+       |), g AS (SELECT DISTINCT doc_id, split, gh FROM graw
+       |), posu AS (
+       |  SELECT split, doc_id, gh, UNNEST($posList) AS pos FROM g
+       |), testbits AS (
+       |  SELECT DISTINCT pos FROM posu WHERE split = 'test'
+       |), testgh AS (SELECT DISTINCT gh FROM g WHERE split = 'test'
+       |), train AS (SELECT doc_id, gh FROM g WHERE split = 'train'
+       |), probes AS (
+       |  SELECT doc_id, gh, pos FROM posu WHERE split = 'train'
+       |), bp AS (
+       |  SELECT doc_id, gh FROM probes JOIN testbits USING (pos)
+       |  GROUP BY doc_id, gh HAVING COUNT(*) = $BloomK
+       |), agg AS (
+       |  SELECT t.doc_id, COUNT(*) AS n_grams,
+       |    COUNT(b.gh) AS bloom_hits,
+       |    COUNT(e.gh) AS exact_hits
+       |  FROM train t
+       |  LEFT JOIN bp b ON b.doc_id = t.doc_id AND b.gh = t.gh
+       |  LEFT JOIN testgh e ON e.gh = t.gh
+       |  GROUP BY t.doc_id
+       |)
+       |SELECT doc_id, n_grams, bloom_hits, exact_hits,
+       |  bloom_hits - exact_hits AS fp_grams,
+       |  CAST(bloom_hits > 0 AS BIGINT) AS flagged
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- C52
+  /** C52: hashed linear quality classifier — the fastText-style filter
+    * CCNet (Wenzek et al. 2020) and LLaMA's pipeline run between the
+    * rule gates (C36/C49) and training: each token hashes into one of
+    * [[ClsBuckets]] feature buckets, the doc score is the bucket-weight
+    * sum normalized by length, keep ⇔ score ≥ 0. Weights here are a
+    * fixed pseudo-random table derived from the bucket id (Knuth
+    * multiplicative hash → [−1000, 1000]) — deterministic and
+    * engine-neutral where a trained model would ship real weights; the
+    * SHAPE is the deployed one: the model is a pure per-bucket lookup,
+    * so scoring is transform+fold over the token array ENTIRELY in the
+    * scan stage — zero shuffles at any corpus size (the final sort is
+    * presentation only), exactly how a linear classifier stays free at
+    * 100 TB while a GPU-scored quality model becomes the bottleneck.
+    * Max |score_raw| = n_tokens·1000, so micro-scaling stays far from
+    * BIGINT overflow at any document length.
+    */
+  val ClsBuckets = 64
+
+  def c52HashClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val bucketWeight = (t: Column) =>
+      (tokenHash(t) % lit(ClsBuckets.toLong)) * lit(2654435761L) % lit(2001L) - lit(1000L)
+    val score = aggregate(transform(tokens(col("text")), bucketWeight), lit(0L), _ + _)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        score.as("score_raw"))
+      .withColumn("score_micro", expr("(score_raw * 1000000) div greatest(n_tokens, 1)"))
+      .withColumn("keep", (col("score_micro") >= 0L).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  val c52Sql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(text, ' '),
+       |        t -> (${tokenHashSql("t")} % $ClsBuckets) * 2654435761 % 2001 - 1000)),
+       |      (x, y) -> x + y) AS score_raw
+       |  FROM documents)
+       |SELECT doc_id, n_tokens, score_raw,
+       |  (score_raw * 1000000) // greatest(n_tokens, 1) AS score_micro,
+       |  CAST(((score_raw * 1000000) // greatest(n_tokens, 1)) >= 0 AS BIGINT) AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_exact" -> (c1DedupExact _),
     "c2_token_count" -> (c2TokenCount _),
@@ -1522,7 +1666,9 @@ object TextQueries {
     "c45_char_stats" -> (c45CharStats _),
     "c47_phrase_mining" -> (c47PhraseMining _),
     "c48_dup_spans" -> (c48DupSpans _),
-    "c49_gopher_rules" -> (c49GopherRules _))
+    "c49_gopher_rules" -> (c49GopherRules _),
+    "c52_hash_classifier" -> (c52HashClassifier _),
+    "c53_bloom_decontam" -> (c53BloomDecontam _))
 
   val oracles: Map[String, String] = Map(
     "c1_dedup_exact" -> c1Sql,
@@ -1553,5 +1699,7 @@ object TextQueries {
     "c45_char_stats" -> c45Sql,
     "c47_phrase_mining" -> c47Sql,
     "c48_dup_spans" -> c48Sql,
-    "c49_gopher_rules" -> c49Sql)
+    "c49_gopher_rules" -> c49Sql,
+    "c52_hash_classifier" -> c52Sql,
+    "c53_bloom_decontam" -> c53Sql)
 }

@@ -1125,6 +1125,70 @@ object GeoQueries {
       |SELECT x, y, cluster_id, 2 AS batch FROM labeled2
       |ORDER BY x, y""".stripMargin)
 
+  // ---------------------------------------------------------------- A32
+  /** A32: exact outline simplification stats — the reference simplifies
+    * every polygon before use (`process_city_shapes.py:93-104`: convex
+    * hull → Douglas-Peucker `simplify` → buffer); for the RECTILINEAR
+    * tile-union outlines the exact equivalent of simplify(0) is
+    * collinear-vertex elimination, and it needs no walk at all: a
+    * boundary vertex is droppable iff exactly two boundary edges meet
+    * there and they share an orientation (both horizontal or both
+    * vertical). Pinch vertices (4 incident edges) are corners by
+    * definition. Shape: explode each a15 boundary edge into its two
+    * endpoints tagged H/V, ONE partial-agg groupBy per (cluster,
+    * vertex), then a per-cluster rollup — two shuffles total, both on
+    * keys that shrink with the aggregation. n_corners is the vertex
+    * count of the simplified rings — the MapRoulette payload-size win
+    * (a challenge line shrinks ~2× per straight boundary run).
+    */
+  def a32OutlineSimplify(spark: SparkSession, dir: String): DataFrame = {
+    val e = a15ClusterOutline(spark, dir)
+    val verts = e.select(col("cluster_id"),
+        explode(array(struct(col("x1").as("vx"), col("y1").as("vy")),
+          struct(col("x2").as("vx"), col("y2").as("vy")))).as("v"),
+        (col("y1") === col("y2")).cast("long").as("h"))
+      .select(col("cluster_id"), col("v.vx").as("vx"), col("v.vy").as("vy"), col("h"))
+    val perVertex = verts.groupBy("cluster_id", "vx", "vy")
+      .agg(count(lit(1)).as("n_inc"), sum(col("h")).as("n_h"))
+    val droppable = (col("n_inc") === 2) && (col("n_h") === 2 || col("n_h") === 0)
+    perVertex.groupBy("cluster_id")
+      .agg(expr("CAST(sum(n_inc) div 2 AS BIGINT)").as("n_edges"),
+        count(lit(1)).as("n_vertices"),
+        sum(droppable.cast("long")).as("n_dropped"))
+      .withColumn("n_corners", col("n_vertices") - col("n_dropped"))
+      .orderBy("cluster_id")
+  }
+
+  val a32Sql: String = withCtes(true, GeoDerive.cellsCte, GeoDerive.positivesCte, Clustering.ccCte,
+    """tedge AS (
+      |  SELECT cluster_id, x AS x1, y AS y1, x + 1 AS x2, y AS y2 FROM cc
+      |  UNION ALL
+      |  SELECT cluster_id, x, y + 1, x + 1, y + 1 FROM cc
+      |  UNION ALL
+      |  SELECT cluster_id, x, y, x, y + 1 FROM cc
+      |  UNION ALL
+      |  SELECT cluster_id, x + 1, y, x + 1, y + 1 FROM cc
+      |),
+      |bedge AS (
+      |  SELECT cluster_id, x1, y1, x2, y2 FROM tedge
+      |  GROUP BY cluster_id, x1, y1, x2, y2 HAVING COUNT(*) = 1
+      |),
+      |verts AS (
+      |  SELECT cluster_id, x1 AS vx, y1 AS vy, CAST(y1 = y2 AS BIGINT) AS h FROM bedge
+      |  UNION ALL
+      |  SELECT cluster_id, x2, y2, CAST(y1 = y2 AS BIGINT) FROM bedge
+      |),
+      |pv AS (
+      |  SELECT cluster_id, vx, vy, COUNT(*) AS n_inc, CAST(SUM(h) AS BIGINT) AS n_h
+      |  FROM verts GROUP BY 1, 2, 3
+      |)""".stripMargin)(
+    """SELECT cluster_id,
+      |  CAST(SUM(n_inc) AS BIGINT) // 2 AS n_edges,
+      |  COUNT(*) AS n_vertices,
+      |  CAST(SUM(CASE WHEN n_inc = 2 AND (n_h = 2 OR n_h = 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  COUNT(*) - CAST(SUM(CASE WHEN n_inc = 2 AND (n_h = 2 OR n_h = 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_corners
+      |FROM pv GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)
+
   /** All A-block entries for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a21_tile_batch" -> (a21TileBatch _),
@@ -1140,6 +1204,7 @@ object GeoQueries {
     "a29_upsample_slice" -> (a29UpsampleSlice _),
     "a30_zorder" -> (a30Zorder _),
     "a31_incremental_cluster" -> (a31IncrementalCluster _),
+    "a32_outline_simplify" -> (a32OutlineSimplify _),
     "a26_quadkey" -> (a26Quadkey _),
     "a27_pyramid" -> (a27Pyramid _),
     "a20_polygons_with_grid" -> (a20PolygonsWithGrid _),
@@ -1174,6 +1239,7 @@ object GeoQueries {
     "a29_upsample_slice" -> a29Sql,
     "a30_zorder" -> a30Sql,
     "a31_incremental_cluster" -> a31Sql,
+    "a32_outline_simplify" -> a32Sql,
     "a26_quadkey" -> a26Sql,
     "a27_pyramid" -> a27Sql,
     "a20_polygons_with_grid" -> a20Sql,

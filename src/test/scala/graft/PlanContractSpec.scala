@@ -32,8 +32,9 @@ class PlanContractSpec extends SparkTestBase {
     // phrase candidates (same shape as c21/c30's corpus totals)
     "c47_phrase_mining",
     // c50 crosses the KmCents(=8)-row centroid codebook — the bounded
-    // constant-table pattern c18's IVF codebook already uses
-    "c50_kmeans_assign")
+    // constant-table pattern c18's IVF codebook already uses; c51
+    // embeds the same assignment, its pair search itself is equi-join
+    "c50_kmeans_assign", "c51_semdedup")
 
   test("no unexpected BroadcastNestedLoopJoin / CartesianProduct in any batch plan") {
     val batch = SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("d"))

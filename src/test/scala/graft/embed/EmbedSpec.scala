@@ -144,4 +144,32 @@ class MultimodalSpec extends SparkTestBase {
     // every cluster is non-empty under sample-init (its seed is a member)
     assert(a.select("cluster").distinct().count() == EmbedQueries.KmCents)
   }
+
+  test("c51 semdedup: total cover, dup_of is a lower-id cluster mate over threshold") {
+    val s = EmbedQueries.c51SemDedup(spark, sf)
+    assert(s.count() == Tables(spark, sf, "embeddings").count())
+    // kept <-> sentinel; dropped <-> a real lower-id duplicate-of target
+    assert(s.filter(col("keep") === 1L && col("dup_of") =!= -1L).count() == 0)
+    assert(s.filter(col("keep") === 0L && col("dup_of") >= col("vec_id")).count() == 0)
+    // dup_of lives in the SAME cluster (SemDeDup never crosses clusters)
+    val byId = s.select(col("vec_id").as("dup_of"), col("cluster").as("dup_cluster"))
+    val dropped = s.filter(col("keep") === 0L).join(byId, Seq("dup_of"))
+    assert(dropped.filter(col("cluster") =!= col("dup_cluster")).count() == 0)
+    // the min-id member of every cluster can have no lower-id mate -> kept
+    val minIds = s.groupBy("cluster").agg(min("vec_id").as("vec_id"))
+    assert(s.join(minIds, Seq("cluster", "vec_id")).filter(col("keep") === 0L).count() == 0)
+    // and each dropped vector really is >= CosThreshold-close to its target:
+    // recompute the cosine for the (dup_of, vec_id) pairs from raw vectors
+    import graft.functions.vector.{vec_dot, vec_norm2}
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"), vec_norm2(col("embedding")).as("n2"))
+    val pairs = s.filter(col("keep") === 0L)
+      .join(e.select(col("vec_id"), col("embedding").as("eb"), col("n2").as("nb")), Seq("vec_id"))
+      .join(e.select(col("vec_id").as("dup_of"), col("embedding").as("ea"), col("n2").as("na")),
+        Seq("dup_of"))
+      .withColumn("cos", round(vec_dot(col("ea"), col("eb")) / sqrt(col("na") * col("nb")), 6))
+    assert(pairs.filter(col("cos") < EmbedQueries.CosThreshold).count() == 0)
+    // the dedup fires on this corpus (a vacuous pass proves nothing)
+    assert(s.filter(col("keep") === 0L).count() > 0)
+  }
 }

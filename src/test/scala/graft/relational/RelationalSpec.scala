@@ -227,4 +227,26 @@ class RelationalSpec extends SparkTestBase {
       .filter(!(col("qty_c").cast("double") < col("sum_c").cast("double") / col("n") / 5.0))
       .count() == 0)
   }
+
+  test("b23 moving average: RANGE frame equals a brute-force trailing-week recompute") {
+    val r = Queries.movingAvgRevenue(spark, sf)
+    assert(r.count() > 0)
+    // frame bounds: between 1 and 7 days present in any trailing week
+    assert(r.filter(col("n_days_7") < 1 || col("n_days_7") > 7).count() == 0)
+    // brute force: for each (priority, day d), re-sum rev_c over the
+    // days present in [d-6, d] via a self-join — no window involved
+    val daily = r.select(col("priority"), col("day_idx"), col("rev_c"))
+    val brute2 = daily.toDF("priority", "d", "rc")
+      .join(daily, Seq("priority"))
+      .filter(col("day_idx").between(col("d") - 6, col("d")))
+      .groupBy(col("priority"), col("d").as("day_idx"))
+      .agg(sum("rev_c").as("brute_rev"), count(lit(1)).as("brute_days"))
+    val j = r.join(brute2, Seq("priority", "day_idx"))
+    assert(j.count() == r.count())
+    assert(j.filter(col("rev_7d_c") =!= col("brute_rev")).count() == 0)
+    assert(j.filter(col("n_days_7") =!= col("brute_days")).count() == 0)
+    // gaps exist at sf0.001 (not every priority ships every day), so the
+    // RANGE-vs-ROWS distinction is actually exercised
+    assert(r.filter(col("n_days_7") < 7).count() > 0)
+  }
 }

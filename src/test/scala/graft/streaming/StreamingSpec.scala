@@ -361,4 +361,23 @@ class StreamingSpec extends SparkTestBase {
     assert(got.count() > 0)
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
+
+  test("D15 streaming sliding windows == batch twin; every event lands in exactly 4 windows") {
+    val stream = StreamingOps.eventsStream(spark, sf, stagedDir)
+    val got = runToMemory(StreamingOps.slidingAgg(stream), "d15_sliding", "complete")
+    val batch = StreamingOps.slidingAgg(
+      StreamingOps.normalize(Tables(spark, sf, "events")))
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0)
+    // width/slide = 4: summed window counts are exactly 4x the event count
+    val nEvents = Tables(spark, sf, "events").count()
+    assert(got.agg(sum("n")).head.getLong(0) == 4 * nEvents)
+    // overlapping windows really overlap: consecutive starts are 30 min
+    // apart while each window is 2 h wide, so there must be MORE sliding
+    // windows than D1's tumbling ones over the same span
+    val tumbling = runToMemory(StreamingOps.windowedAgg(
+      StreamingOps.eventsStream(spark, sf, stagedDir)), "d15_tumbling_ref", "complete")
+    assert(got.select("window_start").distinct().count() >
+      tumbling.select("window_start").distinct().count())
+  }
 }

@@ -421,4 +421,46 @@ class DedupQueriesSpec extends SparkTestBase {
     assert(g.filter(col("keep")).count() > 0)
     assert(g.filter(!col("keep")).count() > 0)
   }
+
+  test("c52 hashed classifier: score bounded by weight range, keep consistent, plain-Scala parity") {
+    val r = TextQueries.c52HashClassifier(spark, sf)
+    assert(r.count() == graft.Tables(spark, sf, "documents").count())
+    // each token contributes a weight in [-1000, 1000]
+    assert(r.filter(abs(col("score_raw")) > col("n_tokens") * 1000L).count() == 0)
+    assert(r.filter((col("score_micro") >= 0L) =!= (col("keep") === 1L)).count() == 0)
+    // plain-Scala reimplementation of the whole scorer on a sample
+    def weight(t: String): Long = {
+      val h = t.length.toLong * 1009L +
+        (if (t.nonEmpty) t.head.toLong * 31L + t.last.toLong else 0L)
+      h % TextQueries.ClsBuckets * 2654435761L % 2001L - 1000L
+    }
+    val docs = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "text").limit(50).collect()
+    val got = r.select("doc_id", "score_raw").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    docs.foreach { d =>
+      val want = d.getString(1).split(" ", -1).map(weight).sum
+      assert(got(d.getLong(0)) == want, s"doc ${d.getLong(0)}")
+    }
+    // the classifier separates on this corpus (a one-sided gate proves nothing)
+    assert(r.filter(col("keep") === 1L).count() > 0)
+    assert(r.filter(col("keep") === 0L).count() > 0)
+  }
+
+  test("c53 bloom screen: no false negatives vs exact C29, fp accounting consistent") {
+    val b = TextQueries.c53BloomDecontam(spark, sf)
+    // a Bloom filter can over-approximate, never under-approximate
+    assert(b.filter(col("exact_hits") > col("bloom_hits")).count() == 0)
+    assert(b.filter(col("fp_grams") =!= col("bloom_hits") - col("exact_hits")).count() == 0)
+    assert(b.filter((col("flagged") === 1L) =!= (col("bloom_hits") > 0L)).count() == 0)
+    assert(b.filter(col("bloom_hits") > col("n_grams")).count() == 0)
+    // every doc the exact screen catches is flagged here with the same count
+    val exact = TextQueries.c29Contamination(spark, sf)
+    val j = exact.join(b, Seq("doc_id"), "left")
+    assert(j.filter(col("flagged").isNull || col("flagged") === 0L).count() == 0)
+    assert(j.filter(col("n_hit") =!= col("exact_hits")).count() == 0)
+    // with m = 1024 the filter is deliberately small: false positives
+    // must actually occur on this corpus or the approximation is untested
+    assert(b.agg(sum("fp_grams")).head.getLong(0) > 0)
+  }
 }

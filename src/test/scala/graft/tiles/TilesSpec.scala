@@ -276,4 +276,25 @@ class GeoQueriesSpec extends SparkTestBase {
     // keeps the L (its union holds no node) and drops only the square
     assert(kept == Set(1L))
   }
+
+  test("a32 simplification: corner counts even and >= 4, single tile collapses to 4 corners") {
+    val r = GeoQueries.a32OutlineSimplify(spark, sf)
+    assert(r.count() > 0)
+    // a closed rectilinear boundary turns an even number of times, at
+    // least the 4 of a rectangle; dropped vertices never exceed total
+    assert(r.filter(col("n_corners") < 4).count() == 0)
+    assert(r.filter(col("n_corners") % 2 =!= 0).count() == 0)
+    assert(r.filter(col("n_dropped") < 0 || col("n_dropped") > col("n_vertices")).count() == 0)
+    // every boundary edge contributes 2 endpoints; for a closed boundary
+    // edges == vertices would only hold without pinches, so just bound it
+    assert(r.filter(col("n_edges") < col("n_vertices")).count() == 0)
+    // singleton clusters (1 tile, 4 edges) simplify to exactly 4 corners
+    val singles = graft.tiles.Clustering.componentsFor(spark, sf)
+      .groupBy("cluster_id").count().filter(col("count") === 1)
+      .select("cluster_id")
+    val joined = r.join(singles, "cluster_id")
+    assert(joined.count() > 0)
+    assert(joined.filter(col("n_edges") =!= 4 || col("n_vertices") =!= 4 ||
+      col("n_dropped") =!= 0 || col("n_corners") =!= 4).count() == 0)
+  }
 }
