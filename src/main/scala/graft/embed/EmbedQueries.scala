@@ -789,8 +789,13 @@ object EmbedQueries {
     * cluster, keep flag, and the min duplicate-of id (−1 sentinel).
     */
   def c51SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    // assignment + norms materialized ONCE (localCheckpoint, the c19
+    // memoization pattern) — it feeds both pair-join sides and the
+    // final keep frame, and at 100 TB the k-means assignment is a
+    // persisted iteration artifact anyway, not a recompute-per-use
     val a = kmAssigned(spark, dir).select(col("vec_id"), col("cluster"))
       .join(withNorms(spark, dir), Seq("vec_id"))
+      .localCheckpoint()
     val l = a.select(col("cluster"), col("vec_id").as("va"),
       col("embedding").as("ea"), col("n2").as("na"))
     val r = a.select(col("cluster"), col("vec_id").as("vb"),
@@ -801,7 +806,7 @@ object EmbedQueries {
         col("va"), cosine(dot(col("ea"), col("eb")), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= CosThreshold)
       .groupBy("vb").agg(min(col("va")).as("dup_of"))
-    kmAssigned(spark, dir).select(col("vec_id"), col("cluster"))
+    a.select(col("vec_id"), col("cluster"))
       .join(dups, col("vec_id") === col("vb"), "left")
       .select(col("vec_id"), col("cluster"),
         when(col("dup_of").isNull, lit(1L)).otherwise(lit(0L)).as("keep"),
