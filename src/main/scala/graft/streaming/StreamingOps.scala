@@ -377,6 +377,30 @@ object StreamingOps {
   def stageEventsDir(spark: SparkSession, sfDir: String): String =
     stageTableDir(spark, sfDir, "events")
 
+  /** Stage a frame as ONE parquet file under `dir` with an explicit
+    * modification time. The file source orders files by modTime (oldest
+    * first), so multi-file staging with spaced timestamps yields a
+    * DETERMINISTIC micro-batch sequence under `maxFilesPerTrigger=1` —
+    * how D16 replays the reference's batch-by-batch operating loop.
+    */
+  def stageFrameFile(df: DataFrame, dir: java.nio.file.Path, name: String,
+      modMs: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stage-one")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .find { p =>
+        val n = p.getFileName.toString
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }.getOrElse(sys.error(s"no parquet part written under $tmp"))
+    val dst = dir.resolve(name)
+    java.nio.file.Files.move(part, dst)
+    require(dst.toFile.setLastModified(modMs), s"cannot set modTime on $dst")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(tmp.toFile)
+  }
+
   /** File-source stream over a staged documents directory — the ingest
     * side of a continuously-crawled corpus.
     */

@@ -406,10 +406,17 @@ object StreamingQueries {
       .withColumn("toks", TextQueries.tokens(col("text")))
       .filter(size(col("toks")) >= TextQueries.ContamN)
       .withColumn("k", lit(1))
+    // membership via the codegen'd sorted-merge intersect, NOT
+    // array_intersect: the latter builds a boxed hash set of the whole
+    // (tens-of-thousands-element) test array PER ROW — measured 14.7 s
+    // at sf0.1 vs ~3 s for this primitive-long merge of two
+    // sorted-distinct arrays (the C7/C19 scoring kernel, one shared
+    // implementation)
     val flagged = docs.join(broadcast(testSet), "k")
       .select(col("doc_id"),
-        size(array_intersect(TextQueries.gramHashes(col("toks")), col("test_ghs")))
-          .cast("long").as("n_hit"))
+        graft.functions.sets.sorted_intersect_count(
+          sort_array(array_distinct(TextQueries.gramHashes(col("toks")))),
+          col("test_ghs")).as("n_hit"))
       .filter(col("n_hit") >= 1)
     runToTable(flagged, "graft_d14_sink", "append").orderBy("doc_id")
   }
@@ -438,6 +445,65 @@ object StreamingQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** D16: the reference's ACTUAL operating loop as a stream — score a
+    * batch, cluster its positives INTO the persisted labels, continue
+    * ids above the persisted max (`run_inference.py:21-41` +
+    * `solardb.py:245-252`), repeat. Each micro-batch runs A31's
+    * `Clustering.incrementalClusters` against the accumulated label
+    * state inside `foreachBatch` (the merge is driver-orchestrated but
+    * every step is a distributed frame — state lives as a
+    * localCheckpoint, never a driver collection). The two-batch replay
+    * is DETERMINISTIC: the positives are staged as two parquet files
+    * with spaced modification times (high-score batch first — the
+    * reference scores center-outwards, A5), `maxFilesPerTrigger=1`
+    * makes each file one micro-batch, and label immutability + the
+    * dense-rank fresh-id mint make the final state independent of
+    * everything but the file order. Starting from EMPTY state, batch 1
+    * gets ids 1..n by component rank — exactly A31's `existing`
+    * labels — so the oracle IS a31Sql (one definition, the D11/D12
+    * pattern).
+    */
+  def d16StreamCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.tiles.{Clustering, GeoDerive, GeoQueries}
+    import org.apache.spark.sql.types._
+    val pos = GeoDerive.positives(spark, sfDir)
+    val dir = java.nio.file.Paths.get(track(
+      Files.createTempDirectory("graft-d16-src").toString))
+    val now = System.currentTimeMillis()
+    StreamingOps.stageFrameFile(
+      pos.filter(col("score") >= GeoQueries.IncrementalSplit).select("x", "y"),
+      dir, "b0.parquet", now - 600000L)
+    StreamingOps.stageFrameFile(
+      pos.filter(col("score") < GeoQueries.IncrementalSplit).select("x", "y"),
+      dir, "b1.parquet", now)
+    val schema = new StructType().add("x", LongType).add("y", LongType)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    var state = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      new StructType().add("x", LongType).add("y", LongType)
+        .add("cluster_id", LongType).add("batch", IntegerType))
+    val ckpt = track(Files.createTempDirectory("graft-ckpt-d16").toString)
+    val q = src.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val merged = Clustering.incrementalClusters(
+          state.select("x", "y", "cluster_id"), b)
+        val newRows = merged.filter(col("batch") === 2)
+          .select(col("x"), col("y"), col("cluster_id"),
+            lit((id + 1).toInt).as("batch"))
+        state = state.unionByName(newRows).localCheckpoint()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches == 2,
+      s"d16 expects exactly 2 data micro-batches (oracle contract), got $dataBatches")
+    state.orderBy("x", "y")
+  }
+
+  val d16Sql: String = graft.tiles.GeoQueries.a31Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_stream_windowed" -> (d1StreamWindowed _),
     "d2_stream_dedup" -> (d2StreamDedup _),
@@ -453,7 +519,8 @@ object StreamingQueries {
     "d12_stream_funnel" -> (d12StreamFunnel _),
     "d13_stream_gate" -> (d13StreamGate _),
     "d14_stream_decontam" -> (d14StreamDecontam _),
-    "d15_stream_sliding" -> (d15StreamSliding _))
+    "d15_stream_sliding" -> (d15StreamSliding _),
+    "d16_stream_cluster" -> (d16StreamCluster _))
 
   val oracles: Map[String, String] = Map(
     "d1_stream_windowed" -> d1Sql,
@@ -470,5 +537,6 @@ object StreamingQueries {
     "d12_stream_funnel" -> d12Sql,
     "d13_stream_gate" -> d13Sql,
     "d14_stream_decontam" -> d14Sql,
-    "d15_stream_sliding" -> d15Sql)
+    "d15_stream_sliding" -> d15Sql,
+    "d16_stream_cluster" -> d16Sql)
 }
