@@ -44,7 +44,8 @@ object SparkEntry {
     "b20_cube_revenue" -> (Queries.cubeRevenue _),
     "b21_salted_enrich" -> (Queries.saltedEnrich _),
     "b22_avg_qty_revenue" -> (Queries.avgQtyRevenue _),
-    "b23_moving_avg" -> (Queries.movingAvgRevenue _)
+    "b23_moving_avg" -> (Queries.movingAvgRevenue _),
+    "b24_set_ops" -> (Queries.setOpsRetention _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -77,6 +78,7 @@ object SparkEntry {
     "b20_cube_revenue" -> Queries.cubeRevenueSql,
     "b21_salted_enrich" -> Queries.saltedEnrichSql,
     "b22_avg_qty_revenue" -> Queries.avgQtyRevenueSql,
-    "b23_moving_avg" -> Queries.movingAvgRevenueSql
+    "b23_moving_avg" -> Queries.movingAvgRevenueSql,
+    "b24_set_ops" -> Queries.setOpsRetentionSql
   )
 }

@@ -1029,4 +1029,40 @@ object Queries {
       |SELECT priority, day_idx, n_orders, rev_c, rev_7d_c, n_days_7,
       |  (rev_7d_c * 1000000) // n_days_7 AS avg_7d_micro
       |FROM win ORDER BY priority, day_idx""".stripMargin
+
+  // ------------------------------------------------------------- B24
+  /** B24: year-over-year customer retention via the SQL SET OPERATORS —
+    * the one relational surface the B block hadn't exercised: customers
+    * ordering in both 1995 and 1996 (INTERSECT), lapsed (EXCEPT), and
+    * newly acquired (reverse EXCEPT), tagged and unioned. Catalyst
+    * rewrites INTERSECT → aggregate + left-SEMI hash join and EXCEPT →
+    * aggregate + left-ANTI (ReplaceIntersectWithSemiJoin /
+    * ReplaceExceptWithAntiJoin), so each branch is the same
+    * shuffle-on-custkey shape as B13/B14 — no new scale hazard, and the
+    * date filters push to the parquet scan. The three branches share
+    * the two year frames; at 100 TB a single full-outer on the distinct
+    * key sets computes all three tags in one pass — spec pins that
+    * equivalence row-for-row.
+    */
+  def setOpsRetention(spark: SparkSession, dir: String): DataFrame = {
+    def yr(y: Int) = Tables(spark, dir, "orders")
+      .filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey")).distinct()
+    val y95 = yr(1995)
+    val y96 = yr(1996)
+    y95.intersect(y96).withColumn("status", lit("retained"))
+      .unionByName(y95.except(y96).withColumn("status", lit("lapsed")))
+      .unionByName(y96.except(y95).withColumn("status", lit("acquired")))
+      .orderBy("o_custkey", "status")
+  }
+
+  val setOpsRetentionSql: String =
+    """WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+      |y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+      |SELECT o_custkey, 'retained' AS status FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+      |UNION ALL
+      |SELECT o_custkey, 'lapsed' FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+      |UNION ALL
+      |SELECT o_custkey, 'acquired' FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y95)
+      |ORDER BY o_custkey, status""".stripMargin
 }

@@ -249,4 +249,22 @@ class RelationalSpec extends SparkTestBase {
     // RANGE-vs-ROWS distinction is actually exercised
     assert(r.filter(col("n_days_7") < 7).count() > 0)
   }
+
+  test("b24 set ops equal the one-pass full-outer tagging, all statuses occur") {
+    val r = Queries.setOpsRetention(spark, sf)
+    def yr(y: Int) = Tables(spark, sf, "orders")
+      .filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey")).distinct()
+    val fo = yr(1995).withColumn("a", lit(1))
+      .join(yr(1996).withColumn("b", lit(1)), Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        when(col("a").isNotNull && col("b").isNotNull, "retained")
+          .when(col("a").isNotNull, "lapsed").otherwise("acquired").as("status"))
+    assert(r.count() == fo.count())
+    assert(r.exceptAll(fo).count() == 0 && fo.exceptAll(r).count() == 0)
+    Seq("retained", "lapsed", "acquired").foreach(s =>
+      assert(r.filter(col("status") === s).count() > 0, s))
+    // a customer appears exactly once — the three branches partition
+    assert(r.groupBy("o_custkey").count().filter(col("count") > 1).count() == 0)
+  }
 }
