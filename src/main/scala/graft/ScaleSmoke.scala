@@ -254,6 +254,49 @@ object ScaleSmoke {
     println(f"SCALE saltedJoin events=$nSj hotUserShare=0.5 groups=$sjGroups " +
       f"maxTaskMs=$sjMaxMs meanTaskMs=$sjMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
+    // --- C51 SemDeDup pair search on K BALANCED clusters — the
+    // production contract (K grows with N, k-means keeps N/K bounded):
+    // every cluster is one join group carrying (N/K)²/2 pair dots, so
+    // the groups fill the partitions evenly and max task ≈ mean. A
+    // skewed clustering is a k-means quality problem upstream, not a
+    // shape this operator can (or should) absorb.
+    t0 = System.nanoTime()
+    val nSd = math.max(64000L, nCells / 30L)
+    val kSd = 64L
+    val sdVecs = spark.range(nSd).select(col("id").as("vec_id"),
+      (col("id") % kSd).as("cluster"),
+      expr("cast(transform(sequence(0, 15), i -> " +
+        "cast((id * (i + 104729) % 1000) as double) / 500.0 - 1.0) as array<float>)")
+        .as("embedding"))
+      .withColumn("n2", graft.functions.vector.vec_norm2(col("embedding")))
+      .localCheckpoint()
+    val (sdStats, sdMaxMs, sdMeanMs) = withMaxTask {
+      val r = graft.embed.EmbedQueries.semDedupOn(sdVecs)
+      (r.count(), r.filter(col("keep") === 0L).count())
+    }
+    println(f"SCALE semDedup vecs=$nSd clusters=$kSd rows=${sdStats._1} dropped=${sdStats._2} " +
+      f"maxTaskMs=$sdMaxMs meanTaskMs=$sdMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // --- C53 Bloom probe at 10M train grams vs a 100k-gram test side:
+    // the measured path (3-probe explode → ≤1024-row broadcast join →
+    // two per-doc partial aggs) is size-independent of the TEST side —
+    // the filter is ≤ m rows however many grams built it (here it
+    // saturates by design; production sizes m to the test cardinality).
+    t0 = System.nanoTime()
+    val nBg = nCells * 5L
+    val bgTrain = spark.range(nBg).select(
+      (col("id") % 1000000L).as("doc_id"),
+      ((col("id") * 48271L + 7L) % 1000000007L).as("gh"))
+    val bgTest = spark.range(100000L)
+      .select(((col("id") * 16807L + 11L) % 1000000007L).as("gh"))
+    val (bgRow, bgMaxMs, bgMeanMs) = withMaxTask(
+      graft.text.TextQueries.bloomScreenOn(bgTrain, bgTest)
+        .agg(sum("n_grams").as("g"), sum("bloom_hits").as("bh"), sum("exact_hits").as("eh"))
+        .head())
+    println(f"SCALE bloomScreen trainGrams=$nBg testGrams=100000 " +
+      f"grams=${bgRow.getLong(0)} bloomHits=${bgRow.getLong(1)} exactHits=${bgRow.getLong(2)} " +
+      f"maxTaskMs=$bgMaxMs meanTaskMs=$bgMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
     // --- tilerange generation throughput: a 100M-tile bbox fully
     // generated and aggregated (count + coordinate checksum) through
     // the DSv2 reader; the closed-form COUNT path is spec-proven

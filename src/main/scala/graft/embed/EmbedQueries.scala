@@ -788,14 +788,12 @@ object EmbedQueries {
     * flag joined back) is the 100 TB one. Output: every vector with its
     * cluster, keep flag, and the min duplicate-of id (−1 sentinel).
     */
-  def c51SemDedup(spark: SparkSession, dir: String): DataFrame = {
-    // assignment + norms materialized ONCE (localCheckpoint, the c19
-    // memoization pattern) — it feeds both pair-join sides and the
-    // final keep frame, and at 100 TB the k-means assignment is a
-    // persisted iteration artifact anyway, not a recompute-per-use
-    val a = kmAssigned(spark, dir).select(col("vec_id"), col("cluster"))
-      .join(withNorms(spark, dir), Seq("vec_id"))
-      .localCheckpoint()
+  /** The SemDeDup body on any materialized (vec_id, cluster, embedding,
+    * n2) frame — ScaleSmoke drives this same code on K balanced
+    * clusters at ~100k vectors to pin per-task flatness of the
+    * cluster-grouped pair search.
+    */
+  private[graft] def semDedupOn(a: DataFrame): DataFrame = {
     val l = a.select(col("cluster"), col("vec_id").as("va"),
       col("embedding").as("ea"), col("n2").as("na"))
     val r = a.select(col("cluster"), col("vec_id").as("vb"),
@@ -813,6 +811,15 @@ object EmbedQueries {
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
       .orderBy("vec_id")
   }
+
+  def c51SemDedup(spark: SparkSession, dir: String): DataFrame =
+    // assignment + norms materialized ONCE (localCheckpoint, the c19
+    // memoization pattern) — it feeds both pair-join sides and the
+    // final keep frame, and at 100 TB the k-means assignment is a
+    // persisted iteration artifact anyway, not a recompute-per-use
+    semDedupOn(kmAssigned(spark, dir).select(col("vec_id"), col("cluster"))
+      .join(withNorms(spark, dir), Seq("vec_id"))
+      .localCheckpoint())
 
   val c51Sql: String =
     s"""WITH $normsCte, $kmAssignedCte,

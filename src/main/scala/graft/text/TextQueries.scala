@@ -1520,12 +1520,14 @@ object TextQueries {
   private def bloomPositions(gh: Column): Column =
     array(BloomProbes.map { case (a, b) => (gh * lit(a) + lit(b)) % lit(BloomM) }: _*)
 
-  def c53BloomDecontam(spark: SparkSession, dir: String): DataFrame = {
-    val grams = distinctGrams(spark, dir).withColumn("split", splitCol)
-    val test = grams.filter(col("split") === "test")
-    val testBits = test.select(explode(bloomPositions(col("gh"))).as("pos")).distinct()
-    val testGh = test.select("gh").distinct()
-    val train = grams.filter(col("split") === "train").select("doc_id", "gh")
+  /** The Bloom screen body on any (doc_id, gh) train frame and distinct
+    * test-gram frame — ScaleSmoke drives this same code at 10M+ train
+    * grams to pin the probe join's flatness (the measured path is
+    * size-independent of the TEST side: the filter is ≤ m rows however
+    * many grams built it).
+    */
+  private[graft] def bloomScreenOn(train: DataFrame, testGh: DataFrame): DataFrame = {
+    val testBits = testGh.select(explode(bloomPositions(col("gh"))).as("pos")).distinct()
     val bloomPos = train
       .select(col("doc_id"), col("gh"), explode(bloomPositions(col("gh"))).as("pos"))
       .join(broadcast(testBits), Seq("pos"))
@@ -1533,6 +1535,9 @@ object TextQueries {
       .filter(col("n_set") === BloomK)
     val perDoc = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val bl = bloomPos.groupBy("doc_id").agg(count(lit(1)).as("bloom_hits"))
+    // the exact re-check is a plain equi-join on gh — deliberately NOT
+    // broadcast: c53 exists precisely for test sides too big to ship,
+    // and at scale this join runs only over the Bloom-flagged survivors
     val ex = train.join(testGh, Seq("gh"))
       .groupBy("doc_id").agg(count(lit(1)).as("exact_hits"))
     perDoc
@@ -1544,6 +1549,13 @@ object TextQueries {
       .withColumn("fp_grams", col("bloom_hits") - col("exact_hits"))
       .withColumn("flagged", (col("bloom_hits") > 0L).cast("long"))
       .orderBy("doc_id")
+  }
+
+  def c53BloomDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val grams = distinctGrams(spark, dir).withColumn("split", splitCol)
+    bloomScreenOn(
+      grams.filter(col("split") === "train").select("doc_id", "gh"),
+      grams.filter(col("split") === "test").select("gh").distinct())
   }
 
   val c53Sql: String = {

@@ -110,4 +110,31 @@ class OutlinePropSpec extends AnyFunSuite {
       got == want
     })
   }
+
+  test("a32 collinear-drop corner count == turning vertices of the walked rings") {
+    check(Prop.forAll(blobGen) { tiles =>
+      val edges = boundaryEdges(tiles)
+      // relational corner definition (the a32 twin, no walk): keep a
+      // vertex unless exactly 2 incident edges share an orientation
+      val inc = scala.collection.mutable.Map.empty[(Long, Long), (Int, Int)]
+      edges.foreach { case (a, b) =>
+        val h = if (a._2 == b._2) 1 else 0
+        Seq(a, b).foreach { v =>
+          val (n, nh) = inc.getOrElse(v, (0, 0)); inc(v) = (n + 1, nh + h)
+        }
+      }
+      val relCorners = inc.count { case (_, (n, nh)) => !(n == 2 && (nh == 2 || nh == 0)) }
+      // geometric corner definition: vertices where some ring visit
+      // changes direction (the interior-left walker always turns at
+      // pinches, so the two definitions agree vertex-for-vertex)
+      val turns = Outline.chainEdges(edges).flatMap { r =>
+        val n = r.size
+        r.indices.flatMap { i =>
+          val p = r((i + n - 1) % n); val v = r(i); val q = r((i + 1) % n)
+          if ((v._1 - p._1, v._2 - p._2) != (q._1 - v._1, q._2 - v._2)) Some(v) else None
+        }
+      }.toSet
+      relCorners == turns.size
+    })
+  }
 }
