@@ -45,7 +45,8 @@ object SparkEntry {
     "b21_salted_enrich" -> (Queries.saltedEnrich _),
     "b22_avg_qty_revenue" -> (Queries.avgQtyRevenue _),
     "b23_moving_avg" -> (Queries.movingAvgRevenue _),
-    "b24_set_ops" -> (Queries.setOpsRetention _)
+    "b24_set_ops" -> (Queries.setOpsRetention _),
+    "b25_unpivot" -> (Queries.unpivotRevenue _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -79,6 +80,7 @@ object SparkEntry {
     "b21_salted_enrich" -> Queries.saltedEnrichSql,
     "b22_avg_qty_revenue" -> Queries.avgQtyRevenueSql,
     "b23_moving_avg" -> Queries.movingAvgRevenueSql,
-    "b24_set_ops" -> Queries.setOpsRetentionSql
+    "b24_set_ops" -> Queries.setOpsRetentionSql,
+    "b25_unpivot" -> Queries.unpivotRevenueSql
   )
 }

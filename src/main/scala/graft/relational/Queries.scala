@@ -1065,4 +1065,31 @@ object Queries {
       |UNION ALL
       |SELECT o_custkey, 'acquired' FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y95)
       |ORDER BY o_custkey, status""".stripMargin
+
+  // ------------------------------------------------------------- B25
+  /** B25: UNPIVOT — melt B18's (priority × year) revenue matrix back to
+    * long form via `stack`, the inverse surface of PIVOT (report tables
+    * arrive wide, pipelines want long). `stack` is a map-side Generate
+    * (one row in, |years| out, nulls dropped for absent cells) layered
+    * on the same single-pass pivot aggregate, so the whole query is
+    * B18's one shuffle + a projection — and the spec can assert the
+    * round trip: unpivot(pivot(x)) == groupBy(x) exactly.
+    */
+  def unpivotRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val wide = pivotRevenue(spark, dir)
+    val stackArgs = PivotYears
+      .map(y => s"${y}L, y$y").mkString(s"${PivotYears.size}, ", ", ", "")
+    wide.select(col("o_orderpriority"),
+        expr(s"stack($stackArgs) AS (yr, revenue_c)"))
+      .filter(col("revenue_c").isNotNull)
+      .orderBy("o_orderpriority", "yr")
+  }
+
+  val unpivotRevenueSql: String =
+    s"""SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS yr,
+       |  CAST(SUM(CAST(ROUND(o_totalprice*100.0) AS BIGINT)) AS BIGINT) AS revenue_c
+       |FROM orders
+       |WHERE year(o_orderdate) BETWEEN ${PivotYears.head} AND ${PivotYears.last}
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
 }

@@ -267,4 +267,16 @@ class RelationalSpec extends SparkTestBase {
     // a customer appears exactly once — the three branches partition
     assert(r.groupBy("o_custkey").count().filter(col("count") > 1).count() == 0)
   }
+
+  test("b25 unpivot round-trips b18's pivot back to the plain groupBy") {
+    val long = Queries.unpivotRevenue(spark, sf)
+    val direct = Tables(spark, sf, "orders")
+      .filter(year(col("o_orderdate")).between(
+        Queries.PivotYears.head, Queries.PivotYears.last))
+      .groupBy(col("o_orderpriority"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(sum(round(col("o_totalprice") * 100.0, 0).cast("long")).as("revenue_c"))
+    assert(long.count() > 0 && long.count() == direct.count())
+    assert(long.exceptAll(direct).count() == 0 && direct.exceptAll(long).count() == 0)
+  }
 }
