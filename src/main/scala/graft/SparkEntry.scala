@@ -46,7 +46,8 @@ object SparkEntry {
     "b22_avg_qty_revenue" -> (Queries.avgQtyRevenue _),
     "b23_moving_avg" -> (Queries.movingAvgRevenue _),
     "b24_set_ops" -> (Queries.setOpsRetention _),
-    "b25_unpivot" -> (Queries.unpivotRevenue _)
+    "b25_unpivot" -> (Queries.unpivotRevenue _),
+    "b26_not_in_nulls" -> (Queries.notInNulls _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -81,6 +82,7 @@ object SparkEntry {
     "b22_avg_qty_revenue" -> Queries.avgQtyRevenueSql,
     "b23_moving_avg" -> Queries.movingAvgRevenueSql,
     "b24_set_ops" -> Queries.setOpsRetentionSql,
-    "b25_unpivot" -> Queries.unpivotRevenueSql
+    "b25_unpivot" -> Queries.unpivotRevenueSql,
+    "b26_not_in_nulls" -> Queries.notInNullsSql
   )
 }

@@ -1092,4 +1092,75 @@ object Queries {
        |WHERE year(o_orderdate) BETWEEN ${PivotYears.head} AND ${PivotYears.last}
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------- B26
+  /** B26: NOT IN three-valued-logic semantics — the one anti-join
+    * variant B13/B14 don't cover. `x NOT IN (subquery)` is NOT the same
+    * operator as NOT EXISTS: a single NULL in the subquery makes the
+    * predicate UNKNOWN for every outer row (zero survivors), and a NULL
+    * outer key never qualifies against a non-empty list. Engines that
+    * "optimize" NOT IN to a plain anti join silently corrupt both
+    * corners, so this query pins all four counts in one row:
+    *
+    *  - `n_not_exists` / `n_not_in`: customers with no urgent order —
+    *    equal here because both key sides are non-null, computed by the
+    *    two different operators (LEFT ANTI equi-join vs the null-aware
+    *    form) to pin that they agree exactly when they should.
+    *  - `n_not_in_null`: the same NOT IN after a NULL enters the
+    *    subquery → 0 by SQL semantics, never "all customers".
+    *  - `n_outer_null`: one passing outer key replaced by NULL →
+    *    exactly one fewer survivor (NULL NOT IN non-empty ⇒ UNKNOWN).
+    *
+    * Spark realization: the null-aware branches are LEFT ANTI joins on
+    * `key = k OR isnull(key = k)` — the exact pattern Catalyst's
+    * ExtractSingleColumnNullAwareAntiJoin rewrites into a single-column
+    * null-aware BroadcastHashJoin (default-on since 3.1), so the plan
+    * stays a hash join, never a nested-loop scan. At scale the urgent
+    * key set is DISTINCT (bounded by |customer|, usually tiny) and
+    * broadcasts; the four aggregates are 1-row frames cross-joined by
+    * broadcast. The `kpick` threshold (smallest surviving key) is a
+    * 1-row scalar aggregate, the B13 decorrelation shape.
+    */
+  def notInNulls(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer").select(col("c_custkey"))
+    val urgent = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("k")).distinct()
+    // NAAJ condition: matches when key = k OR the comparison is UNKNOWN
+    // (either side null) — left-anti over it implements NOT IN exactly.
+    def notInAnti(outer: DataFrame, keyCol: Column, sub: DataFrame): DataFrame =
+      outer.join(broadcast(sub), keyCol === sub("k") || isnull(keyCol === sub("k")), "left_anti")
+    val survivors = c.join(broadcast(urgent), col("c_custkey") === col("k"), "left_anti")
+    val nNotExists = survivors.agg(count(lit(1)).as("n_not_exists"))
+    val nNotIn = notInAnti(c, col("c_custkey"), urgent)
+      .agg(count(lit(1)).as("n_not_in"))
+    val withNull = urgent.unionByName(
+      spark.range(1).select(lit(null).cast("long").as("k")))
+    val nNotInNull = notInAnti(c, col("c_custkey"), withNull)
+      .agg(count(lit(1)).as("n_not_in_null"))
+    val kpick = survivors.agg(min("c_custkey").as("kpick"))
+    val nulledOuter = c.crossJoin(broadcast(kpick))
+      .select(when(col("c_custkey") === col("kpick"), lit(null))
+        .otherwise(col("c_custkey")).as("ck"))
+    val nOuterNull = notInAnti(nulledOuter, col("ck"), urgent)
+      .agg(count(lit(1)).as("n_outer_null"))
+    nNotExists.crossJoin(broadcast(nNotIn))
+      .crossJoin(broadcast(nNotInNull))
+      .crossJoin(broadcast(nOuterNull))
+  }
+
+  val notInNullsSql: String =
+    """WITH urgent AS (
+      |  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+      |), ni AS (
+      |  SELECT c_custkey FROM customer WHERE c_custkey NOT IN (SELECT k FROM urgent)
+      |), kp AS (SELECT MIN(c_custkey) AS kpick FROM ni)
+      |SELECT
+      |  (SELECT COUNT(*) FROM customer c
+      |   WHERE NOT EXISTS (SELECT 1 FROM urgent u WHERE u.k = c.c_custkey)) AS n_not_exists,
+      |  (SELECT COUNT(*) FROM ni) AS n_not_in,
+      |  (SELECT COUNT(*) FROM customer
+      |   WHERE c_custkey NOT IN (SELECT k FROM urgent UNION ALL SELECT NULL)) AS n_not_in_null,
+      |  (SELECT COUNT(*) FROM customer, kp
+      |   WHERE nullif(c_custkey, kpick) NOT IN (SELECT k FROM urgent)) AS n_outer_null""".stripMargin
 }

@@ -34,7 +34,12 @@ class PlanContractSpec extends SparkTestBase {
     // c50 crosses the KmCents(=8)-row centroid codebook — the bounded
     // constant-table pattern c18's IVF codebook already uses; c51
     // embeds the same assignment, its pair search itself is equi-join
-    "c50_kmeans_assign", "c51_semdedup")
+    "c50_kmeans_assign", "c51_semdedup",
+    // b26 crosses four 1-row count aggregates (and the 1-row kpick
+    // scalar) into its single output row; every anti join in the plan
+    // is a BroadcastHashJoin (incl. the null-aware ones — the NAAJ
+    // rewrite is asserted by its own spec)
+    "b26_not_in_nulls")
 
   test("no unexpected BroadcastNestedLoopJoin / CartesianProduct in any batch plan") {
     val batch = SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("d"))

@@ -279,4 +279,29 @@ class RelationalSpec extends SparkTestBase {
     assert(long.count() > 0 && long.count() == direct.count())
     assert(long.exceptAll(direct).count() == 0 && direct.exceptAll(long).count() == 0)
   }
+
+  test("b26 NOT IN three-valued logic: corners pinned and NAAJ planned as hash join") {
+    val r = Queries.notInNulls(spark, sf).head()
+    val nNotExists = r.getLong(r.fieldIndex("n_not_exists"))
+    val nNotIn = r.getLong(r.fieldIndex("n_not_in"))
+    val nNotInNull = r.getLong(r.fieldIndex("n_not_in_null"))
+    val nOuterNull = r.getLong(r.fieldIndex("n_outer_null"))
+    // non-null keys on both sides → NOT IN and NOT EXISTS agree exactly
+    assert(nNotIn == nNotExists && nNotIn > 0)
+    // a NULL in the subquery makes NOT IN UNKNOWN for every outer row
+    assert(nNotInNull == 0L)
+    // one passing outer key nulled → exactly one fewer survivor
+    assert(nOuterNull == nNotIn - 1)
+    // the null-aware anti joins must plan as hash joins (the
+    // ExtractSingleColumnNullAwareAntiJoin rewrite), never an anti NLJ —
+    // the whole point of expressing NOT IN this way at scale
+    val lines = Queries.notInNulls(spark, sf).queryExecution.executedPlan
+      .toString.linesIterator.toSeq
+    assert(!lines.exists(l =>
+        l.contains("BroadcastNestedLoopJoin") && l.contains("LeftAnti")),
+      "null-aware anti join fell back to a nested-loop scan")
+    assert(lines.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      "expected hash anti joins")
+  }
 }
