@@ -838,6 +838,61 @@ object EmbedQueries {
        |FROM a LEFT JOIN dups d ON d.vb = a.vec_id
        |ORDER BY a.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- C54
+  /** C54: sparse random projection (Achlioptas 2003 / Li et al. 2006) —
+    * the dimensionality-reduction step before an ANN index or a cheap
+    * near-dup screen when even C28's int8 codes are too wide: project
+    * 64 dims down to [[RpDims]] with a ±1/0 matrix carrying density 1/3
+    * (P(+1)=P(−1)=1/6, P(0)=2/3 — distance-preserving in expectation by
+    * the JL lemma, and 2/3 of the multiplies vanish).
+    *
+    * The matrix is never materialized, let alone shuffled: entry (j,d)
+    * is a Knuth-LCG hash of j·64+d reduced mod 6, evaluated inline on
+    * BOTH engines — identical integer math, so the projection is
+    * deterministic across runs, engines, backfills. Inputs quantize to
+    * exact micro-units first (round(v·1e6) — the same double op on both
+    * engines) so every output is an exact BIGINT, no float drift
+    * possible. Entirely scan-stage array folds: zero shuffles, zero
+    * joins — at 100 TB this runs at full read bandwidth. Long-form
+    * output (the driver oracle lexsorts scalar columns only).
+    */
+  val RpDims = 8
+
+  def c54RandomProjection(spark: SparkSession, dir: String): DataFrame = {
+    // sign(j,d) ∈ {+1,−1,0} from ((a·(j·64+d)+c) mod 2^31) mod 6
+    def sign(j: Column, d: Column): Column = {
+      val h = pmod(lit(1103515245L) * (j * lit(Dims) + d) + lit(12345L),
+        lit(2147483648L))
+      val m = pmod(h, lit(6))
+      when(m === 0, 1L).when(m === 1, -1L).otherwise(0L)
+    }
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          e => round(e.cast("double") * lit(1000000.0), 0).cast("long")).as("q"))
+      .select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(RpDims - 1)),
+          j => aggregate(sequence(lit(0), lit(Dims - 1)), lit(0L),
+            (acc, d) => acc + sign(j, d) * element_at(col("q"), d + 1)))))
+      .select(col("vec_id"), col("pos").as("proj_dim"), col("col").as("proj_micro"))
+      .orderBy("vec_id", "proj_dim")
+  }
+
+  val c54Sql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS q
+       |  FROM embeddings
+       |), cells AS (
+       |  SELECT vec_id, j, d, q[d + 1] AS qd,
+       |    ((1103515245 * (j * $Dims + d) + 12345) % 2147483648) % 6 AS m
+       |  FROM q, range(0, $RpDims) tj(j), range(0, $Dims) td(d)
+       |)
+       |SELECT vec_id, CAST(j AS INT) AS proj_dim,
+       |  CAST(SUM(CASE m WHEN 0 THEN qd WHEN 1 THEN -qd ELSE 0 END) AS BIGINT) AS proj_micro
+       |FROM cells GROUP BY vec_id, j ORDER BY vec_id, proj_dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c9_cosine_pairs" -> (c9CosinePairs _),
     "c10_ann_bruteforce" -> (c10AnnBruteforce _),
@@ -851,7 +906,8 @@ object EmbedQueries {
     "c42_mrl_recall" -> (c42MrlRecall _),
     "c46_knn_graph" -> (c46KnnGraph _),
     "c50_kmeans_assign" -> (c50KmeansAssign _),
-    "c51_semdedup" -> (c51SemDedup _))
+    "c51_semdedup" -> (c51SemDedup _),
+    "c54_random_projection" -> (c54RandomProjection _))
 
   val oracles: Map[String, String] = Map(
     "c9_cosine_pairs" -> c9Sql,
@@ -866,5 +922,6 @@ object EmbedQueries {
     "c42_mrl_recall" -> c42Sql,
     "c46_knn_graph" -> c46Sql,
     "c50_kmeans_assign" -> c50Sql,
-    "c51_semdedup" -> c51Sql)
+    "c51_semdedup" -> c51Sql,
+    "c54_random_projection" -> c54Sql)
 }

@@ -172,4 +172,46 @@ class MultimodalSpec extends SparkTestBase {
     // the dedup fires on this corpus (a vacuous pass proves nothing)
     assert(s.filter(col("keep") === 0L).count() > 0)
   }
+
+  test("c54 random projection: exact scalar recompute, linearity, matrix density") {
+    val p = EmbedQueries.c54RandomProjection(spark, sf)
+    val n = Tables(spark, sf, "embeddings").count()
+    assert(p.count() == n * EmbedQueries.RpDims)
+    // the implied ±1/0 matrix in plain Scala — the independent twin
+    def sign(j: Int, d: Int): Long = {
+      val h = Math.floorMod(1103515245L * (j * EmbedQueries.Dims + d) + 12345L,
+        2147483648L)
+      Math.floorMod(h, 6L) match { case 0 => 1L; case 1 => -1L; case _ => 0L }
+    }
+    // density: ~1/3 nonzero (Achlioptas 1/6 + 1/6), deterministic count
+    val nonzero = (for (j <- 0 until EmbedQueries.RpDims; d <- 0 until EmbedQueries.Dims)
+      yield sign(j, d)).count(_ != 0L)
+    val total = EmbedQueries.RpDims * EmbedQueries.Dims
+    assert(nonzero > total / 5 && nonzero < total / 2, s"degenerate density $nonzero/$total")
+    // exact recompute for a sample of vectors: quantize then fold
+    val sample = Tables(spark, sf, "embeddings").orderBy("vec_id").limit(5)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val got = p.filter(col("vec_id") < sample.map(_._1).max + 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    sample.foreach { case (id, vec) =>
+      val q = vec.map(v => BigDecimal(v.toDouble * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      for (j <- 0 until EmbedQueries.RpDims) {
+        val expect = (0 until EmbedQueries.Dims).map(d => sign(j, d) * q(d)).sum
+        assert(got((id, j)) == expect, s"vec $id dim $j")
+      }
+    }
+    // linearity on quantized inputs: proj(q1) + proj(q2) computed per
+    // dim equals the fold over summed q — exact integers, no epsilon
+    val (idA, vecA) = sample(0); val (idB, vecB) = sample(1)
+    for (j <- 0 until EmbedQueries.RpDims)
+      assert(got((idA, j)) + got((idB, j)) ==
+        (0 until EmbedQueries.Dims).map { d =>
+          val qa = BigDecimal(vecA(d).toDouble * 1000000.0)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          val qb = BigDecimal(vecB(d).toDouble * 1000000.0)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          sign(j, d) * (qa + qb)
+        }.sum)
+  }
 }
