@@ -1649,6 +1649,69 @@ object TextQueries {
        |  CAST(((score_raw * 1000000) // greatest(n_tokens, 1)) >= 0 AS BIGINT) AS keep
        |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- C55
+  /** C55: vocabulary coverage curve — for each candidate vocab size k,
+    * what fraction of the corpus token MASS the top-k most frequent
+    * tokens cover (the first question of tokenizer design: where the
+    * OOV tail starts). The naive form ranks the whole vocabulary with a
+    * global sort; at 100 TB the vocabulary is hundreds of millions of
+    * rows and the sort is a needless bottleneck — so this uses the C22
+    * histogram-CDF argument one level up: collapse the vocab to its
+    * COUNT-CLASSES (one row per distinct frequency — domain-bounded,
+    * O(√total) classes in a Zipfian corpus), and coverage at rank k is
+    * exactly Σ_classes cnt · clamp(k − cum_before, 0, n_toks), because
+    * every token inside one class has the same count (rank order within
+    * a class cannot change the cumulative mass — the clamp formula IS
+    * rank-invariance, which is also why no tie rule is needed). One
+    * token-count shuffle, one tiny window over classes, a map-side
+    * explode of the k list, one final ≤|ks|-row aggregate; k > |vocab|
+    * caps at full mass by the clamp, never an error. Exact BIGINT
+    * throughout; coverage in integer micro-units.
+    */
+  val CoverageRanks = Seq(10L, 100L, 1000L)
+
+  def c55VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnts = Tables(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val cls = cnts.groupBy("cnt").agg(count(lit(1)).as("n_toks"))
+    // single-partition window — input is the class table, bounded by the
+    // frequency value domain however large the corpus (C22's argument)
+    val w = Window.orderBy(col("cnt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cls.withColumn("cum_before", coalesce(sum("n_toks").over(w), lit(0L)))
+      .select(explode(array(CoverageRanks.map(lit): _*)).as("k"),
+        col("cnt"), col("n_toks"), col("cum_before"))
+      .groupBy("k")
+      .agg(sum("n_toks").as("vocab_size"),
+        sum(col("cnt") * col("n_toks")).as("total_mass"),
+        sum(col("cnt") * greatest(lit(0L),
+          least(col("k") - col("cum_before"), col("n_toks")))).as("cov_mass"))
+      .withColumn("coverage_micro", expr("(cov_mass * 1000000) div total_mass"))
+      .orderBy("k")
+  }
+
+  val c55Sql: String =
+    s"""WITH cnts AS (
+       |  SELECT token, COUNT(*) AS cnt
+       |  FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+       |  GROUP BY token
+       |), cls AS (SELECT cnt, COUNT(*) AS n_toks FROM cnts GROUP BY cnt),
+       |cum AS (
+       |  SELECT cnt, n_toks,
+       |    COALESCE(CAST(SUM(n_toks) OVER (ORDER BY cnt DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+       |  FROM cls
+       |)
+       |SELECT k, CAST(SUM(n_toks) AS BIGINT) AS vocab_size,
+       |  CAST(SUM(cnt * n_toks) AS BIGINT) AS total_mass,
+       |  CAST(SUM(cnt * GREATEST(0, LEAST(k - cum_before, n_toks))) AS BIGINT) AS cov_mass,
+       |  (CAST(SUM(cnt * GREATEST(0, LEAST(k - cum_before, n_toks))) AS BIGINT) * 1000000)
+       |    // CAST(SUM(cnt * n_toks) AS BIGINT) AS coverage_micro
+       |FROM cum, (SELECT UNNEST([${CoverageRanks.mkString(", ")}]) AS k) ks
+       |GROUP BY k ORDER BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_exact" -> (c1DedupExact _),
     "c2_token_count" -> (c2TokenCount _),
@@ -1680,7 +1743,8 @@ object TextQueries {
     "c48_dup_spans" -> (c48DupSpans _),
     "c49_gopher_rules" -> (c49GopherRules _),
     "c52_hash_classifier" -> (c52HashClassifier _),
-    "c53_bloom_decontam" -> (c53BloomDecontam _))
+    "c53_bloom_decontam" -> (c53BloomDecontam _),
+    "c55_vocab_coverage" -> (c55VocabCoverage _))
 
   val oracles: Map[String, String] = Map(
     "c1_dedup_exact" -> c1Sql,
@@ -1713,5 +1777,6 @@ object TextQueries {
     "c48_dup_spans" -> c48Sql,
     "c49_gopher_rules" -> c49Sql,
     "c52_hash_classifier" -> c52Sql,
-    "c53_bloom_decontam" -> c53Sql)
+    "c53_bloom_decontam" -> c53Sql,
+    "c55_vocab_coverage" -> c55Sql)
 }

@@ -114,6 +114,35 @@ class TextQueriesSpec extends SparkTestBase {
     val total = TextQueries.c15LengthHistogram(spark, sf).agg(sum("n_docs")).head.getLong(0)
     assert(total == Tables(spark, sf, "documents").count())
   }
+
+  test("c55 vocab coverage equals the naive global-rank computation") {
+    import org.apache.spark.sql.expressions.Window
+    val r = TextQueries.c55VocabCoverage(spark, sf).collect()
+      .map(x => x.getLong(x.fieldIndex("k")) ->
+        (x.getLong(x.fieldIndex("cov_mass")), x.getLong(x.fieldIndex("vocab_size")),
+         x.getLong(x.fieldIndex("total_mass")), x.getLong(x.fieldIndex("coverage_micro"))))
+      .toMap
+    // naive twin: rank every token globally, coverage = mass of rank <= k
+    // (tie order within a count-class is irrelevant — the class formula's
+    // rank-invariance — so ANY total rank order must reproduce it)
+    val cnts = Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+    val vocabSize = cnts.count()
+    val totalMass = cnts.agg(sum("cnt")).head.getLong(0)
+    TextQueries.CoverageRanks.foreach { k =>
+      val naive = cnts.filter(col("rnk") <= k).agg(coalesce(sum("cnt"), lit(0L)))
+        .head.getLong(0)
+      val (cov, vs, tm, covMicro) = r(k)
+      assert(cov == naive, s"k=$k class-CDF $cov != naive $naive")
+      assert(vs == vocabSize && tm == totalMass)
+      assert(covMicro == cov * 1000000L / totalMass)
+    }
+    // coverage is monotone in k and capped at full mass
+    val covs = TextQueries.CoverageRanks.map(k => r(k)._1)
+    assert(covs == covs.sorted && covs.last <= totalMass)
+  }
 }
 
 class DedupQueriesSpec extends SparkTestBase {
