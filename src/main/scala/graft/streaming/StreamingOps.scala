@@ -245,6 +245,52 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
   }
 
+  // --------------------------------------- D17: streaming doc packing
+  final case class PackDoc(doc_id: Long, source: String, n_tok: Long)
+  final case class PackCum(cum: Long)
+  final case class PackRow(doc_id: Long, source: String, n_tok: Long,
+      seq_id: Long, seq_off: Long)
+
+  /** D17: C27's deterministic sequence packing as a STATEFUL STREAM —
+    * the ingest-time form: documents land, each is assigned its training
+    * sequence (seq_id, seq_off) the moment it arrives, and the
+    * assignment is IDENTICAL to the batch backfill (oracle = c27Sql, one
+    * definition). State per source shard is ONE Long — the running token
+    * cumsum — however long the stream runs; per-batch work per source is
+    * bounded by that source's rows in the batch (sorted in-memory by
+    * doc_id, the D3/D11/D12 in-batch ordering contract). The exactness
+    * contract mirrors C27's window: within a source, documents must
+    * arrive in doc_id order ACROSS batches (the staged replay cuts the
+    * corpus at a doc_id threshold, so batch 0's ids all precede batch
+    * 1's) — the same contiguous-fill-in-shard-order rule a real pipeline
+    * keeps by packing per input shard.
+    */
+  def packDocs(docs: DataFrame): org.apache.spark.sql.Dataset[PackRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val budget = graft.text.TextQueries.SeqBudget
+    val typed = docs
+      .select(col("doc_id"), col("source"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tok"))
+      .as[PackDoc]
+
+    def fold(source: String, it: Iterator[PackDoc],
+        state: GroupState[PackCum]): Iterator[PackRow] = {
+      var cum = state.getOption.map(_.cum).getOrElse(0L)
+      val out = it.toSeq.sortBy(_.doc_id).map { d =>
+        val off = cum
+        cum += d.n_tok
+        PackRow(d.doc_id, source, d.n_tok, off / budget, off % budget)
+      }
+      state.update(PackCum(cum))
+      out.iterator
+    }
+
+    typed.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
+  }
+
   // ------------------------------ D9: native session_window sessions
   /** D9: sessionization via Spark's NATIVE `session_window` aggregation
     * with a watermark — the declarative streaming sessionizer next to

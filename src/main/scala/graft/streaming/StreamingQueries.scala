@@ -65,7 +65,7 @@ object StreamingQueries {
   val StatePartitions = 8
 
   private def runToTable(df: DataFrame, name: String, mode: String,
-      requireSingleBatch: Boolean = false): DataFrame = {
+      requireSingleBatch: Boolean = false, requireDataBatches: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val ckpt = track(Files.createTempDirectory(s"graft-ckpt-$name").toString)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -75,6 +75,15 @@ object StreamingQueries {
         .outputMode(mode).option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      if (requireDataBatches > 0) {
+        // multi-file staged replays (d17): the cross-batch state carry is
+        // the thing under test, so a staging change that collapses the
+        // replay to one batch must fail loudly, not pass vacuously
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches == requireDataBatches,
+          s"$name expects exactly $requireDataBatches data micro-batches " +
+            s"(staged replay contract), got $dataBatches")
+      }
       if (requireSingleBatch) {
         // d11's batch-ASOF oracle equality holds only when the replay is
         // ONE in-order micro-batch: the asofAttribute disorder guard
@@ -504,6 +513,35 @@ object StreamingQueries {
 
   val d16Sql: String = graft.tiles.GeoQueries.a31Sql
 
+  /** D17: streaming doc packing ([[StreamingOps.packDocs]]) — the
+    * documents table staged as TWO files cut at the median doc_id with
+    * spaced modTimes (`maxFilesPerTrigger=1` ⇒ two ordered micro-batches,
+    * the D16 replay mechanism), so each source's running token cumsum is
+    * genuinely carried across a batch boundary and the packing still
+    * lands identically to the batch backfill: oracle = c27Sql, one
+    * definition. The doc_id cut keeps per-source arrival order across
+    * batches — C27's contiguous-fill contract (see packDocs).
+    */
+  def d17StreamPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.Tables
+    val docs = Tables(spark, sfDir, "documents")
+    // staging-harness scalar (1 row), not operator code: pick the cut
+    val cut = docs.agg(max("doc_id")).head.getLong(0) / 2
+    val dir = java.nio.file.Paths.get(track(
+      Files.createTempDirectory("graft-d17-src").toString))
+    val now = System.currentTimeMillis()
+    StreamingOps.stageFrameFile(docs.filter(col("doc_id") <= cut), dir, "b0.parquet",
+      now - 600000L)
+    StreamingOps.stageFrameFile(docs.filter(col("doc_id") > cut), dir, "b1.parquet", now)
+    val src = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    runToTable(StreamingOps.packDocs(src).toDF(), "graft_d17_sink", "append",
+        requireDataBatches = 2)
+      .orderBy("doc_id")
+  }
+
+  val d17Sql: String = graft.text.TextQueries.c27Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_stream_windowed" -> (d1StreamWindowed _),
     "d2_stream_dedup" -> (d2StreamDedup _),
@@ -520,7 +558,8 @@ object StreamingQueries {
     "d13_stream_gate" -> (d13StreamGate _),
     "d14_stream_decontam" -> (d14StreamDecontam _),
     "d15_stream_sliding" -> (d15StreamSliding _),
-    "d16_stream_cluster" -> (d16StreamCluster _))
+    "d16_stream_cluster" -> (d16StreamCluster _),
+    "d17_stream_pack" -> (d17StreamPack _))
 
   val oracles: Map[String, String] = Map(
     "d1_stream_windowed" -> d1Sql,
@@ -538,5 +577,6 @@ object StreamingQueries {
     "d13_stream_gate" -> d13Sql,
     "d14_stream_decontam" -> d14Sql,
     "d15_stream_sliding" -> d15Sql,
-    "d16_stream_cluster" -> d16Sql)
+    "d16_stream_cluster" -> d16Sql,
+    "d17_stream_pack" -> d17Sql)
 }

@@ -396,4 +396,21 @@ class StreamingSpec extends SparkTestBase {
     // both modes occur on this data or the merge logic is untested
     assert(batch2Fresh.count() > 0 && batch2Adopted.count() > 0)
   }
+
+  test("D17 streaming doc packing == batch C27 with a real cross-batch cumsum carry") {
+    val got = graft.streaming.StreamingQueries.queries("d17_stream_pack")(spark, sf)
+    val want = graft.text.TextQueries.c27DocPack(spark, sf)
+    assert(got.count() > 0 && got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // the state carry must actually fire: for at least one source, the
+    // first doc ABOVE the staging cut (second micro-batch) starts at a
+    // nonzero offset — i.e. its position came from state, not a fresh 0
+    val cut = Tables(spark, sf, "documents").agg(max("doc_id")).head.getLong(0) / 2
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val carried = got.filter(col("doc_id") > cut)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && (col("seq_id") > 0 || col("seq_off") > 0))
+    assert(carried.count() > 0, "no source crossed the batch boundary mid-sequence")
+  }
 }
