@@ -21,9 +21,15 @@ object Tables {
     */
   def eventsWithUs(spark: SparkSession, dir: String): DataFrame = {
     val e = apply(spark, dir, "events")
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
     val us = e.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => org.apache.spark.sql.functions.expr("ts div 1000")
-      case _ => org.apache.spark.sql.functions.unix_micros(org.apache.spark.sql.functions.col("ts"))
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      // parquet timestamp with isAdjustedToUTC=false reads as NTZ, which
+      // unix_micros rejects; the session runs UTC, so casting pins the
+      // same wall-clock instant the oracle's naive timestamp sees
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("ts").cast("timestamp"))
+      case _ => unix_micros(col("ts"))
     }
     e.withColumn("us", us)
   }

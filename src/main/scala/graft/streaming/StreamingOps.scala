@@ -33,6 +33,10 @@ object StreamingOps {
   def normalize(e: DataFrame): DataFrame = {
     val eventTime = e.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
+      // parquet timestamp with isAdjustedToUTC=false reads as NTZ; the
+      // session runs UTC, so the cast pins the same wall-clock instant
+      // (and unix_micros, which rejects NTZ, works downstream)
+      case org.apache.spark.sql.types.TimestampNTZType => col("ts").cast("timestamp")
       case _ => col("ts")
     }
     e.withColumn("event_time", eventTime)
