@@ -47,7 +47,8 @@ object SparkEntry {
     "b23_moving_avg" -> (Queries.movingAvgRevenue _),
     "b24_set_ops" -> (Queries.setOpsRetention _),
     "b25_unpivot" -> (Queries.unpivotRevenue _),
-    "b26_not_in_nulls" -> (Queries.notInNulls _)
+    "b26_not_in_nulls" -> (Queries.notInNulls _),
+    "b27_nation_percentile" -> (Queries.nationPercentile _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -83,6 +84,7 @@ object SparkEntry {
     "b23_moving_avg" -> Queries.movingAvgRevenueSql,
     "b24_set_ops" -> Queries.setOpsRetentionSql,
     "b25_unpivot" -> Queries.unpivotRevenueSql,
-    "b26_not_in_nulls" -> Queries.notInNullsSql
+    "b26_not_in_nulls" -> Queries.notInNullsSql,
+    "b27_nation_percentile" -> Queries.nationPercentileSql
   )
 }

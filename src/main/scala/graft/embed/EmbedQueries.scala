@@ -838,6 +838,72 @@ object EmbedQueries {
        |FROM a LEFT JOIN dups d ON d.vb = a.vec_id
        |ORDER BY a.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- C56
+  /** C56: the UPDATE (M) step of Lloyd's k-means — per-cluster per-dim
+    * mean of the member vectors re-estimates each centroid; composed
+    * with C50's assignment (shared [[kmAssigned]] frame, one
+    * definition) this is one full Lloyd iteration, the refinement loop
+    * behind every C18 IVF / C39 PQ / C51 SemDeDup codebook.
+    *
+    * Exactness: member values quantize to micro-units first (the C54
+    * convention — `round(v·10⁶)`, the same double op on both engines),
+    * so the per-(cluster, dim) sums are exact BIGINT; the mean is the
+    * ONE double division, rounded identically on both sides. Scale
+    * shape: the per-dim explode is scan-stage fan-out (×64), but the
+    * aggregate is map-side combinable so each task emits at most
+    * K·dims combiners — the one shuffle moves O(K·dims·tasks) rows,
+    * never O(N·dims); the old codebook joins back as a K·dims-row
+    * broadcast. Output long-form per (cluster, dim): member count, new
+    * mean, old value, |shift| — Σshift per cluster is the convergence
+    * signal a driver loop would test.
+    */
+  def c56KmeansUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          e => round(e.cast("double") * lit(1000000.0), 0).cast("long")).as("q"))
+    val members = kmAssigned(spark, dir).select(col("vec_id"), col("cluster"))
+      .join(q, "vec_id")
+      .select(col("cluster"), posexplode(col("q")))
+      .groupBy(col("cluster"), col("pos").as("d"))
+      .agg(count(lit(1)).as("n_members"), sum("col").as("sum_micro"))
+    val cents = q.filter(col("vec_id") < KmCents)
+      .select(col("vec_id").as("cluster"), posexplode(col("q")))
+      .select(col("cluster"), col("pos").as("d"), col("col").as("old_micro"))
+    members.join(broadcast(cents), Seq("cluster", "d"))
+      .withColumn("mean_micro",
+        round(col("sum_micro").cast("double") / col("n_members").cast("double"), 0)
+          .cast("long"))
+      .select(col("cluster"), col("d"), col("n_members"), col("mean_micro"),
+        col("old_micro"),
+        abs(col("mean_micro") - col("old_micro")).as("shift_micro"))
+      .orderBy("cluster", "d")
+  }
+
+  val c56Sql: String =
+    s"""WITH $kmAssignedCte, q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS q
+       |  FROM embeddings
+       |), a AS (SELECT vec_id, CAST(sc[2] AS BIGINT) AS cluster FROM assigned),
+       |m AS (
+       |  SELECT a.cluster, d, COUNT(*) AS n_members,
+       |    CAST(SUM(q.q[d + 1]) AS BIGINT) AS sum_micro
+       |  FROM a JOIN q USING (vec_id), range(0, $Dims) td(d)
+       |  GROUP BY a.cluster, d
+       |), o AS (
+       |  SELECT vec_id AS cluster, d, q[d + 1] AS old_micro
+       |  FROM q, range(0, $Dims) td(d) WHERE vec_id < $KmCents
+       |)
+       |SELECT m.cluster, CAST(m.d AS INT) AS d, m.n_members,
+       |  CAST(ROUND(CAST(m.sum_micro AS DOUBLE) / m.n_members) AS BIGINT) AS mean_micro,
+       |  o.old_micro,
+       |  abs(CAST(ROUND(CAST(m.sum_micro AS DOUBLE) / m.n_members) AS BIGINT)
+       |    - o.old_micro) AS shift_micro
+       |FROM m JOIN o ON o.cluster = m.cluster AND o.d = m.d
+       |ORDER BY m.cluster, m.d""".stripMargin
+
   // ---------------------------------------------------------------- C54
   /** C54: sparse random projection (Achlioptas 2003 / Li et al. 2006) —
     * the dimensionality-reduction step before an ANN index or a cheap
@@ -907,7 +973,8 @@ object EmbedQueries {
     "c46_knn_graph" -> (c46KnnGraph _),
     "c50_kmeans_assign" -> (c50KmeansAssign _),
     "c51_semdedup" -> (c51SemDedup _),
-    "c54_random_projection" -> (c54RandomProjection _))
+    "c54_random_projection" -> (c54RandomProjection _),
+    "c56_kmeans_update" -> (c56KmeansUpdate _))
 
   val oracles: Map[String, String] = Map(
     "c9_cosine_pairs" -> c9Sql,
@@ -923,5 +990,6 @@ object EmbedQueries {
     "c46_knn_graph" -> c46Sql,
     "c50_kmeans_assign" -> c50Sql,
     "c51_semdedup" -> c51Sql,
-    "c54_random_projection" -> c54Sql)
+    "c54_random_projection" -> c54Sql,
+    "c56_kmeans_update" -> c56Sql)
 }

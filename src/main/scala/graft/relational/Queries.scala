@@ -1163,4 +1163,50 @@ object Queries {
       |   WHERE c_custkey NOT IN (SELECT k FROM urgent UNION ALL SELECT NULL)) AS n_not_in_null,
       |  (SELECT COUNT(*) FROM customer, kp
       |   WHERE nullif(c_custkey, kpick) NOT IN (SELECT k FROM urgent)) AS n_outer_null""".stripMargin
+
+  /** B27: the window DISTRIBUTION functions (percent_rank / cume_dist /
+    * ntile) — the ranking surface B4's row_number didn't cover, done
+    * the only way an UNPARTITIONED window survives 100 TB: over a
+    * PRE-AGGREGATED dimension-sized frame. The fact table collapses to
+    * one revenue row per nation first (partial-agg shuffle on the join
+    * key, nation dim broadcast), and the global sort the distribution
+    * functions need then runs over 25 rows — a frame whose size is the
+    * DIMENSION's cardinality, independent of order count. Determinism:
+    * the window orders by (revenue_c, n_name), a total order, so
+    * percent_rank/cume_dist/ntile are all tie-free; the two ratios are
+    * the only doubles, rounded 6dp as the final step.
+    */
+  def nationPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val rev = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("revenue_c"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+    val w = Window.orderBy(col("revenue_c").desc, col("n_name"))
+    rev.select(col("n_name"), col("revenue_c"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("quartile", "pct_rank", "n_name")
+  }
+
+  val nationPercentileSql: String =
+    """WITH rev AS (
+      |  SELECT n.n_name,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_c
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY n.n_name
+      |)
+      |SELECT n_name, revenue_c,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM rev
+      |WINDOW w AS (ORDER BY revenue_c DESC, n_name)
+      |ORDER BY quartile, pct_rank, n_name""".stripMargin
 }

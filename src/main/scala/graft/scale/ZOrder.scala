@@ -42,6 +42,48 @@ object ZOrder {
     }
   }
 
+  /** Hilbert-curve distance: the locality key you graduate to when
+    * Morton isn't local enough. The Z-curve takes long diagonal jumps
+    * at power-of-two boundaries (z=3 → z=4 teleports across the
+    * quadrant), so a compact z-range still spans two disjoint
+    * rectangles now and then; the Hilbert curve advances in UNIT grid
+    * steps only, so every contiguous key range is one connected,
+    * near-square region — tighter per-file bounding boxes at the same
+    * file count, i.e. strictly better parquet footer pruning for bbox
+    * predicates.
+    *
+    * Realization: the classic xy2d bit walk as a HOF `aggregate` fold
+    * over a (hx, hy, hd) struct state, one step per bit level from the
+    * MSB. All arithmetic is nonnegative integer div/mod — each level
+    * masks the consumed bit off (`v % s`) BEFORE the `s−1−v`
+    * reflection, so no intermediate can go negative and trunc-vs-floor
+    * division can never diverge between engines. The quadrant digit
+    * `(3·rx) XOR ry` is emitted xor-free as `rx=0 ? ry : 3−ry` (equal
+    * on all four corners). Entirely map-side column math: zero
+    * shuffles, codegen-friendly, same cost profile as [[zValue]].
+    */
+  def hilbertD(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val fold = aggregate(
+      sequence(lit(bits - 1), lit(0), lit(-1)),
+      struct(x.cast("long").as("hx"), y.cast("long").as("hy"), lit(0L).as("hd")),
+      (st, i) => {
+        val s = pow(lit(2.0), i.cast("double")).cast("long")
+        val hx = st.getField("hx")
+        val hy = st.getField("hy")
+        val rx = floor(hx / s).cast("long")
+        val ry = floor(hy / s).cast("long")
+        val seg = when(rx === 0, ry).otherwise(lit(3L) - ry)
+        val mx = hx % s
+        val my = hy % s
+        val fx = when(ry === 0, when(rx === 1, s - 1 - my).otherwise(my)).otherwise(mx)
+        val fy = when(ry === 0, when(rx === 1, s - 1 - mx).otherwise(mx)).otherwise(my)
+        struct(fx.as("hx"), fy.as("hy"),
+          (st.getField("hd") + s * s * seg).cast("long").as("hd"))
+      })
+    fold.getField("hd")
+  }
+
   /** Write `df` to `path` as `files` parquet files clustered by the
     * z-order of (`xCol`, `yCol`): range-partition on the z-value (equal
     * ROW counts per file however skewed the point distribution — a

@@ -697,7 +697,13 @@ object TextQueries {
     * shuffle on doc_id. Docs with fewer than 2 tokens have no bigrams
     * and drop out, same as the oracle.
     */
-  def c31LmScore(spark: SparkSession, dir: String): DataFrame = {
+  def c31LmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScoredDocs(spark, dir).orderBy("doc_id")
+
+  /** The C31 per-doc score frame without the presentation sort — the ONE
+    * scoring definition C57's bucketing builds on.
+    */
+  private def lmScoredDocs(spark: SparkSession, dir: String): DataFrame = {
     val pairs = bigramPairs(spark, dir)
     val uni = pairs.groupBy("w1").agg(count(lit(1)).as("n_w1"))
     val model = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
@@ -708,11 +714,14 @@ object TextQueries {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("cond_micro").as("sum_cond_micro"))
       .withColumn("avg_cond_micro", expr("sum_cond_micro div n_bigrams"))
-      .orderBy("doc_id")
   }
 
-  val c31Sql: String =
-    """WITH toks AS (
+  /** The C31 oracle as a reusable CTE chain ending in `perdoc` — shared
+    * with the C57 bucketing oracle so both engines score through ONE
+    * SQL definition, mirroring [[lmScoredDocs]] on the Spark side.
+    */
+  private val lmScoredCtes: String =
+    """toks AS (
       |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
       |    UNNEST(string_split(text, ' ')) AS w1
       |  FROM documents
@@ -725,12 +734,18 @@ object TextQueries {
       |model AS (
       |  SELECT b.w1, b.w2, b.n_pair * 1000000 // u.n_w1 AS cond_micro
       |  FROM big b JOIN uni u USING (w1)
-      |)
-      |SELECT p.doc_id, COUNT(*) AS n_bigrams,
-      |  CAST(SUM(m.cond_micro) AS BIGINT) AS sum_cond_micro,
-      |  CAST(SUM(m.cond_micro) AS BIGINT) // COUNT(*) AS avg_cond_micro
-      |FROM pp p JOIN model m ON m.w1 = p.w1 AND m.w2 = p.w2
-      |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+      |), perdoc AS (
+      |  SELECT p.doc_id, COUNT(*) AS n_bigrams,
+      |    CAST(SUM(m.cond_micro) AS BIGINT) AS sum_cond_micro,
+      |    CAST(SUM(m.cond_micro) AS BIGINT) // COUNT(*) AS avg_cond_micro
+      |  FROM pp p JOIN model m ON m.w1 = p.w1 AND m.w2 = p.w2
+      |  GROUP BY p.doc_id
+      |)""".stripMargin
+
+  val c31Sql: String =
+    s"""WITH $lmScoredCtes
+       |SELECT doc_id, n_bigrams, sum_cond_micro, avg_cond_micro
+       |FROM perdoc ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- C32
   /** Token-budget stratified subsample — cap each (lang, source) stratum

@@ -1189,6 +1189,61 @@ object GeoQueries {
       |  COUNT(*) - CAST(SUM(CASE WHEN n_inc = 2 AND (n_h = 2 OR n_h = 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_corners
       |FROM pv GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)
 
+  // ---------------------------------------------------------------- A33
+  /** A33: Hilbert-curve locality key for the a30 tile coordinates — the
+    * clustered-layout sort key that strictly dominates the Morton
+    * z-value for bbox pruning: the Hilbert curve advances in unit grid
+    * steps only (no Z-curve quadrant jumps), so every contiguous key
+    * range maps to ONE connected near-square region and each
+    * range-partitioned file gets a tighter (x, y) bounding rectangle
+    * than a30's z at the same file count. Semantics + engine-parity
+    * notes in [[graft.scale.ZOrder.hilbertD]] (map-side HOF fold, all
+    * nonnegative div/mod, zero shuffles at any scale). The DuckDB twin
+    * iterates the identical recurrence as a recursive CTE — NOT
+    * `list_reduce` with a struct accumulator, which DuckDB 1.0
+    * evaluates against the partially-updated accumulator
+    * (nondeterministically wrong; measured, not assumed). HilbertSpec
+    * proves bijectivity and unit-step adjacency on a full grid, the
+    * properties any botched reflection/swap breaks.
+    */
+  val HilbertBits = 12
+
+  def a33Hilbert(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        ((col("l_orderkey") % lit(2097152L)) / lit(512L)).cast("long").as("qx"),
+        (((col("l_partkey") * lit(104729L)) % lit(2097152L)) / lit(512L)).cast("long").as("qy"))
+      .withColumn("h", graft.scale.ZOrder.hilbertD(col("qx"), col("qy"), HilbertBits))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val a33Sql: String =
+    s"""WITH RECURSIVE src AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    (l_orderkey % 2097152) // 512 AS qx,
+       |    ((l_partkey * 104729) % 2097152) // 512 AS qy
+       |  FROM lineitem
+       |), hil AS (
+       |  SELECT l_orderkey, l_linenumber, qx, qy,
+       |    qx AS hx, qy AS hy, CAST(0 AS BIGINT) AS hd,
+       |    CAST($HilbertBits AS BIGINT) AS lvl
+       |  FROM src
+       |  UNION ALL
+       |  SELECT l_orderkey, l_linenumber, qx, qy,
+       |    CASE WHEN hy // s = 0
+       |         THEN CASE WHEN hx // s = 1 THEN s - 1 - (hy % s) ELSE hy % s END
+       |         ELSE hx % s END,
+       |    CASE WHEN hy // s = 0
+       |         THEN CASE WHEN hx // s = 1 THEN s - 1 - (hx % s) ELSE hx % s END
+       |         ELSE hy % s END,
+       |    hd + s * s * (CASE WHEN hx // s = 0 THEN hy // s ELSE 3 - hy // s END),
+       |    lvl - 1
+       |  FROM (SELECT *, CAST(1 AS BIGINT) << CAST(lvl - 1 AS INT) AS s
+       |        FROM hil WHERE lvl > 0)
+       |)
+       |SELECT l_orderkey, l_linenumber, qx, qy, hd AS h
+       |FROM hil WHERE lvl = 0
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** All A-block entries for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a21_tile_batch" -> (a21TileBatch _),
@@ -1205,6 +1260,7 @@ object GeoQueries {
     "a30_zorder" -> (a30Zorder _),
     "a31_incremental_cluster" -> (a31IncrementalCluster _),
     "a32_outline_simplify" -> (a32OutlineSimplify _),
+    "a33_hilbert" -> (a33Hilbert _),
     "a26_quadkey" -> (a26Quadkey _),
     "a27_pyramid" -> (a27Pyramid _),
     "a20_polygons_with_grid" -> (a20PolygonsWithGrid _),
@@ -1240,6 +1296,7 @@ object GeoQueries {
     "a30_zorder" -> a30Sql,
     "a31_incremental_cluster" -> a31Sql,
     "a32_outline_simplify" -> a32Sql,
+    "a33_hilbert" -> a33Sql,
     "a26_quadkey" -> a26Sql,
     "a27_pyramid" -> a27Sql,
     "a20_polygons_with_grid" -> a20Sql,

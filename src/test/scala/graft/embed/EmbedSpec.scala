@@ -214,4 +214,28 @@ class MultimodalSpec extends SparkTestBase {
           sign(j, d) * (qa + qb)
         }.sum)
   }
+
+  test("c56 k-means update: totals, mean bounds, and assign∘update consistency") {
+    val u = EmbedQueries.c56KmeansUpdate(spark, sf).localCheckpoint()
+    val n = Tables(spark, sf, "embeddings").count()
+    // K·dims rows, and each dim's member count sums to the corpus size
+    assert(u.count() == EmbedQueries.KmCents.toLong * EmbedQueries.Dims)
+    val perDim = u.groupBy("d").agg(sum("n_members").as("tot"))
+      .select("tot").distinct().collect()
+    assert(perDim.length == 1 && perDim(0).getLong(0) == n)
+    // every cluster is non-empty (its init centroid self-assigns at
+    // distance 0, pinned by the c50 spec) and each new mean lies within
+    // the corpus-wide micro-unit value range — a mean outside the range
+    // of the values it averages is arithmetic corruption
+    val rng = Tables(spark, sf, "embeddings")
+      .select(explode(col("embedding")).as("v"))
+      .agg(min(round(col("v").cast("double") * 1000000.0, 0).cast("long")),
+        max(round(col("v").cast("double") * 1000000.0, 0).cast("long"))).head()
+    val (lo, hi) = (rng.getLong(0), rng.getLong(1))
+    assert(u.filter(col("n_members") === 0L).count() == 0)
+    assert(u.filter(col("mean_micro") < lo || col("mean_micro") > hi).count() == 0)
+    // shift is |mean − old| by construction
+    assert(u.filter(abs(col("mean_micro") - col("old_micro")) =!= col("shift_micro"))
+      .count() == 0)
+  }
 }

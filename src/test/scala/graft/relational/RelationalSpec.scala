@@ -304,4 +304,27 @@ class RelationalSpec extends SparkTestBase {
         l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
       "expected hash anti joins")
   }
+
+  test("b27 distribution window: ranks over the aggregated dim frame are total and bounded") {
+    val r = Queries.nationPercentile(spark, sf).localCheckpoint()
+    val n = r.count()
+    assert(n > 0 && n <= 25) // one row per nation — the window input IS the dim
+    // percent_rank spans [0, 1] starting at 0; cume_dist ends at exactly 1
+    assert(r.agg(min("pct_rank")).head().getDouble(0) == 0.0)
+    assert(r.agg(max("cume")).head().getDouble(0) == 1.0)
+    // quartiles partition the frame into 4 near-equal groups (ntile
+    // contract: sizes differ by at most 1)
+    val sizes = r.groupBy("quartile").count().collect().map(_.getLong(1))
+    assert(sizes.length == math.min(4, n.toInt))
+    assert(sizes.max - sizes.min <= 1)
+    // the distribution functions agree with their definitions on the
+    // revenue total order: pct_rank = (rank−1)/(n−1) under a tie-free
+    // ordering, recomputed directly from the revenue column
+    val rows = r.orderBy(col("revenue_c").desc, col("n_name")).collect()
+    rows.zipWithIndex.foreach { case (row, i) =>
+      val expect = BigDecimal(i.toDouble / (n - 1).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(row.getDouble(row.fieldIndex("pct_rank")) == expect)
+    }
+  }
 }

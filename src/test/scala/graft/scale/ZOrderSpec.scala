@@ -40,6 +40,56 @@ class ZOrderSpec extends SparkTestBase {
     assert(got.getLong(4) == (1L << 20) - 1)
   }
 
+  /** Plain-Scala xy2d reference (the classic bit walk, nonnegative
+    * div/mod form — the same recurrence hilbertD folds and the a33
+    * oracle iterates).
+    */
+  private def xy2dRef(bits: Int, x0: Long, y0: Long): Long = {
+    var (x, y, d) = (x0, y0, 0L)
+    var s = (1L << bits) / 2
+    while (s > 0) {
+      val rx = x / s; val ry = y / s
+      d += s * s * ((3 * rx) ^ ry)
+      x %= s; y %= s
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  test("hilbertD is bijective with unit-step adjacency on a full 64×64 grid") {
+    val bits = 6
+    val n = 1 << bits
+    val grid = spark.range(n.toLong * n).select(
+      (col("id") / n).cast("long").as("x"), (col("id") % n).as("y"))
+    val keyed = grid.select(col("x"), col("y"),
+        ZOrder.hilbertD(col("x"), col("y"), bits).as("h"))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1)))).toMap
+    // bijective onto [0, n²)
+    assert(keyed.size == n * n)
+    assert(keyed.keys.min == 0L && keyed.keys.max == n.toLong * n - 1)
+    // THE Hilbert property (what Morton lacks): consecutive keys are
+    // always grid neighbors — any botched reflection/swap breaks this
+    (1 until n * n).foreach { d =>
+      val (x1, y1) = keyed(d - 1L); val (x2, y2) = keyed(d.toLong)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"keys ${d - 1}→$d jump from ($x1,$y1) to ($x2,$y2)")
+    }
+  }
+
+  test("hilbertD matches the plain-Scala reference at bits=12") {
+    val pts = spark.range(4096).select(
+      (col("id") * 48271L % 4096L).as("x"), (col("id") * 16807L % 4096L).as("y"))
+    val rows = pts.select(col("x"), col("y"),
+      ZOrder.hilbertD(col("x"), col("y"), 12).as("h")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) == xy2dRef(12, r.getLong(0), r.getLong(1)))
+    }
+  }
+
   test("z-ordered layout: a 0.1% bbox query reads a fraction of the bytes a scattered layout reads") {
     val n = 1000000L
     // deterministic pseudo-random scatter of points over a 1024×1024 grid
