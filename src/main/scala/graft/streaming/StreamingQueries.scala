@@ -542,6 +542,29 @@ object StreamingQueries {
 
   val d17Sql: String = graft.text.TextQueries.c27Sql
 
+  // ---------------------------------------------------------------- D18
+  /** D18: live exact length quantiles — C22's per-language p50/p90/p99
+    * as a stream. The streaming query maintains ONLY the value
+    * HISTOGRAM (complete-mode count per (lang, n_chars) — state bounded
+    * by the value domain however long the stream runs, C22's scale
+    * argument made a state-size argument); the CDF walk runs on the
+    * sink table after the replay through the SAME
+    * [[graft.text.TextQueries.quantilesFromHistogram]] the batch
+    * operator ends with, so batch and stream share the finalize
+    * definition and the oracle IS c22Sql. This is the dashboard shape:
+    * the stream keeps the cheap sufficient statistic, the reader
+    * derives the expensive answer on demand.
+    */
+  def d18StreamQuantile(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = StreamingOps.docsStream(spark, sfDir, staged(spark, sfDir, "documents"))
+    val hist = docs.groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.text.TextQueries.quantilesFromHistogram(
+      runToTable(hist, "graft_d18_sink", "complete"))
+  }
+
+  val d18Sql: String = graft.text.TextQueries.c22Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_stream_windowed" -> (d1StreamWindowed _),
     "d2_stream_dedup" -> (d2StreamDedup _),
@@ -559,7 +582,8 @@ object StreamingQueries {
     "d14_stream_decontam" -> (d14StreamDecontam _),
     "d15_stream_sliding" -> (d15StreamSliding _),
     "d16_stream_cluster" -> (d16StreamCluster _),
-    "d17_stream_pack" -> (d17StreamPack _))
+    "d17_stream_pack" -> (d17StreamPack _),
+    "d18_stream_quantile" -> (d18StreamQuantile _))
 
   val oracles: Map[String, String] = Map(
     "d1_stream_windowed" -> d1Sql,
@@ -578,5 +602,6 @@ object StreamingQueries {
     "d14_stream_decontam" -> d14Sql,
     "d15_stream_sliding" -> d15Sql,
     "d16_stream_cluster" -> d16Sql,
-    "d17_stream_pack" -> d17Sql)
+    "d17_stream_pack" -> d17Sql,
+    "d18_stream_quantile" -> d18Sql)
 }

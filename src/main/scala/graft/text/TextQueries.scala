@@ -313,15 +313,22 @@ object TextQueries {
   /** The operator body on any (lang, n_chars) frame — ScaleSmoke drives
     * this same code at 10M docs with a 90% dominant language.
     */
-  def lengthQuantilesOn(docs: DataFrame): DataFrame = {
+  def lengthQuantilesOn(docs: DataFrame): DataFrame =
+    quantilesFromHistogram(
+      docs.groupBy("lang", "n_chars").agg(count(lit(1)).as("cnt")))
+
+  /** Phase 2 (the CDF walk) on any (lang, n_chars, cnt) histogram — the
+    * ONE finalize definition shared by the batch c22 and the D18
+    * streaming execution, whose complete-mode state IS this histogram.
+    */
+  def quantilesFromHistogram(hist: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wCum = Window.partitionBy("lang").orderBy("n_chars")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("lang")
     def pick(q: Double) =
       min(when(col("cum") >= ceil(lit(q) * col("n")).cast("long"), col("n_chars")))
-    docs
-      .groupBy("lang", "n_chars").agg(count(lit(1)).as("cnt"))
+    hist
       .withColumn("cum", sum("cnt").over(wCum))
       .withColumn("n", sum("cnt").over(wAll))
       .groupBy("lang")
@@ -1727,6 +1734,139 @@ object TextQueries {
        |FROM cum, (SELECT UNNEST([${CoverageRanks.mkString(", ")}]) AS k) ks
        |GROUP BY k ORDER BY k""".stripMargin
 
+  // ---------------------------------------------------------------- C57
+  /** C57: CCNet-style perplexity bucketing — split each language's
+    * corpus into head / middle / tail thirds by LM score (Wenzek et al.
+    * 2020 bucket their crawl by per-language perplexity terciles and
+    * train on the head). The score is C31's bigram LM average (shared
+    * [[lmScoredDocs]] frame — one scoring definition), higher = more
+    * corpus-typical, so bucket 1 = head.
+    *
+    * The naive form ranks every document inside its language — a
+    * per-language window whose hottest partition is the dominant
+    * language's ENTIRE corpus. This instead lifts C22's histogram-CDF
+    * argument: collapse docs to (lang, score) VALUE CLASSES first (one
+    * partial-agg shuffle; the class table is bounded by the score's
+    * value domain), run the tiny running-sum window over classes, and
+    * assign bucket = 1 + (3·cum_before) div n — every doc in a class
+    * shares the bucket, so no per-doc tiebreak even exists, and the
+    * final rollup aggregates the CLASS rows (docs are never touched
+    * again — zero join-back). Boundary semantics: a class straddling a
+    * tercile boundary lands in the bucket of its first rank, the
+    * deterministic value-uniform rule.
+    */
+  def c57PplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val classes = lmScoredDocs(spark, dir).select("doc_id", "avg_cond_micro")
+      .join(Tables(spark, dir, "documents").select("doc_id", "lang"), "doc_id")
+      .groupBy("lang", "avg_cond_micro").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("lang").orderBy(col("avg_cond_micro").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy("lang")
+    classes
+      .withColumn("cum_before", coalesce(sum("cnt").over(wCum), lit(0L)))
+      .withColumn("n", sum("cnt").over(wAll))
+      .withColumn("bucket", expr("1 + (3 * cum_before) div n"))
+      .groupBy("lang", "bucket")
+      .agg(sum("cnt").as("n_docs"),
+        min("avg_cond_micro").as("score_min"),
+        max("avg_cond_micro").as("score_max"))
+      .orderBy("lang", "bucket")
+  }
+
+  val c57Sql: String =
+    s"""WITH $lmScoredCtes, j AS (
+       |  SELECT p.doc_id, d.lang, p.avg_cond_micro
+       |  FROM perdoc p JOIN documents d USING (doc_id)
+       |), cl AS (
+       |  SELECT lang, avg_cond_micro, COUNT(*) AS cnt
+       |  FROM j GROUP BY lang, avg_cond_micro
+       |), w AS (
+       |  SELECT lang, avg_cond_micro, cnt,
+       |    COALESCE(CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY avg_cond_micro DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before,
+       |    CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+       |  FROM cl
+       |)
+       |SELECT lang, 1 + (3 * cum_before) // n AS bucket,
+       |  CAST(SUM(cnt) AS BIGINT) AS n_docs,
+       |  MIN(avg_cond_micro) AS score_min,
+       |  MAX(avg_cond_micro) AS score_max
+       |FROM w GROUP BY lang, 1 + (3 * cum_before) // n
+       |ORDER BY lang, bucket""".stripMargin
+
+  // ---------------------------------------------------------------- C58
+  /** C58: per-source boilerplate detection — the CCNet LINE-level dedup
+    * applied within a crawl source (nav bars, cookie banners, footers
+    * repeat across one site's pages, not across the web): a segment
+    * (shared [[segmentsOn]] definition — C40's unit) is boilerplate in
+    * its source iff it appears in ≥2 documents AND in ≥20 % of the
+    * source's documents (`df·5 ≥ n_docs`). C40's global occurrence
+    * test can't see this — a 100-doc site's banner is invisible at
+    * corpus scale but is 100 % of that site's pages.
+    *
+    * Scale shape: segmentation is scan-stage array slicing; the
+    * document-frequency agg runs on DISTINCT (source, segment, doc) —
+    * two shuffles on the same composite key (partial-agg combinable);
+    * per-source doc counts are a source-cardinality broadcast. The
+    * boilerplate table itself is provably small — Σdf over segments
+    * with df ≥ n/5 is at most 5× the source's mean segments-per-doc —
+    * so the flag joins BACK to the segment stream as a broadcast,
+    * adding zero shuffles: at 100 TB the whole operator costs the
+    * segment agg, exactly like C40.
+    */
+  def c58Boilerplate(spark: SparkSession, dir: String): DataFrame =
+    boilerplateOn(Tables(spark, dir, "documents").select("doc_id", "source", "text"))
+
+  /** The operator body on any (doc_id, source, text) frame — the driver
+    * testdata is synthetic-random and contains no real in-source repeats
+    * (the oracle validates the zero path), so TextDedupSpec drives this
+    * same code on a corpus with a planted per-source banner to pin the
+    * positive path.
+    */
+  def boilerplateOn(docs: DataFrame): DataFrame = {
+    val segs = segmentsOn(docs).select("doc_id", "source", "seg_text", "seg_len")
+    val nDocs = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val dfreq = segs.select("source", "seg_text", "doc_id").distinct()
+      .groupBy("source", "seg_text").agg(count(lit(1)).as("df"))
+    val boiler = dfreq.join(broadcast(nDocs), "source")
+      .filter(col("df") >= 2 && col("df") * 5 >= col("n_docs"))
+      .select(col("source"), col("seg_text"), lit(1L).as("is_boiler"))
+    segs.join(broadcast(boiler), Seq("source", "seg_text"), "left")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler_segs"),
+        sum("seg_len").as("total_tokens"),
+        sum(when(col("is_boiler").isNotNull, col("seg_len")).otherwise(0L))
+          .as("boiler_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val c58Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+       |), s AS (
+       |  SELECT doc_id, source,
+       |    array_to_string(toks[(u.seg*$SegTokens+1):((u.seg+1)*$SegTokens)], ' ') AS seg_text,
+       |    len(toks[(u.seg*$SegTokens+1):((u.seg+1)*$SegTokens)]) AS seg_len
+       |  FROM t, UNNEST(range(0, CAST(ceil(len(toks) / $SegTokens.0) AS BIGINT))) AS u(seg)
+       |), nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+       |dfq AS (
+       |  SELECT source, seg_text, COUNT(DISTINCT doc_id) AS df
+       |  FROM s GROUP BY source, seg_text
+       |), b AS (
+       |  SELECT dfq.source, dfq.seg_text
+       |  FROM dfq JOIN nd USING (source)
+       |  WHERE df >= 2 AND df * 5 >= n_docs
+       |)
+       |SELECT s.doc_id, s.source, COUNT(*) AS n_segs,
+       |  CAST(SUM(CASE WHEN b.seg_text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_segs,
+       |  CAST(SUM(s.seg_len) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(CASE WHEN b.seg_text IS NOT NULL THEN s.seg_len ELSE 0 END) AS BIGINT) AS boiler_tokens
+       |FROM s LEFT JOIN b ON b.source = s.source AND b.seg_text = s.seg_text
+       |GROUP BY s.doc_id, s.source
+       |ORDER BY s.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_exact" -> (c1DedupExact _),
     "c2_token_count" -> (c2TokenCount _),
@@ -1759,7 +1899,9 @@ object TextQueries {
     "c49_gopher_rules" -> (c49GopherRules _),
     "c52_hash_classifier" -> (c52HashClassifier _),
     "c53_bloom_decontam" -> (c53BloomDecontam _),
-    "c55_vocab_coverage" -> (c55VocabCoverage _))
+    "c55_vocab_coverage" -> (c55VocabCoverage _),
+    "c57_ppl_buckets" -> (c57PplBuckets _),
+    "c58_boilerplate" -> (c58Boilerplate _))
 
   val oracles: Map[String, String] = Map(
     "c1_dedup_exact" -> c1Sql,
@@ -1793,5 +1935,7 @@ object TextQueries {
     "c49_gopher_rules" -> c49Sql,
     "c52_hash_classifier" -> c52Sql,
     "c53_bloom_decontam" -> c53Sql,
-    "c55_vocab_coverage" -> c55Sql)
+    "c55_vocab_coverage" -> c55Sql,
+    "c57_ppl_buckets" -> c57Sql,
+    "c58_boilerplate" -> c58Sql)
 }

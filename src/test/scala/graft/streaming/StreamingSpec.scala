@@ -413,4 +413,11 @@ class StreamingSpec extends SparkTestBase {
       .filter(col("rn") === 1 && (col("seq_id") > 0 || col("seq_off") > 0))
     assert(carried.count() > 0, "no source crossed the batch boundary mid-sequence")
   }
+
+  test("D18 streaming quantiles == batch C22 (shared finalize definition)") {
+    val got = graft.streaming.StreamingQueries.queries("d18_stream_quantile")(spark, sf)
+    val want = graft.text.TextQueries.c22LengthQuantiles(spark, sf)
+    assert(got.count() > 0 && got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
 }

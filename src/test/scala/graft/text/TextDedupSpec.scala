@@ -492,4 +492,57 @@ class DedupQueriesSpec extends SparkTestBase {
     // must actually occur on this corpus or the approximation is untested
     assert(b.agg(sum("fp_grams")).head.getLong(0) > 0)
   }
+
+  test("c58 boilerplate: planted per-source banner is caught, sparse repeats are not") {
+    import spark.implicits._
+    val k = TextQueries.SegTokens
+    val banner = (1 to k).map(i => s"banner$i").mkString(" ")
+    // source A: 10 docs, every one opens with the banner (df = 100% ≥ 20%)
+    // plus 2k unique tokens; source B: 10 docs where only ONE pair shares
+    // a leading segment (df = 20% of... 2/10 = 20%? no — threshold needs
+    // df·5 ≥ n_docs → 2·5 ≥ 10 holds! use 10 docs with one shared pair =
+    // exactly at threshold; so use 11 docs in B → 2·5 < 11 rejects)
+    val a = (0 until 10).map { i =>
+      (i.toLong, "srcA", banner + " " + (1 to 2 * k).map(j => s"a${i}u$j").mkString(" "))
+    }
+    val shared = (1 to k).map(i => s"pair$i").mkString(" ")
+    val b = (0 until 11).map { i =>
+      val head = if (i < 2) shared else (1 to k).map(j => s"b${i}h$j").mkString(" ")
+      (100L + i, "srcB", head + " " + (1 to k).map(j => s"b${i}u$j").mkString(" "))
+    }
+    val r = TextQueries.boilerplateOn(
+        (a ++ b).toDF("doc_id", "source", "text")).localCheckpoint()
+    // every srcA doc: exactly its banner segment flagged, k tokens of mass
+    val ra = r.filter(col("source") === "srcA")
+    assert(ra.count() == 10)
+    assert(ra.filter(col("n_boiler_segs") =!= 1L || col("boiler_tokens") =!= k.toLong)
+      .count() == 0)
+    // srcB: 2/11 misses the 20% bar — nothing flagged
+    assert(r.filter(col("source") === "srcB").agg(sum("n_boiler_segs"))
+      .head.getLong(0) == 0L)
+    // bounds always hold
+    assert(r.filter(col("n_boiler_segs") > col("n_segs")
+      || col("boiler_tokens") > col("total_tokens")).count() == 0)
+  }
+
+  test("c57 ppl buckets: per-language thirds are ordered, disjoint, and complete") {
+    val b = TextQueries.c57PplBuckets(spark, sf).localCheckpoint()
+    assert(b.filter(col("bucket") < 1 || col("bucket") > 3).count() == 0)
+    // per language: bucket doc counts sum to the scored-doc count
+    val scored = TextQueries.c31LmScore(spark, sf)
+      .join(Tables(spark, sf, "documents").select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    val sums = b.groupBy("lang").agg(sum("n_docs").as("s"))
+      .join(scored, "lang").filter(col("s") =!= col("n"))
+    assert(sums.count() == 0)
+    // buckets are value-disjoint and ordered: head's worst score is
+    // strictly above middle's best, middle's above tail's (score DESC)
+    val rows = b.collect().groupBy(_.getString(0))
+    rows.values.foreach { bs =>
+      val byB = bs.map(r => r.getLong(1) -> (r.getLong(3), r.getLong(4))).toMap
+      for (i <- 1L to 2L if byB.contains(i) && byB.contains(i + 1))
+        assert(byB(i)._1 > byB(i + 1)._2,
+          s"bucket $i min ${byB(i)._1} !> bucket ${i + 1} max ${byB(i + 1)._2}")
+    }
+  }
 }
