@@ -1867,6 +1867,150 @@ object TextQueries {
        |GROUP BY s.doc_id, s.source
        |ORDER BY s.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- C59
+  /** C59: byte-pair-encoding merge steps (Sennrich et al. 2016) — the
+    * tokenizer-training loop itself: each iteration counts adjacent
+    * token pairs over the corpus, picks the most frequent (ties broken
+    * lexicographically), and applies it greedily left-to-right. Two
+    * iterations here; the per-iteration shape is what matters at scale:
+    * ONE pair-count shuffle (map-side combinable over the token
+    * stream), a 1-row broadcast of the winning pair, and per-document
+    * windows (partition = one doc, bounded by doc length) to apply the
+    * merge — no global sort, no driver-side token data, so an iteration
+    * costs a corpus scan regardless of corpus size (real BPE trainers
+    * batch many merges per scan; the single-merge iteration is the unit
+    * they batch).
+    *
+    * Greedy non-overlap is the subtle part: "a a a" under pair (a,a)
+    * merges positions (1,2) and skips 2 — overlapping matches only
+    * happen in equal-token runs, so the rule is "alternate within each
+    * chain of consecutive matches". A match chains iff the previous
+    * match's SECOND token position is this match's first (position
+    * gaps from earlier merges make `pos+1` wrong — npos, the lead
+    * position, is the correct link), islands then form by running-sum
+    * over chain breaks and odd ranks within an island are taken —
+    * gaps-and-islands, two bounded per-doc windows. The merged stream
+    * keeps original (sparse) positions so the next iteration's lead
+    * works unchanged. Each iteration ends in localCheckpoint: the plan
+    * would otherwise double per iteration (and a real trainer persists
+    * the corpus between scans anyway).
+    *
+    * Output: one row per iteration — the chosen pair, its raw
+    * adjacency count (the BPE ranking statistic), the number of
+    * non-overlapping merges actually applied, and the corpus token
+    * count after. The oracle replays the identical CTE chain per
+    * iteration, generated from the same constant.
+    */
+  val BpeIters = 2
+
+  def c59BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesOn(Tables(spark, dir, "documents"))
+
+  /** The merge loop on any (doc_id, text) frame — TextDedupSpec drives
+    * it on a synthetic equal-token-run corpus where the greedy
+    * non-overlap rule is the whole answer.
+    */
+  def bpeMergesOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    var toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
+    val summaries = (1 to BpeIters).map { it =>
+      val withNext = toks
+        .withColumn("nxt", lead("tok", 1).over(w))
+        .withColumn("npos", lead("pos", 1).over(w))
+      val best = withNext.filter(col("nxt").isNotNull)
+        .groupBy("tok", "nxt").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok"), col("nxt")).limit(1)
+        .select(col("tok").as("pa"), col("nxt").as("pb"), col("cnt").as("pair_count"))
+        .localCheckpoint() // 1 row; feeds three consumers — count the corpus once
+      val matches = withNext.crossJoin(broadcast(best))
+        .filter(col("tok") === col("pa") && col("nxt") === col("pb"))
+        .withColumn("brk",
+          when(lag("npos", 1).over(w) === col("pos"), 0L).otherwise(1L))
+        .withColumn("island",
+          sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id", "island").orderBy("pos")))
+        .filter(col("rn") % 2 === 1)
+        .select(col("doc_id"), col("pos"), col("npos"))
+        .localCheckpoint()
+      val takenStart = matches.select(col("doc_id"), col("pos"), lit(1).as("mstart"))
+      val takenEnd = matches.select(col("doc_id"), col("npos").as("pos"), lit(1).as("mend"))
+      toks = withNext.crossJoin(broadcast(best))
+        .join(takenStart, Seq("doc_id", "pos"), "left")
+        .join(takenEnd, Seq("doc_id", "pos"), "left")
+        .filter(col("mend").isNull)
+        .select(col("doc_id"), col("pos"),
+          when(col("mstart").isNotNull, concat(col("pa"), lit("_"), col("pb")))
+            .otherwise(col("tok")).as("tok"))
+        .localCheckpoint()
+      best.crossJoin(matches.agg(count(lit(1)).as("n_merged")))
+        .crossJoin(toks.agg(count(lit(1)).as("tokens_after")))
+        .select(lit(it).as("iter"), col("pa").as("pair_a"), col("pb").as("pair_b"),
+          col("pair_count"), col("n_merged"), col("tokens_after"))
+    }
+    summaries.reduce(_.unionByName(_)).orderBy("iter")
+  }
+
+  val c59Sql: String = {
+    def iterCtes(n: Int): String = {
+      val t = if (n == 1) "t1" else s"t$n"
+      s"""x$n AS (
+         |  SELECT doc_id, pos, tok,
+         |    LEAD(tok) OVER w AS nxt, LEAD(pos) OVER w AS npos
+         |  FROM $t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |), b$n AS (
+         |  SELECT tok AS pa, nxt AS pb, COUNT(*) AS cnt
+         |  FROM x$n WHERE nxt IS NOT NULL GROUP BY tok, nxt
+         |  ORDER BY cnt DESC, tok, nxt LIMIT 1
+         |), m$n AS (
+         |  SELECT x.doc_id, x.pos, x.npos
+         |  FROM x$n x, b$n b WHERE x.tok = b.pa AND x.nxt = b.pb
+         |), c$n AS (
+         |  SELECT doc_id, pos, npos,
+         |    CASE WHEN LAG(npos) OVER (PARTITION BY doc_id ORDER BY pos) = pos
+         |         THEN 0 ELSE 1 END AS brk
+         |  FROM m$n
+         |), i$n AS (
+         |  SELECT doc_id, pos, npos,
+         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM c$n
+         |), k$n AS (
+         |  SELECT doc_id, pos, npos,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id, island ORDER BY pos) AS rn
+         |  FROM i$n
+         |), g$n AS (SELECT doc_id, pos, npos FROM k$n WHERE rn % 2 = 1),
+         |t${n + 1} AS (
+         |  SELECT x.doc_id, x.pos,
+         |    CASE WHEN s.pos IS NOT NULL THEN b.pa || '_' || b.pb ELSE x.tok END AS tok
+         |  FROM x$n x
+         |  CROSS JOIN b$n b
+         |  LEFT JOIN g$n s ON s.doc_id = x.doc_id AND s.pos = x.pos
+         |  LEFT JOIN g$n e ON e.doc_id = x.doc_id AND e.npos = x.pos
+         |  WHERE e.npos IS NULL
+         |), s$n AS (
+         |  SELECT CAST($n AS INT) AS iter, b.pa AS pair_a, b.pb AS pair_b,
+         |    b.cnt AS pair_count,
+         |    (SELECT COUNT(*) FROM g$n) AS n_merged,
+         |    (SELECT COUNT(*) FROM t${n + 1}) AS tokens_after
+         |  FROM b$n b
+         |)""".stripMargin
+    }
+    val chain = (1 to BpeIters).map(iterCtes).mkString(",\n")
+    val unions = (1 to BpeIters).map(n => s"SELECT * FROM s$n").mkString("\nUNION ALL\n")
+    s"""WITH t1 AS (
+       |  SELECT doc_id, CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS pos,
+       |    UNNEST(string_split(text, ' ')) AS tok
+       |  FROM documents
+       |),
+       |$chain
+       |$unions
+       |ORDER BY iter""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_exact" -> (c1DedupExact _),
     "c2_token_count" -> (c2TokenCount _),
@@ -1901,7 +2045,8 @@ object TextQueries {
     "c53_bloom_decontam" -> (c53BloomDecontam _),
     "c55_vocab_coverage" -> (c55VocabCoverage _),
     "c57_ppl_buckets" -> (c57PplBuckets _),
-    "c58_boilerplate" -> (c58Boilerplate _))
+    "c58_boilerplate" -> (c58Boilerplate _),
+    "c59_bpe_merges" -> (c59BpeMerges _))
 
   val oracles: Map[String, String] = Map(
     "c1_dedup_exact" -> c1Sql,
@@ -1937,5 +2082,6 @@ object TextQueries {
     "c53_bloom_decontam" -> c53Sql,
     "c55_vocab_coverage" -> c55Sql,
     "c57_ppl_buckets" -> c57Sql,
-    "c58_boilerplate" -> c58Sql)
+    "c58_boilerplate" -> c58Sql,
+    "c59_bpe_merges" -> c59Sql)
 }

@@ -525,6 +525,29 @@ class DedupQueriesSpec extends SparkTestBase {
       || col("boiler_tokens") > col("total_tokens")).count() == 0)
   }
 
+  test("c59 BPE merges: greedy non-overlap on equal-token runs, exact two-step trace") {
+    import spark.implicits._
+    // doc 1 is one 5-token equal run — the overlap corner; doc 2 the
+    // next-best pair that must win iteration 2 after (x,x) is consumed
+    val docs = Seq((1L, "x x x x x"), (2L, "p q p q")).toDF("doc_id", "text")
+    val r = TextQueries.bpeMergesOn(docs).collect()
+    assert(r.length == TextQueries.BpeIters)
+    val it1 = r(0)
+    // (x,x) has 4 adjacencies but only 2 non-overlapping merges;
+    // 9 corpus tokens − 2 merges = 7 left
+    assert(it1.getString(1) == "x" && it1.getString(2) == "x")
+    assert(it1.getLong(3) == 4L && it1.getLong(4) == 2L && it1.getLong(5) == 7L)
+    val it2 = r(1)
+    // after iter 1 doc1 is [x_x, x_x, x]; (p,q) with 2 hits wins iter 2
+    assert(it2.getString(1) == "p" && it2.getString(2) == "q")
+    assert(it2.getLong(3) == 2L && it2.getLong(4) == 2L && it2.getLong(5) == 5L)
+    // on the real corpus: merges monotonically shrink the token stream
+    val real = TextQueries.c59BpeMerges(spark, sf).collect()
+    assert(real.length == TextQueries.BpeIters)
+    real.foreach(row => assert(row.getLong(4) > 0 && row.getLong(4) <= row.getLong(3)))
+    assert(real.sliding(2).forall(p => p(0).getLong(5) > p(1).getLong(5)))
+  }
+
   test("c57 ppl buckets: per-language thirds are ordered, disjoint, and complete") {
     val b = TextQueries.c57PplBuckets(spark, sf).localCheckpoint()
     assert(b.filter(col("bucket") < 1 || col("bucket") > 3).count() == 0)
