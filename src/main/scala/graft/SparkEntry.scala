@@ -18,6 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.tiles.GeoQueries.queries ++
     graft.text.TextQueries.queries ++
+    graft.text.FunnelQueries.queries ++
     graft.dedup.DedupQueries.queries ++
     graft.embed.EmbedQueries.queries ++
     graft.multimodal.Multimodal.queries ++
@@ -55,6 +56,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.tiles.GeoQueries.oracles ++
     graft.text.TextQueries.oracles ++
+    graft.text.FunnelQueries.oracles ++
     graft.dedup.DedupQueries.oracles ++
     graft.embed.EmbedQueries.oracles ++
     graft.multimodal.Multimodal.oracles ++

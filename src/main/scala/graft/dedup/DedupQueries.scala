@@ -212,6 +212,74 @@ object DedupQueries {
        |JOIN sets y ON y.doc_id = c.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- C60
+  /** C60: LSH S-curve calibration — the eval harness that says whether
+    * the (b bands × r rows/band) family is TUNED: theory gives a pair
+    * with Jaccard s an expected b·s^r shared bands and candidate
+    * probability 1−(1−s^r)^b; the report compares the candidate set's
+    * OBSERVED band agreement against both, per Jaccard decile. The
+    * observed average conditions on candidacy (n_bands ≥ 1 by
+    * construction), so at low s observed ≫ the unconditional
+    * expectation — that gap IS the S-curve cliff the b/r knobs move,
+    * and watching it per decile is how a 100 TB dedup run decides
+    * whether to re-band before paying for the full pass.
+    *
+    * Scale shape: joins the two already-memoized candidate frames (the
+    * C6 pair list and C7's exact re-rank) on the pair key — nothing is
+    * rescanned; the per-pair theoretical values quantize to exact micro
+    * BIGINTs BEFORE any aggregation (identical double expression each
+    * row, never a double SUM — SURVEY §5), then one decile partial agg.
+    */
+  def c60LshCurve(spark: SparkSession, dir: String): DataFrame = {
+    val cand = candidatePairs(spark, dir)
+    val jac = c7NgramJaccard(spark, dir)
+    val s = col("jaccard")
+    val sr = pow(s, lit(Rows.toDouble))
+    cand.join(jac, Seq("doc_a", "doc_b"))
+      .select(
+        least(floor(s * 10).cast("long"), lit(9L)).as("decile"),
+        col("n_bands"),
+        round(sr * lit(Bands.toDouble) * lit(1000000.0), 0).cast("long").as("tb"),
+        round((lit(1.0) - pow(lit(1.0) - sr, lit(Bands.toDouble))) * lit(1000000.0), 0)
+          .cast("long").as("tc"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_pairs"), sum("n_bands").as("sum_bands"),
+        sum("tb").as("sum_tb"), sum("tc").as("sum_tc"))
+      .select(col("decile"), col("n_pairs"),
+        expr("sum_bands * 1000000 div n_pairs").as("obs_bands_micro"),
+        expr("sum_tb div n_pairs").as("theo_bands_micro"),
+        expr("sum_tc div n_pairs").as("theo_cand_micro"))
+      .orderBy("decile")
+  }
+
+  val c60Sql: String =
+    s"""WITH ${bandRowsCtes.mkString(",\n")},
+       |cand AS (
+       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS n_bands
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents),
+       |jac AS (
+       |  SELECT c.doc_a, c.doc_b, c.n_bands,
+       |    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
+       |  FROM cand c
+       |  JOIN sets x ON x.doc_id = c.doc_a
+       |  JOIN sets y ON y.doc_id = c.doc_b
+       |),
+       |q AS (
+       |  SELECT LEAST(CAST(FLOOR(jaccard * 10) AS BIGINT), 9) AS decile, n_bands,
+       |    CAST(ROUND(pow(jaccard, $Rows) * $Bands * 1000000) AS BIGINT) AS tb,
+       |    CAST(ROUND((1 - pow(1 - pow(jaccard, $Rows), $Bands)) * 1000000) AS BIGINT) AS tc
+       |  FROM jac
+       |)
+       |SELECT decile, COUNT(*) AS n_pairs,
+       |  CAST(SUM(n_bands) AS BIGINT) * 1000000 // COUNT(*) AS obs_bands_micro,
+       |  CAST(SUM(tb) AS BIGINT) // COUNT(*) AS theo_bands_micro,
+       |  CAST(SUM(tc) AS BIGINT) // COUNT(*) AS theo_cand_micro
+       |FROM q GROUP BY decile ORDER BY decile""".stripMargin
+
   // ---------------------------------------------------------------- C8
   /** 32-bit SimHash: per-token hashes spread over 32 bits (Knuth
     * multiplicative), per-bit ±1 sums aggregated per doc, near-dup
@@ -443,12 +511,14 @@ object DedupQueries {
     "c7_ngram_jaccard" -> (c7NgramJaccard _),
     "c8_simhash" -> (c8Simhash _),
     "c19_dedup_collapse" -> (c19DedupCollapse _),
-    "c35_dedup_inflation" -> (c35DedupInflation _))
+    "c35_dedup_inflation" -> (c35DedupInflation _),
+    "c60_lsh_curve" -> (c60LshCurve _))
 
   val oracles: Map[String, String] = Map(
     "c6_minhash_lsh" -> c6Sql,
     "c7_ngram_jaccard" -> c7Sql,
     "c8_simhash" -> c8Sql,
     "c19_dedup_collapse" -> c19Sql,
-    "c35_dedup_inflation" -> c35Sql)
+    "c35_dedup_inflation" -> c35Sql,
+    "c60_lsh_curve" -> c60Sql)
 }

@@ -525,6 +525,43 @@ class DedupQueriesSpec extends SparkTestBase {
       || col("boiler_tokens") > col("total_tokens")).count() == 0)
   }
 
+  test("c60 LSH curve: bounds, monotone theory, and conditioning gap at low jaccard") {
+    val r = DedupQueries.c60LshCurve(spark, sf).localCheckpoint()
+    val rows = r.orderBy("decile").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { x =>
+      val (obs, tb, tc) = (x.getLong(2), x.getLong(3), x.getLong(4))
+      // a candidate shares ≥1 band by construction; ≤ all of them
+      assert(obs >= 1000000L && obs <= MinHashLsh.Bands * 1000000L)
+      assert(tb >= 0L && tc >= 0L && tc <= 1000000L)
+    }
+    // theoretical candidate probability is monotone in jaccard decile
+    val tcs = rows.map(_.getLong(4))
+    assert(tcs.zip(tcs.tail).forall(p => p._1 <= p._2))
+    // the conditioning gap: in the lowest populated decile the observed
+    // (candidacy-conditioned) band agreement must exceed the
+    // unconditional expectation — the S-curve cliff the report exists
+    // to show
+    val low = rows.head
+    assert(low.getLong(2) > low.getLong(3),
+      s"no conditioning gap at decile ${low.getLong(0)}")
+  }
+
+  test("c61 funnel: stage counts are a decreasing intersection chain matching the operators") {
+    val f = FunnelQueries.c61CurationFunnel(spark, sf).orderBy("stage").collect()
+    assert(f.length == 5)
+    val nd = f.map(_.getLong(2)); val nt = f.map(_.getLong(3))
+    assert(nd.zip(nd.tail).forall(p => p._1 >= p._2))
+    assert(nt.zip(nt.tail).forall(p => p._1 >= p._2))
+    // stage 0 = corpus; stage 1 = the C36 gate's own keep count
+    assert(nd(0) == Tables(spark, sf, "documents").count())
+    assert(nd(1) == TextQueries.c36QualityGate(spark, sf)
+      .filter(col("keep")).count())
+    // the funnel ends non-empty on this corpus (an all-zero tail would
+    // mean the report tested nothing)
+    assert(nd(4) > 0)
+  }
+
   test("c59 BPE merges: greedy non-overlap on equal-token runs, exact two-step trace") {
     import spark.implicits._
     // doc 1 is one 5-token equal run — the overlap corner; doc 2 the
