@@ -100,12 +100,26 @@ object ZOrder {
     * before the write, a rounding error next to the layout job itself.
     */
   def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
-      bits: Int, files: Int): Unit = {
+      bits: Int, files: Int): Unit =
+    writeCurveClustered(df, path, xCol, yCol, bits, files, zValue)
+
+  /** [[writeZOrdered]] with the Hilbert key instead of Morton — same
+    * writer, strictly tighter per-file rectangles for bbox pruning (see
+    * [[hilbertD]]; ZOrderSpec measures the range-tightness gap
+    * deterministically).
+    */
+  def writeHilbert(df: DataFrame, path: String, xCol: String, yCol: String,
+      bits: Int, files: Int): Unit =
+    writeCurveClustered(df, path, xCol, yCol, bits, files, hilbertD)
+
+  private def writeCurveClustered(df: DataFrame, path: String, xCol: String,
+      yCol: String, bits: Int, files: Int,
+      key: (Column, Column, Int) => Column): Unit = {
     val aggRow = df.agg(min(xCol), max(xCol), min(yCol), max(yCol)).head()
     // min/max of an empty frame (or an all-null column) is null; fail
     // with the real diagnosis instead of an opaque NPE from the cast
     require((0 until 4).forall(!aggRow.isNullAt(_)),
-      s"cannot z-order '$path': input is empty or $xCol/$yCol contain " +
+      s"cannot curve-cluster '$path': input is empty or $xCol/$yCol contain " +
         "only nulls (min/max aggregate returned null)")
     val Array(minX, maxX, minY, maxY) =
       aggRow.toSeq.map(v => v.asInstanceOf[Number].longValue).toArray
@@ -113,9 +127,9 @@ object ZOrder {
     require(minX >= 0 && maxX < lim && minY >= 0 && maxY < lim,
       s"coordinates out of [0, $lim) for bits=$bits: " +
         s"$xCol in [$minX, $maxX], $yCol in [$minY, $maxY] — " +
-        "out-of-range values would alias in the interleave and silently " +
+        "out-of-range values would alias in the curve key and silently " +
         "destroy the clustering; raise bits or rescale the coordinates")
-    df.withColumn("__z", zValue(col(xCol), col(yCol), bits))
+    df.withColumn("__z", key(col(xCol), col(yCol), bits))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -80,6 +80,32 @@ class ZOrderSpec extends SparkTestBase {
     }
   }
 
+  test("hilbert key ranges cover tighter rectangles than morton (the a33/writeHilbert claim)") {
+    // The file-layout claim, measured deterministically without file
+    // I/O: cut each curve's key space into 24 equal-count contiguous
+    // ranges (what repartitionByRange does to a write) and compare the
+    // total bounding-rectangle area per range. 24 is deliberately NOT a
+    // power of two: at aligned power-of-two cuts both curves give
+    // perfect squares — misaligned cuts are where Morton's quadrant
+    // jumps blow the rectangle up and Hilbert's unit steps don't.
+    val bits = 9
+    val n = 1 << bits
+    val grid = spark.range(n.toLong * n).select(
+      (col("id") / n).cast("long").as("x"), (col("id") % n).as("y"))
+    def totalArea(key: org.apache.spark.sql.Column): Long = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("k")
+      grid.select(col("x"), col("y"), key.as("k"))
+        .withColumn("b", ntile(24).over(w))
+        .groupBy("b")
+        .agg(((max("x") - min("x") + 1) * (max("y") - min("y") + 1)).as("area"))
+        .agg(sum("area")).head().getLong(0)
+    }
+    val morton = totalArea(ZOrder.zValue(col("x"), col("y"), bits))
+    val hilbert = totalArea(ZOrder.hilbertD(col("x"), col("y"), bits))
+    assert(hilbert < morton,
+      s"hilbert total range area $hilbert not tighter than morton $morton")
+  }
+
   test("hilbertD matches the plain-Scala reference at bits=12") {
     val pts = spark.range(4096).select(
       (col("id") * 48271L % 4096L).as("x"), (col("id") * 16807L % 4096L).as("y"))
