@@ -368,38 +368,58 @@ object EmbedQueries {
     *    |corpus|·nprobe/|lists| instead of |corpus|.
     * Lists are disjoint (single assignment), so no pair dedup is needed.
     */
-  def c18AnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = withNorms(spark, dir)
-    val cents = e.filter(col("vec_id") % CentroidMod === 0)
+  /** Coarse-quantizer cell per corpus vector (vec_id, embedding, n2,
+    * cid) — ONE definition shared by C18's IVF search and C62's IVF-PQ
+    * composition (the cell routing must be the same index in both).
+    *
+    * Corpus assignment is a partial-agg groupBy, NOT a window: min of
+    * (−ccos, cid) is map-side combinable, so only N assigned rows
+    * shuffle — a row_number window over the corpus×codebook product
+    * would shuffle all N·|cents| scored rows. The (−ccos, cid) struct
+    * makes the argmin unique (ties break to the smallest centroid id)
+    * and lexicographic struct/list MIN is identical in both engines.
+    */
+  private def ivfCoarseCents(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % CentroidMod === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn"))
-    def withCcos(src: DataFrame): DataFrame =
-      src.crossJoin(broadcast(cents))
-        .select(src("vec_id"), src("embedding"), src("n2"), col("cid"),
-          cosine(dot(src("embedding"), col("ce")), src("n2"), col("cn")).as("ccos"))
-    // Corpus assignment is a partial-agg groupBy, NOT a window: min of
-    // (−ccos, cid) is map-side combinable, so only N assigned rows
-    // shuffle — a row_number window over the corpus×codebook product
-    // would shuffle all N·|cents| scored rows. The (−ccos, cid) struct
-    // makes the argmin unique (ties break to the smallest centroid id)
-    // and lexicographic struct/list MIN is identical in both engines.
-    val assigned = withCcos(e)
+
+  private def ivfWithCcos(src: DataFrame, cents: DataFrame): DataFrame =
+    src.crossJoin(broadcast(cents))
+      .select(src("vec_id"), src("embedding"), src("n2"), col("cid"),
+        cosine(dot(src("embedding"), col("ce")), src("n2"), col("cn")).as("ccos"))
+
+  private def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorms(spark, dir)
+    ivfWithCcos(e, ivfCoarseCents(e))
       .groupBy("vec_id")
       // +0.0 normalizes a possible −0.0 (round of a tiny negative) so
       // both engines order the tie identically
       .agg(min(struct((negate(col("ccos")) + lit(0.0)).as("nc"), col("cid").as("cid"))).as("sc"),
         first("embedding").as("embedding"), first("n2").as("n2"))
       .select(col("vec_id"), col("embedding"), col("n2"), col("sc.cid").as("cid"))
-    // Probe routing keeps the window (top-NProbe needs ranked rows) —
-    // it runs over |probes|·|cents| rows only, both tiny.
-    val probeLists = withCcos(e.filter(col("vec_id") % ProbeMod === 0))
+  }
+
+  /** Probe → its NProbe nearest cells (probe_id, pe, pn, cid) — the
+    * routing table both IVF searches broadcast. Keeps the window
+    * (top-NProbe needs ranked rows) — it runs over |probes|·|cents|
+    * rows only, both tiny.
+    */
+  private def ivfProbeLists(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorms(spark, dir)
+    ivfWithCcos(e.filter(col("vec_id") % ProbeMod === 0), ivfCoarseCents(e))
       .withColumn("crn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))))
       .filter(col("crn") <= NProbe)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
         col("n2").as("pn"), col("cid"))
+  }
+
+  def c18AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = ivfAssigned(spark, dir)
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
-    broadcast(probeLists).join(assigned, "cid")
+    broadcast(ivfProbeLists(spark, dir)).join(assigned, "cid")
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         cosine(dot(col("pe"), col("embedding")), col("pn"), col("n2")).as("cos"))
@@ -590,31 +610,52 @@ object EmbedQueries {
   val PqSubDim = 8
   val PqCents = 16
 
-  def c39PqCodes(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    def subspaces(src: DataFrame): DataFrame = src
-      .select(col("vec_id"), explode(sequence(lit(0), lit(PqSub - 1))).as("s"),
-        col("embedding"))
-      .select(col("vec_id"), col("s"),
-        slice(col("embedding"), col("s") * PqSubDim + 1, lit(PqSubDim)).as("sub"))
-    val cents = subspaces(e.filter(col("vec_id") < PqCents))
+  /** (vec_id, s, sub) — each vector split into its PqSub subvectors.
+    * Shared by the C39 encode and C62's probe-side LUT build.
+    */
+  private def pqSubspaces(src: DataFrame): DataFrame = src
+    .select(col("vec_id"), explode(sequence(lit(0), lit(PqSub - 1))).as("s"),
+      col("embedding"))
+    .select(col("vec_id"), col("s"),
+      slice(col("embedding"), col("s") * PqSubDim + 1, lit(PqSubDim)).as("sub"))
+
+  /** Per-subspace codebook (s, cid, ce) — the first PqCents vectors
+    * donate their subvectors (see C39 doc).
+    */
+  private def pqCentsFrame(spark: SparkSession, dir: String): DataFrame =
+    pqSubspaces(Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")).filter(col("vec_id") < PqCents))
       .select(col("s"), col("vec_id").as("cid"), col("sub").as("ce"))
-    val dist6 = round(aggregate(zip_with(col("sub"), col("ce"),
-        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v), 6)
-    subspaces(e).join(broadcast(cents), "s")
-      .select(col("vec_id"), col("s"), col("cid"), dist6.as("d"))
+
+  /** Squared L2 between `sub` and `ce`, rounded to 6dp — the same
+    * sequential fold both engines run (C39's assignment metric and
+    * C62's LUT cells share it by definition).
+    */
+  private def pqDist6: Column = round(aggregate(zip_with(col("sub"), col("ce"),
+      (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+    lit(0.0), (acc, v) => acc + v), 6)
+
+  /** PQ codes per (vec_id, s) with quantization error — the stored
+    * compressed corpus representation; C39 digests it per vector, C62
+    * scans it as the index payload.
+    */
+  private def pqCodeFrame(spark: SparkSession, dir: String): DataFrame =
+    pqSubspaces(Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding")))
+      .join(broadcast(pqCentsFrame(spark, dir)), "s")
+      .select(col("vec_id"), col("s"), col("cid"), pqDist6.as("d"))
       .groupBy("vec_id", "s")
       .agg(min(struct(col("d"), col("cid"))).as("sc"))
       .select(col("vec_id"), col("s"), col("sc.cid").as("code"),
         expr("CAST(ROUND(sc.d * 1000000) AS BIGINT)").as("err_micro"))
+
+  def c39PqCodes(spark: SparkSession, dir: String): DataFrame =
+    pqCodeFrame(spark, dir)
       .groupBy("vec_id")
       .agg(
         concat_ws("-", transform(array_sort(collect_list(struct(col("s"), col("code")))),
           a => a("code").cast("string"))).as("codes"),
         sum("err_micro").as("err_sum_micro"))
       .orderBy("vec_id")
-  }
 
   val c39Sql: String = {
     val distSql =
@@ -959,6 +1000,109 @@ object EmbedQueries {
        |  CAST(SUM(CASE m WHEN 0 THEN qd WHEN 1 THEN -qd ELSE 0 END) AS BIGINT) AS proj_micro
        |FROM cells GROUP BY vec_id, j ORDER BY vec_id, proj_dim""".stripMargin
 
+  // ---------------------------------------------------------------- C62
+  /** C62: IVF-PQ asymmetric-distance search — the COMPOSITION that C18's
+    * coarse lists and C39's codes exist for, and the query path a
+    * production billion-vector index runs (FAISS-style IVF-ADC):
+    *   1. the stored index is the corpus as (cell, PQ code-tuple) —
+    *      [[ivfAssigned]] × [[pqCodeFrame]], joined once on vec_id (at
+    *      scale that join is free: codes are WRITTEN partitioned by
+    *      cell — it's the index layout, not per-query work);
+    *   2. each probe routes to its [[NProbe]] nearest cells
+    *      ([[ivfProbeLists]] — the C18 routing table, broadcast);
+    *   3. each probe precomputes its asymmetric-distance LUT: squared
+    *      L2 from its [[PqSub]] subvectors to all [[PqCents]]
+    *      per-subspace centroids ([[pqDist6]] — the C39 metric, one
+    *      definition) = 128 cells/probe, broadcast; cells are
+    *      micro-quantized so the ADC sum is exact BIGINT;
+    *   4. candidate scoring never touches a float vector: the probed
+    *      cells' codes equi-join the LUT on (probe, s, code) and SUM —
+    *      [[PqSub]] integer adds per candidate, which is the whole
+    *      point of PQ at 100 TB (the corpus moves as 4-byte codes, the
+    *      float math is |probes|·128 cells however big the corpus is).
+    * Top-k per probe ascends adc_micro (approximate squared distance),
+    * ties to vec_id; self-matches excluded (a probe's own code sits in
+    * its cell). Recall vs C10's exact top-k is measurable with the C41
+    * harness; C18 (exact distances, coarse routing only) is the
+    * higher-recall/higher-cost point on the same curve.
+    */
+  def c62IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val indexed = pqCodeFrame(spark, dir).select("vec_id", "s", "code")
+      .join(ivfAssigned(spark, dir).select("vec_id", "cid"), "vec_id")
+    val probeCells = ivfProbeLists(spark, dir).select("probe_id", "cid")
+    val lut = pqSubspaces(
+        Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id") % ProbeMod === 0))
+      .join(broadcast(pqCentsFrame(spark, dir)), "s")
+      .select(col("vec_id").as("probe_id"), col("s"), col("cid").as("code"),
+        pqDist6.as("d"))
+      .select(col("probe_id"), col("s"), col("code"),
+        expr("CAST(ROUND(d * 1000000) AS BIGINT)").as("d_micro"))
+    val w = Window.partitionBy("probe_id").orderBy(col("adc_micro"), col("vec_id"))
+    indexed.join(broadcast(probeCells), "cid")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .join(broadcast(lut), Seq("probe_id", "s", "code"))
+      .groupBy("probe_id", "vec_id")
+      .agg(sum("d_micro").as("adc_micro"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .orderBy("probe_id", "rnk")
+  }
+
+  val c62Sql: String = {
+    def sqd(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(list_zip($a, $b),
+         |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+         |      (x, y) -> x + y)""".stripMargin
+    val ccos = s"round(${dotSql("e.embedding", "c.ce")} / sqrt(e.n2 * c.cn), 6)"
+    s"""WITH $normsCte,
+       |ccents AS (SELECT vec_id AS cid, embedding AS ce, n2 AS cn FROM norms WHERE vec_id % $CentroidMod = 0),
+       |cassign AS (
+       |  SELECT e.vec_id,
+       |    CAST(min([-($ccos) + 0.0, CAST(c.cid AS DOUBLE)])[2] AS BIGINT) AS cid
+       |  FROM norms e CROSS JOIN ccents c
+       |  GROUP BY e.vec_id
+       |),
+       |pcells AS (
+       |  SELECT vec_id AS probe_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $ccos DESC, c.cid) AS crn
+       |    FROM norms e CROSS JOIN ccents c WHERE e.vec_id % $ProbeMod = 0
+       |  ) WHERE crn <= $NProbe
+       |),
+       |sub AS (
+       |  SELECT vec_id, s, embedding[s*$PqSubDim+1 : s*$PqSubDim+$PqSubDim] AS sub
+       |  FROM (SELECT vec_id, embedding, UNNEST(range(0, $PqSub)) AS s FROM embeddings)
+       |), pqcents AS (
+       |  SELECT s, vec_id AS cid, sub AS ce FROM sub WHERE vec_id < $PqCents
+       |), codes AS (
+       |  SELECT v.vec_id, v.s,
+       |    CAST(min([round(${sqd("v.sub", "c.ce")}, 6), CAST(c.cid AS DOUBLE)])[2] AS BIGINT) AS code
+       |  FROM sub v JOIN pqcents c USING (s)
+       |  GROUP BY v.vec_id, v.s
+       |), lut AS (
+       |  SELECT p.vec_id AS probe_id, p.s, c.cid AS code,
+       |    CAST(ROUND(round(${sqd("p.sub", "c.ce")}, 6) * 1000000) AS BIGINT) AS d_micro
+       |  FROM sub p JOIN pqcents c USING (s)
+       |  WHERE p.vec_id % $ProbeMod = 0
+       |), scored AS (
+       |  SELECT pc.probe_id, a.vec_id, CAST(SUM(l.d_micro) AS BIGINT) AS adc_micro
+       |  FROM cassign a
+       |  JOIN pcells pc ON pc.cid = a.cid AND a.vec_id <> pc.probe_id
+       |  JOIN codes k ON k.vec_id = a.vec_id
+       |  JOIN lut l ON l.probe_id = pc.probe_id AND l.s = k.s AND l.code = k.code
+       |  GROUP BY 1, 2
+       |)
+       |SELECT probe_id, vec_id, adc_micro, rnk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adc_micro, vec_id) AS rnk
+       |  FROM scored
+       |) WHERE rnk <= $TopK
+       |ORDER BY probe_id, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c9_cosine_pairs" -> (c9CosinePairs _),
     "c10_ann_bruteforce" -> (c10AnnBruteforce _),
@@ -974,7 +1118,8 @@ object EmbedQueries {
     "c50_kmeans_assign" -> (c50KmeansAssign _),
     "c51_semdedup" -> (c51SemDedup _),
     "c54_random_projection" -> (c54RandomProjection _),
-    "c56_kmeans_update" -> (c56KmeansUpdate _))
+    "c56_kmeans_update" -> (c56KmeansUpdate _),
+    "c62_ivf_pq" -> (c62IvfPq _))
 
   val oracles: Map[String, String] = Map(
     "c9_cosine_pairs" -> c9Sql,
@@ -991,5 +1136,6 @@ object EmbedQueries {
     "c50_kmeans_assign" -> c50Sql,
     "c51_semdedup" -> c51Sql,
     "c54_random_projection" -> c54Sql,
-    "c56_kmeans_update" -> c56Sql)
+    "c56_kmeans_update" -> c56Sql,
+    "c62_ivf_pq" -> c62Sql)
 }

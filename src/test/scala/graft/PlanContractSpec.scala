@@ -22,6 +22,9 @@ class PlanContractSpec extends SparkTestBase {
   private val allowedNlj = Set(
     "a18_stitch_plan", "a31_incremental_cluster",
     "b13_no_order_customers", "c10_ann_bruteforce", "c18_ann_ivf",
+    // c62 embeds c18's coarse assignment (same bounded codebook cross);
+    // its own scoring joins are all broadcast/shuffled HASH equi-joins
+    "c62_ivf_pq",
     "c21_tfidf_topk", "c30_domain_mix",
     // c43 crosses the 1-row (raw_total, tgt_total) aggregate into the
     // 256-row ratio table — both sides bounded constants
@@ -32,9 +35,15 @@ class PlanContractSpec extends SparkTestBase {
     // phrase candidates (same shape as c21/c30's corpus totals)
     "c47_phrase_mining",
     // c50 crosses the KmCents(=8)-row centroid codebook — the bounded
-    // constant-table pattern c18's IVF codebook already uses; c51
-    // embeds the same assignment, its pair search itself is equi-join
-    "c50_kmeans_assign", "c51_semdedup",
+    // constant-table pattern c18's IVF codebook already uses; c51 and
+    // c56 embed the same assignment (c56's update step itself is pure
+    // partial agg + a K·dims-row broadcast), their own joins equi-join
+    "c50_kmeans_assign", "c51_semdedup", "c56_kmeans_update",
+    // c59 crosses the 1-row winning-pair aggregate (LIMIT 1) and the
+    // 1-row merged/after counts into each iteration summary — every
+    // corpus-sized join in the loop is a BroadcastHashJoin on
+    // (doc_id, pos)
+    "c59_bpe_merges",
     // b26 crosses four 1-row count aggregates (and the 1-row kpick
     // scalar) into its single output row; every anti join in the plan
     // is a BroadcastHashJoin (incl. the null-aware ones — the NAAJ

@@ -238,4 +238,21 @@ class MultimodalSpec extends SparkTestBase {
     assert(u.filter(abs(col("mean_micro") - col("old_micro")) =!= col("shift_micro"))
       .count() == 0)
   }
+
+  test("c62 IVF-PQ: dense ascending ranks, non-negative exact-int ADC, no self-matches") {
+    import org.apache.spark.sql.expressions.Window
+    val r = EmbedQueries.c62IvfPq(spark, sf).localCheckpoint()
+    assert(r.count() > 0)
+    assert(r.filter(col("vec_id") === col("probe_id")).count() == 0)
+    assert(r.filter(col("adc_micro") < 0L).count() == 0)
+    // per probe: rnk is exactly 1..n (n ≤ TopK) and adc_micro is
+    // non-decreasing along it — the top-k contract of an ADC scan
+    val w = Window.partitionBy("probe_id").orderBy("rnk")
+    val seq = r.withColumn("expected", row_number().over(w))
+      .withColumn("prev", lag("adc_micro", 1).over(w))
+    assert(seq.filter(col("rnk") =!= col("expected")).count() == 0)
+    assert(seq.filter(col("prev").isNotNull && col("prev") > col("adc_micro")).count() == 0)
+    assert(r.groupBy("probe_id").count()
+      .filter(col("count") > EmbedQueries.TopK).count() == 0)
+  }
 }
