@@ -2011,6 +2011,84 @@ object TextQueries {
        |ORDER BY iter""".stripMargin
   }
 
+
+  // ---------------------------------------------------------------- C63
+  /** C63: count-min sketch frequency estimation (Cormode & Muthukrishnan
+    * 2005) — the fixed-memory frequency summary a 100 TB pipeline keeps
+    * when the exact vocabulary no longer fits anywhere: [[CmsD]] hash
+    * rows x [[CmsW]] counters, updated by incrementing one cell per row
+    * per token, queried as the MIN over the token's [[CmsD]] cells.
+    * Estimates NEVER undercount (each probed cell holds the token's own
+    * count plus non-negative collision mass — spec-pinned against the
+    * exact counts), and the overcount is bounded in expectation by
+    * corpus_tokens/[[CmsW]] per row.
+    *
+    * Scale shape: the sketch build is ONE partial-agg shuffle whose key
+    * space is at most D·W = 1536 cells — map-side combine
+    * collapses any corpus to that, which is the entire point (compare
+    * C14's exact vocab agg, whose key space is the vocabulary). The
+    * report probes the exact top-[[VocabTopK]] tokens (where exact
+    * truth is still computable at test scale) and publishes est vs tf;
+    * W is deliberately small so collisions actually occur and the
+    * overcount accounting is exercised. The probe join broadcasts the
+    * <=D*W-row sketch.
+    */
+  val CmsD = 3
+  val CmsW = 512L
+  val CmsMod = 1000000007L
+  private val CmsRows = Seq((4967L, 8191L), (9871L, 20341L), (14879L, 32603L))
+
+  private def cmsPositions(th: Column): Column =
+    array(CmsRows.map { case (a, b) => ((th * lit(a) + lit(b)) % lit(CmsMod)) % lit(CmsW) }: _*)
+
+  def c63CmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+    val cells = toks
+      .select(posexplode(cmsPositions(tokenHash(col("token")))).as(Seq("r", "p")))
+      .select(col("r").cast("long").as("r"), col("p"))
+      .groupBy("r", "p").agg(count(lit(1)).as("cnt"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token")).limit(VocabTopK)
+    vocab
+      .select(col("token"), col("tf"),
+        posexplode(cmsPositions(tokenHash(col("token")))).as(Seq("r", "p")))
+      .select(col("token"), col("tf"), col("r").cast("long").as("r"), col("p"))
+      .join(broadcast(cells), Seq("r", "p"))
+      .groupBy("token", "tf").agg(min("cnt").as("est"))
+      .select(col("token"), col("tf"), col("est"),
+        (col("est") - col("tf")).as("overcount"))
+      .orderBy(col("tf").desc, col("token"))
+  }
+
+  val c63Sql: String = {
+    def posSql(h: String, i: Int): String = {
+      val (a, b) = CmsRows(i)
+      s"(($h * $a + $b) % $CmsMod) % $CmsW"
+    }
+    val cellRows = CmsRows.indices.map(i =>
+      s"SELECT CAST($i AS BIGINT) AS r, ${posSql("h", i)} AS p FROM th").mkString("\n  UNION ALL\n  ")
+    val probeRows = CmsRows.indices.map(i =>
+      s"SELECT token, tf, CAST($i AS BIGINT) AS r, ${posSql("h", i)} AS p FROM vocab").mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),
+       |th AS (SELECT ${tokenHashSql("token")} AS h FROM toks),
+       |cellsrc AS (
+       |  $cellRows
+       |),
+       |cells AS (SELECT r, p, COUNT(*) AS cnt FROM cellsrc GROUP BY r, p),
+       |vocab AS (
+       |  SELECT token, COUNT(*) AS tf, ${tokenHashSql("token")} AS h FROM toks
+       |  GROUP BY token ORDER BY tf DESC, token LIMIT $VocabTopK
+       |),
+       |probes AS (
+       |  $probeRows
+       |)
+       |SELECT pr.token, pr.tf, MIN(c.cnt) AS est, MIN(c.cnt) - pr.tf AS overcount
+       |FROM probes pr JOIN cells c ON c.r = pr.r AND c.p = pr.p
+       |GROUP BY pr.token, pr.tf
+       |ORDER BY pr.tf DESC, pr.token""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_exact" -> (c1DedupExact _),
     "c2_token_count" -> (c2TokenCount _),
@@ -2046,7 +2124,8 @@ object TextQueries {
     "c55_vocab_coverage" -> (c55VocabCoverage _),
     "c57_ppl_buckets" -> (c57PplBuckets _),
     "c58_boilerplate" -> (c58Boilerplate _),
-    "c59_bpe_merges" -> (c59BpeMerges _))
+    "c59_bpe_merges" -> (c59BpeMerges _),
+    "c63_cms_freq" -> (c63CmsFreq _))
 
   val oracles: Map[String, String] = Map(
     "c1_dedup_exact" -> c1Sql,
@@ -2083,5 +2162,6 @@ object TextQueries {
     "c55_vocab_coverage" -> c55Sql,
     "c57_ppl_buckets" -> c57Sql,
     "c58_boilerplate" -> c58Sql,
-    "c59_bpe_merges" -> c59Sql)
+    "c59_bpe_merges" -> c59Sql,
+    "c63_cms_freq" -> c63Sql)
 }

@@ -605,4 +605,16 @@ class DedupQueriesSpec extends SparkTestBase {
           s"bucket $i min ${byB(i)._1} !> bucket ${i + 1} max ${byB(i + 1)._2}")
     }
   }
+
+  test("c63 CMS: estimates never undercount, and collisions actually occur at CmsW=512") {
+    val r = TextQueries.c63CmsFreq(spark, sf).localCheckpoint()
+    assert(r.count() == TextQueries.VocabTopK)
+    // the count-min theorem: every probed cell holds the token's own
+    // occurrences plus non-negative collision mass, so min-over-rows
+    // can never fall below the exact frequency
+    assert(r.filter(col("est") < col("tf")).count() == 0)
+    assert(r.filter(col("overcount") =!= col("est") - col("tf")).count() == 0)
+    // W is sized so the overcount accounting is exercised, not vacuous
+    assert(r.filter(col("overcount") > 0L).count() > 0)
+  }
 }
