@@ -1244,8 +1244,66 @@ object GeoQueries {
        |FROM hil WHERE lvl = 0
        |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // ---------------------------------------------------------------- A34
+  /** A34: nearest positive tile per OSM node within a bounded radius —
+    * the conflation REVIEW queue next to a13's hard exclusion: a13
+    * drops clusters that already contain an OSM node
+    * (maproulette.py:76-83); a34 reports, for every OSM solar node, the
+    * nearest detected positive tile within Chebyshev radius
+    * [[NearRadius]] (argmin over (d², x, y) — deterministic), i.e. the
+    * near-misses a mapper reviews when imports sit a tile or two off
+    * the detection (GPS offset, imagery skew). Nodes with no positive
+    * in the window produce no row — they're a1-covered unmatched
+    * imports.
+    *
+    * Scale shape: a bounded (2R+1)² offset explode on the NODE side
+    * (the small side — OSM solar imports are thousands, tiles
+    * trillions) followed by ONE hash equi-join on the tile coordinate
+    * and a map-side-combinable min(struct) argmin — never a distance
+    * θ-join, never a cross product; the same "nearest neighbor as
+    * bounded-ring equi-join" trick that keeps spatial conflation
+    * relational at z21 worldwide. An rtree (the reference's in-memory
+    * answer, maproulette.py:69-74) cannot distribute; this shuffles
+    * O(nodes·(2R+1)²) fixed-width rows.
+    */
+  val NearRadius = 3
+
+  def a34NearestPositive(spark: SparkSession, dir: String): DataFrame = {
+    val nd = GeoDerive.nodes(spark, dir).select("nx", "ny").distinct()
+    val cand = nd
+      .withColumn("dx", explode(sequence(lit(-NearRadius), lit(NearRadius))))
+      .withColumn("dy", explode(sequence(lit(-NearRadius), lit(NearRadius))))
+      .select(col("nx"), col("ny"),
+        (col("nx") + col("dx")).as("x"), (col("ny") + col("dy")).as("y"),
+        (col("dx") * col("dx") + col("dy") * col("dy")).cast("long").as("d2"))
+    cand.join(GeoDerive.positives(spark, dir).select("x", "y"), Seq("x", "y"))
+      .groupBy("nx", "ny")
+      .agg(min(struct(col("d2"), col("x"), col("y"))).as("sc"))
+      .select(col("nx"), col("ny"), col("sc.d2").as("d2"),
+        col("sc.x").as("best_x"), col("sc.y").as("best_y"))
+      .orderBy("nx", "ny")
+  }
+
+  val a34Sql: String = withCtes(false, GeoDerive.cellsCte, GeoDerive.positivesCte,
+    GeoDerive.nodesCte,
+    s"""nd AS (SELECT DISTINCT nx, ny FROM nodes),
+       |cand AS (
+       |  SELECT nd.nx, nd.ny, nd.nx + dx AS x, nd.ny + dy AS y,
+       |    CAST(dx*dx + dy*dy AS BIGINT) AS d2
+       |  FROM nd, range(-$NearRadius, ${NearRadius + 1}) tx(dx),
+       |       range(-$NearRadius, ${NearRadius + 1}) ty(dy)
+       |),
+       |m AS (
+       |  SELECT c.nx, c.ny, min([c.d2, p.x, p.y]) AS sc
+       |  FROM cand c JOIN pos p ON p.x = c.x AND p.y = c.y
+       |  GROUP BY c.nx, c.ny
+       |)""".stripMargin)(
+    """SELECT nx, ny, sc[1] AS d2, sc[2] AS best_x, sc[3] AS best_y
+      |FROM m ORDER BY nx, ny""".stripMargin)
+
   /** All A-block entries for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a34_nearest_positive" -> (a34NearestPositive _),
     "a21_tile_batch" -> (a21TileBatch _),
     "a22_unclustered_threshold" -> (a22UnclusteredThreshold _),
     "a23_slice_plan" -> (a23SlicePlan _),
@@ -1285,6 +1343,7 @@ object GeoQueries {
     "a19_inference_scored" -> (a19InferenceScored _))
 
   val oracles: Map[String, String] = Map(
+    "a34_nearest_positive" -> a34Sql,
     "a21_tile_batch" -> a21Sql,
     "a22_unclustered_threshold" -> a22Sql,
     "a23_slice_plan" -> a23Sql,

@@ -297,4 +297,22 @@ class GeoQueriesSpec extends SparkTestBase {
     assert(joined.filter(col("n_edges") =!= 4 || col("n_vertices") =!= 4 ||
       col("n_dropped") =!= 0 || col("n_corners") =!= 4).count() == 0)
   }
+
+  test("a34 nearest positive: matches are positive tiles in radius, on-tile nodes get d2=0") {
+    val r = GeoQueries.a34NearestPositive(spark, sf).localCheckpoint()
+    val rad2 = 2L * GeoQueries.NearRadius * GeoQueries.NearRadius
+    assert(r.count() > 0)
+    assert(r.filter(col("d2") > rad2 || col("d2") < 0L).count() == 0)
+    // every reported best tile IS a positive tile
+    val pos = GeoDerive.positives(spark, sf)
+      .select(col("x").as("best_x"), col("y").as("best_y"))
+    assert(r.join(pos, Seq("best_x", "best_y"), "left_anti").count() == 0)
+    // a node whose own tile is positive must match itself at distance 0
+    val onTile = GeoDerive.nodes(spark, sf).select("nx", "ny").distinct()
+      .join(pos.select(col("best_x").as("nx"), col("best_y").as("ny")), Seq("nx", "ny"))
+    assert(onTile.count() > 0)
+    assert(onTile.join(r, Seq("nx", "ny"))
+      .filter(col("d2") =!= 0L || col("best_x") =!= col("nx") || col("best_y") =!= col("ny"))
+      .count() == 0)
+  }
 }
