@@ -69,14 +69,22 @@ object DedupQueries {
     * column, and the band hashes read `sig` items — not 64 re-tokenizes
     * per row (which is what a single fused select would codegen).
     */
-  private def bandRows(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+  /** (doc_id, band, bh) on ANY (doc_id, text) frame — batch or stream
+    * (stateless projections only). D19's streaming LSH dedup shares
+    * this definition, so the ingest-time screen and the batch C6 family
+    * bucket identically by construction.
+    */
+  private[graft] def bandRowsOn(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), shingleHashes(col("text")).as("ths"))
       .select(col("doc_id"), signature(col("ths")).as("sig"))
       .select(col("doc_id"), posexplode(array((0 until Bands).map(bn =>
         bandHash(col("sig"), bn)): _*)).as(Seq("band", "bh")))
 
-  private val bandRowsCtes: Seq[String] = Seq(
+  private def bandRows(spark: SparkSession, dir: String): DataFrame =
+    bandRowsOn(Tables(spark, dir, "documents"))
+
+  private[graft] val bandRowsCtes: Seq[String] = Seq(
     s"toks AS (SELECT doc_id, $shingleHashesSql AS ths FROM documents)",
     s"""mh AS (
        |  SELECT doc_id, [${(0 until NumPerms).map(j =>

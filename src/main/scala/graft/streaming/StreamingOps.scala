@@ -295,6 +295,54 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
   }
 
+  // ------------------------------ D19: streaming LSH near-dup screen
+  final case class BandHit(band: Int, bh: Long, doc_id: Long)
+  final case class BucketMin(min_id: Long)
+  final case class BandVerdict(doc_id: Long, band: Int, owner: Long)
+
+  /** D19: ingest-time near-duplicate screening — the streaming twin of
+    * the C6 LSH bucketing, the screen a live curation pipeline runs the
+    * moment a document lands (hours before the batch collapse pass):
+    * state per (band, band-hash) bucket is ONE long — the min doc_id
+    * ever seen — and each arriving document emits one verdict row per
+    * band carrying the bucket's prior owner (itself, if it becomes the
+    * owner). A document is a near-dup candidate iff ANY band had an
+    * earlier owner — exactly the batch candidate relation "shares a
+    * band bucket with a lower doc_id"
+    * ([[graft.dedup.DedupQueries.bandRowsOn]] is the shared band
+    * definition, so stream and batch bucket identically by
+    * construction). State is bounded by DISTINCT signatures, not
+    * documents (dup-heavy corpora collapse onto few buckets); per-batch
+    * work per bucket is that batch's members, folded in doc_id order —
+    * so a staged replay cut at a doc_id threshold (the D17 mechanism)
+    * reproduces batch semantics deterministically while genuinely
+    * carrying bucket ownership across the batch boundary.
+    */
+  def lshDedup(bandHits: DataFrame): org.apache.spark.sql.Dataset[BandVerdict] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = bandHits.sparkSession
+    import spark.implicits._
+    val typed = bandHits
+      .select(col("band").cast("int").as("band"), col("bh"), col("doc_id"))
+      .as[BandHit]
+
+    def fold(key: (Int, Long), it: Iterator[BandHit],
+        state: GroupState[BucketMin]): Iterator[BandVerdict] = {
+      val ids = it.map(_.doc_id).toSeq.sorted
+      var mn = state.getOption.map(_.min_id).getOrElse(Long.MaxValue)
+      val out = ids.map { d =>
+        val owner = if (mn < d) mn else d
+        if (d < mn) mn = d
+        BandVerdict(d, key._1, owner)
+      }
+      state.update(BucketMin(mn))
+      out.iterator
+    }
+
+    typed.groupByKey(h => (h.band, h.bh))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
+  }
+
   // ------------------------------ D9: native session_window sessions
   /** D9: sessionization via Spark's NATIVE `session_window` aggregation
     * with a watermark — the declarative streaming sessionizer next to

@@ -565,7 +565,56 @@ object StreamingQueries {
 
   val d18Sql: String = graft.text.TextQueries.c22Sql
 
+  // ---------------------------------------------------------------- D19
+  /** D19: streaming LSH near-dup screen ([[StreamingOps.lshDedup]]) —
+    * the documents table staged as two doc_id-cut files (the D17 replay
+    * mechanism, `requireDataBatches = 2`), so batch-2 documents are
+    * genuinely screened against bucket state minted in batch 1. The
+    * per-band verdicts aggregate per document on the sink table (the
+    * D12 reader pattern): dup_bands counts bands with an earlier owner,
+    * owner_min is the min prior owner (the doc itself when clean). The
+    * oracle is the batch form of the same relation over the SHARED band
+    * CTEs: per-bucket min doc_id, owner = that min when it precedes the
+    * doc.
+    */
+  def d19StreamLshDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.Tables
+    val docs = Tables(spark, sfDir, "documents")
+    // staging-harness scalar (1 row), not operator code: pick the cut
+    val cut = docs.agg(max("doc_id")).head.getLong(0) / 2
+    val dir = java.nio.file.Paths.get(track(
+      Files.createTempDirectory("graft-d19-src").toString))
+    val now = System.currentTimeMillis()
+    StreamingOps.stageFrameFile(docs.filter(col("doc_id") <= cut), dir, "b0.parquet",
+      now - 600000L)
+    StreamingOps.stageFrameFile(docs.filter(col("doc_id") > cut), dir, "b1.parquet", now)
+    val src = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val verdicts = StreamingOps.lshDedup(graft.dedup.DedupQueries.bandRowsOn(src))
+    runToTable(verdicts.toDF(), "graft_d19_sink", "append", requireDataBatches = 2)
+      .groupBy("doc_id")
+      .agg(sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L)).as("dup_bands"),
+        min("owner").as("owner_min"))
+      .withColumn("is_dup", (col("dup_bands") > 0L).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  val d19Sql: String =
+    s"""WITH ${graft.dedup.DedupQueries.bandRowsCtes.mkString(",\n")},
+       |bmin AS (SELECT band, bh, MIN(doc_id) AS mn FROM bands GROUP BY band, bh),
+       |v AS (
+       |  SELECT b.doc_id,
+       |    CASE WHEN m.mn < b.doc_id THEN m.mn ELSE b.doc_id END AS owner
+       |  FROM bands b JOIN bmin m ON m.band = b.band AND m.bh = b.bh
+       |)
+       |SELECT doc_id,
+       |  CAST(SUM(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS dup_bands,
+       |  MIN(owner) AS owner_min,
+       |  CAST(MAX(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS is_dup
+       |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d19_stream_lsh_dedup" -> (d19StreamLshDedup _),
     "d1_stream_windowed" -> (d1StreamWindowed _),
     "d2_stream_dedup" -> (d2StreamDedup _),
     "d3_stream_sessions" -> (d3StreamSessions _),
@@ -586,6 +635,7 @@ object StreamingQueries {
     "d18_stream_quantile" -> (d18StreamQuantile _))
 
   val oracles: Map[String, String] = Map(
+    "d19_stream_lsh_dedup" -> d19Sql,
     "d1_stream_windowed" -> d1Sql,
     "d2_stream_dedup" -> d2Sql,
     "d3_stream_sessions" -> d3Sql,

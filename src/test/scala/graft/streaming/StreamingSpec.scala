@@ -420,4 +420,28 @@ class StreamingSpec extends SparkTestBase {
     assert(got.count() > 0 && got.count() == want.count())
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
+
+  test("D19 streaming LSH screen == batch bucket relation, with real cross-batch ownership") {
+    import graft.dedup.DedupQueries
+    val got = graft.streaming.StreamingQueries.queries("d19_stream_lsh_dedup")(spark, sf)
+      .localCheckpoint()
+    // batch twin from the SHARED band definition
+    val bands = DedupQueries.bandRowsOn(graft.Tables(spark, sf, "documents"))
+    val bmin = bands.groupBy("band", "bh").agg(min("doc_id").as("mn"))
+    val want = bands.join(bmin, Seq("band", "bh"))
+      .select(col("doc_id"),
+        when(col("mn") < col("doc_id"), col("mn")).otherwise(col("doc_id")).as("owner"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L)).as("dup_bands"),
+        min("owner").as("owner_min"))
+      .withColumn("is_dup", (col("dup_bands") > 0L).cast("long"))
+    assert(got.count() > 0 && got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // the replay is cut at the median doc_id; the cross-batch state
+    // carry is only exercised if some batch-2 doc's owner came from
+    // batch 1 — require it so a staging change can't make this vacuous
+    val cut = graft.Tables(spark, sf, "documents").agg(max("doc_id")).head.getLong(0) / 2
+    assert(got.filter(col("doc_id") > cut && col("owner_min") <= cut).count() > 0,
+      "no batch-2 document was owned by a batch-1 bucket owner")
+  }
 }
