@@ -613,7 +613,31 @@ object StreamingQueries {
        |  CAST(MAX(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS is_dup
        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- D20
+  /** D20: the count-min sketch as a LIVE stream — the canonical
+    * fixed-state streaming aggregate: the query maintains ONLY the
+    * D×W = 1536 sketch cells (complete-mode count per (r, p)), so the
+    * state store is constant-size BY CONSTRUCTION however long the
+    * stream runs and whatever the vocabulary does — compare D7's vocab
+    * stream, whose state grows with distinct tokens. The probe report
+    * runs on the sink through the SAME
+    * [[graft.text.TextQueries.cmsReportFrom]] finalize the batch C63
+    * ends with (the D18 pattern), so the oracle IS c63Sql — one
+    * definition, stream and batch sketches can't drift.
+    */
+  def d20StreamCms(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.TextQueries
+    val toks = StreamingOps.docsStream(spark, sfDir, staged(spark, sfDir, "documents"))
+      .select(explode(TextQueries.tokens(col("text"))).as("token"))
+    val cells = TextQueries.cmsCellsOn(toks)
+    TextQueries.cmsReportFrom(
+      runToTable(cells, "graft_d20_sink", "complete"), spark, sfDir)
+  }
+
+  val d20Sql: String = graft.text.TextQueries.c63Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d20_stream_cms" -> (d20StreamCms _),
     "d19_stream_lsh_dedup" -> (d19StreamLshDedup _),
     "d1_stream_windowed" -> (d1StreamWindowed _),
     "d2_stream_dedup" -> (d2StreamDedup _),
@@ -635,6 +659,7 @@ object StreamingQueries {
     "d18_stream_quantile" -> (d18StreamQuantile _))
 
   val oracles: Map[String, String] = Map(
+    "d20_stream_cms" -> d20Sql,
     "d19_stream_lsh_dedup" -> d19Sql,
     "d1_stream_windowed" -> d1Sql,
     "d2_stream_dedup" -> d2Sql,

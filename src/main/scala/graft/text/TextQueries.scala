@@ -2041,14 +2041,25 @@ object TextQueries {
   private def cmsPositions(th: Column): Column =
     array(CmsRows.map { case (a, b) => ((th * lit(a) + lit(b)) % lit(CmsMod)) % lit(CmsW) }: _*)
 
-  def c63CmsFreq(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables(spark, dir, "documents")
-      .select(explode(tokens(col("text"))).as("token"))
-    val cells = toks
+  /** The sketch cells (r, p, cnt) on ANY token frame — batch or stream
+    * (stateless fan-out + one bounded-key aggregation): D20 maintains
+    * exactly this aggregate as streaming state, C63 computes it batch.
+    */
+  private[graft] def cmsCellsOn(toks: DataFrame): DataFrame =
+    toks
       .select(posexplode(cmsPositions(tokenHash(col("token")))).as(Seq("r", "p")))
       .select(col("r").cast("long").as("r"), col("p"))
       .groupBy("r", "p").agg(count(lit(1)).as("cnt"))
-    val vocab = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+
+  /** The probe report over a materialized cell frame — the shared
+    * finalize (the D18 quantilesFromHistogram pattern): exact top-K
+    * tokens from the batch table, est = min over the token's D cells.
+    */
+  private[graft] def cmsReportFrom(cells: DataFrame, spark: SparkSession,
+      dir: String): DataFrame = {
+    val vocab = Tables(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
       .orderBy(col("tf").desc, col("token")).limit(VocabTopK)
     vocab
       .select(col("token"), col("tf"),
@@ -2059,6 +2070,12 @@ object TextQueries {
       .select(col("token"), col("tf"), col("est"),
         (col("est") - col("tf")).as("overcount"))
       .orderBy(col("tf").desc, col("token"))
+  }
+
+  def c63CmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+    cmsReportFrom(cmsCellsOn(toks), spark, dir)
   }
 
   val c63Sql: String = {

@@ -444,4 +444,16 @@ class StreamingSpec extends SparkTestBase {
     assert(got.filter(col("doc_id") > cut && col("owner_min") <= cut).count() > 0,
       "no batch-2 document was owned by a batch-1 bucket owner")
   }
+
+  test("D20 streaming CMS: state is the fixed cell grid, report == batch C63") {
+    import graft.text.TextQueries
+    val got = graft.streaming.StreamingQueries.queries("d20_stream_cms")(spark, sf)
+      .localCheckpoint()
+    val want = TextQueries.c63CmsFreq(spark, sf)
+    assert(got.count() == TextQueries.VocabTopK)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // the whole point: the maintained state can never exceed D·W cells
+    val cells = spark.table("graft_d20_sink")
+    assert(cells.count() <= TextQueries.CmsD.toLong * TextQueries.CmsW)
+  }
 }
