@@ -2106,6 +2106,75 @@ object TextQueries {
        |ORDER BY pr.tf DESC, pr.token""".stripMargin
   }
 
+
+  // ---------------------------------------------------------------- C64
+  /** C64: classifier-vs-gate calibration report — the eval harness a
+    * deployed quality classifier (C52) ships with: per score bucket,
+    * how often does the cheap linear model agree with the rule gate
+    * (C36, the labels a team actually audits)? Both sides are the
+    * driver-green operator definitions joined on doc_id — the report
+    * can never score a different classifier or gate than the ones that
+    * ship. Buckets are a fixed monotone threshold staircase (count of
+    * thresholds at or below the score — engine-neutral integer
+    * comparisons, no floor/trunc division sign traps), and the
+    * confusion counts aggregate map-side per bucket; precision/recall
+    * are exact-integer micros with a greatest(,1) guard. At 100 TB the
+    * report costs the two operator scans plus one doc_id equi-join and
+    * an 8-bucket partial agg — the eval is free relative to the
+    * operators it audits (the C41/C60 harness principle).
+    */
+  val EvalThresholds: Seq[Long] =
+    Seq(-150000000L, -100000000L, -50000000L, 0L, 50000000L, 100000000L, 150000000L)
+
+  def c64ClassifierEval(spark: SparkSession, dir: String): DataFrame = {
+    val pred = c52HashClassifier(spark, dir)
+      .select(col("doc_id"), col("score_micro"), col("keep").as("pred"))
+    val lab = c36QualityGate(spark, dir)
+      .select(col("doc_id"), col("keep").cast("long").as("label"))
+    val bucket = EvalThresholds
+      .map(t => when(col("score_micro") >= lit(t), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pred.join(lab, "doc_id")
+      .select(bucket.as("bucket"), col("pred"), col("label"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("pred").as("pred_keep"),
+        sum("label").as("label_keep"),
+        sum(col("pred") * col("label")).as("tp"),
+        sum(col("pred") * (lit(1L) - col("label"))).as("fp"),
+        sum((lit(1L) - col("pred")) * col("label")).as("fn"))
+      .withColumn("precision_micro", expr("tp * 1000000 div greatest(pred_keep, 1)"))
+      .withColumn("recall_micro", expr("tp * 1000000 div greatest(label_keep, 1)"))
+      .orderBy("bucket")
+  }
+
+  val c64Sql: String = {
+    val predBody = c52Sql.stripSuffix("ORDER BY doc_id").trim
+    val labBody = c36Sql.stripSuffix("ORDER BY doc_id").trim
+    val bucketSql = EvalThresholds
+      .map(t => s"CAST(score_micro >= $t AS BIGINT)").mkString(" + ")
+    s"""WITH pred AS (SELECT doc_id, score_micro, keep AS pred FROM (
+       |$predBody
+       |)), lab AS (SELECT doc_id, CAST(keep AS BIGINT) AS label FROM (
+       |$labBody
+       |)), j AS (
+       |  SELECT $bucketSql AS bucket, p.pred, l.label
+       |  FROM pred p JOIN lab l USING (doc_id)
+       |), agg AS (
+       |  SELECT bucket, COUNT(*) AS n_docs,
+       |    CAST(SUM(pred) AS BIGINT) AS pred_keep,
+       |    CAST(SUM(label) AS BIGINT) AS label_keep,
+       |    CAST(SUM(pred * label) AS BIGINT) AS tp,
+       |    CAST(SUM(pred * (1 - label)) AS BIGINT) AS fp,
+       |    CAST(SUM((1 - pred) * label) AS BIGINT) AS fn
+       |  FROM j GROUP BY bucket
+       |)
+       |SELECT bucket, n_docs, pred_keep, label_keep, tp, fp, fn,
+       |  tp * 1000000 // greatest(pred_keep, 1) AS precision_micro,
+       |  tp * 1000000 // greatest(label_keep, 1) AS recall_micro
+       |FROM agg ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_exact" -> (c1DedupExact _),
     "c2_token_count" -> (c2TokenCount _),
@@ -2142,7 +2211,8 @@ object TextQueries {
     "c57_ppl_buckets" -> (c57PplBuckets _),
     "c58_boilerplate" -> (c58Boilerplate _),
     "c59_bpe_merges" -> (c59BpeMerges _),
-    "c63_cms_freq" -> (c63CmsFreq _))
+    "c63_cms_freq" -> (c63CmsFreq _),
+    "c64_classifier_eval" -> (c64ClassifierEval _))
 
   val oracles: Map[String, String] = Map(
     "c1_dedup_exact" -> c1Sql,
@@ -2180,5 +2250,6 @@ object TextQueries {
     "c57_ppl_buckets" -> c57Sql,
     "c58_boilerplate" -> c58Sql,
     "c59_bpe_merges" -> c59Sql,
-    "c63_cms_freq" -> c63Sql)
+    "c63_cms_freq" -> c63Sql,
+    "c64_classifier_eval" -> c64Sql)
 }

@@ -617,4 +617,19 @@ class DedupQueriesSpec extends SparkTestBase {
     // W is sized so the overcount accounting is exercised, not vacuous
     assert(r.filter(col("overcount") > 0L).count() > 0)
   }
+
+  test("c64 classifier eval: confusion identities hold and the corpus is conserved") {
+    val r = TextQueries.c64ClassifierEval(spark, sf).localCheckpoint()
+    val nDocs = graft.Tables(spark, sf, "documents").count()
+    assert(r.agg(sum("n_docs")).head.getLong(0) == nDocs)
+    // tp + fp = predicted keeps; tp + fn = labeled keeps; tp bounded
+    assert(r.filter(col("tp") + col("fp") =!= col("pred_keep")).count() == 0)
+    assert(r.filter(col("tp") + col("fn") =!= col("label_keep")).count() == 0)
+    assert(r.filter(col("tp") > col("n_docs")).count() == 0)
+    // the threshold staircase actually spreads the corpus: more than
+    // two populated buckets, and the classifier flips keep across them
+    assert(r.count() > 2)
+    assert(r.filter(col("pred_keep") === 0L).count() > 0)
+    assert(r.filter(col("pred_keep") === col("n_docs")).count() > 0)
+  }
 }
