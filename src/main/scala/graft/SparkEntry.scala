@@ -49,7 +49,8 @@ object SparkEntry {
     "b24_set_ops" -> (Queries.setOpsRetention _),
     "b25_unpivot" -> (Queries.unpivotRevenue _),
     "b26_not_in_nulls" -> (Queries.notInNulls _),
-    "b27_nation_percentile" -> (Queries.nationPercentile _)
+    "b27_nation_percentile" -> (Queries.nationPercentile _),
+    "b28_date_spine" -> (Queries.dateSpineRevenue _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -87,6 +88,7 @@ object SparkEntry {
     "b24_set_ops" -> Queries.setOpsRetentionSql,
     "b25_unpivot" -> Queries.unpivotRevenueSql,
     "b26_not_in_nulls" -> Queries.notInNullsSql,
-    "b27_nation_percentile" -> Queries.nationPercentileSql
+    "b27_nation_percentile" -> Queries.nationPercentileSql,
+    "b28_date_spine" -> Queries.dateSpineRevenueSql
   )
 }

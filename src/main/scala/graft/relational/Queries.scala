@@ -1209,4 +1209,56 @@ object Queries {
       |FROM rev
       |WINDOW w AS (ORDER BY revenue_c DESC, n_name)
       |ORDER BY quartile, pct_rank, n_name""".stripMargin
+
+  // ------------------------------------------------------------- B28
+  /** B28: date-spine gap fill — the calendar-completion idiom every
+    * revenue dashboard needs (a day with no orders must surface as an
+    * explicit zero row, or moving averages / cumulative curves silently
+    * skip it — compare B23, whose RANGE frame is gap-aware for exactly
+    * this reason). The spine is GENERATED, never stored: one 1-row
+    * min/max aggregate fans out through `sequence + explode` into one
+    * row per calendar day (the a3 grid-fill pattern on the time axis),
+    * then a LEFT equi-join picks up the observed days and a running
+    * cumulative total crosses the zero-filled gaps. Scale shape: the
+    * spine is bounded by the calendar (days, not rows — a century is
+    * ~37k rows) however large the fact side is; the daily pre-agg is
+    * the only corpus-sized shuffle; the final single-partition window
+    * runs over calendar-bounded rows only.
+    */
+  def dateSpineRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "orders")
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+        .cast("long").as("day_idx"))
+      .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("rev_c"))
+    val spine = daily.agg(min("day_idx").as("lo"), max("day_idx").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day_idx"))
+    val w = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(daily, Seq("day_idx"), "left")
+      .select(col("day_idx"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("rev_c"), lit(0L)).as("rev_c"),
+        col("n_orders").isNull.cast("long").as("is_gap"))
+      .withColumn("cum_rev_c", sum("rev_c").over(w))
+      .orderBy("day_idx")
+  }
+
+  val dateSpineRevenueSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS day_idx,
+      |    COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1
+      |), b AS (SELECT MIN(day_idx) AS lo, MAX(day_idx) AS hi FROM daily),
+      |spine AS (SELECT UNNEST(range(lo, hi + 1)) AS day_idx FROM b),
+      |f AS (
+      |  SELECT s.day_idx,
+      |    CAST(COALESCE(d.n_orders, 0) AS BIGINT) AS n_orders,
+      |    CAST(COALESCE(d.rev_c, 0) AS BIGINT) AS rev_c,
+      |    CAST(d.day_idx IS NULL AS BIGINT) AS is_gap
+      |  FROM spine s LEFT JOIN daily d USING (day_idx)
+      |)
+      |SELECT day_idx, n_orders, rev_c, is_gap,
+      |  CAST(SUM(rev_c) OVER (ORDER BY day_idx
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_c
+      |FROM f ORDER BY day_idx""".stripMargin
 }

@@ -327,4 +327,19 @@ class RelationalSpec extends SparkTestBase {
       assert(row.getDouble(row.fieldIndex("pct_rank")) == expect)
     }
   }
+
+  test("b28 date spine: contiguous calendar, zero-filled gaps, conserved totals") {
+    val r = Queries.dateSpineRevenue(spark, sf).localCheckpoint()
+    val bounds = r.agg(min("day_idx"), max("day_idx"), count(lit(1))).head()
+    // one row per calendar day between the observed extremes, no holes
+    assert(bounds.getLong(2) == bounds.getLong(1) - bounds.getLong(0) + 1)
+    // gap rows are exactly the zero-activity days
+    assert(r.filter(col("is_gap") === 1L &&
+      (col("n_orders") =!= 0L || col("rev_c") =!= 0L)).count() == 0)
+    assert(r.filter(col("is_gap") === 0L && col("n_orders") === 0L).count() == 0)
+    // the running total ends at the corpus total revenue
+    val totalC = graft.Tables(spark, sf, "orders")
+      .agg(sum(round(col("o_totalprice") * 100.0, 0).cast("long"))).head.getLong(0)
+    assert(r.orderBy(col("day_idx").desc).select("cum_rev_c").head.getLong(0) == totalC)
+  }
 }
