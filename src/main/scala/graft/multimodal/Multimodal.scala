@@ -214,15 +214,71 @@ object Multimodal {
        |FROM p ORDER BY doc_id, patch_idx""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C65
+  /** C65: audio framing plan — the audio member of the multimodal family
+    * (C13 frames video, C34 patchifies images): treat the binary body as
+    * [[AudioRate]] Hz mono 16-bit PCM (n_samples = body bytes div 2)
+    * and cut the STFT-style SLIDING frame grid — a [[FrameWin]]-sample
+    * window advancing by [[FrameHop]] samples (the 25 ms / 10 ms
+    * convention scaled to this toy corpus), overlapping unlike C13's
+    * disjoint frames. Each frame carries its exact sample offset, byte
+    * offset (2 bytes/sample past the 4-byte header) and start timestamp
+    * in exact µs (hop·10⁶ is divisible by the rate, so time is integer
+    * by construction); the stub feature is the C12-contract affine hash
+    * a real windowed-energy/fbank kernel replaces. Docs shorter than
+    * one window produce no frames (C34's thin-image rule). The fan-out
+    * is sequence+explode inside the scan stage — zero shuffles at any
+    * corpus size.
+    */
+  val AudioRate = 8000L
+  val FrameWin = 64L
+  val FrameHop = 16L
+
+  def c65AudioFrames(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), expr("n_chars div 2").as("n_samples"))
+      .filter(col("n_samples") >= FrameWin)
+      .withColumn("n_frames", expr(s"1 + (n_samples - $FrameWin) div $FrameHop"))
+      .withColumn("frame_idx", explode(expr("sequence(0L, n_frames - 1)")))
+      .select(col("doc_id"), col("n_samples"), col("n_frames"), col("frame_idx"),
+        (col("frame_idx") * FrameHop).as("sample_off"),
+        (lit(4L) + col("frame_idx") * FrameHop * 2L).as("byte_off"),
+        (col("frame_idx") * (FrameHop * 1000000L / AudioRate)).as("t_us"),
+        (((col("doc_id") * lit(2654435761L)) + col("frame_idx") * lit(40503L)) % 1000L)
+          .as("frame_feature"))
+      .orderBy("doc_id", "frame_idx")
+
+  val c65Sql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id, n_chars // 2 AS n_samples FROM documents
+       |  WHERE n_chars // 2 >= $FrameWin
+       |), f AS (
+       |  SELECT doc_id, n_samples,
+       |    1 + (n_samples - $FrameWin) // $FrameHop AS n_frames
+       |  FROM a
+       |), fr AS (
+       |  SELECT doc_id, n_samples, n_frames,
+       |    UNNEST(range(0, n_frames)) AS frame_idx
+       |  FROM f
+       |)
+       |SELECT doc_id, n_samples, n_frames, frame_idx,
+       |  frame_idx * $FrameHop AS sample_off,
+       |  4 + frame_idx * $FrameHop * 2 AS byte_off,
+       |  frame_idx * ${FrameHop * 1000000L / AudioRate} AS t_us,
+       |  ((doc_id * 2654435761) + frame_idx * 40503) % 1000 AS frame_feature
+       |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c12_multimodal_meta" -> (c12MultimodalMeta _),
     "c13_frame_sample" -> (c13FrameSample _),
     "c16_resize_plan" -> (c16ResizePlan _),
-    "c34_patchify" -> (c34Patchify _))
+    "c34_patchify" -> (c34Patchify _),
+    "c65_audio_frames" -> (c65AudioFrames _))
 
   val oracles: Map[String, String] = Map(
     "c12_multimodal_meta" -> c12Sql,
     "c13_frame_sample" -> c13Sql,
     "c16_resize_plan" -> c16Sql,
-    "c34_patchify" -> c34Sql)
+    "c34_patchify" -> c34Sql,
+    "c65_audio_frames" -> c65Sql)
 }

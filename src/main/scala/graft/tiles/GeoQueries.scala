@@ -1301,8 +1301,67 @@ object GeoQueries {
     """SELECT nx, ny, sc[1] AS d2, sc[2] AS best_x, sc[3] AS best_y
       |FROM m ORDER BY nx, ny""".stripMargin)
 
+  // ---------------------------------------------------------------- A35
+  /** A35: geohash cell id for the §4 lon/lat points — the base-32 member
+    * of the locality-key family (a26 quadkey = Morton as base-4 text,
+    * a30 = Morton integer, a33 = Hilbert integer): the string key
+    * external geo systems (Redis GEO, Elasticsearch, OSM tooling)
+    * speak, used to bucket-join third-party point sets without
+    * converting them to slippy tiles. 8 characters = 40 bits = 20 lon +
+    * 20 lat interleaved MSB-first starting with lon; the fractional
+    * lon/lat never appears — xi = k·2^20 div 36000 keeps the bit
+    * extraction in exact BIGINT on both engines ([[a30Zorder]]'s
+    * convention), the interleave is [[graft.scale.ZOrder.zValue]] with
+    * lat on the even positions, and the digit lookup is a fixed 8-step
+    * base-32 substring chain. Entirely map-side scan-stage math — zero
+    * shuffles at any corpus size. GeohashSpec pins the classic ezs42
+    * known-answer (Wikipedia's worked example) and digit-roundtrip
+    * bijectivity over the whole sf0.001 corpus.
+    */
+  val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** The geohash columns over any frame carrying integer (k, m) with
+    * lon = −180 + k/100, lat = −85 + m/100 (the §4 derivation); factored
+    * so the spec can drive known lon/lat points through the same math.
+    */
+  private[tiles] def geohashCols(df: DataFrame): DataFrame =
+    df
+      .withColumn("xi", expr("(k * 1048576) div 36000"))
+      .withColumn("yi", expr("((m + 500) * 1048576) div 18000"))
+      .withColumn("g", graft.scale.ZOrder.zValue(col("yi"), col("xi"), 20))
+      .withColumn("geohash", concat((0 until 8).map { j =>
+        expr(s"substr('$GeohashAlphabet', cast((g div ${1L << (5 * (7 - j))}) % 32 + 1 as int), 1)")
+      }: _*))
+
+  def a35Geohash(spark: SparkSession, dir: String): DataFrame =
+    geohashCols(Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_orderkey") % 36000L).as("k"), (col("l_partkey") % 17000L).as("m")))
+      .select("l_orderkey", "l_linenumber", "xi", "yi", "g", "geohash")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val a35Sql: String = {
+    val chars = (0 until 8).map { j =>
+      s"substring('$GeohashAlphabet', CAST((g // ${1L << (5 * (7 - j))}) % 32 + 1 AS INT), 1)"
+    }.mkString(" || ")
+    s"""WITH src AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    ((l_orderkey % 36000) * 1048576) // 36000 AS xi,
+       |    (((l_partkey % 17000) + 500) * 1048576) // 18000 AS yi
+       |  FROM lineitem
+       |), gz AS (
+       |  SELECT l_orderkey, l_linenumber, xi, yi,
+       |    CAST(list_sum(list_transform(range(0, 20), i ->
+       |      (((yi >> i) & 1) << (2*i)) + (((xi >> i) & 1) << (2*i + 1)))) AS BIGINT) AS g
+       |  FROM src
+       |)
+       |SELECT l_orderkey, l_linenumber, xi, yi, g, $chars AS geohash
+       |FROM gz ORDER BY l_orderkey, l_linenumber""".stripMargin
+  }
+
   /** All A-block entries for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a35_geohash" -> (a35Geohash _),
     "a34_nearest_positive" -> (a34NearestPositive _),
     "a21_tile_batch" -> (a21TileBatch _),
     "a22_unclustered_threshold" -> (a22UnclusteredThreshold _),
@@ -1343,6 +1402,7 @@ object GeoQueries {
     "a19_inference_scored" -> (a19InferenceScored _))
 
   val oracles: Map[String, String] = Map(
+    "a35_geohash" -> a35Sql,
     "a34_nearest_positive" -> a34Sql,
     "a21_tile_batch" -> a21Sql,
     "a22_unclustered_threshold" -> a22Sql,

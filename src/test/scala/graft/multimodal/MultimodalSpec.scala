@@ -24,4 +24,28 @@ class MultimodalSpec extends SparkTestBase {
       col("byte_offset") >= lit(4) + col("out_w") * col("out_h") * 3)
     assert(oob.count() == 0)
   }
+
+  test("c65 audio frames: hop stride, maximal last frame, exact microsecond clock") {
+    val r = Multimodal.c65AudioFrames(spark, sf)
+    assert(r.count() > 0)
+    // frames are 0..n_frames-1 with sample_off = idx*hop and t_us on the 2 ms grid
+    val badFrame = r.filter(
+      col("sample_off") =!= col("frame_idx") * Multimodal.FrameHop ||
+      col("byte_off") =!= lit(4L) + col("sample_off") * 2 ||
+      col("t_us") =!= col("frame_idx") * (Multimodal.FrameHop * 1000000L / Multimodal.AudioRate))
+    assert(badFrame.count() == 0)
+    // per doc: contiguous indices, every frame fits, and one more would not
+    val perDoc = r.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("frame_idx").as("mx"),
+        first("n_frames").as("nf"), first("n_samples").as("ns"))
+    val bad = perDoc.filter(
+      col("n") =!= col("nf") || col("mx") =!= col("nf") - 1 ||
+      (col("nf") - 1) * Multimodal.FrameHop + Multimodal.FrameWin > col("ns") ||
+      col("nf") * Multimodal.FrameHop + Multimodal.FrameWin <= col("ns"))
+    assert(bad.count() == 0)
+    // docs shorter than one window are absent
+    val short = graft.Tables(spark, sf, "documents")
+      .filter(expr(s"n_chars div 2 < ${Multimodal.FrameWin}")).select("doc_id")
+    assert(r.join(short, "doc_id").count() == 0)
+  }
 }
