@@ -50,7 +50,10 @@ object SparkEntry {
     "b25_unpivot" -> (Queries.unpivotRevenue _),
     "b26_not_in_nulls" -> (Queries.notInNulls _),
     "b27_nation_percentile" -> (Queries.nationPercentile _),
-    "b28_date_spine" -> (Queries.dateSpineRevenue _)
+    "b28_date_spine" -> (Queries.dateSpineRevenue _),
+    "b29_order_streaks" -> (Queries.orderStreaks _),
+    "b30_multi_distinct" -> (Queries.multiDistinct _),
+    "b31_scd2" -> (Queries.scd2Intervals _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -89,6 +92,9 @@ object SparkEntry {
     "b25_unpivot" -> Queries.unpivotRevenueSql,
     "b26_not_in_nulls" -> Queries.notInNullsSql,
     "b27_nation_percentile" -> Queries.nationPercentileSql,
-    "b28_date_spine" -> Queries.dateSpineRevenueSql
+    "b28_date_spine" -> Queries.dateSpineRevenueSql,
+    "b29_order_streaks" -> Queries.orderStreaksSql,
+    "b30_multi_distinct" -> Queries.multiDistinctSql,
+    "b31_scd2" -> Queries.scd2IntervalsSql
   )
 }

@@ -1261,4 +1261,140 @@ object Queries {
       |  CAST(SUM(rev_c) OVER (ORDER BY day_idx
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_c
       |FROM f ORDER BY day_idx""".stripMargin
+
+  // ------------------------------------------------------------- B29
+  /** B29: gaps-and-islands activity streaks — longest run of CONSECUTIVE
+    * active months per customer (the retention/engagement idiom; c59
+    * uses the same trick inside its merge step, this is the stand-alone
+    * relational surface). The classic island key is month_idx −
+    * dense_rank(month_idx): constant exactly while months are
+    * consecutive. Scale shape: the fact first collapses to DISTINCT
+    * (customer, month) — one partial-agg shuffle, and every later
+    * window partitions BY CUSTOMER over rows bounded by the CALENDAR
+    * (B28's argument: ≤ 12·years rows per customer however many orders
+    * they place); the per-customer best streak is a map-side-combinable
+    * min(struct) argmin (ties → earliest start), never a re-sort.
+    */
+  def orderStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val months = Tables(spark, dir, "orders")
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12L + month(col("o_orderdate")) - 1L).as("month_idx"))
+      .distinct()
+    val w = Window.partitionBy("o_custkey").orderBy("month_idx")
+    val islands = months
+      .withColumn("island", col("month_idx") - dense_rank().over(w))
+      .groupBy("o_custkey", "island")
+      .agg(count(lit(1)).as("len"), min("month_idx").as("start_m"),
+        max("month_idx").as("end_m"))
+    islands.groupBy("o_custkey")
+      .agg(sum("len").as("n_active"), count(lit(1)).as("n_streaks"),
+        min(struct((col("len") * -1L).as("nl"), col("start_m").as("s"),
+          col("end_m").as("e"))).as("best"))
+      .select(col("o_custkey"), col("n_active"), col("n_streaks"),
+        (col("best.nl") * -1L).as("max_streak"),
+        col("best.s").as("best_start"), col("best.e").as("best_end"))
+      .orderBy("o_custkey")
+  }
+
+  val orderStreaksSql: String =
+    """WITH months AS (
+      |  SELECT DISTINCT o_custkey,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS month_idx
+      |  FROM orders
+      |), isl AS (
+      |  SELECT o_custkey, month_idx,
+      |    month_idx - DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY month_idx) AS island
+      |  FROM months
+      |), runs AS (
+      |  SELECT o_custkey, island, COUNT(*) AS len,
+      |    MIN(month_idx) AS start_m, MAX(month_idx) AS end_m
+      |  FROM isl GROUP BY o_custkey, island
+      |), agg AS (
+      |  SELECT o_custkey, CAST(SUM(len) AS BIGINT) AS n_active,
+      |    COUNT(*) AS n_streaks, min([-len, start_m, end_m]) AS best
+      |  FROM runs GROUP BY o_custkey
+      |)
+      |SELECT o_custkey, n_active, n_streaks,
+      |  CAST(-best[1] AS BIGINT) AS max_streak,
+      |  CAST(best[2] AS BIGINT) AS best_start, CAST(best[3] AS BIGINT) AS best_end
+      |FROM agg ORDER BY o_custkey""".stripMargin
+
+  // ------------------------------------------------------------- B30
+  /** B30: several COUNT(DISTINCT …) over DIFFERENT columns in ONE
+    * aggregation — per order priority: distinct customers, distinct
+    * active months, plain counts and exact revenue cents. Catalyst
+    * plans multi-distinct via Expand (each input row fans into one
+    * replica per distinct group + one for the plain aggs, tagged with a
+    * grouping id), so the whole report is a single pass over the fact
+    * and one shuffle — where the naive formulation runs one job per
+    * distinct column and rescans the corpus each time. At 100 TB the
+    * Expand factor (3 here) is the explicit, bounded price; partial
+    * aggregation still collapses replicas map-side before the exchange.
+    */
+  def multiDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_custkey"),
+        (year(col("o_orderdate")) * 12L + month(col("o_orderdate")) - 1L).as("month_idx"),
+        cents(col("o_totalprice")).as("price_c"))
+      .groupBy("o_orderpriority")
+      .agg(countDistinct("o_custkey").as("n_custs"),
+        countDistinct("month_idx").as("n_months"),
+        count(lit(1)).as("n_orders"),
+        sum("price_c").as("rev_c"))
+      .orderBy("o_orderpriority")
+
+  val multiDistinctSql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(DISTINCT o_custkey) AS n_custs,
+      |  COUNT(DISTINCT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)) AS n_months,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev_c
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------------------------- B31
+  /** B31: SCD type-2 interval construction from a change log — compress
+    * each user's event stream into validity intervals [effective_from,
+    * effective_to) of the CURRENT event_type, the
+    * slowly-changing-dimension shape every warehouse derives from CDC
+    * feeds: a row survives iff its type differs from the user's
+    * previous event (lag), effective_to = the NEXT surviving row's
+    * start (lead over the filtered frame), version = per-user ordinal,
+    * open tail flagged is_current. Scale shape: both windows partition
+    * by user_id — ONE shuffle, the second window reuses the first's
+    * sort (same partition key and ordering, no extra exchange); state
+    * per task is one user's events, the B5/D3 sessionization contract.
+    * Ordering is total via the (ts, event_id) tiebreak, so re-runs are
+    * byte-identical (SURVEY §5).
+    */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val changes = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes
+      .withColumn("version", row_number().over(w2).cast("long"))
+      .withColumn("effective_to", lead("ts", 1).over(w2))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("ts").as("effective_from"), col("effective_to"),
+        col("effective_to").isNull.cast("long").as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  val scd2IntervalsSql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events
+      |), changes AS (
+      |  SELECT user_id, ts, event_id, event_type FROM ordered
+      |  WHERE prev_type IS NULL OR prev_type <> event_type
+      |)
+      |SELECT user_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+      |  event_type, ts AS effective_from,
+      |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to,
+      |  CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS BIGINT) AS is_current
+      |FROM changes ORDER BY user_id, version""".stripMargin
 }

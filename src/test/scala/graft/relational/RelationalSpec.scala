@@ -342,4 +342,94 @@ class RelationalSpec extends SparkTestBase {
       .agg(sum(round(col("o_totalprice") * 100.0, 0).cast("long"))).head.getLong(0)
     assert(r.orderBy(col("day_idx").desc).select("cum_rev_c").head.getLong(0) == totalC)
   }
+
+  test("b29 streaks: brute-force recompute per customer agrees") {
+    val r = Queries.orderStreaks(spark, sf).collect()
+      .map(x => x.getAs[Long]("o_custkey") ->
+        (x.getAs[Long]("n_active"), x.getAs[Long]("n_streaks"),
+          x.getAs[Long]("max_streak"), x.getAs[Long]("best_start"))).toMap
+    val months = graft.Tables(spark, sf, "orders")
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12L + month(col("o_orderdate")) - 1L).as("m"))
+      .distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted.toVector)
+    assert(r.keySet == months.keys.toSet)
+    months.foreach { case (cust, ms) =>
+      // walk the sorted month list, cutting where the gap exceeds 1
+      val runs = ms.foldLeft(Vector.empty[Vector[Long]]) { (acc, m) =>
+        if (acc.nonEmpty && acc.last.last == m - 1) acc.init :+ (acc.last :+ m)
+        else acc :+ Vector(m)
+      }
+      val best = runs.maxBy(run => (run.length, -run.head))
+      val (nActive, nStreaks, maxStreak, bestStart) = r(cust)
+      assert(nActive == ms.length && nStreaks == runs.length)
+      assert(maxStreak == best.length && bestStart == best.head)
+    }
+  }
+
+  test("b30 multi-distinct: one Expand pass, values agree with separate jobs") {
+    val df = Queries.multiDistinct(spark, sf)
+    // Catalyst plans the two COUNT(DISTINCT) via a single Expand — the
+    // one-pass contract (a per-distinct-column rescan would show none)
+    assert(df.queryExecution.executedPlan.toString.contains("Expand"))
+    val r = df.collect().map(x => x.getString(0) ->
+      (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    val orders = graft.Tables(spark, sf, "orders")
+    r.foreach { case (prio, (nc, nm, no)) =>
+      val o = orders.filter(col("o_orderpriority") === prio)
+      assert(nc == o.select("o_custkey").distinct().count())
+      assert(nm == o.select(year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .distinct().count())
+      assert(no == o.count())
+    }
+  }
+
+  test("b31 scd2: intervals tile each user's history, types compress, one open tail") {
+    val r = Queries.scd2Intervals(spark, sf).localCheckpoint()
+    // exactly one current (open) interval per user
+    val users = r.select("user_id").distinct().count()
+    assert(r.filter(col("is_current") === 1L).count() == users)
+    // versions are 1..n per user
+    val badV = r.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), max("version").as("mx"), min("version").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1L)
+    assert(badV.count() == 0)
+    // adjacent intervals: to == next from, and the type actually changes
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("version")
+    val adj = r.select(col("user_id"), col("version"), col("event_type"),
+        col("effective_from"), col("effective_to"))
+      .withColumn("nxt_from", lead("effective_from", 1).over(w))
+      .withColumn("nxt_type", lead("event_type", 1).over(w))
+    assert(adj.filter(col("nxt_from").isNotNull &&
+      col("effective_to") =!= col("nxt_from")).count() == 0)
+    assert(adj.filter(col("nxt_type").isNotNull &&
+      col("nxt_type") === col("event_type")).count() == 0)
+    // brute-force recompute: per user, sort by (ts, event_id), compress
+    // equal-type runs — the interval list must match row for row
+    val ev = graft.Tables(spark, sf, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(x => (x.getLong(0), x.getAs[java.time.LocalDateTime](1), x.getLong(2),
+        x.getString(3)))
+      .groupBy(_._1)
+    val got = r.collect().map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("version")) ->
+      (x.getAs[String]("event_type"), x.getAs[java.time.LocalDateTime]("effective_from"),
+        Option(x.getAs[java.time.LocalDateTime]("effective_to")))).toMap
+    var expected = 0
+    ev.foreach { case (uid, rows) =>
+      val sorted = rows.sortBy(t =>
+        (t._2.toEpochSecond(java.time.ZoneOffset.UTC), t._2.getNano, t._3)).toVector
+      val starts = sorted.zipWithIndex.filter { case (t, i) =>
+        i == 0 || sorted(i - 1)._4 != t._4
+      }.map(_._1)
+      expected += starts.length
+      starts.zipWithIndex.foreach { case (s, v) =>
+        val (tpe, from, to) = got((uid, v + 1L))
+        assert(tpe == s._4 && from == s._2)
+        val nextFrom = if (v + 1 < starts.length) Some(starts(v + 1)._2) else None
+        assert(to == nextFrom)
+      }
+    }
+    assert(got.size == expected)
+  }
 }
