@@ -514,13 +514,73 @@ object DedupQueries {
        |GROUP BY d.source ORDER BY d.source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C66
+  /** C66: asymmetric containment scoring on the C6 candidates — Broder's
+    * OTHER resemblance measure: C(A→B) = |A∩B| / |A|. Jaccard punishes
+    * size asymmetry (a paragraph quoted inside a long article scores
+    * ~|para|/|article| ≈ 0), so quote/subset duplication — truncated
+    * re-crawls, syndicated excerpts, boilerplate-wrapped reposts — is
+    * exactly the near-dup class a Jaccard threshold misses; containment
+    * scores it ~1 from the small side. Same scale shape as C7:
+    * candidate-driven (never all-pairs), per-doc DISTINCT token-hash
+    * sets sorted once at the scan, |∩| via the codegen'd
+    * `sorted_intersect_count` merge (the C19 kernel), both directions
+    * reported plus a ≥[[ContainMicro]] flag on the max.
+    */
+  val ContainMicro = 900000L
+
+  def c66Containment(spark: SparkSession, dir: String): DataFrame = {
+    val cand = candidatePairs(spark, dir).select("doc_a", "doc_b")
+    val sets = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_sort(array_distinct(shingleHashes(col("text")))).as("hs"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("sorted_intersect_count(ha, hb)").as("n_common"),
+        size(col("ha")).cast("long").as("na"),
+        size(col("hb")).cast("long").as("nb"))
+      .withColumn("cont_a_micro", expr("n_common * 1000000 div na"))
+      .withColumn("cont_b_micro", expr("n_common * 1000000 div nb"))
+      .withColumn("is_contained",
+        (greatest(col("cont_a_micro"), col("cont_b_micro")) >= ContainMicro)
+          .cast("long"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val c66Sql: String =
+    s"""WITH ${bandRowsCtes.mkString(",\n")},
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+       |),
+       |sets AS (
+       |  SELECT doc_id, list_distinct($shingleHashesSql) AS hs FROM documents
+       |),
+       |sc AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_intersect(x.hs, y.hs)) AS BIGINT) AS n_common,
+       |    CAST(len(x.hs) AS BIGINT) AS na, CAST(len(y.hs) AS BIGINT) AS nb
+       |  FROM cand c
+       |  JOIN sets x ON x.doc_id = c.doc_a
+       |  JOIN sets y ON y.doc_id = c.doc_b
+       |)
+       |SELECT doc_a, doc_b, n_common, na, nb,
+       |  n_common * 1000000 // na AS cont_a_micro,
+       |  n_common * 1000000 // nb AS cont_b_micro,
+       |  CAST(GREATEST(n_common * 1000000 // na, n_common * 1000000 // nb)
+       |    >= $ContainMicro AS BIGINT) AS is_contained
+       |FROM sc ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c6_minhash_lsh" -> (c6MinhashLsh _),
     "c7_ngram_jaccard" -> (c7NgramJaccard _),
     "c8_simhash" -> (c8Simhash _),
     "c19_dedup_collapse" -> (c19DedupCollapse _),
     "c35_dedup_inflation" -> (c35DedupInflation _),
-    "c60_lsh_curve" -> (c60LshCurve _))
+    "c60_lsh_curve" -> (c60LshCurve _),
+    "c66_containment" -> (c66Containment _))
 
   val oracles: Map[String, String] = Map(
     "c6_minhash_lsh" -> c6Sql,
@@ -528,5 +588,6 @@ object DedupQueries {
     "c8_simhash" -> c8Sql,
     "c19_dedup_collapse" -> c19Sql,
     "c35_dedup_inflation" -> c35Sql,
-    "c60_lsh_curve" -> c60Sql)
+    "c60_lsh_curve" -> c60Sql,
+    "c66_containment" -> c66Sql)
 }

@@ -42,5 +42,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[RollingHashes], "rolling_hashes",
         "rolling_hashes(t, b, m) - array of all prefix hashes (t1*b^(k-1)+...+tk) mod m"),
       (args: Seq[Expression]) => RollingHashes(args(0), args(1), args(2))))
+    // size(array_intersect) on bigint arrays → the codegen'd merge scan
+    // (the d14 hand-fix as an automatic plan rewrite)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteIntersectCount)
   }
 }

@@ -2175,7 +2175,130 @@ object TextQueries {
        |FROM agg ORDER BY bucket""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C67
+  /** C67: incremental exact dedup — a NEW crawl batch deduped against a
+    * PERSISTED corpus snapshot, the operating mode of every recurring
+    * crawl (C1 is the one-shot backfill; A31 is the same incremental
+    * theme on the geo side). The corpus splits at the midpoint id
+    * (old = persisted snapshot, new = arriving batch); each arriving
+    * doc is attributed: `dup_old` (its text already exists in the
+    * snapshot — dup_of = the snapshot's keeper), `dup_new` (first seen
+    * by a LOWER-id doc of the same batch — intra-batch dedup), or
+    * `unique`. Scale shape: the snapshot side collapses to one
+    * (text, min id) row per distinct text BEFORE the join — the join
+    * key is the text (sha2 at 100 TB, C1's note), both sides shuffle
+    * once on it, and the intra-batch rule is a min-id aggregate on the
+    * same key, never a window over the corpus. Persisted labels are
+    * never touched — A31's immutability contract.
+    */
+  def c67IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val cut = docs.agg(((min("doc_id") + max("doc_id")) / 2).cast("long").as("cut"))
+    val tagged = docs.crossJoin(broadcast(cut))
+    val oldKeep = tagged.filter(col("doc_id") < col("cut"))
+      .groupBy("text").agg(min("doc_id").as("old_min"))
+    val fresh = tagged.filter(col("doc_id") >= col("cut"))
+    val newMin = fresh.groupBy("text").agg(min("doc_id").as("new_min"))
+    fresh
+      .join(oldKeep, Seq("text"), "left")
+      .join(newMin, Seq("text"))
+      .select(col("doc_id"),
+        when(col("old_min").isNotNull, lit("dup_old"))
+          .when(col("new_min") < col("doc_id"), lit("dup_new"))
+          .otherwise(lit("unique")).as("status"),
+        coalesce(col("old_min"),
+          when(col("new_min") < col("doc_id"), col("new_min")),
+          lit(-1L)).as("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  val c67Sql: String =
+    """WITH cut AS (
+      |  SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS cut FROM documents
+      |), old_keep AS (
+      |  SELECT text, MIN(doc_id) AS old_min FROM documents, cut
+      |  WHERE doc_id < cut GROUP BY text
+      |), fresh AS (
+      |  SELECT doc_id, text FROM documents, cut WHERE doc_id >= cut
+      |), new_min AS (
+      |  SELECT text, MIN(doc_id) AS new_min FROM fresh GROUP BY text
+      |)
+      |SELECT f.doc_id,
+      |  CASE WHEN o.old_min IS NOT NULL THEN 'dup_old'
+      |       WHEN n.new_min < f.doc_id THEN 'dup_new'
+      |       ELSE 'unique' END AS status,
+      |  COALESCE(o.old_min,
+      |    CASE WHEN n.new_min < f.doc_id THEN n.new_min END, -1) AS dup_of
+      |FROM fresh f
+      |LEFT JOIN old_keep o ON o.text = f.text
+      |JOIN new_min n ON n.text = f.text
+      |ORDER BY f.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- C68
+  /** C68: interpolated Kneser–Ney bigram probabilities (Kneser & Ney
+    * 1995; Chen & Goodman 1998's standard formulation) — the smoothing
+    * every serious count-based LM uses where C24's raw conditional
+    * assigns zero to unseen pairs and C31 scores with it:
+    *
+    *   p_KN(w2|w1) = max(n(w1,w2) − D, 0)/n(w1·)
+    *               + D·N1+(w1·)/n(w1·) · N1+(·w2)/|bigram types|
+    *
+    * with discount D = 0.75. The continuation weight N1+(·w2) (how many
+    * DISTINCT contexts w2 follows) replacing raw frequency is the
+    * Kneser–Ney insight ("Francisco" is frequent but only ever follows
+    * "San"). All integer micro-units: term1 = (10⁶·n_pair − 750000) div
+    * n_w1; term2 routes 750000·n_follow·n_pred through DECIMAL(38,0)
+    * (C47's overflow rule — vocab² products top BIGINT on ~10⁷-type
+    * corpora). Scale shape: everything is partial-agg shuffles on
+    * token/pair keys over the C24 map-side pair extraction; the two
+    * distinct-counts are count-distinct aggs on the pair frame; the
+    * 1-row type total broadcasts.
+    */
+  val KnDiscountMicro = 750000L
+
+  def c68KnBigram(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = bigramPairs(spark, dir)
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .localCheckpoint(true)
+    val ctx = big.groupBy("w1").agg(sum("n_pair").as("n_w1"),
+      count(lit(1)).as("n_follow"))
+    val pred = big.groupBy("w2").agg(count(lit(1)).as("n_pred"))
+    val types = big.agg(count(lit(1)).as("n_types"))
+    big.join(ctx, "w1").join(pred, "w2").crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"),
+        col("n_follow"), col("n_pred"), col("n_types"),
+        (expr(s"(1000000 * n_pair - $KnDiscountMicro) div n_w1") +
+          expr(s"(cast($KnDiscountMicro as decimal(38,0)) * n_follow * n_pred) div " +
+            "(cast(n_w1 as decimal(38,0)) * n_types)")).as("pkn_micro"))
+      .orderBy(col("n_pair").desc, col("w1"), col("w2"))
+      .limit(BigramTopK)
+  }
+
+  val c68Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+       |    UNNEST(string_split(text, ' ')) AS w1
+       |  FROM documents
+       |), adj AS (
+       |  SELECT w1, LEAD(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM toks
+       |), pp AS (SELECT w1, w2 FROM adj WHERE w2 IS NOT NULL),
+       |big AS (SELECT w1, w2, COUNT(*) AS n_pair FROM pp GROUP BY w1, w2),
+       |ctx AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_w1, COUNT(*) AS n_follow
+       |        FROM big GROUP BY w1),
+       |pred AS (SELECT w2, COUNT(*) AS n_pred FROM big GROUP BY w2),
+       |tot AS (SELECT COUNT(*) AS n_types FROM big)
+       |SELECT b.w1, b.w2, b.n_pair, c.n_w1, c.n_follow, p.n_pred, t.n_types,
+       |  (1000000 * b.n_pair - $KnDiscountMicro) // c.n_w1
+       |  + CAST((CAST($KnDiscountMicro AS HUGEINT) * c.n_follow * p.n_pred)
+       |      // (CAST(c.n_w1 AS HUGEINT) * t.n_types) AS BIGINT) AS pkn_micro
+       |FROM big b JOIN ctx c ON c.w1 = b.w1 JOIN pred p ON p.w2 = b.w2
+       |CROSS JOIN tot t
+       |ORDER BY b.n_pair DESC, b.w1, b.w2
+       |LIMIT $BigramTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c67_incremental_dedup" -> (c67IncrementalDedup _),
+    "c68_kn_bigram" -> (c68KnBigram _),
     "c1_dedup_exact" -> (c1DedupExact _),
     "c2_token_count" -> (c2TokenCount _),
     "c3_quality_score" -> (c3QualityScore _),
@@ -2215,6 +2338,8 @@ object TextQueries {
     "c64_classifier_eval" -> (c64ClassifierEval _))
 
   val oracles: Map[String, String] = Map(
+    "c67_incremental_dedup" -> c67Sql,
+    "c68_kn_bigram" -> c68Sql,
     "c1_dedup_exact" -> c1Sql,
     "c2_token_count" -> c2Sql,
     "c3_quality_score" -> c3Sql,

@@ -632,4 +632,72 @@ class DedupQueriesSpec extends SparkTestBase {
     assert(r.filter(col("pred_keep") === 0L).count() > 0)
     assert(r.filter(col("pred_keep") === col("n_docs")).count() > 0)
   }
+
+  test("c66 containment: exact set recompute agrees, bounds hold, symmetry by size") {
+    val r = graft.dedup.DedupQueries.c66Containment(spark, sf).localCheckpoint()
+    assert(r.count() > 0)
+    // bounds: |∩| <= min(|A|, |B|); micro ratios in [0, 1e6]
+    assert(r.filter(col("n_common") > least(col("na"), col("nb"))).count() == 0)
+    assert(r.filter(col("cont_a_micro") > 1000000L ||
+      col("cont_b_micro") > 1000000L).count() == 0)
+    // exact recompute of the distinct token-hash intersection for a sample
+    def hashes(t: String): Set[Long] = t.split(" ").map { w =>
+      w.length.toLong * 1009L + (if (w.nonEmpty) w.head.toLong * 31L + w.last.toLong else 0L)
+    }.toSet
+    val docs = graft.Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    r.limit(500).collect().foreach { row =>
+      val (a, b) = (docs(row.getAs[Long]("doc_a")), docs(row.getAs[Long]("doc_b")))
+      val (sa, sb) = (hashes(a), hashes(b))
+      assert(row.getAs[Long]("n_common") == (sa & sb).size)
+      assert(row.getAs[Long]("na") == sa.size && row.getAs[Long]("nb") == sb.size)
+    }
+  }
+
+  test("c67 incremental dedup: statuses recompute exactly, snapshot ids never change") {
+    val r = TextQueries.c67IncrementalDedup(spark, sf).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    val docs = graft.Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getString(1))
+    val cut = (docs.map(_._1).min + docs.map(_._1).max) / 2
+    val oldMin = docs.filter(_._1 < cut).groupBy(_._2)
+      .map { case (t, xs) => t -> xs.map(_._1).min }
+    val fresh = docs.filter(_._1 >= cut)
+    val newMin = fresh.groupBy(_._2).map { case (t, xs) => t -> xs.map(_._1).min }
+    assert(r.keySet == fresh.map(_._1).toSet)
+    fresh.foreach { case (id, t) =>
+      val expect = oldMin.get(t) match {
+        case Some(o) => ("dup_old", o)
+        case None if newMin(t) < id => ("dup_new", newMin(t))
+        case None => ("unique", -1L)
+      }
+      assert(r(id) == expect, s"doc $id")
+    }
+  }
+
+  test("c68 Kneser-Ney: exact integer recompute of every emitted row") {
+    val out = TextQueries.c68KnBigram(spark, sf).collect()
+    assert(out.nonEmpty)
+    // rebuild the bigram model in plain Scala
+    val pairs = graft.Tables(spark, sf, "documents").select("text").collect()
+      .flatMap(_.getString(0).split(" ").sliding(2).collect {
+        case Array(x, y) => (x, y)
+      })
+    val nPair = pairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nW1 = pairs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nFollow = nPair.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nPred = nPair.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nTypes = nPair.size.toLong
+    out.foreach { r =>
+      val (w1, w2) = (r.getString(0), r.getString(1))
+      val t1 = (1000000L * nPair((w1, w2)) - 750000L) / nW1(w1)
+      val t2 = (BigInt(750000L) * nFollow(w1) * nPred(w2) /
+        (BigInt(nW1(w1)) * nTypes)).toLong
+      assert(r.getAs[Long]("pkn_micro") == t1 + t2, s"($w1,$w2)")
+      assert(r.getAs[Long]("n_pair") == nPair((w1, w2)))
+    }
+    // the discounted mass is a probability: every row in (0, 1e6]
+    assert(out.forall(r => r.getAs[Long]("pkn_micro") > 0 &&
+      r.getAs[Long]("pkn_micro") <= 1000000L))
+  }
 }
