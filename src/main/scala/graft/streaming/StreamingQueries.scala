@@ -636,7 +636,30 @@ object StreamingQueries {
 
   val d20Sql: String = graft.text.TextQueries.c63Sql
 
+  // ---------------------------------------------------------------- D21
+  /** D21: streaming BUILD of the C53 decontamination Bloom filter — the
+    * ingest-time form of the filter construction: as held-out/benchmark
+    * documents land, the stream maintains the set-bit table
+    * ([[graft.text.TextQueries.bloomBitsOn]], the SHARED definition
+    * C53's broadcast filter projects from), so the screen's reference
+    * side is always current without a batch rebuild. State is ≤ m =
+    * 1024 rows BY CONSTRUCTION whatever the suite's gram cardinality —
+    * D20's fixed-state family, with the counting-Bloom twist: each cell
+    * carries its reference count, so gram deletions/TTL decrement
+    * instead of corrupting the filter. Within-doc gram dedup is
+    * map-side array_distinct, so no unbounded stream-distinct state
+    * exists anywhere.
+    */
+  def d21StreamBloomBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = StreamingOps.docsStream(spark, sfDir, staged(spark, sfDir, "documents"))
+    runToTable(graft.text.TextQueries.bloomBitsOn(docs), "graft_d21_sink", "complete")
+      .orderBy("pos")
+  }
+
+  val d21Sql: String = graft.text.TextQueries.bloomBitsSql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d21_stream_bloom" -> (d21StreamBloomBuild _),
     "d20_stream_cms" -> (d20StreamCms _),
     "d19_stream_lsh_dedup" -> (d19StreamLshDedup _),
     "d1_stream_windowed" -> (d1StreamWindowed _),
@@ -659,6 +682,7 @@ object StreamingQueries {
     "d18_stream_quantile" -> (d18StreamQuantile _))
 
   val oracles: Map[String, String] = Map(
+    "d21_stream_bloom" -> d21Sql,
     "d20_stream_cms" -> d20Sql,
     "d19_stream_lsh_dedup" -> d19Sql,
     "d1_stream_windowed" -> d1Sql,

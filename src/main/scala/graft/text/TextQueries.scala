@@ -1580,10 +1580,14 @@ object TextQueries {
       grams.filter(col("split") === "test").select("gh").distinct())
   }
 
-  val c53Sql: String = {
+  /** The shared d/graw/g/posu oracle CTE chain (split + gram family +
+    * probe positions) — one definition feeding c53Sql and d21's bit
+    * table twin.
+    */
+  private[graft] val bloomPosuCtesSql: String = {
     val posList = BloomProbes
       .map { case (a, b) => s"(gh * $a + $b) % $BloomM" }.mkString("[", ", ", "]")
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id,
        |    CASE WHEN (doc_id * 2654435761 + 40503) % 100 < 80 THEN 'train'
        |         WHEN (doc_id * 2654435761 + 40503) % 100 < 90 THEN 'val'
@@ -1601,7 +1605,34 @@ object TextQueries {
        |), g AS (SELECT DISTINCT doc_id, split, gh FROM graw
        |), posu AS (
        |  SELECT split, doc_id, gh, UNNEST($posList) AS pos FROM g
-       |), testbits AS (
+       |)""".stripMargin
+  }
+
+  /** The Bloom set-bit cells (pos, n_refs) on ANY documents frame —
+    * batch or stream: D21 maintains exactly this aggregate as streaming
+    * state (≤ [[BloomM]] rows BY CONSTRUCTION), and C53's broadcast
+    * filter is its DISTINCT pos projection. n_refs counts (doc, gram,
+    * probe) references landing on the bit — the counter a COUNTING
+    * Bloom filter keeps so deletions/TTL work; the within-doc gram
+    * dedup is map-side `array_distinct`, so no stream-level distinct
+    * state exists.
+    */
+  private[graft] def bloomBitsOn(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= ContamN)
+      .filter(splitCol === "test")
+      .select(col("doc_id"), explode(array_distinct(gramHashes(col("toks")))).as("gh"))
+      .select(explode(bloomPositions(col("gh"))).as("pos"))
+      .groupBy("pos").agg(count(lit(1)).as("n_refs"))
+
+  val bloomBitsSql: String =
+    s"""WITH $bloomPosuCtesSql
+       |SELECT pos, COUNT(*) AS n_refs FROM posu WHERE split = 'test'
+       |GROUP BY pos ORDER BY pos""".stripMargin
+
+  val c53Sql: String = {
+    s"""WITH $bloomPosuCtesSql, testbits AS (
        |  SELECT DISTINCT pos FROM posu WHERE split = 'test'
        |), testgh AS (SELECT DISTINCT gh FROM g WHERE split = 'test'
        |), train AS (SELECT doc_id, gh FROM g WHERE split = 'train'

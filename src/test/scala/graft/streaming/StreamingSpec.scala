@@ -456,4 +456,16 @@ class StreamingSpec extends SparkTestBase {
     val cells = spark.table("graft_d20_sink")
     assert(cells.count() <= TextQueries.CmsD.toLong * TextQueries.CmsW)
   }
+
+  test("D21 streaming Bloom build == batch bit table; state bounded by m") {
+    import graft.text.TextQueries
+    val got = graft.streaming.StreamingQueries.queries("d21_stream_bloom")(spark, sf)
+      .localCheckpoint()
+    val want = TextQueries.bloomBitsOn(graft.Tables(spark, sf, "documents"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // the filter can never hold more than m cells, whatever the suite size
+    assert(got.count() <= TextQueries.BloomM)
+    assert(got.filter(col("pos") < 0 || col("pos") >= TextQueries.BloomM).count() == 0)
+  }
 }
