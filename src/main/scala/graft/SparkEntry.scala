@@ -53,7 +53,8 @@ object SparkEntry {
     "b28_date_spine" -> (Queries.dateSpineRevenue _),
     "b29_order_streaks" -> (Queries.orderStreaks _),
     "b30_multi_distinct" -> (Queries.multiDistinct _),
-    "b31_scd2" -> (Queries.scd2Intervals _)
+    "b31_scd2" -> (Queries.scd2Intervals _),
+    "b32_percentile_cont" -> (Queries.percentileCont _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -95,6 +96,7 @@ object SparkEntry {
     "b28_date_spine" -> Queries.dateSpineRevenueSql,
     "b29_order_streaks" -> Queries.orderStreaksSql,
     "b30_multi_distinct" -> Queries.multiDistinctSql,
-    "b31_scd2" -> Queries.scd2IntervalsSql
+    "b31_scd2" -> Queries.scd2IntervalsSql,
+    "b32_percentile_cont" -> Queries.percentileContSql
   )
 }

@@ -1103,7 +1103,158 @@ object EmbedQueries {
        |ORDER BY probe_id, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C69
+  /** C69: kNN label propagation / label-noise screening — the
+    * confident-learning pass a labeled corpus runs before training:
+    * every vector is voted on by its mutual-kNN neighbors (the C46
+    * graph, one definition), the majority neighbor label (ties → the
+    * smaller label id) is compared against the vector's OWN label, and
+    * a disagreement flags a suspect row — mislabeled examples sit in a
+    * neighborhood of the class they actually belong to. Scale shape:
+    * the graph is O(k·N) edges; expanding to directed votes doubles
+    * it; the vote count is a per-(vec, label) partial agg and the
+    * argmax a map-side-combinable min(struct) — every shuffle keyed by
+    * vec_id, per-group work bounded by ≤ 2k votes. Isolated vectors
+    * (no mutual edge survived C46) keep the −1 sentinel and are never
+    * flagged — no evidence, no verdict.
+    */
+  def c69LabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val g = c46KnnGraph(spark, dir).select("vec_a", "vec_b")
+    val edges = g.union(g.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
+    val lab = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val votes = edges
+      .join(lab.select(col("vec_id").as("vec_b"), col("label").as("nb_label")), "vec_b")
+      .groupBy("vec_a", "nb_label").agg(count(lit(1)).as("cnt"))
+      .groupBy("vec_a")
+      .agg(sum("cnt").as("n_neighbors"),
+        min(struct((col("cnt") * -1L).as("nc"), col("nb_label").as("l"))).as("best"))
+      .select(col("vec_a").as("vec_id"), col("n_neighbors"),
+        (col("best.nc") * -1L).as("n_majority"), col("best.l").as("majority_label"))
+    lab.join(votes, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        coalesce(col("n_majority"), lit(0L)).as("n_majority"),
+        coalesce(col("majority_label"), lit(-1L)).as("majority_label"))
+      .withColumn("is_suspect",
+        (col("n_neighbors") > 0L && col("majority_label") =!= col("label"))
+          .cast("long"))
+      .orderBy("vec_id")
+  }
+
+  lazy val c69Sql: String =
+    s"""WITH $normsCte,
+       |bucketed AS (SELECT vec_id, embedding, n2,
+       |  CAST(${bucketSql("embedding")} AS BIGINT) AS bucket FROM norms),
+       |dd AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    round(${dotSql("a.embedding", "b.embedding")} / sqrt(a.n2 * b.n2), 6) AS cos
+       |  FROM bucketed a JOIN bucketed b
+       |    ON b.bucket = a.bucket AND b.vec_id <> a.vec_id),
+       |t AS (
+       |  SELECT vec_a, vec_b FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b) AS rnk
+       |    FROM dd) WHERE rnk <= $KnnK),
+       |mut AS (
+       |  SELECT t1.vec_a, t1.vec_b FROM t t1
+       |  JOIN t t2 ON t2.vec_a = t1.vec_b AND t2.vec_b = t1.vec_a
+       |  WHERE t1.vec_a < t1.vec_b),
+       |edges AS (
+       |  SELECT vec_a, vec_b FROM mut
+       |  UNION ALL SELECT vec_b AS vec_a, vec_a AS vec_b FROM mut),
+       |votes AS (
+       |  SELECT e.vec_a, CAST(l.label AS BIGINT) AS nb_label, COUNT(*) AS cnt
+       |  FROM edges e JOIN embeddings l ON l.vec_id = e.vec_b
+       |  GROUP BY e.vec_a, l.label),
+       |best AS (
+       |  SELECT vec_a AS vec_id, CAST(SUM(cnt) AS BIGINT) AS n_neighbors,
+       |    min([-cnt, nb_label]) AS b
+       |  FROM votes GROUP BY vec_a)
+       |SELECT l.vec_id, CAST(l.label AS BIGINT) AS label,
+       |  COALESCE(v.n_neighbors, 0) AS n_neighbors,
+       |  COALESCE(-v.b[1], 0) AS n_majority,
+       |  COALESCE(v.b[2], -1) AS majority_label,
+       |  CAST(COALESCE(v.n_neighbors, 0) > 0
+       |    AND COALESCE(v.b[2], -1) <> l.label AS BIGINT) AS is_suspect
+       |FROM embeddings l LEFT JOIN best v ON v.vec_id = l.vec_id
+       |ORDER BY l.vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- C70
+  /** C70: prototypicality pruning score (Sorscher et al. 2022, "Beyond
+    * neural scaling laws"): every vector's squared distance to its OWN
+    * k-means cluster MEAN, percentile-ranked within the cluster — the
+    * metric behind keep-hard-examples data pruning (prototypical =
+    * redundant when data is abundant; far-from-centroid = the
+    * informative tail). Clustering is C50's shared assignment; the
+    * centroid is the exact per-(cluster, dim) integer-micro mean over
+    * MEMBERS (C56's machinery with a twist that keeps everything in
+    * BIGINT: values shift by +10⁶ before summing so the mean's integer
+    * division never sees a negative numerator — trunc-vs-floor can't
+    * diverge between engines; distances are shift-invariant). Scale
+    * shape: the ×dims explode is scan-stage, the centroid a K·dims-row
+    * broadcast, d² one partial agg per vector, and the percentile
+    * window partitions BY CLUSTER over N/K rows (the C51 argument).
+    */
+  def c70Prototypicality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          e => round(e.cast("double") * lit(1000000.0), 0).cast("long") + lit(1000000L))
+          .as("q"))
+    val memberDims = kmAssigned(spark, dir).select(col("vec_id"), col("cluster"))
+      .join(q, "vec_id")
+      .select(col("vec_id"), col("cluster"), posexplode(col("q")))
+      .select(col("vec_id"), col("cluster"), col("pos").as("d"), col("col").as("vq"))
+    val centroid = memberDims.groupBy("cluster", "d")
+      .agg(expr("sum(vq) div count(1)").as("mean_micro"))
+    val d2 = memberDims.join(broadcast(centroid), Seq("cluster", "d"))
+      .groupBy("vec_id", "cluster")
+      .agg(sum((col("vq") - col("mean_micro")) * (col("vq") - col("mean_micro")))
+        .as("d2"))
+    val w = Window.partitionBy("cluster").orderBy(col("d2"), col("vec_id"))
+    val nC = d2.groupBy("cluster").agg(count(lit(1)).as("n_c"))
+    d2.join(broadcast(nC), "cluster")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("pct_micro", expr("(rnk - 1) * 1000000 div greatest(n_c - 1, 1)"))
+      .withColumn("is_far", (col("pct_micro") >= 500000L).cast("long"))
+      .select("vec_id", "cluster", "d2", "n_c", "rnk", "pct_micro", "is_far")
+      .orderBy("vec_id")
+  }
+
+  val c70Sql: String =
+    s"""WITH $kmAssignedCte, q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000000) AS BIGINT) + 1000000) AS q
+       |  FROM embeddings
+       |), a AS (SELECT vec_id, CAST(sc[2] AS BIGINT) AS cluster FROM assigned),
+       |md AS (
+       |  SELECT a.vec_id, a.cluster, d, q.q[d + 1] AS vq
+       |  FROM a JOIN q USING (vec_id), range(0, $Dims) td(d)
+       |), cent AS (
+       |  SELECT cluster, d, CAST(SUM(vq) AS BIGINT) // COUNT(*) AS mean_micro
+       |  FROM md GROUP BY cluster, d
+       |), dd AS (
+       |  SELECT m.vec_id, m.cluster,
+       |    CAST(SUM((m.vq - c.mean_micro) * (m.vq - c.mean_micro)) AS BIGINT) AS d2
+       |  FROM md m JOIN cent c ON c.cluster = m.cluster AND c.d = m.d
+       |  GROUP BY m.vec_id, m.cluster
+       |), nc AS (SELECT cluster, COUNT(*) AS n_c FROM dd GROUP BY cluster),
+       |rk AS (
+       |  SELECT dd.vec_id, dd.cluster, dd.d2, nc.n_c,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY dd.cluster
+       |      ORDER BY dd.d2, dd.vec_id) AS BIGINT) AS rnk
+       |  FROM dd JOIN nc USING (cluster)
+       |)
+       |SELECT vec_id, cluster, d2, n_c, rnk,
+       |  (rnk - 1) * 1000000 // GREATEST(n_c - 1, 1) AS pct_micro,
+       |  CAST((rnk - 1) * 1000000 // GREATEST(n_c - 1, 1) >= 500000 AS BIGINT) AS is_far
+       |FROM rk ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c69_label_prop" -> (c69LabelProp _),
+    "c70_prototypicality" -> (c70Prototypicality _),
     "c9_cosine_pairs" -> (c9CosinePairs _),
     "c10_ann_bruteforce" -> (c10AnnBruteforce _),
     "c11_ann_lsh" -> (c11AnnLsh _),
@@ -1122,6 +1273,8 @@ object EmbedQueries {
     "c62_ivf_pq" -> (c62IvfPq _))
 
   val oracles: Map[String, String] = Map(
+    "c69_label_prop" -> c69Sql,
+    "c70_prototypicality" -> c70Sql,
     "c9_cosine_pairs" -> c9Sql,
     "c10_ann_bruteforce" -> c10Sql,
     "c11_ann_lsh" -> c11Sql,

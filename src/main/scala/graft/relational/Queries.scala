@@ -1382,6 +1382,89 @@ object Queries {
       .orderBy("user_id", "version")
   }
 
+  // ------------------------------------------------------------- B32
+  /** B32: exact PERCENTILE_CONT with linear interpolation — the
+    * continuous-quantile surface next to C22/B27's discrete ranks
+    * (`percentile_cont(q)` sits at fractional position (n−1)·q and
+    * blends the two straddling values). Computed the only way an exact
+    * per-group quantile survives 100 TB (C22's histogram-CDF argument):
+    * prices quantize to whole DOLLARS first — the histogram is bounded
+    * by the VALUE DOMAIN however many orders exist — then the CDF
+    * window runs over the tiny class frame and each quantile target
+    * becomes two containment lookups (floor and ceil ranks) against
+    * it. All arithmetic integer micro-units: t_micro = (n−1)·q_ppm,
+    * frac = t_micro mod 10⁶, result = v_lo·10⁶ + frac·(v_hi − v_lo) —
+    * byte-identical across engines, no float comparisons anywhere.
+    */
+  val PctQs: Seq[Long] = Seq(250000L, 500000L, 900000L)
+
+  def percentileCont(spark: SparkSession, dir: String): DataFrame = {
+    val classes = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority").as("prio"),
+        (cents(col("o_totalprice")) / 100L).cast("long").as("price_d"))
+      .groupBy("prio", "price_d").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("prio").orderBy("price_d")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cdf = classes
+      .withColumn("cum_before", coalesce(sum("cnt").over(w), lit(0L)))
+    val totals = classes.groupBy("prio").agg(sum("cnt").as("n"))
+    val targets = totals
+      .withColumn("q_ppm", explode(lit(PctQs.toArray)))
+      .select(col("prio"), col("q_ppm"), col("n"),
+        ((col("n") - 1L) * col("q_ppm")).as("t_micro"))
+      .select(col("prio"), col("q_ppm"), col("n"),
+        expr("t_micro div 1000000").as("lo"),
+        expr("(t_micro + 999999) div 1000000").as("hi"),
+        expr("t_micro % 1000000").as("frac"))
+    val vlo = cdf.join(broadcast(targets), "prio")
+      .filter(col("lo") >= col("cum_before") && col("lo") < col("cum_before") + col("cnt"))
+      .select(col("prio"), col("q_ppm"), col("n"), col("frac"), col("price_d").as("v_lo"))
+    val vhi = cdf.join(broadcast(targets.select("prio", "q_ppm", "hi")), "prio")
+      .filter(col("hi") >= col("cum_before") && col("hi") < col("cum_before") + col("cnt"))
+      .select(col("prio"), col("q_ppm"), col("price_d").as("v_hi"))
+    vlo.join(vhi, Seq("prio", "q_ppm"))
+      .select(col("prio"), col("q_ppm"), col("n"), col("v_lo"), col("v_hi"),
+        (col("v_lo") * 1000000L + col("frac") * (col("v_hi") - col("v_lo")))
+          .as("pct_micro"))
+      .orderBy("prio", "q_ppm")
+  }
+
+  val percentileContSql: String = {
+    val qlist = PctQs.mkString("[", ", ", "]")
+    """WITH classes AS (
+      |  SELECT o_orderpriority AS prio,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) // 100 AS price_d,
+      |    COUNT(*) AS cnt
+      |  FROM orders GROUP BY 1, 2
+      |), cdf AS (
+      |  SELECT prio, price_d, cnt,
+      |    COALESCE(CAST(SUM(cnt) OVER (PARTITION BY prio ORDER BY price_d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+      |  FROM classes
+      |), totals AS (SELECT prio, CAST(SUM(cnt) AS BIGINT) AS n FROM classes GROUP BY prio),
+      |targets AS (
+      |  SELECT prio, n, UNNEST(QLIST) AS q_ppm FROM totals
+      |), t2 AS (
+      |  SELECT prio, q_ppm, n, (n - 1) * q_ppm AS t_micro FROM targets
+      |), t3 AS (
+      |  SELECT prio, q_ppm, n, t_micro // 1000000 AS lo,
+      |    (t_micro + 999999) // 1000000 AS hi, t_micro % 1000000 AS frac
+      |  FROM t2
+      |), vlo AS (
+      |  SELECT t.prio, t.q_ppm, t.n, t.frac, c.price_d AS v_lo
+      |  FROM t3 t JOIN cdf c ON c.prio = t.prio
+      |  WHERE t.lo >= c.cum_before AND t.lo < c.cum_before + c.cnt
+      |), vhi AS (
+      |  SELECT t.prio, t.q_ppm, c.price_d AS v_hi
+      |  FROM t3 t JOIN cdf c ON c.prio = t.prio
+      |  WHERE t.hi >= c.cum_before AND t.hi < c.cum_before + c.cnt
+      |)
+      |SELECT l.prio, l.q_ppm, l.n, l.v_lo, h.v_hi,
+      |  l.v_lo * 1000000 + l.frac * (h.v_hi - l.v_lo) AS pct_micro
+      |FROM vlo l JOIN vhi h ON h.prio = l.prio AND h.q_ppm = l.q_ppm
+      |ORDER BY l.prio, l.q_ppm""".stripMargin.replace("QLIST", qlist)
+  }
+
   val scd2IntervalsSql: String =
     """WITH ordered AS (
       |  SELECT user_id, ts, event_id, event_type,

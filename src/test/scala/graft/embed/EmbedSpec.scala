@@ -255,4 +255,67 @@ class MultimodalSpec extends SparkTestBase {
     assert(r.groupBy("probe_id").count()
       .filter(col("count") > EmbedQueries.TopK).count() == 0)
   }
+
+  test("c69 label propagation: votes recompute from the c46 graph + labels") {
+    val out = EmbedQueries.c69LabelProp(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val labels = graft.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mutual = EmbedQueries.c46KnnGraph(spark, sf).select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (mutual ++ mutual.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2))
+    assert(out.keySet == labels.keySet)
+    labels.foreach { case (id, own) =>
+      val r = out(id)
+      nbrs.get(id) match {
+        case None =>
+          assert(r.getAs[Long]("n_neighbors") == 0 &&
+            r.getAs[Long]("majority_label") == -1L &&
+            r.getAs[Long]("is_suspect") == 0L)
+        case Some(ns) =>
+          val counts = ns.map(labels).groupBy(identity).view.mapValues(_.size.toLong)
+          val best = counts.toSeq.minBy { case (l, c) => (-c, l) }
+          assert(r.getAs[Long]("n_neighbors") == ns.size)
+          assert(r.getAs[Long]("majority_label") == best._1)
+          assert(r.getAs[Long]("n_majority") == best._2)
+          assert(r.getAs[Long]("is_suspect") == (if (best._1 != own) 1L else 0L))
+      }
+    }
+    // the screen must actually flag something on this corpus
+    assert(out.values.count(_.getAs[Long]("is_suspect") == 1L) > 0)
+  }
+
+  test("c70 prototypicality: exact integer recompute of centroids, d2 and ranks") {
+    val out = EmbedQueries.c70Prototypicality(spark, sf).collect()
+    assert(out.nonEmpty)
+    val emb = graft.Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(v => BigDecimal(v.toDouble * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong + 1000000L).toVector)
+      .toMap
+    val byCluster = out.groupBy(_.getAs[Long]("cluster"))
+    byCluster.foreach { case (_, rows) =>
+      val members = rows.map(_.getAs[Long]("vec_id"))
+      val vecs = members.map(emb)
+      val dims = vecs.head.length
+      val mean = (0 until dims).map(d => vecs.map(_(d)).sum / vecs.length)
+      val d2 = members.zip(vecs).map { case (id, v) =>
+        id -> (0 until dims).map(d => (v(d) - mean(d)) * (v(d) - mean(d))).sum
+      }.toMap
+      rows.foreach { r =>
+        assert(r.getAs[Long]("d2") == d2(r.getAs[Long]("vec_id")))
+        assert(r.getAs[Long]("n_c") == members.size)
+      }
+      // ranks are the (d2, vec_id) sort order and pct is the rank ratio
+      val sorted = d2.toSeq.sortBy { case (id, dd) => (dd, id) }.map(_._1)
+      rows.foreach { r =>
+        val rnk = sorted.indexOf(r.getAs[Long]("vec_id")) + 1L
+        assert(r.getAs[Long]("rnk") == rnk)
+        val pct = (rnk - 1) * 1000000L / math.max(members.size - 1L, 1L)
+        assert(r.getAs[Long]("pct_micro") == pct)
+        assert(r.getAs[Long]("is_far") == (if (pct >= 500000L) 1L else 0L))
+      }
+    }
+  }
 }

@@ -432,4 +432,25 @@ class RelationalSpec extends SparkTestBase {
     }
     assert(got.size == expected)
   }
+
+  test("b32 percentile_cont: brute-force sorted-list interpolation agrees") {
+    val out = Queries.percentileCont(spark, sf).collect()
+    assert(out.nonEmpty)
+    val prices = graft.Tables(spark, sf, "orders")
+      .select(col("o_orderpriority"),
+        (round(col("o_totalprice") * 100.0, 0).cast("long") / 100L).cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector)
+    out.foreach { r =>
+      val (prio, q) = (r.getString(0), r.getAs[Long]("q_ppm"))
+      val vs = prices(prio)
+      val t = (vs.length - 1L) * q
+      val lo = (t / 1000000L).toInt
+      val hi = ((t + 999999L) / 1000000L).toInt
+      val frac = t % 1000000L
+      val expect = vs(lo) * 1000000L + frac * (vs(hi) - vs(lo))
+      assert(r.getAs[Long]("pct_micro") == expect, s"$prio q=$q")
+      assert(r.getAs[Long]("n") == vs.length)
+    }
+  }
 }
