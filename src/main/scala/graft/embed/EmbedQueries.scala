@@ -802,6 +802,29 @@ object EmbedQueries {
        |)""".stripMargin
   }
 
+  /** The K centroids packed into ONE static row (array of (cid, ce)
+    * structs) — the broadcast shape D22's stateless stream scoring
+    * crosses against.
+    */
+  private[graft] def kmCentroidRow(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings").filter(col("vec_id") < KmCents)
+      .select(struct(col("vec_id").as("cid"), col("embedding").as("ce")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("cents"))
+
+  /** Row-local argmin over the packed centroid array — the STATELESS
+    * twin of [[kmAssigned]]'s groupBy argmin: the same sequential
+    * subtract-square fold, the same round-to-6dp-then-compare, the same
+    * (d, cid) tie rule, only expressed as a per-row HOF so a stream can
+    * score without any state store. Expects columns `embedding` and
+    * `cents`.
+    */
+  private[graft] def kmBestCol: Column =
+    array_min(transform(col("cents"), c => struct(
+      round(aggregate(zip_with(col("embedding"), c.getField("ce"),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v), 6).as("d"),
+      c.getField("cid").as("cid"))))
+
   def c50KmeansAssign(spark: SparkSession, dir: String): DataFrame =
     kmAssigned(spark, dir)
       .select(col("vec_id"), col("cluster"),

@@ -507,6 +507,11 @@ object StreamingOps {
     spark.readStream.schema(schema).parquet(sourceDir)
   }
 
+  def embeddingsStream(spark: SparkSession, sfDir: String, sourceDir: String): DataFrame = {
+    val schema = Tables(spark, sfDir, "embeddings").schema
+    spark.readStream.schema(schema).parquet(sourceDir)
+  }
+
   // ------------------------------------------------- D8: upsert sink
   /** Projection for the D8 upsert sink: one row per event with the keyed
     * columns the sink maintains.

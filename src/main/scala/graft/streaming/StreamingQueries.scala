@@ -658,7 +658,35 @@ object StreamingQueries {
 
   val d21Sql: String = graft.text.TextQueries.bloomBitsSql
 
+  // ---------------------------------------------------------------- D22
+  /** D22: streaming k-means assignment — C50's cluster routing as an
+    * ONLINE scorer: arriving embeddings are assigned to the static
+    * codebook the moment they land (the ingest side of every IVF /
+    * SemDeDup / cluster-balanced-sampling pipeline — route first, the
+    * expensive per-cluster work happens downstream). The codebook is a
+    * ONE-ROW static frame crossed in (stream-static broadcast join) and
+    * the argmin is [[graft.embed.EmbedQueries.kmBestCol]] — a per-row
+    * HOF fold sharing the batch assignment's exact fold, rounding and
+    * (d, cid) tie rule — so the query is STATELESS append mode: no
+    * state store, no watermark, nothing grows (D13's stateless family,
+    * on the embedding side). The oracle IS c50Sql — one definition,
+    * stream and batch routing can't drift; spec additionally pins
+    * stream == batch row-for-row.
+    */
+  def d22StreamKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.embed.EmbedQueries
+    val e = StreamingOps.embeddingsStream(spark, sfDir, staged(spark, sfDir, "embeddings"))
+    val scored = e.crossJoin(broadcast(EmbedQueries.kmCentroidRow(spark, sfDir)))
+      .select(col("vec_id"), EmbedQueries.kmBestCol.as("best"))
+      .select(col("vec_id"), col("best.cid").cast("long").as("cluster"),
+        expr("CAST(ROUND(best.d * 1000000) AS BIGINT)").as("dist_micro"))
+    runToTable(scored, "graft_d22_sink", "append").orderBy("vec_id")
+  }
+
+  val d22Sql: String = graft.embed.EmbedQueries.c50Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d22_stream_kmeans" -> (d22StreamKmeans _),
     "d21_stream_bloom" -> (d21StreamBloomBuild _),
     "d20_stream_cms" -> (d20StreamCms _),
     "d19_stream_lsh_dedup" -> (d19StreamLshDedup _),
@@ -682,6 +710,7 @@ object StreamingQueries {
     "d18_stream_quantile" -> (d18StreamQuantile _))
 
   val oracles: Map[String, String] = Map(
+    "d22_stream_kmeans" -> d22Sql,
     "d21_stream_bloom" -> d21Sql,
     "d20_stream_cms" -> d20Sql,
     "d19_stream_lsh_dedup" -> d19Sql,

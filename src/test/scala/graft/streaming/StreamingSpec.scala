@@ -468,4 +468,12 @@ class StreamingSpec extends SparkTestBase {
     assert(got.count() <= TextQueries.BloomM)
     assert(got.filter(col("pos") < 0 || col("pos") >= TextQueries.BloomM).count() == 0)
   }
+
+  test("D22 streaming k-means routing == batch C50 assignment (one argmin definition)") {
+    val got = graft.streaming.StreamingQueries.queries("d22_stream_kmeans")(spark, sf)
+      .localCheckpoint()
+    val want = graft.embed.EmbedQueries.c50KmeansAssign(spark, sf)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
 }
