@@ -193,6 +193,52 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
   }
 
+  // --------------------------------------- D23: streaming SCD2 intervals
+  final case class Scd2Ev(user_id: Long, event_id: Long, us: Long, event_type: String)
+  final case class Scd2State(cur_type: String, from_us: Long, version: Long)
+  final case class Scd2Closed(user_id: Long, version: Long, event_type: String,
+      from_us: Long, to_us: Long)
+
+  /** D23: SCD type-2 interval construction as a stream — B31's
+    * change-log compression with ONE fixed-size (current type, open
+    * from, version) record per user: an arriving event that CHANGES the
+    * user's type CLOSES the open interval (emitted with its final
+    * validity — immutable, exactly what an append-only SCD sink needs:
+    * no retractions ever) and opens the next; the open tail lives only
+    * in state (the D3 emit-closed contract). Cross-batch exactness
+    * contract: per-user (us, event_id) order across batches (the D17
+    * contract — time-cut staging satisfies it); in-batch disorder is
+    * sorted away inside the fold.
+    */
+  def scd2Stream(events: DataFrame): org.apache.spark.sql.Dataset[Scd2Closed] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("event_time")).as("us"), col("event_type")).as[Scd2Ev]
+
+    def fold(userId: Long, it: Iterator[Scd2Ev],
+        state: GroupState[Scd2State]): Iterator[Scd2Closed] = {
+      val evs = it.toSeq.sortBy(e => (e.us, e.event_id))
+      var st = state.getOption
+      val out = Seq.newBuilder[Scd2Closed]
+      evs.foreach { e =>
+        st match {
+          case None => st = Some(Scd2State(e.event_type, e.us, 1L))
+          case Some(s) if s.cur_type != e.event_type =>
+            out += Scd2Closed(userId, s.version, s.cur_type, s.from_us, e.us)
+            st = Some(Scd2State(e.event_type, e.us, s.version + 1L))
+          case _ => ()
+        }
+      }
+      st.foreach(state.update)
+      out.result().iterator
+    }
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
+  }
+
   // ---------------------------------------- D12: streaming funnel state
   final case class FunnelEv(user_id: Long, event_id: Long, us: Long, event_type: String)
   final case class FunnelState(t1: Long, t2: Long, t3: Long)

@@ -685,7 +685,40 @@ object StreamingQueries {
 
   val d22Sql: String = graft.embed.EmbedQueries.c50Sql
 
+  // ---------------------------------------------------------------- D23
+  /** D23: streaming SCD2 — [[StreamingOps.scd2Stream]]'s closed validity
+    * intervals over the events stream: each emitted row is immutable
+    * (append-only SCD sink, no retractions), each user's open tail
+    * lives only in the one-record state. The driver replay is the
+    * single-file micro-batch (the D11 contract, asserted), so the sink
+    * equals the batch B31 intervals minus each user's open tail — the
+    * oracle states exactly that with B31's window shape on epoch-µs
+    * columns.
+    */
+  def d23StreamScd2(spark: SparkSession, sfDir: String): DataFrame =
+    runToTable(StreamingOps.scd2Stream(stream(spark, sfDir)).toDF(),
+        "graft_d23_sink", "append", requireSingleBatch = true)
+      .orderBy("user_id", "version")
+
+  val d23Sql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events
+      |), changes AS (
+      |  SELECT user_id, us, event_id, event_type FROM ordered
+      |  WHERE prev_type IS NULL OR prev_type <> event_type
+      |)
+      |SELECT user_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS version,
+      |  event_type, us AS from_us,
+      |  LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_us
+      |FROM changes
+      |QUALIFY to_us IS NOT NULL
+      |ORDER BY user_id, version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d23_stream_scd2" -> (d23StreamScd2 _),
     "d22_stream_kmeans" -> (d22StreamKmeans _),
     "d21_stream_bloom" -> (d21StreamBloomBuild _),
     "d20_stream_cms" -> (d20StreamCms _),
@@ -710,6 +743,7 @@ object StreamingQueries {
     "d18_stream_quantile" -> (d18StreamQuantile _))
 
   val oracles: Map[String, String] = Map(
+    "d23_stream_scd2" -> d23Sql,
     "d22_stream_kmeans" -> d22Sql,
     "d21_stream_bloom" -> d21Sql,
     "d20_stream_cms" -> d20Sql,

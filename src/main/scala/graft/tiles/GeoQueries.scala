@@ -1359,8 +1359,69 @@ object GeoQueries {
        |FROM gz ORDER BY l_orderkey, l_linenumber""".stripMargin
   }
 
+  // ---------------------------------------------------------------- A36
+  /** A36: quadtree-compressed mixed-zoom cover — the S2/H3 "covering"
+    * idiom on the slippy grid: re-express each polygon's full z21 tile
+    * set (a3's grid fill) as the MINIMAL mixed-zoom cell set where a
+    * parent replaces its children iff ALL FOUR are present (applied two
+    * levels: z20 quads, z19 super-quads). This is what a tile server /
+    * spatial index stores instead of raw z21 enumerations — interiors
+    * collapse 16:1, only the boundary stays fine. Scale shape: each
+    * level is ONE partial-agg shuffle on the parent key (count = 4 ⇒
+    * complete) and each emission an anti-join against the completed
+    * level above — all equi-joins on (poly, parent); data shrinks ~4×
+    * per level, the reverse of a27's pyramid fan-out. The spec
+    * re-expands the cover to z21 and requires EXACTLY the a3 grid —
+    * disjoint and complete by construction.
+    */
+  def a36MixedCover(spark: SparkSession, dir: String): DataFrame = {
+    val g = GridOps.fillPolygons(spark).select("poly", "x", "y")
+    val p20 = g.groupBy(col("poly"), expr("x div 2").as("px"), expr("y div 2").as("py"))
+      .agg(count(lit(1)).as("nc")).filter(col("nc") === 4L)
+      .select("poly", "px", "py")
+    val p19 = p20.groupBy(col("poly"), expr("px div 2").as("qx"), expr("py div 2").as("qy"))
+      .agg(count(lit(1)).as("nc")).filter(col("nc") === 4L)
+      .select("poly", "qx", "qy")
+    val c19 = p19.select(col("poly"), lit(19L).as("zoom"),
+      col("qx").as("cx"), col("qy").as("cy"), lit(16L).as("n_tiles"))
+    val c20 = p20
+      .withColumn("qx", expr("px div 2")).withColumn("qy", expr("py div 2"))
+      .join(p19, Seq("poly", "qx", "qy"), "left_anti")
+      .select(col("poly"), lit(20L).as("zoom"),
+        col("px").as("cx"), col("py").as("cy"), lit(4L).as("n_tiles"))
+    val c21 = g
+      .withColumn("px", expr("x div 2")).withColumn("py", expr("y div 2"))
+      .join(p20, Seq("poly", "px", "py"), "left_anti")
+      .select(col("poly"), lit(21L).as("zoom"),
+        col("x").as("cx"), col("y").as("cy"), lit(1L).as("n_tiles"))
+    c19.union(c20).union(c21).orderBy("poly", "zoom", "cx", "cy")
+  }
+
+  val a36Sql: String = withCtes(false, Polygons.bboxCte, Polygons.edgesCte,
+    Polygons.gridCte,
+    """p20 AS (
+      |  SELECT poly, x // 2 AS px, y // 2 AS py FROM grid
+      |  GROUP BY 1, 2, 3 HAVING COUNT(*) = 4
+      |),
+      |p19 AS (
+      |  SELECT poly, px // 2 AS qx, py // 2 AS qy FROM p20
+      |  GROUP BY 1, 2, 3 HAVING COUNT(*) = 4
+      |),
+      |cov AS (
+      |  SELECT poly, CAST(19 AS BIGINT) AS zoom, qx AS cx, qy AS cy,
+      |    CAST(16 AS BIGINT) AS n_tiles FROM p19
+      |  UNION ALL
+      |  SELECT p.poly, 20, p.px, p.py, 4 FROM p20 p
+      |  ANTI JOIN p19 q ON q.poly = p.poly AND q.qx = p.px // 2 AND q.qy = p.py // 2
+      |  UNION ALL
+      |  SELECT g.poly, 21, g.x, g.y, 1 FROM grid g
+      |  ANTI JOIN p20 p ON p.poly = g.poly AND p.px = g.x // 2 AND p.py = g.y // 2
+      |)""".stripMargin)(
+    "SELECT poly, zoom, cx, cy, n_tiles FROM cov ORDER BY poly, zoom, cx, cy")
+
   /** All A-block entries for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a36_mixed_cover" -> (a36MixedCover _),
     "a35_geohash" -> (a35Geohash _),
     "a34_nearest_positive" -> (a34NearestPositive _),
     "a21_tile_batch" -> (a21TileBatch _),
@@ -1402,6 +1463,7 @@ object GeoQueries {
     "a19_inference_scored" -> (a19InferenceScored _))
 
   val oracles: Map[String, String] = Map(
+    "a36_mixed_cover" -> a36Sql,
     "a35_geohash" -> a35Sql,
     "a34_nearest_positive" -> a34Sql,
     "a21_tile_batch" -> a21Sql,

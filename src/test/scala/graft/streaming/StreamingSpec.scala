@@ -469,6 +469,34 @@ class StreamingSpec extends SparkTestBase {
     assert(got.filter(col("pos") < 0 || col("pos") >= TextQueries.BloomM).count() == 0)
   }
 
+  test("D23 streaming SCD2 == batch closed intervals, with a cross-batch carry") {
+    val ev = Tables(spark, sf, "events")
+    // time-cut staging keeps the per-user order contract across batches
+    val cut = ev.agg(expr("approx_percentile(unix_micros(cast(ts as timestamp)), 0.5)")).head.getLong(0)
+    val dir = java.nio.file.Paths.get(
+      Files.createTempDirectory("graft-d23-spec").toString)
+    val now = System.currentTimeMillis()
+    StreamingOps.stageFrameFile(ev.filter(expr(s"unix_micros(cast(ts as timestamp)) <= ${cut}L")),
+      dir, "b0.parquet", now - 600000L)
+    StreamingOps.stageFrameFile(ev.filter(expr(s"unix_micros(cast(ts as timestamp)) > ${cut}L")),
+      dir, "b1.parquet", now)
+    val src = StreamingOps.normalize(spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString))
+    val got = runToMemory(StreamingOps.scd2Stream(src).toDF(), "d23_spec", "append")
+      .localCheckpoint()
+    // batch twin: B31's intervals minus each user's open tail, in µs
+    val want = Queries.scd2Intervals(spark, sf)
+      .filter(col("effective_to").isNotNull)
+      .select(col("user_id"), col("version"), col("event_type"),
+        expr("unix_micros(cast(effective_from as timestamp))").as("from_us"),
+        expr("unix_micros(cast(effective_to as timestamp))").as("to_us"))
+    assert(got.count() > 0 && got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // the carry must fire: some interval opens in batch 1, closes in batch 2
+    assert(got.filter(col("from_us") <= cut && col("to_us") > cut).count() > 0,
+      "no interval spanned the staging cut — the state carry went vacuous")
+  }
+
   test("D22 streaming k-means routing == batch C50 assignment (one argmin definition)") {
     val got = graft.streaming.StreamingQueries.queries("d22_stream_kmeans")(spark, sf)
       .localCheckpoint()

@@ -46,4 +46,24 @@ class GeohashSpec extends SparkTestBase {
       assert(xd == xi && yd == yi, s"roundtrip ($xd,$yd) != ($xi,$yi)")
     }
   }
+
+  test("a36 mixed cover expands back to exactly the a3 grid, and compresses") {
+    val cover = GeoQueries.a36MixedCover(spark, sf).collect()
+      .map(r => (r.getAs[Long]("poly"), r.getAs[Long]("zoom"),
+        r.getAs[Long]("cx"), r.getAs[Long]("cy"), r.getAs[Long]("n_tiles")))
+    assert(cover.nonEmpty)
+    // some compression must actually happen on real polygons
+    assert(cover.exists(_._2 < 21L), "no parent cell ever completed")
+    val expanded = cover.flatMap { case (poly, zoom, cx, cy, n) =>
+      val f = 1L << (21 - zoom.toInt)
+      assert(n == f * f)
+      for (dx <- 0L until f; dy <- 0L until f)
+        yield (poly, cx * f + dx, cy * f + dy)
+    }
+    // disjoint (no tile covered twice) and complete (equals the grid)
+    assert(expanded.length == expanded.distinct.length, "overlapping cover cells")
+    val grid = GeoQueries.a3GridFill(spark, sf).collect()
+      .map(r => (r.getAs[Long]("poly"), r.getAs[Long]("x"), r.getAs[Long]("y")))
+    assert(expanded.toSet == grid.toSet)
+  }
 }
