@@ -54,7 +54,8 @@ object SparkEntry {
     "b29_order_streaks" -> (Queries.orderStreaks _),
     "b30_multi_distinct" -> (Queries.multiDistinct _),
     "b31_scd2" -> (Queries.scd2Intervals _),
-    "b32_percentile_cont" -> (Queries.percentileCont _)
+    "b32_percentile_cont" -> (Queries.percentileCont _),
+    "b33_grouping_sets" -> (Queries.groupingSetsRevenue _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -97,6 +98,7 @@ object SparkEntry {
     "b29_order_streaks" -> Queries.orderStreaksSql,
     "b30_multi_distinct" -> Queries.multiDistinctSql,
     "b31_scd2" -> Queries.scd2IntervalsSql,
-    "b32_percentile_cont" -> Queries.percentileContSql
+    "b32_percentile_cont" -> Queries.percentileContSql,
+    "b33_grouping_sets" -> Queries.groupingSetsRevenueSql
   )
 }

@@ -1382,6 +1382,47 @@ object Queries {
       .orderBy("user_id", "version")
   }
 
+  // ------------------------------------------------------------- B33
+  /** B33: explicit GROUPING SETS — the multi-aggregate surface ROLLUP
+    * (B11) and CUBE (B20) can't express: two DISJOINT slices (per order
+    * year, per priority) plus the grand total, with NO (year, priority)
+    * cross cells — exactly what a dashboard's two independent filters
+    * want, at a third of the CUBE's Expand factor. Catalyst plans it as
+    * ONE pass: map-side Expand into the 3 requested sets over
+    * already-reduced combiners, a single shuffle, `grouping_id`
+    * disambiguating; null keys coalesce to sentinels for the oracle
+    * compare (B11's convention). Spec pins that each slice re-sums to
+    * the same grand total.
+    */
+  def groupingSetsRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_orderpriority").as("prio"),
+        cents(col("o_totalprice")).as("price_c"))
+      .groupingSets(
+        Seq(Seq(col("o_year")), Seq(col("prio")), Seq.empty),
+        col("o_year"), col("prio"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+        sum("price_c").as("rev_c"))
+      .select(coalesce(col("o_year"), lit(-1L)).as("o_year"),
+        coalesce(col("prio"), lit("ALL")).as("prio"),
+        col("gid"), col("n_orders"), col("rev_c"))
+      .orderBy("gid", "o_year", "prio")
+
+  val groupingSetsRevenueSql: String =
+    """WITH src AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderpriority AS prio,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS price_c
+      |  FROM orders
+      |), g AS (
+      |  SELECT o_year, prio, GROUPING(o_year, prio) AS gid,
+      |    COUNT(*) AS n_orders, CAST(SUM(price_c) AS BIGINT) AS rev_c
+      |  FROM src GROUP BY GROUPING SETS ((o_year), (prio), ())
+      |)
+      |SELECT COALESCE(o_year, -1) AS o_year, COALESCE(prio, 'ALL') AS prio,
+      |  CAST(gid AS BIGINT) AS gid, n_orders, rev_c
+      |FROM g ORDER BY gid, o_year, prio""".stripMargin
+
   // ------------------------------------------------------------- B32
   /** B32: exact PERCENTILE_CONT with linear interpolation — the
     * continuous-quantile surface next to C22/B27's discrete ranks

@@ -2327,7 +2327,90 @@ object TextQueries {
        |ORDER BY b.n_pair DESC, b.w1, b.w2
        |LIMIT $BigramTopK""".stripMargin
 
+  // ---------------------------------------------------------------- C71
+  /** C71: Zipf-law fit per language — the first diagnostic of a text
+    * corpus's health (natural language sits near slope −1; spam, logs
+    * and template floods bend the curve): least-squares regression of
+    * ln(tf) on ln(rank) over each language's top-[[ZipfTopK]] tokens,
+    * with r² as the fit quality. Exact cross-engine: the two
+    * transcendentals quantize to micro BIGINTs per ROW (round(ln·10⁶) —
+    * the a1/c60 rule: doubles never accumulate), all regression sums
+    * are integer, the big cross-products route through DECIMAL(38,0)/
+    * HUGEINT (C47's overflow rule), and the final slope/intercept/r²
+    * are one double division each, rounded to 6dp. Scale shape: the
+    * token count is the map-side-combinable corpus agg; everything
+    * after runs on the VOCAB frame (rank window partitioned per
+    * language over vocabulary-sized data, never the corpus), and the
+    * regression is a K-row partial agg per language.
+    */
+  val ZipfTopK = 200
+
+  def c71ZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables(spark, dir, "documents")
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("lang").orderBy(col("tf").desc, col("token"))
+    val ranked = tf.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= ZipfTopK)
+      .select(col("lang"),
+        round(log(col("rnk").cast("double")) * 1e6, 0).cast("long").as("x"),
+        round(log(col("tf").cast("double")) * 1e6, 0).cast("long").as("y"))
+    val sums = ranked.groupBy("lang").agg(count(lit(1)).as("k"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+      sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+      sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
+    sums.select(col("lang"), col("k"),
+        expr("cast(k as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy").as("cov"),
+        expr("cast(k as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx").as("varx"),
+        expr("cast(k as decimal(38,0)) * syy - cast(sy as decimal(38,0)) * sy").as("vary"),
+        col("sx"), col("sy"))
+      .select(col("lang"), col("k"),
+        round(col("cov").cast("double") / col("varx").cast("double"), 6).as("slope"),
+        round((col("sy").cast("double") - col("cov").cast("double")
+          / col("varx").cast("double") * col("sx").cast("double"))
+          / col("k").cast("double") / 1e6, 6).as("intercept"),
+        round(col("cov").cast("double") * col("cov").cast("double")
+          / (col("varx").cast("double") * col("vary").cast("double")), 6).as("r2"))
+      .orderBy("lang")
+  }
+
+  val c71Sql: String =
+    s"""WITH tf AS (
+       |  SELECT lang, UNNEST(string_split(text, ' ')) AS token FROM documents
+       |), cnt AS (SELECT lang, token, COUNT(*) AS tf FROM tf GROUP BY lang, token),
+       |ranked AS (
+       |  SELECT lang,
+       |    CAST(ROUND(ln(rnk) * 1e6) AS BIGINT) AS x,
+       |    CAST(ROUND(ln(tf) * 1e6) AS BIGINT) AS y
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+       |        ORDER BY tf DESC, token) AS rnk FROM cnt)
+       |  WHERE rnk <= $ZipfTopK
+       |), sums AS (
+       |  SELECT lang, COUNT(*) AS k,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+       |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+       |    SUM(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM ranked GROUP BY lang
+       |), fit AS (
+       |  SELECT lang, k,
+       |    CAST(k AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cov,
+       |    CAST(k AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS varx,
+       |    CAST(k AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS vary,
+       |    sx, sy
+       |  FROM sums
+       |)
+       |SELECT lang, k,
+       |  round(CAST(cov AS DOUBLE) / CAST(varx AS DOUBLE), 6) AS slope,
+       |  round((CAST(sy AS DOUBLE) - CAST(cov AS DOUBLE) / CAST(varx AS DOUBLE)
+       |    * CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE) / 1e6, 6) AS intercept,
+       |  round(CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE)
+       |    / (CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)), 6) AS r2
+       |FROM fit ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c71_zipf_fit" -> (c71ZipfFit _),
     "c67_incremental_dedup" -> (c67IncrementalDedup _),
     "c68_kn_bigram" -> (c68KnBigram _),
     "c1_dedup_exact" -> (c1DedupExact _),
@@ -2369,6 +2452,7 @@ object TextQueries {
     "c64_classifier_eval" -> (c64ClassifierEval _))
 
   val oracles: Map[String, String] = Map(
+    "c71_zipf_fit" -> c71Sql,
     "c67_incremental_dedup" -> c67Sql,
     "c68_kn_bigram" -> c68Sql,
     "c1_dedup_exact" -> c1Sql,

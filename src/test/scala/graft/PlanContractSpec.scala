@@ -48,7 +48,19 @@ class PlanContractSpec extends SparkTestBase {
     // scalar) into its single output row; every anti join in the plan
     // is a BroadcastHashJoin (incl. the null-aware ones — the NAAJ
     // rewrite is asserted by its own spec)
-    "b26_not_in_nulls")
+    "b26_not_in_nulls",
+    // c67 crosses the 1-row midpoint-cut aggregate into the corpus
+    // before the old/new split — the b13 scalar-broadcast shape; both
+    // dedup joins are hash equi-joins on the text key
+    "c67_incremental_dedup",
+    // c68 crosses the 1-row bigram-type total into the scored pairs
+    // (c21/c30's corpus-total shape); the model joins are w1/w2 hash
+    // equi-joins
+    "c68_kn_bigram",
+    // c70 embeds c50's bounded KmCents-row codebook cross; its own
+    // centroid/count joins are broadcast HASH equi-joins on
+    // (cluster, d) / cluster
+    "c70_prototypicality")
 
   test("no unexpected BroadcastNestedLoopJoin / CartesianProduct in any batch plan") {
     val batch = SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("d"))

@@ -453,4 +453,18 @@ class RelationalSpec extends SparkTestBase {
       assert(r.getAs[Long]("n") == vs.length)
     }
   }
+
+  test("b33 grouping sets: exactly 3 slices, each re-summing to the grand total") {
+    val r = Queries.groupingSetsRevenue(spark, sf).collect()
+    val byGid = r.groupBy(_.getAs[Long]("gid"))
+    // sets (year)=1, (prio)=2, ()=3 — and NO (year, prio) cross cells (gid 0)
+    assert(byGid.keySet == Set(1L, 2L, 3L))
+    val total = byGid(3L) match { case Array(row) => row.getAs[Long]("rev_c") }
+    Seq(1L, 2L).foreach { gid =>
+      assert(byGid(gid).map(_.getAs[Long]("rev_c")).sum == total, s"slice $gid")
+    }
+    // year slice carries the ALL sentinel for prio and vice versa
+    assert(byGid(1L).forall(_.getAs[String]("prio") == "ALL"))
+    assert(byGid(2L).forall(_.getAs[Long]("o_year") == -1L))
+  }
 }

@@ -700,4 +700,40 @@ class DedupQueriesSpec extends SparkTestBase {
     assert(out.forall(r => r.getAs[Long]("pkn_micro") > 0 &&
       r.getAs[Long]("pkn_micro") <= 1000000L))
   }
+
+  test("c71 Zipf fit: exact recompute per language, slope negative, r2 in (0, 1]") {
+    val out = TextQueries.c71ZipfFit(spark, sf).collect()
+    assert(out.nonEmpty)
+    val tf = graft.Tables(spark, sf, "documents").select("lang", "text").collect()
+      .flatMap(r => r.getString(1).split(" ").map(r.getString(0) -> _))
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.map { case ((lang, tok), n) => (lang, tok, n) }
+    out.foreach { r =>
+      val lang = r.getString(0)
+      val ranked = tf.filter(_._1 == lang).sortBy(t => (-t._3, t._2))
+        .take(TextQueries.ZipfTopK)
+      val xs = ranked.indices.map(i =>
+        BigDecimal(math.log((i + 1).toDouble) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      val ys = ranked.map(t =>
+        BigDecimal(math.log(t._3.toDouble) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      val k = BigInt(xs.length)
+      val (sx, sy) = (BigInt(xs.sum), BigInt(ys.sum))
+      val sxy = xs.zip(ys).map { case (a, b) => BigInt(a) * b }.sum
+      val sxx = xs.map(a => BigInt(a) * a).sum
+      val syy = ys.map(a => BigInt(a) * a).sum
+      val cov = k * sxy - sx * sy
+      val varx = k * sxx - sx * sx
+      val vary = k * syy - sy * sy
+      def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Long]("k") == xs.length)
+      assert(r.getAs[Double]("slope") == r6(cov.toDouble / varx.toDouble), lang)
+      assert(r.getAs[Double]("r2") ==
+        r6(cov.toDouble * cov.toDouble / (varx.toDouble * vary.toDouble)), lang)
+      // natural text: frequency falls with rank, and the fit is real
+      assert(r.getAs[Double]("slope") < 0, lang)
+      assert(r.getAs[Double]("r2") > 0 && r.getAs[Double]("r2") <= 1.0, lang)
+    }
+  }
 }
