@@ -297,6 +297,28 @@ object ScaleSmoke {
       f"grams=${bgRow.getLong(0)} bloomHits=${bgRow.getLong(1)} exactHits=${bgRow.getLong(2)} " +
       f"maxTaskMs=$bgMaxMs meanTaskMs=$bgMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
+    // --- A36 quadtree cover on a 10M-tile filled slab + a ragged edge
+    // row: drives the REAL mixedCoverOn body. The shape claim under
+    // test: each level is one partial-agg shuffle that SHRINKS data 4×
+    // (interiors collapse to z19 super-quads, only the ragged strip
+    // stays at z21), so the output is a small fraction of the input
+    // and no task ever holds more than its hash-range of parent cells.
+    t0 = System.nanoTime()
+    val cw = 3200L
+    val ch = nCells * 5L / cw // 10M tiles at the default nCells
+    val slab = spark.range(cw * ch).select(lit(0L).as("poly"),
+      (col("id") % cw).as("x"), expr(s"id div $cw").as("y"))
+    val ragged = spark.range(cw / 2).select(lit(0L).as("poly"),
+      (col("id") * 2L).as("x"), lit(ch).as("y"))
+    val (covRow, covMaxMs, covMeanMs) = withMaxTask(
+      graft.tiles.GeoQueries.mixedCoverOn(slab.union(ragged))
+        .agg(count(lit(1)).as("cells"), sum("n_tiles").as("tiles")).head())
+    val (covCells, covTiles) = (covRow.getLong(0), covRow.getLong(1))
+    require(covTiles == cw * ch + cw / 2, s"cover lost tiles: $covTiles")
+    require(covCells < covTiles / 10, s"no compression: $covCells cells")
+    println(f"SCALE mixedCover tiles=$covTiles cells=$covCells " +
+      f"maxTaskMs=$covMaxMs meanTaskMs=$covMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
     // --- tilerange generation throughput: a 100M-tile bbox fully
     // generated and aggregated (count + coordinate checksum) through
     // the DSv2 reader; the closed-form COUNT path is spec-proven

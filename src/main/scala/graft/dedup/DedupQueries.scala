@@ -232,18 +232,44 @@ object DedupQueries {
     * and watching it per decile is how a 100 TB dedup run decides
     * whether to re-band before paying for the full pass.
     *
-    * Scale shape: joins the two already-memoized candidate frames (the
-    * C6 pair list and C7's exact re-rank) on the pair key — nothing is
-    * rescanned; the per-pair theoretical values quantize to exact micro
-    * BIGINTs BEFORE any aggregation (identical double expression each
-    * row, never a double SUM — SURVEY §5), then one decile partial agg.
+    * The conditioning variable is the jaccard of the HASHED shingle
+    * sets — deliberately: the minhash signature is computed FROM
+    * [[shingleHashes]], so b·s^r holds for exactly this s (the
+    * string-set jaccard C7 reports differs wherever token hashes
+    * collide, and the theory curve would be conditioned on the wrong
+    * variable). Scale shape: ONE pass over the memoized candidate list
+    * (which already carries n_bands) with two doc-dim set joins; |∩|
+    * is the codegen'd `sorted_intersect_count` merge — the boxed
+    * string array_intersect here cost 80 s at sf0.1's 7.7M pairs, the
+    * d14 lesson again; the per-pair theoretical values quantize to
+    * exact micro BIGINTs BEFORE any aggregation (identical double
+    * expression each row, never a double SUM — SURVEY §5), then one
+    * decile partial agg.
     */
   def c60LshCurve(spark: SparkSession, dir: String): DataFrame = {
+    // ONE pass over the pair list: the candidate frame already carries
+    // n_bands, so the exact-jaccard re-rank joins the per-doc sets
+    // straight onto it (C7's shape, identical jaccard expression) —
+    // the curve never joins two PAIR-sized frames. The previous
+    // cand ⋈ jac formulation paired the 7.7M-row sf0.1 candidate list
+    // with itself and the planner chose a pair-sized broadcast build
+    // (80 s, single-threaded); this form is two doc-dim set joins plus
+    // the decile agg (~2 s), and at 100 TB never moves more than the
+    // pair list once.
     val cand = candidatePairs(spark, dir)
-    val jac = c7NgramJaccard(spark, dir)
+    val sets = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_sort(array_distinct(shingleHashes(col("text")))).as("hs"))
+    val jac = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+      .withColumn("ni", expr("sorted_intersect_count(ha, hb)"))
+      .select(col("doc_a"), col("doc_b"), col("n_bands"),
+        round(col("ni").cast("double")
+          / (size(col("ha")) + size(col("hb")) - col("ni")), 6).as("jaccard"))
     val s = col("jaccard")
     val sr = pow(s, lit(Rows.toDouble))
-    cand.join(jac, Seq("doc_a", "doc_b"))
+    jac
       .select(
         least(floor(s * 10).cast("long"), lit(9L)).as("decile"),
         col("n_bands"),
@@ -267,14 +293,19 @@ object DedupQueries {
        |  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
        |  GROUP BY 1, 2
        |),
-       |sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents),
-       |jac AS (
+       |sets AS (SELECT doc_id, list_distinct($shingleHashesSql) AS s FROM documents),
+       |jraw AS (
        |  SELECT c.doc_a, c.doc_b, c.n_bands,
-       |    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-       |      / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
+       |    CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS ni,
+       |    CAST(len(x.s) AS BIGINT) AS na, CAST(len(y.s) AS BIGINT) AS nb
        |  FROM cand c
        |  JOIN sets x ON x.doc_id = c.doc_a
        |  JOIN sets y ON y.doc_id = c.doc_b
+       |),
+       |jac AS (
+       |  SELECT doc_a, doc_b, n_bands,
+       |    round(CAST(ni AS DOUBLE) / (na + nb - ni), 6) AS jaccard
+       |  FROM jraw
        |),
        |q AS (
        |  SELECT LEAST(CAST(FLOOR(jaccard * 10) AS BIGINT), 9) AS decile, n_bands,

@@ -1374,8 +1374,14 @@ object GeoQueries {
     * re-expands the cover to z21 and requires EXACTLY the a3 grid —
     * disjoint and complete by construction.
     */
-  def a36MixedCover(spark: SparkSession, dir: String): DataFrame = {
-    val g = GridOps.fillPolygons(spark).select("poly", "x", "y")
+  def a36MixedCover(spark: SparkSession, dir: String): DataFrame =
+    mixedCoverOn(GridOps.fillPolygons(spark).select("poly", "x", "y"))
+
+  /** The cover computation on ANY (poly, x, y) tile frame — ScaleSmoke
+    * drives this same body on a 10M-tile slab to pin the 4×-per-level
+    * reduction shape.
+    */
+  private[graft] def mixedCoverOn(g: DataFrame): DataFrame = {
     val p20 = g.groupBy(col("poly"), expr("x div 2").as("px"), expr("y div 2").as("py"))
       .agg(count(lit(1)).as("nc")).filter(col("nc") === 4L)
       .select("poly", "px", "py")
