@@ -297,6 +297,26 @@ object ScaleSmoke {
       f"grams=${bgRow.getLong(0)} bloomHits=${bgRow.getLong(1)} exactHits=${bgRow.getLong(2)} " +
       f"maxTaskMs=$bgMaxMs meanTaskMs=$bgMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
+    // --- C67 incremental dedup under duplicate-text skew: 10M docs,
+    // ONE boilerplate text owning HALF the corpus (the empty-page /
+    // cookie-banner flood every crawl has). The claim under test: both
+    // dedup aggregates collapse the hot text map-side (min-id partial
+    // agg), and the text-key join's build side carries one row per
+    // DISTINCT text — so the flood cannot straggler any task.
+    t0 = System.nanoTime()
+    val nInc = nCells * 5L
+    val incDocs = spark.range(nInc).select(col("id").as("doc_id"),
+      when(col("id") % 2L === 0L, lit("the hot boilerplate duplicate text"))
+        .otherwise(concat(lit("unique doc "), col("id"))).as("text"))
+    val (incRows, idMaxMs, idMeanMs) = withMaxTask(
+      graft.text.TextQueries.incrementalDedupOn(incDocs)
+        .groupBy("status").count().orderBy("status").collect())
+    val incBy = incRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(incBy.values.sum == nInc - (nInc - 1) / 2, s"batch size wrong: $incBy")
+    require(incBy.getOrElse("dup_old", 0L) == nInc / 4, s"hot-text dups wrong: $incBy")
+    println(f"SCALE incDedup docs=$nInc statuses=$incBy " +
+      f"maxTaskMs=$idMaxMs meanTaskMs=$idMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
     // --- A36 quadtree cover on a 10M-tile filled slab + a ragged edge
     // row: drives the REAL mixedCoverOn body. The shape claim under
     // test: each level is one partial-agg shuffle that SHRINKS data 4×

@@ -2222,8 +2222,17 @@ object TextQueries {
     * same key, never a window over the corpus. Persisted labels are
     * never touched — A31's immutability contract.
     */
-  def c67IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+  def c67IncrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    incrementalDedupOn(Tables(spark, dir, "documents").select("doc_id", "text"))
+
+  /** The incremental-dedup body on ANY (doc_id, text) frame —
+    * ScaleSmoke drives this same code at 10M docs with ONE text owning
+    * half the corpus to pin the duplicate-skew shape (the hot text
+    * collapses map-side in both the snapshot keeper agg and the
+    * batch-min agg; the text-key join sees one row per DISTINCT text
+    * on the build side, so a boilerplate flood can't straggler a task).
+    */
+  private[graft] def incrementalDedupOn(docs: DataFrame): DataFrame = {
     val cut = docs.agg(((min("doc_id") + max("doc_id")) / 2).cast("long").as("cut"))
     val tagged = docs.crossJoin(broadcast(cut))
     val oldKeep = tagged.filter(col("doc_id") < col("cut"))
@@ -2409,7 +2418,54 @@ object TextQueries {
        |    / (CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)), 6) AS r2
        |FROM fit ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- C72
+  /** C72: rare-token tail enrichment — the sampling signal for
+    * upweighting documents that carry tail vocabulary (the long-tail
+    * knowledge a proportional sampler underfeeds; the complement of
+    * C32's budget sampler and C30's domain tempering): per document,
+    * the count of RARE tokens (corpus tf ≤ [[RareMax]]), the distinct
+    * rare TYPES it contributes, its minimum token frequency, and the
+    * rare fraction in exact ppm. Scale shape: the corpus tf table is
+    * one map-side-combinable agg; docs explode once and the tf lookup
+    * is a token-key hash equi-join (the C31 model-join rule — at real
+    * vocab sizes the tf table is NOT broadcastable and the join
+    * shuffles token-keyed, where stop-word keys are hot but partial
+    * aggregation has already collapsed the per-doc fan-in); the final
+    * per-doc rollup is one doc_id partial agg.
+    */
+  val RareMax = 2L
+
+  def c72RareTokens(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+    toks.join(tf, "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tf") <= RareMax, 1L).otherwise(0L)).as("n_rare"),
+        size(collect_set(when(col("tf") <= RareMax, col("token")))).cast("long")
+          .as("n_rare_types"),
+        min("tf").as("min_tf"))
+      .withColumn("rare_ppm", expr("n_rare * 1000000 div n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val c72Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+       |), tf AS (SELECT token, COUNT(*) AS tf FROM toks GROUP BY token)
+       |SELECT t.doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(CASE WHEN f.tf <= $RareMax THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       |  CAST(COUNT(DISTINCT CASE WHEN f.tf <= $RareMax THEN t.token END) AS BIGINT)
+       |    AS n_rare_types,
+       |  MIN(f.tf) AS min_tf,
+       |  CAST(SUM(CASE WHEN f.tf <= $RareMax THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000000 // COUNT(*) AS rare_ppm
+       |FROM toks t JOIN tf f ON f.token = t.token
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c72_rare_tokens" -> (c72RareTokens _),
     "c71_zipf_fit" -> (c71ZipfFit _),
     "c67_incremental_dedup" -> (c67IncrementalDedup _),
     "c68_kn_bigram" -> (c68KnBigram _),
@@ -2452,6 +2508,7 @@ object TextQueries {
     "c64_classifier_eval" -> (c64ClassifierEval _))
 
   val oracles: Map[String, String] = Map(
+    "c72_rare_tokens" -> c72Sql,
     "c71_zipf_fit" -> c71Sql,
     "c67_incremental_dedup" -> c67Sql,
     "c68_kn_bigram" -> c68Sql,

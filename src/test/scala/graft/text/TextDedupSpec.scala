@@ -736,4 +736,25 @@ class DedupQueriesSpec extends SparkTestBase {
       assert(r.getAs[Double]("r2") > 0 && r.getAs[Double]("r2") <= 1.0, lang)
     }
   }
+
+  test("c72 rare tokens: exact per-doc recompute against a Scala tf table") {
+    val out = TextQueries.c72RareTokens(spark, sf).collect()
+    val docs = graft.Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val tf = docs.values.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+    assert(out.map(_.getLong(0)).toSet == docs.keySet)
+    out.foreach { r =>
+      val toks = docs(r.getLong(0))
+      val rare = toks.filter(t => tf(t) <= TextQueries.RareMax)
+      assert(r.getAs[Long]("n_tokens") == toks.size)
+      assert(r.getAs[Long]("n_rare") == rare.size)
+      assert(r.getAs[Long]("n_rare_types") == rare.distinct.size)
+      assert(r.getAs[Long]("min_tf") == toks.map(tf).min)
+      assert(r.getAs[Long]("rare_ppm") == rare.size * 1000000L / toks.size)
+    }
+    // (this sf's synthetic vocab may have no tf<=RareMax token at all —
+    // the exact recompute above is the real pin; keep only invariants)
+    assert(out.forall(r => r.getAs[Long]("n_rare_types") <= r.getAs[Long]("n_rare")))
+    assert(out.forall(r => r.getAs[Long]("n_rare") <= r.getAs[Long]("n_tokens")))
+  }
 }
