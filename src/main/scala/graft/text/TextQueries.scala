@@ -2464,7 +2464,78 @@ object TextQueries {
        |FROM toks t JOIN tf f ON f.token = t.token
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- C73
+  /** C73: corpus drift monitor — Jensen–Shannon divergence between the
+    * persisted snapshot's and the arriving batch's unigram
+    * distributions (C67's midpoint split), with the top contributing
+    * tokens: the alarm a recurring-crawl pipeline watches so a source
+    * change (spam flood, template shift, scraper breakage) is caught
+    * BEFORE a training run ingests it. Per-token JS contributions are
+    * nonnegative by the log-sum inequality, computed with one
+    * identical double expression per row and quantized to nano
+    * BIGINTs before the total (the a1/c60/c71 rule — doubles never
+    * accumulate; js_nano is DEFINED as the sum of quantized
+    * contributions on both engines). Scale shape: one token-key
+    * partial agg builds both histograms in a single pass (the
+    * conditional-sum trick, no second scan), two 1-row broadcasts
+    * (totals, js), and the report is a TakeOrdered top-[[DriftTopK]].
+    */
+  val DriftTopK = 20
+
+  def c73CorpusDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val cut = docs.agg(((min("doc_id") + max("doc_id")) / 2).cast("long").as("cut"))
+    val toks = docs.crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("cut"), explode(tokens(col("text"))).as("token"))
+    val counts = toks.groupBy("token")
+      .agg(sum(when(col("doc_id") < col("cut"), 1L).otherwise(0L)).as("cnt_old"),
+        sum(when(col("doc_id") >= col("cut"), 1L).otherwise(0L)).as("cnt_new"))
+    val totals = counts.agg(sum("cnt_old").as("n_old"), sum("cnt_new").as("n_new"))
+    val scored = counts.crossJoin(broadcast(totals))
+      .withColumn("p", col("cnt_old").cast("double") / col("n_old"))
+      .withColumn("q", col("cnt_new").cast("double") / col("n_new"))
+      .withColumn("m", (col("p") + col("q")) / lit(2.0))
+      .withColumn("contrib_nano", round((
+          when(col("cnt_old") > 0, col("p") * log(col("p") / col("m"))).otherwise(lit(0.0))
+            + when(col("cnt_new") > 0, col("q") * log(col("q") / col("m"))).otherwise(lit(0.0))
+        ) / lit(2.0) * lit(1e9), 0).cast("long"))
+    val js = scored.agg(sum("contrib_nano").as("js_nano"))
+    scored.crossJoin(broadcast(js))
+      .select("token", "cnt_old", "cnt_new", "contrib_nano", "js_nano")
+      .orderBy(col("contrib_nano").desc, col("token")).limit(DriftTopK)
+  }
+
+  val c73Sql: String = {
+    def pd = "(CAST(cnt_old AS DOUBLE) / n_old)"
+    def qd = "(CAST(cnt_new AS DOUBLE) / n_new)"
+    val md = s"(($pd + $qd) / 2.0)"
+    s"""WITH cut AS (
+       |  SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS cut FROM documents
+       |), toks AS (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+       |), counts AS (
+       |  SELECT token,
+       |    CAST(SUM(CASE WHEN doc_id < cut THEN 1 ELSE 0 END) AS BIGINT) AS cnt_old,
+       |    CAST(SUM(CASE WHEN doc_id >= cut THEN 1 ELSE 0 END) AS BIGINT) AS cnt_new
+       |  FROM toks, cut GROUP BY token
+       |), tot AS (
+       |  SELECT CAST(SUM(cnt_old) AS BIGINT) AS n_old,
+       |    CAST(SUM(cnt_new) AS BIGINT) AS n_new FROM counts
+       |), sc AS (
+       |  SELECT token, cnt_old, cnt_new,
+       |    CAST(ROUND((
+       |      CASE WHEN cnt_old > 0 THEN $pd * ln($pd / $md) ELSE 0.0 END
+       |      + CASE WHEN cnt_new > 0 THEN $qd * ln($qd / $md) ELSE 0.0 END
+       |    ) / 2.0 * 1e9) AS BIGINT) AS contrib_nano
+       |  FROM counts, tot
+       |), js AS (SELECT CAST(SUM(contrib_nano) AS BIGINT) AS js_nano FROM sc)
+       |SELECT token, cnt_old, cnt_new, contrib_nano, js_nano
+       |FROM sc, js
+       |ORDER BY contrib_nano DESC, token LIMIT $DriftTopK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c73_corpus_drift" -> (c73CorpusDrift _),
     "c72_rare_tokens" -> (c72RareTokens _),
     "c71_zipf_fit" -> (c71ZipfFit _),
     "c67_incremental_dedup" -> (c67IncrementalDedup _),
@@ -2508,6 +2579,7 @@ object TextQueries {
     "c64_classifier_eval" -> (c64ClassifierEval _))
 
   val oracles: Map[String, String] = Map(
+    "c73_corpus_drift" -> c73Sql,
     "c72_rare_tokens" -> c72Sql,
     "c71_zipf_fit" -> c71Sql,
     "c67_incremental_dedup" -> c67Sql,

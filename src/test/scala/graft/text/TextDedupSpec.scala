@@ -757,4 +757,33 @@ class DedupQueriesSpec extends SparkTestBase {
     assert(out.forall(r => r.getAs[Long]("n_rare_types") <= r.getAs[Long]("n_rare")))
     assert(out.forall(r => r.getAs[Long]("n_rare") <= r.getAs[Long]("n_tokens")))
   }
+
+  test("c73 corpus drift: per-token JS recompute, nonnegative, bounded by ln2") {
+    val out = TextQueries.c73CorpusDrift(spark, sf).collect()
+    assert(out.length > 0 && out.length <= TextQueries.DriftTopK)
+    val docs = graft.Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val cut = (docs.map(_._1).min + docs.map(_._1).max) / 2
+    val oldT = docs.filter(_._1 < cut).flatMap(_._2)
+    val newT = docs.filter(_._1 >= cut).flatMap(_._2)
+    val co = oldT.groupBy(identity).view.mapValues(_.size.toLong)
+    val cn = newT.groupBy(identity).view.mapValues(_.size.toLong)
+    val (nOld, nNew) = (oldT.size.toDouble, newT.size.toDouble)
+    def contrib(t: String): Long = {
+      val p = co.getOrElse(t, 0L) / nOld
+      val q = cn.getOrElse(t, 0L) / nNew
+      val m = (p + q) / 2.0
+      val v = (if (p > 0) p * math.log(p / m) else 0.0) +
+        (if (q > 0) q * math.log(q / m) else 0.0)
+      BigDecimal(v / 2.0 * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val jsTotal = (co.keySet ++ cn.keySet).toSeq.map(contrib).sum
+    out.foreach { r =>
+      assert(r.getAs[Long]("contrib_nano") == contrib(r.getString(0)), r.getString(0))
+      assert(r.getAs[Long]("contrib_nano") >= 0)
+      assert(r.getAs[Long]("js_nano") == jsTotal)
+    }
+    // JS divergence is bounded by ln 2 nats
+    assert(jsTotal >= 0 && jsTotal <= math.round(math.log(2.0) * 1e9))
+  }
 }
