@@ -60,7 +60,11 @@ class PlanContractSpec extends SparkTestBase {
     // c70 embeds c50's bounded KmCents-row codebook cross; its own
     // centroid/count joins are broadcast HASH equi-joins on
     // (cluster, d) / cluster
-    "c70_prototypicality")
+    "c70_prototypicality",
+    // c73 crosses three 1-row scalar aggregates (midpoint cut, the
+    // (n_old, n_new) totals, the js sum) — the b13/c21/c30 shape;
+    // the only corpus-sized shuffle is the token-key histogram agg
+    "c73_corpus_drift")
 
   test("no unexpected BroadcastNestedLoopJoin / CartesianProduct in any batch plan") {
     val batch = SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("d"))
