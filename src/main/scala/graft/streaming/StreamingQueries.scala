@@ -717,7 +717,39 @@ object StreamingQueries {
       |QUALIFY to_us IS NOT NULL
       |ORDER BY user_id, version""".stripMargin
 
+  // ---------------------------------------------------------------- D24
+  /** D24: the C73 drift monitor as a LIVE stream — the deployment shape
+    * of drift detection: the SNAPSHOT histogram is static (built once
+    * batch-side from the persisted corpus, doc_id < cut), the stream
+    * maintains only the ARRIVING side's token histogram (complete-mode
+    * count per token — D7's vocabulary-bounded state class), and the
+    * JS report runs on the sink through the SAME
+    * [[graft.text.TextQueries.driftReportFrom]] finalize as batch C73
+    * (the D18 pattern: stream keeps the cheap sufficient statistic,
+    * the reader derives the expensive answer on demand). The arriving
+    * side is the doc_id ≥ cut half of the staged stream — exactly
+    * C73's split relation — so the oracle IS c73Sql: one definition,
+    * stream and batch drift can never disagree.
+    */
+  def d24StreamDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.TextQueries
+    val cut = TextQueries.driftCut(spark, sfDir)
+    val newCounts = TextQueries.tokenCountsOn(
+      StreamingOps.docsStream(spark, sfDir, staged(spark, sfDir, "documents"))
+        .filter(col("doc_id") >= cut), "cnt_new")
+    val sunk = runToTable(newCounts, "graft_d24_sink", "complete")
+    val oldCounts = TextQueries.tokenCountsOn(
+      graft.Tables(spark, sfDir, "documents").filter(col("doc_id") < cut), "cnt_old")
+    val merged = oldCounts.join(sunk, Seq("token"), "full_outer")
+      .select(col("token"), coalesce(col("cnt_old"), lit(0L)).as("cnt_old"),
+        coalesce(col("cnt_new"), lit(0L)).as("cnt_new"))
+    TextQueries.driftReportFrom(merged)
+  }
+
+  val d24Sql: String = graft.text.TextQueries.c73Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d24_stream_drift" -> (d24StreamDrift _),
     "d23_stream_scd2" -> (d23StreamScd2 _),
     "d22_stream_kmeans" -> (d22StreamKmeans _),
     "d21_stream_bloom" -> (d21StreamBloomBuild _),
@@ -743,6 +775,7 @@ object StreamingQueries {
     "d18_stream_quantile" -> (d18StreamQuantile _))
 
   val oracles: Map[String, String] = Map(
+    "d24_stream_drift" -> d24Sql,
     "d23_stream_scd2" -> d23Sql,
     "d22_stream_kmeans" -> d22Sql,
     "d21_stream_bloom" -> d21Sql,

@@ -2482,14 +2482,13 @@ object TextQueries {
     */
   val DriftTopK = 20
 
-  def c73CorpusDrift(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    val cut = docs.agg(((min("doc_id") + max("doc_id")) / 2).cast("long").as("cut"))
-    val toks = docs.crossJoin(broadcast(cut))
-      .select(col("doc_id"), col("cut"), explode(tokens(col("text"))).as("token"))
-    val counts = toks.groupBy("token")
-      .agg(sum(when(col("doc_id") < col("cut"), 1L).otherwise(0L)).as("cnt_old"),
-        sum(when(col("doc_id") >= col("cut"), 1L).otherwise(0L)).as("cnt_new"))
+  /** The drift report from a full-outer-merged (token, cnt_old,
+    * cnt_new) histogram frame — the shared finalize (D18's pattern):
+    * batch C73 computes the merged frame in one conditional-sum pass,
+    * streaming D24 maintains the new side as complete-mode state and
+    * merges the static snapshot on read.
+    */
+  private[graft] def driftReportFrom(counts: DataFrame): DataFrame = {
     val totals = counts.agg(sum("cnt_old").as("n_old"), sum("cnt_new").as("n_new"))
     val scored = counts.crossJoin(broadcast(totals))
       .withColumn("p", col("cnt_old").cast("double") / col("n_old"))
@@ -2503,6 +2502,27 @@ object TextQueries {
     scored.crossJoin(broadcast(js))
       .select("token", "cnt_old", "cnt_new", "contrib_nano", "js_nano")
       .orderBy(col("contrib_nano").desc, col("token")).limit(DriftTopK)
+  }
+
+  /** The snapshot/batch split point — the staging scalar D24 shares. */
+  private[graft] def driftCut(spark: SparkSession, dir: String): Long =
+    Tables(spark, dir, "documents")
+      .agg(((min("doc_id") + max("doc_id")) / 2).cast("long")).head.getLong(0)
+
+  /** One side's token histogram (map-side explode + one token agg). */
+  private[graft] def tokenCountsOn(docs: DataFrame, as: String): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as(as))
+
+  def c73CorpusDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val cut = docs.agg(((min("doc_id") + max("doc_id")) / 2).cast("long").as("cut"))
+    val toks = docs.crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("cut"), explode(tokens(col("text"))).as("token"))
+    val counts = toks.groupBy("token")
+      .agg(sum(when(col("doc_id") < col("cut"), 1L).otherwise(0L)).as("cnt_old"),
+        sum(when(col("doc_id") >= col("cut"), 1L).otherwise(0L)).as("cnt_new"))
+    driftReportFrom(counts)
   }
 
   val c73Sql: String = {

@@ -504,4 +504,12 @@ class StreamingSpec extends SparkTestBase {
     assert(got.count() == want.count())
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
+
+  test("D24 streaming drift report == batch C73 (shared finalize definition)") {
+    val got = graft.streaming.StreamingQueries.queries("d24_stream_drift")(spark, sf)
+      .localCheckpoint()
+    val want = graft.text.TextQueries.c73CorpusDrift(spark, sf)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
 }
