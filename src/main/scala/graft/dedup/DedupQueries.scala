@@ -604,7 +604,85 @@ object DedupQueries {
        |    >= $ContainMicro AS BIGINT) AS is_contained
        |FROM sc ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- C74
+  /** C74: minhash estimator-error report — is the 16-perm signature a
+    * good enough Jaccard estimator? For every C6 candidate pair, the
+    * signature estimate (matching slots / [[MinHashLsh.NumPerms]]) sits
+    * next to the exact hashed-set jaccard (C60's conditioning variable,
+    * same kernel), rolled up per exact-jaccard decile: pair count,
+    * mean estimate, mean exact, mean |error|. The binomial standard
+    * error is √(s(1−s)/16) ≈ 0.12 at s = 0.5 — this report is what
+    * justifies (or indicts) the perm count before a 100 TB pass,
+    * completing the calibration suite next to C60's band curve and
+    * C41's recall eval. Scale shape: candidate-driven; signatures and
+    * sorted hash sets are map-side per-doc projections, the matched
+    * count a zip_with fold, |∩| the codegen'd sorted merge; one decile
+    * partial agg.
+    */
+  def c74MinhashError(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), shingleHashes(col("text")).as("ths"))
+      .select(col("doc_id"), signature(col("ths")).as("sig"),
+        array_sort(array_distinct(col("ths"))).as("hs"))
+    val cand = candidatePairs(spark, dir).select("doc_a", "doc_b")
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("siga"),
+        col("hs").as("ha")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sigb"),
+        col("hs").as("hb")), "doc_b")
+      .withColumn("matched", expr(
+        "aggregate(zip_with(siga, sigb, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END), 0L, (a, v) -> a + v)"))
+      .withColumn("ni", expr("sorted_intersect_count(ha, hb)"))
+      .withColumn("est_micro", expr(s"matched * 1000000 div ${MinHashLsh.NumPerms}"))
+      .withColumn("jac_micro", expr("ni * 1000000 div (size(ha) + size(hb) - ni)"))
+      .withColumn("decile", least(expr("jac_micro div 100000"), lit(9L)))
+      .withColumn("abs_err", abs(col("est_micro") - col("jac_micro")))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(est_micro) div count(1)").as("mean_est_micro"),
+        expr("sum(jac_micro) div count(1)").as("mean_jac_micro"),
+        expr("sum(abs_err) div count(1)").as("mean_err_micro"))
+      .orderBy("decile")
+  }
+
+  val c74Sql: String =
+    s"""WITH ${bandRowsCtes.mkString(",\n")},
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+       |),
+       |sets AS (
+       |  SELECT t.doc_id, list_distinct(t.ths) AS hs, m.mhs
+       |  FROM toks t JOIN mh m ON m.doc_id = t.doc_id
+       |),
+       |pr AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(list_sum(list_transform(range(1, ${NumPerms + 1}),
+       |      i -> CASE WHEN x.mhs[i] = y.mhs[i] THEN 1 ELSE 0 END)) AS BIGINT) AS matched,
+       |    CAST(len(list_intersect(x.hs, y.hs)) AS BIGINT) AS ni,
+       |    CAST(len(x.hs) AS BIGINT) AS na, CAST(len(y.hs) AS BIGINT) AS nb
+       |  FROM cand c
+       |  JOIN sets x ON x.doc_id = c.doc_a
+       |  JOIN sets y ON y.doc_id = c.doc_b
+       |),
+       |q AS (
+       |  SELECT matched * 1000000 // $NumPerms AS est_micro,
+       |    ni * 1000000 // (na + nb - ni) AS jac_micro
+       |  FROM pr
+       |),
+       |q2 AS (
+       |  SELECT LEAST(jac_micro // 100000, 9) AS decile, est_micro, jac_micro,
+       |    abs(est_micro - jac_micro) AS abs_err
+       |  FROM q
+       |)
+       |SELECT decile, COUNT(*) AS n_pairs,
+       |  CAST(SUM(est_micro) AS BIGINT) // COUNT(*) AS mean_est_micro,
+       |  CAST(SUM(jac_micro) AS BIGINT) // COUNT(*) AS mean_jac_micro,
+       |  CAST(SUM(abs_err) AS BIGINT) // COUNT(*) AS mean_err_micro
+       |FROM q2 GROUP BY decile ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c74_minhash_error" -> (c74MinhashError _),
     "c6_minhash_lsh" -> (c6MinhashLsh _),
     "c7_ngram_jaccard" -> (c7NgramJaccard _),
     "c8_simhash" -> (c8Simhash _),
@@ -614,6 +692,7 @@ object DedupQueries {
     "c66_containment" -> (c66Containment _))
 
   val oracles: Map[String, String] = Map(
+    "c74_minhash_error" -> c74Sql,
     "c6_minhash_lsh" -> c6Sql,
     "c7_ngram_jaccard" -> c7Sql,
     "c8_simhash" -> c8Sql,

@@ -786,4 +786,21 @@ class DedupQueriesSpec extends SparkTestBase {
     // JS divergence is bounded by ln 2 nats
     assert(jsTotal >= 0 && jsTotal <= math.round(math.log(2.0) * 1e9))
   }
+
+  test("c74 minhash error: estimator unbiasedness shape and exact bounds") {
+    val r = graft.dedup.DedupQueries.c74MinhashError(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (est, jac, err) = (row.getAs[Long]("mean_est_micro"),
+        row.getAs[Long]("mean_jac_micro"), row.getAs[Long]("mean_err_micro"))
+      assert(est >= 0 && est <= 1000000L && jac >= 0 && jac <= 1000000L)
+      // |E[est] - E[jac]| <= E[|est - jac|] (Jensen) — up to the ±1
+      // floor slack each of the three integer-div means carries
+      assert(math.abs(est - jac) <= err + 2)
+      assert(err <= 1000000L)
+      // decile label brackets the mean exact jaccard
+      val d = row.getAs[Long]("decile")
+      assert(jac >= d * 100000L && (d == 9L || jac < (d + 1) * 100000L))
+    }
+  }
 }
