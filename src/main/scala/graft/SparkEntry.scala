@@ -55,7 +55,8 @@ object SparkEntry {
     "b30_multi_distinct" -> (Queries.multiDistinct _),
     "b31_scd2" -> (Queries.scd2Intervals _),
     "b32_percentile_cont" -> (Queries.percentileCont _),
-    "b33_grouping_sets" -> (Queries.groupingSetsRevenue _)
+    "b33_grouping_sets" -> (Queries.groupingSetsRevenue _),
+    "b34_cumulative_distinct" -> (Queries.cumulativeDistinct _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -99,6 +100,7 @@ object SparkEntry {
     "b30_multi_distinct" -> Queries.multiDistinctSql,
     "b31_scd2" -> Queries.scd2IntervalsSql,
     "b32_percentile_cont" -> Queries.percentileContSql,
-    "b33_grouping_sets" -> Queries.groupingSetsRevenueSql
+    "b33_grouping_sets" -> Queries.groupingSetsRevenueSql,
+    "b34_cumulative_distinct" -> Queries.cumulativeDistinctSql
   )
 }

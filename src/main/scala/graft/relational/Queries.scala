@@ -1382,6 +1382,62 @@ object Queries {
       .orderBy("user_id", "version")
   }
 
+  // ------------------------------------------------------------- B34
+  /** B34: cumulative distinct customers per priority by month — the
+    * "distinct users to date" dashboard curve. Spark (like most
+    * engines) rejects `COUNT(DISTINCT x) OVER (...)`, and the naive
+    * workaround (collect_set over an expanding window) materializes
+    * the whole entity set per row; the scale-correct re-expression is
+    * FIRST-APPEARANCE attribution: one partial agg finds each
+    * (priority, customer)'s first active month, a second counts new
+    * arrivals per month, and a running sum over the CALENDAR-bounded
+    * month frame yields the cumulative distinct count exactly — every
+    * shuffle is a partial agg on (priority, customer) or (priority,
+    * month), and the window input is months, never orders (B28's
+    * argument). Also reports the plain per-month distinct for
+    * contrast (new ≤ active ≤ cumulative, spec-pinned with a
+    * brute-force recompute).
+    */
+  def cumulativeDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority").as("prio"), col("o_custkey").as("cust"),
+        (year(col("o_orderdate")) * 12L + month(col("o_orderdate")) - 1L).as("month_idx"))
+    val monthly = src.groupBy("prio", "month_idx")
+      .agg(countDistinct("cust").as("n_active_custs"))
+    val firstSeen = src.groupBy("prio", "cust").agg(min("month_idx").as("month_idx"))
+      .groupBy("prio", "month_idx").agg(count(lit(1)).as("new_custs"))
+    val w = Window.partitionBy("prio").orderBy("month_idx")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    monthly.join(firstSeen, Seq("prio", "month_idx"), "left")
+      .select(col("prio"), col("month_idx"), col("n_active_custs"),
+        coalesce(col("new_custs"), lit(0L)).as("new_custs"))
+      .withColumn("cum_distinct", sum("new_custs").over(w))
+      .orderBy("prio", "month_idx")
+  }
+
+  val cumulativeDistinctSql: String =
+    """WITH src AS (
+      |  SELECT o_orderpriority AS prio, o_custkey AS cust,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS month_idx
+      |  FROM orders
+      |), monthly AS (
+      |  SELECT prio, month_idx, COUNT(DISTINCT cust) AS n_active_custs
+      |  FROM src GROUP BY prio, month_idx
+      |), first_seen AS (
+      |  SELECT prio, MIN(month_idx) AS month_idx, cust FROM src GROUP BY prio, cust
+      |), arrivals AS (
+      |  SELECT prio, month_idx, COUNT(*) AS new_custs FROM first_seen
+      |  GROUP BY prio, month_idx
+      |)
+      |SELECT m.prio, m.month_idx, m.n_active_custs,
+      |  COALESCE(a.new_custs, 0) AS new_custs,
+      |  CAST(SUM(COALESCE(a.new_custs, 0)) OVER (PARTITION BY m.prio
+      |    ORDER BY m.month_idx
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_distinct
+      |FROM monthly m LEFT JOIN arrivals a
+      |  ON a.prio = m.prio AND a.month_idx = m.month_idx
+      |ORDER BY m.prio, m.month_idx""".stripMargin
+
   // ------------------------------------------------------------- B33
   /** B33: explicit GROUPING SETS — the multi-aggregate surface ROLLUP
     * (B11) and CUBE (B20) can't express: two DISJOINT slices (per order

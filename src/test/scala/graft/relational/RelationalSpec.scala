@@ -467,4 +467,21 @@ class RelationalSpec extends SparkTestBase {
     assert(byGid(1L).forall(_.getAs[String]("prio") == "ALL"))
     assert(byGid(2L).forall(_.getAs[Long]("o_year") == -1L))
   }
+
+  test("b34 cumulative distinct: brute-force prefix recompute per priority") {
+    val out = Queries.cumulativeDistinct(spark, sf).collect()
+    assert(out.nonEmpty)
+    val src = graft.Tables(spark, sf, "orders")
+      .select(col("o_orderpriority"), col("o_custkey"),
+        (year(col("o_orderdate")) * 12L + month(col("o_orderdate")) - 1L).as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out.foreach { r =>
+      val (prio, m) = (r.getString(0), r.getAs[Long]("month_idx"))
+      val upTo = src.filter(t => t._1 == prio && t._3 <= m).map(_._2).distinct.size
+      val inMonth = src.filter(t => t._1 == prio && t._3 == m).map(_._2).distinct.size
+      assert(r.getAs[Long]("cum_distinct") == upTo, s"$prio $m")
+      assert(r.getAs[Long]("n_active_custs") == inMonth)
+      assert(r.getAs[Long]("new_custs") <= inMonth && inMonth <= upTo)
+    }
+  }
 }
