@@ -339,6 +339,25 @@ object ScaleSmoke {
     println(f"SCALE mixedCover tiles=$covTiles cells=$covCells " +
       f"maxTaskMs=$covMaxMs meanTaskMs=$covMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
+    // --- A37 RLE on a 10M-tile slab with periodic holes (every 5th
+    // column missing → ~cw/5 runs per row): drives the REAL rleOn
+    // body. The shape claim under test: the only window partitions by
+    // (poly, y) and is bounded by the row WIDTH however tall the slab
+    // grows, so max task ≈ mean (no row is hotter than another), and
+    // the run count is exactly rows × holes-per-row — a 4:1 interval
+    // compression here, arbitrarily higher on solid coverage.
+    t0 = System.nanoTime()
+    val holey = spark.range(cw * ch).select(lit(0L).as("poly"),
+      (col("id") % cw).as("x"), expr(s"id div $cw").as("y"))
+      .filter(col("x") % 5L =!= 4L)
+    val (rleRow, rleMaxMs, rleMeanMs) = withMaxTask(
+      graft.tiles.GeoQueries.rleOn(holey)
+        .agg(count(lit(1)).as("runs"), sum("run_len").as("tiles")).head())
+    require(rleRow.getLong(1) == cw * ch / 5L * 4L, s"RLE lost tiles: ${rleRow.getLong(1)}")
+    require(rleRow.getLong(0) == ch * cw / 5L, s"unexpected run count: ${rleRow.getLong(0)}")
+    println(f"SCALE tileRle tiles=${rleRow.getLong(1)} runs=${rleRow.getLong(0)} " +
+      f"maxTaskMs=$rleMaxMs meanTaskMs=$rleMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
     // --- tilerange generation throughput: a 100M-tile bbox fully
     // generated and aggregated (count + coordinate checksum) through
     // the DSv2 reader; the closed-form COUNT path is spec-proven

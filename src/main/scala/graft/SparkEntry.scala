@@ -56,7 +56,9 @@ object SparkEntry {
     "b31_scd2" -> (Queries.scd2Intervals _),
     "b32_percentile_cont" -> (Queries.percentileCont _),
     "b33_grouping_sets" -> (Queries.groupingSetsRevenue _),
-    "b34_cumulative_distinct" -> (Queries.cumulativeDistinct _)
+    "b34_cumulative_distinct" -> (Queries.cumulativeDistinct _),
+    "b35_merge_upsert" -> (Queries.mergeUpsert _),
+    "b36_above_avg" -> (Queries.aboveAvg _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -101,6 +103,8 @@ object SparkEntry {
     "b31_scd2" -> Queries.scd2IntervalsSql,
     "b32_percentile_cont" -> Queries.percentileContSql,
     "b33_grouping_sets" -> Queries.groupingSetsRevenueSql,
-    "b34_cumulative_distinct" -> Queries.cumulativeDistinctSql
+    "b34_cumulative_distinct" -> Queries.cumulativeDistinctSql,
+    "b35_merge_upsert" -> Queries.mergeUpsertSql,
+    "b36_above_avg" -> Queries.aboveAvgSql
   )
 }

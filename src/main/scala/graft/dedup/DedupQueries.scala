@@ -681,7 +681,67 @@ object DedupQueries {
        |  CAST(SUM(abs_err) AS BIGINT) // COUNT(*) AS mean_err_micro
        |FROM q2 GROUP BY decile ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------------------- C77
+  /** C77: quality-aware canonical selection — C19's closure with the
+    * OTHER keep rule production pipelines actually use (CCNet keeps
+    * the best-perplexity member; most curation stacks keep the
+    * highest-quality or longest member, not the lowest id): within
+    * each near-dup cluster keep the member with the highest C3
+    * quality score, smallest doc_id on ties. Emits the full
+    * per-document audit row (cluster, chosen best, own quality, the
+    * keep bit) so a downstream filter is one equi-join.
+    *
+    * Scale shape: composes two memoized intermediates (the C19
+    * closure, each queried doc's scan-stage quality columns) with ONE
+    * cluster-keyed argmax — `min(struct(-quality, id))` is
+    * map-side-combinable partial agg, never a window over the corpus
+    * (the hottest cluster would be the most-duplicated text — C40's
+    * argument) — and one cluster-keyed join back. The tiebreak pair
+    * packs into a single struct ordering so both engines agree on
+    * every tie.
+    */
+  def c77KeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val closure = c19DedupCollapse(spark, dir).select("doc_id", "canonical_id")
+    val qual = graft.text.TextQueries.c3QualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_micro"))
+    val joined = closure.join(qual, "doc_id")
+    val best = joined.groupBy("canonical_id")
+      .agg(min(struct((-col("quality_micro")).as("nq"), col("doc_id").as("id"))).as("b"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("canonical_id"), col("b.id").as("best_id"), col("cluster_size"))
+    joined.join(best, "canonical_id")
+      .select(col("doc_id"), col("canonical_id"), col("best_id"), col("cluster_size"),
+        col("quality_micro"), (col("doc_id") === col("best_id")).as("keep_best"))
+      .orderBy("doc_id")
+  }
+
+  val c77Sql: String = {
+    val c19Body = c19Sql.stripSuffix("ORDER BY doc_id").trim
+    val c3Body = graft.text.TextQueries.c3Sql.stripSuffix("ORDER BY doc_id").trim
+    s"""WITH collapse AS (
+       |$c19Body
+       |), q AS (
+       |$c3Body
+       |), j AS (
+       |  SELECT c.doc_id, c.canonical_id, q.quality_micro
+       |  FROM collapse c JOIN q USING (doc_id)
+       |), best AS (
+       |  SELECT canonical_id, doc_id AS best_id FROM (
+       |    SELECT canonical_id, doc_id, ROW_NUMBER() OVER (
+       |      PARTITION BY canonical_id ORDER BY quality_micro DESC, doc_id) AS rn
+       |    FROM j
+       |  ) WHERE rn = 1
+       |), sz AS (
+       |  SELECT canonical_id, COUNT(*) AS cluster_size FROM j GROUP BY canonical_id
+       |)
+       |SELECT j.doc_id, j.canonical_id, b.best_id, s.cluster_size,
+       |  j.quality_micro, j.doc_id = b.best_id AS keep_best
+       |FROM j JOIN best b USING (canonical_id) JOIN sz s USING (canonical_id)
+       |ORDER BY j.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c77_keep_best" -> (c77KeepBest _),
     "c74_minhash_error" -> (c74MinhashError _),
     "c6_minhash_lsh" -> (c6MinhashLsh _),
     "c7_ngram_jaccard" -> (c7NgramJaccard _),
@@ -692,6 +752,7 @@ object DedupQueries {
     "c66_containment" -> (c66Containment _))
 
   val oracles: Map[String, String] = Map(
+    "c77_keep_best" -> c77Sql,
     "c74_minhash_error" -> c74Sql,
     "c6_minhash_lsh" -> c6Sql,
     "c7_ngram_jaccard" -> c7Sql,

@@ -1275,7 +1275,80 @@ object EmbedQueries {
        |  CAST((rnk - 1) * 1000000 // GREATEST(n_c - 1, 1) >= 500000 AS BIGINT) AS is_far
        |FROM rk ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- C78
+  /** C78: nearest-centroid classifier evaluation — the Rocchio/NCM
+    * baseline every embedding space is judged by before anyone trains
+    * a probe (and the confusion matrix that tells a curation pipeline
+    * whether its `label` taxonomy is separable in embedding space at
+    * all): per label a centroid (mean vector), every vector assigned
+    * to its nearest centroid by squared L2, output the full
+    * (label, pred, n_vecs) confusion matrix. Diagonal mass /
+    * off-diagonal structure are the separability report C64 gives for
+    * the hash classifier and C41 for the ANN index — this closes the
+    * eval suite for the embedding column itself.
+    *
+    * Exactness: member values quantize to micro-units FIRST (C54/C56
+    * convention), centroid mean is the ONE double division per
+    * (label, dim) rounded identically both sides, and every distance
+    * is then an exact BIGINT Σ(q−c)² — no double accumulates, so the
+    * argmin (packed min(struct(dist, pred)), smaller label on ties)
+    * agrees bit-for-bit cross-engine. Scale shape: centroid build is a
+    * map-side-combinable (label, dim) partial agg (≤ L·D combiners per
+    * task, never O(N·D) shuffle rows); scoring crosses each vector
+    * against the L-row broadcast centroid table and immediately folds
+    * the argmin in the same partial agg; the confusion matrix is a
+    * final L²-bounded agg. No windows, nothing vector-scaled on the
+    * driver.
+    */
+  def c78CentroidEval(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        transform(col("embedding"),
+          e => round(e.cast("double") * lit(1000000.0), 0).cast("long")).as("q"))
+    val cent = q.select(col("label").as("pred"), posexplode(col("q")))
+      .groupBy("pred", "pos")
+      .agg(count(lit(1)).as("n"), sum("col").as("s"))
+      .withColumn("c_micro",
+        round(col("s").cast("double") / col("n").cast("double"), 0).cast("long"))
+    val cvecs = cent.groupBy("pred")
+      .agg(collect_list(struct(col("pos"), col("c_micro"))).as("cs"))
+      .select(col("pred"), expr("transform(array_sort(cs), s -> s.c_micro)").as("cvec"))
+    q.crossJoin(broadcast(cvecs))
+      .withColumn("dist", aggregate(zip_with(col("q"), col("cvec"),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+      .groupBy("vec_id", "label")
+      .agg(min(struct(col("dist"), col("pred"))).as("b"))
+      .groupBy(col("label"), col("b.pred").as("pred"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("label", "pred")
+  }
+
+  val c78Sql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    list_transform(embedding,
+       |      e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS q
+       |  FROM embeddings
+       |), cent AS (
+       |  SELECT label AS pred, d,
+       |    CAST(ROUND(CAST(SUM(q[d + 1]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c_micro
+       |  FROM q, range(0, $Dims) td(d) GROUP BY label, d
+       |), cv AS (
+       |  SELECT pred, list(c_micro ORDER BY d) AS cvec FROM cent GROUP BY pred
+       |), scored AS (
+       |  SELECT v.vec_id, v.label,
+       |    min([list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(list_zip(v.q, c.cvec),
+       |        p -> (CAST(p[1] AS BIGINT) - CAST(p[2] AS BIGINT))
+       |           * (CAST(p[1] AS BIGINT) - CAST(p[2] AS BIGINT)))),
+       |      (x, y) -> x + y), c.pred]) AS sc
+       |  FROM q v CROSS JOIN cv c GROUP BY v.vec_id, v.label
+       |)
+       |SELECT label, sc[2] AS pred, COUNT(*) AS n_vecs
+       |FROM scored GROUP BY label, sc[2] ORDER BY label, pred""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c78_centroid_eval" -> (c78CentroidEval _),
     "c69_label_prop" -> (c69LabelProp _),
     "c70_prototypicality" -> (c70Prototypicality _),
     "c9_cosine_pairs" -> (c9CosinePairs _),
@@ -1296,6 +1369,7 @@ object EmbedQueries {
     "c62_ivf_pq" -> (c62IvfPq _))
 
   val oracles: Map[String, String] = Map(
+    "c78_centroid_eval" -> c78Sql,
     "c69_label_prop" -> c69Sql,
     "c70_prototypicality" -> c70Sql,
     "c9_cosine_pairs" -> c9Sql,

@@ -1562,6 +1562,133 @@ object Queries {
       |ORDER BY l.prio, l.q_ppm""".stripMargin.replace("QLIST", qlist)
   }
 
+  // ------------------------------------------------------------- B35
+  /** B35: MERGE (upsert) preview — the full three-branch MERGE
+    * semantics next to A17's insert-or-ignore and D8's streaming keyed
+    * upsert: merge a new batch of per-customer order aggregates
+    * (orders on/after [[MergeCut]]) into the existing snapshot (orders
+    * before it) and CLASSIFY every key — `update` (in both), `insert`
+    * (source only), `delete` (target only AND dormant: a single old
+    * order), `keep` (target only, active) — emitting the merged
+    * aggregate each key would carry. This is the dry-run audit table a
+    * lakehouse MERGE produces before committing, expressed engine-
+    * neutrally.
+    *
+    * Scale shape: both sides are map-side-combinable partial aggs of
+    * the SAME scan (one conditional-sum pass would also work, but two
+    * filtered aggs keep AQE free to pick sizes per side); the merge
+    * itself is ONE cust-keyed full-outer sort-merge join of two
+    * already-reduced frames — never row-level orders×orders. The
+    * branch logic is pure scan-stage CASE. At 100 TB the join keys are
+    * the CUSTOMER dimension, orders having already collapsed.
+    */
+  val MergeCut = "1998-06-01"
+  /** Target-only customers whose LAST order predates this horizon are
+    * dormant → the MERGE's delete branch.
+    */
+  val DormantCut = "1998-04-01"
+
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey").as("cust"), col("o_orderdate").as("d"),
+        cents(col("o_totalprice")).as("price_c"))
+    val tgt = o.filter(col("d") < lit(MergeCut))
+      .groupBy("cust").agg(count(lit(1)).as("old_cnt"), sum("price_c").as("old_c"),
+        max("d").as("last_d"))
+    val src = o.filter(col("d") >= lit(MergeCut))
+      .groupBy("cust").agg(count(lit(1)).as("new_cnt"), sum("price_c").as("new_c"))
+    tgt.join(src, Seq("cust"), "full_outer")
+      .withColumn("action",
+        when(col("old_cnt").isNotNull && col("new_cnt").isNotNull, "update")
+          .when(col("old_cnt").isNull, "insert")
+          .when(col("last_d") < lit(DormantCut), "delete")
+          .otherwise("keep"))
+      .select(col("cust"), col("action"),
+        coalesce(col("old_cnt"), lit(0L)).as("old_cnt"),
+        coalesce(col("new_cnt"), lit(0L)).as("new_cnt"),
+        when(col("action") === "delete", 0L)
+          .otherwise(coalesce(col("old_cnt"), lit(0L)) + coalesce(col("new_cnt"), lit(0L)))
+          .as("merged_cnt"),
+        when(col("action") === "delete", 0L)
+          .otherwise(coalesce(col("old_c"), lit(0L)) + coalesce(col("new_c"), lit(0L)))
+          .as("merged_price_c"))
+      .orderBy("cust")
+  }
+
+  val mergeUpsertSql: String =
+    s"""WITH o AS (
+       |  SELECT o_custkey AS cust, o_orderdate AS d,
+       |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+       |  FROM orders
+       |), tgt AS (
+       |  SELECT cust, COUNT(*) AS old_cnt, CAST(SUM(price_c) AS BIGINT) AS old_c,
+       |    MAX(d) AS last_d
+       |  FROM o WHERE d < DATE '$MergeCut' GROUP BY cust
+       |), src AS (
+       |  SELECT cust, COUNT(*) AS new_cnt, CAST(SUM(price_c) AS BIGINT) AS new_c
+       |  FROM o WHERE d >= DATE '$MergeCut' GROUP BY cust
+       |), m AS (
+       |  SELECT COALESCE(t.cust, s.cust) AS cust,
+       |    CASE WHEN t.cust IS NOT NULL AND s.cust IS NOT NULL THEN 'update'
+       |         WHEN t.cust IS NULL THEN 'insert'
+       |         WHEN t.last_d < DATE '$DormantCut' THEN 'delete'
+       |         ELSE 'keep' END AS action,
+       |    COALESCE(t.old_cnt, 0) AS old_cnt, COALESCE(s.new_cnt, 0) AS new_cnt,
+       |    COALESCE(t.old_c, 0) AS old_c, COALESCE(s.new_c, 0) AS new_c
+       |  FROM tgt t FULL OUTER JOIN src s ON s.cust = t.cust
+       |)
+       |SELECT cust, action, old_cnt, new_cnt,
+       |  CASE WHEN action = 'delete' THEN 0 ELSE old_cnt + new_cnt END AS merged_cnt,
+       |  CASE WHEN action = 'delete' THEN 0 ELSE old_c + new_c END AS merged_price_c
+       |FROM m ORDER BY cust""".stripMargin
+
+  // ------------------------------------------------------------- B36
+  /** B36: correlated scalar subquery (the TPC-H Q17 shape) — orders
+    * priced above 1.5× THEIR OWN customer's average, written as the
+    * correlated `(SELECT AVG ... WHERE same customer)` every analyst
+    * reaches for, and left to Catalyst's subquery DECORRELATION: the
+    * optimizer rewrites it into one per-customer aggregate + a
+    * cust-keyed equi-join — the plan a hand-rolled join would produce,
+    * with NO per-row subquery execution (the `.explain` shows
+    * Aggregate + Join, no nested scans). The predicate is kept in
+    * exact integers — `2·price_c·n_orders > 3·sum_c` instead of a
+    * double AVG comparison — so both engines agree on every boundary
+    * row. Scale shape after decorrelation: one partial agg + one
+    * shuffle join on o_custkey, AQE-sizable; the correlated FORM costs
+    * nothing at any scale because it never survives optimization.
+    */
+  def aboveAvg(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey").as("cust"),
+        cents(col("o_totalprice")).as("price_c"))
+      .createOrReplaceTempView("b36_orders")
+    spark.sql(
+      """SELECT cust, o_orderkey, price_c, n_orders, sum_c
+        |FROM (
+        |  SELECT o.*,
+        |    (SELECT COUNT(*) FROM b36_orders i WHERE i.cust = o.cust) AS n_orders,
+        |    (SELECT CAST(SUM(price_c) AS BIGINT) FROM b36_orders i
+        |     WHERE i.cust = o.cust) AS sum_c
+        |  FROM b36_orders o
+        |)
+        |WHERE 2 * price_c * n_orders > 3 * sum_c
+        |ORDER BY cust, o_orderkey""".stripMargin)
+  }
+
+  val aboveAvgSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_custkey AS cust,
+      |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+      |  FROM orders
+      |)
+      |SELECT cust, o_orderkey, price_c,
+      |  (SELECT COUNT(*) FROM o i WHERE i.cust = o.cust) AS n_orders,
+      |  (SELECT CAST(SUM(price_c) AS BIGINT) FROM o i WHERE i.cust = o.cust) AS sum_c
+      |FROM o
+      |WHERE 2 * price_c * (SELECT COUNT(*) FROM o i WHERE i.cust = o.cust)
+      |    > 3 * (SELECT CAST(SUM(price_c) AS BIGINT) FROM o i WHERE i.cust = o.cust)
+      |ORDER BY cust, o_orderkey""".stripMargin
+
   val scd2IntervalsSql: String =
     """WITH ordered AS (
       |  SELECT user_id, ts, event_id, event_type,

@@ -2554,7 +2554,143 @@ object TextQueries {
        |ORDER BY contrib_nano DESC, token LIMIT $DriftTopK""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C75
+  /** C75: Good–Turing frequency-of-frequencies report (Gale & Sampson
+    * 1995 "Good-Turing frequency estimation without tears") over the
+    * corpus's [[ContamN]]-gram family (C29/C38's sparse type space —
+    * the synthetic unigram vocab is 31 tokens with tf ≥ 26, so grams
+    * are where a count-of-counts curve actually lives, exactly as in a
+    * real corpus where n-gram types dwarf unigram types): N_r (how
+    * many gram TYPES occur exactly r times) for r ≤ [[GtMaxR]], the
+    * smoothed count r* = (r+1)·N_{r+1}/N_r in exact integer
+    * micro-units, and the unseen-mass estimate P_0 = N_1/N in ppm (the
+    * mass a next crawl's novel grams will claim — the forward-looking
+    * companion to C38's realized gram novelty). Sits next to C68's
+    * Kneser–Ney: KN discounts with a fixed D, GT derives the discount
+    * from the corpus's own count-of-counts curve.
+    *
+    * Scale shape: gram tf is ONE map-side-combinable agg over the
+    * scan-stage [[gramHashes]] explode; the count-of-counts agg runs
+    * over the TYPE frame (never the corpus); the report itself is
+    * ≤ [[GtMaxR]] rows self-joined on r+1 with a 1-row broadcast of
+    * the corpus totals. The product (r+1)·N_{r+1}·10⁶ stays under
+    * BIGINT until type counts pass ~8·10¹¹ — beyond a 100 TB corpus's
+    * gram table — so no DECIMAL routing is needed (C47's overflow
+    * rule, checked not assumed).
+    */
+  val GtMaxR = 10L
+
+  def c75GoodTuring(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= ContamN)
+      .select(explode(gramHashes(col("toks"))).as("gh"))
+      .groupBy("gh").agg(count(lit(1)).as("tf"))
+    val fof = tf.filter(col("tf") <= GtMaxR + 1L)
+      .groupBy(col("tf").as("r")).agg(count(lit(1)).as("n_r"))
+    val totals = tf.agg(sum("tf").as("n_tokens"),
+      sum(when(col("tf") === 1L, 1L).otherwise(0L)).as("n_1"))
+    fof.filter(col("r") <= GtMaxR)
+      .join(broadcast(fof.select(col("r").as("r1"), col("n_r").as("n_next"))),
+        col("r") + 1L === col("r1"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("r"), col("n_r"), coalesce(col("n_next"), lit(0L)).as("n_next"),
+        expr("(r + 1) * coalesce(n_next, 0) * 1000000 div n_r").as("gt_micro"),
+        expr("n_1 * 1000000 div n_tokens").as("unseen_ppm"))
+      .orderBy("r")
+  }
+
+  val c75Sql: String =
+    s"""WITH d AS (
+       |  SELECT string_split(text, ' ') AS toks FROM documents
+       |), tf AS (
+       |  SELECT gh, COUNT(*) AS tf FROM (
+       |    SELECT UNNEST(list_transform(range(1, len(toks) - $ContamN + 2),
+       |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(list_slice(toks, i, i + $ContamN - 1),
+       |               w -> ${tokenHashSql("w")})),
+       |           (acc, h) -> (acc * $FpB + h) % $FpM))) AS gh
+       |    FROM d WHERE len(toks) >= $ContamN
+       |  ) GROUP BY gh
+       |), fof AS (
+       |  SELECT tf AS r, COUNT(*) AS n_r FROM tf
+       |  WHERE tf <= ${GtMaxR + 1} GROUP BY tf
+       |), tot AS (
+       |  SELECT CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1 FROM tf
+       |)
+       |SELECT f.r, f.n_r, CAST(COALESCE(nx.n_r, 0) AS BIGINT) AS n_next,
+       |  (f.r + 1) * CAST(COALESCE(nx.n_r, 0) AS BIGINT) * 1000000 // f.n_r AS gt_micro,
+       |  t.n_1 * 1000000 // t.n_tokens AS unseen_ppm
+       |FROM fof f LEFT JOIN fof nx ON nx.r = f.r + 1 CROSS JOIN tot t
+       |WHERE f.r <= $GtMaxR
+       |ORDER BY f.r""".stripMargin
+
+  // ---------------------------------------------------------------- C76
+  /** C76: per-document unigram entropy — the lexical-diversity signal
+    * curation stacks use to separate natural prose (high entropy) from
+    * template floods and keyword spam (low entropy at the same
+    * length); the per-document companion to C71's corpus-level Zipf
+    * fit and C26's surface repetition ratio. H = Σ_w (c_w/n)·ln(n/c_w)
+    * in nano-nats, plus the length-normalized efficiency
+    * H / ln(n_types) in ppm (1.0 = perfectly uniform usage; NULL for
+    * single-type docs where the normalizer is 0).
+    *
+    * Exactness: each distinct token's contribution is ONE identical
+    * double expression quantized to a nano BIGINT per ROW before any
+    * accumulation (the a1/c60/c71/c73 rule — doubles never
+    * accumulate), so the per-doc sum is integer-exact cross-engine;
+    * the efficiency ratio is a final double division rounded to 6dp.
+    * Scale shape: (doc, token) counts are one map-side-combinable agg;
+    * per-doc totals re-aggregate that frame doc-keyed (vocab-sized
+    * data, not corpus-sized) and join back doc-keyed — both shuffles
+    * carry fixed-width rows; the final rollup is one doc_id partial
+    * agg. No windows, no broadcast of anything document-scaled.
+    */
+  def c76DocEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("doc_id")
+      .agg(sum("c").as("n"), count(lit(1)).as("n_types"))
+    counts.join(totals, "doc_id")
+      .withColumn("contrib_nano",
+        round(col("c").cast("double") / col("n")
+          * log(col("n").cast("double") / col("c")) * lit(1e9), 0).cast("long"))
+      .groupBy("doc_id")
+      .agg(first("n").as("n_tokens"), first("n_types").as("n_types"),
+        sum("contrib_nano").as("entropy_nano"))
+      .withColumn("efficiency_ppm",
+        when(col("n_types") > 1L,
+          round(col("entropy_nano").cast("double") / lit(1e9)
+            / log(col("n_types").cast("double")) * lit(1e6), 0).cast("long")))
+      .orderBy("doc_id")
+  }
+
+  val c76Sql: String =
+    """WITH counts AS (
+      |  SELECT doc_id, token, COUNT(*) AS c FROM (
+      |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+      |  ) GROUP BY doc_id, token
+      |), tot AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_types
+      |  FROM counts GROUP BY doc_id
+      |), sc AS (
+      |  SELECT c.doc_id, t.n, t.n_types,
+      |    CAST(ROUND(CAST(c.c AS DOUBLE) / t.n
+      |      * ln(CAST(t.n AS DOUBLE) / c.c) * 1e9) AS BIGINT) AS contrib_nano
+      |  FROM counts c JOIN tot t ON t.doc_id = c.doc_id
+      |)
+      |SELECT doc_id, MIN(n) AS n_tokens, MIN(n_types) AS n_types,
+      |  CAST(SUM(contrib_nano) AS BIGINT) AS entropy_nano,
+      |  CASE WHEN MIN(n_types) > 1 THEN
+      |    CAST(ROUND(CAST(SUM(contrib_nano) AS DOUBLE) / 1e9
+      |      / ln(CAST(MIN(n_types) AS DOUBLE)) * 1e6) AS BIGINT) END AS efficiency_ppm
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c75_good_turing" -> (c75GoodTuring _),
+    "c76_doc_entropy" -> (c76DocEntropy _),
     "c73_corpus_drift" -> (c73CorpusDrift _),
     "c72_rare_tokens" -> (c72RareTokens _),
     "c71_zipf_fit" -> (c71ZipfFit _),
@@ -2599,6 +2735,8 @@ object TextQueries {
     "c64_classifier_eval" -> (c64ClassifierEval _))
 
   val oracles: Map[String, String] = Map(
+    "c75_good_turing" -> c75Sql,
+    "c76_doc_entropy" -> c76Sql,
     "c73_corpus_drift" -> c73Sql,
     "c72_rare_tokens" -> c72Sql,
     "c71_zipf_fit" -> c71Sql,

@@ -1425,8 +1425,53 @@ object GeoQueries {
       |)""".stripMargin)(
     "SELECT poly, zoom, cx, cy, n_tiles FROM cov ORDER BY poly, zoom, cx, cy")
 
+  // ---------------------------------------------------------------- A37
+  /** A37: run-length-encoded grid coverage — the interval
+    * representation of a tile set (per grid row: start column + run
+    * length), the third storage layout next to a36's quadtree cover
+    * and a30/a33's space-filling-curve ordering. This is what the
+    * reference's per-tile SQLite rows (solardb.py slippy_tiles) become
+    * when a coverage mask must ship to another system: a 97-wide solid
+    * row is ONE (start, len) pair instead of 97 rows, and
+    * interval-vs-interval overlap joins (b10's shape) replace
+    * tile-vs-tile equi-joins.
+    *
+    * Gaps-and-islands, the b29 idiom on spatial data: island key =
+    * x − row_number within the grid row, one agg per island. The only
+    * window partitions by (poly, y) and is bounded by the grid WIDTH —
+    * a value-domain bound (C22's argument): however many polygons a
+    * 100 TB world holds, no task ever sorts more than one row's ≤W
+    * cells. Runs-per-row then aggregate map-side. The spec re-expands
+    * every run via sequence() and requires exactly the a3 grid back.
+    */
+  def a37TileRle(spark: SparkSession, dir: String): DataFrame =
+    rleOn(GridOps.fillPolygons(spark).select("poly", "x", "y"))
+
+  /** RLE body on ANY (poly, x, y) frame (ScaleSmoke drives it on a
+    * synthetic slab).
+    */
+  private[graft] def rleOn(g: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("poly", "y").orderBy("x")
+    g.withColumn("isl", col("x") - row_number().over(w))
+      .groupBy("poly", "y", "isl")
+      .agg(min("x").as("x_start"), count(lit(1)).as("run_len"))
+      .select("poly", "y", "x_start", "run_len")
+      .orderBy("poly", "y", "x_start")
+  }
+
+  val a37Sql: String = withCtes(false, Polygons.bboxCte, Polygons.edgesCte,
+    Polygons.gridCte)(
+    """SELECT poly, y, MIN(x) AS x_start, COUNT(*) AS run_len
+      |FROM (SELECT poly, x, y,
+      |        x - ROW_NUMBER() OVER (PARTITION BY poly, y ORDER BY x) AS isl
+      |      FROM grid)
+      |GROUP BY poly, y, isl
+      |ORDER BY poly, y, x_start""".stripMargin)
+
   /** All A-block entries for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a37_tile_rle" -> (a37TileRle _),
     "a36_mixed_cover" -> (a36MixedCover _),
     "a35_geohash" -> (a35Geohash _),
     "a34_nearest_positive" -> (a34NearestPositive _),
@@ -1469,6 +1514,7 @@ object GeoQueries {
     "a19_inference_scored" -> (a19InferenceScored _))
 
   val oracles: Map[String, String] = Map(
+    "a37_tile_rle" -> a37Sql,
     "a36_mixed_cover" -> a36Sql,
     "a35_geohash" -> a35Sql,
     "a34_nearest_positive" -> a34Sql,

@@ -64,7 +64,16 @@ class PlanContractSpec extends SparkTestBase {
     // c73 crosses three 1-row scalar aggregates (midpoint cut, the
     // (n_old, n_new) totals, the js sum) — the b13/c21/c30 shape;
     // the only corpus-sized shuffle is the token-key histogram agg
-    "c73_corpus_drift")
+    "c73_corpus_drift",
+    // c75 crosses the 1-row (n_tokens, n_1) corpus-totals aggregate
+    // into the ≤GtMaxR-row count-of-counts report — both sides bounded
+    // constants (the c43 shape); the only corpus-sized shuffle is the
+    // gram-hash tf agg
+    "c75_good_turing",
+    // c78 crosses the L-row (=10 labels) centroid codebook into the
+    // vector scan — the c50/c18 bounded-codebook pattern; the argmin
+    // folds in the same partial agg, the confusion matrix is L²-bounded
+    "c78_centroid_eval")
 
   test("no unexpected BroadcastNestedLoopJoin / CartesianProduct in any batch plan") {
     val batch = SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("d"))

@@ -56,6 +56,32 @@ class EmbedQueriesSpec extends SparkTestBase {
     assert(p.filter(col("vec_a") >= col("vec_b")).count() == 0)
     assert(p.filter(col("cos") < EmbedQueries.CosThreshold).count() == 0)
   }
+
+  test("c78 centroid eval: brute-force confusion recompute, all vectors accounted") {
+    val out = EmbedQueries.c78CentroidEval(spark, sf).collect()
+    def q(d: Double) = BigDecimal(d).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val vecs = graft.Tables(spark, sf, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        r.getSeq[Float](2).map(e => q(e.toDouble * 1e6)).toArray))
+    val cents = vecs.groupBy(_._2).view.mapValues { g =>
+      Array.tabulate(g.head._3.length)(d => q(g.map(_._3(d)).sum.toDouble / g.length))
+    }.toMap
+    val conf = vecs.map { case (_, lbl, v) =>
+      val pred = cents.keys.toSeq.sorted.minBy { p =>
+        (cents(p).zip(v).map { case (c, x) => (x - c) * (x - c) }.sum, p)
+      }
+      (lbl, pred)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(out.map(r => ((r.getAs[Long]("label"), r.getAs[Long]("pred")),
+      r.getAs[Long]("n_vecs"))).toMap == conf)
+    assert(out.map(_.getAs[Long]("n_vecs")).sum == vecs.length)
+    // the synthetic labels are weakly separable — require the centroids
+    // to beat 2× the 1/L random-chance diagonal, not full dominance
+    val diag = out.filter(r => r.getAs[Long]("label") == r.getAs[Long]("pred"))
+      .map(_.getAs[Long]("n_vecs")).sum
+    assert(diag * cents.size > 2L * vecs.length, s"diag=$diag of ${vecs.length}")
+  }
 }
 
 class MultimodalSpec extends SparkTestBase {

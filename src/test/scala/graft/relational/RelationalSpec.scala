@@ -484,4 +484,55 @@ class RelationalSpec extends SparkTestBase {
       assert(r.getAs[Long]("new_custs") <= inMonth && inMonth <= upTo)
     }
   }
+
+  test("b35 merge upsert: brute-force classification per customer") {
+    val out = Queries.mergeUpsert(spark, sf).collect()
+    assert(out.nonEmpty)
+    val orders = graft.Tables(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("string"),
+        round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val old = orders.filter(_._2 < Queries.MergeCut).groupBy(_._1)
+    val nw = orders.filter(_._2 >= Queries.MergeCut).groupBy(_._1)
+    assert(out.map(_.getAs[Long]("cust")).toSet == old.keySet ++ nw.keySet)
+    out.foreach { r =>
+      val c = r.getAs[Long]("cust")
+      val (oc, nc) = (old.get(c).map(_.length).getOrElse(0), nw.get(c).map(_.length).getOrElse(0))
+      val expect =
+        if (oc > 0 && nc > 0) "update"
+        else if (oc == 0) "insert"
+        else if (old(c).map(_._2).max < Queries.DormantCut) "delete" else "keep"
+      assert(r.getAs[String]("action") == expect, s"cust $c")
+      assert(r.getAs[Long]("old_cnt") == oc && r.getAs[Long]("new_cnt") == nc)
+      val mergedC = if (expect == "delete") 0L
+        else old.get(c).map(_.map(_._3).sum).getOrElse(0L) +
+          nw.get(c).map(_.map(_._3).sum).getOrElse(0L)
+      assert(r.getAs[Long]("merged_cnt") == (if (expect == "delete") 0 else oc + nc))
+      assert(r.getAs[Long]("merged_price_c") == mergedC)
+    }
+    // all four branches actually occur at this sf
+    assert(out.map(_.getAs[String]("action")).toSet == Set("update", "insert", "delete", "keep"))
+  }
+
+  test("b36 above-avg: brute-force recompute; the correlated subquery decorrelates") {
+    val df = Queries.aboveAvg(spark, sf)
+    val out = df.collect()
+    assert(out.nonEmpty)
+    val orders = graft.Tables(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCust = orders.groupBy(_._1)
+    val expect = orders.filter { case (c, _, p) =>
+      val g = byCust(c); 2 * p * g.length > 3 * g.map(_._3).sum
+    }.map(t => (t._1, t._2)).sortBy(identity)
+    assert(out.map(r => (r.getAs[Long]("cust"), r.getAs[Long]("o_orderkey"))).toSeq == expect.toSeq)
+    out.foreach { r =>
+      val g = byCust(r.getAs[Long]("cust"))
+      assert(r.getAs[Long]("n_orders") == g.length)
+      assert(r.getAs[Long]("sum_c") == g.map(_._3).sum)
+    }
+    // Catalyst decorrelated: no scalar subqueries survive optimization
+    assert(!df.queryExecution.optimizedPlan.toString.contains("scalar-subquery"))
+  }
 }

@@ -803,4 +803,88 @@ class DedupQueriesSpec extends SparkTestBase {
       assert(jac >= d * 100000L && (d == 9L || jac < (d + 1) * 100000L))
     }
   }
+
+  test("c77 keep-best: argmax selection vs the independently-pinned closure and quality") {
+    import graft.dedup.DedupQueries
+    val out = DedupQueries.c77KeepBest(spark, sf).collect()
+    val closure = DedupQueries.c19DedupCollapse(spark, sf)
+      .select("doc_id", "canonical_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qual = TextQueries.c3QualityScore(spark, sf)
+      .select("doc_id", "quality_micro").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(_.getLong(0)).toSet == closure.keySet)
+    val byCluster = closure.keys.groupBy(closure)
+    out.foreach { r =>
+      val (doc, cl) = (r.getLong(0), r.getAs[Long]("canonical_id"))
+      assert(cl == closure(doc))
+      val members = byCluster(cl).toSeq
+      val expectBest = members.minBy(d => (-qual(d), d))
+      assert(r.getAs[Long]("best_id") == expectBest, s"cluster $cl")
+      assert(r.getAs[Long]("cluster_size") == members.size)
+      assert(r.getAs[Long]("quality_micro") == qual(doc))
+      assert(r.getAs[Boolean]("keep_best") == (doc == expectBest))
+    }
+    // exactly one keeper per cluster, and keep-best differs from
+    // keep-min-id somewhere (the rule change is observable)
+    assert(out.count(_.getAs[Boolean]("keep_best")) == byCluster.size)
+    assert(out.exists(r => r.getAs[Boolean]("keep_best") &&
+      r.getLong(0) != r.getAs[Long]("canonical_id")))
+  }
+
+  test("c75 Good-Turing: exact count-of-counts recompute, smoothing identities") {
+    val out = TextQueries.c75GoodTuring(spark, sf).collect()
+    assert(out.nonEmpty)
+    // re-derive the gram-hash tf table with an independent Scala fold
+    def th(w: String): Long =
+      w.length.toLong * 1009L + w.head.toInt * 31L + w.last.toInt
+    val grams = graft.Tables(spark, sf, "documents").select("text").collect()
+      .map(_.getString(0).split(" ").toSeq).filter(_.size >= TextQueries.ContamN)
+      .flatMap(_.sliding(TextQueries.ContamN).map(
+        _.foldLeft(0L)((acc, w) => (acc * TextQueries.FpB + th(w)) % TextQueries.FpM)))
+    val tf = grams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val fof = tf.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n1 = fof.getOrElse(1L, 0L)
+    val nTotal = grams.length.toLong
+    out.foreach { r =>
+      val rr = r.getAs[Long]("r")
+      assert(r.getAs[Long]("n_r") == fof(rr), s"N_$rr")
+      val next = fof.getOrElse(rr + 1, 0L)
+      assert(r.getAs[Long]("n_next") == next)
+      assert(r.getAs[Long]("gt_micro") == (rr + 1) * next * 1000000L / fof(rr))
+      assert(r.getAs[Long]("unseen_ppm") == n1 * 1000000L / nTotal)
+    }
+    // every observed r <= cap is present — the singleton band especially
+    assert(out.map(_.getAs[Long]("r")).toSet ==
+      fof.keySet.filter(_ <= TextQueries.GtMaxR))
+    assert(out.exists(_.getAs[Long]("r") == 1L))
+    // only r values that occur appear, ordered, within the cap
+    assert(out.map(_.getAs[Long]("r")).toSeq == out.map(_.getAs[Long]("r")).sorted.toSeq)
+    assert(out.forall(r => r.getAs[Long]("r") >= 1 && r.getAs[Long]("r") <= TextQueries.GtMaxR))
+  }
+
+  test("c76 doc entropy: exact per-doc recompute, bounds 0 <= H <= ln(types)") {
+    val out = TextQueries.c76DocEntropy(spark, sf).collect()
+    val docs = graft.Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    assert(out.map(_.getLong(0)).toSet == docs.keySet)
+    def q(d: Double) = BigDecimal(d).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    out.foreach { r =>
+      val ts = docs(r.getLong(0))
+      val n = ts.size.toDouble
+      val counts = ts.groupBy(identity).view.mapValues(_.size).values.toSeq
+      val h = counts.map(c => q(c / n * math.log(n / c) * 1e9)).sum
+      assert(r.getAs[Long]("n_tokens") == ts.size)
+      assert(r.getAs[Long]("n_types") == counts.size)
+      assert(r.getAs[Long]("entropy_nano") == h, s"doc ${r.getLong(0)}")
+      if (counts.size > 1) {
+        assert(r.getAs[Long]("efficiency_ppm") ==
+          q(h / 1e9 / math.log(counts.size.toDouble) * 1e6))
+        // quantization slack: each term rounds within 0.5 nano-nat
+        assert(r.getAs[Long]("entropy_nano") >= -counts.size &&
+          r.getAs[Long]("entropy_nano") <=
+            q(math.log(counts.size.toDouble) * 1e9) + counts.size)
+      } else assert(r.isNullAt(r.fieldIndex("efficiency_ppm")))
+    }
+  }
 }

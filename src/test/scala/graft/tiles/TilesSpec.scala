@@ -315,4 +315,26 @@ class GeoQueriesSpec extends SparkTestBase {
       .filter(col("d2") =!= 0L || col("best_x") =!= col("nx") || col("best_y") =!= col("ny"))
       .count() == 0)
   }
+
+  test("a37 tile RLE: runs re-expand to exactly the a3 grid and are maximal") {
+    val runs = GeoQueries.a37TileRle(spark, sf)
+    val grid = GridOps.fillPolygons(spark).select("poly", "x", "y")
+    // lossless: expanding every run reproduces the grid exactly
+    val expanded = runs.select(col("poly"), col("y"),
+        explode(expr("sequence(x_start, x_start + run_len - 1)")).as("x"))
+      .select("poly", "x", "y") // except() is positional — align with grid
+    assert(expanded.count() == grid.count())
+    assert(expanded.except(grid).count() == 0 && grid.except(expanded).count() == 0)
+    // maximal: no run's end touches the next run's start within a row
+    val r = runs.collect().map(t => (t.getAs[Long]("poly"), t.getAs[Long]("y"),
+      t.getAs[Long]("x_start"), t.getAs[Long]("run_len")))
+    r.groupBy(t => (t._1, t._2)).values.foreach { row =>
+      row.sortBy(_._3).sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 < b._3, s"touching runs $a $b")
+        case _ =>
+      }
+    }
+    // compression is real on solid polygons: fewer runs than tiles
+    assert(runs.count() < grid.count())
+  }
 }
