@@ -740,7 +740,60 @@ object DedupQueries {
        |ORDER BY j.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C79
+  /** C79: cross-source duplication overlap — the syndication report:
+    * for every pair of sources, how many near-dup clusters they SHARE
+    * and how many cross-source duplicate pairs that implies
+    * (Σ n_a·n_b over shared clusters). This is the matrix a curation
+    * team reads to find mirror domains, content farms and wire-copy
+    * syndication BEFORE setting C30's mixing weights — within-source
+    * duplication inflates one domain (C35's report), cross-source
+    * duplication silently double-counts the same text under two
+    * domain budgets.
+    *
+    * Scale shape: the C19 closure joins docs once (doc-keyed), then
+    * ONE (cluster, source) partial agg; the pair expansion self-joins
+    * that per-cluster source-count frame on the CLUSTER key — rows per
+    * cluster bounded by the SOURCE DOMAIN (C22's value-domain
+    * argument), so the join fan-out is |sources|² per cluster however
+    * many documents a cluster swallows; the final agg is
+    * |sources|²-bounded. The hot cluster never matters: its million
+    * members collapsed in the first partial agg.
+    */
+  def c79CrossSource(spark: SparkSession, dir: String): DataFrame = {
+    val bySrc = c19DedupCollapse(spark, dir).select("doc_id", "canonical_id")
+      .join(Tables(spark, dir, "documents").select("doc_id", "source"), "doc_id")
+      .groupBy("canonical_id", "source").agg(count(lit(1)).as("n"))
+    bySrc.select(col("canonical_id"), col("source").as("source_a"), col("n").as("na"))
+      .join(bySrc.select(col("canonical_id"), col("source").as("source_b"), col("n").as("nb")),
+        "canonical_id")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_clusters"),
+        sum(col("na") * col("nb")).as("n_cross_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val c79Sql: String = {
+    val c19Body = c19Sql.stripSuffix("ORDER BY doc_id").trim
+    s"""WITH collapse AS (
+       |$c19Body
+       |), by_src AS (
+       |  SELECT c.canonical_id, d.source, COUNT(*) AS n
+       |  FROM collapse c JOIN documents d USING (doc_id)
+       |  GROUP BY c.canonical_id, d.source
+       |)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  COUNT(*) AS n_shared_clusters,
+       |  CAST(SUM(a.n * b.n) AS BIGINT) AS n_cross_pairs
+       |FROM by_src a JOIN by_src b
+       |  ON b.canonical_id = a.canonical_id AND a.source < b.source
+       |GROUP BY a.source, b.source
+       |ORDER BY source_a, source_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c79_cross_source" -> (c79CrossSource _),
     "c77_keep_best" -> (c77KeepBest _),
     "c74_minhash_error" -> (c74MinhashError _),
     "c6_minhash_lsh" -> (c6MinhashLsh _),
@@ -752,6 +805,7 @@ object DedupQueries {
     "c66_containment" -> (c66Containment _))
 
   val oracles: Map[String, String] = Map(
+    "c79_cross_source" -> c79Sql,
     "c77_keep_best" -> c77Sql,
     "c74_minhash_error" -> c74Sql,
     "c6_minhash_lsh" -> c6Sql,

@@ -1469,8 +1469,61 @@ object GeoQueries {
       |GROUP BY poly, y, isl
       |ORDER BY poly, y, x_start""".stripMargin)
 
+  // ---------------------------------------------------------------- A38
+  /** A38: snapshot diff after re-inference — when the model updates,
+    * the reference re-scores the world (run_inference.py's loop with a
+    * new checkpoint) and what operations actually needs is the DIFF:
+    * which tiles entered the positive set (new review work), which
+    * left it (retractions to un-publish), which persisted. Both
+    * snapshots derive from the SAME lineitem scan — score v1 is §4's
+    * hash score, v2 swaps the two mixing constants ("the updated
+    * model": same marginals, decorrelated per-tile) — so the whole
+    * diff is ONE map-side-combinable groupBy computing both MAX scores
+    * per cell, a scan-stage CASE, and a filter. No join at all: the
+    * full-outer-join shape a naive two-snapshot diff would shuffle
+    * twice collapses into one agg because the snapshots share a
+    * derivation — the pattern to reach for whenever "diff two
+    * versions" really means "re-derive with two parameterizations".
+    */
+  def a38SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val score2 =
+      ((((col("l_orderkey") * lit(40503L)) + (col("l_partkey") * lit(2654435761L))) % 1000L)
+        / lit(1000.0))
+    Tables(spark, dir, "lineitem")
+      .select((col("l_orderkey") % GeoDerive.W).as("x"),
+        (col("l_partkey") % GeoDerive.H).as("y"),
+        GeoDerive.scoreCol.as("s1"), score2.as("s2"))
+      .withColumn("poly", ((col("x") * GeoDerive.H) + col("y")) % 5)
+      .groupBy("poly", "x", "y")
+      .agg(max("s1").as("s1"), max("s2").as("s2"))
+      .withColumn("status",
+        when(col("s1") >= GeoDerive.Threshold && col("s2") >= GeoDerive.Threshold, "kept")
+          .when(col("s1") >= GeoDerive.Threshold, "removed")
+          .when(col("s2") >= GeoDerive.Threshold, "added"))
+      .filter(col("status").isNotNull)
+      .select("poly", "x", "y", "status")
+      .orderBy("poly", "x", "y")
+  }
+
+  val a38Sql: String =
+    s"""WITH snap AS (
+       |  SELECT (((l_orderkey % 97) * 89 + (l_partkey % 89)) % 5) AS poly,
+       |    (l_orderkey % 97) AS x, (l_partkey % 89) AS y,
+       |    MAX((((l_orderkey * 2654435761) + (l_partkey * 40503)) % 1000) / 1000.0) AS s1,
+       |    MAX((((l_orderkey * 40503) + (l_partkey * 2654435761)) % 1000) / 1000.0) AS s2
+       |  FROM lineitem GROUP BY 1, 2, 3
+       |)
+       |SELECT poly, x, y,
+       |  CASE WHEN s1 >= ${GeoDerive.Threshold} AND s2 >= ${GeoDerive.Threshold} THEN 'kept'
+       |       WHEN s1 >= ${GeoDerive.Threshold} THEN 'removed'
+       |       WHEN s2 >= ${GeoDerive.Threshold} THEN 'added' END AS status
+       |FROM snap
+       |WHERE s1 >= ${GeoDerive.Threshold} OR s2 >= ${GeoDerive.Threshold}
+       |ORDER BY poly, x, y""".stripMargin
+
   /** All A-block entries for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a38_snapshot_diff" -> (a38SnapshotDiff _),
     "a37_tile_rle" -> (a37TileRle _),
     "a36_mixed_cover" -> (a36MixedCover _),
     "a35_geohash" -> (a35Geohash _),
@@ -1514,6 +1567,7 @@ object GeoQueries {
     "a19_inference_scored" -> (a19InferenceScored _))
 
   val oracles: Map[String, String] = Map(
+    "a38_snapshot_diff" -> a38Sql,
     "a37_tile_rle" -> a37Sql,
     "a36_mixed_cover" -> a36Sql,
     "a35_geohash" -> a35Sql,

@@ -804,6 +804,31 @@ class DedupQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("c79 cross-source: brute-force pair recompute from the pinned closure") {
+    import graft.dedup.DedupQueries
+    val out = DedupQueries.c79CrossSource(spark, sf).collect()
+    assert(out.nonEmpty)
+    val closure = DedupQueries.c19DedupCollapse(spark, sf)
+      .select("doc_id", "canonical_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val src = graft.Tables(spark, sf, "documents").select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perCluster = closure.toSeq.groupBy(_._2).view
+      .mapValues(_.map(t => src(t._1)).groupBy(identity).view.mapValues(_.size.toLong).toMap)
+    val expect = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+    perCluster.values.foreach { counts =>
+      val ss = counts.keys.toSeq.sorted
+      for (i <- ss.indices; j <- i + 1 until ss.size) {
+        val k = (ss(i), ss(j))
+        val (c, p) = expect.getOrElse(k, (0L, 0L))
+        expect(k) = (c + 1, p + counts(ss(i)) * counts(ss(j)))
+      }
+    }
+    assert(out.map(r => ((r.getString(0), r.getString(1)),
+      (r.getAs[Long]("n_shared_clusters"), r.getAs[Long]("n_cross_pairs")))).toMap
+      == expect.toMap)
+  }
+
   test("c77 keep-best: argmax selection vs the independently-pinned closure and quality") {
     import graft.dedup.DedupQueries
     val out = DedupQueries.c77KeepBest(spark, sf).collect()

@@ -316,6 +316,20 @@ class GeoQueriesSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("a38 snapshot diff: kept+removed = v1 positives, kept+added = v2 positives") {
+    val out = GeoQueries.a38SnapshotDiff(spark, sf)
+    val byStatus = out.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus.keySet == Set("kept", "removed", "added"))
+    // v1 positives are exactly GeoDerive's positive set
+    val v1 = GeoDerive.cells(spark, sf).filter(col("score") >= GeoDerive.Threshold).count()
+    assert(byStatus("kept") + byStatus("removed") == v1)
+    // statuses are mutually exclusive per tile
+    assert(out.groupBy("poly", "x", "y").count().filter(col("count") > 1).count() == 0)
+    // the rescore is a real change: both churn directions are non-trivial
+    assert(byStatus("removed") > 0 && byStatus("added") > 0)
+  }
+
   test("a37 tile RLE: runs re-expand to exactly the a3 grid and are maximal") {
     val runs = GeoQueries.a37TileRle(spark, sf)
     val grid = GridOps.fillPolygons(spark).select("poly", "x", "y")
