@@ -553,6 +553,11 @@ object StreamingOps {
     spark.readStream.schema(schema).parquet(sourceDir)
   }
 
+  def lineitemStream(spark: SparkSession, sfDir: String, sourceDir: String): DataFrame = {
+    val schema = Tables(spark, sfDir, "lineitem").schema
+    spark.readStream.schema(schema).parquet(sourceDir)
+  }
+
   def embeddingsStream(spark: SparkSession, sfDir: String, sourceDir: String): DataFrame = {
     val schema = Tables(spark, sfDir, "embeddings").schema
     spark.readStream.schema(schema).parquet(sourceDir)

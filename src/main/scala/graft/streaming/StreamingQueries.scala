@@ -748,7 +748,28 @@ object StreamingQueries {
 
   val d24Sql: String = graft.text.TextQueries.c73Sql
 
+  // ---------------------------------------------------------------- D25
+  /** A38's re-inference snapshot diff maintained LIVE: re-scored
+    * observations stream in and the add/remove/keep dashboard is
+    * always current — the operational view a mapping team watches
+    * DURING a model rollout instead of waiting for the batch diff.
+    * ONE shared definition with the batch query
+    * (GeoQueries.diffOn — the d13/d22/d24 contract: batch and stream
+    * can never drift); state is one fixed-size (max s1, max s2) record
+    * per TILE, bounded by the world grid however long the stream runs.
+    * Oracle IS a38Sql (one definition).
+    */
+  def d25StreamDiff(spark: SparkSession, sfDir: String): DataFrame =
+    runToTable(
+        graft.tiles.GeoQueries.diffOn(StreamingOps.lineitemStream(
+          spark, sfDir, staged(spark, sfDir, "lineitem"))),
+        "graft_d25_sink", "complete")
+      .orderBy("poly", "x", "y")
+
+  val d25Sql: String = graft.tiles.GeoQueries.a38Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d25_stream_diff" -> (d25StreamDiff _),
     "d24_stream_drift" -> (d24StreamDrift _),
     "d23_stream_scd2" -> (d23StreamScd2 _),
     "d22_stream_kmeans" -> (d22StreamKmeans _),
@@ -775,6 +796,7 @@ object StreamingQueries {
     "d18_stream_quantile" -> (d18StreamQuantile _))
 
   val oracles: Map[String, String] = Map(
+    "d25_stream_diff" -> d25Sql,
     "d24_stream_drift" -> d24Sql,
     "d23_stream_scd2" -> d23Sql,
     "d22_stream_kmeans" -> d22Sql,

@@ -1485,11 +1485,22 @@ object GeoQueries {
     * derivation — the pattern to reach for whenever "diff two
     * versions" really means "re-derive with two parameterizations".
     */
-  def a38SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+  def a38SnapshotDiff(spark: SparkSession, dir: String): DataFrame =
+    diffOn(Tables(spark, dir, "lineitem")).orderBy("poly", "x", "y")
+
+  /** The diff body on ANY lineitem-shaped frame — ONE definition shared
+    * by the batch query and D25's live stream (the d13/d22/d24
+    * shared-definition contract: batch and stream can never drift).
+    * Streaming-legal by construction: a complete-mode (poly, x, y) agg
+    * holding one fixed-size (max s1, max s2) record per TILE — state
+    * bounded by the world grid however long the stream runs — then
+    * scan-stage classification.
+    */
+  private[graft] def diffOn(lineitem: DataFrame): DataFrame = {
     val score2 =
       ((((col("l_orderkey") * lit(40503L)) + (col("l_partkey") * lit(2654435761L))) % 1000L)
         / lit(1000.0))
-    Tables(spark, dir, "lineitem")
+    lineitem
       .select((col("l_orderkey") % GeoDerive.W).as("x"),
         (col("l_partkey") % GeoDerive.H).as("y"),
         GeoDerive.scoreCol.as("s1"), score2.as("s2"))
@@ -1502,7 +1513,6 @@ object GeoQueries {
           .when(col("s2") >= GeoDerive.Threshold, "added"))
       .filter(col("status").isNotNull)
       .select("poly", "x", "y", "status")
-      .orderBy("poly", "x", "y")
   }
 
   val a38Sql: String =

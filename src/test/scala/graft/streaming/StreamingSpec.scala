@@ -512,4 +512,14 @@ class StreamingSpec extends SparkTestBase {
     assert(got.count() > 0)
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
+
+  test("D25 streaming snapshot diff == batch A38 (shared diffOn definition)") {
+    val got = graft.streaming.StreamingQueries.queries("d25_stream_diff")(spark, sf)
+      .localCheckpoint()
+    val want = graft.tiles.GeoQueries.a38SnapshotDiff(spark, sf)
+    assert(got.count() > 0 && got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // all three statuses survive the stream
+    assert(got.select("status").distinct().count() == 3)
+  }
 }
