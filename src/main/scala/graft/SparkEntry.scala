@@ -58,7 +58,8 @@ object SparkEntry {
     "b33_grouping_sets" -> (Queries.groupingSetsRevenue _),
     "b34_cumulative_distinct" -> (Queries.cumulativeDistinct _),
     "b35_merge_upsert" -> (Queries.mergeUpsert _),
-    "b36_above_avg" -> (Queries.aboveAvg _)
+    "b36_above_avg" -> (Queries.aboveAvg _),
+    "b37_retention_cohorts" -> (Queries.retentionCohorts _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -105,6 +106,7 @@ object SparkEntry {
     "b33_grouping_sets" -> Queries.groupingSetsRevenueSql,
     "b34_cumulative_distinct" -> Queries.cumulativeDistinctSql,
     "b35_merge_upsert" -> Queries.mergeUpsertSql,
-    "b36_above_avg" -> Queries.aboveAvgSql
+    "b36_above_avg" -> Queries.aboveAvgSql,
+    "b37_retention_cohorts" -> Queries.retentionCohortsSql
   )
 }

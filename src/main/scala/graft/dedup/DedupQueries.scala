@@ -792,7 +792,49 @@ object DedupQueries {
        |ORDER BY source_a, source_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C80
+  /** C80: quality × duplication cross-tabulation — the one-page answer
+    * to "are our duplicates junk?": every document classified by its
+    * C36 gate outcome (ok / too_short / low_quality / repetitive) ×
+    * its C19 dedup status (canonical / duplicate), with document
+    * counts and token mass per cell. If duplicate mass concentrates in the `ok` row the
+    * near-dup stage is load-bearing (the gate won't catch it); if it
+    * concentrates in the reject rows the gate alone would have dropped
+    * most of it — which stage to spend compute on at 100 TB is read
+    * straight off this table. Composes two memoized intermediates with
+    * one doc-keyed join and a ≤8-row agg; every input column is
+    * scan-stage.
+    */
+  def c80QualityDupCrosstab(spark: SparkSession, dir: String): DataFrame = {
+    val gate = graft.text.TextQueries.c36QualityGate(spark, dir)
+      .select(col("doc_id"), col("reason"), col("n_tokens"))
+    val dup = c19DedupCollapse(spark, dir)
+      .select(col("doc_id"),
+        when(col("keep"), "canonical").otherwise("duplicate").as("dup_status"))
+    gate.join(dup, "doc_id")
+      .groupBy("reason", "dup_status")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+      .orderBy("reason", "dup_status")
+  }
+
+  val c80Sql: String = {
+    val c19Body = c19Sql.stripSuffix("ORDER BY doc_id").trim
+    val c36Body = graft.text.TextQueries.c36Sql.stripSuffix("ORDER BY doc_id").trim
+    s"""WITH collapse AS (
+       |$c19Body
+       |), gate AS (
+       |$c36Body
+       |)
+       |SELECT g.reason,
+       |  CASE WHEN c.keep THEN 'canonical' ELSE 'duplicate' END AS dup_status,
+       |  COUNT(*) AS n_docs, CAST(SUM(g.n_tokens) AS BIGINT) AS sum_tokens
+       |FROM gate g JOIN collapse c USING (doc_id)
+       |GROUP BY g.reason, CASE WHEN c.keep THEN 'canonical' ELSE 'duplicate' END
+       |ORDER BY reason, dup_status""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c80_quality_dup" -> (c80QualityDupCrosstab _),
     "c79_cross_source" -> (c79CrossSource _),
     "c77_keep_best" -> (c77KeepBest _),
     "c74_minhash_error" -> (c74MinhashError _),
@@ -805,6 +847,7 @@ object DedupQueries {
     "c66_containment" -> (c66Containment _))
 
   val oracles: Map[String, String] = Map(
+    "c80_quality_dup" -> c80Sql,
     "c79_cross_source" -> c79Sql,
     "c77_keep_best" -> c77Sql,
     "c74_minhash_error" -> c74Sql,

@@ -1646,16 +1646,20 @@ object Queries {
   /** B36: correlated scalar subquery (the TPC-H Q17 shape) — orders
     * priced above 1.5× THEIR OWN customer's average, written as the
     * correlated `(SELECT AVG ... WHERE same customer)` every analyst
-    * reaches for, and left to Catalyst's subquery DECORRELATION: the
-    * optimizer rewrites it into one per-customer aggregate + a
-    * cust-keyed equi-join — the plan a hand-rolled join would produce,
-    * with NO per-row subquery execution (the `.explain` shows
-    * Aggregate + Join, no nested scans). The predicate is kept in
-    * exact integers — `2·price_c·n_orders > 3·sum_c` instead of a
-    * double AVG comparison — so both engines agree on every boundary
-    * row. Scale shape after decorrelation: one partial agg + one
-    * shuffle join on o_custkey, AQE-sizable; the correlated FORM costs
-    * nothing at any scale because it never survives optimization.
+    * reaches for, and left to Catalyst's subquery DECORRELATION: each
+    * scalar subquery rewrites into a per-customer aggregate +
+    * cust-keyed equi-join — NO per-row subquery execution ever (the
+    * spec asserts no scalar-subquery survives the optimized plan).
+    * The audited plan is honest about the cost: Catalyst decorrelates
+    * each subquery OCCURRENCE into its own aggregate+join without
+    * common-subexpression sharing (here 4 broadcast hash joins), so at
+    * 100 TB the hand-written single-aggregate join (B35's shape) stays
+    * the preferred form — this query exists to prove the correlated
+    * SURFACE works, is exactly equivalent, and degrades to extra
+    * dimension-sized aggregates rather than to a nested loop. The
+    * predicate is kept in exact integers — `2·price_c·n_orders >
+    * 3·sum_c` instead of a double AVG comparison — so both engines
+    * agree on every boundary row.
     */
   def aboveAvg(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir, "orders")
@@ -1688,6 +1692,57 @@ object Queries {
       |WHERE 2 * price_c * (SELECT COUNT(*) FROM o i WHERE i.cust = o.cust)
       |    > 3 * (SELECT CAST(SUM(price_c) AS BIGINT) FROM o i WHERE i.cust = o.cust)
       |ORDER BY cust, o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------- B37
+  /** B37: retention cohort matrix — the warehouse staple B24's
+    * set-operation retention only samples two fixed periods of:
+    * customers grouped by FIRST-order month (the cohort), tracked by
+    * months-since-first (age), with retention in exact ppm against the
+    * cohort's size. The (cohort × age) triangle is the table every
+    * growth dashboard renders.
+    *
+    * Scale shape: first-order month is one map-side-combinable
+    * per-customer agg (B34's first-appearance attribution, reused);
+    * joining it back is a cust-keyed hash join of two already-reduced
+    * frames; the matrix agg is COUNT(DISTINCT cust) per (cohort, age)
+    * — Catalyst plans distinct-aggregate via Expand + two-phase agg,
+    * partials combining map-side; cohort sizes come from the age-0
+    * diagonal via a tiny self-join (never a window over the matrix).
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables(spark, dir, "orders")
+      .select(col("o_custkey").as("cust"),
+        (year(col("o_orderdate")) * 12L + month(col("o_orderdate")) - 1L).as("m"))
+    val first = src.groupBy("cust").agg(min("m").as("cohort"))
+    val matrix = src.join(first, "cust")
+      .groupBy(col("cohort"), (col("m") - col("cohort")).as("age"))
+      .agg(countDistinct("cust").as("n_active"))
+    val sizes = matrix.filter(col("age") === 0L)
+      .select(col("cohort"), col("n_active").as("cohort_size"))
+    matrix.join(sizes, "cohort")
+      .withColumn("retention_ppm", expr("n_active * 1000000 div cohort_size"))
+      .select("cohort", "age", "n_active", "cohort_size", "retention_ppm")
+      .orderBy("cohort", "age")
+  }
+
+  val retentionCohortsSql: String =
+    """WITH src AS (
+      |  SELECT o_custkey AS cust,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m
+      |  FROM orders
+      |), first_m AS (
+      |  SELECT cust, MIN(m) AS cohort FROM src GROUP BY cust
+      |), matrix AS (
+      |  SELECT f.cohort, s.m - f.cohort AS age, COUNT(DISTINCT s.cust) AS n_active
+      |  FROM src s JOIN first_m f ON f.cust = s.cust
+      |  GROUP BY f.cohort, s.m - f.cohort
+      |), sizes AS (
+      |  SELECT cohort, n_active AS cohort_size FROM matrix WHERE age = 0
+      |)
+      |SELECT m.cohort, m.age, m.n_active, z.cohort_size,
+      |  m.n_active * 1000000 // z.cohort_size AS retention_ppm
+      |FROM matrix m JOIN sizes z USING (cohort)
+      |ORDER BY m.cohort, m.age""".stripMargin
 
   val scd2IntervalsSql: String =
     """WITH ordered AS (

@@ -1531,8 +1531,74 @@ object GeoQueries {
        |WHERE s1 >= ${GeoDerive.Threshold} OR s2 >= ${GeoDerive.Threshold}
        |ORDER BY poly, x, y""".stripMargin
 
+  // ---------------------------------------------------------------- A39
+  /** A39: the conflation decision queue — the reference's actual end
+    * product assembled into one table: per detected cluster, `mapped`
+    * (an OSM node sits ON a member tile — a13's exclusion test,
+    * maproulette.py:76-83), `review` (no exact hit but a node within
+    * Chebyshev radius [[NearRadius]] — a34's near-miss band, the
+    * import-offset case a human reviews), or `challenge` (nothing
+    * nearby — goes to the MapRoulette challenge like a25's
+    * FeatureCollection). One query a downstream tasking system can
+    * consume directly, where the reference drives three separate
+    * passes.
+    *
+    * Scale shape: composes the memoized component labeling with the
+    * deduped node set; the exact test is ONE tile-coordinate hash
+    * equi-join; the near test is a34's bounded (2R+1)² offset explode
+    * on the NODE side then the same equi-join + cluster-keyed min
+    * partial agg; the decision is a scan-stage CASE over two left
+    * joins on the cluster key. Never a distance θ-join, nothing
+    * rtree-shaped (maproulette.py:69-74 can't distribute; this
+    * shuffles O(nodes·49) fixed-width rows at any scale).
+    */
+  def a39ConflationQueue(spark: SparkSession, dir: String): DataFrame = {
+    val cc = Clustering.componentsFor(spark, dir)
+    val nd = GeoDerive.nodes(spark, dir).select("nx", "ny").distinct()
+    val exact = cc.join(nd, cc("x") === nd("nx") && cc("y") === nd("ny"))
+      .select("cluster_id").distinct().withColumn("has_exact", lit(true))
+    val near = nd
+      .withColumn("dx", explode(sequence(lit(-NearRadius), lit(NearRadius))))
+      .withColumn("dy", explode(sequence(lit(-NearRadius), lit(NearRadius))))
+      .select((col("nx") + col("dx")).as("x"), (col("ny") + col("dy")).as("y"),
+        (col("dx") * col("dx") + col("dy") * col("dy")).cast("long").as("d2"))
+      .join(cc.select("cluster_id", "x", "y"), Seq("x", "y"))
+      .groupBy("cluster_id").agg(min("d2").as("min_d2"))
+    cc.groupBy("cluster_id").agg(count(lit(1)).as("n_tiles"))
+      .join(exact, Seq("cluster_id"), "left")
+      .join(near, Seq("cluster_id"), "left")
+      .select(col("cluster_id"), col("n_tiles"),
+        when(col("has_exact"), "mapped")
+          .when(col("min_d2").isNotNull, "review")
+          .otherwise("challenge").as("decision"),
+        coalesce(col("min_d2"), lit(-1L)).as("min_d2"))
+      .orderBy("cluster_id")
+  }
+
+  val a39Sql: String = withCtes(true, GeoDerive.cellsCte, GeoDerive.positivesCte,
+    Clustering.ccCte, GeoDerive.nodesCte,
+    s"""nd AS (SELECT DISTINCT nx, ny FROM nodes),
+       |ex AS (SELECT DISTINCT c.cluster_id FROM cc c
+       |       JOIN nd n ON c.x = n.nx AND c.y = n.ny),
+       |nearc AS (
+       |  SELECT c.cluster_id, MIN(CAST(dx*dx + dy*dy AS BIGINT)) AS min_d2
+       |  FROM nd CROSS JOIN range(-$NearRadius, ${NearRadius + 1}) tx(dx)
+       |       CROSS JOIN range(-$NearRadius, ${NearRadius + 1}) ty(dy)
+       |  JOIN cc c ON c.x = nd.nx + dx AND c.y = nd.ny + dy
+       |  GROUP BY c.cluster_id
+       |),
+       |st AS (SELECT cluster_id, COUNT(*) AS n_tiles FROM cc GROUP BY cluster_id)""".stripMargin)(
+    """SELECT st.cluster_id, st.n_tiles,
+      |  CASE WHEN ex.cluster_id IS NOT NULL THEN 'mapped'
+      |       WHEN nearc.min_d2 IS NOT NULL THEN 'review'
+      |       ELSE 'challenge' END AS decision,
+      |  COALESCE(nearc.min_d2, -1) AS min_d2
+      |FROM st LEFT JOIN ex USING (cluster_id) LEFT JOIN nearc USING (cluster_id)
+      |ORDER BY cluster_id""".stripMargin)
+
   /** All A-block entries for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a39_conflation_queue" -> (a39ConflationQueue _),
     "a38_snapshot_diff" -> (a38SnapshotDiff _),
     "a37_tile_rle" -> (a37TileRle _),
     "a36_mixed_cover" -> (a36MixedCover _),
@@ -1577,6 +1643,7 @@ object GeoQueries {
     "a19_inference_scored" -> (a19InferenceScored _))
 
   val oracles: Map[String, String] = Map(
+    "a39_conflation_queue" -> a39Sql,
     "a38_snapshot_diff" -> a38Sql,
     "a37_tile_rle" -> a37Sql,
     "a36_mixed_cover" -> a36Sql,

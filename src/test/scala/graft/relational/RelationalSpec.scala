@@ -514,6 +514,27 @@ class RelationalSpec extends SparkTestBase {
     assert(out.map(_.getAs[String]("action")).toSet == Set("update", "insert", "delete", "keep"))
   }
 
+  test("b37 retention cohorts: brute-force matrix recompute, age-0 diagonal full") {
+    val out = Queries.retentionCohorts(spark, sf).collect()
+    assert(out.nonEmpty)
+    val src = graft.Tables(spark, sf, "orders")
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12L + month(col("o_orderdate")) - 1L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val firstM = src.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expect = src.map { case (c, m) => (firstM(c), m - firstM(c), c) }
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).distinct.size.toLong).toMap
+    assert(out.map(r => ((r.getAs[Long]("cohort"), r.getAs[Long]("age")),
+      r.getAs[Long]("n_active"))).toMap == expect.toMap)
+    out.foreach { r =>
+      val size = expect((r.getAs[Long]("cohort"), 0L))
+      assert(r.getAs[Long]("cohort_size") == size)
+      assert(r.getAs[Long]("retention_ppm") == r.getAs[Long]("n_active") * 1000000L / size)
+      // at age 0 every cohort member is active by definition
+      if (r.getAs[Long]("age") == 0L) assert(r.getAs[Long]("retention_ppm") == 1000000L)
+    }
+  }
+
   test("b36 above-avg: brute-force recompute; the correlated subquery decorrelates") {
     val df = Queries.aboveAvg(spark, sf)
     val out = df.collect()

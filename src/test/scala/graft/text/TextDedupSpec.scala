@@ -804,6 +804,32 @@ class DedupQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("c80 quality-dup crosstab: cells re-sum to the corpus, canonical counts match c19") {
+    import graft.dedup.DedupQueries
+    val out = DedupQueries.c80QualityDupCrosstab(spark, sf).collect()
+    assert(out.nonEmpty)
+    val nDocs = graft.Tables(spark, sf, "documents").count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // canonical column total = c19's keeper count
+    val keepers = DedupQueries.c19DedupCollapse(spark, sf)
+      .filter(col("keep")).count()
+    assert(out.filter(_.getAs[String]("dup_status") == "canonical")
+      .map(_.getAs[Long]("n_docs")).sum == keepers)
+    // per-cell recompute from the two pinned inputs
+    val gate = TextQueries.c36QualityGate(spark, sf)
+      .select("doc_id", "reason", "n_tokens").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val dup = DedupQueries.c19DedupCollapse(spark, sf)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val expect = gate.toSeq.map { case (id, (reason, nt)) =>
+      ((reason, if (dup(id)) "canonical" else "duplicate"), (1L, nt))
+    }.groupBy(_._1).view.mapValues(v =>
+      (v.map(_._2._1).sum, v.map(_._2._2).sum)).toMap
+    assert(out.map(r => ((r.getString(0), r.getString(1)),
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens")))).toMap == expect.toMap)
+  }
+
   test("c79 cross-source: brute-force pair recompute from the pinned closure") {
     import graft.dedup.DedupQueries
     val out = DedupQueries.c79CrossSource(spark, sf).collect()

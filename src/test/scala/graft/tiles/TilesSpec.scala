@@ -316,6 +316,30 @@ class GeoQueriesSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("a39 conflation queue: decisions agree with a13's exclusions and a34's near band") {
+    val out = GeoQueries.a39ConflationQueue(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byDecision = out.groupBy(_.getAs[String]("decision"))
+    // every cluster appears exactly once, all clusters covered
+    val nClusters = Clustering.componentsFor(spark, sf)
+      .select("cluster_id").distinct().count()
+    assert(out.length == nClusters)
+    // a13's unmapped set = the non-'mapped' clusters here
+    val a13Ids = GeoQueries.a13SpatialAntijoin(spark, sf)
+      .select("cluster_id").collect().map(_.getLong(0)).toSet
+    val notMapped = out.filter(_.getAs[String]("decision") != "mapped")
+      .map(_.getAs[Long]("cluster_id")).toSet
+    assert(notMapped == a13Ids)
+    // review rows carry a real distance in the band; mapped/challenge -1
+    byDecision.getOrElse("review", Array.empty).foreach { r =>
+      val d2 = r.getAs[Long]("min_d2")
+      assert(d2 > 0 && d2 <= 2L * GeoQueries.NearRadius * GeoQueries.NearRadius)
+    }
+    assert(byDecision.getOrElse("challenge", Array.empty)
+      .forall(_.getAs[Long]("min_d2") == -1L))
+    assert(byDecision.keySet.contains("mapped"))
+  }
+
   test("a38 snapshot diff: kept+removed = v1 positives, kept+added = v2 positives") {
     val out = GeoQueries.a38SnapshotDiff(spark, sf)
     val byStatus = out.groupBy("status").count().collect()
