@@ -1347,7 +1347,61 @@ object EmbedQueries {
        |SELECT label, sc[2] AS pred, COUNT(*) AS n_vecs
        |FROM scored GROUP BY label, sc[2] ORDER BY label, pred""".stripMargin
 
+  // ---------------------------------------------------------------- C81
+  /** C81: hard-negative mining — for each probe, the top-k most-similar
+    * vectors carrying a DIFFERENT label: the negatives a contrastive /
+    * metric-learning trainer actually wants (random negatives are too
+    * easy; the highest-cosine wrong-label examples define the decision
+    * boundary — the InfoNCE/DPR recipe). Reuses C10's exact kernel and
+    * plan shape verbatim — broadcast probe set over the corpus, one
+    * fused VecDot per candidate, per-probe ROW_NUMBER top-k — with the
+    * one extra scan-stage predicate `label ≠ probe label`; C10 is the
+    * retrieval eval, C81 the training-pair factory, one kernel between
+    * them. Same scale argument as C10: the probe set is the ~1% side
+    * and broadcasts; the corpus is scanned once; at 100 TB the
+    * approximate C11/C18 paths pre-filter candidates and this exact
+    * scorer runs on the shortlist.
+    */
+  def c81HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"), norm2(col("embedding")).as("n2"))
+    val probes = e.filter(col("vec_id") % ProbeMod === 0)
+      .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
+        col("embedding").as("pe"), col("n2").as("pn"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    broadcast(probes).join(e, col("vec_id") =!= col("probe_id")
+        && col("label") =!= col("plabel"))
+      .select(col("probe_id"), col("plabel").cast("long").as("plabel"),
+        col("vec_id"), col("label").cast("long").as("neg_label"),
+        cosine(dot(col("pe"), col("embedding")), col("pn"), col("n2")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .orderBy("probe_id", "rnk")
+  }
+
+  val c81Sql: String =
+    s"""WITH lnorms AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+       |    ${norm2Sql("embedding")} AS n2
+       |  FROM embeddings
+       |), probes AS (
+       |  SELECT vec_id AS probe_id, label AS plabel, embedding AS pe, n2 AS pn
+       |  FROM lnorms WHERE vec_id % $ProbeMod = 0
+       |), scored AS (
+       |  SELECT p.probe_id, p.plabel, e.vec_id, e.label AS neg_label,
+       |    round(${dotSql("p.pe", "e.embedding")} / sqrt(p.pn * e.n2), 6) AS cos
+       |  FROM probes p JOIN lnorms e
+       |    ON e.vec_id <> p.probe_id AND e.label <> p.plabel
+       |)
+       |SELECT probe_id, plabel, vec_id, neg_label, cos, rnk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM scored
+       |) WHERE rnk <= $TopK
+       |ORDER BY probe_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c81_hard_negatives" -> (c81HardNegatives _),
     "c78_centroid_eval" -> (c78CentroidEval _),
     "c69_label_prop" -> (c69LabelProp _),
     "c70_prototypicality" -> (c70Prototypicality _),
@@ -1369,6 +1423,7 @@ object EmbedQueries {
     "c62_ivf_pq" -> (c62IvfPq _))
 
   val oracles: Map[String, String] = Map(
+    "c81_hard_negatives" -> c81Sql,
     "c78_centroid_eval" -> c78Sql,
     "c69_label_prop" -> c69Sql,
     "c70_prototypicality" -> c70Sql,

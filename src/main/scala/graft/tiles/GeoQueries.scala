@@ -1596,8 +1596,64 @@ object GeoQueries {
       |FROM st LEFT JOIN ex USING (cluster_id) LEFT JOIN nearc USING (cluster_id)
       |ORDER BY cluster_id""".stripMargin)
 
+  // ---------------------------------------------------------------- A40
+  /** A40: positive-tile neighbor-degree histogram — for every positive
+    * tile, how many of its 4-neighbors are also positive (0..4), rolled
+    * into a degree histogram with per-degree mean score. This is the
+    * morphology report read BEFORE choosing clustering / dilation
+    * thresholds (a7/a9's knobs): degree-0 mass = isolated single-tile
+    * detections (noise candidates the reference's min-cluster-size
+    * filter drops), degree-4 mass = solid interiors (safe to
+    * downsample), and the score gradient across degrees says whether
+    * confidence correlates with contiguity. Scale shape: the degree
+    * computation is the a9 dilation idiom inverted — the positive set
+    * explodes into its 4 neighbor COORDINATES (map-side, bounded ×4)
+    * and ONE tile-coordinate hash equi-join back against the positive
+    * set counts hits; a left join + coalesce(0) keeps the isolated
+    * tiles; the histogram is a ≤5-row agg. Never an rtree, never a
+    * distance join.
+    */
+  def a40DegreeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val p = GeoDerive.positives(spark, dir).select("x", "y", "score")
+    val nbr = p.select(col("x"), col("y"),
+        explode(array(
+          struct(lit(1L).as("dx"), lit(0L).as("dy")),
+          struct(lit(-1L).as("dx"), lit(0L).as("dy")),
+          struct(lit(0L).as("dx"), lit(1L).as("dy")),
+          struct(lit(0L).as("dx"), lit(-1L).as("dy")))).as("o"))
+      .select((col("x") + col("o.dx")).as("nx"), (col("y") + col("o.dy")).as("ny"),
+        col("x"), col("y"))
+    val deg = nbr.join(p.select(col("x").as("nx"), col("y").as("ny")), Seq("nx", "ny"))
+      .groupBy("x", "y").agg(count(lit(1)).as("degree"))
+    // scores are k/1000 — aggregate the exact integer milli form so the
+    // mean is order-independent (the "doubles never accumulate" rule)
+    p.join(deg, Seq("x", "y"), "left")
+      .select(round(col("score") * 1000, 0).cast("long").as("s_milli"),
+        coalesce(col("degree"), lit(0L)).as("degree"))
+      .groupBy("degree")
+      .agg(count(lit(1)).as("n_tiles"),
+        expr("sum(s_milli) * 1000 div count(1)").as("mean_score_micro"))
+      .orderBy("degree")
+  }
+
+  val a40Sql: String = withCtes(false, GeoDerive.cellsCte, GeoDerive.positivesCte,
+    """offs(dx, dy) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)),
+      |deg AS (
+      |  SELECT p.x, p.y, COUNT(*) AS degree
+      |  FROM pos p CROSS JOIN offs o
+      |  JOIN pos q ON q.x = p.x + o.dx AND q.y = p.y + o.dy
+      |  GROUP BY p.x, p.y
+      |)""".stripMargin)(
+    """SELECT COALESCE(d.degree, 0) AS degree, COUNT(*) AS n_tiles,
+      |  CAST(SUM(CAST(ROUND(p.score * 1000) AS BIGINT)) AS BIGINT) * 1000
+      |    // COUNT(*) AS mean_score_micro
+      |FROM pos p LEFT JOIN deg d ON d.x = p.x AND d.y = p.y
+      |GROUP BY COALESCE(d.degree, 0)
+      |ORDER BY degree""".stripMargin)
+
   /** All A-block entries for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a40_degree_histogram" -> (a40DegreeHistogram _),
     "a39_conflation_queue" -> (a39ConflationQueue _),
     "a38_snapshot_diff" -> (a38SnapshotDiff _),
     "a37_tile_rle" -> (a37TileRle _),
@@ -1643,6 +1699,7 @@ object GeoQueries {
     "a19_inference_scored" -> (a19InferenceScored _))
 
   val oracles: Map[String, String] = Map(
+    "a40_degree_histogram" -> a40Sql,
     "a39_conflation_queue" -> a39Sql,
     "a38_snapshot_diff" -> a38Sql,
     "a37_tile_rle" -> a37Sql,

@@ -73,7 +73,11 @@ class PlanContractSpec extends SparkTestBase {
     // c78 crosses the L-row (=10 labels) centroid codebook into the
     // vector scan — the c50/c18 bounded-codebook pattern; the argmin
     // folds in the same partial agg, the confusion matrix is L²-bounded
-    "c78_centroid_eval")
+    "c78_centroid_eval",
+    // c81 is c10's broadcast-probe-set pattern verbatim (the ~1% probe
+    // side broadcasts, the corpus scans once) with one extra
+    // wrong-label predicate — same bounded build side as c10/c41/c42
+    "c81_hard_negatives")
 
   test("no unexpected BroadcastNestedLoopJoin / CartesianProduct in any batch plan") {
     val batch = SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("d"))

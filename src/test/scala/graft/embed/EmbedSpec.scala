@@ -57,6 +57,36 @@ class EmbedQueriesSpec extends SparkTestBase {
     assert(p.filter(col("cos") < EmbedQueries.CosThreshold).count() == 0)
   }
 
+  test("c81 hard negatives: wrong-label only, ranked, dominated by the c10 global top") {
+    val out = EmbedQueries.c81HardNegatives(spark, sf).collect()
+    assert(out.nonEmpty)
+    val labels = graft.Tables(spark, sf, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val byProbe = out.groupBy(_.getAs[Long]("probe_id"))
+    byProbe.foreach { case (pid, rows) =>
+      assert(rows.length == EmbedQueries.TopK)
+      val sorted = rows.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to EmbedQueries.TopK))
+      // negatives never share the probe's label, and labels are faithful
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("plabel") == labels(pid))
+        assert(r.getAs[Long]("neg_label") == labels(r.getAs[Long]("vec_id")))
+        assert(r.getAs[Long]("neg_label") != r.getAs[Long]("plabel"))
+      }
+      // ranked by descending cosine
+      assert(sorted.map(_.getAs[Double]("cos")).toSeq.reverse.sorted.reverse
+        == sorted.map(_.getAs[Double]("cos")).toSeq)
+    }
+    // the best hard negative can't beat the unrestricted c10 top neighbor
+    val globalTop = EmbedQueries.c10AnnBruteforce(spark, sf).collect()
+      .filter(_.getAs[Int]("rnk") == 1)
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Double]("cos")).toMap
+    byProbe.foreach { case (pid, rows) =>
+      assert(rows.map(_.getAs[Double]("cos")).max <= globalTop(pid) + 1e-9)
+    }
+  }
+
   test("c78 centroid eval: brute-force confusion recompute, all vectors accounted") {
     val out = EmbedQueries.c78CentroidEval(spark, sf).collect()
     def q(d: Double) = BigDecimal(d).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong

@@ -316,6 +316,23 @@ class GeoQueriesSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("a40 degree histogram: brute-force recompute, mass conserved") {
+    val out = GeoQueries.a40DegreeHistogram(spark, sf).collect()
+    val pos = GeoDerive.positives(spark, sf).select("x", "y", "score").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val posSet = pos.map(_._1).toSet
+    val expect = pos.map { case ((x, y), s) =>
+      val deg = Seq((1L, 0L), (-1L, 0L), (0L, 1L), (0L, -1L))
+        .count { case (dx, dy) => posSet((x + dx, y + dy)) }
+      (deg.toLong, math.round(s * 1000))
+    }.groupBy(_._1).view.mapValues(g =>
+      (g.length.toLong, g.map(_._2).sum * 1000L / g.length)).toMap
+    assert(out.map(r => (r.getAs[Long]("degree"),
+      (r.getAs[Long]("n_tiles"), r.getAs[Long]("mean_score_micro")))).toMap == expect.toMap)
+    assert(out.map(_.getAs[Long]("n_tiles")).sum == pos.length)
+    assert(out.forall(r => r.getAs[Long]("degree") >= 0 && r.getAs[Long]("degree") <= 4))
+  }
+
   test("a39 conflation queue: decisions agree with a13's exclusions and a34's near band") {
     val out = GeoQueries.a39ConflationQueue(spark, sf).collect()
     assert(out.nonEmpty)
