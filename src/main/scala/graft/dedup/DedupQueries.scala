@@ -833,7 +833,73 @@ object DedupQueries {
        |ORDER BY reason, dup_status""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C82
+  /** C82: per-source dataset card — the one-row-per-source datasheet
+    * (Gebru et al. 2021, "Datasheets for Datasets") a corpus release
+    * ships: document and token mass, language spread, mean C3 quality,
+    * and the near-dup rate from the C19 closure, all in exact integer
+    * units. C30 reads this to set mixing weights, C35 explains the
+    * dup column, C79 the cross-source edges — this is the summary
+    * table those reports drill into.
+    *
+    * Scale shape: one doc-keyed join chain over three already-reduced
+    * or scan-stage inputs (documents' own columns, C3's scan-stage
+    * quality, the memoized closure's keep bit), then ONE source-keyed
+    * partial agg; distinct languages per source via a tiny
+    * (source, lang) pre-agg, never collect_set over documents.
+    */
+  def c82DatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(graft.text.TextQueries.tokens(col("text"))).cast("long").as("n_toks"))
+    val qual = graft.text.TextQueries.c3QualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_micro"))
+    val dup = c19DedupCollapse(spark, dir).select(col("doc_id"), col("keep"))
+    val base = docs.join(qual, "doc_id").join(dup, "doc_id")
+    val langs = docs.select("source", "lang").distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_langs"))
+    base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("sum_tokens"),
+        expr("sum(quality_micro) div count(1)").as("mean_quality_micro"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dups"))
+      .withColumn("dup_ppm", expr("n_dups * 1000000 div n_docs"))
+      .join(langs, "source")
+      .select("source", "n_docs", "sum_tokens", "n_langs",
+        "mean_quality_micro", "n_dups", "dup_ppm")
+      .orderBy("source")
+  }
+
+  val c82Sql: String = {
+    val c19Body = c19Sql.stripSuffix("ORDER BY doc_id").trim
+    val c3Body = graft.text.TextQueries.c3Sql.stripSuffix("ORDER BY doc_id").trim
+    s"""WITH collapse AS (
+       |$c19Body
+       |), q AS (
+       |$c3Body
+       |), d AS (
+       |  SELECT doc_id, source, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents
+       |), langs AS (
+       |  SELECT source, COUNT(*) AS n_langs FROM (
+       |    SELECT DISTINCT source, lang FROM d
+       |  ) GROUP BY source
+       |), agg AS (
+       |  SELECT d.source, COUNT(*) AS n_docs,
+       |    CAST(SUM(d.n_toks) AS BIGINT) AS sum_tokens,
+       |    CAST(SUM(q.quality_micro) AS BIGINT) // COUNT(*) AS mean_quality_micro,
+       |    CAST(SUM(CASE WHEN c.keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dups
+       |  FROM d JOIN q USING (doc_id) JOIN collapse c USING (doc_id)
+       |  GROUP BY d.source
+       |)
+       |SELECT a.source, a.n_docs, a.sum_tokens, l.n_langs,
+       |  a.mean_quality_micro, a.n_dups, a.n_dups * 1000000 // a.n_docs AS dup_ppm
+       |FROM agg a JOIN langs l USING (source)
+       |ORDER BY a.source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c82_dataset_card" -> (c82DatasetCard _),
     "c80_quality_dup" -> (c80QualityDupCrosstab _),
     "c79_cross_source" -> (c79CrossSource _),
     "c77_keep_best" -> (c77KeepBest _),
@@ -847,6 +913,7 @@ object DedupQueries {
     "c66_containment" -> (c66Containment _))
 
   val oracles: Map[String, String] = Map(
+    "c82_dataset_card" -> c82Sql,
     "c80_quality_dup" -> c80Sql,
     "c79_cross_source" -> c79Sql,
     "c77_keep_best" -> c77Sql,

@@ -2688,7 +2688,54 @@ object TextQueries {
       |      / ln(CAST(MIN(n_types) AS DOUBLE)) * 1e6) AS BIGINT) END AS efficiency_ppm
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- C83
+  /** C83: span-corruption masking plan (the T5/UL2 pretraining
+    * objective's data prep, Raffel et al. 2020 §3.1.4): per document,
+    * the non-overlapping token spans to mask — emitted as the
+    * (doc_id, span_start, span_len) table a trainer consumes when
+    * building corrupted inputs + targets. Production pipelines draw
+    * span starts from a seeded RNG; here the offset is hash-derived
+    * per document (the C23 split-assignment convention) with a fixed
+    * stride, so both engines enumerate the identical plan: spans of
+    * [[MaskSpanLen]] tokens starting at offset+1, offset+1+S,
+    * offset+1+2S … (stride S = [[MaskStride]] > span length ⇒
+    * non-overlap by construction, masking ≈ L/S ≈ 37% of tokens —
+    * UL2's aggressive-denoising band), complete spans only.
+    *
+    * Scale shape: pure scan-stage — size(), one hash, one bounded
+    * sequence explode (≤ n/S spans per doc), no shuffle before the
+    * final sort. The explode fan-out is the output itself.
+    */
+  val MaskStride = 8L
+  val MaskSpanLen = 3L
+
+  def c83SpanCorruption(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("off", expr(s"(doc_id * 2654435761 + 40503) % $MaskStride"))
+      .filter(col("n_tokens") >= col("off") + MaskSpanLen)
+      .withColumn("k",
+        explode(expr(s"sequence(0L, (n_tokens - $MaskSpanLen - off) div $MaskStride)")))
+      .select(col("doc_id"),
+        (col("off") + 1L + col("k") * MaskStride).as("span_start"),
+        lit(MaskSpanLen).as("span_len"), col("n_tokens"))
+      .orderBy("doc_id", "span_start")
+
+  val c83Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    (doc_id * 2654435761 + 40503) % $MaskStride AS off
+       |  FROM documents
+       |)
+       |SELECT doc_id, off + 1 + k * $MaskStride AS span_start,
+       |  CAST($MaskSpanLen AS BIGINT) AS span_len, n_tokens
+       |FROM d, UNNEST(range(0, (n_tokens - $MaskSpanLen - off) // $MaskStride + 1)) t(k)
+       |WHERE n_tokens >= off + $MaskSpanLen
+       |ORDER BY doc_id, span_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c83_span_corruption" -> (c83SpanCorruption _),
     "c75_good_turing" -> (c75GoodTuring _),
     "c76_doc_entropy" -> (c76DocEntropy _),
     "c73_corpus_drift" -> (c73CorpusDrift _),
@@ -2735,6 +2782,7 @@ object TextQueries {
     "c64_classifier_eval" -> (c64ClassifierEval _))
 
   val oracles: Map[String, String] = Map(
+    "c83_span_corruption" -> c83Sql,
     "c75_good_turing" -> c75Sql,
     "c76_doc_entropy" -> c76Sql,
     "c73_corpus_drift" -> c73Sql,

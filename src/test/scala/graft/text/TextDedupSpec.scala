@@ -804,6 +804,58 @@ class DedupQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("c82 dataset card: re-sums to corpus totals, recomputed from pinned inputs") {
+    import graft.dedup.DedupQueries
+    val out = DedupQueries.c82DatasetCard(spark, sf).collect()
+    assert(out.nonEmpty)
+    val docs = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "source", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3).split(" ").length.toLong))
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    val qual = TextQueries.c3QualityScore(spark, sf)
+      .select("doc_id", "quality_micro").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keep = DedupQueries.c19DedupCollapse(spark, sf)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    out.foreach { r =>
+      val g = docs.filter(_._2 == r.getString(0))
+      assert(r.getAs[Long]("n_docs") == g.length)
+      assert(r.getAs[Long]("sum_tokens") == g.map(_._4).sum)
+      assert(r.getAs[Long]("n_langs") == g.map(_._3).distinct.length)
+      assert(r.getAs[Long]("mean_quality_micro") == g.map(t => qual(t._1)).sum / g.length)
+      val dups = g.count(t => !keep(t._1)).toLong
+      assert(r.getAs[Long]("n_dups") == dups)
+      assert(r.getAs[Long]("dup_ppm") == dups * 1000000L / g.length)
+    }
+  }
+
+  test("c83 span corruption: brute-force span enumeration, non-overlap, in-bounds") {
+    val out = TextQueries.c83SpanCorruption(spark, sf).collect()
+    assert(out.nonEmpty)
+    val docs = graft.Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").length.toLong).toMap
+    val (s, l) = (TextQueries.MaskStride, TextQueries.MaskSpanLen)
+    val expect = docs.toSeq.flatMap { case (id, n) =>
+      val off = (id * 2654435761L + 40503L) % s
+      Iterator.iterate(off + 1)(_ + s).takeWhile(_ + l - 1 <= n)
+        .map(st => (id, st)).toSeq
+    }.toSet
+    assert(out.map(r => (r.getLong(0), r.getAs[Long]("span_start"))).toSet == expect)
+    assert(out.forall(_.getAs[Long]("span_len") == l))
+    // non-overlap within each doc and all spans in bounds
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      val starts = rows.map(_.getAs[Long]("span_start")).sorted
+      starts.sliding(2).foreach {
+        case Array(a, b) => assert(b - a >= l)
+        case _ =>
+      }
+      assert(rows.forall(r =>
+        r.getAs[Long]("span_start") + l - 1 <= r.getAs[Long]("n_tokens")))
+    }
+  }
+
   test("c80 quality-dup crosstab: cells re-sum to the corpus, canonical counts match c19") {
     import graft.dedup.DedupQueries
     val out = DedupQueries.c80QualityDupCrosstab(spark, sf).collect()
