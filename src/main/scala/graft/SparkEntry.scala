@@ -59,7 +59,8 @@ object SparkEntry {
     "b34_cumulative_distinct" -> (Queries.cumulativeDistinct _),
     "b35_merge_upsert" -> (Queries.mergeUpsert _),
     "b36_above_avg" -> (Queries.aboveAvg _),
-    "b37_retention_cohorts" -> (Queries.retentionCohorts _)
+    "b37_retention_cohorts" -> (Queries.retentionCohorts _),
+    "b38_mom_growth" -> (Queries.momGrowth _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -107,6 +108,7 @@ object SparkEntry {
     "b34_cumulative_distinct" -> Queries.cumulativeDistinctSql,
     "b35_merge_upsert" -> Queries.mergeUpsertSql,
     "b36_above_avg" -> Queries.aboveAvgSql,
-    "b37_retention_cohorts" -> Queries.retentionCohortsSql
+    "b37_retention_cohorts" -> Queries.retentionCohortsSql,
+    "b38_mom_growth" -> Queries.momGrowthSql
   )
 }

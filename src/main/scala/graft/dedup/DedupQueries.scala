@@ -898,7 +898,54 @@ object DedupQueries {
        |ORDER BY a.source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C84
+  /** C84: near-dup cluster-size distribution — how many clusters have
+    * exactly k members, with the document and token mass each size
+    * class carries: the shape that distinguishes healthy duplication
+    * (a long tail of pairs/triples) from a mirror explosion (one
+    * monster cluster owning a fraction of the corpus). This is the
+    * first thing to check before trusting C35's per-source inflation
+    * or C82's dup rates — both average away exactly the tail this
+    * reports. Size 1 = unique documents, included so the histogram
+    * re-sums to the corpus.
+    *
+    * Scale shape: the memoized closure collapses per-cluster in one
+    * cluster-keyed partial agg (with the token mass summed in the same
+    * pass), then the count-of-counts agg runs over the CLUSTER frame
+    * (C75's frequency-of-frequencies argument — never the corpus).
+    */
+  def c84ClusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(graft.text.TextQueries.tokens(col("text"))).cast("long").as("n_toks"))
+    c19DedupCollapse(spark, dir).select("doc_id", "canonical_id")
+      .join(docs, "doc_id")
+      .groupBy("canonical_id")
+      .agg(count(lit(1)).as("k"), sum("n_toks").as("toks"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("k")).as("n_docs"), sum("toks").as("sum_tokens"))
+      .orderBy("k")
+  }
+
+  val c84Sql: String = {
+    val c19Body = c19Sql.stripSuffix("ORDER BY doc_id").trim
+    s"""WITH collapse AS (
+       |$c19Body
+       |), d AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents
+       |), per_cluster AS (
+       |  SELECT c.canonical_id, COUNT(*) AS k, CAST(SUM(d.n_toks) AS BIGINT) AS toks
+       |  FROM collapse c JOIN d USING (doc_id) GROUP BY c.canonical_id
+       |)
+       |SELECT k, COUNT(*) AS n_clusters, CAST(SUM(k) AS BIGINT) AS n_docs,
+       |  CAST(SUM(toks) AS BIGINT) AS sum_tokens
+       |FROM per_cluster GROUP BY k ORDER BY k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c84_cluster_sizes" -> (c84ClusterSizes _),
     "c82_dataset_card" -> (c82DatasetCard _),
     "c80_quality_dup" -> (c80QualityDupCrosstab _),
     "c79_cross_source" -> (c79CrossSource _),
@@ -913,6 +960,7 @@ object DedupQueries {
     "c66_containment" -> (c66Containment _))
 
   val oracles: Map[String, String] = Map(
+    "c84_cluster_sizes" -> c84Sql,
     "c82_dataset_card" -> c82Sql,
     "c80_quality_dup" -> c80Sql,
     "c79_cross_source" -> c79Sql,

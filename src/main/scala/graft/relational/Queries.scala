@@ -1744,6 +1744,49 @@ object Queries {
       |FROM matrix m JOIN sizes z USING (cohort)
       |ORDER BY m.cohort, m.age""".stripMargin
 
+  // ------------------------------------------------------------- B38
+  /** B38: month-over-month growth — revenue per month with the delta
+    * and growth rate against the previous month in exact ppm, the
+    * line-one chart of every revenue dashboard (B28's date spine
+    * guarantees no silent gap months here: absent months would make
+    * LAG skip a period; this query composes with the same month-index
+    * domain). The window is a LAG over the MONTH frame — input bounded
+    * by the calendar (B28/B34's argument), never by orders; the only
+    * corpus-scale work is the one map-side-combinable month partial
+    * agg. Growth for the first month is NULL (no base), and a zero
+    * base propagates NULL rather than a division blow-up.
+    */
+  def momGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(spark, dir, "orders")
+      .select((year(col("o_orderdate")) * 12L + month(col("o_orderdate")) - 1L).as("month_idx"),
+        cents(col("o_totalprice")).as("price_c"))
+      .groupBy("month_idx")
+      .agg(count(lit(1)).as("n_orders"), sum("price_c").as("rev_c"))
+    val w = Window.orderBy("month_idx")
+    monthly
+      .withColumn("prev_rev_c", lag("rev_c", 1).over(w))
+      .withColumn("delta_c", col("rev_c") - col("prev_rev_c"))
+      .withColumn("growth_ppm",
+        when(col("prev_rev_c") > 0L,
+          expr("(rev_c - prev_rev_c) * 1000000 div prev_rev_c")))
+      .orderBy("month_idx")
+  }
+
+  val momGrowthSql: String =
+    """WITH monthly AS (
+      |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS month_idx,
+      |    COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT month_idx, n_orders, rev_c,
+      |  LAG(rev_c) OVER (ORDER BY month_idx) AS prev_rev_c,
+      |  rev_c - LAG(rev_c) OVER (ORDER BY month_idx) AS delta_c,
+      |  CASE WHEN LAG(rev_c) OVER (ORDER BY month_idx) > 0 THEN
+      |    (rev_c - LAG(rev_c) OVER (ORDER BY month_idx)) * 1000000
+      |      // LAG(rev_c) OVER (ORDER BY month_idx) END AS growth_ppm
+      |FROM monthly ORDER BY month_idx""".stripMargin
+
   val scd2IntervalsSql: String =
     """WITH ordered AS (
       |  SELECT user_id, ts, event_id, event_type,

@@ -535,6 +535,30 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("b38 MoM growth: brute-force monthly recompute, lag/delta/ppm consistent") {
+    val out = Queries.momGrowth(spark, sf).collect()
+    assert(out.length > 12)
+    val monthly = graft.Tables(spark, sf, "orders")
+      .select((year(col("o_orderdate")) * 12L + month(col("o_orderdate")) - 1L).as("m"),
+        round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+    val months = monthly.keys.toSeq.sorted
+    assert(out.map(_.getAs[Long]("month_idx")).toSeq == months)
+    out.zipWithIndex.foreach { case (r, i) =>
+      val m = r.getAs[Long]("month_idx")
+      assert(r.getAs[Long]("n_orders") == monthly(m)._1)
+      assert(r.getAs[Long]("rev_c") == monthly(m)._2)
+      if (i == 0) assert(r.isNullAt(r.fieldIndex("growth_ppm")))
+      else {
+        val prev = monthly(months(i - 1))._2
+        assert(r.getAs[Long]("prev_rev_c") == prev)
+        assert(r.getAs[Long]("delta_c") == monthly(m)._2 - prev)
+        assert(r.getAs[Long]("growth_ppm") == (monthly(m)._2 - prev) * 1000000L / prev)
+      }
+    }
+  }
+
   test("b36 above-avg: brute-force recompute; the correlated subquery decorrelates") {
     val df = Queries.aboveAvg(spark, sf)
     val out = df.collect()

@@ -804,6 +804,28 @@ class DedupQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("c84 cluster sizes: count-of-counts recompute from the pinned closure") {
+    import graft.dedup.DedupQueries
+    val out = DedupQueries.c84ClusterSizes(spark, sf).collect()
+    assert(out.nonEmpty)
+    val closure = DedupQueries.c19DedupCollapse(spark, sf)
+      .select("doc_id", "canonical_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val toks = graft.Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").length.toLong).toMap
+    val perCluster = closure.groupBy(_._2).view
+      .mapValues(g => (g.length.toLong, g.map(t => toks(t._1)).sum)).values.toSeq
+    val expect = perCluster.groupBy(_._1).view.mapValues(g =>
+      (g.length.toLong, g.map(_._1).sum, g.map(_._2).sum)).toMap
+    assert(out.map(r => (r.getAs[Long]("k"), (r.getAs[Long]("n_clusters"),
+      r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens")))).toMap == expect.toMap)
+    // mass conservation: histogram re-sums to the whole corpus
+    assert(out.map(_.getAs[Long]("n_docs")).sum == closure.length)
+    assert(out.map(_.getAs[Long]("sum_tokens")).sum == toks.values.sum)
+    // clusters of size >= 2 exist (the near-dup stage found something)
+    assert(out.exists(_.getAs[Long]("k") >= 2L))
+  }
+
   test("c82 dataset card: re-sums to corpus totals, recomputed from pinned inputs") {
     import graft.dedup.DedupQueries
     val out = DedupQueries.c82DatasetCard(spark, sf).collect()
