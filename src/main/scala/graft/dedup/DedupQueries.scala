@@ -944,7 +944,113 @@ object DedupQueries {
        |FROM per_cluster GROUP BY k ORDER BY k""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C85
+  /** C85: dedup threshold-sensitivity sweep — the closure re-run at
+    * jaccard τ ∈ {0.5, 0.7, 0.9} over the SAME candidate set and
+    * scored-pair frame, reporting clusters / multi-clusters / docs
+    * removed / max cluster size per τ: the table consulted BEFORE
+    * committing a collapse threshold to a 100 TB pass (C60's S-curve
+    * says what the LSH bands recall at each τ; this says what the
+    * corpus loses). The expensive work — LSH candidates, sorted-merge
+    * jaccard — happens ONCE at the sweep minimum and localCheckpoints;
+    * each τ is then a cheap filter + closure over an edge frame that
+    * only shrinks. Identical star/set-dup compression as C19 (J=1
+    * edges survive every τ), so the τ=0.9 row reproduces C19's
+    * clustering exactly.
+    */
+  val SweepTaus = Seq(0.5, 0.7, 0.9)
+
+  def c85ThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val classes = docs.groupBy("text").agg(min("doc_id").as("rep"))
+    val stars = docs.select(col("doc_id"), col("text")).join(classes, "text")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("src"), col("rep").as("dst"))
+    val textReps = classes.select(col("rep").as("doc_id"), col("text"))
+    val withSet = textReps
+      .withColumn("s", array_sort(array_distinct(shingleHashes(col("text")))))
+    val setClasses = withSet.groupBy("s").agg(min("doc_id").as("srep"))
+    val joined = withSet.join(setClasses, "s").localCheckpoint(true)
+    val stars2 = joined.filter(col("doc_id") =!= col("srep"))
+      .select(col("doc_id").as("src"), col("srep").as("dst"))
+    val reps = joined.filter(col("doc_id") === col("srep"))
+      .select(col("doc_id"), col("text"), col("s")).localCheckpoint(true)
+    val sets = reps.select(col("doc_id"), col("s")).withColumn("ns", size(col("s")))
+    val tauMin = SweepTaus.min
+    val scored = candidatePairsFor(reps).select("doc_a", "doc_b")
+      .join(broadcast(sets.select(col("doc_id").as("doc_a"),
+        col("s").as("sa"), col("ns").as("na"))), "doc_a")
+      .join(broadcast(sets.select(col("doc_id").as("doc_b"),
+        col("s").as("sb"), col("ns").as("nb"))), "doc_b")
+      .filter(least(col("na"), col("nb")).cast("double")
+        >= lit(tauMin) * greatest(col("na"), col("nb")))
+      .withColumn("inter", sorted_intersect_count(col("sa"), col("sb")))
+      .withColumn("jac", round(col("inter").cast("double")
+        / (col("na") + col("nb") - col("inter")).cast("double"), 6))
+      .filter(col("jac") >= tauMin)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"), col("jac"))
+      .localCheckpoint(true)
+    val starsAll = stars.union(stars2)
+    val vertices = docs.select(col("doc_id").as("id"))
+    SweepTaus.map { tau =>
+      GraphCC.connectedComponents(vertices,
+          scored.filter(col("jac") >= tau).select("src", "dst").union(starsAll))
+        .groupBy("cluster_id").agg(count(lit(1)).as("k"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(when(col("k") >= 2L, 1L).otherwise(0L)).as("n_multi"),
+          sum(col("k") - 1L).as("docs_removed"),
+          max("k").as("max_cluster"))
+        .select(lit(math.round(tau * 1e6)).as("tau_micro"),
+          col("n_clusters"), col("n_multi"), col("docs_removed"), col("max_cluster"))
+    }.reduce(_.union(_)).orderBy("tau_micro")
+  }
+
+  val c85Sql: String = {
+    def tauBlock(tag: String, tau: Double): String = {
+      val tm = math.round(tau * 1e6)
+      s"""e$tag AS (SELECT doc_a AS src, doc_b AS dst FROM scored WHERE jac >= $tau
+         |       UNION ALL SELECT doc_b, doc_a FROM scored WHERE jac >= $tau),
+         |reach$tag(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach$tag r JOIN e$tag e ON e.src = r.id
+         |),
+         |g$tag AS (
+         |  SELECT cid, COUNT(*) AS k FROM (
+         |    SELECT id, MIN(lbl) AS cid FROM reach$tag GROUP BY id
+         |  ) GROUP BY cid
+         |),
+         |a$tag AS (
+         |  SELECT CAST($tm AS BIGINT) AS tau_micro, COUNT(*) AS n_clusters,
+         |    CAST(SUM(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi,
+         |    CAST(SUM(k - 1) AS BIGINT) AS docs_removed,
+         |    CAST(MAX(k) AS BIGINT) AS max_cluster
+         |  FROM g$tag
+         |)""".stripMargin
+    }
+    s"""WITH RECURSIVE ${bandRowsCtes.mkString(",\n")},
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+       |),
+       |sets AS (SELECT doc_id, list_distinct($shingleHashesSql) AS s FROM documents),
+       |scored AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(x.s, y.s))), 6) AS jac
+       |  FROM cand c
+       |  JOIN sets x ON x.doc_id = c.doc_a
+       |  JOIN sets y ON y.doc_id = c.doc_b
+       |),
+       |${tauBlock("5", 0.5)},
+       |${tauBlock("7", 0.7)},
+       |${tauBlock("9", 0.9)}
+       |SELECT * FROM a5 UNION ALL SELECT * FROM a7 UNION ALL SELECT * FROM a9
+       |ORDER BY tau_micro""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c85_threshold_sweep" -> (c85ThresholdSweep _),
     "c84_cluster_sizes" -> (c84ClusterSizes _),
     "c82_dataset_card" -> (c82DatasetCard _),
     "c80_quality_dup" -> (c80QualityDupCrosstab _),
@@ -960,6 +1066,7 @@ object DedupQueries {
     "c66_containment" -> (c66Containment _))
 
   val oracles: Map[String, String] = Map(
+    "c85_threshold_sweep" -> c85Sql,
     "c84_cluster_sizes" -> c84Sql,
     "c82_dataset_card" -> c82Sql,
     "c80_quality_dup" -> c80Sql,

@@ -804,6 +804,31 @@ class DedupQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("c85 threshold sweep: monotone in tau, 0.9 row reproduces the c19 clustering") {
+    import graft.dedup.DedupQueries
+    val out = DedupQueries.c85ThresholdSweep(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("tau_micro")).toSeq == Seq(500000L, 700000L, 900000L))
+    // loosening tau can only merge more: removals/multis/max are monotone
+    val byTau = out.sortBy(_.getAs[Long]("tau_micro"))
+    byTau.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[Long]("docs_removed") >= hi.getAs[Long]("docs_removed"))
+        assert(lo.getAs[Long]("max_cluster") >= hi.getAs[Long]("max_cluster"))
+        assert(lo.getAs[Long]("n_clusters") <= hi.getAs[Long]("n_clusters"))
+      case _ =>
+    }
+    // the tau = CollapseJaccard row is exactly c19's clustering
+    val c19 = DedupQueries.c19DedupCollapse(spark, sf)
+      .groupBy("canonical_id").count().collect().map(_.getLong(1))
+    val r9 = byTau.last
+    assert(r9.getAs[Long]("n_clusters") == c19.length)
+    assert(r9.getAs[Long]("docs_removed") == c19.sum - c19.length)
+    assert(r9.getAs[Long]("n_multi") == c19.count(_ >= 2))
+    assert(r9.getAs[Long]("max_cluster") == c19.max)
+    // the sweep is non-degenerate: tau=0.5 really merges more than 0.9
+    assert(byTau.head.getAs[Long]("docs_removed") > r9.getAs[Long]("docs_removed"))
+  }
+
   test("c84 cluster sizes: count-of-counts recompute from the pinned closure") {
     import graft.dedup.DedupQueries
     val out = DedupQueries.c84ClusterSizes(spark, sf).collect()
