@@ -2734,7 +2734,90 @@ object TextQueries {
        |WHERE n_tokens >= off + $MaskSpanLen
        |ORDER BY doc_id, span_start""".stripMargin
 
+  // ---------------------------------------------------------------- C86
+  /** C86: contamination-n sensitivity sweep — C29's train/test n-gram
+    * screen re-run at n ∈ [[ContamSweepNs]] over the same split and
+    * hash family: contaminated train docs and distinct overlapping
+    * (doc, gram) hits per n. The n is the decontamination pass's one
+    * real knob (4-grams flag aggressively with false positives from
+    * common phrases; GPT-3's 13-gram standard flags only long verbatim
+    * overlap) and this is the table that picks it — the C85/C60
+    * calibration idiom applied to decontamination. Each n's gram
+    * explode is scan-stage; the test side reduces to a DISTINCT hash
+    * set per n; the match is one hash equi-join per n; the three
+    * bounded summaries union. The corpus is scanned once per n with no
+    * cross-n shuffle — at 100 TB you run the sweep on a sample, then
+    * the chosen n on everything.
+    */
+  val ContamSweepNs = Seq(4, 8, 13)
+
+  /** [[gramHashes]] with the gram length as a parameter (same fold,
+    * same family — n = [[ContamN]] reproduces it exactly).
+    */
+  def gramHashesN(toks: Column, n: Int): Column =
+    transform(sequence(lit(1), size(toks) - n + 1),
+      i => aggregate(transform(slice(toks, i, lit(n)), tokenHash _),
+        lit(0L), (acc, g) => (acc * lit(FpB) + g) % lit(FpM)))
+
+  def c86ContamSweep(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "documents")
+      .withColumn("split", splitCol)
+      .withColumn("toks", tokens(col("text")))
+    ContamSweepNs.map { n =>
+      val g = base.filter(size(col("toks")) >= n)
+        .select(col("doc_id"), col("split"),
+          explode(gramHashesN(col("toks"), n)).as("gh"))
+      val test = g.filter(col("split") === "test").select("gh").distinct()
+      g.filter(col("split") === "train").join(test, "gh")
+        .agg(countDistinct("doc_id").as("n_docs_hit"),
+          countDistinct("doc_id", "gh").as("n_hits"))
+        .select(lit(n.toLong).as("n"), col("n_docs_hit"), col("n_hits"))
+    }.reduce(_.union(_)).orderBy("n")
+  }
+
+  val c86Sql: String = {
+    def block(n: Int): String =
+      s"""SELECT CAST($n AS BIGINT) AS n,
+         |  COUNT(DISTINCT g.doc_id) AS n_docs_hit,
+         |  CAST(COUNT(DISTINCT (g.doc_id, g.gh)) AS BIGINT) AS n_hits
+         |FROM (
+         |  SELECT doc_id, split,
+         |    UNNEST(list_transform(range(1, len(toks) - $n + 2),
+         |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(list_slice(toks, i, i + $n - 1),
+         |               w -> ${tokenHashSql("w")})),
+         |           (acc, h) -> (acc * $FpB + h) % $FpM))) AS gh
+         |  FROM d WHERE len(toks) >= $n
+         |) g
+         |JOIN (
+         |  SELECT DISTINCT gh FROM (
+         |    SELECT UNNEST(list_transform(range(1, len(toks) - $n + 2),
+         |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(list_slice(toks, i, i + $n - 1),
+         |               w -> ${tokenHashSql("w")})),
+         |           (acc, h) -> (acc * $FpB + h) % $FpM))) AS gh
+         |    FROM d WHERE split = 'test' AND len(toks) >= $n
+         |  )
+         |) t ON t.gh = g.gh
+         |WHERE g.split = 'train'""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN (doc_id * 2654435761 + 40503) % 100 < 80 THEN 'train'
+       |         WHEN (doc_id * 2654435761 + 40503) % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    string_split(text, ' ') AS toks
+       |  FROM documents
+       |)
+       |${block(4)}
+       |UNION ALL
+       |${block(8)}
+       |UNION ALL
+       |${block(13)}
+       |ORDER BY n""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c86_contam_sweep" -> (c86ContamSweep _),
     "c83_span_corruption" -> (c83SpanCorruption _),
     "c75_good_turing" -> (c75GoodTuring _),
     "c76_doc_entropy" -> (c76DocEntropy _),
@@ -2782,6 +2865,7 @@ object TextQueries {
     "c64_classifier_eval" -> (c64ClassifierEval _))
 
   val oracles: Map[String, String] = Map(
+    "c86_contam_sweep" -> c86Sql,
     "c83_span_corruption" -> c83Sql,
     "c75_good_turing" -> c75Sql,
     "c76_doc_entropy" -> c76Sql,

@@ -1651,8 +1651,46 @@ object GeoQueries {
       |GROUP BY COALESCE(d.degree, 0)
       |ORDER BY degree""".stripMargin)
 
+  // ---------------------------------------------------------------- A41
+  /** A41: cluster shape statistics — per detected cluster the bbox
+    * fill ratio (tiles / bbox area, exact ppm) and aspect ratio (long
+    * side / short side, ppm): the shape prior that separates plausible
+    * solar-farm detections (compact, fill → 1, aspect ~1-3) from
+    * linear false positives (roads, canals: aspect >> 1, fill << 1)
+    * BEFORE human review — the screening pass a25's challenge feed
+    * would apply upstream. Composes the memoized component labeling
+    * with ONE cluster-keyed partial agg (count + two min/max pairs in
+    * a single pass); everything after is scan-stage integer
+    * arithmetic on the cluster frame.
+    */
+  def a41ShapeStats(spark: SparkSession, dir: String): DataFrame =
+    Clustering.componentsFor(spark, dir)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_tiles"),
+        min("x").as("minx"), max("x").as("maxx"),
+        min("y").as("miny"), max("y").as("maxy"))
+      .withColumn("w", col("maxx") - col("minx") + 1L)
+      .withColumn("h", col("maxy") - col("miny") + 1L)
+      .select(col("cluster_id"), col("n_tiles"), col("w"), col("h"),
+        expr("n_tiles * 1000000 div (w * h)").as("fill_ppm"),
+        expr("greatest(w, h) * 1000000 div least(w, h)").as("aspect_ppm"))
+      .orderBy("cluster_id")
+
+  val a41Sql: String = withCtes(true, GeoDerive.cellsCte, GeoDerive.positivesCte,
+    Clustering.ccCte,
+    """shape AS (
+      |  SELECT cluster_id, COUNT(*) AS n_tiles,
+      |    MAX(x) - MIN(x) + 1 AS w, MAX(y) - MIN(y) + 1 AS h
+      |  FROM cc GROUP BY cluster_id
+      |)""".stripMargin)(
+    """SELECT cluster_id, n_tiles, w, h,
+      |  n_tiles * 1000000 // (w * h) AS fill_ppm,
+      |  greatest(w, h) * 1000000 // least(w, h) AS aspect_ppm
+      |FROM shape ORDER BY cluster_id""".stripMargin)
+
   /** All A-block entries for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a41_shape_stats" -> (a41ShapeStats _),
     "a40_degree_histogram" -> (a40DegreeHistogram _),
     "a39_conflation_queue" -> (a39ConflationQueue _),
     "a38_snapshot_diff" -> (a38SnapshotDiff _),
@@ -1699,6 +1737,7 @@ object GeoQueries {
     "a19_inference_scored" -> (a19InferenceScored _))
 
   val oracles: Map[String, String] = Map(
+    "a41_shape_stats" -> a41Sql,
     "a40_degree_histogram" -> a40Sql,
     "a39_conflation_queue" -> a39Sql,
     "a38_snapshot_diff" -> a38Sql,

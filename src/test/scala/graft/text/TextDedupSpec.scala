@@ -804,6 +804,23 @@ class DedupQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("c86 contamination sweep: n=4 row matches c29, hits shrink as n grows") {
+    val out = TextQueries.c86ContamSweep(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n")).toSeq == Seq(4L, 8L, 13L))
+    // the n=4 row must agree with the standalone c29 screen
+    val c29 = TextQueries.c29Contamination(spark, sf).collect()
+    val r4 = out.find(_.getAs[Long]("n") == 4L).get
+    assert(r4.getAs[Long]("n_docs_hit") == c29.length)
+    assert(r4.getAs[Long]("n_hits") == c29.map(_.getAs[Long]("n_hit")).sum)
+    // longer grams can only match less
+    val sorted = out.sortBy(_.getAs[Long]("n"))
+    sorted.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[Long]("n_docs_hit") >= hi.getAs[Long]("n_docs_hit"))
+      case _ =>
+    }
+  }
+
   test("c85 threshold sweep: monotone in tau, 0.9 row reproduces the c19 clustering") {
     import graft.dedup.DedupQueries
     val out = DedupQueries.c85ThresholdSweep(spark, sf).collect()

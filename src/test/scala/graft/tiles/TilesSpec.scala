@@ -316,6 +316,28 @@ class GeoQueriesSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("a41 shape stats: brute-force bbox recompute, ratios bounded") {
+    val out = GeoQueries.a41ShapeStats(spark, sf).collect()
+    assert(out.nonEmpty)
+    val cc = Clustering.componentsFor(spark, sf)
+      .select("cluster_id", "x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCluster = cc.groupBy(_._1)
+    assert(out.length == byCluster.size)
+    out.foreach { r =>
+      val g = byCluster(r.getLong(0))
+      val (w, h) = (g.map(_._2).max - g.map(_._2).min + 1, g.map(_._3).max - g.map(_._3).min + 1)
+      assert(r.getAs[Long]("n_tiles") == g.length)
+      assert(r.getAs[Long]("w") == w && r.getAs[Long]("h") == h)
+      assert(r.getAs[Long]("fill_ppm") == g.length * 1000000L / (w * h))
+      assert(r.getAs[Long]("aspect_ppm") == math.max(w, h) * 1000000L / math.min(w, h))
+      // fill can't exceed 1, aspect can't undercut 1, tiles fit the bbox
+      assert(r.getAs[Long]("fill_ppm") <= 1000000L)
+      assert(r.getAs[Long]("aspect_ppm") >= 1000000L)
+      assert(g.length <= w * h)
+    }
+  }
+
   test("a40 degree histogram: brute-force recompute, mass conserved") {
     val out = GeoQueries.a40DegreeHistogram(spark, sf).collect()
     val pos = GeoDerive.positives(spark, sf).select("x", "y", "score").collect()
