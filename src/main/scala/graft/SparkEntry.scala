@@ -60,7 +60,8 @@ object SparkEntry {
     "b35_merge_upsert" -> (Queries.mergeUpsert _),
     "b36_above_avg" -> (Queries.aboveAvg _),
     "b37_retention_cohorts" -> (Queries.retentionCohorts _),
-    "b38_mom_growth" -> (Queries.momGrowth _)
+    "b38_mom_growth" -> (Queries.momGrowth _),
+    "b39_ship_latency" -> (Queries.shipLatency _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -109,6 +110,7 @@ object SparkEntry {
     "b35_merge_upsert" -> Queries.mergeUpsertSql,
     "b36_above_avg" -> Queries.aboveAvgSql,
     "b37_retention_cohorts" -> Queries.retentionCohortsSql,
-    "b38_mom_growth" -> Queries.momGrowthSql
+    "b38_mom_growth" -> Queries.momGrowthSql,
+    "b39_ship_latency" -> Queries.shipLatencySql
   )
 }

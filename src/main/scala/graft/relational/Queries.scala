@@ -1787,6 +1787,43 @@ object Queries {
       |      // LAG(rev_c) OVER (ORDER BY month_idx) END AS growth_ppm
       |FROM monthly ORDER BY month_idx""".stripMargin
 
+  // ------------------------------------------------------------- B39
+  /** B39: order-to-ship latency histogram — days from order date to
+    * each line item's ship date, per order priority: the fulfillment
+    * SLA distribution (is URGENT actually shipped faster?) that every
+    * operations dashboard draws. Exact integer day arithmetic on both
+    * engines (dates subtract to whole days — no timestamp doubles),
+    * and the output is the FULL histogram, not a mean that hides the
+    * tail. (The synthetic testdata's ship dates are uncorrelated with
+    * order dates, so the domain here is the whole ±7-year span —
+    * real TPC-H would give 1..121; the operator is the same either
+    * way.) Scale shape: the orders⋈lineitem equi-join is the one
+    * corpus-scale shuffle (AQE-sizable, both sides pruned to two
+    * columns); the histogram agg is map-side combinable onto a
+    * (priority × day) VALUE-DOMAIN-bounded key space — C22's argument
+    * — so the output is a few thousand rows however many line items
+    * exist.
+    */
+  def shipLatency(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+        col("o_orderdate").cast("date").as("od"))
+    val l = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate").cast("date").as("sd"))
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("prio"), datediff(col("sd"), col("od")).cast("long").as("days"))
+      .groupBy("prio", "days")
+      .agg(count(lit(1)).as("n_items"))
+      .orderBy("prio", "days")
+  }
+
+  val shipLatencySql: String =
+    """SELECT o.o_orderpriority AS prio,
+      |  CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) AS BIGINT) AS days,
+      |  COUNT(*) AS n_items
+      |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val scd2IntervalsSql: String =
     """WITH ordered AS (
       |  SELECT user_id, ts, event_id, event_type,

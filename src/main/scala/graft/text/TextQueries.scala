@@ -2816,7 +2816,73 @@ object TextQueries {
        |ORDER BY n""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C87
+  /** C87: data-constrained epoch plan (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models": repeating data up to
+    * ~4 epochs is nearly as good as fresh data, beyond that returns
+    * decay fast) — turn C30's tempered mixing weights into the actual
+    * sampling plan for a token budget of [[EpochBudgetFactor]]× the
+    * corpus: per source the target token draw, the epoch count
+    * (ceil(target/available), capped at [[MaxEpochs]]), the effective
+    * tokens actually deliverable under the cap, and the deficit the
+    * cap leaves unfilled. This is the table a data-loading config is
+    * generated from — C30 says the proportions, this says the repeats.
+    *
+    * All exact integers: budget = factor × Σtokens, target =
+    * budget·w div Σw, ceil via (a + b − 1) div b. Scale shape: C30's
+    * frame is source-sized; two 1-row broadcasts (weight total, token
+    * total); everything else scan-stage arithmetic.
+    */
+  val EpochBudgetFactor = 3L
+  val MaxEpochs = 4L
+
+  def c87EpochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val mix = c30DomainMix(spark, dir).select("source", "sum_tokens", "weight_micro")
+    val totals = mix.agg(sum("weight_micro").as("w_tot"),
+      sum("sum_tokens").as("tok_tot"))
+    mix.crossJoin(broadcast(totals))
+      // budget·weight reaches ~10²⁰ at a 100 TB corpus — past BIGINT —
+      // so the product routes through DECIMAL(38,0) (C43/C47's rule)
+      .withColumn("target_tokens",
+        expr(s"(cast($EpochBudgetFactor as decimal(38,0)) * tok_tot * weight_micro) div w_tot"))
+      .withColumn("epochs",
+        least(expr("(target_tokens + sum_tokens - 1) div sum_tokens"), lit(MaxEpochs)))
+      .withColumn("effective_tokens", least(col("target_tokens"),
+        col("sum_tokens") * MaxEpochs))
+      .withColumn("deficit", col("target_tokens") - col("effective_tokens"))
+      .select("source", "sum_tokens", "weight_micro", "target_tokens",
+        "epochs", "effective_tokens", "deficit")
+      .orderBy("source")
+  }
+
+  val c87Sql: String =
+    s"""WITH s AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS sum_tokens
+       |  FROM documents GROUP BY source
+       |), m AS (SELECT MAX(sum_tokens) AS max_tokens FROM s),
+       |mix AS (
+       |  SELECT source, sum_tokens,
+       |    CAST(floor(sqrt(CAST(sum_tokens AS DOUBLE)) * 1000000.0
+       |      / sqrt(CAST(max_tokens AS DOUBLE))) AS BIGINT) AS weight_micro
+       |  FROM s CROSS JOIN m
+       |), t AS (
+       |  SELECT CAST(SUM(weight_micro) AS BIGINT) AS w_tot,
+       |    CAST(SUM(sum_tokens) AS BIGINT) AS tok_tot FROM mix
+       |), p AS (
+       |  SELECT source, sum_tokens, weight_micro,
+       |    CAST(CAST($EpochBudgetFactor AS HUGEINT) * tok_tot * weight_micro
+       |      // w_tot AS BIGINT) AS target_tokens
+       |  FROM mix CROSS JOIN t
+       |)
+       |SELECT source, sum_tokens, weight_micro, target_tokens,
+       |  least((target_tokens + sum_tokens - 1) // sum_tokens, $MaxEpochs) AS epochs,
+       |  least(target_tokens, sum_tokens * $MaxEpochs) AS effective_tokens,
+       |  target_tokens - least(target_tokens, sum_tokens * $MaxEpochs) AS deficit
+       |FROM p ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c87_epoch_plan" -> (c87EpochPlan _),
     "c86_contam_sweep" -> (c86ContamSweep _),
     "c83_span_corruption" -> (c83SpanCorruption _),
     "c75_good_turing" -> (c75GoodTuring _),
@@ -2865,6 +2931,7 @@ object TextQueries {
     "c64_classifier_eval" -> (c64ClassifierEval _))
 
   val oracles: Map[String, String] = Map(
+    "c87_epoch_plan" -> c87Sql,
     "c86_contam_sweep" -> c86Sql,
     "c83_span_corruption" -> c83Sql,
     "c75_good_turing" -> c75Sql,

@@ -535,6 +535,26 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("b39 ship latency: histogram mass equals lineitem count, days plausible") {
+    val out = Queries.shipLatency(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("n_items")).sum ==
+      graft.Tables(spark, sf, "lineitem").count())
+    // the synthetic dates are uncorrelated, so days span at most the
+    // whole 1992-1998 date range in either direction
+    assert(out.forall(r => math.abs(r.getAs[Long]("days")) <= 2600))
+    // spot-check one (prio, days) cell against a direct recompute
+    val r = out.maxBy(_.getAs[Long]("n_items"))
+    val direct = graft.Tables(spark, sf, "orders")
+      .join(graft.Tables(spark, sf, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_orderpriority") === r.getString(0) &&
+        datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
+          === r.getAs[Long]("days"))
+      .count()
+    assert(direct == r.getAs[Long]("n_items"))
+  }
+
   test("b38 MoM growth: brute-force monthly recompute, lag/delta/ppm consistent") {
     val out = Queries.momGrowth(spark, sf).collect()
     assert(out.length > 12)

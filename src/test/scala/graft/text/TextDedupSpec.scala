@@ -804,6 +804,29 @@ class DedupQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("c87 epoch plan: identities hold and tie back to c30's weights") {
+    val out = TextQueries.c87EpochPlan(spark, sf).collect()
+    val mix = TextQueries.c30DomainMix(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("sum_tokens"), r.getAs[Long]("weight_micro")))
+      .toMap
+    assert(out.map(_.getString(0)).toSet == mix.keySet)
+    val wTot = mix.values.map(_._2).sum
+    val tokTot = mix.values.map(_._1).sum
+    out.foreach { r =>
+      val (toks, w) = mix(r.getString(0))
+      assert(r.getAs[Long]("sum_tokens") == toks && r.getAs[Long]("weight_micro") == w)
+      val target = (BigInt(TextQueries.EpochBudgetFactor) * tokTot * w / wTot).toLong
+      assert(r.getAs[Long]("target_tokens") == target)
+      val epochs = math.min((target + toks - 1) / toks, TextQueries.MaxEpochs)
+      assert(r.getAs[Long]("epochs") == epochs)
+      assert(r.getAs[Long]("effective_tokens") == math.min(target, toks * TextQueries.MaxEpochs))
+      assert(r.getAs[Long]("deficit") == target - r.getAs[Long]("effective_tokens"))
+      assert(r.getAs[Long]("epochs") >= 1L && r.getAs[Long]("epochs") <= TextQueries.MaxEpochs)
+    }
+    // tempering makes small sources repeat: some source needs > 1 epoch
+    assert(out.exists(_.getAs[Long]("epochs") > 1L))
+  }
+
   test("c86 contamination sweep: n=4 row matches c29, hits shrink as n grows") {
     val out = TextQueries.c86ContamSweep(spark, sf).collect()
     assert(out.map(_.getAs[Long]("n")).toSeq == Seq(4L, 8L, 13L))
