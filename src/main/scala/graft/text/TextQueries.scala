@@ -2881,7 +2881,103 @@ object TextQueries {
        |  target_tokens - least(target_tokens, sum_tokens * $MaxEpochs) AS deficit
        |FROM p ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- C88
+  /** C88: BM25 retrieval (Robertson–Spärck Jones; k1 = 1.2, b = 0.75)
+    * — top-[[Bm25TopK]] documents per query for a deterministic query
+    * set: the retrieval operator a RAG / eval-harness pipeline runs
+    * next to the ANN suite (C10's dense retrieval, this the lexical
+    * side of the hybrid). Queries are derived from the corpus itself —
+    * the [[Bm25Queries]]·[[Bm25TermsPerQuery]] RAREST tokens (df asc),
+    * chunked 3-per-query — so both engines enumerate identical query
+    * sets with no external input.
+    *
+    * Exactness: each (doc, term) contribution — idf ·
+    * tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with the BM25+ idf
+    * ln(1+(N−df+.5)/(df+.5)) and dl/avgdl expanded to the exact
+    * dl·N/Σdl — is ONE double expression quantized to nano BIGINT per
+    * row before the per-(query, doc) sum (the c73/c76 rule), so
+    * ranking and hashes agree cross-engine. Scale shape: corpus term
+    * stats and doc lengths are map-side-combinable aggs; the query
+    * terms are a ≤15-row broadcast, so candidate generation is one
+    * token equi-join touching only docs containing a query term; the
+    * rank window partitions per QUERY over that candidate set — at
+    * 100 TB you'd cap candidates per term first (WAND-style), the
+    * declared scale path.
+    */
+  val Bm25Queries = 5
+  val Bm25TermsPerQuery = 3
+  val Bm25TopK = 10
+
+  def c88Bm25(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val stats = toks.groupBy("token")
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val nTerms = Bm25Queries * Bm25TermsPerQuery
+    val terms = stats
+      .withColumn("rn", row_number().over(Window.orderBy(col("df").asc, col("token"))))
+      .filter(col("rn") <= nTerms)
+      .withColumn("qid", expr(s"(rn - 1) div $Bm25TermsPerQuery"))
+      .select("token", "df", "qid")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = toks.join(broadcast(terms), "token")
+      .groupBy("doc_id", "qid", "token", "df").agg(count(lit(1)).as("tf"))
+    val contrib = tf.join(dl, "doc_id").crossJoin(broadcast(totals))
+      .withColumn("contrib_nano", round(
+        expr("ln(1.0 + (cast(n_docs as double) - df + 0.5) / (df + 0.5))") *
+          (col("tf") * lit(2.2) / (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") * col("n_docs") / col("sum_dl"))))
+          * lit(1e9), 0).cast("long"))
+    val w = Window.partitionBy("qid").orderBy(col("score_nano").desc, col("doc_id"))
+    contrib.groupBy("qid", "doc_id")
+      .agg(sum("contrib_nano").as("score_nano"), count(lit(1)).as("n_terms_hit"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= Bm25TopK)
+      .select("qid", "rnk", "doc_id", "score_nano", "n_terms_hit")
+      .orderBy("qid", "rnk")
+  }
+
+  val c88Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+       |), stats AS (
+       |  SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+       |), terms AS (
+       |  SELECT token, df, (rn - 1) // $Bm25TermsPerQuery AS qid FROM (
+       |    SELECT token, df, ROW_NUMBER() OVER (ORDER BY df ASC, token) AS rn FROM stats
+       |  ) WHERE rn <= ${Bm25Queries * Bm25TermsPerQuery}
+       |), dl AS (
+       |  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+       |), tot AS (
+       |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl
+       |), tf AS (
+       |  SELECT t.doc_id, q.qid, q.token, q.df, COUNT(*) AS tf
+       |  FROM toks t JOIN terms q USING (token)
+       |  GROUP BY t.doc_id, q.qid, q.token, q.df
+       |), contrib AS (
+       |  SELECT f.doc_id, f.qid,
+       |    CAST(ROUND(
+       |      ln(1.0 + (CAST(o.n_docs AS DOUBLE) - f.df + 0.5) / (f.df + 0.5)) *
+       |      (f.tf * 2.2 / (f.tf + 1.2 *
+       |        (0.25 + 0.75 * d.dl * o.n_docs / o.sum_dl)))
+       |      * 1e9) AS BIGINT) AS contrib_nano
+       |  FROM tf f JOIN dl d USING (doc_id) CROSS JOIN tot o
+       |), scored AS (
+       |  SELECT qid, doc_id, CAST(SUM(contrib_nano) AS BIGINT) AS score_nano,
+       |    COUNT(*) AS n_terms_hit
+       |  FROM contrib GROUP BY qid, doc_id
+       |)
+       |SELECT qid, rnk, doc_id, score_nano, n_terms_hit FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY score_nano DESC, doc_id) AS rnk
+       |  FROM scored
+       |) WHERE rnk <= $Bm25TopK
+       |ORDER BY qid, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c88_bm25" -> (c88Bm25 _),
     "c87_epoch_plan" -> (c87EpochPlan _),
     "c86_contam_sweep" -> (c86ContamSweep _),
     "c83_span_corruption" -> (c83SpanCorruption _),
@@ -2931,6 +3027,7 @@ object TextQueries {
     "c64_classifier_eval" -> (c64ClassifierEval _))
 
   val oracles: Map[String, String] = Map(
+    "c88_bm25" -> c88Sql,
     "c87_epoch_plan" -> c87Sql,
     "c86_contam_sweep" -> c86Sql,
     "c83_span_corruption" -> c83Sql,

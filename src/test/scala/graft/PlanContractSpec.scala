@@ -77,7 +77,16 @@ class PlanContractSpec extends SparkTestBase {
     // c81 is c10's broadcast-probe-set pattern verbatim (the ~1% probe
     // side broadcasts, the corpus scans once) with one extra
     // wrong-label predicate — same bounded build side as c10/c41/c42
-    "c81_hard_negatives")
+    "c81_hard_negatives",
+    // c87 embeds c30's 1-row max-tokens cross and adds its own 1-row
+    // (w_tot, tok_tot) totals cross — the b13/c21/c30 bounded-scalar
+    // shape twice over a source-sized frame
+    "c87_epoch_plan",
+    // c88 crosses the 1-row (n_docs, sum_dl) corpus-length aggregate
+    // into the candidate (doc, term) frame — the same bounded-scalar
+    // shape; candidate generation itself is a token hash equi-join
+    // against the ≤15-row broadcast query-term table
+    "c88_bm25")
 
   test("no unexpected BroadcastNestedLoopJoin / CartesianProduct in any batch plan") {
     val batch = SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("d"))

@@ -804,6 +804,39 @@ class DedupQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("c88 BM25: full brute-force recompute of queries, scores, and ranking") {
+    val out = TextQueries.c88Bm25(spark, sf).collect()
+    assert(out.nonEmpty)
+    val docs = graft.Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val df = docs.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size.toLong)
+    val terms = df.toSeq.sortBy { case (t, d) => (d, t) }
+      .take(TextQueries.Bm25Queries * TextQueries.Bm25TermsPerQuery)
+    val nDocs = docs.size.toLong
+    val sumDl = docs.values.map(_.size.toLong).sum
+    def q(d: Double) = BigDecimal(d).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val scores = terms.zipWithIndex.flatMap { case ((term, dfT), i) =>
+      val qid = i / TextQueries.Bm25TermsPerQuery
+      docs.toSeq.flatMap { case (id, ts) =>
+        val tf = ts.count(_ == term)
+        if (tf == 0) None else {
+          val dl = ts.size.toDouble
+          val idf = math.log(1.0 + (nDocs.toDouble - dfT + 0.5) / (dfT + 0.5))
+          val c = idf * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl * nDocs / sumDl)))
+          Some(((qid.toLong, id), q(c * 1e9)))
+        }
+      }
+    }.groupBy(_._1).view.mapValues(v => (v.map(_._2).sum, v.size.toLong)).toMap
+    val expect = scores.toSeq.groupBy(_._1._1).flatMap { case (qid, g) =>
+      g.sortBy { case ((_, id), (s, _)) => (-s, id) }
+        .take(TextQueries.Bm25TopK).zipWithIndex
+        .map { case (((_, id), (s, nt)), i) => (qid, i + 1L, id, s, nt) }
+    }.toSet
+    assert(out.map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk").toLong,
+      r.getAs[Long]("doc_id"), r.getAs[Long]("score_nano"),
+      r.getAs[Long]("n_terms_hit"))).toSet == expect)
+  }
+
   test("c87 epoch plan: identities hold and tie back to c30's weights") {
     val out = TextQueries.c87EpochPlan(spark, sf).collect()
     val mix = TextQueries.c30DomainMix(spark, sf).collect()
