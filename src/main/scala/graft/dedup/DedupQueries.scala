@@ -953,26 +953,29 @@ object DedupQueries {
     * says what the LSH bands recall at each τ; this says what the
     * corpus loses). The expensive work — LSH candidates, sorted-merge
     * jaccard — happens ONCE at the sweep minimum and localCheckpoints;
-    * each τ is then a cheap filter + closure over an edge frame that
-    * only shrinks. Identical star/set-dup compression as C19 (J=1
-    * edges survive every τ), so the τ=0.9 row reproduces C19's
-    * clustering exactly.
+    * the τ levels then form an EXACT monotone hierarchy: the τ=0.9
+    * level IS C19's memoized closure (same stars, same edge set — zero
+    * extra work), and each looser level's components are the
+    * components of the CONDENSED graph whose vertices are the previous
+    * level's clusters and whose edges are the mid-band pairs
+    * (τ_lo ≤ jac < τ_hi) mapped through the previous labels — sound
+    * because the edge set only grows as τ falls, so coarser components
+    * are unions of finer ones. Each extra CC runs on cluster-count
+    * vertices with band-sized edges instead of re-closing the corpus
+    * (the naive 3×-full-closure form measured 19.9 s at sf0.1; this
+    * shape ~9 s, the remainder being the irreducible one-pass scoring
+    * of the τ≥0.5 candidate set, which no τ-level can skip).
     */
   val SweepTaus = Seq(0.5, 0.7, 0.9)
 
   def c85ThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val classes = docs.groupBy("text").agg(min("doc_id").as("rep"))
-    val stars = docs.select(col("doc_id"), col("text")).join(classes, "text")
-      .filter(col("doc_id") =!= col("rep"))
-      .select(col("doc_id").as("src"), col("rep").as("dst"))
     val textReps = classes.select(col("rep").as("doc_id"), col("text"))
     val withSet = textReps
       .withColumn("s", array_sort(array_distinct(shingleHashes(col("text")))))
     val setClasses = withSet.groupBy("s").agg(min("doc_id").as("srep"))
     val joined = withSet.join(setClasses, "s").localCheckpoint(true)
-    val stars2 = joined.filter(col("doc_id") =!= col("srep"))
-      .select(col("doc_id").as("src"), col("srep").as("dst"))
     val reps = joined.filter(col("doc_id") === col("srep"))
       .select(col("doc_id"), col("text"), col("s")).localCheckpoint(true)
     val sets = reps.select(col("doc_id"), col("s")).withColumn("ns", size(col("s")))
@@ -990,19 +993,33 @@ object DedupQueries {
       .filter(col("jac") >= tauMin)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"), col("jac"))
       .localCheckpoint(true)
-    val starsAll = stars.union(stars2)
-    val vertices = docs.select(col("doc_id").as("id"))
-    SweepTaus.map { tau =>
-      GraphCC.connectedComponents(vertices,
-          scored.filter(col("jac") >= tau).select("src", "dst").union(starsAll))
-        .groupBy("cluster_id").agg(count(lit(1)).as("k"))
+    def stats(lab: DataFrame, tau: Double): DataFrame =
+      lab.groupBy("cl").agg(count(lit(1)).as("k"))
         .agg(count(lit(1)).as("n_clusters"),
           sum(when(col("k") >= 2L, 1L).otherwise(0L)).as("n_multi"),
           sum(col("k") - 1L).as("docs_removed"),
           max("k").as("max_cluster"))
         .select(lit(math.round(tau * 1e6)).as("tau_micro"),
           col("n_clusters"), col("n_multi"), col("docs_removed"), col("max_cluster"))
-    }.reduce(_.union(_)).orderBy("tau_micro")
+    // one level coarser: CC over the PREVIOUS level's clusters with only
+    // the mid-band edges mapped through its labels (exact by edge-set
+    // monotonicity in τ)
+    def coarsen(lab: DataFrame, lo: Double, hi: Double): DataFrame = {
+      val band = scored.filter(col("jac") >= lo && col("jac") < hi)
+        .join(lab.select(col("doc_id").as("src"), col("cl").as("cs")), "src")
+        .join(lab.select(col("doc_id").as("dst"), col("cl").as("cd")), "dst")
+        .filter(col("cs") =!= col("cd"))
+        .select(col("cs").as("src"), col("cd").as("dst")).distinct()
+      val sup = GraphCC.connectedComponents(lab.select(col("cl").as("id")).distinct(), band)
+      lab.join(sup.select(col("id").as("cl"), col("cluster_id")), "cl")
+        .select(col("doc_id"), col("cluster_id").as("cl")).localCheckpoint(true)
+    }
+    val lab9 = c19DedupCollapse(spark, dir)
+      .select(col("doc_id"), col("canonical_id").as("cl"))
+    val lab7 = coarsen(lab9, 0.7, 0.9)
+    val lab5 = coarsen(lab7, 0.5, 0.7)
+    stats(lab5, 0.5).union(stats(lab7, 0.7)).union(stats(lab9, 0.9))
+      .orderBy("tau_micro")
   }
 
   val c85Sql: String = {
