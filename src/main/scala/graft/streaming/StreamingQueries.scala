@@ -768,7 +768,97 @@ object StreamingQueries {
 
   val d25Sql: String = graft.tiles.GeoQueries.a38Sql
 
+  // ---------------------------------------------------------------- D26
+  /** D26: streaming BM25 scoring against a FROZEN lexical index — the
+    * index-time deployment shape of C88: corpus statistics (query
+    * terms, df, N, Σdl) are computed once from the persisted corpus
+    * and frozen into the plan as literals; every ARRIVING document is
+    * then scored against all [[graft.text.TextQueries.Bm25Queries]]
+    * queries entirely ROW-LOCALLY — per-term tf via a filter over the
+    * doc's own token array, the per-query sum folded in the same
+    * projection, a bounded 5-wide explode — so the stream is stateless
+    * append with ZERO shuffles and state, the d13/d22 class. Scoring
+    * math is C88's expression verbatim (idf literals precomputed with
+    * the same `ln`), so the oracle is the batch scoring of the same
+    * corpus with the same frozen stats.
+    */
+  def d26StreamBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.TextQueries
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Column
+    val statToks = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(TextQueries.tokens(col("text"))).as("token"))
+    val nTerms = TextQueries.Bm25Queries * TextQueries.Bm25TermsPerQuery
+    val terms = statToks.groupBy("token")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("df").asc, col("token"))))
+      .filter(col("rn") <= nTerms)
+      .select(col("token"), col("df"),
+        expr(s"(rn - 1) div ${TextQueries.Bm25TermsPerQuery}").as("qid"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val dlStats = statToks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")).head()
+    val (nDocs, sumDl) = (dlStats.getLong(0), dlStats.getLong(1))
+    def contrib(term: String, df: Long): Column = {
+      val idf = math.log(1.0 + (nDocs.toDouble - df + 0.5) / (df + 0.5))
+      val tf = size(filter(col("toks"), x => x === lit(term))).cast("long")
+      when(tf > 0L, round(lit(idf) * (tf * lit(2.2) / (tf + lit(1.2) *
+        (lit(0.25) + lit(0.75) * col("dl") * lit(nDocs) / lit(sumDl))))
+        * lit(1e9), 0).cast("long")).otherwise(lit(0L))
+    }
+    def hits(term: String): Column =
+      when(size(filter(col("toks"), x => x === lit(term))) > 0, 1L).otherwise(0L)
+    val perQuery = terms.groupBy(_._3).toSeq.sortBy(_._1).map { case (qid, ts) =>
+      struct(lit(qid).as("qid"),
+        ts.map(t => contrib(t._1, t._2)).reduce(_ + _).as("score_nano"),
+        ts.map(t => hits(t._1)).reduce(_ + _).as("n_terms_hit"))
+    }
+    val scored = StreamingOps.docsStream(spark, sfDir, staged(spark, sfDir, "documents"))
+      .withColumn("toks", TextQueries.tokens(col("text")))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .select(col("doc_id"), explode(array(perQuery: _*)).as("h"))
+      .filter(col("h.n_terms_hit") > 0L)
+      .select(col("doc_id"), col("h.qid").as("qid"),
+        col("h.score_nano").as("score_nano"), col("h.n_terms_hit").as("n_terms_hit"))
+    runToTable(scored, "graft_d26_sink", "append").orderBy("doc_id", "qid")
+  }
+
+  /** Batch twin: C88's contrib chain without the rank cut. */
+  val d26Sql: String = {
+    import graft.text.TextQueries._
+    s"""WITH toks AS (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+       |), stats AS (
+       |  SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+       |), terms AS (
+       |  SELECT token, df, (rn - 1) // $Bm25TermsPerQuery AS qid FROM (
+       |    SELECT token, df, ROW_NUMBER() OVER (ORDER BY df ASC, token) AS rn FROM stats
+       |  ) WHERE rn <= ${Bm25Queries * Bm25TermsPerQuery}
+       |), dl AS (
+       |  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+       |), tot AS (
+       |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl
+       |), tf AS (
+       |  SELECT t.doc_id, q.qid, q.token, q.df, COUNT(*) AS tf
+       |  FROM toks t JOIN terms q USING (token)
+       |  GROUP BY t.doc_id, q.qid, q.token, q.df
+       |), contrib AS (
+       |  SELECT f.doc_id, f.qid,
+       |    CAST(ROUND(
+       |      ln(1.0 + (CAST(o.n_docs AS DOUBLE) - f.df + 0.5) / (f.df + 0.5)) *
+       |      (f.tf * 2.2 / (f.tf + 1.2 *
+       |        (0.25 + 0.75 * d.dl * o.n_docs / o.sum_dl)))
+       |      * 1e9) AS BIGINT) AS contrib_nano
+       |  FROM tf f JOIN dl d USING (doc_id) CROSS JOIN tot o
+       |)
+       |SELECT doc_id, qid, CAST(SUM(contrib_nano) AS BIGINT) AS score_nano,
+       |  COUNT(*) AS n_terms_hit
+       |FROM contrib GROUP BY doc_id, qid
+       |ORDER BY doc_id, qid""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d26_stream_bm25" -> (d26StreamBm25 _),
     "d25_stream_diff" -> (d25StreamDiff _),
     "d24_stream_drift" -> (d24StreamDrift _),
     "d23_stream_scd2" -> (d23StreamScd2 _),
@@ -796,6 +886,7 @@ object StreamingQueries {
     "d18_stream_quantile" -> (d18StreamQuantile _))
 
   val oracles: Map[String, String] = Map(
+    "d26_stream_bm25" -> d26Sql,
     "d25_stream_diff" -> d25Sql,
     "d24_stream_drift" -> d24Sql,
     "d23_stream_scd2" -> d23Sql,

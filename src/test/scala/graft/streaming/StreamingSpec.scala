@@ -513,6 +513,24 @@ class StreamingSpec extends SparkTestBase {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("D26 streaming BM25: scores agree with c88's ranked subset, stateless coverage") {
+    import graft.text.TextQueries
+    val got = graft.streaming.StreamingQueries.queries("d26_stream_bm25")(spark, sf)
+      .localCheckpoint()
+    // every (qid, doc) c88 ranks must appear in the stream with the SAME
+    // score and hit count (c88 is the ranked subset of this scoring)
+    val ranked = TextQueries.c88Bm25(spark, sf)
+      .select(col("qid"), col("doc_id"), col("score_nano"), col("n_terms_hit"))
+    assert(ranked.join(got, Seq("qid", "doc_id", "score_nano", "n_terms_hit"))
+      .count() == ranked.count())
+    // coverage: a doc scores for a query iff it contains a query term
+    assert(got.filter(col("n_terms_hit") < 1L
+      || col("n_terms_hit") > TextQueries.Bm25TermsPerQuery).count() == 0)
+    assert(got.count() >= ranked.count())
+    // deterministic replay keys: no (doc, qid) appears twice
+    assert(got.groupBy("doc_id", "qid").count().filter(col("count") > 1).count() == 0)
+  }
+
   test("D25 streaming snapshot diff == batch A38 (shared diffOn definition)") {
     val got = graft.streaming.StreamingQueries.queries("d25_stream_diff")(spark, sf)
       .localCheckpoint()
