@@ -61,7 +61,8 @@ object SparkEntry {
     "b36_above_avg" -> (Queries.aboveAvg _),
     "b37_retention_cohorts" -> (Queries.retentionCohorts _),
     "b38_mom_growth" -> (Queries.momGrowth _),
-    "b39_ship_latency" -> (Queries.shipLatency _)
+    "b39_ship_latency" -> (Queries.shipLatency _),
+    "b40_order_fanout" -> (Queries.orderFanout _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -111,6 +112,7 @@ object SparkEntry {
     "b36_above_avg" -> Queries.aboveAvgSql,
     "b37_retention_cohorts" -> Queries.retentionCohortsSql,
     "b38_mom_growth" -> Queries.momGrowthSql,
-    "b39_ship_latency" -> Queries.shipLatencySql
+    "b39_ship_latency" -> Queries.shipLatencySql,
+    "b40_order_fanout" -> Queries.orderFanoutSql
   )
 }

@@ -1824,6 +1824,35 @@ object Queries {
       |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------- B40
+  /** B40: order fan-out profile — how many orders carry exactly k line
+    * items, with the revenue mass per class: the join-cardinality
+    * histogram a cost-based optimizer's statistics would store for the
+    * orders⋈lineitem edge, and the skew profile a pipeline author
+    * consults before keying a shuffle on o_orderkey (a heavy tail here
+    * means per-order tasks are unbalanced). Same count-of-counts shape
+    * as C75/C84 on relational data: one map-side-combinable per-order
+    * agg, then the histogram agg over the ORDER frame — output bounded
+    * by the max fan-out, never by row count.
+    */
+  def orderFanout(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), cents(col("l_extendedprice")).as("price_c"))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("k"), sum("price_c").as("rev_c"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_orders"), sum("rev_c").as("sum_rev_c"))
+      .orderBy("k")
+
+  val orderFanoutSql: String =
+    """WITH per_order AS (
+      |  SELECT l_orderkey, COUNT(*) AS k,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM lineitem GROUP BY l_orderkey
+      |)
+      |SELECT k, COUNT(*) AS n_orders, CAST(SUM(rev_c) AS BIGINT) AS sum_rev_c
+      |FROM per_order GROUP BY k ORDER BY k""".stripMargin
+
   val scd2IntervalsSql: String =
     """WITH ordered AS (
       |  SELECT user_id, ts, event_id, event_type,

@@ -2976,7 +2976,78 @@ object TextQueries {
        |) WHERE rnk <= $Bm25TopK
        |ORDER BY qid, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- C89
+  /** C89: windowed co-occurrence PMI — pointwise mutual information
+    * over a ±[[PmiWindow]]-token window (the PPMI/GloVe input matrix;
+    * Church & Hanks 1990): which token pairs co-occur more than their
+    * frequencies predict. C24's bigram LM sees only adjacent ORDERED
+    * pairs; this is the unordered windowed association that collocation
+    * detection and classical embedding pipelines start from.
+    * pmi = ln(p(a,b)/(p(a)·p(b))) with pair mass over forward-window
+    * slots and unigram mass over tokens — ONE double expression
+    * quantized to nano per pair row (the c73/c76 rule).
+    *
+    * Scale shape: positions explode once; the window pairing is a
+    * bounded ×[[PmiWindow]] offset explode + ONE (doc, position) hash
+    * equi-join (never a θ-join on position distance); pair counts are
+    * a map-side-combinable agg onto the VOCAB² key space; unigram and
+    * total frames are vocab-sized/1-row broadcasts.
+    */
+  val PmiWindow = 2
+  val PmiMinPair = 5L
+
+  def c89PmiPairs(spark: SparkSession, dir: String): DataFrame = {
+    val pos = Tables(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "w")))
+    val uni = pos.groupBy("w").agg(count(lit(1)).as("n_w"))
+    val nTok = pos.agg(count(lit(1)).as("n_tok"))
+    val pairs = pos
+      .withColumn("j", explode(array((1 to PmiWindow).map(d => col("i") + d): _*)))
+      .select(col("doc_id"), col("j"), col("w").as("wa"))
+      .join(pos.select(col("doc_id"), col("i").as("j"), col("w").as("wb")),
+        Seq("doc_id", "j"))
+      .select(least(col("wa"), col("wb")).as("w1"),
+        greatest(col("wa"), col("wb")).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val nPair = pairs.agg(sum("n_pair").as("np_tot"))
+    pairs.filter(col("n_pair") >= PmiMinPair)
+      .join(broadcast(uni.select(col("w").as("w1"), col("n_w").as("n_a"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("n_w").as("n_b"))), "w2")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nPair))
+      .withColumn("pmi_nano", round(
+        expr("ln((cast(n_pair as double) * n_tok * n_tok) / ((cast(np_tot as double) * n_a) * n_b))")
+          * lit(1e9), 0).cast("long"))
+      .select("w1", "w2", "n_pair", "n_a", "n_b", "pmi_nano")
+      .orderBy("w1", "w2")
+  }
+
+  val c89Sql: String =
+    s"""WITH pos AS (
+       |  SELECT doc_id, i - 1 AS i, w FROM (
+       |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w,
+       |      generate_subscripts(string_split(text, ' '), 1) AS i
+       |    FROM documents
+       |  )
+       |), uni AS (SELECT w, COUNT(*) AS n_w FROM pos GROUP BY w),
+       |tot AS (SELECT COUNT(*) AS n_tok FROM pos),
+       |pairs AS (
+       |  SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2, COUNT(*) AS n_pair
+       |  FROM pos a, UNNEST(range(1, ${PmiWindow + 1})) t(d)
+       |  JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + d
+       |  GROUP BY least(a.w, b.w), greatest(a.w, b.w)
+       |), np AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS np_tot FROM pairs)
+       |SELECT p.w1, p.w2, p.n_pair, ua.n_w AS n_a, ub.n_w AS n_b,
+       |  CAST(ROUND(ln((CAST(p.n_pair AS DOUBLE) * t.n_tok * t.n_tok)
+       |    / ((CAST(np.np_tot AS DOUBLE) * ua.n_w) * ub.n_w)) * 1e9) AS BIGINT) AS pmi_nano
+       |FROM pairs p
+       |JOIN uni ua ON ua.w = p.w1
+       |JOIN uni ub ON ub.w = p.w2
+       |CROSS JOIN tot t CROSS JOIN np
+       |WHERE p.n_pair >= $PmiMinPair
+       |ORDER BY p.w1, p.w2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c89_pmi_pairs" -> (c89PmiPairs _),
     "c88_bm25" -> (c88Bm25 _),
     "c87_epoch_plan" -> (c87EpochPlan _),
     "c86_contam_sweep" -> (c86ContamSweep _),
@@ -3027,6 +3098,7 @@ object TextQueries {
     "c64_classifier_eval" -> (c64ClassifierEval _))
 
   val oracles: Map[String, String] = Map(
+    "c89_pmi_pairs" -> c89Sql,
     "c88_bm25" -> c88Sql,
     "c87_epoch_plan" -> c87Sql,
     "c86_contam_sweep" -> c86Sql,

@@ -86,7 +86,11 @@ class PlanContractSpec extends SparkTestBase {
     // into the candidate (doc, term) frame — the same bounded-scalar
     // shape; candidate generation itself is a token hash equi-join
     // against the ≤15-row broadcast query-term table
-    "c88_bm25")
+    "c88_bm25",
+    // c89 crosses the 1-row token-total and 1-row pair-total aggregates
+    // into the vocab²-bounded pair frame — bounded scalars again; the
+    // window pairing itself is a (doc, position) hash equi-join
+    "c89_pmi_pairs")
 
   test("no unexpected BroadcastNestedLoopJoin / CartesianProduct in any batch plan") {
     val batch = SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("d"))

@@ -535,6 +535,19 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("b40 order fanout: count-of-counts recompute, mass conserved") {
+    val out = Queries.orderFanout(spark, sf).collect()
+    val li = graft.Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), round(col("l_extendedprice") * 100, 0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val perOrder = li.groupBy(_._1).view.mapValues(g => (g.length.toLong, g.map(_._2).sum))
+    val expect = perOrder.values.toSeq.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+    assert(out.map(r => (r.getAs[Long]("k"),
+      (r.getAs[Long]("n_orders"), r.getAs[Long]("sum_rev_c")))).toMap == expect.toMap)
+    assert(out.map(r => r.getAs[Long]("k") * r.getAs[Long]("n_orders")).sum == li.length)
+  }
+
   test("b39 ship latency: histogram mass equals lineitem count, days plausible") {
     val out = Queries.shipLatency(spark, sf).collect()
     assert(out.nonEmpty)

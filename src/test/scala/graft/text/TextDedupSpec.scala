@@ -804,6 +804,32 @@ class DedupQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("c89 PMI: brute-force windowed pair recompute with exact nano quantization") {
+    val out = TextQueries.c89PmiPairs(spark, sf).collect()
+    assert(out.nonEmpty)
+    val docs = graft.Tables(spark, sf, "documents").select("text").collect()
+      .map(_.getString(0).split(" ").toSeq)
+    val uni = docs.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTok = docs.map(_.size.toLong).sum
+    val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs.foreach { ts =>
+      for (i <- ts.indices; d <- 1 to TextQueries.PmiWindow; if i + d < ts.size) {
+        val (a, b) = (ts(i), ts(i + d))
+        val k = if (a <= b) (a, b) else (b, a)
+        pairCounts(k) = pairCounts.getOrElse(k, 0L) + 1L
+      }
+    }
+    val npTot = pairCounts.values.sum
+    def q(d: Double) = BigDecimal(d).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expect = pairCounts.filter(_._2 >= TextQueries.PmiMinPair).map { case ((a, b), n) =>
+      val pmi = math.log((n.toDouble * nTok * nTok) / ((npTot.toDouble * uni(a)) * uni(b)))
+      ((a, b), (n, uni(a), uni(b), q(pmi * 1e9)))
+    }.toMap
+    assert(out.map(r => ((r.getString(0), r.getString(1)),
+      (r.getAs[Long]("n_pair"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("pmi_nano")))).toMap == expect)
+  }
+
   test("c88 BM25: full brute-force recompute of queries, scores, and ranking") {
     val out = TextQueries.c88Bm25(spark, sf).collect()
     assert(out.nonEmpty)
