@@ -3046,7 +3046,82 @@ object TextQueries {
        |WHERE p.n_pair >= $PmiMinPair
        |ORDER BY p.w1, p.w2""".stripMargin
 
+  // ---------------------------------------------------------------- C90
+  /** C90: context-length packing sweep — C27's concat-and-chunk packing
+    * evaluated at context lengths [[PackSweepLens]] without
+    * re-packing: sequences needed, fill ratio, and the fraction of
+    * documents SPLIT across a sequence boundary (the attention-mask /
+    * document-leakage cost of packing) per candidate L. The
+    * context-length decision trades fill (long L packs tighter) against
+    * split damage (long docs still split; short L splits more) — this
+    * is the table that decision reads, the C85/C86 sweep idiom applied
+    * to packing. The per-source cumulative frame is computed ONCE (the
+    * same window C27 uses, input bounded per source); each L is then
+    * pure scan-stage arithmetic on it: a doc splits iff its start and
+    * end land in different L-chunks, and sequences per source =
+    * ceil(source mass / L) — all exact integers.
+    */
+  val PackSweepLens = Seq(512L, 1024L, 2048L)
+
+  def c90PackSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .localCheckpoint(true)
+    PackSweepLens.map { l =>
+      val perDoc = cum.agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"),
+        sum(when(col("n_tok") > 0L &&
+          expr(s"(cum - n_tok) div $l") =!= expr(s"(cum - 1) div $l"), 1L)
+          .otherwise(0L)).as("n_split_docs"))
+      val seqs = cum.groupBy("source").agg(max("cum").as("tot"))
+        .agg(sum(expr(s"(tot + $l - 1) div $l")).as("n_seqs"))
+      perDoc.crossJoin(broadcast(seqs))
+        .select(lit(l).as("ctx_len"), col("n_seqs"), col("n_split_docs"),
+          col("total_tokens"),
+          expr(s"total_tokens * 1000000 div (n_seqs * $l)").as("fill_ppm"),
+          expr("n_split_docs * 1000000 div n_docs").as("split_ppm"))
+    }.reduce(_.union(_)).orderBy("ctx_len")
+  }
+
+  val c90Sql: String = {
+    def block(l: Long): String =
+      s"""SELECT CAST($l AS BIGINT) AS ctx_len,
+         |  (SELECT CAST(SUM((tot + $l - 1) // $l) AS BIGINT) FROM src_tot) AS n_seqs,
+         |  CAST(SUM(CASE WHEN n_tok > 0 AND (cum - n_tok) // $l <> (cum - 1) // $l
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(n_tok) AS BIGINT) * 1000000
+         |    // ((SELECT CAST(SUM((tot + $l - 1) // $l) AS BIGINT) FROM src_tot) * $l)
+         |    AS fill_ppm,
+         |  CAST(SUM(CASE WHEN n_tok > 0 AND (cum - n_tok) // $l <> (cum - 1) // $l
+         |    THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // COUNT(*) AS split_ppm
+         |FROM c""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, source, n_tok,
+       |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM t
+       |), src_tot AS (
+       |  SELECT source, MAX(cum) AS tot FROM c GROUP BY source
+       |)
+       |${block(512L)}
+       |UNION ALL
+       |${block(1024L)}
+       |UNION ALL
+       |${block(2048L)}
+       |ORDER BY ctx_len""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c90_pack_sweep" -> (c90PackSweep _),
     "c89_pmi_pairs" -> (c89PmiPairs _),
     "c88_bm25" -> (c88Bm25 _),
     "c87_epoch_plan" -> (c87EpochPlan _),
@@ -3098,6 +3173,7 @@ object TextQueries {
     "c64_classifier_eval" -> (c64ClassifierEval _))
 
   val oracles: Map[String, String] = Map(
+    "c90_pack_sweep" -> c90Sql,
     "c89_pmi_pairs" -> c89Sql,
     "c88_bm25" -> c88Sql,
     "c87_epoch_plan" -> c87Sql,

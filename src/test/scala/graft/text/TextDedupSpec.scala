@@ -804,6 +804,42 @@ class DedupQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("c90 pack sweep: brute-force recompute, monotone fill/split trade-off") {
+    val out = TextQueries.c90PackSweep(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("ctx_len")).toSeq == TextQueries.PackSweepLens)
+    val docs = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        "\\S+".r.findAllIn(r.getString(2)).size.toLong))
+    val bySource = docs.groupBy(_._2).view.mapValues(_.sortBy(_._1)).toMap
+    out.foreach { r =>
+      val l = r.getAs[Long]("ctx_len")
+      var (splits, seqs, total) = (0L, 0L, 0L)
+      bySource.values.foreach { g =>
+        var cum = 0L
+        g.foreach { case (_, _, n) =>
+          val (start, end) = (cum / l, (cum + n - 1) / l)
+          if (n > 0 && start != end) splits += 1
+          cum += n
+        }
+        seqs += (cum + l - 1) / l
+        total += cum
+      }
+      assert(r.getAs[Long]("n_seqs") == seqs, s"L=$l")
+      assert(r.getAs[Long]("n_split_docs") == splits)
+      assert(r.getAs[Long]("total_tokens") == total)
+      assert(r.getAs[Long]("fill_ppm") == total * 1000000L / (seqs * l))
+      assert(r.getAs[Long]("split_ppm") == splits * 1000000L / docs.length)
+    }
+    // the trade-off is visible: larger L never splits more docs
+    val sorted = out.sortBy(_.getAs[Long]("ctx_len"))
+    sorted.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[Long]("n_split_docs") >= hi.getAs[Long]("n_split_docs"))
+      case _ =>
+    }
+  }
+
   test("c89 PMI: brute-force windowed pair recompute with exact nano quantization") {
     val out = TextQueries.c89PmiPairs(spark, sf).collect()
     assert(out.nonEmpty)
