@@ -62,7 +62,8 @@ object SparkEntry {
     "b37_retention_cohorts" -> (Queries.retentionCohorts _),
     "b38_mom_growth" -> (Queries.momGrowth _),
     "b39_ship_latency" -> (Queries.shipLatency _),
-    "b40_order_fanout" -> (Queries.orderFanout _)
+    "b40_order_fanout" -> (Queries.orderFanout _),
+    "b41_late_supplier" -> (Queries.lateSupplier _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -113,6 +114,7 @@ object SparkEntry {
     "b37_retention_cohorts" -> Queries.retentionCohortsSql,
     "b38_mom_growth" -> Queries.momGrowthSql,
     "b39_ship_latency" -> Queries.shipLatencySql,
-    "b40_order_fanout" -> Queries.orderFanoutSql
+    "b40_order_fanout" -> Queries.orderFanoutSql,
+    "b41_late_supplier" -> Queries.lateSupplierSql
   )
 }

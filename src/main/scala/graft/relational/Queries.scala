@@ -1853,6 +1853,57 @@ object Queries {
       |SELECT k, COUNT(*) AS n_orders, CAST(SUM(rev_c) AS BIGINT) AS sum_rev_c
       |FROM per_order GROUP BY k ORDER BY k""".stripMargin
 
+  // ------------------------------------------------------------- B41
+  /** B41: sole-late-supplier blame — the TPC-H Q21 shape ("suppliers
+    * who kept orders waiting") re-keyed to this schema: on
+    * multi-supplier orders, the supplier who ALONE shipped last
+    * (EXISTS another supplier on the order, NOT EXISTS another equally
+    * late — with ship date standing in for Q21's receipt delay),
+    * ranked by blamed-order count. Q21's double-correlated
+    * EXISTS/NOT-EXISTS decorrelates by hand into the shape Spark would
+    * want anyway: ONE per-order aggregate (max date + distinct
+    * suppliers), an equi-join back at the max date, a second bounded
+    * aggregate counting who sits at it — three passes over
+    * order-keyed data, no correlated execution, no self-θ-join. Final
+    * rank = TakeOrdered over supplier-count rows.
+    */
+  val BlameTopK = 20
+
+  def lateSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val byOrder = li.groupBy("l_orderkey")
+      .agg(max("l_shipdate").as("maxd"), countDistinct("l_suppkey").as("nsupp"))
+    val blamed = li.join(byOrder, "l_orderkey")
+      .filter(col("l_shipdate") === col("maxd") && col("nsupp") >= 2L)
+      .groupBy("l_orderkey")
+      .agg(countDistinct("l_suppkey").as("n_late"), max("l_suppkey").as("supp"))
+      .filter(col("n_late") === 1L)
+    blamed.groupBy(col("supp").as("l_suppkey"))
+      .agg(count(lit(1)).as("n_blamed_orders"))
+      .orderBy(col("n_blamed_orders").desc, col("l_suppkey"))
+      .limit(BlameTopK)
+  }
+
+  val lateSupplierSql: String =
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem
+       |), by_order AS (
+       |  SELECT l_orderkey, MAX(l_shipdate) AS maxd,
+       |    COUNT(DISTINCT l_suppkey) AS nsupp
+       |  FROM li GROUP BY l_orderkey
+       |), blamed AS (
+       |  SELECT l.l_orderkey, MAX(l.l_suppkey) AS supp
+       |  FROM li l JOIN by_order o ON o.l_orderkey = l.l_orderkey
+       |  WHERE l.l_shipdate = o.maxd AND o.nsupp >= 2
+       |  GROUP BY l.l_orderkey
+       |  HAVING COUNT(DISTINCT l.l_suppkey) = 1
+       |)
+       |SELECT supp AS l_suppkey, COUNT(*) AS n_blamed_orders
+       |FROM blamed GROUP BY supp
+       |ORDER BY n_blamed_orders DESC, l_suppkey
+       |LIMIT $BlameTopK""".stripMargin
+
   val scd2IntervalsSql: String =
     """WITH ordered AS (
       |  SELECT user_id, ts, event_id, event_type,

@@ -535,6 +535,24 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("b41 late supplier: brute-force Q21-shape recompute") {
+    val out = Queries.lateSupplier(spark, sf).collect()
+    assert(out.nonEmpty)
+    val li = graft.Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val blame = li.groupBy(_._1).values.flatMap { g =>
+      val maxd = g.map(_._3).max
+      val supps = g.map(_._2).distinct
+      val late = g.filter(_._3 == maxd).map(_._2).distinct
+      if (supps.size >= 2 && late.size == 1) Some(late.head) else None
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = blame.toSeq.sortBy { case (s, n) => (-n, s) }
+      .take(Queries.BlameTopK)
+    assert(out.map(r => (r.getAs[Long]("l_suppkey"),
+      r.getAs[Long]("n_blamed_orders"))).toSeq == expect)
+  }
+
   test("b40 order fanout: count-of-counts recompute, mass conserved") {
     val out = Queries.orderFanout(spark, sf).collect()
     val li = graft.Tables(spark, sf, "lineitem")
