@@ -90,7 +90,10 @@ class PlanContractSpec extends SparkTestBase {
     // c89 crosses the 1-row token-total and 1-row pair-total aggregates
     // into the vocab²-bounded pair frame — bounded scalars again; the
     // window pairing itself is a (doc, position) hash equi-join
-    "c89_pmi_pairs")
+    "c89_pmi_pairs",
+    // c90 crosses a 1-row sequence-count aggregate into a 1-row
+    // corpus-stats aggregate per sweep level — both sides single rows
+    "c90_pack_sweep")
 
   test("no unexpected BroadcastNestedLoopJoin / CartesianProduct in any batch plan") {
     val batch = SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("d"))
