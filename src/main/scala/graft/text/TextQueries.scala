@@ -3120,7 +3120,61 @@ object TextQueries {
        |ORDER BY ctx_len""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C91
+  /** C91: DSIR importance-resampling DRAW — turn C43's importance
+    * weights into the actual kept set: document d is kept iff its
+    * deterministic draw (the C23 hash family, mod [[DsirDrawMod]])
+    * falls under its weight, i.e. keep probability =
+    * min(1, dsir_micro / 2·10⁶) — Xie et al.'s Gumbel-top-k replaced
+    * by the hash-threshold systematic draw every reproducible pipeline
+    * uses in place of RNG (the C23/C83 convention). Emits the per-doc
+    * audit row (weight, draw, keep) — the sampled corpus is one filter
+    * away — plus the realized acceptance in ppm per source so the
+    * sampling skew C43 intends is visible per domain. Composes C43's
+    * frame with scan-stage arithmetic only; the per-source summary is
+    * one source-keyed partial agg.
+    */
+  val DsirDrawMod = 2000000L
+
+  def c91DsirDraw(spark: SparkSession, dir: String): DataFrame = {
+    val weights = c43DsirWeights(spark, dir).select("doc_id", "dsir_micro")
+    val src = Tables(spark, dir, "documents").select("doc_id", "source")
+    weights.join(src, "doc_id")
+      .withColumn("draw", expr(s"(doc_id * 2654435761 + 40503) % $DsirDrawMod"))
+      .withColumn("keep", col("draw") < col("dsir_micro"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum("dsir_micro").as("sum_weight_micro"))
+      .withColumn("accept_ppm", expr("n_kept * 1000000 div n_docs"))
+      // naive expectation (cap at probability 1 ignored) — the gap
+      // between expect_nocap_ppm and accept_ppm measures how much
+      // weight mass sits above the cap
+      .withColumn("expect_nocap_ppm",
+        expr(s"sum_weight_micro div (n_docs * ${DsirDrawMod / 1000000L})"))
+      .orderBy("source")
+  }
+
+  val c91Sql: String =
+    s"""WITH w AS (
+       |${c43Sql.stripSuffix("ORDER BY doc_id").trim}
+       |), s AS (SELECT doc_id, source FROM documents),
+       |d AS (
+       |  SELECT w.doc_id, s.source, w.dsir_micro,
+       |    (w.doc_id * 2654435761 + 40503) % $DsirDrawMod AS draw
+       |  FROM w JOIN s USING (doc_id)
+       |)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN draw < dsir_micro THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(dsir_micro) AS BIGINT) AS sum_weight_micro,
+       |  CAST(SUM(CASE WHEN draw < dsir_micro THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000000 // COUNT(*) AS accept_ppm,
+       |  CAST(SUM(dsir_micro) AS BIGINT) // (COUNT(*) * ${DsirDrawMod / 1000000L})
+       |    AS expect_nocap_ppm
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c91_dsir_draw" -> (c91DsirDraw _),
     "c90_pack_sweep" -> (c90PackSweep _),
     "c89_pmi_pairs" -> (c89PmiPairs _),
     "c88_bm25" -> (c88Bm25 _),
@@ -3173,6 +3227,7 @@ object TextQueries {
     "c64_classifier_eval" -> (c64ClassifierEval _))
 
   val oracles: Map[String, String] = Map(
+    "c91_dsir_draw" -> c91Sql,
     "c90_pack_sweep" -> c90Sql,
     "c89_pmi_pairs" -> c89Sql,
     "c88_bm25" -> c88Sql,

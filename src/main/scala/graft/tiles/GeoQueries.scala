@@ -1688,8 +1688,75 @@ object GeoQueries {
       |  greatest(w, h) * 1000000 // least(w, h) AS aspect_ppm
       |FROM shape ORDER BY cluster_id""".stripMargin)
 
+  // ---------------------------------------------------------------- A42
+  /** A42: 3×3 score smoothing — each cell's inference score replaced by
+    * the mean over its 3×3 neighborhood (present cells only), then
+    * re-thresholded: the image-processing denoise pass that suppresses
+    * isolated single-tile false positives and fills single-tile holes
+    * BEFORE clustering, the robust alternative to thresholding raw
+    * per-tile scores (solardb.py:231 thresholds raw). Output = cells
+    * whose smoothed score clears [[GeoDerive.Threshold]], with the
+    * change class (kept / promoted / demoted vs the raw threshold) so
+    * the operational effect is auditable. Exact integer mean: scores
+    * aggregate in milli units, mean_micro = sum·1000 div n — no double
+    * ever accumulates. Scale shape: the a9/a40 idiom — bounded ×9
+    * offset explode on the cell side, ONE tile-coordinate hash
+    * equi-join, one partial agg; never a windowed convolution over a
+    * sorted grid.
+    */
+  def a42ScoreSmooth(spark: SparkSession, dir: String): DataFrame = {
+    val cells = GeoDerive.cells(spark, dir)
+      .groupBy("x", "y").agg(max("score").as("score"))
+      .select(col("x"), col("y"),
+        round(col("score") * 1000, 0).cast("long").as("s_milli"))
+    val contrib = cells
+      .withColumn("dx", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("dy", explode(sequence(lit(-1L), lit(1L))))
+      .select((col("x") + col("dx")).as("x"), (col("y") + col("dy")).as("y"),
+        col("s_milli"))
+    val smoothed = contrib.join(cells.select("x", "y"), Seq("x", "y"))
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("n_nbr"), sum("s_milli").as("sum_milli"))
+      .withColumn("smooth_micro", expr("sum_milli * 1000 div n_nbr"))
+    val t = math.round(GeoDerive.Threshold * 1e6)
+    smoothed.join(cells, Seq("x", "y"))
+      .withColumn("raw_pos", col("s_milli") * 1000L >= t)
+      .withColumn("smooth_pos", col("smooth_micro") >= t)
+      .filter(col("smooth_pos") || col("raw_pos"))
+      .withColumn("change",
+        when(col("raw_pos") && col("smooth_pos"), "kept")
+          .when(col("smooth_pos"), "promoted")
+          .otherwise("demoted"))
+      .select("x", "y", "s_milli", "smooth_micro", "n_nbr", "change")
+      .orderBy("x", "y")
+  }
+
+  val a42Sql: String = withCtes(false, GeoDerive.cellsCte,
+    s"""cm AS (
+       |  SELECT x, y, CAST(ROUND(MAX(score) * 1000) AS BIGINT) AS s_milli
+       |  FROM cells GROUP BY x, y
+       |),
+       |sm AS (
+       |  SELECT c.x, c.y, COUNT(*) AS n_nbr,
+       |    CAST(SUM(n.s_milli) AS BIGINT) * 1000 // COUNT(*) AS smooth_micro
+       |  FROM cm c
+       |  CROSS JOIN range(-1, 2) tx(dx) CROSS JOIN range(-1, 2) ty(dy)
+       |  JOIN cm n ON n.x = c.x + dx AND n.y = c.y + dy
+       |  GROUP BY c.x, c.y
+       |)""".stripMargin)(
+    s"""SELECT s.x, s.y, c.s_milli, s.smooth_micro, s.n_nbr,
+       |  CASE WHEN c.s_milli * 1000 >= ${math.round(GeoDerive.Threshold * 1e6)}
+       |         AND s.smooth_micro >= ${math.round(GeoDerive.Threshold * 1e6)} THEN 'kept'
+       |       WHEN s.smooth_micro >= ${math.round(GeoDerive.Threshold * 1e6)} THEN 'promoted'
+       |       ELSE 'demoted' END AS change
+       |FROM sm s JOIN cm c ON c.x = s.x AND c.y = s.y
+       |WHERE s.smooth_micro >= ${math.round(GeoDerive.Threshold * 1e6)}
+       |   OR c.s_milli * 1000 >= ${math.round(GeoDerive.Threshold * 1e6)}
+       |ORDER BY s.x, s.y""".stripMargin)
+
   /** All A-block entries for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a42_score_smooth" -> (a42ScoreSmooth _),
     "a41_shape_stats" -> (a41ShapeStats _),
     "a40_degree_histogram" -> (a40DegreeHistogram _),
     "a39_conflation_queue" -> (a39ConflationQueue _),
@@ -1737,6 +1804,7 @@ object GeoQueries {
     "a19_inference_scored" -> (a19InferenceScored _))
 
   val oracles: Map[String, String] = Map(
+    "a42_score_smooth" -> a42Sql,
     "a41_shape_stats" -> a41Sql,
     "a40_degree_histogram" -> a40Sql,
     "a39_conflation_queue" -> a39Sql,

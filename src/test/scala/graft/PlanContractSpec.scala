@@ -93,7 +93,10 @@ class PlanContractSpec extends SparkTestBase {
     "c89_pmi_pairs",
     // c90 crosses a 1-row sequence-count aggregate into a 1-row
     // corpus-stats aggregate per sweep level — both sides single rows
-    "c90_pack_sweep")
+    "c90_pack_sweep",
+    // c91 embeds c43's 1-row (raw_total, tgt_total) cross (already
+    // whitelisted there) — same bounded-scalar shape
+    "c91_dsir_draw")
 
   test("no unexpected BroadcastNestedLoopJoin / CartesianProduct in any batch plan") {
     val batch = SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("d"))

@@ -804,6 +804,30 @@ class DedupQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("c91 DSIR draw: per-source counts recomputed from pinned c43 weights") {
+    val out = TextQueries.c91DsirDraw(spark, sf).collect()
+    val weights = TextQueries.c43DsirWeights(spark, sf)
+      .select("doc_id", "dsir_micro").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val src = graft.Tables(spark, sf, "documents").select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySource = weights.keys.groupBy(src)
+    assert(out.map(_.getString(0)).toSet == bySource.keySet)
+    out.foreach { r =>
+      val ids = bySource(r.getString(0)).toSeq
+      val kept = ids.count(id =>
+        (id * 2654435761L + 40503L) % TextQueries.DsirDrawMod < weights(id))
+      assert(r.getAs[Long]("n_docs") == ids.size)
+      assert(r.getAs[Long]("n_kept") == kept)
+      assert(r.getAs[Long]("accept_ppm") == kept.toLong * 1000000L / ids.size)
+      assert(r.getAs[Long]("sum_weight_micro") == ids.map(weights).sum)
+    }
+    // the draw neither keeps everything nor drops everything
+    val (tot, kept) = (out.map(_.getAs[Long]("n_docs")).sum,
+      out.map(_.getAs[Long]("n_kept")).sum)
+    assert(kept > 0 && kept < tot)
+  }
+
   test("c90 pack sweep: brute-force recompute, monotone fill/split trade-off") {
     val out = TextQueries.c90PackSweep(spark, sf).collect()
     assert(out.map(_.getAs[Long]("ctx_len")).toSeq == TextQueries.PackSweepLens)

@@ -316,6 +316,31 @@ class GeoQueriesSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("a42 score smoothing: brute-force 3x3 recompute, denoise direction sensible") {
+    val out = GeoQueries.a42ScoreSmooth(spark, sf).collect()
+    assert(out.nonEmpty)
+    val cells = GeoDerive.cells(spark, sf).select("x", "y", "score").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), math.round(r.getDouble(2) * 1000)))
+      .toMap
+    val t = math.round(GeoDerive.Threshold * 1e6)
+    out.foreach { r =>
+      val (x, y) = (r.getAs[Long]("x"), r.getAs[Long]("y"))
+      val nbrs = (for (dx <- -1L to 1L; dy <- -1L to 1L)
+        yield cells.get((x + dx, y + dy))).flatten
+      assert(r.getAs[Long]("n_nbr") == nbrs.size)
+      assert(r.getAs[Long]("smooth_micro") == nbrs.sum * 1000L / nbrs.size)
+      assert(r.getAs[Long]("s_milli") == cells((x, y)))
+      val (rawPos, smoothPos) =
+        (cells((x, y)) * 1000L >= t, r.getAs[Long]("smooth_micro") >= t)
+      val expect = if (rawPos && smoothPos) "kept"
+        else if (smoothPos) "promoted" else "demoted"
+      assert(r.getAs[String]("change") == expect)
+    }
+    // the filter smooths in both directions on this data
+    val changes = out.map(_.getAs[String]("change")).toSet
+    assert(changes.contains("promoted") && changes.contains("demoted"))
+  }
+
   test("a41 shape stats: brute-force bbox recompute, ratios bounded") {
     val out = GeoQueries.a41ShapeStats(spark, sf).collect()
     assert(out.nonEmpty)
