@@ -63,7 +63,8 @@ object SparkEntry {
     "b38_mom_growth" -> (Queries.momGrowth _),
     "b39_ship_latency" -> (Queries.shipLatency _),
     "b40_order_fanout" -> (Queries.orderFanout _),
-    "b41_late_supplier" -> (Queries.lateSupplier _)
+    "b41_late_supplier" -> (Queries.lateSupplier _),
+    "b42_ratio_to_report" -> (Queries.ratioToReport _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -115,6 +116,7 @@ object SparkEntry {
     "b38_mom_growth" -> Queries.momGrowthSql,
     "b39_ship_latency" -> Queries.shipLatencySql,
     "b40_order_fanout" -> Queries.orderFanoutSql,
-    "b41_late_supplier" -> Queries.lateSupplierSql
+    "b41_late_supplier" -> Queries.lateSupplierSql,
+    "b42_ratio_to_report" -> Queries.ratioToReportSql
   )
 }

@@ -1904,6 +1904,55 @@ object Queries {
        |ORDER BY n_blamed_orders DESC, l_suppkey
        |LIMIT $BlameTopK""".stripMargin
 
+  // ------------------------------------------------------------- B42
+  /** B42: ratio-to-report — each nation's revenue share within its
+    * region in exact ppm, plus its share of the global total: the
+    * percent-of-total idiom every BI layer ships as RATIO_TO_REPORT,
+    * expressed as two partial aggs and a broadcast join instead of a
+    * window over the fact (the region frame has a handful of rows —
+    * C22's value-domain argument — so the "window" collapses to a
+    * dimension join). Customer nation attributes orders; one
+    * fact-sized shuffle total.
+    */
+  def ratioToReport(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), cents(col("o_totalprice")).as("price_c"))
+    val c = Tables(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val n = Tables(spark, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables(spark, dir, "region").select("r_regionkey", "r_name")
+    val byNation = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum("price_c").as("rev_c"))
+    val byRegion = byNation.groupBy("r_name").agg(sum("rev_c").as("region_rev_c"))
+    val total = byNation.agg(sum("rev_c").as("total_rev_c"))
+    byNation.join(broadcast(byRegion), "r_name").crossJoin(broadcast(total))
+      .select(col("r_name"), col("n_name"), col("rev_c"), col("region_rev_c"),
+        expr("rev_c * 1000000 div region_rev_c").as("region_share_ppm"),
+        expr("rev_c * 1000000 div total_rev_c").as("global_share_ppm"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val ratioToReportSql: String =
+    """WITH by_nation AS (
+      |  SELECT r.r_name, n.n_name,
+      |    CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM orders o
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  JOIN region r ON r.r_regionkey = n.n_regionkey
+      |  GROUP BY r.r_name, n.n_name
+      |), by_region AS (
+      |  SELECT r_name, CAST(SUM(rev_c) AS BIGINT) AS region_rev_c
+      |  FROM by_nation GROUP BY r_name
+      |), tot AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS total_rev_c FROM by_nation)
+      |SELECT b.r_name, b.n_name, b.rev_c, g.region_rev_c,
+      |  b.rev_c * 1000000 // g.region_rev_c AS region_share_ppm,
+      |  b.rev_c * 1000000 // t.total_rev_c AS global_share_ppm
+      |FROM by_nation b JOIN by_region g USING (r_name) CROSS JOIN tot t
+      |ORDER BY b.r_name, b.n_name""".stripMargin
+
   val scd2IntervalsSql: String =
     """WITH ordered AS (
       |  SELECT user_id, ts, event_id, event_type,

@@ -3173,7 +3173,107 @@ object TextQueries {
        |    AS expect_nocap_ppm
        |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- C92
+  /** C92: Heaps-law vocabulary growth (Heaps 1978) — distinct types vs
+    * cumulative tokens at power-of-2 document checkpoints, with the
+    * log-log regression exponent β (natural text: β ≈ 0.4-0.6): the
+    * companion corpus law to C71's Zipf fit and the forward-projection
+    * C75's unseen-mass estimate answers pointwise — "how much NEW
+    * vocabulary will the next 10× of crawl bring" is read off this
+    * curve. Uses C5's hashed token space (the gram family every screen
+    * shares).
+    *
+    * Scale shape: NO corpus-ordered window (the naive cumulative would
+    * single-task-sort the doc frame): per-doc token counts and
+    * per-type FIRST document (b34's first-appearance attribution) are
+    * two map-side-combinable aggs; each joins the ≤40-row broadcast
+    * checkpoint frame with a bounded ≤-inequality fan-out and
+    * re-aggregates per checkpoint — O(rows·checkpoints), one shuffle
+    * each, at any corpus size. The regression reuses C71's exact
+    * kernel: lns quantize to micro per checkpoint row, integer sums
+    * route through DECIMAL(38,0), slope/r2 are final double divisions
+    * rounded to 6dp, broadcast onto every checkpoint row (c73's
+    * pattern).
+    */
+  def c92HeapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), tokenHash(col("w")).as("th"))
+    val maxDoc = Tables(spark, dir, "documents").agg(max("doc_id")).head.getLong(0)
+    val cps = (0 to 40).map(k => 1L << k).filter(_ <= maxDoc).toSeq :+ (maxDoc + 1L)
+    import spark.implicits._
+    val cpDf = cps.distinct.sorted.toDF("cp")
+    val perDoc = docs.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val firstDoc = docs.groupBy("th").agg(min("doc_id").as("fd"))
+    val cumTok = perDoc.crossJoin(broadcast(cpDf)).filter(col("doc_id") < col("cp"))
+      .groupBy("cp").agg(sum("n_tok").as("cum_tokens"))
+    val cumTyp = firstDoc.crossJoin(broadcast(cpDf)).filter(col("fd") < col("cp"))
+      .groupBy("cp").agg(count(lit(1)).as("cum_types"))
+    val pts = cumTok.join(cumTyp, "cp")
+      .select(col("cp"), col("cum_tokens"), col("cum_types"),
+        round(log(col("cum_tokens").cast("double")) * 1e6, 0).cast("long").as("x"),
+        round(log(col("cum_types").cast("double")) * 1e6, 0).cast("long").as("y"))
+    val sums = pts.agg(count(lit(1)).as("k"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+      sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+      sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
+    val fit = sums.select(
+        expr("cast(k as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy").as("cov"),
+        expr("cast(k as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx").as("varx"),
+        expr("cast(k as decimal(38,0)) * syy - cast(sy as decimal(38,0)) * sy").as("vary"))
+      .select(round(col("cov").cast("double") / col("varx").cast("double"), 6).as("beta"),
+        round(col("cov").cast("double") * col("cov").cast("double")
+          / (col("varx").cast("double") * col("vary").cast("double")), 6).as("r2"))
+    pts.select("cp", "cum_tokens", "cum_types").crossJoin(broadcast(fit))
+      .orderBy("cp")
+  }
+
+  val c92Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, ${tokenHashSql("w")} AS th
+       |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+       |), cps AS (
+       |  SELECT DISTINCT cp FROM (
+       |    SELECT power(2, k)::BIGINT AS cp FROM range(0, 41) t(k)
+       |    WHERE power(2, k)::BIGINT <= (SELECT MAX(doc_id) FROM documents)
+       |    UNION ALL SELECT MAX(doc_id) + 1 FROM documents
+       |  )
+       |), per_doc AS (SELECT doc_id, COUNT(*) AS n_tok FROM d GROUP BY doc_id),
+       |first_doc AS (SELECT th, MIN(doc_id) AS fd FROM d GROUP BY th),
+       |cum_tok AS (
+       |  SELECT c.cp, CAST(SUM(p.n_tok) AS BIGINT) AS cum_tokens
+       |  FROM per_doc p CROSS JOIN cps c WHERE p.doc_id < c.cp GROUP BY c.cp
+       |), cum_typ AS (
+       |  SELECT c.cp, COUNT(*) AS cum_types
+       |  FROM first_doc f CROSS JOIN cps c WHERE f.fd < c.cp GROUP BY c.cp
+       |), pts AS (
+       |  SELECT t.cp, t.cum_tokens, y.cum_types,
+       |    CAST(ROUND(ln(t.cum_tokens) * 1e6) AS BIGINT) AS x,
+       |    CAST(ROUND(ln(y.cum_types) * 1e6) AS BIGINT) AS y
+       |  FROM cum_tok t JOIN cum_typ y USING (cp)
+       |), sums AS (
+       |  SELECT COUNT(*) AS k,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+       |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+       |    SUM(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM pts
+       |), fit AS (
+       |  SELECT round(CAST(CAST(k AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+       |      / CAST(CAST(k AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6) AS beta,
+       |    round(CAST(CAST(k AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+       |        * CAST(CAST(k AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+       |      / (CAST(CAST(k AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+       |        * CAST(CAST(k AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)), 6) AS r2
+       |  FROM sums
+       |)
+       |SELECT p.cp, p.cum_tokens, p.cum_types, f.beta, f.r2
+       |FROM pts p CROSS JOIN fit f
+       |ORDER BY p.cp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c92_heaps_law" -> (c92HeapsLaw _),
     "c91_dsir_draw" -> (c91DsirDraw _),
     "c90_pack_sweep" -> (c90PackSweep _),
     "c89_pmi_pairs" -> (c89PmiPairs _),
@@ -3227,6 +3327,7 @@ object TextQueries {
     "c64_classifier_eval" -> (c64ClassifierEval _))
 
   val oracles: Map[String, String] = Map(
+    "c92_heaps_law" -> c92Sql,
     "c91_dsir_draw" -> c91Sql,
     "c90_pack_sweep" -> c90Sql,
     "c89_pmi_pairs" -> c89Sql,

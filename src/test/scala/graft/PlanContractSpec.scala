@@ -96,7 +96,14 @@ class PlanContractSpec extends SparkTestBase {
     "c90_pack_sweep",
     // c91 embeds c43's 1-row (raw_total, tgt_total) cross (already
     // whitelisted there) — same bounded-scalar shape
-    "c91_dsir_draw")
+    "c91_dsir_draw",
+    // b42 crosses the 1-row grand-total aggregate into the ≤25-row
+    // nation frame — the b13 scalar shape on dimension-sized data
+    "b42_ratio_to_report",
+    // c92 crosses the ≤40-row checkpoint frame into per-doc/vocab
+    // aggregates (the bounded ≤-inequality fan-out is the operator)
+    // and the 1-row regression fit into the ≤40-row point frame
+    "c92_heaps_law")
 
   test("no unexpected BroadcastNestedLoopJoin / CartesianProduct in any batch plan") {
     val batch = SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("d"))

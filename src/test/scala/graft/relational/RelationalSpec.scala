@@ -535,6 +535,28 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("b42 ratio-to-report: shares sum to 1e6 per region and globally") {
+    val out = Queries.ratioToReport(spark, sf).collect()
+    assert(out.nonEmpty)
+    // per region, nation revenues re-sum to the region total and
+    // integer-division shares sum within nation-count slack of 1e6
+    out.groupBy(_.getString(0)).values.foreach { g =>
+      assert(g.map(_.getAs[Long]("rev_c")).sum == g.head.getAs[Long]("region_rev_c"))
+      val s = g.map(_.getAs[Long]("region_share_ppm")).sum
+      assert(s <= 1000000L && s > 1000000L - g.length)
+    }
+    val gs = out.map(_.getAs[Long]("global_share_ppm")).sum
+    assert(gs <= 1000000L && gs > 1000000L - out.length)
+    // exact recompute of one nation from raw joins
+    val r0 = out.head
+    val direct = graft.Tables(spark, sf, "orders")
+      .join(graft.Tables(spark, sf, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(graft.Tables(spark, sf, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === r0.getString(1))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))).head.getLong(0)
+    assert(direct == r0.getAs[Long]("rev_c"))
+  }
+
   test("b41 late supplier: brute-force Q21-shape recompute") {
     val out = Queries.lateSupplier(spark, sf).collect()
     assert(out.nonEmpty)

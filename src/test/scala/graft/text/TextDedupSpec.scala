@@ -804,6 +804,48 @@ class DedupQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("c92 Heaps law: exact checkpoint and regression recompute") {
+    val out = TextQueries.c92HeapsLaw(spark, sf).collect()
+    assert(out.length >= 5)
+    def th(w: String): Long =
+      w.length.toLong * 1009L + w.head.toInt * 31L + w.last.toInt
+    val docs = graft.Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).sortBy(_._1)
+    val maxDoc = docs.map(_._1).max
+    val cps = ((0 to 40).map(1L << _).filter(_ <= maxDoc) :+ (maxDoc + 1L)).distinct.sorted
+    assert(out.map(_.getAs[Long]("cp")).toSeq == cps)
+    val firstDoc = scala.collection.mutable.Map.empty[Long, Long]
+    docs.foreach { case (id, ts) =>
+      ts.foreach(t => firstDoc.getOrElseUpdate(th(t), id): Unit)
+    }
+    val (xs, ys) = (scala.collection.mutable.ArrayBuffer.empty[Long],
+      scala.collection.mutable.ArrayBuffer.empty[Long])
+    def q(d: Double) = BigDecimal(d).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    out.foreach { r =>
+      val cp = r.getAs[Long]("cp")
+      val tok = docs.filter(_._1 < cp).map(_._2.size.toLong).sum
+      val typ = firstDoc.values.count(_ < cp).toLong
+      assert(r.getAs[Long]("cum_tokens") == tok, s"cp=$cp")
+      assert(r.getAs[Long]("cum_types") == typ)
+      xs += q(math.log(tok.toDouble) * 1e6); ys += q(math.log(typ.toDouble) * 1e6)
+    }
+    // growth curve is non-decreasing in both coordinates
+    assert(out.map(_.getAs[Long]("cum_tokens")).toSeq.sorted ==
+      out.map(_.getAs[Long]("cum_tokens")).toSeq)
+    val k = BigInt(xs.length)
+    val (sx, sy) = (BigInt(xs.sum), BigInt(ys.sum))
+    val sxy = xs.zip(ys).map { case (a, b) => BigInt(a) * b }.sum
+    val sxx = xs.map(a => BigInt(a) * a).sum
+    val syy = ys.map(a => BigInt(a) * a).sum
+    val (cov, varx, vary) = (k * sxy - sx * sy, k * sxx - sx * sx, k * syy - sy * sy)
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach { r =>
+      assert(r.getAs[Double]("beta") == r6(cov.toDouble / varx.toDouble))
+      assert(r.getAs[Double]("r2") ==
+        r6(cov.toDouble * cov.toDouble / (varx.toDouble * vary.toDouble)))
+    }
+  }
+
   test("c91 DSIR draw: per-source counts recomputed from pinned c43 weights") {
     val out = TextQueries.c91DsirDraw(spark, sf).collect()
     val weights = TextQueries.c43DsirWeights(spark, sf)
