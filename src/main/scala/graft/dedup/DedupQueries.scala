@@ -968,7 +968,21 @@ object DedupQueries {
     */
   val SweepTaus = Seq(0.5, 0.7, 0.9)
 
-  def c85ThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+  /** Memoized LSH-candidate pairs between set-representatives with
+    * their EXACT hashed-shingle jaccard ≥ `minJac` — the scored-pair
+    * frame the C85 sweep closes over and C93's cross-lingual screen
+    * filters (C19's own scoring is the τ=CollapseJaccard slice of this
+    * recipe). Same star/set-dup compression as C19: identical texts
+    * and identical shingle SETS collapse before candidate generation,
+    * so the frame carries one row per distinct-set pair.
+    */
+  private val scoredCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long), DataFrame]
+
+  private[dedup] def scoredRepPairs(spark: SparkSession, dir: String,
+      minJac: Double): DataFrame =
+    scoredCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, math.round(minJac * 1e6)), {
     val docs = Tables(spark, dir, "documents")
     val classes = docs.groupBy("text").agg(min("doc_id").as("rep"))
     val textReps = classes.select(col("rep").as("doc_id"), col("text"))
@@ -979,20 +993,24 @@ object DedupQueries {
     val reps = joined.filter(col("doc_id") === col("srep"))
       .select(col("doc_id"), col("text"), col("s")).localCheckpoint(true)
     val sets = reps.select(col("doc_id"), col("s")).withColumn("ns", size(col("s")))
-    val tauMin = SweepTaus.min
-    val scored = candidatePairsFor(reps).select("doc_a", "doc_b")
+    candidatePairsFor(reps).select("doc_a", "doc_b")
       .join(broadcast(sets.select(col("doc_id").as("doc_a"),
         col("s").as("sa"), col("ns").as("na"))), "doc_a")
       .join(broadcast(sets.select(col("doc_id").as("doc_b"),
         col("s").as("sb"), col("ns").as("nb"))), "doc_b")
       .filter(least(col("na"), col("nb")).cast("double")
-        >= lit(tauMin) * greatest(col("na"), col("nb")))
+        >= lit(minJac) * greatest(col("na"), col("nb")))
       .withColumn("inter", sorted_intersect_count(col("sa"), col("sb")))
       .withColumn("jac", round(col("inter").cast("double")
         / (col("na") + col("nb") - col("inter")).cast("double"), 6))
-      .filter(col("jac") >= tauMin)
+      .filter(col("jac") >= minJac)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"), col("jac"))
       .localCheckpoint(true)
+  })
+
+  def c85ThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val scored = scoredRepPairs(spark, dir, SweepTaus.min)
     def stats(lab: DataFrame, tau: Double): DataFrame =
       lab.groupBy("cl").agg(count(lit(1)).as("k"))
         .agg(count(lit(1)).as("n_clusters"),
@@ -1066,7 +1084,66 @@ object DedupQueries {
        |ORDER BY tau_micro""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C93
+  /** C93: cross-lingual near-dup screen — the C6/C19 candidate pairs
+    * whose endpoints carry DIFFERENT language tags, with the exact
+    * hashed-shingle jaccard: in a crawled corpus these are
+    * machine-translation spam, template floods rendered per locale, or
+    * mislabeled language IDs — content the WITHIN-language dedup never
+    * compares if a pipeline shards dedup by lang (the common scale-out
+    * shortcut), and exactly what this screen argues against doing
+    * blindly. Works at the FULL document level (C7's candidate and
+    * token-set jaccard machinery, not the rep-compressed frame) so an
+    * identical text carrying two different lang tags — the pure
+    * mislabel case — surfaces too. Candidate-bounded, never
+    * all-pairs; two doc-keyed lang lookups; deterministic ordering.
+    */
+  val CrossLingualJac = 0.5
+
+  def c93CrossLingual(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val langs = docs.select("doc_id", "lang")
+    val sets = docs.select(col("doc_id"), array_distinct(tokens(col("text"))).as("s"))
+    candidatePairs(spark, dir).select("doc_a", "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sa"), col("sb"))).cast("double")
+          / size(array_union(col("sa"), col("sb"))), 6))
+      .filter(col("jaccard") >= CrossLingualJac)
+      .join(langs.select(col("doc_id").as("doc_a"), col("lang").as("lang_a")), "doc_a")
+      .join(langs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b")), "doc_b")
+      .filter(col("lang_a") =!= col("lang_b"))
+      .select(col("doc_a"), col("doc_b"), col("lang_a"), col("lang_b"),
+        round(col("jaccard") * 1e6, 0).cast("long").as("jac_micro"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val c93Sql: String =
+    s"""WITH ${bandRowsCtes.mkString(",\n")},
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+       |),
+       |sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents),
+       |scored AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(x.s, y.s))), 6) AS jac
+       |  FROM cand c
+       |  JOIN sets x ON x.doc_id = c.doc_a
+       |  JOIN sets y ON y.doc_id = c.doc_b
+       |)
+       |SELECT s.doc_a, s.doc_b, a.lang AS lang_a, b.lang AS lang_b,
+       |  CAST(ROUND(s.jac * 1e6) AS BIGINT) AS jac_micro
+       |FROM scored s
+       |JOIN documents a ON a.doc_id = s.doc_a
+       |JOIN documents b ON b.doc_id = s.doc_b
+       |WHERE s.jac >= $CrossLingualJac AND a.lang <> b.lang
+       |ORDER BY s.doc_a, s.doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c93_cross_lingual" -> (c93CrossLingual _),
     "c85_threshold_sweep" -> (c85ThresholdSweep _),
     "c84_cluster_sizes" -> (c84ClusterSizes _),
     "c82_dataset_card" -> (c82DatasetCard _),
@@ -1083,6 +1160,7 @@ object DedupQueries {
     "c66_containment" -> (c66Containment _))
 
   val oracles: Map[String, String] = Map(
+    "c93_cross_lingual" -> c93Sql,
     "c85_threshold_sweep" -> c85Sql,
     "c84_cluster_sizes" -> c84Sql,
     "c82_dataset_card" -> c82Sql,

@@ -804,6 +804,27 @@ class DedupQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("c93 cross-lingual screen: exactly c7's pairs above tau with differing langs") {
+    import graft.dedup.DedupQueries
+    val out = DedupQueries.c93CrossLingual(spark, sf).collect()
+    assert(out.nonEmpty)
+    val langs = graft.Tables(spark, sf, "documents").select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = DedupQueries.c7NgramJaccard(spark, sf).collect()
+      .filter(r => r.getAs[Double]("jaccard") >= DedupQueries.CrossLingualJac &&
+        langs(r.getLong(0)) != langs(r.getLong(1)))
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getAs[Double]("jaccard") * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)).toSet
+    assert(out.map(r => (r.getLong(0), r.getLong(1),
+      r.getAs[Long]("jac_micro"))).toSet == expect)
+    out.foreach { r =>
+      assert(r.getString(2) == langs(r.getLong(0)))
+      assert(r.getString(3) == langs(r.getLong(1)))
+      assert(r.getString(2) != r.getString(3))
+    }
+  }
+
   test("c92 Heaps law: exact checkpoint and regression recompute") {
     val out = TextQueries.c92HeapsLaw(spark, sf).collect()
     assert(out.length >= 5)
