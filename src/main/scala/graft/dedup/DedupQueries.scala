@@ -1092,10 +1092,18 @@ object DedupQueries {
     * mislabeled language IDs — content the WITHIN-language dedup never
     * compares if a pipeline shards dedup by lang (the common scale-out
     * shortcut), and exactly what this screen argues against doing
-    * blindly. Works at the FULL document level (C7's candidate and
-    * token-set jaccard machinery, not the rep-compressed frame) so an
-    * identical text carrying two different lang tags — the pure
-    * mislabel case — surfaces too. Candidate-bounded, never
+    * blindly. Works at the FULL document level (C6's candidates, not
+    * the rep-compressed frame) so an identical text carrying two
+    * different lang tags — the pure mislabel case — surfaces too.
+    * Similarity is the HASHED-token-set jaccard (the set family every
+    * screen hashes into — C60's conditioning variable), scored by the
+    * codegen'd sorted-merge kernel: the boxed string-array
+    * array_intersect/array_union form measured 68.8 s at sf0.1 on this
+    * exact candidate set (the d14/c60 trap, re-measured — c7 never
+    * paid it in the bench because COUNT prunes its unreferenced
+    * jaccard column; the filter here forces evaluation), the
+    * primitive-long merge ~10 s cold standalone including the shared
+    * candidate build, ~5 s with it warm. Candidate-bounded, never
     * all-pairs; two doc-keyed lang lookups; deterministic ordering.
     */
   val CrossLingualJac = 0.5
@@ -1103,13 +1111,18 @@ object DedupQueries {
   def c93CrossLingual(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val langs = docs.select("doc_id", "lang")
-    val sets = docs.select(col("doc_id"), array_distinct(tokens(col("text"))).as("s"))
+    val sets = docs.select(col("doc_id"),
+        array_sort(array_distinct(transform(tokens(col("text")), tokenHash(_))))
+          .as("s"))
+      .withColumn("ns", size(col("s")))
     candidatePairs(spark, dir).select("doc_a", "doc_b")
-      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
-      .withColumn("jaccard",
-        round(size(array_intersect(col("sa"), col("sb"))).cast("double")
-          / size(array_union(col("sa"), col("sb"))), 6))
+      .join(sets.select(col("doc_id").as("doc_a"),
+        col("s").as("sa"), col("ns").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"),
+        col("s").as("sb"), col("ns").as("nb")), "doc_b")
+      .withColumn("inter", sorted_intersect_count(col("sa"), col("sb")))
+      .withColumn("jaccard", round(col("inter").cast("double")
+        / (col("na") + col("nb") - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= CrossLingualJac)
       .join(langs.select(col("doc_id").as("doc_a"), col("lang").as("lang_a")), "doc_a")
       .join(langs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b")), "doc_b")
@@ -1125,7 +1138,11 @@ object DedupQueries {
        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
        |),
-       |sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents),
+       |sets AS (
+       |  SELECT doc_id, list_distinct(list_transform(string_split(text, ' '),
+       |    w -> ${tokenHashSql("w")})) AS s
+       |  FROM documents
+       |),
        |scored AS (
        |  SELECT c.doc_a, c.doc_b,
        |    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)

@@ -804,23 +804,31 @@ class DedupQueriesSpec extends SparkTestBase {
     }
   }
 
-  test("c93 cross-lingual screen: exactly c7's pairs above tau with differing langs") {
+  test("c93 cross-lingual screen: c6 candidates scored by hashed-set jaccard, lang-split") {
     import graft.dedup.DedupQueries
     val out = DedupQueries.c93CrossLingual(spark, sf).collect()
     assert(out.nonEmpty)
-    val langs = graft.Tables(spark, sf, "documents").select("doc_id", "lang")
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    val expect = DedupQueries.c7NgramJaccard(spark, sf).collect()
-      .filter(r => r.getAs[Double]("jaccard") >= DedupQueries.CrossLingualJac &&
-        langs(r.getLong(0)) != langs(r.getLong(1)))
-      .map(r => (r.getLong(0), r.getLong(1),
-        BigDecimal(r.getAs[Double]("jaccard") * 1e6)
-          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)).toSet
+    def th(w: String): Long =
+      w.length.toLong * 1009L + w.head.toInt * 31L + w.last.toInt
+    val docs = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        r.getString(2).split(" ").map(th).toSet)).toMap
+    val cands = DedupQueries.c6MinhashLsh(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    def q(d: Double) = BigDecimal(d).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expect = cands.flatMap { case (a, b) =>
+      val (sa, sb) = (docs(a)._2, docs(b)._2)
+      val jac = BigDecimal((sa & sb).size.toDouble / (sa | sb).size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (jac >= DedupQueries.CrossLingualJac && docs(a)._1 != docs(b)._1)
+        Some((a, b, q(jac * 1e6))) else None
+    }.toSet
     assert(out.map(r => (r.getLong(0), r.getLong(1),
       r.getAs[Long]("jac_micro"))).toSet == expect)
     out.foreach { r =>
-      assert(r.getString(2) == langs(r.getLong(0)))
-      assert(r.getString(3) == langs(r.getLong(1)))
+      assert(r.getString(2) == docs(r.getLong(0))._1)
+      assert(r.getString(3) == docs(r.getLong(1))._1)
       assert(r.getString(2) != r.getString(3))
     }
   }
