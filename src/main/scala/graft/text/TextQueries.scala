@@ -3272,7 +3272,81 @@ object TextQueries {
        |FROM pts p CROSS JOIN fit f
        |ORDER BY p.cp""".stripMargin
 
+  // ---------------------------------------------------------------- C94
+  /** C94: gate-vs-classifier agreement — the C36 rule gate and the C52
+    * hashed linear classifier cross-tabulated over the whole corpus
+    * with Cohen's kappa: the report a team reads before swapping rules
+    * for a model (raw agreement is inflated when both mostly keep;
+    * kappa corrects for chance). All exact integers: the 2×2 cell
+    * counts are conditional sums, po/pe/kappa are rational in the cell
+    * counts — kappa = ((a+d)·n − pe_num)/(n² − pe_num) with
+    * pe_num = gk·ck + gd·cd — and the n² products route through
+    * DECIMAL(38,0)/HUGEINT (C43/C47's rule: past BIGINT at ~10¹⁰
+    * docs). One doc-keyed join of two scan-stage frames, one global
+    * agg, one output row.
+    */
+  def c94GateAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val gate = c36QualityGate(spark, dir)
+      .select(col("doc_id"), col("keep").cast("long").as("gk"))
+    val cls = c52HashClassifier(spark, dir).select(col("doc_id"), col("keep").as("ck"))
+    gate.join(cls, "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("gk * ck")).as("both_keep"),
+        sum(expr("gk * (1 - ck)")).as("gate_only"),
+        sum(expr("(1 - gk) * ck")).as("cls_only"),
+        sum(expr("(1 - gk) * (1 - ck)")).as("both_drop"))
+      .select(col("n_docs"), col("both_keep"), col("gate_only"),
+        col("cls_only"), col("both_drop"),
+        expr("(both_keep + both_drop) * 1000000 div n_docs").as("po_ppm"),
+        expr("""(cast(both_keep + gate_only as decimal(38,0)) * (both_keep + cls_only)
+              + cast(cls_only + both_drop as decimal(38,0)) * (gate_only + both_drop))
+              * 1000000 div (cast(n_docs as decimal(38,0)) * n_docs)""").as("pe_ppm"),
+        expr("""(cast(both_keep + both_drop as decimal(38,0)) * n_docs
+              - (cast(both_keep + gate_only as decimal(38,0)) * (both_keep + cls_only)
+                + cast(cls_only + both_drop as decimal(38,0)) * (gate_only + both_drop)))
+              * 1000000
+              div (cast(n_docs as decimal(38,0)) * n_docs
+                - (cast(both_keep + gate_only as decimal(38,0)) * (both_keep + cls_only)
+                  + cast(cls_only + both_drop as decimal(38,0)) * (gate_only + both_drop)))""")
+          .as("kappa_ppm"))
+  }
+
+  val c94Sql: String = {
+    val gateBody = c36Sql.stripSuffix("ORDER BY doc_id").trim
+    val clsBody = c52Sql.stripSuffix("ORDER BY doc_id").trim
+    s"""WITH gate AS (
+       |$gateBody
+       |), cls AS (
+       |$clsBody
+       |), j AS (
+       |  SELECT CAST(g.keep AS BIGINT) AS gk, c.keep AS ck
+       |  FROM gate g JOIN cls c USING (doc_id)
+       |), cells AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(gk * ck) AS BIGINT) AS both_keep,
+       |    CAST(SUM(gk * (1 - ck)) AS BIGINT) AS gate_only,
+       |    CAST(SUM((1 - gk) * ck) AS BIGINT) AS cls_only,
+       |    CAST(SUM((1 - gk) * (1 - ck)) AS BIGINT) AS both_drop
+       |  FROM j
+       |)
+       |SELECT n_docs, both_keep, gate_only, cls_only, both_drop,
+       |  (both_keep + both_drop) * 1000000 // n_docs AS po_ppm,
+       |  CAST((CAST(both_keep + gate_only AS HUGEINT) * (both_keep + cls_only)
+       |      + CAST(cls_only + both_drop AS HUGEINT) * (gate_only + both_drop))
+       |    * 1000000 // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT) AS pe_ppm,
+       |  CAST((CAST(both_keep + both_drop AS HUGEINT) * n_docs
+       |      - (CAST(both_keep + gate_only AS HUGEINT) * (both_keep + cls_only)
+       |        + CAST(cls_only + both_drop AS HUGEINT) * (gate_only + both_drop)))
+       |    * 1000000
+       |    // (CAST(n_docs AS HUGEINT) * n_docs
+       |      - (CAST(both_keep + gate_only AS HUGEINT) * (both_keep + cls_only)
+       |        + CAST(cls_only + both_drop AS HUGEINT) * (gate_only + both_drop)))
+       |    AS BIGINT) AS kappa_ppm
+       |FROM cells""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c94_gate_agreement" -> (c94GateAgreement _),
     "c92_heaps_law" -> (c92HeapsLaw _),
     "c91_dsir_draw" -> (c91DsirDraw _),
     "c90_pack_sweep" -> (c90PackSweep _),
@@ -3327,6 +3401,7 @@ object TextQueries {
     "c64_classifier_eval" -> (c64ClassifierEval _))
 
   val oracles: Map[String, String] = Map(
+    "c94_gate_agreement" -> c94Sql,
     "c92_heaps_law" -> c92Sql,
     "c91_dsir_draw" -> c91Sql,
     "c90_pack_sweep" -> c90Sql,

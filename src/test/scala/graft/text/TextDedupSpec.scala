@@ -804,6 +804,32 @@ class DedupQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("c94 gate agreement: exact 2x2 and kappa recompute from the pinned frames") {
+    val out = TextQueries.c94GateAgreement(spark, sf).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val gate = TextQueries.c36QualityGate(spark, sf).select("doc_id", "keep")
+      .collect().map(x => x.getLong(0) -> x.getBoolean(1)).toMap
+    val cls = TextQueries.c52HashClassifier(spark, sf).select("doc_id", "keep")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1) == 1L)).toMap
+    val n = gate.size.toLong
+    val a = gate.count { case (id, g) => g && cls(id) }.toLong
+    val b = gate.count { case (id, g) => g && !cls(id) }.toLong
+    val c = gate.count { case (id, g) => !g && cls(id) }.toLong
+    val d = gate.count { case (id, g) => !g && !cls(id) }.toLong
+    assert(r.getAs[Long]("n_docs") == n && a + b + c + d == n)
+    assert(r.getAs[Long]("both_keep") == a && r.getAs[Long]("gate_only") == b)
+    assert(r.getAs[Long]("cls_only") == c && r.getAs[Long]("both_drop") == d)
+    assert(r.getAs[Long]("po_ppm") == (a + d) * 1000000L / n)
+    val peNum = BigInt(a + b) * (a + c) + BigInt(c + d) * (b + d)
+    assert(BigInt(r.getAs[Long]("pe_ppm")) == peNum * 1000000 / (BigInt(n) * n))
+    val kNum = (BigInt(a + d) * n - peNum) * 1000000
+    val kDen = BigInt(n) * n - peNum
+    assert(BigInt(r.getAs[Long]("kappa_ppm")) == kNum / kDen)
+    // kappa is a real agreement statistic: within [-1e6, 1e6]
+    assert(math.abs(r.getAs[Long]("kappa_ppm")) <= 1000000L)
+  }
+
   test("c93 cross-lingual screen: c6 candidates scored by hashed-set jaccard, lang-split") {
     import graft.dedup.DedupQueries
     val out = DedupQueries.c93CrossLingual(spark, sf).collect()
