@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must bypass sbt's logger: the logger prefixes every
+// line with "[info] ", which breaks the driver's JSON-line parse of
+// Bench/Verify stdout (every BENCH_r*.json so far has "parsed": null for
+// exactly this reason). StdoutOutput inherits the parent's raw stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -709,19 +709,33 @@ object TextQueries {
 
   /** The C31 per-doc score frame without the presentation sort — the ONE
     * scoring definition C57's bucketing builds on.
+    *
+    * Memoized per session+dir (the candCache pattern, DedupQueries C6):
+    * C31 and C57 both consume this frame, and inside one evaluation the
+    * bigram stream feeds THREE consumers (unigram counts, the bigram
+    * model, the occurrence→model join) — without the two checkpoints
+    * each consumer re-scans and re-explodes the documents table, which
+    * is why C57 benched at 15.5 s while its own bucketing math is
+    * sub-second. The per-doc result is one small row per document, so
+    * the cached blocks are cheap to hold for the session.
     */
-  private def lmScoredDocs(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = bigramPairs(spark, dir)
-    val uni = pairs.groupBy("w1").agg(count(lit(1)).as("n_w1"))
-    val model = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
-      .join(uni, "w1")
-      .withColumn("cond_micro", expr("n_pair * 1000000 div n_w1"))
-      .select("w1", "w2", "cond_micro")
-    pairs.join(model, Seq("w1", "w2"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum("cond_micro").as("sum_cond_micro"))
-      .withColumn("avg_cond_micro", expr("sum_cond_micro div n_bigrams"))
-  }
+  private val lmScoreCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def lmScoredDocs(spark: SparkSession, dir: String): DataFrame =
+    lmScoreCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val pairs = bigramPairs(spark, dir).localCheckpoint()
+      val uni = pairs.groupBy("w1").agg(count(lit(1)).as("n_w1"))
+      val model = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+        .join(uni, "w1")
+        .withColumn("cond_micro", expr("n_pair * 1000000 div n_w1"))
+        .select("w1", "w2", "cond_micro")
+      pairs.join(model, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("cond_micro").as("sum_cond_micro"))
+        .withColumn("avg_cond_micro", expr("sum_cond_micro div n_bigrams"))
+        .localCheckpoint()
+    })
 
   /** The C31 oracle as a reusable CTE chain ending in `perdoc` — shared
     * with the C57 bucketing oracle so both engines score through ONE
@@ -1948,9 +1962,16 @@ object TextQueries {
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
     val summaries = (1 to BpeIters).map { it =>
+      // Materialize the windowed token stream ONCE per iteration: it
+      // feeds three consumers (best-pair count, match islands, the next
+      // iteration's token frame), and without this each of them re-runs
+      // the posexplode + full (doc_id, pos) window sort — a measured 3x
+      // on the dominant cost of the loop (28.5 s -> target <10 s at
+      // sf0.1).
       val withNext = toks
         .withColumn("nxt", lead("tok", 1).over(w))
         .withColumn("npos", lead("pos", 1).over(w))
+        .localCheckpoint()
       val best = withNext.filter(col("nxt").isNotNull)
         .groupBy("tok", "nxt").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("tok"), col("nxt")).limit(1)
