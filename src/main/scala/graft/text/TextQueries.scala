@@ -1956,6 +1956,15 @@ object TextQueries {
     * non-overlap rule is the whole answer.
     */
   def bpeMergesOn(docs: DataFrame): DataFrame = {
+    val (summaries, _) = bpeLoop(docs)
+    summaries.reduce(_.unionByName(_)).orderBy("iter")
+  }
+
+  /** The shared merge-loop body: per-iteration summaries plus the final
+    * segmented token stream (C59 reports the former; C95's tokenizer
+    * apply aggregates the latter).
+    */
+  private def bpeLoop(docs: DataFrame): (Seq[DataFrame], DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
     var toks = docs
@@ -2003,11 +2012,10 @@ object TextQueries {
         .select(lit(it).as("iter"), col("pa").as("pair_a"), col("pb").as("pair_b"),
           col("pair_count"), col("n_merged"), col("tokens_after"))
     }
-    summaries.reduce(_.unionByName(_)).orderBy("iter")
+    (summaries, toks)
   }
 
-  val c59Sql: String = {
-    def iterCtes(n: Int): String = {
+  private def bpeIterCtes(n: Int): String = {
       val t = if (n == 1) "t1" else s"t$n"
       s"""x$n AS (
          |  SELECT doc_id, pos, tok,
@@ -2051,17 +2059,67 @@ object TextQueries {
          |  FROM b$n b
          |)""".stripMargin
     }
-    val chain = (1 to BpeIters).map(iterCtes).mkString(",\n")
-    val unions = (1 to BpeIters).map(n => s"SELECT * FROM s$n").mkString("\nUNION ALL\n")
-    s"""WITH t1 AS (
+  /** The full t1 → t{BpeIters+1} merge chain, shared by the C59 and C95
+    * oracles so both engines segment through ONE SQL definition.
+    */
+  private val bpeChainSql: String = {
+    val chain = (1 to BpeIters).map(bpeIterCtes).mkString(",\n")
+    s"""t1 AS (
        |  SELECT doc_id, CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS pos,
        |    UNNEST(string_split(text, ' ')) AS tok
        |  FROM documents
        |),
-       |$chain
+       |$chain""".stripMargin
+  }
+
+  val c59Sql: String = {
+    val unions = (1 to BpeIters).map(n => s"SELECT * FROM s$n").mkString("\nUNION ALL\n")
+    s"""WITH $bpeChainSql
        |$unions
        |ORDER BY iter""".stripMargin
   }
+
+  // ---------------------------------------------------------------- C95
+  /** C95: tokenizer APPLY — segment every document with the merge table
+    * C59 just learned and report per-doc post-merge stats: token count,
+    * distinct-type count, max merged-token length, and a positional
+    * fingerprint (Σ len(tok)·(pos+1) over surviving positions — the
+    * merge step keeps each kept token's ORIGINAL position, so the
+    * fingerprint pins exactly which occurrences merged, not just how
+    * many). This is the missing half of the C59 loop: learning produces
+    * the merge list, application produces the training-ready corpus.
+    *
+    * Scale shape: identical to C59's loop body (doc-bounded windows,
+    * 1-row broadcast merge, partial-agg per doc) — with BpeIters passes
+    * over the corpus. That is the right demo shape for a shared learn+
+    * apply definition; a production 32k-merge apply would instead
+    * broadcast the full learned table and segment each document
+    * partition-locally in one pass (the c12 mapPartitions pattern), a
+    * deliberate second step this query's oracle-checked semantics
+    * anchor.
+    */
+  def c95BpeApply(spark: SparkSession, dir: String): DataFrame =
+    bpeApplyOn(Tables(spark, dir, "documents"))
+
+  /** The apply body on any (doc_id, text) frame — spec-driven alongside
+    * [[bpeMergesOn]] on the planted-run corpus.
+    */
+  def bpeApplyOn(docs: DataFrame): DataFrame = {
+    val (_, toks) = bpeLoop(docs)
+    toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        countDistinct("tok").as("n_types"),
+        sum(length(col("tok")).cast("long") * (col("pos") + 1)).as("seq_fp"),
+        max(length(col("tok"))).cast("long").as("max_tok_len"))
+      .orderBy("doc_id")
+  }
+
+  val c95Sql: String =
+    s"""WITH $bpeChainSql
+       |SELECT doc_id, COUNT(*) AS n_toks, COUNT(DISTINCT tok) AS n_types,
+       |  CAST(SUM(length(tok) * (pos + 1)) AS BIGINT) AS seq_fp,
+       |  CAST(MAX(length(tok)) AS BIGINT) AS max_tok_len
+       |FROM t${BpeIters + 1} GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
 
   // ---------------------------------------------------------------- C63
@@ -3367,6 +3425,7 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c95_bpe_apply" -> (c95BpeApply _),
     "c94_gate_agreement" -> (c94GateAgreement _),
     "c92_heaps_law" -> (c92HeapsLaw _),
     "c91_dsir_draw" -> (c91DsirDraw _),
@@ -3422,6 +3481,7 @@ object TextQueries {
     "c64_classifier_eval" -> (c64ClassifierEval _))
 
   val oracles: Map[String, String] = Map(
+    "c95_bpe_apply" -> c95Sql,
     "c94_gate_agreement" -> c94Sql,
     "c92_heaps_law" -> c92Sql,
     "c91_dsir_draw" -> c91Sql,

@@ -289,23 +289,72 @@ object Clustering {
     ccCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
       connectedComponents4(GeoDerive.positives(spark, dir)).localCheckpoint(true))
 
-  /** DuckDB twin: min reachable id via recursive CTE (expects `pos`). */
-  val ccCte: String =
-    s"""ids AS (SELECT x, y, x * $IdShift + y AS id FROM pos),
-      |edge AS (
+  /** Unrolled hook+jump min-label propagation as a DuckDB CTE chain —
+    * the oracle-side replacement for the recursive transitive-closure
+    * CC, whose working set is O(nodes x component-size): the sf0.01
+    * grid's single 6,466-cell component made `reach` a 41.8M-row
+    * fixpoint costing 40-95 s PER ORACLE, and ccCte is shared by ten
+    * oracles (the round-7 driver sweep died on exactly this).
+    *
+    * Round r = one "hook" (label := min of current labels over the
+    * closed neighborhood — one join with the edge table) followed by
+    * one pointer "jump" (label := label(label(v)) — one self-join).
+    * Labels are always node ids, monotonically non-increasing, with
+    * fixpoint = component minimum; a run with too few rounds differs
+    * from the converged Spark labels, so under-unrolling surfaces as a
+    * LOUD driver hash mismatch, never a silent wrong answer.
+    *
+    * Round counts are calibrated on the real driver testdata (the grid
+    * derivation is modulo-bounded at 97x89 cells for every SF, and the
+    * data is deterministic): cell CC converges in 18/4/7 rounds at
+    * sf0.01/0.001/0.1, outline CC in 33/4/7 — the unrolls below carry
+    * >=30% margin. Cost per stage is one join over <=~35k rows, so the
+    * whole chain replaces minutes of closure with ~0.1 s of hash joins.
+    *
+    * `nodesRef(keys..., nodeCol)` names an existing CTE of node rows;
+    * `edgesRef(keys..., src, dst)` a symmetric edge list. The final
+    * label map is the CTE `<prefix>_m<rounds>` with columns
+    * (keys..., v, lbl).
+    */
+  def minLabelCtes(prefix: String, rounds: Int, keys: Seq[String],
+      nodesRef: String, nodeCol: String, edgesRef: String): Seq[String] = {
+    val k = keys.map(_ + ", ").mkString
+    def on(a: String, b: String, extra: String): String =
+      (keys.map(c => s"$a.$c = $b.$c") :+ extra).mkString(" AND ")
+    val seed =
+      s"${prefix}_m0 AS (SELECT $k$nodeCol AS v, $nodeCol AS lbl FROM $nodesRef)"
+    seed +: (1 to rounds).flatMap { r =>
+      val prev = s"${prefix}_m${r - 1}"
+      Seq(
+        s"""${prefix}_h$r AS MATERIALIZED (
+           |  SELECT ${k}v, MIN(lbl) AS lbl FROM (
+           |    SELECT ${keys.map(c => s"e.$c, ").mkString}e.dst AS v, m.lbl
+           |    FROM $edgesRef e JOIN $prev m ON ${on("e", "m", "m.v = e.src")}
+           |    UNION ALL SELECT ${k}v, lbl FROM $prev
+           |  ) GROUP BY ${k}v)""".stripMargin,
+        s"""${prefix}_m$r AS MATERIALIZED (
+           |  SELECT ${keys.map(c => s"a.$c, ").mkString}a.v, b.lbl
+           |  FROM ${prefix}_h$r a JOIN ${prefix}_h$r b ON ${on("a", "b", "b.v = a.lbl")})""".stripMargin)
+    }
+  }
+
+  /** Cell-grid CC unroll depth: observed max 18 rounds (sf0.01) + margin. */
+  val CcRounds = 24
+
+  /** DuckDB twin: min-label CC via the unrolled hook+jump chain
+    * (expects `pos`; defines `ids`, `edge`, and `cc(x, y, cluster_id)`).
+    */
+  val ccCte: String = (Seq(
+    s"ids AS (SELECT x, y, x * $IdShift + y AS id FROM pos)",
+    """edge AS MATERIALIZED (
       |  SELECT a.id AS src, b.id AS dst FROM ids a JOIN ids b
       |  ON (abs(a.x - b.x) + abs(a.y - b.y)) = 1
-      |),
-      |reach(id, lbl) AS (
-      |  SELECT id, id FROM ids
-      |  UNION
-      |  SELECT e.dst, r.lbl FROM reach r JOIN edge e ON e.src = r.id
-      |),
-      |cc AS (
-      |  SELECT i.x, i.y, m.cluster_id
-      |  FROM ids i JOIN (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id) m
-      |  ON i.id = m.id
-      |)""".stripMargin
+      |)""".stripMargin) ++
+    minLabelCtes("ccp", CcRounds, Nil, "ids", "id", "edge") :+
+    s"""cc AS (
+       |  SELECT i.x, i.y, m.lbl AS cluster_id
+       |  FROM ids i JOIN ccp_m$CcRounds m ON i.id = m.v
+       |)""".stripMargin).mkString(",\n")
 
   /** Incremental cluster-id continuation — the reference's actual
     * per-batch operating mode (run_inference.py:21-41 clusters only

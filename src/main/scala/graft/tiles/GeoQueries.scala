@@ -746,6 +746,13 @@ object GeoQueries {
   private val challengeFmt =
     """{"type": "FeatureCollection", "features": [{"type": "Feature", "properties": {"cluster_id": %d}, "geometry": {"type": "Polygon", "coordinates": [%s]}}]}"""
 
+  /** Pointer-doubling depth for the ring-walk oracle: the final window
+    * is 2^(RingDoublings+1) = 65,536 edges, >= any possible ring length
+    * (<= 4 cells' worth of directed boundary edges per grid cell, grid
+    * modulo-bounded at 97x89) — exact at every SF by construction.
+    */
+  private val RingDoublings = 15
+
   val a25GeojsonFpSql: String = {
     val lonS = colToLonSql(s"(sx + $TX)", center = false)
     val latS = rowToLatSql(s"(sy + $TY)", center = false)
@@ -788,14 +795,21 @@ object GeoQueries {
          |  FROM dedge2 e JOIN dedge2 o
          |    ON o.cluster_id = e.cluster_id AND o.sx = e.ex AND o.sy = e.ey
          |  GROUP BY e.cluster_id, e.eid),
-         |rreach(eid, lbl) AS (
-         |  SELECT eid, eid FROM dedge2
-         |  UNION
-         |  SELECT s.nxt, r.lbl FROM rreach r JOIN succ s ON s.eid = r.eid),
+         |-- ring id = min eid on each successor cycle, via pointer
+         |-- doubling instead of a recursive closure (whose working set
+         |-- is quadratic in ring length): rd_k carries, per edge, the
+         |-- successor at distance 2^(k+1) and the min eid over that
+         |-- window. succ is a permutation (each directed boundary edge
+         |-- has exactly one predecessor under the left-turn pairing), so
+         |-- every eid lies on a cycle of length <= |dedge2| <= 4*97*89 =
+         |-- 34,532 < 2^16 — the final window provably covers any ring.
+         |${(0 to RingDoublings).map {
+              case 0 => "rd0 AS MATERIALIZED (SELECT s.eid, s.nxt, LEAST(s.eid, s.nxt) AS mn FROM succ s)"
+              case k => s"rd$k AS MATERIALIZED (SELECT a.eid, b.nxt, LEAST(a.mn, b.mn) AS mn FROM rd${k - 1} a JOIN rd${k - 1} b ON b.eid = a.nxt)"
+            }.mkString(",\n")},
          |ring AS MATERIALIZED (
-         |  SELECT d.cluster_id, d.eid, d.sx, d.sy, m.ring
-         |  FROM dedge2 d JOIN (SELECT eid, MIN(lbl) AS ring FROM rreach GROUP BY eid) m
-         |  ON d.eid = m.eid),
+         |  SELECT d.cluster_id, d.eid, d.sx, d.sy, m.mn AS ring
+         |  FROM dedge2 d JOIN rd$RingDoublings m ON m.eid = d.eid),
          |vtok AS MATERIALIZED (
          |  SELECT cluster_id, sx, sy, printf('[%.6f, %.6f]', $lonS, $latS) AS t
          |  FROM (SELECT DISTINCT cluster_id, sx, sy FROM dedge2)),
@@ -862,6 +876,12 @@ object GeoQueries {
       .orderBy("cluster_id", "comp_x", "comp_y")
   }
 
+  /** Outline-graph CC unroll depth for the ring-stats oracle: observed
+    * max 33 hook+jump rounds (sf0.01) + margin — see
+    * [[Clustering.minLabelCtes]] for the calibration story.
+    */
+  private val OutlineCcRounds = 44
+
   val a25RingStatsSql: String = withCtes(true, GeoDerive.cellsCte, GeoDerive.positivesCte,
     Clustering.ccCte,
     s"""tedge4 AS MATERIALIZED (
@@ -880,13 +900,9 @@ object GeoQueries {
        |  SELECT cluster_id, x2 * $VidShift + y2, x1 * $VidShift + y1 FROM bedge
        |),
        |verts AS MATERIALIZED (SELECT DISTINCT cluster_id, a AS v FROM adj),
-       |oreach AS (
-       |  SELECT cluster_id, v AS node, v AS lbl FROM verts
-       |  UNION
-       |  SELECT a.cluster_id, a.b AS node, r.lbl
-       |  FROM oreach r JOIN adj a ON a.cluster_id = r.cluster_id AND a.a = r.node
-       |),
-       |comp AS MATERIALIZED (SELECT cluster_id, node, MIN(lbl) AS comp FROM oreach GROUP BY cluster_id, node),
+       |oadj AS (SELECT cluster_id, a AS src, b AS dst FROM adj),
+       |${Clustering.minLabelCtes("oc", OutlineCcRounds, Seq("cluster_id"), "verts", "v", "oadj").mkString(",\n")},
+       |comp AS MATERIALIZED (SELECT cluster_id, v AS node, lbl AS comp FROM oc_m$OutlineCcRounds),
        |vdeg AS MATERIALIZED (SELECT cluster_id, a AS v, COUNT(*) AS deg FROM adj GROUP BY cluster_id, a),
        |estat AS MATERIALIZED (
        |  SELECT e.cluster_id, c.comp,

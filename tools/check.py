@@ -61,15 +61,17 @@ def main():
     names = [d for d in sorted(os.listdir(out_dir))
              if os.path.isdir(os.path.join(out_dir, d))]
     failed = []
+    import time
     for name in names:
+        t0 = time.time()
         spark_df = pd.read_parquet(f"{out_dir}/{name}")
         if name not in oracles:
-            print(f"{name:24s} ROWS-ONLY rows={len(spark_df)}")
+            print(f"{name:24s} ROWS-ONLY rows={len(spark_df)}", flush=True)
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:
-            print(f"{name:24s} ORACLE-ERROR {e}")
+            print(f"{name:24s} ORACLE-ERROR {e}", flush=True)
             failed.append(name)
             continue
         scols, skinds, srows = canon(spark_df)
@@ -94,7 +96,8 @@ def main():
                 print(f"    spark-only: {only_s}\n    oracle-only: {only_o}")
             failed.append(name)
         else:
-            print(f"{name:24s} OK rows={len(srows)}")
+            print(f"{name:24s} OK rows={len(srows)} ({time.time()-t0:.1f}s)",
+                  flush=True)
     print(f"\n{len(names)-len(failed)}/{len(names)} queries match")
     sys.exit(1 if failed else 0)
 
