@@ -474,6 +474,18 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Near-dup CC unroll depth for the oracle twins: hook+jump min-label
+    * propagation ([[graft.tiles.Clustering.minLabelCtes]]) converges in
+    * <=5 rounds on every SF's dedup graph (near-dup components are
+    * band-join-dense, so labels flood them almost immediately — unlike
+    * the geo grid's plateau chains); 8 carries >=60% margin, and an
+    * under-unroll is a loud driver hash mismatch, never silent. The
+    * recursive closure this replaces was quadratic in component size:
+    * 6.5 s at sf0.01, paid again by every oracle that embeds c19Sql
+    * (c35/c61/c77/c79/c80/c82/c84).
+    */
+  private val DedupCcRounds = 8
+
   val c19Sql: String =
     s"""WITH RECURSIVE ${bandRowsCtes.mkString(",\n")},
        |cand AS (
@@ -488,15 +500,11 @@ object DedupQueries {
        |  WHERE round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
        |    / len(list_distinct(list_concat(x.s, y.s))), 6) >= $CollapseJaccard
        |),
-       |e AS (SELECT doc_a AS src, doc_b AS dst FROM jac
+       |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM jac
        |      UNION ALL SELECT doc_b, doc_a FROM jac),
-       |reach(id, lbl) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id
-       |)
-       |SELECT id AS doc_id, MIN(lbl) AS canonical_id, id = MIN(lbl) AS keep
-       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+       |${graft.tiles.Clustering.minLabelCtes("dc", DedupCcRounds, Nil, "documents", "doc_id", "e").mkString(",\n")}
+       |SELECT v AS doc_id, lbl AS canonical_id, v = lbl AS keep
+       |FROM dc_m$DedupCcRounds ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- C35
   /** Per-source duplicate inflation — the "how much does near-dedup
@@ -1043,17 +1051,12 @@ object DedupQueries {
   val c85Sql: String = {
     def tauBlock(tag: String, tau: Double): String = {
       val tm = math.round(tau * 1e6)
-      s"""e$tag AS (SELECT doc_a AS src, doc_b AS dst FROM scored WHERE jac >= $tau
-         |       UNION ALL SELECT doc_b, doc_a FROM scored WHERE jac >= $tau),
-         |reach$tag(id, lbl) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM reach$tag r JOIN e$tag e ON e.src = r.id
-         |),
+      s"""e$tag AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM scored WHERE jac >= $tau
+         |  UNION ALL SELECT doc_b, doc_a FROM scored WHERE jac >= $tau),
+         |${graft.tiles.Clustering.minLabelCtes(s"r$tag", DedupCcRounds, Nil, "documents", "doc_id", s"e$tag").mkString(",\n")},
          |g$tag AS (
-         |  SELECT cid, COUNT(*) AS k FROM (
-         |    SELECT id, MIN(lbl) AS cid FROM reach$tag GROUP BY id
-         |  ) GROUP BY cid
+         |  SELECT lbl AS cid, COUNT(*) AS k FROM r${tag}_m$DedupCcRounds GROUP BY lbl
          |),
          |a$tag AS (
          |  SELECT CAST($tm AS BIGINT) AS tau_micro, COUNT(*) AS n_clusters,
