@@ -89,8 +89,19 @@ object Verify {
         } else {
           val q0 = System.nanoTime()
           try {
-            fn(session, sfDir).coalesce(1).write.mode("overwrite")
-              .parquet(s"$outDir/$name")
+            // dump to a dot-prefixed temp dir, then rename: a kill -9
+            // mid-write leaves only an invisible temp, never a torn
+            // parquet dir that breaks the driver's whole compare
+            val tmp = s"$outDir/.tmp_$name"
+            fn(session, sfDir).coalesce(1).write.mode("overwrite").parquet(tmp)
+            val dst = java.nio.file.Paths.get(s"$outDir/$name")
+            if (java.nio.file.Files.exists(dst)) {
+              def rm(f: java.io.File): Unit = {
+                Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+              }
+              rm(dst.toFile)
+            }
+            java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dst)
             val dt = (System.nanoTime() - q0) / 1e9
             System.err.println(
               f"[verify] $name%-28s ${dt}%7.2fs (${done.incrementAndGet()}/${ordered.size})")

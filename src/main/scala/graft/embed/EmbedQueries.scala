@@ -478,6 +478,14 @@ object EmbedQueries {
       .orderBy("vec_id")
   }
 
+  /** Semantic-graph CC unroll depth: hook+jump converges in <=6 rounds
+    * on every SF's cosine graph (dense similarity clusters, same story
+    * as the c19 dedup graph); 9 carries 50% margin, under-unroll is a
+    * loud hash mismatch. Replaces the quadratic recursive closure
+    * (3.7 s at sf0.01).
+    */
+  private val SemCcRounds = 9
+
   val c20Sql: String =
     s"""WITH RECURSIVE $normsCte,
        |pairs AS (
@@ -487,15 +495,11 @@ object EmbedQueries {
        |    FROM norms l JOIN norms r ON l.vec_id < r.vec_id
        |  ) WHERE cos >= $CosThreshold
        |),
-       |e AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+       |e AS MATERIALIZED (SELECT vec_a AS src, vec_b AS dst FROM pairs
        |      UNION ALL SELECT vec_b, vec_a FROM pairs),
-       |reach(id, lbl) AS (
-       |  SELECT vec_id, vec_id FROM embeddings
-       |  UNION
-       |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id
-       |)
-       |SELECT id AS vec_id, MIN(lbl) AS canonical_id, id = MIN(lbl) AS keep
-       |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
+       |${graft.tiles.Clustering.minLabelCtes("sc", SemCcRounds, Nil, "embeddings", "vec_id", "e").mkString(",\n")}
+       |SELECT v AS vec_id, lbl AS canonical_id, v = lbl AS keep
+       |FROM sc_m$SemCcRounds ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------- C17
   /** Embedding dimensionality of the `embeddings` testdata (also baked

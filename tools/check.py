@@ -59,7 +59,7 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = [d for d in sorted(os.listdir(out_dir))
-             if os.path.isdir(os.path.join(out_dir, d))]
+             if os.path.isdir(os.path.join(out_dir, d)) and not d.startswith(".")]
     failed = []
     import time
     for name in names:
