@@ -1948,8 +1948,21 @@ object TextQueries {
     */
   val BpeIters = 2
 
-  def c59BpeMerges(spark: SparkSession, dir: String): DataFrame =
-    bpeMergesOn(Tables(spark, dir, "documents"))
+  /** Session+dir memo of the merge loop: C59 (learn trace) and C95
+    * (apply stats) consume the same iteration, so the windows and
+    * checkpoints run once — the lmScoreCache pattern.
+    */
+  private val bpeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (Seq[DataFrame], DataFrame)]
+
+  private def bpeLoopFor(spark: SparkSession, dir: String): (Seq[DataFrame], DataFrame) =
+    bpeCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      bpeLoop(Tables(spark, dir, "documents")))
+
+  def c59BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val (summaries, _) = bpeLoopFor(spark, dir)
+    summaries.reduce(_.unionByName(_)).orderBy("iter")
+  }
 
   /** The merge loop on any (doc_id, text) frame — TextDedupSpec drives
     * it on a synthetic equal-token-run corpus where the greedy
@@ -2098,21 +2111,26 @@ object TextQueries {
     * deliberate second step this query's oracle-checked semantics
     * anchor.
     */
-  def c95BpeApply(spark: SparkSession, dir: String): DataFrame =
-    bpeApplyOn(Tables(spark, dir, "documents"))
+  def c95BpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val (_, toks) = bpeLoopFor(spark, dir)
+    bpeApplyStats(toks)
+  }
 
   /** The apply body on any (doc_id, text) frame — spec-driven alongside
     * [[bpeMergesOn]] on the planted-run corpus.
     */
   def bpeApplyOn(docs: DataFrame): DataFrame = {
     val (_, toks) = bpeLoop(docs)
+    bpeApplyStats(toks)
+  }
+
+  private def bpeApplyStats(toks: DataFrame): DataFrame =
     toks.groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"),
         countDistinct("tok").as("n_types"),
         sum(length(col("tok")).cast("long") * (col("pos") + 1)).as("seq_fp"),
         max(length(col("tok"))).cast("long").as("max_tok_len"))
       .orderBy("doc_id")
-  }
 
   val c95Sql: String =
     s"""WITH $bpeChainSql

@@ -585,6 +585,29 @@ class DedupQueriesSpec extends SparkTestBase {
     assert(real.sliding(2).forall(p => p(0).getLong(5) > p(1).getLong(5)))
   }
 
+  test("c95 BPE apply: segmented stream matches the learned trace exactly") {
+    import spark.implicits._
+    // the same planted corpus as the c59 spec: after (x,x) then (p,q),
+    // doc 1 = [x_x@0, x_x@2, x@4], doc 2 = [p_q@0, p_q@2]
+    val docs = Seq((1L, "x x x x x"), (2L, "p q p q")).toDF("doc_id", "text")
+    val r = TextQueries.bpeApplyOn(docs).orderBy("doc_id").collect()
+    assert(r.length == 2)
+    val d1 = r(0)
+    assert(d1.getLong(1) == 3L && d1.getLong(2) == 2L) // n_toks, n_types
+    // seq_fp = 3*(0+1) + 3*(2+1) + 1*(4+1) = 17; max merged len 3
+    assert(d1.getLong(3) == 17L && d1.getLong(4) == 3L)
+    val d2 = r(1)
+    assert(d2.getLong(1) == 2L && d2.getLong(2) == 1L)
+    assert(d2.getLong(3) == 3L * 1 + 3L * 3 && d2.getLong(4) == 3L)
+    // real corpus: total post-merge tokens must equal c59's final
+    // tokens_after — apply and learn walk the same stream
+    val applied = TextQueries.c95BpeApply(spark, sf)
+    val total = applied.agg(sum("n_toks")).head.getLong(0)
+    val learned = TextQueries.c59BpeMerges(spark, sf)
+      .orderBy(col("iter").desc).head.getLong(5)
+    assert(total == learned, s"apply total $total != learned tokens_after $learned")
+  }
+
   test("c57 ppl buckets: per-language thirds are ordered, disjoint, and complete") {
     val b = TextQueries.c57PplBuckets(spark, sf).localCheckpoint()
     assert(b.filter(col("bucket") < 1 || col("bucket") > 3).count() == 0)
