@@ -28,6 +28,8 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // the MERGE INTO-capable copy-on-write catalog (B43)
+      .config("spark.sql.catalog.graft", classOf[graft.sources.UpsertCatalog].getName)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.warehouse.dir",

@@ -64,7 +64,8 @@ object SparkEntry {
     "b39_ship_latency" -> (Queries.shipLatency _),
     "b40_order_fanout" -> (Queries.orderFanout _),
     "b41_late_supplier" -> (Queries.lateSupplier _),
-    "b42_ratio_to_report" -> (Queries.ratioToReport _)
+    "b42_ratio_to_report" -> (Queries.ratioToReport _),
+    "b43_merge_committed" -> (Queries.mergeCommitted _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -117,6 +118,7 @@ object SparkEntry {
     "b39_ship_latency" -> Queries.shipLatencySql,
     "b40_order_fanout" -> Queries.orderFanoutSql,
     "b41_late_supplier" -> Queries.lateSupplierSql,
-    "b42_ratio_to_report" -> Queries.ratioToReportSql
+    "b42_ratio_to_report" -> Queries.ratioToReportSql,
+    "b43_merge_committed" -> Queries.mergeCommittedSql
   )
 }

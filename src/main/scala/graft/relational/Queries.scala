@@ -1642,6 +1642,82 @@ object Queries {
        |  CASE WHEN action = 'delete' THEN 0 ELSE old_c + new_c END AS merged_price_c
        |FROM m ORDER BY cust""".stripMargin
 
+  // ------------------------------------------------------------- B43
+  /** B43: the COMMITTED upsert — b35's merge semantics executed as a
+    * real `MERGE INTO` against the [[graft.sources.UpsertCatalog]]
+    * copy-on-write table, then read back. Where b35 can only PREVIEW
+    * the post-merge rows (a full-outer join with CASE), this query
+    * mutates actual table state through Spark's analyzer →
+    * `RewriteMergeIntoTable` → `ReplaceData` pipeline and exercises all
+    * THREE clause families, one more than the preview can express:
+    *
+    *  - `WHEN MATCHED` → counts and cents accumulate, last_d advances;
+    *  - `WHEN NOT MATCHED` → the new-customer insert;
+    *  - `WHEN NOT MATCHED BY SOURCE AND last_d < DormantCut` → the
+    *    dormant-customer delete (b35 approximates this with a CASE
+    *    because a join preview cannot "not match by source").
+    *
+    * Scale shape: seed and source are cust-keyed partial aggs; the
+    * merge itself is one full-outer shuffle join inside Spark's rewrite
+    * (identical to b35's plan) plus the group-based rewrite's write.
+    * At whole-table group granularity the write is a full copy — the
+    * honest copy-on-write cost, confined to affected groups once a
+    * store shards them (UpsertCatalog's scaladoc carries that
+    * argument). Idempotent per run: the table is dropped and reseeded.
+    */
+  def mergeCommitted(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey").as("cust"), col("o_orderdate").as("d"),
+        cents(col("o_totalprice")).as("price_c"))
+    val table = "graft.b43_customers"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"CREATE TABLE $table (cust BIGINT, cnt BIGINT, price_c BIGINT, last_d TIMESTAMP)")
+    o.filter(col("d") < lit(MergeCut))
+      .groupBy("cust").agg(count(lit(1)).as("cnt"), sum("price_c").as("price_c"),
+        max("d").as("last_d"))
+      .select("cust", "cnt", "price_c", "last_d")
+      .writeTo(table).append()
+    o.filter(col("d") >= lit(MergeCut))
+      .groupBy("cust").agg(count(lit(1)).as("new_cnt"), sum("price_c").as("new_c"),
+        max("d").as("new_last_d"))
+      .createOrReplaceTempView("b43_updates")
+    spark.sql(
+      s"""MERGE INTO $table t USING b43_updates u ON t.cust = u.cust
+         |WHEN MATCHED THEN UPDATE SET
+         |  cnt = t.cnt + u.new_cnt, price_c = t.price_c + u.new_c, last_d = u.new_last_d
+         |WHEN NOT MATCHED THEN INSERT (cust, cnt, price_c, last_d)
+         |  VALUES (u.cust, u.new_cnt, u.new_c, u.new_last_d)
+         |WHEN NOT MATCHED BY SOURCE AND t.last_d < DATE '$DormantCut' THEN DELETE
+         |""".stripMargin)
+    spark.table(table).orderBy("cust")
+  }
+
+  val mergeCommittedSql: String =
+    s"""WITH o AS (
+       |  SELECT o_custkey AS cust, o_orderdate AS d,
+       |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+       |  FROM orders
+       |), tgt AS (
+       |  SELECT cust, COUNT(*) AS cnt, CAST(SUM(price_c) AS BIGINT) AS price_c,
+       |    MAX(d) AS last_d
+       |  FROM o WHERE d < DATE '$MergeCut' GROUP BY cust
+       |), src AS (
+       |  SELECT cust, COUNT(*) AS new_cnt, CAST(SUM(price_c) AS BIGINT) AS new_c,
+       |    MAX(d) AS new_last_d
+       |  FROM o WHERE d >= DATE '$MergeCut' GROUP BY cust
+       |)
+       |SELECT COALESCE(t.cust, s.cust) AS cust,
+       |  CASE WHEN t.cust IS NULL THEN s.new_cnt
+       |       WHEN s.cust IS NULL THEN t.cnt
+       |       ELSE t.cnt + s.new_cnt END AS cnt,
+       |  CASE WHEN t.cust IS NULL THEN s.new_c
+       |       WHEN s.cust IS NULL THEN t.price_c
+       |       ELSE t.price_c + s.new_c END AS price_c,
+       |  CASE WHEN s.cust IS NULL THEN t.last_d ELSE s.new_last_d END AS last_d
+       |FROM tgt t FULL OUTER JOIN src s ON s.cust = t.cust
+       |WHERE NOT (s.cust IS NULL AND t.last_d < DATE '$DormantCut')
+       |ORDER BY cust""".stripMargin
+
   // ------------------------------------------------------------- B36
   /** B36: correlated scalar subquery (the TPC-H Q17 shape) — orders
     * priced above 1.5× THEIR OWN customer's average, written as the

@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class UpsertCatalogSpec extends SparkTestBase {
+
+  test("create / insert / select round-trips through the catalog") {
+    spark.sql("DROP TABLE IF EXISTS graft.spec_t1")
+    spark.sql("CREATE TABLE graft.spec_t1 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.spec_t1 VALUES (1, 'a'), (2, 'b')")
+    val r = spark.table("graft.spec_t1").orderBy("k").collect()
+    assert(r.map(x => (x.getLong(0), x.getString(1))).toList == List((1L, "a"), (2L, "b")))
+  }
+
+  test("MERGE INTO: matched update, not-matched insert, matched delete commit") {
+    spark.sql("DROP TABLE IF EXISTS graft.spec_t2")
+    spark.sql("CREATE TABLE graft.spec_t2 (k BIGINT, v STRING, n BIGINT)")
+    spark.sql("INSERT INTO graft.spec_t2 VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+    import spark.implicits._
+    Seq((2L, "B2", 200L), (4L, "D4", 400L), (3L, "DEL", 0L))
+      .toDF("k", "v", "n").createOrReplaceTempView("spec_updates")
+    spark.sql(
+      """MERGE INTO graft.spec_t2 t USING spec_updates u ON t.k = u.k
+        |WHEN MATCHED AND u.v = 'DEL' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = u.v, n = u.n
+        |WHEN NOT MATCHED THEN INSERT (k, v, n) VALUES (u.k, u.v, u.n)
+        |""".stripMargin)
+    val r = spark.table("graft.spec_t2").orderBy("k").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toList
+    assert(r == List((1L, "a", 10L), (2L, "B2", 200L), (4L, "D4", 400L)))
+  }
+
+  test("MERGE is idempotent re-runnable state: second identical merge is a no-op") {
+    spark.sql("DROP TABLE IF EXISTS graft.spec_t3")
+    spark.sql("CREATE TABLE graft.spec_t3 (k BIGINT, n BIGINT)")
+    spark.sql("INSERT INTO graft.spec_t3 VALUES (1, 1)")
+    import spark.implicits._
+    Seq((1L, 5L), (2L, 7L)).toDF("k", "n").createOrReplaceTempView("spec_up3")
+    val merge =
+      """MERGE INTO graft.spec_t3 t USING spec_up3 u ON t.k = u.k
+        |WHEN MATCHED THEN UPDATE SET n = u.n
+        |WHEN NOT MATCHED THEN INSERT (k, n) VALUES (u.k, u.n)""".stripMargin
+    spark.sql(merge)
+    val once = spark.table("graft.spec_t3").orderBy("k").collect().map(_.toSeq).toList
+    spark.sql(merge)
+    val twice = spark.table("graft.spec_t3").orderBy("k").collect().map(_.toSeq).toList
+    assert(once == List(Seq(1L, 5L), Seq(2L, 7L)) && twice == once)
+  }
+
+  test("INSERT OVERWRITE truncates and swaps") {
+    spark.sql("DROP TABLE IF EXISTS graft.spec_t4")
+    spark.sql("CREATE TABLE graft.spec_t4 (k BIGINT)")
+    spark.sql("INSERT INTO graft.spec_t4 VALUES (1), (2)")
+    spark.sql("INSERT OVERWRITE graft.spec_t4 VALUES (9)")
+    assert(spark.table("graft.spec_t4").collect().map(_.getLong(0)).toList == List(9L))
+  }
+
+  test("a larger merge parallelizes across partitions and stays exact") {
+    spark.sql("DROP TABLE IF EXISTS graft.spec_t5")
+    spark.sql("CREATE TABLE graft.spec_t5 (k BIGINT, n BIGINT)")
+    spark.range(0, 30000).selectExpr("id AS k", "id AS n")
+      .createOrReplaceTempView("spec_seed5")
+    spark.sql("INSERT INTO graft.spec_t5 SELECT k, n FROM spec_seed5")
+    spark.range(15000, 45000).selectExpr("id AS k", "id * 2 AS n")
+      .createOrReplaceTempView("spec_up5")
+    spark.sql(
+      """MERGE INTO graft.spec_t5 t USING spec_up5 u ON t.k = u.k
+        |WHEN MATCHED THEN UPDATE SET n = u.n
+        |WHEN NOT MATCHED THEN INSERT (k, n) VALUES (u.k, u.n)""".stripMargin)
+    val agg = spark.table("graft.spec_t5")
+      .agg(count(lit(1)), sum("n"), sum(when(col("n") === col("k") * 2, 1L).otherwise(0L)))
+      .head
+    assert(agg.getLong(0) == 45000L)
+    // untouched: 0..14999 keep n=k; merged/inserted: 15000..44999 have n=2k
+    val expected = (0L until 15000L).sum + (15000L until 45000L).map(_ * 2).sum
+    assert(agg.getLong(1) == expected)
+    assert(agg.getLong(2) == 30001L) // 15000..44999 plus k=0 (0 == 0*2)
+  }
+}
