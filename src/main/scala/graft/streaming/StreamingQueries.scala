@@ -857,7 +857,29 @@ object StreamingQueries {
        |ORDER BY doc_id, qid""".stripMargin
   }
 
+  // ---------------------------------------------------------------- D27
+  /** D27: streaming tokenizer apply — the C96 one-pass BPE segmentation
+    * run over the staged documents STREAM with the batch-learned merge
+    * table frozen at query start (the d26 frozen-index contract, and
+    * exactly how production streaming tokenization works: the tokenizer
+    * is a deployed artifact, never stream state). The per-document stat
+    * projection is pure scan-stage column math — stateless, so the
+    * append-mode replay needs no watermark and the result is
+    * row-identical to the batch C96, which is the oracle (same SQL).
+    */
+  def d27StreamSegment(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.TextQueries
+    val merges = TextQueries.learnedMerges(spark, sfDir)
+    val seg = TextQueries.bpeSegmentStatCols(
+      StreamingOps.docsStream(spark, sfDir, staged(spark, sfDir, "documents")), merges)
+    runToTable(seg, "graft_d27_sink", "append").orderBy("doc_id")
+  }
+
+  /** Batch twin: identical to the C96 oracle — the stream is stateless. */
+  val d27Sql: String = graft.text.TextQueries.c96Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d27_stream_segment" -> (d27StreamSegment _),
     "d26_stream_bm25" -> (d26StreamBm25 _),
     "d25_stream_diff" -> (d25StreamDiff _),
     "d24_stream_drift" -> (d24StreamDrift _),
@@ -886,6 +908,7 @@ object StreamingQueries {
     "d18_stream_quantile" -> (d18StreamQuantile _))
 
   val oracles: Map[String, String] = Map(
+    "d27_stream_segment" -> d27Sql,
     "d26_stream_bm25" -> d26Sql,
     "d25_stream_diff" -> d25Sql,
     "d24_stream_drift" -> d24Sql,

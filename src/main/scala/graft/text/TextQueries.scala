@@ -2186,7 +2186,7 @@ object TextQueries {
   private val mergeTableCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), Seq[(String, String)]]
 
-  private def learnedMerges(spark: SparkSession, dir: String): Seq[(String, String)] =
+  private[graft] def learnedMerges(spark: SparkSession, dir: String): Seq[(String, String)] =
     mergeTableCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       val sample = Tables(spark, dir, "documents")
         .filter(col("doc_id") % SegmentSampleMod === 0)
@@ -2203,6 +2203,14 @@ object TextQueries {
     * corpus iteration) on the planted corpus.
     */
   def bpeSegmentStats(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    bpeSegmentStatCols(docs, merges).orderBy("doc_id")
+
+  /** The unsorted stat projection — pure scan-stage column math, so it
+    * applies unchanged to a STREAMING frame (D27: the one-pass apply is
+    * stateless, which is exactly why a production streaming tokenizer
+    * is a frozen-table deploy, not stream state).
+    */
+  def bpeSegmentStatCols(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
     docs
       .select(col("doc_id"),
         graft.functions.textseg.bpe_segment(col("text"), merges).as("toks"))
@@ -2214,7 +2222,6 @@ object TextQueries {
                   CAST(0 AS BIGINT), (acc, x) -> acc + x)""").as("seq_fp"),
         expr("CAST(array_max(transform(toks, t -> length(t))) AS BIGINT)")
           .as("max_tok_len"))
-      .orderBy("doc_id")
 
   val c96Sql: String = {
     val learn = (1 to SegmentMerges)
