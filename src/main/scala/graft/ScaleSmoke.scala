@@ -372,6 +372,48 @@ object ScaleSmoke {
     val cs = tiles.agg(sum(col("x") + col("y"))).head().getLong(0)
     println(f"SCALE tilerange tiles=${side * side} checksum=$cs " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // --- committed MERGE at volume (the B43 connector path): seed a
+    // 2M-row table, merge a 1.5M-update batch (1M matched updates +
+    // 0.5M inserts) through Spark's full RewriteMergeIntoTable →
+    // ReplaceData pipeline. Exact-count checked; the cost under test
+    // is the copy-on-write rewrite of the single group — the honest
+    // whole-table cost a sharded store confines to touched groups.
+    t0 = System.nanoTime()
+    val nSeed = math.max(nCells / 4, 100000L)
+    spark.sql("DROP TABLE IF EXISTS graft.scale_merge")
+    spark.sql("CREATE TABLE graft.scale_merge (k BIGINT, n BIGINT)")
+    spark.range(nSeed).selectExpr("id AS k", "id AS n")
+      .writeTo("graft.scale_merge").append()
+    spark.range(nSeed / 2, nSeed + nSeed / 4)
+      .selectExpr("id AS k", "id * 2 AS n").createOrReplaceTempView("scale_merge_up")
+    spark.sql(
+      """MERGE INTO graft.scale_merge t USING scale_merge_up u ON t.k = u.k
+        |WHEN MATCHED THEN UPDATE SET n = u.n
+        |WHEN NOT MATCHED THEN INSERT (k, n) VALUES (u.k, u.n)""".stripMargin)
+    val mergedCnt = spark.table("graft.scale_merge").count()
+    require(mergedCnt == nSeed + nSeed / 4, s"merge row count $mergedCnt")
+    spark.sql("DROP TABLE graft.scale_merge")
+    println(f"SCALE mergeCommitted seed=$nSeed merged=$mergedCnt " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // --- one-pass BPE apply (the C96 expression) with a 64-merge table
+    // over 2M synthetic docs: scan-stage only, so max task ≈ mean —
+    // the claim is that apply cost is flat per-row work with zero
+    // shuffle, however long the merge list grows (K sequential passes
+    // per doc here; a production 32k-merge kernel swaps in the
+    // pair-heap variant behind the same expression contract).
+    t0 = System.nanoTime()
+    val mergeTab = (0 until 64).map(i => (s"t${i % 8}", s"t${(i / 8) % 8}"))
+    val nBpeDocs = math.max(nCells / 4, 100000L)
+    val bpeDocs = spark.range(nBpeDocs).select(col("id").as("doc_id"),
+      expr("""concat_ws(' ', transform(sequence(0, 31),
+              i -> concat('t', CAST((id + i) % 11 AS STRING))))""").as("text"))
+    val (bpeRow, bpeMaxMs, bpeMeanMs) = withMaxTask(
+      graft.text.TextQueries.bpeSegmentStatCols(bpeDocs, mergeTab)
+        .agg(sum("n_toks").as("toks"), sum("seq_fp").as("fp")).head())
+    println(f"SCALE bpeApply docs=$nBpeDocs merges=64 toks=${bpeRow.getLong(0)} " +
+      f"maxTaskMs=$bpeMaxMs meanTaskMs=$bpeMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 }

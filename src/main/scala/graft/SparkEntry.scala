@@ -65,7 +65,8 @@ object SparkEntry {
     "b40_order_fanout" -> (Queries.orderFanout _),
     "b41_late_supplier" -> (Queries.lateSupplier _),
     "b42_ratio_to_report" -> (Queries.ratioToReport _),
-    "b43_merge_committed" -> (Queries.mergeCommitted _)
+    "b43_merge_committed" -> (Queries.mergeCommitted _),
+    "b44_merge_delta" -> (Queries.mergeDelta _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -119,6 +120,7 @@ object SparkEntry {
     "b40_order_fanout" -> Queries.orderFanoutSql,
     "b41_late_supplier" -> Queries.lateSupplierSql,
     "b42_ratio_to_report" -> Queries.ratioToReportSql,
-    "b43_merge_committed" -> Queries.mergeCommittedSql
+    "b43_merge_committed" -> Queries.mergeCommittedSql,
+    "b44_merge_delta" -> Queries.mergeDeltaSql
   )
 }

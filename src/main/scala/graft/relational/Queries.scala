@@ -1718,6 +1718,49 @@ object Queries {
        |WHERE NOT (s.cust IS NULL AND t.last_d < DATE '$DormantCut')
        |ORDER BY cust""".stripMargin
 
+  // ------------------------------------------------------------- B44
+  /** B44: the same committed merge through the DELTA write path —
+    * `TBLPROPERTIES ('write.mode'='delta', 'rowid'='cust')` flips the
+    * table to a `SupportsDelta` row-level operation, so Spark plans
+    * `WriteDelta` instead of `ReplaceData`: only the CHANGED rows reach
+    * the sink, each through a typed delete/update/insert callback keyed
+    * by `cust` (Iceberg/Delta merge-on-read's write side; the spec
+    * asserts the plan split). Copy-on-write (b43) vs delta (this) is
+    * THE scale decision for mutable tables: rewrite cost proportional
+    * to group size vs to change size. Final state is identical — the
+    * oracle is b43's verbatim.
+    */
+  def mergeDelta(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey").as("cust"), col("o_orderdate").as("d"),
+        cents(col("o_totalprice")).as("price_c"))
+    val table = "graft.b44_customers"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(
+      s"""CREATE TABLE $table (cust BIGINT NOT NULL, cnt BIGINT, price_c BIGINT, last_d TIMESTAMP)
+         |TBLPROPERTIES ('write.mode'='delta', 'rowid'='cust')""".stripMargin)
+    o.filter(col("d") < lit(MergeCut))
+      .groupBy("cust").agg(count(lit(1)).as("cnt"), sum("price_c").as("price_c"),
+        max("d").as("last_d"))
+      .select("cust", "cnt", "price_c", "last_d")
+      .writeTo(table).append()
+    o.filter(col("d") >= lit(MergeCut))
+      .groupBy("cust").agg(count(lit(1)).as("new_cnt"), sum("price_c").as("new_c"),
+        max("d").as("new_last_d"))
+      .createOrReplaceTempView("b44_updates")
+    spark.sql(
+      s"""MERGE INTO $table t USING b44_updates u ON t.cust = u.cust
+         |WHEN MATCHED THEN UPDATE SET
+         |  cnt = t.cnt + u.new_cnt, price_c = t.price_c + u.new_c, last_d = u.new_last_d
+         |WHEN NOT MATCHED THEN INSERT (cust, cnt, price_c, last_d)
+         |  VALUES (u.cust, u.new_cnt, u.new_c, u.new_last_d)
+         |WHEN NOT MATCHED BY SOURCE AND t.last_d < DATE '$DormantCut' THEN DELETE
+         |""".stripMargin)
+    spark.table(table).orderBy("cust")
+  }
+
+  val mergeDeltaSql: String = mergeCommittedSql
+
   // ------------------------------------------------------------- B36
   /** B36: correlated scalar subquery (the TPC-H Q17 shape) — orders
     * priced above 1.5× THEIR OWN customer's average, written as the

@@ -73,7 +73,12 @@ class UpsertCatalog extends TableCatalog {
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    if (UpsertStore.tables.putIfAbsent(key(ident), new UpsertStore.State(schema)).isDefined)
+    val props = {
+      import scala.jdk.CollectionConverters._
+      properties.asScala.toMap
+    }
+    if (UpsertStore.tables.putIfAbsent(key(ident),
+        new UpsertStore.State(schema, props)).isDefined)
       throw new TableAlreadyExistsException(ident)
     loadTable(ident)
   }
@@ -96,7 +101,8 @@ class UpsertCatalog extends TableCatalog {
 
 /** Driver-side table states, keyed by `<catalog>.<ident>`. */
 object UpsertStore {
-  final class State(val schema: StructType) {
+  final class State(val schema: StructType,
+      val props: Map[String, String] = Map.empty) {
     @volatile var rows: Array[InternalRow] = Array.empty
   }
   val tables: TrieMap[String, State] = TrieMap.empty
@@ -118,7 +124,13 @@ private[sources] class UpsertTable(tableKey: String, state: UpsertStore.State)
     new UpsertWriteBuilder(state)
 
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
-    () => new UpsertRowLevelOperation(state, info.command())
+    () =>
+      if (state.props.get("write.mode").contains("delta"))
+        new UpsertDeltaOperation(state, info.command(),
+          state.props.getOrElse("rowid",
+            throw new IllegalArgumentException(
+              "delta-mode table requires a 'rowid' table property")))
+      else new UpsertRowLevelOperation(state, info.command())
 }
 
 private[sources] class UpsertScanBuilder(state: UpsertStore.State) extends ScanBuilder {
@@ -230,4 +242,95 @@ private[sources] class UpsertRowLevelOperation(state: UpsertStore.State,
     new UpsertScanBuilder(state)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new UpsertWriteBuilder(state, replace = true)
+}
+
+/** The DELTA (merge-on-read-style) write path — the scale counterpart
+  * of the group-based rewrite above: where copy-on-write delivers the
+  * FULL post-merge contents of every affected group, a `SupportsDelta`
+  * operation receives only the CHANGED rows, each through a typed
+  * callback (`delete(meta, id)` / `update(meta, id, row)` /
+  * `insert(row)`), keyed by the declared `rowId` columns. At 100 TB
+  * this is the difference between rewriting a partition because one
+  * row changed and shipping one tombstone — exactly Iceberg/Delta's
+  * MoR write side. Enabled per table with
+  * `TBLPROPERTIES ('write.mode'='delta', 'rowid'='<col>')`.
+  *
+  * Commit applies the deltas to the keyed store: deletes remove the
+  * key, updates replace it (the rowId itself is immutable under
+  * UPDATE, which Spark guarantees when `representUpdateAsDeleteAndInsert`
+  * is false), inserts append. The apply is one driver-side hash pass —
+  * the stand-in for a log/compaction scheme, same boundary as the rest
+  * of this connector's storage.
+  */
+private[sources] class UpsertDeltaOperation(state: UpsertStore.State,
+    cmd: RowLevelOperation.Command, rowIdCol: String)
+    extends RowLevelOperation with SupportsDelta {
+  override def command(): RowLevelOperation.Command = cmd
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new UpsertScanBuilder(state)
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(rowIdCol))
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite =
+          new UpsertDeltaBatchWrite(state, rowIdCol)
+      }
+    }
+}
+
+/** One buffered (op, row) pair per callback; DELETE keeps only the id
+  * projection, UPDATE/INSERT the full row.
+  */
+private[sources] final case class UpsertDeltaCommit(
+    ops: Array[(Byte, InternalRow)]) extends WriterCommitMessage
+
+private[sources] class UpsertDeltaBatchWrite(state: UpsertStore.State, rowIdCol: String)
+    extends DeltaBatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    new UpsertDeltaWriterFactory
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val keyIdx = state.schema.fieldIndex(rowIdCol)
+    val keyType = state.schema(keyIdx).dataType
+    state.synchronized {
+      // keyed apply over the current snapshot
+      val byKey = scala.collection.mutable.LinkedHashMap.empty[Any, InternalRow]
+      state.rows.foreach(r => byKey(r.get(keyIdx, keyType)) = r)
+      messages.foreach { m =>
+        m.asInstanceOf[UpsertDeltaCommit].ops.foreach { case (op, row) =>
+          op match {
+            case UpsertDeltaBatchWrite.Del =>
+              byKey.remove(row.get(0, keyType)): Unit // id projection: rowId at 0
+            case UpsertDeltaBatchWrite.Upd | UpsertDeltaBatchWrite.Ins =>
+              byKey(row.get(keyIdx, keyType)) = row
+          }
+        }
+      }
+      state.rows = byKey.values.toArray
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] object UpsertDeltaBatchWrite {
+  val Del: Byte = 1
+  val Upd: Byte = 2
+  val Ins: Byte = 3
+}
+
+private[sources] class UpsertDeltaWriterFactory extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      private val ops = ArrayBuffer.empty[(Byte, InternalRow)]
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        ops += ((UpsertDeltaBatchWrite.Del, id.copy()))
+      override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
+        ops += ((UpsertDeltaBatchWrite.Upd, row.copy()))
+      override def insert(row: InternalRow): Unit =
+        ops += ((UpsertDeltaBatchWrite.Ins, row.copy()))
+      override def commit(): WriterCommitMessage = UpsertDeltaCommit(ops.toArray)
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
 }

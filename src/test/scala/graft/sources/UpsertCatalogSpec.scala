@@ -77,4 +77,62 @@ class UpsertCatalogSpec extends SparkTestBase {
     assert(agg.getLong(1) == expected)
     assert(agg.getLong(2) == 30001L) // 15000..44999 plus k=0 (0 == 0*2)
   }
+
+  test("delta-mode MERGE: only changed rows flow, state converges identically") {
+    spark.sql("DROP TABLE IF EXISTS graft.spec_d1")
+    spark.sql(
+      """CREATE TABLE graft.spec_d1 (k BIGINT NOT NULL, v STRING, n BIGINT)
+        |TBLPROPERTIES ('write.mode'='delta', 'rowid'='k')""".stripMargin)
+    spark.sql("INSERT INTO graft.spec_d1 VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+    import spark.implicits._
+    Seq((2L, "B2", 200L), (4L, "D4", 400L), (3L, "DEL", 0L))
+      .toDF("k", "v", "n").createOrReplaceTempView("spec_dup1")
+    spark.sql(
+      """MERGE INTO graft.spec_d1 t USING spec_dup1 u ON t.k = u.k
+        |WHEN MATCHED AND u.v = 'DEL' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = u.v, n = u.n
+        |WHEN NOT MATCHED THEN INSERT (k, v, n) VALUES (u.k, u.v, u.n)
+        |""".stripMargin)
+    val r = spark.table("graft.spec_d1").orderBy("k").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toList
+    assert(r == List((1L, "a", 10L), (2L, "B2", 200L), (4L, "D4", 400L)))
+  }
+
+  test("delta-mode NOT MATCHED BY SOURCE delete") {
+    spark.sql("DROP TABLE IF EXISTS graft.spec_d2")
+    spark.sql(
+      """CREATE TABLE graft.spec_d2 (k BIGINT NOT NULL, n BIGINT)
+        |TBLPROPERTIES ('write.mode'='delta', 'rowid'='k')""".stripMargin)
+    spark.sql("INSERT INTO graft.spec_d2 VALUES (1, 1), (2, 2), (3, 3)")
+    import spark.implicits._
+    Seq((2L, 20L)).toDF("k", "n").createOrReplaceTempView("spec_dup2")
+    spark.sql(
+      """MERGE INTO graft.spec_d2 t USING spec_dup2 u ON t.k = u.k
+        |WHEN MATCHED THEN UPDATE SET n = u.n
+        |WHEN NOT MATCHED BY SOURCE AND t.k = 3 THEN DELETE""".stripMargin)
+    val r = spark.table("graft.spec_d2").orderBy("k").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toList
+    assert(r == List((1L, 1L), (2L, 20L)))
+  }
+
+  test("delta plan is WriteDelta (changed rows), group plan is ReplaceData (full copy)") {
+    spark.sql("DROP TABLE IF EXISTS graft.spec_d3")
+    spark.sql("DROP TABLE IF EXISTS graft.spec_g3")
+    spark.sql(
+      """CREATE TABLE graft.spec_d3 (k BIGINT NOT NULL, n BIGINT)
+        |TBLPROPERTIES ('write.mode'='delta', 'rowid'='k')""".stripMargin)
+    spark.sql("CREATE TABLE graft.spec_g3 (k BIGINT, n BIGINT)")
+    import spark.implicits._
+    Seq((1L, 5L)).toDF("k", "n").createOrReplaceTempView("spec_up3b")
+    def planOf(table: String): String = {
+      val merge =
+        s"""MERGE INTO $table t USING spec_up3b u ON t.k = u.k
+           |WHEN MATCHED THEN UPDATE SET n = u.n
+           |WHEN NOT MATCHED THEN INSERT (k, n) VALUES (u.k, u.n)""".stripMargin
+      spark.sessionState.executePlan(
+        spark.sessionState.sqlParser.parsePlan(merge)).optimizedPlan.treeString
+    }
+    assert(planOf("graft.spec_d3").contains("WriteDelta"))
+    assert(planOf("graft.spec_g3").contains("ReplaceData"))
+  }
 }
