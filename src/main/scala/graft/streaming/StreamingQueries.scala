@@ -857,6 +857,65 @@ object StreamingQueries {
        |ORDER BY doc_id, qid""".stripMargin
   }
 
+  // ---------------------------------------------------------------- D28
+  /** D28: streaming MERGE upsert — the d8 preview graduated to a real
+    * COMMITTED sink: each micro-batch of the events stream aggregates
+    * per-user deltas and `MERGE INTO`s them into a delta-mode
+    * [[graft.sources.UpsertCatalog]] table inside `foreachBatch` (the
+    * canonical Structured Streaming upsert pattern for
+    * Delta/Iceberg-style sinks). The staged replay is forced to TWO
+    * data micro-batches (the d17 contract) so the cross-batch
+    * accumulate — matched totals grow, unseen users insert — is
+    * actually exercised; per-batch merges are commutative adds, so the
+    * final table equals the batch aggregation regardless of how the
+    * stream was sliced, which is the oracle.
+    */
+  def d28StreamMergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.Tables
+    val events = Tables(spark, sfDir, "events")
+    val table = "graft.d28_user_totals"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(
+      s"""CREATE TABLE $table (user_id BIGINT NOT NULL, n_events BIGINT, sum_value_c BIGINT)
+         |TBLPROPERTIES ('write.mode'='delta', 'rowid'='user_id')""".stripMargin)
+    // staging harness: two disjoint halves, forced one-file-per-trigger
+    val cut = events.agg(max("event_id")).head.getLong(0) / 2
+    val dir = java.nio.file.Paths.get(track(
+      Files.createTempDirectory("graft-d28-src").toString))
+    val now = System.currentTimeMillis()
+    StreamingOps.stageFrameFile(events.filter(col("event_id") <= cut), dir, "b0.parquet",
+      now - 600000L)
+    StreamingOps.stageFrameFile(events.filter(col("event_id") > cut), dir, "b1.parquet", now)
+    val src = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val ckpt = track(Files.createTempDirectory("graft-ckpt-d28").toString)
+    val q = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(ROUND(value * 100.0) AS BIGINT)")).as("v"))
+          .createOrReplaceTempView("d28_batch")
+        batch.sparkSession.sql(
+          s"""MERGE INTO $table t USING d28_batch u ON t.user_id = u.user_id
+             |WHEN MATCHED THEN UPDATE SET
+             |  n_events = t.n_events + u.n, sum_value_c = t.sum_value_c + u.v
+             |WHEN NOT MATCHED THEN INSERT (user_id, n_events, sum_value_c)
+             |  VALUES (u.user_id, u.n, u.v)""".stripMargin): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches == 2,
+      s"d28 expects exactly 2 data micro-batches (staged replay contract), got $dataBatches")
+    spark.table(table).orderBy("user_id")
+  }
+
+  val d28Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_c
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- D27
   /** D27: streaming tokenizer apply — the C96 one-pass BPE segmentation
     * run over the staged documents STREAM with the batch-learned merge
@@ -879,6 +938,7 @@ object StreamingQueries {
   val d27Sql: String = graft.text.TextQueries.c96Sql
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d28_stream_merge_upsert" -> (d28StreamMergeUpsert _),
     "d27_stream_segment" -> (d27StreamSegment _),
     "d26_stream_bm25" -> (d26StreamBm25 _),
     "d25_stream_diff" -> (d25StreamDiff _),
@@ -908,6 +968,7 @@ object StreamingQueries {
     "d18_stream_quantile" -> (d18StreamQuantile _))
 
   val oracles: Map[String, String] = Map(
+    "d28_stream_merge_upsert" -> d28Sql,
     "d27_stream_segment" -> d27Sql,
     "d26_stream_bm25" -> d26Sql,
     "d25_stream_diff" -> d25Sql,

@@ -135,4 +135,19 @@ class UpsertCatalogSpec extends SparkTestBase {
     assert(planOf("graft.spec_d3").contains("WriteDelta"))
     assert(planOf("graft.spec_g3").contains("ReplaceData"))
   }
+
+  test("DELETE FROM and UPDATE route through the row-level ops in both modes") {
+    for ((table, props) <- Seq(
+        ("graft.spec_u1", ""),
+        ("graft.spec_u2", "TBLPROPERTIES ('write.mode'='delta', 'rowid'='k')"))) {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"CREATE TABLE $table (k BIGINT NOT NULL, n BIGINT) $props")
+      spark.sql(s"INSERT INTO $table VALUES (1, 1), (2, 2), (3, 3), (4, 4)")
+      spark.sql(s"DELETE FROM $table WHERE k % 2 = 0")
+      spark.sql(s"UPDATE $table SET n = n * 10 WHERE k = 3")
+      val r = spark.table(table).orderBy("k").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toList
+      assert(r == List((1L, 1L), (3L, 30L)), s"$table: $r")
+    }
+  }
 }
