@@ -3552,7 +3552,59 @@ object TextQueries {
        |FROM cells""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C97
+  /** C97: blocklist tagging in one pass — the C4-badwords/RefinedWeb
+    * keyword-filter shape: derive a [[BlocklistK]]-term list (most
+    * document-frequent tokens of length ≥ 4 — deterministic stand-in
+    * for a curated list; the d26 frozen-index contract), then tag every
+    * document with the BITMASK of list terms present as raw substrings.
+    * The scan uses the native [[graft.functions.MultiContains]]
+    * Aho-Corasick expression: ONE automaton pass per document —
+    * O(|doc| + matches) whatever K grows to — where the naive form is K
+    * independent `contains` scans (O(K·|doc|), K codegen loops; a
+    * production blocklist is thousands of terms, so the automaton is
+    * the only viable 100 TB shape). The mask pins WHICH terms matched,
+    * `bit_count` gives the per-doc hit count; matching is raw
+    * case-sensitive substring = DuckDB `strpos > 0`, the oracle twin.
+    */
+  val BlocklistK = 24
+
+  def c97Blocklist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val kws = toks.filter(length(col("token")) >= 4)
+      .groupBy("token").agg(count_distinct(col("doc_id")).as("df"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("df").desc, col("token"))))
+      .filter(col("rn") <= BlocklistK).orderBy("rn")
+      .collect().map(_.getString(0)).toSeq
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.multisearch.multi_contains(col("text"), kws).as("kw_mask"))
+      .withColumn("n_kw", expr("bit_count(kw_mask)").cast("long"))
+      .orderBy("doc_id")
+  }
+
+  val c97Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+       |), dfreq AS (
+       |  SELECT token, COUNT(DISTINCT doc_id) AS df
+       |  FROM toks WHERE length(token) >= 4 GROUP BY token
+       |), kw AS (
+       |  SELECT token, rn FROM (
+       |    SELECT token, ROW_NUMBER() OVER (ORDER BY df DESC, token) AS rn FROM dfreq
+       |  ) WHERE rn <= $BlocklistK
+       |)
+       |SELECT d.doc_id,
+       |  CAST(SUM(CASE WHEN strpos(d.text, k.token) > 0
+       |           THEN (CAST(1 AS BIGINT) << (k.rn - 1)) ELSE 0 END) AS BIGINT) AS kw_mask,
+       |  CAST(SUM(CASE WHEN strpos(d.text, k.token) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kw
+       |FROM documents d CROSS JOIN kw k
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c97_blocklist" -> (c97Blocklist _),
     "c96_bpe_segment" -> (c96BpeSegment _),
     "c95_bpe_apply" -> (c95BpeApply _),
     "c94_gate_agreement" -> (c94GateAgreement _),
@@ -3610,6 +3662,7 @@ object TextQueries {
     "c64_classifier_eval" -> (c64ClassifierEval _))
 
   val oracles: Map[String, String] = Map(
+    "c97_blocklist" -> c97Sql,
     "c96_bpe_segment" -> c96Sql,
     "c95_bpe_apply" -> c95Sql,
     "c94_gate_agreement" -> c94Sql,
