@@ -20,8 +20,13 @@ import graft.{GraftSession, Tables}
   *     10-token segments cut from every surviving doc (C40, the CCNet
   *     paragraph-dedup step);
   *  6. sequence packing per source shard (C27's contiguous fill);
-  *  7. write the curated corpus as parquet partitioned by split — the
-  *     layout a training job consumes (split pruning for free).
+  *  7. tokenization — BPE merges learned on a deterministic sample of
+  *     the curated TRAIN split only (held-out text must not shape the
+  *     tokenizer), applied to every surviving doc in one
+  *     partition-local pass (C96's native BpeSegment expression);
+  *  8. write the curated, tokenized corpus as parquet partitioned by
+  *     split — the layout a training job consumes (split pruning for
+  *     free, token arrays ready to pack into batches).
   *
   * Every stage is declarative DataFrame algebra over the same operators
   * the driver hash-checks individually; the composition adds no new
@@ -46,7 +51,7 @@ object CurationPipeline {
       total: Long, afterGates: Long, afterExact: Long, afterNear: Long,
       train: Long, val_ : Long, test: Long, droppedContaminated: Long,
       afterSegTrim: Long, segTokensDropped: Long,
-      sequences: Long)
+      sequences: Long, bpeMerges: Long, tokensAfterBpe: Long)
 
   /** spark-submit entry: runMain graft.text.CurationPipeline <sfDir> <outDir>. */
   def main(args: Array[String]): Unit = {
@@ -128,8 +133,24 @@ object CurationPipeline {
       .withColumn("seq_id", expr(s"(cum - n_tok) div ${TextQueries.SeqBudget}"))
       .drop("cum")
 
-    // 7. partitioned corpus write — training readers prune on split
-    packed.write.mode("overwrite").partitionBy("split")
+    // 7. tokenize: learn the BPE merge table on a deterministic sample
+    // of the curated TRAIN split only (held-out text must not shape the
+    // tokenizer — the same leakage rule as decontamination), then
+    // segment EVERY surviving doc in one partition-local pass with the
+    // native BpeSegment expression (C96's production apply shape: the
+    // K-row merge table rides into codegen, the corpus is scanned
+    // once). The token array is the column a trainer actually reads.
+    val trainSample = packed.filter(col("split") === "train"
+      && pmod(col("doc_id"), lit(TextQueries.SegmentSampleMod.toLong)) === 0L)
+      .select("doc_id", "text")
+    val merges = TextQueries.bpeMergesOn(trainSample)
+      .orderBy("iter").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val tokenized = packed.withColumn("toks",
+      graft.functions.textseg.bpe_segment(col("text"), merges))
+
+    // 8. partitioned corpus write — training readers prune on split
+    tokenized.write.mode("overwrite").partitionBy("split")
       .parquet(s"$outDir/corpus")
     val out = spark.read.parquet(s"$outDir/corpus")
 
@@ -148,6 +169,10 @@ object CurationPipeline {
       droppedContaminated = n(split) - n(clean),
       afterSegTrim = n(trimmed),
       segTokensDropped = tokenMass(clean) - tokenMass(trimmed),
-      sequences = out.select("source", "seq_id").distinct().count())
+      sequences = out.select("source", "seq_id").distinct().count(),
+      bpeMerges = merges.size.toLong,
+      tokensAfterBpe = out
+        .agg(coalesce(sum(size(col("toks")).cast("long")), lit(0L)))
+        .head().getLong(0))
   }
 }

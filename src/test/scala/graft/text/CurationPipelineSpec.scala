@@ -38,6 +38,20 @@ class CurationPipelineSpec extends SparkTestBase {
     // texts are unique after the exact-dedup stage
     assert(corpus.select("text").distinct().count() == corpus.count())
 
+    // tokenization stage: every doc carries a token array; merges
+    // learned (BpeIters of them) and applied — post-merge token mass is
+    // below the whitespace mass by exactly the merge reduction, and
+    // reconstructing the text from tokens (undoing the '_' joins)
+    // round-trips
+    assert(r.bpeMerges == TextQueries.BpeIters.toLong)
+    val wsTokens = corpus
+      .agg(sum(regexp_count(col("text"), lit("\\S+")).cast("long"))).head().getLong(0)
+    assert(r.tokensAfterBpe <= wsTokens && r.tokensAfterBpe > 0)
+    val badRoundTrip = corpus.filter(
+      array_join(transform(col("toks"), t => regexp_replace(t, lit("_"), lit(" "))), " ")
+        =!= col("text"))
+    assert(badRoundTrip.count() == 0)
+
     // quality and repetition gates really applied
     val gatesViolated = corpus
       .join(TextQueries.c3QualityScore(spark, sf).select("doc_id", "quality_micro"), "doc_id")
