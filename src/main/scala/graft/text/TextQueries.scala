@@ -3603,7 +3603,49 @@ object TextQueries {
        |FROM documents d CROSS JOIN kw k
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- C98
+  /** C98: feature-hashing document vectors (Weinberger et al. 2009 —
+    * the "hashing trick") — the model-free text→vector bridge between
+    * the text block and the embed block: each token's shared
+    * [[tokenHash]] picks a dimension (mod [[HashEmbedDim]]) and a sign
+    * (next hash bit), and the document's vector is the signed
+    * occurrence sum per dimension. Deterministic, fixed-memory, no
+    * vocabulary and no model — the embedding a pipeline can ALWAYS
+    * compute (CCNet/fastText lineage), good enough for cosine screens
+    * and k-means routing when no learned embedding exists yet, and the
+    * exact input shape the C9/C50 operators consume. Long-form integer
+    * output (doc_id, dim, val) so every column is a sortable scalar.
+    *
+    * Scale shape: scan-stage explode + one (doc_id, dim) partial-agg
+    * shuffle — dims with a net-zero signed sum still emit their zero
+    * (they had occurrences), absent dims had none; both engines agree
+    * by construction.
+    */
+  val HashEmbedDim = 16L
+
+  def c98HashEmbed(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), tokenHash(col("t")).as("hv"))
+      .select(col("doc_id"), expr(s"hv % $HashEmbedDim").as("dim"),
+        when(expr(s"(hv div $HashEmbedDim) % 2") === 0, lit(1L))
+          .otherwise(lit(-1L)).as("sign"))
+      .groupBy("doc_id", "dim").agg(sum("sign").as("val"))
+      .orderBy("doc_id", "dim")
+
+  val c98Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
+       |), h AS (
+       |  SELECT doc_id, ${tokenHashSql("t")} AS hv FROM toks
+       |)
+       |SELECT doc_id, hv % $HashEmbedDim AS dim,
+       |  CAST(SUM(CASE WHEN (hv // $HashEmbedDim) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS val
+       |FROM h GROUP BY doc_id, hv % $HashEmbedDim
+       |ORDER BY doc_id, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c98_hash_embed" -> (c98HashEmbed _),
     "c97_blocklist" -> (c97Blocklist _),
     "c96_bpe_segment" -> (c96BpeSegment _),
     "c95_bpe_apply" -> (c95BpeApply _),
@@ -3662,6 +3704,7 @@ object TextQueries {
     "c64_classifier_eval" -> (c64ClassifierEval _))
 
   val oracles: Map[String, String] = Map(
+    "c98_hash_embed" -> c98Sql,
     "c97_blocklist" -> c97Sql,
     "c96_bpe_segment" -> c96Sql,
     "c95_bpe_apply" -> c95Sql,
