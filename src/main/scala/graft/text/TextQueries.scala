@@ -2188,8 +2188,14 @@ object TextQueries {
 
   private[graft] def learnedMerges(spark: SparkSession, dir: String): Seq[(String, String)] =
     mergeTableCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      // the sample is SampleMod-times smaller than the corpus, but the
+      // merge loop's window/agg stages would still run at the session's
+      // corpus-sized parallelism — ~50 jobs of mostly-empty tasks.
+      // Re-key it to a handful of partitions first (hash on doc_id, so
+      // deterministic); a production run sizes this to sample/128MB.
       val sample = Tables(spark, dir, "documents")
         .filter(col("doc_id") % SegmentSampleMod === 0)
+        .repartition(4, col("doc_id"))
       val (summaries, _) = bpeLoop(sample, SegmentMerges)
       summaries.reduce(_.unionByName(_)).orderBy("iter").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
