@@ -42,6 +42,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[RollingHashes], "rolling_hashes",
         "rolling_hashes(t, b, m) - array of all prefix hashes (t1*b^(k-1)+...+tk) mod m"),
       (args: Seq[Expression]) => RollingHashes(args(0), args(1), args(2))))
+    // config-carrying expressions: the keyword/merge list must be a
+    // FOLDABLE array literal — it is compiled into the operator
+    // (automaton / merge table), not evaluated per row
+    def foldableStrings(e: Expression, fn: String): Seq[String] = {
+      require(e.foldable && e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+        s"$fn expects a foldable array<string> literal, got $e")
+      e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString).toSeq
+    }
+    ext.injectFunction((
+      FunctionIdentifier("multi_contains"),
+      info(classOf[MultiContains], "multi_contains",
+        "multi_contains(text, array('kw', ...)) - bitmask of keywords present as substrings (one Aho-Corasick pass)"),
+      (args: Seq[Expression]) =>
+        MultiContains(args(0), foldableStrings(args(1), "multi_contains"))))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_segment"),
+      info(classOf[BpeSegment], "bpe_segment",
+        "bpe_segment(text, array('a','b', 'c','d', ...)) - one-pass BPE apply; flat pairs (a,b),(c,d),... in priority order"),
+      (args: Seq[Expression]) => {
+        val flat = foldableStrings(args(1), "bpe_segment")
+        require(flat.size % 2 == 0, "bpe_segment merge list must have even length (flat pairs)")
+        BpeSegment(args(0), flat.grouped(2).map(p => (p(0), p(1))).toSeq)
+      }))
     // size(array_intersect) on bigint arrays → the codegen'd merge scan
     // (the d14 hand-fix as an automatic plan rewrite)
     ext.injectOptimizerRule(_ => graft.plans.RewriteIntersectCount)

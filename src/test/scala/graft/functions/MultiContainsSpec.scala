@@ -52,4 +52,12 @@ class MultiContainsSpec extends SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
   }
+
+  test("SQL surface: multi_contains and bpe_segment registered via extensions") {
+    val r = spark.sql(
+      """SELECT multi_contains('zzabcdzz', array('abc', 'bcd')) AS m,
+        |       bpe_segment('x x x p q', array('x','x', 'p','q')) AS t""".stripMargin).head
+    assert(r.getLong(0) == 3L)
+    assert(r.getSeq[String](1).toList == List("x_x", "x", "p_q"))
+  }
 }
