@@ -106,7 +106,7 @@ object DedupQueries {
     * candidate set, so the bucket join runs once — an explicit shared
     * materialized intermediate, same determinism.
     */
-  private val candCache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private val candCache = new graft.util.Memo[(String, String), DataFrame]
 
   /** Signature-supernode pair generation. Duplicate-heavy corpora (the
     * normal case for LLM training data — and extreme here) collapse
@@ -414,7 +414,7 @@ object DedupQueries {
     * intermediate.
     */
   private val collapseCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    new graft.util.Memo[(String, String), DataFrame]
 
   def c19DedupCollapse(spark: SparkSession, dir: String): DataFrame =
     collapseCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
@@ -985,7 +985,7 @@ object DedupQueries {
     * so the frame carries one row per distinct-set pair.
     */
   private val scoredCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, Long), DataFrame]
+    new graft.util.Memo[(String, String, Long), DataFrame]
 
   private[dedup] def scoredRepPairs(spark: SparkSession, dir: String,
       minJac: Double): DataFrame =

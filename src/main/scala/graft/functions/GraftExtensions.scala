@@ -46,11 +46,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // FOLDABLE array literal — it is compiled into the operator
     // (automaton / merge table), not evaluated per row
     def foldableStrings(e: Expression, fn: String): Seq[String] = {
-      require(e.foldable && e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
-        s"$fn expects a foldable array<string> literal, got $e")
-      e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        .toObjectArray(org.apache.spark.sql.types.StringType)
-        .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString).toSeq
+      import org.apache.spark.sql.types.{ArrayType, StringType}
+      val elemOk = e.dataType match {
+        case ArrayType(StringType, _) => true
+        case _                        => false
+      }
+      require(e.foldable && elemOk,
+        s"$fn expects a foldable array<string> literal, got ${e.dataType.sql}: $e")
+      val arr = e.eval()
+      require(arr != null, s"$fn config array must not be NULL")
+      val objs = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(StringType)
+      require(!objs.contains(null),
+        s"$fn config array must not contain NULL elements")
+      objs.map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString).toSeq
     }
     ext.injectFunction((
       FunctionIdentifier("multi_contains"),

@@ -1,6 +1,5 @@
 package graft.tiles
 
-import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.HashPartitioner
 import org.apache.spark.rdd.RDD
@@ -283,7 +282,7 @@ object Clustering {
     * component labeling, so it's computed once and shared — an explicit
     * materialized intermediate, same determinism, same results.
     */
-  private val ccCache = TrieMap.empty[(String, String), DataFrame]
+  private val ccCache = new graft.util.Memo[(String, String), DataFrame]
 
   def componentsFor(spark: SparkSession, dir: String): DataFrame =
     ccCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),

@@ -38,7 +38,7 @@ object GeoDerive {
     * pattern as Clustering.componentsFor, identical results.
     */
   private val cellsCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    new graft.util.Memo[(String, String), DataFrame]
 
   def cells(spark: SparkSession, dir: String): DataFrame =
     cellsCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),

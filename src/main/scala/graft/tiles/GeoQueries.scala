@@ -746,12 +746,15 @@ object GeoQueries {
   private val challengeFmt =
     """{"type": "FeatureCollection", "features": [{"type": "Feature", "properties": {"cluster_id": %d}, "geometry": {"type": "Polygon", "coordinates": [%s]}}]}"""
 
-  /** Pointer-doubling depth for the ring-walk oracle: the final window
-    * is 2^(RingDoublings+1) = 65,536 edges, >= any possible ring length
-    * (<= 4 cells' worth of directed boundary edges per grid cell, grid
-    * modulo-bounded at 97x89) — exact at every SF by construction.
+  /** Pointer-doubling depth for the ring-walk oracle. rd_k's min-window
+    * spans 2^k + 1 consecutive edges (rd0 covers positions {0,1}; each
+    * level unions two windows overlapping at one position), so the final
+    * window is 2^RingDoublings + 1 = 65,537 edges >= any possible ring
+    * length (<= 4 directed boundary edges per grid cell, grid
+    * modulo-bounded at 97x89 => <= 34,532) — exact at every SF by
+    * construction.
     */
-  private val RingDoublings = 15
+  private val RingDoublings = 16
 
   val a25GeojsonFpSql: String = {
     val lonS = colToLonSql(s"(sx + $TX)", center = false)

@@ -60,4 +60,21 @@ class MultiContainsSpec extends SparkTestBase {
     assert(r.getLong(0) == 3L)
     assert(r.getSeq[String](1).toList == List("x_x", "x", "p_q"))
   }
+
+  test("SQL surface rejects malformed config arrays with a clear message") {
+    def msg(sql: String): String =
+      intercept[Exception](spark.sql(sql).head).getMessage
+    // non-string element type
+    assert(msg("SELECT multi_contains('x', array(1, 2))")
+      .contains("foldable array<string>"))
+    // NULL element inside the literal
+    assert(msg("SELECT multi_contains('x', array('a', CAST(NULL AS STRING)))")
+      .contains("must not contain NULL"))
+    // NULL config array
+    assert(msg("SELECT bpe_segment('x', CAST(NULL AS ARRAY<STRING>))")
+      .contains("NULL"))
+    // non-foldable config (a column reference cannot fold)
+    assert(msg("SELECT bpe_segment(x, array(x, x)) FROM VALUES ('a') t(x)")
+      .contains("foldable"))
+  }
 }
