@@ -66,7 +66,9 @@ object SparkEntry {
     "b41_late_supplier" -> (Queries.lateSupplier _),
     "b42_ratio_to_report" -> (Queries.ratioToReport _),
     "b43_merge_committed" -> (Queries.mergeCommitted _),
-    "b44_merge_delta" -> (Queries.mergeDelta _)
+    "b44_merge_delta" -> (Queries.mergeDelta _),
+    "b45_lateral_topn" -> (Queries.lateralTopn _),
+    "b46_recursive_spine" -> (Queries.recursiveSpine _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -121,6 +123,8 @@ object SparkEntry {
     "b41_late_supplier" -> Queries.lateSupplierSql,
     "b42_ratio_to_report" -> Queries.ratioToReportSql,
     "b43_merge_committed" -> Queries.mergeCommittedSql,
-    "b44_merge_delta" -> Queries.mergeDeltaSql
+    "b44_merge_delta" -> Queries.mergeDeltaSql,
+    "b45_lateral_topn" -> Queries.lateralTopnSql,
+    "b46_recursive_spine" -> Queries.recursiveSpineSql
   )
 }

@@ -2087,4 +2087,99 @@ object Queries {
       |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to,
       |  CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS BIGINT) AS is_current
       |FROM changes ORDER BY user_id, version""".stripMargin
+
+  // ------------------------------------------------------------- B45
+  /** B45: LATERAL correlated top-N — the top-2 customers by account
+    * balance per nation, written as a LATERAL subquery with ORDER BY …
+    * LIMIT inside (the SQL:2016 lateral-derived-table surface; Spark 4
+    * plans the correlation via DecorrelateInnerQuery into a
+    * partition-limit over a hash join, i.e. the same physical shape as
+    * B4's window top-k — the spec pins that equivalence). LATERAL is
+    * the form generated SQL and migration workloads actually emit
+    * (Postgres/DuckDB idiom), so the engine must accept and plan it
+    * well, not just the window form. Scale: nation is a broadcast dim;
+    * the per-nation limit bounds the result at 2·|nation| rows; the
+    * customer scan prunes to the three referenced columns.
+    */
+  def lateralTopn(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "nation").createOrReplaceTempView("b45_nation")
+    Tables(spark, dir, "customer").createOrReplaceTempView("b45_customer")
+    spark.sql("""
+      SELECT n.n_name, t.c_custkey, t.bal_c
+      FROM b45_nation n,
+      LATERAL (
+        SELECT c_custkey, CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS bal_c
+        FROM b45_customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY bal_c DESC, c_custkey LIMIT 2
+      ) t
+      ORDER BY n.n_name, t.bal_c DESC, t.c_custkey""")
+  }
+
+  val lateralTopnSql: String =
+    """SELECT n.n_name, t.c_custkey, t.bal_c
+      |FROM nation n,
+      |LATERAL (
+      |  SELECT c_custkey, CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS bal_c
+      |  FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY bal_c DESC, c_custkey LIMIT 2
+      |) t
+      |ORDER BY n.n_name, t.bal_c DESC, t.c_custkey""".stripMargin
+
+  // ------------------------------------------------------------- B46
+  /** B46: recursive CTE month spine — a gap-free monthly revenue series
+    * generated by `WITH RECURSIVE` (SQL:1999 recursion, new in Spark 4;
+    * the surface migrated warehouse SQL leans on for spines,
+    * hierarchies, and BOM walks). The anchor row carries the series
+    * bounds as columns so the recursive member needs no subquery (the
+    * form both engines accept); months with no orders appear with
+    * explicit zeros — the property B28's `sequence()` spine provides
+    * and a bare GROUP BY cannot. The recursion depth is the month RANGE
+    * (value-domain bounded — ~84 for any TPC-H-shaped corpus, however
+    * many rows), so the iterative union never becomes the scale
+    * bottleneck; the revenue agg is one map-side-combinable shuffle.
+    */
+  def recursiveSpine(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("b46_orders")
+    spark.sql("""
+      WITH RECURSIVE bounds AS (
+        SELECT MIN(year(to_date(o_orderdate)) * 12 + month(to_date(o_orderdate)) - 1) AS lo,
+               MAX(year(to_date(o_orderdate)) * 12 + month(to_date(o_orderdate)) - 1) AS hi
+        FROM b46_orders
+      ), spine(m, hi) AS (
+        SELECT lo, hi FROM bounds
+        UNION ALL
+        SELECT m + 1, hi FROM spine WHERE m < hi
+      ), rev AS (
+        SELECT year(to_date(o_orderdate)) * 12 + month(to_date(o_orderdate)) - 1 AS m,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev_c
+        FROM b46_orders GROUP BY 1
+      )
+      SELECT s.m div 12 AS yr, s.m % 12 + 1 AS mon,
+        COALESCE(r.n_orders, 0) AS n_orders, COALESCE(r.rev_c, 0) AS rev_c
+      FROM spine s LEFT JOIN rev r ON r.m = s.m
+      ORDER BY s.m""")
+  }
+
+  val recursiveSpineSql: String =
+    """WITH RECURSIVE bounds AS (
+      |  SELECT MIN(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1) AS lo,
+      |         MAX(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1) AS hi
+      |  FROM orders
+      |), spine(m, hi) AS (
+      |  SELECT lo, hi FROM bounds
+      |  UNION ALL
+      |  SELECT m + 1, hi FROM spine WHERE m < hi
+      |), rev AS (
+      |  SELECT year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS m,
+      |    COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT s.m // 12 AS yr, s.m % 12 + 1 AS mon,
+      |  COALESCE(r.n_orders, 0) AS n_orders, COALESCE(r.rev_c, 0) AS rev_c
+      |FROM spine s LEFT JOIN rev r ON r.m = s.m
+      |ORDER BY s.m""".stripMargin
 }

@@ -2,7 +2,6 @@ package graft.streaming
 
 import java.nio.file.Files
 
-import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -26,7 +25,7 @@ object StreamingQueries {
   /** One staged source dir per (session, sfDir) — the four queries (and
     * repeated bench runs) reuse the same copy.
     */
-  private val stagedCache = TrieMap.empty[(String, String, String), String]
+  private val stagedCache = new graft.util.Memo[(String, String, String), String]
 
   private def staged(spark: SparkSession, sfDir: String, table: String = "events"): String =
     stagedCache.getOrElseUpdate((spark.sparkContext.applicationId, sfDir, table),
@@ -937,7 +936,81 @@ object StreamingQueries {
   /** Batch twin: identical to the C96 oracle — the stream is stateless. */
   val d27Sql: String = graft.text.TextQueries.c96Sql
 
+  // ---------------------------------------------------------------- D29
+  /** D29: streaming top-K leaderboard — a running "best [[TopkK]]
+    * documents by classifier score" maintained across micro-batches:
+    * each batch scores its documents with C52's scan-stage projection,
+    * keeps its own top-K, and merges into the K-row board, which is
+    * correct because top-K is a MONOTONE MERGEABLE summary —
+    * topK(A ∪ B) = topK(topK(A) ∪ topK(B)) — the property that lets a
+    * 100 TB/day stream maintain a global leaderboard with per-batch
+    * work proportional to the batch and state bounded at K rows,
+    * independent of history. The staged replay is forced to TWO data
+    * micro-batches (the d17/d28 contract) so the cross-batch merge is
+    * actually exercised; the oracle is the batch top-K, equal by the
+    * merge property regardless of how the stream was sliced (the spec
+    * pins the property on adversarial slicings). The K-row board lives
+    * on the driver (a leaderboard IS driver-sized by construction — the
+    * d26 bounded-state contract); a production deploy would persist it
+    * per-batch to a table, which the idempotent merge makes
+    * restart-safe.
+    */
+  val TopkK = 20
+
+  def d29StreamTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.Tables
+    val docs = Tables(spark, sfDir, "documents")
+    val cut = docs.agg(max("doc_id")).head.getLong(0) / 2
+    val dir = java.nio.file.Paths.get(track(
+      Files.createTempDirectory("graft-d29-src").toString))
+    val now = System.currentTimeMillis()
+    StreamingOps.stageFrameFile(docs.filter(col("doc_id") <= cut), dir, "b0.parquet",
+      now - 600000L)
+    StreamingOps.stageFrameFile(docs.filter(col("doc_id") > cut), dir, "b1.parquet", now)
+    val src = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val board = new java.util.concurrent.atomic.AtomicReference[Seq[(Long, Long)]](Seq.empty)
+    val ckpt = track(Files.createTempDirectory("graft-ckpt-d29").toString)
+    val q = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val top = graft.text.TextQueries.clsScoreCols(batch)
+          .select("doc_id", "score_micro")
+          .orderBy(col("score_micro").desc, col("doc_id"))
+          .limit(TopkK).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        board.updateAndGet { prev =>
+          (prev ++ top).sortBy { case (id, s) => (-s, id) }.take(TopkK)
+        }: Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches == 2,
+      s"d29 expects exactly 2 data micro-batches (staged replay contract), got $dataBatches")
+    import spark.implicits._
+    board.get.zipWithIndex
+      .map { case ((id, s), i) => (i + 1L, id, s) }
+      .toDF("rnk", "doc_id", "score_micro")
+  }
+
+  val d29Sql: String =
+    s"""WITH sc AS (
+       |  SELECT doc_id,
+       |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |       list_transform(string_split(text, ' '),
+       |         t -> (${graft.text.TextQueries.tokenHashSql("t")}
+       |               % ${graft.text.TextQueries.ClsBuckets}) * 2654435761 % 2001 - 1000)),
+       |       (x, y) -> x + y) * 1000000)
+       |      // greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS score_micro
+       |  FROM documents
+       |)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk,
+       |  doc_id, score_micro
+       |FROM sc ORDER BY score_micro DESC, doc_id LIMIT $TopkK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d29_stream_topk" -> (d29StreamTopk _),
     "d28_stream_merge_upsert" -> (d28StreamMergeUpsert _),
     "d27_stream_segment" -> (d27StreamSegment _),
     "d26_stream_bm25" -> (d26StreamBm25 _),
@@ -968,6 +1041,7 @@ object StreamingQueries {
     "d18_stream_quantile" -> (d18StreamQuantile _))
 
   val oracles: Map[String, String] = Map(
+    "d29_stream_topk" -> d29Sql,
     "d28_stream_merge_upsert" -> d28Sql,
     "d27_stream_segment" -> d27Sql,
     "d26_stream_bm25" -> d26Sql,

@@ -598,7 +598,7 @@ object TextQueries {
     * equals COUNT(*) over distinct pairs.
     */
   private val gramCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    new graft.util.Memo[(String, String), DataFrame]
 
   /** Column-level array of every [[ContamN]]-gram fold hash of `toks` —
     * the ONE gram definition shared by the batch screen ([[c29Contamination]]
@@ -720,7 +720,7 @@ object TextQueries {
     * the cached blocks are cheap to hold for the session.
     */
   private val lmScoreCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    new graft.util.Memo[(String, String), DataFrame]
 
   private def lmScoredDocs(spark: SparkSession, dir: String): DataFrame =
     lmScoreCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
@@ -1468,7 +1468,13 @@ object TextQueries {
   val GopherMinAlphaMicro = 800000L
   val GopherMinStopKinds = 2L
 
-  def c49GopherRules(spark: SparkSession, dir: String): DataFrame = {
+  def c49GopherRules(spark: SparkSession, dir: String): DataFrame =
+    c49Rows(spark, dir).orderBy("doc_id")
+
+  /** The unsorted C49 decision table — C101's calibration labels reuse
+    * it without the presentation sort.
+    */
+  private def c49Rows(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     Tables(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"),
@@ -1494,7 +1500,6 @@ object TextQueries {
       .withColumn("keep", col("reason") === "ok")
       .select("doc_id", "n_tokens", "mean_len_micro", "punct_per_tok_micro",
         "alpha_frac_micro", "stop_kinds", "keep", "reason")
-      .orderBy("doc_id")
   }
 
   val c49Sql: String = {
@@ -1689,18 +1694,28 @@ object TextQueries {
     */
   val ClsBuckets = 64
 
-  def c52HashClassifier(spark: SparkSession, dir: String): DataFrame = {
+  /** The C52 scoring projection on ANY (doc_id, text) frame — pure
+    * scan-stage column math, so it applies unchanged to a STREAMING
+    * micro-batch (D29's per-batch leaderboard candidates) and feeds
+    * C101's calibration without C52's presentation sort.
+    */
+  def clsScoreCols(docs: DataFrame): DataFrame = {
     val bucketWeight = (t: Column) =>
       (tokenHash(t) % lit(ClsBuckets.toLong)) * lit(2654435761L) % lit(2001L) - lit(1000L)
     val score = aggregate(transform(tokens(col("text")), bucketWeight), lit(0L), _ + _)
-    Tables(spark, dir, "documents")
+    docs
       .select(col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tokens"),
         score.as("score_raw"))
       .withColumn("score_micro", expr("(score_raw * 1000000) div greatest(n_tokens, 1)"))
       .withColumn("keep", (col("score_micro") >= 0L).cast("long"))
-      .orderBy("doc_id")
   }
+
+  private def c52Scored(spark: SparkSession, dir: String): DataFrame =
+    clsScoreCols(Tables(spark, dir, "documents"))
+
+  def c52HashClassifier(spark: SparkSession, dir: String): DataFrame =
+    c52Scored(spark, dir).orderBy("doc_id")
 
   val c52Sql: String =
     s"""WITH s AS (
@@ -1715,6 +1730,96 @@ object TextQueries {
        |  (score_raw * 1000000) // greatest(n_tokens, 1) AS score_micro,
        |  CAST(((score_raw * 1000000) // greatest(n_tokens, 1)) >= 0 AS BIGINT) AS keep
        |FROM s ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- C101
+  /** C101: classifier calibration (reliability diagram + ECE; Guo et
+    * al. 2017) — C52's linear quality score binned into [[CalBuckets]]
+    * confidence buckets against C49's Gopher rule-gate as the label:
+    * per bucket the doc count, mean confidence, observed positive rate,
+    * their gap, and the bucket's expected-calibration-error
+    * contribution. The table that says whether a quality classifier's
+    * score can be THRESHOLDED at face value or first needs temperature
+    * scaling — the eval every model-scored curation pipeline runs
+    * before picking its keep threshold (C94 measures pairwise gate
+    * AGREEMENT; this measures score TRUSTWORTHINESS).
+    *
+    * Confidence maps C52's score_micro ∈ [−1e9, 1e9] affinely onto
+    * [0, 1e6]; all bucket stats are exact BIGINT micro-unit divisions,
+    * so both engines bin and aggregate identically. Scale shape: two
+    * scan-stage projections (score and gate are both shuffle-free
+    * column math), ONE doc-keyed equi-join, a [[CalBuckets]]-key
+    * partial agg, and a 1-row broadcast for the ECE weights — nothing
+    * grows with the corpus but the join.
+    */
+  val CalBuckets = 10L
+
+  def c101Calibration(spark: SparkSession, dir: String): DataFrame = {
+    val conf = c52Scored(spark, dir)
+      .select(col("doc_id"),
+        expr("(score_micro + 1000000000) div 2000").as("conf_micro"))
+    val labels = c49Rows(spark, dir)
+      .select(col("doc_id"), col("keep").cast("long").as("pos"))
+    val buckets = conf.join(labels, "doc_id")
+      .withColumn("bucket",
+        least(expr("conf_micro div 100000"), lit(CalBuckets - 1L)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("conf_micro").as("sum_conf"),
+        sum("pos").as("n_pos"))
+    val total = buckets.agg(sum("n_docs").as("n_total"))
+    buckets.crossJoin(broadcast(total))
+      .withColumn("mean_conf_micro", expr("sum_conf div n_docs"))
+      .withColumn("pos_rate_micro", expr("(n_pos * 1000000) div n_docs"))
+      .withColumn("gap_micro", abs(col("mean_conf_micro") - col("pos_rate_micro")))
+      .withColumn("ece_contrib_nano", expr("(n_docs * gap_micro * 1000) div n_total"))
+      .select("bucket", "n_docs", "mean_conf_micro", "pos_rate_micro",
+        "gap_micro", "ece_contrib_nano")
+      .orderBy("bucket")
+  }
+
+  val c101Sql: String = {
+    val stops = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH sc AS (
+       |  SELECT doc_id,
+       |    (((list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split(text, ' '),
+       |          t -> (${tokenHashSql("t")} % $ClsBuckets) * 2654435761 % 2001 - 1000)),
+       |        (x, y) -> x + y) * 1000000)
+       |      // greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1))
+       |     + 1000000000) // 2000 AS conf_micro
+       |  FROM documents
+       |), f AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS punct_cnt,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha_cnt,
+       |    CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t IN ($stops)))) AS BIGINT) AS stop_kinds
+       |  FROM documents
+       |), lab AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_tokens >= $GopherMinTokens AND n_tokens <= $GopherMaxTokens
+       |      AND ((n_chars - n_tokens + 1) * 1000000) // n_tokens
+       |            BETWEEN $GopherMinMeanMicro AND $GopherMaxMeanMicro
+       |      AND (punct_cnt * 1000000) // n_tokens <= $GopherMaxPunctPerTokMicro
+       |      AND (alpha_cnt * 1000000) // n_tokens >= $GopherMinAlphaMicro
+       |      AND stop_kinds >= $GopherMinStopKinds
+       |    THEN 1 ELSE 0 END AS pos
+       |  FROM f
+       |), b AS (
+       |  SELECT least(conf_micro // 100000, ${CalBuckets - 1L}) AS bucket,
+       |    COUNT(*) AS n_docs,
+       |    CAST(SUM(conf_micro) AS BIGINT) AS sum_conf,
+       |    CAST(SUM(pos) AS BIGINT) AS n_pos
+       |  FROM sc JOIN lab USING (doc_id) GROUP BY 1
+       |), t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM b)
+       |SELECT bucket, n_docs,
+       |  sum_conf // n_docs AS mean_conf_micro,
+       |  (n_pos * 1000000) // n_docs AS pos_rate_micro,
+       |  abs(sum_conf // n_docs - (n_pos * 1000000) // n_docs) AS gap_micro,
+       |  (n_docs * abs(sum_conf // n_docs - (n_pos * 1000000) // n_docs) * 1000)
+       |    // n_total AS ece_contrib_nano
+       |FROM b CROSS JOIN t ORDER BY bucket""".stripMargin
+  }
 
   // ---------------------------------------------------------------- C55
   /** C55: vocabulary coverage curve — for each candidate vocab size k,
@@ -1953,7 +2058,7 @@ object TextQueries {
     * checkpoints run once — the lmScoreCache pattern.
     */
   private val bpeCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), (Seq[DataFrame], DataFrame)]
+    new graft.util.Memo[(String, String), (Seq[DataFrame], DataFrame)]
 
   private def bpeLoopFor(spark: SparkSession, dir: String): (Seq[DataFrame], DataFrame) =
     bpeCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
@@ -2184,7 +2289,7 @@ object TextQueries {
     * downstream consumer reuse it).
     */
   private val mergeTableCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[(String, String)]]
+    new graft.util.Memo[(String, String), Seq[(String, String)]]
 
   private[graft] def learnedMerges(spark: SparkSession, dir: String): Seq[(String, String)] =
     mergeTableCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
@@ -2197,8 +2302,18 @@ object TextQueries {
         .filter(col("doc_id") % SegmentSampleMod === 0)
         .repartition(4, col("doc_id"))
       val (summaries, _) = bpeLoop(sample, SegmentMerges)
-      summaries.reduce(_.unionByName(_)).orderBy("iter").collect()
+      val merges = summaries.reduce(_.unionByName(_)).orderBy("iter").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
+      // The oracle's apply chain CROSS JOINs each learned-pair CTE: a
+      // dry learn iteration (sample too small to yield an adjacent
+      // pair) would empty the oracle's corpus while the Spark apply
+      // just used a shorter merge list — a data-dependent silent
+      // divergence. Make it a loud, explicit error instead.
+      require(merges.size == SegmentMerges,
+        s"BPE sample-learn ran dry: ${merges.size}/$SegmentMerges merges " +
+          s"learned — enlarge the sample (SegmentSampleMod=$SegmentSampleMod) " +
+          "or lower SegmentMerges; the DuckDB oracle assumes a full table")
+      merges
     })
 
   def c96BpeSegment(spark: SparkSession, dir: String): DataFrame =
@@ -2253,6 +2368,72 @@ object TextQueries {
        |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
        |      FROM at${SegmentMerges + 1})
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- C100
+  /** C100: tokenizer fertility per language — BPE tokens per whitespace
+    * word and characters per BPE token, aggregated per lang over the
+    * C96 sample-learned merge table. Fertility is the standard
+    * cross-lingual tokenizer-equity diagnostic (a tokenizer trained on
+    * one language's sample segments other languages into more, shorter
+    * pieces — inflating their effective sequence length and training
+    * cost); this is the table a vocab-size / training-mix decision
+    * reads. Same frozen-table contract as C96: the merge list is a
+    * K-row driver-side collect, the corpus-wide apply is the one-pass
+    * native [[graft.functions.BpeSegment]] expression — pure scan
+    * stage, so the whole query is one lang-keyed partial agg at any
+    * corpus size. All-integer outputs (nano ratios via BIGINT div).
+    */
+  def c100Fertility(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_words"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(graft.functions.textseg.bpe_segment(col("text"),
+          learnedMerges(spark, dir))).cast("long").as("n_toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("sum_words"),
+        sum("n_toks").as("sum_toks"),
+        sum("n_chars").as("sum_chars"))
+      .withColumn("fertility_nano", expr("(sum_toks * 1000000000) div sum_words"))
+      .withColumn("chars_per_tok_nano", expr("(sum_chars * 1000000000) div sum_toks"))
+      .orderBy("lang")
+
+  val c100Sql: String = {
+    val learn = (1 to SegmentMerges)
+      .map(n => bpeIterCtes(n, "l", None, withSummary = false)).mkString(",\n")
+    val apply = (1 to SegmentMerges)
+      .map(n => bpeIterCtes(n, "a", Some("l"), withSummary = false)).mkString(",\n")
+    s"""WITH lt1 AS (
+       |  SELECT doc_id, CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS pos,
+       |    UNNEST(string_split(text, ' ')) AS tok
+       |  FROM documents WHERE doc_id % $SegmentSampleMod = 0
+       |),
+       |at1 AS (
+       |  SELECT doc_id, CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS pos,
+       |    UNNEST(string_split(text, ' ')) AS tok
+       |  FROM documents
+       |),
+       |$learn,
+       |$apply,
+       |seg AS (SELECT doc_id, COUNT(*) AS n_toks FROM at${SegmentMerges + 1} GROUP BY doc_id),
+       |base AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    CAST(length(text) AS BIGINT) AS n_chars
+       |  FROM documents
+       |)
+       |SELECT b.lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(b.n_words) AS BIGINT) AS sum_words,
+       |  CAST(SUM(s.n_toks) AS BIGINT) AS sum_toks,
+       |  CAST(SUM(b.n_chars) AS BIGINT) AS sum_chars,
+       |  (CAST(SUM(s.n_toks) AS BIGINT) * 1000000000)
+       |    // CAST(SUM(b.n_words) AS BIGINT) AS fertility_nano,
+       |  (CAST(SUM(b.n_chars) AS BIGINT) * 1000000000)
+       |    // CAST(SUM(s.n_toks) AS BIGINT) AS chars_per_tok_nano
+       |FROM base b JOIN seg s USING (doc_id)
+       |GROUP BY b.lang ORDER BY b.lang""".stripMargin
   }
 
 
@@ -3121,39 +3302,59 @@ object TextQueries {
   val Bm25TermsPerQuery = 3
   val Bm25TopK = 10
 
-  def c88Bm25(spark: SparkSession, dir: String): DataFrame = {
+  /** Session+dir memo of the ranked BM25 top-K frame (≤ Bm25Queries ·
+    * Bm25TopK rows) — C88 publishes it, C99's hybrid fusion reuses the
+    * same build as its lexical run.
+    */
+  private val bm25Cache = new graft.util.Memo[(String, String), DataFrame]
+
+  private[text] def bm25Ranked(spark: SparkSession, dir: String): DataFrame =
+    bm25Cache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables(spark, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val stats = toks.groupBy("token")
+        .agg(count_distinct(col("doc_id")).as("df"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      val tf = toks.join(broadcast(queryTerms(stats)), "token")
+        .groupBy("doc_id", "qid", "token", "df").agg(count(lit(1)).as("tf"))
+      val contrib = tf.join(dl, "doc_id").crossJoin(broadcast(totals))
+        .withColumn("contrib_nano", round(
+          expr("ln(1.0 + (cast(n_docs as double) - df + 0.5) / (df + 0.5))") *
+            (col("tf") * lit(2.2) / (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl") * col("n_docs") / col("sum_dl"))))
+            * lit(1e9), 0).cast("long"))
+      val w = Window.partitionBy("qid").orderBy(col("score_nano").desc, col("doc_id"))
+      contrib.groupBy("qid", "doc_id")
+        .agg(sum("contrib_nano").as("score_nano"), count(lit(1)).as("n_terms_hit"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= Bm25TopK)
+        .select("qid", "rnk", "doc_id", "score_nano", "n_terms_hit")
+        .localCheckpoint(true)
+    })
+
+  /** The deterministic query-term sets both retrieval runs share: the
+    * Bm25Queries·Bm25TermsPerQuery rarest tokens (df asc, token), chunked
+    * Bm25TermsPerQuery-per-query.
+    */
+  private def queryTerms(stats: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables(spark, dir, "documents")
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val stats = toks.groupBy("token")
-      .agg(count_distinct(col("doc_id")).as("df"))
-    val nTerms = Bm25Queries * Bm25TermsPerQuery
-    val terms = stats
+    stats
       .withColumn("rn", row_number().over(Window.orderBy(col("df").asc, col("token"))))
-      .filter(col("rn") <= nTerms)
+      .filter(col("rn") <= Bm25Queries * Bm25TermsPerQuery)
       .withColumn("qid", expr(s"(rn - 1) div $Bm25TermsPerQuery"))
       .select("token", "df", "qid")
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-    val tf = toks.join(broadcast(terms), "token")
-      .groupBy("doc_id", "qid", "token", "df").agg(count(lit(1)).as("tf"))
-    val contrib = tf.join(dl, "doc_id").crossJoin(broadcast(totals))
-      .withColumn("contrib_nano", round(
-        expr("ln(1.0 + (cast(n_docs as double) - df + 0.5) / (df + 0.5))") *
-          (col("tf") * lit(2.2) / (col("tf") + lit(1.2) *
-            (lit(0.25) + lit(0.75) * col("dl") * col("n_docs") / col("sum_dl"))))
-          * lit(1e9), 0).cast("long"))
-    val w = Window.partitionBy("qid").orderBy(col("score_nano").desc, col("doc_id"))
-    contrib.groupBy("qid", "doc_id")
-      .agg(sum("contrib_nano").as("score_nano"), count(lit(1)).as("n_terms_hit"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= Bm25TopK)
-      .select("qid", "rnk", "doc_id", "score_nano", "n_terms_hit")
-      .orderBy("qid", "rnk")
   }
 
-  val c88Sql: String =
-    s"""WITH toks AS (
+  def c88Bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Ranked(spark, dir).orderBy("qid", "rnk")
+
+  /** The shared CTE prefix of the C88 and C99 oracles — corpus stats,
+    * query-term derivation, BM25 contributions, and the ranked top-K.
+    */
+  private val bm25Ctes: String =
+    s"""toks AS (
        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
        |), stats AS (
        |  SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
@@ -3181,11 +3382,144 @@ object TextQueries {
        |  SELECT qid, doc_id, CAST(SUM(contrib_nano) AS BIGINT) AS score_nano,
        |    COUNT(*) AS n_terms_hit
        |  FROM contrib GROUP BY qid, doc_id
-       |)
-       |SELECT qid, rnk, doc_id, score_nano, n_terms_hit FROM (
-       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-       |    ORDER BY score_nano DESC, doc_id) AS rnk
+       |), bm25r AS (
+       |  SELECT qid, doc_id, score_nano, n_terms_hit,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY score_nano DESC, doc_id) AS rnk
        |  FROM scored
+       |)""".stripMargin
+
+  val c88Sql: String =
+    s"""WITH $bm25Ctes
+       |SELECT qid, rnk, doc_id, score_nano, n_terms_hit
+       |FROM bm25r WHERE rnk <= $Bm25TopK
+       |ORDER BY qid, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- C99
+  /** C99: hybrid-retrieval reciprocal-rank fusion (Cormack, Clarke &
+    * Büttcher 2009: RRF(d) = Σ_runs 1/(k + rank_run(d)), k = 60) —
+    * the standard way a RAG pipeline combines a lexical run and a
+    * second scorer without calibrating their incomparable score scales.
+    * Run A is C88's BM25 top-K ([[bm25Ranked]], one shared build); run
+    * B ranks the same query sets by TF-IDF COSINE (weight tf·ln(N/df),
+    * document norm over the FULL weight vector — a genuinely different
+    * ranker: cosine's length normalization penalizes long documents
+    * where BM25's saturating tf does not).
+    *
+    * Exactness: run B's norm accumulations are quantized-to-nano BIGINT
+    * sums (double sum order never matters); each (q, term, doc)
+    * contribution is then ONE double expression of integer inputs
+    * rounded to nano (the c73/c76 rule); RRF points are exact integers
+    * 1e6 div (60 + rank). Ranks are row_number over (score desc,
+    * doc_id) — fully deterministic both engines.
+    *
+    * Scale shape: run B adds one (doc, token) tf aggregate (map-side
+    * combinable) and a doc-keyed norm agg — same shuffle class as the
+    * BM25 stats it shares; candidates stay bounded by the ≤15-term
+    * broadcast; the fusion is a full-outer join of two ≤(queries·K)-row
+    * frames — driver-trivial at any corpus size.
+    */
+  val RrfK = 60L
+
+  def c99RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val stats = toks.groupBy("token")
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val terms = queryTerms(stats)
+    val totals = Tables(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    // per-(doc, term) squared weight, quantized BEFORE the norm sum
+    val w2 = tf.join(stats, "token").crossJoin(broadcast(totals))
+      .withColumn("w2_nano", round(
+        expr("""(tf * ln(cast(n_docs as double) / df))
+               | * (tf * ln(cast(n_docs as double) / df))""".stripMargin) * lit(1e9), 0)
+        .cast("long"))
+    val norm2 = w2.groupBy("doc_id").agg(sum("w2_nano").as("norm2_nano"))
+    val qnorm2 = terms.crossJoin(broadcast(totals))
+      .withColumn("i2_nano", round(
+        expr("ln(cast(n_docs as double) / df) * ln(cast(n_docs as double) / df)") * lit(1e9), 0).cast("long"))
+      .groupBy("qid").agg(sum("i2_nano").as("qnorm2_nano"))
+    val contrib = tf.join(broadcast(terms), "token").crossJoin(broadcast(totals))
+      .join(norm2, "doc_id").join(broadcast(qnorm2), "qid")
+      .withColumn("contrib_nano", round(
+        expr("""(tf * ln(cast(n_docs as double) / df) * ln(cast(n_docs as double) / df))
+               | / (sqrt(cast(norm2_nano as double) / 1e9)
+               |    * sqrt(cast(qnorm2_nano as double) / 1e9))""".stripMargin)
+          * lit(1e9), 0).cast("long"))
+    val w = Window.partitionBy("qid").orderBy(col("score_nano").desc, col("doc_id"))
+    val tfidfR = contrib.groupBy("qid", "doc_id")
+      .agg(sum("contrib_nano").as("score_nano"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= Bm25TopK)
+    val a = bm25Ranked(spark, dir).select(col("qid"), col("doc_id"),
+      col("rnk").as("rnk_bm25"))
+    val b = tfidfR.select(col("qid"), col("doc_id"), col("rnk").as("rnk_tfidf"))
+    val fw = Window.partitionBy("qid").orderBy(col("rrf_micro").desc, col("doc_id"))
+    a.join(b, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr(s"1000000 div ($RrfK + rnk_bm25)"), lit(0L))
+          + coalesce(expr(s"1000000 div ($RrfK + rnk_tfidf)"), lit(0L)))
+      .withColumn("rnk", row_number().over(fw))
+      .filter(col("rnk") <= Bm25TopK)
+      .select(col("qid"), col("rnk"), col("doc_id"), col("rrf_micro"),
+        coalesce(col("rnk_bm25"), lit(0L)).as("rnk_bm25"),
+        coalesce(col("rnk_tfidf"), lit(0L)).as("rnk_tfidf"))
+      .orderBy("qid", "rnk")
+  }
+
+  val c99Sql: String =
+    s"""WITH $bm25Ctes,
+       |atf AS (
+       |  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+       |), w2 AS (
+       |  SELECT f.doc_id,
+       |    CAST(ROUND((f.tf * ln(CAST(o.n_docs AS DOUBLE) / s.df))
+       |      * (f.tf * ln(CAST(o.n_docs AS DOUBLE) / s.df)) * 1e9)
+       |      AS BIGINT) AS w2_nano
+       |  FROM atf f JOIN stats s USING (token) CROSS JOIN tot o
+       |), norm2 AS (
+       |  SELECT doc_id, CAST(SUM(w2_nano) AS BIGINT) AS norm2_nano
+       |  FROM w2 GROUP BY doc_id
+       |), qn2 AS (
+       |  SELECT qid, CAST(SUM(CAST(ROUND(
+       |      ln(CAST(o.n_docs AS DOUBLE) / q.df) * ln(CAST(o.n_docs AS DOUBLE) / q.df) * 1e9) AS BIGINT))
+       |    AS BIGINT) AS qnorm2_nano
+       |  FROM terms q CROSS JOIN tot o GROUP BY qid
+       |), tcontrib AS (
+       |  SELECT f.doc_id, q.qid,
+       |    CAST(ROUND(
+       |      (f.tf * ln(CAST(o.n_docs AS DOUBLE) / q.df) * ln(CAST(o.n_docs AS DOUBLE) / q.df))
+       |      / (sqrt(CAST(n.norm2_nano AS DOUBLE) / 1e9)
+       |         * sqrt(CAST(z.qnorm2_nano AS DOUBLE) / 1e9)) * 1e9) AS BIGINT)
+       |      AS contrib_nano
+       |  FROM atf f JOIN terms q USING (token) CROSS JOIN tot o
+       |  JOIN norm2 n ON n.doc_id = f.doc_id
+       |  JOIN qn2 z ON z.qid = q.qid
+       |), tscored AS (
+       |  SELECT qid, doc_id, CAST(SUM(contrib_nano) AS BIGINT) AS score_nano
+       |  FROM tcontrib GROUP BY qid, doc_id
+       |), tfidfr AS (
+       |  SELECT qid, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY score_nano DESC, doc_id) AS rnk
+       |  FROM tscored
+       |), runa AS (SELECT qid, doc_id, rnk FROM bm25r WHERE rnk <= $Bm25TopK),
+       |runb AS (SELECT qid, doc_id, rnk FROM tfidfr WHERE rnk <= $Bm25TopK),
+       |fused AS (
+       |  SELECT COALESCE(a.qid, b.qid) AS qid,
+       |    COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       |    COALESCE(1000000 // ($RrfK + a.rnk), 0)
+       |      + COALESCE(1000000 // ($RrfK + b.rnk), 0) AS rrf_micro,
+       |    COALESCE(a.rnk, 0) AS rnk_bm25, COALESCE(b.rnk, 0) AS rnk_tfidf
+       |  FROM runa a FULL JOIN runb b
+       |    ON b.qid = a.qid AND b.doc_id = a.doc_id
+       |)
+       |SELECT qid, rnk, doc_id, rrf_micro, rnk_bm25, rnk_tfidf FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY rrf_micro DESC, doc_id) AS rnk
+       |  FROM fused
        |) WHERE rnk <= $Bm25TopK
        |ORDER BY qid, rnk""".stripMargin
 
@@ -3651,6 +3985,9 @@ object TextQueries {
        |ORDER BY doc_id, dim""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c101_calibration" -> (c101Calibration _),
+    "c100_fertility" -> (c100Fertility _),
+    "c99_rrf_fusion" -> (c99RrfFusion _),
     "c98_hash_embed" -> (c98HashEmbed _),
     "c97_blocklist" -> (c97Blocklist _),
     "c96_bpe_segment" -> (c96BpeSegment _),
@@ -3710,6 +4047,9 @@ object TextQueries {
     "c64_classifier_eval" -> (c64ClassifierEval _))
 
   val oracles: Map[String, String] = Map(
+    "c101_calibration" -> c101Sql,
+    "c100_fertility" -> c100Sql,
+    "c99_rrf_fusion" -> c99Sql,
     "c98_hash_embed" -> c98Sql,
     "c97_blocklist" -> c97Sql,
     "c96_bpe_segment" -> c96Sql,

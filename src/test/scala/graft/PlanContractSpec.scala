@@ -103,7 +103,14 @@ class PlanContractSpec extends SparkTestBase {
     // c92 crosses the ≤40-row checkpoint frame into per-doc/vocab
     // aggregates (the bounded ≤-inequality fan-out is the operator)
     // and the 1-row regression fit into the ≤40-row point frame
-    "c92_heaps_law")
+    "c92_heaps_law",
+    // c99 inherits c88's 1-row (n_docs) corpus-total cross on both
+    // retrieval runs — the same bounded-scalar shape; the fusion
+    // itself is a full-outer hash join of two ≤(queries·K)-row frames
+    "c99_rrf_fusion",
+    // c101 crosses the 1-row n_total aggregate into the ≤10-row bucket
+    // frame for the ECE weights — the b42 scalar-on-bounded shape
+    "c101_calibration")
 
   test("no unexpected BroadcastNestedLoopJoin / CartesianProduct in any batch plan") {
     val batch = SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("d"))

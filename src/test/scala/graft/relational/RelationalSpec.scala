@@ -653,4 +653,52 @@ class RelationalSpec extends SparkTestBase {
     // Catalyst decorrelated: no scalar subqueries survive optimization
     assert(!df.queryExecution.optimizedPlan.toString.contains("scalar-subquery"))
   }
+
+  test("b45 LATERAL top-n == the window top-k form, row for row") {
+    val df = Queries.lateralTopn(spark, sf)
+    val out = df.collect()
+    assert(out.nonEmpty)
+    // brute force: per nation, top-2 customers by (bal desc, custkey)
+    val nations = Tables(spark, sf, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val custs = Tables(spark, sf, "customer")
+      .select(col("c_nationkey").cast("long"), col("c_custkey"),
+        round(col("c_acctbal") * 100, 0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = custs.groupBy(_._1).toSeq.flatMap { case (nk, g) =>
+      g.sortBy { case (_, ck, bal) => (-bal, ck) }.take(2).toSeq
+        .map { case (_, ck, bal) => (nations(nk), ck, bal) }
+    }.toSet
+    assert(out.map(r => (r.getString(0), r.getAs[Long]("c_custkey"),
+      r.getAs[Long]("bal_c"))).toSet == expect)
+    // every nation with at least one customer contributes exactly its top-2
+    assert(out.length == expect.size)
+    // the correlation was decorrelated into a join, not a per-row replan
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("LateralJoin"), plan)
+  }
+
+  test("b46 recursive spine: gap-free month series, zero-filled, brute-force parity") {
+    val out = Queries.recursiveSpine(spark, sf).collect()
+      .map(r => (r.getAs[Int]("yr"), r.getAs[Int]("mon"),
+        r.getAs[Long]("n_orders"), r.getAs[Long]("rev_c")))
+    val orders = Tables(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("d"),
+        round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map { r =>
+        val d = r.getDate(0).toLocalDate
+        (d.getYear * 12 + d.getMonthValue - 1, r.getLong(1))
+      }
+    val lo = orders.map(_._1).min
+    val hi = orders.map(_._1).max
+    val byM = orders.groupBy(_._1)
+    val expect = (lo to hi).map { m =>
+      val g = byM.getOrElse(m, Array.empty)
+      (m / 12, m % 12 + 1, g.length.toLong, g.map(_._2).sum)
+    }
+    assert(out.toSeq == expect)
+    // the spine is genuinely gap-free even where no orders exist
+    assert(out.length == hi - lo + 1)
+  }
 }

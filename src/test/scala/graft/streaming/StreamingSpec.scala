@@ -540,4 +540,30 @@ class StreamingSpec extends SparkTestBase {
     // all three statuses survive the stream
     assert(got.select("status").distinct().count() == 3)
   }
+
+  test("D29 streaming top-k: mergeable-summary property on adversarial slicings, board == batch") {
+    import graft.text.TextQueries
+    val k = StreamingQueries.TopkK
+    val scored = TextQueries.clsScoreCols(graft.Tables(spark, sf, "documents"))
+      .select("doc_id", "score_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def topk(xs: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      xs.sortBy { case (id, sc) => (-sc, id) }.take(k)
+    val all = topk(scored.toSeq)
+    // topK(topK(A) ++ topK(B)) == topK(A ++ B) for adversarial slicings:
+    // by parity, by an unbalanced 1%/99% cut, and singling out the best doc
+    val slicings = Seq[((Long, Long)) => Boolean](
+      { case (id, _) => id % 2 == 0 },
+      { case (id, _) => id < scored.map(_._1).max / 100 },
+      { case (id, _) => id == all.head._1 })
+    slicings.foreach { p =>
+      val (a, b) = scored.toSeq.partition(p)
+      assert(topk(topk(a) ++ topk(b)) == all)
+    }
+    // the executed two-batch stream lands on exactly the batch top-k
+    val out = StreamingQueries.d29StreamTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("score_micro")))
+    assert(out.toSeq == all.zipWithIndex.map { case ((id, sc), i) => (i + 1L, id, sc) })
+  }
 }

@@ -1316,4 +1316,115 @@ class DedupQueriesSpec extends SparkTestBase {
       } else assert(r.isNullAt(r.fieldIndex("efficiency_ppm")))
     }
   }
+
+  test("c99 RRF fusion: brute-force tfidf run + exact fusion recompute") {
+    val out = TextQueries.c99RrfFusion(spark, sf).collect()
+    assert(out.nonEmpty)
+    def q(d: Double) = BigDecimal(d).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val docs = graft.Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val df = docs.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size.toLong)
+    val terms = df.toSeq.sortBy { case (t, d) => (d, t) }
+      .take(TextQueries.Bm25Queries * TextQueries.Bm25TermsPerQuery)
+    val n = docs.size.toDouble
+    def idf(dfT: Long) = math.log(n / dfT)
+    // doc norms over the FULL tfidf weight vector, nano-quantized sums
+    val norm2 = docs.map { case (id, ts) =>
+      id -> ts.groupBy(identity).map { case (t, g) =>
+        val w = g.size * idf(df(t)); q(w * w * 1e9)
+      }.sum
+    }
+    val qn2 = terms.zipWithIndex.groupBy(_._2 / TextQueries.Bm25TermsPerQuery)
+      .view.mapValues(_.map { case ((_, dfT), _) =>
+        q(idf(dfT) * idf(dfT) * 1e9) }.sum).toMap
+    val tfidfScores = terms.zipWithIndex.flatMap { case ((term, dfT), i) =>
+      val qid = i / TextQueries.Bm25TermsPerQuery
+      docs.toSeq.flatMap { case (id, ts) =>
+        val tf = ts.count(_ == term)
+        if (tf == 0) None else Some(((qid.toLong, id),
+          q(tf * idf(dfT) * idf(dfT)
+            / (math.sqrt(norm2(id) / 1e9) * math.sqrt(qn2(qid) / 1e9)) * 1e9)))
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def rank(scores: Map[(Long, Long), Long]): Map[(Long, Long), Long] =
+      scores.toSeq.groupBy(_._1._1).flatMap { case (_, g) =>
+        g.sortBy { case ((_, id), sc) => (-sc, id) }
+          .take(TextQueries.Bm25TopK).zipWithIndex
+          .map { case ((k, _), i) => k -> (i + 1L) }
+      }.toMap
+    val rb = rank(tfidfScores)
+    val ra = TextQueries.c88Bm25(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Int]("rnk").toLong).toMap
+    val k = TextQueries.RrfK
+    val fused = (ra.keySet ++ rb.keySet).toSeq.map { key =>
+      val rrf = ra.get(key).map(r => 1000000L / (k + r)).getOrElse(0L) +
+        rb.get(key).map(r => 1000000L / (k + r)).getOrElse(0L)
+      (key, rrf)
+    }
+    val expect = fused.groupBy(_._1._1).flatMap { case (qid, g) =>
+      g.sortBy { case ((_, id), rrf) => (-rrf, id) }
+        .take(TextQueries.Bm25TopK).zipWithIndex
+        .map { case (((_, id), rrf), i) =>
+          (qid, i + 1L, id, rrf, ra.getOrElse((qid, id), 0L), rb.getOrElse((qid, id), 0L)) }
+    }.toSet
+    assert(out.map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk").toLong,
+      r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_micro"),
+      r.getAs[Long]("rnk_bm25"), r.getAs[Long]("rnk_tfidf"))).toSet == expect)
+    // the two runs genuinely disagree somewhere, else the fusion is vacuous
+    assert(out.exists(r => r.getAs[Long]("rnk_bm25") != r.getAs[Long]("rnk_tfidf")))
+  }
+
+  test("c100 fertility: per-lang aggregates tie back to c96 and the raw corpus") {
+    val out = TextQueries.c100Fertility(spark, sf).collect()
+    val segToks = TextQueries.c96BpeSegment(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_toks")).toMap
+    val docs = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val byLang = docs.groupBy(_._2)
+    assert(out.map(_.getString(0)).toSet == byLang.keySet)
+    out.foreach { r =>
+      val g = byLang(r.getString(0))
+      val words = g.map(_._3.split(" ", -1).length.toLong).sum
+      val chars = g.map(_._3.length.toLong).sum
+      val toks = g.map(d => segToks(d._1)).sum
+      assert(r.getAs[Long]("n_docs") == g.size)
+      assert(r.getAs[Long]("sum_words") == words)
+      assert(r.getAs[Long]("sum_chars") == chars)
+      assert(r.getAs[Long]("sum_toks") == toks)
+      assert(r.getAs[Long]("fertility_nano") == toks * 1000000000L / words)
+      assert(r.getAs[Long]("chars_per_tok_nano") == chars * 1000000000L / toks)
+      // merge-only BPE never splits, so tokens <= words and > 0
+      assert(toks > 0L && toks <= words)
+    }
+  }
+
+  test("c101 calibration: exact bucket recompute from c52 scores x c49 labels") {
+    val out = TextQueries.c101Calibration(spark, sf).collect()
+    val conf = TextQueries.c52HashClassifier(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("score_micro") + 1000000000L) / 2000L).toMap
+    val pos = TextQueries.c49GopherRules(spark, sf).collect()
+      .map(r => r.getLong(0) -> (if (r.getAs[Boolean]("keep")) 1L else 0L)).toMap
+    val buckets = conf.toSeq.map { case (id, c) =>
+      (math.min(c / 100000L, TextQueries.CalBuckets - 1L), c, pos(id))
+    }.groupBy(_._1)
+    val nTotal = conf.size.toLong
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nTotal)
+    assert(out.map(_.getAs[Long]("bucket")).toSet == buckets.keySet)
+    out.foreach { r =>
+      val g = buckets(r.getAs[Long]("bucket"))
+      val nD = g.size.toLong
+      val meanC = g.map(_._2).sum / nD
+      val posR = g.map(_._3).sum * 1000000L / nD
+      assert(r.getAs[Long]("n_docs") == nD)
+      assert(r.getAs[Long]("mean_conf_micro") == meanC)
+      assert(r.getAs[Long]("pos_rate_micro") == posR)
+      assert(r.getAs[Long]("gap_micro") == math.abs(meanC - posR))
+      assert(r.getAs[Long]("ece_contrib_nano") ==
+        nD * math.abs(meanC - posR) * 1000L / nTotal)
+      assert(r.getAs[Long]("mean_conf_micro") >= 0L &&
+        r.getAs[Long]("mean_conf_micro") <= 1000000L)
+    }
+  }
 }
