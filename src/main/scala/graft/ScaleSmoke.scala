@@ -414,6 +414,67 @@ object ScaleSmoke {
         .agg(sum("n_toks").as("toks"), sum("seq_fp").as("fp")).head())
     println(f"SCALE bpeApply docs=$nBpeDocs merges=64 toks=${bpeRow.getLong(0)} " +
       f"maxTaskMs=$bpeMaxMs meanTaskMs=$bpeMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // --- retrieval doc-norm build (C99 run-B's only corpus-sized new
+    // work) on a token stream where ONE head token owns 90% of all
+    // occurrences (the natural-language worst case): the (doc, token)
+    // tf agg and the doc-keyed norm agg are both map-side combinable,
+    // so the hot token collapses per-partition before any shuffle, and
+    // the df lookup joins against the vocab-sized stats frame as a
+    // broadcast — no skewed shuffle key anywhere.
+    t0 = System.nanoTime()
+    val nTokRows = math.max(nCells / 2, 100000L)
+    val nRetDocs = nTokRows / 32L
+    val rtoks = spark.range(nTokRows).select(
+      (col("id") % nRetDocs).as("doc_id"),
+      when(col("id") % 10L =!= 0L, lit("the"))
+        .otherwise(concat(lit("w"), (col("id") % 5003L).cast("string"))).as("token"))
+    val rtf = rtoks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val rdf = rtf.groupBy("token").agg(count(lit(1)).as("df"))
+    val (normRow, rMaxMs, rMeanMs) = withMaxTask(
+      rtf.join(broadcast(rdf), "token")
+        .withColumn("w2_nano", round(
+          expr(s"(tf * ln(cast($nRetDocs as double) / df))" +
+            s" * (tf * ln(cast($nRetDocs as double) / df))") * lit(1e9), 0)
+          .cast("long"))
+        .groupBy("doc_id").agg(sum("w2_nano").as("norm2_nano"))
+        .agg(count(lit(1)).as("n"), sum("norm2_nano").as("chk")).head())
+    require(normRow.getLong(0) == nRetDocs, s"norm rows ${normRow.getLong(0)}")
+    println(f"SCALE retrievalNorms tokenRows=$nTokRows docs=$nRetDocs hotTokenShare=0.9 " +
+      f"maxTaskMs=$rMaxMs meanTaskMs=$rMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // --- calibration bucket agg (the C101 shape) where 99% of docs
+    // land in ONE confidence bucket (the realistic post-training
+    // distribution): the agg keys onto a 10-value space, map-side
+    // combine collapses the hot bucket per-partition; and the D29
+    // leaderboard merge property checked at volume — topK of the
+    // per-slice topKs equals the global topK on an adversarial
+    // even/odd slicing.
+    t0 = System.nanoTime()
+    val nCal = math.max(nCells / 2, 100000L)
+    val scoredCal = spark.range(nCal).select(col("id").as("doc_id"),
+      when(col("id") % 100L =!= 0L, (col("id") % 50000L) + 950000L)
+        .otherwise(col("id") % 900000L).as("conf_micro"),
+      (col("id") % 3L === 0L).cast("long").as("pos"))
+    val (calRows, cMaxMs, cMeanMs) = withMaxTask(
+      scoredCal
+        .withColumn("bucket", least(expr("conf_micro div 100000"), lit(9L)))
+        .groupBy("bucket").agg(count(lit(1)).as("n_docs"),
+          sum("conf_micro").as("sum_conf"), sum("pos").as("n_pos"))
+        .collect())
+    require(calRows.map(_.getAs[Long]("n_docs")).sum == nCal)
+    val hotShare = calRows.map(_.getAs[Long]("n_docs")).max * 100L / nCal
+    def top20(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.orderBy(col("conf_micro").desc, col("doc_id")).limit(20)
+        .select("doc_id", "conf_micro").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val tAll = top20(scoredCal)
+    val tEven = top20(scoredCal.filter(col("doc_id") % 2L === 0L))
+    val tOdd = top20(scoredCal.filter(col("doc_id") % 2L === 1L))
+    val merged = (tEven ++ tOdd).sortBy { case (id, s) => (-s, id) }.take(20)
+    require(merged == tAll, "top-k merge property violated")
+    println(f"SCALE calibrationTopk docs=$nCal hotBucketPct=$hotShare " +
+      f"maxTaskMs=$cMaxMs meanTaskMs=$cMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 }

@@ -731,8 +731,11 @@ object EmbedQueries {
       .orderBy("vec_a", "vec_b")
   }
 
-  lazy val c46Sql: String =
-    s"""WITH $normsCte,
+  /** The c46 CTE chain up to the mutual edge list — shared verbatim by
+    * the C46 and C102 oracles so both engines walk ONE graph definition.
+    */
+  private lazy val knnGraphCtes: String =
+    s"""$normsCte,
        |bucketed AS (SELECT vec_id, embedding, n2,
        |  CAST(${bucketSql("embedding")} AS BIGINT) AS bucket FROM norms),
        |d AS (
@@ -743,11 +746,111 @@ object EmbedQueries {
        |t AS (
        |  SELECT vec_a, vec_b, cos, rnk FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b) AS rnk
-       |    FROM d) WHERE rnk <= $KnnK)
-       |SELECT t1.vec_a, t1.vec_b, t1.cos, t1.rnk AS rnk_ab, t2.rnk AS rnk_ba
-       |FROM t t1 JOIN t t2 ON t2.vec_a = t1.vec_b AND t2.vec_b = t1.vec_a
-       |WHERE t1.vec_a < t1.vec_b
-       |ORDER BY t1.vec_a, t1.vec_b""".stripMargin
+       |    FROM d) WHERE rnk <= $KnnK),
+       |mutual AS MATERIALIZED (
+       |  SELECT t1.vec_a, t1.vec_b, t1.cos, t1.rnk AS rnk_ab, t2.rnk AS rnk_ba
+       |  FROM t t1 JOIN t t2 ON t2.vec_a = t1.vec_b AND t2.vec_b = t1.vec_a
+       |  WHERE t1.vec_a < t1.vec_b)""".stripMargin
+
+  lazy val c46Sql: String =
+    s"""WITH $knnGraphCtes
+       |SELECT vec_a, vec_b, cos, rnk_ab, rnk_ba
+       |FROM mutual ORDER BY vec_a, vec_b""".stripMargin
+
+  // --------------------------------------------------------------- C102
+  /** C102: PageRank over the mutual-kNN graph (Page et al. 1999; d =
+    * 0.85, [[PrIters]] power iterations, dangling mass redistributed
+    * uniformly) — link-analysis centrality on the semantic graph: the
+    * data-selection signal that favors documents many other documents
+    * point AT (c70's prototypicality is distance-to-centroid; this is
+    * the random-walk notion a curation pipeline uses to pick cluster
+    * representatives or down-weight orphan content). Graph = C46's
+    * mutual edges, treated as bidirectional.
+    *
+    * Exactness: ranks live in nano BIGINT (start 1e9 per node); each
+    * iteration is contribution = r div deg per edge (truncating — all
+    * values non-negative so both engines agree), an integer sum per
+    * destination, uniform dangling share dm div N, and damping as
+    * ×850 div 1000 — no floating point anywhere, so 10 iterations stay
+    * hash-identical cross-engine. csum is bounded by the total mass
+    * N·1e9: beyond ~10⁹ nodes the sum routes through DECIMAL(38,0)
+    * (the C43/C87 rule), noted here for the record.
+    *
+    * Scale shape: the classic Pregel iterate — per iteration ONE
+    * edges⋈ranks hash equi-join (shuffle on src), one dst-keyed
+    * partial agg, a 1-row dangling-mass broadcast; `localCheckpoint`
+    * truncates the lineage each round so the plan never grows (the
+    * c59/bpeLoop discipline). Iteration count is fixed at
+    * [[PrIters]] — convergence at web scale takes ~50; the per-round
+    * cost is what's under test.
+    */
+  val PrIters = 10
+
+  def c102Pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val und = c46KnnGraph(spark, dir).select("vec_a", "vec_b")
+    val edges = und.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .unionByName(und.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+      .localCheckpoint(true)
+    val nodes = graft.Tables(spark, dir, "embeddings").select(col("vec_id").as("id"))
+    val nTotal = nodes.count()
+    val degt = nodes
+      .join(edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .localCheckpoint(true)
+    var ranks = degt.select(col("id"), lit(1000000000L).as("r"))
+    for (_ <- 1 to PrIters) {
+      val dm = ranks.join(degt.filter(col("deg") === 0L).select("id"), "id")
+        .agg(coalesce(sum("r"), lit(0L)).as("dm"))
+      val contrib = edges
+        .join(ranks.select(col("id").as("src"), col("r")), "src")
+        .join(degt.select(col("id").as("src"), col("deg")), "src")
+        .select(col("dst").as("id"), expr("r div deg").as("c"))
+        .groupBy("id").agg(sum("c").as("csum"))
+      ranks = degt.select(col("id"))
+        .join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(dm))
+        .select(col("id"), expr(
+          s"150000000L + ((coalesce(csum, 0L) + dm div $nTotal) * 850) div 1000").as("r"))
+        .localCheckpoint(true)
+    }
+    degt.join(ranks, "id")
+      .select(col("id").as("vec_id"), col("deg"), col("r").as("rank_nano"))
+      .orderBy("vec_id")
+  }
+
+  lazy val c102Sql: String = {
+    def iter(k: Int): String =
+      s"""dm$k AS (
+         |  SELECT COALESCE(CAST(SUM(r.r) AS BIGINT), 0) AS dm
+         |  FROM r${k - 1} r JOIN degt d ON d.id = r.id AND d.deg = 0
+         |), c$k AS (
+         |  SELECT e.dst AS id, CAST(SUM(r.r // d.deg) AS BIGINT) AS csum
+         |  FROM e JOIN r${k - 1} r ON r.id = e.src
+         |  JOIN degt d ON d.id = e.src
+         |  GROUP BY e.dst
+         |), r$k AS MATERIALIZED (
+         |  SELECT n.id,
+         |    CAST(150000000 + ((COALESCE(c.csum, 0) + t.dm // z.n) * 850) // 1000
+         |      AS BIGINT) AS r
+         |  FROM degt n LEFT JOIN c$k c USING (id) CROSS JOIN dm$k t CROSS JOIN nt z
+         |)""".stripMargin
+    s"""WITH $knnGraphCtes,
+       |e AS MATERIALIZED (
+       |  SELECT vec_a AS src, vec_b AS dst FROM mutual
+       |  UNION ALL SELECT vec_b, vec_a FROM mutual),
+       |nodes AS (SELECT vec_id AS id FROM embeddings),
+       |nt AS (SELECT COUNT(*) AS n FROM nodes),
+       |degt AS MATERIALIZED (
+       |  SELECT n1.id, COALESCE(dg.deg, 0) AS deg
+       |  FROM nodes n1 LEFT JOIN (
+       |    SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY src) dg USING (id)),
+       |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+       |${(1 to PrIters).map(iter).mkString(",\n")}
+       |SELECT d.id AS vec_id, CAST(d.deg AS BIGINT) AS deg, r.r AS rank_nano
+       |FROM degt d JOIN r$PrIters r USING (id)
+       |ORDER BY vec_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------- C50
   /** C50: the assignment step of Lloyd's k-means over the embedding
@@ -1405,6 +1508,7 @@ object EmbedQueries {
        |ORDER BY probe_id, rnk""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c102_pagerank" -> (c102Pagerank _),
     "c81_hard_negatives" -> (c81HardNegatives _),
     "c78_centroid_eval" -> (c78CentroidEval _),
     "c69_label_prop" -> (c69LabelProp _),
@@ -1427,6 +1531,7 @@ object EmbedQueries {
     "c62_ivf_pq" -> (c62IvfPq _))
 
   val oracles: Map[String, String] = Map(
+    "c102_pagerank" -> c102Sql,
     "c81_hard_negatives" -> c81Sql,
     "c78_centroid_eval" -> c78Sql,
     "c69_label_prop" -> c69Sql,

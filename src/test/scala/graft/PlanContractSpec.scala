@@ -110,7 +110,11 @@ class PlanContractSpec extends SparkTestBase {
     "c99_rrf_fusion",
     // c101 crosses the 1-row n_total aggregate into the ≤10-row bucket
     // frame for the ECE weights — the b42 scalar-on-bounded shape
-    "c101_calibration")
+    "c101_calibration",
+    // c102 crosses the 1-row dangling-mass aggregate into the node
+    // frame once per power iteration — the canonical PageRank scalar
+    // broadcast; the per-iteration edge work is a src-keyed hash join
+    "c102_pagerank")
 
   test("no unexpected BroadcastNestedLoopJoin / CartesianProduct in any batch plan") {
     val batch = SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("d"))

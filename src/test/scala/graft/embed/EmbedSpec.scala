@@ -112,6 +112,38 @@ class EmbedQueriesSpec extends SparkTestBase {
       .map(_.getAs[Long]("n_vecs")).sum
     assert(diag * cents.size > 2L * vecs.length, s"diag=$diag of ${vecs.length}")
   }
+
+  test("c102 PageRank: exact integer power-iteration recompute, mass sanity") {
+    import graft.embed.EmbedQueries
+    val out = EmbedQueries.c102Pagerank(spark, sf).collect()
+    val und = EmbedQueries.c46KnnGraph(spark, sf).select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val nodes = graft.Tables(spark, sf, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    val n = nodes.length.toLong
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var r = nodes.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to EmbedQueries.PrIters) {
+      val dm = nodes.filter(id => deg.getOrElse(id, 0L) == 0L).map(r).sum
+      val csum = edges.groupBy(_._2).view
+        .mapValues(_.map { case (src, _) => r(src) / deg(src) }.sum).toMap
+      r = nodes.map(id =>
+        id -> (150000000L + ((csum.getOrElse(id, 0L) + dm / n) * 850L) / 1000L)).toMap
+    }
+    assert(out.length == n)
+    out.foreach { row =>
+      val id = row.getAs[Long]("vec_id")
+      assert(row.getAs[Long]("deg") == deg.getOrElse(id, 0L))
+      assert(row.getAs[Long]("rank_nano") == r(id), s"vec $id")
+    }
+    // connected nodes outrank isolated ones on average (centrality signal)
+    val (conn, iso) = out.partition(_.getAs[Long]("deg") > 0L)
+    if (conn.nonEmpty && iso.nonEmpty) {
+      assert(conn.map(_.getAs[Long]("rank_nano")).sum / conn.length >
+        iso.map(_.getAs[Long]("rank_nano")).sum / iso.length)
+    }
+  }
 }
 
 class MultimodalSpec extends SparkTestBase {
@@ -374,4 +406,5 @@ class MultimodalSpec extends SparkTestBase {
       }
     }
   }
+
 }
