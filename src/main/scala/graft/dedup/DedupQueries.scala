@@ -553,6 +553,82 @@ object DedupQueries {
        |GROUP BY d.source ORDER BY d.source""".stripMargin
   }
 
+  // --------------------------------------------------------------- C103
+  /** C103: group-aware train/val/test split — assign every near-dup
+    * CLUSTER (the C19 closure) to one split by hashing its canonical
+    * id, instead of hashing each doc (C23). Splitting by doc leaks
+    * near-identical text across the train/test boundary — the
+    * evaluation-contamination mode C29's n-gram screen then has to
+    * catch after the fact; splitting by group prevents it by
+    * construction (every member of a cluster lands together). The
+    * report quantifies exactly that: per split, the docs and clusters
+    * owned under the GROUP split, the doc count the naive DOC split
+    * would have assigned, and the number of foreign clusters the doc
+    * split scatters INTO this split (0 under the group split, by
+    * construction — the spec pins both properties).
+    *
+    * Shares C23/C29's split hash family (same constants, applied to
+    * the canonical id) and the memoized C19 collapse. Scale shape: one
+    * doc-sized projection over the collapse frame, two partial aggs
+    * onto a 3-key space, and a (cluster, split)-keyed distinct count —
+    * map-side partial dedup, nothing grows beyond the cluster count.
+    */
+  def c103GroupSplit(spark: SparkSession, dir: String): DataFrame = {
+    def splitOf(c: Column): Column = {
+      val h = pmod(c * lit(2654435761L) + lit(40503L), lit(100L))
+      when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    }
+    val tagged = c19DedupCollapse(spark, dir)
+      .select(col("doc_id"), col("canonical_id"))
+      .withColumn("doc_split", splitOf(col("doc_id")))
+      .withColumn("group_split", splitOf(col("canonical_id")))
+    val base = tagged.groupBy(col("group_split").as("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("canonical_id")).as("n_clusters"))
+    val byDoc = tagged.groupBy(col("doc_split").as("split"))
+      .agg(count(lit(1)).as("n_docs_doc_split"))
+    val foreign = tagged.filter(col("doc_split") =!= col("group_split"))
+      .groupBy(col("doc_split").as("split"))
+      .agg(count_distinct(col("canonical_id")).as("n_foreign_clusters"))
+    base
+      .join(byDoc, Seq("split"), "left")
+      .join(foreign, Seq("split"), "left")
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+        coalesce(col("n_docs_doc_split"), lit(0L)).as("n_docs_doc_split"),
+        coalesce(col("n_foreign_clusters"), lit(0L)).as("n_foreign_clusters"))
+      .orderBy("split")
+  }
+
+  val c103Sql: String = {
+    val c19Body = c19Sql.stripSuffix("ORDER BY doc_id").trim
+    def splitSql(c: String): String =
+      s"""CASE WHEN ($c * 2654435761 + 40503) % 100 < 80 THEN 'train'
+         |     WHEN ($c * 2654435761 + 40503) % 100 < 90 THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    s"""WITH collapse AS (
+       |$c19Body
+       |), t AS (
+       |  SELECT doc_id, canonical_id,
+       |    ${splitSql("doc_id")} AS doc_split,
+       |    ${splitSql("canonical_id")} AS group_split
+       |  FROM collapse
+       |), base AS (
+       |  SELECT group_split AS split, COUNT(*) AS n_docs,
+       |    COUNT(DISTINCT canonical_id) AS n_clusters
+       |  FROM t GROUP BY 1
+       |), dd AS (
+       |  SELECT doc_split AS split, COUNT(*) AS n_docs_doc_split FROM t GROUP BY 1
+       |), fo AS (
+       |  SELECT doc_split AS split, COUNT(DISTINCT canonical_id) AS n_foreign_clusters
+       |  FROM t WHERE doc_split <> group_split GROUP BY 1
+       |)
+       |SELECT b.split, b.n_docs, b.n_clusters,
+       |  COALESCE(d.n_docs_doc_split, 0) AS n_docs_doc_split,
+       |  COALESCE(f.n_foreign_clusters, 0) AS n_foreign_clusters
+       |FROM base b LEFT JOIN dd d USING (split) LEFT JOIN fo f USING (split)
+       |ORDER BY b.split""".stripMargin
+  }
+
   // ---------------------------------------------------------------- C66
   /** C66: asymmetric containment scoring on the C6 candidates — Broder's
     * OTHER resemblance measure: C(A→B) = |A∩B| / |A|. Jaccard punishes
@@ -1163,6 +1239,7 @@ object DedupQueries {
        |ORDER BY s.doc_a, s.doc_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c103_group_split" -> (c103GroupSplit _),
     "c93_cross_lingual" -> (c93CrossLingual _),
     "c85_threshold_sweep" -> (c85ThresholdSweep _),
     "c84_cluster_sizes" -> (c84ClusterSizes _),
@@ -1180,6 +1257,7 @@ object DedupQueries {
     "c66_containment" -> (c66Containment _))
 
   val oracles: Map[String, String] = Map(
+    "c103_group_split" -> c103Sql,
     "c93_cross_lingual" -> c93Sql,
     "c85_threshold_sweep" -> c85Sql,
     "c84_cluster_sizes" -> c84Sql,

@@ -1427,4 +1427,34 @@ class DedupQueriesSpec extends SparkTestBase {
         r.getAs[Long]("mean_conf_micro") <= 1000000L)
     }
   }
+
+  test("c103 group split: exact recompute, zero leakage by construction, doc split leaks") {
+    import graft.dedup.DedupQueries
+    val out = DedupQueries.c103GroupSplit(spark, sf).collect()
+    val collapse = DedupQueries.c19DedupCollapse(spark, sf)
+      .select("doc_id", "canonical_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def splitOf(x: Long): String = {
+      val h = (x * 2654435761L + 40503L) % 100L
+      if (h < 80) "train" else if (h < 90) "val" else "test"
+    }
+    val tagged = collapse.map { case (d, c) => (d, c, splitOf(d), splitOf(c)) }
+    out.foreach { r =>
+      val sp = r.getString(0)
+      val own = tagged.filter(_._4 == sp)
+      assert(r.getAs[Long]("n_docs") == own.length)
+      assert(r.getAs[Long]("n_clusters") == own.map(_._2).distinct.length)
+      assert(r.getAs[Long]("n_docs_doc_split") == tagged.count(_._3 == sp))
+      assert(r.getAs[Long]("n_foreign_clusters") ==
+        tagged.filter(t => t._3 == sp && t._4 != sp).map(_._2).distinct.length)
+    }
+    // the group split keeps every cluster whole (zero cross-split clusters)...
+    val groupScatter = tagged.groupBy(_._2).values.count(g => g.map(_._4).distinct.length > 1)
+    assert(groupScatter == 0)
+    // ...while the naive doc split genuinely leaks on this corpus
+    assert(out.map(_.getAs[Long]("n_foreign_clusters")).sum > 0L)
+    // both assignments cover every doc exactly once
+    assert(out.map(_.getAs[Long]("n_docs")).sum == collapse.length)
+    assert(out.map(_.getAs[Long]("n_docs_doc_split")).sum == collapse.length)
+  }
 }
