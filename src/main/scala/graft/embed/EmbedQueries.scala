@@ -709,27 +709,40 @@ object EmbedQueries {
     * each direction (rnk_ab/rnk_ba), the signal diversity samplers
     * weight by.
     */
-  def c46KnnGraph(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = withNorms(spark, dir).withColumn("bucket", bucketCol(col("embedding")))
-    val l = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-      col("n2").as("na"), col("bucket"))
-    val r = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-      col("n2").as("nb"), col("bucket"))
-    val w = Window.partitionBy("vec_a").orderBy(col("cos").desc, col("vec_b"))
-    val directed = l.join(r, "bucket").filter(col("vec_a") =!= col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        cosine(dot(col("ea"), col("eb")), col("na"), col("nb")).as("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= KnnK)
-    val rev = directed.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b"),
-      col("rnk").as("rnk_ba"))
-    directed.join(rev, Seq("vec_a", "vec_b"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), col("cos"),
-        col("rnk").as("rnk_ab"), col("rnk_ba"))
-      .orderBy("vec_a", "vec_b")
-  }
+  def c46KnnGraph(spark: SparkSession, dir: String): DataFrame =
+    mutualEdges(spark, dir).orderBy("vec_a", "vec_b")
+
+  private val knnEdgeCache = new graft.util.Memo[(String, String), DataFrame]
+
+  /** Memoized mutual-kNN edge list (vec_a < vec_b, with cos and both
+    * direction ranks) — computed once per session and shared by C46
+    * (the edge dump), C102 (PageRank) and C104 (triangles), so the
+    * bucket join + top-k window + mutual self-join run once, not once
+    * per consumer. `localCheckpoint` pins the materialized edges for
+    * the session (the bm25Ranked discipline).
+    */
+  private def mutualEdges(spark: SparkSession, dir: String): DataFrame =
+    knnEdgeCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      import org.apache.spark.sql.expressions.Window
+      val e = withNorms(spark, dir).withColumn("bucket", bucketCol(col("embedding")))
+      val l = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("n2").as("na"), col("bucket"))
+      val r = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("n2").as("nb"), col("bucket"))
+      val w = Window.partitionBy("vec_a").orderBy(col("cos").desc, col("vec_b"))
+      val directed = l.join(r, "bucket").filter(col("vec_a") =!= col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          cosine(dot(col("ea"), col("eb")), col("na"), col("nb")).as("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= KnnK)
+      val rev = directed.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b"),
+        col("rnk").as("rnk_ba"))
+      directed.join(rev, Seq("vec_a", "vec_b"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"), col("cos"),
+          col("rnk").as("rnk_ab"), col("rnk_ba"))
+        .localCheckpoint(true)
+    })
 
   /** The c46 CTE chain up to the mutual edge list — shared verbatim by
     * the C46 and C102 oracles so both engines walk ONE graph definition.
@@ -787,7 +800,7 @@ object EmbedQueries {
   val PrIters = 10
 
   def c102Pagerank(spark: SparkSession, dir: String): DataFrame = {
-    val und = c46KnnGraph(spark, dir).select("vec_a", "vec_b")
+    val und = mutualEdges(spark, dir).select("vec_a", "vec_b")
     val edges = und.select(col("vec_a").as("src"), col("vec_b").as("dst"))
       .unionByName(und.select(col("vec_b").as("src"), col("vec_a").as("dst")))
       .localCheckpoint(true)
@@ -851,6 +864,104 @@ object EmbedQueries {
        |FROM degt d JOIN r$PrIters r USING (id)
        |ORDER BY vec_id""".stripMargin
   }
+
+  // --------------------------------------------------------------- C104
+  /** C104: triangle count + local clustering coefficient over the
+    * mutual-kNN graph — the cohesion diagnostic on the semantic graph:
+    * a document whose neighbors are also neighbors of EACH OTHER sits
+    * inside a tight semantic clump (near-boilerplate, template families,
+    * topical cores — the regions semantic dedup and diversity sampling
+    * treat differently from bridge nodes with the same degree). C102
+    * ranks nodes by random-walk mass; this measures how CLIQUE-like
+    * each node's neighborhood is — together they separate "central
+    * because many distinct regions point here" from "central because
+    * one dense blob self-references".
+    *
+    * Scale shape — degree-ordered triangle enumeration (Suri &
+    * Vassilvitskii 2011 / compact-forward): orienting every edge from
+    * its lower-(deg,id) endpoint to its higher one and generating
+    * wedges only at each edge's SOURCE bounds wedge generation by
+    * O(m^{3/2}) total instead of Σ deg² — the hub that breaks the naive
+    * node-iterator (a celebrity node's deg² wedges all materialize in
+    * one task) never generates wedges, because all its edges point IN.
+    * Three shuffles total: the orientation join (edges ⋈ degrees), the
+    * wedge self-join on the oriented source, and the closing-edge
+    * equi-join back against the oriented edge list; per-node counts are
+    * a map-side-combinable explode+agg. Every triangle is found exactly
+    * once (its lowest-(deg,id) vertex generates the wedge), so no /3
+    * correction is needed — the oracle enumerates by plain id order
+    * (fine at oracle scale) and both engines agree on the set.
+    *
+    * lcc_nano = (2·tri·1e9) div (deg·(deg−1)) — all-integer with
+    * truncating div, hash-identical cross-engine; deg < 2 ⇒ 0.
+    */
+  def c104Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val und = mutualEdges(spark, dir).select("vec_a", "vec_b")
+    val deg = und.select(col("vec_a").as("id"))
+      .unionByName(und.select(col("vec_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val keyed = und
+      .join(deg.select(col("id").as("vec_a"), col("deg").as("da")), "vec_a")
+      .join(deg.select(col("id").as("vec_b"), col("deg").as("db")), "vec_b")
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("vec_a") < col("vec_b"))
+    val oriented = keyed.select(
+      when(lowFirst, col("vec_a")).otherwise(col("vec_b")).as("src"),
+      when(lowFirst, col("vec_b")).otherwise(col("vec_a")).as("dst"),
+      when(lowFirst, col("db")).otherwise(col("da")).as("dd"))
+    // wedges at the oriented source; (deg,id)-ordered endpoints so each
+    // unordered wedge appears once and the closing edge, if present, is
+    // oriented exactly (x -> y)
+    val w1 = oriented.select(col("src").as("p"), col("dst").as("x"), col("dd").as("dx"))
+    val w2 = oriented.select(col("src").as("p"), col("dst").as("y"), col("dd").as("dy"))
+    val wedges = w1.join(w2, "p")
+      .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
+    val tris = wedges
+      .join(oriented.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+      .select(col("p"), col("x"), col("y"))
+    val perNode = tris
+      .select(explode(array(col("p"), col("x"), col("y"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("tri"))
+    Tables(spark, dir, "embeddings").select(col("vec_id"))
+      .join(deg.select(col("id").as("vec_id"), col("deg")), Seq("vec_id"), "left")
+      .join(perNode.select(col("id").as("vec_id"), col("tri")), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(coalesce(col("deg"), lit(0L)) >= 2,
+          expr("(2 * coalesce(tri, 0L) * 1000000000L) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("lcc_nano"))
+      .orderBy("vec_id")
+  }
+
+  lazy val c104Sql: String =
+    s"""WITH $knnGraphCtes,
+       |e AS MATERIALIZED (SELECT vec_a, vec_b FROM mutual),
+       |deg AS (
+       |  SELECT id, COUNT(*) AS deg FROM (
+       |    SELECT vec_a AS id FROM e UNION ALL SELECT vec_b FROM e)
+       |  GROUP BY id),
+       |tri AS (
+       |  SELECT e1.vec_a AS a, e1.vec_b AS b, e2.vec_b AS c
+       |  FROM e e1
+       |  JOIN e e2 ON e2.vec_a = e1.vec_b
+       |  JOIN e e3 ON e3.vec_a = e1.vec_a AND e3.vec_b = e2.vec_b),
+       |pt AS (
+       |  SELECT id, COUNT(*) AS tri FROM (
+       |    SELECT a AS id FROM tri
+       |    UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri)
+       |  GROUP BY id)
+       |SELECT v.vec_id,
+       |  CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg,
+       |  CAST(COALESCE(p.tri, 0) AS BIGINT) AS tri,
+       |  CAST(CASE WHEN COALESCE(d.deg, 0) >= 2
+       |    THEN (2 * COALESCE(p.tri, 0) * 1000000000) // (d.deg * (d.deg - 1))
+       |    ELSE 0 END AS BIGINT) AS lcc_nano
+       |FROM embeddings v
+       |LEFT JOIN deg d ON d.id = v.vec_id
+       |LEFT JOIN pt p ON p.id = v.vec_id
+       |ORDER BY v.vec_id""".stripMargin
 
   // ---------------------------------------------------------------- C50
   /** C50: the assignment step of Lloyd's k-means over the embedding
@@ -1509,6 +1620,7 @@ object EmbedQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c102_pagerank" -> (c102Pagerank _),
+    "c104_triangles" -> (c104Triangles _),
     "c81_hard_negatives" -> (c81HardNegatives _),
     "c78_centroid_eval" -> (c78CentroidEval _),
     "c69_label_prop" -> (c69LabelProp _),
@@ -1532,6 +1644,7 @@ object EmbedQueries {
 
   val oracles: Map[String, String] = Map(
     "c102_pagerank" -> c102Sql,
+    "c104_triangles" -> c104Sql,
     "c81_hard_negatives" -> c81Sql,
     "c78_centroid_eval" -> c78Sql,
     "c69_label_prop" -> c69Sql,

@@ -144,6 +144,40 @@ class EmbedQueriesSpec extends SparkTestBase {
         iso.map(_.getAs[Long]("rank_nano")).sum / iso.length)
     }
   }
+
+  test("c104 triangles: brute-force recompute, lcc formula, once-per-triangle") {
+    import graft.embed.EmbedQueries
+    val out = EmbedQueries.c104Triangles(spark, sf).collect()
+    val und = EmbedQueries.c46KnnGraph(spark, sf).select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val edgeSet = und.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    // brute-force: per node, count neighbor pairs that are themselves edges
+    val triOf = adj.map { case (v, ns) =>
+      val s = ns.toSeq.sorted
+      v -> s.combinations(2).count { case Seq(x, y) => edgeSet.contains((x, y)) }.toLong
+    }
+    val nodes = graft.Tables(spark, sf, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(out.length == nodes.length)
+    out.foreach { row =>
+      val id = row.getAs[Long]("vec_id")
+      val d = adj.getOrElse(id, Set.empty).size.toLong
+      val t = triOf.getOrElse(id, 0L)
+      assert(row.getAs[Long]("deg") == d, s"deg vec $id")
+      assert(row.getAs[Long]("tri") == t, s"tri vec $id")
+      val lcc = if (d >= 2) (2L * t * 1000000000L) / (d * (d - 1)) else 0L
+      assert(row.getAs[Long]("lcc_nano") == lcc, s"lcc vec $id")
+    }
+    // sum of per-node counts = 3 × the number of distinct triangles
+    assert(out.map(_.getAs[Long]("tri")).sum % 3 == 0)
+    // the mutual-kNN graph on this corpus genuinely closes some triangles
+    assert(out.map(_.getAs[Long]("tri")).sum > 0L)
+    // lcc is a ratio in [0, 1e9]
+    out.foreach(r => assert(r.getAs[Long]("lcc_nano") >= 0L &&
+      r.getAs[Long]("lcc_nano") <= 1000000000L))
+  }
 }
 
 class MultimodalSpec extends SparkTestBase {
