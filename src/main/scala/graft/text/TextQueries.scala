@@ -768,6 +768,92 @@ object TextQueries {
        |SELECT doc_id, n_bigrams, sum_cond_micro, avg_cond_micro
        |FROM perdoc ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- C105
+  /** C105: domain-mixture reweighting by multiplicative weights over
+    * per-domain excess loss — the DoReMi idea (Xie et al. 2023) with
+    * the C31 bigram-LM score standing in for the proxy model: domains
+    * whose documents score as corpus-ATYPICAL (low mean conditional
+    * probability ⇒ high loss_micro = 1e6 − mean avg_cond_micro) carry
+    * excess loss over the current mixture average and get multiplied
+    * UP each round — the "learnable but not yet learned" domains a
+    * static token-proportional mix (C30) underweights. Update per
+    * round t: mixavg = Σwᵢlᵢ div Σwᵢ; excess = max(0, lᵢ − mixavg);
+    * wᵢ ← wᵢ·(1e6 + (excess·1e6 div (mixavg+1)) div 4), renormalized
+    * to Σw = 1e6 by truncating div — the linearized-exponential MW
+    * step, all-BIGINT (max intermediate wp·1e6 ≤ 2·10¹⁸ < 2⁶³), so
+    * [[MixIters]] rounds stay hash-identical cross-engine.
+    *
+    * Scale shape: the 100 TB work is the per-doc scoring (shared
+    * memoized [[lmScoredDocs]] frame — already paid by C31/C57) plus
+    * ONE doc→domain partial agg. The iterate then runs on the DOMAIN
+    * table — K rows where K is the domain count (dozens to thousands
+    * even at web scale), a driver-sized reduction by definition — so
+    * the loop folds the collected K rows (the c102 nTotal precedent:
+    * collecting a bounded reduction is not a driver-side scan) and the
+    * result joins back as a K-row broadcast. No per-round corpus pass,
+    * no per-round shuffle.
+    */
+  val MixIters = 8
+
+  def c105Doremi(spark: SparkSession, dir: String): DataFrame = {
+    val dom = Tables(spark, dir, "documents").select(col("doc_id"), col("source"))
+      .join(lmScoredDocs(spark, dir).select("doc_id", "avg_cond_micro"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("avg_cond_micro").as("s"))
+      .select(col("source"), col("n_docs"),
+        expr("1000000L - (s div n_docs)").as("loss_micro"))
+    val rows = dom.select("source", "loss_micro").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val k = rows.length.toLong
+    val loss = rows.map(_._2)
+    var w = rows.map(_ => 1000000L / k)
+    for (_ <- 1 to MixIters) {
+      val sw = w.sum
+      val swl = w.zip(loss).map { case (a, b) => a * b }.sum
+      val mixavg = swl / sw
+      val wp = w.zip(loss).map { case (wi, li) =>
+        val exc = math.max(0L, li - mixavg)
+        wi * (1000000L + (exc * 1000000L / (mixavg + 1L)) / 4L)
+      }
+      val tot = wp.sum
+      w = wp.map(x => x * 1000000L / tot)
+    }
+    import spark.implicits._
+    val wdf = broadcast(rows.map(_._1).zip(w).toSeq.toDF("source", "w_micro"))
+    dom.join(wdf, "source")
+      .select(col("source"), col("n_docs"), col("loss_micro"), col("w_micro"))
+      .orderBy("source")
+  }
+
+  val c105Sql: String = {
+    def iter(t: Int): String =
+      s"""s$t AS (
+         |  SELECT CAST(SUM(w) AS BIGINT) AS sw,
+         |    CAST(SUM(w * loss_micro) AS BIGINT) AS swl FROM w${t - 1}
+         |), u$t AS (
+         |  SELECT source, loss_micro,
+         |    w * (1000000 + (GREATEST(0, loss_micro - swl // sw)
+         |      * 1000000 // (swl // sw + 1)) // 4) AS wp
+         |  FROM w${t - 1} CROSS JOIN s$t
+         |), z$t AS (SELECT CAST(SUM(wp) AS BIGINT) AS tot FROM u$t),
+         |w$t AS MATERIALIZED (
+         |  SELECT source, loss_micro, (wp * 1000000) // tot AS w
+         |  FROM u$t CROSS JOIN z$t
+         |)""".stripMargin
+    s"""WITH $lmScoredCtes,
+       |dom AS MATERIALIZED (
+       |  SELECT d.source, COUNT(*) AS n_docs,
+       |    1000000 - (CAST(SUM(p.avg_cond_micro) AS BIGINT) // COUNT(*)) AS loss_micro
+       |  FROM documents d JOIN perdoc p USING (doc_id)
+       |  GROUP BY d.source
+       |), kt AS (SELECT COUNT(*) AS k FROM dom),
+       |w0 AS (SELECT source, loss_micro, 1000000 // k AS w FROM dom CROSS JOIN kt),
+       |${(1 to MixIters).map(iter).mkString(",\n")}
+       |SELECT d.source, d.n_docs, d.loss_micro, CAST(w.w AS BIGINT) AS w_micro
+       |FROM dom d JOIN w$MixIters w USING (source)
+       |ORDER BY d.source""".stripMargin
+  }
+
   // ---------------------------------------------------------------- C32
   /** Token-budget stratified subsample — cap each (lang, source) stratum
     * at [[StratumTokenBudget]] tokens, admitting documents in a
@@ -4025,6 +4111,7 @@ object TextQueries {
     "c29_contamination" -> (c29Contamination _),
     "c30_domain_mix" -> (c30DomainMix _),
     "c31_lm_score" -> (c31LmScore _),
+    "c105_doremi" -> (c105Doremi _),
     "c32_sample_budget" -> (c32SampleBudget _),
     "c33_prefix_dups" -> (c33PrefixDups _),
     "c36_quality_gate" -> (c36QualityGate _),
@@ -4087,6 +4174,7 @@ object TextQueries {
     "c29_contamination" -> c29Sql,
     "c30_domain_mix" -> c30Sql,
     "c31_lm_score" -> c31Sql,
+    "c105_doremi" -> c105Sql,
     "c32_sample_budget" -> c32Sql,
     "c33_prefix_dups" -> c33Sql,
     "c36_quality_gate" -> c36Sql,

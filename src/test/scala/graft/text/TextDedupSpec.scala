@@ -310,6 +310,55 @@ class DedupQueriesSpec extends SparkTestBase {
       expr("sum_cond_micro div n_bigrams")).count() == 0)
   }
 
+  test("c105 doremi: exact MW recompute, loss-monotone weights, mass conserved") {
+    val out = TextQueries.c105Doremi(spark, sf).collect()
+    // independent per-domain loss: join c31 scores to sources and fold
+    val scores = TextQueries.c31LmScore(spark, sf)
+      .select("doc_id", "avg_cond_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val srcOf = Tables(spark, sf, "documents").select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDom = srcOf.filter(t => scores.contains(t._1)).groupBy(_._2)
+    val loss = byDom.view.mapValues { ds =>
+      val avgs = ds.map(t => scores(t._1))
+      1000000L - avgs.sum / avgs.length
+    }.toMap
+    val doms = loss.keys.toSeq.sorted
+    val k = doms.length.toLong
+    var w = doms.map(_ => 1000000L / k)
+    val l = doms.map(loss)
+    for (_ <- 1 to TextQueries.MixIters) {
+      val sw = w.sum
+      val mixavg = w.zip(l).map { case (a, b) => a * b }.sum / sw
+      val wp = w.zip(l).map { case (wi, li) =>
+        val exc = math.max(0L, li - mixavg)
+        wi * (1000000L + (exc * 1000000L / (mixavg + 1L)) / 4L)
+      }
+      val tot = wp.sum
+      w = wp.map(x => x * 1000000L / tot)
+    }
+    val expected = doms.zip(w).toMap
+    assert(out.length == doms.length)
+    out.foreach { r =>
+      val s = r.getString(0)
+      assert(r.getAs[Long]("n_docs") == byDom(s).length)
+      assert(r.getAs[Long]("loss_micro") == loss(s), s"loss $s")
+      assert(r.getAs[Long]("w_micro") == expected(s), s"w $s")
+    }
+    // renormalized mass: Σw = 1e6 up to one truncation unit per domain
+    val mass = out.map(_.getAs[Long]("w_micro")).sum
+    assert(mass <= 1000000L && mass >= 1000000L - k)
+    // weights are monotone in loss (equal starts + monotone multiplier)
+    val sorted = out.sortBy(_.getAs[Long]("loss_micro"))
+    sorted.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[Long]("w_micro") <= hi.getAs[Long]("w_micro"))
+      case _ =>
+    }
+    // the mixture genuinely moved off uniform on this corpus
+    assert(out.map(_.getAs[Long]("w_micro")).distinct.length > 1)
+  }
+
   test("c32 budget sample: admission is prefix-closed in hash order per stratum") {
     val r = TextQueries.c32SampleBudget(spark, sf)
     assert(r.count() > 0)
