@@ -475,6 +475,35 @@ object ScaleSmoke {
     require(merged == tAll, "top-k merge property violated")
     println(f"SCALE calibrationTopk docs=$nCal hotBucketPct=$hotShare " +
       f"maxTaskMs=$cMaxMs meanTaskMs=$cMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // --- degree-ordered triangle counting (the C104 core) on a graph
+    // with ONE celebrity hub: a star of H spokes (the naive
+    // node-iterator would materialize H²/2 ≈ 2·10¹⁰ wedges at the hub)
+    // plus T disjoint triangles. Orientation low-(deg,id) → high means
+    // the hub's edges all point IN, so the star contributes ZERO
+    // wedges and the whole run is bounded by the honest triangle work;
+    // exact closed-form counts verify correctness at volume.
+    t0 = System.nanoTime()
+    val hubSpokes = math.max(nCells / 10, 100000L)
+    val nTri = math.max(nCells / 30, 30000L)
+    // node ids: hub = 0, spokes = 1..H, triangle nodes = H+1 .. H+3T
+    val starEdges = spark.range(1, hubSpokes + 1)
+      .select(lit(0L).as("vec_a"), col("id").as("vec_b"))
+    val triBase = spark.range(nTri).select((col("id") * 3L + hubSpokes + 1L).as("n0"))
+    val triEdges = triBase.select(col("n0").as("vec_a"), (col("n0") + 1L).as("vec_b"))
+      .unionByName(triBase.select(col("n0").as("vec_a"), (col("n0") + 2L).as("vec_b")))
+      .unionByName(triBase.select((col("n0") + 1L).as("vec_a"), (col("n0") + 2L).as("vec_b")))
+    val (degF, triF) = graft.embed.EmbedQueries.triangleCounts(
+      starEdges.unionByName(triEdges))
+    val (triAgg, tMaxMs, tMeanMs) = withMaxTask(
+      triF.agg(sum("tri").as("tri_sum"), count(lit(1)).as("n_nodes")).head())
+    require(triAgg.getLong(0) == 3L * nTri,
+      s"triangle mass ${triAgg.getLong(0)} != ${3L * nTri}")
+    require(triAgg.getLong(1) == 3L * nTri, s"tri nodes ${triAgg.getLong(1)}")
+    val hubDeg = degF.filter(col("id") === 0L).head().getLong(1)
+    require(hubDeg == hubSpokes, s"hub degree $hubDeg")
+    println(f"SCALE triangleHub spokes=$hubSpokes tris=$nTri " +
+      f"maxTaskMs=$tMaxMs meanTaskMs=$tMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 }

@@ -897,6 +897,29 @@ object EmbedQueries {
     */
   def c104Triangles(spark: SparkSession, dir: String): DataFrame = {
     val und = mutualEdges(spark, dir).select("vec_a", "vec_b")
+    val (deg, perNode) = triangleCounts(und)
+    Tables(spark, dir, "embeddings").select(col("vec_id"))
+      .join(deg.select(col("id").as("vec_id"), col("deg")), Seq("vec_id"), "left")
+      .join(perNode.select(col("id").as("vec_id"), col("tri")), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(coalesce(col("deg"), lit(0L)) >= 2,
+          expr("(2 * coalesce(tri, 0L) * 1000000000L) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("lcc_nano"))
+      .orderBy("vec_id")
+  }
+
+  /** Degree-ordered triangle-counting core over an undirected edge list
+    * with columns (vec_a, vec_b), vec_a < vec_b: returns the degree
+    * frame (id, deg) and the per-node triangle-count frame (id, tri) —
+    * nodes absent from the edge list appear in neither. Shared by C104
+    * and the ScaleSmoke hub-skew exercise: orientation low-(deg,id) →
+    * high means a hub generates ZERO wedges (all its edges point in),
+    * so wedge volume is bounded by O(m^{3/2}) regardless of the degree
+    * distribution.
+    */
+  def triangleCounts(und: DataFrame): (DataFrame, DataFrame) = {
     val deg = und.select(col("vec_a").as("id"))
       .unionByName(und.select(col("vec_b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
@@ -922,16 +945,7 @@ object EmbedQueries {
     val perNode = tris
       .select(explode(array(col("p"), col("x"), col("y"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("tri"))
-    Tables(spark, dir, "embeddings").select(col("vec_id"))
-      .join(deg.select(col("id").as("vec_id"), col("deg")), Seq("vec_id"), "left")
-      .join(perNode.select(col("id").as("vec_id"), col("tri")), Seq("vec_id"), "left")
-      .select(col("vec_id"),
-        coalesce(col("deg"), lit(0L)).as("deg"),
-        coalesce(col("tri"), lit(0L)).as("tri"),
-        when(coalesce(col("deg"), lit(0L)) >= 2,
-          expr("(2 * coalesce(tri, 0L) * 1000000000L) div (deg * (deg - 1))"))
-          .otherwise(lit(0L)).as("lcc_nano"))
-      .orderBy("vec_id")
+    (deg, perNode)
   }
 
   lazy val c104Sql: String =

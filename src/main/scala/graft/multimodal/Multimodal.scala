@@ -268,7 +268,73 @@ object Multimodal {
        |  ((doc_id * 2654435761) + frame_idx * 40503) % 1000 AS frame_feature
        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
 
+  // --------------------------------------------------------------- C106
+  /** C106: audio↔video as-of alignment — for every sampled video frame
+    * (the C13 stream, pts in ms) the latest audio analysis frame at or
+    * before it (the C65 stream, t in µs), per asset: the pairing step
+    * every A/V training-pair builder runs before fusing per-frame
+    * features (lip-sync data, AV-ASR, video captioning with speech).
+    * lag_us — how stale the matched audio frame is — is the
+    * sync-quality signal a pair filter thresholds on.
+    *
+    * Spark-first shape: the B9 as-of pattern specialized to the
+    * doc-keyed case — both streams union into one frame tagged by
+    * kind, ONE window partitioned by doc_id (bounded by the longest
+    * single asset, the C48 argument — never a corpus-wide sort)
+    * carries the last audio frame forward (`last(_, ignoreNulls)`),
+    * and video rows project the alignment. Zero joins; two scan-stage
+    * explodes feed one bounded window. Assets too short to emit any
+    * audio frame (n_chars < 2·[[FrameWin]]) keep their video rows with
+    * a −1 sentinel triple (not NULL — keeps the columns integer-kinded
+    * end to end), pinned by the spec.
+    *
+    * Oracle: DuckDB's native ASOF LEFT JOIN over the same two frame
+    * CTEs — one alignment definition, two engines, with ties
+    * impossible (t_us is strictly increasing within an asset).
+    */
+  def c106AvAlign(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = c65AudioFrames(spark, dir).select(col("doc_id"),
+      col("t_us").as("us"), lit(0).as("tag"),
+      lit(null).cast("long").as("v_idx"),
+      col("frame_idx").as("a_idx0"), col("t_us").as("a_us0"))
+    val v = c13FrameSample(spark, dir).select(col("doc_id"),
+      (col("pts_ms") * 1000L).as("us"), lit(1).as("tag"),
+      col("frame_idx").as("v_idx"),
+      lit(null).cast("long").as("a_idx0"), lit(null).cast("long").as("a_us0"))
+    val w = Window.partitionBy("doc_id").orderBy("us", "tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    a.unionByName(v)
+      .withColumn("a_idx", last("a_idx0", ignoreNulls = true).over(w))
+      .withColumn("a_us", last("a_us0", ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("doc_id"), col("v_idx").as("frame_idx"),
+        col("us").as("pts_us"),
+        coalesce(col("a_idx"), lit(-1L)).as("a_idx"),
+        coalesce(col("a_us"), lit(-1L)).as("a_t_us"),
+        coalesce(col("us") - col("a_us"), lit(-1L)).as("lag_us"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val c106Sql: String = {
+    def body(sql: String): String =
+      sql.trim.stripSuffix("ORDER BY doc_id, frame_idx").trim
+    s"""WITH vf AS (
+       |${body(c13Sql)}
+       |), af AS (
+       |${body(c65Sql)}
+       |)
+       |SELECT v.doc_id, v.frame_idx, v.pts_ms * 1000 AS pts_us,
+       |  COALESCE(a.frame_idx, -1) AS a_idx,
+       |  COALESCE(a.t_us, -1) AS a_t_us,
+       |  COALESCE(v.pts_ms * 1000 - a.t_us, -1) AS lag_us
+       |FROM vf v ASOF LEFT JOIN af a
+       |  ON a.doc_id = v.doc_id AND a.t_us <= v.pts_ms * 1000
+       |ORDER BY v.doc_id, v.frame_idx""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c106_av_align" -> (c106AvAlign _),
     "c12_multimodal_meta" -> (c12MultimodalMeta _),
     "c13_frame_sample" -> (c13FrameSample _),
     "c16_resize_plan" -> (c16ResizePlan _),
@@ -276,6 +342,7 @@ object Multimodal {
     "c65_audio_frames" -> (c65AudioFrames _))
 
   val oracles: Map[String, String] = Map(
+    "c106_av_align" -> c106Sql,
     "c12_multimodal_meta" -> c12Sql,
     "c13_frame_sample" -> c13Sql,
     "c16_resize_plan" -> c16Sql,

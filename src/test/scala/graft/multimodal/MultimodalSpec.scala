@@ -48,4 +48,37 @@ class MultimodalSpec extends SparkTestBase {
       .filter(expr(s"n_chars div 2 < ${Multimodal.FrameWin}")).select("doc_id")
     assert(r.join(short, "doc_id").count() == 0)
   }
+
+  test("c106 av align: exact as-of recompute, sentinel for audio-less assets") {
+    val out = Multimodal.c106AvAlign(spark, sf).collect()
+    val audio = Multimodal.c65AudioFrames(spark, sf)
+      .select("doc_id", "frame_idx", "t_us").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._2)).toMap
+    val video = Multimodal.c13FrameSample(spark, sf)
+      .select("doc_id", "frame_idx", "pts_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2) * 1000L))
+    assert(out.length == video.length)
+    val byKey = out.map(r => ((r.getLong(0), r.getLong(1)), r)).toMap
+    video.foreach { case (doc, vIdx, ptsUs) =>
+      val row = byKey((doc, vIdx))
+      assert(row.getAs[Long]("pts_us") == ptsUs)
+      val expected = audio.get(doc).flatMap(fr =>
+        fr.reverseIterator.find(_._2 <= ptsUs))
+      expected match {
+        case Some((aIdx, aUs)) =>
+          assert(row.getAs[Long]("a_idx") == aIdx, s"doc $doc v $vIdx")
+          assert(row.getAs[Long]("a_t_us") == aUs)
+          assert(row.getAs[Long]("lag_us") == ptsUs - aUs)
+          assert(row.getAs[Long]("lag_us") >= 0L)
+        case None =>
+          assert(row.getAs[Long]("a_idx") == -1L)
+          assert(row.getAs[Long]("a_t_us") == -1L)
+          assert(row.getAs[Long]("lag_us") == -1L)
+      }
+    }
+    // the audio-less sentinel path is genuinely exercised on this corpus
+    assert(out.exists(_.getAs[Long]("a_idx") == -1L))
+    assert(out.exists(_.getAs[Long]("a_idx") >= 0L))
+  }
 }
