@@ -458,6 +458,41 @@ object StreamingOps {
         col("click_id"), unix_micros(col("click_time")).as("click_us"))
   }
 
+  // ------------------- D30: stream-stream LEFT OUTER interval join
+  /** D30: the LEFT OUTER variant of [[intervalJoin]] — every error is
+    * preserved, and an error with NO same-user click in its trailing
+    * 24 h window emits exactly once with the −1 sentinel pair, but only
+    * after BOTH watermarks pass the point where a matching click could
+    * still arrive. That deferred null emission is the semantics inner
+    * joins never exercise: the join must hold the left row in state
+    * until the click-side watermark proves the window empty, then emit
+    * and evict. State stays bounded by the same argument as D5 (the
+    * time-range condition ages both sides out); the null path adds no
+    * state — it is the EVICTION that emits.
+    *
+    * The time bound is written directly on the timestamp columns
+    * (`click_time BETWEEN err_time − INTERVAL 24 HOURS AND err_time`) —
+    * outer stream-stream joins REQUIRE Catalyst to recognize the
+    * event-time constraint to derive the state watermark; an arithmetic
+    * disguise (unix_micros) would fail analysis.
+    */
+  def intervalJoinOuter(errors: DataFrame, clicks: DataFrame): DataFrame = {
+    val e = errors.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("event_time").as("err_time"))
+      .withWatermark("err_time", WatermarkDelay)
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", WatermarkDelay)
+    e.join(c, col("user_id") === col("c_user_id")
+        && col("click_time") >= col("err_time") - expr("INTERVAL 24 HOURS")
+        && col("click_time") <= col("err_time"), "leftOuter")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("err_time")).as("err_us"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(unix_micros(col("click_time")), lit(-1L)).as("click_us"))
+  }
+
   // --------------------------------------- D6: running (global) totals
   /** D6: unwindowed running aggregate per event_type — the live
     * counters/dashboard shape (complete output mode). State is one row

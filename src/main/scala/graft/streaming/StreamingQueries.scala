@@ -1009,7 +1009,85 @@ object StreamingQueries {
        |  doc_id, score_micro
        |FROM sc ORDER BY score_micro DESC, doc_id LIMIT $TopkK""".stripMargin
 
+  // ---------------------------------------------------------------- D30
+  /** D30: stream-stream LEFT OUTER interval join over a staged 3-batch
+    * replay — the watermark-driven NULL-emission semantics D5's inner
+    * join never exercises. Batch b0 carries all real events; b1 and b2
+    * each carry one far-future sentinel error (user −1) and click
+    * (user −2) pair, 3 and 6 days past the real maximum. The sentinels
+    * exist to ADVANCE BOTH watermarks past every real window: after b1
+    * the joint watermark (maxTs + 3 d − the 2 h delay) proves every
+    * real error's click window closed, so b2's state eviction emits
+    * every real unmatched error with the −1 sentinel pair — emission
+    * happens in the batch AFTER the watermark passes, which is exactly
+    * why the replay needs 3 data batches (enforced loudly). Sentinel
+    * rows themselves never match (negative user ids) and are filtered
+    * from the SINK TABLE by `user_id >= 0` — deliberately after the
+    * stream (see the inline comment); the result is then exactly the
+    * batch LEFT JOIN, which is the oracle.
+    */
+  def d30StreamOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.Tables
+    val ev = Tables(spark, sfDir, "events")
+    val tsType = ev.schema("ts").dataType
+    val maxUs = StreamingOps.normalize(ev)
+      .agg(max(unix_micros(col("event_time")))).head.getLong(0)
+    def sentinels(us: Long, idBase: Long): DataFrame = {
+      def one(id: Long, user: Long, etype: String) = ev.limit(1).select(
+        lit(id).as("event_id"),
+        timestamp_micros(lit(us)).cast(tsType).as("ts"),
+        lit(user).as("user_id"),
+        lit(etype).as("event_type"),
+        lit(0.0).as("value"),
+        lit("{}").as("props"))
+      one(idBase, -1L, "error").unionByName(one(idBase - 1L, -2L, "click"))
+    }
+    val dir = java.nio.file.Paths.get(track(
+      Files.createTempDirectory("graft-d30-src").toString))
+    val now = System.currentTimeMillis()
+    val day = 86400000000L
+    StreamingOps.stageFrameFile(ev, dir, "b0.parquet", now - 600000L)
+    StreamingOps.stageFrameFile(sentinels(maxUs + 3 * day, -10L), dir, "b1.parquet",
+      now - 300000L)
+    StreamingOps.stageFrameFile(sentinels(maxUs + 6 * day, -20L), dir, "b2.parquet", now)
+    def src() = StreamingOps.normalize(
+      spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString))
+    // The sentinel filter MUST run on the sink table, not inside the
+    // streaming query: a `user_id >= 0` predicate there is pushed below
+    // the watermark operator (and through the equi-join key to BOTH
+    // sources), so the sentinel rows would be dropped before they can
+    // advance the watermark and the unmatched flush never happens — the
+    // replay silently degrades to "got 1 data batch" (observed, hence
+    // this comment).
+    runToTable(
+        StreamingOps.intervalJoinOuter(src(), src()),
+        "graft_d30_sink", "append", requireDataBatches = 3)
+      .filter(col("user_id") >= 0L)
+      .orderBy("event_id", "click_id")
+  }
+
+  /** Batch twin of the watermark-flushed outer join: plain LEFT JOIN
+    * with the same range condition and sentinel coalesce.
+    */
+  val d30Sql: String =
+    s"""WITH errors AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS err_us
+       |  FROM events WHERE event_type = 'error'),
+       |clicks AS (
+       |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
+       |  FROM events WHERE event_type = 'click')
+       |SELECT e.event_id, e.user_id, e.err_us,
+       |  COALESCE(c.click_id, -1) AS click_id,
+       |  COALESCE(c.click_us, -1) AS click_us
+       |FROM errors e LEFT JOIN clicks c
+       |  ON c.user_id = e.user_id
+       |  AND c.click_us >= e.err_us - ${graft.relational.Queries.RangeWindowUs}
+       |  AND c.click_us <= e.err_us
+       |ORDER BY event_id, click_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d30_stream_outer_join" -> (d30StreamOuterJoin _),
     "d29_stream_topk" -> (d29StreamTopk _),
     "d28_stream_merge_upsert" -> (d28StreamMergeUpsert _),
     "d27_stream_segment" -> (d27StreamSegment _),
@@ -1041,6 +1119,7 @@ object StreamingQueries {
     "d18_stream_quantile" -> (d18StreamQuantile _))
 
   val oracles: Map[String, String] = Map(
+    "d30_stream_outer_join" -> d30Sql,
     "d29_stream_topk" -> d29Sql,
     "d28_stream_merge_upsert" -> d28Sql,
     "d27_stream_segment" -> d27Sql,

@@ -566,4 +566,28 @@ class StreamingSpec extends SparkTestBase {
         r.getAs[Long]("score_micro")))
     assert(out.toSeq == all.zipWithIndex.map { case ((id, sc), i) => (i + 1L, id, sc) })
   }
+
+  test("D30 left-outer interval join: watermark-flushed stream == batch LEFT JOIN") {
+    val got = StreamingQueries.d30StreamOuterJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // batch twin, recomputed independently
+    val ev = StreamingOps.normalize(graft.Tables(spark, sf, "events"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("event_time")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val clicks = ev.filter(_._3 == "click")
+    val w = graft.relational.Queries.RangeWindowUs
+    val expected = ev.filter(_._3 == "error").flatMap { t =>
+      val (eid, u, _, eus) = t
+      val ms = clicks.filter(c => c._2 == u && c._4 >= eus - w && c._4 <= eus)
+      if (ms.isEmpty) Seq((eid, u, eus, -1L, -1L))
+      else ms.toSeq.map(c => (eid, u, eus, c._1, c._4))
+    }.sortBy(t => (t._1, t._4))
+    assert(got.toSeq == expected.toSeq)
+    // the null-emission path is genuinely exercised...
+    assert(got.exists(_._4 == -1L))
+    // ...alongside real matches, and no sentinel row leaks into the sink
+    assert(got.exists(_._4 >= 0L))
+    assert(got.forall(_._2 >= 0L))
+  }
 }
