@@ -104,10 +104,104 @@ case class BottomK(child: Expression, kExpr: Expression,
   override def prettyName: String = "bottom_k"
 }
 
+/** `hll_registers(h, p)`: the 2^p HyperLogLog registers (Flajolet et
+  * al. 2007) over pre-hashed 61-bit values, as an integer array — the
+  * OTHER canonical distinct sketch next to B15's KMV, as a real
+  * Catalyst aggregate (SURVEY.md §2 C107).
+  *
+  * Input values must lie in [0, 2⁶¹) — [[StrPolyHash]]'s range; bucket
+  * = h mod 2^p, and the register keeps the max over the group of
+  * ρ(w) = (trailing zeros of w = h div 2^p) + 1, with the all-zero
+  * suffix capped at 61−p+1. Trailing (not leading) zeros: identical
+  * estimator statistics, and the oracle twin reduces to the exact
+  * integer `log2(w & −w)` — no leading-zero SQL gymnastics.
+  *
+  * Same distribution argument as [[BottomK]]: each map task folds its
+  * partition into a fixed m-byte buffer, only m-byte buffers cross the
+  * wire, and merge = elementwise max — shuffle bytes O(m·partitions)
+  * regardless of row count, the textbook mergeable-summary shape. The
+  * ESTIMATE is deliberately left to the caller (registers are exact
+  * integers, so they hash-compare cross-engine; the float estimate is
+  * derived identically in both engines from this one array).
+  */
+case class HllRegisters(child: Expression, pExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  lazy val p: Int = pExpr.eval(InternalRow.empty).asInstanceOf[Number].intValue()
+  private lazy val m: Int = 1 << p
+  private lazy val rhoMax: Byte = (61 - p + 1).toByte
+
+  override def children: Seq[Expression] = Seq(child, pExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"hll_registers expects a bigint hash, got ${child.dataType}")
+    else if (!pExpr.foldable ||
+        !Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(pExpr.dataType) ||
+        pExpr.eval(InternalRow.empty) == null)
+      TypeCheckResult.TypeCheckFailure("hll_registers expects a non-null literal integer p")
+    else if (p < 4 || p > 16)
+      TypeCheckResult.TypeCheckFailure(s"hll_registers expects 4 <= p <= 16, got $p")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val j = (h % m).toInt
+      val w = h / m
+      val rho: Byte =
+        if (w == 0L) rhoMax
+        else (java.lang.Long.numberOfTrailingZeros(w) + 1).toByte
+      if (rho > buffer(j)) buffer(j) = rho
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) {
+      if (other(i) > buffer(i)) buffer(i) = other(i)
+      i += 1
+    }
+    buffer
+  }
+
+  override def eval(buffer: Array[Byte]): Any = {
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) { out(i) = buffer(i).toLong; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllRegisters =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllRegisters =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllRegisters =
+    copy(child = newChildren(0), pExpr = newChildren(1))
+  override def prettyName: String = "hll_registers"
+}
+
 /** Column-API entry point. */
 object aggs {
   import org.apache.spark.sql.GraftBridge.{column, expression}
 
   def bottom_k(v: Column, k: Int): Column =
     column(BottomK(expression(v), Literal(k)).toAggregateExpression())
+
+  def hll_registers(h: Column, p: Int): Column =
+    column(HllRegisters(expression(h), Literal(p)).toAggregateExpression())
 }

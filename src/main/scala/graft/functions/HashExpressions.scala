@@ -75,10 +75,97 @@ case class RollingHashes(first: Expression, second: Expression, third: Expressio
     copy(first = f, second = s, third = t)
 }
 
+/** Native full-string polynomial hash mod the Mersenne prime 2⁶¹−1
+  * (SURVEY.md §2 C107).
+  *
+  * `str_poly_hash(s) = (c₁·131^{L−1} + … + c_L) mod (2⁶¹−1)` over the
+  * string's bytes — a 61-bit, well-dispersed, ENGINE-NEUTRAL hash for
+  * sketching (HLL needs dispersion in every bit; the cheap
+  * length/first/last token hash the near-dup family uses is fine for
+  * shingle identity but useless as a sketch hash). The DuckDB twin is
+  * the same fold in 128-bit integers (`HUGEINT` accumulate, `% 2⁶¹−1`);
+  * byte values equal `ascii()` code points on this corpus's ASCII text
+  * — the C12-documented testdata contract both engines rely on.
+  *
+  * The mod-multiply never overflows: acc < 2⁶¹, so acc·131 < 2⁶⁸ is
+  * computed as a 128-bit product (`Math.multiplyHigh`) and reduced with
+  * the Mersenne identity 2⁶¹ ≡ 1 (so 2⁶⁴ ≡ 8): one shift-add chain,
+  * no BigInteger, inside whole-stage codegen.
+  */
+case class StrPolyHash(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"str_poly_hash expects a string, got ${child.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    StrPolyHash.hash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.StrPolyHash.hash($c.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): StrPolyHash =
+    copy(child = newChild)
+  override def prettyName: String = "str_poly_hash"
+}
+
+object StrPolyHash {
+  final val M: Long = (1L << 61) - 1
+
+  /** a·b mod 2⁶¹−1 for a, b ∈ [0, 2⁶¹): 128-bit product via
+    * `multiplyHigh`, Mersenne reduction (2⁶⁴ ≡ 8, so the high word
+    * folds back as hi·8 + top 3 bits of lo).
+    */
+  private def mulmod(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var r = ((hi << 3) | (lo >>> 61)) + (lo & M)
+    if (r >= M) r -= M
+    if (r >= M) r -= M
+    r
+  }
+
+  /** The fold both the interpreted and codegen paths share: polynomial
+    * base-131 accumulate, then TWO quadratic scramble rounds
+    * x → x² + c (mod M). The scramble is load-bearing: the fold alone
+    * is AFFINE in the input bytes, so structured token families
+    * (`token0 … tokenN`) land on an arithmetic lattice whose
+    * trailing-zero statistics are nothing like uniform — the HLL spec
+    * caught a 42% estimate bias on exactly that input. The quadratic
+    * map destroys the lattice (the same property Pollard's rho relies
+    * on to treat x²+c mod p as a pseudorandom walk); the DuckDB twin
+    * applies the identical two rounds in HUGEINT arithmetic.
+    */
+  def hash(b: Array[Byte]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < b.length) {
+      var r = mulmod(acc, 131L)
+      r += (b(i) & 0xffL)
+      if (r >= M) r -= M
+      acc = r
+      i += 1
+    }
+    var z = mulmod(acc, acc) + 12345L
+    if (z >= M) z -= M
+    z = mulmod(z, z) + 67890L
+    if (z >= M) z -= M
+    z
+  }
+}
+
 /** Column-API entry point (same bridge as [[vector]] / [[sets]]). */
 object hashes {
   import org.apache.spark.sql.GraftBridge.{column, expression}
 
   def rolling_hashes(arr: Column, b: Column, m: Column): Column =
     column(RollingHashes(expression(arr), expression(b), expression(m)))
+
+  def str_poly_hash(s: Column): Column =
+    column(StrPolyHash(expression(s)))
 }

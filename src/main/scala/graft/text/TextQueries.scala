@@ -854,6 +854,100 @@ object TextQueries {
        |ORDER BY d.source""".stripMargin
   }
 
+  // --------------------------------------------------------------- C107
+  /** C107: HyperLogLog vocabulary estimate per language — the registers
+    * sketch (Flajolet et al. 2007; [[graft.functions.HllRegisters]],
+    * m = 2⁸) against the exact distinct count on the same hashed
+    * universe, with the estimate and its signed error laid side by
+    * side: the "can I trust the sketch at this m" calibration every
+    * cardinality dashboard needs before replacing COUNT(DISTINCT) at
+    * 100 TB (where the exact count is a full shuffle of every distinct
+    * key and the sketch is 256 bytes per group, mergeable).
+    *
+    * Hash = [[graft.functions.StrPolyHash]] (61-bit poly mod Mersenne
+    * prime — the near-dup family's cheap token hash has no bit
+    * dispersion and would wreck the sketch); the exact count is
+    * COUNT(DISTINCT hash) so sketch and truth see the SAME universe
+    * and the comparison isolates sketch error from hash collisions.
+    * Registers are exact integers (hash-compared cross-engine via
+    * reg_fp = Σ Mⱼ·(j+1)); the float estimate is derived from them
+    * identically in both engines: raw = α₂₅₆·m²/Σ2^−Mⱼ (summed in
+    * register order — one IEEE sequence), linear counting below 2.5 m
+    * with zero registers present.
+    */
+  def c107HllVocab(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables(spark, dir, "documents")
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .select(col("lang"), graft.functions.hashes.str_poly_hash(col("token")).as("h"))
+    h.groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct(col("h")).as("n_distinct"),
+        graft.functions.aggs.hll_registers(col("h"), 8).as("regs"))
+      .withColumn("reg_fp", expr(
+        "aggregate(zip_with(regs, sequence(1L, 256L), (m, j) -> m * j), 0L, (a, b) -> a + b)"))
+      .withColumn("n_zero", size(expr("filter(regs, m -> m = 0)")).cast("long"))
+      .withColumn("s_sum", expr(
+        "aggregate(regs, CAST(0.0 AS DOUBLE), (acc, m) -> acc + pow(2.0, -m))"))
+      .withColumn("raw", expr("(0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / s_sum"))
+      .withColumn("est", round(
+        when(col("raw") <= 640.0 && col("n_zero") > 0,
+          expr("256.0 * ln(256.0 / n_zero)")).otherwise(col("raw")), 6))
+      .select(col("lang"), col("n_tokens"), col("n_distinct"), col("reg_fp"),
+        col("n_zero"), col("est"))
+      .orderBy("lang")
+  }
+
+  val c107Sql: String =
+    """WITH toks AS (
+      |  SELECT lang, UNNEST(string_split(text, ' ')) AS token FROM documents
+      |), hraw AS (
+      |  SELECT lang, list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |      list_transform(range(1, length(token) + 1),
+      |        i -> CAST(ascii(substr(token, i, 1)) AS HUGEINT))),
+      |      (acc, c) -> (acc * 131 + c) % 2305843009213693951) AS f
+      |  FROM toks
+      |), h1 AS (
+      |  SELECT lang, (f * f + 12345) % 2305843009213693951 AS f1 FROM hraw
+      |), hh AS (
+      |  SELECT lang, CAST((f1 * f1 + 67890) % 2305843009213693951 AS BIGINT) AS h FROM h1
+      |), reg0 AS (
+      |  SELECT lang, h % 256 AS j,
+      |    MAX(CASE WHEN h // 256 = 0 THEN 54
+      |        ELSE CAST(round(log2(CAST((h // 256) & (-(h // 256)) AS DOUBLE)), 0)
+      |             AS BIGINT) + 1 END) AS m
+      |  FROM hh GROUP BY lang, h % 256
+      |), grid AS (
+      |  SELECT l.lang, g.j
+      |  FROM (SELECT DISTINCT lang FROM documents) l
+      |  CROSS JOIN (SELECT UNNEST(range(0, 256)) AS j) g
+      |), regs AS (
+      |  SELECT grid.lang, list(COALESCE(reg0.m, 0) ORDER BY grid.j) AS rl
+      |  FROM grid LEFT JOIN reg0 ON reg0.lang = grid.lang AND reg0.j = grid.j
+      |  GROUP BY grid.lang
+      |), stats AS (
+      |  SELECT lang,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(list_zip(rl, range(1, 257)),
+      |        p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))),
+      |      (a, b) -> a + b) AS BIGINT) AS reg_fp,
+      |    len(list_filter(rl, m -> m = 0)) AS n_zero,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(rl, m -> pow(2.0, -CAST(m AS DOUBLE)))),
+      |      (a, b) -> a + b) AS s_sum
+      |  FROM regs
+      |), base AS (
+      |  SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT h) AS n_distinct
+      |  FROM hh GROUP BY lang
+      |)
+      |SELECT b.lang, b.n_tokens, b.n_distinct, s.reg_fp,
+      |  CAST(s.n_zero AS BIGINT) AS n_zero,
+      |  round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / s.s_sum <= 640.0
+      |             AND s.n_zero > 0
+      |    THEN 256.0 * ln(256.0 / s.n_zero)
+      |    ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / s.s_sum END, 6) AS est
+      |FROM base b JOIN stats s USING (lang)
+      |ORDER BY b.lang""".stripMargin
+
   // ---------------------------------------------------------------- C32
   /** Token-budget stratified subsample — cap each (lang, source) stratum
     * at [[StratumTokenBudget]] tokens, admitting documents in a
@@ -4112,6 +4206,7 @@ object TextQueries {
     "c30_domain_mix" -> (c30DomainMix _),
     "c31_lm_score" -> (c31LmScore _),
     "c105_doremi" -> (c105Doremi _),
+    "c107_hll_vocab" -> (c107HllVocab _),
     "c32_sample_budget" -> (c32SampleBudget _),
     "c33_prefix_dups" -> (c33PrefixDups _),
     "c36_quality_gate" -> (c36QualityGate _),
@@ -4175,6 +4270,7 @@ object TextQueries {
     "c30_domain_mix" -> c30Sql,
     "c31_lm_score" -> c31Sql,
     "c105_doremi" -> c105Sql,
+    "c107_hll_vocab" -> c107Sql,
     "c32_sample_budget" -> c32Sql,
     "c33_prefix_dups" -> c33Sql,
     "c36_quality_gate" -> c36Sql,

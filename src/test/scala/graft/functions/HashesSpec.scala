@@ -56,6 +56,67 @@ class HashesSpec extends SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
   }
+
+  private def checkProp(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val Mers = (1L << 61) - 1
+
+  test("str_poly_hash equals a BigInteger fold, codegen == interpreted, range bound") {
+    val strGen = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(32, 126)).map(_.map(_.toChar).mkString))
+    val bigM = java.math.BigInteger.valueOf(Mers)
+    checkProp(Prop.forAll(strGen) { s =>
+      val got = StrPolyHash.hash(s.getBytes("UTF-8"))
+      val fold = s.getBytes("UTF-8").foldLeft(java.math.BigInteger.ZERO) { (acc, b) =>
+        acc.multiply(java.math.BigInteger.valueOf(131L))
+          .add(java.math.BigInteger.valueOf(b & 0xffL))
+          .mod(bigM)
+      }
+      // the two quadratic scramble rounds (x -> x² + c mod M)
+      val r1 = fold.multiply(fold).add(java.math.BigInteger.valueOf(12345L)).mod(bigM)
+      val want = r1.multiply(r1).add(java.math.BigInteger.valueOf(67890L)).mod(bigM)
+        .longValueExact()
+      got == want && got >= 0L && got < Mers
+    })
+    // the Column path (codegen) agrees with the direct Scala fold
+    import spark.implicits._
+    val rows = Seq("alpha", "", "z", "the quick brown fox").toDF("s")
+      .select(col("s"), graft.functions.hashes.str_poly_hash(col("s")).as("h"))
+      .collect()
+    rows.foreach(r =>
+      assert(r.getLong(1) == StrPolyHash.hash(r.getString(0).getBytes("UTF-8"))))
+  }
+
+  test("hll_registers: exact recompute, elementwise-max merge across slicings") {
+    import spark.implicits._
+    val n = 5000
+    val hs = (0 until n).map(i => StrPolyHash.hash(s"token$i".getBytes("UTF-8")))
+    def regsOf(xs: Seq[Long]): Seq[Long] = {
+      val r = new Array[Long](256)
+      xs.foreach { h =>
+        val j = (h % 256).toInt
+        val w = h / 256
+        val rho = if (w == 0L) 54L else java.lang.Long.numberOfTrailingZeros(w) + 1L
+        if (rho > r(j)) r(j) = rho
+      }
+      r.toSeq
+    }
+    def sketch(xs: Seq[Long]): Seq[Long] =
+      xs.toDF("h").agg(graft.functions.aggs.hll_registers(col("h"), 8))
+        .head.getSeq[Long](0)
+    val all = sketch(hs)
+    assert(all == regsOf(hs))
+    // mergeability: registers(A ∪ B) == max(registers(A), registers(B))
+    val (a, b) = hs.partition(_ % 2 == 0)
+    assert(all == sketch(a).zip(sketch(b)).map { case (x, y) => math.max(x, y) })
+    // estimate sanity at m=256 (expected rel. error ~6.5%): within 25%
+    val sSum = all.map(m => math.pow(2.0, -m.toDouble)).sum
+    val est = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 / sSum
+    assert(math.abs(est - n) / n < 0.25, s"est=$est")
+  }
 }
 
 /** Property check against an independent per-prefix fold — direct
@@ -85,4 +146,5 @@ class RollingHashesPropSpec extends AnyFunSuite {
       got == want
     })
   }
+
 }

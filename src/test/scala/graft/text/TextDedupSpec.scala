@@ -359,6 +359,40 @@ class DedupQueriesSpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("w_micro")).distinct.length > 1)
   }
 
+  test("c107 hll vocab: registers and estimate recompute exactly, sketch within 25%") {
+    import graft.functions.StrPolyHash
+    val out = TextQueries.c107HllVocab(spark, sf).collect()
+    val toks = Tables(spark, sf, "documents").select("lang", "text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(t =>
+        (r.getString(0), StrPolyHash.hash(t.getBytes("UTF-8")))))
+    val byLang = toks.groupBy(_._1)
+    assert(out.length == byLang.size)
+    out.foreach { row =>
+      val lang = row.getString(0)
+      val hs = byLang(lang).map(_._2)
+      assert(row.getAs[Long]("n_tokens") == hs.length)
+      assert(row.getAs[Long]("n_distinct") == hs.distinct.length)
+      val regs = new Array[Long](256)
+      hs.foreach { h =>
+        val j = (h % 256).toInt
+        val w = h / 256
+        val rho = if (w == 0L) 54L else java.lang.Long.numberOfTrailingZeros(w) + 1L
+        if (rho > regs(j)) regs(j) = rho
+      }
+      assert(row.getAs[Long]("reg_fp") ==
+        regs.zipWithIndex.map { case (m, j) => m * (j + 1L) }.sum)
+      val nZero = regs.count(_ == 0L).toLong
+      assert(row.getAs[Long]("n_zero") == nZero)
+      val sSum = regs.foldLeft(0.0)((acc, m) => acc + math.pow(2.0, -m.toDouble))
+      val raw = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 / sSum
+      val est = if (raw <= 640.0 && nZero > 0) 256.0 * math.log(256.0 / nZero) else raw
+      assert(math.abs(row.getAs[Double]("est") - est) < 1e-5, s"lang $lang")
+      // the sketch is fit for purpose at this m
+      val exact = hs.distinct.length.toDouble
+      assert(math.abs(est - exact) / exact < 0.25, s"lang $lang est=$est exact=$exact")
+    }
+  }
+
   test("c32 budget sample: admission is prefix-closed in hash order per stratum") {
     val r = TextQueries.c32SampleBudget(spark, sf)
     assert(r.count() > 0)
