@@ -1086,7 +1086,43 @@ object StreamingQueries {
        |  AND c.click_us <= e.err_us
        |ORDER BY event_id, click_id""".stripMargin
 
+  // ---------------------------------------------------------------- D31
+  /** D31: streaming HyperLogLog vocabulary — C107's register sketch
+    * maintained by the live stream. The point is WHY the sketch exists:
+    * `COUNT(DISTINCT)` is not a streamable aggregate (its state is the
+    * distinct set itself — unbounded), and Structured Streaming rejects
+    * it outright; the HLL registers ARE streamable state — 256 bytes
+    * per language forever, merged across micro-batches by the
+    * aggregate's elementwise-max path (the same merge the map-side
+    * partial agg exercises). The estimate derives on the sink table
+    * through [[graft.text.TextQueries.hllFinalize]] — the d18
+    * finalize-on-sink pattern, one definition for batch and stream —
+    * so the oracle is C107's CTE chain minus the n_distinct column the
+    * stream, by design, cannot produce.
+    */
+  def d31StreamHll(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.TextQueries
+    val h = TextQueries.hllTokenHashes(
+      StreamingOps.docsStream(spark, sfDir, staged(spark, sfDir, "documents")))
+    val sink = runToTable(
+      h.groupBy("lang").agg(count(lit(1)).as("n_tokens"),
+        graft.functions.aggs.hll_registers(col("h"), 8).as("regs")),
+      "graft_d31_sink", "complete")
+    TextQueries.hllFinalize(sink)
+      .select(col("lang"), col("n_tokens"), col("reg_fp"), col("n_zero"), col("est"))
+      .orderBy("lang")
+  }
+
+  val d31Sql: String =
+    s"""WITH ${graft.text.TextQueries.hllCtes}
+       |SELECT b.lang, b.n_tokens, s.reg_fp,
+       |  CAST(s.n_zero AS BIGINT) AS n_zero,
+       |  ${graft.text.TextQueries.hllEstSql} AS est
+       |FROM base b JOIN stats s USING (lang)
+       |ORDER BY b.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d31_stream_hll" -> (d31StreamHll _),
     "d30_stream_outer_join" -> (d30StreamOuterJoin _),
     "d29_stream_topk" -> (d29StreamTopk _),
     "d28_stream_merge_upsert" -> (d28StreamMergeUpsert _),
@@ -1119,6 +1155,7 @@ object StreamingQueries {
     "d18_stream_quantile" -> (d18StreamQuantile _))
 
   val oracles: Map[String, String] = Map(
+    "d31_stream_hll" -> d31Sql,
     "d30_stream_outer_join" -> d30Sql,
     "d29_stream_topk" -> d29Sql,
     "d28_stream_merge_upsert" -> d28Sql,

@@ -875,30 +875,45 @@ object TextQueries {
     * register order — one IEEE sequence), linear counting below 2.5 m
     * with zero registers present.
     */
+  /** (lang, h) token-hash stream — shared by C107 and the D31 stream
+    * twin (works on batch and streaming frames alike).
+    */
+  def hllTokenHashes(docs: DataFrame): DataFrame = docs
+    .select(col("lang"), explode(tokens(col("text"))).as("token"))
+    .select(col("lang"), graft.functions.hashes.str_poly_hash(col("token")).as("h"))
+
+  /** Register-array finalize (fingerprint, zero count, HLL estimate) —
+    * ONE derivation shared by C107 and D31's on-sink finalize, so both
+    * engines and both execution modes estimate through the same IEEE
+    * sequence.
+    */
+  def hllFinalize(withRegs: DataFrame): DataFrame = withRegs
+    .withColumn("reg_fp", expr(
+      "aggregate(zip_with(regs, sequence(1L, 256L), (m, j) -> m * j), 0L, (a, b) -> a + b)"))
+    .withColumn("n_zero", size(expr("filter(regs, m -> m = 0)")).cast("long"))
+    .withColumn("s_sum", expr(
+      "aggregate(regs, CAST(0.0 AS DOUBLE), (acc, m) -> acc + pow(2.0, -m))"))
+    .withColumn("raw", expr("(0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / s_sum"))
+    .withColumn("est", round(
+      when(col("raw") <= 640.0 && col("n_zero") > 0,
+        expr("256.0 * ln(256.0 / n_zero)")).otherwise(col("raw")), 6))
+
   def c107HllVocab(spark: SparkSession, dir: String): DataFrame = {
-    val h = Tables(spark, dir, "documents")
-      .select(col("lang"), explode(tokens(col("text"))).as("token"))
-      .select(col("lang"), graft.functions.hashes.str_poly_hash(col("token")).as("h"))
-    h.groupBy("lang")
+    val h = hllTokenHashes(Tables(spark, dir, "documents"))
+    hllFinalize(h.groupBy("lang")
       .agg(count(lit(1)).as("n_tokens"),
         count_distinct(col("h")).as("n_distinct"),
-        graft.functions.aggs.hll_registers(col("h"), 8).as("regs"))
-      .withColumn("reg_fp", expr(
-        "aggregate(zip_with(regs, sequence(1L, 256L), (m, j) -> m * j), 0L, (a, b) -> a + b)"))
-      .withColumn("n_zero", size(expr("filter(regs, m -> m = 0)")).cast("long"))
-      .withColumn("s_sum", expr(
-        "aggregate(regs, CAST(0.0 AS DOUBLE), (acc, m) -> acc + pow(2.0, -m))"))
-      .withColumn("raw", expr("(0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / s_sum"))
-      .withColumn("est", round(
-        when(col("raw") <= 640.0 && col("n_zero") > 0,
-          expr("256.0 * ln(256.0 / n_zero)")).otherwise(col("raw")), 6))
+        graft.functions.aggs.hll_registers(col("h"), 8).as("regs")))
       .select(col("lang"), col("n_tokens"), col("n_distinct"), col("reg_fp"),
         col("n_zero"), col("est"))
       .orderBy("lang")
   }
 
-  val c107Sql: String =
-    """WITH toks AS (
+  /** The C107 oracle CTE chain up to per-lang stats — shared verbatim
+    * with the D31 stream twin's oracle (one sketch definition).
+    */
+  private[graft] val hllCtes: String =
+    """toks AS (
       |  SELECT lang, UNNEST(string_split(text, ' ')) AS token FROM documents
       |), hraw AS (
       |  SELECT lang, list_reduce(list_prepend(CAST(0 AS HUGEINT),
@@ -938,15 +953,21 @@ object TextQueries {
       |), base AS (
       |  SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT h) AS n_distinct
       |  FROM hh GROUP BY lang
-      |)
-      |SELECT b.lang, b.n_tokens, b.n_distinct, s.reg_fp,
-      |  CAST(s.n_zero AS BIGINT) AS n_zero,
-      |  round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / s.s_sum <= 640.0
-      |             AND s.n_zero > 0
-      |    THEN 256.0 * ln(256.0 / s.n_zero)
-      |    ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / s.s_sum END, 6) AS est
-      |FROM base b JOIN stats s USING (lang)
-      |ORDER BY b.lang""".stripMargin
+      |)""".stripMargin
+
+  private[graft] val hllEstSql: String =
+    """round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / s.s_sum <= 640.0
+      |           AND s.n_zero > 0
+      |  THEN 256.0 * ln(256.0 / s.n_zero)
+      |  ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / s.s_sum END, 6)""".stripMargin
+
+  val c107Sql: String =
+    s"""WITH $hllCtes
+       |SELECT b.lang, b.n_tokens, b.n_distinct, s.reg_fp,
+       |  CAST(s.n_zero AS BIGINT) AS n_zero,
+       |  $hllEstSql AS est
+       |FROM base b JOIN stats s USING (lang)
+       |ORDER BY b.lang""".stripMargin
 
   // ---------------------------------------------------------------- C32
   /** Token-budget stratified subsample — cap each (lang, source) stratum

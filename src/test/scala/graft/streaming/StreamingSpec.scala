@@ -590,4 +590,26 @@ class StreamingSpec extends SparkTestBase {
     assert(got.exists(_._4 >= 0L))
     assert(got.forall(_._2 >= 0L))
   }
+
+  test("D31 streaming HLL == batch C107; COUNT DISTINCT itself is unstreamable") {
+    import graft.text.TextQueries
+    val got = StreamingQueries.d31StreamHll(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val want = TextQueries.c107HllVocab(spark, sf)
+      .select("lang", "n_tokens", "reg_fp", "n_zero", "est").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == want.toSeq)
+    // the sketch exists BECAUSE count_distinct is rejected on a stream
+    val streamDocs = spark.readStream
+      .schema(graft.Tables(spark, sf, "documents").schema)
+      .parquet(java.nio.file.Files.createTempDirectory("d31-empty").toString)
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      streamDocs.groupBy("lang").agg(count_distinct(col("text")))
+        .writeStream.format("memory").queryName("d31_should_fail")
+        .outputMode("complete").start()
+    }
+    assert(ex.getMessage.toLowerCase.contains("distinct"))
+  }
 }
