@@ -977,6 +977,105 @@ object EmbedQueries {
        |LEFT JOIN pt p ON p.id = v.vec_id
        |ORDER BY v.vec_id""".stripMargin
 
+  // --------------------------------------------------------------- C108
+  /** C108: graph-based ANN search — greedy BEAM WALK over the mutual-kNN
+    * graph, the query pattern behind every modern graph ANN index
+    * (HNSW, Malkov & Yashunin 2018; NSG): start every probe at a fixed
+    * entry node, and each hop scores the current beam plus its graph
+    * neighbors against the probe and keeps the best [[BeamWidth]]
+    * (ties to the smaller id). Because the beam is always a subset of
+    * the next hop's candidates, best-found cosine is MONOTONE
+    * non-decreasing in hops (spec-pinned), and [[BeamHops]] hops bound
+    * the walk — the engineered trade every graph index makes: candidate
+    * volume per probe is ≤ beam·maxdeg per hop, independent of corpus
+    * size, vs C10's full-scan and C11/C18's bucket recall cliffs.
+    *
+    * Scale shape: per hop ONE frontier⋈adjacency equi-join (frontier =
+    * probes·beam rows — tiny — against the edge list, shuffle on the
+    * node key), one embedding lookup join, one per-probe top-B window
+    * over ≤ beam·(maxdeg+1) rows; lineage truncated per hop (the c102
+    * Pregel discipline). The probe set broadcasts. At 100 TB the edge
+    * list is the big side and every hop touches it exactly once —
+    * that IS the graph-ANN batch-search plan.
+    */
+  val BeamWidth = 4
+  val BeamHops = 5
+
+  def c108GraphAnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorms(spark, dir)
+    val probes = e.filter(col("vec_id") % ProbeMod === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("n2").as("pn"))
+    val und = mutualEdges(spark, dir).select("vec_a", "vec_b")
+    val adj = und.select(col("vec_a").as("node"), col("vec_b").as("nbr"))
+      .unionByName(und.select(col("vec_b").as("node"), col("vec_a").as("nbr")))
+      .localCheckpoint(true)
+    // min node: every edge is canonical vec_a < vec_b, so the global
+    // minimum appears as a vec_a (staging scalar, the c102 nTotal rule)
+    val entry = und.agg(min(col("vec_a"))).head.getLong(0)
+    val emb = e.select(col("vec_id").as("cand"), col("embedding").as("ce"),
+      col("n2").as("cn"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand"))
+    def topB(cands: DataFrame): DataFrame = cands
+      .join(broadcast(probes), "probe_id")
+      .join(emb, "cand")
+      .select(col("probe_id"), col("cand"),
+        cosine(dot(col("pe"), col("ce")), col("pn"), col("cn")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= BeamWidth)
+    var beam = topB(probes.select(col("probe_id"), lit(entry).as("cand")))
+    for (_ <- 1 to BeamHops) {
+      val expanded = beam.select(col("probe_id"), col("cand"))
+        .join(adj, col("cand") === col("node"))
+        .select(col("probe_id"), col("nbr").as("cand"))
+      beam = topB(beam.select("probe_id", "cand").unionByName(expanded).distinct())
+        .localCheckpoint(true)
+    }
+    beam.select(col("probe_id"), col("rnk"), col("cand").as("vec_id"), col("cos"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  lazy val c108Sql: String = {
+    def hop(k: Int): String =
+      s"""c$k AS (
+         |  SELECT DISTINCT probe_id, cand FROM (
+         |    SELECT probe_id, cand FROM f${k - 1}
+         |    UNION ALL
+         |    SELECT f.probe_id, ed.nbr AS cand
+         |    FROM f${k - 1} f JOIN ed ON ed.node = f.cand)
+         |), f$k AS MATERIALIZED (
+         |  SELECT probe_id, cand FROM (
+         |    SELECT c.probe_id, c.cand,
+         |      ROW_NUMBER() OVER (PARTITION BY c.probe_id ORDER BY
+         |        round(${dotSql("p.pe", "e.embedding")} / sqrt(p.pn * e.n2), 6) DESC,
+         |        c.cand) AS rnk
+         |    FROM c$k c
+         |    JOIN gprobes p USING (probe_id)
+         |    JOIN norms e ON e.vec_id = c.cand)
+         |  WHERE rnk <= $BeamWidth
+         |)""".stripMargin
+    s"""WITH $knnGraphCtes,
+       |ed AS MATERIALIZED (
+       |  SELECT vec_a AS node, vec_b AS nbr FROM mutual
+       |  UNION ALL SELECT vec_b, vec_a FROM mutual),
+       |en AS (SELECT MIN(vec_a) AS entry FROM mutual),
+       |gprobes AS (
+       |  SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn
+       |  FROM norms WHERE vec_id % $ProbeMod = 0),
+       |f0 AS (SELECT probe_id, entry AS cand FROM gprobes CROSS JOIN en),
+       |${(1 to BeamHops).map(hop).mkString(",\n")}
+       |SELECT probe_id, rnk, cand AS vec_id, cos FROM (
+       |  SELECT f.probe_id, f.cand,
+       |    round(${dotSql("p.pe", "e.embedding")} / sqrt(p.pn * e.n2), 6) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY f.probe_id ORDER BY
+       |      round(${dotSql("p.pe", "e.embedding")} / sqrt(p.pn * e.n2), 6) DESC,
+       |      f.cand) AS rnk
+       |  FROM f$BeamHops f
+       |  JOIN gprobes p USING (probe_id)
+       |  JOIN norms e ON e.vec_id = f.cand)
+       |ORDER BY probe_id, rnk""".stripMargin
+  }
+
   // ---------------------------------------------------------------- C50
   /** C50: the assignment step of Lloyd's k-means over the embedding
     * corpus — the workhorse of semantic clustering / cluster-balanced
@@ -1635,6 +1734,7 @@ object EmbedQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c102_pagerank" -> (c102Pagerank _),
     "c104_triangles" -> (c104Triangles _),
+    "c108_graph_ann" -> (c108GraphAnn _),
     "c81_hard_negatives" -> (c81HardNegatives _),
     "c78_centroid_eval" -> (c78CentroidEval _),
     "c69_label_prop" -> (c69LabelProp _),
@@ -1659,6 +1759,7 @@ object EmbedQueries {
   val oracles: Map[String, String] = Map(
     "c102_pagerank" -> c102Sql,
     "c104_triangles" -> c104Sql,
+    "c108_graph_ann" -> c108Sql,
     "c81_hard_negatives" -> c81Sql,
     "c78_centroid_eval" -> c78Sql,
     "c69_label_prop" -> c69Sql,

@@ -178,6 +178,48 @@ class EmbedQueriesSpec extends SparkTestBase {
     out.foreach(r => assert(r.getAs[Long]("lcc_nano") >= 0L &&
       r.getAs[Long]("lcc_nano") <= 1000000000L))
   }
+
+  test("c108 beam walk: exact recompute, monotone best-cos, beam stays on the graph") {
+    import graft.embed.EmbedQueries
+    val out = EmbedQueries.c108GraphAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getDouble(3)))
+    val vecs = graft.Tables(spark, sf, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      BigDecimal(d / math.sqrt(na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val und = EmbedQueries.c46KnnGraph(spark, sf).select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val entry = und.map(_._1).min
+    val probes = vecs.keys.filter(_ % EmbedQueries.ProbeMod == 0).toSeq.sorted
+    val expected = probes.flatMap { p =>
+      val pe = vecs(p)
+      var beam = Seq(entry)
+      var lastBest = cos(pe, vecs(entry))
+      (1 to EmbedQueries.BeamHops).foreach { _ =>
+        val cands = (beam ++ beam.flatMap(n => adj.getOrElse(n, Set.empty))).distinct
+        beam = cands.map(c => (c, cos(pe, vecs(c))))
+          .sortBy { case (c, s) => (-s, c) }.take(EmbedQueries.BeamWidth).map(_._1)
+        val best = cos(pe, vecs(beam.head))
+        assert(best >= lastBest - 1e-9, s"probe $p best regressed")  // monotone
+        lastBest = best
+      }
+      beam.zipWithIndex.map { case (c, i) => (p, i + 1L, c, cos(pe, vecs(c))) }
+    }
+    assert(out.toSeq == expected)
+    // every reported node is on the graph or the entry itself
+    val nodes = adj.keySet + entry
+    assert(out.forall(t => nodes.contains(t._3)))
+  }
 }
 
 class MultimodalSpec extends SparkTestBase {
