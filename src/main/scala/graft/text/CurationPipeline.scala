@@ -26,7 +26,10 @@ import graft.{GraftSession, Tables}
   *     partition-local pass (C96's native BpeSegment expression);
   *  8. write the curated, tokenized corpus as parquet partitioned by
   *     split — the layout a training job consumes (split pruning for
-  *     free, token arrays ready to pack into batches).
+  *     free, token arrays ready to pack into batches);
+  *  9. mixture plan — DoReMi multiplicative weights (C105) over the
+  *     curated train split, written next to the corpus as the
+  *     per-source sampling table a training job reads.
   *
   * Every stage is declarative DataFrame algebra over the same operators
   * the driver hash-checks individually; the composition adds no new
@@ -51,7 +54,8 @@ object CurationPipeline {
       total: Long, afterGates: Long, afterExact: Long, afterNear: Long,
       train: Long, val_ : Long, test: Long, droppedContaminated: Long,
       afterSegTrim: Long, segTokensDropped: Long,
-      sequences: Long, bpeMerges: Long, tokensAfterBpe: Long)
+      sequences: Long, bpeMerges: Long, tokensAfterBpe: Long,
+      mixSources: Long, mixMassMicro: Long)
 
   /** spark-submit entry: runMain graft.text.CurationPipeline <sfDir> <outDir>. */
   def main(args: Array[String]): Unit = {
@@ -154,6 +158,18 @@ object CurationPipeline {
       .parquet(s"$outDir/corpus")
     val out = spark.read.parquet(s"$outDir/corpus")
 
+    // 9. mixture plan (C105): DoReMi multiplicative weights over the
+    // CURATED train split — the per-source sampling weights a training
+    // job reads next to the corpus. Computed after curation (weights
+    // over documents that no longer exist would bias the mix), through
+    // the same doremiWeights definition the driver hash-checks.
+    val mixture = TextQueries.doremiWeights(
+      out.filter(col("split") === "train").select(col("doc_id"), col("source"))
+        .join(TextQueries.c31LmScore(spark, dir)
+          .select("doc_id", "avg_cond_micro"), "doc_id"))
+    mixture.write.mode("overwrite").parquet(s"$outDir/mixture")
+    val mixRows = spark.read.parquet(s"$outDir/mixture").collect()
+
     def n(df: DataFrame): Long = df.count()
     val bySplit = out.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -173,6 +189,8 @@ object CurationPipeline {
       bpeMerges = merges.size.toLong,
       tokensAfterBpe = out
         .agg(coalesce(sum(size(col("toks")).cast("long")), lit(0L)))
-        .head().getLong(0))
+        .head().getLong(0),
+      mixSources = mixRows.length.toLong,
+      mixMassMicro = mixRows.map(_.getAs[Long]("w_micro")).sum)
   }
 }

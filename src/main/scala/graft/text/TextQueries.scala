@@ -795,9 +795,18 @@ object TextQueries {
     */
   val MixIters = 8
 
-  def c105Doremi(spark: SparkSession, dir: String): DataFrame = {
-    val dom = Tables(spark, dir, "documents").select(col("doc_id"), col("source"))
-      .join(lmScoredDocs(spark, dir).select("doc_id", "avg_cond_micro"), "doc_id")
+  def c105Doremi(spark: SparkSession, dir: String): DataFrame =
+    doremiWeights(
+      Tables(spark, dir, "documents").select(col("doc_id"), col("source"))
+        .join(lmScoredDocs(spark, dir).select("doc_id", "avg_cond_micro"), "doc_id"))
+
+  /** The C105 body on any (source, avg_cond_micro) doc frame — the
+    * curation pipeline reweights its curated TRAIN split through this
+    * same definition (stage 9).
+    */
+  private[graft] def doremiWeights(perDoc: DataFrame): DataFrame = {
+    val spark = perDoc.sparkSession
+    val dom = perDoc
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("avg_cond_micro").as("s"))
       .select(col("source"), col("n_docs"),

@@ -59,5 +59,23 @@ class CurationPipelineSpec extends SparkTestBase {
       .filter(col("quality_micro") < CurationPipeline.MinQualityMicro
         || col("dup_frac_micro") > CurationPipeline.MaxDupFracMicro)
     assert(gatesViolated.count() == 0)
+
+    // stage 9: the mixture table covers exactly the curated train
+    // sources with scored docs, and the weights renormalize to 1e6
+    // within one truncation unit per source
+    val mixture = spark.read.parquet(s"$out/mixture")
+    val trainSources = corpus.filter(col("split") === "train")
+      .join(TextQueries.c31LmScore(spark, sf).select("doc_id"), "doc_id")
+      .select("source").distinct().count()
+    assert(r.mixSources == trainSources)
+    assert(mixture.count() == r.mixSources)
+    assert(r.mixMassMicro <= 1000000L && r.mixMassMicro >= 1000000L - r.mixSources)
+    // weights are loss-monotone (the C105 contract, preserved by composition)
+    val mrows = mixture.orderBy("loss_micro").collect()
+    mrows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[Long]("w_micro") <= hi.getAs[Long]("w_micro"))
+      case _ =>
+    }
   }
 }
