@@ -3605,6 +3605,89 @@ object TextQueries {
        |FROM bm25r WHERE rnk <= $Bm25TopK
        |ORDER BY qid, rnk""".stripMargin
 
+  // --------------------------------------------------------------- C109
+  /** C109: retrieval evaluation — NDCG@10 and MRR of the C88 BM25 run
+    * against term-coverage relevance (rel(q,d) = how many of q's terms
+    * d contains, 0–3; gain 2^rel−1, the graded-relevance convention of
+    * Järvelin & Kekäläinen 2002): the evaluation layer every retrieval
+    * stack runs before trusting its ranker — C88/C99 produce runs,
+    * this scores them. Coverage is ranker-INDEPENDENT (it never reads
+    * a BM25 score), so the metric can't leak the thing it judges; the
+    * ideal ranking sorts coverage itself.
+    *
+    * Exactness: the only irrational inputs are the 10 log₂ discounts,
+    * embedded as shared LITERAL constants in both engines' expressions
+    * (computed once here, printed at full double precision — zero
+    * cross-libm risk, unlike calling log2() in two runtimes); each
+    * rank's discounted gain quantizes to nano BIGINT before the sum
+    * (the c73 rule), and NDCG/MRR are integer micro ratios.
+    *
+    * Scale shape: coverage = one toks⋈terms broadcast join + a
+    * (qid, doc) partial agg; ideal = per-qid top-10 window over docs
+    * that hit ≥1 term (candidate-bounded); the run side is the K-row
+    * memoized [[bm25Ranked]] frame. Nothing scans the corpus twice
+    * beyond the coverage pass.
+    */
+  private val log2Cases: String = (2 to (Bm25TopK + 1)).map(i =>
+    s"WHEN $i THEN ${math.log(i.toDouble) / math.log(2.0)}").mkString(" ")
+
+  def c109RetrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val stats = toks.groupBy("token").agg(count_distinct(col("doc_id")).as("df"))
+    val cov = toks.join(broadcast(queryTerms(stats)), "token")
+      .groupBy("qid", "doc_id").agg(count_distinct(col("token")).as("rel"))
+    def gNano(rel: String, rank: String): Column = expr(
+      s"""CAST(ROUND(CAST(shiftleft(1, CAST($rel AS INT)) - 1 AS DOUBLE)
+         | / (CASE ($rank + 1) $log2Cases END) * 1e9) AS BIGINT)""".stripMargin)
+    val wIdeal = Window.partitionBy("qid").orderBy(col("rel").desc, col("doc_id"))
+    val ideal = cov.withColumn("pos", row_number().over(wIdeal))
+      .filter(col("pos") <= Bm25TopK)
+      .withColumn("g", gNano("rel", "pos"))
+      .groupBy("qid").agg(sum("g").as("idcg_nano"))
+    val dcg = bm25Ranked(spark, dir)
+      .withColumn("g", gNano("n_terms_hit", "rnk"))
+      .groupBy("qid").agg(sum("g").as("dcg_nano"),
+        min(when(col("n_terms_hit") === Bm25TermsPerQuery, col("rnk"))).as("fr"))
+    val nrel = cov.groupBy("qid").agg(count(lit(1)).as("n_rel_docs"))
+    dcg.join(ideal, "qid").join(nrel, "qid")
+      .select(col("qid"), col("n_rel_docs"), col("dcg_nano"), col("idcg_nano"),
+        expr("(dcg_nano * 1000000) div idcg_nano").as("ndcg_micro"),
+        coalesce(expr("1000000L div fr"), lit(0L)).as("mrr_micro"))
+      .orderBy("qid")
+  }
+
+  lazy val c109Sql: String =
+    s"""WITH $bm25Ctes,
+       |cov AS (
+       |  SELECT q.qid, t.doc_id, COUNT(DISTINCT t.token) AS rel
+       |  FROM toks t JOIN terms q USING (token)
+       |  GROUP BY q.qid, t.doc_id
+       |), ideal AS (
+       |  SELECT qid, CAST(SUM(CAST(ROUND(CAST((1 << rel) - 1 AS DOUBLE)
+       |      / (CASE (pos + 1) $log2Cases END) * 1e9) AS BIGINT)) AS BIGINT)
+       |    AS idcg_nano
+       |  FROM (SELECT qid, rel,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS pos
+       |    FROM cov)
+       |  WHERE pos <= $Bm25TopK GROUP BY qid
+       |), run AS (
+       |  SELECT qid, rnk, n_terms_hit FROM bm25r WHERE rnk <= $Bm25TopK
+       |), dcg AS (
+       |  SELECT qid,
+       |    CAST(SUM(CAST(ROUND(CAST((1 << n_terms_hit) - 1 AS DOUBLE)
+       |      / (CASE (rnk + 1) $log2Cases END) * 1e9) AS BIGINT)) AS BIGINT)
+       |      AS dcg_nano,
+       |    MIN(CASE WHEN n_terms_hit = $Bm25TermsPerQuery THEN rnk END) AS fr
+       |  FROM run GROUP BY qid
+       |), nrel AS (SELECT qid, COUNT(*) AS n_rel_docs FROM cov GROUP BY qid)
+       |SELECT d.qid, n.n_rel_docs, d.dcg_nano, i.idcg_nano,
+       |  (d.dcg_nano * 1000000) // i.idcg_nano AS ndcg_micro,
+       |  COALESCE(1000000 // d.fr, 0) AS mrr_micro
+       |FROM dcg d JOIN ideal i USING (qid) JOIN nrel n USING (qid)
+       |ORDER BY d.qid""".stripMargin
+
   // ---------------------------------------------------------------- C99
   /** C99: hybrid-retrieval reciprocal-rank fusion (Cormack, Clarke &
     * Büttcher 2009: RRF(d) = Σ_runs 1/(k + rank_run(d)), k = 60) —
@@ -4208,6 +4291,7 @@ object TextQueries {
     "c90_pack_sweep" -> (c90PackSweep _),
     "c89_pmi_pairs" -> (c89PmiPairs _),
     "c88_bm25" -> (c88Bm25 _),
+    "c109_retrieval_eval" -> (c109RetrievalEval _),
     "c87_epoch_plan" -> (c87EpochPlan _),
     "c86_contam_sweep" -> (c86ContamSweep _),
     "c83_span_corruption" -> (c83SpanCorruption _),
@@ -4272,6 +4356,7 @@ object TextQueries {
     "c90_pack_sweep" -> c90Sql,
     "c89_pmi_pairs" -> c89Sql,
     "c88_bm25" -> c88Sql,
+    "c109_retrieval_eval" -> c109Sql,
     "c87_epoch_plan" -> c87Sql,
     "c86_contam_sweep" -> c86Sql,
     "c83_span_corruption" -> c83Sql,

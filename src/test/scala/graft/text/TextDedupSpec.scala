@@ -393,6 +393,48 @@ class DedupQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("c109 retrieval eval: exact NDCG/MRR recompute, ideal dominates the run") {
+    val out = TextQueries.c109RetrievalEval(spark, sf).collect()
+    val run = TextQueries.c88Bm25(spark, sf)
+      .select("qid", "rnk", "doc_id", "n_terms_hit").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // coverage recomputed independently of the ranker
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSet))
+    // query terms: reconstruct from the run is not possible — recompute df-ranked
+    val dfMap = docs.flatMap { case (id, ts) => ts.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val qterms = dfMap.toSeq.sortBy { case (t, df) => (df, t) }
+      .take(TextQueries.Bm25Queries * TextQueries.Bm25TermsPerQuery)
+      .zipWithIndex
+      .groupBy(_._2 / TextQueries.Bm25TermsPerQuery)
+      .view.mapValues(_.map(_._1._1).toSet).toMap
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    def gNano(rel: Long, rank: Int): Long =
+      math.round(((1L << rel) - 1).toDouble / log2(rank + 1.0) * 1e9)
+    out.foreach { row =>
+      val q = row.getLong(0)
+      val qt = qterms(q.toInt)
+      val rel = docs.map { case (id, ts) => id -> ts.intersect(qt).size.toLong }
+        .filter(_._2 > 0).toMap
+      assert(row.getAs[Long]("n_rel_docs") == rel.size)
+      val idcg = rel.values.toSeq.sortBy(-_).take(TextQueries.Bm25TopK)
+        .zipWithIndex.map { case (r, i) => gNano(r, i + 1) }.sum
+      assert(row.getAs[Long]("idcg_nano") == idcg, s"idcg q$q")
+      val qRun = run.filter(_._1 == q)
+      val dcg = qRun.map { case (_, rnk, _, hit) => gNano(hit, rnk) }.sum
+      assert(row.getAs[Long]("dcg_nano") == dcg, s"dcg q$q")
+      assert(row.getAs[Long]("ndcg_micro") == dcg * 1000000L / idcg)
+      val fr = qRun.filter(_._4 == TextQueries.Bm25TermsPerQuery.toLong)
+        .map(_._2).sorted.headOption
+      assert(row.getAs[Long]("mrr_micro") ==
+        fr.map(1000000L / _).getOrElse(0L), s"mrr q$q")
+      // the ideal ranking dominates any run by construction
+      assert(idcg >= dcg && row.getAs[Long]("ndcg_micro") <= 1000000L)
+    }
+    assert(out.length == TextQueries.Bm25Queries)
+  }
+
   test("c32 budget sample: admission is prefix-closed in hash order per stratum") {
     val r = TextQueries.c32SampleBudget(spark, sf)
     assert(r.count() > 0)
