@@ -504,6 +504,29 @@ object ScaleSmoke {
     require(hubDeg == hubSpokes, s"hub degree $hubDeg")
     println(f"SCALE triangleHub spokes=$hubSpokes tris=$nTri " +
       f"maxTaskMs=$tMaxMs meanTaskMs=$tMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // --- HLL registers at volume (the C107 aggregate): nCells hashed
+    // string values with a KNOWN distinct count — state per task is the
+    // fixed 256-byte register buffer regardless of row count (the
+    // mergeable-summary contract: only m-byte buffers cross the wire),
+    // and the estimate must land within the m=256 error envelope
+    // (σ ≈ 1.04/√256 = 6.5%; require < 3σ) against the closed-form
+    // truth. str_poly_hash runs inside the scan stage (codegen).
+    t0 = System.nanoTime()
+    val nHll = math.max(nCells, 1000000L)
+    val kDistinct = nHll / 20
+    val hdf = spark.range(nHll).select(
+      graft.functions.hashes.str_poly_hash(
+        concat(lit("v"), (col("id") % kDistinct).cast("string"))).as("h"))
+    val (hllRow, hMaxMs, hMeanMs) = withMaxTask(
+      graft.text.TextQueries.hllFinalize(
+        hdf.agg(graft.functions.aggs.hll_registers(col("h"), 8).as("regs")))
+        .select(col("est"), col("n_zero")).head())
+    val hllEst = hllRow.getDouble(0)
+    require(math.abs(hllEst - kDistinct) / kDistinct < 0.195,
+      s"hll estimate $hllEst vs true $kDistinct breaches 3 sigma")
+    println(f"SCALE hllDistinct rows=$nHll distinct=$kDistinct est=$hllEst%.0f " +
+      f"maxTaskMs=$hMaxMs meanTaskMs=$hMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 }
