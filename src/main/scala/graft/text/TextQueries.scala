@@ -4277,7 +4277,135 @@ object TextQueries {
        |FROM h GROUP BY doc_id, hv % $HashEmbedDim
        |ORDER BY doc_id, dim""".stripMargin
 
+  // --------------------------------------------------------------- C110
+  /** C110: TextRank keyword scores (Mihalcea & Tarau 2004) — weighted
+    * PageRank over the word CO-OCCURRENCE graph: nodes are candidate
+    * tokens (length ≥ [[TrMinLen]], the deterministic stand-in for the
+    * original's POS filter, same heuristic as C97's blocklist
+    * candidates), an undirected edge joins two candidates that co-occur
+    * within ±[[PmiWindow]] ORIGINAL positions (non-candidates still
+    * occupy positions, exactly as in the paper), weighted by the
+    * co-occurrence count. C102 ranks DOCUMENTS on the semantic kNN
+    * graph; this ranks WORDS on the lexical graph — the
+    * unsupervised keyword/keyphrase extractor a curation pipeline uses
+    * for topic tagging and prompt-free document labeling.
+    *
+    * Exactness: the weighted power iteration stays all-integer — nano
+    * ranks (start 1e9), per-edge contribution (r·w) div s with s =
+    * Σ_neighbors w (the node's strength), damping ×850 div 1000,
+    * isolated-candidate (dangling) mass redistributed uniformly — the
+    * C102 integer discipline, so [[TrIters]] rounds hash-match the
+    * oracle's unrolled MATERIALIZED levels exactly. r·w is bounded by
+    * total mass (V·1e9) × max pair count; past ~10⁹·w that product
+    * routes through DECIMAL(38,0) (the C43/C87 rule), noted for the
+    * record.
+    *
+    * Scale shape: the corpus-sized work is ONE (doc, position) hash
+    * equi-join (the C89 bounded offset-explode, never a θ-join) and one
+    * map-side-combinable pair agg onto the vocab²-bounded edge space;
+    * the iteration then runs entirely on the VOCAB-sized graph — per
+    * round one src-keyed hash join + dst-keyed partial agg + a 1-row
+    * dangling broadcast, lineage truncated per round (the Pregel shape,
+    * C102's loop on a different graph). At 100 TB the corpus is read
+    * once; the iterate never touches it again.
+    */
+  val TrIters = 8
+  val TrMinLen = 4
+
+  def c110Textrank(spark: SparkSession, dir: String): DataFrame = {
+    val pos = Tables(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "w")))
+    val pairs = pos
+      .withColumn("j", explode(array((1 to PmiWindow).map(d => col("i") + d): _*)))
+      .select(col("doc_id"), col("j"), col("w").as("wa"))
+      .join(pos.select(col("doc_id"), col("i").as("j"), col("w").as("wb")),
+        Seq("doc_id", "j"))
+      .filter(length(col("wa")) >= TrMinLen && length(col("wb")) >= TrMinLen &&
+        col("wa") =!= col("wb"))
+      .select(least(col("wa"), col("wb")).as("w1"),
+        greatest(col("wa"), col("wb")).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("wt"))
+    val edges = pairs.select(col("w1").as("src"), col("w2").as("dst"), col("wt"))
+      .unionByName(pairs.select(col("w2").as("src"), col("w1").as("dst"), col("wt")))
+      .localCheckpoint(true)
+    val nodes = pos.filter(length(col("w")) >= TrMinLen)
+      .select(col("w").as("tok")).distinct()
+    val nTotal = nodes.count()
+    val st = nodes
+      .join(edges.groupBy(col("src").as("tok"))
+        .agg(sum("wt").as("s"), count(lit(1)).as("deg")), Seq("tok"), "left")
+      .select(col("tok"), coalesce(col("s"), lit(0L)).as("s"),
+        coalesce(col("deg"), lit(0L)).as("deg"))
+      .localCheckpoint(true)
+    var ranks = st.select(col("tok"), lit(1000000000L).as("r"))
+    for (_ <- 1 to TrIters) {
+      val dm = ranks.join(st.filter(col("s") === 0L).select("tok"), "tok")
+        .agg(coalesce(sum("r"), lit(0L)).as("dm"))
+      val contrib = edges
+        .join(ranks.withColumnRenamed("tok", "src"), "src")
+        .join(st.select(col("tok").as("src"), col("s")), "src")
+        .select(col("dst").as("tok"), expr("(r * wt) div s").as("c"))
+        .groupBy("tok").agg(sum("c").as("csum"))
+      ranks = st.select(col("tok"))
+        .join(contrib, Seq("tok"), "left")
+        .crossJoin(broadcast(dm))
+        .select(col("tok"), expr(
+          s"150000000L + ((coalesce(csum, 0L) + dm div $nTotal) * 850) div 1000").as("r"))
+        .localCheckpoint(true)
+    }
+    st.join(ranks, "tok")
+      .select(col("tok"), col("deg"), col("s"), col("r").as("rank_nano"))
+      .orderBy("tok")
+  }
+
+  lazy val c110Sql: String = {
+    def iter(k: Int): String =
+      s"""dm$k AS (
+         |  SELECT COALESCE(CAST(SUM(r.r) AS BIGINT), 0) AS dm
+         |  FROM r${k - 1} r JOIN st d ON d.tok = r.tok AND d.s = 0
+         |), c$k AS (
+         |  SELECT e.dst AS tok, CAST(SUM((r.r * e.wt) // d.s) AS BIGINT) AS csum
+         |  FROM e JOIN r${k - 1} r ON r.tok = e.src
+         |  JOIN st d ON d.tok = e.src
+         |  GROUP BY e.dst
+         |), r$k AS MATERIALIZED (
+         |  SELECT n.tok,
+         |    CAST(150000000 + ((COALESCE(c.csum, 0) + t.dm // z.n) * 850) // 1000
+         |      AS BIGINT) AS r
+         |  FROM st n LEFT JOIN c$k c USING (tok) CROSS JOIN dm$k t CROSS JOIN nt z
+         |)""".stripMargin
+    s"""WITH pos AS (
+       |  SELECT doc_id, i - 1 AS i, w FROM (
+       |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w,
+       |      generate_subscripts(string_split(text, ' '), 1) AS i
+       |    FROM documents
+       |  )
+       |), cand AS (SELECT DISTINCT w AS tok FROM pos WHERE length(w) >= $TrMinLen),
+       |pr AS (
+       |  SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2, COUNT(*) AS wt
+       |  FROM pos a, UNNEST(range(1, ${PmiWindow + 1})) t(d)
+       |  JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + d
+       |  WHERE length(a.w) >= $TrMinLen AND length(b.w) >= $TrMinLen AND a.w <> b.w
+       |  GROUP BY least(a.w, b.w), greatest(a.w, b.w)
+       |), e AS MATERIALIZED (
+       |  SELECT w1 AS src, w2 AS dst, wt FROM pr
+       |  UNION ALL SELECT w2, w1, wt FROM pr),
+       |nt AS (SELECT COUNT(*) AS n FROM cand),
+       |st AS MATERIALIZED (
+       |  SELECT c.tok, COALESCE(g.s, 0) AS s, COALESCE(g.deg, 0) AS deg
+       |  FROM cand c LEFT JOIN (
+       |    SELECT src AS tok, CAST(SUM(wt) AS BIGINT) AS s, COUNT(*) AS deg
+       |    FROM e GROUP BY src) g USING (tok)),
+       |r0 AS (SELECT tok, CAST(1000000000 AS BIGINT) AS r FROM cand),
+       |${(1 to TrIters).map(iter).mkString(",\n")}
+       |SELECT s.tok, CAST(s.deg AS BIGINT) AS deg, CAST(s.s AS BIGINT) AS s,
+       |  r.r AS rank_nano
+       |FROM st s JOIN r$TrIters r USING (tok)
+       |ORDER BY tok""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c110_textrank" -> (c110Textrank _),
     "c101_calibration" -> (c101Calibration _),
     "c100_fertility" -> (c100Fertility _),
     "c99_rrf_fusion" -> (c99RrfFusion _),
@@ -4343,6 +4471,7 @@ object TextQueries {
     "c64_classifier_eval" -> (c64ClassifierEval _))
 
   val oracles: Map[String, String] = Map(
+    "c110_textrank" -> c110Sql,
     "c101_calibration" -> c101Sql,
     "c100_fertility" -> c100Sql,
     "c99_rrf_fusion" -> c99Sql,

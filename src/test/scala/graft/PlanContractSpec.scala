@@ -114,7 +114,11 @@ class PlanContractSpec extends SparkTestBase {
     // c102 crosses the 1-row dangling-mass aggregate into the node
     // frame once per power iteration — the canonical PageRank scalar
     // broadcast; the per-iteration edge work is a src-keyed hash join
-    "c102_pagerank")
+    "c102_pagerank",
+    // c110 is c102's loop on the word graph — the same 1-row
+    // dangling-mass cross per iteration; the corpus-sized pairing is a
+    // (doc, position) hash equi-join, the iterate joins are vocab-keyed
+    "c110_textrank")
 
   test("no unexpected BroadcastNestedLoopJoin / CartesianProduct in any batch plan") {
     val batch = SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("d"))

@@ -1582,4 +1582,45 @@ class DedupQueriesSpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("n_docs")).sum == collapse.length)
     assert(out.map(_.getAs[Long]("n_docs_doc_split")).sum == collapse.length)
   }
+
+  test("c110 textrank: exact integer weighted power-iteration recompute") {
+    val out = TextQueries.c110Textrank(spark, sf).collect()
+    val docs = graft.Tables(spark, sf, "documents").select("text").collect()
+      .map(_.getString(0).split(" ").toSeq)
+    val minLen = TextQueries.TrMinLen
+    val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs.foreach { ts =>
+      for (i <- ts.indices; d <- 1 to TextQueries.PmiWindow; if i + d < ts.size) {
+        val (a, b) = (ts(i), ts(i + d))
+        if (a.length >= minLen && b.length >= minLen && a != b) {
+          val k = if (a <= b) (a, b) else (b, a)
+          pairCounts(k) = pairCounts.getOrElse(k, 0L) + 1L
+        }
+      }
+    }
+    val nodes = docs.flatten.filter(_.length >= minLen).distinct.sorted
+    val n = nodes.length.toLong
+    val edges = pairCounts.toSeq.flatMap { case ((a, b), w) =>
+      Seq((a, b, w), (b, a, w)) }
+    val s = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to TextQueries.TrIters) {
+      val dm = nodes.filter(t => s.getOrElse(t, 0L) == 0L).map(r).sum
+      val csum = edges.groupBy(_._2).view
+        .mapValues(_.map { case (src, _, w) => r(src) * w / s(src) }.sum).toMap
+      r = nodes.map(t =>
+        t -> (150000000L + ((csum.getOrElse(t, 0L) + dm / n) * 850L) / 1000L)).toMap
+    }
+    assert(out.length == n)
+    out.foreach { row =>
+      val t = row.getString(0)
+      assert(row.getAs[Long]("deg") == deg.getOrElse(t, 0L), s"deg $t")
+      assert(row.getAs[Long]("s") == s.getOrElse(t, 0L), s"s $t")
+      assert(row.getAs[Long]("rank_nano") == r(t), s"rank $t")
+    }
+    // the word graph genuinely has edges and the ranking genuinely varies
+    assert(out.map(_.getAs[Long]("s")).max > 0L)
+    assert(out.map(_.getAs[Long]("rank_nano")).distinct.length > 1)
+  }
 }
