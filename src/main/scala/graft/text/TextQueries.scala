@@ -4404,7 +4404,140 @@ object TextQueries {
        |ORDER BY tok""".stripMargin
   }
 
+  // --------------------------------------------------------------- C111
+  /** C111: Bradley-Terry source strengths from pairwise quality duels
+    * (Bradley & Terry 1952; MM fit per Hunter 2004) — the preference-
+    * data shape behind reward modeling and arena-style evals, applied
+    * to data curation: sources duel through their documents, and the
+    * latent strength the duels imply ranks sources by revealed quality
+    * (C105 reweights by a LOSS; this ranks by head-to-head WINS, robust
+    * to per-source score calibration offsets because only comparisons
+    * enter).
+    *
+    * Matchmaking is deterministic and local: within each (lang,
+    * doc_id div [[BtBlock]]) cell, the min- and max-id documents duel
+    * (cells with one doc sit out; same-source duels are discarded —
+    * BT needs cross-item evidence). The winner is the higher
+    * [[qualityMicro]] score, ties to the earlier (min-id) document —
+    * a documented convention, not a hash gamble. One partial agg, two
+    * doc-keyed hash joins, no windows: O(N) duels at any corpus size
+    * with zero global ordering.
+    *
+    * The pair table is K²-bounded (sources²) — a driver-sized
+    * reduction BY DEFINITION (the C105 fold rule) — so the
+    * [[BtIters]] MM rounds fold driver-side in exact Long arithmetic
+    * and rejoin as a broadcast: w_i' = W_i·1e12 div Σ_j n_ij·1e12 div
+    * (w_i+w_j), renormalized to Σw = K·1e6 by truncating div each
+    * round (strictly-zero-win sources pin to 0 — BT's MLE sends them
+    * there anyway). All quantities non-negative, so Spark's
+    * truncating div and DuckDB's floor `//` agree; n·1e12 products
+    * route through DECIMAL(38,0) past ~10⁶ duels per pair (the
+    * C43/C87 rule), noted for the record.
+    */
+  val BtIters = 6
+  val BtBlock = 8L
+
+  def c111BradleyTerry(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val q = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => t.isin(Stopwords: _*))).cast("long").as("stop_cnt"))
+      .withColumn("q", qualityMicro)
+      .select("doc_id", "source", "q")
+    val cells = Tables(spark, dir, "documents")
+      .groupBy(col("lang"), expr(s"doc_id div $BtBlock").as("blk"))
+      .agg(min("doc_id").as("a"), max("doc_id").as("b"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+    val duels = cells
+      .join(q.select(col("doc_id").as("a"), col("source").as("sa"), col("q").as("qa")), "a")
+      .join(q.select(col("doc_id").as("b"), col("source").as("sb"), col("q").as("qb")), "b")
+      .filter(col("sa") =!= col("sb"))
+      .select(col("sa"), col("sb"),
+        when(col("qa") >= col("qb"), col("sa")).otherwise(col("sb")).as("win_src"))
+    val stats = duels
+      .select(col("sa").as("s"), when(col("win_src") === col("sa"), 1L).otherwise(0L).as("w"))
+      .unionByName(duels.select(col("sb").as("s"),
+        when(col("win_src") === col("sb"), 1L).otherwise(0L).as("w")))
+      .groupBy("s").agg(count(lit(1)).as("n_duels"), sum("w").as("wins"))
+    val pairs = duels
+      .select(least(col("sa"), col("sb")).as("s1"),
+        greatest(col("sa"), col("sb")).as("s2"),
+        when(col("win_src") === least(col("sa"), col("sb")), 1L).otherwise(0L).as("w1"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("n"), sum("w1").as("wins1"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val dPairs = pairs.flatMap { case (s1, s2, n, w1) =>
+      Seq((s1, s2, n, w1), (s2, s1, n, n - w1)) }
+    val items = dPairs.map(_._1).distinct.sorted
+    val k = items.length.toLong
+    val winTot = dPairs.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    var w = items.map(_ -> 1000000L).toMap
+    for (_ <- 1 to BtIters) {
+      val d = dPairs.groupBy(_._1).view.mapValues(_.map { case (s, o, n, _) =>
+        n * 1000000000000L / (w(s) + w(o)) }.sum).toMap
+      val wRaw = items.map(s => s -> (if (winTot(s) == 0L) 0L
+        else winTot(s) * 1000000000000L / d(s))).toMap
+      val tot = items.map(wRaw).sum
+      w = items.map(s => s -> wRaw(s) * (k * 1000000L) / tot).toMap
+    }
+    import spark.implicits._
+    val wdf = broadcast(items.map(s => (s, w(s))).toSeq.toDF("s", "strength_micro"))
+    stats.join(wdf, "s")
+      .select(col("s").as("source"), col("n_duels"), col("wins"), col("strength_micro"))
+      .orderBy("source")
+  }
+
+  lazy val c111Sql: String = {
+    val stops = Stopwords.map(s => s"'$s'").mkString(", ")
+    def iter(t: Int): String =
+      s"""d$t AS (
+         |  SELECT e.s, CAST(SUM(e.n * 1000000000000 // (wi.w + wj.w)) AS BIGINT) AS d
+         |  FROM e JOIN w${t - 1} wi ON wi.s = e.s JOIN w${t - 1} wj ON wj.s = e.o
+         |  GROUP BY e.s
+         |), raw$t AS (
+         |  SELECT t.s, CASE WHEN t.wins = 0 THEN 0
+         |    ELSE t.wins * 1000000000000 // d.d END AS w
+         |  FROM wt t JOIN d$t d USING (s)
+         |), tot$t AS (SELECT CAST(SUM(w) AS BIGINT) AS tot FROM raw$t),
+         |w$t AS MATERIALIZED (
+         |  SELECT r.s, CAST(r.w * (z.k * 1000000) // t.tot AS BIGINT) AS w
+         |  FROM raw$t r CROSS JOIN tot$t t CROSS JOIN kt z
+         |)""".stripMargin
+    s"""WITH f AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS BIGINT) AS stop_cnt
+       |  FROM documents
+       |), q AS (
+       |  SELECT doc_id, source, $QualityMicroSql AS q FROM f
+       |), cells AS (
+       |  SELECT lang, doc_id // $BtBlock AS blk, MIN(doc_id) AS a, MAX(doc_id) AS b
+       |  FROM documents GROUP BY lang, doc_id // $BtBlock HAVING COUNT(*) >= 2
+       |), duels AS MATERIALIZED (
+       |  SELECT qa.source AS sa, qb.source AS sb,
+       |    CASE WHEN qa.q >= qb.q THEN qa.source ELSE qb.source END AS win_src
+       |  FROM cells c JOIN q qa ON qa.doc_id = c.a JOIN q qb ON qb.doc_id = c.b
+       |  WHERE qa.source <> qb.source
+       |), pairs AS MATERIALIZED (
+       |  SELECT least(sa, sb) AS s1, greatest(sa, sb) AS s2, COUNT(*) AS n,
+       |    CAST(SUM(CASE WHEN win_src = least(sa, sb) THEN 1 ELSE 0 END) AS BIGINT) AS wins1
+       |  FROM duels GROUP BY least(sa, sb), greatest(sa, sb)
+       |), e AS MATERIALIZED (
+       |  SELECT s1 AS s, s2 AS o, n, wins1 AS w FROM pairs
+       |  UNION ALL SELECT s2, s1, n, n - wins1 FROM pairs
+       |), wt AS MATERIALIZED (
+       |  SELECT s, CAST(SUM(n) AS BIGINT) AS n_duels, CAST(SUM(w) AS BIGINT) AS wins
+       |  FROM e GROUP BY s
+       |), kt AS (SELECT COUNT(*) AS k FROM wt),
+       |w0 AS (SELECT s, CAST(1000000 AS BIGINT) AS w FROM wt),
+       |${(1 to BtIters).map(iter).mkString(",\n")}
+       |SELECT t.s AS source, t.n_duels, t.wins, w.w AS strength_micro
+       |FROM wt t JOIN w$BtIters w USING (s)
+       |ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c111_bradley_terry" -> (c111BradleyTerry _),
     "c110_textrank" -> (c110Textrank _),
     "c101_calibration" -> (c101Calibration _),
     "c100_fertility" -> (c100Fertility _),
@@ -4471,6 +4604,7 @@ object TextQueries {
     "c64_classifier_eval" -> (c64ClassifierEval _))
 
   val oracles: Map[String, String] = Map(
+    "c111_bradley_terry" -> c111Sql,
     "c110_textrank" -> c110Sql,
     "c101_calibration" -> c101Sql,
     "c100_fertility" -> c100Sql,

@@ -1623,4 +1623,67 @@ class DedupQueriesSpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("s")).max > 0L)
     assert(out.map(_.getAs[Long]("rank_nano")).distinct.length > 1)
   }
+
+  test("c111 bradley-terry: exact duel + MM recompute, win-rate ordering sanity") {
+    val out = TextQueries.c111BradleyTerry(spark, sf).collect()
+    val docs = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    def quality(text: String): Long = {
+      val ts = text.split(" ").toSeq
+      val n = ts.size.toLong
+      val stop = ts.count(TextQueries.Stopwords.contains).toLong
+      (stop * 300000L) / n + math.min(n, 200L) * 3500L
+    }
+    val q = docs.map { case (id, _, src, text) => id -> ((src, quality(text))) }.toMap
+    // block matchmaking: min vs max doc_id per (lang, doc_id div BtBlock)
+    val duels = docs.groupBy { case (id, lang, _, _) =>
+      (lang, id / TextQueries.BtBlock) }
+      .values.toSeq.filter(_.length >= 2).flatMap { cell =>
+        val a = cell.map(_._1).min
+        val b = cell.map(_._1).max
+        val ((sa, qa), (sb, qb)) = (q(a), q(b))
+        if (sa == sb) None
+        else Some((sa, sb, if (qa >= qb) sa else sb))
+      }
+    assert(duels.nonEmpty)
+    val dPairs = duels
+      .groupBy { case (sa, sb, _) => (Seq(sa, sb).min, Seq(sa, sb).max) }
+      .toSeq.flatMap { case ((s1, s2), ds) =>
+        val n = ds.length.toLong
+        val w1 = ds.count(_._3 == s1).toLong
+        Seq((s1, s2, n, w1), (s2, s1, n, n - w1))
+      }
+    val items = dPairs.map(_._1).distinct.sorted
+    val k = items.length.toLong
+    val winTot = dPairs.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val nTot = dPairs.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var w = items.map(_ -> 1000000L).toMap
+    for (_ <- 1 to TextQueries.BtIters) {
+      val d = dPairs.groupBy(_._1).view.mapValues(_.map { case (s, o, n, _) =>
+        n * 1000000000000L / (w(s) + w(o)) }.sum).toMap
+      val wRaw = items.map(s => s -> (if (winTot(s) == 0L) 0L
+        else winTot(s) * 1000000000000L / d(s))).toMap
+      val tot = items.map(wRaw).sum
+      w = items.map(s => s -> wRaw(s) * (k * 1000000L) / tot).toMap
+    }
+    assert(out.length == items.length)
+    out.foreach { row =>
+      val s = row.getString(0)
+      assert(row.getAs[Long]("n_duels") == nTot(s), s"n_duels $s")
+      assert(row.getAs[Long]("wins") == winTot(s), s"wins $s")
+      assert(row.getAs[Long]("strength_micro") == w(s), s"strength $s")
+    }
+    // strength orders consistently with the extreme win rates: the best
+    // win-rate source must outrank the worst (BT preserves dominance)
+    val rates = out.map(r => (r.getAs[Long]("strength_micro"),
+      r.getAs[Long]("wins").toDouble / r.getAs[Long]("n_duels")))
+    val best = rates.maxBy(_._2)
+    val worst = rates.minBy(_._2)
+    assert(best._1 >= worst._1)
+    // mass renormalization held: Σ strengths lands within truncation
+    // drift of K·1e6 (each round loses < K micro to floor division)
+    val mass = out.map(_.getAs[Long]("strength_micro")).sum
+    assert(mass <= k * 1000000L && mass >= k * 1000000L - TextQueries.BtIters * k)
+  }
 }
