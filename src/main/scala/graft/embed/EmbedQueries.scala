@@ -1731,7 +1731,133 @@ object EmbedQueries {
        |) WHERE rnk <= $TopK
        |ORDER BY probe_id, rnk""".stripMargin
 
+  // --------------------------------------------------------------- C112
+  /** C112: top principal direction + anisotropy of the embedding corpus
+    * — mean-centered covariance, dominant eigenvector by power
+    * iteration, and the λ_max/trace share: the "does this embedding
+    * space collapse onto one axis" diagnostic (Ethayarajh 2019's
+    * anisotropy finding; Mu & Viswanath 2018's all-but-the-top
+    * postprocessing reads exactly this output to decide what to
+    * remove). A high aniso share means cosine similarities are
+    * dominated by a common direction and every downstream consumer
+    * (C9 screens, C50 k-means, C51 SemDeDup) is really measuring that
+    * axis — the check a pipeline runs BEFORE trusting its embedding
+    * column.
+    *
+    * Exactness: elements quantize to micro Longs (C54's convention,
+    * same expression), the mean is a truncating div, covariance cells
+    * are exact integer sums of centered products, and the
+    * [[PcaIters]] power-iteration rounds run in BigInt with an
+    * ∞-norm rescale to ±1e6 per round (u·1e6 div max|u|) — DuckDB's
+    * `//` truncates toward zero like Scala's BigInt division
+    * (verified, the C94 negative-operand rule), so both engines walk
+    * the identical integer trajectory, sign included. λ is the
+    * integer Rayleigh quotient vᵀCv div vᵀv; aniso_ppm = λ·1e6 div
+    * trace(C). Products route through 128-bit (BigInt / HUGEINT) —
+    * centered products themselves stay in BIGINT up to ~10⁷ vectors
+    * (the C43/C87 rule, noted).
+    *
+    * Scale shape: the corpus-sized work is ONE pass — quantize,
+    * explode to (vec, dim) cells, subtract the broadcast dim-means,
+    * self-join on vec_id (Dims² fan-out per vector, map-side-combined
+    * to the Dims²-cell covariance). The fold then runs on a
+    * Dims²-bounded matrix — driver-sized BY DEFINITION (the C105/C111
+    * fold rule) — and rejoins as literals/broadcast. At 100 TB the
+    * corpus is read once; no iteration ever touches it.
+    */
+  val PcaIters = 8
+
+  def c112PcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          e => round(e.cast("double") * lit(1000000.0), 0).cast("long")).as("q"))
+    val cells = q.select(col("vec_id"), posexplode(col("q")).as(Seq("d", "qd")))
+    val nTotal = Tables(spark, dir, "embeddings").count()
+    val mean = cells.groupBy("d").agg(expr(s"sum(qd) div $nTotal").as("m"))
+    val cent = cells.join(broadcast(mean), "d")
+      .select(col("vec_id"), col("d"), (col("qd") - col("m")).as("x"))
+    val cov = cent.select(col("vec_id"), col("d").as("i"), col("x").as("xi"))
+      .join(cent.select(col("vec_id"), col("d").as("j"), col("x").as("xj")), "vec_id")
+      .select(col("i"), col("j"), (col("xi") * col("xj")).as("p"))
+      .groupBy("i", "j").agg(sum("p").as("c"))
+    val covMap = cov.collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    var v = Array.fill(Dims)(BigInt(1000000))
+    for (_ <- 1 to PcaIters) {
+      val u = Array.tabulate(Dims)(i => (0 until Dims)
+        .map(j => BigInt(covMap.getOrElse((i, j), 0L)) * v(j)).sum)
+      val mx = u.map(_.abs).max
+      v = u.map(x => x * 1000000 / mx)
+    }
+    val num = (0 until Dims).flatMap(i => (0 until Dims)
+      .map(j => BigInt(covMap.getOrElse((i, j), 0L)) * v(i) * v(j))).sum
+    val den = v.map(x => x * x).sum
+    val lambda = (num / den).toLong
+    val trace = (0 until Dims).map(i => covMap.getOrElse((i, i), 0L)).sum
+    val aniso = (BigInt(lambda) * 1000000 / BigInt(trace)).toLong
+    import spark.implicits._
+    val pcdf = broadcast(
+      (0 until Dims).map(d => (d, v(d).toLong)).toDF("d", "pc_micro"))
+    mean
+      .join(cov.filter(col("i") === col("j"))
+        .select(col("i").as("d"), col("c").as("var_unit")), "d")
+      .join(pcdf, "d")
+      .select(col("d").cast("long").as("d"), col("m").as("mean_micro"),
+        col("var_unit"), col("pc_micro"),
+        lit(lambda).as("lambda_unit"), lit(aniso).as("aniso_ppm"))
+      .orderBy("d")
+  }
+
+  lazy val c112Sql: String = {
+    def iter(k: Int): String =
+      s"""u$k AS (
+         |  SELECT c.i AS d, SUM(CAST(c.c AS HUGEINT) * v.v) AS u
+         |  FROM cov c JOIN v${k - 1} v ON v.d = c.j GROUP BY c.i
+         |), mx$k AS (SELECT MAX(ABS(u)) AS mx FROM u$k),
+         |v$k AS MATERIALIZED (
+         |  SELECT d, CAST(u * 1000000 // mx AS BIGINT) AS v
+         |  FROM u$k CROSS JOIN mx$k
+         |)""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS q
+       |  FROM embeddings
+       |), cells AS (
+       |  SELECT vec_id, d, q[d + 1] AS qd FROM q, range(0, $Dims) td(d)
+       |), nt AS (SELECT COUNT(*) AS n FROM embeddings),
+       |mean AS MATERIALIZED (
+       |  SELECT d, CAST(SUM(qd) AS BIGINT) // (SELECT n FROM nt) AS m
+       |  FROM cells GROUP BY d),
+       |cent AS MATERIALIZED (
+       |  SELECT c.vec_id, c.d, c.qd - m.m AS x FROM cells c JOIN mean m USING (d)),
+       |cov AS MATERIALIZED (
+       |  SELECT a.d AS i, b.d AS j,
+       |    CAST(SUM(CAST(a.x AS HUGEINT) * b.x) AS BIGINT) AS c
+       |  FROM cent a JOIN cent b ON b.vec_id = a.vec_id
+       |  GROUP BY a.d, b.d),
+       |v0 AS (SELECT d, CAST(1000000 AS BIGINT) AS v FROM range(0, $Dims) t(d)),
+       |${(1 to PcaIters).map(iter).mkString(",\n")},
+       |ray AS (
+       |  SELECT CAST(
+       |    (SELECT SUM(CAST(c.c AS HUGEINT) * vi.v * vj.v)
+       |     FROM cov c JOIN v$PcaIters vi ON vi.d = c.i
+       |     JOIN v$PcaIters vj ON vj.d = c.j)
+       |    // (SELECT SUM(CAST(v AS HUGEINT) * v) FROM v$PcaIters)
+       |    AS BIGINT) AS lam),
+       |tr AS (SELECT CAST(SUM(c) AS BIGINT) AS tr FROM cov WHERE i = j)
+       |SELECT m.d, m.m AS mean_micro, cv.c AS var_unit, v.v AS pc_micro,
+       |  r.lam AS lambda_unit,
+       |  CAST(CAST(r.lam AS HUGEINT) * 1000000 // t.tr AS BIGINT) AS aniso_ppm
+       |FROM mean m
+       |JOIN (SELECT i AS d, c FROM cov WHERE i = j) cv USING (d)
+       |JOIN v$PcaIters v USING (d)
+       |CROSS JOIN ray r CROSS JOIN tr t
+       |ORDER BY m.d""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c112_pca_power" -> (c112PcaPower _),
     "c102_pagerank" -> (c102Pagerank _),
     "c104_triangles" -> (c104Triangles _),
     "c108_graph_ann" -> (c108GraphAnn _),
@@ -1757,6 +1883,7 @@ object EmbedQueries {
     "c62_ivf_pq" -> (c62IvfPq _))
 
   val oracles: Map[String, String] = Map(
+    "c112_pca_power" -> c112Sql,
     "c102_pagerank" -> c102Sql,
     "c104_triangles" -> c104Sql,
     "c108_graph_ann" -> c108Sql,

@@ -483,4 +483,46 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("c112 pca power: exact covariance + BigInt iteration recompute, aniso bounds") {
+    import graft.embed.EmbedQueries
+    val out = EmbedQueries.c112PcaPower(spark, sf).collect()
+    val dims = EmbedQueries.Dims
+    val vecs = graft.Tables(spark, sf, "embeddings")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(v => BigDecimal(v.toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray)
+    val n = vecs.length.toLong
+    val mean = Array.tabulate(dims)(d => vecs.map(_(d)).sum / n)
+    val cov = Array.tabulate(dims, dims)((i, j) =>
+      vecs.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum)
+    var v = Array.fill(dims)(BigInt(1000000))
+    for (_ <- 1 to EmbedQueries.PcaIters) {
+      val u = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => BigInt(cov(i)(j)) * v(j)).sum)
+      val mx = u.map(_.abs).max
+      v = u.map(x => x * 1000000 / mx)
+    }
+    val num = (0 until dims).flatMap(i => (0 until dims)
+      .map(j => BigInt(cov(i)(j)) * v(i) * v(j))).sum
+    val den = v.map(x => x * x).sum
+    val lambda = (num / den).toLong
+    val trace = (0 until dims).map(i => cov(i)(i)).sum
+    val aniso = (BigInt(lambda) * 1000000 / BigInt(trace)).toLong
+    assert(out.length == dims)
+    out.foreach { row =>
+      val d = row.getAs[Long]("d").toInt
+      assert(row.getAs[Long]("mean_micro") == mean(d), s"mean $d")
+      assert(row.getAs[Long]("var_unit") == cov(d)(d), s"var $d")
+      assert(row.getAs[Long]("pc_micro") == v(d).toLong, s"pc $d")
+      assert(row.getAs[Long]("lambda_unit") == lambda)
+      assert(row.getAs[Long]("aniso_ppm") == aniso)
+    }
+    // the ∞-norm rescale pins the dominant |component| at exactly 1e6
+    assert(out.map(r => math.abs(r.getAs[Long]("pc_micro"))).max == 1000000L)
+    // λ_max of a real covariance is positive and at most the whole trace
+    assert(aniso > 0L && aniso <= 1000000L)
+    // λ_max ≥ trace/dims for any real covariance (the mean eigenvalue);
+    // +1 absorbs the integer truncation of the Rayleigh quotient
+    assert(BigInt(lambda + 1) * dims >= BigInt(trace))
+  }
 }
