@@ -1121,7 +1121,86 @@ object StreamingQueries {
        |FROM base b JOIN stats s USING (lang)
        |ORDER BY b.lang""".stripMargin
 
+  // ---------------------------------------------------------------- D32
+  /** D32: streaming covariance moments over the embedding stream — the
+    * live companion to C112's anisotropy diagnostic. CENTERED
+    * covariance is not a streamable aggregate (the mean isn't known
+    * until the stream ends), but the RAW moments are: N, Σxᵢ, and
+    * Σxᵢxⱼ are plain sums — the canonical mergeable summary — so the
+    * stream maintains exactly those as Dims²+Dims+1 integer cells and
+    * the covariance finalizes on the sink via the moment identity
+    * N²·Cov(i,j) = N·Σxᵢxⱼ − Σxᵢ·Σxⱼ — EXACT integers, no mean
+    * truncation anywhere (cleaner than the batch centered form, which
+    * is why this op reports cov_n = the N²-scaled covariance).
+    *
+    * One scan-stage pass builds every cell per vector (a flattened
+    * nested `transform` — no self-join, no second read): (i,j,xᵢxⱼ)
+    * products, (i,−1,xᵢ) first moments, and a (−1,−1,1) count cell;
+    * ONE streaming groupBy over the Dims²-bounded key space carries
+    * the state (complete mode, fixed ~4 K rows forever — the d26
+    * bounded-state contract). Elements quantize to MILLI (not C54's
+    * micro): the moment products then hold in BIGINT to ~10⁷ vectors,
+    * the right headroom trade for an unbounded stream (beyond that the
+    * C43/C87 DECIMAL rule applies, noted).
+    */
+  def d32StreamCovariance(spark: SparkSession, sfDir: String): DataFrame = {
+    val es = StreamingOps.embeddingsStream(spark, sfDir,
+      staged(spark, sfDir, "embeddings"))
+    val cells = es
+      .select(expr(
+        "transform(embedding, e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000) AS BIGINT))")
+        .as("q"))
+      .select(expr(
+        """explode(concat(
+          |  flatten(transform(q, (qi, i) -> transform(q, (qj, j) ->
+          |    struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, qi * qj AS p)))),
+          |  transform(q, (qi, i) ->
+          |    struct(CAST(i AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j, qi AS p)),
+          |  array(struct(CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
+          |    CAST(1 AS BIGINT) AS p))))""".stripMargin).as("cell"))
+      .select(col("cell.i").as("i"), col("cell.j").as("j"), col("cell.p").as("p"))
+    val sink = runToTable(
+      cells.groupBy("i", "j").agg(sum("p").as("s")),
+      "graft_d32_sink", "complete")
+    val n = sink.filter(col("i") === -1L && col("j") === -1L)
+      .select(col("s").as("n"))
+    val sx = sink.filter(col("i") >= 0L && col("j") === -1L)
+      .select(col("i").as("d"), col("s"))
+    sink.filter(col("i") >= 0L && col("j") >= 0L)
+      .select(col("i"), col("j"), col("s").as("sxy"))
+      .join(sx.select(col("d").as("i"), col("s").as("si")), "i")
+      .join(sx.select(col("d").as("j"), col("s").as("sj")), "j")
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"), col("sxy"),
+        (col("n") * col("sxy") - col("si") * col("sj")).as("cov_n"))
+      .orderBy("i", "j")
+  }
+
+  val d32Sql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings
+       |), cells AS (
+       |  SELECT vec_id, d, q[d + 1] AS qd
+       |  FROM q, range(0, ${graft.embed.EmbedQueries.Dims}) td(d)
+       |), nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+       |sx AS (SELECT d, CAST(SUM(qd) AS BIGINT) AS s FROM cells GROUP BY d),
+       |sxy AS (
+       |  SELECT a.d AS i, b.d AS j, CAST(SUM(a.qd * b.qd) AS BIGINT) AS sxy
+       |  FROM cells a JOIN cells b ON b.vec_id = a.vec_id
+       |  GROUP BY a.d, b.d)
+       |SELECT x.i, x.j, x.sxy,
+       |  CAST(t.n * x.sxy - si.s * sj.s AS BIGINT) AS cov_n
+       |FROM sxy x
+       |JOIN sx si ON si.d = x.i
+       |JOIN sx sj ON sj.d = x.j
+       |CROSS JOIN nt t
+       |ORDER BY x.i, x.j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d32_stream_covariance" -> (d32StreamCovariance _),
     "d31_stream_hll" -> (d31StreamHll _),
     "d30_stream_outer_join" -> (d30StreamOuterJoin _),
     "d29_stream_topk" -> (d29StreamTopk _),
@@ -1155,6 +1234,7 @@ object StreamingQueries {
     "d18_stream_quantile" -> (d18StreamQuantile _))
 
   val oracles: Map[String, String] = Map(
+    "d32_stream_covariance" -> d32Sql,
     "d31_stream_hll" -> d31Sql,
     "d30_stream_outer_join" -> d30Sql,
     "d29_stream_topk" -> d29Sql,

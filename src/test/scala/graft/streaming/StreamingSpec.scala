@@ -612,4 +612,36 @@ class StreamingSpec extends SparkTestBase {
     }
     assert(ex.getMessage.toLowerCase.contains("distinct"))
   }
+
+  test("D32 streaming covariance: exact moment recompute, symmetry, merge identity") {
+    val out = StreamingQueries.d32StreamCovariance(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getAs[Long]("sxy"), r.getAs[Long]("cov_n")))).toMap
+    val vecs = graft.Tables(spark, sf, "embeddings")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(v => BigDecimal(v.toDouble * 1e3)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray)
+    val dims = vecs.head.length
+    val n = vecs.length.toLong
+    val sx = Array.tabulate(dims)(d => vecs.map(_(d)).sum)
+    assert(out.size == dims * dims)
+    for (i <- 0 until dims; j <- 0 until dims) {
+      val sxy = vecs.map(v => v(i) * v(j)).sum
+      val (gotSxy, gotCov) = out((i.toLong, j.toLong))
+      assert(gotSxy == sxy, s"sxy ($i,$j)")
+      assert(gotCov == n * sxy - sx(i) * sx(j), s"cov ($i,$j)")
+    }
+    // symmetry and nonnegative diagonal (it IS a covariance matrix)
+    for (i <- 0 until dims; j <- 0 until i) {
+      assert(out((i.toLong, j.toLong)) == out((j.toLong, i.toLong)))
+    }
+    (0 until dims).foreach(i => assert(out((i.toLong, i.toLong))._2 >= 0L))
+    // the mergeable-summary property the streaming state relies on:
+    // moments of the union are the sums of the halves' moments
+    val (h1, h2) = vecs.splitAt(vecs.length / 2)
+    for (i <- 0 until math.min(dims, 4); j <- 0 until math.min(dims, 4)) {
+      val whole = vecs.map(v => v(i) * v(j)).sum
+      assert(h1.map(v => v(i) * v(j)).sum + h2.map(v => v(i) * v(j)).sum == whole)
+    }
+  }
 }
