@@ -30,12 +30,12 @@ object EmbedQueries {
 
   private def norm2(a: Column): Column = vec_norm2(a)
 
-  private def dotSql(a: String, b: String): String =
+  private[graft] def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
        |    (x, y) -> x + y)""".stripMargin
 
-  private def norm2Sql(a: String): String =
+  private[graft] def norm2Sql(a: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list_transform($a, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))),
        |    (x, y) -> x + y)""".stripMargin
@@ -43,7 +43,7 @@ object EmbedQueries {
   /** cos(a,b) from precomputed squared norms — single canonical form
     * `dot / sqrt(n2a * n2b)` on both engines.
     */
-  private def cosine(d: Column, n2a: Column, n2b: Column): Column =
+  private[graft] def cosine(d: Column, n2a: Column, n2b: Column): Column =
     round(d / sqrt(n2a * n2b), 6)
 
   val CosThreshold = 0.3

@@ -4536,7 +4536,141 @@ object TextQueries {
        |ORDER BY source""".stripMargin
   }
 
+  // --------------------------------------------------------------- C113
+  /** C113: MMR diversity re-ranking (Carbonell & Goldstein 1998) of the
+    * C88 BM25 run — the greedy Maximal-Marginal-Relevance selection a
+    * production RAG stack runs between retrieval and the context
+    * window: per query, [[MmrSelect]] documents picked one at a time by
+    * mmr(d) = λ·rel(d) − (1−λ)·max_{s∈picked} cos(d, s), so near-
+    * duplicate top hits (exactly what C6/C51 prove corpora are full of)
+    * don't crowd out coverage. rel = the BM25 score, cos = embedding
+    * cosine between CANDIDATES (vec_id ≡ doc_id in the testdata
+    * contract), λ = [[MmrLambdaMicro]]/1e6.
+    *
+    * Exactness: rel is C88's nano integer; cos reuses the ONE canonical
+    * round-6 form ([[graft.embed.EmbedQueries.cosine]] /
+    * [[graft.embed.EmbedQueries.dotSql]] — C9's proven cross-engine
+    * pair) scaled to nano (an exact ×1000 of the round-6 integer);
+    * mmr combines them with two truncating divs (λ·rel div 1e6 minus
+    * (1e6−λ)·pen div 1e6 — pen can be negative; both engines truncate
+    * toward zero, the C94 rule). Ties break to the smaller doc_id.
+    *
+    * Scale shape: the corpus-sized work is C88's memoized run build
+    * plus ONE doc-keyed equi-join fetching the ≤ Q·K candidate
+    * embeddings; the pairwise-cos table is (Q·K²)-bounded and the
+    * greedy fold runs on it driver-side (the C105/C111 fold rule — the
+    * candidate frame is driver-sized BY C88's top-K contract). Oracle =
+    * [[MmrSelect]] unrolled greedy CTE levels over the same pair table.
+    */
+  val MmrLambdaMicro = 700000L
+  val MmrSelect = 5
+
+  def c113MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.vector.{vec_dot, vec_norm2}
+    val run = bm25Ranked(spark, dir)
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"),
+        vec_norm2(col("embedding")).as("n2"))
+    val cand = run.select("qid", "doc_id", "score_nano").join(emb, "doc_id")
+    val a = cand.select(col("qid"), col("doc_id").as("da"),
+      col("embedding").as("ea"), col("n2").as("na"))
+    val b = cand.select(col("qid"), col("doc_id").as("db"),
+      col("embedding").as("eb"), col("n2").as("nb"))
+    val cosPair = a.join(b, "qid").filter(col("da") < col("db"))
+      .select(col("qid"), col("da"), col("db"),
+        round(graft.embed.EmbedQueries.cosine(
+          vec_dot(col("ea"), col("eb")), col("na"), col("nb")) * lit(1e9), 0)
+          .cast("long").as("cos_nano"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    val rels = cand.select("qid", "doc_id", "score_nano").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    def cosOf(q: Long, x: Long, y: Long): Long =
+      cosPair((q, math.min(x, y), math.max(x, y)))
+    val picked = rels.toSeq.sortBy(_._1).flatMap { case (qid, docRel) =>
+      var remaining = docRel.keys.toList.sorted
+      var chosen = List.empty[Long]
+      val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long, Long)]
+      var step = 1L
+      while (step <= MmrSelect && remaining.nonEmpty) {
+        val scored = remaining.map { d =>
+          val rel = docRel(d)
+          val pen = if (chosen.isEmpty) 0L else chosen.map(s => cosOf(qid, d, s)).max
+          val mmr = (MmrLambdaMicro * rel) / 1000000L -
+            ((1000000L - MmrLambdaMicro) * pen) / 1000000L
+          (d, rel, mmr)
+        }
+        val best = scored.minBy { case (d, _, m) => (-m, d) }
+        out += ((qid, step, best._1, best._2, best._3))
+        chosen ::= best._1
+        remaining = remaining.filterNot(_ == best._1)
+        step += 1
+      }
+      out
+    }
+    import spark.implicits._
+    picked.toDF("qid", "step", "doc_id", "rel_nano", "mmr_nano")
+      .orderBy("qid", "step")
+  }
+
+  lazy val c113Sql: String = {
+    import graft.embed.EmbedQueries.{dotSql, norm2Sql}
+    val oneMinus = 1000000L - MmrLambdaMicro
+    def lvl(t: Int): String =
+      if (t == 1)
+        s"""m1 AS (
+           |  SELECT qid, doc_id, rel,
+           |    ($MmrLambdaMicro * rel) // 1000000 AS mmr,
+           |    ROW_NUMBER() OVER (PARTITION BY qid
+           |      ORDER BY ($MmrLambdaMicro * rel) // 1000000 DESC, doc_id) AS rn
+           |  FROM cand
+           |), p1 AS MATERIALIZED (
+           |  SELECT qid, CAST(1 AS BIGINT) AS step, doc_id, rel, mmr
+           |  FROM m1 WHERE rn = 1
+           |), pk1 AS (SELECT * FROM p1)""".stripMargin
+      else
+        s"""pen$t AS (
+           |  SELECT c.qid, c.doc_id, c.rel, MAX(x.cos_nano) AS pen
+           |  FROM cand c
+           |  JOIN pk${t - 1} k ON k.qid = c.qid
+           |  JOIN pc x ON x.qid = c.qid
+           |    AND x.da = least(c.doc_id, k.doc_id)
+           |    AND x.db = greatest(c.doc_id, k.doc_id)
+           |  WHERE NOT EXISTS (SELECT 1 FROM pk${t - 1} z
+           |                    WHERE z.qid = c.qid AND z.doc_id = c.doc_id)
+           |  GROUP BY c.qid, c.doc_id, c.rel
+           |), m$t AS (
+           |  SELECT qid, doc_id, rel,
+           |    ($MmrLambdaMicro * rel) // 1000000 - ($oneMinus * pen) // 1000000 AS mmr,
+           |    ROW_NUMBER() OVER (PARTITION BY qid
+           |      ORDER BY ($MmrLambdaMicro * rel) // 1000000
+           |        - ($oneMinus * pen) // 1000000 DESC, doc_id) AS rn
+           |  FROM pen$t
+           |), p$t AS MATERIALIZED (
+           |  SELECT qid, CAST($t AS BIGINT) AS step, doc_id, rel, mmr
+           |  FROM m$t WHERE rn = 1
+           |), pk$t AS (SELECT * FROM pk${t - 1} UNION ALL SELECT * FROM p$t)""".stripMargin
+    s"""WITH $bm25Ctes,
+       |cand AS MATERIALIZED (
+       |  SELECT r.qid, r.doc_id, r.score_nano AS rel, e.embedding,
+       |    ${norm2Sql("e.embedding")} AS n2
+       |  FROM bm25r r JOIN embeddings e ON e.vec_id = r.doc_id
+       |  WHERE r.rnk <= $Bm25TopK
+       |), pc AS MATERIALIZED (
+       |  SELECT a.qid, a.doc_id AS da, b.doc_id AS db,
+       |    CAST(ROUND(ROUND(${dotSql("a.embedding", "b.embedding")}
+       |      / sqrt(a.n2 * b.n2), 6) * 1e9) AS BIGINT) AS cos_nano
+       |  FROM cand a JOIN cand b ON b.qid = a.qid AND b.doc_id > a.doc_id
+       |),
+       |${(1 to MmrSelect).map(lvl).mkString(",\n")}
+       |SELECT qid, step, doc_id, rel AS rel_nano, mmr AS mmr_nano
+       |FROM pk$MmrSelect
+       |ORDER BY qid, step""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c113_mmr_rerank" -> (c113MmrRerank _),
     "c111_bradley_terry" -> (c111BradleyTerry _),
     "c110_textrank" -> (c110Textrank _),
     "c101_calibration" -> (c101Calibration _),
@@ -4604,6 +4738,7 @@ object TextQueries {
     "c64_classifier_eval" -> (c64ClassifierEval _))
 
   val oracles: Map[String, String] = Map(
+    "c113_mmr_rerank" -> c113Sql,
     "c111_bradley_terry" -> c111Sql,
     "c110_textrank" -> c110Sql,
     "c101_calibration" -> c101Sql,

@@ -1686,4 +1686,54 @@ class DedupQueriesSpec extends SparkTestBase {
     val mass = out.map(_.getAs[Long]("strength_micro")).sum
     assert(mass <= k * 1000000L && mass >= k * 1000000L - TextQueries.BtIters * k)
   }
+
+  test("c113 mmr rerank: exact greedy recompute over the pinned run + embeddings") {
+    val out = TextQueries.c113MmrRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val run = TextQueries.c88Bm25(spark, sf)
+      .select("qid", "doc_id", "score_nano").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val emb = graft.Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cosNano(x: Long, y: Long): Long = {
+      val (a, b) = (emb(x), emb(y))
+      val dot = a.zip(b).foldLeft(0.0) { case (acc, (p, q)) => acc + p * q }
+      val n2a = a.foldLeft(0.0)((acc, v) => acc + v * v)
+      val n2b = b.foldLeft(0.0)((acc, v) => acc + v * v)
+      val r6 = BigDecimal(dot / math.sqrt(n2a * n2b))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      BigDecimal(r6 * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val lam = TextQueries.MmrLambdaMicro
+    val expect = run.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (qid, cs) =>
+      val rel = cs.map(t => t._2 -> t._3).toMap
+      var remaining = rel.keys.toList.sorted
+      var chosen = List.empty[Long]
+      (1 to TextQueries.MmrSelect).flatMap { step =>
+        if (remaining.isEmpty) None else {
+          val scored = remaining.map { d =>
+            val pen = if (chosen.isEmpty) 0L else chosen.map(cosNano(d, _)).max
+            val mmr = (lam * rel(d)) / 1000000L - ((1000000L - lam) * pen) / 1000000L
+            (d, rel(d), mmr)
+          }
+          val best = scored.minBy { case (d, _, m) => (-m, d) }
+          chosen ::= best._1
+          remaining = remaining.filterNot(_ == best._1)
+          Some((qid, step.toLong, best._1, best._2, best._3))
+        }
+      }
+    }
+    assert(out.toSeq == expect)
+    // step 1 is the pure-relevance argmax per query (pen is zero there)
+    val byQ = run.groupBy(_._1)
+    out.filter(_._2 == 1L).foreach { case (qid, _, doc, _, _) =>
+      val best = byQ(qid).minBy(t => (-t._3, t._2))
+      assert(doc == best._2)
+    }
+    // selections are distinct within each query
+    out.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._3).distinct.length == rows.length)
+    }
+  }
 }
