@@ -1731,6 +1731,74 @@ object EmbedQueries {
        |) WHERE rnk <= $TopK
        |ORDER BY probe_id, rnk""".stripMargin
 
+  // --------------------------------------------------------------- C114
+  /** C114: simplified silhouette of the C50 clustering (Rousseeuw 1987;
+    * the centroid-distance simplification k-means evaluation uses at
+    * scale, where true silhouette's all-pairs a/b is O(N²)) — per
+    * vector: a = distance to its OWN (nearest) centroid, b = distance
+    * to the nearest OTHER centroid, s = (b−a)/max(a,b). The "is K
+    * right / which clusters are mush" diagnostic read before trusting
+    * C51's within-cluster dedup or C103's cluster-keyed splits.
+    * With assignment = argmin, a ≤ b always, so s ∈ [0, 1e6] ppm here
+    * BY CONSTRUCTION (negative silhouettes only appear against stale
+    * assignments); s near 0 still flags boundary vectors.
+    *
+    * Exactness: the K distances per vector reuse C50's sequential
+    * subtract-square fold rounded to 6dp; per vector they form a
+    * K-BOUNDED sorted list ((d, cid) structs — the kmAssigned argmin
+    * ordering, ties to the smaller centroid id), so a and b are
+    * elements 0 and 1; both micro-quantize before the integer ppm
+    * ratio (denominator floored at 1 — two coincident centroids would
+    * otherwise divide by zero). Scale shape: ONE map-side pass over
+    * the corpus against the K-row broadcast codebook + a vec-keyed
+    * partial agg collecting K-bounded lists — C50's exact cost, no
+    * extra shuffle.
+    */
+  def c114Silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < KmCents)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val dist6 = round(aggregate(zip_with(col("embedding"), col("ce"),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v), 6)
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), dist6.as("d"))
+      .groupBy("vec_id")
+      .agg(sort_array(collect_list(struct(col("d"), col("cid")))).as("ds"))
+      .select(col("vec_id"),
+        col("ds")(0).getField("cid").as("cluster"),
+        expr("CAST(ROUND(ds[0].d * 1000000) AS BIGINT)").as("a_micro"),
+        expr("CAST(ROUND(ds[1].d * 1000000) AS BIGINT)").as("b_micro"))
+      .withColumn("s_ppm",
+        expr("((b_micro - a_micro) * 1000000) div greatest(a_micro, b_micro, 1L)"))
+      .orderBy("vec_id")
+  }
+
+  lazy val c114Sql: String = {
+    val distSql =
+      """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list_zip(v.embedding, c.ce),
+        |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+        |           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+        |      (x, y) -> x + y)""".stripMargin
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $KmCents
+       |), dd AS (
+       |  SELECT v.vec_id,
+       |    list_sort(list([round($distSql, 6), CAST(c.cid AS DOUBLE)])) AS ds
+       |  FROM embeddings v CROSS JOIN cents c
+       |  GROUP BY v.vec_id
+       |), ab AS (
+       |  SELECT vec_id, CAST(ds[1][2] AS BIGINT) AS cluster,
+       |    CAST(ROUND(ds[1][1] * 1000000) AS BIGINT) AS a_micro,
+       |    CAST(ROUND(ds[2][1] * 1000000) AS BIGINT) AS b_micro
+       |  FROM dd
+       |)
+       |SELECT vec_id, cluster, a_micro, b_micro,
+       |  ((b_micro - a_micro) * 1000000) // greatest(a_micro, b_micro, 1) AS s_ppm
+       |FROM ab ORDER BY vec_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- C112
   /** C112: top principal direction + anisotropy of the embedding corpus
     * — mean-centered covariance, dominant eigenvector by power
@@ -1857,6 +1925,7 @@ object EmbedQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c114_silhouette" -> (c114Silhouette _),
     "c112_pca_power" -> (c112PcaPower _),
     "c102_pagerank" -> (c102Pagerank _),
     "c104_triangles" -> (c104Triangles _),
@@ -1883,6 +1952,7 @@ object EmbedQueries {
     "c62_ivf_pq" -> (c62IvfPq _))
 
   val oracles: Map[String, String] = Map(
+    "c114_silhouette" -> c114Sql,
     "c112_pca_power" -> c112Sql,
     "c102_pagerank" -> c102Sql,
     "c104_triangles" -> c104Sql,

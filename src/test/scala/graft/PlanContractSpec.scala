@@ -39,6 +39,9 @@ class PlanContractSpec extends SparkTestBase {
     // c56 embed the same assignment (c56's update step itself is pure
     // partial agg + a K·dims-row broadcast), their own joins equi-join
     "c50_kmeans_assign", "c51_semdedup", "c56_kmeans_update",
+    // c114 crosses the same KmCents-row centroid codebook as c50 (one
+    // map-side pass; the only agg collects K-bounded distance lists)
+    "c114_silhouette",
     // c59 crosses the 1-row winning-pair aggregate (LIMIT 1) and the
     // 1-row merged/after counts into each iteration summary — every
     // corpus-sized join in the loop is a BroadcastHashJoin on

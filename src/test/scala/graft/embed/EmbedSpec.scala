@@ -525,4 +525,40 @@ class MultimodalSpec extends SparkTestBase {
     // +1 absorbs the integer truncation of the Rayleigh quotient
     assert(BigInt(lambda + 1) * dims >= BigInt(trace))
   }
+
+  test("c114 silhouette: exact a/b/s recompute against the c50 assignment") {
+    import graft.embed.EmbedQueries
+    val out = EmbedQueries.c114Silhouette(spark, sf).collect()
+    val vecs = graft.Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val cents = vecs.filter(_._1 < EmbedQueries.KmCents).sortBy(_._1)
+    def d6(a: Array[Double], b: Array[Double]): Double = {
+      val s = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def micro(d: Double): Long =
+      BigDecimal(d * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(out.length == vecs.length)
+    val assign = EmbedQueries.c50KmeansAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("cluster")).toMap
+    out.foreach { row =>
+      val id = row.getLong(0)
+      val ds = cents.map { case (cid, ce) => (d6(vecs.toMap.apply(id), ce), cid) }
+        .sortBy(identity)
+      val (a, b) = (micro(ds(0)._1), micro(ds(1)._1))
+      assert(row.getAs[Long]("cluster") == ds(0)._2)
+      assert(row.getAs[Long]("cluster") == assign(id), s"c50 mismatch vec $id")
+      assert(row.getAs[Long]("a_micro") == a, s"a vec $id")
+      assert(row.getAs[Long]("b_micro") == b, s"b vec $id")
+      assert(row.getAs[Long]("s_ppm") == (b - a) * 1000000L / math.max(math.max(a, b), 1L))
+      // nearest-assignment silhouette is nonnegative by construction
+      assert(row.getAs[Long]("s_ppm") >= 0L && row.getAs[Long]("s_ppm") <= 1000000L)
+    }
+    // centroid vectors sit at distance 0 from themselves: perfect score
+    (0L until EmbedQueries.KmCents.toLong).foreach { cid =>
+      val r = out.find(_.getLong(0) == cid).get
+      assert(r.getAs[Long]("a_micro") == 0L && r.getAs[Long]("s_ppm") == 1000000L)
+    }
+  }
 }
