@@ -1799,6 +1799,94 @@ object EmbedQueries {
        |FROM ab ORDER BY vec_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- C115
+  /** C115: greedy k-center coreset selection (Gonzalez 1985; the
+    * farthest-point traversal behind coreset-based data selection à la
+    * Sener & Savarese 2018) — pick [[KCenters]] maximally-spread
+    * vectors: seed at vec_id 0, then repeatedly take the vector
+    * FARTHEST from everything picked so far (ties to the smaller id).
+    * The radius sequence (each new center's min-distance at pick time)
+    * is the 2-approximation certificate: radius_t bounds how well t
+    * centers can cover the corpus — the curve a diversity-sampling
+    * budget decision reads. Step 1's radius is the −1 sentinel (the
+    * C106 convention — the seed has no "distance to picked").
+    *
+    * Exactness: distances reuse C50's sequential subtract-square fold
+    * rounded to 6dp, micro-quantized BEFORE the running min, so the
+    * per-vector state is an exact integer and the argmax
+    * (max(struct(md, −id)) ≡ ORDER BY md DESC, id LIMIT 1) agrees
+    * cross-engine.
+    *
+    * Scale shape: the honest greedy cost — K passes over the corpus,
+    * each ONE map-side distance against a 1-row broadcast center + an
+    * integer min + a single-row argmax agg; the running min-dist frame
+    * is localCheckpoint-truncated per round (the c59/c102 lineage
+    * discipline). K driver-sized `.head()` actions steer the loop (the
+    * C105 fold rule: a K-row selection is driver-sized by definition).
+    */
+  val KCenters = 8
+
+  def c115KCenter(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val dMicro = expr("CAST(ROUND(d6 * 1000000) AS BIGINT)")
+    def d6(ce: Column): Column = round(aggregate(zip_with(col("embedding"), ce,
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v), 6)
+    def centerFrame(id: Long): DataFrame =
+      e.filter(col("vec_id") === id).select(col("embedding").as("ce"))
+    var mind = e.crossJoin(broadcast(centerFrame(0L)))
+      .select(col("vec_id"), d6(col("ce")).as("d6"))
+      .select(col("vec_id"), dMicro.as("md"))
+      .localCheckpoint(true)
+    val centers = scala.collection.mutable.ListBuffer[(Long, Long, Long)]((1L, 0L, -1L))
+    for (t <- 2 to KCenters) {
+      val row = mind
+        .agg(max(struct(col("md"), (lit(-1L) * col("vec_id")).as("nid"))).as("m"))
+        .select(col("m.md"), col("m.nid")).head()
+      val (radius, cid) = (row.getLong(0), -row.getLong(1))
+      centers += ((t.toLong, cid, radius))
+      mind = mind.join(e, "vec_id")
+        .crossJoin(broadcast(centerFrame(cid)))
+        .select(col("vec_id"), d6(col("ce")).as("d6"), col("md"))
+        .select(col("vec_id"), least(col("md"), dMicro).as("md"))
+        .localCheckpoint(true)
+    }
+    import spark.implicits._
+    centers.toSeq.toDF("step", "center_id", "radius_micro").orderBy("step")
+  }
+
+  lazy val c115Sql: String = {
+    val distSql =
+      """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list_zip(v.embedding, c.ce),
+        |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+        |           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+        |      (x, y) -> x + y)""".stripMargin
+    def lvl(t: Int): String =
+      s"""p$t AS MATERIALIZED (
+         |  SELECT vec_id AS cid, md AS radius
+         |  FROM m${t - 1} ORDER BY md DESC, vec_id LIMIT 1
+         |), c$t AS (
+         |  SELECT e.embedding AS ce FROM e JOIN p$t ON e.vec_id = p$t.cid
+         |), m$t AS MATERIALIZED (
+         |  SELECT v.vec_id,
+         |    LEAST(m.md, CAST(ROUND(round($distSql, 6) * 1000000) AS BIGINT)) AS md
+         |  FROM e v JOIN m${t - 1} m USING (vec_id) CROSS JOIN c$t c
+         |)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c1 AS (SELECT embedding AS ce FROM e WHERE vec_id = 0),
+       |m1 AS MATERIALIZED (
+       |  SELECT v.vec_id,
+       |    CAST(ROUND(round($distSql, 6) * 1000000) AS BIGINT) AS md
+       |  FROM e v CROSS JOIN c1 c),
+       |${(2 to KCenters).map(lvl).mkString(",\n")}
+       |SELECT CAST(1 AS BIGINT) AS step, CAST(0 AS BIGINT) AS center_id,
+       |  CAST(-1 AS BIGINT) AS radius_micro
+       |${(2 to KCenters).map(t =>
+          s"UNION ALL SELECT $t, cid, radius FROM p$t").mkString("\n")}
+       |ORDER BY step""".stripMargin
+  }
+
   // --------------------------------------------------------------- C112
   /** C112: top principal direction + anisotropy of the embedding corpus
     * — mean-centered covariance, dominant eigenvector by power
@@ -1925,6 +2013,7 @@ object EmbedQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c115_kcenter" -> (c115KCenter _),
     "c114_silhouette" -> (c114Silhouette _),
     "c112_pca_power" -> (c112PcaPower _),
     "c102_pagerank" -> (c102Pagerank _),
@@ -1952,6 +2041,7 @@ object EmbedQueries {
     "c62_ivf_pq" -> (c62IvfPq _))
 
   val oracles: Map[String, String] = Map(
+    "c115_kcenter" -> c115Sql,
     "c114_silhouette" -> c114Sql,
     "c112_pca_power" -> c112Sql,
     "c102_pagerank" -> c102Sql,

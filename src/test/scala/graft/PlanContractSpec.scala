@@ -42,6 +42,10 @@ class PlanContractSpec extends SparkTestBase {
     // c114 crosses the same KmCents-row centroid codebook as c50 (one
     // map-side pass; the only agg collects K-bounded distance lists)
     "c114_silhouette",
+    // c115 crosses a 1-row center frame per greedy round (the a31
+    // scalar-broadcast shape); the running-min join is a vec_id hash
+    // equi-join
+    "c115_kcenter",
     // c59 crosses the 1-row winning-pair aggregate (LIMIT 1) and the
     // 1-row merged/after counts into each iteration summary — every
     // corpus-sized join in the loop is a BroadcastHashJoin on

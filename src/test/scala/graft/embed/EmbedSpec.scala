@@ -561,4 +561,36 @@ class MultimodalSpec extends SparkTestBase {
       assert(r.getAs[Long]("a_micro") == 0L && r.getAs[Long]("s_ppm") == 1000000L)
     }
   }
+
+  test("c115 k-center: exact greedy farthest-point recompute, radius sanity") {
+    import graft.embed.EmbedQueries
+    val out = EmbedQueries.c115KCenter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val vecs = graft.Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val byId = vecs.toMap
+    def dMicro(a: Array[Double], b: Array[Double]): Long = {
+      val s = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+      val r6 = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      BigDecimal(r6 * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    var md = vecs.map { case (id, v) => id -> dMicro(v, byId(0L)) }.toMap
+    val expect = scala.collection.mutable.ListBuffer[(Long, Long, Long)]((1L, 0L, -1L))
+    for (t <- 2 to EmbedQueries.KCenters) {
+      val (cid, radius) = md.toSeq.minBy { case (id, d) => (-d, id) }match {
+        case (id, d) => (id, d)
+      }
+      expect += ((t.toLong, cid, radius))
+      md = md.map { case (id, d) => id -> math.min(d, dMicro(byId(id), byId(cid))) }
+    }
+    assert(out.toSeq == expect.toSeq)
+    // radii are non-increasing after the seed (greedy picks ever-closer
+    // farthest points) and strictly positive on a non-degenerate corpus
+    val radii = out.filter(_._1 >= 2L).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b })
+    assert(radii.forall(_ > 0L))
+    // centers are distinct
+    assert(out.map(_._2).distinct.length == out.length)
+  }
 }
