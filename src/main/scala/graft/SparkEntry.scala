@@ -68,7 +68,8 @@ object SparkEntry {
     "b43_merge_committed" -> (Queries.mergeCommitted _),
     "b44_merge_delta" -> (Queries.mergeDelta _),
     "b45_lateral_topn" -> (Queries.lateralTopn _),
-    "b46_recursive_spine" -> (Queries.recursiveSpine _)
+    "b46_recursive_spine" -> (Queries.recursiveSpine _),
+    "b47_asof_native" -> (Queries.asofNative _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -125,6 +126,7 @@ object SparkEntry {
     "b43_merge_committed" -> Queries.mergeCommittedSql,
     "b44_merge_delta" -> Queries.mergeDeltaSql,
     "b45_lateral_topn" -> Queries.lateralTopnSql,
-    "b46_recursive_spine" -> Queries.recursiveSpineSql
+    "b46_recursive_spine" -> Queries.recursiveSpineSql,
+    "b47_asof_native" -> Queries.asofNativeSql
   )
 }

@@ -79,5 +79,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // size(array_intersect) on bigint arrays → the codegen'd merge scan
     // (the d14 hand-fix as an automatic plan rewrite)
     ext.injectOptimizerRule(_ => graft.plans.RewriteIntersectCount)
+    // whole-operator extension: the native ASOF JOIN planner strategy
+    // (AsOfJoinPlan → AsOfJoinExec; see graft.plans.AsOfJoin)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

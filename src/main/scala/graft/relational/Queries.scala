@@ -403,6 +403,36 @@ object Queries {
       |  ON e.user_id = c.user_id AND c.click_us <= e.err_us
       |ORDER BY event_id""".stripMargin
 
+  /** B47: the SAME as-of semantics as B9, executed by graft's native
+    * [[graft.plans.AsOfJoinExec]] — a custom logical node + injected
+    * planner strategy + physical sort-merge pass (the whole-operator
+    * extension rung: Spark has no ASOF JOIN, the θ-join plans as a
+    * nested loop, and B9's union+window rewrite pays a carry window).
+    * The exec declares `ClusteredDistribution` on user_id and a
+    * (key, time) required ordering, so the planner inserts exactly one
+    * exchange + sort per side and the join itself is a single O(L+R)
+    * forward merge per partition. Tie rule (max click_us, then max
+    * click_id) is B9's, pinned equal row-for-row by the spec; the
+    * oracle is B9's DuckDB ASOF twin verbatim.
+    */
+  def asofNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsWithUs(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("us").as("err_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("us").as("click_us"))
+    graft.plans.AsOfJoin.asof(errors, clicks,
+        leftKey = "user_id", rightKey = "c_user",
+        leftTime = "err_us", rightTime = "click_us", rightTie = "click_id")
+      .select(col("event_id"), col("user_id"), col("err_us"),
+        col("click_id"), col("click_us"),
+        (col("err_us") - col("click_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val asofNativeSql: String = asofJoinSql
+
   /** B10 trailing-window width: clicks within the 24 h before an error. */
   val RangeWindowUs = 86400000000L
 

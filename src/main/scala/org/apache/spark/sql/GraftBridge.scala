@@ -13,6 +13,14 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Wrap a logical plan as a DataFrame (`Dataset.ofRows` is
+    * `private[sql]`) — the entry point for graft's custom logical
+    * nodes (AsOfJoinPlan).
+    */
+  def ofRows(spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Block until every queued SparkListener event has been delivered —
     * the deterministic replacement for sleep-and-hope when attributing
     * per-query task metrics (`listenerBus` is `private[spark]`, hence

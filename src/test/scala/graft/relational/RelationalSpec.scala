@@ -701,4 +701,33 @@ class RelationalSpec extends SparkTestBase {
     // the spine is genuinely gap-free even where no orders exist
     assert(out.length == hi - lo + 1)
   }
+
+  test("b47 native asof: AsOfJoinExec in the plan, row-identical to b9's rewrite") {
+    val native = Queries.asofNative(spark, sf)
+    val plan = native.queryExecution.executedPlan.toString
+    // the strategy genuinely planned the custom exec — not a fallback
+    assert(plan.contains("AsOfJoin"), s"no AsOfJoinExec in:\n$plan")
+    // ...and none of the composed rewrite's window machinery
+    assert(!plan.contains("Window"), "window operator leaked into the native plan")
+    val got = native.collect().map(_.toSeq)
+    val want = Queries.asofJoin(spark, sf).collect().map(_.toSeq)
+    assert(got.length == want.length)
+    assert(got.toSeq == want.toSeq)
+    // brute-force semantic recompute: latest click at-or-before, max
+    // (us, id) tie rule, inner drop when no prior click exists
+    val ev = graft.Tables.eventsWithUs(spark, sf)
+      .select("event_id", "user_id", "us", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val clicks = ev.filter(_._4 == "click").groupBy(_._2)
+    val expect = ev.filter(_._4 == "error").sortBy(_._1).flatMap {
+      case (eid, user, us, _) =>
+        val prior = clicks.getOrElse(user, Array.empty)
+          .filter(c => c._3 <= us)
+        if (prior.isEmpty) None else {
+          val best = prior.maxBy(c => (c._3, c._1))
+          Some(Seq(eid, user, us, best._1, best._3, us - best._3))
+        }
+    }
+    assert(got.toSeq == expect.toSeq)
+  }
 }
