@@ -527,6 +527,59 @@ object ScaleSmoke {
       s"hll estimate $hllEst vs true $kDistinct breaches 3 sigma")
     println(f"SCALE hllDistinct rows=$nHll distinct=$kDistinct est=$hllEst%.0f " +
       f"maxTaskMs=$hMaxMs meanTaskMs=$hMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // --- native AsOfJoinExec on the SAME skewed frame the b9 pin used:
+    // the custom exec must produce the identical pair count at 10M
+    // events — and its per-key sort honestly EXPOSES the hot-user
+    // straggler the celled rewrite bounds (max vs mean task time is
+    // the documented tradeoff, not a bug: the exec is the general
+    // operator, the cell rewrite the hot-key escape hatch).
+    t0 = System.nanoTime()
+    val anErrors = asofEv.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("us").as("err_us"))
+    val anClicks = asofEv.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("us").as("click_us"))
+    val (nNativePairs, anMaxMs, anMeanMs) = withMaxTask(
+      graft.plans.AsOfJoin.asof(anErrors, anClicks,
+        "user_id", "c_user", "err_us", "click_us", "click_id").count())
+    require(nNativePairs == nAsofPairs,
+      s"native asof $nNativePairs != celled rewrite $nAsofPairs")
+    println(f"SCALE asofNative events=$nAsof hotUserShare=0.5 pairs=$nNativePairs " +
+      f"maxTaskMs=$anMaxMs meanTaskMs=$anMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // --- covariance moment pass (the C112/D32 shape) at nVec 64-dim
+    // vectors: the Dims²-per-row flattened-transform fanout is the
+    // scale risk — map-side combine must collapse ~nVec·4096 cell rows
+    // to 4096 groups with flat tasks. Elements are exact milli ints by
+    // construction, so a direct single-cell agg cross-checks the
+    // moment table exactly.
+    t0 = System.nanoTime()
+    val nCov = math.max(nCells / 20L, 50000L)
+    val dims = 64
+    val vdf = spark.range(nCov).select(col("id").as("vec_id"),
+      expr(s"transform(sequence(0, ${dims - 1}), d -> CAST((id * 13 + d * 7) % 1000 AS BIGINT))")
+        .as("q"))
+    val cells64 = vdf.select(expr(
+      s"""explode(concat(
+         |  flatten(transform(q, (qi, i) -> transform(q, (qj, j) ->
+         |    struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, qi * qj AS p)))),
+         |  transform(q, (qi, i) ->
+         |    struct(CAST(i AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j, qi AS p)),
+         |  array(struct(CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
+         |    CAST(1 AS BIGINT) AS p))))""".stripMargin).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+    val (momRows, cvMaxMs, cvMeanMs) = withMaxTask(
+      cells64.groupBy("i", "j").agg(sum("p").as("s")).collect())
+    val moments = momRows.map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    require(moments.size == dims * dims + dims + 1, s"cells ${moments.size}")
+    require(moments((-1L, -1L)) == nCov)
+    for (i <- 0 until dims; j <- 0 until i)
+      require(moments((i.toLong, j.toLong)) == moments((j.toLong, i.toLong)))
+    val spot = vdf.agg(sum(expr("q[4] * q[8]"))).head().getLong(0)
+    require(moments((4L, 8L)) == spot, s"spot ${moments((4L, 8L))} != $spot")
+    println(f"SCALE covMoments vecs=$nCov dims=$dims cells=${moments.size} " +
+      f"maxTaskMs=$cvMaxMs meanTaskMs=$cvMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 }
