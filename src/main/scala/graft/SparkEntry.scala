@@ -69,7 +69,8 @@ object SparkEntry {
     "b44_merge_delta" -> (Queries.mergeDelta _),
     "b45_lateral_topn" -> (Queries.lateralTopn _),
     "b46_recursive_spine" -> (Queries.recursiveSpine _),
-    "b47_asof_native" -> (Queries.asofNative _)
+    "b47_asof_native" -> (Queries.asofNative _),
+    "b48_gap_fill_locf" -> (Queries.gapFillLocf _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -127,6 +128,7 @@ object SparkEntry {
     "b44_merge_delta" -> Queries.mergeDeltaSql,
     "b45_lateral_topn" -> Queries.lateralTopnSql,
     "b46_recursive_spine" -> Queries.recursiveSpineSql,
-    "b47_asof_native" -> Queries.asofNativeSql
+    "b47_asof_native" -> Queries.asofNativeSql,
+    "b48_gap_fill_locf" -> Queries.gapFillLocfSql
   )
 }

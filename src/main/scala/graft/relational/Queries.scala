@@ -2212,4 +2212,70 @@ object Queries {
       |  COALESCE(r.n_orders, 0) AS n_orders, COALESCE(r.rev_c, 0) AS rev_c
       |FROM spine s LEFT JOIN rev r ON r.m = s.m
       |ORDER BY s.m""".stripMargin
+
+  // ------------------------------------------------------------- B48
+  /** B48: LOCF gap fill — last-observation-carried-forward over a
+    * per-priority daily spine via the IGNORE-NULLS window form
+    * (`last_value(x IGNORE NULLS)`), the forward-fill idiom sensor /
+    * slowly-updating-metric pipelines use where B28's zero fill would
+    * be a lie (a missing reading means "unchanged", not "zero"). Also
+    * reports staleness — days since the carried observation, the value
+    * a freshness SLA thresholds on; before any observation both carry
+    * columns pin to the −1 sentinel (the C106 convention). Day
+    * granularity is chosen so the corpus genuinely has gaps (a
+    * priority sees ~1 order/day at sf0.01). Scale shape: the fact
+    * collapses to a (priority, day) partial agg bounded by the value
+    * domain (C22's argument) BEFORE the spine cross join and the
+    * window, so the window input is calendar×|priorities| rows at any
+    * order count; the daily agg is the only corpus-sized shuffle, and
+    * the carry window partitions by priority — never corpus-wide.
+    */
+  def gapFillLocf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+          .cast("long").as("day_idx"))
+      .agg(count(lit(1)).as("n_obs"), sum(cents(col("o_totalprice"))).as("rev_obs"))
+    val spine = daily.agg(min("day_idx").as("lo"), max("day_idx").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day_idx"))
+      .crossJoin(daily.select("priority").distinct())
+    val w = Window.partitionBy("priority").orderBy("day_idx")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(daily, Seq("priority", "day_idx"), "left")
+      .withColumn("locf_rev_c",
+        coalesce(last(col("rev_obs"), ignoreNulls = true).over(w), lit(-1L)))
+      .withColumn("days_since_obs",
+        coalesce(col("day_idx") -
+          last(when(col("rev_obs").isNotNull, col("day_idx")), ignoreNulls = true).over(w),
+          lit(-1L)))
+      .select(col("priority"), col("day_idx"),
+        coalesce(col("n_obs"), lit(0L)).as("n_orders"),
+        col("rev_obs").isNull.cast("long").as("is_gap"),
+        col("locf_rev_c"), col("days_since_obs"))
+      .orderBy("priority", "day_idx")
+  }
+
+  val gapFillLocfSql: String =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS day_idx,
+      |    COUNT(*) AS n_obs,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev_obs
+      |  FROM orders GROUP BY 1, 2
+      |), b AS (SELECT MIN(day_idx) AS lo, MAX(day_idx) AS hi FROM daily),
+      |spine AS (SELECT UNNEST(range(lo, hi + 1)) AS day_idx FROM b),
+      |prios AS (SELECT DISTINCT priority FROM daily),
+      |f AS (
+      |  SELECT p.priority, s.day_idx, d.n_obs, d.rev_obs
+      |  FROM spine s CROSS JOIN prios p
+      |  LEFT JOIN daily d ON d.priority = p.priority AND d.day_idx = s.day_idx
+      |)
+      |SELECT priority, day_idx,
+      |  CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_orders,
+      |  CAST(rev_obs IS NULL AS BIGINT) AS is_gap,
+      |  CAST(COALESCE(LAST_VALUE(rev_obs IGNORE NULLS) OVER w, -1) AS BIGINT) AS locf_rev_c,
+      |  CAST(COALESCE(day_idx - LAST_VALUE(CASE WHEN rev_obs IS NOT NULL THEN day_idx END IGNORE NULLS) OVER w, -1) AS BIGINT) AS days_since_obs
+      |FROM f
+      |WINDOW w AS (PARTITION BY priority ORDER BY day_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY priority, day_idx""".stripMargin
 }

@@ -730,4 +730,36 @@ class RelationalSpec extends SparkTestBase {
     }
     assert(got.toSeq == expect.toSeq)
   }
+
+  test("b48 LOCF gap fill: carry/staleness exact vs sequential recompute, real gaps") {
+    val out = Queries.gapFillLocf(spark, sf).collect()
+      .map(r => (r.getAs[String]("priority"), r.getAs[Long]("day_idx"),
+        r.getAs[Long]("n_orders"), r.getAs[Long]("is_gap"),
+        r.getAs[Long]("locf_rev_c"), r.getAs[Long]("days_since_obs")))
+    // brute-force: per (priority, day) cent sums, then a sequential carry
+    val obs = Tables(spark, sf, "orders")
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date")).cast("long"),
+        round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+    val byKey = obs.groupBy(_._1).map { case (k, vs) => k -> (vs.length.toLong, vs.map(_._2).sum) }
+    val lo = obs.map(_._1._2).min
+    val hi = obs.map(_._1._2).max
+    val expect = obs.map(_._1._1).distinct.sorted.flatMap { p =>
+      var carry = -1L
+      var lastObs = -1L
+      (lo to hi).map { d =>
+        val o = byKey.get((p, d))
+        o.foreach { case (_, rev) => carry = rev; lastObs = d }
+        (p, d, o.map(_._1).getOrElse(0L), if (o.isEmpty) 1L else 0L,
+          carry, if (lastObs < 0) -1L else d - lastObs)
+      }
+    }
+    assert(out.toSeq == expect.toSeq)
+    // the corpus genuinely exercises all three regimes
+    assert(out.exists(_._4 == 1L), "no gaps — day granularity lost its point")
+    assert(out.exists(r => r._4 == 1L && r._5 >= 0L), "no carried value over a gap")
+    assert(out.exists(_._6 > 1L), "staleness never exceeded one day")
+    assert(out.exists(r => r._5 == -1L && r._6 == -1L), "no pre-observation sentinel rows")
+  }
 }
