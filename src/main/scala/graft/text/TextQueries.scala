@@ -1963,19 +1963,28 @@ object TextQueries {
     */
   val CalBuckets = 10L
 
-  def c101Calibration(spark: SparkSession, dir: String): DataFrame = {
+  /** The (bucket, n_docs, sum_conf, n_pos) reliability table shared by
+    * C101 (ECE) and C116 (isotonic fit) — the only corpus-sized work
+    * in either: two scan-stage projections, one doc-keyed join, a
+    * [[CalBuckets]]-key partial agg.
+    */
+  private def calBuckets(spark: SparkSession, dir: String): DataFrame = {
     val conf = c52Scored(spark, dir)
       .select(col("doc_id"),
         expr("(score_micro + 1000000000) div 2000").as("conf_micro"))
     val labels = c49Rows(spark, dir)
       .select(col("doc_id"), col("keep").cast("long").as("pos"))
-    val buckets = conf.join(labels, "doc_id")
+    conf.join(labels, "doc_id")
       .withColumn("bucket",
         least(expr("conf_micro div 100000"), lit(CalBuckets - 1L)))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"),
         sum("conf_micro").as("sum_conf"),
         sum("pos").as("n_pos"))
+  }
+
+  def c101Calibration(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = calBuckets(spark, dir)
     val total = buckets.agg(sum("n_docs").as("n_total"))
     buckets.crossJoin(broadcast(total))
       .withColumn("mean_conf_micro", expr("sum_conf div n_docs"))
@@ -1987,7 +1996,10 @@ object TextQueries {
       .orderBy("bucket")
   }
 
-  val c101Sql: String = {
+  /** The oracle twin of [[calBuckets]] — the CTE prefix C101 and C116
+    * both build on (ends with `b` = the reliability table).
+    */
+  private val calBucketCtes: String = {
     val stops = Stopwords.map(s => s"'$s'").mkString(", ")
     s"""WITH sc AS (
        |  SELECT doc_id,
@@ -2021,7 +2033,11 @@ object TextQueries {
        |    CAST(SUM(conf_micro) AS BIGINT) AS sum_conf,
        |    CAST(SUM(pos) AS BIGINT) AS n_pos
        |  FROM sc JOIN lab USING (doc_id) GROUP BY 1
-       |), t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM b)
+       |)""".stripMargin
+  }
+
+  val c101Sql: String =
+    s"""$calBucketCtes, t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM b)
        |SELECT bucket, n_docs,
        |  sum_conf // n_docs AS mean_conf_micro,
        |  (n_pos * 1000000) // n_docs AS pos_rate_micro,
@@ -2029,7 +2045,75 @@ object TextQueries {
        |  (n_docs * abs(sum_conf // n_docs - (n_pos * 1000000) // n_docs) * 1000)
        |    // n_total AS ece_contrib_nano
        |FROM b CROSS JOIN t ORDER BY bucket""".stripMargin
+
+  // --------------------------------------------------------------- C116
+  /** C116: isotonic calibration (PAV fit) of the C101 reliability
+    * table — the monotone-nondecreasing map from score bucket to
+    * corrected positive rate (Zadrozny & Elkan 2002; the
+    * strictly-stronger follow-up to C101's diagnosis: C101 SAYS the
+    * raw score is miscalibrated, this produces the map that FIXES it
+    * without refitting the classifier). Computed via the minimax
+    * identity iso(i) = max_{a≤i} min_{b≥i} mean(a..b) (Barlow et al.
+    * 1972), which equals the pool-adjacent-violators fit on exact
+    * means and is monotone BY CONSTRUCTION for any interval statistic
+    * (feasible sets nest in i) — so quantizing each interval mean to
+    * truncated micro FIRST keeps both engines identical without any
+    * rational-comparison machinery. Buckets are [[CalBuckets]]-bounded
+    * ⇒ the O(K³) minimax folds driver-side in exact Long arithmetic
+    * (the C105 rule: a K-row reduction is driver-sized by definition)
+    * and rejoins as a broadcast; the only corpus-sized work is the
+    * shared [[calBuckets]] scan+join+agg. `pooled` flags buckets the
+    * fit moved — a perfectly calibrated-in-order classifier has none.
+    */
+  def c116Isotonic(spark: SparkSession, dir: String): DataFrame = {
+    val b = calBuckets(spark, dir).select("bucket", "n_docs", "n_pos")
+    val rows = b.orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val k = rows.length
+    def meanMicro(a: Int, bi: Int): Long = {
+      var docs = 0L; var pos = 0L
+      var i = a; while (i <= bi) { docs += rows(i)._2; pos += rows(i)._3; i += 1 }
+      (pos * 1000000L) / docs // pos ≥ 0, docs > 0: / ≡ truncating div
+    }
+    val iso = Array.tabulate(k) { i =>
+      (0 to i).map(a => (i until k).map(bi => meanMicro(a, bi)).min).max
+    }
+    import spark.implicits._
+    val isoDf = broadcast(
+      rows.indices.map(i => (rows(i)._1, iso(i))).toDF("bucket", "iso_rate_micro"))
+    b.join(isoDf, "bucket")
+      .withColumn("pos_rate_micro", expr("(n_pos * 1000000) div n_docs"))
+      .withColumn("dev_micro", abs(col("pos_rate_micro") - col("iso_rate_micro")))
+      .withColumn("pooled",
+        (col("pos_rate_micro") =!= col("iso_rate_micro")).cast("long"))
+      .select("bucket", "n_docs", "pos_rate_micro", "iso_rate_micro",
+        "dev_micro", "pooled")
+      .orderBy("bucket")
   }
+
+  val c116Sql: String =
+    s"""$calBucketCtes, iv AS (
+       |  SELECT l.bucket AS lo, h.bucket AS hi,
+       |    (CAST(SUM(x.n_pos) AS BIGINT) * 1000000)
+       |      // CAST(SUM(x.n_docs) AS BIGINT) AS m
+       |  FROM b l JOIN b h ON l.bucket <= h.bucket
+       |  JOIN b x ON x.bucket BETWEEN l.bucket AND h.bucket
+       |  GROUP BY 1, 2
+       |), mn AS (
+       |  SELECT iv.lo, bb.bucket, MIN(iv.m) AS mn
+       |  FROM iv JOIN b bb ON iv.lo <= bb.bucket AND iv.hi >= bb.bucket
+       |  GROUP BY 1, 2
+       |), iso AS (
+       |  SELECT bucket, CAST(MAX(mn) AS BIGINT) AS iso_rate_micro
+       |  FROM mn GROUP BY 1
+       |)
+       |SELECT b.bucket, b.n_docs,
+       |  (b.n_pos * 1000000) // b.n_docs AS pos_rate_micro,
+       |  iso.iso_rate_micro,
+       |  abs((b.n_pos * 1000000) // b.n_docs - iso.iso_rate_micro) AS dev_micro,
+       |  CAST((b.n_pos * 1000000) // b.n_docs <> iso.iso_rate_micro AS BIGINT) AS pooled
+       |FROM b JOIN iso ON b.bucket = iso.bucket
+       |ORDER BY b.bucket""".stripMargin
 
   // ---------------------------------------------------------------- C55
   /** C55: vocabulary coverage curve — for each candidate vocab size k,
@@ -4674,6 +4758,7 @@ object TextQueries {
     "c111_bradley_terry" -> (c111BradleyTerry _),
     "c110_textrank" -> (c110Textrank _),
     "c101_calibration" -> (c101Calibration _),
+    "c116_isotonic" -> (c116Isotonic _),
     "c100_fertility" -> (c100Fertility _),
     "c99_rrf_fusion" -> (c99RrfFusion _),
     "c98_hash_embed" -> (c98HashEmbed _),
@@ -4742,6 +4827,7 @@ object TextQueries {
     "c111_bradley_terry" -> c111Sql,
     "c110_textrank" -> c110Sql,
     "c101_calibration" -> c101Sql,
+    "c116_isotonic" -> c116Sql,
     "c100_fertility" -> c100Sql,
     "c99_rrf_fusion" -> c99Sql,
     "c98_hash_embed" -> c98Sql,

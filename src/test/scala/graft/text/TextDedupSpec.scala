@@ -1553,6 +1553,43 @@ class DedupQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("c116 isotonic: exact minimax recompute, monotone fit, real pooling on this corpus") {
+    val out = TextQueries.c116Isotonic(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("pos_rate_micro"), r.getAs[Long]("iso_rate_micro"),
+        r.getAs[Long]("dev_micro"), r.getAs[Long]("pooled")))
+    // independent bucket table from the raw c52 scores and c49 labels
+    val conf = TextQueries.c52HashClassifier(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("score_micro") + 1000000000L) / 2000L).toMap
+    val pos = TextQueries.c49GopherRules(spark, sf).collect()
+      .map(r => r.getLong(0) -> (if (r.getAs[Boolean]("keep")) 1L else 0L)).toMap
+    val buckets = conf.toSeq.map { case (id, c) =>
+      (math.min(c / 100000L, TextQueries.CalBuckets - 1L), pos(id))
+    }.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (b, g) => (b, g.size.toLong, g.map(_._2).sum) }
+    val k = buckets.length
+    def mm(a: Int, b: Int): Long = {
+      val docs = buckets.slice(a, b + 1).map(_._2).sum
+      buckets.slice(a, b + 1).map(_._3).sum * 1000000L / docs
+    }
+    val iso = Array.tabulate(k)(i =>
+      (0 to i).map(a => (i until k).map(b => mm(a, b)).min).max)
+    val expect = buckets.indices.map { i =>
+      val (b, nd, np) = buckets(i)
+      val raw = np * 1000000L / nd
+      (b, nd, raw, iso(i), math.abs(raw - iso(i)), if (raw != iso(i)) 1L else 0L)
+    }
+    assert(out.toSeq == expect)
+    // the fit is monotone nondecreasing across buckets
+    assert(out.map(_._4).zip(out.map(_._4).tail).forall { case (a, b) => a <= b })
+    // this corpus genuinely has an isotonicity violation to pool...
+    assert(out.exists(_._6 == 1L), "raw reliability already isotonic — fit is vacuous")
+    // ...and buckets the fit left alone
+    assert(out.exists(_._6 == 0L))
+    // pooling conserves nothing pointwise but stays in [0, 1e6]
+    assert(out.forall(r => r._4 >= 0L && r._4 <= 1000000L))
+  }
+
   test("c103 group split: exact recompute, zero leakage by construction, doc split leaks") {
     import graft.dedup.DedupQueries
     val out = DedupQueries.c103GroupSplit(spark, sf).collect()
