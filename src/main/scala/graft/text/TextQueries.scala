@@ -2115,6 +2115,106 @@ object TextQueries {
        |FROM b JOIN iso ON b.bucket = iso.bucket
        |ORDER BY b.bucket""".stripMargin
 
+  // --------------------------------------------------------------- C117
+  /** C117: KS drift — the Kolmogorov–Smirnov statistic between the OLD
+    * and NEW halves' C52 quality-score distributions (C67's midpoint
+    * split, C73's snapshot-vs-batch frame): the rank-based drift alarm
+    * next to C73's unigram JS — JS sees WHAT tokens shifted, KS sees
+    * whether the SCORE distribution a keep-threshold reads has moved
+    * (the thing that silently changes the keep rate between crawls).
+    * Reports the top-10 ECDF gaps (ties to the smaller score); row
+    * rk=1's gap IS the KS statistic.
+    *
+    * Exactness: per distinct score the two ECDFs quantize separately
+    * as (cum·1e6) div n — per-side truncation keeps intermediates
+    * ≤ 1e6·n (cross-multiplying the gap as cum_old·n_new would
+    * overflow BIGINT near 10¹² docs); gap and max are then exact
+    * integers in both engines.
+    *
+    * Scale shape: one scan-stage score projection, one score-keyed
+    * partial agg (map-side combined) to the distinct-score table, then
+    * the cumulative counts run as a TWO-LEVEL cumsum: per-RANGE totals
+    * (range = score div 2²¹, value-domain bounded at ~10³ rows, the
+    * C22 argument) take a bounded prefix window and broadcast back as
+    * offsets, and the corpus-sized level runs a window partitioned BY
+    * RANGE — never a corpus-wide single-partition sort. Truncating div
+    * is monotone, so range order is consistent with score order. The
+    * top-10 is a TakeOrdered, not a full sort.
+    */
+  def c117KsDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+    val cut = docs.agg(((min("doc_id") + max("doc_id")) / 2).cast("long").as("cut"))
+    val perScore = clsScoreCols(docs).select(col("doc_id"), col("score_micro"))
+      .crossJoin(broadcast(cut))
+      .select(col("score_micro"), (col("doc_id") < col("cut")).cast("long").as("is_old"))
+      .groupBy("score_micro")
+      .agg(sum("is_old").as("c_old"), (count(lit(1)) - sum("is_old")).as("c_new"))
+      .withColumn("rng", expr("score_micro div 2097152"))
+    val wr = Window.orderBy("rng").rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = perScore.groupBy("rng")
+      .agg(sum("c_old").as("r_old"), sum("c_new").as("r_new"))
+      .select(col("rng"),
+        coalesce(sum("r_old").over(wr), lit(0L)).as("p_old"),
+        coalesce(sum("r_new").over(wr), lit(0L)).as("p_new"))
+    val wl = Window.partitionBy("rng").orderBy("score_micro")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = perScore.agg(sum("c_old").as("n_old"), sum("c_new").as("n_new"))
+    val gaps = perScore.join(broadcast(prefixes), "rng")
+      .withColumn("cum_old", sum("c_old").over(wl) + col("p_old"))
+      .withColumn("cum_new", sum("c_new").over(wl) + col("p_new"))
+      .crossJoin(broadcast(tot))
+      .withColumn("f_old_micro", expr("(cum_old * 1000000) div n_old"))
+      .withColumn("f_new_micro", expr("(cum_new * 1000000) div n_new"))
+      .withColumn("gap_micro", abs(col("f_old_micro") - col("f_new_micro")))
+    val top = gaps.orderBy(col("gap_micro").desc, col("score_micro")).limit(10)
+    top.withColumn("rk",
+        row_number().over(Window.orderBy(col("gap_micro").desc, col("score_micro"))))
+      .select("rk", "score_micro", "f_old_micro", "f_new_micro", "gap_micro",
+        "n_old", "n_new")
+      .orderBy("rk")
+  }
+
+  val c117Sql: String =
+    s"""WITH cut AS (
+       |  SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS cut FROM documents
+       |), sc AS (
+       |  SELECT doc_id,
+       |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(text, ' '),
+       |        t -> (${tokenHashSql("t")} % $ClsBuckets) * 2654435761 % 2001 - 1000)),
+       |      (x, y) -> x + y) * 1000000)
+       |      // greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS score_micro
+       |  FROM documents
+       |), g AS (
+       |  SELECT score_micro,
+       |    CAST(SUM(CASE WHEN doc_id < cut THEN 1 ELSE 0 END) AS BIGINT) AS c_old,
+       |    CAST(SUM(CASE WHEN doc_id >= cut THEN 1 ELSE 0 END) AS BIGINT) AS c_new
+       |  FROM sc, cut GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(SUM(c_old) AS BIGINT) AS n_old,
+       |    CAST(SUM(c_new) AS BIGINT) AS n_new FROM g
+       |), cum AS (
+       |  SELECT score_micro,
+       |    CAST(SUM(c_old) OVER (ORDER BY score_micro
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_old,
+       |    CAST(SUM(c_new) OVER (ORDER BY score_micro
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_new
+       |  FROM g
+       |), f AS (
+       |  SELECT score_micro,
+       |    (cum_old * 1000000) // n_old AS f_old_micro,
+       |    (cum_new * 1000000) // n_new AS f_new_micro,
+       |    abs((cum_old * 1000000) // n_old - (cum_new * 1000000) // n_new) AS gap_micro,
+       |    n_old, n_new
+       |  FROM cum, tot
+       |)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY gap_micro DESC, score_micro) AS INTEGER) AS rk,
+       |  score_micro, f_old_micro, f_new_micro, gap_micro, n_old, n_new
+       |FROM f
+       |QUALIFY rk <= 10
+       |ORDER BY rk""".stripMargin
+
   // ---------------------------------------------------------------- C55
   /** C55: vocabulary coverage curve — for each candidate vocab size k,
     * what fraction of the corpus token MASS the top-k most frequent
@@ -4759,6 +4859,7 @@ object TextQueries {
     "c110_textrank" -> (c110Textrank _),
     "c101_calibration" -> (c101Calibration _),
     "c116_isotonic" -> (c116Isotonic _),
+    "c117_ks_drift" -> (c117KsDrift _),
     "c100_fertility" -> (c100Fertility _),
     "c99_rrf_fusion" -> (c99RrfFusion _),
     "c98_hash_embed" -> (c98HashEmbed _),
@@ -4828,6 +4929,7 @@ object TextQueries {
     "c110_textrank" -> c110Sql,
     "c101_calibration" -> c101Sql,
     "c116_isotonic" -> c116Sql,
+    "c117_ks_drift" -> c117Sql,
     "c100_fertility" -> c100Sql,
     "c99_rrf_fusion" -> c99Sql,
     "c98_hash_embed" -> c98Sql,

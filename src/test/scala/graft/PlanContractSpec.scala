@@ -125,7 +125,17 @@ class PlanContractSpec extends SparkTestBase {
     // c110 is c102's loop on the word graph — the same 1-row
     // dangling-mass cross per iteration; the corpus-sized pairing is a
     // (doc, position) hash equi-join, the iterate joins are vocab-keyed
-    "c110_textrank")
+    "c110_textrank",
+    // c117 crosses the 1-row midpoint cut (c73's shape) and the 1-row
+    // (n_old, n_new) totals into the distinct-score frame — bounded
+    // scalars; the cumsum prefix join is a rng hash equi-join and the
+    // only corpus-sized shuffle is the score-keyed histogram agg
+    "c117_ks_drift",
+    // b48 crosses the generated calendar spine (value-domain bounded —
+    // days, not rows) with the ≤5-row distinct-priority frame; the
+    // corpus-sized work is the (priority, day) partial agg, which
+    // joins back by hash equi-join
+    "b48_gap_fill_locf")
 
   test("no unexpected BroadcastNestedLoopJoin / CartesianProduct in any batch plan") {
     val batch = SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("d"))

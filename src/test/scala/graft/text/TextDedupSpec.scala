@@ -1590,6 +1590,37 @@ class DedupQueriesSpec extends SparkTestBase {
     assert(out.forall(r => r._4 >= 0L && r._4 <= 1000000L))
   }
 
+  test("c117 ks drift: exact ECDF-gap recompute, KS at rk 1, real split disagreement") {
+    val out = TextQueries.c117KsDrift(spark, sf).collect()
+      .map(r => (r.getAs[Int]("rk"), r.getAs[Long]("score_micro"),
+        r.getAs[Long]("f_old_micro"), r.getAs[Long]("f_new_micro"),
+        r.getAs[Long]("gap_micro"), r.getAs[Long]("n_old"), r.getAs[Long]("n_new")))
+    // sequential single-threaded recompute of both ECDFs
+    val scored = TextQueries.c52HashClassifier(spark, sf)
+      .select("doc_id", "score_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cut = (scored.map(_._1).min + scored.map(_._1).max) / 2
+    val old = scored.filter(_._1 < cut).map(_._2)
+    val nw = scored.filter(_._1 >= cut).map(_._2)
+    val nOld = old.length.toLong
+    val nNew = nw.length.toLong
+    val gaps = scored.map(_._2).distinct.sorted.map { s =>
+      val fOld = old.count(_ <= s) * 1000000L / nOld
+      val fNew = nw.count(_ <= s) * 1000000L / nNew
+      (s, fOld, fNew, math.abs(fOld - fNew))
+    }
+    val expect = gaps.sortBy(g => (-g._4, g._1)).take(10).zipWithIndex.map {
+      case ((s, fo, fn, gap), i) => (i + 1, s, fo, fn, gap, nOld, nNew)
+    }
+    assert(out.toSeq == expect.toSeq)
+    // rk 1 carries the KS statistic — the global max gap
+    assert(out.head._5 == gaps.map(_._4).max)
+    // the two halves genuinely differ somewhere (the alarm has signal)
+    assert(out.head._5 > 0L)
+    // ECDFs are proper CDFs at the top end
+    assert(gaps.last._2 == 1000000L && gaps.last._3 == 1000000L)
+  }
+
   test("c103 group split: exact recompute, zero leakage by construction, doc split leaks") {
     import graft.dedup.DedupQueries
     val out = DedupQueries.c103GroupSplit(spark, sf).collect()
