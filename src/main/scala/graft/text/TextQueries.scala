@@ -2215,6 +2215,82 @@ object TextQueries {
        |QUALIFY rk <= 10
        |ORDER BY rk""".stripMargin
 
+  // --------------------------------------------------------------- C118
+  /** C118: token-mass concentration per language — exact Gini
+    * coefficient + top-decile mass share over document token counts:
+    * the Lorenz diagnostic ("do 10% of documents carry half the
+    * tokens?") a sampling/packing plan reads before per-DOC budgets
+    * (C32) or per-doc dedup decisions silently skew per-TOKEN reality.
+    *
+    * The corpus NEVER sorts: token counts are value-domain bounded
+    * (the C22 argument), so the scan collapses to a (lang, cnt)
+    * histogram; ranks reconstruct from the histogram's running count —
+    * a tie-run of m docs at count x occupying 1-indexed ranks
+    * cum+1..cum+m contributes x·(m·(cum+1) + m(m−1)/2) to Σ rank·x —
+    * and Gini = (2·Σ rank·x − (n+1)·T) / (n·T) becomes one truncating
+    * div of exact BIGINT sums. The bottom-(9n div 10) mass (for the
+    * top-decile share) reads off the same histogram: each run gives
+    * cnt·clamp(q − cum, 0, m). Headroom: 2e6·n·T must fit BIGINT —
+    * holds to n·T ≈ 4.6·10¹² per lang (e.g. 10⁶ docs × 10⁶ tokens);
+    * beyond that the per-lang FOLD (the lang-keyed agg is already
+    * tiny) switches to DECIMAL(38) unchanged in shape. Scale shape:
+    * one scan + one (lang, cnt)-keyed partial agg; the prefix window
+    * runs on the bounded histogram partitioned by lang; two lang-keyed
+    * K-row aggs finish.
+    */
+  def c118Gini(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables(spark, dir, "documents")
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("cnt"))
+      .groupBy("lang", "cnt").agg(count(lit(1)).as("m"))
+    val w = Window.partitionBy("lang").orderBy("cnt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c = g.withColumn("cum", coalesce(sum("m").over(w), lit(0L)))
+    val l = c.groupBy("lang").agg(
+      sum("m").as("n_docs"),
+      sum(expr("cnt * m")).as("total_tokens"),
+      sum(expr("cnt * (m * (cum + 1) + (m * (m - 1)) div 2)")).as("s"))
+    val bottom = c.join(broadcast(l.select(col("lang"), col("n_docs").as("n"))), "lang")
+      .groupBy("lang")
+      .agg(sum(expr("cnt * greatest(0L, least(m, (n * 9) div 10 - cum))")).as("bottom_mass"))
+    l.join(bottom, "lang")
+      .select(col("lang"), col("n_docs"), col("total_tokens"),
+        expr("(2 * s * 1000000 - (n_docs + 1) * total_tokens * 1000000) div (n_docs * total_tokens)")
+          .as("gini_micro"),
+        expr("((total_tokens - bottom_mass) * 1000000) div total_tokens")
+          .as("top_decile_share_micro"))
+      .orderBy("lang")
+  }
+
+  val c118Sql: String =
+    """WITH d AS (
+      |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS cnt
+      |  FROM documents
+      |), g AS (
+      |  SELECT lang, cnt, CAST(COUNT(*) AS BIGINT) AS m FROM d GROUP BY 1, 2
+      |), c AS (
+      |  SELECT lang, cnt, m,
+      |    CAST(COALESCE(SUM(m) OVER (PARTITION BY lang ORDER BY cnt
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+      |  FROM g
+      |), l AS (
+      |  SELECT lang, CAST(SUM(m) AS BIGINT) AS n_docs,
+      |    CAST(SUM(cnt * m) AS BIGINT) AS total_tokens,
+      |    CAST(SUM(cnt * (m * (cum + 1) + (m * (m - 1)) // 2)) AS BIGINT) AS s
+      |  FROM c GROUP BY 1
+      |), bm AS (
+      |  SELECT c.lang,
+      |    CAST(SUM(c.cnt * GREATEST(0, LEAST(c.m, (l.n_docs * 9) // 10 - c.cum))) AS BIGINT)
+      |      AS bottom_mass
+      |  FROM c JOIN l USING (lang) GROUP BY 1
+      |)
+      |SELECT l.lang, l.n_docs, l.total_tokens,
+      |  (2 * s * 1000000 - (n_docs + 1) * total_tokens * 1000000)
+      |    // (n_docs * total_tokens) AS gini_micro,
+      |  ((total_tokens - bottom_mass) * 1000000) // total_tokens
+      |    AS top_decile_share_micro
+      |FROM l JOIN bm USING (lang) ORDER BY l.lang""".stripMargin
+
   // ---------------------------------------------------------------- C55
   /** C55: vocabulary coverage curve — for each candidate vocab size k,
     * what fraction of the corpus token MASS the top-k most frequent
@@ -4860,6 +4936,7 @@ object TextQueries {
     "c101_calibration" -> (c101Calibration _),
     "c116_isotonic" -> (c116Isotonic _),
     "c117_ks_drift" -> (c117KsDrift _),
+    "c118_gini" -> (c118Gini _),
     "c100_fertility" -> (c100Fertility _),
     "c99_rrf_fusion" -> (c99RrfFusion _),
     "c98_hash_embed" -> (c98HashEmbed _),
@@ -4930,6 +5007,7 @@ object TextQueries {
     "c101_calibration" -> c101Sql,
     "c116_isotonic" -> c116Sql,
     "c117_ks_drift" -> c117Sql,
+    "c118_gini" -> c118Sql,
     "c100_fertility" -> c100Sql,
     "c99_rrf_fusion" -> c99Sql,
     "c98_hash_embed" -> c98Sql,

@@ -1621,6 +1621,30 @@ class DedupQueriesSpec extends SparkTestBase {
     assert(gaps.last._2 == 1000000L && gaps.last._3 == 1000000L)
   }
 
+  test("c118 gini: exact brute-force Lorenz recompute from per-doc token counts") {
+    val out = TextQueries.c118Gini(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = graft.Tables(spark, sf, "documents").select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").length.toLong))
+    val expect = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, g) =>
+      val xs = g.map(_._2).sorted // ties: any order — rank sums are tie-invariant
+      val n = xs.length.toLong
+      val t = xs.sum
+      val s = xs.zipWithIndex.map { case (x, i) => x * (i + 1L) }.sum
+      val q = (n * 9) / 10
+      val bottom = xs.take(q.toInt).sum
+      (lang, n, t,
+        (2 * s * 1000000L - (n + 1) * t * 1000000L) / (n * t),
+        ((t - bottom) * 1000000L) / t)
+    }
+    assert(out.toSeq == expect)
+    // gini in [0, 1e6); top decile holds at least its proportional share
+    assert(out.forall(r => r._4 >= 0L && r._4 < 1000000L))
+    assert(out.forall(_._5 >= 100000L - 1L))
+    // the corpus is genuinely unequal somewhere (the diagnostic has signal)
+    assert(out.exists(_._4 > 0L))
+  }
+
   test("c103 group split: exact recompute, zero leakage by construction, doc split leaks") {
     import graft.dedup.DedupQueries
     val out = DedupQueries.c103GroupSplit(spark, sf).collect()
