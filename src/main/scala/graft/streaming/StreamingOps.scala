@@ -193,6 +193,91 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
   }
 
+  // ------------------- D33: timeout-path unresolved-error alerting
+  final case class PendingErr(id: Long, us: Long)
+  final case class PendingErrs(errs: Seq[PendingErr])
+  /** Carries the watermarked `event_time` column through the typed
+    * projection — EventTimeTimeout requires the watermark attribute to
+    * SURVIVE into the stateful operator's child plan; projecting it
+    * away (AsofEv's shape) fails analysis even though the watermark is
+    * defined upstream.
+    */
+  final case class AlertEv(user_id: Long, event_id: Long, us: Long,
+      is_click: Boolean, event_time: java.sql.Timestamp)
+  final case class ErrAlert(event_id: Long, user_id: Long, err_us: Long,
+      deadline_us: Long)
+
+  /** How long an error may wait for a resolving same-user click before
+    * it alerts — B10/D30's 24 h window, pointed FORWARD.
+    */
+  val AlertTtlUs: Long = graft.relational.Queries.RangeWindowUs
+
+  /** D33: unresolved-error alerts via the EVENT-TIME TIMEOUT path —
+    * the one stateful-streaming mechanism none of D3/D9/D11/D23's
+    * NoTimeout folds exercise: an alert row is produced by the TIMER,
+    * not by an arriving event. An error opens a pending entry; a
+    * same-user click with err_us ≤ click_us ≤ err_us+[[AlertTtlUs]]
+    * resolves (silently drops) it; when the WATERMARK passes an
+    * error's deadline — the proof that no resolving click can still
+    * arrive — the group's timeout fires with an empty input iterator
+    * and the alert emits exactly once. The negative-result shape D30
+    * gets from the outer interval join, re-expressed as custom state:
+    * here the state is the pending list itself (bounded by a user's
+    * unresolved errors inside one TTL window, not stream length), the
+    * timeout timestamp is always the MINIMUM pending deadline, and
+    * emission happens on whichever comes first — a batch that advances
+    * the watermark past a deadline while the group has input, or the
+    * timer when it doesn't. Assumes the source respects the watermark
+    * contract (a straggler click older than the watermark arrives too
+    * late to cancel a fired alert — by then the alert is, correctly,
+    * already true).
+    */
+  def timeoutAlerts(events: DataFrame): org.apache.spark.sql.Dataset[ErrAlert] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark("event_time", WatermarkDelay)
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("event_time")).as("us"),
+        (col("event_type") === "click").as("is_click"),
+        col("event_time"))
+      .as[AlertEv]
+
+    // local copy so the fold lambda captures a Long, not the enclosing
+    // object (which is not serializable and must not ship in the task)
+    val ttl = AlertTtlUs
+    val fold = (userId: Long, it: Iterator[AlertEv],
+        state: GroupState[PendingErrs]) => {
+      val evs = it.toSeq.sortBy(e => (e.us, e.event_id))
+      var pending = state.getOption.map(_.errs).getOrElse(Seq.empty)
+      evs.foreach { e =>
+        if (e.is_click)
+          pending = pending.filterNot(p => p.us <= e.us && e.us <= p.us + ttl)
+        else pending = pending :+ PendingErr(e.event_id, e.us)
+      }
+      // the watermark is the flush authority on BOTH paths (timer and
+      // data): everything it proves unresolvable fires now, exactly once
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val (fire, keep) = pending.partition(p => p.us + ttl < wmUs)
+      if (keep.isEmpty) state.remove()
+      else {
+        state.update(PendingErrs(keep))
+        // strictly-future guard: setTimeoutTimestamp rejects timestamps
+        // at or before the current watermark
+        state.setTimeoutTimestamp(math.max(
+          (keep.map(_.us).min + ttl) / 1000L + 1L,
+          state.getCurrentWatermarkMs() + 1L))
+      }
+      fire.sortBy(p => (p.us, p.id))
+        .map(p => ErrAlert(p.id, userId, p.us, p.us + ttl)).iterator
+    }
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)
+  }
+
   // --------------------------------------- D23: streaming SCD2 intervals
   final case class Scd2Ev(user_id: Long, event_id: Long, us: Long, event_type: String)
   final case class Scd2State(cur_type: String, from_us: Long, version: Long)

@@ -1199,7 +1199,69 @@ object StreamingQueries {
        |CROSS JOIN nt t
        |ORDER BY x.i, x.j""".stripMargin
 
+  // ---------------------------------------------------------------- D33
+  /** D33: unresolved-error alerts from the EVENT-TIME TIMEOUT path —
+    * see [[StreamingOps.timeoutAlerts]] for the semantics. The staged
+    * replay is D30's: all real events in batch 0, then two sentinel
+    * batches (+3 d, +6 d — far past every real deadline) whose only
+    * job is advancing the watermark so the timers actually fire; the
+    * sentinel users are negative and filtered ON THE SINK (D30's
+    * documented push-below-watermark trap applies identically here).
+    * Oracle = the batch NOT EXISTS over the same forward TTL window:
+    * an alert row iff no same-user click lands in
+    * [err_us, err_us + AlertTtlUs].
+    */
+  def d33StreamTimeoutAlert(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.Tables
+    val ev = Tables(spark, sfDir, "events")
+    val tsType = ev.schema("ts").dataType
+    val maxUs = StreamingOps.normalize(ev)
+      .agg(max(unix_micros(col("event_time")))).head.getLong(0)
+    def sentinels(us: Long, idBase: Long): DataFrame = {
+      def one(id: Long, user: Long, etype: String) = ev.limit(1).select(
+        lit(id).as("event_id"),
+        timestamp_micros(lit(us)).cast(tsType).as("ts"),
+        lit(user).as("user_id"),
+        lit(etype).as("event_type"),
+        lit(0.0).as("value"),
+        lit("{}").as("props"))
+      one(idBase, -1L, "error").unionByName(one(idBase - 1L, -2L, "click"))
+    }
+    val dir = java.nio.file.Paths.get(track(
+      Files.createTempDirectory("graft-d33-src").toString))
+    val now = System.currentTimeMillis()
+    val day = 86400000000L
+    StreamingOps.stageFrameFile(ev, dir, "b0.parquet", now - 600000L)
+    StreamingOps.stageFrameFile(sentinels(maxUs + 3 * day, -10L), dir, "b1.parquet",
+      now - 300000L)
+    StreamingOps.stageFrameFile(sentinels(maxUs + 6 * day, -20L), dir, "b2.parquet", now)
+    val src = StreamingOps.normalize(
+      spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString))
+    runToTable(StreamingOps.timeoutAlerts(src).toDF(),
+        "graft_d33_sink", "append", requireDataBatches = 3)
+      .filter(col("user_id") >= 0L)
+      .orderBy("event_id")
+  }
+
+  val d33Sql: String =
+    s"""WITH errors AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS err_us
+       |  FROM events WHERE event_type = 'error'),
+       |clicks AS (
+       |  SELECT user_id, epoch_us(ts) AS c_us
+       |  FROM events WHERE event_type = 'click')
+       |SELECT e.event_id, e.user_id, e.err_us,
+       |  e.err_us + ${StreamingOps.AlertTtlUs} AS deadline_us
+       |FROM errors e
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM clicks c WHERE c.user_id = e.user_id
+       |    AND c.c_us >= e.err_us
+       |    AND c.c_us <= e.err_us + ${StreamingOps.AlertTtlUs})
+       |ORDER BY e.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d33_stream_timeout_alert" -> (d33StreamTimeoutAlert _),
     "d32_stream_covariance" -> (d32StreamCovariance _),
     "d31_stream_hll" -> (d31StreamHll _),
     "d30_stream_outer_join" -> (d30StreamOuterJoin _),
@@ -1234,6 +1296,7 @@ object StreamingQueries {
     "d18_stream_quantile" -> (d18StreamQuantile _))
 
   val oracles: Map[String, String] = Map(
+    "d33_stream_timeout_alert" -> d33Sql,
     "d32_stream_covariance" -> d32Sql,
     "d31_stream_hll" -> d31Sql,
     "d30_stream_outer_join" -> d30Sql,

@@ -644,4 +644,32 @@ class StreamingSpec extends SparkTestBase {
       assert(h1.map(v => v(i) * v(j)).sum + h2.map(v => v(i) * v(j)).sum == whole)
     }
   }
+
+  test("D33 timeout alerts: timer-path emission == batch NOT EXISTS, exactly once") {
+    val got = StreamingQueries.d33StreamTimeoutAlert(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // batch twin, recomputed independently: error with NO same-user
+    // click inside its forward TTL window
+    val ev = StreamingOps.normalize(graft.Tables(spark, sf, "events"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("event_time")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val clicks = ev.filter(_._3 == "click")
+    val ttl = StreamingOps.AlertTtlUs
+    val expected = ev.filter(_._3 == "error").collect {
+      case (eid, u, _, eus)
+          if !clicks.exists(c => c._2 == u && c._4 >= eus && c._4 <= eus + ttl) =>
+        (eid, u, eus, eus + ttl)
+    }.sortBy(_._1)
+    assert(got.toSeq == expected.toSeq)
+    // exactly-once: no alert id repeats across the replay's batches
+    assert(got.map(_._1).distinct.length == got.length)
+    // the corpus genuinely exercises both paths: alerts fired AND
+    // errors resolved by a later click (suppressed)
+    assert(got.nonEmpty, "no alerts — TTL never elapsed unresolved")
+    assert(got.length < ev.count(_._3 == "error"),
+      "every error alerted — the click-resolution path is untested")
+    // no sentinel row leaks into the sink
+    assert(got.forall(_._2 >= 0L))
+  }
 }
