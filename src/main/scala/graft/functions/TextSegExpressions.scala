@@ -95,10 +95,109 @@ object BpeSegment {
   }
 }
 
+/** One-pass WordPiece tokenizer application (SURVEY.md §2 C119) — the
+  * greedy LONGEST-MATCH-FIRST segmentation family (Wu et al. 2016)
+  * next to [[BpeSegment]]'s merge-order family: per word, repeatedly
+  * take the longest vocab piece matching at the cursor (word-initial
+  * pieces and `##`-tagged continuation pieces are separate vocab
+  * positions), never backtracking. Same scale contract as BpeSegment:
+  * the vocab rides in as a bounded reference object broadcast once per
+  * executor, every document segments partition-locally in one
+  * scan-stage pass, the corpus moves zero times.
+  *
+  * The vocab is REQUIRED to contain every character of the corpus in
+  * both positions (the builder guarantees it), so a no-match cursor is
+  * a construction bug, not data — it throws loudly (the c96 dry-learn
+  * rule) rather than emitting a silent UNK that the DuckDB oracle
+  * (which assumes full char cover to terminate its recursion) would
+  * never see.
+  */
+case class WordPieceSegment(child: Expression,
+    initPieces: Seq[String], contPieces: Seq[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"wordpiece_segment expects a string column, got $dt")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private lazy val initSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    initPieces.foreach(s.add)
+    s
+  }
+  private lazy val contSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    contPieces.foreach(s.add)
+    s
+  }
+  private lazy val maxLen: Int =
+    ((initPieces.iterator ++ contPieces.iterator).map(_.length) ++ Iterator(1)).max
+
+  override protected def nullSafeEval(t: Any): Any =
+    WordPieceSegment.segment(t.asInstanceOf[UTF8String], initSet, contSet, maxLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val initRef = ctx.addReferenceObj("wpInit", initSet, "java.util.HashSet")
+    val contRef = ctx.addReferenceObj("wpCont", contSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.WordPieceSegment.segment(" +
+        s"$t, $initRef, $contRef, $maxLen);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordPieceSegment =
+    copy(child = c)
+}
+
+object WordPieceSegment {
+
+  /** The greedy longest-match kernel, shared by eval and generated
+    * code. Splits like Spark's split(text, ' ') with -1 limit; empty
+    * words contribute no pieces.
+    */
+  def segment(text: UTF8String, init: java.util.HashSet[String],
+      cont: java.util.HashSet[String], maxLen: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      var pos = 0
+      while (pos < w.length) {
+        var l = math.min(maxLen, w.length - pos)
+        var matched = 0
+        while (l >= 1 && matched == 0) {
+          val sub = w.substring(pos, pos + l)
+          val hit = if (pos == 0) init.contains(sub) else cont.contains(sub)
+          if (hit) {
+            out += UTF8String.fromString(if (pos == 0) sub else "##" + sub)
+            matched = l
+          }
+          l -= 1
+        }
+        if (matched == 0)
+          throw new IllegalStateException(
+            s"wordpiece: no vocab piece matches '$w' at offset $pos — " +
+              "the builder's single-char cover guarantee is violated")
+        pos += matched
+      }
+      wi += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 /** Column-API entry point (same bridge as [[sets]]). */
 object textseg {
   import org.apache.spark.sql.GraftBridge.{column, expression}
 
   def bpe_segment(text: Column, merges: Seq[(String, String)]): Column =
     column(BpeSegment(expression(text), merges))
+
+  def wordpiece_segment(text: Column, initPieces: Seq[String],
+      contPieces: Seq[String]): Column =
+    column(WordPieceSegment(expression(text), initPieces, contPieces))
 }

@@ -2291,6 +2291,156 @@ object TextQueries {
       |    AS top_decile_share_micro
       |FROM l JOIN bm USING (lang) ORDER BY l.lang""".stripMargin
 
+  // --------------------------------------------------------------- C119
+  /** Vocab size and piece-length cap for the C119 WordPiece build. */
+  val WpTopPieces = 150
+  val WpMaxPieceLen = 4
+
+  private val wpVocabCache =
+    new graft.util.Memo[(String, String), (Seq[String], Seq[String])]
+
+  /** Session+dir memo of the corpus-derived WordPiece vocab: the top
+    * [[WpTopPieces]] character n-grams (2..[[WpMaxPieceLen]]) by
+    * occurrence weight, counted SEPARATELY per position (word-initial
+    * vs continuation — WordPiece's `##` distinction), UNIONED with
+    * every single character of the corpus in BOTH positions. The char
+    * layer makes the greedy tokenizer total (no UNK path at all); the
+    * (wt DESC, piece ASC, is_init DESC) cut is a total order on a key,
+    * so the top-K boundary is deterministic cross-engine. Corpus work:
+    * one word histogram + one n-gram explode over DISTINCT words
+    * (value-domain bounded by word length — the C22 argument), then a
+    * K-row collect (the C105 fold rule).
+    */
+  private[graft] def wpVocab(spark: SparkSession, dir: String): (Seq[String], Seq[String]) =
+    wpVocabCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val wf = Tables(spark, dir, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      val cand = wf.select(col("f"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)), p ->
+           |  filter(transform(sequence(2, $WpMaxPieceLen), l ->
+           |    IF(p + l - 1 <= length(w),
+           |       struct(substring(w, p, l) AS piece, p = 1 AS is_init), NULL)),
+           |    x -> x IS NOT NULL)))""".stripMargin)).as("c"))
+        .select(col("c.piece").as("piece"), col("c.is_init").as("is_init"), col("f"))
+        .groupBy("piece", "is_init").agg(sum("f").as("wt"))
+      val top = cand
+        .orderBy(col("wt").desc, col("piece").asc, col("is_init").desc)
+        .limit(WpTopPieces).collect()
+        .map(r => (r.getString(0), r.getBoolean(1)))
+      val chars = wf.select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("p"))
+        .distinct().collect().map(_.getString(0))
+      val init = (chars ++ top.filter(_._2).map(_._1)).distinct.sorted.toSeq
+      val cont = (chars ++ top.filterNot(_._2).map(_._1)).distinct.sorted.toSeq
+      (init, cont)
+    })
+
+  /** C119: WordPiece segmentation stats per language — the greedy
+    * LONGEST-MATCH-FIRST tokenizer family (Wu et al. 2016; BERT's)
+    * next to C95/C96's merge-order BPE family, applied through the
+    * native [[graft.functions.WordPieceSegment]] expression: per lang
+    * the word/piece counts, fertility (pieces per word, nano), and the
+    * count of DISTINCT pieces actually used (effective vocab
+    * utilization — the number a vocab-size decision compares against
+    * [[WpTopPieces]]). Pieces are `##`-tagged in continuation position,
+    * so piece identity is position-aware exactly as in the paper.
+    *
+    * Scale shape: the vocab builds once on the DISTINCT-word histogram
+    * and broadcasts as a reference object; the corpus segments in one
+    * scan-stage pass per consumer (two consumers here — the lang agg
+    * and the distinct-piece agg; a production run persists the
+    * segmented frame instead of recomputing). The greedy walk is
+    * O(len·maxPieceLen) per word with hash-set lookups — no joins, no
+    * shuffles beyond the two lang-keyed aggs. Oracle: the same vocab
+    * cut + a WITH RECURSIVE cursor walk over distinct words with a
+    * precomputed best-match table (hash join, no lateral), terminal
+    * row = pos == len+1.
+    */
+  def c119Wordpiece(spark: SparkSession, dir: String): DataFrame = {
+    val (init, cont) = wpVocab(spark, dir)
+    val seg = Tables(spark, dir, "documents")
+      .select(col("lang"),
+        size(expr("filter(split(text, ' '), t -> length(t) > 0)"))
+          .cast("long").as("n_words"),
+        graft.functions.textseg.wordpiece_segment(col("text"), init, cont)
+          .as("pieces"))
+    val base = seg.groupBy("lang")
+      .agg(sum("n_words").as("n_words"),
+        sum(size(col("pieces")).cast("long")).as("n_pieces"))
+    val dp = seg.select(col("lang"), explode(col("pieces")).as("p"))
+      .groupBy("lang").agg(countDistinct(col("p")).as("n_distinct_pieces"))
+    base.join(dp, "lang")
+      .select(col("lang"), col("n_words"), col("n_pieces"),
+        expr("(n_pieces * 1000000000) div n_words").as("fertility_nano"),
+        col("n_distinct_pieces"))
+      .orderBy("lang")
+  }
+
+  val c119Sql: String =
+    s"""WITH RECURSIVE words AS (
+       |  SELECT lang, UNNEST(string_split(text, ' ')) AS w FROM documents
+       |), wf AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM words
+       |  WHERE len(w) > 0 GROUP BY w
+       |), pos AS (
+       |  SELECT UNNEST(range(1, (SELECT MAX(len(w)) + 1 FROM wf))) AS p
+       |), lens AS (SELECT UNNEST(range(1, $WpMaxPieceLen + 1)) AS l),
+       |cand AS (
+       |  SELECT substr(f.w, CAST(t.p AS INTEGER), CAST(u.l AS INTEGER)) AS piece,
+       |    t.p = 1 AS is_init, CAST(SUM(f.f) AS BIGINT) AS wt
+       |  FROM wf f, pos t, lens u
+       |  WHERE u.l >= 2 AND t.p + u.l - 1 <= len(f.w)
+       |  GROUP BY 1, 2
+       |), top AS (
+       |  SELECT piece, is_init FROM cand
+       |  ORDER BY wt DESC, piece ASC, is_init DESC LIMIT $WpTopPieces
+       |), chars AS (
+       |  SELECT DISTINCT substr(f.w, CAST(t.p AS INTEGER), 1) AS piece
+       |  FROM wf f, pos t WHERE t.p <= len(f.w)
+       |), vocab AS (
+       |  SELECT piece, is_init FROM top
+       |  UNION SELECT piece, TRUE FROM chars
+       |  UNION SELECT piece, FALSE FROM chars
+       |), best AS (
+       |  SELECT s.w, s.pos, CAST(MAX(s.l) AS BIGINT) AS l
+       |  FROM (SELECT f.w, t.p AS pos, u.l AS l,
+       |          substr(f.w, CAST(t.p AS INTEGER), CAST(u.l AS INTEGER)) AS sub
+       |        FROM wf f, pos t, lens u
+       |        WHERE t.p + u.l - 1 <= len(f.w)) s
+       |  JOIN vocab v ON v.piece = s.sub AND v.is_init = (s.pos = 1)
+       |  GROUP BY 1, 2
+       |), tok(w, pos, n) AS (
+       |  SELECT w, CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM wf
+       |  UNION ALL
+       |  SELECT t.w, t.pos + b.l, t.n + 1
+       |  FROM tok t JOIN best b ON b.w = t.w AND b.pos = t.pos
+       |), wcount AS (
+       |  SELECT w, n AS npieces FROM tok WHERE pos = len(w) + 1
+       |), wpieces AS (
+       |  SELECT t.w, CASE WHEN t.pos = 1
+       |      THEN substr(t.w, CAST(t.pos AS INTEGER), CAST(b.l AS INTEGER))
+       |      ELSE '##' || substr(t.w, CAST(t.pos AS INTEGER), CAST(b.l AS INTEGER))
+       |    END AS piece
+       |  FROM tok t JOIN best b ON b.w = t.w AND b.pos = t.pos
+       |), base AS (
+       |  SELECT wd.lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(c.npieces) AS BIGINT) AS n_pieces
+       |  FROM words wd JOIN wcount c ON c.w = wd.w
+       |  GROUP BY wd.lang
+       |), dp AS (
+       |  SELECT wd.lang, CAST(COUNT(DISTINCT p.piece) AS BIGINT) AS n_distinct_pieces
+       |  FROM (SELECT DISTINCT lang, w FROM words WHERE len(w) > 0) wd
+       |  JOIN wpieces p ON p.w = wd.w
+       |  GROUP BY wd.lang
+       |)
+       |SELECT b.lang, b.n_words, b.n_pieces,
+       |  (b.n_pieces * 1000000000) // b.n_words AS fertility_nano,
+       |  dp.n_distinct_pieces
+       |FROM base b JOIN dp USING (lang)
+       |ORDER BY b.lang""".stripMargin
+
   // ---------------------------------------------------------------- C55
   /** C55: vocabulary coverage curve — for each candidate vocab size k,
     * what fraction of the corpus token MASS the top-k most frequent
@@ -4937,6 +5087,7 @@ object TextQueries {
     "c116_isotonic" -> (c116Isotonic _),
     "c117_ks_drift" -> (c117KsDrift _),
     "c118_gini" -> (c118Gini _),
+    "c119_wordpiece" -> (c119Wordpiece _),
     "c100_fertility" -> (c100Fertility _),
     "c99_rrf_fusion" -> (c99RrfFusion _),
     "c98_hash_embed" -> (c98HashEmbed _),
@@ -5008,6 +5159,7 @@ object TextQueries {
     "c116_isotonic" -> c116Sql,
     "c117_ks_drift" -> c117Sql,
     "c118_gini" -> c118Sql,
+    "c119_wordpiece" -> c119Sql,
     "c100_fertility" -> c100Sql,
     "c99_rrf_fusion" -> c99Sql,
     "c98_hash_embed" -> c98Sql,

@@ -70,4 +70,44 @@ class TextSegSpec extends SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
   }
+
+  test("wordpiece: longest-match-first, position-aware vocab, ## tagging, loud no-cover") {
+    import spark.implicits._
+    import graft.functions.textseg.wordpiece_segment
+    // 'ab' only initial; 'b'/'c' only continuation chars via cont set;
+    // 'bc' only continuation
+    val init = Seq("ab", "a", "b", "c")
+    val cont = Seq("bc", "a", "b", "c")
+    val r = Seq(
+      (1L, "abc"), // ab (init, longest) + ##c — NOT a + ##bc (greedy first-match)
+      (2L, "abca abc"), // multiple words, each restarts in initial position
+      (3L, "ba"), // 'b' initial exists; 'a' continuation
+      (4L, "")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), wordpiece_segment(col("text"), init, cont).as("t"))
+      .orderBy("doc_id").collect().map(_.getSeq[String](1).toList)
+    assert(r(0) == List("ab", "##c"))
+    assert(r(1) == List("ab", "##c", "##a", "ab", "##c"))
+    assert(r(2) == List("b", "##a"))
+    assert(r(3) == Nil) // the empty word contributes no pieces
+    // a character outside the vocab is a construction bug: loud throw
+    // the local-relation path may evaluate eagerly (constant folding),
+    // so the raw IllegalStateException can surface unwrapped
+    val ex = intercept[Exception] {
+      Seq((1L, "xyz")).toDF("doc_id", "text")
+        .select(wordpiece_segment(col("text"), init, cont)).collect()
+    }
+    assert(ex.getMessage.contains("wordpiece") ||
+      Option(ex.getCause).exists(_.getMessage.contains("wordpiece")))
+  }
+
+  test("wordpiece participates in whole-stage codegen") {
+    import graft.functions.textseg.wordpiece_segment
+    val (init, cont) = graft.text.TextQueries.wpVocab(spark, sf)
+    val df = Tables(spark, sf, "documents")
+      .select(wordpiece_segment(col("text"), init, cont).as("t"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
+  }
 }

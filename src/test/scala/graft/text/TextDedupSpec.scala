@@ -1645,6 +1645,60 @@ class DedupQueriesSpec extends SparkTestBase {
     assert(out.exists(_._4 > 0L))
   }
 
+  test("c119 wordpiece: greedy longest-match recompute, lossless cover, both piece kinds") {
+    val out = TextQueries.c119Wordpiece(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // independent vocab derivation from raw text
+    val docs = graft.Tables(spark, sf, "documents").select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val wordOcc = docs.flatMap { case (l, t) => t.split(" ", -1).filter(_.nonEmpty).map((l, _)) }
+    val wf = wordOcc.groupBy(_._2).map { case (w, g) => w -> g.length.toLong }
+    val cand = scala.collection.mutable.Map.empty[(String, Boolean), Long]
+    wf.foreach { case (w, f) =>
+      for (p <- 0 until w.length; l <- 2 to TextQueries.WpMaxPieceLen
+           if p + l <= w.length) {
+        val k = (w.substring(p, p + l), p == 0)
+        cand(k) = cand.getOrElse(k, 0L) + f
+      }
+    }
+    val top = cand.toSeq.sortBy { case ((piece, isInit), wt) => (-wt, piece, !isInit) }
+      .take(TextQueries.WpTopPieces).map(_._1)
+    val chars = wf.keys.flatMap(_.toCharArray.map(_.toString)).toSet
+    val init = chars ++ top.filter(_._2).map(_._1)
+    val cont = chars ++ top.filterNot(_._2).map(_._1)
+    def tokenize(w: String): Seq[String] = {
+      val b = Seq.newBuilder[String]
+      var pos = 0
+      while (pos < w.length) {
+        val l = (math.min(TextQueries.WpMaxPieceLen, w.length - pos) to 1 by -1)
+          .find { l =>
+            val s = w.substring(pos, pos + l)
+            if (pos == 0) init(s) else cont(s)
+          }.get
+        b += (if (pos == 0) "" else "##") + w.substring(pos, pos + l)
+        pos += l
+      }
+      b.result()
+    }
+    val byLang = wordOcc.groupBy(_._1)
+    val expect = byLang.toSeq.sortBy(_._1).map { case (lang, occ) =>
+      val pieceLists = occ.map(o => tokenize(o._2))
+      val nW = occ.length.toLong
+      val nP = pieceLists.map(_.length.toLong).sum
+      (lang, nW, nP, nP * 1000000000L / nW,
+        pieceLists.flatten.distinct.length.toLong)
+    }
+    assert(out.toSeq == expect)
+    // greedy cover is lossless: pieces concat back to the word
+    wf.keys.take(500).foreach { w =>
+      assert(tokenize(w).map(_.stripPrefix("##")).mkString == w)
+    }
+    // fertility strictly > 1 word-piece per word somewhere (real splitting)
+    assert(out.exists(r => r._3 > r._2))
+    // and some words survive whole (the top-piece layer is genuinely used)
+    assert(wf.keys.exists(w => tokenize(w).length == 1 && w.length > 1))
+  }
+
   test("c103 group split: exact recompute, zero leakage by construction, doc split leaks") {
     import graft.dedup.DedupQueries
     val out = DedupQueries.c103GroupSplit(spark, sf).collect()
