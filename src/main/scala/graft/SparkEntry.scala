@@ -70,7 +70,8 @@ object SparkEntry {
     "b45_lateral_topn" -> (Queries.lateralTopn _),
     "b46_recursive_spine" -> (Queries.recursiveSpine _),
     "b47_asof_native" -> (Queries.asofNative _),
-    "b48_gap_fill_locf" -> (Queries.gapFillLocf _)
+    "b48_gap_fill_locf" -> (Queries.gapFillLocf _),
+    "b49_nearest_event" -> (Queries.nearestEvent _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -129,6 +130,7 @@ object SparkEntry {
     "b45_lateral_topn" -> Queries.lateralTopnSql,
     "b46_recursive_spine" -> Queries.recursiveSpineSql,
     "b47_asof_native" -> Queries.asofNativeSql,
-    "b48_gap_fill_locf" -> Queries.gapFillLocfSql
+    "b48_gap_fill_locf" -> Queries.gapFillLocfSql,
+    "b49_nearest_event" -> Queries.nearestEventSql
   )
 }

@@ -2213,6 +2213,85 @@ object Queries {
       |FROM spine s LEFT JOIN rev r ON r.m = s.m
       |ORDER BY s.m""".stripMargin
 
+  // ------------------------------------------------------------- B49
+  /** B49: nearest-event join — every error paired with the same user's
+    * nearest click IN EITHER DIRECTION by |gap| (the bidirectional
+    * sibling of B9/B47's backward-only as-of; sensor alignment and
+    * attribution fallbacks want "closest", not "latest before").
+    * Tie rule, total and cross-engine: smaller |gap|, then smaller
+    * click_us (backward wins an exact tie), then smaller click_id.
+    *
+    * ONE per-user sort serves both directions: the backward candidate
+    * is a running `max(struct(c_us, -c_id))` over the preceding frame
+    * (latest click, min id within a timestamp — aggregates skip the
+    * error rows' null structs), the forward candidate a running
+    * `min(struct(c_us, c_id))` over the following frame; same window
+    * spec ⇒ one exchange + one sort, two frame passes, no join at all.
+    * Clicks sort before errors at an equal timestamp, so a same-us
+    * click is a backward gap-0 hit, never a forward one. No-click
+    * users keep their errors with −1 sentinels (matched = 0). A
+    * lifetime-unbounded hot user bounds the same way B9 does — the
+    * AsofCellUs two-level carry applies per direction; at this
+    * event-table shape the direct per-user sort is the better plan.
+    */
+  def nearestEvent(spark: SparkSession, dir: String): DataFrame =
+    nearestEventOn(Tables.eventsWithUs(spark, dir))
+
+  /** The operator body on any (event_id, user_id, us, event_type)
+    * frame — the spec drives the clickless sentinel path on a planted
+    * frame the real corpus doesn't exhibit.
+    */
+  def nearestEventOn(evIn: DataFrame): DataFrame = {
+    val ev = evIn
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("user_id"), col("us"),
+        (col("event_type") === "error").cast("int").as("tag"), col("event_id"),
+        when(col("event_type") === "click",
+          struct(col("us").as("u"), (-col("event_id")).as("nid"))).as("cb"),
+        when(col("event_type") === "click",
+          struct(col("us").as("u"), col("event_id").as("id"))).as("cf"))
+    val ord = Seq(col("us"), col("tag"), col("event_id"))
+    val wb = Window.partitionBy("user_id").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("user_id").orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev.withColumn("bw", max("cb").over(wb))
+      .withColumn("fw", min("cf").over(wf))
+      .filter(col("tag") === 1)
+      .withColumn("bw_id", -col("bw.nid"))
+      .withColumn("bw_gap", col("us") - col("bw.u"))
+      .withColumn("fw_gap", col("fw.u") - col("us"))
+      .withColumn("use_bw",
+        col("bw").isNotNull &&
+          (col("fw").isNull || col("bw_gap") <= col("fw_gap")))
+      .select(col("event_id"), col("user_id"), col("us").as("err_us"),
+        when(col("use_bw"), col("bw_id"))
+          .otherwise(coalesce(col("fw.id"), lit(-1L))).as("click_id"),
+        when(col("use_bw"), col("bw.u"))
+          .otherwise(coalesce(col("fw.u"), lit(-1L))).as("click_us"),
+        when(col("use_bw"), -col("bw_gap"))
+          .otherwise(coalesce(col("fw_gap"), lit(0L))).as("gap_us"),
+        (col("bw").isNotNull || col("fw").isNotNull).cast("long").as("matched"))
+      .orderBy("event_id")
+  }
+
+  val nearestEventSql: String =
+    """WITH clicks AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
+      |  FROM events WHERE event_type = 'click'),
+      |errors AS (SELECT event_id, user_id, epoch_us(ts) AS err_us
+      |  FROM events WHERE event_type = 'error')
+      |SELECT e.event_id, e.user_id, e.err_us,
+      |  COALESCE(n.click_id, -1) AS click_id,
+      |  COALESCE(n.click_us, -1) AS click_us,
+      |  COALESCE(n.click_us - e.err_us, 0) AS gap_us,
+      |  CAST(n.click_id IS NOT NULL AS BIGINT) AS matched
+      |FROM errors e LEFT JOIN LATERAL (
+      |  SELECT c.click_id, c.click_us
+      |  FROM clicks c WHERE c.user_id = e.user_id
+      |  ORDER BY abs(c.click_us - e.err_us), c.click_us, c.click_id LIMIT 1
+      |) n ON TRUE
+      |ORDER BY e.event_id""".stripMargin
+
   // ------------------------------------------------------------- B48
   /** B48: LOCF gap fill — last-observation-carried-forward over a
     * per-priority daily spine via the IGNORE-NULLS window form

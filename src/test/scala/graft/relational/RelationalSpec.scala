@@ -731,6 +731,44 @@ class RelationalSpec extends SparkTestBase {
     assert(got.toSeq == expect.toSeq)
   }
 
+  test("b49 nearest event: brute-force bidirectional argmin, tie rules, sentinel path") {
+    val out = Queries.nearestEvent(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val ev = graft.Tables.eventsWithUs(spark, sf)
+      .select("event_id", "user_id", "us", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val clicksByUser = ev.filter(_._4 == "click").groupBy(_._2)
+    val expect = ev.filter(_._4 == "error").sortBy(_._1).map { case (eid, u, eus, _) =>
+      val cs = clicksByUser.getOrElse(u, Array.empty)
+      if (cs.isEmpty) (eid, u, eus, -1L, -1L, 0L, 0L)
+      else {
+        val best = cs.minBy(c => (math.abs(c._3 - eus), c._3, c._1))
+        (eid, u, eus, best._1, best._3, best._3 - eus, 1L)
+      }
+    }
+    assert(out.toSeq == expect.toSeq)
+    // backward- and forward-nearest both genuinely appear in the corpus
+    assert(out.exists(r => r._7 == 1L && r._6 < 0L), "no backward-nearest case")
+    assert(out.exists(r => r._7 == 1L && r._6 > 0L), "no forward-nearest case")
+    // planted frame: clickless-user sentinels, exact |gap| ties → backward
+    import spark.implicits._
+    val planted = Seq(
+      (1L, 10L, 100L, "error"), // user 10 has no clicks at all
+      (2L, 11L, 200L, "error"), // equidistant clicks at 150/250 → backward
+      (3L, 11L, 150L, "click"),
+      (4L, 11L, 250L, "click"),
+      (5L, 12L, 300L, "error"), // same-us click = backward gap 0
+      (6L, 12L, 300L, "click")
+    ).toDF("event_id", "user_id", "us", "event_type")
+    val p = Queries.nearestEventOn(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(p.toSeq == Seq(
+      (1L, -1L, -1L, 0L, 0L),
+      (2L, 3L, 150L, -50L, 1L),
+      (5L, 6L, 300L, 0L, 1L)))
+  }
+
   test("b48 LOCF gap fill: carry/staleness exact vs sequential recompute, real gaps") {
     val out = Queries.gapFillLocf(spark, sf).collect()
       .map(r => (r.getAs[String]("priority"), r.getAs[Long]("day_idx"),
