@@ -2337,6 +2337,61 @@ object TextQueries {
       (init, cont)
     })
 
+  // --------------------------------------------------------------- C120
+  /** C120: token burstiness — variance-to-mean ratio (Fano factor) of
+    * per-document counts for the top-20 corpus tokens (Church & Gale
+    * 1995: content words CLUMP — VMR ≫ 1 — while function words track
+    * Poisson at VMR ≈ 1): the distributional keyword/stopword
+    * separator that frequency alone (C14) cannot give, and the
+    * diagnostic behind burstiness-aware term weighting. Zero-count
+    * documents enter the moments for free — only N is needed, never a
+    * materialized zero row: VMR = (N·Σx² − (Σx)²) / (N·Σx), one
+    * truncating div of exact BIGINT sums (numerator = N²·variance ≥ 0,
+    * so floor is well-defined both engines). Headroom: N·Σx²·1e6 fits
+    * BIGINT to ~9·10¹²; past that the token-keyed FOLD (already
+    * vocabulary-sized) flips to DECIMAL(38) — the C43 rule. Scale
+    * shape: one (token, doc) partial agg (map-side combined), one
+    * token-keyed moment agg, a top-20 TakeOrdered, a 1-row N
+    * broadcast.
+    */
+  def c120Burstiness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val perTok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("x"))
+      .groupBy("token").agg(sum("x").as("n_total"),
+        sum(expr("x * x")).as("sx2"), count(lit(1)).as("df_docs"))
+    perTok.orderBy(col("n_total").desc, col("token")).limit(20)
+      .crossJoin(broadcast(n))
+      .withColumn("vmr_micro",
+        expr("((n_docs * sx2 - n_total * n_total) * 1000000) div (n_docs * n_total)"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("n_total").desc, col("token"))))
+      .select("rk", "token", "n_total", "df_docs", "vmr_micro")
+      .orderBy("rk")
+  }
+
+  val c120Sql: String =
+    """WITH x AS (
+      |  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+      |        FROM documents)
+      |  GROUP BY 1, 2
+      |), pt AS (
+      |  SELECT token, CAST(SUM(x) AS BIGINT) AS n_total,
+      |    CAST(SUM(x * x) AS BIGINT) AS sx2,
+      |    CAST(COUNT(*) AS BIGINT) AS df_docs
+      |  FROM x GROUP BY 1
+      |), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      |top AS (SELECT * FROM pt ORDER BY n_total DESC, token LIMIT 20)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_total DESC, token) AS INTEGER) AS rk,
+      |  token, n_total, df_docs,
+      |  ((n_docs * sx2 - n_total * n_total) * 1000000)
+      |    // (n_docs * n_total) AS vmr_micro
+      |FROM top, nd ORDER BY rk""".stripMargin
+
   /** C119: WordPiece segmentation stats per language — the greedy
     * LONGEST-MATCH-FIRST tokenizer family (Wu et al. 2016; BERT's)
     * next to C95/C96's merge-order BPE family, applied through the
@@ -5088,6 +5143,7 @@ object TextQueries {
     "c117_ks_drift" -> (c117KsDrift _),
     "c118_gini" -> (c118Gini _),
     "c119_wordpiece" -> (c119Wordpiece _),
+    "c120_burstiness" -> (c120Burstiness _),
     "c100_fertility" -> (c100Fertility _),
     "c99_rrf_fusion" -> (c99RrfFusion _),
     "c98_hash_embed" -> (c98HashEmbed _),
@@ -5160,6 +5216,7 @@ object TextQueries {
     "c117_ks_drift" -> c117Sql,
     "c118_gini" -> c118Sql,
     "c119_wordpiece" -> c119Sql,
+    "c120_burstiness" -> c120Sql,
     "c100_fertility" -> c100Sql,
     "c99_rrf_fusion" -> c99Sql,
     "c98_hash_embed" -> c98Sql,

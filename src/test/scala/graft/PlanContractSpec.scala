@@ -131,6 +131,9 @@ class PlanContractSpec extends SparkTestBase {
     // scalars; the cumsum prefix join is a rng hash equi-join and the
     // only corpus-sized shuffle is the score-keyed histogram agg
     "c117_ks_drift",
+    // c120 crosses the 1-row doc-count aggregate into the 20-row top
+    // frame — the b42 scalar-on-bounded shape
+    "c120_burstiness",
     // b48 crosses the generated calendar spine (value-domain bounded —
     // days, not rows) with the ≤5-row distinct-priority frame; the
     // corpus-sized work is the (priority, day) partial agg, which

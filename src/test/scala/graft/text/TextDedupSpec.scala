@@ -1699,6 +1699,28 @@ class DedupQueriesSpec extends SparkTestBase {
     assert(wf.keys.exists(w => tokenize(w).length == 1 && w.length > 1))
   }
 
+  test("c120 burstiness: exact moment recompute with zero-doc handling, regime witnesses") {
+    val out = TextQueries.c120Burstiness(spark, sf).collect()
+      .map(r => (r.getAs[Int]("rk"), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val docs = graft.Tables(spark, sf, "documents").select("text").collect()
+      .map(_.getString(0).split(" ", -1))
+    val nDocs = docs.length.toLong
+    val perTok = docs.zipWithIndex
+      .flatMap { case (ts, d) => ts.groupBy(identity).map { case (t, g) => (t, d, g.length.toLong) } }
+      .groupBy(_._1).map { case (t, g) =>
+        (t, g.map(_._3).sum, g.map(x => x._3 * x._3).sum, g.length.toLong)
+      }
+    val expect = perTok.toSeq.sortBy(t => (-t._2, t._1)).take(20).zipWithIndex.map {
+      case ((t, nt, sx2, df), i) =>
+        (i + 1, t, nt, df, (nDocs * sx2 - nt * nt) * 1000000L / (nDocs * nt))
+    }
+    assert(out.toSeq == expect)
+    // VMR is nonnegative and a genuinely bursty token exists (VMR > 1)
+    assert(out.forall(_._5 >= 0L))
+    assert(out.exists(_._5 > 1000000L), "no bursty token in the top-20")
+  }
+
   test("c103 group split: exact recompute, zero leakage by construction, doc split leaks") {
     import graft.dedup.DedupQueries
     val out = DedupQueries.c103GroupSplit(spark, sf).collect()
