@@ -580,6 +580,28 @@ object ScaleSmoke {
     require(moments((4L, 8L)) == spot, s"spot ${moments((4L, 8L))} != $spot")
     println(f"SCALE covMoments vecs=$nCov dims=$dims cells=${moments.size} " +
       f"maxTaskMs=$cvMaxMs meanTaskMs=$cvMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // --- WordPiece greedy apply (the C119 kernel) at volume: the
+    // native expression must stay a flat scan-stage pass — per-word
+    // cost is O(len·maxPieceLen) hash lookups, zero joins/shuffles.
+    // The synthetic doc has a closed-form tokenization (greedy picks
+    // 'ab' then '##ab' / '##c'), so the aggregate piece count is exact.
+    t0 = System.nanoTime()
+    val nWp = math.max(nCells / 4L, 100000L)
+    val wpChars = Seq("a", "b", "c", "x")
+    val wpInit = wpChars ++ Seq("ab")
+    val wpCont = wpChars ++ Seq("ab")
+    // per doc: "abab abc x" ×5 → 15 words; abab→2, abc→2, x→1 = 5 per
+    // triple → 25 pieces per doc
+    val wpDocs = spark.range(nWp).select(col("id"),
+      lit(Seq.fill(5)("abab abc x").mkString(" ")).as("text"))
+    val (wpPieces, wpMaxMs, wpMeanMs) = withMaxTask(
+      wpDocs.select(graft.functions.textseg
+          .wordpiece_segment(col("text"), wpInit, wpCont).as("p"))
+        .agg(sum(size(col("p")).cast("long"))).head().getLong(0))
+    require(wpPieces == nWp * 25L, s"wordpiece pieces $wpPieces != ${nWp * 25L}")
+    println(f"SCALE wordpiece docs=$nWp pieces=$wpPieces " +
+      f"maxTaskMs=$wpMaxMs meanTaskMs=$wpMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 }

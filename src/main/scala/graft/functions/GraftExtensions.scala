@@ -76,6 +76,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(flat.size % 2 == 0, "bpe_segment merge list must have even length (flat pairs)")
         BpeSegment(args(0), flat.grouped(2).map(p => (p(0), p(1))).toSeq)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("wordpiece_segment"),
+      info(classOf[WordPieceSegment], "wordpiece_segment",
+        "wordpiece_segment(text, array('init', ...), array('cont', ...)) - greedy longest-match WordPiece apply; ##-tagged continuation pieces"),
+      (args: Seq[Expression]) => WordPieceSegment(args(0),
+        foldableStrings(args(1), "wordpiece_segment"),
+        foldableStrings(args(2), "wordpiece_segment"))))
     // size(array_intersect) on bigint arrays → the codegen'd merge scan
     // (the d14 hand-fix as an automatic plan rewrite)
     ext.injectOptimizerRule(_ => graft.plans.RewriteIntersectCount)

@@ -61,6 +61,17 @@ class MultiContainsSpec extends SparkTestBase {
     assert(r.getSeq[String](1).toList == List("x_x", "x", "p_q"))
   }
 
+  test("SQL surface: wordpiece_segment registered via extensions") {
+    val r = spark.sql(
+      """SELECT wordpiece_segment('abc ba',
+        |  array('ab', 'a', 'b', 'c'), array('bc', 'a', 'b', 'c')) AS t""".stripMargin).head
+    assert(r.getSeq[String](0).toList == List("ab", "##c", "b", "##a"))
+    // config validation rides the same foldableStrings guard
+    val m = intercept[Exception](
+      spark.sql("SELECT wordpiece_segment('x', array(1), array('a'))").head).getMessage
+    assert(m.contains("foldable array<string>"))
+  }
+
   test("SQL surface rejects malformed config arrays with a clear message") {
     def msg(sql: String): String =
       intercept[Exception](spark.sql(sql).head).getMessage
