@@ -71,7 +71,8 @@ object SparkEntry {
     "b46_recursive_spine" -> (Queries.recursiveSpine _),
     "b47_asof_native" -> (Queries.asofNative _),
     "b48_gap_fill_locf" -> (Queries.gapFillLocf _),
-    "b49_nearest_event" -> (Queries.nearestEvent _)
+    "b49_nearest_event" -> (Queries.nearestEvent _),
+    "b50_cusum_changepoint" -> (Queries.cusumChangepoint _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -131,6 +132,7 @@ object SparkEntry {
     "b46_recursive_spine" -> Queries.recursiveSpineSql,
     "b47_asof_native" -> Queries.asofNativeSql,
     "b48_gap_fill_locf" -> Queries.gapFillLocfSql,
-    "b49_nearest_event" -> Queries.nearestEventSql
+    "b49_nearest_event" -> Queries.nearestEventSql,
+    "b50_cusum_changepoint" -> Queries.cusumChangepointSql
   )
 }

@@ -2213,6 +2213,73 @@ object Queries {
       |FROM spine s LEFT JOIN rev r ON r.m = s.m
       |ORDER BY s.m""".stripMargin
 
+  // ------------------------------------------------------------- B50
+  /** B50: CUSUM change-point scan — the classic cumulative-sum
+    * statistic (Page 1954) over the zero-filled daily event-value
+    * series: dev_d = N·prefix_d − rank_d·T is the (N-scaled) gap
+    * between the observed running total and the constant-rate line;
+    * its extremes mark where the level SHIFTED — the sequential
+    * companion to C117's two-sample KS (KS: "are these two snapshots
+    * different", CUSUM: "WHEN did the series change"). Top-10 |dev|
+    * days reported (ties to the earlier day); rk 1 is the change
+    * point. Scaling by N instead of dividing by it keeps everything
+    * exact BIGINT (headroom: N_days·total_cents ≤ 9·10¹⁸ — a century
+    * is ~4·10⁴ days, so totals to ~2·10¹⁴ cents are safe; beyond that
+    * the day-keyed FOLD flips to DECIMAL(38), the C43 rule). Scale
+    * shape: the corpus collapses to a (day) partial agg (map-side
+    * combined); the spine, prefix window, and top-k all run on the
+    * calendar-bounded day table — B28's value-domain argument.
+    */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.eventsWithUs(spark, dir)
+      .groupBy(expr("us div 86400000000").as("day_idx"))
+      .agg(sum(cents(col("value"))).as("x_c"))
+    val spine = daily.agg(min("day_idx").as("lo"), max("day_idx").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day_idx"),
+        (col("hi") - col("lo") + 1L).as("n_days"))
+    val w = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, 0)
+    val filled = spine.join(daily, Seq("day_idx"), "left")
+      .select(col("day_idx"), col("n_days"), coalesce(col("x_c"), lit(0L)).as("x_c"))
+      .withColumn("prefix_c", sum("x_c").over(w))
+      .withColumn("rank_d", count(lit(1)).over(w))
+    val tot = filled.agg(max("prefix_c").as("total_c"))
+    val dev = filled.crossJoin(broadcast(tot))
+      .withColumn("dev_scaled",
+        col("n_days") * col("prefix_c") - col("rank_d") * col("total_c"))
+    dev.orderBy(abs(col("dev_scaled")).desc, col("day_idx")).limit(10)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(abs(col("dev_scaled")).desc, col("day_idx"))))
+      .select("rk", "day_idx", "x_c", "prefix_c", "dev_scaled", "n_days", "total_c")
+      .orderBy("rk")
+  }
+
+  val cusumChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day_idx,
+      |    CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS x_c
+      |  FROM events GROUP BY 1
+      |), b AS (SELECT MIN(day_idx) AS lo, MAX(day_idx) AS hi FROM daily),
+      |spine AS (
+      |  SELECT UNNEST(range(lo, hi + 1)) AS day_idx, hi - lo + 1 AS n_days FROM b
+      |), f AS (
+      |  SELECT s.day_idx, s.n_days, CAST(COALESCE(d.x_c, 0) AS BIGINT) AS x_c
+      |  FROM spine s LEFT JOIN daily d USING (day_idx)
+      |), c AS (
+      |  SELECT day_idx, n_days, x_c,
+      |    CAST(SUM(x_c) OVER w AS BIGINT) AS prefix_c,
+      |    CAST(COUNT(*) OVER w AS BIGINT) AS rank_d
+      |  FROM f
+      |  WINDOW w AS (ORDER BY day_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), t AS (SELECT MAX(prefix_c) AS total_c FROM c)
+      |SELECT CAST(ROW_NUMBER() OVER (
+      |    ORDER BY abs(n_days * prefix_c - rank_d * total_c) DESC, day_idx) AS INTEGER) AS rk,
+      |  day_idx, x_c, prefix_c,
+      |  n_days * prefix_c - rank_d * total_c AS dev_scaled,
+      |  n_days, total_c
+      |FROM c, t
+      |QUALIFY rk <= 10
+      |ORDER BY rk""".stripMargin
+
   // ------------------------------------------------------------- B49
   /** B49: nearest-event join — every error paired with the same user's
     * nearest click IN EITHER DIRECTION by |gap| (the bidirectional

@@ -134,6 +134,10 @@ class PlanContractSpec extends SparkTestBase {
     // c120 crosses the 1-row doc-count aggregate into the 20-row top
     // frame — the b42 scalar-on-bounded shape
     "c120_burstiness",
+    // b50 crosses the 1-row total aggregate into the calendar-bounded
+    // day frame (b42's scalar-on-bounded shape); the corpus-sized work
+    // is the day-keyed partial agg, joined back by hash equi-join
+    "b50_cusum_changepoint",
     // b48 crosses the generated calendar spine (value-domain bounded —
     // days, not rows) with the ≤5-row distinct-priority frame; the
     // corpus-sized work is the (priority, day) partial agg, which

@@ -769,6 +769,35 @@ class RelationalSpec extends SparkTestBase {
       (5L, 6L, 300L, 0L, 1L)))
   }
 
+  test("b50 cusum: exact deviation recompute, endpoints at zero, signal witness") {
+    val out = Queries.cusumChangepoint(spark, sf).collect()
+      .map(r => (r.getAs[Int]("rk"), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val ev = graft.Tables.eventsWithUs(spark, sf)
+      .select(col("us"), round(col("value") * 100, 0).cast("long")).collect()
+      .map(r => (r.getLong(0) / 86400000000L, r.getLong(1)))
+    val byDay = ev.groupBy(_._1).map { case (d, g) => d -> g.map(_._2).sum }
+    val lo = byDay.keys.min
+    val hi = byDay.keys.max
+    val n = hi - lo + 1
+    val xs = (lo to hi).map(d => (d, byDay.getOrElse(d, 0L)))
+    val t = xs.map(_._2).sum
+    var prefix = 0L
+    val devs = xs.zipWithIndex.map { case ((d, x), i) =>
+      prefix += x
+      (d, x, prefix, n * prefix - (i + 1L) * t)
+    }
+    val expect = devs.sortBy(v => (-math.abs(v._4), v._1)).take(10).zipWithIndex.map {
+      case ((d, x, p, dev), i) => (i + 1, d, x, p, dev, n, t)
+    }
+    assert(out.toSeq == expect)
+    // the LAST day's deviation is exactly zero by construction, so the
+    // statistic has a well-defined interior maximum
+    assert(devs.last._4 == 0L)
+    // the series genuinely deviates from the constant-rate line
+    assert(out.head._5 != 0L)
+  }
+
   test("b48 LOCF gap fill: carry/staleness exact vs sequential recompute, real gaps") {
     val out = Queries.gapFillLocf(spark, sf).collect()
       .map(r => (r.getAs[String]("priority"), r.getAs[Long]("day_idx"),
