@@ -4179,7 +4179,19 @@ object TextQueries {
     */
   val RrfK = 60L
 
-  def c99RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+  /** Session+dir memo of the full-outer (BM25 rank, TF-IDF rank) frame
+    * (≤ 2·Q·K rows) — C99's fusion input and C121's rank-correlation
+    * input share one build of run B.
+    */
+  private val rrfJoinCache = new graft.util.Memo[(String, String), DataFrame]
+
+  private[text] def rrfJoined(spark: SparkSession, dir: String): DataFrame =
+    rrfJoinCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val (a, b) = retrievalRuns(spark, dir)
+      a.join(b, Seq("qid", "doc_id"), "full_outer").localCheckpoint(true)
+    })
+
+  private def retrievalRuns(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val toks = Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
@@ -4214,8 +4226,13 @@ object TextQueries {
     val a = bm25Ranked(spark, dir).select(col("qid"), col("doc_id"),
       col("rnk").as("rnk_bm25"))
     val b = tfidfR.select(col("qid"), col("doc_id"), col("rnk").as("rnk_tfidf"))
+    (a, b)
+  }
+
+  def c99RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val fw = Window.partitionBy("qid").orderBy(col("rrf_micro").desc, col("doc_id"))
-    a.join(b, Seq("qid", "doc_id"), "full_outer")
+    rrfJoined(spark, dir)
       .withColumn("rrf_micro",
         coalesce(expr(s"1000000 div ($RrfK + rnk_bm25)"), lit(0L))
           + coalesce(expr(s"1000000 div ($RrfK + rnk_tfidf)"), lit(0L)))
@@ -4227,8 +4244,11 @@ object TextQueries {
       .orderBy("qid", "rnk")
   }
 
-  val c99Sql: String =
-    s"""WITH $bm25Ctes,
+  /** The C99/C121-shared oracle chain: both retrieval runs, joined —
+    * ends with `fused` (COALESCE'd 0 ranks mark run-miss docs).
+    */
+  private val rrfCtes: String =
+    s"""$bm25Ctes,
        |atf AS (
        |  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
        |), w2 AS (
@@ -4273,13 +4293,89 @@ object TextQueries {
        |    COALESCE(a.rnk, 0) AS rnk_bm25, COALESCE(b.rnk, 0) AS rnk_tfidf
        |  FROM runa a FULL JOIN runb b
        |    ON b.qid = a.qid AND b.doc_id = a.doc_id
-       |)
+       |)""".stripMargin
+
+  val c99Sql: String =
+    s"""WITH $rrfCtes
        |SELECT qid, rnk, doc_id, rrf_micro, rnk_bm25, rnk_tfidf FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
        |    ORDER BY rrf_micro DESC, doc_id) AS rnk
        |  FROM fused
        |) WHERE rnk <= $Bm25TopK
        |ORDER BY qid, rnk""".stripMargin
+
+  // --------------------------------------------------------------- C121
+  /** C121: inter-ranker rank correlation — Kendall's τ (tau-a; Kendall
+    * 1938) between the BM25 and TF-IDF-cosine rankings on each query's
+    * COMMON retrieved docs: the "do my rankers actually disagree, and
+    * how much" number read next to C99's fusion (RRF only helps when τ
+    * is well below 1 — near-identical runs fuse to nothing new) and
+    * C109's effectiveness eval. Ranks are row_numbers (tie-free by
+    * construction) so tau-a needs no tie correction; concordant /
+    * discordant counts are exact integers over the ≤K² per-query pair
+    * table (C88's top-K contract makes the self-join K-bounded per
+    * query — never corpus-sized), and τ_micro = (C−D)·1e6 div
+    * (n(n−1)/2) with BOTH engines truncating toward zero on the signed
+    * numerator (the C94 rule). Queries with <2 common docs report τ=0
+    * with n_pairs=0. Corpus work = the shared memoized [[rrfJoined]]
+    * build; everything after is driver-trivial.
+    */
+  def c121RankCorr(spark: SparkSession, dir: String): DataFrame = {
+    val common = rrfJoined(spark, dir)
+      .filter(col("rnk_bm25").isNotNull && col("rnk_tfidf").isNotNull)
+      .select("qid", "doc_id", "rnk_bm25", "rnk_tfidf")
+    val pairs = common.as("a")
+      .join(common.as("b"),
+        col("a.qid") === col("b.qid") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.qid").as("qid"))
+      .agg(
+        sum(when((col("a.rnk_bm25") - col("b.rnk_bm25")) *
+          (col("a.rnk_tfidf") - col("b.rnk_tfidf")) > 0, 1L).otherwise(0L))
+          .as("concordant"),
+        sum(when((col("a.rnk_bm25") - col("b.rnk_bm25")) *
+          (col("a.rnk_tfidf") - col("b.rnk_tfidf")) < 0, 1L).otherwise(0L))
+          .as("discordant"))
+    common.groupBy("qid").agg(count(lit(1)).as("n_common"))
+      .join(pairs, Seq("qid"), "left")
+      .select(col("qid"), col("n_common"),
+        expr("(n_common * (n_common - 1)) div 2").as("n_pairs"),
+        coalesce(col("concordant"), lit(0L)).as("concordant"),
+        coalesce(col("discordant"), lit(0L)).as("discordant"),
+        when(col("n_common") >= 2L,
+          expr("((concordant - discordant) * 1000000) div ((n_common * (n_common - 1)) div 2)"))
+          .otherwise(lit(0L)).as("tau_micro"))
+      .orderBy("qid")
+  }
+
+  val c121Sql: String =
+    s"""WITH $rrfCtes,
+       |common AS (
+       |  SELECT qid, doc_id, rnk_bm25, rnk_tfidf FROM fused
+       |  WHERE rnk_bm25 > 0 AND rnk_tfidf > 0
+       |), pairs AS (
+       |  SELECT a.qid,
+       |    CAST(SUM(CASE WHEN (a.rnk_bm25 - b.rnk_bm25)
+       |        * (a.rnk_tfidf - b.rnk_tfidf) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS concordant,
+       |    CAST(SUM(CASE WHEN (a.rnk_bm25 - b.rnk_bm25)
+       |        * (a.rnk_tfidf - b.rnk_tfidf) < 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS discordant
+       |  FROM common a JOIN common b
+       |    ON b.qid = a.qid AND b.doc_id > a.doc_id
+       |  GROUP BY a.qid
+       |), nc AS (
+       |  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_common FROM common GROUP BY qid
+       |)
+       |SELECT nc.qid, nc.n_common,
+       |  (nc.n_common * (nc.n_common - 1)) // 2 AS n_pairs,
+       |  COALESCE(p.concordant, 0) AS concordant,
+       |  COALESCE(p.discordant, 0) AS discordant,
+       |  CASE WHEN nc.n_common >= 2
+       |    THEN ((p.concordant - p.discordant) * 1000000)
+       |      // ((nc.n_common * (nc.n_common - 1)) // 2)
+       |    ELSE 0 END AS tau_micro
+       |FROM nc LEFT JOIN pairs p USING (qid)
+       |ORDER BY nc.qid""".stripMargin
 
   // ---------------------------------------------------------------- C89
   /** C89: windowed co-occurrence PMI — pointwise mutual information
@@ -5144,6 +5240,7 @@ object TextQueries {
     "c118_gini" -> (c118Gini _),
     "c119_wordpiece" -> (c119Wordpiece _),
     "c120_burstiness" -> (c120Burstiness _),
+    "c121_rank_corr" -> (c121RankCorr _),
     "c100_fertility" -> (c100Fertility _),
     "c99_rrf_fusion" -> (c99RrfFusion _),
     "c98_hash_embed" -> (c98HashEmbed _),
@@ -5217,6 +5314,7 @@ object TextQueries {
     "c118_gini" -> c118Sql,
     "c119_wordpiece" -> c119Sql,
     "c120_burstiness" -> c120Sql,
+    "c121_rank_corr" -> c121Sql,
     "c100_fertility" -> c100Sql,
     "c99_rrf_fusion" -> c99Sql,
     "c98_hash_embed" -> c98Sql,

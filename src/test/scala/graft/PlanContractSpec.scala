@@ -131,6 +131,10 @@ class PlanContractSpec extends SparkTestBase {
     // scalars; the cumsum prefix join is a rng hash equi-join and the
     // only corpus-sized shuffle is the score-keyed histogram agg
     "c117_ks_drift",
+    // c121 embeds the shared rrfJoined build, which inherits c99/c88's
+    // 1-row corpus-total crosses; its own pair self-join is a qid hash
+    // equi-join over two ≤Q·K-row frames
+    "c121_rank_corr",
     // c120 crosses the 1-row doc-count aggregate into the 20-row top
     // frame — the b42 scalar-on-bounded shape
     "c120_burstiness",

@@ -1721,6 +1721,38 @@ class DedupQueriesSpec extends SparkTestBase {
     assert(out.exists(_._5 > 1000000L), "no bursty token in the top-20")
   }
 
+  test("c121 rank correlation: exact Kendall tau recompute from the c99 fusion frame") {
+    val out = TextQueries.c121RankCorr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // independent recompute from c99's published output: docs with both
+    // run ranks, brute-force pair signs
+    val fused = TextQueries.c99RrfFusion(spark, sf)
+      .select("qid", "doc_id", "rnk_bm25", "rnk_tfidf").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(r => r._3 > 0 && r._4 > 0)
+    val expect = fused.groupBy(_._1).toSeq.sortBy(_._1).map { case (qid, g) =>
+      val pairs = for {
+        i <- g.indices; j <- g.indices
+        if g(i)._2 < g(j)._2
+      } yield math.signum((g(i)._3 - g(j)._3) * (g(i)._4 - g(j)._4))
+      val c = pairs.count(_ > 0).toLong
+      val d = pairs.count(_ < 0).toLong
+      val n = g.length.toLong
+      val np = n * (n - 1) / 2
+      (qid, n, np, c, d, if (n >= 2) (c - d) * 1000000L / np else 0L)
+    }
+    assert(out.toSeq == expect)
+    // recomputing from c99's PUBLISHED top-K is complete: a both-runs
+    // doc scores rrf ≥ 2e6/(60+K) > 1e6/61 ≥ any single-run doc, and
+    // there are ≤ K of them — so the fused top-K never drops one
+    assert(out.nonEmpty)
+    // the two rankers genuinely disagree somewhere (tau < 1)...
+    assert(out.exists(r => r._6 < 1000000L))
+    // ...and agree more than chance somewhere (tau > 0)
+    assert(out.exists(r => r._6 > 0L))
+  }
+
   test("c103 group split: exact recompute, zero leakage by construction, doc split leaks") {
     import graft.dedup.DedupQueries
     val out = DedupQueries.c103GroupSplit(spark, sf).collect()
