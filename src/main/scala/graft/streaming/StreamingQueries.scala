@@ -1199,6 +1199,103 @@ object StreamingQueries {
        |CROSS JOIN nt t
        |ORDER BY x.i, x.j""".stripMargin
 
+  // ---------------------------------------------------------------- D34
+  /** D34: streaming WordPiece apply — C119's greedy longest-match
+    * segmentation over the documents STREAM with the batch-derived
+    * vocab frozen at query start (D26/D27's frozen-artifact contract:
+    * a deployed tokenizer is an artifact, never stream state). The
+    * per-doc projection is pure scan-stage column math through the
+    * native `WordPieceSegment` expression; the per-lang word/piece
+    * sums are plain streamable aggregates (complete mode, K langs of
+    * state forever). The DISTINCT-piece column C119 reports is
+    * deliberately absent — COUNT(DISTINCT) is not streamable (D31's
+    * lesson), and unlike the HLL case there is no register substitute
+    * requested here; fertility finalizes on the sink.
+    */
+  def d34StreamWordpiece(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.TextQueries
+    val (init, cont) = TextQueries.wpVocab(spark, sfDir)
+    val seg = StreamingOps.docsStream(spark, sfDir, staged(spark, sfDir, "documents"))
+      .select(col("lang"),
+        size(expr("filter(split(text, ' '), t -> length(t) > 0)"))
+          .cast("long").as("n_words"),
+        graft.functions.textseg.wordpiece_segment(col("text"), init, cont)
+          .as("pieces"))
+    runToTable(
+        seg.groupBy("lang").agg(sum("n_words").as("n_words"),
+          sum(size(col("pieces")).cast("long")).as("n_pieces")),
+        "graft_d34_sink", "complete")
+      .withColumn("fertility_nano", expr("(n_pieces * 1000000000) div n_words"))
+      .orderBy("lang")
+  }
+
+  /** Batch twin: C119's chain minus the unstreamable distinct count. */
+  val d34Sql: String =
+    s"""${graft.text.TextQueries.wpBaseCtes}
+       |SELECT lang, n_words, n_pieces,
+       |  (n_pieces * 1000000000) // n_words AS fertility_nano
+       |FROM base ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- D35
+  /** D35: streaming CUSUM inputs — B50's change-point statistic needs
+    * the series TOTAL, which only exists at stream end, so the scan
+    * (like D32's covariance) splits into a streamable half and a
+    * finalize: per-day value sums are the canonical mergeable summary
+    * (ONE streaming agg over calendar-bounded day keys — state is days,
+    * not rows), and the deviation line dev_d = N·prefix_d − rank_d·T
+    * computes on the SINK table where N and T are finally known. The
+    * day spine is NOT gap-filled here (a stream cannot know a day is
+    * over), so the finalize ranks over OBSERVED days only — the
+    * documented semantic difference from B50's zero-filled spine; on
+    * gap-free data (this corpus at sf ≥ 0.01, asserted by the spec)
+    * the two agree exactly.
+    */
+  def d35StreamCusum(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = StreamingOps.eventsStream(spark, sfDir, staged(spark, sfDir))
+      .groupBy(expr("unix_micros(event_time) div 86400000000").as("day_idx"))
+      .agg(sum(expr("CAST(ROUND(value * 100) AS BIGINT)")).as("x_c"))
+    val sink = runToTable(daily, "graft_d35_sink", "complete")
+    val w = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, 0)
+    val tot = sink.agg(sum("x_c").as("total_c"), count(lit(1)).as("n_days"))
+    val filled = sink
+      .withColumn("prefix_c", sum("x_c").over(w))
+      .withColumn("rank_d", count(lit(1)).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("dev_scaled",
+        col("n_days") * col("prefix_c") - col("rank_d") * col("total_c"))
+    filled.orderBy(abs(col("dev_scaled")).desc, col("day_idx")).limit(10)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(abs(col("dev_scaled")).desc, col("day_idx"))))
+      .select("rk", "day_idx", "x_c", "prefix_c", "dev_scaled", "n_days", "total_c")
+      .orderBy("rk")
+  }
+
+  /** Batch twin over observed days (no spine — see the scaladoc). */
+  val d35Sql: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day_idx,
+      |    CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS x_c
+      |  FROM events GROUP BY 1
+      |), c AS (
+      |  SELECT day_idx, x_c,
+      |    CAST(SUM(x_c) OVER w AS BIGINT) AS prefix_c,
+      |    CAST(COUNT(*) OVER w AS BIGINT) AS rank_d
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), t AS (
+      |  SELECT CAST(SUM(x_c) AS BIGINT) AS total_c,
+      |    CAST(COUNT(*) AS BIGINT) AS n_days FROM daily
+      |)
+      |SELECT CAST(ROW_NUMBER() OVER (
+      |    ORDER BY abs(n_days * prefix_c - rank_d * total_c) DESC, day_idx) AS INTEGER) AS rk,
+      |  day_idx, x_c, prefix_c,
+      |  n_days * prefix_c - rank_d * total_c AS dev_scaled,
+      |  n_days, total_c
+      |FROM c, t
+      |QUALIFY rk <= 10
+      |ORDER BY rk""".stripMargin
+
   // ---------------------------------------------------------------- D33
   /** D33: unresolved-error alerts from the EVENT-TIME TIMEOUT path —
     * see [[StreamingOps.timeoutAlerts]] for the semantics. The staged
@@ -1261,6 +1358,8 @@ object StreamingQueries {
        |ORDER BY e.event_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d35_stream_cusum" -> (d35StreamCusum _),
+    "d34_stream_wordpiece" -> (d34StreamWordpiece _),
     "d33_stream_timeout_alert" -> (d33StreamTimeoutAlert _),
     "d32_stream_covariance" -> (d32StreamCovariance _),
     "d31_stream_hll" -> (d31StreamHll _),
@@ -1296,6 +1395,8 @@ object StreamingQueries {
     "d18_stream_quantile" -> (d18StreamQuantile _))
 
   val oracles: Map[String, String] = Map(
+    "d35_stream_cusum" -> d35Sql,
+    "d34_stream_wordpiece" -> d34Sql,
     "d33_stream_timeout_alert" -> d33Sql,
     "d32_stream_covariance" -> d32Sql,
     "d31_stream_hll" -> d31Sql,

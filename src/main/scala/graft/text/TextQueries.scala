@@ -2433,7 +2433,11 @@ object TextQueries {
       .orderBy("lang")
   }
 
-  val c119Sql: String =
+  /** The C119 oracle chain through `base` (per-lang word/piece sums) —
+    * D34's streaming twin reuses it minus the distinct-piece column
+    * (COUNT(DISTINCT) is not streamable; the counts are).
+    */
+  private[graft] val wpBaseCtes: String =
     s"""WITH RECURSIVE words AS (
        |  SELECT lang, UNNEST(string_split(text, ' ')) AS w FROM documents
        |), wf AS (
@@ -2484,7 +2488,10 @@ object TextQueries {
        |    CAST(SUM(c.npieces) AS BIGINT) AS n_pieces
        |  FROM words wd JOIN wcount c ON c.w = wd.w
        |  GROUP BY wd.lang
-       |), dp AS (
+       |)""".stripMargin
+
+  val c119Sql: String =
+    s"""$wpBaseCtes, dp AS (
        |  SELECT wd.lang, CAST(COUNT(DISTINCT p.piece) AS BIGINT) AS n_distinct_pieces
        |  FROM (SELECT DISTINCT lang, w FROM words WHERE len(w) > 0) wd
        |  JOIN wpieces p ON p.w = wd.w

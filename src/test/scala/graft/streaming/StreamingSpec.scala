@@ -645,6 +645,27 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("D34 streaming wordpiece == batch C119 counts (frozen vocab, stateless scan)") {
+    val got = StreamingQueries.d34StreamWordpiece(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_words"), r.getAs[Long]("n_pieces"),
+        r.getAs[Long]("fertility_nano")))
+    val want = graft.text.TextQueries.c119Wordpiece(spark, sf)
+      .select("lang", "n_words", "n_pieces", "fertility_nano").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("D35 streaming cusum == batch B50 on gap-free data; the corpus IS gap-free") {
+    val got = StreamingQueries.d35StreamCusum(spark, sf).collect().map(_.toSeq)
+    val want = graft.relational.Queries.cusumChangepoint(spark, sf).collect().map(_.toSeq)
+    // precondition for equality: every calendar day in [lo, hi] is
+    // observed, so the no-spine stream finalize sees the same series
+    val days = graft.Tables.eventsWithUs(spark, sf)
+      .select(expr("us div 86400000000")).distinct().collect().map(_.getLong(0))
+    assert(days.length.toLong == days.max - days.min + 1, "corpus has day gaps")
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("D33 timeout alerts: timer-path emission == batch NOT EXISTS, exactly once") {
     val got = StreamingQueries.d33StreamTimeoutAlert(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
