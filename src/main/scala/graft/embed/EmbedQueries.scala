@@ -1923,34 +1923,62 @@ object EmbedQueries {
     */
   val PcaIters = 8
 
-  def c112PcaPower(spark: SparkSession, dir: String): DataFrame = {
-    val q = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          e => round(e.cast("double") * lit(1000000.0), 0).cast("long")).as("q"))
-    val cells = q.select(col("vec_id"), posexplode(col("q")).as(Seq("d", "qd")))
-    val nTotal = Tables(spark, dir, "embeddings").count()
-    val mean = cells.groupBy("d").agg(expr(s"sum(qd) div $nTotal").as("m"))
-    val cent = cells.join(broadcast(mean), "d")
-      .select(col("vec_id"), col("d"), (col("qd") - col("m")).as("x"))
-    val cov = cent.select(col("vec_id"), col("d").as("i"), col("x").as("xi"))
-      .join(cent.select(col("vec_id"), col("d").as("j"), col("x").as("xj")), "vec_id")
-      .select(col("i"), col("j"), (col("xi") * col("xj")).as("p"))
-      .groupBy("i", "j").agg(sum("p").as("c"))
-    val covMap = cov.collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+  /** Session+dir memo of the exact integer covariance build — the
+    * (mean, cov) frames plus the driver-side Dims² cell map C112's and
+    * C122's power folds both read. The corpus-sized work (one explode +
+    * centered self-join + map-side-combined cell agg) runs once.
+    */
+  private val covCache =
+    new graft.util.Memo[(String, String), (DataFrame, DataFrame, Map[(Int, Int), BigInt])]
+
+  private def covMoments(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Map[(Int, Int), BigInt]) =
+    covCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val q = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            e => round(e.cast("double") * lit(1000000.0), 0).cast("long")).as("q"))
+      val cells = q.select(col("vec_id"), posexplode(col("q")).as(Seq("d", "qd")))
+      val nTotal = Tables(spark, dir, "embeddings").count()
+      val mean = cells.groupBy("d").agg(expr(s"sum(qd) div $nTotal").as("m"))
+        .localCheckpoint(true)
+      val cent = cells.join(broadcast(mean), "d")
+        .select(col("vec_id"), col("d"), (col("qd") - col("m")).as("x"))
+      val cov = cent.select(col("vec_id"), col("d").as("i"), col("x").as("xi"))
+        .join(cent.select(col("vec_id"), col("d").as("j"), col("x").as("xj")), "vec_id")
+        .select(col("i"), col("j"), (col("xi") * col("xj")).as("p"))
+        .groupBy("i", "j").agg(sum("p").as("c"))
+        .localCheckpoint(true)
+      val covMap = cov.collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), BigInt(r.getLong(2)))).toMap
+      (mean, cov, covMap)
+    })
+
+  /** [[PcaIters]] rounds of ∞-norm-rescaled power iteration on an
+    * exact integer matrix, plus the Rayleigh pieces — the shared C112 /
+    * C122 fold (all BigInt; divisions truncate toward zero, the C94
+    * rule both engines follow).
+    */
+  private def powerFold(m: Map[(Int, Int), BigInt]): (Array[BigInt], BigInt, BigInt) = {
     var v = Array.fill(Dims)(BigInt(1000000))
     for (_ <- 1 to PcaIters) {
       val u = Array.tabulate(Dims)(i => (0 until Dims)
-        .map(j => BigInt(covMap.getOrElse((i, j), 0L)) * v(j)).sum)
+        .map(j => m.getOrElse((i, j), BigInt(0)) * v(j)).sum)
       val mx = u.map(_.abs).max
       v = u.map(x => x * 1000000 / mx)
     }
     val num = (0 until Dims).flatMap(i => (0 until Dims)
-      .map(j => BigInt(covMap.getOrElse((i, j), 0L)) * v(i) * v(j))).sum
+      .map(j => m.getOrElse((i, j), BigInt(0)) * v(i) * v(j))).sum
     val den = v.map(x => x * x).sum
+    (v, num, den)
+  }
+
+  def c112PcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val (mean, cov, covMap) = covMoments(spark, dir)
+    val (v, num, den) = powerFold(covMap)
     val lambda = (num / den).toLong
-    val trace = (0 until Dims).map(i => covMap.getOrElse((i, i), 0L)).sum
-    val aniso = (BigInt(lambda) * 1000000 / BigInt(trace)).toLong
+    val trace = (0 until Dims).map(i => covMap.getOrElse((i, i), BigInt(0))).sum
+    val aniso = (BigInt(lambda) * 1000000 / trace).toLong
     import spark.implicits._
     val pcdf = broadcast(
       (0 until Dims).map(d => (d, v(d).toLong)).toDF("d", "pc_micro"))
@@ -1964,17 +1992,24 @@ object EmbedQueries {
       .orderBy("d")
   }
 
-  lazy val c112Sql: String = {
-    def iter(k: Int): String =
-      s"""u$k AS (
-         |  SELECT c.i AS d, SUM(CAST(c.c AS HUGEINT) * v.v) AS u
-         |  FROM cov c JOIN v${k - 1} v ON v.d = c.j GROUP BY c.i
-         |), mx$k AS (SELECT MAX(ABS(u)) AS mx FROM u$k),
-         |v$k AS MATERIALIZED (
-         |  SELECT d, CAST(u * 1000000 // mx AS BIGINT) AS v
-         |  FROM u$k CROSS JOIN mx$k
-         |)""".stripMargin
-    s"""WITH q AS (
+  /** One ∞-norm-rescaled power round on matrix CTE `mat`, vector chain
+    * prefix `vp` — the C112/C122-shared oracle iteration text.
+    */
+  private def pcaIterSql(mat: String, vp: String)(k: Int): String =
+    s"""u$vp$k AS (
+       |  SELECT c.i AS d, SUM(CAST(c.c AS HUGEINT) * v.v) AS u
+       |  FROM $mat c JOIN $vp${k - 1} v ON v.d = c.j GROUP BY c.i
+       |), mx$vp$k AS (SELECT MAX(ABS(u)) AS mx FROM u$vp$k),
+       |$vp$k AS MATERIALIZED (
+       |  SELECT d, CAST(u * 1000000 // mx AS BIGINT) AS v
+       |  FROM u$vp$k CROSS JOIN mx$vp$k
+       |)""".stripMargin
+
+  /** The shared oracle prefix: quantize, center, exact covariance,
+    * first power chain (v0..v[[PcaIters]]), Rayleigh λ and trace.
+    */
+  private lazy val pcaBaseCtes: String =
+    s"""q AS (
        |  SELECT vec_id,
        |    list_transform(embedding,
        |      e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS q
@@ -1993,7 +2028,7 @@ object EmbedQueries {
        |  FROM cent a JOIN cent b ON b.vec_id = a.vec_id
        |  GROUP BY a.d, b.d),
        |v0 AS (SELECT d, CAST(1000000 AS BIGINT) AS v FROM range(0, $Dims) t(d)),
-       |${(1 to PcaIters).map(iter).mkString(",\n")},
+       |${(1 to PcaIters).map(pcaIterSql("cov", "v")).mkString(",\n")},
        |ray AS (
        |  SELECT CAST(
        |    (SELECT SUM(CAST(c.c AS HUGEINT) * vi.v * vj.v)
@@ -2001,7 +2036,11 @@ object EmbedQueries {
        |     JOIN v$PcaIters vj ON vj.d = c.j)
        |    // (SELECT SUM(CAST(v AS HUGEINT) * v) FROM v$PcaIters)
        |    AS BIGINT) AS lam),
-       |tr AS (SELECT CAST(SUM(c) AS BIGINT) AS tr FROM cov WHERE i = j)
+       |tr AS (SELECT CAST(SUM(c) AS BIGINT) AS tr FROM cov WHERE i = j),
+       |dn AS (SELECT SUM(CAST(v AS HUGEINT) * v) AS den FROM v$PcaIters)""".stripMargin
+
+  lazy val c112Sql: String =
+    s"""WITH $pcaBaseCtes
        |SELECT m.d, m.m AS mean_micro, cv.c AS var_unit, v.v AS pc_micro,
        |  r.lam AS lambda_unit,
        |  CAST(CAST(r.lam AS HUGEINT) * 1000000 // t.tr AS BIGINT) AS aniso_ppm
@@ -2010,12 +2049,86 @@ object EmbedQueries {
        |JOIN v$PcaIters v USING (d)
        |CROSS JOIN ray r CROSS JOIN tr t
        |ORDER BY m.d""".stripMargin
+
+  // --------------------------------------------------------------- C122
+  /** C122: all-but-the-top deflation (Mu & Viswanath 2018) — remove
+    * the dominant covariance component C112 finds and measure what's
+    * left: cov₂ = cov − (λ·v vᵀ) div (vᵀv), a second [[PcaIters]]-round
+    * power fold on the deflated matrix, and the before/after anisotropy
+    * shares. The "is the embedding's common axis ONE rogue direction
+    * or structural" decision: if aniso collapses after one deflation,
+    * ABTT post-processing fixes cosine; if it doesn't, the geometry is
+    * genuinely low-rank and needs retraining. (Caveat a reader of the
+    * numbers needs: with [[PcaIters]] truncated rounds on a
+    * near-isotropic matrix, v₁ is imperfect and λ₂ can come in AT or
+    * slightly above the λ₁ estimate — itself a usable "no dominant
+    * axis" signal.) Exactness: the deflation
+    * cell (λ·vᵢ·vⱼ) div (vᵀv) stays inside HUGEINT/BigInt (λ ≤ trace ≈
+    * 4·10¹⁶ at this corpus, ×10¹² for the v product — well under
+    * 1.7·10³⁸), every division truncates toward zero in both engines
+    * (the C94 rule), and the second fold runs the IDENTICAL iteration
+    * text on cov₂. Corpus work: NONE beyond the memoized [[covMoments]]
+    * build shared with C112 — both folds are Dims²-bounded driver math
+    * (the C105 rule).
+    */
+  def c122Abtt(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, covMap) = covMoments(spark, dir)
+    val (v1, num1, den1) = powerFold(covMap)
+    val lambda1 = num1 / den1
+    val trace1 = (0 until Dims).map(i => covMap.getOrElse((i, i), BigInt(0))).sum
+    def defl(i: Int, j: Int): BigInt = lambda1 * v1(i) * v1(j) / den1
+    val cov2 = (for (i <- 0 until Dims; j <- 0 until Dims)
+      yield ((i, j), covMap.getOrElse((i, j), BigInt(0)) - defl(i, j))).toMap
+    val (v2, num2, den2) = powerFold(cov2)
+    val lambda2 = num2 / den2
+    val trace2 = (0 until Dims).map(i => cov2((i, i))).sum
+    val anisoBefore = (lambda1 * 1000000 / trace1).toLong
+    val anisoAfter = (lambda2 * 1000000 / trace2).toLong
+    import spark.implicits._
+    (0 until Dims).map(d => (d.toLong, v1(d).toLong, v2(d).toLong,
+        defl(d, d).toLong, lambda1.toLong, lambda2.toLong, anisoBefore, anisoAfter))
+      .toDF("d", "pc1_micro", "pc2_micro", "defl_diag", "lambda1_unit",
+        "lambda2_unit", "aniso_before_ppm", "aniso_after_ppm")
+      .orderBy("d")
   }
+
+  lazy val c122Sql: String =
+    s"""WITH $pcaBaseCtes,
+       |defl AS MATERIALIZED (
+       |  SELECT vi.d AS i, vj.d AS j,
+       |    CAST(CAST(r.lam AS HUGEINT) * vi.v * vj.v // n.den AS BIGINT) AS dcell
+       |  FROM v$PcaIters vi CROSS JOIN v$PcaIters vj
+       |  CROSS JOIN ray r CROSS JOIN dn n
+       |), cov2 AS MATERIALIZED (
+       |  SELECT c.i, c.j, CAST(c.c - d.dcell AS BIGINT) AS c
+       |  FROM cov c JOIN defl d ON d.i = c.i AND d.j = c.j
+       |),
+       |w0 AS (SELECT d, CAST(1000000 AS BIGINT) AS v FROM range(0, $Dims) t(d)),
+       |${(1 to PcaIters).map(pcaIterSql("cov2", "w")).mkString(",\n")},
+       |ray2 AS (
+       |  SELECT CAST(
+       |    (SELECT SUM(CAST(c.c AS HUGEINT) * vi.v * vj.v)
+       |     FROM cov2 c JOIN w$PcaIters vi ON vi.d = c.i
+       |     JOIN w$PcaIters vj ON vj.d = c.j)
+       |    // (SELECT SUM(CAST(v AS HUGEINT) * v) FROM w$PcaIters)
+       |    AS BIGINT) AS lam),
+       |tr2 AS (SELECT CAST(SUM(c) AS BIGINT) AS tr FROM cov2 WHERE i = j)
+       |SELECT v.d, v.v AS pc1_micro, w.v AS pc2_micro,
+       |  dd.dcell AS defl_diag,
+       |  r.lam AS lambda1_unit, r2.lam AS lambda2_unit,
+       |  CAST(CAST(r.lam AS HUGEINT) * 1000000 // t.tr AS BIGINT) AS aniso_before_ppm,
+       |  CAST(CAST(r2.lam AS HUGEINT) * 1000000 // t2.tr AS BIGINT) AS aniso_after_ppm
+       |FROM v$PcaIters v
+       |JOIN w$PcaIters w USING (d)
+       |JOIN (SELECT i AS d, dcell FROM defl WHERE i = j) dd USING (d)
+       |CROSS JOIN ray r CROSS JOIN ray2 r2 CROSS JOIN tr t CROSS JOIN tr2 t2
+       |ORDER BY v.d""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c115_kcenter" -> (c115KCenter _),
     "c114_silhouette" -> (c114Silhouette _),
     "c112_pca_power" -> (c112PcaPower _),
+    "c122_abtt" -> (c122Abtt _),
     "c102_pagerank" -> (c102Pagerank _),
     "c104_triangles" -> (c104Triangles _),
     "c108_graph_ann" -> (c108GraphAnn _),
@@ -2044,6 +2157,7 @@ object EmbedQueries {
     "c115_kcenter" -> c115Sql,
     "c114_silhouette" -> c114Sql,
     "c112_pca_power" -> c112Sql,
+    "c122_abtt" -> c122Sql,
     "c102_pagerank" -> c102Sql,
     "c104_triangles" -> c104Sql,
     "c108_graph_ann" -> c108Sql,
