@@ -30,6 +30,11 @@ import graft.{GraftSession, Tables}
   *  9. mixture plan — DoReMi multiplicative weights (C105) over the
   *     curated train split, written next to the corpus as the
   *     per-source sampling table a training job reads.
+  * 10. tokenizer-equity report — WordPiece fertility per language over
+  *     the curated corpus (C119's second tokenizer family), vocab
+  *     derived from the curated TRAIN split only (stage 7's held-out
+  *     hygiene), written next to the mixture as the per-lang table a
+  *     vocab-size/mix decision reads.
   *
   * Every stage is declarative DataFrame algebra over the same operators
   * the driver hash-checks individually; the composition adds no new
@@ -55,7 +60,8 @@ object CurationPipeline {
       train: Long, val_ : Long, test: Long, droppedContaminated: Long,
       afterSegTrim: Long, segTokensDropped: Long,
       sequences: Long, bpeMerges: Long, tokensAfterBpe: Long,
-      mixSources: Long, mixMassMicro: Long)
+      mixSources: Long, mixMassMicro: Long,
+      wpLangs: Long, wpPieces: Long)
 
   /** spark-submit entry: runMain graft.text.CurationPipeline <sfDir> <outDir>. */
   def main(args: Array[String]): Unit = {
@@ -170,6 +176,34 @@ object CurationPipeline {
     mixture.write.mode("overwrite").parquet(s"$outDir/mixture")
     val mixRows = spark.read.parquet(s"$outDir/mixture").collect()
 
+    // 10. tokenizer-equity report (C119): WordPiece fertility per lang
+    // over the CURATED corpus, vocab from the curated TRAIN split only
+    // (held-out text must not shape the tokenizer — stage 7's rule).
+    // LEARNED pieces come from train only; the single-char ALPHABET
+    // layer comes from the whole curated corpus (the byte-fallback
+    // principle: a val/test char unseen in train must not crash the
+    // apply — chars are alphabet, not learned structure)
+    val (wpInit0, wpCont0) = TextQueries.wpVocabOn(
+      out.filter(col("split") === "train").select("text"))
+    val corpusChars = out
+      .select(explode(expr("filter(split(text, ' '), t -> length(t) > 0)")).as("w"))
+      .select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("p"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val wpInit = (wpInit0 ++ corpusChars).distinct.sorted
+    val wpCont = (wpCont0 ++ corpusChars).distinct.sorted
+    val equity = out
+      .select(col("lang"),
+        size(expr("filter(split(text, ' '), t -> length(t) > 0)"))
+          .cast("long").as("n_words"),
+        size(graft.functions.textseg.wordpiece_segment(col("text"), wpInit, wpCont))
+          .cast("long").as("n_pieces"))
+      .groupBy("lang")
+      .agg(sum("n_words").as("n_words"), sum("n_pieces").as("n_pieces"))
+      .withColumn("fertility_nano", expr("(n_pieces * 1000000000) div n_words"))
+    equity.write.mode("overwrite").parquet(s"$outDir/tokenizer_equity")
+    val equityRows = spark.read.parquet(s"$outDir/tokenizer_equity").collect()
+
     def n(df: DataFrame): Long = df.count()
     val bySplit = out.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -191,6 +225,8 @@ object CurationPipeline {
         .agg(coalesce(sum(size(col("toks")).cast("long")), lit(0L)))
         .head().getLong(0),
       mixSources = mixRows.length.toLong,
-      mixMassMicro = mixRows.map(_.getAs[Long]("w_micro")).sum)
+      mixMassMicro = mixRows.map(_.getAs[Long]("w_micro")).sum,
+      wpLangs = equityRows.length.toLong,
+      wpPieces = equityRows.map(_.getAs[Long]("n_pieces")).sum)
   }
 }

@@ -2312,8 +2312,15 @@ object TextQueries {
     * K-row collect (the C105 fold rule).
     */
   private[graft] def wpVocab(spark: SparkSession, dir: String): (Seq[String], Seq[String]) =
-    wpVocabCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      val wf = Tables(spark, dir, "documents")
+    wpVocabCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      wpVocabOn(Tables(spark, dir, "documents")))
+
+  /** The vocab build on ANY (text) frame — the curation pipeline
+    * derives it from the curated TRAIN split only (stage 7's held-out
+    * hygiene applied to the second tokenizer family).
+    */
+  private[graft] def wpVocabOn(docs: DataFrame): (Seq[String], Seq[String]) = {
+      val wf = docs
         .select(explode(tokens(col("text"))).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy("w").agg(count(lit(1)).as("f"))
@@ -2335,7 +2342,7 @@ object TextQueries {
       val init = (chars ++ top.filter(_._2).map(_._1)).distinct.sorted.toSeq
       val cont = (chars ++ top.filterNot(_._2).map(_._1)).distinct.sorted.toSeq
       (init, cont)
-    })
+  }
 
   // --------------------------------------------------------------- C120
   /** C120: token burstiness — variance-to-mean ratio (Fano factor) of

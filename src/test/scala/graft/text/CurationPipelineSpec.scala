@@ -77,5 +77,15 @@ class CurationPipelineSpec extends SparkTestBase {
         assert(lo.getAs[Long]("w_micro") <= hi.getAs[Long]("w_micro"))
       case _ =>
     }
+
+    // stage 10: tokenizer-equity covers every curated lang; fertility is
+    // ≥ 1 piece per word; the train-derived vocab is total on the WHOLE
+    // curated corpus (val/test included — no UNK path ever fired, or the
+    // expression would have thrown and failed the run)
+    val equity = spark.read.parquet(s"$out/tokenizer_equity")
+    assert(r.wpLangs == corpus.select("lang").distinct().count())
+    assert(equity.count() == r.wpLangs)
+    assert(equity.filter(col("fertility_nano") < 1000000000L).count() == 0)
+    assert(r.wpPieces >= wsTokens, "fewer pieces than words — segmentation lost words")
   }
 }
