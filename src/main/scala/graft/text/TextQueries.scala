@@ -2291,6 +2291,94 @@ object TextQueries {
       |    AS top_decile_share_micro
       |FROM l JOIN bm USING (lang) ORDER BY l.lang""".stripMargin
 
+  // --------------------------------------------------------------- C123
+  /** C123: split-conformal keep-threshold (Vovk et al. 2005; Angelopoulos
+    * & Bates 2023's split-conformal recipe) — calibrate the C52 quality
+    * score on the VAL split so "keep if score ≥ t" carries a
+    * distribution-free coverage guarantee: with t = the k-th smallest
+    * val score, k = (n_val+1)·α div 1e6 (α = [[ConformalAlphaMicro]]),
+    * exchangeability gives P(new score ≥ t) ≥ 1−α — the principled way
+    * to pick the threshold C101/C116 only diagnose. Reports the
+    * threshold and the realized coverage on val AND test (the honest
+    * check: test coverage should land near 1−α without having touched
+    * the calibration). Splits are C23's affine hash — the same
+    * assignment every split-aware operator uses.
+    *
+    * Exactness: scores are integers; the k-th order statistic reads
+    * off the distinct-score histogram's running count (the C117
+    * machinery — at this cardinality one bounded window; the two-level
+    * cumsum applies verbatim if scores explode); coverages are
+    * (count·1e6) div n. Scale shape: one scan-stage score+split
+    * projection, one score-keyed histogram agg, a 1-row threshold
+    * reduction broadcast into two count aggs.
+    */
+  val ConformalAlphaMicro = 100000L // α = 0.1 → target coverage 0.9
+
+  def c123Conformal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = c52Scored(spark, dir).select(col("doc_id"), col("score_micro"))
+      .withColumn("h", pmod(col("doc_id") * lit(2654435761L) + lit(40503L), lit(100L)))
+      .withColumn("split",
+        when(col("h") < 80, "train").when(col("h") < 90, "val").otherwise("test"))
+    val nVal = scored.filter(col("split") === "val").count()
+    val k = (nVal + 1L) * ConformalAlphaMicro / 1000000L
+    val w = Window.orderBy("score_micro").rowsBetween(Window.unboundedPreceding, 0)
+    val thr = scored.filter(col("split") === "val")
+      .groupBy("score_micro").agg(count(lit(1)).as("m"))
+      .withColumn("cum", sum("m").over(w))
+      .filter(col("cum") >= k)
+      .agg(min("score_micro").as("threshold_micro"))
+    scored.crossJoin(broadcast(thr))
+      .groupBy(lit(1).as("one"))
+      .agg(
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"),
+        max(col("threshold_micro")).as("threshold_micro"),
+        sum(when(col("split") === "val" && col("score_micro") >= col("threshold_micro"),
+          1L).otherwise(0L)).as("kept_val"),
+        sum(when(col("split") === "test" && col("score_micro") >= col("threshold_micro"),
+          1L).otherwise(0L)).as("kept_test"))
+      .select(col("n_val"), col("n_test"), lit(k).as("k"), col("threshold_micro"),
+        expr("(kept_val * 1000000) div n_val").as("coverage_val_ppm"),
+        expr("(kept_test * 1000000) div n_test").as("coverage_test_ppm"))
+  }
+
+  val c123Sql: String =
+    s"""WITH sc AS (
+       |  SELECT doc_id,
+       |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(text, ' '),
+       |        t -> (${tokenHashSql("t")} % $ClsBuckets) * 2654435761 % 2001 - 1000)),
+       |      (x, y) -> x + y) * 1000000)
+       |      // greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS score_micro,
+       |    CASE WHEN (doc_id * 2654435761 + 40503) % 100 < 80 THEN 'train'
+       |         WHEN (doc_id * 2654435761 + 40503) % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents
+       |), nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_val FROM sc WHERE split = 'val'),
+       |kk AS (SELECT (n_val + 1) * $ConformalAlphaMicro // 1000000 AS k, n_val FROM nv),
+       |hist AS (
+       |  SELECT score_micro, COUNT(*) AS m,
+       |    SUM(COUNT(*)) OVER (ORDER BY score_micro
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM sc WHERE split = 'val' GROUP BY score_micro
+       |), thr AS (
+       |  SELECT MIN(score_micro) AS threshold_micro FROM hist, kk WHERE cum >= kk.k
+       |)
+       |SELECT
+       |  CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+       |  CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+       |  CAST(kk.k AS BIGINT) AS k,
+       |  t.threshold_micro,
+       |  CAST((CAST(SUM(CASE WHEN split = 'val' AND score_micro >= t.threshold_micro
+       |      THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+       |    // SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS coverage_val_ppm,
+       |  CAST((CAST(SUM(CASE WHEN split = 'test' AND score_micro >= t.threshold_micro
+       |      THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+       |    // SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS coverage_test_ppm
+       |FROM sc CROSS JOIN thr t CROSS JOIN kk
+       |GROUP BY kk.k, t.threshold_micro""".stripMargin
+
   // --------------------------------------------------------------- C119
   /** Vocab size and piece-length cap for the C119 WordPiece build. */
   val WpTopPieces = 150
@@ -5255,6 +5343,7 @@ object TextQueries {
     "c119_wordpiece" -> (c119Wordpiece _),
     "c120_burstiness" -> (c120Burstiness _),
     "c121_rank_corr" -> (c121RankCorr _),
+    "c123_conformal" -> (c123Conformal _),
     "c100_fertility" -> (c100Fertility _),
     "c99_rrf_fusion" -> (c99RrfFusion _),
     "c98_hash_embed" -> (c98HashEmbed _),
@@ -5329,6 +5418,7 @@ object TextQueries {
     "c119_wordpiece" -> c119Sql,
     "c120_burstiness" -> c120Sql,
     "c121_rank_corr" -> c121Sql,
+    "c123_conformal" -> c123Sql,
     "c100_fertility" -> c100Sql,
     "c99_rrf_fusion" -> c99Sql,
     "c98_hash_embed" -> c98Sql,

@@ -135,6 +135,10 @@ class PlanContractSpec extends SparkTestBase {
     // 1-row corpus-total crosses; its own pair self-join is a qid hash
     // equi-join over two ≤Q·K-row frames
     "c121_rank_corr",
+    // c123 crosses the 1-row conformal-threshold aggregate into the
+    // scored scan (the b13/c67 scalar-broadcast shape); the only
+    // corpus-sized shuffle is the val-score histogram agg
+    "c123_conformal",
     // c120 crosses the 1-row doc-count aggregate into the 20-row top
     // frame — the b42 scalar-on-bounded shape
     "c120_burstiness",

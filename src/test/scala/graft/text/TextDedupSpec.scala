@@ -1753,6 +1753,39 @@ class DedupQueriesSpec extends SparkTestBase {
     assert(out.exists(r => r._6 > 0L))
   }
 
+  test("c123 conformal: exact order-statistic threshold, coverage guarantee holds on val") {
+    val rows = TextQueries.c123Conformal(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val scored = TextQueries.c52HashClassifier(spark, sf)
+      .select("doc_id", "score_micro").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    def splitOf(id: Long) = {
+      val h = (id * 2654435761L + 40503L) % 100L
+      if (h < 80) "train" else if (h < 90) "val" else "test"
+    }
+    val valScores = scored.filter(x => splitOf(x._1) == "val").map(_._2).sorted
+    val testScores = scored.filter(x => splitOf(x._1) == "test").map(_._2)
+    val nVal = valScores.length.toLong
+    val k = (nVal + 1) * TextQueries.ConformalAlphaMicro / 1000000L
+    val t = valScores(k.toInt - 1) // k-th smallest, 1-indexed
+    assert(r.getAs[Long]("n_val") == nVal)
+    assert(r.getAs[Long]("n_test") == testScores.length.toLong)
+    assert(r.getAs[Long]("k") == k)
+    assert(r.getAs[Long]("threshold_micro") == t)
+    assert(r.getAs[Long]("coverage_val_ppm") ==
+      valScores.count(_ >= t) * 1000000L / nVal)
+    assert(r.getAs[Long]("coverage_test_ppm") ==
+      testScores.count(_ >= t).toLong * 1000000L / testScores.length)
+    // the split-conformal guarantee, checked on the calibration split:
+    // at least (n_val - k + 1) of n_val val scores sit at or above the
+    // k-th smallest — coverage ≥ 1 - α up to the 1/n_val quantization
+    assert(r.getAs[Long]("coverage_val_ppm") >=
+      (nVal - k) * 1000000L / nVal)
+    // the threshold genuinely cuts something (k ≥ 1 on this corpus)
+    assert(k >= 1L && r.getAs[Long]("coverage_val_ppm") < 1000000L)
+  }
+
   test("c103 group split: exact recompute, zero leakage by construction, doc split leaks") {
     import graft.dedup.DedupQueries
     val out = DedupQueries.c103GroupSplit(spark, sf).collect()
