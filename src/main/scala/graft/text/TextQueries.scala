@@ -2379,6 +2379,82 @@ object TextQueries {
        |FROM sc CROSS JOIN thr t CROSS JOIN kk
        |GROUP BY kk.k, t.threshold_micro""".stripMargin
 
+  // --------------------------------------------------------------- C124
+  /** C124: Hill tail-index plot per language (Hill 1975) — the MLE for
+    * a Pareto tail evaluated at several cut depths k: α̂(k) =
+    * k / Σ_{i≤k} ln(tf_(i)/tf_(k+1)) over the top-k token frequencies.
+    * C71 fits ONE slope through the whole top-200 (and r² says how
+    * badly a single line fits); the Hill PLOT shows whether the tail
+    * exponent is STABLE in k — the "is this power law real or a
+    * mixture" diagnostic (template floods and spam show a drifting
+    * α̂(k); natural text plateaus near the Zipf exponent). Exactness:
+    * ln(tf) quantizes to micro per ROW (the a1/c60 rule), H_sum =
+    * Σln(tf_i)_micro − k·ln(tf_(k+1))_micro is then exact BIGINT ≥ 0,
+    * and α̂_micro = k·10¹² div max(H_sum, 1). Scale shape: the token
+    * count is the map-side corpus agg; ranking and the ≤(K+1)-row-
+    * per-(lang,k) inequality join run on the VOCAB frame (never the
+    * corpus); languages with fewer than k+1 distinct tokens drop that
+    * depth (no k+1-st order statistic exists — both engines inner-join
+    * it away).
+    */
+  val HillKs: Seq[Int] = Seq(10, 20, 50, 100)
+
+  def c124Hill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables(spark, dir, "documents")
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("lang").orderBy(col("tf").desc, col("token"))
+    val ranked = tf
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= HillKs.max + 1)
+      .select(col("lang"), col("rnk"),
+        round(log(col("tf").cast("double")) * 1e6, 0).cast("long").as("lny"))
+    import spark.implicits._
+    val ks = HillKs.map(_.toLong).toDF("k")
+    val sums = ranked.join(broadcast(ks), col("rnk") <= col("k"))
+      .groupBy("lang", "k").agg(sum("lny").as("s_top"))
+    val base = ranked.join(broadcast(ks.withColumn("r1", col("k") + 1L)),
+        col("rnk") === col("r1"))
+      .select(col("lang"), col("k"), col("lny").as("ln_base"))
+    sums.join(base, Seq("lang", "k"))
+      .withColumn("h_sum_micro", col("s_top") - col("k") * col("ln_base"))
+      .withColumn("alpha_micro",
+        expr("(k * 1000000000000) div greatest(h_sum_micro, 1)"))
+      .select("lang", "k", "h_sum_micro", "alpha_micro")
+      .orderBy("lang", "k")
+  }
+
+  val c124Sql: String = {
+    val ks = HillKs.mkString(", ")
+    s"""WITH tf AS (
+       |  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS token
+       |        FROM documents)
+       |  GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT lang, rnk,
+       |    CAST(ROUND(ln(CAST(tf AS DOUBLE)) * 1e6) AS BIGINT) AS lny
+       |  FROM (SELECT lang, tf, ROW_NUMBER() OVER (PARTITION BY lang
+       |          ORDER BY tf DESC, token) AS rnk FROM tf)
+       |  WHERE rnk <= ${HillKs.max + 1}
+       |), ks AS (SELECT UNNEST([$ks]) AS k),
+       |sums AS (
+       |  SELECT r.lang, CAST(ks.k AS BIGINT) AS k,
+       |    CAST(SUM(r.lny) AS BIGINT) AS s_top
+       |  FROM ranked r JOIN ks ON r.rnk <= ks.k
+       |  GROUP BY 1, 2
+       |), base AS (
+       |  SELECT r.lang, CAST(ks.k AS BIGINT) AS k, r.lny AS ln_base
+       |  FROM ranked r JOIN ks ON r.rnk = ks.k + 1
+       |)
+       |SELECT s.lang, s.k,
+       |  s.s_top - s.k * b.ln_base AS h_sum_micro,
+       |  (s.k * 1000000000000) // greatest(s.s_top - s.k * b.ln_base, 1) AS alpha_micro
+       |FROM sums s JOIN base b ON b.lang = s.lang AND b.k = s.k
+       |ORDER BY s.lang, s.k""".stripMargin
+  }
+
   // --------------------------------------------------------------- C119
   /** Vocab size and piece-length cap for the C119 WordPiece build. */
   val WpTopPieces = 150
@@ -5344,6 +5420,7 @@ object TextQueries {
     "c120_burstiness" -> (c120Burstiness _),
     "c121_rank_corr" -> (c121RankCorr _),
     "c123_conformal" -> (c123Conformal _),
+    "c124_hill" -> (c124Hill _),
     "c100_fertility" -> (c100Fertility _),
     "c99_rrf_fusion" -> (c99RrfFusion _),
     "c98_hash_embed" -> (c98HashEmbed _),
@@ -5419,6 +5496,7 @@ object TextQueries {
     "c120_burstiness" -> c120Sql,
     "c121_rank_corr" -> c121Sql,
     "c123_conformal" -> c123Sql,
+    "c124_hill" -> c124Sql,
     "c100_fertility" -> c100Sql,
     "c99_rrf_fusion" -> c99Sql,
     "c98_hash_embed" -> c98Sql,

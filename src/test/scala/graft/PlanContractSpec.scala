@@ -135,6 +135,11 @@ class PlanContractSpec extends SparkTestBase {
     // 1-row corpus-total crosses; its own pair self-join is a qid hash
     // equi-join over two ≤Q·K-row frames
     "c121_rank_corr",
+    // c124's rnk ≤ k inequality join runs on the ≤(101·langs)-row
+    // ranked vocab frame × the 4-row broadcast depth table — both
+    // sides bounded constants (the c92 ≤-fan-out shape); the only
+    // corpus-sized shuffle is the (lang, token) tf agg
+    "c124_hill",
     // c123 crosses the 1-row conformal-threshold aggregate into the
     // scored scan (the b13/c67 scalar-broadcast shape); the only
     // corpus-sized shuffle is the val-score histogram agg

@@ -1786,6 +1786,31 @@ class DedupQueriesSpec extends SparkTestBase {
     assert(k >= 1L && r.getAs[Long]("coverage_val_ppm") < 1000000L)
   }
 
+  test("c124 hill: exact order-statistic recompute at every depth, positive tail index") {
+    val out = TextQueries.c124Hill(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val tf = graft.Tables(spark, sf, "documents").select("lang", "text").collect()
+      .flatMap(r => r.getString(1).split(" ").map(t => (r.getString(0), t)))
+      .groupBy(identity).map { case ((l, t), g) => (l, t, g.length.toLong) }
+    val byLang = tf.groupBy(_._1)
+    var checked = 0
+    byLang.foreach { case (lang, toks) =>
+      val ranked = toks.toSeq.sortBy(x => (-x._3, x._2)).map(_._3)
+        .map(f => math.round(math.log(f.toDouble) * 1e6))
+      TextQueries.HillKs.foreach { k =>
+        if (ranked.length >= k + 1) {
+          val h = ranked.take(k).sum - k.toLong * ranked(k)
+          val alpha = k.toLong * 1000000000000L / math.max(h, 1L)
+          assert(out((lang, k.toLong)) == ((h, alpha)), s"$lang k=$k")
+          checked += 1
+        } else assert(!out.contains((lang, k.toLong)), s"$lang k=$k should drop")
+      }
+    }
+    assert(checked > 0)
+    // tail indices are positive and finite on every reported depth
+    assert(out.values.forall { case (h, a) => h >= 0L && a > 0L })
+  }
+
   test("c103 group split: exact recompute, zero leakage by construction, doc split leaks") {
     import graft.dedup.DedupQueries
     val out = DedupQueries.c103GroupSplit(spark, sf).collect()
