@@ -2455,6 +2455,66 @@ object TextQueries {
        |ORDER BY s.lang, s.k""".stripMargin
   }
 
+  // --------------------------------------------------------------- C125
+  /** C125: tokenizer-rot drift — C119's WordPiece fertility computed
+    * SEPARATELY on the old and new corpus halves (C67's midpoint
+    * split) under the ONE frozen corpus-derived vocab: when the
+    * incoming data drifts away from what the tokenizer was built on,
+    * fertility on the new half rises (more pieces per word — the
+    * quiet cost every deployed tokenizer pays as its corpus moves; the
+    * vocab-refresh trigger next to C73's token-level JS and C117's
+    * score-level KS). All-integer: per-half word/piece sums, fertility
+    * in nano, drift = new − old (signed, exact). Scale shape: the
+    * frozen vocab broadcasts once; ONE segmentation scan tagged by the
+    * 1-row midpoint broadcast; one (lang, half)-keyed agg; the pivot
+    * to old/new columns is a lang-keyed self-join of a K-row frame.
+    */
+  def c125FertilityDrift(spark: SparkSession, dir: String): DataFrame = {
+    val (init, cont) = wpVocab(spark, dir)
+    val docs = Tables(spark, dir, "documents")
+    val cut = docs.agg(((min("doc_id") + max("doc_id")) / 2).cast("long").as("cut"))
+    val halves = docs.crossJoin(broadcast(cut))
+      .select(col("lang"),
+        (col("doc_id") < col("cut")).cast("long").as("is_old"),
+        size(expr("filter(split(text, ' '), t -> length(t) > 0)"))
+          .cast("long").as("n_words"),
+        size(graft.functions.textseg.wordpiece_segment(col("text"), init, cont))
+          .cast("long").as("n_pieces"))
+      .groupBy("lang", "is_old")
+      .agg(sum("n_words").as("n_words"), sum("n_pieces").as("n_pieces"))
+      .withColumn("fert_nano", expr("(n_pieces * 1000000000) div n_words"))
+    halves.filter(col("is_old") === 1L)
+      .select(col("lang"), col("fert_nano").as("fert_old_nano"))
+      .join(halves.filter(col("is_old") === 0L)
+        .select(col("lang"), col("fert_nano").as("fert_new_nano")), "lang")
+      .withColumn("drift_nano", col("fert_new_nano") - col("fert_old_nano"))
+      .orderBy("lang")
+  }
+
+  // lazy: wpBaseCtes is declared further down in this object
+  lazy val c125Sql: String =
+    s"""$wpBaseCtes, cut AS (
+       |  SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS cut FROM documents
+       |), hwords AS (
+       |  SELECT d.lang, CAST(d.doc_id < c.cut AS BIGINT) AS is_old,
+       |    UNNEST(string_split(d.text, ' ')) AS w
+       |  FROM documents d, cut c
+       |), halves AS (
+       |  SELECT hw.lang, hw.is_old,
+       |    CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(wc.npieces) AS BIGINT) AS n_pieces
+       |  FROM hwords hw JOIN wcount wc ON wc.w = hw.w
+       |  GROUP BY 1, 2
+       |), f AS (
+       |  SELECT lang, is_old,
+       |    (n_pieces * 1000000000) // n_words AS fert_nano
+       |  FROM halves
+       |)
+       |SELECT o.lang, o.fert_nano AS fert_old_nano, n.fert_nano AS fert_new_nano,
+       |  n.fert_nano - o.fert_nano AS drift_nano
+       |FROM f o JOIN f n ON n.lang = o.lang AND o.is_old = 1 AND n.is_old = 0
+       |ORDER BY o.lang""".stripMargin
+
   // --------------------------------------------------------------- C119
   /** Vocab size and piece-length cap for the C119 WordPiece build. */
   val WpTopPieces = 150
@@ -5421,6 +5481,7 @@ object TextQueries {
     "c121_rank_corr" -> (c121RankCorr _),
     "c123_conformal" -> (c123Conformal _),
     "c124_hill" -> (c124Hill _),
+    "c125_fertility_drift" -> (c125FertilityDrift _),
     "c100_fertility" -> (c100Fertility _),
     "c99_rrf_fusion" -> (c99RrfFusion _),
     "c98_hash_embed" -> (c98HashEmbed _),
@@ -5497,6 +5558,7 @@ object TextQueries {
     "c121_rank_corr" -> c121Sql,
     "c123_conformal" -> c123Sql,
     "c124_hill" -> c124Sql,
+    "c125_fertility_drift" -> c125Sql,
     "c100_fertility" -> c100Sql,
     "c99_rrf_fusion" -> c99Sql,
     "c98_hash_embed" -> c98Sql,

@@ -140,6 +140,10 @@ class PlanContractSpec extends SparkTestBase {
     // sides bounded constants (the c92 ≤-fan-out shape); the only
     // corpus-sized shuffle is the (lang, token) tf agg
     "c124_hill",
+    // c125 crosses the 1-row midpoint-cut aggregate into the
+    // segmentation scan (c67/c73's scalar shape); the only corpus-sized
+    // shuffle is the (lang, half) agg
+    "c125_fertility_drift",
     // c123 crosses the 1-row conformal-threshold aggregate into the
     // scored scan (the b13/c67 scalar-broadcast shape); the only
     // corpus-sized shuffle is the val-score histogram agg

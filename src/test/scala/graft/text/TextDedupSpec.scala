@@ -1811,6 +1811,52 @@ class DedupQueriesSpec extends SparkTestBase {
     assert(out.values.forall { case (h, a) => h >= 0L && a > 0L })
   }
 
+  test("c125 fertility drift: per-half recompute ties to c119's whole-corpus counts") {
+    val out = TextQueries.c125FertilityDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // recompute both halves with the SAME tokenizer the c119 spec
+    // already verified, via the operator's own building blocks
+    val docs = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val cut = (docs.map(_._1).min + docs.map(_._1).max) / 2
+    val (init, cont) = TextQueries.wpVocab(spark, sf)
+    val initS = init.toSet
+    val contS = cont.toSet
+    def pieces(w: String): Long = {
+      var pos = 0
+      var n = 0L
+      while (pos < w.length) {
+        val l = (math.min(TextQueries.WpMaxPieceLen, w.length - pos) to 1 by -1)
+          .find { l =>
+            val s = w.substring(pos, pos + l)
+            if (pos == 0) initS(s) else contS(s)
+          }.get
+        pos += l
+        n += 1
+      }
+      n
+    }
+    val expect = docs.flatMap { case (id, lang, text) =>
+      text.split(" ", -1).filter(_.nonEmpty).map(w => (lang, id < cut, w))
+    }.groupBy(x => (x._1, x._2)).map { case ((lang, old), ws) =>
+      (lang, old) -> (ws.length.toLong, ws.map(x => pieces(x._3)).sum)
+    }
+    val byLang = expect.keys.map(_._1).toSeq.distinct.sorted
+      .filter(l => expect.contains((l, true)) && expect.contains((l, false)))
+      .map { l =>
+        val (wo, po) = expect((l, true))
+        val (wn, pn) = expect((l, false))
+        val fo = po * 1000000000L / wo
+        val fn = pn * 1000000000L / wn
+        (l, fo, fn, fn - fo)
+      }
+    assert(out.toSeq == byLang)
+    // both signs of drift appear OR drift is nonzero somewhere — the
+    // diagnostic has signal on this corpus
+    assert(out.exists(_._4 != 0L))
+  }
+
   test("c103 group split: exact recompute, zero leakage by construction, doc split leaks") {
     import graft.dedup.DedupQueries
     val out = DedupQueries.c103GroupSplit(spark, sf).collect()
