@@ -1065,6 +1065,132 @@ object GeoQueries {
        |FROM lineitem
        |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // ---------------------------------------------------------------- A43
+  /** A43: z-order range decomposition — turn a spatial bbox predicate
+    * into the MINIMAL set of contiguous z-key ranges at a granularity
+    * floor (the BigTable/HBase/Delta scan-planning step: a z-ordered
+    * 100 TB table prunes files by KEY RANGE, so every bbox query must
+    * first become ranges; a26/a30 build the curve, this is the query
+    * side that makes the layout pay off). Per l_returnflag the
+    * "middle-half" bbox of its a30 z-space points decomposes by
+    * quadtree walk: a node fully inside the box emits its whole z
+    * interval (one contiguous range BY the curve's construction — the
+    * point of Morton order), a partial node splits until the
+    * [[ZrLmin]] granularity floor, where it emits as a SUPERSET (scan
+    * pruning may over-read, never under-read — the exact filter runs
+    * after the scan); adjacent ranges then merge (gaps-and-islands,
+    * b29's trick). The walk carries (x0, y0) as recursion columns
+    * (b46's bounds-as-columns form) so no deinterleave runs per node.
+    *
+    * Scale shape: the CORPUS work is one map-side bbox agg; the
+    * decomposition is planning state — O(perimeter/2^Lmin) nodes per
+    * box, driver-sized by definition (a24's TileRange argues the same
+    * for its range splitting), rejoined to nothing. Oracle = the
+    * identical walk as a WITH RECURSIVE quadrant recursion.
+    */
+  val ZrLmin = 6
+
+  def a43ZrangePlan(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables(spark, dir, "lineitem").select(
+      col("l_returnflag").as("flag"),
+      ((col("l_orderkey") % lit(2097152L)) / lit(512L)).cast("long").as("qx"),
+      (((col("l_partkey") * lit(104729L)) % lit(2097152L)) / lit(512L)).cast("long").as("qy"))
+    val boxes = pts.groupBy("flag")
+      .agg(min("qx").as("x0"), max("qx").as("x1"),
+        min("qy").as("y0"), max("qy").as("y1"))
+      .collect()
+      .map { r =>
+        val (x0, x1, y0, y1) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        (r.getString(0),
+          x0 + (x1 - x0 + 1) / 4, x0 + 3 * (x1 - x0 + 1) / 4,
+          y0 + (y1 - y0 + 1) / 4, y0 + 3 * (y1 - y0 + 1) / 4)
+      }
+      .sortBy(_._1)
+    val rows = boxes.flatMap { case (flag, bx0, bx1, by0, by1) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      def walk(lvl: Int, zp: Long, x0: Long, y0: Long): Unit = {
+        val s = 1L << lvl
+        if (x0 > bx1 || x0 + s - 1 < bx0 || y0 > by1 || y0 + s - 1 < by0) return
+        val full = x0 >= bx0 && x0 + s - 1 <= bx1 && y0 >= by0 && y0 + s - 1 <= by1
+        if (full || lvl <= ZrLmin)
+          out += ((zp << (2 * lvl), ((zp + 1L) << (2 * lvl)) - 1L))
+        else (0 until 4).foreach { c =>
+          walk(lvl - 1, zp * 4 + c,
+            x0 + (c & 1).toLong * (s >> 1), y0 + ((c >> 1) & 1).toLong * (s >> 1))
+        }
+      }
+      walk(ZBits, 0L, 0L, 0L)
+      val merged = out.sortBy(_._1).foldLeft(List.empty[(Long, Long)]) {
+        case ((plo, phi) :: tail, (lo, hi)) if lo == phi + 1 => (plo, hi) :: tail
+        case (acc, r) => r :: acc
+      }.reverse
+      merged.zipWithIndex.map { case ((lo, hi), i) =>
+        (flag, (i + 1).toLong, lo, hi, hi - lo + 1)
+      }
+    }
+    import pts.sparkSession.implicits._
+    rows.toSeq.toDF("flag", "rk", "z_lo", "z_hi", "n_cells")
+      .orderBy("flag", "rk")
+  }
+
+  val a43Sql: String =
+    s"""WITH RECURSIVE pts AS (
+       |  SELECT l_returnflag AS flag,
+       |    (l_orderkey % 2097152) // 512 AS qx,
+       |    ((l_partkey * 104729) % 2097152) // 512 AS qy
+       |  FROM lineitem
+       |), boxes AS (
+       |  SELECT flag,
+       |    MIN(qx) + (MAX(qx) - MIN(qx) + 1) // 4 AS bx0,
+       |    MIN(qx) + 3 * (MAX(qx) - MIN(qx) + 1) // 4 AS bx1,
+       |    MIN(qy) + (MAX(qy) - MIN(qy) + 1) // 4 AS by0,
+       |    MIN(qy) + 3 * (MAX(qy) - MIN(qy) + 1) // 4 AS by1
+       |  FROM pts GROUP BY flag
+       |), nodes(flag, lvl, zp, x0, y0, bx0, bx1, by0, by1) AS (
+       |  SELECT flag, $ZBits, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |    CAST(0 AS BIGINT), bx0, bx1, by0, by1
+       |  FROM boxes
+       |  UNION ALL
+       |  SELECT n.flag, n.lvl - 1, n.zp * 4 + c.c,
+       |    n.x0 + (c.c % 2) * (CAST(1 AS BIGINT) << (n.lvl - 1)),
+       |    n.y0 + (c.c // 2) * (CAST(1 AS BIGINT) << (n.lvl - 1)),
+       |    n.bx0, n.bx1, n.by0, n.by1
+       |  FROM nodes n, (SELECT UNNEST([CAST(0 AS BIGINT), 1, 2, 3]) AS c) c
+       |  WHERE n.lvl > $ZrLmin
+       |    -- the parent overlaps the box but is not fully inside: split
+       |    AND NOT (n.x0 > n.bx1 OR n.x0 + (CAST(1 AS BIGINT) << n.lvl) - 1 < n.bx0
+       |          OR n.y0 > n.by1 OR n.y0 + (CAST(1 AS BIGINT) << n.lvl) - 1 < n.by0)
+       |    AND NOT (n.x0 >= n.bx0 AND n.x0 + (CAST(1 AS BIGINT) << n.lvl) - 1 <= n.bx1
+       |         AND n.y0 >= n.by0 AND n.y0 + (CAST(1 AS BIGINT) << n.lvl) - 1 <= n.by1)
+       |), emitted AS (
+       |  SELECT flag, zp << (2 * lvl) AS z_lo,
+       |    ((zp + 1) << (2 * lvl)) - 1 AS z_hi
+       |  FROM nodes
+       |  WHERE NOT (x0 > bx1 OR x0 + (CAST(1 AS BIGINT) << lvl) - 1 < bx0
+       |          OR y0 > by1 OR y0 + (CAST(1 AS BIGINT) << lvl) - 1 < by0)
+       |    AND ((x0 >= bx0 AND x0 + (CAST(1 AS BIGINT) << lvl) - 1 <= bx1
+       |      AND y0 >= by0 AND y0 + (CAST(1 AS BIGINT) << lvl) - 1 <= by1)
+       |      OR lvl = $ZrLmin)
+       |), brk AS (
+       |  SELECT flag, z_lo, z_hi,
+       |    CASE WHEN z_lo = LAG(z_hi) OVER (PARTITION BY flag ORDER BY z_lo) + 1
+       |      THEN 0 ELSE 1 END AS b
+       |  FROM emitted
+       |), grp AS (
+       |  SELECT flag, z_lo, z_hi,
+       |    SUM(b) OVER (PARTITION BY flag ORDER BY z_lo
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       |  FROM brk
+       |), fin AS (
+       |  SELECT flag, CAST(MIN(z_lo) AS BIGINT) AS z_lo,
+       |    CAST(MAX(z_hi) AS BIGINT) AS z_hi
+       |  FROM grp GROUP BY flag, g
+       |)
+       |SELECT flag,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY flag ORDER BY z_lo) AS BIGINT) AS rk,
+       |  z_lo, z_hi, z_hi - z_lo + 1 AS n_cells
+       |FROM fin ORDER BY flag, rk""".stripMargin
+
   // ---------------------------------------------------------------- A31
   /** A31: incremental cluster-id continuation — the reference's per-batch
     * mode (run_inference.py:21-41 clusters only unclustered tiles,
@@ -1776,6 +1902,7 @@ object GeoQueries {
   /** All A-block entries for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a42_score_smooth" -> (a42ScoreSmooth _),
+    "a43_zrange_plan" -> (a43ZrangePlan _),
     "a41_shape_stats" -> (a41ShapeStats _),
     "a40_degree_histogram" -> (a40DegreeHistogram _),
     "a39_conflation_queue" -> (a39ConflationQueue _),
@@ -1824,6 +1951,7 @@ object GeoQueries {
 
   val oracles: Map[String, String] = Map(
     "a42_score_smooth" -> a42Sql,
+    "a43_zrange_plan" -> a43Sql,
     "a41_shape_stats" -> a41Sql,
     "a40_degree_histogram" -> a40Sql,
     "a39_conflation_queue" -> a39Sql,

@@ -439,4 +439,56 @@ class GeoQueriesSpec extends SparkTestBase {
     // compression is real on solid polygons: fewer runs than tiles
     assert(runs.count() < grid.count())
   }
+
+  test("a43 z-range plan: coverage, tightness to the Lmin grid, merged and disjoint") {
+    val out = GeoQueries.a43ZrangePlan(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val pts = graft.Tables(spark, sf, "lineitem")
+      .select("l_returnflag", "l_orderkey", "l_partkey").collect()
+      .map { r =>
+        val qx = (r.getLong(1) % 2097152L) / 512L
+        val qy = ((r.getLong(2) * 104729L) % 2097152L) / 512L
+        (r.getString(0), qx, qy)
+      }
+    def z(x: Long, y: Long): Long =
+      (0 until GeoQueries.ZBits).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val lminMask = (1L << GeoQueries.ZrLmin) - 1L
+    pts.groupBy(_._1).foreach { case (flag, g) =>
+      val ranges = out.filter(_._1 == flag).sortBy(_._2)
+      assert(ranges.nonEmpty, s"no ranges for $flag")
+      val (x0, x1) = (g.map(_._2).min, g.map(_._2).max)
+      val (y0, y1) = (g.map(_._3).min, g.map(_._3).max)
+      val (bx0, bx1) = (x0 + (x1 - x0 + 1) / 4, x0 + 3 * (x1 - x0 + 1) / 4)
+      val (by0, by1) = (y0 + (y1 - y0 + 1) / 4, y0 + 3 * (y1 - y0 + 1) / 4)
+      // 1. COVERAGE: every point inside the box falls in some range
+      g.filter(p => p._2 >= bx0 && p._2 <= bx1 && p._3 >= by0 && p._3 <= by1)
+        .foreach { p =>
+          val zz = z(p._2, p._3)
+          assert(ranges.exists(r => zz >= r._3 && zz <= r._4),
+            s"$flag point $p z=$zz uncovered")
+        }
+      // 2. TIGHTNESS: ranges never reach beyond the box snapped OUT to
+      // the 2^Lmin grid (the documented superset bound)
+      val (sx0, sx1) = (bx0 & ~lminMask, bx1 | lminMask)
+      val (sy0, sy1) = (by0 & ~lminMask, by1 | lminMask)
+      ranges.foreach { r =>
+        Seq(r._3, r._4).foreach { zz =>
+          val x = (0 until GeoQueries.ZBits).map(i => ((zz >> (2 * i)) & 1L) << i).sum
+          val y = (0 until GeoQueries.ZBits).map(i => ((zz >> (2 * i + 1)) & 1L) << i).sum
+          assert(x >= sx0 && x <= sx1 && y >= sy0 && y <= sy1,
+            s"$flag range endpoint ($x,$y) outside the snapped box")
+        }
+      }
+      // 3. MERGED & DISJOINT: strictly increasing, never adjacent
+      ranges.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + 1 < b._3, s"$flag unmerged $a $b")
+        case _ =>
+      }
+      // 4. n_cells bookkeeping
+      ranges.foreach(r => assert(r._5 == r._4 - r._3 + 1))
+    }
+    // the decomposition is non-trivial somewhere: >1 range for some box
+    assert(out.groupBy(_._1).values.exists(_.size > 1))
+  }
 }
