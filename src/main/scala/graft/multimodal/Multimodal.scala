@@ -333,7 +333,109 @@ object Multimodal {
        |ORDER BY v.doc_id, v.frame_idx""".stripMargin
   }
 
+  // --------------------------------------------------------------- C126
+  /** C126: perceptual-hash near-duplicates over the binary payloads —
+    * the IMAGE-side dedup rung next to the text family (C6 MinHash, C8
+    * SimHash): an aHash-style [[PhashBits]]-bit fingerprint (bit i = is
+    * block i's byte mean above the whole payload's mean — the classic
+    * average-hash, block = byte position mod [[PhashBits]] so every
+    * stride of the "image" contributes), then banded LSH over
+    * [[PhashBands]] 12-bit bands to find candidates and an exact
+    * Hamming filter (bit_count(xor) ≤ [[PhashHamT]]) — byte-identical
+    * recrops/re-encodes of the same asset collide, unrelated payloads
+    * don't. The block-mean comparison cross-multiplies
+    * (sum_i·n_total > total·n_i) so no division ever happens — bits are
+    * exact in both engines; empty blocks (payload shorter than a
+    * stride) compare 0 > 0 = false deterministically.
+    *
+    * Scale shape: one byte-explode + (doc, block) partial agg
+    * (map-side combined, [[PhashBits]] keys per doc), one doc-keyed
+    * total agg, the hash fold; candidate generation is the C6/C11
+    * banding pattern — an equi-join on (band, value), never all-pairs;
+    * the Hamming check runs only on collisions. Per-doc output row
+    * (phash, candidate count, near count) keeps the result bounded.
+    */
+  val PhashBits = 48
+  val PhashBands = 4
+  val PhashHamT = 6L
+
+  def c126Phash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val ex = docs.select(col("doc_id"),
+        posexplode(expr("transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))"))
+          .as(Seq("pos", "b")))
+    val blocks = ex.groupBy(col("doc_id"), expr(s"pos % $PhashBits").as("blk"))
+      .agg(sum("b").as("s"), count(lit(1)).as("n"))
+    val tot = blocks.groupBy("doc_id")
+      .agg(sum("s").as("total"), sum("n").as("n_total"))
+    val phash = blocks.join(tot, "doc_id")
+      .withColumn("bit", (col("s") * col("n_total") > col("total") * col("n")).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(expr("IF(bit = 1, shiftleft(CAST(1 AS BIGINT), CAST(blk AS INT)), CAST(0 AS BIGINT))"))
+        .as("phash"))
+    val bands = phash.select(col("doc_id"), col("phash"),
+        explode(expr(s"transform(sequence(0, ${PhashBands - 1}), k -> " +
+          s"struct(k AS k, shiftright(phash, CAST(12 * k AS INT)) & 4095 AS bv))")).as("band"))
+      .select(col("doc_id"), col("phash"), col("band.k"), col("band.bv"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("other"),
+        col("a.phash").as("pa"), col("b.phash").as("pb"))
+      .distinct()
+    val counts = cand
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_cand"),
+        sum((expr("bit_count(pa ^ pb)") <= PhashHamT).cast("long")).as("n_near"))
+    phash.join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("phash"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy("doc_id")
+  }
+
+  val c126Sql: String =
+    s"""WITH ex AS (
+       |  SELECT doc_id, t.i AS pos,
+       |    ascii(substring(text, CAST(t.i AS INTEGER), 1)) AS b
+       |  FROM documents,
+       |    LATERAL (SELECT UNNEST(range(1, len(text) + 1)) AS i) t
+       |), blocks AS (
+       |  -- Spark's posexplode is 0-based; i here is 1-based
+       |  SELECT doc_id, (pos - 1) % $PhashBits AS blk,
+       |    CAST(SUM(b) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM ex GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT doc_id, CAST(SUM(s) AS BIGINT) AS total,
+       |    CAST(SUM(n) AS BIGINT) AS n_total
+       |  FROM blocks GROUP BY 1
+       |), ph AS (
+       |  SELECT b.doc_id,
+       |    CAST(SUM(CASE WHEN b.s * t.n_total > t.total * b.n
+       |      THEN CAST(1 AS BIGINT) << CAST(b.blk AS INTEGER) ELSE 0 END) AS BIGINT)
+       |      AS phash
+       |  FROM blocks b JOIN tot t USING (doc_id) GROUP BY 1
+       |), bands AS (
+       |  SELECT doc_id, phash, k.k AS k, (phash >> (12 * k.k)) & 4095 AS bv
+       |  FROM ph, (SELECT UNNEST(range(0, $PhashBands)) AS k) k
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id, b.doc_id AS other, a.phash AS pa, b.phash AS pb
+       |  FROM bands a JOIN bands b
+       |    ON b.k = a.k AND b.bv = a.bv AND b.doc_id <> a.doc_id
+       |), counts AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cand,
+       |    CAST(SUM(CASE WHEN bit_count(xor(pa, pb)) <= $PhashHamT
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_near
+       |  FROM cand GROUP BY 1
+       |)
+       |SELECT p.doc_id, p.phash,
+       |  COALESCE(c.n_cand, 0) AS n_cand,
+       |  COALESCE(c.n_near, 0) AS n_near
+       |FROM ph p LEFT JOIN counts c USING (doc_id)
+       |ORDER BY p.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c126_phash" -> (c126Phash _),
     "c106_av_align" -> (c106AvAlign _),
     "c12_multimodal_meta" -> (c12MultimodalMeta _),
     "c13_frame_sample" -> (c13FrameSample _),
@@ -342,6 +444,7 @@ object Multimodal {
     "c65_audio_frames" -> (c65AudioFrames _))
 
   val oracles: Map[String, String] = Map(
+    "c126_phash" -> c126Sql,
     "c106_av_align" -> c106Sql,
     "c12_multimodal_meta" -> c12Sql,
     "c13_frame_sample" -> c13Sql,

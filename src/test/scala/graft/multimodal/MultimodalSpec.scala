@@ -81,4 +81,46 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.exists(_.getAs[Long]("a_idx") == -1L))
     assert(out.exists(_.getAs[Long]("a_idx") >= 0L))
   }
+
+  test("c126 phash: exact aHash recompute, banding finds every near pair it should") {
+    val out = Multimodal.c126Phash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def phash(text: String): Long = {
+      val bs = text.map(_.toInt.toLong)
+      val nTotal = bs.length.toLong
+      val total = bs.sum
+      val byBlk = bs.zipWithIndex.groupBy(_._2 % Multimodal.PhashBits)
+      (0 until Multimodal.PhashBits).map { blk =>
+        byBlk.get(blk) match {
+          case Some(g) =>
+            val s = g.map(_._1).sum
+            if (s * nTotal > total * g.length) 1L << blk else 0L
+          case None => 0L
+        }
+      }.sum
+    }
+    val hashes = docs.map { case (id, t) => (id, phash(t)) }
+    assert(out.map(r => (r._1, r._2)).toSeq == hashes.sortBy(_._1).toSeq)
+    // brute-force banding + hamming counts
+    def bands(h: Long): Set[(Int, Long)] =
+      (0 until Multimodal.PhashBands).map(k => (k, (h >> (12 * k)) & 4095L)).toSet
+    val expect = hashes.map { case (id, h) =>
+      val cands = hashes.filter(o => o._1 != id && bands(o._2).intersect(bands(h)).nonEmpty)
+      val near = cands.count(o => java.lang.Long.bitCount(o._2 ^ h) <= Multimodal.PhashHamT)
+      (id, h, cands.length.toLong, near.toLong)
+    }.sortBy(_._1)
+    assert(out.toSeq == expect.toSeq)
+    // banding is an over-approximation that still has discrimination:
+    // some docs collide on a band, and not everything near-matches
+    assert(out.exists(_._3 > 0L))
+    assert(out.exists(r => r._3 > r._4), "every candidate near-matched — threshold vacuous")
+    // a hash-identical pair (byte-identical re-encode stand-in) is near
+    // by construction wherever duplicate texts exist
+    val dupHashes = hashes.groupBy(_._2).filter(_._2.length > 1)
+    if (dupHashes.nonEmpty)
+      assert(out.filter(r => dupHashes.contains(r._2)).forall(_._4 > 0L))
+  }
 }
