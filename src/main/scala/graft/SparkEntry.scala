@@ -72,7 +72,8 @@ object SparkEntry {
     "b47_asof_native" -> (Queries.asofNative _),
     "b48_gap_fill_locf" -> (Queries.gapFillLocf _),
     "b49_nearest_event" -> (Queries.nearestEvent _),
-    "b50_cusum_changepoint" -> (Queries.cusumChangepoint _)
+    "b50_cusum_changepoint" -> (Queries.cusumChangepoint _),
+    "b51_ntile_listagg" -> (Queries.ntileListagg _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -133,6 +134,7 @@ object SparkEntry {
     "b47_asof_native" -> Queries.asofNativeSql,
     "b48_gap_fill_locf" -> Queries.gapFillLocfSql,
     "b49_nearest_event" -> Queries.nearestEventSql,
-    "b50_cusum_changepoint" -> Queries.cusumChangepointSql
+    "b50_cusum_changepoint" -> Queries.cusumChangepointSql,
+    "b51_ntile_listagg" -> Queries.ntileListaggSql
   )
 }

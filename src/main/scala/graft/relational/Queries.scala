@@ -2213,6 +2213,59 @@ object Queries {
       |FROM spine s LEFT JOIN rev r ON r.m = s.m
       |ORDER BY s.m""".stripMargin
 
+  // ------------------------------------------------------------- B51
+  /** B51: NTILE banding + ordered LISTAGG — the two remaining everyday
+    * warehouse idioms the B block hadn't covered: customers split into
+    * balance quartiles WITHIN region (`ntile(4)`, total order on
+    * (balance desc, custkey) so the remainder distribution — first
+    * tiles get the extras — is identical cross-engine), then per
+    * (region, quartile) the count, the balance extremes, and the
+    * ORDERED comma list of nations present (the LISTAGG / string_agg
+    * report column; built as array_join(array_sort(collect_set)) so
+    * the aggregation order never matters). Scale shape: the ntile
+    * window partitions by region over the customer dimension (a
+    * per-region sort of dimension-sized data — the idiom's honest
+    * cost; a fact-sized banding would pre-aggregate first); the nation
+    * list is value-domain bounded (≤25 names). Dimension joins
+    * broadcast.
+    */
+  def ntileListagg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"), col("c_custkey"),
+        cents(col("c_acctbal")).as("bal_c"))
+    val w = Window.partitionBy("r_name")
+      .orderBy(col("bal_c").desc, col("c_custkey"))
+    c.withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy("r_name", "quartile")
+      .agg(count(lit(1)).as("n_custs"),
+        min("bal_c").as("min_bal_c"), max("bal_c").as("max_bal_c"),
+        array_join(array_sort(collect_set(col("n_name"))), ",").as("nations"))
+      .orderBy("r_name", "quartile")
+  }
+
+  val ntileListaggSql: String =
+    """WITH c AS (
+      |  SELECT r.r_name, n.n_name, c.c_custkey,
+      |    CAST(ROUND(c.c_acctbal * 100.0) AS BIGINT) AS bal_c
+      |  FROM customer c
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  JOIN region r ON r.r_regionkey = n.n_regionkey
+      |), q AS (
+      |  SELECT r_name, n_name, bal_c,
+      |    CAST(NTILE(4) OVER (PARTITION BY r_name
+      |      ORDER BY bal_c DESC, c_custkey) AS BIGINT) AS quartile
+      |  FROM c
+      |)
+      |SELECT r_name, quartile,
+      |  CAST(COUNT(*) AS BIGINT) AS n_custs,
+      |  MIN(bal_c) AS min_bal_c, MAX(bal_c) AS max_bal_c,
+      |  string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations
+      |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------- B50
   /** B50: CUSUM change-point scan — the classic cumulative-sum
     * statistic (Page 1954) over the zero-filled daily event-value

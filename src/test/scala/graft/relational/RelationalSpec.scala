@@ -798,6 +798,37 @@ class RelationalSpec extends SparkTestBase {
     assert(out.head._5 != 0L)
   }
 
+  test("b51 ntile+listagg: exact quartile recompute incl. remainder rule, ordered lists") {
+    val out = Queries.ntileListagg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    val c = Tables(spark, sf, "customer")
+      .join(Tables(spark, sf, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables(spark, sf, "region"), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"), col("c_custkey"),
+        round(col("c_acctbal") * 100, 0).cast("long")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expect = c.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (region, g) =>
+      val sorted = g.sortBy(x => (-x._4, x._3))
+      val n = sorted.length
+      // SQL NTILE: first (n % 4) tiles get ceil(n/4), the rest floor
+      val base = n / 4
+      val extra = n % 4
+      val tiles = (1 to 4).flatMap(t =>
+        Seq.fill(base + (if (t <= extra) 1 else 0))(t.toLong))
+      sorted.zip(tiles).groupBy(_._2).toSeq.sortBy(_._1).map { case (q, rows) =>
+        val bals = rows.map(_._1._4)
+        (region, q, rows.length.toLong, bals.min, bals.max,
+          rows.map(_._1._2).distinct.sorted.mkString(","))
+      }
+    }
+    assert(out.toSeq == expect)
+    // quartile sizes differ by at most one within a region
+    out.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._3).max - g.map(_._3).min <= 1)
+    }
+  }
+
   test("b48 LOCF gap fill: carry/staleness exact vs sequential recompute, real gaps") {
     val out = Queries.gapFillLocf(spark, sf).collect()
       .map(r => (r.getAs[String]("priority"), r.getAs[Long]("day_idx"),
