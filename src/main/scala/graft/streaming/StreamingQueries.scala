@@ -1199,6 +1199,36 @@ object StreamingQueries {
        |CROSS JOIN nt t
        |ORDER BY x.i, x.j""".stripMargin
 
+  // ---------------------------------------------------------------- D36
+  /** D36: streaming Gini — C118's token-mass concentration maintained
+    * live: the (lang, token-count) histogram is a BOUNDED-KEY
+    * mergeable summary (counts are value-domain bounded, the C22
+    * argument — state is distinct lengths per lang, never documents),
+    * so ONE streaming agg carries it in complete mode and the whole
+    * Lorenz finalize — rank-run algebra, Gini, top-decile share — runs
+    * on the SINK through the exact [[graft.text.TextQueries
+    * .giniFromHistogram]] definition the batch query uses (one
+    * finalize, batch + stream; the d18-quantile / d35-CUSUM pattern:
+    * sort-needing statistics stream as histograms and finalize late).
+    */
+  def d36StreamGini(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.TextQueries
+    val g = StreamingOps.docsStream(spark, sfDir, staged(spark, sfDir, "documents"))
+      .select(col("lang"),
+        size(TextQueries.tokens(col("text"))).cast("long").as("cnt"))
+      .groupBy("lang", "cnt").agg(count(lit(1)).as("m"))
+    // the finalize self-joins the histogram; a memory-sink table's
+    // attributes fail Spark's self-join dedup (INTERNAL_ERROR:
+    // conflicting references), so snapshot the bounded state first
+    TextQueries.giniFromHistogram(
+      runToTable(g, "graft_d36_sink", "complete").localCheckpoint(true))
+  }
+
+  /** Batch twin: identical to C118's oracle — the histogram is the
+    * only stream-side state and it matches the batch histogram exactly.
+    */
+  val d36Sql: String = graft.text.TextQueries.c118Sql
+
   // ---------------------------------------------------------------- D34
   /** D34: streaming WordPiece apply — C119's greedy longest-match
     * segmentation over the documents STREAM with the batch-derived
@@ -1358,6 +1388,7 @@ object StreamingQueries {
        |ORDER BY e.event_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d36_stream_gini" -> (d36StreamGini _),
     "d35_stream_cusum" -> (d35StreamCusum _),
     "d34_stream_wordpiece" -> (d34StreamWordpiece _),
     "d33_stream_timeout_alert" -> (d33StreamTimeoutAlert _),
@@ -1395,6 +1426,7 @@ object StreamingQueries {
     "d18_stream_quantile" -> (d18StreamQuantile _))
 
   val oracles: Map[String, String] = Map(
+    "d36_stream_gini" -> d36Sql,
     "d35_stream_cusum" -> d35Sql,
     "d34_stream_wordpiece" -> d34Sql,
     "d33_stream_timeout_alert" -> d33Sql,

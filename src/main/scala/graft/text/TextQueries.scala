@@ -2238,11 +2238,17 @@ object TextQueries {
     * runs on the bounded histogram partitioned by lang; two lang-keyed
     * K-row aggs finish.
     */
-  def c118Gini(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val g = Tables(spark, dir, "documents")
+  def c118Gini(spark: SparkSession, dir: String): DataFrame =
+    giniFromHistogram(Tables(spark, dir, "documents")
       .select(col("lang"), size(tokens(col("text"))).cast("long").as("cnt"))
-      .groupBy("lang", "cnt").agg(count(lit(1)).as("m"))
+      .groupBy("lang", "cnt").agg(count(lit(1)).as("m")))
+
+  /** The Lorenz finalize on ANY (lang, cnt, m) histogram — the batch
+    * C118 and the streaming D36 share it (the histogram is the
+    * mergeable summary; everything below runs on its bounded rows).
+    */
+  def giniFromHistogram(g: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("lang").orderBy("cnt")
       .rowsBetween(Window.unboundedPreceding, -1)
     val c = g.withColumn("cum", coalesce(sum("m").over(w), lit(0L)))

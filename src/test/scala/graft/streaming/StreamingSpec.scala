@@ -666,6 +666,18 @@ class StreamingSpec extends SparkTestBase {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("D36 streaming gini == batch C118 row for row (histogram is the mergeable state)") {
+    val got = StreamingQueries.d36StreamGini(spark, sf).collect().map(_.toSeq)
+    val want = graft.text.TextQueries.c118Gini(spark, sf).collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+    // the state the stream carries is genuinely bounded: distinct
+    // (lang, length) pairs, far fewer than documents
+    val nState = graft.Tables(spark, sf, "documents")
+      .select(col("lang"), size(graft.text.TextQueries.tokens(col("text"))))
+      .distinct().count()
+    assert(nState < graft.Tables(spark, sf, "documents").count())
+  }
+
   test("D33 timeout alerts: timer-path emission == batch NOT EXISTS, exactly once") {
     val got = StreamingQueries.d33StreamTimeoutAlert(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
