@@ -155,6 +155,11 @@ case class HllRegisters(child: Expression, pExpr: Expression,
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
+      // Contract: h in [0, 2^61) (str_poly_hash output). A negative hash
+      // would index out of bounds via (h % m) — fail with a diagnosable
+      // message instead of an AIOOBE deep inside the aggregate.
+      if (h < 0L) throw new IllegalArgumentException(
+        s"hll_registers: hash out of range (got $h, expected [0, 2^61) — feed str_poly_hash output)")
       val j = (h % m).toInt
       val w = h / m
       val rho: Byte =

@@ -115,15 +115,13 @@ case class AsOfJoinExec(
           rHeadValid = false
           while (!rHeadValid && rIter.hasNext) {
             val r = rIter.next()
-            if (!r.isNullAt(0) || true) { // rows themselves are never null
-              val k = rk.eval(r)
-              val t = rt.eval(r)
-              if (k != null && t != null) {
-                rHead = r
-                rHeadKey = k.asInstanceOf[Long]
-                rHeadTime = t.asInstanceOf[Long]
-                rHeadValid = true
-              }
+            val k = rk.eval(r)
+            val t = rt.eval(r)
+            if (k != null && t != null) {
+              rHead = r
+              rHeadKey = k.asInstanceOf[Long]
+              rHeadTime = t.asInstanceOf[Long]
+              rHeadValid = true
             }
           }
           if (!rHeadValid) rHead = null
@@ -189,9 +187,15 @@ object AsOfJoin {
       leftTime: String, rightTime: String, rightTie: String): DataFrame = {
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
-    def res(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(
+    def res(p: LogicalPlan, n: String): Attribute = {
+      val a = p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column $n in ${p.output}"))
+      // The exec's merge kernel evals key/time/tie as Long — fail fast at
+      // plan-build time instead of a ClassCastException mid-execution.
+      require(a.dataType == org.apache.spark.sql.types.LongType,
+        s"asof column $n must be BIGINT, got ${a.dataType.simpleString}")
+      a
+    }
     GraftBridge.ofRows(left.sparkSession,
       AsOfJoinPlan(lp, rp, res(lp, leftKey), res(rp, rightKey),
         res(lp, leftTime), res(rp, rightTime), res(rp, rightTie)))

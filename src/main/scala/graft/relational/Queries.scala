@@ -2295,7 +2295,9 @@ object Queries {
       .select(col("day_idx"), col("n_days"), coalesce(col("x_c"), lit(0L)).as("x_c"))
       .withColumn("prefix_c", sum("x_c").over(w))
       .withColumn("rank_d", count(lit(1)).over(w))
-    val tot = filled.agg(max("prefix_c").as("total_c"))
+    // total = sum of the series itself, NOT max(prefix): with negative
+    // daily values the prefix max is not the endpoint (ADVICE r9).
+    val tot = filled.agg(sum("x_c").as("total_c"))
     val dev = filled.crossJoin(broadcast(tot))
       .withColumn("dev_scaled",
         col("n_days") * col("prefix_c") - col("rank_d") * col("total_c"))
@@ -2323,7 +2325,7 @@ object Queries {
       |    CAST(COUNT(*) OVER w AS BIGINT) AS rank_d
       |  FROM f
       |  WINDOW w AS (ORDER BY day_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |), t AS (SELECT MAX(prefix_c) AS total_c FROM c)
+      |), t AS (SELECT CAST(SUM(x_c) AS BIGINT) AS total_c FROM f)
       |SELECT CAST(ROW_NUMBER() OVER (
       |    ORDER BY abs(n_days * prefix_c - rank_d * total_c) DESC, day_idx) AS INTEGER) AS rk,
       |  day_idx, x_c, prefix_c,

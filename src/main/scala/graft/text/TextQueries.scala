@@ -5271,6 +5271,13 @@ object TextQueries {
         when(col("win_src") === least(col("sa"), col("sb")), 1L).otherwise(0L).as("w1"))
       .groupBy("s1", "s2").agg(count(lit(1)).as("n"), sum("w1").as("wins1"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // The collect is bounded by the SOURCE-PAIR domain, not the corpus:
+    // sources is a value-domain dimension (≤ ~10 distinct labels), so
+    // k·(k−1)/2 rows at any corpus size. Enforce the contract loudly.
+    require(pairs.length <= 4096,
+      s"c111: ${pairs.length} source pairs — 'source' is expected to be a " +
+        "bounded value domain; a high-cardinality source column would make " +
+        "this driver fold a scale hazard")
     val dPairs = pairs.flatMap { case (s1, s2, n, w1) =>
       Seq((s1, s2, n, w1), (s2, s1, n, n - w1)) }
     val items = dPairs.map(_._1).distinct.sorted

@@ -688,13 +688,37 @@ object GeoQueries {
           format_string("[%.6f, %.6f]", lon(p("xs")), lat(p("ys")))), ", "),
         lit("]")))
       .groupBy("cluster_id")
-      .agg(array_join(
+      .agg(count(lit(1)).as("n_rings"), array_join(
         transform(array_sort(collect_list(struct(col("ring_idx"), col("ring_json")))),
           r => r("ring_json")), ", ").as("rings_json"))
-      .select(col("cluster_id"), format_string(challengeFmt,
+      .select(col("cluster_id"), col("n_rings"), format_string(challengeFmt,
         col("cluster_id"), col("rings_json")).as("geojson"))
       .orderBy("cluster_id")
   }
+
+  /** The hash-checkable face of [[clusteredChallenge]] — the SAME build
+    * (ring chaining → formatting → one FeatureCollection line per
+    * cluster), summarized into driver-comparable integers: ring count
+    * from the assembly itself plus the document's exact length and
+    * order-invariant coordinate-token fingerprint (the
+    * [[a25GeojsonFingerprint]] quantities, recomputed FROM the emitted
+    * string). The DuckDB twin rebuilds all four from first principles,
+    * so the challenge row itself is now oracle-green rather than
+    * rows-only.
+    */
+  def a25ChallengeChecked(spark: SparkSession, dir: String): DataFrame =
+    clusteredChallenge(spark, dir)
+      .select(col("cluster_id"), col("n_rings"),
+        length(col("geojson")).cast("long").as("n_chars"),
+        expr("""regexp_extract_all(geojson, '\\[-?\\d+\\.\\d{6}, -?\\d+\\.\\d{6}\\]', 0)""")
+          .as("toks"))
+      .select(col("cluster_id"), col("n_rings"), col("n_chars"),
+        size(col("toks")).cast("long").as("n_tok"),
+        expr("""aggregate(toks, 0L, (acc, t) -> acc +
+               |  aggregate(sequence(1, length(t)), 0L,
+               |            (a, i) -> a + ascii(substring(t, i, 1)) * i))"""
+          .stripMargin).as("tok_fp"))
+      .orderBy("cluster_id")
 
   /** Vertex id packing for the a25 oracles' CCs: coords are 0-based cell
     * space (≪ 2^22), so vid = x·2^22 + y is collision-free and its
@@ -756,7 +780,15 @@ object GeoQueries {
     */
   private val RingDoublings = 16
 
-  val a25GeojsonFpSql: String = {
+  val a25GeojsonFpSql: String = a25FpSql(withRings = false)
+
+  /** Oracle for [[a25ChallengeChecked]]: the fingerprint reconstruction
+    * plus the ring count the assembly reports (rstat.n_rings — one ring
+    * per closing-repeat vertex, i.e. per successor-permutation cycle).
+    */
+  val a25CheckedSql: String = a25FpSql(withRings = true)
+
+  private def a25FpSql(withRings: Boolean): String = {
     val lonS = colToLonSql(s"(sx + $TX)", center = false)
     val latS = rowToLatSql(s"(sy + $TY)", center = false)
     withCtes(true, GeoDerive.cellsCte, GeoDerive.positivesCte,
@@ -843,6 +875,7 @@ object GeoQueries {
          |    CAST(SUM(tl) AS BIGINT) AS rsum_tl, CAST(SUM(th) AS BIGINT) AS rsum_th
          |  FROM rclose GROUP BY cluster_id)""".stripMargin)(
       s"""SELECT e.cluster_id,
+         |${if (withRings) "  CAST(r.n_rings AS BIGINT) AS n_rings," else ""}
          |  CAST(length(printf('$challengeFmt', e.cluster_id, ''))
          |    + 4 * r.n_rings + e.sum_tl + r.rsum_tl + 2 * e.n_edges - 2 AS BIGINT) AS n_chars,
          |  CAST(e.n_edges + r.n_rings AS BIGINT) AS n_tok,
@@ -1915,9 +1948,10 @@ object GeoQueries {
     "a22_unclustered_threshold" -> (a22UnclusteredThreshold _),
     "a23_slice_plan" -> (a23SlicePlan _),
     "a24_tile_source" -> (a24TileSource _),
-    // rows-only (no oracle entry): ring assembly has no SQL twin — the
-    // driver records a rows>0 check; PipelineSpec proves the geometry
-    "a25_clustered_challenge" -> (clusteredChallenge _),
+    // the challenge row is checked through its integer face (ring count
+    // + document length + token fingerprint) — the raw GeoJSON string
+    // itself is written by Pipeline and proven by PipelineSpec
+    "a25_clustered_challenge" -> (a25ChallengeChecked _),
     "a25_ring_stats" -> (a25RingStats _),
     "a25_geojson_fp" -> (a25GeojsonFingerprint _),
     "a28_degenerate_polygons" -> (a28DegeneratePolygons _),
@@ -1966,6 +2000,7 @@ object GeoQueries {
     "a24_tile_source" -> a24Sql,
     "a25_ring_stats" -> a25RingStatsSql,
     "a25_geojson_fp" -> a25GeojsonFpSql,
+    "a25_clustered_challenge" -> a25CheckedSql,
     "a28_degenerate_polygons" -> a28Sql,
     "a29_upsample_slice" -> a29Sql,
     "a30_zorder" -> a30Sql,
