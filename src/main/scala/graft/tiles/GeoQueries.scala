@@ -1932,8 +1932,282 @@ object GeoQueries {
        |   OR c.s_milli * 1000 >= ${math.round(GeoDerive.Threshold * 1e6)}
        |ORDER BY s.x, s.y""".stripMargin)
 
+  // ---------------------------------------------------------------- A44
+  /** A44: polygon simplification — the reference's per-city
+    * `simplify_polygon` (process_city_shapes.py:93-104: shapely
+    * `convex_hull.simplify(tol).buffer(d)`), the one capability every
+    * reference run executes per polygon. Re-expressed over the A28
+    * lineitem-derived polygon corpus in exact integer cell units:
+    *
+    *  1. CONVEX HULL — each shape has ≤ 7 distinct vertices, so instead
+    *     of the sequential monotone-chain walk the hull membership test
+    *     is the equivalent pairwise characterization: vertex p is on the
+    *     strict lower (upper) chain iff NO lex-straddling pair (a, b)
+    *     has cross(a, b, p) ≥ 0 (≤ 0). That is one bounded within-shape
+    *     triple join (≤ 343 rows per shape, equi on shape_id — no skew
+    *     surface at any corpus size) + a partial agg, fully relational
+    *     on both engines.
+    *  2. DOUGLAS-PEUCKER per chain (anchors = lex-min/max, always kept):
+    *     comparisons stay exact by squaring — keep the argmax-|cross|
+    *     interior point of a span iff cross² > tol²·|b−a|². The stack is
+    *     unrolled to [[DpLevels]] = 5 join levels, the exact value-domain
+    *     bound (≤ 5 interior points per chain; every recursion path
+    *     consumes one per level). Each level's picks are
+    *     localCheckpoint-pinned so the three downstream consumers (keep
+    *     set + both child spans) don't recompute the level join.
+    *  3. BUFFER — Minkowski dilation by the square of half-width
+    *     [[BufD]] (the reference's round buffer, rectilinear like A9's
+    *     dilation): for a convex ring the dilated DOUBLED area is exactly
+    *     area2 + 2·d·Σ(|dx|+|dy|) + 8·d², kept integral.
+    *
+    * Tolerance [[DpTol]] = 6 cells with [[BufD]] = 24 preserves the
+    * reference's 1:4 simplify:buffer ratio (0.001° : 0.004°) at a scale
+    * that exercises both DP branches on the 97-cell domain. Output per
+    * non-degenerate shape (hull ≥ 3 vertices): hull size/area, kept
+    * size/area, L1 perimeter, and the buffered area — all BIGINT.
+    */
+  val DpTol = 6L
+  val BufD = 24L
+  private val DpLevels = 5
+
+  /** Distinct vertices of the A28 polygon corpus (shared derivation). */
+  private def a44Verts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("shape_id"),
+        (col("l_partkey") % 97L).as("vx"),
+        when(col("l_orderkey") % 7L === 0L, col("l_partkey") % 97L)
+          .otherwise((col("l_partkey") * 31L) % 89L).as("vy"))
+      .distinct()
+
+  /** Ring stats over chain-positioned vertices: sequence the convex ring
+    * as lower chain lex-ascending then upper-chain interior descending,
+    * close it with the wrap-around lead (A28's pattern), and reduce to
+    * (count, |shoelace|, L1 perimeter). Orientation cancels under abs().
+    */
+  private def a44RingStats(v: DataFrame): DataFrame = {
+    val ringv = v.filter(col("chain") === "L")
+      .select(col("shape_id"), lit(0L).as("grp"), col("pos").as("ord"),
+        col("vx"), col("vy"))
+      .unionByName(v.filter(col("chain") === "U" &&
+          col("pos") > 0 && col("pos") < col("m") - 1)
+        .select(col("shape_id"), lit(1L).as("grp"), (-col("pos")).as("ord"),
+          col("vx"), col("vy")))
+    val wr = Window.partitionBy("shape_id").orderBy("grp", "ord")
+    ringv
+      .withColumn("nx", coalesce(lead("vx", 1).over(wr), first("vx").over(wr)))
+      .withColumn("ny", coalesce(lead("vy", 1).over(wr), first("vy").over(wr)))
+      .groupBy("shape_id")
+      .agg(count(lit(1)).as("n"),
+        abs(sum(col("vx") * col("ny") - col("nx") * col("vy"))).as("area2"),
+        sum(abs(col("nx") - col("vx")) + abs(col("ny") - col("vy"))).as("l1"))
+  }
+
+  def a44SimplifyPolygon(spark: SparkSession, dir: String): DataFrame = {
+    val verts = a44Verts(spark, dir)
+    val va = verts.select(col("shape_id"), col("vx").as("ax"), col("vy").as("ay"))
+    val vb = verts.select(col("shape_id"), col("vx").as("bx"), col("vy").as("by"))
+    val tri = verts.join(va, Seq("shape_id")).join(vb, Seq("shape_id"))
+      .filter((col("ax") < col("vx") ||
+          (col("ax") === col("vx") && col("ay") < col("vy"))) &&
+        (col("vx") < col("bx") ||
+          (col("vx") === col("bx") && col("vy") < col("by"))))
+      .select(col("shape_id"), col("vx"), col("vy"),
+        ((col("bx") - col("ax")) * (col("vy") - col("ay")) -
+          (col("by") - col("ay")) * (col("vx") - col("ax"))).as("cr"))
+    val flags = tri.groupBy("shape_id", "vx", "vy")
+      .agg(max(when(col("cr") >= 0, 1).otherwise(0)).as("nl"),
+        max(when(col("cr") <= 0, 1).otherwise(0)).as("nu"))
+    // endpoints have no straddling pair → vacuously on both chains
+    val cm = verts.join(flags, Seq("shape_id", "vx", "vy"), "left")
+    val chain = cm.filter(coalesce(col("nl"), lit(0)) === 0)
+      .select(col("shape_id"), lit("L").as("chain"), col("vx"), col("vy"))
+      .unionByName(cm.filter(coalesce(col("nu"), lit(0)) === 0)
+        .select(col("shape_id"), lit("U").as("chain"), col("vx"), col("vy")))
+    val wc = Window.partitionBy("shape_id", "chain").orderBy("vx", "vy")
+    // pinned: every unrolled DP level and both ring passes re-read it
+    val cpos = chain
+      .withColumn("pos", (row_number().over(wc) - 1).cast("long"))
+      .withColumn("m", count(lit(1))
+        .over(Window.partitionBy("shape_id", "chain")))
+      .localCheckpoint()
+
+    val endA = cpos.select(col("shape_id"), col("chain"), col("pos").as("lo"),
+      col("vx").as("ax"), col("vy").as("ay"))
+    val endB = cpos.select(col("shape_id"), col("chain"), col("pos").as("hi"),
+      col("vx").as("bx"), col("vy").as("by"))
+    var spans = cpos.filter(col("pos") === 0 && col("m") >= 3)
+      .select(col("shape_id"), col("chain"), lit(0L).as("lo"),
+        (col("m") - 1).as("hi"))
+    var kept = cpos.filter(col("pos") === 0 || col("pos") === col("m") - 1)
+      .select("shape_id", "chain", "pos")
+    for (_ <- 1 to DpLevels) {
+      val cand = spans
+        .join(endA, Seq("shape_id", "chain", "lo"))
+        .join(endB, Seq("shape_id", "chain", "hi"))
+        .join(cpos.select("shape_id", "chain", "pos", "vx", "vy"),
+          Seq("shape_id", "chain"))
+        .filter(col("pos") > col("lo") && col("pos") < col("hi"))
+        .select(col("shape_id"), col("chain"), col("lo"), col("hi"), col("pos"),
+          abs((col("bx") - col("ax")) * (col("vy") - col("ay")) -
+            (col("by") - col("ay")) * (col("vx") - col("ax"))).as("cr"),
+          ((col("bx") - col("ax")) * (col("bx") - col("ax")) +
+            (col("by") - col("ay")) * (col("by") - col("ay"))).as("len2"))
+      val pick = cand
+        .withColumn("rk", row_number().over(Window
+          .partitionBy("shape_id", "chain", "lo", "hi")
+          .orderBy(col("cr").desc, col("pos"))))
+        .filter(col("rk") === 1 &&
+          col("cr") * col("cr") > lit(DpTol * DpTol) * col("len2"))
+        .select("shape_id", "chain", "lo", "hi", "pos")
+        .localCheckpoint()
+      kept = kept.unionByName(pick.select("shape_id", "chain", "pos"))
+      spans = pick.filter(col("pos") - col("lo") >= 2)
+        .select(col("shape_id"), col("chain"), col("lo"), col("pos").as("hi"))
+        .unionByName(pick.filter(col("hi") - col("pos") >= 2)
+          .select(col("shape_id"), col("chain"), col("pos").as("lo"), col("hi")))
+    }
+    // picks are unique by construction (spans at each level are disjoint
+    // open intervals nested strictly inside their parents), so no dedup
+    val keptv = kept.join(cpos, Seq("shape_id", "chain", "pos"))
+    val hull = a44RingStats(cpos)
+      .select(col("shape_id"), col("n").as("n_hull"), col("area2").as("hull_area2"))
+    val simp = a44RingStats(keptv)
+      .select(col("shape_id"), col("n").as("n_kept"),
+        col("area2").as("simp_area2"), col("l1").as("l1_perim"))
+    hull.join(simp, Seq("shape_id"))
+      .filter(col("n_hull") >= 3)
+      .withColumn("buf_area2", col("simp_area2") +
+        lit(2L * BufD) * col("l1_perim") + lit(8L * BufD * BufD))
+      .select("shape_id", "n_hull", "hull_area2", "n_kept",
+        "simp_area2", "l1_perim", "buf_area2")
+      .orderBy("shape_id")
+  }
+
+  val a44Sql: String = {
+    val tol2 = DpTol * DpTol
+    val levels = (1 to DpLevels).map { k =>
+      s"""cand$k AS (
+         |  SELECT s.shape_id, s.chain, s.lo, s.hi, c.pos,
+         |    abs((bb.vx - aa.vx) * (c.vy - aa.vy)
+         |      - (bb.vy - aa.vy) * (c.vx - aa.vx)) AS cr,
+         |    (bb.vx - aa.vx) * (bb.vx - aa.vx)
+         |      + (bb.vy - aa.vy) * (bb.vy - aa.vy) AS len2
+         |  FROM span${k - 1} s
+         |  JOIN cpos aa ON aa.shape_id = s.shape_id AND aa.chain = s.chain AND aa.pos = s.lo
+         |  JOIN cpos bb ON bb.shape_id = s.shape_id AND bb.chain = s.chain AND bb.pos = s.hi
+         |  JOIN cpos c ON c.shape_id = s.shape_id AND c.chain = s.chain
+         |    AND c.pos > s.lo AND c.pos < s.hi),
+         |pick$k AS MATERIALIZED (
+         |  SELECT shape_id, chain, lo, hi, pos FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY shape_id, chain, lo, hi
+         |      ORDER BY cr DESC, pos) AS rk FROM cand$k)
+         |  WHERE rk = 1 AND cr * cr > $tol2 * len2),
+         |span$k AS (
+         |  SELECT shape_id, chain, lo, pos AS hi FROM pick$k WHERE pos - lo >= 2
+         |  UNION ALL
+         |  SELECT shape_id, chain, pos AS lo, hi FROM pick$k WHERE hi - pos >= 2)"""
+        .stripMargin
+    }
+    def ringSql(src: String, name: String): String =
+      s"""ringv_$name AS (
+         |  SELECT shape_id, 0 AS grp, pos AS ord, vx, vy FROM $src WHERE chain = 'L'
+         |  UNION ALL
+         |  SELECT shape_id, 1, -pos, vx, vy FROM $src
+         |  WHERE chain = 'U' AND pos > 0 AND pos < m - 1),
+         |closed_$name AS (
+         |  SELECT shape_id, vx, vy,
+         |    COALESCE(LEAD(vx) OVER w, FIRST_VALUE(vx) OVER w) AS nx,
+         |    COALESCE(LEAD(vy) OVER w, FIRST_VALUE(vy) OVER w) AS ny
+         |  FROM ringv_$name
+         |  WINDOW w AS (PARTITION BY shape_id ORDER BY grp, ord
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+         |stat_$name AS (
+         |  SELECT shape_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(abs(SUM(vx * ny - nx * vy)) AS BIGINT) AS area2,
+         |    CAST(SUM(abs(nx - vx) + abs(ny - vy)) AS BIGINT) AS l1
+         |  FROM closed_$name GROUP BY shape_id)""".stripMargin
+    withCtes(false,
+      s"""averts AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS shape_id, l_partkey % 97 AS vx,
+         |    CASE WHEN l_orderkey % 7 = 0 THEN l_partkey % 97
+         |         ELSE (l_partkey * 31) % 89 END AS vy
+         |  FROM lineitem)""".stripMargin,
+      """tri AS (
+        |  SELECT p.shape_id, p.vx, p.vy,
+        |    (b.vx - a.vx) * (p.vy - a.vy) - (b.vy - a.vy) * (p.vx - a.vx) AS cr
+        |  FROM averts p
+        |  JOIN averts a ON a.shape_id = p.shape_id
+        |    AND (a.vx < p.vx OR (a.vx = p.vx AND a.vy < p.vy))
+        |  JOIN averts b ON b.shape_id = p.shape_id
+        |    AND (p.vx < b.vx OR (p.vx = b.vx AND p.vy < b.vy)))""".stripMargin,
+      """flags AS (
+        |  SELECT shape_id, vx, vy,
+        |    MAX(CASE WHEN cr >= 0 THEN 1 ELSE 0 END) AS nl,
+        |    MAX(CASE WHEN cr <= 0 THEN 1 ELSE 0 END) AS nu
+        |  FROM tri GROUP BY shape_id, vx, vy)""".stripMargin,
+      """chain AS (
+        |  SELECT v.shape_id, 'L' AS chain, v.vx, v.vy
+        |  FROM averts v LEFT JOIN flags f USING (shape_id, vx, vy)
+        |  WHERE COALESCE(f.nl, 0) = 0
+        |  UNION ALL
+        |  SELECT v.shape_id, 'U', v.vx, v.vy
+        |  FROM averts v LEFT JOIN flags f USING (shape_id, vx, vy)
+        |  WHERE COALESCE(f.nu, 0) = 0)""".stripMargin,
+      """cpos AS MATERIALIZED (
+        |  SELECT shape_id, chain, vx, vy,
+        |    ROW_NUMBER() OVER (PARTITION BY shape_id, chain ORDER BY vx, vy) - 1 AS pos,
+        |    COUNT(*) OVER (PARTITION BY shape_id, chain) AS m
+        |  FROM chain)""".stripMargin,
+      """span0 AS (
+        |  SELECT shape_id, chain, 0 AS lo, m - 1 AS hi
+        |  FROM cpos WHERE pos = 0 AND m >= 3)""".stripMargin,
+      (levels :+
+        s"""kept AS (
+           |  SELECT shape_id, chain, pos FROM cpos WHERE pos = 0 OR pos = m - 1
+           |${(1 to DpLevels).map(k => s"  UNION ALL SELECT shape_id, chain, pos FROM pick$k").mkString("\n")}),
+           |keptv AS (
+           |  SELECT k.shape_id, k.chain, k.pos, c.vx, c.vy, c.m
+           |  FROM kept k JOIN cpos c USING (shape_id, chain, pos))""".stripMargin)
+        .mkString(",\n"),
+      ringSql("cpos", "h"),
+      ringSql("keptv", "s"))(
+      s"""SELECT h.shape_id, h.n AS n_hull, h.area2 AS hull_area2,
+         |  s.n AS n_kept, s.area2 AS simp_area2, s.l1 AS l1_perim,
+         |  CAST(s.area2 + ${2L * BufD} * s.l1 + ${8L * BufD * BufD} AS BIGINT) AS buf_area2
+         |FROM stat_h h JOIN stat_s s USING (shape_id)
+         |WHERE h.n >= 3
+         |ORDER BY shape_id""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- A45
+  /** A45: combined polygon coverage (combine_all_polygons,
+    * process_city_shapes.py:80-90): the reference unions every city
+    * polygon into one GeometryCollection before its inner-grid pass. At
+    * tile granularity the union is ONE partial-aggregated groupBy over
+    * the per-polygon grid fills, and it keeps what the reference's
+    * geometric union silently merges: per-tile provenance — which
+    * polygons claim each tile and how many. Map-side combinable on
+    * (x, y); the claimant list is bounded by the polygon dim (≤ 5), so
+    * no per-key state growth at any grid size.
+    */
+  def a45PolygonUnion(spark: SparkSession, dir: String): DataFrame =
+    GridOps.fillPolygons(spark)
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("n_claims"),
+        array_join(transform(array_sort(collect_list(col("poly"))),
+          p => p.cast("string")), ",").as("claimants"))
+      .orderBy("x", "y")
+
+  val a45Sql: String = withCtes(false, Polygons.bboxCte, Polygons.edgesCte,
+    Polygons.gridCte)(
+    """SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_claims,
+      |  string_agg(CAST(poly AS VARCHAR), ',' ORDER BY poly) AS claimants
+      |FROM grid GROUP BY x, y ORDER BY x, y""".stripMargin)
+
   /** All A-block entries for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a44_simplify_polygon" -> (a44SimplifyPolygon _),
+    "a45_polygon_union" -> (a45PolygonUnion _),
     "a42_score_smooth" -> (a42ScoreSmooth _),
     "a43_zrange_plan" -> (a43ZrangePlan _),
     "a41_shape_stats" -> (a41ShapeStats _),
@@ -1984,6 +2258,8 @@ object GeoQueries {
     "a19_inference_scored" -> (a19InferenceScored _))
 
   val oracles: Map[String, String] = Map(
+    "a44_simplify_polygon" -> a44Sql,
+    "a45_polygon_union" -> a45Sql,
     "a42_score_smooth" -> a42Sql,
     "a43_zrange_plan" -> a43Sql,
     "a41_shape_stats" -> a41Sql,
