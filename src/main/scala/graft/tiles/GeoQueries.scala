@@ -1937,28 +1937,18 @@ object GeoQueries {
     * `simplify_polygon` (process_city_shapes.py:93-104: shapely
     * `convex_hull.simplify(tol).buffer(d)`), the one capability every
     * reference run executes per polygon. Re-expressed over the A28
-    * lineitem-derived polygon corpus in exact integer cell units:
-    *
-    *  1. CONVEX HULL — each shape has ≤ 7 distinct vertices, so instead
-    *     of the sequential monotone-chain walk the hull membership test
-    *     is the equivalent pairwise characterization: vertex p is on the
-    *     strict lower (upper) chain iff NO lex-straddling pair (a, b)
-    *     has cross(a, b, p) ≥ 0 (≤ 0). That is one bounded within-shape
-    *     triple join (≤ 343 rows per shape, equi on shape_id — no skew
-    *     surface at any corpus size) + a partial agg, fully relational
-    *     on both engines.
-    *  2. DOUGLAS-PEUCKER per chain (anchors = lex-min/max, always kept):
-    *     comparisons stay exact by squaring — keep the argmax-|cross|
-    *     interior point of a span iff cross² > tol²·|b−a|². The stack is
-    *     unrolled to [[DpLevels]] = 5 join levels, the exact value-domain
-    *     bound (≤ 5 interior points per chain; every recursion path
-    *     consumes one per level). Each level's picks are
-    *     localCheckpoint-pinned so the three downstream consumers (keep
-    *     set + both child spans) don't recompute the level join.
-    *  3. BUFFER — Minkowski dilation by the square of half-width
-    *     [[BufD]] (the reference's round buffer, rectilinear like A9's
-    *     dilation): for a convex ring the dilated DOUBLED area is exactly
-    *     area2 + 2·d·Σ(|dx|+|dy|) + 8·d², kept integral.
+    * lineitem-derived polygon corpus in exact integer cell units as ONE
+    * `groupBy(shape_id)` + the native
+    * [[graft.functions.SimplifyPolygonStats]] fold: the per-shape
+    * vertex set is value-domain bounded (≤ 7 distinct vertices), so
+    * hull + Douglas-Peucker + Minkowski buffer all happen inside one
+    * scalar expression over the collected coordinate array — one
+    * shuffle of narrow (shape_id, vx, vy) rows, zero checkpoints, no
+    * join cascade. Semantics (strict-chain pairwise hull test, exact
+    * squared DP comparison capped at [[DpLevels]] recursion levels with
+    * a loud overflow failure, rectilinear buffer algebra) are documented
+    * on the expression; the DuckDB oracle keeps the fully relational
+    * unrolled-CTE derivation, so the two engines share no code path.
     *
     * Tolerance [[DpTol]] = 6 cells with [[BufD]] = 24 preserves the
     * reference's 1:4 simplify:buffer ratio (0.001° : 0.004°) at a scale
@@ -1970,118 +1960,23 @@ object GeoQueries {
   val BufD = 24L
   private val DpLevels = 5
 
-  /** Distinct vertices of the A28 polygon corpus (shared derivation). */
-  private def a44Verts(spark: SparkSession, dir: String): DataFrame =
+  def a44SimplifyPolygon(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .select(col("l_orderkey").as("shape_id"),
         (col("l_partkey") % 97L).as("vx"),
         when(col("l_orderkey") % 7L === 0L, col("l_partkey") % 97L)
           .otherwise((col("l_partkey") * 31L) % 89L).as("vy"))
-      .distinct()
-
-  /** Ring stats over chain-positioned vertices: sequence the convex ring
-    * as lower chain lex-ascending then upper-chain interior descending,
-    * close it with the wrap-around lead (A28's pattern), and reduce to
-    * (count, |shoelace|, L1 perimeter). Orientation cancels under abs().
-    */
-  private def a44RingStats(v: DataFrame): DataFrame = {
-    val ringv = v.filter(col("chain") === "L")
-      .select(col("shape_id"), lit(0L).as("grp"), col("pos").as("ord"),
-        col("vx"), col("vy"))
-      .unionByName(v.filter(col("chain") === "U" &&
-          col("pos") > 0 && col("pos") < col("m") - 1)
-        .select(col("shape_id"), lit(1L).as("grp"), (-col("pos")).as("ord"),
-          col("vx"), col("vy")))
-    val wr = Window.partitionBy("shape_id").orderBy("grp", "ord")
-    ringv
-      .withColumn("nx", coalesce(lead("vx", 1).over(wr), first("vx").over(wr)))
-      .withColumn("ny", coalesce(lead("vy", 1).over(wr), first("vy").over(wr)))
       .groupBy("shape_id")
-      .agg(count(lit(1)).as("n"),
-        abs(sum(col("vx") * col("ny") - col("nx") * col("vy"))).as("area2"),
-        sum(abs(col("nx") - col("vx")) + abs(col("ny") - col("vy"))).as("l1"))
-  }
-
-  def a44SimplifyPolygon(spark: SparkSession, dir: String): DataFrame = {
-    val verts = a44Verts(spark, dir)
-    val va = verts.select(col("shape_id"), col("vx").as("ax"), col("vy").as("ay"))
-    val vb = verts.select(col("shape_id"), col("vx").as("bx"), col("vy").as("by"))
-    val tri = verts.join(va, Seq("shape_id")).join(vb, Seq("shape_id"))
-      .filter((col("ax") < col("vx") ||
-          (col("ax") === col("vx") && col("ay") < col("vy"))) &&
-        (col("vx") < col("bx") ||
-          (col("vx") === col("bx") && col("vy") < col("by"))))
-      .select(col("shape_id"), col("vx"), col("vy"),
-        ((col("bx") - col("ax")) * (col("vy") - col("ay")) -
-          (col("by") - col("ay")) * (col("vx") - col("ax"))).as("cr"))
-    val flags = tri.groupBy("shape_id", "vx", "vy")
-      .agg(max(when(col("cr") >= 0, 1).otherwise(0)).as("nl"),
-        max(when(col("cr") <= 0, 1).otherwise(0)).as("nu"))
-    // endpoints have no straddling pair → vacuously on both chains
-    val cm = verts.join(flags, Seq("shape_id", "vx", "vy"), "left")
-    val chain = cm.filter(coalesce(col("nl"), lit(0)) === 0)
-      .select(col("shape_id"), lit("L").as("chain"), col("vx"), col("vy"))
-      .unionByName(cm.filter(coalesce(col("nu"), lit(0)) === 0)
-        .select(col("shape_id"), lit("U").as("chain"), col("vx"), col("vy")))
-    val wc = Window.partitionBy("shape_id", "chain").orderBy("vx", "vy")
-    // pinned: every unrolled DP level and both ring passes re-read it
-    val cpos = chain
-      .withColumn("pos", (row_number().over(wc) - 1).cast("long"))
-      .withColumn("m", count(lit(1))
-        .over(Window.partitionBy("shape_id", "chain")))
-      .localCheckpoint()
-
-    val endA = cpos.select(col("shape_id"), col("chain"), col("pos").as("lo"),
-      col("vx").as("ax"), col("vy").as("ay"))
-    val endB = cpos.select(col("shape_id"), col("chain"), col("pos").as("hi"),
-      col("vx").as("bx"), col("vy").as("by"))
-    var spans = cpos.filter(col("pos") === 0 && col("m") >= 3)
-      .select(col("shape_id"), col("chain"), lit(0L).as("lo"),
-        (col("m") - 1).as("hi"))
-    var kept = cpos.filter(col("pos") === 0 || col("pos") === col("m") - 1)
-      .select("shape_id", "chain", "pos")
-    for (_ <- 1 to DpLevels) {
-      val cand = spans
-        .join(endA, Seq("shape_id", "chain", "lo"))
-        .join(endB, Seq("shape_id", "chain", "hi"))
-        .join(cpos.select("shape_id", "chain", "pos", "vx", "vy"),
-          Seq("shape_id", "chain"))
-        .filter(col("pos") > col("lo") && col("pos") < col("hi"))
-        .select(col("shape_id"), col("chain"), col("lo"), col("hi"), col("pos"),
-          abs((col("bx") - col("ax")) * (col("vy") - col("ay")) -
-            (col("by") - col("ay")) * (col("vx") - col("ax"))).as("cr"),
-          ((col("bx") - col("ax")) * (col("bx") - col("ax")) +
-            (col("by") - col("ay")) * (col("by") - col("ay"))).as("len2"))
-      val pick = cand
-        .withColumn("rk", row_number().over(Window
-          .partitionBy("shape_id", "chain", "lo", "hi")
-          .orderBy(col("cr").desc, col("pos"))))
-        .filter(col("rk") === 1 &&
-          col("cr") * col("cr") > lit(DpTol * DpTol) * col("len2"))
-        .select("shape_id", "chain", "lo", "hi", "pos")
-        .localCheckpoint()
-      kept = kept.unionByName(pick.select("shape_id", "chain", "pos"))
-      spans = pick.filter(col("pos") - col("lo") >= 2)
-        .select(col("shape_id"), col("chain"), col("lo"), col("pos").as("hi"))
-        .unionByName(pick.filter(col("hi") - col("pos") >= 2)
-          .select(col("shape_id"), col("chain"), col("pos").as("lo"), col("hi")))
-    }
-    // picks are unique by construction (spans at each level are disjoint
-    // open intervals nested strictly inside their parents), so no dedup
-    val keptv = kept.join(cpos, Seq("shape_id", "chain", "pos"))
-    val hull = a44RingStats(cpos)
-      .select(col("shape_id"), col("n").as("n_hull"), col("area2").as("hull_area2"))
-    val simp = a44RingStats(keptv)
-      .select(col("shape_id"), col("n").as("n_kept"),
-        col("area2").as("simp_area2"), col("l1").as("l1_perim"))
-    hull.join(simp, Seq("shape_id"))
-      .filter(col("n_hull") >= 3)
-      .withColumn("buf_area2", col("simp_area2") +
-        lit(2L * BufD) * col("l1_perim") + lit(8L * BufD * BufD))
-      .select("shape_id", "n_hull", "hull_area2", "n_kept",
-        "simp_area2", "l1_perim", "buf_area2")
+      .agg(collect_list(struct(col("vx"), col("vy"))).as("verts"))
+      .select(col("shape_id"),
+        graft.functions.geo.simplify_polygon_stats(
+          col("verts"), DpTol, BufD, DpLevels).as("st"))
+      .filter(col("st.n_hull") >= 3)
+      .select(col("shape_id"), col("st.n_hull").as("n_hull"),
+        col("st.hull_area2").as("hull_area2"), col("st.n_kept").as("n_kept"),
+        col("st.simp_area2").as("simp_area2"), col("st.l1_perim").as("l1_perim"),
+        col("st.buf_area2").as("buf_area2"))
       .orderBy("shape_id")
-  }
 
   val a44Sql: String = {
     val tol2 = DpTol * DpTol
