@@ -5270,6 +5270,8 @@ object TextQueries {
         greatest(col("sa"), col("sb")).as("s2"),
         when(col("win_src") === least(col("sa"), col("sb")), 1L).otherwise(0L).as("w1"))
       .groupBy("s1", "s2").agg(count(lit(1)).as("n"), sum("w1").as("wins1"))
+      .limit(4097) // cap BEFORE collecting: the guard below must never
+      // be reachable only after an unbounded driver materialization
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     // The collect is bounded by the SOURCE-PAIR domain, not the corpus:
     // sources is a value-domain dimension (≤ ~10 distinct labels), so
@@ -5369,16 +5371,21 @@ object TextQueries {
     *
     * Scale shape: the corpus-sized work is C88's memoized run build
     * plus ONE doc-keyed equi-join fetching the ≤ Q·K candidate
-    * embeddings; the pairwise-cos table is (Q·K²)-bounded and the
-    * greedy fold runs on it driver-side (the C105/C111 fold rule — the
-    * candidate frame is driver-sized BY C88's top-K contract). Oracle =
-    * [[MmrSelect]] unrolled greedy CTE levels over the same pair table.
+    * embeddings; the pairwise-cos table is (Q·K²)-bounded PER QUERY by
+    * C88's top-K contract, so the greedy fold runs on EXECUTORS — a
+    * qid-keyed `cogroup` of the relevance and pair frames with the
+    * exact-integer greedy per group (each group is K + K² rows, O(1)).
+    * Nothing corpus- or query-count-sized ever reaches the driver:
+    * at 100× the query count the fold just spreads over more
+    * partitions. Oracle = [[MmrSelect]] unrolled greedy CTE levels
+    * over the same pair table.
     */
   val MmrLambdaMicro = 700000L
   val MmrSelect = 5
 
   def c113MmrRerank(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.vector.{vec_dot, vec_norm2}
+    import spark.implicits._
     val run = bm25Ranked(spark, dir)
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id").as("doc_id"), col("embedding"),
@@ -5393,35 +5400,38 @@ object TextQueries {
         round(graft.embed.EmbedQueries.cosine(
           vec_dot(col("ea"), col("eb")), col("na"), col("nb")) * lit(1e9), 0)
           .cast("long").as("cos_nano"))
-      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
-      .toMap
-    val rels = cand.select("qid", "doc_id", "score_nano").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
-    def cosOf(q: Long, x: Long, y: Long): Long =
-      cosPair((q, math.min(x, y), math.max(x, y)))
-    val picked = rels.toSeq.sortBy(_._1).flatMap { case (qid, docRel) =>
-      var remaining = docRel.keys.toList.sorted
-      var chosen = List.empty[Long]
-      val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long, Long)]
-      var step = 1L
-      while (step <= MmrSelect && remaining.nonEmpty) {
-        val scored = remaining.map { d =>
-          val rel = docRel(d)
-          val pen = if (chosen.isEmpty) 0L else chosen.map(s => cosOf(qid, d, s)).max
-          val mmr = (MmrLambdaMicro * rel) / 1000000L -
-            ((1000000L - MmrLambdaMicro) * pen) / 1000000L
-          (d, rel, mmr)
+      .as[(Long, Long, Long, Long)]
+    val rels = cand.select(col("qid"), col("doc_id"), col("score_nano"))
+      .as[(Long, Long, Long)]
+    // locals, not object fields, so the closure ships two longs
+    val lam = MmrLambdaMicro
+    val kSel = MmrSelect
+    val picked = rels.groupByKey(_._1).cogroup(cosPair.groupByKey(_._1)) {
+      (qid, rIt, pIt) =>
+        val docRel = rIt.map(t => t._2 -> t._3).toMap
+        val cosMap = pIt.map(t => (t._2, t._3) -> t._4).toMap
+        def cosOf(x: Long, y: Long): Long =
+          cosMap((math.min(x, y), math.max(x, y)))
+        var remaining = docRel.keys.toList.sorted
+        var chosen = List.empty[Long]
+        val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long, Long)]
+        var step = 1L
+        while (step <= kSel && remaining.nonEmpty) {
+          val scored = remaining.map { d =>
+            val rel = docRel(d)
+            val pen = if (chosen.isEmpty) 0L else chosen.map(s => cosOf(d, s)).max
+            val mmr = (lam * rel) / 1000000L -
+              ((1000000L - lam) * pen) / 1000000L
+            (d, rel, mmr)
+          }
+          val best = scored.minBy { case (d, _, m) => (-m, d) }
+          out += ((qid, step, best._1, best._2, best._3))
+          chosen ::= best._1
+          remaining = remaining.filterNot(_ == best._1)
+          step += 1
         }
-        val best = scored.minBy { case (d, _, m) => (-m, d) }
-        out += ((qid, step, best._1, best._2, best._3))
-        chosen ::= best._1
-        remaining = remaining.filterNot(_ == best._1)
-        step += 1
-      }
-      out
+        out.iterator
     }
-    import spark.implicits._
     picked.toDF("qid", "step", "doc_id", "rel_nano", "mmr_nano")
       .orderBy("qid", "step")
   }
