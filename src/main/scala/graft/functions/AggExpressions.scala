@@ -200,6 +200,108 @@ case class HllRegisters(child: Expression, pExpr: Expression,
   override def prettyName: String = "hll_registers"
 }
 
+/** `moment_matrix(q, d)`: the raw moment summary of a d-dim integer
+  * vector stream — N, Σxᵢ, and the full Σxᵢxⱼ Gram matrix — as ONE
+  * flat bigint array [n, sx(d), sxy(d·d) row-major], as a real Catalyst
+  * aggregate (SURVEY.md §2 D32).
+  *
+  * Why an aggregate and not an explode: covariance needs d²+d+1 sums,
+  * and building them relationally means exploding d²+d+1 cells PER
+  * INPUT VECTOR into the shuffle — state stays bounded but shuffle
+  * volume is 4,161× the row count at d=64, the scale-killer for an
+  * unbounded embedding stream. As a TypedImperativeAggregate each map
+  * task folds its partition into one fixed (d²+d+1)·8-byte buffer and
+  * only those buffers cross the wire (merge = elementwise add — raw
+  * moments are the canonical mergeable summary), so shuffle bytes are
+  * O(d² · partitions), independent of row count. Same argument as
+  * [[BottomK]]/[[HllRegisters]]; in Structured Streaming the buffer is
+  * also exactly the store state: one row forever.
+  *
+  * Inputs must be length-d bigint arrays (quantize upstream); a
+  * mismatched vector throws with a diagnosable message rather than
+  * silently skewing the moments. Overflow headroom is the caller's
+  * contract (milli-quantized embeddings hold to ~10⁷ vectors).
+  */
+case class MomentMatrix(child: Expression, dExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  lazy val d: Int = dExpr.eval(InternalRow.empty).asInstanceOf[Number].intValue()
+  private lazy val len: Int = 1 + d + d * d
+
+  override def children: Seq[Expression] = Seq(child, dExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) =>
+      if (!dExpr.foldable ||
+          !Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(dExpr.dataType) ||
+          dExpr.eval(InternalRow.empty) == null)
+        TypeCheckResult.TypeCheckFailure("moment_matrix expects a non-null literal integer d")
+      else if (d <= 0 || d > 1024)
+        TypeCheckResult.TypeCheckFailure(s"moment_matrix expects 0 < d <= 1024, got $d")
+      else TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"moment_matrix expects array<bigint> vectors, got ${dt.simpleString}")
+  }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](len)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      if (arr.numElements() != d) throw new IllegalArgumentException(
+        s"moment_matrix: expected $d-dim vectors, got ${arr.numElements()}")
+      val x = arr.toLongArray()
+      buffer(0) += 1L
+      var i = 0
+      while (i < d) {
+        buffer(1 + i) += x(i)
+        val base = 1 + d + i * d
+        var j = 0
+        while (j < d) { buffer(base + j) += x(i) * x(j); j += 1 }
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < len) { buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * len)
+    var i = 0
+    while (i < len) { bb.putLong(buffer(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](len)
+    val bb = ByteBuffer.wrap(bytes)
+    var i = 0
+    while (i < len && bb.remaining() >= 8) { out(i) = bb.getLong; i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MomentMatrix =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MomentMatrix =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MomentMatrix =
+    copy(child = newChildren(0), dExpr = newChildren(1))
+  override def prettyName: String = "moment_matrix"
+}
+
 /** Column-API entry point. */
 object aggs {
   import org.apache.spark.sql.GraftBridge.{column, expression}
@@ -209,4 +311,7 @@ object aggs {
 
   def hll_registers(h: Column, p: Int): Column =
     column(HllRegisters(expression(h), Literal(p)).toAggregateExpression())
+
+  def moment_matrix(q: Column, d: Int): Column =
+    column(MomentMatrix(expression(q), Literal(d)).toAggregateExpression())
 }

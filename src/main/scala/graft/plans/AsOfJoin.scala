@@ -187,18 +187,21 @@ object AsOfJoin {
       leftTime: String, rightTime: String, rightTie: String): DataFrame = {
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
-    def res(p: LogicalPlan, n: String): Attribute = {
+    def res(p: LogicalPlan, n: String, mustBeLong: Boolean): Attribute = {
       val a = p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column $n in ${p.output}"))
-      // The exec's merge kernel evals key/time/tie as Long — fail fast at
+      // The exec's merge kernel evals KEY and TIME as Long — fail fast at
       // plan-build time instead of a ClassCastException mid-execution.
-      require(a.dataType == org.apache.spark.sql.types.LongType,
+      // The tie-break column is only consumed through requiredChildOrdering
+      // (any orderable type works there), so it is exempt.
+      require(!mustBeLong || a.dataType == org.apache.spark.sql.types.LongType,
         s"asof column $n must be BIGINT, got ${a.dataType.simpleString}")
       a
     }
     GraftBridge.ofRows(left.sparkSession,
-      AsOfJoinPlan(lp, rp, res(lp, leftKey), res(rp, rightKey),
-        res(lp, leftTime), res(rp, rightTime), res(rp, rightTie)))
+      AsOfJoinPlan(lp, rp, res(lp, leftKey, true), res(rp, rightKey, true),
+        res(lp, leftTime, true), res(rp, rightTime, true),
+        res(rp, rightTie, false)))
   }
 
   /** SQL-less symmetry helper for specs: expose the exec class name. */

@@ -1133,46 +1133,42 @@ object StreamingQueries {
     * truncation anywhere (cleaner than the batch centered form, which
     * is why this op reports cov_n = the N²-scaled covariance).
     *
-    * One scan-stage pass builds every cell per vector (a flattened
-    * nested `transform` — no self-join, no second read): (i,j,xᵢxⱼ)
-    * products, (i,−1,xᵢ) first moments, and a (−1,−1,1) count cell;
-    * ONE streaming groupBy over the Dims²-bounded key space carries
-    * the state (complete mode, fixed ~4 K rows forever — the d26
-    * bounded-state contract). Elements quantize to MILLI (not C54's
-    * micro): the moment products then hold in BIGINT to ~10⁷ vectors,
-    * the right headroom trade for an unbounded stream (beyond that the
-    * C43/C87 DECIMAL rule applies, noted).
+    * The moments ride in ONE [[graft.functions.MomentMatrix]] aggregate
+    * (a TypedImperativeAggregate carrying the full [n, Σxᵢ, Σxᵢxⱼ]
+    * buffer, Dims²+Dims+1 longs ≈ 33 KB): each map task folds its
+    * partition locally and only fixed-size buffers cross the wire —
+    * shuffle bytes O(Dims² · partitions), INDEPENDENT of row count
+    * (the round-10 fix: the previous relational form exploded 4,161
+    * cells per input vector into the shuffle). Streaming state is one
+    * row forever (complete mode — the d26 bounded-state contract);
+    * the covariance cells unpack on the SINK from that single row via
+    * array HOFs. Elements quantize to MILLI (not C54's micro): the
+    * moment products then hold in BIGINT to ~10⁷ vectors, the right
+    * headroom trade for an unbounded stream (beyond that the C43/C87
+    * DECIMAL rule applies, noted).
     */
   def d32StreamCovariance(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = graft.embed.EmbedQueries.Dims
     val es = StreamingOps.embeddingsStream(spark, sfDir,
       staged(spark, sfDir, "embeddings"))
-    val cells = es
-      .select(expr(
-        "transform(embedding, e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000) AS BIGINT))")
-        .as("q"))
-      .select(expr(
-        """explode(concat(
-          |  flatten(transform(q, (qi, i) -> transform(q, (qj, j) ->
-          |    struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, qi * qj AS p)))),
-          |  transform(q, (qi, i) ->
-          |    struct(CAST(i AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j, qi AS p)),
-          |  array(struct(CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
-          |    CAST(1 AS BIGINT) AS p))))""".stripMargin).as("cell"))
-      .select(col("cell.i").as("i"), col("cell.j").as("j"), col("cell.p").as("p"))
+    val q = es.select(expr(
+      "transform(embedding, e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000) AS BIGINT))")
+      .as("q"))
     val sink = runToTable(
-      cells.groupBy("i", "j").agg(sum("p").as("s")),
+      q.agg(graft.functions.aggs.moment_matrix(col("q"), d).as("mm")),
       "graft_d32_sink", "complete")
-    val n = sink.filter(col("i") === -1L && col("j") === -1L)
-      .select(col("s").as("n"))
-    val sx = sink.filter(col("i") >= 0L && col("j") === -1L)
-      .select(col("i").as("d"), col("s"))
-    sink.filter(col("i") >= 0L && col("j") >= 0L)
-      .select(col("i"), col("j"), col("s").as("sxy"))
-      .join(sx.select(col("d").as("i"), col("s").as("si")), "i")
-      .join(sx.select(col("d").as("j"), col("s").as("sj")), "j")
-      .crossJoin(broadcast(n))
-      .select(col("i"), col("j"), col("sxy"),
-        (col("n") * col("sxy") - col("si") * col("sj")).as("cov_n"))
+    // finalize on the one-row sink: mm[0]=n, mm[1+i]=Σxᵢ, mm[1+d+i·d+j]=Σxᵢxⱼ
+    // (element_at is 1-based, hence the +1 on every subscript)
+    sink.select(explode(expr(
+      s"""flatten(transform(sequence(0, ${d - 1}), i ->
+         |  transform(sequence(0, ${d - 1}), j -> struct(
+         |    CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+         |    element_at(mm, 1 + $d + i * $d + j + 1) AS sxy,
+         |    element_at(mm, 1) * element_at(mm, 1 + $d + i * $d + j + 1)
+         |      - element_at(mm, i + 2) * element_at(mm, j + 2) AS cov_n))))"""
+        .stripMargin)).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"),
+        col("c.sxy").as("sxy"), col("c.cov_n").as("cov_n"))
       .orderBy("i", "j")
   }
 

@@ -643,6 +643,13 @@ class StreamingSpec extends SparkTestBase {
       val whole = vecs.map(v => v(i) * v(j)).sum
       assert(h1.map(v => v(i) * v(j)).sum + h2.map(v => v(i) * v(j)).sum == whole)
     }
+    // round-11 shuffle contract: the stream carries ONE moment-matrix
+    // row (dims²+dims+1 longs) — the aggregate buffer IS the wire
+    // format, so shuffle volume is independent of input row count
+    // (previously 4,161 exploded cells per vector crossed the shuffle)
+    val sinkRows = spark.table("graft_d32_sink").collect()
+    assert(sinkRows.length == 1, "d32 state must be a single moment row")
+    assert(sinkRows.head.getSeq[Long](0).length == dims * dims + dims + 1)
   }
 
   test("D34 streaming wordpiece == batch C119 counts (frozen vocab, stateless scan)") {
