@@ -581,6 +581,58 @@ object ScaleSmoke {
     println(f"SCALE covMoments vecs=$nCov dims=$dims cells=${moments.size} " +
       f"maxTaskMs=$cvMaxMs meanTaskMs=$cvMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
+    // --- the round-11 production shape for the same moments: ONE
+    // moment_matrix aggregate — each map task folds its partition into
+    // a fixed 33 KB buffer and only buffers cross the wire (the D32
+    // fix: the exploded form above shuffles nVec·4161 cell rows; here
+    // shuffle bytes are O(dims²·partitions), row-count independent).
+    // The exploded table doubles as the independent verifier: every
+    // one of the 4,161 sums must match bit-for-bit.
+    t0 = System.nanoTime()
+    val (mmArr, mmMaxMs, mmMeanMs) = withMaxTask(
+      vdf.agg(graft.functions.aggs.moment_matrix(col("q"), dims).as("mm"))
+        .head().getSeq[Long](0))
+    require(mmArr.length == dims * dims + dims + 1, s"mm len ${mmArr.length}")
+    require(mmArr.head == nCov, s"mm n ${mmArr.head} != $nCov")
+    for (i <- 0 until dims)
+      require(mmArr(1 + i) == moments((i.toLong, -1L)), s"mm sx $i")
+    for (i <- 0 until dims; j <- 0 until dims)
+      require(mmArr(1 + dims + i * dims + j) == moments((i.toLong, j.toLong)),
+        s"mm sxy ($i,$j)")
+    println(f"SCALE momentMatrix vecs=$nCov dims=$dims bufLongs=${mmArr.length} " +
+      f"maxTaskMs=$mmMaxMs meanTaskMs=$mmMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // --- simplify-polygon fold (the A44 kernel) at volume: per-shape
+    // work is O(1) (≤ 7 vertices), so the fold must scale linearly in
+    // shape count with flat tasks — ONE narrow shuffle, no joins, no
+    // checkpoints. Shapes cycle through 5 deterministic heptagon
+    // classes, so determinism pins as exactly one distinct output
+    // tuple per class.
+    t0 = System.nanoTime()
+    val nShapes = math.max(nCells / 10L, 100000L)
+    val shapeVerts = spark.range(nShapes * 7L).select(
+      expr("id div 7").as("shape_id"),
+      ((col("id") % 7L) * 13L % 97L).as("vx"),
+      (((col("id") % 7L) * 31L + expr("id div 7") % 5L * 7L) % 89L).as("vy"))
+    val folded = shapeVerts.groupBy("shape_id")
+      .agg(collect_list(struct(col("vx"), col("vy"))).as("verts"))
+      .select(col("shape_id"), graft.functions.geo
+        .simplify_polygon_stats(col("verts"), 6L, 24L, 5).as("st"))
+      .filter(col("st.n_hull") >= 3)
+    val (spRows, spMaxMs, spMeanMs) = withMaxTask(
+      folded.groupBy(expr("shape_id % 5").as("cls"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("st.n_hull"), col("st.hull_area2"),
+            col("st.n_kept"), col("st.simp_area2"), col("st.l1_perim"),
+            col("st.buf_area2")).as("nd"))
+        .collect())
+    require(spRows.map(_.getAs[Long]("n")).sum == nShapes,
+      s"simplifyFold folded ${spRows.map(_.getAs[Long]("n")).sum} of $nShapes shapes")
+    spRows.foreach(r => require(r.getAs[Long]("nd") == 1L,
+      s"class ${r.get(0)} output not deterministic"))
+    println(f"SCALE simplifyFold shapes=$nShapes classes=${spRows.length} " +
+      f"maxTaskMs=$spMaxMs meanTaskMs=$spMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
     // --- WordPiece greedy apply (the C119 kernel) at volume: the
     // native expression must stay a flat scan-stage pass — per-word
     // cost is O(len·maxPieceLen) hash lookups, zero joins/shuffles.
