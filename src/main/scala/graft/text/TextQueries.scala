@@ -1188,6 +1188,119 @@ object TextQueries {
        |  list_min(fps) AS fp_min
        |FROM s ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- C127
+  /** C127: content-defined chunking dedup (the FastCDC/LBFS shape,
+    * Muthitacharoen et al. SOSP'01) — the third dedup granularity next
+    * to C1 (whole doc) and C40 (fixed segments): chunk boundaries are
+    * declared wherever a rolling window hash divides [[CdcDiv]], so
+    * they are anchored to CONTENT, not position. That is the property
+    * C40 cannot have: one leading-token insertion shifts every
+    * downstream fixed segment's identity (all its chunks re-hash as
+    * new), while CDC re-synchronizes after the edited chunk — the
+    * reason production storage/dataset dedup (restic, casync, LLM
+    * corpus delta-storage) chunks this way. Reports per doc the chunk
+    * count and the token mass sitting in globally-duplicated chunks
+    * (occurrence ≥ 2 across the corpus, C40's convention — within-doc
+    * repeats count, exactly as a content store would).
+    *
+    * Exactness: the window hash is the positional polynomial
+    * Σ_{k<W} h(i−k)·B^k over the shared [[tokenHash]] (values < 2³³ —
+    * no modulus needed); the chunk fingerprint is the positional sum
+    * Σ h(i)·(i−start+1) (< 2⁴⁵), keyed together with the chunk LENGTH
+    * so only genuinely identical token runs collide in practice.
+    *
+    * Scale shape: boundaries, chunk spans, and fingerprints are all
+    * per-doc array HOFs — scan-stage, zero shuffle (C37's idiom); the
+    * corpus-sized work is ONE (fp, len)-keyed hash-agg + equi-join
+    * back (never a window — the hottest key is the most-duplicated
+    * chunk, C40's argument) and one doc-keyed agg.
+    */
+  val CdcWindow = 4
+  val CdcDiv = 32L
+  val CdcB = 31L
+
+  def c127CdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    // wh(i) = Σ_{k<W} h(i−k)·B^k, 0-based positions into the 1-based array
+    val wh = (0 until CdcWindow).map(k =>
+      s"element_at(h, CAST(i - $k + 1 AS INT)) * ${Seq.fill(k)(CdcB).product}")
+      .mkString(" + ")
+    val chunks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("h", transform(col("toks"), tokenHash _))
+      .withColumn("n", size(col("toks")).cast("long"))
+      // sequence() flips descending when start > stop — guard short docs
+      .withColumn("bnd", when(col("n") >= CdcWindow, expr(
+        s"filter(sequence(CAST(${CdcWindow - 1} AS BIGINT), n - 1), i -> ($wh) % $CdcDiv = 0)"))
+        .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")))
+      .withColumn("ends", expr(
+        "if(size(bnd) > 0 AND element_at(bnd, -1) = n - 1, bnd, concat(bnd, array(n - 1)))"))
+      .withColumn("starts", expr(
+        "concat(array(CAST(0 AS BIGINT)), transform(slice(ends, 1, size(ends) - 1), e -> e + 1))"))
+      .withColumn("c", explode(expr("sequence(0, size(ends) - 1)")))
+      .withColumn("cstart", expr("element_at(starts, CAST(c + 1 AS INT))"))
+      .withColumn("cend", expr("element_at(ends, CAST(c + 1 AS INT))"))
+      .withColumn("clen", col("cend") - col("cstart") + 1)
+      .withColumn("fp", expr(
+        """aggregate(sequence(cstart, cend), CAST(0 AS BIGINT),
+          |  (acc, i) -> acc + element_at(h, CAST(i + 1 AS INT)) * (i - cstart + 1))"""
+          .stripMargin))
+      .select("doc_id", "n", "cstart", "clen", "fp")
+    val occ = chunks.groupBy("fp", "clen").agg(count(lit(1)).as("occ"))
+    chunks.join(occ, Seq("fp", "clen"))
+      .groupBy("doc_id")
+      .agg(max("n").as("n_tokens"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("occ") >= 2, col("clen")).otherwise(0L)).as("dup_tokens"))
+      .withColumn("dup_ratio_ppm", expr("(dup_tokens * 1000000) div n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  lazy val c127Sql: String = {
+    val wh = (0 until CdcWindow).map(k =>
+      s"h[i - $k + 1] * ${Seq.fill(k)(CdcB).product}").mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), hh AS (
+       |  SELECT doc_id, list_transform(toks, w -> ${tokenHashSql("w")}) AS h,
+       |    CAST(len(toks) AS BIGINT) AS n
+       |  FROM d
+       |), be AS (
+       |  SELECT doc_id, h, n,
+       |    list_filter(range(${CdcWindow - 1}, n), i -> ($wh) % $CdcDiv = 0) AS bnd
+       |  FROM hh
+       |), se AS (
+       |  SELECT doc_id, h, n,
+       |    CASE WHEN len(bnd) > 0 AND bnd[len(bnd)] = n - 1 THEN bnd
+       |         ELSE list_append(bnd, n - 1) END AS ends
+       |  FROM be
+       |), ss AS (
+       |  SELECT doc_id, h, n, ends,
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(ends[1:len(ends) - 1], e -> e + 1)) AS starts
+       |  FROM se
+       |), ch AS (
+       |  SELECT doc_id, n, starts[c + 1] AS cstart, ends[c + 1] AS cend,
+       |    ends[c + 1] - starts[c + 1] + 1 AS clen,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(starts[c + 1], ends[c + 1] + 1),
+       |        i -> h[i + 1] * (i - starts[c + 1] + 1))),
+       |      (a, b) -> a + b) AS fp
+       |  FROM ss, LATERAL (SELECT UNNEST(range(0, len(ends))) AS c) t
+       |), occ AS (
+       |  SELECT fp, clen, CAST(COUNT(*) AS BIGINT) AS occ FROM ch GROUP BY fp, clen
+       |), p AS (
+       |  SELECT ch.doc_id, MAX(ch.n) AS n_tokens, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |    CAST(SUM(CASE WHEN o.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+       |    CAST(SUM(CASE WHEN o.occ >= 2 THEN ch.clen ELSE 0 END) AS BIGINT) AS dup_tokens
+       |  FROM ch JOIN occ o ON o.fp = ch.fp AND o.clen = ch.clen
+       |  GROUP BY ch.doc_id
+       |)
+       |SELECT doc_id, n_tokens, n_chunks, dup_chunks, dup_tokens,
+       |  (dup_tokens * 1000000) // n_tokens AS dup_ratio_ppm
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- C38
   /** C38: k-gram novelty — per doc, the fraction of its distinct k-gram
     * hashes whose FIRST occurrence (min doc_id, i.e. crawl order) is
@@ -5566,9 +5679,11 @@ object TextQueries {
     "c58_boilerplate" -> (c58Boilerplate _),
     "c59_bpe_merges" -> (c59BpeMerges _),
     "c63_cms_freq" -> (c63CmsFreq _),
-    "c64_classifier_eval" -> (c64ClassifierEval _))
+    "c64_classifier_eval" -> (c64ClassifierEval _),
+    "c127_cdc_chunks" -> (c127CdcChunks _))
 
   val oracles: Map[String, String] = Map(
+    "c127_cdc_chunks" -> c127Sql,
     "c113_mmr_rerank" -> c113Sql,
     "c111_bradley_terry" -> c111Sql,
     "c110_textrank" -> c110Sql,

@@ -2099,10 +2099,53 @@ object GeoQueries {
       |  string_agg(CAST(poly AS VARCHAR), ',' ORDER BY poly) AS claimants
       |FROM grid GROUP BY x, y ORDER BY x, y""".stripMargin)
 
+  // ---------------------------------------------------------------- A46
+  /** A46: pairwise polygon overlap matrix — the intersection companion
+    * to A45's union, completing the boolean-op family (A13/A20 are
+    * containment): for every polygon PAIR that shares at least one
+    * tile, the shared-tile count and the exact Jaccard overlap in ppm —
+    * the conflation diagnostic the reference's per-city loop never
+    * surfaces (two overlapping city shapes double-count their shared
+    * grid in `combine_all_polygons`, process_city_shapes.py:80-90; the
+    * matrix says by how much). ONE self equi-join of the grid fill on
+    * (x, y) — tile keys are high-cardinality, so no skew surface — a
+    * pair-keyed partial agg bounded by the polygon-pair dim (≤ 10
+    * pairs), and a broadcast of the per-polygon sizes. |A∪B| derives as
+    * |A|+|B|−|A∩B| (inclusion-exclusion over exact tile counts).
+    */
+  def a46OverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val g = GridOps.fillPolygons(spark)
+    val shared = g
+      .join(g.select(col("poly").as("poly_b"), col("x"), col("y")), Seq("x", "y"))
+      .filter(col("poly") < col("poly_b"))
+      .groupBy(col("poly").as("poly_a"), col("poly_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val sizes = g.groupBy("poly").agg(count(lit(1)).as("n"))
+    shared
+      .join(broadcast(sizes.select(col("poly").as("poly_a"), col("n").as("n_a"))), "poly_a")
+      .join(broadcast(sizes.select(col("poly").as("poly_b"), col("n").as("n_b"))), "poly_b")
+      .select(col("poly_a"), col("poly_b"), col("n_a"), col("n_b"), col("n_shared"),
+        expr("(n_shared * 1000000) div (n_a + n_b - n_shared)").as("jaccard_ppm"))
+      .orderBy("poly_a", "poly_b")
+  }
+
+  val a46Sql: String = withCtes(false, Polygons.bboxCte, Polygons.edgesCte,
+    Polygons.gridCte,
+    "sz AS (SELECT poly, CAST(COUNT(*) AS BIGINT) AS n FROM grid GROUP BY poly)",
+    """sh AS (
+      |  SELECT a.poly AS poly_a, b.poly AS poly_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |  FROM grid a JOIN grid b ON b.x = a.x AND b.y = a.y AND a.poly < b.poly
+      |  GROUP BY a.poly, b.poly)""".stripMargin)(
+    """SELECT sh.poly_a, sh.poly_b, sa.n AS n_a, sb.n AS n_b, sh.n_shared,
+      |  (sh.n_shared * 1000000) // (sa.n + sb.n - sh.n_shared) AS jaccard_ppm
+      |FROM sh JOIN sz sa ON sa.poly = sh.poly_a JOIN sz sb ON sb.poly = sh.poly_b
+      |ORDER BY sh.poly_a, sh.poly_b""".stripMargin)
+
   /** All A-block entries for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a44_simplify_polygon" -> (a44SimplifyPolygon _),
     "a45_polygon_union" -> (a45PolygonUnion _),
+    "a46_overlap_matrix" -> (a46OverlapMatrix _),
     "a42_score_smooth" -> (a42ScoreSmooth _),
     "a43_zrange_plan" -> (a43ZrangePlan _),
     "a41_shape_stats" -> (a41ShapeStats _),
@@ -2155,6 +2198,7 @@ object GeoQueries {
   val oracles: Map[String, String] = Map(
     "a44_simplify_polygon" -> a44Sql,
     "a45_polygon_union" -> a45Sql,
+    "a46_overlap_matrix" -> a46Sql,
     "a42_score_smooth" -> a42Sql,
     "a43_zrange_plan" -> a43Sql,
     "a41_shape_stats" -> a41Sql,

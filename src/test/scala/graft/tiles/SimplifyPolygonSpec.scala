@@ -114,6 +114,27 @@ class SimplifyPolygonSpec extends SparkTestBase {
     SimplifyPolygonStats.fold(arr, 0L, bufD, 9)
   }
 
+  test("a46 overlap matrix == brute-force pairwise set intersection of the fills") {
+    val byPoly = GridOps.fillPolygons(spark).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val polys = byPoly.keys.toSeq.sorted
+    val want = (for {
+      a <- polys; b <- polys if a < b
+      sh = (byPoly(a) & byPoly(b)).size.toLong if sh > 0
+    } yield {
+      val (na, nb) = (byPoly(a).size.toLong, byPoly(b).size.toLong)
+      (a, b, na, nb, sh, sh * 1000000L / (na + nb - sh))
+    }).sorted
+    val got = GeoQueries.a46OverlapMatrix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    // the corpus genuinely overlaps somewhere, and never totally
+    assert(want.nonEmpty)
+    assert(want.forall(t => t._6 > 0L && t._6 < 1000000L))
+  }
+
   test("a45 claimants re-expand to exactly the per-polygon grid fills") {
     val fills = GridOps.fillPolygons(spark).collect()
       .map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(0))
