@@ -712,17 +712,18 @@ object EmbedQueries {
   def c46KnnGraph(spark: SparkSession, dir: String): DataFrame =
     mutualEdges(spark, dir).orderBy("vec_a", "vec_b")
 
+  private val knnDirCache = new graft.util.Memo[(String, String), DataFrame]
   private val knnEdgeCache = new graft.util.Memo[(String, String), DataFrame]
 
-  /** Memoized mutual-kNN edge list (vec_a < vec_b, with cos and both
-    * direction ranks) — computed once per session and shared by C46
-    * (the edge dump), C102 (PageRank) and C104 (triangles), so the
-    * bucket join + top-k window + mutual self-join run once, not once
-    * per consumer. `localCheckpoint` pins the materialized edges for
-    * the session (the bm25Ranked discipline).
+  /** Memoized DIRECTED top-k list (vec_a → vec_b with cos and rank) —
+    * the bucket join + top-k window run once per session and feed both
+    * the mutual filter below and C128's shared-neighbor counting.
+    * `private[embed]` so the C128 spec can brute-force the SNN layer
+    * from the same list the query consumes (the oracle re-derives the
+    * list itself independently).
     */
-  private def mutualEdges(spark: SparkSession, dir: String): DataFrame =
-    knnEdgeCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+  private[embed] def directedTopK(spark: SparkSession, dir: String): DataFrame =
+    knnDirCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       import org.apache.spark.sql.expressions.Window
       val e = withNorms(spark, dir).withColumn("bucket", bucketCol(col("embedding")))
       val l = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
@@ -730,11 +731,24 @@ object EmbedQueries {
       val r = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
         col("n2").as("nb"), col("bucket"))
       val w = Window.partitionBy("vec_a").orderBy(col("cos").desc, col("vec_b"))
-      val directed = l.join(r, "bucket").filter(col("vec_a") =!= col("vec_b"))
+      l.join(r, "bucket").filter(col("vec_a") =!= col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
           cosine(dot(col("ea"), col("eb")), col("na"), col("nb")).as("cos"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= KnnK)
+        .localCheckpoint(true)
+    })
+
+  /** Memoized mutual-kNN edge list (vec_a < vec_b, with cos and both
+    * direction ranks) — computed once per session and shared by C46
+    * (the edge dump), C102 (PageRank), C104 (triangles) and C128 (SNN
+    * clusters), so the bucket join + top-k window + mutual self-join
+    * run once, not once per consumer. `localCheckpoint` pins the
+    * materialized edges for the session (the bm25Ranked discipline).
+    */
+  private def mutualEdges(spark: SparkSession, dir: String): DataFrame =
+    knnEdgeCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val directed = directedTopK(spark, dir)
       val rev = directed.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b"),
         col("rnk").as("rnk_ba"))
       directed.join(rev, Seq("vec_a", "vec_b"))
@@ -769,6 +783,75 @@ object EmbedQueries {
     s"""WITH $knnGraphCtes
        |SELECT vec_a, vec_b, cos, rnk_ab, rnk_ba
        |FROM mutual ORDER BY vec_a, vec_b""".stripMargin
+
+  // --------------------------------------------------------------- C128
+  /** C128: shared-nearest-neighbor clustering (Jarvis & Patrick 1973;
+    * the SNN density idea behind Ertöz/Steinbach/Kumar 2003) over the
+    * C46 mutual-kNN graph — the DENSITY-based clustering family member
+    * next to C50's centroidal k-means and C115's coverage k-center: a
+    * mutual edge survives iff the two endpoints' directed top-k lists
+    * share ≥ [[SnnKt]] neighbors (similarity endorsed by CONTEXT, not
+    * just by one cosine — the filter that keeps hub-induced bridge
+    * edges from gluing unrelated clusters), and clusters are the
+    * connected components of the surviving graph, k-free where k-means
+    * needs K up front. Per vector: its component label (min id) and
+    * component size; singletons label themselves (a cluster count you
+    * can read as "how much of the corpus is semantically grouped").
+    *
+    * Exactness: shared-neighbor counts are integer set intersections
+    * of k-bounded lists; no new float math anywhere. Scale shape: the
+    * memoized C46 edge build (bucketed, never all-pairs) + TWO
+    * k-bounded equi-joins for the shared counts (each mutual edge
+    * meets ≤ k candidates per side) + the C19/C20 GraphCC dispatch
+    * (single-task union-find small, pointer-jumping loop large).
+    * Oracle = the shared knnGraphCtes + the same count + the unrolled
+    * hook+jump chain ([[SnnCcRounds]], the c20 margin rule —
+    * under-unroll is a loud hash mismatch).
+    */
+  val SnnKt = 2
+
+  /** SNN-graph CC unroll depth: the filtered kNN graph is sparser than
+    * c20's cosine graph (chains are possible), so carry 12 rounds —
+    * hook+jump halves label-tree depth per round, 2^12 ≫ any component
+    * diameter the ≤ k-degree graph can reach at these corpus sizes.
+    */
+  private val SnnCcRounds = 12
+
+  def c128SnnClusters(spark: SparkSession, dir: String): DataFrame = {
+    val t = directedTopK(spark, dir)
+    val m = mutualEdges(spark, dir).select(col("vec_a").as("a"), col("vec_b").as("b"))
+    val la = t.select(col("vec_a").as("a"), col("vec_b").as("c"))
+    val lb = t.select(col("vec_a").as("b"), col("vec_b").as("c"))
+    val shared = m.join(la, "a").join(lb, Seq("b", "c"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= SnnKt)
+    val verts = Tables(spark, dir, "embeddings").select(col("vec_id").as("id"))
+    val cc = graft.dedup.GraphCC.connectedComponents(verts,
+      shared.select(col("a").as("src"), col("b").as("dst")))
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    cc.join(sizes, "cluster_id")
+      .select(col("id").as("vec_id"), col("cluster_id"), col("n_members"))
+      .orderBy("vec_id")
+  }
+
+  lazy val c128Sql: String =
+    s"""WITH $knnGraphCtes,
+       |sn AS (
+       |  SELECT m.vec_a AS a, m.vec_b AS b, CAST(COUNT(*) AS BIGINT) AS shared
+       |  FROM mutual m
+       |  JOIN t ta ON ta.vec_a = m.vec_a
+       |  JOIN t tb ON tb.vec_a = m.vec_b AND tb.vec_b = ta.vec_b
+       |  GROUP BY m.vec_a, m.vec_b
+       |), ke AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM sn WHERE shared >= $SnnKt
+       |  UNION ALL SELECT b, a FROM sn WHERE shared >= $SnnKt
+       |),
+       |${graft.tiles.Clustering.minLabelCtes("sq", SnnCcRounds, Nil, "embeddings", "vec_id", "ke").mkString(",\n")},
+       |sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n_members
+       |       FROM sq_m$SnnCcRounds GROUP BY lbl)
+       |SELECT m.v AS vec_id, m.lbl AS cluster_id, sz.n_members
+       |FROM sq_m$SnnCcRounds m JOIN sz ON sz.lbl = m.lbl
+       |ORDER BY vec_id""".stripMargin
 
   // --------------------------------------------------------------- C102
   /** C102: PageRank over the mutual-kNN graph (Page et al. 1999; d =
@@ -2147,6 +2230,7 @@ object EmbedQueries {
     "c41_ann_recall" -> (c41AnnRecall _),
     "c42_mrl_recall" -> (c42MrlRecall _),
     "c46_knn_graph" -> (c46KnnGraph _),
+    "c128_snn_clusters" -> (c128SnnClusters _),
     "c50_kmeans_assign" -> (c50KmeansAssign _),
     "c51_semdedup" -> (c51SemDedup _),
     "c54_random_projection" -> (c54RandomProjection _),
@@ -2176,6 +2260,7 @@ object EmbedQueries {
     "c41_ann_recall" -> c41Sql,
     "c42_mrl_recall" -> c42Sql,
     "c46_knn_graph" -> c46Sql,
+    "c128_snn_clusters" -> c128Sql,
     "c50_kmeans_assign" -> c50Sql,
     "c51_semdedup" -> c51Sql,
     "c54_random_projection" -> c54Sql,

@@ -145,6 +145,41 @@ class EmbedQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("c128 snn clusters: brute-force shared-count + union-find recompute") {
+    import graft.embed.EmbedQueries
+    val out = EmbedQueries.c128SnnClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val lists = EmbedQueries.directedTopK(spark, sf)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val mutual = EmbedQueries.c46KnnGraph(spark, sf)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val kept = mutual.filter { case (a, b) =>
+      (lists(a) & lists(b)).size >= EmbedQueries.SnnKt }
+    // plain union-find over the surviving edges, min-id labels
+    val nodes = graft.Tables(spark, sf, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    kept.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val label = nodes.map(n => n -> find(n)).toMap
+    val size = nodes.groupBy(label).view.mapValues(_.length.toLong).toMap
+    assert(out.keySet == nodes.toSet)
+    nodes.foreach { n =>
+      assert(out(n) == ((label(n), size(label(n)))), s"vec $n")
+    }
+    // the SNN filter genuinely bites, and the corpus genuinely has
+    // both multi-member clusters and singletons
+    assert(kept.length < mutual.length, "shared-neighbor filter removed nothing")
+    assert(kept.nonEmpty, "filter removed every edge — clustering is vacuous")
+    assert(out.values.exists(_._2 > 1L) && out.values.exists(_._2 == 1L))
+  }
+
   test("c104 triangles: brute-force recompute, lcc formula, once-per-triangle") {
     import graft.embed.EmbedQueries
     val out = EmbedQueries.c104Triangles(spark, sf).collect()
