@@ -1195,6 +1195,67 @@ object StreamingQueries {
        |CROSS JOIN nt t
        |ORDER BY x.i, x.j""".stripMargin
 
+  // ---------------------------------------------------------------- D37
+  /** D37: streaming CDC chunk-dedup telemetry — C127's content-defined
+    * chunking run LIVE against a frozen chunk store (the d14/d21/d26
+    * frozen-artifact contract: the duplicated-chunk key set is built
+    * once from the batch corpus and deployed as a static side, never
+    * stream state — per-chunk keys grow with the corpus, so carrying
+    * them as streaming state would violate the bounded-state rule).
+    * The stream chunks each document scan-stage through the ONE
+    * [[graft.text.TextQueries.cdcChunkFrame]] definition batch C127
+    * uses (chunking is stateless — boundaries depend only on the
+    * document itself, which is exactly why CDC streams: no cross-doc
+    * coordination), stream-static left-joins the store, and ONE
+    * lang-keyed agg carries K langs of state forever (complete mode).
+    * Per lang: chunks, duplicated chunks, token mass both ways, and
+    * the duplicated-mass ppm the corpus-intake dashboard watches.
+    */
+  def d37StreamCdc(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.TextQueries
+    val store = TextQueries
+      .cdcChunkFrame(graft.Tables(spark, sfDir, "documents"), Seq("doc_id"))
+      .groupBy("fp", "clen").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select(col("fp"), col("clen"), lit(1L).as("hit"))
+    val chunks = TextQueries.cdcChunkFrame(
+      StreamingOps.docsStream(spark, sfDir, staged(spark, sfDir, "documents")),
+      Seq("doc_id", "lang"))
+    val flagged = chunks.join(store, Seq("fp", "clen"), "left")
+      .withColumn("hit", coalesce(col("hit"), lit(0L)))
+    runToTable(
+        flagged.groupBy("lang").agg(
+          count(lit(1)).as("n_chunks"),
+          sum("hit").as("dup_chunks"),
+          sum("clen").as("n_tokens"),
+          sum(col("hit") * col("clen")).as("dup_tokens")),
+        "graft_d37_sink", "complete")
+      .withColumn("dup_mass_ppm", expr("(dup_tokens * 1000000) div n_tokens"))
+      .orderBy("lang")
+  }
+
+  /** Batch twin: the same per-lang telemetry through the shared c127
+    * CTE chain (the stream replays the full corpus, so the frozen
+    * store's occ ≥ 2 test and the batch occurrence test agree).
+    */
+  val d37Sql: String =
+    s"""WITH ${graft.text.TextQueries.cdcCtes},
+       |occ AS (
+       |  SELECT fp, clen FROM ch GROUP BY fp, clen HAVING COUNT(*) >= 2
+       |), fl AS (
+       |  SELECT ch.doc_id, ch.clen,
+       |    CASE WHEN o.fp IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM ch LEFT JOIN occ o ON o.fp = ch.fp AND o.clen = ch.clen
+       |)
+       |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(fl.hit) AS BIGINT) AS dup_chunks,
+       |  CAST(SUM(fl.clen) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(fl.hit * fl.clen) AS BIGINT) AS dup_tokens,
+       |  (CAST(SUM(fl.hit * fl.clen) AS BIGINT) * 1000000)
+       |    // CAST(SUM(fl.clen) AS BIGINT) AS dup_mass_ppm
+       |FROM fl JOIN documents d USING (doc_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   // ---------------------------------------------------------------- D36
   /** D36: streaming Gini — C118's token-mass concentration maintained
     * live: the (lang, token-count) histogram is a BOUNDED-KEY
@@ -1385,6 +1446,7 @@ object StreamingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d36_stream_gini" -> (d36StreamGini _),
+    "d37_stream_cdc" -> (d37StreamCdc _),
     "d35_stream_cusum" -> (d35StreamCusum _),
     "d34_stream_wordpiece" -> (d34StreamWordpiece _),
     "d33_stream_timeout_alert" -> (d33StreamTimeoutAlert _),
@@ -1423,6 +1485,7 @@ object StreamingQueries {
 
   val oracles: Map[String, String] = Map(
     "d36_stream_gini" -> d36Sql,
+    "d37_stream_cdc" -> d37Sql,
     "d35_stream_cusum" -> d35Sql,
     "d34_stream_wordpiece" -> d34Sql,
     "d33_stream_timeout_alert" -> d33Sql,

@@ -1219,13 +1219,18 @@ object TextQueries {
   val CdcDiv = 32L
   val CdcB = 31L
 
-  def c127CdcChunks(spark: SparkSession, dir: String): DataFrame = {
+  /** The CDC chunk frame over any frame with a `text` column: one row
+    * per chunk carrying `cols` through plus (n [doc token count],
+    * cstart, clen, fp). Pure per-doc array HOFs — scan-stage, works
+    * identically on batch and streaming inputs (D37 reuses it live).
+    */
+  def cdcChunkFrame(docs: DataFrame, cols: Seq[String]): DataFrame = {
     // wh(i) = Σ_{k<W} h(i−k)·B^k, 0-based positions into the 1-based array
     val wh = (0 until CdcWindow).map(k =>
       s"element_at(h, CAST(i - $k + 1 AS INT)) * ${Seq.fill(k)(CdcB).product}")
       .mkString(" + ")
-    val chunks = Tables(spark, dir, "documents")
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    docs
+      .select(cols.map(col) :+ tokens(col("text")).as("toks"): _*)
       .withColumn("h", transform(col("toks"), tokenHash _))
       .withColumn("n", size(col("toks")).cast("long"))
       // sequence() flips descending when start > stop — guard short docs
@@ -1244,7 +1249,11 @@ object TextQueries {
         """aggregate(sequence(cstart, cend), CAST(0 AS BIGINT),
           |  (acc, i) -> acc + element_at(h, CAST(i + 1 AS INT)) * (i - cstart + 1))"""
           .stripMargin))
-      .select("doc_id", "n", "cstart", "clen", "fp")
+      .select((cols ++ Seq("n", "cstart", "clen", "fp")).map(col): _*)
+  }
+
+  def c127CdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = cdcChunkFrame(Tables(spark, dir, "documents"), Seq("doc_id"))
     val occ = chunks.groupBy("fp", "clen").agg(count(lit(1)).as("occ"))
     chunks.join(occ, Seq("fp", "clen"))
       .groupBy("doc_id")
@@ -1256,10 +1265,14 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  lazy val c127Sql: String = {
+  /** The c127 CTE chain through `ch` (one row per chunk: doc_id, n,
+    * cstart, cend, clen, fp) — shared by the C127 and D37 oracles so
+    * both engines chunk through one definition.
+    */
+  lazy val cdcCtes: String = {
     val wh = (0 until CdcWindow).map(k =>
       s"h[i - $k + 1] * ${Seq.fill(k)(CdcB).product}").mkString(" + ")
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
        |), hh AS (
        |  SELECT doc_id, list_transform(toks, w -> ${tokenHashSql("w")}) AS h,
@@ -1287,7 +1300,12 @@ object TextQueries {
        |        i -> h[i + 1] * (i - starts[c + 1] + 1))),
        |      (a, b) -> a + b) AS fp
        |  FROM ss, LATERAL (SELECT UNNEST(range(0, len(ends))) AS c) t
-       |), occ AS (
+       |)""".stripMargin
+  }
+
+  lazy val c127Sql: String =
+    s"""WITH $cdcCtes,
+       |occ AS (
        |  SELECT fp, clen, CAST(COUNT(*) AS BIGINT) AS occ FROM ch GROUP BY fp, clen
        |), p AS (
        |  SELECT ch.doc_id, MAX(ch.n) AS n_tokens, CAST(COUNT(*) AS BIGINT) AS n_chunks,
@@ -1299,7 +1317,6 @@ object TextQueries {
        |SELECT doc_id, n_tokens, n_chunks, dup_chunks, dup_tokens,
        |  (dup_tokens * 1000000) // n_tokens AS dup_ratio_ppm
        |FROM p ORDER BY doc_id""".stripMargin
-  }
 
   // ---------------------------------------------------------------- C38
   /** C38: k-gram novelty — per doc, the fraction of its distinct k-gram

@@ -673,6 +673,28 @@ class StreamingSpec extends SparkTestBase {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("D37 streaming CDC telemetry == batch c127 rolled up per lang") {
+    val got = StreamingQueries.d37StreamCdc(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val lang = graft.Tables(spark, sf, "documents").select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // batch per-doc dup stats share the occ >= 2 convention, so the
+    // per-lang rollup must match the stream's frozen-store screen
+    val want = graft.text.TextQueries.c127CdcChunks(spark, sf).collect()
+      .map(r => (lang(r.getLong(0)), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (l, g) =>
+        val (nTok, nCh, dupCh, dupTok) =
+          (g.map(_._2).sum, g.map(_._3).sum, g.map(_._4).sum, g.map(_._5).sum)
+        (l, nCh, dupCh, nTok, dupTok, dupTok * 1000000L / nTok)
+      }
+    assert(got.toSeq == want)
+    // both sides of the screen genuinely exercised
+    assert(want.exists(_._5 > 0L) && want.exists(r => r._5 < r._4))
+  }
+
   test("D36 streaming gini == batch C118 row for row (histogram is the mergeable state)") {
     val got = StreamingQueries.d36StreamGini(spark, sf).collect().map(_.toSeq)
     val want = graft.text.TextQueries.c118Gini(spark, sf).collect().map(_.toSeq)
