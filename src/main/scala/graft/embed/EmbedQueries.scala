@@ -834,6 +834,76 @@ object EmbedQueries {
       .orderBy("vec_id")
   }
 
+  // --------------------------------------------------------------- C129
+  /** C129: kNN-density outlier scoring (the LOF idea, Breunig et al.
+    * 2000, in its k-distance-ratio simplification) — the PRUNING
+    * counterpart to C70's prototypicality: instead of "how close to my
+    * centroid" (which needs a clustering to exist and be right), "how
+    * sparse is my neighborhood RELATIVE to my neighbors' neighborhoods"
+    * — the signal that separates genuinely novel content (keep) from
+    * isolated junk/mojibake embeddings (drop) without any K or any
+    * centroid. Per vector a: kdist = mean cosine-DISTANCE (1e6 − cos
+    * micro, +1 so identical-vector neighborhoods stay divisible) over
+    * its directed top-k list, and lof_ppm = (mean over a's neighbors b
+    * of kdist(b)) · 1e6 div kdist(a) — ≫ 1e6 means a sits in a much
+    * sparser ball than its own neighbors (outlier), ≈ 1e6 means
+    * density-consistent. Vectors with no bucket-mates report sentinel
+    * −1 (the C106 convention); a neighbor always has a non-empty list
+    * (its bucket contains at least the vector that named it).
+    *
+    * Exactness: cos is the canonical 6dp round; everything after is
+    * integer sums and truncating divs of NON-NEGATIVE values (div ≡
+    * DuckDB // on this domain, the C94 rule). Scale shape: the
+    * memoized C46 directed list (bucketed, never all-pairs) + one
+    * k-bounded self equi-join + two vec-keyed partial aggs.
+    */
+  def c129KnnOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val td = directedTopK(spark, dir)
+      .select(col("vec_a"), col("vec_b"),
+        (lit(1000000L) - round(col("cos") * lit(1e6), 0).cast("long")).as("dist_micro"))
+    val kd = td.groupBy("vec_a")
+      .agg(count(lit(1)).as("deg"),
+        (expr("sum(dist_micro) div count(1)") + lit(1L)).as("kdist_micro"))
+    val nb = td.select(col("vec_a"), col("vec_b"))
+      .join(kd.select(col("vec_a").as("vec_b"), col("kdist_micro").as("nk")), "vec_b")
+      .groupBy("vec_a").agg(expr("sum(nk) div count(1)").as("nbr_kdist_micro"))
+    Tables(spark, dir, "embeddings").select(col("vec_id"))
+      .join(kd.withColumnRenamed("vec_a", "vec_id"), Seq("vec_id"), "left")
+      .join(nb.withColumnRenamed("vec_a", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("kdist_micro"), lit(-1L)).as("kdist_micro"),
+        coalesce(col("nbr_kdist_micro"), lit(-1L)).as("nbr_kdist_micro"),
+        coalesce(expr("(nbr_kdist_micro * 1000000) div kdist_micro"), lit(-1L))
+          .as("lof_ppm"))
+      .orderBy("vec_id")
+  }
+
+  lazy val c129Sql: String =
+    s"""WITH $knnGraphCtes,
+       |td AS (
+       |  SELECT vec_a, vec_b,
+       |    1000000 - CAST(ROUND(cos * 1000000) AS BIGINT) AS dist_micro
+       |  FROM t
+       |), kd AS (
+       |  SELECT vec_a, CAST(COUNT(*) AS BIGINT) AS deg,
+       |    CAST(SUM(dist_micro) AS BIGINT) // COUNT(*) + 1 AS kdist_micro
+       |  FROM td GROUP BY vec_a
+       |), nb AS (
+       |  SELECT td.vec_a,
+       |    CAST(SUM(k2.kdist_micro) AS BIGINT) // COUNT(*) AS nbr_kdist_micro
+       |  FROM td JOIN kd k2 ON k2.vec_a = td.vec_b
+       |  GROUP BY td.vec_a
+       |)
+       |SELECT e.vec_id, COALESCE(kd.deg, 0) AS deg,
+       |  COALESCE(kd.kdist_micro, -1) AS kdist_micro,
+       |  COALESCE(nb.nbr_kdist_micro, -1) AS nbr_kdist_micro,
+       |  COALESCE((nb.nbr_kdist_micro * 1000000) // kd.kdist_micro, -1) AS lof_ppm
+       |FROM embeddings e
+       |LEFT JOIN kd ON kd.vec_a = e.vec_id
+       |LEFT JOIN nb ON nb.vec_a = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+
   lazy val c128Sql: String =
     s"""WITH $knnGraphCtes,
        |sn AS (
@@ -2231,6 +2301,7 @@ object EmbedQueries {
     "c42_mrl_recall" -> (c42MrlRecall _),
     "c46_knn_graph" -> (c46KnnGraph _),
     "c128_snn_clusters" -> (c128SnnClusters _),
+    "c129_knn_outliers" -> (c129KnnOutliers _),
     "c50_kmeans_assign" -> (c50KmeansAssign _),
     "c51_semdedup" -> (c51SemDedup _),
     "c54_random_projection" -> (c54RandomProjection _),
@@ -2261,6 +2332,7 @@ object EmbedQueries {
     "c42_mrl_recall" -> c42Sql,
     "c46_knn_graph" -> c46Sql,
     "c128_snn_clusters" -> c128Sql,
+    "c129_knn_outliers" -> c129Sql,
     "c50_kmeans_assign" -> c50Sql,
     "c51_semdedup" -> c51Sql,
     "c54_random_projection" -> c54Sql,

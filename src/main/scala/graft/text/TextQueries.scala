@@ -811,8 +811,15 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"), sum("avg_cond_micro").as("s"))
       .select(col("source"), col("n_docs"),
         expr("1000000L - (s div n_docs)").as("loss_micro"))
-    val rows = dom.select("source", "loss_micro").collect()
+    val rows = dom.select("source", "loss_micro")
+      .limit(4097) // cap BEFORE collecting (the c111 guard pattern)
+      .collect()
       .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    // 'source' is a bounded value domain (≤ ~10 labels); a
+    // high-cardinality source column would make this driver fold a
+    // scale hazard — fail loudly instead of quietly materializing it
+    require(rows.length <= 4096,
+      s"doremiWeights: ${rows.length} sources — expected a bounded domain")
     val k = rows.length.toLong
     val loss = rows.map(_._2)
     var w = rows.map(_ => 1000000L / k)

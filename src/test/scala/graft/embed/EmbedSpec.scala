@@ -180,6 +180,35 @@ class EmbedQueriesSpec extends SparkTestBase {
     assert(out.values.exists(_._2 > 1L) && out.values.exists(_._2 == 1L))
   }
 
+  test("c129 knn outliers: brute-force density-ratio recompute, sentinel path") {
+    import graft.embed.EmbedQueries
+    val out = EmbedQueries.c129KnnOutliers(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val td = EmbedQueries.directedTopK(spark, sf)
+      .select("vec_a", "vec_b", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        1000000L - math.round(r.getDouble(2) * 1e6)))
+    val byA = td.groupBy(_._1)
+    val kdist = byA.view.mapValues(g =>
+      g.map(_._3).sum / g.length + 1L).toMap
+    val deg = byA.view.mapValues(_.length.toLong).toMap
+    val nbr = byA.view.mapValues(g =>
+      g.map(e => kdist(e._2)).sum / g.length).toMap
+    val nodes = graft.Tables(spark, sf, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(out.keySet == nodes.toSet)
+    nodes.foreach { n =>
+      val want =
+        if (!deg.contains(n)) (0L, -1L, -1L, -1L)
+        else (deg(n), kdist(n), nbr(n), nbr(n) * 1000000L / kdist(n))
+      assert(out(n) == want, s"vec $n")
+    }
+    // the score genuinely varies (density signal exists on this corpus)
+    val scored = out.values.filter(_._4 >= 0L).map(_._4)
+    assert(scored.nonEmpty && scored.toSet.size > 1)
+  }
+
   test("c104 triangles: brute-force recompute, lcc formula, once-per-triangle") {
     import graft.embed.EmbedQueries
     val out = EmbedQueries.c104Triangles(spark, sf).collect()
