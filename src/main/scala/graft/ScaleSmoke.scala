@@ -633,6 +633,27 @@ object ScaleSmoke {
     println(f"SCALE simplifyFold shapes=$nShapes classes=${spRows.length} " +
       f"maxTaskMs=$spMaxMs meanTaskMs=$spMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
+    // --- CDC chunking (the C127 kernel) at volume: boundaries, spans
+    // and fingerprints are per-doc array HOFs — scan-stage, ZERO
+    // shuffle before the (fp, clen) agg, so tasks must stay flat. The
+    // partition property is the exact invariant: chunks tile the token
+    // stream, so Σ clen == total tokens bit-exactly, and xxhash64-mixed
+    // tokens guarantee boundaries genuinely fire (~2 extra chunks/doc).
+    t0 = System.nanoTime()
+    val nCdc = math.max(nCells / 10L, 100000L)
+    val cdcDocs = spark.range(nCdc).select(col("id").as("doc_id"),
+      expr("array_join(transform(sequence(0, 63), " +
+        "i -> concat('t', pmod(xxhash64(id, i), 100000))), ' ')").as("text"))
+    val (cdcRow, cdMaxMs, cdMeanMs) = withMaxTask(
+      graft.text.TextQueries.cdcChunkFrame(cdcDocs, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"), sum("clen").as("n_tokens")).head())
+    val (cdcChunks, cdcToks) = (cdcRow.getLong(0), cdcRow.getLong(1))
+    require(cdcToks == 64L * nCdc,
+      s"CDC chunks do not tile the token stream: $cdcToks != ${64L * nCdc}")
+    require(cdcChunks > nCdc, s"no CDC boundary ever fired ($cdcChunks chunks)")
+    println(f"SCALE cdcChunks docs=$nCdc chunks=$cdcChunks " +
+      f"maxTaskMs=$cdMaxMs meanTaskMs=$cdMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
     // --- WordPiece greedy apply (the C119 kernel) at volume: the
     // native expression must stay a flat scan-stage pass — per-word
     // cost is O(len·maxPieceLen) hash lookups, zero joins/shuffles.
