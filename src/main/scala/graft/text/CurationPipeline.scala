@@ -35,6 +35,11 @@ import graft.{GraftSession, Tables}
   *     derived from the curated TRAIN split only (stage 7's held-out
   *     hygiene), written next to the mixture as the per-lang table a
   *     vocab-size/mix decision reads.
+  * 11. chunk-dedup telemetry — C127/D37's content-defined chunking
+  *     over the curated corpus: how much SUB-document duplication
+  *     survived gates + exact dedup + near-dup collapse + segment
+  *     trim, per lang (occ ≥ 2, the chunk-store convention) — the
+  *     audit a dedup stack publishes next to its output.
   *
   * Every stage is declarative DataFrame algebra over the same operators
   * the driver hash-checks individually; the composition adds no new
@@ -61,7 +66,8 @@ object CurationPipeline {
       afterSegTrim: Long, segTokensDropped: Long,
       sequences: Long, bpeMerges: Long, tokensAfterBpe: Long,
       mixSources: Long, mixMassMicro: Long,
-      wpLangs: Long, wpPieces: Long)
+      wpLangs: Long, wpPieces: Long,
+      cdcChunks: Long, cdcDupTokens: Long)
 
   /** spark-submit entry: runMain graft.text.CurationPipeline <sfDir> <outDir>. */
   def main(args: Array[String]): Unit = {
@@ -204,6 +210,21 @@ object CurationPipeline {
     equity.write.mode("overwrite").parquet(s"$outDir/tokenizer_equity")
     val equityRows = spark.read.parquet(s"$outDir/tokenizer_equity").collect()
 
+    // 11. chunk-dedup telemetry over the curated corpus (C127/D37's
+    // shared CDC definition, occ >= 2 convention)
+    val chunkFrame = TextQueries.cdcChunkFrame(
+      out.select("doc_id", "lang", "text"), Seq("doc_id", "lang"))
+    val chunkOcc = chunkFrame.groupBy("fp", "clen").agg(count(lit(1)).as("occ"))
+    val chunkTel = chunkFrame.join(chunkOcc, Seq("fp", "clen"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("dup_chunks"),
+        sum("clen").as("n_tokens"),
+        sum(when(col("occ") >= 2, col("clen")).otherwise(0L)).as("dup_tokens"))
+      .withColumn("dup_mass_ppm", expr("(dup_tokens * 1000000) div n_tokens"))
+    chunkTel.write.mode("overwrite").parquet(s"$outDir/chunk_dedup")
+    val chunkRows = spark.read.parquet(s"$outDir/chunk_dedup").collect()
+
     def n(df: DataFrame): Long = df.count()
     val bySplit = out.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -227,6 +248,8 @@ object CurationPipeline {
       mixSources = mixRows.length.toLong,
       mixMassMicro = mixRows.map(_.getAs[Long]("w_micro")).sum,
       wpLangs = equityRows.length.toLong,
-      wpPieces = equityRows.map(_.getAs[Long]("n_pieces")).sum)
+      wpPieces = equityRows.map(_.getAs[Long]("n_pieces")).sum,
+      cdcChunks = chunkRows.map(_.getAs[Long]("n_chunks")).sum,
+      cdcDupTokens = chunkRows.map(_.getAs[Long]("dup_tokens")).sum)
   }
 }

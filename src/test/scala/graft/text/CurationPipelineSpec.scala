@@ -87,5 +87,28 @@ class CurationPipelineSpec extends SparkTestBase {
     assert(equity.count() == r.wpLangs)
     assert(equity.filter(col("fertility_nano") < 1000000000L).count() == 0)
     assert(r.wpPieces >= wsTokens, "fewer pieces than words — segmentation lost words")
+
+    // stage 11: chunk telemetry covers every curated lang, the chunks
+    // tile the curated token stream EXACTLY (split-token mass, empties
+    // included — the chunker's tokenization), and curation left
+    // strictly less sub-document duplication than the raw corpus
+    val chunkTel = spark.read.parquet(s"$out/chunk_dedup")
+    assert(chunkTel.count() == r.wpLangs)
+    val telAgg = chunkTel.agg(sum("n_chunks"), sum("n_tokens"), sum("dup_tokens")).head()
+    assert(telAgg.getLong(0) == r.cdcChunks)
+    assert(telAgg.getLong(2) == r.cdcDupTokens)
+    val splitToks = corpus
+      .agg(sum(size(split(col("text"), " ")).cast("long"))).head().getLong(0)
+    assert(telAgg.getLong(1) == splitToks, "chunks do not tile the curated corpus")
+    val raw = TextQueries.cdcChunkFrame(
+      Tables(spark, sf, "documents"), Seq("doc_id"))
+    val rawOcc = raw.groupBy("fp", "clen").agg(count(lit(1)).as("occ"))
+    val rawAgg = raw.join(rawOcc, Seq("fp", "clen"))
+      .agg(sum(when(col("occ") >= 2, col("clen")).otherwise(0L)), sum("clen")).head()
+    val rawPpm = rawAgg.getLong(0) * 1000000L / rawAgg.getLong(1)
+    val curPpm = r.cdcDupTokens * 1000000L / telAgg.getLong(1)
+    assert(rawPpm > 0L, "raw corpus has no chunk duplication — telemetry is vacuous")
+    assert(curPpm < rawPpm,
+      s"curation did not reduce sub-document duplication ($curPpm vs $rawPpm ppm)")
   }
 }
