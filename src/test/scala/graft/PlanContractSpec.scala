@@ -200,4 +200,19 @@ class PlanContractSpec extends SparkTestBase {
     assert("(?i)event_type\\W{0,5}error".r.findFirstIn(pushed).isDefined,
       s"error filter not pushed to the events scan (pushed=[$pushed])")
   }
+
+  test("a44 plan contract: one fold, no checkpoint scans, bounded exchanges") {
+    // the round-11 rewrite's shape must not regress to the join-cascade
+    // form: no materialized-RDD scans (localCheckpoint leaves 'Scan
+    // ExistingRDD'), no joins at all, and only the aggregate exchange
+    // plus the output range sort move data
+    val plan = SparkEntry.queries("a44_simplify_polygon")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), "checkpointed RDD scan in the a44 plan")
+    assert(!plan.contains("Join"), "the a44 fold must not re-grow a join cascade")
+    assert(plan.toLowerCase.contains("simplifypolygonstats"),
+      "native fold expression missing from the a44 plan")
+    val exchanges = "(?i)exchange".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"$exchanges exchanges in the a44 plan — expected agg + sort")
+  }
 }
