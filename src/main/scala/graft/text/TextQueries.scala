@@ -1325,6 +1325,69 @@ object TextQueries {
        |  (dup_tokens * 1000000) // n_tokens AS dup_ratio_ppm
        |FROM p ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- C130
+  /** C130: fixed-size weighted sampling without replacement — exactly
+    * [[SampleK]] docs PER SOURCE, selection probability increasing in
+    * the C3 quality weight: the "give me K docs per domain, favor the
+    * good ones, same answer every run" primitive a training-data
+    * pipeline needs where C91's Bernoulli draw (variable size,
+    * p ∝ weight) and C32's budget truncation (deterministic order, no
+    * randomization) don't fit. The Efraimidis–Spirakis exponential
+    * race, derandomized the C23/C91 way: each doc draws the hash
+    * uniform u = (id·2654435761 + 104729) mod (2³¹−1) and races with
+    * key = u·1e6 div w (integer; smaller wins — doubling w halves a
+    * doc's expected key), and the K smallest keys per source win.
+    * Exactly-K BY CONSTRUCTION, weight-monotone in expectation
+    * (spec-witnessed: the kept set's mean weight exceeds the
+    * population's), reproducible with no RNG state.
+    *
+    * Scale shape: one scan-stage projection (the shared C3 formula) +
+    * a per-source top-K — the rank ≤ K predicate decorrelates into
+    * WindowGroupLimit (b4/b45's shape), so each map task keeps a
+    * K-row heap per source and only K·sources rows reach the final
+    * sort; never a full per-source sort of the corpus.
+    */
+  val SampleK = 5
+
+  def c130WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val q = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => t.isin(Stopwords: _*))).cast("long").as("stop_cnt"))
+      .withColumn("w_micro", qualityMicro + lit(1L)) // C3 quality ≥ 0 → w ≥ 1
+      .withColumn("u", expr("(doc_id * 2654435761 + 104729) % 2147483647"))
+      .withColumn("skey", expr("(u * 1000000) div w_micro"))
+    q.withColumn("rnk", row_number().over(
+        Window.partitionBy("source").orderBy(col("skey"), col("doc_id"))).cast("long"))
+      .filter(col("rnk") <= SampleK)
+      .select("source", "rnk", "doc_id", "w_micro", "skey")
+      .orderBy("source", "rnk")
+  }
+
+  lazy val c130Sql: String = {
+    val stops = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH f AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS BIGINT) AS stop_cnt
+       |  FROM documents
+       |), q AS (
+       |  SELECT doc_id, source, $QualityMicroSql + 1 AS w_micro,
+       |    (doc_id * 2654435761 + 104729) % 2147483647 AS u
+       |  FROM f
+       |), p AS (
+       |  SELECT source, doc_id, w_micro, (u * 1000000) // w_micro AS skey,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY (u * 1000000) // w_micro, doc_id) AS rnk
+       |  FROM q
+       |)
+       |SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, w_micro, skey
+       |FROM p WHERE rnk <= $SampleK
+       |ORDER BY source, rnk""".stripMargin
+  }
+
   // ---------------------------------------------------------------- C38
   /** C38: k-gram novelty — per doc, the fraction of its distinct k-gram
     * hashes whose FIRST occurrence (min doc_id, i.e. crawl order) is
@@ -5704,10 +5767,12 @@ object TextQueries {
     "c59_bpe_merges" -> (c59BpeMerges _),
     "c63_cms_freq" -> (c63CmsFreq _),
     "c64_classifier_eval" -> (c64ClassifierEval _),
-    "c127_cdc_chunks" -> (c127CdcChunks _))
+    "c127_cdc_chunks" -> (c127CdcChunks _),
+    "c130_weighted_sample" -> (c130WeightedSample _))
 
   val oracles: Map[String, String] = Map(
     "c127_cdc_chunks" -> c127Sql,
+    "c130_weighted_sample" -> c130Sql,
     "c113_mmr_rerank" -> c113Sql,
     "c111_bradley_terry" -> c111Sql,
     "c110_textrank" -> c110Sql,

@@ -58,6 +58,43 @@ class CdcChunksSpec extends SparkTestBase {
     assert(want.exists(_._3 > 1L), "no doc ever chunked — boundary path untested")
   }
 
+  test("c130 weighted sample: exact race recompute, exactly-K, weight bias, TopK plan") {
+    val out = TextQueries.c130WeightedSample(spark, sf)
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // sequential recompute of the whole race from raw text
+    val docs = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val pop = docs.map { case (id, src, text) =>
+      val toks = text.split(" ", -1)
+      val stop = toks.count(TextQueries.Stopwords.contains).toLong
+      val n = toks.length.toLong
+      val w = stop * 300000L / n + math.min(n, 200L) * 3500L + 1L
+      val u = (id * 2654435761L + 104729L) % 2147483647L
+      (src, id, w, u * 1000000L / w)
+    }
+    val want = pop.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (src, g) =>
+      g.sortBy(d => (d._4, d._2)).take(TextQueries.SampleK).zipWithIndex
+        .map { case ((_, id, w, k), i) => (src, i + 1L, id, w, k) }
+    }
+    assert(got.toSeq == want)
+    // exactly K per source wherever the source has >= K docs
+    val bySrc = pop.groupBy(_._1).view.mapValues(_.size).toMap
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.length == math.min(TextQueries.SampleK, bySrc(src)), src)
+    }
+    // the race is genuinely weight-biased: kept docs are heavier on
+    // average than the population (the whole point of weighting)
+    val keptIds = got.map(_._3).toSet
+    val (kept, all) = (pop.filter(p => keptIds(p._2)).map(_._3), pop.map(_._3))
+    assert(kept.sum / kept.length > all.sum / all.length,
+      "weighted sample is not heavier than the population")
+    // scale contract: the rank <= K predicate reached WindowGroupLimit,
+    // so map tasks keep K-row heaps instead of sorting the corpus
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("CDC re-synchronizes after a leading edit; a fixed grid does not") {
     // deterministic pseudo-random 400-token text (LCG — an affine map of
     // the index is too structured: its alternating window sums orbit a
