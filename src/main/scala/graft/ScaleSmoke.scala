@@ -675,6 +675,43 @@ object ScaleSmoke {
     require(wpPieces == nWp * 25L, s"wordpiece pieces $wpPieces != ${nWp * 25L}")
     println(f"SCALE wordpiece docs=$nWp pieces=$wpPieces " +
       f"maxTaskMs=$wpMaxMs meanTaskMs=$wpMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // --- shuffle-form dedup scoring (the round-12 broadcast dispatch)
+    // ABOVE the gate: a fully diverse corpus (reps == docs, consecutive
+    // ids near-dup) with graft.dedup.maxBcastReps forced under the rep
+    // count, so the set-rep joins run as plain equi-joins — the form a
+    // 100 TB corpus takes. Flat tasks prove no per-task corpus-sized
+    // build; the hinted run at default gates must emit the identical
+    // edge set (the dispatch is an optimization, never semantics).
+    t0 = System.nanoTime()
+    val nDv = math.max(nDocs / 2L, 100000L)
+    val dvDocs = spark.range(nDv).select(col("id").as("doc_id"),
+      concat(concat_ws(" ", expr(
+          "transform(sequence(0, 9), k -> concat('w', ((id div 2) * (k + 3)) % 9973))")),
+        lit(" tail"), col("id") % 2L).as("text")).localCheckpoint(true)
+    spark.conf.set("graft.dedup.maxBcastReps", (nDv / 2).toString)
+    spark.conf.set("graft.dedup.maxBcastGroups", (nDv / 2).toString)
+    val (shufEdges, dsMaxMs, dsMeanMs) = try withMaxTask(
+      graft.dedup.DedupQueries.scoredRepPairsFor(dvDocs, 0.5)
+        .agg(count(lit(1)), sum(col("src") + col("dst"))).head())
+      finally {
+        spark.conf.unset("graft.dedup.maxBcastReps")
+        spark.conf.unset("graft.dedup.maxBcastGroups")
+      }
+    val (hintEdges, _, _) = withMaxTask(
+      graft.dedup.DedupQueries.scoredRepPairsFor(dvDocs, 0.5)
+        .agg(count(lit(1)), sum(col("src") + col("dst"))).head())
+    // candidacy per family is deterministic-but-not-closed-form (each
+    // pair's band agreement depends on its own minhashes; J=5/6 ⇒
+    // ~40% of families are LSH candidates), so the pins are: the two
+    // forms agree bit-exactly, the edge set is non-trivial, and tasks
+    // stay flat — no per-task corpus-sized build in the shuffle form.
+    require(shufEdges.getLong(0) > 0L, "degenerate fixture: no scored edges")
+    require(shufEdges.getLong(0) == hintEdges.getLong(0)
+        && shufEdges.getLong(1) == hintEdges.getLong(1),
+      s"dispatch changed the edge set: $shufEdges vs $hintEdges")
+    println(f"SCALE dedupShuffleForm docs=$nDv reps=$nDv edges=${shufEdges.getLong(0)} " +
+      f"maxTaskMs=$dsMaxMs meanTaskMs=$dsMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 }

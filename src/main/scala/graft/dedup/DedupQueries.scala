@@ -61,6 +61,50 @@ object MinHashLsh {
 object DedupQueries {
   import MinHashLsh._
 
+  /** Size-dispatched broadcast hints for the LSH candidate/scoring path
+    * (the [[GraphCC.SmallGraphMax]] pattern applied to joins): an
+    * UNCONDITIONAL `broadcast()` here is the one 100×-scale landmine —
+    * a diverse corpus has ~|docs| distinct signatures and set-reps, and
+    * a hinted broadcast of a corpus-sized frame doesn't degrade, it
+    * OOMs the driver. Every gated frame descends from an
+    * already-sealed localCheckpoint, so the gate is one cheap count
+    * over cached blocks; above the gate the joins run as plain
+    * equi-joins and AQE still auto-broadcasts whenever the runtime
+    * build side fits its own threshold — the hint is an optimization
+    * for the dup-heavy regime, never a correctness lever.
+    *
+    *  - [[MaxBcastGroups]] caps the supernode `groups` frame by its
+    *    upper bound |sigs| (narrow rows: doc_id + Bands hashes —
+    *    4M ≈ 100 MB build side);
+    *  - the set-rep frames carry per-doc sorted shingle-hash ARRAYS, so
+    *    row count is a poor proxy for build size: [[setsHint]] gates on
+    *    rows ≤ [[MaxBcastReps]] AND total array elements ≤
+    *    [[MaxBcastSetElems]] (32M longs ≈ 256 MB).
+    *
+    * Overridable via `graft.dedup.maxBcastGroups` /
+    * `graft.dedup.maxBcastReps` / `graft.dedup.maxBcastSetElems` so
+    * specs pin the shuffle form at small SF.
+    */
+  val MaxBcastGroups = 4000000L
+  val MaxBcastReps = 1000000L
+  val MaxBcastSetElems = 32000000L
+
+  private def confLong(df: DataFrame, key: String, dflt: Long): Long =
+    df.sparkSession.conf.getOption(key).map(_.toLong).getOrElse(dflt)
+
+  /** Count+bytes-gated hint for a sealed rep frame carrying the sorted
+    * distinct shingle-hash array column `s`. Returns the hint to apply
+    * to each projection of the frame's set columns.
+    */
+  private def setsHint(reps: DataFrame): DataFrame => DataFrame = {
+    val a = reps.agg(count(lit(1)), sum(size(col("s")))).head()
+    val nRows = a.getLong(0)
+    val nElems = if (a.isNullAt(1)) 0L else a.getLong(1)
+    if (nRows <= confLong(reps, "graft.dedup.maxBcastReps", MaxBcastReps) &&
+        nElems <= confLong(reps, "graft.dedup.maxBcastSetElems", MaxBcastSetElems))
+      broadcast else identity
+  }
+
   /** doc_id + band-hash rows: the unit the LSH bucket join shuffles.
     *
     * Staged as ths → sig → bands so each stage is computed once per row:
@@ -152,16 +196,22 @@ object DedupQueries {
         .localCheckpoint(true)
       val groups = sigs.groupBy(bhCols.map(col): _*)
         .agg(min("doc_id").as("gid"))
-      val members = sigs.join(broadcast(groups), bhCols)
-        .select(col("gid"), col("doc_id"))
       // band agreement between distinct groups: dup-heavy corpora
-      // collapse docs onto few signatures, so `groups` is the small
-      // (broadcastable) side — if a corpus ever had ~|docs| distinct
-      // signatures, drop the broadcast hint and let the equi-join shuffle
+      // collapse docs onto few signatures, so `groups` is usually the
+      // small (broadcastable) side — but only USUALLY: the hint is
+      // count-gated on |sigs| ≥ |groups| (sigs is sealed, the count is
+      // one pass over cached blocks) so a diverse ~|docs|-signature
+      // corpus falls back to plain equi-joins under AQE instead of a
+      // driver-sized broadcast build (see the dispatch scaladoc above).
+      val hintG: DataFrame => DataFrame =
+        if (sigs.count() <= confLong(sigs, "graft.dedup.maxBcastGroups", MaxBcastGroups))
+          broadcast else identity
+      val members = sigs.join(hintG(groups), bhCols)
+        .select(col("gid"), col("doc_id"))
       val gpairs = (0 until Bands).map { bn =>
         val gl = groups.select(col(s"bh$bn").as("bh"), col("gid").as("g1"))
         val gr = groups.select(col(s"bh$bn").as("bh"), col("gid").as("g2"))
-        gl.join(broadcast(gr), "bh").filter(col("g1") < col("g2")).select("g1", "g2")
+        gl.join(hintG(gr), "bh").filter(col("g1") < col("g2")).select("g1", "g2")
       }.reduce(_ union _)
         .groupBy("g1", "g2").agg(count(lit(1)).as("n_bands"))
       // same-signature docs: every band agrees
@@ -452,14 +502,18 @@ object DedupQueries {
     // sets are distinct, so the Jaccard double is bit-identical to the
     // intersect/union form the oracle computes. The size-ratio
     // prefilter J≥t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|) still skips
-    // obviously-too-different pairs before the merge. Sets broadcast:
-    // they're one row per distinct text.
+    // obviously-too-different pairs before the merge. Sets broadcast
+    // only while the count+bytes gate says the build side is small
+    // (one row per distinct SET, but each row carries the hash array —
+    // see the dispatch scaladoc): above the gate these are plain
+    // doc_id equi-joins.
+    val hintS = setsHint(reps)
     val sets = reps.select(col("doc_id"), col("s"))
       .withColumn("ns", size(col("s")))
     val repEdges = candidatePairsFor(reps).select("doc_a", "doc_b")
-      .join(broadcast(sets.select(col("doc_id").as("doc_a"),
+      .join(hintS(sets.select(col("doc_id").as("doc_a"),
         col("s").as("sa"), col("ns").as("na"))), "doc_a")
-      .join(broadcast(sets.select(col("doc_id").as("doc_b"),
+      .join(hintS(sets.select(col("doc_id").as("doc_b"),
         col("s").as("sb"), col("ns").as("nb"))), "doc_b")
       .filter(least(col("na"), col("nb")).cast("double")
         >= lit(CollapseJaccard) * greatest(col("na"), col("nb")))
@@ -1066,8 +1120,14 @@ object DedupQueries {
   private[dedup] def scoredRepPairs(spark: SparkSession, dir: String,
       minJac: Double): DataFrame =
     scoredCache.getOrElseUpdate(
-      (spark.sparkContext.applicationId, dir, math.round(minJac * 1e6)), {
-    val docs = Tables(spark, dir, "documents")
+      (spark.sparkContext.applicationId, dir, math.round(minJac * 1e6)),
+      scoredRepPairsFor(Tables(spark, dir, "documents"), minJac)
+        .localCheckpoint(true))
+
+  /** The scoring recipe on any (doc_id, text) frame — shared by the
+    * memoized query path and the broadcast-dispatch specs.
+    */
+  private[graft] def scoredRepPairsFor(docs: DataFrame, minJac: Double): DataFrame = {
     val classes = docs.groupBy("text").agg(min("doc_id").as("rep"))
     val textReps = classes.select(col("rep").as("doc_id"), col("text"))
     val withSet = textReps
@@ -1076,11 +1136,14 @@ object DedupQueries {
     val joined = withSet.join(setClasses, "s").localCheckpoint(true)
     val reps = joined.filter(col("doc_id") === col("srep"))
       .select(col("doc_id"), col("text"), col("s")).localCheckpoint(true)
+    // count+bytes-gated hint — plain equi-joins above the gate (see
+    // the dispatch scaladoc at the top of this object)
+    val hintS = setsHint(reps)
     val sets = reps.select(col("doc_id"), col("s")).withColumn("ns", size(col("s")))
     candidatePairsFor(reps).select("doc_a", "doc_b")
-      .join(broadcast(sets.select(col("doc_id").as("doc_a"),
+      .join(hintS(sets.select(col("doc_id").as("doc_a"),
         col("s").as("sa"), col("ns").as("na"))), "doc_a")
-      .join(broadcast(sets.select(col("doc_id").as("doc_b"),
+      .join(hintS(sets.select(col("doc_id").as("doc_b"),
         col("s").as("sb"), col("ns").as("nb"))), "doc_b")
       .filter(least(col("na"), col("nb")).cast("double")
         >= lit(minJac) * greatest(col("na"), col("nb")))
@@ -1089,8 +1152,7 @@ object DedupQueries {
         / (col("na") + col("nb") - col("inter")).cast("double"), 6))
       .filter(col("jac") >= minJac)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"), col("jac"))
-      .localCheckpoint(true)
-  })
+  }
 
   def c85ThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")

@@ -285,10 +285,16 @@ case class MomentMatrix(child: Expression, dExpr: Expression,
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    // Loud-failure contract: a buffer serialized under a different d
+    // (e.g. streaming state restored after a Dims change) must fail
+    // here, not silently zero-pad into skewed moments.
+    require(bytes.length == 8 * len,
+      s"moment_matrix: serialized buffer is ${bytes.length} B but d=$d expects ${8 * len} B" +
+        " — state written under a different dimension cannot be restored")
     val out = new Array[Long](len)
     val bb = ByteBuffer.wrap(bytes)
     var i = 0
-    while (i < len && bb.remaining() >= 8) { out(i) = bb.getLong; i += 1 }
+    while (i < len) { out(i) = bb.getLong; i += 1 }
     out
   }
 

@@ -83,22 +83,49 @@ case class SimplifyPolygonStats(child: Expression, tol: Long, bufD: Long, levels
 
 object SimplifyPolygonStats {
 
+  /** Loud input bounds, mirroring [[MomentMatrix]]'s d <= 1024 contract.
+    * The hull-membership scan is O(m^3) in DEDUPED vertices — fine for
+    * A44's <=7-vertex shapes, cubic-silent for an arbitrary caller —
+    * so the vertex count is capped where the cost lives. The coordinate
+    * cap keeps every intermediate exact in Int64: with |x|,|y| <=
+    * 2^14, chord/point deltas are <= 2^15, a cross product <= 2·2^30 =
+    * 2^31, and the DP test's cross^2 <= 2^62 and tol^2·len2 <=
+    * tol^2·2^31 both stay inside a signed 64-bit long for tol <= 2^15.
+    */
+  val MaxVerts = 1024
+  val MaxCoord = 16384L // 2^14
+  val MaxTol = 32768L   // 2^15
+
   /** The per-shape kernel, shared by eval and generated code. All
-    * arithmetic is exact Long (inputs are small grid cells, so every
-    * intermediate holds comfortably in 64 bits).
+    * arithmetic is exact Long (inputs are bounded by [[MaxCoord]], so
+    * every intermediate holds comfortably in 64 bits — enforced, not
+    * assumed).
     */
   def fold(arr: ArrayData, tol: Long, bufD: Long, levels: Int): InternalRow = {
+    require(tol >= 0L && tol <= MaxTol,
+      s"simplify_polygon_stats: tol=$tol outside [0, $MaxTol] — tol^2·len2 would overflow Long")
+    require(bufD >= 0L && bufD <= MaxTol,
+      s"simplify_polygon_stats: bufD=$bufD outside [0, $MaxTol] — buffered-area arithmetic" +
+        " would overflow Long")
     val n0 = arr.numElements()
     val raw = new Array[(Long, Long)](n0)
     var i = 0
     while (i < n0) {
       val r = arr.getStruct(i, 2)
-      raw(i) = (r.getLong(0), r.getLong(1))
+      val x = r.getLong(0)
+      val y = r.getLong(1)
+      require(math.abs(x) <= MaxCoord && math.abs(y) <= MaxCoord,
+        s"simplify_polygon_stats: vertex ($x,$y) outside ±$MaxCoord — cross^2 arithmetic" +
+          " would overflow Long; rescale coordinates before simplifying")
+      raw(i) = (x, y)
       i += 1
     }
     // distinct + lex sort: array index order IS lex order from here on
     val pts: Array[(Long, Long)] = raw.distinct.sorted
     val m = pts.length
+    require(m <= MaxVerts,
+      s"simplify_polygon_stats: $m distinct vertices exceeds MaxVerts=$MaxVerts —" +
+        " the strict-hull membership scan is O(m^3); pre-simplify or raise the cap deliberately")
 
     // strict chain membership via the straddling-pair characterization
     val onL = new Array[Boolean](m)

@@ -1334,9 +1334,17 @@ object TextQueries {
     * p ∝ weight) and C32's budget truncation (deterministic order, no
     * randomization) don't fit. The Efraimidis–Spirakis exponential
     * race, derandomized the C23/C91 way: each doc draws the hash
-    * uniform u = (id·2654435761 + 104729) mod (2³¹−1) and races with
-    * key = u·1e6 div w (integer; smaller wins — doubling w halves a
-    * doc's expected key), and the K smallest keys per source win.
+    * uniform u = ((id mod M)·506952114 + 104729) mod M with
+    * M = 2³¹−1 and races with key = u·1e6 div w (integer; smaller
+    * wins — doubling w halves a doc's expected key), and the K
+    * smallest keys per source win. 506952114 = 2654435761 mod M (the
+    * Knuth multiplier's residue), so the draw equals the textbook
+    * (id·2654435761) mod M at EVERY id: reducing id mod M first keeps
+    * the product ≤ (M−1)·506952114 < 2⁶⁰, exact in Int64 with no
+    * headroom bound on doc_id — the naive form wraps silently in
+    * Spark (and errors in DuckDB) past id ≈ 3.47e9, a cross-engine
+    * divergence this sampling contract can't tolerate at 100 TB row
+    * counts.
     * Exactly-K BY CONSTRUCTION, weight-monotone in expectation
     * (spec-witnessed: the kept set's mean weight exceeds the
     * population's), reproducible with no RNG state.
@@ -1357,7 +1365,8 @@ object TextQueries {
         size(toks).cast("long").as("n_tokens"),
         size(filter(toks, t => t.isin(Stopwords: _*))).cast("long").as("stop_cnt"))
       .withColumn("w_micro", qualityMicro + lit(1L)) // C3 quality ≥ 0 → w ≥ 1
-      .withColumn("u", expr("(doc_id * 2654435761 + 104729) % 2147483647"))
+      .withColumn("u",
+        expr("((doc_id % 2147483647) * 506952114 + 104729) % 2147483647"))
       .withColumn("skey", expr("(u * 1000000) div w_micro"))
     q.withColumn("rnk", row_number().over(
         Window.partitionBy("source").orderBy(col("skey"), col("doc_id"))).cast("long"))
@@ -1375,7 +1384,7 @@ object TextQueries {
        |  FROM documents
        |), q AS (
        |  SELECT doc_id, source, $QualityMicroSql + 1 AS w_micro,
-       |    (doc_id * 2654435761 + 104729) % 2147483647 AS u
+       |    ((doc_id % 2147483647) * 506952114 + 104729) % 2147483647 AS u
        |  FROM f
        |), p AS (
        |  SELECT source, doc_id, w_micro, (u * 1000000) // w_micro AS skey,

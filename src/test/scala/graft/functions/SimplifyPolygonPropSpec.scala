@@ -98,7 +98,10 @@ class SimplifyPolygonPropSpec extends AnyFunSuite {
     check(Prop.forAll(cloudGen) { pts =>
       val (nh, ha, nk0, sa0, _, _) = fold(pts, 0L, 24L, 14)
       val all = nk0 == nh && sa0 == ha
-      val (_, _, nkInf, saInf, _, _) = fold(pts, 1000000L, 24L, 14)
+      // MaxTol is the largest legal tolerance (the overflow cap) and
+      // dwarfs any deviation on the 0..12 coordinate domain
+      val (_, _, nkInf, saInf, _, _) =
+        fold(pts, SimplifyPolygonStats.MaxTol, 24L, 14)
       val seg = nh < 3 || (nkInf == 2 && saInf == 0)
       all && seg
     })

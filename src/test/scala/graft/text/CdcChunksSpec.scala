@@ -71,6 +71,10 @@ class CdcChunksSpec extends SparkTestBase {
       val stop = toks.count(TextQueries.Stopwords.contains).toLong
       val n = toks.length.toLong
       val w = stop * 300000L / n + math.min(n, 200L) * 3500L + 1L
+      // textbook (non-residue) Knuth draw: JVM Longs don't overflow on
+      // the test id domain, so this also witnesses that the query's
+      // overflow-exact ((id % M)·506952114 + 104729) % M rewrite
+      // preserves the original race values
       val u = (id * 2654435761L + 104729L) % 2147483647L
       (src, id, w, u * 1000000L / w)
     }
