@@ -347,6 +347,118 @@ object EmbedQueries {
        |    FROM asc0) WHERE rnk <= $TopK),
        |$recallTailSql""".stripMargin
 
+  // ---------------------------------------------------------------- C131
+  /** Bucket widths for the C131 calibration sweep — the width-b bucket
+    * is the low b bits of C11's 8-plane sign bucket (bit j = plane j's
+    * sign, so `bucket % 2^b` IS the b-plane bucket: fewer planes →
+    * coarser buckets → more candidates, higher recall). Shared between
+    * Spark and the oracle by construction: both derive every width from
+    * the one [[bucketCol]]/[[bucketSql]] definition C11/C46 ship.
+    */
+  val RecallBits = Seq(4, 6, 8)
+  /** recall@k cut points. */
+  val RecallKs = Seq(1L, 5L, 10L)
+
+  /** C131: recall-vs-cost calibration for the random-hyperplane bucket
+    * join — the C74 analogue for the embedding side. C74 justifies the
+    * minhash permutation count with a measured error table; nothing
+    * justified C11/C46's 8 bucket bits until this query: per bucket
+    * width b ∈ [[RecallBits]] and per k ∈ [[RecallKs]], it reports the
+    * bucket-restricted top-k's macro recall@k against the exact top-k
+    * (C10's ground truth) AND the candidate-pair count the width made
+    * the engine score — the recall/cost frontier a 100 TB deployment
+    * consults before trusting C46's graph (and C128/C129 built on it)
+    * or re-bucketing. Probes missing from their own bucket's candidate
+    * list (alone in a narrow bucket) count as recall 0, not dropped —
+    * the denominator is n_probes·k always.
+    *
+    * Scale shape: the corpus buckets once map-side (one 8-bit bucket,
+    * each width a modulus — no recompute); per width one equi-join of
+    * the broadcast ~1% probe set against the corpus on the width's
+    * bucket id (exactly C11's join, the thing being measured), one
+    * window top-k over bucket-mates, one partial-agg rollup with the
+    * per-k hits as conditional sums — the per-k axis never re-joins or
+    * re-scans. The exact ground truth reuses C10's probe-broadcast
+    * frame. The only driver scalar is the probe COUNT (bounded: one
+    * long).
+    */
+  def c131BucketRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorms(spark, dir).withColumn("bucket", bucketCol(col("embedding")))
+    val exact = exactTopKFrame(spark, dir)
+      .select(col("probe_id"), col("vec_id"), col("rnk").as("rnk_e"))
+    val nProbes = e.filter(col("vec_id") % ProbeMod === 0).count()
+    val perWidth = RecallBits.map { b =>
+      val m = 1L << b
+      val eb = e.withColumn("wb", col("bucket") % m)
+      val probes = eb.filter(col("vec_id") % ProbeMod === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("n2").as("pn"), col("wb"))
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+      broadcast(probes).join(eb, "wb").filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          cosine(dot(col("pe"), col("embedding")), col("pn"), col("n2")).as("cos"))
+        .withColumn("rnk_a", row_number().over(w))
+        .join(exact, Seq("probe_id", "vec_id"), "left")
+        .groupBy(lit(b.toLong).as("n_bits"))
+        .agg(count(lit(1)).as("n_cand"), RecallKs.map(k =>
+          sum(when(col("rnk_a") <= k && col("rnk_e") <= k, 1L).otherwise(0L))
+            .as(s"hits_$k")): _*)
+    }.reduce(_ union _)
+    perWidth
+      .select(col("n_bits"), col("n_cand"), explode(array(RecallKs.map(k =>
+        struct(lit(k).as("k"), col(s"hits_$k").as("hits"))): _*)).as("kh"))
+      .select(col("n_bits"), col("kh.k").as("k"), lit(nProbes).as("n_probes"),
+        col("n_cand"), col("kh.hits").as("hits"),
+        round(col("kh.hits").cast("double") / (lit(nProbes) * col("kh.k")), 6)
+          .as("recall"))
+      .orderBy("n_bits", "k")
+  }
+
+  lazy val c131Sql: String = {
+    val widths = RecallBits.map { b =>
+      val m = 1L << b
+      s"""sc$b AS (
+         |  SELECT p.probe_id, e.vec_id,
+         |    round(${dotSql("p.pe", "e.embedding")} / sqrt(p.pn * e.n2), 6) AS cos
+         |  FROM bprob p JOIN bucketed e
+         |    ON e.bucket % $m = p.bucket % $m AND e.vec_id <> p.probe_id),
+         |m$b AS (
+         |  SELECT CAST($b AS BIGINT) AS n_bits, r.probe_id, r.vec_id, r.rnk_a, t.rnk_e
+         |  FROM (SELECT probe_id, vec_id,
+         |          ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk_a
+         |        FROM sc$b) r
+         |  LEFT JOIN etopr t ON t.probe_id = r.probe_id AND t.vec_id = r.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val unionM = RecallBits.map(b => s"SELECT * FROM m$b").mkString(" UNION ALL ")
+    val ksVals = RecallKs.map(k => s"($k)").mkString(", ")
+    s"""WITH $normsCte,
+       |bucketed AS (SELECT vec_id, embedding, n2,
+       |  CAST(${bucketSql("embedding")} AS BIGINT) AS bucket FROM norms),
+       |bprob AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn, bucket
+       |  FROM bucketed WHERE vec_id % $ProbeMod = 0),
+       |esc AS (
+       |  SELECT p.probe_id, e.vec_id,
+       |    round(${dotSql("p.pe", "e.embedding")} / sqrt(p.pn * e.n2), 6) AS cos
+       |  FROM bprob p JOIN norms e ON e.vec_id <> p.probe_id),
+       |etopr AS (
+       |  SELECT probe_id, vec_id, rnk AS rnk_e FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+       |    FROM esc) WHERE rnk <= $TopK),
+       |$widths,
+       |allm AS ($unionM),
+       |np AS (SELECT COUNT(*) AS n_probes FROM bprob),
+       |ks(k) AS (VALUES $ksVals)
+       |SELECT a.n_bits, CAST(ks.k AS BIGINT) AS k, np.n_probes,
+       |  COUNT(*) AS n_cand,
+       |  CAST(SUM(CASE WHEN a.rnk_a <= ks.k AND a.rnk_e <= ks.k THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |  round(CAST(SUM(CASE WHEN a.rnk_a <= ks.k AND a.rnk_e <= ks.k THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / (np.n_probes * ks.k), 6) AS recall
+       |FROM allm a CROSS JOIN ks CROSS JOIN np
+       |GROUP BY a.n_bits, ks.k, np.n_probes
+       |ORDER BY n_bits, k""".stripMargin
+  }
+
   // ---------------------------------------------------------------- C18
   /** IVF codebook density: every CentroidMod-th vector is a coarse
     * centroid (deterministic stand-in for a k-means codebook — the
@@ -2299,6 +2411,7 @@ object EmbedQueries {
     "c39_pq_codes" -> (c39PqCodes _),
     "c41_ann_recall" -> (c41AnnRecall _),
     "c42_mrl_recall" -> (c42MrlRecall _),
+    "c131_bucket_recall" -> (c131BucketRecall _),
     "c46_knn_graph" -> (c46KnnGraph _),
     "c128_snn_clusters" -> (c128SnnClusters _),
     "c129_knn_outliers" -> (c129KnnOutliers _),
@@ -2329,6 +2442,7 @@ object EmbedQueries {
     "c28_vector_quantize" -> c28Sql,
     "c39_pq_codes" -> c39Sql,
     "c41_ann_recall" -> c41Sql,
+    "c131_bucket_recall" -> c131Sql,
     "c42_mrl_recall" -> c42Sql,
     "c46_knn_graph" -> c46Sql,
     "c128_snn_clusters" -> c128Sql,

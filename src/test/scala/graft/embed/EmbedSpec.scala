@@ -25,6 +25,61 @@ class EmbedQueriesSpec extends SparkTestBase {
     assert(joined.filter(col("cos") =!= col("cos_bf")).count() == 0)
   }
 
+  test("c131 bucket recall: brute-force sweep recompute, monotone cost in width") {
+    import graft.embed.EmbedQueries
+    // sequential recompute of the whole calibration from raw vectors:
+    // same plane weights, same low-bits bucket, same rounded cosine,
+    // same (cos desc, vec_id) rank — HALF_UP rounding like Spark/DuckDB
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = Tables(spark, sf, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def bucket(v: Array[Double]): Long =
+      (0 until EmbedQueries.Planes).map { j =>
+        val w = (0 until 64).map(d => ((j * 64L + d) * 2654435761L % 1000L) / 1000.0 - 0.5).toArray
+        if (dot(v, w) > 0) 1L << j else 0L
+      }.sum
+    val bkt = vecs.map { case (id, v) => id -> bucket(v) }.toMap
+    val n2 = vecs.map { case (id, v) => id -> dot(v, v) }.toMap
+    val probes = vecs.filter(_._1 % EmbedQueries.ProbeMod == 0).map(_._1)
+    def cos(a: Long, b: Long) = r6(
+      dot(vecs.find(_._1 == a).get._2, vecs.find(_._1 == b).get._2) / math.sqrt(n2(a) * n2(b)))
+    def topk(cand: Long => Seq[Long]): Map[(Long, Long), Int] =
+      probes.flatMap { p =>
+        cand(p).map(v => (v, cos(p, v))).sortBy { case (v, c) => (-c, v) }
+          .take(EmbedQueries.TopK).zipWithIndex
+          .map { case ((v, _), i) => (p, v) -> (i + 1) }
+      }.toMap
+    val exact = topk(p => vecs.map(_._1).filter(_ != p).toSeq)
+    val want = EmbedQueries.RecallBits.flatMap { b =>
+      val m = 1L << b
+      val cands = probes.map(p =>
+        p -> vecs.map(_._1).filter(v => v != p && bkt(v) % m == bkt(p) % m).toSeq).toMap
+      val approx = topk(cands)
+      val nCand = cands.values.map(_.size.toLong).sum
+      EmbedQueries.RecallKs.map { k =>
+        val hits = approx.count { case ((p, v), ra) =>
+          ra <= k && exact.get((p, v)).exists(_ <= k) }.toLong
+        (b.toLong, k, probes.length.toLong, nCand, hits,
+          r6(hits.toDouble / (probes.length * k)))
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = EmbedQueries.c131BucketRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == want)
+    // dropping plane bits can only widen buckets: candidate cost is
+    // anti-monotone in n_bits, and some width must actually recall
+    val byBits = got.groupBy(_._1).view.mapValues(_.head._4).toMap
+    assert(byBits(4L) >= byBits(6L) && byBits(6L) >= byBits(8L),
+      s"candidate cost not anti-monotone in width: $byBits")
+    assert(got.exists(_._5 > 0L), "no width/k ever recalls a true neighbor")
+  }
+
   test("c18 IVF: at most TopK per probe, every hit carries the true cosine") {
     val ivf = EmbedQueries.c18AnnIvf(spark, sf)
     val perProbe = ivf.groupBy("probe_id").count()
