@@ -1256,6 +1256,58 @@ object StreamingQueries {
        |FROM fl JOIN documents d USING (doc_id)
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  // ---------------------------------------------------------------- D38
+  /** D38: cross-snapshot incremental NEAR-dup screen — "dedup
+    * tomorrow's crawl against today's corpus", the production flow
+    * that composes D21's frozen-reference discipline with C6's band
+    * signatures (D19 screens a stream against its own history; C67
+    * does the cross-snapshot flow for EXACT dups — this is its LSH
+    * near-dup counterpart). The persisted snapshot's band-hash store
+    * (old half at C67's midpoint cut) is built batch-side and frozen
+    * at query start (the d14/d21/d26 frozen-artifact contract: the
+    * store grows with the corpus, so it is an artifact, NEVER stream
+    * state); each arriving new-snapshot document projects its band
+    * rows scan-stage through the ONE [[graft.dedup.DedupQueries
+    * .bandRowsOn]] definition the batch C6 family uses and
+    * stream-static equi-joins the store on (band, bh) — completely
+    * STATELESS: candidate emission needs no watermark and no state
+    * store at all, so the screen runs at ingest line rate. The
+    * (new_id, corpus_id) band-agreement count finalizes on the sink
+    * (the d36 late-finalize pattern); at 100 TB the store is a
+    * (band, bh)-bucketed table and the join is the C6 bucket join
+    * with one side frozen — never all-pairs, no driver collection.
+    */
+  def d38StreamSnapshotDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.dedup.DedupQueries
+    val docs = graft.Tables(spark, sfDir, "documents")
+    // staging-harness scalar (1 row), not operator code: the snapshot cut
+    val cut = docs.agg(((min("doc_id") + max("doc_id")) / 2).cast("long"))
+      .head.getLong(0)
+    val store = DedupQueries.bandRowsOn(docs.filter(col("doc_id") < cut))
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bh"))
+    val fresh = StreamingOps.docsStream(spark, sfDir, staged(spark, sfDir, "documents"))
+      .filter(col("doc_id") >= cut)
+    val cand = DedupQueries.bandRowsOn(fresh)
+      .select(col("doc_id").as("new_id"), col("band"), col("bh"))
+      .join(store, Seq("band", "bh"))
+    runToTable(cand, "graft_d38_sink", "append")
+      .groupBy("new_id", "corpus_id")
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy("new_id", "corpus_id")
+  }
+
+  /** Batch twin: the same new-vs-corpus band agreement over the shared
+    * band CTEs and the C67 midpoint-cut convention.
+    */
+  val d38Sql: String =
+    s"""WITH ${graft.dedup.DedupQueries.bandRowsCtes.mkString(",\n")},
+       |cut AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS cut FROM documents),
+       |oldb AS (SELECT doc_id AS corpus_id, band, bh FROM bands, cut WHERE doc_id < cut),
+       |newb AS (SELECT doc_id AS new_id, band, bh FROM bands, cut WHERE doc_id >= cut)
+       |SELECT n.new_id, o.corpus_id, CAST(COUNT(*) AS BIGINT) AS n_bands
+       |FROM newb n JOIN oldb o ON o.band = n.band AND o.bh = n.bh
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- D36
   /** D36: streaming Gini — C118's token-mass concentration maintained
     * live: the (lang, token-count) histogram is a BOUNDED-KEY
@@ -1447,6 +1499,7 @@ object StreamingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d36_stream_gini" -> (d36StreamGini _),
     "d37_stream_cdc" -> (d37StreamCdc _),
+    "d38_stream_snapshot_dedup" -> (d38StreamSnapshotDedup _),
     "d35_stream_cusum" -> (d35StreamCusum _),
     "d34_stream_wordpiece" -> (d34StreamWordpiece _),
     "d33_stream_timeout_alert" -> (d33StreamTimeoutAlert _),
@@ -1486,6 +1539,7 @@ object StreamingQueries {
   val oracles: Map[String, String] = Map(
     "d36_stream_gini" -> d36Sql,
     "d37_stream_cdc" -> d37Sql,
+    "d38_stream_snapshot_dedup" -> d38Sql,
     "d35_stream_cusum" -> d35Sql,
     "d34_stream_wordpiece" -> d34Sql,
     "d33_stream_timeout_alert" -> d33Sql,
