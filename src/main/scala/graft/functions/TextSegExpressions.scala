@@ -190,6 +190,113 @@ object WordPieceSegment {
   }
 }
 
+/** One-pass unigram-LM (SentencePiece-style) tokenizer application
+  * (SURVEY.md §2 C132) — the THIRD tokenizer family next to
+  * [[BpeSegment]]'s merge-order and [[WordPieceSegment]]'s greedy
+  * longest-match: per word, the VITERBI maximum-likelihood
+  * segmentation under a piece cost table (cost = micro-quantized
+  * ln piece-probability, so the Viterbi sum is an exact BIGINT and the
+  * argmax is engine-independent — the a1/c60 per-row-quantize rule).
+  * Ties break on the lexicographically smallest piece path (pieces
+  * joined by ' '; at one DP state tied paths cover identical text, so
+  * prefix flips are impossible and the order is locally decomposable —
+  * the DP can carry it). Same scale contract as its siblings: the
+  * vocab+cost table rides in as a bounded reference object broadcast
+  * once per executor; each document segments partition-locally in one
+  * scan-stage pass, O(len·maxPieceLen) per word; the corpus moves zero
+  * times. The vocab is REQUIRED to contain every corpus character
+  * (the builder's char layer), so an unreachable word end throws
+  * loudly — the [[WordPieceSegment]] cover contract.
+  */
+case class UnigramSegment(child: Expression,
+    pieces: Seq[String], costs: Seq[Long])
+    extends UnaryExpression {
+
+  require(pieces.length == costs.length,
+    s"unigram_segment: ${pieces.length} pieces but ${costs.length} costs")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"unigram_segment expects a string column, got $dt")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private lazy val costMap: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    pieces.iterator.zip(costs.iterator).foreach { case (p, c) => m.put(p, c) }
+    m
+  }
+  private lazy val maxLen: Int = (pieces.iterator.map(_.length) ++ Iterator(1)).max
+
+  override protected def nullSafeEval(t: Any): Any =
+    UnigramSegment.segment(t.asInstanceOf[UTF8String], costMap, maxLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("uniCosts", costMap, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.UnigramSegment.segment($t, $ref, $maxLen);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): UnigramSegment =
+    copy(child = c)
+}
+
+object UnigramSegment {
+
+  /** The Viterbi kernel, shared by eval and generated code. Splits like
+    * Spark's split(text, ' ') with -1 limit; empty words contribute no
+    * pieces. Forward DP over word positions: best(score DESC, path ASC)
+    * per position, transitions = vocab pieces matching at the cursor.
+    */
+  def segment(text: UTF8String, costs: java.util.HashMap[String, java.lang.Long],
+      maxLen: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      val n = w.length
+      if (n > 0) {
+        val score = new Array[Long](n + 1)
+        val path = new Array[String](n + 1)
+        path(0) = ""
+        var pos = 0
+        while (pos < n) {
+          if (path(pos) != null) {
+            var l = 1
+            val lim = math.min(maxLen, n - pos)
+            while (l <= lim) {
+              val sub = w.substring(pos, pos + l)
+              val c = costs.get(sub)
+              if (c != null) {
+                val s = score(pos) + c.longValue()
+                val p = if (pos == 0) sub else path(pos) + " " + sub
+                val tgt = pos + l
+                if (path(tgt) == null || s > score(tgt) ||
+                    (s == score(tgt) && p.compareTo(path(tgt)) < 0)) {
+                  score(tgt) = s
+                  path(tgt) = p
+                }
+              }
+              l += 1
+            }
+          }
+          pos += 1
+        }
+        if (path(n) == null)
+          throw new IllegalStateException(
+            s"unigram: no segmentation covers '$w' — the builder's " +
+              "single-char cover guarantee is violated")
+        path(n).split(" ", -1).foreach(p => out += UTF8String.fromString(p))
+      }
+      wi += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 /** Column-API entry point (same bridge as [[sets]]). */
 object textseg {
   import org.apache.spark.sql.GraftBridge.{column, expression}
@@ -200,4 +307,8 @@ object textseg {
   def wordpiece_segment(text: Column, initPieces: Seq[String],
       contPieces: Seq[String]): Column =
     column(WordPieceSegment(expression(text), initPieces, contPieces))
+
+  def unigram_segment(text: Column, pieces: Seq[String],
+      costs: Seq[Long]): Column =
+    column(UnigramSegment(expression(text), pieces, costs))
 }

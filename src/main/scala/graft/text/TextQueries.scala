@@ -2949,6 +2949,212 @@ object TextQueries {
        |FROM base b JOIN dp USING (lang)
        |ORDER BY b.lang""".stripMargin
 
+  // --------------------------------------------------------------- C132
+  /** Unigram-LM (SentencePiece-style) vocab size / piece length / EM
+    * rounds. Two hard-EM rounds converge the piece table on this
+    * corpus; the machinery is round-count-agnostic.
+    */
+  val UniTopPieces = 150
+  val UniMaxPieceLen = 4
+  val UniEmIters = 2
+
+  private val uniVocabCache =
+    new graft.util.Memo[(String, String), (Seq[String], Seq[Long])]
+
+  /** Session+dir memo of the corpus-learned unigram-LM piece table:
+    * (pieces, Viterbi costs). Seed = every single corpus character ∪
+    * the top [[UniTopPieces]] substrings (len 2..[[UniMaxPieceLen]]) by
+    * occurrence weight over the distinct-word histogram (the wpVocab
+    * counting convention, position-free — unigram pieces carry no `##`
+    * distinction); then [[UniEmIters]] rounds of HARD EM (Kudo 2018's
+    * unigram LM with Viterbi counts in the E-step): segment each
+    * DISTINCT word under the current costs (distributed, the
+    * [[graft.functions.UnigramSegment]] kernel — the corpus itself is
+    * never driver-side), re-count pieces weighted by word frequency,
+    * PRUNE pieces the Viterbi solution stopped using (chars are never
+    * pruned — floor count 1 keeps the tokenizer total), re-quantize
+    * costs. Cost = HALF_UP-rounded micro ln(count/total) — quantized
+    * per PIECE before any Viterbi sum (the a1/c60 rule), so the argmax
+    * is exact-integer and engine-independent; ln itself is the one
+    * double transcendental, the established c124/c21 oracle
+    * convention. Every collect here is K-bounded (≤ chars +
+    * [[UniTopPieces]] rows — the C105 fold rule).
+    */
+  private[graft] def uniVocab(spark: SparkSession, dir: String): (Seq[String], Seq[Long]) =
+    uniVocabCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      uniVocabOn(Tables(spark, dir, "documents")))
+
+  private def lnMicro(c: Long, total: Long): Long =
+    BigDecimal(math.log(c.toDouble / total.toDouble) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  private[graft] def uniVocabOn(docs: DataFrame): (Seq[String], Seq[Long]) = {
+    val wf = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .localCheckpoint(true) // re-segmented once per EM round
+    val sub = wf.select(col("f"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)), p ->
+           |  filter(transform(sequence(1, $UniMaxPieceLen), l ->
+           |    IF(p + l - 1 <= length(w), substring(w, p, l), NULL)),
+           |    x -> x IS NOT NULL)))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum("f").as("wt"))
+      .localCheckpoint(true)
+    val top = sub.filter(length(col("piece")) >= 2)
+      .orderBy(col("wt").desc, col("piece").asc).limit(UniTopPieces)
+      .select("piece")
+    val keep = sub.filter(length(col("piece")) === 1).select("piece").union(top)
+    var vocab: Seq[(String, Long)] = sub.join(keep, "piece")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    val charSet = vocab.collect { case (p, _) if p.length == 1 => p }.toSet
+    def costsOf(v: Seq[(String, Long)]): (Seq[String], Seq[Long]) = {
+      val total = v.map(_._2).sum
+      (v.map(_._1), v.map { case (_, c) => lnMicro(c, total) })
+    }
+    for (_ <- 1 to UniEmIters) {
+      val (ps, cs) = costsOf(vocab)
+      val cnt = wf.select(col("f"),
+          explode(graft.functions.textseg.unigram_segment(col("w"), ps, cs))
+            .as("piece"))
+        .groupBy("piece").agg(sum("f").as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      vocab = vocab.map(_._1)
+        .filter(p => charSet(p) || cnt.contains(p))
+        .map(p => p -> (if (charSet(p)) math.max(cnt.getOrElse(p, 0L), 1L)
+                        else cnt(p)))
+    }
+    costsOf(vocab)
+  }
+
+  /** C132: unigram-LM segmentation stats per language — the THIRD
+    * tokenizer family next to merge-order BPE (C59/C95/C96) and greedy
+    * WordPiece (C119/D34): Viterbi maximum-likelihood segmentation
+    * under the hard-EM-learned piece table (Kudo 2018; SentencePiece's
+    * model), reported in C119's exact schema so the three families'
+    * fertility/utilization numbers sit side by side (the C100/C125
+    * equity axis). Scale shape mirrors C119: the K-bounded piece table
+    * broadcasts as a reference object inside the native
+    * [[graft.functions.UnigramSegment]] expression, the corpus
+    * segments in one scan-stage pass per consumer, and the only
+    * shuffles are the two lang-keyed aggs. The EM learn touches the
+    * corpus [[UniEmIters]]+1 times TOTAL (distinct-word histogram once,
+    * then one distributed re-segmentation per round) — never any
+    * per-iteration all-pairs or driver-side corpus. Oracle: fully
+    * relational unrolled-EM derivation — per round the recursion
+    * ENUMERATES every segmentation of each distinct word and argmaxes
+    * by (score DESC, path ASC); exponential in word length but words
+    * are value-domain bounded, and the two engines deliberately share
+    * no decoding strategy (the a44 two-derivations philosophy).
+    */
+  def c132UnigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val (ps, cs) = uniVocab(spark, dir)
+    val seg = Tables(spark, dir, "documents")
+      .select(col("lang"),
+        size(expr("filter(split(text, ' '), t -> length(t) > 0)"))
+          .cast("long").as("n_words"),
+        graft.functions.textseg.unigram_segment(col("text"), ps, cs)
+          .as("pieces"))
+    val base = seg.groupBy("lang")
+      .agg(sum("n_words").as("n_words"),
+        sum(size(col("pieces")).cast("long")).as("n_pieces"))
+    val dp = seg.select(col("lang"), explode(col("pieces")).as("p"))
+      .groupBy("lang").agg(countDistinct(col("p")).as("n_distinct_pieces"))
+    base.join(dp, "lang")
+      .select(col("lang"), col("n_words"), col("n_pieces"),
+        expr("(n_pieces * 1000000000) div n_words").as("fertility_nano"),
+        col("n_distinct_pieces"))
+      .orderBy("lang")
+  }
+
+  /** One EM round's oracle CTEs: enumerate every segmentation of each
+    * distinct word under cost{i-1} (recursive), argmax per word by
+    * (score DESC, path ASC), then re-count / prune / re-quantize.
+    */
+  private def uniIterCtes(i: Int): String =
+    s"""e$i(w, pos, score, path) AS (
+       |  SELECT w, CAST(1 AS BIGINT), CAST(0 AS BIGINT), '' FROM wf
+       |  UNION ALL
+       |  SELECT s.w, s.pos + len(v.piece), s.score + v.cost,
+       |    CASE WHEN s.path = '' THEN v.piece ELSE s.path || ' ' || v.piece END
+       |  FROM e$i s JOIN cost${i - 1} v
+       |    ON substr(s.w, CAST(s.pos AS INTEGER), CAST(len(v.piece) AS INTEGER)) = v.piece
+       |), best$i AS (
+       |  SELECT w, path FROM (
+       |    SELECT w, path, ROW_NUMBER() OVER (
+       |      PARTITION BY w ORDER BY score DESC, path ASC) AS rn
+       |    FROM e$i WHERE pos = len(w) + 1) WHERE rn = 1
+       |)""".stripMargin
+
+  private def uniRecountCtes(i: Int): String =
+    s"""cnt$i AS (
+       |  SELECT piece, CAST(SUM(f) AS BIGINT) AS cnt FROM (
+       |    SELECT wf.f, UNNEST(string_split(b.path, ' ')) AS piece
+       |    FROM best$i b JOIN wf ON wf.w = b.w)
+       |  GROUP BY piece
+       |), v$i AS (
+       |  SELECT v.piece,
+       |    CASE WHEN len(v.piece) = 1 THEN GREATEST(COALESCE(c.cnt, 0), 1)
+       |         ELSE c.cnt END AS cnt
+       |  FROM v${i - 1} v LEFT JOIN cnt$i c USING (piece)
+       |  WHERE len(v.piece) = 1 OR c.cnt IS NOT NULL
+       |), cost$i AS (
+       |  SELECT piece, CAST(ROUND(ln(CAST(cnt AS DOUBLE)
+       |    / CAST((SELECT SUM(cnt) FROM v$i) AS DOUBLE)) * 1000000) AS BIGINT) AS cost
+       |  FROM v$i
+       |)""".stripMargin
+
+  val c132Sql: String = {
+    val apply = UniEmIters + 1
+    val iters = (1 to UniEmIters).map(i =>
+      uniIterCtes(i) + ",\n" + uniRecountCtes(i)).mkString(",\n")
+    s"""WITH RECURSIVE words AS (
+       |  SELECT lang, UNNEST(string_split(text, ' ')) AS w FROM documents
+       |), wf AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM words
+       |  WHERE len(w) > 0 GROUP BY w
+       |), pos AS (
+       |  SELECT UNNEST(range(1, (SELECT MAX(len(w)) + 1 FROM wf))) AS p
+       |), lens AS (SELECT UNNEST(range(1, $UniMaxPieceLen + 1)) AS l),
+       |sub AS (
+       |  SELECT substr(f.w, CAST(t.p AS INTEGER), CAST(u.l AS INTEGER)) AS piece,
+       |    CAST(SUM(f.f) AS BIGINT) AS wt
+       |  FROM wf f, pos t, lens u
+       |  WHERE t.p + u.l - 1 <= len(f.w)
+       |  GROUP BY 1
+       |), top AS (
+       |  SELECT piece FROM sub WHERE len(piece) >= 2
+       |  ORDER BY wt DESC, piece LIMIT $UniTopPieces
+       |), v0 AS (
+       |  SELECT piece, wt AS cnt FROM sub WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT s.piece, s.wt AS cnt FROM sub s JOIN top t USING (piece)
+       |), cost0 AS (
+       |  SELECT piece, CAST(ROUND(ln(CAST(cnt AS DOUBLE)
+       |    / CAST((SELECT SUM(cnt) FROM v0) AS DOUBLE)) * 1000000) AS BIGINT) AS cost
+       |  FROM v0
+       |),
+       |$iters,
+       |${uniIterCtes(apply)},
+       |base AS (
+       |  SELECT wd.lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(len(string_split(c.path, ' '))) AS BIGINT) AS n_pieces
+       |  FROM words wd JOIN best$apply c ON c.w = wd.w
+       |  GROUP BY wd.lang
+       |), dp AS (
+       |  SELECT wd.lang, CAST(COUNT(DISTINCT p.piece) AS BIGINT) AS n_distinct_pieces
+       |  FROM (SELECT DISTINCT lang, w FROM words WHERE len(w) > 0) wd
+       |  JOIN (SELECT b.w, UNNEST(string_split(b.path, ' ')) AS piece
+       |        FROM best$apply b) p ON p.w = wd.w
+       |  GROUP BY wd.lang
+       |)
+       |SELECT b.lang, b.n_words, b.n_pieces,
+       |  (b.n_pieces * 1000000000) // b.n_words AS fertility_nano,
+       |  dp.n_distinct_pieces
+       |FROM base b JOIN dp USING (lang)
+       |ORDER BY b.lang""".stripMargin
+  }
+
   // ---------------------------------------------------------------- C55
   /** C55: vocabulary coverage curve — for each candidate vocab size k,
     * what fraction of the corpus token MASS the top-k most frequent
@@ -5709,6 +5915,7 @@ object TextQueries {
     "c117_ks_drift" -> (c117KsDrift _),
     "c118_gini" -> (c118Gini _),
     "c119_wordpiece" -> (c119Wordpiece _),
+    "c132_unigram_lm" -> (c132UnigramLm _),
     "c120_burstiness" -> (c120Burstiness _),
     "c121_rank_corr" -> (c121RankCorr _),
     "c123_conformal" -> (c123Conformal _),
@@ -5790,6 +5997,7 @@ object TextQueries {
     "c117_ks_drift" -> c117Sql,
     "c118_gini" -> c118Sql,
     "c119_wordpiece" -> c119Sql,
+    "c132_unigram_lm" -> c132Sql,
     "c120_burstiness" -> c120Sql,
     "c121_rank_corr" -> c121Sql,
     "c123_conformal" -> c123Sql,

@@ -1699,6 +1699,84 @@ class DedupQueriesSpec extends SparkTestBase {
     assert(wf.keys.exists(w => tokenize(w).length == 1 && w.length > 1))
   }
 
+  test("c132 unigram-lm: full EM + enumeration-argmax recompute, pruning, lossless cover") {
+    val out = TextQueries.c132UnigramLm(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = graft.Tables(spark, sf, "documents").select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val wordOcc = docs.flatMap { case (l, t) => t.split(" ", -1).filter(_.nonEmpty).map((l, _)) }
+    val wf = wordOcc.groupBy(_._2).map { case (w, g) => w -> g.length.toLong }
+    // seed: every char + top substrings by occurrence weight
+    val sub = scala.collection.mutable.Map.empty[String, Long]
+    wf.foreach { case (w, f) =>
+      for (p <- 0 until w.length; l <- 1 to TextQueries.UniMaxPieceLen
+           if p + l <= w.length) {
+        val k = w.substring(p, p + l)
+        sub(k) = sub.getOrElse(k, 0L) + f
+      }
+    }
+    val top = sub.toSeq.filter(_._1.length >= 2)
+      .sortBy { case (p, wt) => (-wt, p) }
+      .take(TextQueries.UniTopPieces).map(_._1).toSet
+    var vocab: Map[String, Long] =
+      sub.toSeq.filter { case (p, _) => p.length == 1 || top(p) }.toMap
+    val charSet = vocab.keys.filter(_.length == 1).toSet
+    def lnMicro(c: Long, t: Long): Long =
+      BigDecimal(math.log(c.toDouble / t.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def costsOf(v: Map[String, Long]): Map[String, Long] = {
+      val t = v.values.sum
+      v.map { case (p, c) => p -> lnMicro(c, t) }
+    }
+    // the ORACLE's decoding strategy, independently coded: enumerate
+    // every segmentation, argmax by (score DESC, path ASC) — the Spark
+    // kernel decodes by forward DP instead; all three must agree
+    def best(w: String, cost: Map[String, Long]): Seq[String] = {
+      def rec(pos: Int): Seq[(Long, String)] =
+        if (pos == w.length) Seq((0L, ""))
+        else (1 to math.min(TextQueries.UniMaxPieceLen, w.length - pos)).flatMap { l =>
+          val p = w.substring(pos, pos + l)
+          cost.get(p).toSeq.flatMap(c => rec(pos + l).map { case (s, path) =>
+            (c + s, if (path == "") p else p + " " + path) })
+        }
+      val all = rec(0)
+      assert(all.nonEmpty, s"no segmentation covers '$w'")
+      all.sortBy { case (s, path) => (-s, path) }.head._2.split(" ", -1).toSeq
+    }
+    val seedCosts = costsOf(vocab)
+    for (_ <- 1 to TextQueries.UniEmIters) {
+      val c = costsOf(vocab)
+      val cnt = scala.collection.mutable.Map.empty[String, Long]
+      wf.foreach { case (w, f) =>
+        best(w, c).foreach(p => cnt(p) = cnt.getOrElse(p, 0L) + f) }
+      vocab = vocab.keys.toSeq
+        .filter(p => charSet(p) || cnt.contains(p))
+        .map(p => p -> (if (charSet(p)) math.max(cnt.getOrElse(p, 0L), 1L)
+                        else cnt(p))).toMap
+    }
+    val fin = costsOf(vocab)
+    val byLang = wordOcc.groupBy(_._1)
+    val expect = byLang.toSeq.sortBy(_._1).map { case (lang, occ) =>
+      val pieceLists = occ.map(o => best(o._2, fin))
+      val nW = occ.length.toLong
+      val nP = pieceLists.map(_.length.toLong).sum
+      (lang, nW, nP, nP * 1000000000L / nW,
+        pieceLists.flatten.distinct.length.toLong)
+    }
+    assert(out.toSeq == expect)
+    // Viterbi cover is lossless: pieces concat back to the word
+    wf.keys.foreach(w => assert(best(w, fin).mkString == w))
+    // the LM genuinely segments (fertility > 1 somewhere) and genuinely
+    // keeps multi-char pieces whole (some word is a single piece)
+    assert(out.exists(r => r._3 > r._2))
+    assert(wf.keys.exists(w => w.length > 1 && best(w, fin).length == 1))
+    // EM did real work: pruning shrank the seed, or re-weighting moved
+    // at least one surviving piece's cost
+    assert(vocab.size < seedCosts.size ||
+      vocab.keys.exists(p => fin(p) != seedCosts(p)),
+      "EM was a no-op: same vocab, same costs")
+  }
+
   test("c120 burstiness: exact moment recompute with zero-doc handling, regime witnesses") {
     val out = TextQueries.c120Burstiness(spark, sf).collect()
       .map(r => (r.getAs[Int]("rk"), r.getString(1), r.getLong(2), r.getLong(3),
