@@ -1271,11 +1271,22 @@ object StreamingQueries {
     * .bandRowsOn]] definition the batch C6 family uses and
     * stream-static equi-joins the store on (band, bh) — completely
     * STATELESS: candidate emission needs no watermark and no state
-    * store at all, so the screen runs at ingest line rate. The
-    * (new_id, corpus_id) band-agreement count finalizes on the sink
-    * (the d36 late-finalize pattern); at 100 TB the store is a
-    * (band, bh)-bucketed table and the join is the C6 bucket join
-    * with one side frozen — never all-pairs, no driver collection.
+    * store at all, so the screen runs at ingest line rate.
+    *
+    * The store is OWNER-compressed (D19's convention): one row per
+    * corpus bucket carrying the min corpus doc_id as the dedup
+    * WITNESS. This is the load-bearing scale decision: a raw
+    * (new doc × bucket member) pair emission is QUADRATIC on a
+    * dup-heavy corpus — one hot bucket with k old and m new members
+    * emits k·m rows (measured: 34 s at sf0.1 where this form takes
+    * ~2 s, and at 100 TB it is the difference between a screen and an
+    * explosion) — while a dedup ROUTING decision needs one witness,
+    * not the member list (pair-level detail stays batch C6's job).
+    * Output is ≤ Bands rows per new doc by construction; the per-doc
+    * verdict (hit-band count + min owner) finalizes on the sink (the
+    * d36 late-finalize pattern). At 100 TB the store is a (band, bh)-
+    * bucketed table one row per bucket, and the join is the C6 bucket
+    * join with one side frozen.
     */
   def d38StreamSnapshotDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.dedup.DedupQueries
@@ -1284,29 +1295,31 @@ object StreamingQueries {
     val cut = docs.agg(((min("doc_id") + max("doc_id")) / 2).cast("long"))
       .head.getLong(0)
     val store = DedupQueries.bandRowsOn(docs.filter(col("doc_id") < cut))
-      .select(col("doc_id").as("corpus_id"), col("band"), col("bh"))
+      .groupBy("band", "bh").agg(min("doc_id").as("owner"))
     val fresh = StreamingOps.docsStream(spark, sfDir, staged(spark, sfDir, "documents"))
       .filter(col("doc_id") >= cut)
-    val cand = DedupQueries.bandRowsOn(fresh)
+    val hits = DedupQueries.bandRowsOn(fresh)
       .select(col("doc_id").as("new_id"), col("band"), col("bh"))
       .join(store, Seq("band", "bh"))
-    runToTable(cand, "graft_d38_sink", "append")
-      .groupBy("new_id", "corpus_id")
-      .agg(count(lit(1)).as("n_bands"))
-      .orderBy("new_id", "corpus_id")
+    runToTable(hits.select("new_id", "band", "owner"), "graft_d38_sink", "append")
+      .groupBy("new_id")
+      .agg(count(lit(1)).as("n_hit_bands"), min("owner").as("owner_min"))
+      .orderBy("new_id")
   }
 
-  /** Batch twin: the same new-vs-corpus band agreement over the shared
+  /** Batch twin: the same new-vs-corpus owner screen over the shared
     * band CTEs and the C67 midpoint-cut convention.
     */
   val d38Sql: String =
     s"""WITH ${graft.dedup.DedupQueries.bandRowsCtes.mkString(",\n")},
        |cut AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS cut FROM documents),
-       |oldb AS (SELECT doc_id AS corpus_id, band, bh FROM bands, cut WHERE doc_id < cut),
-       |newb AS (SELECT doc_id AS new_id, band, bh FROM bands, cut WHERE doc_id >= cut)
-       |SELECT n.new_id, o.corpus_id, CAST(COUNT(*) AS BIGINT) AS n_bands
-       |FROM newb n JOIN oldb o ON o.band = n.band AND o.bh = n.bh
-       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+       |ob AS (
+       |  SELECT band, bh, MIN(doc_id) AS owner FROM bands, cut
+       |  WHERE doc_id < cut GROUP BY band, bh),
+       |nb AS (SELECT doc_id AS new_id, band, bh FROM bands, cut WHERE doc_id >= cut)
+       |SELECT n.new_id, CAST(COUNT(*) AS BIGINT) AS n_hit_bands, MIN(o.owner) AS owner_min
+       |FROM nb n JOIN ob o ON o.band = n.band AND o.bh = n.bh
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------- D36
   /** D36: streaming Gini — C118's token-mass concentration maintained

@@ -695,31 +695,35 @@ class StreamingSpec extends SparkTestBase {
     assert(want.exists(_._5 > 0L) && want.exists(r => r._5 < r._4))
   }
 
-  test("D38 cross-snapshot screen: pairs straddle the cut, band counts == batch join") {
+  test("D38 cross-snapshot screen: verdicts straddle the cut, owner screen == batch join") {
     import org.apache.spark.sql.functions._
     val got = StreamingQueries.queries("d38_stream_snapshot_dedup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     val docs = graft.Tables(spark, sf, "documents")
     val ids = docs.select("doc_id").collect().map(_.getLong(0))
     val cut = (ids.min + ids.max) / 2
-    // every candidate is new-vs-CORPUS: never old-old, never new-new
+    // every verdict is new-vs-CORPUS: new docs flagged, witnesses old
     assert(got.nonEmpty, "no cross-snapshot candidates — screen untested")
-    assert(got.forall { case (n, c, _) => n >= cut && c < cut },
-      "a pair fails the snapshot straddle")
-    assert(got.forall(_._3 >= 1L) &&
-      got.forall(_._3 <= graft.dedup.MinHashLsh.Bands.toLong))
+    assert(got.forall { case (n, _, o) => n >= cut && o < cut },
+      "a verdict fails the snapshot straddle")
+    assert(got.forall(r => r._2 >= 1L &&
+      r._2 <= graft.dedup.MinHashLsh.Bands.toLong))
     // batch recompute through the same band definition, executed as a
     // plain (non-streamed) join: the replay must add/lose nothing
     val bands = graft.dedup.DedupQueries.bandRowsOn(docs)
     val want = bands.filter(col("doc_id") >= cut)
       .select(col("doc_id").as("new_id"), col("band"), col("bh"))
       .join(bands.filter(col("doc_id") < cut)
-        .select(col("doc_id").as("corpus_id"), col("band"), col("bh")),
+        .groupBy("band", "bh").agg(min("doc_id").as("owner")),
         Seq("band", "bh"))
-      .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("n_bands"))
-      .orderBy("new_id", "corpus_id").collect()
+      .groupBy("new_id")
+      .agg(count(lit(1)).as("n_hit_bands"), min("owner").as("owner_min"))
+      .orderBy("new_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == want)
+    // the output contract that makes the screen 100 TB-shaped: at most
+    // Bands verdict rows per arriving doc, never member-pair fanout
+    assert(got.map(_._1).distinct.length == got.length)
   }
 
   test("D36 streaming gini == batch C118 row for row (histogram is the mergeable state)") {
