@@ -516,15 +516,16 @@ object EmbedQueries {
     * (top-NProbe needs ranked rows) — it runs over |probes|·|cents|
     * rows only, both tiny.
     */
-  private def ivfProbeLists(spark: SparkSession, dir: String): DataFrame = {
+  private def ivfProbeLists(spark: SparkSession, dir: String,
+      maxProbe: Int = NProbe): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = withNorms(spark, dir)
     ivfWithCcos(e.filter(col("vec_id") % ProbeMod === 0), ivfCoarseCents(e))
       .withColumn("crn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))))
-      .filter(col("crn") <= NProbe)
+      .filter(col("crn") <= maxProbe)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
-        col("n2").as("pn"), col("cid"))
+        col("n2").as("pn"), col("cid"), col("crn"))
   }
 
   def c18AnnIvf(spark: SparkSession, dir: String): DataFrame = {
@@ -567,6 +568,112 @@ object EmbedQueries {
        |  FROM scored
        |) WHERE rnk <= $TopK
        |ORDER BY probe_id, rnk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- C133
+  /** nprobe values for the C133 IVF calibration sweep — C18 ships
+    * nprobe = [[NProbe]]; the sweep brackets it.
+    */
+  val NProbeSweep = Seq(1, 2, 4)
+
+  /** C133: recall-vs-cost calibration for the IVF index — C131's
+    * frontier table for the SECOND approximate scale path: per
+    * nprobe ∈ [[NProbeSweep]] and per k ∈ [[RecallKs]], macro recall@k
+    * of the nprobe-list-restricted top-k against the C10 exact ground
+    * truth plus the candidate count scored — the table that justifies
+    * (or indicts) C18's nprobe = 2 the way C131 justifies the bucket
+    * bits and C74 the perm count. One corpus join TOTAL: the probe
+    * routing is built once at max(nprobe) with the centroid rank
+    * carried, so every sweep point is a FILTER on the one scored frame
+    * (crn ≤ np), never a re-join — cheaper than C131's per-width joins,
+    * which can't share because bucket ids differ per width. Probes
+    * whose lists miss true neighbors count as recall loss against the
+    * constant n_probes·k denominator (C131's convention).
+    */
+  def c133IvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = ivfAssigned(spark, dir)
+    val exact = exactTopKFrame(spark, dir)
+      .select(col("probe_id"), col("vec_id"), col("rnk").as("rnk_e"))
+    val nProbes = withNorms(spark, dir)
+      .filter(col("vec_id") % ProbeMod === 0).count()
+    val scored = broadcast(ivfProbeLists(spark, dir, NProbeSweep.max))
+      .join(assigned, "cid").filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("crn"),
+        cosine(dot(col("pe"), col("embedding")), col("pn"), col("n2")).as("cos"))
+    val perNp = NProbeSweep.map { np =>
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+      scored.filter(col("crn") <= np)
+        .withColumn("rnk_a", row_number().over(w))
+        .join(exact, Seq("probe_id", "vec_id"), "left")
+        .groupBy(lit(np.toLong).as("nprobe"))
+        .agg(count(lit(1)).as("n_cand"), RecallKs.map(k =>
+          sum(when(col("rnk_a") <= k && col("rnk_e") <= k, 1L).otherwise(0L))
+            .as(s"hits_$k")): _*)
+    }.reduce(_ union _)
+    perNp
+      .select(col("nprobe"), col("n_cand"), explode(array(RecallKs.map(k =>
+        struct(lit(k).as("k"), col(s"hits_$k").as("hits"))): _*)).as("kh"))
+      .select(col("nprobe"), col("kh.k").as("k"), lit(nProbes).as("n_probes"),
+        col("n_cand"), col("kh.hits").as("hits"),
+        round(col("kh.hits").cast("double") / (lit(nProbes) * col("kh.k")), 6)
+          .as("recall"))
+      .orderBy("nprobe", "k")
+  }
+
+  lazy val c133Sql: String = {
+    def ccosSql: String = s"round(${dotSql("e.embedding", "c.ce")} / sqrt(e.n2 * c.cn), 6)"
+    val sweeps = NProbeSweep.map { np =>
+      s"""m$np AS (
+         |  SELECT CAST($np AS BIGINT) AS nprobe, r.probe_id, r.vec_id, r.rnk_a, t.rnk_e
+         |  FROM (SELECT probe_id, vec_id,
+         |          ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk_a
+         |        FROM sc WHERE crn <= $np) r
+         |  LEFT JOIN etopr t ON t.probe_id = r.probe_id AND t.vec_id = r.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val unionM = NProbeSweep.map(np => s"SELECT * FROM m$np").mkString(" UNION ALL ")
+    val ksVals = RecallKs.map(k => s"($k)").mkString(", ")
+    s"""WITH $normsCte,
+       |cents AS (SELECT vec_id AS cid, embedding AS ce, n2 AS cn FROM norms WHERE vec_id % $CentroidMod = 0),
+       |assign AS (
+       |  SELECT e.vec_id, first(e.embedding) AS embedding, first(e.n2) AS n2,
+       |    CAST(min([-($ccosSql) + 0.0, CAST(c.cid AS DOUBLE)])[2] AS BIGINT) AS cid
+       |  FROM norms e CROSS JOIN cents c
+       |  GROUP BY e.vec_id
+       |),
+       |plr AS (
+       |  SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn, cid, crn FROM (
+       |    SELECT e.vec_id, e.embedding, e.n2, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $ccosSql DESC, c.cid) AS crn
+       |    FROM norms e CROSS JOIN cents c WHERE e.vec_id % $ProbeMod = 0
+       |  ) WHERE crn <= ${NProbeSweep.max}
+       |),
+       |esc AS (
+       |  SELECT p.probe_id, e.vec_id,
+       |    round(${dotSql("p.pe", "e.embedding")} / sqrt(p.pn * e.n2), 6) AS cos
+       |  FROM (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn FROM norms
+       |        WHERE vec_id % $ProbeMod = 0) p
+       |  JOIN norms e ON e.vec_id <> p.probe_id),
+       |etopr AS (
+       |  SELECT probe_id, vec_id, rnk AS rnk_e FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+       |    FROM esc) WHERE rnk <= $TopK),
+       |sc AS (
+       |  SELECT p.probe_id, a.vec_id, p.crn,
+       |    round(${dotSql("p.pe", "a.embedding")} / sqrt(p.pn * a.n2), 6) AS cos
+       |  FROM plr p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.probe_id),
+       |$sweeps,
+       |allm AS ($unionM),
+       |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes FROM norms WHERE vec_id % $ProbeMod = 0),
+       |ks(k) AS (VALUES $ksVals)
+       |SELECT a.nprobe, CAST(ks.k AS BIGINT) AS k, np.n_probes,
+       |  COUNT(*) AS n_cand,
+       |  CAST(SUM(CASE WHEN a.rnk_a <= ks.k AND a.rnk_e <= ks.k THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |  round(CAST(SUM(CASE WHEN a.rnk_a <= ks.k AND a.rnk_e <= ks.k THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / (np.n_probes * ks.k), 6) AS recall
+       |FROM allm a CROSS JOIN ks CROSS JOIN np
+       |GROUP BY a.nprobe, ks.k, np.n_probes
+       |ORDER BY nprobe, k""".stripMargin
   }
 
   // ---------------------------------------------------------------- C20
@@ -2412,6 +2519,7 @@ object EmbedQueries {
     "c41_ann_recall" -> (c41AnnRecall _),
     "c42_mrl_recall" -> (c42MrlRecall _),
     "c131_bucket_recall" -> (c131BucketRecall _),
+    "c133_ivf_recall" -> (c133IvfRecall _),
     "c46_knn_graph" -> (c46KnnGraph _),
     "c128_snn_clusters" -> (c128SnnClusters _),
     "c129_knn_outliers" -> (c129KnnOutliers _),
@@ -2443,6 +2551,7 @@ object EmbedQueries {
     "c39_pq_codes" -> c39Sql,
     "c41_ann_recall" -> c41Sql,
     "c131_bucket_recall" -> c131Sql,
+    "c133_ivf_recall" -> c133Sql,
     "c42_mrl_recall" -> c42Sql,
     "c46_knn_graph" -> c46Sql,
     "c128_snn_clusters" -> c128Sql,

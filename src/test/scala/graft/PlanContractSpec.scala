@@ -29,8 +29,12 @@ class PlanContractSpec extends SparkTestBase {
     // c43 crosses the 1-row (raw_total, tgt_total) aggregate into the
     // 256-row ratio table — both sides bounded constants
     "c43_dsir_weights",
-    // c41/c42 embed the c10 probe-broadcast as their ground-truth side
-    "c41_ann_recall", "c42_mrl_recall",
+    // c41/c42/c131 embed the c10 probe-broadcast as their ground-truth
+    // side (c131's own per-width searches are bucket equi-joins)
+    "c41_ann_recall", "c42_mrl_recall", "c131_bucket_recall",
+    // c133 embeds both the c10 ground truth and c18's bounded-codebook
+    // crosses; its sweep scoring is one cid equi-join filtered per np
+    "c133_ivf_recall",
     // c47 crosses the 1-row corpus-total aggregate into the surviving
     // phrase candidates (same shape as c21/c30's corpus totals)
     "c47_phrase_mining",

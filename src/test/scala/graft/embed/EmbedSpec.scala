@@ -80,6 +80,63 @@ class EmbedQueriesSpec extends SparkTestBase {
     assert(got.exists(_._5 > 0L), "no width/k ever recalls a true neighbor")
   }
 
+  test("c133 ivf recall: brute-force sweep recompute, cost monotone in nprobe") {
+    import graft.embed.EmbedQueries
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = Tables(spark, sf, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val byId = vecs.toMap
+    val n2 = vecs.map { case (id, v) => id -> dot(v, v) }.toMap
+    def cos(a: Long, b: Long) = r6(dot(byId(a), byId(b)) / math.sqrt(n2(a) * n2(b)))
+    val cents = vecs.map(_._1).filter(_ % EmbedQueries.CentroidMod == 0)
+    // assignment: min (-ccos, cid) — c18's exact tie rule
+    val cid = vecs.map { case (id, _) =>
+      id -> cents.map(c => (-cos(id, c) + 0.0, c)).min._2 }.toMap
+    val probes = vecs.map(_._1).filter(_ % EmbedQueries.ProbeMod == 0)
+    // probe routing: nearest centroid lists ranked (ccos desc, cid)
+    val routing = probes.map { p =>
+      p -> cents.map(c => (c, cos(p, c))).sortBy { case (c, s) => (-s, c) }
+        .map(_._1).take(EmbedQueries.NProbeSweep.max)
+    }.toMap
+    def topk(cand: Long => Seq[Long]): Map[(Long, Long), Int] =
+      probes.flatMap { p =>
+        cand(p).map(v => (v, cos(p, v))).sortBy { case (v, c) => (-c, v) }
+          .take(EmbedQueries.TopK).zipWithIndex
+          .map { case ((v, _), i) => (p, v) -> (i + 1) }
+      }.toMap
+    val exact = topk(p => vecs.map(_._1).filter(_ != p).toSeq)
+    val want = EmbedQueries.NProbeSweep.flatMap { np =>
+      val cands = probes.map { p =>
+        val lists = routing(p).take(np).toSet
+        p -> vecs.map(_._1).filter(v => v != p && lists(cid(v))).toSeq
+      }.toMap
+      val approx = topk(cands)
+      val nCand = cands.values.map(_.size.toLong).sum
+      EmbedQueries.RecallKs.map { k =>
+        val hits = approx.count { case ((p, v), ra) =>
+          ra <= k && exact.get((p, v)).exists(_ <= k) }.toLong
+        (np.toLong, k, probes.length.toLong, nCand, hits,
+          r6(hits.toDouble / (probes.length * k)))
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = EmbedQueries.c133IvfRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == want)
+    // more lists probed can only add candidates, and recall@k at the
+    // widest sweep point must not fall below the narrowest
+    val byNp = got.groupBy(_._1).view.mapValues(_.head._4).toMap
+    val nps = EmbedQueries.NProbeSweep.map(_.toLong)
+    assert(nps.sliding(2).forall(w => byNp(w(0)) <= byNp(w(1))),
+      s"candidate cost not monotone in nprobe: $byNp")
+    assert(got.exists(_._5 > 0L), "no nprobe/k ever recalls a true neighbor")
+  }
+
   test("c18 IVF: at most TopK per probe, every hit carries the true cosine") {
     val ivf = EmbedQueries.c18AnnIvf(spark, sf)
     val perProbe = ivf.groupBy("probe_id").count()
