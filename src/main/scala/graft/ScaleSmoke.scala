@@ -676,6 +676,22 @@ object ScaleSmoke {
     println(f"SCALE wordpiece docs=$nWp pieces=$wpPieces " +
       f"maxTaskMs=$wpMaxMs meanTaskMs=$wpMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
+    // --- unigram-LM Viterbi apply (the C132 kernel) at volume: the
+    // same flat scan-stage contract as the wordpiece pin — per-word
+    // forward DP, zero joins/shuffles. Costs make 'ab' (-2.0) beat
+    // a+b (-1.2 + -1.3 = -2.5), so the doc has a closed-form decode:
+    // abab→ab|ab, abc→ab|c, x→x = 5 pieces per triple, 25 per doc.
+    t0 = System.nanoTime()
+    val uniPieces = Seq("a", "b", "c", "x", "ab")
+    val uniCosts = Seq(-1200000L, -1300000L, -1400000L, -1100000L, -2000000L)
+    val (uniN, unMaxMs, unMeanMs) = withMaxTask(
+      wpDocs.select(graft.functions.textseg
+          .unigram_segment(col("text"), uniPieces, uniCosts).as("p"))
+        .agg(sum(size(col("p")).cast("long"))).head().getLong(0))
+    require(uniN == nWp * 25L, s"unigram pieces $uniN != ${nWp * 25L}")
+    println(f"SCALE unigram docs=$nWp pieces=$uniN " +
+      f"maxTaskMs=$unMaxMs meanTaskMs=$unMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
     // --- shuffle-form dedup scoring (the round-12 broadcast dispatch)
     // ABOVE the gate: a fully diverse corpus (reps == docs, consecutive
     // ids near-dup) with graft.dedup.maxBcastReps forced under the rep
