@@ -1388,6 +1388,42 @@ object StreamingQueries {
        |  (n_pieces * 1000000000) // n_words AS fertility_nano
        |FROM base ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- D39
+  /** D39: streaming unigram-LM apply — C132's Viterbi segmentation
+    * over the documents STREAM with the hard-EM-learned piece table
+    * frozen at query start, completing the tokenizer-family symmetry
+    * (BPE streams as D27, WordPiece as D34, unigram here): a deployed
+    * SentencePiece model is an ARTIFACT — EM training is a batch job,
+    * never stream state — so the stream side is a pure scan-stage
+    * projection through the native `UnigramSegment` expression plus
+    * the same complete-mode per-lang sums as D34 (K langs of state
+    * forever; the distinct-piece column stays batch-only, D31's
+    * COUNT-DISTINCT lesson; fertility finalizes on the sink).
+    */
+  def d39StreamUnigram(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.text.TextQueries
+    val (ps, cs) = TextQueries.uniVocab(spark, sfDir)
+    val seg = StreamingOps.docsStream(spark, sfDir, staged(spark, sfDir, "documents"))
+      .select(col("lang"),
+        size(expr("filter(split(text, ' '), t -> length(t) > 0)"))
+          .cast("long").as("n_words"),
+        graft.functions.textseg.unigram_segment(col("text"), ps, cs)
+          .as("pieces"))
+    runToTable(
+        seg.groupBy("lang").agg(sum("n_words").as("n_words"),
+          sum(size(col("pieces")).cast("long")).as("n_pieces")),
+        "graft_d39_sink", "complete")
+      .withColumn("fertility_nano", expr("(n_pieces * 1000000000) div n_words"))
+      .orderBy("lang")
+  }
+
+  /** Batch twin: C132's chain minus the unstreamable distinct count. */
+  val d39Sql: String =
+    s"""${graft.text.TextQueries.uniBaseCtes}
+       |SELECT lang, n_words, n_pieces,
+       |  (n_pieces * 1000000000) // n_words AS fertility_nano
+       |FROM base ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- D35
   /** D35: streaming CUSUM inputs — B50's change-point statistic needs
     * the series TOTAL, which only exists at stream end, so the scan
@@ -1513,6 +1549,7 @@ object StreamingQueries {
     "d36_stream_gini" -> (d36StreamGini _),
     "d37_stream_cdc" -> (d37StreamCdc _),
     "d38_stream_snapshot_dedup" -> (d38StreamSnapshotDedup _),
+    "d39_stream_unigram" -> (d39StreamUnigram _),
     "d35_stream_cusum" -> (d35StreamCusum _),
     "d34_stream_wordpiece" -> (d34StreamWordpiece _),
     "d33_stream_timeout_alert" -> (d33StreamTimeoutAlert _),
@@ -1553,6 +1590,7 @@ object StreamingQueries {
     "d36_stream_gini" -> d36Sql,
     "d37_stream_cdc" -> d37Sql,
     "d38_stream_snapshot_dedup" -> d38Sql,
+    "d39_stream_unigram" -> d39Sql,
     "d35_stream_cusum" -> d35Sql,
     "d34_stream_wordpiece" -> d34Sql,
     "d33_stream_timeout_alert" -> d33Sql,

@@ -3104,8 +3104,15 @@ object TextQueries {
        |  FROM v$i
        |)""".stripMargin
 
-  val c132Sql: String = {
-    val apply = UniEmIters + 1
+  /** The C132 oracle chain through `base` (per-lang word/piece sums) —
+    * D39's streaming twin reuses it minus the unstreamable
+    * distinct-piece column (the wpBaseCtes/d34 pattern). `best$apply`
+    * is the final-cost segmentation the tails read.
+    */
+  private[graft] val uniApplyIdx: Int = UniEmIters + 1
+
+  private[graft] lazy val uniBaseCtes: String = {
+    val apply = uniApplyIdx
     val iters = (1 to UniEmIters).map(i =>
       uniIterCtes(i) + ",\n" + uniRecountCtes(i)).mkString(",\n")
     s"""WITH RECURSIVE words AS (
@@ -3141,11 +3148,15 @@ object TextQueries {
        |    CAST(SUM(len(string_split(c.path, ' '))) AS BIGINT) AS n_pieces
        |  FROM words wd JOIN best$apply c ON c.w = wd.w
        |  GROUP BY wd.lang
-       |), dp AS (
+       |)""".stripMargin
+  }
+
+  lazy val c132Sql: String =
+    s"""$uniBaseCtes, dp AS (
        |  SELECT wd.lang, CAST(COUNT(DISTINCT p.piece) AS BIGINT) AS n_distinct_pieces
        |  FROM (SELECT DISTINCT lang, w FROM words WHERE len(w) > 0) wd
        |  JOIN (SELECT b.w, UNNEST(string_split(b.path, ' ')) AS piece
-       |        FROM best$apply b) p ON p.w = wd.w
+       |        FROM best$uniApplyIdx b) p ON p.w = wd.w
        |  GROUP BY wd.lang
        |)
        |SELECT b.lang, b.n_words, b.n_pieces,
@@ -3153,7 +3164,6 @@ object TextQueries {
        |  dp.n_distinct_pieces
        |FROM base b JOIN dp USING (lang)
        |ORDER BY b.lang""".stripMargin
-  }
 
   // ---------------------------------------------------------------- C55
   /** C55: vocabulary coverage curve — for each candidate vocab size k,

@@ -662,6 +662,16 @@ class StreamingSpec extends SparkTestBase {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("D39 streaming unigram == batch C132 counts (frozen piece table, stateless scan)") {
+    val got = StreamingQueries.queries("d39_stream_unigram")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_words"), r.getAs[Long]("n_pieces"),
+        r.getAs[Long]("fertility_nano")))
+    val want = graft.text.TextQueries.c132UnigramLm(spark, sf)
+      .select("lang", "n_words", "n_pieces", "fertility_nano").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("D35 streaming cusum == batch B50 on gap-free data; the corpus IS gap-free") {
     val got = StreamingQueries.d35StreamCusum(spark, sf).collect().map(_.toSeq)
     val want = graft.relational.Queries.cusumChangepoint(spark, sf).collect().map(_.toSeq)
