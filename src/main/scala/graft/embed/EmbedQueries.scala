@@ -676,6 +676,55 @@ object EmbedQueries {
        |ORDER BY nprobe, k""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C134
+  /** C134: IVF list-balance report — the skew diagnostic that sits
+    * next to the C133 recall frontier: per coarse cell its list size,
+    * corpus share (ppm) and imbalance vs a uniform split
+    * (n_vecs·n_cells·1e6 div n_total; 1e6 = perfectly balanced). An
+    * IVF search's tail latency is its HOTTEST list — nprobe routing
+    * lands O(probes·share) work on each cell, so a 10× imbalanced cell
+    * is a 10× straggler at 100 TB and the re-train trigger every
+    * production IVF deployment watches. Plan: C18's one map-side
+    * assignment pass, a cid-keyed partial agg (≤ |codebook| groups),
+    * and the 1-row totals broadcast (b42's scalar-on-bounded shape);
+    * nothing pair-sized anywhere.
+    */
+  def c134IvfBalance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lists = ivfAssigned(spark, dir).groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"))
+    val tot = lists.agg(sum("n_vecs").as("n_total"),
+      count(lit(1)).as("n_cells"))
+    lists.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("(n_vecs * 1000000) div n_total"))
+      .withColumn("imb_ppm", expr("(n_vecs * n_cells * 1000000) div n_total"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_vecs").desc, col("cid"))).cast("long"))
+      .select("rk", "cid", "n_vecs", "n_cells", "share_ppm", "imb_ppm")
+      .orderBy("rk")
+  }
+
+  lazy val c134Sql: String = {
+    def ccosSql: String = s"round(${dotSql("e.embedding", "c.ce")} / sqrt(e.n2 * c.cn), 6)"
+    s"""WITH $normsCte,
+       |cents AS (SELECT vec_id AS cid, embedding AS ce, n2 AS cn FROM norms WHERE vec_id % $CentroidMod = 0),
+       |assign AS (
+       |  SELECT e.vec_id,
+       |    CAST(min([-($ccosSql) + 0.0, CAST(c.cid AS DOUBLE)])[2] AS BIGINT) AS cid
+       |  FROM norms e CROSS JOIN cents c
+       |  GROUP BY e.vec_id
+       |),
+       |lists AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM assign GROUP BY cid),
+       |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total,
+       |  CAST(COUNT(*) AS BIGINT) AS n_cells FROM lists)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_vecs DESC, cid) AS BIGINT) AS rk,
+       |  cid, n_vecs, t.n_cells,
+       |  (n_vecs * 1000000) // t.n_total AS share_ppm,
+       |  (n_vecs * t.n_cells * 1000000) // t.n_total AS imb_ppm
+       |FROM lists, tot t
+       |ORDER BY rk""".stripMargin
+  }
+
   // ---------------------------------------------------------------- C20
   /** C20: SEMANTIC dedup collapse — the embedding-space twin of C19's
     * lexical collapse, the other near-dup mode an LLM training pipeline
@@ -2520,6 +2569,7 @@ object EmbedQueries {
     "c42_mrl_recall" -> (c42MrlRecall _),
     "c131_bucket_recall" -> (c131BucketRecall _),
     "c133_ivf_recall" -> (c133IvfRecall _),
+    "c134_ivf_balance" -> (c134IvfBalance _),
     "c46_knn_graph" -> (c46KnnGraph _),
     "c128_snn_clusters" -> (c128SnnClusters _),
     "c129_knn_outliers" -> (c129KnnOutliers _),
@@ -2552,6 +2602,7 @@ object EmbedQueries {
     "c41_ann_recall" -> c41Sql,
     "c131_bucket_recall" -> c131Sql,
     "c133_ivf_recall" -> c133Sql,
+    "c134_ivf_balance" -> c134Sql,
     "c42_mrl_recall" -> c42Sql,
     "c46_knn_graph" -> c46Sql,
     "c128_snn_clusters" -> c128Sql,

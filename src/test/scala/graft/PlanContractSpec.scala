@@ -35,6 +35,9 @@ class PlanContractSpec extends SparkTestBase {
     // c133 embeds both the c10 ground truth and c18's bounded-codebook
     // crosses; its sweep scoring is one cid equi-join filtered per np
     "c133_ivf_recall",
+    // c134 embeds c18's codebook cross + the 1-row totals broadcast
+    // (b42's scalar-on-bounded shape); its own agg is cid-keyed
+    "c134_ivf_balance",
     // c47 crosses the 1-row corpus-total aggregate into the surviving
     // phrase candidates (same shape as c21/c30's corpus totals)
     "c47_phrase_mining",

@@ -137,6 +137,38 @@ class EmbedQueriesSpec extends SparkTestBase {
     assert(got.exists(_._5 > 0L), "no nprobe/k ever recalls a true neighbor")
   }
 
+  test("c134 ivf balance: brute-force list-size recompute, totals account for every vector") {
+    import graft.embed.EmbedQueries
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = Tables(spark, sf, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val byId = vecs.toMap
+    val n2 = vecs.map { case (id, v) => id -> dot(v, v) }.toMap
+    def cos(a: Long, b: Long) = r6(dot(byId(a), byId(b)) / math.sqrt(n2(a) * n2(b)))
+    val cents = vecs.map(_._1).filter(_ % EmbedQueries.CentroidMod == 0)
+    val lists = vecs.map { case (id, _) =>
+      cents.map(c => (-cos(id, c) + 0.0, c)).min._2 }
+      .groupBy(identity).map { case (c, g) => c -> g.length.toLong }
+    val nTotal = vecs.length.toLong
+    val nCells = lists.size.toLong
+    val want = lists.toSeq.sortBy { case (c, n) => (-n, c) }.zipWithIndex.map {
+      case ((c, n), i) => (i + 1L, c, n, nCells,
+        n * 1000000L / nTotal, n * nCells * 1000000L / nTotal)
+    }
+    val got = EmbedQueries.c134IvfBalance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    // every vector is in exactly one list, and imbalance is genuinely
+    // informative (the deterministic codebook is NOT perfectly uniform)
+    assert(got.map(_._3).sum == nTotal)
+    assert(got.exists(_._6 != 1000000L), "all cells exactly uniform — imb axis untested")
+  }
+
   test("c18 IVF: at most TopK per probe, every hit carries the true cosine") {
     val ivf = EmbedQueries.c18AnnIvf(spark, sf)
     val perProbe = ivf.groupBy("probe_id").count()
