@@ -1300,7 +1300,48 @@ object DedupQueries {
        |WHERE s.jac >= $CrossLingualJac AND a.lang <> b.lang
        |ORDER BY s.doc_a, s.doc_b""".stripMargin
 
+  // --------------------------------------------------------------- C135
+  /** C135: LSH band-bucket balance report — the dedup-path twin of
+    * C134's IVF list skew, and the COST predictor for the C6 bucket
+    * join: per band, the bucket count, the hottest bucket's size and
+    * corpus share (ppm), and the exact candidate-pair mass
+    * Σ k·(k−1)/2 the band would generate doc-level — the number that
+    * says, BEFORE paying for a 100 TB pass, whether a boilerplate
+    * flood has turned one bucket into a quadratic hot spot (the
+    * supernode compression and AQE skew-join are the mitigations; this
+    * table is the tripwire that says they're needed). C60/C74/C85
+    * calibrate the family's ACCURACY; nothing calibrated its skew
+    * until this. Plan: the shared band rows, one (band, bh) partial
+    * agg (high-cardinality key), one Bands-row rollup — nothing
+    * pair-sized is ever materialized; the pair mass is computed from
+    * bucket COUNTS, which is the whole point.
+    */
+  def c135LshBalance(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = bandRows(spark, dir)
+      .groupBy("band", "bh").agg(count(lit(1)).as("k"))
+    buckets.groupBy("band").agg(
+        count(lit(1)).as("n_buckets"),
+        sum("k").as("n_docs"),
+        max("k").as("max_bucket"),
+        sum(expr("k * (k - 1) div 2")).as("cand_pairs"))
+      .withColumn("top_share_ppm", expr("(max_bucket * 1000000) div n_docs"))
+      .select("band", "n_buckets", "n_docs", "max_bucket", "top_share_ppm",
+        "cand_pairs")
+      .orderBy("band")
+  }
+
+  val c135Sql: String =
+    s"""WITH ${bandRowsCtes.mkString(",\n")},
+       |bk AS (SELECT band, bh, CAST(COUNT(*) AS BIGINT) AS k FROM bands GROUP BY band, bh)
+       |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |  CAST(SUM(k) AS BIGINT) AS n_docs,
+       |  CAST(MAX(k) AS BIGINT) AS max_bucket,
+       |  (CAST(MAX(k) AS BIGINT) * 1000000) // CAST(SUM(k) AS BIGINT) AS top_share_ppm,
+       |  CAST(SUM(k * (k - 1) // 2) AS BIGINT) AS cand_pairs
+       |FROM bk GROUP BY band ORDER BY band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c135_lsh_balance" -> (c135LshBalance _),
     "c103_group_split" -> (c103GroupSplit _),
     "c93_cross_lingual" -> (c93CrossLingual _),
     "c85_threshold_sweep" -> (c85ThresholdSweep _),
@@ -1319,6 +1360,7 @@ object DedupQueries {
     "c66_containment" -> (c66Containment _))
 
   val oracles: Map[String, String] = Map(
+    "c135_lsh_balance" -> c135Sql,
     "c103_group_split" -> c103Sql,
     "c93_cross_lingual" -> c93Sql,
     "c85_threshold_sweep" -> c85Sql,

@@ -1777,6 +1777,34 @@ class DedupQueriesSpec extends SparkTestBase {
       "EM was a no-op: same vocab, same costs")
   }
 
+  test("c135 lsh balance: sequential rollup recompute, pair mass ties to the c6 candidate set") {
+    val out = DedupQueries.c135LshBalance(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // sequential rollup from the shared band rows (the band-hash
+    // definition itself is value-checked by the c6/c74 oracles)
+    val rows = DedupQueries.bandRowsOn(
+        graft.Tables(spark, sf, "documents").select("doc_id", "text"))
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    val nDocs = graft.Tables(spark, sf, "documents").count()
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (band, g) =>
+      val ks = g.groupBy(_._2).map(_._2.length.toLong).toSeq
+      (band, ks.length.toLong, ks.sum, ks.max,
+        ks.max * 1000000L / ks.sum, ks.map(k => k * (k - 1) / 2).sum)
+    }
+    assert(out.toSeq == want)
+    // each band covers the whole corpus exactly once
+    assert(out.forall(_._3 == nDocs))
+    // the pair-mass prediction is exact: summed over bands it equals
+    // the c6 candidate list's total band agreements (Σ n_bands)
+    val c6Mass = DedupQueries.c6MinhashLsh(spark, sf)
+      .agg(sum("n_bands")).head.getLong(0)
+    assert(out.map(_._6).sum == c6Mass,
+      s"pair mass ${out.map(_._6).sum} != c6 band-agreement total $c6Mass")
+    // skew axis genuinely exercised: some bucket is hotter than uniform
+    assert(out.exists(r => r._4 * r._2 > r._3), "all buckets uniform — skew untested")
+  }
+
   test("c120 burstiness: exact moment recompute with zero-doc handling, regime witnesses") {
     val out = TextQueries.c120Burstiness(spark, sf).collect()
       .map(r => (r.getAs[Int]("rk"), r.getString(1), r.getLong(2), r.getLong(3),
