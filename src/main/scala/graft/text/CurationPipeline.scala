@@ -40,6 +40,12 @@ import graft.{GraftSession, Tables}
   *     survived gates + exact dedup + near-dup collapse + segment
   *     trim, per lang (occ ≥ 2, the chunk-store convention) — the
   *     audit a dedup stack publishes next to its output.
+  * 12. epoch draw — C130's derandomized Efraimidis–Spirakis race over
+  *     the curated TRAIN split: exactly SampleK docs per source,
+  *     quality-weighted, reproducible with zero RNG state — the
+  *     concrete "which docs this epoch" table that turns stage 9's
+  *     per-source mixture WEIGHTS into an actual document list a
+  *     training job can read.
   *
   * Every stage is declarative DataFrame algebra over the same operators
   * the driver hash-checks individually; the composition adds no new
@@ -67,7 +73,8 @@ object CurationPipeline {
       sequences: Long, bpeMerges: Long, tokensAfterBpe: Long,
       mixSources: Long, mixMassMicro: Long,
       wpLangs: Long, wpPieces: Long,
-      cdcChunks: Long, cdcDupTokens: Long)
+      cdcChunks: Long, cdcDupTokens: Long,
+      drawRows: Long, drawSources: Long)
 
   /** spark-submit entry: runMain graft.text.CurationPipeline <sfDir> <outDir>. */
   def main(args: Array[String]): Unit = {
@@ -225,6 +232,31 @@ object CurationPipeline {
     chunkTel.write.mode("overwrite").parquet(s"$outDir/chunk_dedup")
     val chunkRows = spark.read.parquet(s"$outDir/chunk_dedup").collect()
 
+    // 12. epoch draw (C130's exact race, same constants) over the
+    // curated TRAIN split — exactly SampleK docs per source, selection
+    // probability increasing in the C3 quality weight, zero RNG state;
+    // the per-source top-K decorrelates to WindowGroupLimit, so map
+    // tasks keep K-row heaps, never a per-source corpus sort
+    val drawToks = TextQueries.tokens(col("text"))
+    val draw = {
+      out.filter(col("split") === "train")
+        .select(col("doc_id"), col("source"),
+          size(drawToks).cast("long").as("n_tokens"),
+          size(filter(drawToks, t => t.isin(TextQueries.Stopwords: _*)))
+            .cast("long").as("stop_cnt"))
+        .withColumn("w_micro", TextQueries.qualityMicro + lit(1L))
+        .withColumn("u",
+          expr("((doc_id % 2147483647) * 506952114 + 104729) % 2147483647"))
+        .withColumn("skey", expr("(u * 1000000) div w_micro"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("source").orderBy(col("skey"), col("doc_id"))).cast("long"))
+        .filter(col("rnk") <= TextQueries.SampleK)
+        .select("source", "rnk", "doc_id", "w_micro")
+    }
+    draw.write.mode("overwrite").parquet(s"$outDir/sample_draw")
+    val drawnRows = spark.read.parquet(s"$outDir/sample_draw").collect()
+
     def n(df: DataFrame): Long = df.count()
     val bySplit = out.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -250,6 +282,8 @@ object CurationPipeline {
       wpLangs = equityRows.length.toLong,
       wpPieces = equityRows.map(_.getAs[Long]("n_pieces")).sum,
       cdcChunks = chunkRows.map(_.getAs[Long]("n_chunks")).sum,
-      cdcDupTokens = chunkRows.map(_.getAs[Long]("dup_tokens")).sum)
+      cdcDupTokens = chunkRows.map(_.getAs[Long]("dup_tokens")).sum,
+      drawRows = drawnRows.length.toLong,
+      drawSources = drawnRows.map(_.getAs[String]("source")).distinct.length.toLong)
   }
 }

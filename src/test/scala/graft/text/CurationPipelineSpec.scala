@@ -110,5 +110,29 @@ class CurationPipelineSpec extends SparkTestBase {
     assert(rawPpm > 0L, "raw corpus has no chunk duplication — telemetry is vacuous")
     assert(curPpm < rawPpm,
       s"curation did not reduce sub-document duplication ($curPpm vs $rawPpm ppm)")
+
+    // stage 12: the epoch draw is exactly-K per train source (min(K, n)
+    // where a source is small), drawn only from curated TRAIN docs, and
+    // reproducible — the race has zero RNG state, so a re-read re-ranks
+    // identically
+    val drawn = spark.read.parquet(s"$out/sample_draw")
+    assert(r.drawRows == drawn.count())
+    val trainBySource = corpus.filter(col("split") === "train")
+      .groupBy("source").count().collect()
+      .map(rr => rr.getString(0) -> rr.getLong(1)).toMap
+    assert(r.drawSources == trainBySource.size.toLong)
+    drawn.groupBy("source").count().collect().foreach { rr =>
+      val src = rr.getString(0)
+      assert(rr.getLong(1) ==
+        math.min(TextQueries.SampleK.toLong, trainBySource(src)), src)
+    }
+    val leaked = drawn.select("doc_id")
+      .join(corpus.filter(col("split") =!= "train").select("doc_id"), "doc_id")
+    assert(leaked.count() == 0, "epoch draw sampled outside the train split")
+    // ranks are dense 1..k per source
+    val badRanks = drawn.groupBy("source")
+      .agg(count(lit(1)).as("k"), max("rnk").as("mx"), min("rnk").as("mn"))
+      .filter(col("mx") =!= col("k") || col("mn") =!= 1L)
+    assert(badRanks.count() == 0, "epoch-draw ranks are not dense 1..k")
   }
 }
