@@ -1654,6 +1654,25 @@ object EmbedQueries {
        |FROM a LEFT JOIN dups d ON d.vb = a.vec_id
        |ORDER BY a.vec_id""".stripMargin
 
+  /** D40's oracle CTE chain — the cluster-bucketed cross-half cosine
+    * screen over the shared kmeans-assignment CTEs (ends at `hits`:
+    * new-half vec × same-cluster corpus-half vec with cos ≥ threshold).
+    */
+  private[graft] lazy val d40Ctes: String =
+    s"""$normsCte, $kmAssignedCte,
+       |ac AS (
+       |  SELECT a.vec_id, CAST(a.sc[2] AS BIGINT) AS cluster, n.embedding, n.n2
+       |  FROM assigned a JOIN norms n USING (vec_id)),
+       |vcut AS (SELECT (MIN(vec_id) + MAX(vec_id)) // 2 AS cut FROM embeddings),
+       |hits AS (
+       |  SELECT * FROM (
+       |    SELECT nw.vec_id AS new_id, o.vec_id AS corpus_id,
+       |      round(${dotSql("nw.embedding", "o.embedding")} / sqrt(nw.n2 * o.n2), 6) AS cos
+       |    FROM ac nw JOIN ac o ON o.cluster = nw.cluster
+       |    CROSS JOIN vcut
+       |    WHERE nw.vec_id >= vcut.cut AND o.vec_id < vcut.cut
+       |  ) WHERE cos >= $CosThreshold)""".stripMargin
+
   // ---------------------------------------------------------------- C56
   /** C56: the UPDATE (M) step of Lloyd's k-means — per-cluster per-dim
     * mean of the member vectors re-estimates each centroid; composed

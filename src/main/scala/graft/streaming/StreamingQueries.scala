@@ -1321,6 +1321,72 @@ object StreamingQueries {
        |FROM nb n JOIN ob o ON o.band = n.band AND o.bh = n.bh
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- D40
+  /** D40: cross-snapshot SEMANTIC near-dup screen — D38's flow in
+    * embedding space, completing the incremental-dedup triple (exact:
+    * C67/D21; lexical near-dup: D38; semantic: here): arriving
+    * embeddings are screened against a FROZEN corpus snapshot
+    * (C67's midpoint-cut convention on vec_id) for paraphrase-level
+    * duplicates that share no n-grams. The corpus snapshot rides as
+    * two frozen artifacts — the K-row centroid codebook (broadcast
+    * into the scan, D22's stateless assignment) and the
+    * cluster-keyed member store (vec + norm per corpus vector, the
+    * persisted C50 assignment) — so the stream side is completely
+    * STATELESS: assign map-side, stream-static equi-join the store on
+    * the cluster id, keep cosine ≥ CosThreshold (C51's SemDeDup
+    * within-cluster discipline bounds per-vector work at N/K members;
+    * K grows with N, so the bound is a constant at 100 TB). Matches
+    * land in the sink (sparse by construction — the threshold IS the
+    * near-dup bar); the per-vector verdict (match count, best cosine,
+    * min witness at the best cosine) finalizes on the sink (d36/d38
+    * pattern).
+    */
+  def d40StreamSemScreen(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.embed.EmbedQueries
+    import graft.functions.vector.{vec_dot, vec_norm2}
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+    // staging-harness scalar (1 row), not operator code: the snapshot cut
+    val cut = emb.agg(((min("vec_id") + max("vec_id")) / 2).cast("long"))
+      .head.getLong(0)
+    val centRow = EmbedQueries.kmCentroidRow(spark, sfDir)
+    val store = emb.filter(col("vec_id") < cut)
+      .crossJoin(broadcast(centRow))
+      .select(col("vec_id").as("corpus_id"),
+        EmbedQueries.kmBestCol.getField("cid").cast("long").as("cluster"),
+        col("embedding").as("ce2"), vec_norm2(col("embedding")).as("cn2"))
+    val fresh = StreamingOps.embeddingsStream(spark, sfDir,
+        staged(spark, sfDir, "embeddings"))
+      .filter(col("vec_id") >= cut)
+      .crossJoin(broadcast(centRow))
+      .select(col("vec_id").as("new_id"),
+        EmbedQueries.kmBestCol.getField("cid").cast("long").as("cluster"),
+        col("embedding").as("ne"), vec_norm2(col("embedding")).as("nn"))
+    val hits = fresh.join(store, Seq("cluster"))
+      .select(col("new_id"), col("corpus_id"),
+        EmbedQueries.cosine(vec_dot(col("ne"), col("ce2")),
+          col("nn"), col("cn2")).as("cos"))
+      .filter(col("cos") >= EmbedQueries.CosThreshold)
+    val sink = runToTable(hits, "graft_d40_sink", "append").localCheckpoint(true)
+    val best = sink.groupBy("new_id").agg(max("cos").as("best_cos"))
+    sink.join(best, "new_id")
+      .groupBy("new_id")
+      .agg(count(lit(1)).as("n_matches"), max("cos").as("best_cos"),
+        min(when(col("cos") === col("best_cos"), col("corpus_id"))).as("match_id"))
+      .orderBy("new_id")
+  }
+
+  /** Batch twin: the same cluster-bucketed cross-half screen through
+    * the shared kmeans-assignment CTEs.
+    */
+  val d40Sql: String =
+    s"""WITH ${graft.embed.EmbedQueries.d40Ctes}
+       |SELECT h.new_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       |  MAX(h.cos) AS best_cos,
+       |  MIN(CASE WHEN h.cos = b.best_cos THEN h.corpus_id END) AS match_id
+       |FROM hits h JOIN (SELECT new_id, MAX(cos) AS best_cos FROM hits GROUP BY new_id) b
+       |  ON b.new_id = h.new_id
+       |GROUP BY h.new_id ORDER BY h.new_id""".stripMargin
+
   // ---------------------------------------------------------------- D36
   /** D36: streaming Gini — C118's token-mass concentration maintained
     * live: the (lang, token-count) histogram is a BOUNDED-KEY
@@ -1550,6 +1616,7 @@ object StreamingQueries {
     "d37_stream_cdc" -> (d37StreamCdc _),
     "d38_stream_snapshot_dedup" -> (d38StreamSnapshotDedup _),
     "d39_stream_unigram" -> (d39StreamUnigram _),
+    "d40_stream_sem_screen" -> (d40StreamSemScreen _),
     "d35_stream_cusum" -> (d35StreamCusum _),
     "d34_stream_wordpiece" -> (d34StreamWordpiece _),
     "d33_stream_timeout_alert" -> (d33StreamTimeoutAlert _),
@@ -1591,6 +1658,7 @@ object StreamingQueries {
     "d37_stream_cdc" -> d37Sql,
     "d38_stream_snapshot_dedup" -> d38Sql,
     "d39_stream_unigram" -> d39Sql,
+    "d40_stream_sem_screen" -> d40Sql,
     "d35_stream_cusum" -> d35Sql,
     "d34_stream_wordpiece" -> d34Sql,
     "d33_stream_timeout_alert" -> d33Sql,

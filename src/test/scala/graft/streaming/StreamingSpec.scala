@@ -736,6 +736,42 @@ class StreamingSpec extends SparkTestBase {
     assert(got.map(_._1).distinct.length == got.length)
   }
 
+  test("D40 semantic screen: verdicts straddle the cut, cluster-bucketed recompute agrees") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.vector.{vec_dot, vec_norm2}
+    val got = StreamingQueries.queries("d40_stream_sem_screen")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty, "no semantic matches — screen untested")
+    val emb = graft.Tables(spark, sf, "embeddings")
+    val ids = emb.select("vec_id").collect().map(_.getLong(0))
+    val cut = (ids.min + ids.max) / 2
+    // every verdict is a NEW vec matched against a CORPUS witness above τ
+    assert(got.forall { case (n, _, c, m) =>
+      n >= cut && m < cut && c >= graft.embed.EmbedQueries.CosThreshold })
+    // plain batch recompute: same cluster assignment (c50's), same
+    // cosine, cross-half filter — executed without any streaming
+    val cl = graft.embed.EmbedQueries.c50KmeansAssign(spark, sf)
+      .select(col("vec_id"), col("cluster"))
+    val side = emb.join(cl, "vec_id")
+      .select(col("vec_id"), col("cluster"), col("embedding"),
+        vec_norm2(col("embedding")).as("n2"))
+    val l = side.filter(col("vec_id") >= cut).select(col("vec_id").as("new_id"),
+      col("cluster"), col("embedding").as("ne"), col("n2").as("nn"))
+    val r = side.filter(col("vec_id") < cut).select(col("vec_id").as("corpus_id"),
+      col("cluster"), col("embedding").as("ce"), col("n2").as("cn"))
+    val hits = l.join(r, "cluster")
+      .select(col("new_id"), col("corpus_id"),
+        round(vec_dot(col("ne"), col("ce")) / sqrt(col("nn") * col("cn")), 6).as("cos"))
+      .filter(col("cos") >= graft.embed.EmbedQueries.CosThreshold)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    val want = hits.groupBy(_._1).toSeq.sortBy(_._1).map { case (nid, g) =>
+      val best = g.map(_._3).max
+      (nid, g.length.toLong, best,
+        g.filter(_._3 == best).map(_._2).min)
+    }
+    assert(got == want)
+  }
+
   test("D36 streaming gini == batch C118 row for row (histogram is the mergeable state)") {
     val got = StreamingQueries.d36StreamGini(spark, sf).collect().map(_.toSeq)
     val want = graft.text.TextQueries.c118Gini(spark, sf).collect().map(_.toSeq)
