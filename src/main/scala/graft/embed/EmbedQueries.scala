@@ -384,7 +384,12 @@ object EmbedQueries {
     */
   def c131BucketRecall(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // sealed once: each width's join re-reads the cached narrow frame
+    // instead of re-scanning the corpus and re-hashing 8 planes per
+    // width (Spark can't reuse the exchange — the join key differs per
+    // width), so "buckets once map-side" holds literally
     val e = withNorms(spark, dir).withColumn("bucket", bucketCol(col("embedding")))
+      .localCheckpoint(true)
     val exact = exactTopKFrame(spark, dir)
       .select(col("probe_id"), col("vec_id"), col("rnk").as("rnk_e"))
     val nProbes = e.filter(col("vec_id") % ProbeMod === 0).count()
