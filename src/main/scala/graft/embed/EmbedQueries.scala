@@ -390,8 +390,10 @@ object EmbedQueries {
     // width), so "buckets once map-side" holds literally
     val e = withNorms(spark, dir).withColumn("bucket", bucketCol(col("embedding")))
       .localCheckpoint(true)
+    // sealed for the same reason: the ground truth joins once per width
     val exact = exactTopKFrame(spark, dir)
       .select(col("probe_id"), col("vec_id"), col("rnk").as("rnk_e"))
+      .localCheckpoint(true)
     val nProbes = e.filter(col("vec_id") % ProbeMod === 0).count()
     val perWidth = RecallBits.map { b =>
       val m = 1L << b
@@ -598,14 +600,21 @@ object EmbedQueries {
   def c133IvfRecall(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val assigned = ivfAssigned(spark, dir)
+    // both sealed once: every sweep point re-reads these narrow cached
+    // frames — without the checkpoints each of the 3 branches would
+    // re-run the assignment cross, the routing join AND the exact
+    // ground-truth broadcast, tripling the corpus work the "one corpus
+    // join total" contract forbids
     val exact = exactTopKFrame(spark, dir)
       .select(col("probe_id"), col("vec_id"), col("rnk").as("rnk_e"))
+      .localCheckpoint(true)
     val nProbes = withNorms(spark, dir)
       .filter(col("vec_id") % ProbeMod === 0).count()
     val scored = broadcast(ivfProbeLists(spark, dir, NProbeSweep.max))
       .join(assigned, "cid").filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), col("crn"),
         cosine(dot(col("pe"), col("embedding")), col("pn"), col("n2")).as("cos"))
+      .localCheckpoint(true)
     val perNp = NProbeSweep.map { np =>
       val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
       scored.filter(col("crn") <= np)
