@@ -705,8 +705,12 @@ object EmbedQueries {
     */
   def c134IvfBalance(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // sealed: the ≤|codebook|-row list table feeds both the totals agg
+    // and the report — without the checkpoint each consumer re-runs
+    // the corpus assignment cross
     val lists = ivfAssigned(spark, dir).groupBy("cid")
       .agg(count(lit(1)).as("n_vecs"))
+      .localCheckpoint(true)
     val tot = lists.agg(sum("n_vecs").as("n_total"),
       count(lit(1)).as("n_cells"))
     lists.crossJoin(broadcast(tot))
