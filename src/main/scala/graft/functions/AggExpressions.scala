@@ -88,6 +88,12 @@ case class BottomK(child: Expression, kExpr: Expression,
   }
 
   override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    // the buffer is legitimately variable-size (≤ k longs), but a
+    // ragged length means corrupt state — fail loudly, don't truncate
+    // (the moment_matrix loud-failure contract)
+    require(bytes.length % 8 == 0 && bytes.length <= 8 * k,
+      s"bottom_k: serialized buffer is ${bytes.length} B — expected a multiple of 8" +
+        s" no larger than ${8 * k} B for k=$k")
     val set = new java.util.TreeSet[java.lang.Long]()
     val bb = ByteBuffer.wrap(bytes)
     while (bb.remaining() >= 8) set.add(bb.getLong): Unit
@@ -188,7 +194,15 @@ case class HllRegisters(child: Expression, pExpr: Expression,
 
   override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
 
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = {
+    // state restored under a different m must fail loudly: a longer
+    // buffer would silently ignore registers (skewed estimate), a
+    // shorter one would crash later in eval with a bare index error
+    require(bytes.length == m,
+      s"hll_registers: serialized buffer is ${bytes.length} B but m=$m" +
+        " — state written under a different register count cannot be restored")
+    bytes
+  }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): HllRegisters =
     copy(mutableAggBufferOffset = newOffset)
