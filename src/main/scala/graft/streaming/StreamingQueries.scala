@@ -1218,6 +1218,9 @@ object StreamingQueries {
       .groupBy("fp", "clen").agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2)
       .select(col("fp"), col("clen"), lit(1L).as("hit"))
+      // sealed: a frozen artifact is MATERIALIZED once — a stream-static
+      // join re-evaluates its static side every micro-batch otherwise
+      .localCheckpoint(true)
     val chunks = TextQueries.cdcChunkFrame(
       StreamingOps.docsStream(spark, sfDir, staged(spark, sfDir, "documents")),
       Seq("doc_id", "lang"))
@@ -1296,6 +1299,9 @@ object StreamingQueries {
       .head.getLong(0)
     val store = DedupQueries.bandRowsOn(docs.filter(col("doc_id") < cut))
       .groupBy("band", "bh").agg(min("doc_id").as("owner"))
+      // sealed: the frozen owner store is materialized once, not
+      // re-derived per micro-batch by the stream-static join
+      .localCheckpoint(true)
     val fresh = StreamingOps.docsStream(spark, sfDir, staged(spark, sfDir, "documents"))
       .filter(col("doc_id") >= cut)
     val hits = DedupQueries.bandRowsOn(fresh)
@@ -1354,6 +1360,9 @@ object StreamingQueries {
       .select(col("vec_id").as("corpus_id"),
         EmbedQueries.kmBestCol.getField("cid").cast("long").as("cluster"),
         col("embedding").as("ce2"), vec_norm2(col("embedding")).as("cn2"))
+      // sealed: the frozen member store is materialized once, not
+      // re-assigned against the codebook per micro-batch
+      .localCheckpoint(true)
     val fresh = StreamingOps.embeddingsStream(spark, sfDir,
         staged(spark, sfDir, "embeddings"))
       .filter(col("vec_id") >= cut)
