@@ -199,12 +199,15 @@ object DedupQueries {
       // band agreement between distinct groups: dup-heavy corpora
       // collapse docs onto few signatures, so `groups` is usually the
       // small (broadcastable) side — but only USUALLY: the hint is
-      // count-gated on |sigs| ≥ |groups| (sigs is sealed, the count is
-      // one pass over cached blocks) so a diverse ~|docs|-signature
+      // count-gated on |groups| ITSELF (one cheap groupBy-count job
+      // over the sealed sigs blocks) so a diverse ~|docs|-signature
       // corpus falls back to plain equi-joins under AQE instead of a
       // driver-sized broadcast build (see the dispatch scaladoc above).
+      // Gating on |sigs| — an upper bound — would silently drop the
+      // fast path on exactly the dup-heavy >4M-doc corpora the hint
+      // was added for (|groups| tiny, |sigs| huge).
       val hintG: DataFrame => DataFrame =
-        if (sigs.count() <= confLong(sigs, "graft.dedup.maxBcastGroups", MaxBcastGroups))
+        if (groups.count() <= confLong(sigs, "graft.dedup.maxBcastGroups", MaxBcastGroups))
           broadcast else identity
       val members = sigs.join(hintG(groups), bhCols)
         .select(col("gid"), col("doc_id"))
@@ -1316,19 +1319,39 @@ object DedupQueries {
     * pair-sized is ever materialized; the pair mass is computed from
     * bucket COUNTS, which is the whole point.
     */
-  def c135LshBalance(spark: SparkSession, dir: String): DataFrame = {
-    val buckets = bandRows(spark, dir)
-      .groupBy("band", "bh").agg(count(lit(1)).as("k"))
+  def c135LshBalance(spark: SparkSession, dir: String): DataFrame =
+    bandBalanceOn(bandRows(spark, dir)
+      .groupBy("band", "bh").agg(count(lit(1)).as("k")))
+
+  /** The per-band rollup on any (band, bh, k) bucket-count frame.
+    *
+    * k·(k−1) fits a Long only for k ≲ 3.04e9, and the boilerplate-flood
+    * regime this tripwire is advertised to detect is exactly where one
+    * bucket can exceed that — a wrapped/negative pair mass is the one
+    * failure mode the report must never have. So the pair mass is
+    * accumulated in DECIMAL(38,0) (covers any k and any per-band sum)
+    * and the final BIGINT cast is loudly guarded with `raise_error`;
+    * the oracle's HUGEINT arithmetic + checked HUGEINT→BIGINT cast is
+    * DuckDB's native equivalent of the same loud failure.
+    */
+  private[graft] def bandBalanceOn(buckets: DataFrame): DataFrame =
     buckets.groupBy("band").agg(
         count(lit(1)).as("n_buckets"),
         sum("k").as("n_docs"),
         max("k").as("max_bucket"),
-        sum(expr("k * (k - 1) div 2")).as("cand_pairs"))
+        // sum of k·(k−1) — even by construction, halved after the guard
+        sum(expr("CAST(k AS DECIMAL(38,0)) * (k - 1)")).as("pm2"))
+      .withColumn("cand_pairs", expr(
+        // pm2/2 fits a BIGINT iff pm2 ≤ 2·Long.MaxValue
+        "CASE WHEN pm2 > CAST('18446744073709551614' AS DECIMAL(38,0)) " +
+          "THEN CAST(raise_error('c135: per-band candidate-pair mass " +
+          "overflows BIGINT — the skew tripwire would wrap; widen the " +
+          "report schema or shard the band') AS BIGINT) " +
+          "ELSE CAST(pm2 / 2 AS BIGINT) END"))
       .withColumn("top_share_ppm", expr("(max_bucket * 1000000) div n_docs"))
       .select("band", "n_buckets", "n_docs", "max_bucket", "top_share_ppm",
         "cand_pairs")
       .orderBy("band")
-  }
 
   val c135Sql: String =
     s"""WITH ${bandRowsCtes.mkString(",\n")},
@@ -1337,7 +1360,7 @@ object DedupQueries {
        |  CAST(SUM(k) AS BIGINT) AS n_docs,
        |  CAST(MAX(k) AS BIGINT) AS max_bucket,
        |  (CAST(MAX(k) AS BIGINT) * 1000000) // CAST(SUM(k) AS BIGINT) AS top_share_ppm,
-       |  CAST(SUM(k * (k - 1) // 2) AS BIGINT) AS cand_pairs
+       |  CAST(SUM(CAST(k AS HUGEINT) * (k - 1) // 2) AS BIGINT) AS cand_pairs
        |FROM bk GROUP BY band ORDER BY band""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -228,7 +228,9 @@ case class UnigramSegment(child: Expression,
     pieces.iterator.zip(costs.iterator).foreach { case (p, c) => m.put(p, c) }
     m
   }
-  private lazy val maxLen: Int = (pieces.iterator.map(_.length) ++ Iterator(1)).max
+  // piece lengths in CODE POINTS — the unit the DP transitions in
+  private lazy val maxLen: Int =
+    (pieces.iterator.map(p => p.codePointCount(0, p.length)) ++ Iterator(1)).max
 
   override protected def nullSafeEval(t: Any): Any =
     UnigramSegment.segment(t.asInstanceOf[UTF8String], costMap, maxLen)
@@ -257,8 +259,19 @@ object UnigramSegment {
     var wi = 0
     while (wi < words.length) {
       val w = words(wi)
-      val n = w.length
-      if (n > 0) {
+      if (w.length > 0) {
+        // DP positions are CODE POINTS, not UTF-16 chars: the vocab seed
+        // (Spark `substring`) and the DuckDB oracle both slice by code
+        // points, and a char-indexed DP would use surrogate HALVES as
+        // transition keys on non-BMP text — those are never vocab keys,
+        // so the single-char cover guarantee would break. off(i) = char
+        // offset of code point i.
+        val n = w.codePointCount(0, w.length)
+        val off = new Array[Int](n + 1)
+        var ci = 0
+        var co = 0
+        while (ci < n) { off(ci) = co; co = w.offsetByCodePoints(co, 1); ci += 1 }
+        off(n) = w.length
         val score = new Array[Long](n + 1)
         val path = new Array[String](n + 1)
         path(0) = ""
@@ -268,7 +281,7 @@ object UnigramSegment {
             var l = 1
             val lim = math.min(maxLen, n - pos)
             while (l <= lim) {
-              val sub = w.substring(pos, pos + l)
+              val sub = w.substring(off(pos), off(pos + l))
               val c = costs.get(sub)
               if (c != null) {
                 val s = score(pos) + c.longValue()

@@ -239,18 +239,13 @@ object CurationPipeline {
     // tasks keep K-row heaps, never a per-source corpus sort
     val drawToks = TextQueries.tokens(col("text"))
     val draw = {
-      out.filter(col("split") === "train")
+      val weighted = out.filter(col("split") === "train")
         .select(col("doc_id"), col("source"),
           size(drawToks).cast("long").as("n_tokens"),
           size(filter(drawToks, t => t.isin(TextQueries.Stopwords: _*)))
             .cast("long").as("stop_cnt"))
         .withColumn("w_micro", TextQueries.qualityMicro + lit(1L))
-        .withColumn("u",
-          expr("((doc_id % 2147483647) * 506952114 + 104729) % 2147483647"))
-        .withColumn("skey", expr("(u * 1000000) div w_micro"))
-        .withColumn("rnk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("source").orderBy(col("skey"), col("doc_id"))).cast("long"))
+      TextQueries.esRace(weighted)
         .filter(col("rnk") <= TextQueries.SampleK)
         .select("source", "rnk", "doc_id", "w_micro")
     }

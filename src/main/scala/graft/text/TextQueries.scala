@@ -1357,19 +1357,40 @@ object TextQueries {
     */
   val SampleK = 5
 
-  def c130WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+  /** The derandomized hash uniform of the race —
+    * u = ((doc_id mod M)·506952114 + 104729) mod M, M = 2³¹−1.
+    * ONE text, parsed identically by Spark and DuckDB: the constants
+    * and the reduce-id-first overflow discipline live here only, so
+    * the Spark draw, its SQL twin and the pipeline stage can never
+    * drift apart (a round-12 diff had to rewrite this expression in
+    * three places in lockstep).
+    */
+  private[graft] val EsUniformSql =
+    "((doc_id % 2147483647) * 506952114 + 104729) % 2147483647"
+
+  /** The Efraimidis–Spirakis race on any frame carrying `doc_id`,
+    * `source`, `w_micro` (≥ 1): appends the hash uniform `u`, the
+    * integer race key `skey = u·1e6 div w_micro` (smaller wins) and
+    * the per-source rank `rnk` (LONG; `rnk ≤ K` decorrelates to
+    * WindowGroupLimit). Shared by [[c130WeightedSample]] and
+    * CurationPipeline stage 12 — one definition of the draw.
+    */
+  private[graft] def esRace(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    df.withColumn("u", expr(EsUniformSql))
+      .withColumn("skey", expr("(u * 1000000) div w_micro"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("source").orderBy(col("skey"), col("doc_id"))).cast("long"))
+  }
+
+  def c130WeightedSample(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val q = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         size(toks).cast("long").as("n_tokens"),
         size(filter(toks, t => t.isin(Stopwords: _*))).cast("long").as("stop_cnt"))
       .withColumn("w_micro", qualityMicro + lit(1L)) // C3 quality ≥ 0 → w ≥ 1
-      .withColumn("u",
-        expr("((doc_id % 2147483647) * 506952114 + 104729) % 2147483647"))
-      .withColumn("skey", expr("(u * 1000000) div w_micro"))
-    q.withColumn("rnk", row_number().over(
-        Window.partitionBy("source").orderBy(col("skey"), col("doc_id"))).cast("long"))
+    esRace(q)
       .filter(col("rnk") <= SampleK)
       .select("source", "rnk", "doc_id", "w_micro", "skey")
       .orderBy("source", "rnk")
@@ -1384,7 +1405,7 @@ object TextQueries {
        |  FROM documents
        |), q AS (
        |  SELECT doc_id, source, $QualityMicroSql + 1 AS w_micro,
-       |    ((doc_id % 2147483647) * 506952114 + 104729) % 2147483647 AS u
+       |    $EsUniformSql AS u
        |  FROM f
        |), p AS (
        |  SELECT source, doc_id, w_micro, (u * 1000000) // w_micro AS skey,

@@ -63,6 +63,23 @@ class BroadcastDispatchSpec extends SparkTestBase {
     assert(rowsHinted == rowsPlain, "hint dispatch changed the candidate set")
   }
 
+  test("candidate pairs: gate counts GROUPS, not docs — dup-heavy keeps the fast path") {
+    import spark.implicits._
+    // 200 docs but only 4 distinct texts → 4 signature groups: a
+    // dup-heavy corpus far above a doc-count gate yet tiny on the
+    // group side. Gating on |sigs| (an upper bound) would silently
+    // drop the broadcast fast path on exactly this regime — the one
+    // the hint was added for.
+    val docs = (0 until 200).map(i =>
+      (i.toLong, s"alpha beta gamma delta tail${i % 4}")).toDF("doc_id", "text")
+      .localCheckpoint(true)
+    withConfs("graft.dedup.maxBcastGroups" -> "50") {
+      val df = DedupQueries.candidatePairsForProfile(docs)
+      assert(hintCount(df) > 0,
+        "a doc-count upper bound withheld the broadcast hint on a dup-heavy corpus")
+    }
+  }
+
   test("scored rep pairs: sets hint gated by rows AND array bytes, same edges") {
     val docs = diverseDocs(200).localCheckpoint(true)
     val hinted = DedupQueries.scoredRepPairsFor(docs, 0.5)

@@ -101,6 +101,27 @@ class TextSegSpec extends SparkTestBase {
       Option(ex.getCause).exists(_.getMessage.contains("wordpiece")))
   }
 
+  test("unigram: Viterbi DP walks CODE POINTS, not UTF-16 chars (non-BMP cover)") {
+    import spark.implicits._
+    import graft.functions.textseg.unigram_segment
+    // 𝕏 (U+1D54F) is a surrogate pair: a char-indexed DP would probe the
+    // high surrogate alone (never a vocab key) and throw no-cover. The
+    // vocab seed and the DuckDB oracle slice by code points, so the
+    // kernel must too.
+    val x = "𝕏"
+    // single-char layer covers; the 2-code-point piece (3 UTF-16 chars)
+    // exercises the code-point maxLen and DP transition length
+    val pieces = Seq(x, "a", x + "a")
+    val costs = Seq(-2L, -2L, -3L)
+    val r = Seq((1L, s"$x${x}a a"), (2L, s"$x"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), unigram_segment(col("text"), pieces, costs).as("t"))
+      .orderBy("doc_id").collect().map(_.getSeq[String](1).toList)
+    // word 1: [𝕏, 𝕏a] scores -2 + -3 = -5 beats [𝕏, 𝕏, a] = -6
+    assert(r(0) == List(x, x + "a", "a"))
+    assert(r(1) == List(x))
+  }
+
   test("wordpiece participates in whole-stage codegen") {
     import graft.functions.textseg.wordpiece_segment
     val (init, cont) = graft.text.TextQueries.wpVocab(spark, sf)

@@ -1805,6 +1805,25 @@ class DedupQueriesSpec extends SparkTestBase {
     assert(out.exists(r => r._4 * r._2 > r._3), "all buckets uniform — skew untested")
   }
 
+  test("c135 pair mass: DECIMAL accumulation exact past the Long k·(k−1) bound, loud past BIGINT") {
+    import spark.implicits._
+    // small case: exact halved pair mass
+    val ok = Seq((0, 1L, 10L), (0, 2L, 4L)).toDF("band", "bh", "k")
+    assert(DedupQueries.bandBalanceOn(ok).head.getAs[Long]("cand_pairs") == 45L + 6L)
+    // k = 4e9: k·(k−1) ≈ 1.6e19 WRAPS in Long math (the boilerplate-
+    // flood regime the tripwire exists for); the decimal path is exact
+    val big = 4000000000L
+    val one = Seq((0, 1L, big)).toDF("band", "bh", "k")
+    assert(DedupQueries.bandBalanceOn(one).head.getAs[Long]("cand_pairs") ==
+      (BigInt(big) * (big - 1) / 2).toLong)
+    // a per-band mass past 2·Long.Max must raise OUR error, never wrap
+    val flood = Seq((0, 1L, big), (0, 2L, big), (0, 3L, big)).toDF("band", "bh", "k")
+    val ex = intercept[Exception] { DedupQueries.bandBalanceOn(flood).collect() }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("c135"), s"wrong failure: $msgs")
+  }
+
   test("c120 burstiness: exact moment recompute with zero-doc handling, regime witnesses") {
     val out = TextQueries.c120Burstiness(spark, sf).collect()
       .map(r => (r.getAs[Int]("rk"), r.getString(1), r.getLong(2), r.getLong(3),
