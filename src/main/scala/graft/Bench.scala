@@ -3,8 +3,18 @@ package graft
   * (plan + execute + count) on SPARK_GRAFT_SF_DIR; one JSON line out.
   */
 object Bench {
+  /** 1-minute load average — recorded at start and end of the run so a
+    * loaded host (the documented ±10–15% drift band's cause) is visible
+    * IN the bench record instead of needing out-of-band notes.
+    */
+  private def load1m(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadStart = load1m()
     val spark = GraftSession.local()
     // cumulative task-level shuffle-write / spill counters, registered
     // BEFORE the warmup so queued warmup events can't bleed into the
@@ -42,6 +52,27 @@ object Bench {
       s"no query matches prefixes ${prefixes.mkString("[", ", ", "]")} — " +
         s"known queries: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // shared-memo prep: build every session-shared memoized intermediate
+    // FIRST, each on its own timed line — otherwise the build bills to
+    // its alphabetically-first consumer (round 12: the ~5 s BPE
+    // sample-learn landed on c100_fertility, the cells memo on a10) and
+    // the per-query numbers steer optimization at the wrong query.
+    // Skipped for prefix-subset dev loops (prep would dwarf the subset);
+    // full runs — the driver's — always pay it here, so `value` =
+    // prep + queries stays comparable round over round.
+    val prep = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    if (prefixes.isEmpty) Prep.items.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir)
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] prep $name FAILED: $e")
+          e.printStackTrace()
+          failed += s"prep:$name"
+      }
+      prep(name) = (System.nanoTime() - t0) / 1e9
+    }
+    org.apache.spark.sql.GraftBridge.drainListeners(spark.sparkContext)
     // per-query deltas of the cumulative counters are exact: the bus is
     // drained after every query (outside the timed span), so no
     // straggler task-end event can land on the next query's row; a
@@ -72,16 +103,23 @@ object Bench {
       s"\"" + k + "\":" + v / 1048576.0
     }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val prepSec = prep.values.sum
+    val prepJson = prep.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // value = prep + queries: the memo builds still happened this run,
+    // they're just billed to their own lines — totals stay comparable
+    // with the pre-prep rounds
+    val total = results.map(_._2).filter(_ >= 0).sum + prepSec
+    val loadEnd = load1m()
     // the driver's stdout capture has repeatedly truncated the big line
     // mid-JSON (losing the totals); print a short, self-contained summary
     // line FIRST so any prefix capture contains a parseable record, then
     // the full per-query line the contract asks for
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"spill_mb_total":${(spillB.get - spillBase) / 1048576.0},"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"prep_sec":$prepSec,"spill_mb_total":${(spillB.get - spillBase) / 1048576.0},"errors":$errs,"load_1m_start":$loadStart,"load_1m_end":$loadEnd,"sf":"$sfDir"}"""
     println(summary)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"spill_mb_total":${(spillB.get - spillBase) / 1048576.0},"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"prep":$prepJson,"prep_sec":$prepSec,"shuffle_mb":$sh,"spill_mb_total":${(spillB.get - spillBase) / 1048576.0},"errors":$errs,"load_1m_start":$loadStart,"load_1m_end":$loadEnd,"sf":"$sfDir"}"""
     println(json)
     // ...and print the short summary LAST too: the driver's capture is a
     // TAIL, so whatever it keeps must END with a complete JSON record —

@@ -728,6 +728,83 @@ object ScaleSmoke {
       s"dispatch changed the edge set: $shufEdges vs $hintEdges")
     println(f"SCALE dedupShuffleForm docs=$nDv reps=$nDv edges=${shufEdges.getLong(0)} " +
       f"maxTaskMs=$dsMaxMs meanTaskMs=$dsMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // --- cross-snapshot OWNER screen (the d38 kernel) on a dup-heavy
+    // ~10× snapshot pair: nDocs docs, only ~1000 distinct texts,
+    // midpoint cut. The owner-compressed store emits ≤ Bands rows per
+    // arriving doc BY CONSTRUCTION (pinned), while the raw member-join
+    // counterfactual is quadratic — its pair mass (Σ_bucket k_old·m_new,
+    // computed from COUNTS here, never materialized) is printed as the
+    // avoided blowup. Tasks must stay flat: owner compression leaves no
+    // hot bucket for a straggler to form on.
+    t0 = System.nanoTime()
+    val snapDocs = spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map(i =>
+        concat(lit(s"s$i"), (col("id") % 1000L) * (i + 7) % 89L)): _*).as("text"))
+      .localCheckpoint(true)
+    val cut38 = nDocs / 2
+    val oldRows = graft.dedup.DedupQueries.bandRowsOn(
+      snapDocs.filter(col("doc_id") < cut38))
+    val store38 = oldRows.groupBy("band", "bh").agg(min("doc_id").as("owner"))
+      .localCheckpoint(true)
+    val newRows = graft.dedup.DedupQueries.bandRowsOn(
+        snapDocs.filter(col("doc_id") >= cut38))
+      .localCheckpoint(true)
+    val (nHits38, d38MaxMs, d38MeanMs) = withMaxTask(
+      newRows.join(store38, Seq("band", "bh")).count())
+    val nNew38 = nDocs - cut38
+    val bandsN = Bands.toLong // graft.dedup.MinHashLsh.Bands (imported above)
+    require(nHits38 <= nNew38 * bandsN,
+      s"owner screen emitted $nHits38 rows > newDocs·Bands = ${nNew38 * bandsN}")
+    require(nHits38 > 0L, "degenerate fixture: no cross-snapshot hits at all")
+    val pairMass38 = oldRows.groupBy("band", "bh").agg(count(lit(1)).as("k"))
+      .join(newRows.groupBy("band", "bh").agg(count(lit(1)).as("m")), Seq("band", "bh"))
+      .agg(sum(col("k") * col("m"))).head.getLong(0)
+    require(pairMass38 > nHits38 * 100L,
+      s"fixture not dup-heavy enough to witness the avoided quadratic " +
+        s"(pairs=$pairMass38 vs hits=$nHits38)")
+    println(f"SCALE snapshotOwnerScreen docs=$nDocs newDocs=$nNew38 hits=$nHits38 " +
+      f"avoidedPairRows=$pairMass38 maxTaskMs=$d38MaxMs meanTaskMs=$d38MeanMs " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // --- cross-snapshot SEMANTIC screen (the d40 kernel) at ~10× the
+    // sf0.1 embeddings table: balanced K-cluster corpus, frozen
+    // cluster-keyed member store, stream side assigns map-side and
+    // equi-joins on the cluster id. Within-cluster vectors are
+    // IDENTICAL (cos = 1, the dup-heavy worst case), so every
+    // candidate passes the threshold and the emitted row count equals
+    // the exact N/K-bounded candidate mass Σ_cluster m_new·k_old —
+    // pinned closed-form. Flat tasks: the cluster key is balanced by
+    // construction and the join carries no per-task corpus-sized build.
+    t0 = System.nanoTime()
+    import graft.functions.vector.{vec_dot, vec_norm2}
+    val kCl = 64L
+    val nVec40 = math.max(nDocs / 2L / 128L * 128L, 102400L)
+    val vecs40 = spark.range(nVec40).select(col("id").as("vec_id"),
+      (col("id") % kCl).as("cluster"),
+      expr("transform(sequence(0, 15), " +
+        "j -> cast(cast(((id % 64) * 31 + j * 7) % 97 + 1 as double) / 97.0 as float))")
+        .as("embedding"))
+    val cut40 = nVec40 / 2
+    val store40 = vecs40.filter(col("vec_id") < cut40)
+      .select(col("vec_id").as("corpus_id"), col("cluster"),
+        col("embedding").as("ce"), vec_norm2(col("embedding")).as("cn"))
+      .localCheckpoint(true)
+    val fresh40 = vecs40.filter(col("vec_id") >= cut40)
+      .select(col("vec_id").as("new_id"), col("cluster"),
+        col("embedding").as("ne"), vec_norm2(col("embedding")).as("nn"))
+    val (nMatch40, d40MaxMs, d40MeanMs) = withMaxTask(
+      fresh40.join(store40, Seq("cluster"))
+        .select(graft.embed.EmbedQueries.cosine(
+          vec_dot(col("ne"), col("ce")), col("nn"), col("cn")).as("cos"))
+        .filter(col("cos") >= graft.embed.EmbedQueries.CosThreshold)
+        .count())
+    val expect40 = (cut40 / kCl) * ((nVec40 - cut40) / kCl) * kCl
+    require(nMatch40 == expect40,
+      s"semantic screen emitted $nMatch40 rows, expected the exact " +
+        s"within-cluster candidate mass $expect40")
+    println(f"SCALE snapshotSemScreen vecs=$nVec40 clusters=$kCl matches=$nMatch40 " +
+      f"maxTaskMs=$d40MaxMs meanTaskMs=$d40MeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 }

@@ -73,7 +73,8 @@ object SparkEntry {
     "b48_gap_fill_locf" -> (Queries.gapFillLocf _),
     "b49_nearest_event" -> (Queries.nearestEvent _),
     "b50_cusum_changepoint" -> (Queries.cusumChangepoint _),
-    "b51_ntile_listagg" -> (Queries.ntileListagg _)
+    "b51_ntile_listagg" -> (Queries.ntileListagg _),
+    "b52_bucketed_join" -> (Queries.bucketedJoin _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -135,6 +136,7 @@ object SparkEntry {
     "b48_gap_fill_locf" -> Queries.gapFillLocfSql,
     "b49_nearest_event" -> Queries.nearestEventSql,
     "b50_cusum_changepoint" -> Queries.cusumChangepointSql,
-    "b51_ntile_listagg" -> Queries.ntileListaggSql
+    "b51_ntile_listagg" -> Queries.ntileListaggSql,
+    "b52_bucketed_join" -> Queries.bucketedJoinSql
   )
 }

@@ -1363,7 +1363,125 @@ object DedupQueries {
        |  CAST(SUM(CAST(k AS HUGEINT) * (k - 1) // 2) AS BIGINT) AS cand_pairs
        |FROM bk GROUP BY band ORDER BY band""".stripMargin
 
+  // --------------------------------------------------------------- C137
+  /** C137: LSH banding TUNER — the decision table on top of the
+    * calibration family: C60 plots the S-curve of the SHIPPED (2×8)
+    * banding, C74 its estimator error, C135 its skew; this query
+    * answers the question those reports raise — "should the 16-perm
+    * budget be banded differently?" — by evaluating EVERY factorization
+    * b×r = 16 ∈ [[TuneFactorizations]] on the real corpus: per
+    * factorization, (a) the corpus-wide candidate-pair mass its bucket
+    * join would generate (the COST a full pass pays — computed from
+    * bucket counts exactly like C135, DECIMAL-safe with the same loud
+    * guard), and (b) the fraction of TRUE near-dup pairs it detects
+    * (≥ 1 band collides), truth = the scored distinct-set pairs with
+    * exact Jaccard ≥ 0.5 (the memoized C85 ground-truth frame).
+    * Honest conditioning caveat, same as C74: truth pairs are the ones
+    * the shipped banding surfaced, so `recall` is RELATIVE to (2×8) —
+    * detected == true_pairs at (2,8) by construction (spec-pinned
+    * identity), and the table shows what coarser/finer bandings would
+    * have kept or lost of that set plus what they'd cost. An absolute
+    * ground truth would need the all-pairs scan LSH exists to avoid.
+    *
+    * Scale shape: ONE signature scan sealed; per factorization a
+    * map-side slice-rehash + (band,bh) partial agg (the C135 plan) for
+    * cost, and one bounded pass over the sealed truth⋈signature frame
+    * (|scored pairs| rows) for detection — nothing pair-sized beyond
+    * the already-memoized truth frame; no driver scalars at all.
+    */
+  val TuneFactorizations: Seq[(Int, Int)] =
+    Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+
+  def c137LshTune(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), shingleHashes(col("text")).as("ths"))
+      .select(col("doc_id"), signature(col("ths")).as("sig"))
+      .localCheckpoint(true)
+    def sliceHash(sig: Column, bn: Int, r: Int): Column =
+      (0 until r).map(i => sig.getItem(bn * r + i))
+        .reduceLeft((acc, s) => (acc * lit(31L) + s) % lit(M))
+    val truth = scoredRepPairs(spark, dir, SweepTaus.min).select("src", "dst")
+    val truthSig = truth
+      .join(sigs.select(col("doc_id").as("src"), col("sig").as("sig_a")), "src")
+      .join(sigs.select(col("doc_id").as("dst"), col("sig").as("sig_b")), "dst")
+      .select("sig_a", "sig_b")
+      .localCheckpoint(true)
+    TuneFactorizations.map { case (b, r) =>
+      val cost = sigs
+        .select(posexplode(array((0 until b).map(bn =>
+          sliceHash(col("sig"), bn, r)): _*)).as(Seq("band", "bh")))
+        .groupBy("band", "bh").agg(count(lit(1)).as("k"))
+        .agg(sum(expr("CAST(k AS DECIMAL(38,0)) * (k - 1)")).as("pm2"))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          expr("CASE WHEN pm2 > CAST('18446744073709551614' AS DECIMAL(38,0)) " +
+            "THEN CAST(raise_error('c137: candidate-pair mass overflows BIGINT') " +
+            "AS BIGINT) ELSE CAST(pm2 / 2 AS BIGINT) END").as("cand_pairs"))
+      val hit = (0 until b).map(bn =>
+        when(sliceHash(col("sig_a"), bn, r) === sliceHash(col("sig_b"), bn, r),
+          1L).otherwise(0L)).reduce(_ + _) > 0
+      val det = truthSig
+        .select(when(hit, 1L).otherwise(0L).as("hit"))
+        .agg(count(lit(1)).as("true_pairs"),
+          coalesce(sum("hit"), lit(0L)).as("detected"))
+      cost.crossJoin(det)
+        .withColumn("recall",
+          round(col("detected").cast("double") / col("true_pairs"), 6))
+    }.reduce(_ unionByName _).orderBy("bands")
+  }
+
+  lazy val c137Sql: String = {
+    def sliceSql(arr: String, bn: Int, r: Int): String =
+      (0 until r).map(i => s"$arr[${bn * r + i + 1}]")
+        .reduceLeft((acc, s) => s"(($acc) * 31 + $s) % $M")
+    def factBlock(b: Int, r: Int): String = {
+      val gb = (0 until b).map(bn =>
+        s"SELECT CAST($bn AS INT) AS band, ${sliceSql("mhs", bn, r)} AS bh FROM mh")
+        .mkString("\n  UNION ALL\n  ")
+      val hits = (0 until b).map(bn =>
+        s"${sliceSql("ma", bn, r)} = ${sliceSql("mb", bn, r)}").mkString(" OR ")
+      s"""gb$b AS (
+         |  $gb
+         |),
+         |ct$b AS (
+         |  SELECT CAST(SUM(CAST(k AS HUGEINT) * (k - 1) // 2) AS BIGINT) AS cand_pairs
+         |  FROM (SELECT band, bh, COUNT(*) AS k FROM gb$b GROUP BY band, bh)),
+         |dt$b AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS true_pairs,
+         |    CAST(COALESCE(SUM(CASE WHEN $hits THEN 1 ELSE 0 END), 0) AS BIGINT) AS detected
+         |  FROM tm),
+         |res$b AS (
+         |  SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+         |    ct.cand_pairs, dt.true_pairs, dt.detected,
+         |    round(CAST(dt.detected AS DOUBLE) / dt.true_pairs, 6) AS recall
+         |  FROM ct$b ct CROSS JOIN dt$b dt)""".stripMargin
+    }
+    s"""WITH ${bandRowsCtes.mkString(",\n")},
+       |ws AS (
+       |  SELECT list_sort(list_distinct($shingleHashesSql)) AS s,
+       |    MIN(doc_id) AS rep
+       |  FROM documents GROUP BY 1),
+       |rb AS (SELECT b.doc_id, b.band, b.bh FROM bands b JOIN ws ON ws.rep = b.doc_id),
+       |rcand AS (
+       |  SELECT DISTINCT l.doc_id AS src, r.doc_id AS dst
+       |  FROM rb l JOIN rb r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+       |truth AS MATERIALIZED (
+       |  SELECT c.src, c.dst FROM rcand c
+       |  JOIN ws x ON x.rep = c.src
+       |  JOIN ws y ON y.rep = c.dst
+       |  WHERE round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(x.s, y.s))), 6) >= ${SweepTaus.min}),
+       |tm AS MATERIALIZED (
+       |  SELECT a.mhs AS ma, b.mhs AS mb FROM truth t
+       |  JOIN mh a ON a.doc_id = t.src
+       |  JOIN mh b ON b.doc_id = t.dst),
+       |${TuneFactorizations.map { case (b, r) => factBlock(b, r) }.mkString(",\n")}
+       |${TuneFactorizations.map { case (b, _) => s"SELECT * FROM res$b" }
+           .mkString(" UNION ALL ")}
+       |ORDER BY bands""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c137_lsh_tune" -> (c137LshTune _),
     "c135_lsh_balance" -> (c135LshBalance _),
     "c103_group_split" -> (c103GroupSplit _),
     "c93_cross_lingual" -> (c93CrossLingual _),
@@ -1384,6 +1502,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "c135_lsh_balance" -> c135Sql,
+    "c137_lsh_tune" -> c137Sql,
     "c103_group_split" -> c103Sql,
     "c93_cross_lingual" -> c93Sql,
     "c85_threshold_sweep" -> c85Sql,
@@ -1400,4 +1519,13 @@ object DedupQueries {
     "c35_dedup_inflation" -> c35Sql,
     "c60_lsh_curve" -> c60Sql,
     "c66_containment" -> c66Sql)
+
+  /** Session-shared memo builders for the bench prep section
+    * ([[graft.Prep]]) — see TextQueries.prepItems for the rationale.
+    */
+  private[graft] def prepItems: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "dedup_candidates" -> ((s, d) => { candidatePairs(s, d): Unit }),
+    "dedup_collapse" -> ((s, d) => { c19DedupCollapse(s, d): Unit }),
+    "dedup_scored_pairs" -> ((s, d) =>
+      { scoredRepPairs(s, d, SweepTaus.min): Unit }))
 }

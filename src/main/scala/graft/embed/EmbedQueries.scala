@@ -1515,6 +1515,159 @@ object EmbedQueries {
        |ORDER BY probe_id, rnk""".stripMargin
   }
 
+  // --------------------------------------------------------------- C136
+  /** C136: recall-vs-beam-width calibration for the graph-ANN path —
+    * the graph member of the calibration family (C74 justifies the
+    * minhash permutation count, C131 the LSH bucket bits, C133 the IVF
+    * nprobe; nothing justified a graph beam budget until this): per
+    * width b ∈ [[BeamSweep]], run C108's beam walk over the SAME
+    * mutual-kNN graph, seeded at the PROBE itself (the corpus-query
+    * convention of graph-ANN evaluation — recall@k then measures the
+    * graph's local navigability: how much of the exact top-k the
+    * b-wide walk recovers from the probe's own position; the probe is
+    * excluded from ranking, as from the C10 ground truth). Note what
+    * this harness exposed about the FIXED-entry walk C108 ships: the
+    * mutual-kNN edges are bucket-local, so a single-entry walk can
+    * never leave the entry's bucket component — re-seed before you
+    * widen; this table is where that shows up as flat-zero recall.
+    * Reports recall@1 and recall@b against the exact top-k (C10's
+    * frame, c131's sealed-ground-truth convention) plus the TOTAL
+    * candidate volume each width made the walk score — the
+    * recall/cost frontier a 100 TB deployment consults before
+    * trusting the C46 graph (and C128/C129 built on it) for search.
+    *
+    * Scale shape: per width the walk is C108's plan verbatim (tiny
+    * frontier⋈adjacency equi-joins, probe set broadcast, lineage
+    * truncated per hop); adjacency, probes and the ground truth are
+    * sealed ONCE and shared across all widths. The only driver
+    * scalars are probe/frontier COUNTS (bounded: one long each — the
+    * c102 nTotal rule).
+    */
+  val BeamSweep = Seq(2, 4, 8)
+
+  def c136BeamRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorms(spark, dir)
+    val probes = e.filter(col("vec_id") % ProbeMod === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("n2").as("pn"))
+      .localCheckpoint(true)
+    val und = mutualEdges(spark, dir).select("vec_a", "vec_b")
+    val adj = und.select(col("vec_a").as("node"), col("vec_b").as("nbr"))
+      .unionByName(und.select(col("vec_b").as("node"), col("vec_a").as("nbr")))
+      .localCheckpoint(true)
+    val emb = e.select(col("vec_id").as("cand"), col("embedding").as("ce"),
+      col("n2").as("cn"))
+    val exact = exactTopKFrame(spark, dir)
+      .select(col("probe_id"), col("vec_id").as("cand"), col("rnk").as("rnk_e"))
+      .localCheckpoint(true)
+    val nProbes = probes.count()
+    BeamSweep.map { b =>
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand"))
+      // rank only non-self candidates (the ground truth excludes self)
+      def topB(cands: DataFrame): DataFrame = cands
+        .filter(col("cand") =!= col("probe_id"))
+        .join(broadcast(probes), "probe_id")
+        .join(emb, "cand")
+        .select(col("probe_id"), col("cand"),
+          cosine(dot(col("pe"), col("ce")), col("pn"), col("cn")).as("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= b)
+      // hop 0: the frontier IS the probe — nothing scored yet
+      var scored = 0L
+      var frontier = probes.select(col("probe_id"), col("probe_id").as("cand"))
+      var beam = frontier.limit(0)
+        .select(col("probe_id"), col("cand"), lit(0.0).as("cos"),
+          lit(0).as("rnk"))
+      for (_ <- 1 to BeamHops) {
+        val cands = frontier
+          .unionByName(frontier
+            .join(adj, col("cand") === col("node"))
+            .select(col("probe_id"), col("nbr").as("cand")))
+          .distinct()
+          .localCheckpoint(true)
+        scored += cands.filter(col("cand") =!= col("probe_id")).count()
+        beam = topB(cands).localCheckpoint(true)
+        frontier = beam.select("probe_id", "cand")
+      }
+      val ks = Seq(1L, b.toLong)
+      beam.join(exact, Seq("probe_id", "cand"), "left")
+        .groupBy(lit(b.toLong).as("beam_width"))
+        .agg(sum(when(col("rnk") <= ks.head && col("rnk_e") <= ks.head, 1L)
+            .otherwise(0L)).as(s"hits_${ks.head}"),
+          ks.tail.map(k =>
+            sum(when(col("rnk") <= k && col("rnk_e") <= k, 1L).otherwise(0L))
+              .as(s"hits_$k")): _*)
+        .select(col("beam_width"), explode(array(ks.map(k =>
+          struct(lit(k).as("k"), col(s"hits_$k").as("hits"))): _*)).as("kh"))
+        .select(col("beam_width"), col("kh.k").as("k"),
+          lit(nProbes).as("n_probes"), lit(scored).as("n_scored"),
+          col("kh.hits").as("hits"),
+          round(col("kh.hits").cast("double") / (lit(nProbes) * col("kh.k")), 6)
+            .as("recall"))
+    }.reduce(_ unionByName _).orderBy("beam_width", "k")
+  }
+
+  lazy val c136Sql: String = {
+    def widthChain(b: Int): String = {
+      def hop(h: Int): String =
+        s"""cw${b}_$h AS MATERIALIZED (
+           |  SELECT DISTINCT probe_id, cand FROM (
+           |    SELECT probe_id, cand FROM fw${b}_${h - 1}
+           |    UNION ALL
+           |    SELECT f.probe_id, ed.nbr AS cand
+           |    FROM fw${b}_${h - 1} f JOIN ed ON ed.node = f.cand)
+           |), fw${b}_$h AS MATERIALIZED (
+           |  SELECT probe_id, cand, rnk FROM (
+           |    SELECT c.probe_id, c.cand,
+           |      ROW_NUMBER() OVER (PARTITION BY c.probe_id ORDER BY
+           |        round(${dotSql("p.pe", "e.embedding")} / sqrt(p.pn * e.n2), 6) DESC,
+           |        c.cand) AS rnk
+           |    FROM cw${b}_$h c
+           |    JOIN gprobes p USING (probe_id)
+           |    JOIN norms e ON e.vec_id = c.cand
+           |    WHERE c.cand <> c.probe_id)
+           |  WHERE rnk <= $b
+           |)""".stripMargin
+      s"""fw${b}_0 AS (SELECT probe_id, probe_id AS cand FROM gprobes),
+         |${(1 to BeamHops).map(hop).mkString(",\n")},
+         |ns$b AS (SELECT CAST(0 AS BIGINT)
+         |  ${(1 to BeamHops).map(h =>
+              s"+ (SELECT COUNT(*) FROM cw${b}_$h WHERE cand <> probe_id)")
+              .mkString(" ")} AS n_scored),
+         |ksw$b(k) AS (VALUES (1), ($b)),
+         |res$b AS (
+         |  SELECT CAST($b AS BIGINT) AS beam_width, CAST(ks.k AS BIGINT) AS k,
+         |    np.n_probes, ns$b.n_scored,
+         |    CAST(SUM(CASE WHEN f.rnk <= ks.k AND t.rnk_e <= ks.k THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |    round(CAST(SUM(CASE WHEN f.rnk <= ks.k AND t.rnk_e <= ks.k THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / (np.n_probes * ks.k), 6) AS recall
+         |  FROM fw${b}_$BeamHops f
+         |  LEFT JOIN etopr t ON t.probe_id = f.probe_id AND t.vec_id = f.cand
+         |  CROSS JOIN ksw$b ks CROSS JOIN np CROSS JOIN ns$b
+         |  GROUP BY ks.k, np.n_probes, ns$b.n_scored)""".stripMargin
+    }
+    s"""WITH $knnGraphCtes,
+       |ed AS MATERIALIZED (
+       |  SELECT vec_a AS node, vec_b AS nbr FROM mutual
+       |  UNION ALL SELECT vec_b, vec_a FROM mutual),
+       |gprobes AS (
+       |  SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn
+       |  FROM norms WHERE vec_id % $ProbeMod = 0),
+       |esc AS (
+       |  SELECT p.probe_id, e.vec_id,
+       |    round(${dotSql("p.pe", "e.embedding")} / sqrt(p.pn * e.n2), 6) AS cos
+       |  FROM gprobes p JOIN norms e ON e.vec_id <> p.probe_id),
+       |etopr AS (
+       |  SELECT probe_id, vec_id, rnk AS rnk_e FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+       |    FROM esc) WHERE rnk <= $TopK),
+       |np AS (SELECT COUNT(*) AS n_probes FROM gprobes),
+       |${BeamSweep.map(widthChain).mkString(",\n")}
+       |${BeamSweep.map(b => s"SELECT * FROM res$b").mkString(" UNION ALL ")}
+       |ORDER BY beam_width, k""".stripMargin
+  }
+
   // ---------------------------------------------------------------- C50
   /** C50: the assignment step of Lloyd's k-means over the embedding
     * corpus — the workhorse of semantic clustering / cluster-balanced
@@ -2605,6 +2758,7 @@ object EmbedQueries {
     "c41_ann_recall" -> (c41AnnRecall _),
     "c42_mrl_recall" -> (c42MrlRecall _),
     "c131_bucket_recall" -> (c131BucketRecall _),
+    "c136_beam_recall" -> (c136BeamRecall _),
     "c133_ivf_recall" -> (c133IvfRecall _),
     "c134_ivf_balance" -> (c134IvfBalance _),
     "c46_knn_graph" -> (c46KnnGraph _),
@@ -2638,6 +2792,7 @@ object EmbedQueries {
     "c39_pq_codes" -> c39Sql,
     "c41_ann_recall" -> c41Sql,
     "c131_bucket_recall" -> c131Sql,
+    "c136_beam_recall" -> c136Sql,
     "c133_ivf_recall" -> c133Sql,
     "c134_ivf_balance" -> c134Sql,
     "c42_mrl_recall" -> c42Sql,
@@ -2649,4 +2804,11 @@ object EmbedQueries {
     "c54_random_projection" -> c54Sql,
     "c56_kmeans_update" -> c56Sql,
     "c62_ivf_pq" -> c62Sql)
+
+  /** Session-shared memo builders for the bench prep section
+    * ([[graft.Prep]]) — see TextQueries.prepItems for the rationale.
+    */
+  private[graft] def prepItems: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "embed_knn_edges" -> ((s, d) => { mutualEdges(s, d): Unit }),
+    "embed_cov_moments" -> ((s, d) => { covMoments(s, d): Unit }))
 }

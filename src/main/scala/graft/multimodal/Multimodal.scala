@@ -359,8 +359,12 @@ object Multimodal {
   val PhashBands = 4
   val PhashHamT = 6L
 
-  def c126Phash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+  /** The distributed (explode + partial-agg) fingerprint plan on any
+    * (doc_id, text) frame → (doc_id, phash) — the batch/store-side form
+    * (one byte-explode, map-side-combined block agg). Shared by C126
+    * and D41's frozen snapshot store.
+    */
+  private[graft] def phashOn(docs: DataFrame): DataFrame = {
     val ex = docs.select(col("doc_id"),
         posexplode(expr("transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))"))
           .as(Seq("pos", "b")))
@@ -368,15 +372,53 @@ object Multimodal {
       .agg(sum("b").as("s"), count(lit(1)).as("n"))
     val tot = blocks.groupBy("doc_id")
       .agg(sum("s").as("total"), sum("n").as("n_total"))
-    val phash = blocks.join(tot, "doc_id")
+    blocks.join(tot, "doc_id")
       .withColumn("bit", (col("s") * col("n_total") > col("total") * col("n")).cast("long"))
       .groupBy("doc_id")
       .agg(sum(expr("IF(bit = 1, shiftleft(CAST(1 AS BIGINT), CAST(blk AS INT)), CAST(0 AS BIGINT))"))
         .as("phash"))
-    val bands = phash.select(col("doc_id"), col("phash"),
-        explode(expr(s"transform(sequence(0, ${PhashBands - 1}), k -> " +
-          s"struct(k AS k, shiftright(phash, CAST(12 * k AS INT)) & 4095 AS bv))")).as("band"))
-      .select(col("doc_id"), col("phash"), col("band.k"), col("band.bv"))
+  }
+
+  /** (doc_id, phash, k, bv): the [[PhashBands]] 12-bit LSH bands of a
+    * (doc_id, phash) frame — the ONE banding definition C126's
+    * candidate join and D41's screen bucket on.
+    */
+  private[graft] def phashBands(ph: DataFrame): DataFrame = ph
+    .select(col("doc_id"), col("phash"),
+      explode(expr(s"transform(sequence(0, ${PhashBands - 1}), k -> " +
+        s"struct(k AS k, shiftright(phash, CAST(12 * k AS INT)) & 4095 AS bv))")).as("band"))
+    .select(col("doc_id"), col("phash"), col("band.k"), col("band.bv"))
+
+  /** Stateless COLUMN-LEVEL twin of the fingerprint — the form D41's
+    * stream side uses: one projection builds the (block, byte) struct
+    * array, then a bounded [[PhashBits]]-block fold compares block
+    * means by the same cross-multiplication (bit i = s_i·n_total >
+    * total·n_i), so the fold and the explode plan produce BIT-IDENTICAL
+    * hashes (spec-pinned). O(PhashBits·len) columnar work per row,
+    * scan-stage only — no explode, no aggregation state, which is what
+    * lets the screen run at ingest line rate; the store side at 100 TB
+    * still uses [[phashOn]]'s explode + map-side-combined agg.
+    */
+  private[graft] def withPhashFold(df: DataFrame): DataFrame = df
+    .withColumn("bts", expr(s"transform(sequence(1, length(text)), i -> " +
+      s"struct(CAST((i - 1) % $PhashBits AS INT) AS m, " +
+      "CAST(ascii(substring(text, i, 1)) AS BIGINT) AS b))"))
+    .withColumn("ptot", expr("aggregate(bts, CAST(0 AS BIGINT), (a, p) -> a + p.b)"))
+    .withColumn("pn", expr("CAST(size(bts) AS BIGINT)"))
+    .withColumn("phash", expr(
+      s"""aggregate(
+         |  transform(sequence(0, ${PhashBits - 1}), blk ->
+         |    IF(aggregate(filter(bts, p -> p.m = blk), CAST(0 AS BIGINT),
+         |         (a, p) -> a + p.b) * pn
+         |       > ptot * CAST(size(filter(bts, p -> p.m = blk)) AS BIGINT),
+         |       shiftleft(CAST(1 AS BIGINT), blk), CAST(0 AS BIGINT))),
+         |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
+    .drop("bts", "ptot", "pn")
+
+  def c126Phash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val phash = phashOn(docs)
+    val bands = phashBands(phash)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") =!= col("b.doc_id"))
@@ -394,8 +436,11 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val c126Sql: String =
-    s"""WITH ex AS (
+  /** The ex→blocks→tot→ph→bands oracle chain — ONE fingerprint/banding
+    * definition shared by the C126 and D41 twins.
+    */
+  private[graft] val phashCtes: String =
+    s"""ex AS (
        |  SELECT doc_id, t.i AS pos,
        |    ascii(substring(text, CAST(t.i AS INTEGER), 1)) AS b
        |  FROM documents,
@@ -418,7 +463,10 @@ object Multimodal {
        |), bands AS (
        |  SELECT doc_id, phash, k.k AS k, (phash >> (12 * k.k)) & 4095 AS bv
        |  FROM ph, (SELECT UNNEST(range(0, $PhashBands)) AS k) k
-       |), cand AS (
+       |)""".stripMargin
+
+  val c126Sql: String =
+    s"""WITH $phashCtes, cand AS (
        |  SELECT DISTINCT a.doc_id, b.doc_id AS other, a.phash AS pa, b.phash AS pb
        |  FROM bands a JOIN bands b
        |    ON b.k = a.k AND b.bv = a.bv AND b.doc_id <> a.doc_id

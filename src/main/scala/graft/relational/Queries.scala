@@ -2479,4 +2479,79 @@ object Queries {
       |FROM f
       |WINDOW w AS (PARTITION BY priority ORDER BY day_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY priority, day_idx""".stripMargin
+
+  // ---------------------------------------------------------------- B52
+  /** Session+dir memo of the co-bucketed managed tables B52 reads: the
+    * fact (lineitem) and its join dimension (orders) written once via
+    * [[graft.scale.Bucketing.writeBucketed]] — bucketed AND per-bucket
+    * sorted on the orderkey. This is the one-time layout cost a 100 TB
+    * deployment pays at ingest so every later orderkey join/agg plans
+    * with ZERO Exchange; memoizing it per session is exactly that
+    * amortization in miniature (and [[graft.Prep]] bills it to its own
+    * bench line). Table names carry the dir hash so two dirs in one
+    * session can't collide.
+    */
+  private val bucketedCache =
+    new graft.util.Memo[(String, String), (String, String)]
+  val B52Buckets = 16
+
+  private def bucketedTables(spark: SparkSession, dir: String): (String, String) =
+    bucketedCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val tag = (dir.hashCode.toLong & 0xffffffffL).toString
+      val lt = s"bk52_lineitem_$tag"
+      val ot = s"bk52_orders_$tag"
+      graft.scale.Bucketing.writeBucketed(
+        Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity"),
+        lt, "l_orderkey", B52Buckets)
+      graft.scale.Bucketing.writeBucketed(
+        Tables(spark, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        ot, "o_orderkey", B52Buckets)
+      (lt, ot)
+    })
+
+  /** B52: per-priority order-size rollup THROUGH the bucketed layout —
+    * the query key that exercises [[graft.scale.Bucketing]] end-to-end
+    * (it was spec-only until round 13): per-orderkey partial aggregation
+    * reuses the bucket hash-partitioning (no Exchange), the
+    * lineitem⋈orders sort-merge join runs on co-bucketed scans (no
+    * Exchange on either side), and the ONLY shuffle in the whole plan
+    * is the final 5-row priority rollup — the layout converts the
+    * dominant per-query cost of the b1/b16-style orderkey family into
+    * a one-time write. Plan contract pinned in BucketingSpec (exactly
+    * one Exchange, SortMergeJoin present); values oracle-checked
+    * against the plain (physical-layout-free) SQL below — bucketing
+    * must never change ANSWERS, only plans.
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (lt, ot) = bucketedTables(spark, dir)
+    val per = spark.table(lt)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"))
+    val o = spark.table(ot).hint("merge")
+    per.join(o, per("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum("n_items").as("n_items"),
+        sum("qty_c").as("qty_c"))
+      .orderBy("o_orderpriority")
+  }
+
+  val bucketedJoinSql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, COUNT(*) AS n_items,
+      |    CAST(SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS qty_c
+      |  FROM lineitem GROUP BY 1
+      |)
+      |SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(li.n_items) AS BIGINT) AS n_items,
+      |  CAST(SUM(li.qty_c) AS BIGINT) AS qty_c
+      |FROM li JOIN orders o ON o.o_orderkey = li.l_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Bench prep entry ([[graft.Prep]]): the bucketed-table write is the
+    * one-time layout cost, billed to its own line.
+    */
+  private[graft] def prepItems: Seq[(String, (SparkSession, String) => Unit)] =
+    Seq("bucketed_tables" -> ((s, d) => { bucketedTables(s, d): Unit }))
 }

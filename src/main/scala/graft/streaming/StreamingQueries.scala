@@ -1396,6 +1396,83 @@ object StreamingQueries {
        |  ON b.new_id = h.new_id
        |GROUP BY h.new_id ORDER BY h.new_id""".stripMargin
 
+  // ---------------------------------------------------------------- D41
+  /** D41: cross-snapshot PERCEPTUAL near-dup screen — the fourth rung
+    * of the incremental screen family (exact: C67/D21; lexical: D38;
+    * semantic: D40; perceptual: here): arriving binary payloads are
+    * screened against a FROZEN corpus snapshot for re-encodes/recrops
+    * of the same asset, using C126's fingerprint verbatim (aHash-style
+    * block-mean bits, 4×12-bit LSH bands, exact Hamming ≤ T verify).
+    * The frozen store is the (band, bv, phash)-CLASS table with the
+    * min-owner witness — the D38 owner-witness idea adapted to a
+    * verify-carrying screen: a Hamming check needs the matched CLASS's
+    * phash (not just an owner id), and compressing bucket members to
+    * distinct phash classes keeps the same quadratic-proofing (a
+    * million byte-identical re-uploads are ONE class row; rows per
+    * arriving doc ≤ Bands · distinct-classes-per-bucket, never member
+    * count). The stream side is fully STATELESS: the fingerprint is
+    * computed by the column-level fold twin
+    * ([[graft.multimodal.Multimodal.withPhashFold]] — bit-identical to
+    * the store's explode plan, spec-pinned), bands project map-side,
+    * and the screen is one stream-static equi-join on (k, bv); the
+    * per-doc verdict (class-candidate count, Hamming-near count, min
+    * near witness) finalizes on the sink (d36/d38/d40 pattern).
+    */
+  def d41StreamPhashScreen(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val docs = graft.Tables(spark, sfDir, "documents")
+    // staging-harness scalar (1 row), not operator code: the snapshot cut
+    val cut = docs.agg(((min("doc_id") + max("doc_id")) / 2).cast("long"))
+      .head.getLong(0)
+    val store = Multimodal.phashBands(
+        Multimodal.phashOn(docs.filter(col("doc_id") < cut)))
+      .groupBy("k", "bv", "phash").agg(min("doc_id").as("owner"))
+      .select(col("k"), col("bv"), col("phash").as("pold"), col("owner"))
+      // sealed: the frozen class store is materialized once, not
+      // re-fingerprinted per micro-batch by the stream-static join
+      .localCheckpoint(true)
+    val fresh = Multimodal.withPhashFold(
+      StreamingOps.docsStream(spark, sfDir, staged(spark, sfDir, "documents"))
+        .filter(col("doc_id") >= cut))
+    val hits = Multimodal.phashBands(fresh.select("doc_id", "phash"))
+      .select(col("doc_id").as("new_id"), col("k"), col("bv"),
+        col("phash").as("pnew"))
+      .join(store, Seq("k", "bv"))
+    val sink = runToTable(hits.select("new_id", "owner", "pold", "pnew"),
+      "graft_d41_sink", "append")
+    sink.distinct() // same class can hit in several bands — one verdict row
+      .groupBy("new_id")
+      .agg(count(lit(1)).as("n_cand"),
+        sum((expr("bit_count(pnew ^ pold)") <= PhashHamThreshold).cast("long"))
+          .as("n_near"),
+        coalesce(min(when(expr("bit_count(pnew ^ pold)") <= PhashHamThreshold,
+          col("owner"))), lit(-1L)).as("near_witness"))
+      .orderBy("new_id")
+  }
+
+  private val PhashHamThreshold = graft.multimodal.Multimodal.PhashHamT
+
+  /** Batch twin: the same cross-half class screen through the shared
+    * fingerprint/banding CTE chain.
+    */
+  val d41Sql: String =
+    s"""WITH ${graft.multimodal.Multimodal.phashCtes},
+       |cut AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS cut FROM documents),
+       |ob AS (
+       |  SELECT k, bv, phash AS pold, MIN(doc_id) AS owner
+       |  FROM bands, cut WHERE doc_id < cut GROUP BY k, bv, phash),
+       |nb AS (SELECT doc_id AS new_id, k, bv, phash AS pnew
+       |  FROM bands, cut WHERE doc_id >= cut),
+       |h AS (
+       |  SELECT DISTINCT n.new_id, o.owner, o.pold, n.pnew
+       |  FROM nb n JOIN ob o ON o.k = n.k AND o.bv = n.bv)
+       |SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_cand,
+       |  CAST(SUM(CASE WHEN bit_count(xor(pnew, pold)) <= ${graft.multimodal.Multimodal.PhashHamT}
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+       |  COALESCE(MIN(CASE WHEN bit_count(xor(pnew, pold)) <= ${graft.multimodal.Multimodal.PhashHamT}
+       |    THEN owner END), -1) AS near_witness
+       |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- D36
   /** D36: streaming Gini — C118's token-mass concentration maintained
     * live: the (lang, token-count) histogram is a BOUNDED-KEY
@@ -1626,6 +1703,7 @@ object StreamingQueries {
     "d38_stream_snapshot_dedup" -> (d38StreamSnapshotDedup _),
     "d39_stream_unigram" -> (d39StreamUnigram _),
     "d40_stream_sem_screen" -> (d40StreamSemScreen _),
+    "d41_stream_phash_screen" -> (d41StreamPhashScreen _),
     "d35_stream_cusum" -> (d35StreamCusum _),
     "d34_stream_wordpiece" -> (d34StreamWordpiece _),
     "d33_stream_timeout_alert" -> (d33StreamTimeoutAlert _),
@@ -1668,6 +1746,7 @@ object StreamingQueries {
     "d38_stream_snapshot_dedup" -> d38Sql,
     "d39_stream_unigram" -> d39Sql,
     "d40_stream_sem_screen" -> d40Sql,
+    "d41_stream_phash_screen" -> d41Sql,
     "d35_stream_cusum" -> d35Sql,
     "d34_stream_wordpiece" -> d34Sql,
     "d33_stream_timeout_alert" -> d33Sql,

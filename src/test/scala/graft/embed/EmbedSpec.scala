@@ -80,6 +80,67 @@ class EmbedQueriesSpec extends SparkTestBase {
     assert(got.exists(_._5 > 0L), "no width/k ever recalls a true neighbor")
   }
 
+  test("c136 beam recall: sequential beam-walk recompute, cost monotone in width") {
+    import graft.embed.EmbedQueries
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = Tables(spark, sf, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val byId = vecs.toMap
+    val n2 = vecs.map { case (id, v) => id -> dot(v, v) }.toMap
+    def cos(a: Long, b: Long) = r6(dot(byId(a), byId(b)) / math.sqrt(n2(a) * n2(b)))
+    // graph and ground truth anchored on already-pinned frames: the c46
+    // mutual edge list and the c10 exact-top-k convention — the NEW
+    // logic under test is the per-width walk + recall/cost rollup
+    val edges = EmbedQueries.c46KnnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges.toSeq ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val probes = vecs.map(_._1).filter(_ % EmbedQueries.ProbeMod == 0).toSeq
+    val exactRnk: Map[(Long, Long), Int] = probes.flatMap { p =>
+      vecs.map(_._1).filter(_ != p).map(v => (v, cos(p, v))).toSeq
+        .sortBy { case (v, c) => (-c, v) }.take(EmbedQueries.TopK).zipWithIndex
+        .map { case ((v, _), i) => (p, v) -> (i + 1) }
+    }.toMap
+    val want = EmbedQueries.BeamSweep.flatMap { b =>
+      var scored = 0L // probe-seeded: hop 0 scores nothing
+      var frontier: Map[Long, Seq[Long]] = probes.map(p => p -> Seq(p)).toMap
+      var beam: Map[Long, Seq[(Long, Int)]] = probes.map(p => p -> Seq.empty[(Long, Int)]).toMap
+      for (_ <- 1 to EmbedQueries.BeamHops) {
+        beam = probes.map { p =>
+          val cands = (frontier(p) ++
+            frontier(p).flatMap(c => adj.getOrElse(c, Seq.empty))).distinct
+          val ranked = cands.filter(_ != p)
+          scored += ranked.size
+          p -> ranked.map(v => (v, cos(p, v))).sortBy { case (v, c) => (-c, v) }
+            .take(b).zipWithIndex.map { case ((v, _), i) => (v, i + 1) }
+        }.toMap
+        frontier = beam.view.mapValues(_.map(_._1)).toMap
+      }
+      Seq(1L, b.toLong).map { k =>
+        val hits = probes.flatMap(p => beam(p).map { case (v, r) => (p, v, r) })
+          .count { case (p, v, r) => r <= k && exactRnk.get((p, v)).exists(_ <= k) }
+          .toLong
+        (b.toLong, k, probes.length.toLong, scored, hits,
+          r6(hits.toDouble / (probes.length * k)))
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = EmbedQueries.c136BeamRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == want)
+    // a wider beam can only score MORE candidates, and some width must
+    // actually recall a true neighbor
+    val costs = got.groupBy(_._1).view.mapValues(_.head._4).toMap
+    assert(costs(2L) <= costs(4L) && costs(4L) <= costs(8L),
+      s"candidate cost not monotone in beam width: $costs")
+    assert(got.exists(_._5 > 0L), "no width/k ever recalls a true neighbor")
+  }
+
   test("c133 ivf recall: brute-force sweep recompute, cost monotone in nprobe") {
     import graft.embed.EmbedQueries
     def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

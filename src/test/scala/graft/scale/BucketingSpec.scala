@@ -54,6 +54,29 @@ class BucketingSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
+  test("b52 query key: only the 5-row priority rollup shuffles — never the orderkey") {
+    val df = graft.relational.Queries.bucketedJoin(spark, sf)
+    // AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan"
+    // section, which duplicates every node — assert on the final plan only
+    val plan = finalPlan(df).split("== Initial Plan ==")(0)
+    assert(plan.contains("SortMergeJoin"), plan.take(3000))
+    // the co-bucketed layout must leave exactly the two tiny
+    // priority-side exchanges (the final rollup's hash partitioning and
+    // the ORDER BY's range partitioning); any Exchange mentioning the
+    // orderkey means the layout was not reused and the fact table
+    // re-shuffled — the cost bucketing exists to eliminate
+    val exLines = plan.split("\n").filter(_.contains("Exchange"))
+    assert(exLines.forall(l => l.contains("o_orderpriority")),
+      s"an Exchange off the priority rollup survived:\n${exLines.mkString("\n")}")
+    assert(exLines.nonEmpty && exLines.length <= 2, plan.take(3000))
+    // value sanity: every order with lineitems is counted exactly once
+    val totalOrders = df.agg(sum("n_orders")).head.getLong(0)
+    val expected = Tables(spark, sf, "lineitem")
+      .select("l_orderkey").distinct().count()
+    assert(totalOrders == expected,
+      s"b52 counted $totalOrders orders, expected $expected")
+  }
+
   test("point filter on the bucket key prunes to a single bucket") {
     tablesReady
     // a bare filter doesn't need the bucketing DISTRIBUTION, so AQE's

@@ -772,6 +772,53 @@ class StreamingSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("D41 perceptual screen: fold == explode fingerprint, class screen == batch join") {
+    import org.apache.spark.sql.functions._
+    import graft.multimodal.Multimodal
+    val docs = graft.Tables(spark, sf, "documents")
+    // 1. the stream-side column fold is bit-identical to the store-side
+    // explode plan on every corpus doc — the property that lets the
+    // screen stay stateless without changing the fingerprint
+    val exploded = Multimodal.phashOn(docs.select("doc_id", "text"))
+    val divergent = Multimodal.withPhashFold(docs.select("doc_id", "text"))
+      .select(col("doc_id"), col("phash"))
+      .join(exploded.withColumnRenamed("phash", "p2"), "doc_id")
+      .filter(col("phash") =!= col("p2")).count()
+    assert(divergent == 0, s"column fold diverged on $divergent docs")
+    // 2. the screen itself
+    val got = StreamingQueries.queries("d41_stream_phash_screen")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty, "no perceptual candidates — screen untested")
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val cut = (ids.min + ids.max) / 2
+    assert(got.forall { case (n, nc, nn, w) =>
+      n >= cut && nc >= 1L && nn <= nc &&
+        (if (w == -1L) nn == 0L else w < cut && nn >= 1L) },
+      "a verdict fails the straddle/witness contract")
+    // 3. batch recompute through the shared fingerprint/banding,
+    // executed as a plain join: the replay must add/lose nothing
+    val bands = Multimodal.phashBands(exploded)
+    val ob = bands.filter(col("doc_id") < cut)
+      .groupBy("k", "bv", "phash").agg(min("doc_id").as("owner"))
+      .select(col("k"), col("bv"), col("phash").as("pold"), col("owner"))
+    val near = expr("bit_count(pnew ^ pold)") <= Multimodal.PhashHamT
+    val want = bands.filter(col("doc_id") >= cut)
+      .select(col("doc_id").as("new_id"), col("k"), col("bv"),
+        col("phash").as("pnew"))
+      .join(ob, Seq("k", "bv"))
+      .select("new_id", "owner", "pold", "pnew").distinct()
+      .groupBy("new_id")
+      .agg(count(lit(1)).as("n_cand"),
+        sum(near.cast("long")).as("n_near"),
+        coalesce(min(when(near, col("owner"))), lit(-1L)).as("w"))
+      .orderBy("new_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    // the near-verify axis genuinely exercised across the cut
+    assert(got.exists(_._3 > 0L), "no Hamming-near pair straddles the cut")
+  }
+
   test("D36 streaming gini == batch C118 row for row (histogram is the mergeable state)") {
     val got = StreamingQueries.d36StreamGini(spark, sf).collect().map(_.toSeq)
     val want = graft.text.TextQueries.c118Gini(spark, sf).collect().map(_.toSeq)

@@ -1805,6 +1805,63 @@ class DedupQueriesSpec extends SparkTestBase {
     assert(out.exists(r => r._4 * r._2 > r._3), "all buckets uniform — skew untested")
   }
 
+  test("c137 lsh tune: full sequential recompute, (2,8) identity, cost anti-monotone in rows") {
+    // independent reimplementation from the published constants — token
+    // hash, 16 affine perms, base-31 slice combine, rep chain, jaccard
+    val M = 1000000007L
+    def th(w: String): Long =
+      w.length.toLong * 1009L +
+        (if (w.isEmpty) 0L else w.charAt(0).toLong * 31L) +
+        (if (w.isEmpty) 0L else w.charAt(w.length - 1).toLong)
+    def pa(j: Int) = 4967L * j + 8191L
+    def pb(j: Int) = 104729L * j + 12953L
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = graft.Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def shingles(t: String): Seq[Long] = t.split(" ", -1).toSeq.map(th)
+    val sigMap = docs.map { case (id, t) =>
+      val sh = shingles(t)
+      id -> (0 until 16).map(j => sh.map(s => (s * pa(j) + pb(j)) % M).min)
+    }.toMap
+    def slice(s: IndexedSeq[Long], bn: Int, r: Int): Long =
+      (0 until r).map(i => s(bn * r + i)).reduceLeft((acc, x) => (acc * 31L + x) % M)
+    // truth: text reps -> set reps, shipped (2,8) collisions, jac >= 0.5
+    val reps = docs.groupBy(_._2).map(_._2.minBy(_._1)).toSeq
+      .groupBy { case (_, t) => shingles(t).distinct.sorted.toList }
+      .map(_._2.minBy(_._1)).toSeq.sortBy(_._1)
+    val setOf = reps.map { case (id, t) => id -> shingles(t).distinct.toSet }.toMap
+    val truth = (for {
+      Seq((ia, _), (ib, _)) <- reps.combinations(2)
+      if (0 until 2).exists(bn => slice(sigMap(ia), bn, 8) == slice(sigMap(ib), bn, 8))
+      sa = setOf(ia); sb = setOf(ib)
+      if r6((sa & sb).size.toDouble / (sa | sb).size) >= 0.5
+    } yield (math.min(ia, ib), math.max(ia, ib))).toSeq
+    assert(truth.nonEmpty, "degenerate fixture: no truth pairs")
+    val want = DedupQueries.TuneFactorizations.map { case (nb, r) =>
+      val mass = docs
+        .flatMap { case (id, _) => (0 until nb).map(bn => (bn, slice(sigMap(id), bn, r))) }
+        .groupBy(identity).map(_._2.length.toLong)
+        .map(k => k * (k - 1) / 2).sum
+      val det = truth.count { case (x, y) =>
+        (0 until nb).exists(bn => slice(sigMap(x), bn, r) == slice(sigMap(y), bn, r))
+      }.toLong
+      (nb.toLong, r.toLong, mass, truth.size.toLong, det,
+        r6(det.toDouble / truth.size))
+    }.sortBy(_._1)
+    val got = DedupQueries.c137LshTune(spark, sf).collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1), r0.getLong(2), r0.getLong(3),
+        r0.getLong(4), r0.getDouble(5))).toSeq
+    assert(got == want)
+    // the shipped banding detects every truth pair by construction
+    val at28 = got.find(_._1 == 2L).get
+    assert(at28._5 == at28._4, s"(2,8) missed truth pairs: $at28")
+    // fixed budget: fewer rows per band = looser buckets = more candidates
+    val costs = got.map(t => t._2 -> t._3).toMap
+    assert(costs(16L) <= costs(8L) && costs(8L) <= costs(4L) &&
+      costs(4L) <= costs(2L) && costs(2L) <= costs(1L),
+      s"cost not anti-monotone in rows per band: $costs")
+  }
+
   test("c135 pair mass: DECIMAL accumulation exact past the Long k·(k−1) bound, loud past BIGINT") {
     import spark.implicits._
     // small case: exact halved pair mass
