@@ -400,20 +400,27 @@ object Multimodal {
     * still uses [[phashOn]]'s explode + map-side-combined agg.
     */
   private[graft] def withPhashFold(df: DataFrame): DataFrame = df
-    .withColumn("bts", expr(s"transform(sequence(1, length(text)), i -> " +
-      s"struct(CAST((i - 1) % $PhashBits AS INT) AS m, " +
-      "CAST(ascii(substring(text, i, 1)) AS BIGINT) AS b))"))
-    .withColumn("ptot", expr("aggregate(bts, CAST(0 AS BIGINT), (a, p) -> a + p.b)"))
-    .withColumn("pn", expr("CAST(size(bts) AS BIGINT)"))
+    .withColumn("bys", expr("transform(sequence(1, length(text)), i -> " +
+      "CAST(ascii(substring(text, i, 1)) AS BIGINT))"))
+    .withColumn("pn", expr("CAST(size(bys) AS BIGINT)"))
+    .withColumn("ptot", expr("aggregate(bys, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+    // block blk owns positions blk+1, blk+1+48, … — a stride sequence,
+    // so each byte is read ONCE across all 48 block folds (a
+    // filter-per-block form measured 3× slower at sf0.1); blk ≥ pn has
+    // no positions → bit 0, and the short-circuit AND keeps the stride
+    // sequence from being built backwards
     .withColumn("phash", expr(
       s"""aggregate(
          |  transform(sequence(0, ${PhashBits - 1}), blk ->
-         |    IF(aggregate(filter(bts, p -> p.m = blk), CAST(0 AS BIGINT),
-         |         (a, p) -> a + p.b) * pn
-         |       > ptot * CAST(size(filter(bts, p -> p.m = blk)) AS BIGINT),
+         |    IF(blk < pn AND
+         |       aggregate(sequence(CAST(blk + 1 AS BIGINT), pn, CAST($PhashBits AS BIGINT)),
+         |           CAST(0 AS BIGINT),
+         |           (a, i) -> a + element_at(bys, CAST(i AS INT))) * pn
+         |         > ptot * CAST(size(sequence(CAST(blk + 1 AS BIGINT), pn,
+         |             CAST($PhashBits AS BIGINT))) AS BIGINT),
          |       shiftleft(CAST(1 AS BIGINT), blk), CAST(0 AS BIGINT))),
          |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
-    .drop("bts", "ptot", "pn")
+    .drop("bys", "pn", "ptot")
 
   def c126Phash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")

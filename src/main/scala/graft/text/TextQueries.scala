@@ -3735,6 +3735,83 @@ object TextQueries {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- C138
+  /** C138: merge-budget sweep — the tokenizer DECISION table next to
+    * C137's banding tuner: how much corpus compression does each merge
+    * buy? For every prefix k ∈ [[MergeSweepKs]] of the ONE sample-
+    * learned merge table (C96's frozen artifact — merges apply
+    * sequentially, so the first k merges ARE the k-merge tokenizer),
+    * the corpus-wide token total after applying k merges, the number
+    * of merge events (= base − total, each merge event removes exactly
+    * one token — no string predicate needed), and compression vs the
+    * raw whitespace stream in ppm. The marginal-compression column a
+    * vocab-size decision reads (C100/C125 report equity ACROSS
+    * languages at the shipped size; this reports the size axis).
+    *
+    * Scale shape: ONE corpus scan computes all sweep points — each k
+    * is the native [[graft.functions.BpeSegment]] one-pass expression
+    * (broadcast merge prefix, scan-stage, zero shuffles), the totals
+    * are one global agg, and the sweep axis explodes from that single
+    * row. Oracle = the C96 iterated chain read at its intermediate
+    * LEVELS (level k IS the k-prefix tokenizer), so the one-pass
+    * prefix apply is value-pinned against iterated semantics at every
+    * sweep point, not just the endpoint.
+    */
+  val MergeSweepKs = Seq(0, 2, 4, 8)
+
+  def c138MergeSweep(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.textseg.bpe_segment
+    val merges = learnedMerges(spark, dir)
+    val sized = Tables(spark, dir, "documents").select(
+      MergeSweepKs.map { k =>
+        val toks = if (k == 0) tokens(col("text"))
+          else bpe_segment(col("text"), merges.take(k))
+        size(toks).cast("long").as(s"n_$k")
+      }: _*)
+    val totals = sized.agg(
+      sum(s"n_${MergeSweepKs.head}").as(s"t_${MergeSweepKs.head}"),
+      MergeSweepKs.tail.map(k => sum(s"n_$k").as(s"t_$k")): _*)
+    totals
+      .select(explode(array(MergeSweepKs.map(k =>
+        struct(lit(k.toLong).as("n_merges"), col(s"t_$k").as("total_toks"),
+          col("t_0").as("base"))): _*)).as("r"))
+      .select(col("r.n_merges"), col("r.total_toks"),
+        (col("r.base") - col("r.total_toks")).as("merges_applied"),
+        expr("r.total_toks * 1000000 div r.base").as("compression_ppm"))
+      .orderBy("n_merges")
+  }
+
+  lazy val c138Sql: String = {
+    val learn = (1 to SegmentMerges)
+      .map(n => bpeIterCtes(n, "l", None, withSummary = false)).mkString(",\n")
+    val apply = (1 to SegmentMerges)
+      .map(n => bpeIterCtes(n, "a", Some("l"), withSummary = false)).mkString(",\n")
+    val rows = MergeSweepKs.map(k =>
+      s"SELECT CAST($k AS BIGINT) AS n_merges, " +
+        s"(SELECT CAST(COUNT(*) AS BIGINT) FROM at${k + 1}) AS total_toks")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH lt1 AS (
+       |  SELECT doc_id, CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS pos,
+       |    UNNEST(string_split(text, ' ')) AS tok
+       |  FROM documents WHERE doc_id % $SegmentSampleMod = 0
+       |),
+       |at1 AS (
+       |  SELECT doc_id, CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS pos,
+       |    UNNEST(string_split(text, ' ')) AS tok
+       |  FROM documents
+       |),
+       |$learn,
+       |$apply,
+       |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM at1),
+       |lv AS (
+       |  $rows
+       |)
+       |SELECT lv.n_merges, lv.total_toks,
+       |  base.b - lv.total_toks AS merges_applied,
+       |  (lv.total_toks * 1000000) // base.b AS compression_ppm
+       |FROM lv CROSS JOIN base ORDER BY lv.n_merges""".stripMargin
+  }
+
   // --------------------------------------------------------------- C100
   /** C100: tokenizer fertility per language — BPE tokens per whitespace
     * word and characters per BPE token, aggregated per lang over the
@@ -5957,6 +6034,7 @@ object TextQueries {
     "c98_hash_embed" -> (c98HashEmbed _),
     "c97_blocklist" -> (c97Blocklist _),
     "c96_bpe_segment" -> (c96BpeSegment _),
+    "c138_merge_sweep" -> (c138MergeSweep _),
     "c95_bpe_apply" -> (c95BpeApply _),
     "c94_gate_agreement" -> (c94GateAgreement _),
     "c92_heaps_law" -> (c92HeapsLaw _),
@@ -6039,6 +6117,7 @@ object TextQueries {
     "c98_hash_embed" -> c98Sql,
     "c97_blocklist" -> c97Sql,
     "c96_bpe_segment" -> c96Sql,
+    "c138_merge_sweep" -> c138Sql,
     "c95_bpe_apply" -> c95Sql,
     "c94_gate_agreement" -> c94Sql,
     "c92_heaps_law" -> c92Sql,

@@ -1862,6 +1862,38 @@ class DedupQueriesSpec extends SparkTestBase {
       s"cost not anti-monotone in rows per band: $costs")
   }
 
+  test("c138 merge sweep: greedy iterated recompute at every prefix, monotone compression") {
+    // independent reimplementation of the merge semantics: per merge,
+    // one greedy left-to-right non-overlapping pass (the C59 islands
+    // rule), folded over the prefix — then every sweep point must match
+    def applyMerges(toks: List[String], ms: Seq[(String, String)]): List[String] =
+      ms.foldLeft(toks) { case (ts, (a, b)) =>
+        val buf = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < ts.length) {
+          if (i + 1 < ts.length && ts(i) == a && ts(i + 1) == b) {
+            buf += s"${a}_$b"; i += 2
+          } else { buf += ts(i); i += 1 }
+        }
+        buf.toList
+      }
+    val merges = TextQueries.learnedMerges(spark, sf)
+    val docs = graft.Tables(spark, sf, "documents").select("text")
+      .collect().map(_.getString(0))
+    val want = TextQueries.MergeSweepKs.map { k =>
+      k.toLong -> docs.map(t =>
+        applyMerges(t.split(" ", -1).toList, merges.take(k)).length.toLong).sum
+    }
+    val base = want.head._2
+    val got = TextQueries.c138MergeSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want.map { case (k, t) => (k, t, base - t, t * 1000000L / base) })
+    // a longer merge prefix can only compress further, and the full
+    // table must actually merge something
+    assert(got.map(_._2) == got.map(_._2).sortBy(-_), s"token totals not monotone: $got")
+    assert(got.last._3 > 0L, "no merge ever applied — sweep untested")
+  }
+
   test("c135 pair mass: DECIMAL accumulation exact past the Long k·(k−1) bound, loud past BIGINT") {
     import spark.implicits._
     // small case: exact halved pair mass
