@@ -74,7 +74,8 @@ object SparkEntry {
     "b49_nearest_event" -> (Queries.nearestEvent _),
     "b50_cusum_changepoint" -> (Queries.cusumChangepoint _),
     "b51_ntile_listagg" -> (Queries.ntileListagg _),
-    "b52_bucketed_join" -> (Queries.bucketedJoin _)
+    "b52_bucketed_join" -> (Queries.bucketedJoin _),
+    "b53_partition_prune" -> (Queries.b53PartitionPrune _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -137,6 +138,7 @@ object SparkEntry {
     "b49_nearest_event" -> Queries.nearestEventSql,
     "b50_cusum_changepoint" -> Queries.cusumChangepointSql,
     "b51_ntile_listagg" -> Queries.ntileListaggSql,
-    "b52_bucketed_join" -> Queries.bucketedJoinSql
+    "b52_bucketed_join" -> Queries.bucketedJoinSql,
+    "b53_partition_prune" -> Queries.b53Sql
   )
 }

@@ -2549,9 +2549,64 @@ object Queries {
       |FROM li JOIN orders o ON o.o_orderkey = li.l_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Bench prep entry ([[graft.Prep]]): the bucketed-table write is the
-    * one-time layout cost, billed to its own line.
+  // ---------------------------------------------------------------- B53
+  /** Session+dir memo of the month-partitioned managed orders table —
+    * B52's sibling for the OTHER storage-layout lever: directory
+    * partitioning. Written once (the ingest-time layout cost, billed
+    * to its own prep line); every later month-filtered query prunes to
+    * the matching directories before reading a byte.
+    */
+  private val partTableCache = new graft.util.Memo[(String, String), String]
+
+  private def partitionedOrders(spark: SparkSession, dir: String): String =
+    partTableCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val t = s"pt53_orders_${dir.hashCode.toLong & 0xffffffffL}"
+      Tables(spark, dir, "orders")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .write.format("parquet").partitionBy("o_month")
+        .mode("overwrite").saveAsTable(t)
+      t
+    })
+
+  /** B53: single-month priority revenue THROUGH the partitioned layout —
+    * the query key that pins partition PRUNING, the dominant scan-cost
+    * lever at 100 TB (a month filter over a month-partitioned fact must
+    * read 1/Nth of the directories, not scan-then-filter): the month
+    * predicate is a partition-column equality, so it resolves at
+    * PLANNING time against the catalog's directory listing —
+    * `PartitionFilters` in the scan, file count pruned to the one
+    * month's files (both pinned in BucketingSpec). The target month is
+    * the corpus minimum (a deterministic 1-row staging scalar, computed
+    * from the raw table so the oracle derives the identical month).
+    * Layout must never change answers: the oracle is the plain
+    * strftime-filtered SQL on the unpartitioned parquet.
+    */
+  def b53PartitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    val t = partitionedOrders(spark, dir)
+    // staging scalar (1 row): the deterministic target month
+    val m0 = Tables(spark, dir, "orders")
+      .agg(date_format(min("o_orderdate"), "yyyy-MM")).head.getString(0)
+    spark.table(t)
+      .filter(col("o_month") === m0)
+      .groupBy("o_month", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(ROUND(o_totalprice * 100.0) AS BIGINT)")).as("rev_c"))
+      .orderBy("o_orderpriority")
+  }
+
+  val b53Sql: String =
+    """WITH m0 AS (SELECT strftime(MIN(o_orderdate), '%Y-%m') AS m FROM orders)
+      |SELECT m0.m AS o_month, o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev_c
+      |FROM orders, m0 WHERE strftime(o_orderdate, '%Y-%m') = m0.m
+      |GROUP BY 1, 2 ORDER BY o_orderpriority""".stripMargin
+
+  /** Bench prep entries ([[graft.Prep]]): the bucketed/partitioned
+    * table writes are one-time layout costs, billed to their own lines.
     */
   private[graft] def prepItems: Seq[(String, (SparkSession, String) => Unit)] =
-    Seq("bucketed_tables" -> ((s, d) => { bucketedTables(s, d): Unit }))
+    Seq(
+      "bucketed_tables" -> ((s, d) => { bucketedTables(s, d): Unit }),
+      "partitioned_tables" -> ((s, d) => { partitionedOrders(s, d): Unit }))
 }

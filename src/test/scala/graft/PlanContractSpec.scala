@@ -166,7 +166,12 @@ class PlanContractSpec extends SparkTestBase {
     // days, not rows) with the ≤5-row distinct-priority frame; the
     // corpus-sized work is the (priority, day) partial agg, which
     // joins back by hash equi-join
-    "b48_gap_fill_locf")
+    "b48_gap_fill_locf",
+    // c137 crosses the per-factorization 1-row cost aggregate with the
+    // 1-row detection aggregate (the b42 scalar-on-scalar shape, ×5
+    // factorizations); the corpus-sized work is the (band, bh) partial
+    // agg and the bounded truth⋈signature pass, both hash-shuffled
+    "c137_lsh_tune")
 
   test("no unexpected BroadcastNestedLoopJoin / CartesianProduct in any batch plan") {
     val batch = SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("d"))

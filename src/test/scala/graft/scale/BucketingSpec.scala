@@ -77,6 +77,53 @@ class BucketingSpec extends SparkTestBase {
       s"b52 counted $totalOrders orders, expected $expected")
   }
 
+  test("b53 query key: the month predicate prunes partitions at planning time") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE hides scans inside leaf QueryStageExec nodes — descend explicitly
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case q: QueryStageExec => allScans(q.plan)
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+    }.flatten
+    val df = graft.relational.Queries.b53PartitionPrune(spark, sf)
+    df.collect()
+    val scans = allScans(df.queryExecution.executedPlan)
+      .filter(_.tableIdentifier.exists(_.table.startsWith("pt53_")))
+    assert(scans.nonEmpty, "no scan over the partitioned table in the plan")
+    val scan = scans.head
+    // the month equality must be a PARTITION filter (directory pruning,
+    // resolved against the catalog listing), not a post-scan data filter
+    assert(scan.partitionFilters.exists(_.toString.contains("o_month")),
+      s"month predicate missing from PartitionFilters: ${scan.partitionFilters}")
+    // and it must actually prune: the scan reads strictly fewer files
+    // than the table holds (one month's directory out of many)
+    val filesRead = scan.metrics("numFiles").value
+    val table = scans.head.tableIdentifier.get.table
+    val months = spark.table(table).select("o_month").distinct().count()
+    assert(months > 1, "fixture has a single month — pruning untestable")
+    val allFiles = {
+      val full = spark.table(table)
+      full.collect()
+      allScans(full.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+    }
+    assert(filesRead > 0 && filesRead < allFiles,
+      s"scan read $filesRead of $allFiles files — no pruning happened")
+    // layout never changes answers: plain recompute on the raw table
+    val m0 = Tables(spark, sf, "orders")
+      .agg(date_format(min("o_orderdate"), "yyyy-MM")).head.getString(0)
+    val want = Tables(spark, sf, "orders")
+      .filter(date_format(col("o_orderdate"), "yyyy-MM") === m0)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(ROUND(o_totalprice * 100.0) AS BIGINT)")).as("r"))
+      .orderBy("o_orderpriority").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    val got = df.collect()
+      .map(x => (x.getString(1), x.getLong(2), x.getLong(3))).toSeq
+    assert(got == want)
+  }
+
   test("point filter on the bucket key prunes to a single bucket") {
     tablesReady
     // a bare filter doesn't need the bucketing DISTRIBUTION, so AQE's
