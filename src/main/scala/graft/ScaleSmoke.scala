@@ -805,6 +805,33 @@ object ScaleSmoke {
         s"within-cluster candidate mass $expect40")
     println(f"SCALE snapshotSemScreen vecs=$nVec40 clusters=$kCl matches=$nMatch40 " +
       f"maxTaskMs=$d40MaxMs meanTaskMs=$d40MeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // --- perceptual fingerprint fold (the d41 stream side) on a 10×
+    // corpus of longer payloads: the stride-sequence fold must stay
+    // bit-identical to the explode+agg store plan at scale, with flat
+    // tasks (no per-row blowup — each byte is read once across the 48
+    // block folds). The explode side is the heavy half here; the fold
+    // is the one that must not regress to the 96-pass filter form.
+    t0 = System.nanoTime()
+    val nPf = math.max(nDocs / 4L, 50000L)
+    val pfDocs = spark.range(nPf).select(col("id").as("doc_id"),
+      concat_ws(" ", expr(
+        "transform(sequence(0L, 59), j -> concat('w', ((id % 1000) * 31 + j) % 997))"))
+        .as("text"))
+      .localCheckpoint(true)
+    val (pfRow, pfMaxMs, pfMeanMs) = withMaxTask {
+      val folded = graft.multimodal.Multimodal.withPhashFold(pfDocs)
+        .select(col("doc_id"), col("phash"))
+      val exploded = graft.multimodal.Multimodal.phashOn(pfDocs)
+        .withColumnRenamed("phash", "p2")
+      folded.join(exploded, "doc_id")
+        .agg(count(lit(1)),
+          sum(when(col("phash") === col("p2"), 1L).otherwise(0L))).head()
+    }
+    require(pfRow.getLong(0) == nPf && pfRow.getLong(1) == nPf,
+      s"fold/explode fingerprints disagree at scale: $pfRow of $nPf")
+    println(f"SCALE phashFold docs=$nPf chars=~300 maxTaskMs=$pfMaxMs " +
+      f"meanTaskMs=$pfMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 }
