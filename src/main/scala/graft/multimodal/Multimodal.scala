@@ -400,6 +400,11 @@ object Multimodal {
     * still uses [[phashOn]]'s explode + map-side-combined agg.
     */
   private[graft] def withPhashFold(df: DataFrame): DataFrame = df
+    // mirror the explode plan's NULL behavior: posexplode of a NULL
+    // array emits no rows, so a NULL-text doc must VANISH here too —
+    // without this the fold's IF(null) chain would fabricate phash=0
+    // rows the batch twin and the oracle never see
+    .filter(col("text").isNotNull)
     .withColumn("bys", expr("transform(sequence(1, length(text)), i -> " +
       "CAST(ascii(substring(text, i, 1)) AS BIGINT))"))
     .withColumn("pn", expr("CAST(size(bys) AS BIGINT)"))
@@ -416,8 +421,7 @@ object Multimodal {
          |       aggregate(sequence(CAST(blk + 1 AS BIGINT), pn, CAST($PhashBits AS BIGINT)),
          |           CAST(0 AS BIGINT),
          |           (a, i) -> a + element_at(bys, CAST(i AS INT))) * pn
-         |         > ptot * CAST(size(sequence(CAST(blk + 1 AS BIGINT), pn,
-         |             CAST($PhashBits AS BIGINT))) AS BIGINT),
+         |         > ptot * ((pn - blk - 1) DIV $PhashBits + 1),
          |       shiftleft(CAST(1 AS BIGINT), blk), CAST(0 AS BIGINT))),
          |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
     .drop("bys", "pn", "ptot")

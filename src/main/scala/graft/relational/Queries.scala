@@ -2488,16 +2488,27 @@ object Queries {
     * deployment pays at ingest so every later orderkey join/agg plans
     * with ZERO Exchange; memoizing it per session is exactly that
     * amortization in miniature (and [[graft.Prep]] bills it to its own
-    * bench line). Table names carry the dir hash so two dirs in one
-    * session can't collide.
+    * bench line). Table names carry a per-session dir ORDINAL
+    * ([[dirTag]]) so two dirs in one session can never collide.
     */
   private val bucketedCache =
     new graft.util.Memo[(String, String), (String, String)]
   val B52Buckets = 16
 
+  /** Collision-proof per-session table tag: dirs get ordinals on first
+    * use (a hashCode tag could alias two dirs onto one managed table —
+    * the memo would then serve dir A a table rebuilt from dir B, a
+    * silent wrong answer). Racers may burn ordinals; uniqueness per
+    * dir is what matters.
+    */
+  private val tagCounter = new java.util.concurrent.atomic.AtomicInteger
+  private val dirTags = scala.collection.concurrent.TrieMap.empty[String, Int]
+  private def dirTag(dir: String): Int =
+    dirTags.getOrElseUpdate(dir, tagCounter.getAndIncrement())
+
   private def bucketedTables(spark: SparkSession, dir: String): (String, String) =
     bucketedCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      val tag = (dir.hashCode.toLong & 0xffffffffL).toString
+      val tag = dirTag(dir).toString
       val lt = s"bk52_lineitem_$tag"
       val ot = s"bk52_orders_$tag"
       graft.scale.Bucketing.writeBucketed(
@@ -2560,7 +2571,7 @@ object Queries {
 
   private def partitionedOrders(spark: SparkSession, dir: String): String =
     partTableCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      val t = s"pt53_orders_${dir.hashCode.toLong & 0xffffffffL}"
+      val t = s"pt53_orders_${dirTag(dir)}"
       Tables(spark, dir, "orders")
         .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
         .write.format("parquet").partitionBy("o_month")

@@ -780,11 +780,22 @@ class StreamingSpec extends SparkTestBase {
     // explode plan on every corpus doc — the property that lets the
     // screen stay stateless without changing the fingerprint
     val exploded = Multimodal.phashOn(docs.select("doc_id", "text"))
-    val divergent = Multimodal.withPhashFold(docs.select("doc_id", "text"))
+    val folded = Multimodal.withPhashFold(docs.select("doc_id", "text"))
       .select(col("doc_id"), col("phash"))
+    val divergent = folded
       .join(exploded.withColumnRenamed("phash", "p2"), "doc_id")
       .filter(col("phash") =!= col("p2")).count()
     assert(divergent == 0, s"column fold diverged on $divergent docs")
+    // row-PRESENCE parity too — an inner join can't see a fabricated or
+    // dropped doc; both forms must emit one row per (non-null) doc
+    assert(folded.count() == exploded.count(), "fold/explode row counts differ")
+    // NULL text vanishes from BOTH forms (posexplode of a null array
+    // emits nothing; the fold must not fabricate a phash=0 row)
+    import spark.implicits._
+    val withNull = Seq((1L, "a b"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(Multimodal.withPhashFold(withNull).select("doc_id", "phash").count() == 1L)
+    assert(Multimodal.phashOn(withNull).count() == 1L)
     // 2. the screen itself
     val got = StreamingQueries.queries("d41_stream_phash_screen")(spark, sf)
       .collect()
