@@ -152,6 +152,25 @@ object DedupQueries {
     */
   private val candCache = new graft.util.Memo[(String, String), DataFrame]
 
+  /** Session+dir memo of the SEALED whole-corpus signature frame
+    * (doc_id, sig): tokenize + 16 minhash perms is the one expensive
+    * map-side pass every LSH family member needs, so it runs ONCE per
+    * session — the candidate supernode path derives its band hashes
+    * from these cached blocks and C137's tuner re-slices the same
+    * 16-slot signatures into every b×r factorization. Before this memo
+    * C137 paid a second corpus-sized minhash pass billed to itself —
+    * counter to the prep-accounting goal of per-query numbers measuring
+    * the query alone. Billed to its own [[graft.Prep]] line.
+    */
+  private val sigCache = new graft.util.Memo[(String, String), DataFrame]
+
+  private[dedup] def signatures(spark: SparkSession, dir: String): DataFrame =
+    sigCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), shingleHashes(col("text")).as("ths"))
+        .select(col("doc_id"), signature(col("ths")).as("sig"))
+        .localCheckpoint(true))
+
   /** Signature-supernode pair generation. Duplicate-heavy corpora (the
     * normal case for LLM training data — and extreme here) collapse
     * thousands of docs onto identical band-hash vectors; joining at the
@@ -169,7 +188,11 @@ object DedupQueries {
     */
   private def candidatePairs(spark: SparkSession, dir: String): DataFrame =
     candCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
-      candidatePairsFor(Tables(spark, dir, "documents")))
+      // derive band hashes from the session-shared sealed signature
+      // frame — the corpus tokenize+minhash pass runs once per session
+      // TOTAL (here or in [[signatures]]'s prep line), not once per
+      // memo family
+      candidatePairsFromSigs(signatures(spark, dir)))
 
   /** Dev-profiling access to [[candidatePairsFor]]. */
   private[dedup] def candidatePairsForProfile(docs: DataFrame): DataFrame =
@@ -179,7 +202,13 @@ object DedupQueries {
     * shared by the whole-corpus C6/C7 path and C19's
     * representatives-only path.
     */
-  private def candidatePairsFor(docs: DataFrame): DataFrame = {
+  private def candidatePairsFor(docs: DataFrame): DataFrame =
+    candidatePairsFromSigs(docs
+      .select(col("doc_id"), shingleHashes(col("text")).as("ths"))
+      .select(col("doc_id"), signature(col("ths")).as("sig")))
+
+  /** Supernode candidate generation from a (doc_id, sig) frame. */
+  private def candidatePairsFromSigs(sigFrame: DataFrame): DataFrame = {
       val bhCols = (0 until Bands).map(bn => s"bh$bn")
       // The ONE materialization: tokenize + 16 minhash perms is the
       // expensive map-side pass, and everything downstream (groups,
@@ -188,9 +217,9 @@ object DedupQueries {
       // cheap recomputes from the cached blocks, so they stay lazy and
       // fuse into the consuming job instead of forming a serial job
       // chain (three extra checkpoints here used to serialize ≥6 jobs).
-      val sigs = docs
-        .select(col("doc_id"), shingleHashes(col("text")).as("ths"))
-        .select(col("doc_id"), signature(col("ths")).as("sig"))
+      // (When `sigFrame` is the session [[signatures]] memo, the band
+      // hashing below is a cheap projection over already-sealed blocks.)
+      val sigs = sigFrame
         .select(col("doc_id") +: (0 until Bands).map(bn =>
           bandHash(col("sig"), bn).as(s"bh$bn")): _*)
         .localCheckpoint(true)
@@ -1393,10 +1422,10 @@ object DedupQueries {
     Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
 
   def c137LshTune(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = Tables(spark, dir, "documents")
-      .select(col("doc_id"), shingleHashes(col("text")).as("ths"))
-      .select(col("doc_id"), signature(col("ths")).as("sig"))
-      .localCheckpoint(true)
+    // the session-shared sealed signature frame (also feeds the C6
+    // candidate memo) — NOT a private rebuild: a second corpus-sized
+    // minhash pass billed to c137 would defeat the prep accounting
+    val sigs = signatures(spark, dir)
     def sliceHash(sig: Column, bn: Int, r: Int): Column =
       (0 until r).map(i => sig.getItem(bn * r + i))
         .reduceLeft((acc, s) => (acc * lit(31L) + s) % lit(M))
@@ -1524,6 +1553,7 @@ object DedupQueries {
     * ([[graft.Prep]]) — see TextQueries.prepItems for the rationale.
     */
   private[graft] def prepItems: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "dedup_signatures" -> ((s, d) => { signatures(s, d): Unit }),
     "dedup_candidates" -> ((s, d) => { candidatePairs(s, d): Unit }),
     "dedup_collapse" -> ((s, d) => { c19DedupCollapse(s, d): Unit }),
     "dedup_scored_pairs" -> ((s, d) =>

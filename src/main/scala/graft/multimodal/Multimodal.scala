@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -365,7 +365,14 @@ object Multimodal {
     * and D41's frozen snapshot store.
     */
   private[graft] def phashOn(docs: DataFrame): DataFrame = {
-    val ex = docs.select(col("doc_id"),
+    // zero-length texts must VANISH like NULL ones: Spark's
+    // sequence(1, 0) DESCENDS (yields [1, 0]) rather than returning an
+    // empty array, so without the guard an empty-text doc fabricates
+    // two zero bytes → a phash=0 row the oracle's range(1, 1) = []
+    // never produces (a real twin divergence, caught by the fuzz
+    // harness's empty-string domain)
+    val ex = docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"),
         posexplode(expr("transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))"))
           .as(Seq("pos", "b")))
     val blocks = ex.groupBy(col("doc_id"), expr(s"pos % $PhashBits").as("blk"))
@@ -383,11 +390,20 @@ object Multimodal {
     * (doc_id, phash) frame — the ONE banding definition C126's
     * candidate join and D41's screen bucket on.
     */
-  private[graft] def phashBands(ph: DataFrame): DataFrame = ph
-    .select(col("doc_id"), col("phash"),
+  private[graft] def phashBands(ph: DataFrame): DataFrame =
+    bandsOf(ph, col("doc_id"))
+
+  /** The ONE banding projection: appends the [[PhashBands]] 12-bit LSH
+    * band rows (k, bv) of a `phash` column to any frame, keeping
+    * `carry`. [[phashBands]] runs it per-DOC (D41's screen shape);
+    * [[c126Phash]] runs it per distinct-phash CLASS, which is what
+    * keeps the batch candidate join off the member-pair mass.
+    */
+  private def bandsOf(df: DataFrame, carry: Column*): DataFrame = df
+    .select(carry :+ col("phash") :+
       explode(expr(s"transform(sequence(0, ${PhashBands - 1}), k -> " +
-        s"struct(k AS k, shiftright(phash, CAST(12 * k AS INT)) & 4095 AS bv))")).as("band"))
-    .select(col("doc_id"), col("phash"), col("band.k"), col("band.bv"))
+        s"struct(k AS k, shiftright(phash, CAST(12 * k AS INT)) & 4095 AS bv))")).as("band"): _*)
+    .select(carry :+ col("phash") :+ col("band.k") :+ col("band.bv"): _*)
 
   /** Stateless COLUMN-LEVEL twin of the fingerprint — the form D41's
     * stream side uses: one projection builds the (block, byte) struct
@@ -400,11 +416,12 @@ object Multimodal {
     * still uses [[phashOn]]'s explode + map-side-combined agg.
     */
   private[graft] def withPhashFold(df: DataFrame): DataFrame = df
-    // mirror the explode plan's NULL behavior: posexplode of a NULL
-    // array emits no rows, so a NULL-text doc must VANISH here too —
-    // without this the fold's IF(null) chain would fabricate phash=0
+    // mirror the explode plan's NULL/empty behavior: posexplode of a
+    // NULL array emits no rows and [[phashOn]] drops zero-length texts
+    // (Spark's sequence(1, 0) descends), so such docs must VANISH here
+    // too — without this the fold's IF chain would fabricate phash=0
     // rows the batch twin and the oracle never see
-    .filter(col("text").isNotNull)
+    .filter(col("text").isNotNull && length(col("text")) > 0)
     .withColumn("bys", expr("transform(sequence(1, length(text)), i -> " +
       "CAST(ascii(substring(text, i, 1)) AS BIGINT))"))
     .withColumn("pn", expr("CAST(size(bys) AS BIGINT)"))
@@ -426,24 +443,52 @@ object Multimodal {
          |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
     .drop("bys", "pn", "ptot")
 
-  def c126Phash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+  /** C126 via distinct-phash CLASS algebra (the D41 owner-store shape,
+    * see `StreamingQueries`' frozen class store): a doc's candidate set
+    * is a function of its PHASH alone — same-phash docs share every
+    * band (hamming 0 ≤ [[PhashHamT]], so they are both candidates and
+    * near by construction), and whether two DIFFERENT phashes share a
+    * band depends only on the two 64-bit values. So the band self-join
+    * runs over distinct-phash classes (phash, cnt), never members:
+    *
+    *   n_cand(doc with phash p) = (cnt_p − 1) + Σ_{q band-collides p} cnt_q
+    *   n_near(...)              = (cnt_p − 1) + Σ_{q …, ham(p,q) ≤ T} cnt_q
+    *
+    * On a dup-heavy corpus (the LLM-training norm) |classes| ≪ |docs|
+    * and the within-band all-pairs frame the doc-level join would
+    * materialize — Σ_bucket k² member rows, the quadratic hot spot the
+    * C135 tripwire exists to detect — collapses into class arithmetic:
+    * the join moves O(|classes|·bands) rows no matter how heavy the
+    * duplication (ScaleSmoke pins emitted-rows ≪ member-pair mass).
+    * Values are UNCHANGED from the doc-level definition (spec-pinned
+    * against a direct all-pairs recompute; oracle unchanged).
+    */
+  def c126Phash(spark: SparkSession, dir: String): DataFrame =
+    phashCandCounts(Tables(spark, dir, "documents"))
+
+  /** The C126 kernel on any (doc_id, text) frame (class doc above). */
+  private[graft] def phashCandCounts(docs: DataFrame): DataFrame = {
     val phash = phashOn(docs)
-    val bands = phashBands(phash)
-    val cand = bands.as("a").join(bands.as("b"),
+    val classes = phash.groupBy("phash").agg(count(lit(1)).as("cnt"))
+    val cb = bandsOf(classes, col("cnt"))
+    // cross-CLASS band collisions: distinct (pa, pb) over class rows
+    // (a pair of phashes can collide on several bands; cb is a function
+    // of pb so carrying it through the distinct is safe)
+    val cross = cb.as("a").join(cb.as("b"),
         col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") =!= col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("other"),
-        col("a.phash").as("pa"), col("b.phash").as("pb"))
+          col("a.phash") =!= col("b.phash"))
+      .select(col("a.phash").as("pa"), col("b.phash").as("pb"),
+        col("b.cnt").as("cb"))
       .distinct()
-    val counts = cand
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_cand"),
-        sum((expr("bit_count(pa ^ pb)") <= PhashHamT).cast("long")).as("n_near"))
-    phash.join(counts, Seq("doc_id"), "left")
+    val crossAgg = cross.groupBy("pa").agg(
+      sum("cb").as("x_cand"),
+      sum(when(expr("bit_count(pa ^ pb)") <= PhashHamT, col("cb"))
+        .otherwise(0L)).as("x_near"))
+    phash.join(classes, "phash")
+      .join(crossAgg, col("phash") === col("pa"), "left")
       .select(col("doc_id"), col("phash"),
-        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
-        coalesce(col("n_near"), lit(0L)).as("n_near"))
+        (col("cnt") - 1 + coalesce(col("x_cand"), lit(0L))).as("n_cand"),
+        (col("cnt") - 1 + coalesce(col("x_near"), lit(0L))).as("n_near"))
       .orderBy("doc_id")
   }
 

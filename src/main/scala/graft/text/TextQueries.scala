@@ -3777,7 +3777,17 @@ object TextQueries {
           col("t_0").as("base"))): _*)).as("r"))
       .select(col("r.n_merges"), col("r.total_toks"),
         (col("r.base") - col("r.total_toks")).as("merges_applied"),
-        expr("r.total_toks * 1000000 div r.base").as("compression_ppm"))
+        // ppm numerator in DECIMAL(38,0): total_toks * 1e6 wraps a Long
+        // past ~9.2e12 tokens — the 100 TB regime — and Spark's Long
+        // multiply wraps SILENTLY while the oracle's checked arithmetic
+        // errors loudly, so the twins would diverge exactly where the
+        // report matters. The quotient is ≤ 1e6 whenever merges only
+        // shrink the stream; the guard makes the one case that could
+        // overflow the BIGINT quotient (total > base) loud instead.
+        expr(s"""CASE WHEN r.total_toks > r.base
+                |  THEN CAST(raise_error('c138: post-merge token total exceeds the raw baseline — compression_ppm would overflow') AS BIGINT)
+                |  ELSE CAST(CAST(r.total_toks AS DECIMAL(38,0)) * 1000000 div r.base AS BIGINT)
+                |END""".stripMargin).as("compression_ppm"))
       .orderBy("n_merges")
   }
 
@@ -3808,7 +3818,9 @@ object TextQueries {
        |)
        |SELECT lv.n_merges, lv.total_toks,
        |  base.b - lv.total_toks AS merges_applied,
-       |  (lv.total_toks * 1000000) // base.b AS compression_ppm
+       |  -- HUGEINT numerator + checked BIGINT cast: DuckDB's native
+       |  -- twin of the Spark side's DECIMAL(38,0) accumulate + guard
+       |  CAST((CAST(lv.total_toks AS HUGEINT) * 1000000) // base.b AS BIGINT) AS compression_ppm
        |FROM lv CROSS JOIN base ORDER BY lv.n_merges""".stripMargin
   }
 

@@ -123,4 +123,51 @@ class MultimodalSpec extends SparkTestBase {
     if (dupHashes.nonEmpty)
       assert(out.filter(r => dupHashes.contains(r._2)).forall(_._4 > 0L))
   }
+
+  test("c126 class algebra: dup-heavy corpus counts match the doc-level definition") {
+    import org.apache.spark.sql.functions._
+    // 120 docs over only 5 distinct texts (heavy classes, cnt up to 40;
+    // base/variant differ by one byte, verified to produce DIFFERENT
+    // phashes that still share an LSH band at hamming 1 — the cross-
+    // class join path), plus the adversarial rows the class path must
+    // not mishandle: a NULL text and an empty text (both vanish — the
+    // explode emits no rows), and a singleton class (cnt − 1 = 0)
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "and then some more filler text to cross ninety six characters total ok"
+    val texts = Seq(
+      base,
+      base.updated(7, 'E'), // one byte, different phash, shared band
+      "pack my box with five dozen liquor jugs for the long haul",
+      "completely unrelated payload with different byte statistics!!",
+      "a singleton class text that matches nothing else in the corpus xyzzy")
+    val docs = spark.range(120).select(col("id").as("doc_id"),
+        element_at(array(texts.map(lit): _*),
+          when(col("id") < 40, 1).when(col("id") < 60, 2)
+            .when(col("id") < 90, 3).when(col("id") < 119, 4)
+            .otherwise(5).cast("int")).as("text"))
+      .unionByName(spark.range(120, 122).select(col("id").as("doc_id"),
+        when(col("id") === 120, lit(null: String)).otherwise(lit("")).as("text")))
+    val out = Multimodal.phashCandCounts(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // NULL/empty texts vanish exactly like the explode plan's rows do
+    assert(out.forall(r => r._1 != 120L && r._1 != 121L))
+    assert(out.length == 120)
+    // brute-force doc-level recompute (the pre-rewrite definition)
+    def bands(h: Long): Set[(Int, Long)] =
+      (0 until Multimodal.PhashBands).map(k => (k, (h >> (12 * k)) & 4095L)).toSet
+    val hashes = out.map(r => (r._1, r._2))
+    val expect = hashes.map { case (id, h) =>
+      val cands = hashes.filter(o => o._1 != id && bands(o._2).intersect(bands(h)).nonEmpty)
+      val near = cands.count(o => java.lang.Long.bitCount(o._2 ^ h) <= Multimodal.PhashHamT)
+      (id, h, cands.length.toLong, near.toLong)
+    }.sortBy(_._1)
+    assert(out.toSeq == expect.toSeq)
+    // the fixture genuinely exercises the class terms: a heavy class
+    // (within-class cnt − 1 arithmetic) and at least one cross-class
+    // band collision (the distinct-phash join path)
+    val byHash = hashes.groupBy(_._2).map(_._2.length)
+    assert(byHash.max >= 10, s"no heavy class: $byHash")
+    val maxCnt = byHash.max.toLong
+    assert(expect.exists(r => r._3 > maxCnt - 1), "no cross-class collision exercised")
+  }
 }
