@@ -832,6 +832,51 @@ object ScaleSmoke {
       s"fold/explode fingerprints disagree at scale: $pfRow of $nPf")
     println(f"SCALE phashFold docs=$nPf chars=~300 maxTaskMs=$pfMaxMs " +
       f"meanTaskMs=$pfMeanMs ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // --- batch perceptual screen (the c126 class-algebra kernel) on a
+    // dup-heavy corpus: nDocs docs collapse onto ~1000 distinct texts,
+    // the regime where the doc-level band self-join materializes
+    // Σ_bucket k·(k−1)/2 member pairs (quadratic in class size). The
+    // class form's join must move only distinct-phash collision rows —
+    // pinned ≪ the member-pair mass (both computed from COUNTS; the
+    // member mass is never materialized) — with flat tasks and the
+    // full member-level candidate arithmetic still present in the
+    // OUTPUT (sum(n_cand) = 2 × distinct member pairs ≥ within-class
+    // mass, proving the algebra did the counting the join no longer
+    // pays for).
+    t0 = System.nanoTime()
+    val c126Docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", expr(
+          "transform(sequence(0L, 23), j -> concat('p', ((id % 1000) * 53 + j * 17) % 991))"))
+          .as("text"))
+      .localCheckpoint(true)
+    val ph126 = graft.multimodal.Multimodal.phashOn(c126Docs).localCheckpoint(true)
+    val cl126 = ph126.groupBy("phash").agg(count(lit(1)).as("cnt")).localCheckpoint(true)
+    val nCl126 = cl126.count()
+    val cb126 = graft.multimodal.Multimodal.bandsOf(cl126, col("cnt"))
+    val crossRows = cb126.as("a").join(cb126.as("b"),
+        col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
+          col("a.phash") =!= col("b.phash"))
+      .select(col("a.phash"), col("b.phash")).distinct().count()
+    val memberPairs = graft.multimodal.Multimodal.phashBands(ph126)
+      .groupBy("k", "bv").agg(count(lit(1)).as("kk"))
+      .agg(sum(expr("CAST(kk AS DECIMAL(38,0)) * (kk - 1) / 2")))
+      .head.getDecimal(0).longValueExact()
+    val (c126Row, c126MaxMs, c126MeanMs) = withMaxTask(
+      graft.multimodal.Multimodal.phashCandCounts(c126Docs)
+        .agg(count(lit(1)), sum("n_cand")).head())
+    require(c126Row.getLong(0) == nDocs,
+      s"c126 emitted ${c126Row.getLong(0)} rows, expected one per doc ($nDocs)")
+    require(c126Row.getLong(1) / 2 >= memberPairs / 4,
+      s"candidate arithmetic lost the member mass: sum(n_cand)=${c126Row.getLong(1)} " +
+        s"vs bucket pair mass $memberPairs")
+    require(crossRows * 100L < memberPairs,
+      s"class join moved $crossRows rows — not ≪ member-pair mass $memberPairs; " +
+        "the rewrite is not avoiding the quadratic")
+    println(f"SCALE phashClassAlgebra docs=$nDocs classes=$nCl126 " +
+      f"classJoinRows=$crossRows avoidedMemberPairs=$memberPairs " +
+      f"maxTaskMs=$c126MaxMs meanTaskMs=$c126MeanMs " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 }

@@ -399,7 +399,7 @@ object Multimodal {
     * [[c126Phash]] runs it per distinct-phash CLASS, which is what
     * keeps the batch candidate join off the member-pair mass.
     */
-  private def bandsOf(df: DataFrame, carry: Column*): DataFrame = df
+  private[graft] def bandsOf(df: DataFrame, carry: Column*): DataFrame = df
     .select(carry :+ col("phash") :+
       explode(expr(s"transform(sequence(0, ${PhashBands - 1}), k -> " +
         s"struct(k AS k, shiftright(phash, CAST(12 * k AS INT)) & 4095 AS bv))")).as("band"): _*)
