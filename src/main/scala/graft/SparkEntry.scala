@@ -75,7 +75,8 @@ object SparkEntry {
     "b50_cusum_changepoint" -> (Queries.cusumChangepoint _),
     "b51_ntile_listagg" -> (Queries.ntileListagg _),
     "b52_bucketed_join" -> (Queries.bucketedJoin _),
-    "b53_partition_prune" -> (Queries.b53PartitionPrune _)
+    "b53_partition_prune" -> (Queries.b53PartitionPrune _),
+    "b54_composed_layout" -> (Queries.b54ComposedLayout _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -139,6 +140,7 @@ object SparkEntry {
     "b50_cusum_changepoint" -> Queries.cusumChangepointSql,
     "b51_ntile_listagg" -> Queries.ntileListaggSql,
     "b52_bucketed_join" -> Queries.bucketedJoinSql,
-    "b53_partition_prune" -> Queries.b53Sql
+    "b53_partition_prune" -> Queries.b53Sql,
+    "b54_composed_layout" -> Queries.b54Sql
   )
 }

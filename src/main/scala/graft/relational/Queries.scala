@@ -2613,11 +2613,91 @@ object Queries {
       |FROM orders, m0 WHERE strftime(o_orderdate, '%Y-%m') = m0.m
       |GROUP BY 1, 2 ORDER BY o_orderpriority""".stripMargin
 
-  /** Bench prep entries ([[graft.Prep]]): the bucketed/partitioned
-    * table writes are one-time layout costs, billed to their own lines.
+  // ---------------------------------------------------------------- B54
+  /** Session+dir memo of the COMPOSED-layout lineitem table: month-
+    * partitioned (directory pruning on the time axis) AND orderkey-
+    * bucketed (Exchange-free joins/aggs on the join axis) — at 100 TB
+    * both levers apply to the SAME fact table, and they compose:
+    * `partitionBy` splits the directory tree, `bucketBy` splits each
+    * directory's files, and the bucket spec is table-level so the scan
+    * keeps the hash distribution across whatever subset of directories
+    * the partition filter leaves. One write, one shuffle
+    * (repartition on the bucket key; each of the `buckets` tasks
+    * writes one file per month directory it has rows for — a bucket
+    * WITHIN a directory is still a single file).
+    */
+  private val composedCache = new graft.util.Memo[(String, String), String]
+
+  private def composedLineitem(spark: SparkSession, dir: String): String =
+    composedCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val t = s"cp54_lineitem_${dirTag(dir)}"
+      Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("l_month"))
+        .repartition(B52Buckets, col("l_orderkey"))
+        .write.format("parquet")
+        .partitionBy("l_month")
+        .bucketBy(B52Buckets, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(t)
+      t
+    })
+
+  /** B54: single-month priority rollup THROUGH the composed layout —
+    * B52 (bucketing) and B53 (partitioning) each prove ONE storage
+    * lever; this key composes both in the SAME plan, which is how a
+    * 100 TB fact table is actually laid out: the month equality prunes
+    * directories at planning time (`PartitionFilters` on the scan),
+    * the per-orderkey partial agg reuses the bucket hash-partitioning
+    * (no Exchange), and the join to the co-bucketed B52 orders table
+    * (same bucket count, same key hash) is an Exchange-free sort-merge
+    * join — the only shuffles left are the 5-row priority rollup and
+    * its ORDER BY. Plan contract pinned in BucketingSpec (partition
+    * filter AND priority-only Exchanges in one executed plan). The
+    * target month is the deterministic corpus minimum; layout must
+    * never change ANSWERS — oracle = the plain strftime-filtered SQL
+    * on the unpartitioned parquet.
+    */
+  def b54ComposedLayout(spark: SparkSession, dir: String): DataFrame = {
+    val lt = composedLineitem(spark, dir)
+    val (_, ot) = bucketedTables(spark, dir)
+    // staging scalar (1 row): the deterministic target month
+    val m0 = Tables(spark, dir, "lineitem")
+      .agg(date_format(min("l_shipdate"), "yyyy-MM")).head.getString(0)
+    val per = spark.table(lt)
+      .filter(col("l_month") === m0)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"))
+    val o = spark.table(ot).hint("merge")
+    per.join(o, per("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum("n_items").as("n_items"),
+        sum("qty_c").as("qty_c"))
+      .orderBy("o_orderpriority")
+  }
+
+  val b54Sql: String =
+    """WITH m0 AS (SELECT strftime(MIN(l_shipdate), '%Y-%m') AS m FROM lineitem),
+      |li AS (
+      |  SELECT l_orderkey, COUNT(*) AS n_items,
+      |    CAST(SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS qty_c
+      |  FROM lineitem, m0 WHERE strftime(l_shipdate, '%Y-%m') = m0.m
+      |  GROUP BY 1
+      |)
+      |SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(li.n_items) AS BIGINT) AS n_items,
+      |  CAST(SUM(li.qty_c) AS BIGINT) AS qty_c
+      |FROM li JOIN orders o ON o.o_orderkey = li.l_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Bench prep entries ([[graft.Prep]]): the bucketed/partitioned/
+    * composed table writes are one-time layout costs, billed to their
+    * own lines.
     */
   private[graft] def prepItems: Seq[(String, (SparkSession, String) => Unit)] =
     Seq(
       "bucketed_tables" -> ((s, d) => { bucketedTables(s, d): Unit }),
-      "partitioned_tables" -> ((s, d) => { partitionedOrders(s, d): Unit }))
+      "partitioned_tables" -> ((s, d) => { partitionedOrders(s, d): Unit }),
+      "composed_tables" -> ((s, d) => { composedLineitem(s, d): Unit }))
 }

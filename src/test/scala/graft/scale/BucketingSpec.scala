@@ -124,6 +124,65 @@ class BucketingSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("b54 query key: partition pruning AND bucket reuse compose in one plan") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case q: QueryStageExec => allScans(q.plan)
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+    }.flatten
+    val df = graft.relational.Queries.b54ComposedLayout(spark, sf)
+    df.collect()
+    // lever 1 — partition pruning: the month equality is a PARTITION
+    // filter on the composed table's scan, and it actually prunes
+    val scans = allScans(df.queryExecution.executedPlan)
+      .filter(_.tableIdentifier.exists(_.table.startsWith("cp54_")))
+    assert(scans.nonEmpty, "no scan over the composed table in the plan")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.toString.contains("l_month")),
+      s"month predicate missing from PartitionFilters: ${scan.partitionFilters}")
+    val table = scan.tableIdentifier.get.table
+    val months = spark.table(table).select("l_month").distinct().count()
+    assert(months > 1, "fixture has a single month — pruning untestable")
+    val filesRead = scan.metrics("numFiles").value
+    val allFiles = {
+      val full = spark.table(table)
+      full.collect()
+      allScans(full.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+    }
+    assert(filesRead > 0 && filesRead < allFiles,
+      s"scan read $filesRead of $allFiles files — no pruning happened")
+    // lever 2 — bucket reuse: in the SAME executed plan, the orderkey
+    // agg and the join to the co-bucketed orders table shuffle nothing;
+    // only the priority rollup + its ORDER BY may Exchange
+    val plan = {
+      val s = df.queryExecution.executedPlan.toString
+      s.split("== Initial Plan ==")(0)
+    }
+    assert(plan.contains("SortMergeJoin"), plan.take(3000))
+    val exLines = plan.split("\n").filter(_.contains("Exchange"))
+    assert(exLines.forall(_.contains("o_orderpriority")),
+      s"an Exchange off the priority rollup survived:\n${exLines.mkString("\n")}")
+    assert(exLines.nonEmpty && exLines.length <= 2, plan.take(3000))
+    // layout never changes answers: plain recompute on the raw tables
+    val m0 = Tables(spark, sf, "lineitem")
+      .agg(date_format(min("l_shipdate"), "yyyy-MM")).head.getString(0)
+    val want = Tables(spark, sf, "lineitem")
+      .filter(date_format(col("l_shipdate"), "yyyy-MM") === m0)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"))
+      .join(Tables(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("n_items").as("ni"), sum("qty_c").as("qc"))
+      .orderBy("o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+  }
+
   test("point filter on the bucket key prunes to a single bucket") {
     tablesReady
     // a bare filter doesn't need the bucketing DISTRIBUTION, so AQE's
