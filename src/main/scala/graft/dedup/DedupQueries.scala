@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.sets.sorted_intersect_count
 import graft.text.TextQueries.{tokenHash, tokenHashSql, tokens}
+import graft.util.Seal._
 
 /** SURVEY.md §2 block C6–C8: near-duplicate detection over `documents`.
   *
@@ -169,7 +170,7 @@ object DedupQueries {
       Tables(spark, dir, "documents")
         .select(col("doc_id"), shingleHashes(col("text")).as("ths"))
         .select(col("doc_id"), signature(col("ths")).as("sig"))
-        .localCheckpoint(true))
+        .seal())
 
   /** Signature-supernode pair generation. Duplicate-heavy corpora (the
     * normal case for LLM training data — and extreme here) collapse
@@ -222,7 +223,7 @@ object DedupQueries {
       val sigs = sigFrame
         .select(col("doc_id") +: (0 until Bands).map(bn =>
           bandHash(col("sig"), bn).as(s"bh$bn")): _*)
-        .localCheckpoint(true)
+        .seal()
       val groups = sigs.groupBy(bhCols.map(col): _*)
         .agg(min("doc_id").as("gid"))
       // band agreement between distinct groups: dup-heavy corpora
@@ -500,7 +501,7 @@ object DedupQueries {
 
   def c19DedupCollapse(spark: SparkSession, dir: String): DataFrame =
     collapseCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
-      collapseUncached(spark, dir).localCheckpoint(true))
+      collapseUncached(spark, dir).seal())
 
   private def collapseUncached(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
@@ -519,11 +520,11 @@ object DedupQueries {
     val setKey = array_sort(array_distinct(shingleHashes(col("text"))))
     val withSet = textReps.withColumn("s", setKey)
     val setClasses = withSet.groupBy("s").agg(min("doc_id").as("srep"))
-    val joined = withSet.join(setClasses, "s").localCheckpoint(true)
+    val joined = withSet.join(setClasses, "s").seal()
     val stars2 = joined.filter(col("doc_id") =!= col("srep"))
       .select(col("doc_id").as("src"), col("srep").as("dst"))
     val reps = joined.filter(col("doc_id") === col("srep"))
-      .select(col("doc_id"), col("text"), col("s")).localCheckpoint(true)
+      .select(col("doc_id"), col("text"), col("s")).seal()
     // Jaccard in the SHINGLE-HASH space (long arrays — the exact set
     // the MinHash signatures estimate), scored by the native
     // sorted_intersect_count merge scan: sets are sorted ONCE per
@@ -1154,7 +1155,7 @@ object DedupQueries {
     scoredCache.getOrElseUpdate(
       (spark.sparkContext.applicationId, dir, math.round(minJac * 1e6)),
       scoredRepPairsFor(Tables(spark, dir, "documents"), minJac)
-        .localCheckpoint(true))
+        .seal())
 
   /** The scoring recipe on any (doc_id, text) frame — shared by the
     * memoized query path and the broadcast-dispatch specs.
@@ -1165,9 +1166,9 @@ object DedupQueries {
     val withSet = textReps
       .withColumn("s", array_sort(array_distinct(shingleHashes(col("text")))))
     val setClasses = withSet.groupBy("s").agg(min("doc_id").as("srep"))
-    val joined = withSet.join(setClasses, "s").localCheckpoint(true)
+    val joined = withSet.join(setClasses, "s").seal()
     val reps = joined.filter(col("doc_id") === col("srep"))
-      .select(col("doc_id"), col("text"), col("s")).localCheckpoint(true)
+      .select(col("doc_id"), col("text"), col("s")).seal()
     // count+bytes-gated hint — plain equi-joins above the gate (see
     // the dispatch scaladoc at the top of this object)
     val hintS = setsHint(reps)
@@ -1208,7 +1209,7 @@ object DedupQueries {
         .select(col("cs").as("src"), col("cd").as("dst")).distinct()
       val sup = GraphCC.connectedComponents(lab.select(col("cl").as("id")).distinct(), band)
       lab.join(sup.select(col("id").as("cl"), col("cluster_id")), "cl")
-        .select(col("doc_id"), col("cluster_id").as("cl")).localCheckpoint(true)
+        .select(col("doc_id"), col("cluster_id").as("cl")).seal()
     }
     val lab9 = c19DedupCollapse(spark, dir)
       .select(col("doc_id"), col("canonical_id").as("cl"))
@@ -1434,7 +1435,7 @@ object DedupQueries {
       .join(sigs.select(col("doc_id").as("src"), col("sig").as("sig_a")), "src")
       .join(sigs.select(col("doc_id").as("dst"), col("sig").as("sig_b")), "dst")
       .select("sig_a", "sig_b")
-      .localCheckpoint(true)
+      .seal()
     TuneFactorizations.map { case (b, r) =>
       val cost = sigs
         .select(posexplode(array((0 until b).map(bn =>

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.vector.{vec_dot, vec_norm2}
+import graft.util.Seal._
 
 /** SURVEY.md §2 block C9–C11: embedding similarity over `embeddings`
   * (64-dim float vectors).
@@ -389,11 +390,11 @@ object EmbedQueries {
     // width (Spark can't reuse the exchange — the join key differs per
     // width), so "buckets once map-side" holds literally
     val e = withNorms(spark, dir).withColumn("bucket", bucketCol(col("embedding")))
-      .localCheckpoint(true)
+      .seal()
     // sealed for the same reason: the ground truth joins once per width
     val exact = exactTopKFrame(spark, dir)
       .select(col("probe_id"), col("vec_id"), col("rnk").as("rnk_e"))
-      .localCheckpoint(true)
+      .seal()
     val nProbes = e.filter(col("vec_id") % ProbeMod === 0).count()
     val perWidth = RecallBits.map { b =>
       val m = 1L << b
@@ -607,14 +608,14 @@ object EmbedQueries {
     // join total" contract forbids
     val exact = exactTopKFrame(spark, dir)
       .select(col("probe_id"), col("vec_id"), col("rnk").as("rnk_e"))
-      .localCheckpoint(true)
+      .seal()
     val nProbes = withNorms(spark, dir)
       .filter(col("vec_id") % ProbeMod === 0).count()
     val scored = broadcast(ivfProbeLists(spark, dir, NProbeSweep.max))
       .join(assigned, "cid").filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), col("crn"),
         cosine(dot(col("pe"), col("embedding")), col("pn"), col("n2")).as("cos"))
-      .localCheckpoint(true)
+      .seal()
     val perNp = NProbeSweep.map { np =>
       val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
       scored.filter(col("crn") <= np)
@@ -710,7 +711,7 @@ object EmbedQueries {
     // the corpus assignment cross
     val lists = ivfAssigned(spark, dir).groupBy("cid")
       .agg(count(lit(1)).as("n_vecs"))
-      .localCheckpoint(true)
+      .seal()
     val tot = lists.agg(sum("n_vecs").as("n_total"),
       count(lit(1)).as("n_cells"))
     lists.crossJoin(broadcast(tot))
@@ -1022,7 +1023,7 @@ object EmbedQueries {
           cosine(dot(col("ea"), col("eb")), col("na"), col("nb")).as("cos"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= KnnK)
-        .localCheckpoint(true)
+        .seal()
     })
 
   /** Memoized mutual-kNN edge list (vec_a < vec_b, with cos and both
@@ -1041,7 +1042,7 @@ object EmbedQueries {
         .filter(col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"), col("cos"),
           col("rnk").as("rnk_ab"), col("rnk_ba"))
-        .localCheckpoint(true)
+        .seal()
     })
 
   /** The c46 CTE chain up to the mutual edge list — shared verbatim by
@@ -1242,14 +1243,14 @@ object EmbedQueries {
     val und = mutualEdges(spark, dir).select("vec_a", "vec_b")
     val edges = und.select(col("vec_a").as("src"), col("vec_b").as("dst"))
       .unionByName(und.select(col("vec_b").as("src"), col("vec_a").as("dst")))
-      .localCheckpoint(true)
+      .seal()
     val nodes = graft.Tables(spark, dir, "embeddings").select(col("vec_id").as("id"))
     val nTotal = nodes.count()
     val degt = nodes
       .join(edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
-      .localCheckpoint(true)
+      .seal()
     var ranks = degt.select(col("id"), lit(1000000000L).as("r"))
     for (_ <- 1 to PrIters) {
       val dm = ranks.join(degt.filter(col("deg") === 0L).select("id"), "id")
@@ -1264,7 +1265,7 @@ object EmbedQueries {
         .crossJoin(broadcast(dm))
         .select(col("id"), expr(
           s"150000000L + ((coalesce(csum, 0L) + dm div $nTotal) * 850) div 1000").as("r"))
-        .localCheckpoint(true)
+        .seal()
     }
     degt.join(ranks, "id")
       .select(col("id").as("vec_id"), col("deg"), col("r").as("rank_nano"))
@@ -1448,7 +1449,7 @@ object EmbedQueries {
     val und = mutualEdges(spark, dir).select("vec_a", "vec_b")
     val adj = und.select(col("vec_a").as("node"), col("vec_b").as("nbr"))
       .unionByName(und.select(col("vec_b").as("node"), col("vec_a").as("nbr")))
-      .localCheckpoint(true)
+      .seal()
     // min node: every edge is canonical vec_a < vec_b, so the global
     // minimum appears as a vec_a (staging scalar, the c102 nTotal rule)
     val entry = und.agg(min(col("vec_a"))).head.getLong(0)
@@ -1468,7 +1469,7 @@ object EmbedQueries {
         .join(adj, col("cand") === col("node"))
         .select(col("probe_id"), col("nbr").as("cand"))
       beam = topB(beam.select("probe_id", "cand").unionByName(expanded).distinct())
-        .localCheckpoint(true)
+        .seal()
     }
     beam.select(col("probe_id"), col("rnk"), col("cand").as("vec_id"), col("cos"))
       .orderBy("probe_id", "rnk")
@@ -1551,16 +1552,16 @@ object EmbedQueries {
     val probes = e.filter(col("vec_id") % ProbeMod === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
         col("n2").as("pn"))
-      .localCheckpoint(true)
+      .seal()
     val und = mutualEdges(spark, dir).select("vec_a", "vec_b")
     val adj = und.select(col("vec_a").as("node"), col("vec_b").as("nbr"))
       .unionByName(und.select(col("vec_b").as("node"), col("vec_a").as("nbr")))
-      .localCheckpoint(true)
+      .seal()
     val emb = e.select(col("vec_id").as("cand"), col("embedding").as("ce"),
       col("n2").as("cn"))
     val exact = exactTopKFrame(spark, dir)
       .select(col("probe_id"), col("vec_id").as("cand"), col("rnk").as("rnk_e"))
-      .localCheckpoint(true)
+      .seal()
     val nProbes = probes.count()
     BeamSweep.map { b =>
       val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand"))
@@ -1585,9 +1586,9 @@ object EmbedQueries {
             .join(adj, col("cand") === col("node"))
             .select(col("probe_id"), col("nbr").as("cand")))
           .distinct()
-          .localCheckpoint(true)
+          .seal()
         scored += cands.filter(col("cand") =!= col("probe_id")).count()
-        beam = topB(cands).localCheckpoint(true)
+        beam = topB(cands).seal()
         frontier = beam.select("probe_id", "cand")
       }
       val ks = Seq(1L, b.toLong)
@@ -1806,7 +1807,7 @@ object EmbedQueries {
     // persisted iteration artifact anyway, not a recompute-per-use
     semDedupOn(kmAssigned(spark, dir).select(col("vec_id"), col("cluster"))
       .join(withNorms(spark, dir), Seq("vec_id"))
-      .localCheckpoint())
+      .seal())
 
   val c51Sql: String =
     s"""WITH $normsCte, $kmAssignedCte,
@@ -2448,7 +2449,7 @@ object EmbedQueries {
     var mind = e.crossJoin(broadcast(centerFrame(0L)))
       .select(col("vec_id"), d6(col("ce")).as("d6"))
       .select(col("vec_id"), dMicro.as("md"))
-      .localCheckpoint(true)
+      .seal()
     val centers = scala.collection.mutable.ListBuffer[(Long, Long, Long)]((1L, 0L, -1L))
     for (t <- 2 to KCenters) {
       val row = mind
@@ -2460,7 +2461,7 @@ object EmbedQueries {
         .crossJoin(broadcast(centerFrame(cid)))
         .select(col("vec_id"), d6(col("ce")).as("d6"), col("md"))
         .select(col("vec_id"), least(col("md"), dMicro).as("md"))
-        .localCheckpoint(true)
+        .seal()
     }
     import spark.implicits._
     centers.toSeq.toDF("step", "center_id", "radius_micro").orderBy("step")
@@ -2552,14 +2553,14 @@ object EmbedQueries {
       val cells = q.select(col("vec_id"), posexplode(col("q")).as(Seq("d", "qd")))
       val nTotal = Tables(spark, dir, "embeddings").count()
       val mean = cells.groupBy("d").agg(expr(s"sum(qd) div $nTotal").as("m"))
-        .localCheckpoint(true)
+        .seal()
       val cent = cells.join(broadcast(mean), "d")
         .select(col("vec_id"), col("d"), (col("qd") - col("m")).as("x"))
       val cov = cent.select(col("vec_id"), col("d").as("i"), col("x").as("xi"))
         .join(cent.select(col("vec_id"), col("d").as("j"), col("x").as("xj")), "vec_id")
         .select(col("i"), col("j"), (col("xi") * col("xj")).as("p"))
         .groupBy("i", "j").agg(sum("p").as("c"))
-        .localCheckpoint(true)
+        .seal()
       val covMap = cov.collect()
         .map(r => ((r.getInt(0), r.getInt(1)), BigInt(r.getLong(2)))).toMap
       (mean, cov, covMap)

@@ -6,6 +6,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import graft.util.Seal._
 
 /** Driver-checkable executions of the D-block streaming operators
   * (SURVEY.md §2 D1–D4): each entry stages the events table as a file
@@ -499,7 +500,7 @@ object StreamingQueries {
         val newRows = merged.filter(col("batch") === 2)
           .select(col("x"), col("y"), col("cluster_id"),
             lit((id + 1).toInt).as("batch"))
-        state = state.unionByName(newRows).localCheckpoint()
+        state = state.unionByName(newRows).seal()
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
@@ -1220,7 +1221,7 @@ object StreamingQueries {
       .select(col("fp"), col("clen"), lit(1L).as("hit"))
       // sealed: a frozen artifact is MATERIALIZED once — a stream-static
       // join re-evaluates its static side every micro-batch otherwise
-      .localCheckpoint(true)
+      .seal()
     val chunks = TextQueries.cdcChunkFrame(
       StreamingOps.docsStream(spark, sfDir, staged(spark, sfDir, "documents")),
       Seq("doc_id", "lang"))
@@ -1301,7 +1302,7 @@ object StreamingQueries {
       .groupBy("band", "bh").agg(min("doc_id").as("owner"))
       // sealed: the frozen owner store is materialized once, not
       // re-derived per micro-batch by the stream-static join
-      .localCheckpoint(true)
+      .seal()
     val fresh = StreamingOps.docsStream(spark, sfDir, staged(spark, sfDir, "documents"))
       .filter(col("doc_id") >= cut)
     val hits = DedupQueries.bandRowsOn(fresh)
@@ -1362,7 +1363,7 @@ object StreamingQueries {
         col("embedding").as("ce2"), vec_norm2(col("embedding")).as("cn2"))
       // sealed: the frozen member store is materialized once, not
       // re-assigned against the codebook per micro-batch
-      .localCheckpoint(true)
+      .seal()
     val fresh = StreamingOps.embeddingsStream(spark, sfDir,
         staged(spark, sfDir, "embeddings"))
       .filter(col("vec_id") >= cut)
@@ -1375,7 +1376,7 @@ object StreamingQueries {
         EmbedQueries.cosine(vec_dot(col("ne"), col("ce2")),
           col("nn"), col("cn2")).as("cos"))
       .filter(col("cos") >= EmbedQueries.CosThreshold)
-    val sink = runToTable(hits, "graft_d40_sink", "append").localCheckpoint(true)
+    val sink = runToTable(hits, "graft_d40_sink", "append").seal()
     val best = sink.groupBy("new_id").agg(max("cos").as("best_cos"))
     sink.join(best, "new_id")
       .groupBy("new_id")
@@ -1430,7 +1431,7 @@ object StreamingQueries {
       .select(col("k"), col("bv"), col("phash").as("pold"), col("owner"))
       // sealed: the frozen class store is materialized once, not
       // re-fingerprinted per micro-batch by the stream-static join
-      .localCheckpoint(true)
+      .seal()
     val fresh = Multimodal.withPhashFold(
       StreamingOps.docsStream(spark, sfDir, staged(spark, sfDir, "documents"))
         .filter(col("doc_id") >= cut))
@@ -1495,7 +1496,7 @@ object StreamingQueries {
     // attributes fail Spark's self-join dedup (INTERNAL_ERROR:
     // conflicting references), so snapshot the bounded state first
     TextQueries.giniFromHistogram(
-      runToTable(g, "graft_d36_sink", "complete").localCheckpoint(true))
+      runToTable(g, "graft_d36_sink", "complete").seal())
   }
 
   /** Batch twin: identical to C118's oracle — the histogram is the

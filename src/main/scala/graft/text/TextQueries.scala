@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.util.Seal._
 
 /** SURVEY.md §2 block C1–C5: text-pipeline operators over `documents`.
   *
@@ -624,7 +625,7 @@ object TextQueries {
         .filter(size(col("toks")) >= ContamN)
         .select(col("doc_id"), explode(gramHashes(col("toks"))).as("gh"))
         .distinct()
-        .localCheckpoint(true))
+        .seal())
 
   def c29Contamination(spark: SparkSession, dir: String): DataFrame = {
     val grams = distinctGrams(spark, dir).withColumn("split", splitCol)
@@ -724,7 +725,7 @@ object TextQueries {
 
   private def lmScoredDocs(spark: SparkSession, dir: String): DataFrame =
     lmScoreCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      val pairs = bigramPairs(spark, dir).localCheckpoint()
+      val pairs = bigramPairs(spark, dir).seal()
       val uni = pairs.groupBy("w1").agg(count(lit(1)).as("n_w1"))
       val model = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
         .join(uni, "w1")
@@ -734,7 +735,7 @@ object TextQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"), sum("cond_micro").as("sum_cond_micro"))
         .withColumn("avg_cond_micro", expr("sum_cond_micro div n_bigrams"))
-        .localCheckpoint()
+        .seal()
     })
 
   /** The C31 oracle as a reusable CTE chain ending in `perdoc` — shared
@@ -3014,14 +3015,14 @@ object TextQueries {
       .select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("f"))
-      .localCheckpoint(true) // re-segmented once per EM round
+      .seal() // re-segmented once per EM round
     val sub = wf.select(col("f"), explode(expr(
         s"""flatten(transform(sequence(1, length(w)), p ->
            |  filter(transform(sequence(1, $UniMaxPieceLen), l ->
            |    IF(p + l - 1 <= length(w), substring(w, p, l), NULL)),
            |    x -> x IS NOT NULL)))""".stripMargin)).as("piece"))
       .groupBy("piece").agg(sum("f").as("wt"))
-      .localCheckpoint(true)
+      .seal()
     val top = sub.filter(length(col("piece")) >= 2)
       .orderBy(col("wt").desc, col("piece").asc).limit(UniTopPieces)
       .select("piece")
@@ -3464,12 +3465,12 @@ object TextQueries {
       val withNext = toks
         .withColumn("nxt", lead("tok", 1).over(w))
         .withColumn("npos", lead("pos", 1).over(w))
-        .localCheckpoint()
+        .seal()
       val best = withNext.filter(col("nxt").isNotNull)
         .groupBy("tok", "nxt").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("tok"), col("nxt")).limit(1)
         .select(col("tok").as("pa"), col("nxt").as("pb"), col("cnt").as("pair_count"))
-        .localCheckpoint() // 1 row; feeds three consumers — count the corpus once
+        .seal() // 1 row; feeds three consumers — count the corpus once
       val matches = withNext.crossJoin(broadcast(best))
         .filter(col("tok") === col("pa") && col("nxt") === col("pb"))
         .withColumn("brk",
@@ -3480,7 +3481,7 @@ object TextQueries {
           Window.partitionBy("doc_id", "island").orderBy("pos")))
         .filter(col("rn") % 2 === 1)
         .select(col("doc_id"), col("pos"), col("npos"))
-        .localCheckpoint()
+        .seal()
       val takenStart = matches.select(col("doc_id"), col("pos"), lit(1).as("mstart"))
       val takenEnd = matches.select(col("doc_id"), col("npos").as("pos"), lit(1).as("mend"))
       toks = withNext.crossJoin(broadcast(best))
@@ -3490,7 +3491,7 @@ object TextQueries {
         .select(col("doc_id"), col("pos"),
           when(col("mstart").isNotNull, concat(col("pa"), lit("_"), col("pb")))
             .otherwise(col("tok")).as("tok"))
-        .localCheckpoint()
+        .seal()
       best.crossJoin(matches.agg(count(lit(1)).as("n_merged")))
         .crossJoin(toks.agg(count(lit(1)).as("tokens_after")))
         .select(lit(it).as("iter"), col("pa").as("pair_a"), col("pb").as("pair_b"),
@@ -4147,7 +4148,7 @@ object TextQueries {
   def c68KnBigram(spark: SparkSession, dir: String): DataFrame = {
     val pairs = bigramPairs(spark, dir)
     val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
-      .localCheckpoint(true)
+      .seal()
     val ctx = big.groupBy("w1").agg(sum("n_pair").as("n_w1"),
       count(lit(1)).as("n_follow"))
     val pred = big.groupBy("w2").agg(count(lit(1)).as("n_pred"))
@@ -4785,7 +4786,7 @@ object TextQueries {
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= Bm25TopK)
         .select("qid", "rnk", "doc_id", "score_nano", "n_terms_hit")
-        .localCheckpoint(true)
+        .seal()
     })
 
   /** The deterministic query-term sets both retrieval runs share: the
@@ -4967,7 +4968,7 @@ object TextQueries {
   private[text] def rrfJoined(spark: SparkSession, dir: String): DataFrame =
     rrfJoinCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       val (a, b) = retrievalRuns(spark, dir)
-      a.join(b, Seq("qid", "doc_id"), "full_outer").localCheckpoint(true)
+      a.join(b, Seq("qid", "doc_id"), "full_outer").seal()
     })
 
   private def retrievalRuns(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -5251,7 +5252,7 @@ object TextQueries {
       .select(col("doc_id"), col("source"),
         regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tok"))
       .withColumn("cum", sum("n_tok").over(w))
-      .localCheckpoint(true)
+      .seal()
     PackSweepLens.map { l =>
       val perDoc = cum.agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"),
         sum(when(col("n_tok") > 0L &&
@@ -5667,7 +5668,7 @@ object TextQueries {
       .groupBy("w1", "w2").agg(count(lit(1)).as("wt"))
     val edges = pairs.select(col("w1").as("src"), col("w2").as("dst"), col("wt"))
       .unionByName(pairs.select(col("w2").as("src"), col("w1").as("dst"), col("wt")))
-      .localCheckpoint(true)
+      .seal()
     val nodes = pos.filter(length(col("w")) >= TrMinLen)
       .select(col("w").as("tok")).distinct()
     val nTotal = nodes.count()
@@ -5676,7 +5677,7 @@ object TextQueries {
         .agg(sum("wt").as("s"), count(lit(1)).as("deg")), Seq("tok"), "left")
       .select(col("tok"), coalesce(col("s"), lit(0L)).as("s"),
         coalesce(col("deg"), lit(0L)).as("deg"))
-      .localCheckpoint(true)
+      .seal()
     var ranks = st.select(col("tok"), lit(1000000000L).as("r"))
     for (_ <- 1 to TrIters) {
       val dm = ranks.join(st.filter(col("s") === 0L).select("tok"), "tok")
@@ -5691,7 +5692,7 @@ object TextQueries {
         .crossJoin(broadcast(dm))
         .select(col("tok"), expr(
           s"150000000L + ((coalesce(csum, 0L) + dm div $nTotal) * 850) div 1000").as("r"))
-        .localCheckpoint(true)
+        .seal()
     }
     st.join(ranks, "tok")
       .select(col("tok"), col("deg"), col("s"), col("r").as("rank_nano"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.util.Seal._
 
 /** Deterministic derivation of the reference's geo world (slippy tiles,
   * inference scores, OSM nodes) from the driver's TPC-H testdata
@@ -50,7 +51,7 @@ object GeoDerive {
         .withColumn("poly", ((col("x") * H) + col("y")) % 5)
         .groupBy("x", "y", "poly")
         .agg(max("score").as("score"), count(lit(1)).as("w"))
-        .localCheckpoint(true))
+        .seal())
 
   val cellsCte: String =
     """cells AS (
