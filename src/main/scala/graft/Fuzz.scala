@@ -1,0 +1,239 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Seeded differential-fuzz corpus generator (SURVEY §7: the fixed
+  * sf0.01/sf0.1 fixtures cannot catch edge-DOMAIN divergence — round
+  * 13's NULL-text phash fold bug and round 14's empty-text
+  * `sequence(1,0)` descent are exactly the class a randomized
+  * adversarial corpus catches mechanically).
+  *
+  * Writes the full ten-table layout (same Spark-visible schemas and
+  * single-file-per-table contract as the driver testdata — the D-block
+  * stagers `require` a regular file) with adversarial value domains:
+  * NULL / empty / whitespace-only texts, consecutive-space empty
+  * tokens, surrogate pairs and 2-byte accents, duplicated texts
+  * (heavy dedup classes), ties on every ORDER BY tiebreaker
+  * (equal balances / prices / timestamps / values), dangling foreign
+  * keys, zero and duplicate embedding vectors. Seed 0 is the
+  * single-row corpus (every table exactly one row). Generation is
+  * driver-side `java.util.Random(seed)` with a fixed call order —
+  * fully deterministic, no wall-clock anywhere.
+  *
+  * The differential loop is `tools/fuzz.sh`: per seed, generate the
+  * corpus, run the FULL `Verify` surface on it, and oracle-compare
+  * every key with `tools/check.py` — the same rows/schema/hash gate
+  * the driver runs, on a corpus the queries were never tuned against.
+  * `FuzzSpec` runs the crash-freedom half (all keys on seeds 0 and 1)
+  * in CI where DuckDB isn't available.
+  */
+object Fuzz {
+
+  private val Vocab = Seq("the", "fast", "key", "order", "sort", "table",
+    "scan", "merge", "part", "window", "small", "hash", "join", "batch",
+    "stream", "spark", "dup", "group", "query", "row", "data", "slow",
+    "filter", "customer", "line", "value", "agg", "column", "big", "a",
+    "vector")
+  private val Langs = Seq("en", "de", "fr", "es", "zh")
+  private val EventTypes = Seq("signup", "click", "error", "view", "purchase")
+  private val Priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+    "4-NOT SPECIFIED", "5-LOW")
+  private val Segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+    "HOUSEHOLD", "MACHINERY")
+  private val PartTypes = Seq("ECONOMY", "PROMO", "STANDARD")
+  private val Flags = Seq(("A", "F"), ("N", "F"), ("N", "O"), ("R", "F"),
+    ("R", "O"), ("A", "O"))
+
+  /** One adversarial text draw. ~15% NULL/empty/whitespace classes,
+    * ~15% unicode/degenerate classes, rest vocab sentences with a 30%
+    * chance of REUSING an earlier text (duplicate classes for the
+    * dedup/phash families).
+    */
+  private def fuzzText(rnd: java.util.Random, seen: ArrayBuffer[String]): String = {
+    val t = rnd.nextInt(20) match {
+      case 0 => null
+      case 1 => ""
+      case 2 => " "
+      case 3 => "a  b" // consecutive spaces → empty token
+      case 4 => " leading and trailing "
+      case 5 => "😀 𝄞 emoji 😀 tail" // astral
+      case 6 => "café naïve söze über" // 2-byte accents
+      case 7 => "w" * (32 + rnd.nextInt(32)) // one long token
+      case _ =>
+        if (seen.nonEmpty && rnd.nextInt(10) < 3) seen(rnd.nextInt(seen.length))
+        else (0 until (3 + rnd.nextInt(30)))
+          .map(_ => Vocab(rnd.nextInt(Vocab.length))).mkString(" ")
+    }
+    if (t != null && t.nonEmpty) seen += t
+    t
+  }
+
+  /** Write `df` as the single regular file `<dir>/<name>.parquet` (the
+    * driver-testdata layout; the streaming stagers require a file).
+    */
+  private def writeTable(df: DataFrame, dir: String, name: String): Unit = {
+    val tmp = Paths.get(dir, s".tmp_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = {
+      val s = Files.list(tmp)
+      try s.filter(_.getFileName.toString.endsWith(".parquet")).findFirst
+        .orElseThrow(() => new IllegalStateException(s"no part file for $name"))
+      finally s.close()
+    }
+    val dst = Paths.get(dir, s"$name.parquet")
+    Files.deleteIfExists(dst)
+    Files.move(part, dst)
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.forEach(rm(_)) finally s.close()
+      }
+      Files.delete(p)
+    }
+    rm(tmp)
+  }
+
+  private def ntz(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    timestamp_micros(c).cast("timestamp_ntz")
+
+  def writeCorpus(spark: SparkSession, dir: String, seed: Long): Unit = {
+    import spark.implicits._
+    Files.createDirectories(Paths.get(dir))
+    val rnd = new java.util.Random(seed * 7919L + 13L)
+    val single = seed == 0L
+    def n(base: Int): Int = if (single) 1 else base + rnd.nextInt(base / 2 + 1)
+
+    // region / nation: fixed shapes (queries treat them as dimensions)
+    val nRegion = if (single) 1 else 5
+    val nNation = if (single) 1 else 25
+    writeTable((0 until nRegion).map(i => (i, s"REGION_$i")).toDF("r_regionkey", "r_name"),
+      dir, "region")
+    writeTable((0 until nNation)
+      .map(i => (i, s"NATION_$i", rnd.nextInt(nRegion))).toDF("n_nationkey", "n_name", "n_regionkey"),
+      dir, "nation")
+
+    // customer: tied balances (b4/b45 top-k tiebreakers), an empty name
+    val nCust = n(40)
+    val balPool = Seq(0.0, 111.11, 999.99, 4242.42, -1.5)
+    writeTable((1 to nCust).map { i =>
+      val bal = if (rnd.nextInt(3) == 0) balPool(rnd.nextInt(balPool.length))
+        else math.rint(rnd.nextDouble() * 10000 * 100) / 100
+      val name = if (!single && i == 2) "" else f"Customer#$i%05d"
+      (i.toLong, name, rnd.nextInt(nNation), bal, Segments(rnd.nextInt(5)))
+    }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+      dir, "customer")
+
+    val nSupp = n(6)
+    writeTable((1 to nSupp).map { i =>
+      val bal = if (rnd.nextInt(3) == 0) 500.0
+        else math.rint(rnd.nextDouble() * 9000 * 100) / 100
+      (i.toLong, s"Supplier#$i", rnd.nextInt(nNation), bal)
+    }.toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal"), dir, "supplier")
+
+    val nPart = n(30)
+    writeTable((1 to nPart).map { i =>
+      (i.toLong, s"${Vocab(rnd.nextInt(Vocab.length))} widget",
+        s"Brand#${rnd.nextInt(20)}", PartTypes(rnd.nextInt(3)),
+        1 + rnd.nextInt(50), math.rint(rnd.nextDouble() * 2000 * 100) / 100)
+    }.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+      dir, "part")
+
+    // orders: tied totalprices and tied dates; a few dangling custkeys
+    val nOrders = n(120)
+    val dayUs = 86400000000L
+    val baseDateUs = 788918400000000L // 1995-01-01 UTC in epoch micros
+    val orders = (1 to nOrders).map { i =>
+      val cust = 1 + rnd.nextInt(nCust + 2) // +2 → dangling keys
+      val price = if (rnd.nextInt(4) == 0) 55555.55
+        else math.rint(rnd.nextDouble() * 200000 * 100) / 100
+      val date = baseDateUs + (if (rnd.nextInt(4) == 0) 100L else rnd.nextInt(2400).toLong) * dayUs
+      (i.toLong, cust.toLong, Seq("P", "O", "F")(rnd.nextInt(3)), price, date,
+        Priorities(rnd.nextInt(5)))
+    }
+    writeTable(orders
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "us", "o_orderpriority")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), ntz(col("us")).as("o_orderdate"), col("o_orderpriority")),
+      dir, "orders")
+
+    val nLine = if (single) 1 else nOrders * 4
+    writeTable((1 to nLine).map { i =>
+      val ok = 1 + rnd.nextInt(nOrders + 1) // dangling orderkey possible
+      val (rf, ls) = Flags(rnd.nextInt(Flags.length))
+      val qty = (1 + rnd.nextInt(50)).toDouble
+      val disc = rnd.nextInt(11) / 100.0
+      val tax = rnd.nextInt(9) / 100.0
+      val price = math.rint(rnd.nextDouble() * 90000 * 100) / 100
+      val ship = baseDateUs + rnd.nextInt(2500).toLong * dayUs
+      (ok.toLong, (1 + rnd.nextInt(nPart + 2)).toLong, (1 + rnd.nextInt(nSupp + 1)).toLong,
+        1 + rnd.nextInt(7), qty, price, disc, tax, rf, ls, ship)
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "us")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), ntz(col("us")).as("l_shipdate")),
+      dir, "lineitem")
+
+    // events: hot user, tied timestamps (same user too), tied values,
+    // edge props ({} → missing key, negative k)
+    val nEvents = n(240)
+    val evBaseUs = 1704067200000000L // 2024-01-01 UTC
+    var lastTs = evBaseUs
+    writeTable((1 to nEvents).map { i =>
+      val user = if (rnd.nextInt(10) < 3) 0L else (1 + rnd.nextInt(12)).toLong
+      val ts = if (rnd.nextInt(5) == 0) lastTs
+        else evBaseUs + (rnd.nextDouble() * 30 * dayUs).toLong
+      lastTs = ts
+      val v = if (rnd.nextInt(10) == 0) 1.0
+        else math.rint(rnd.nextDouble() * 300 * 100) / 100
+      val props = rnd.nextInt(10) match {
+        case 0 => "{}"
+        case 1 => s"""{"k": ${-1 - rnd.nextInt(50)}}"""
+        case _ => s"""{"k": ${rnd.nextInt(100)}}"""
+      }
+      (i.toLong, ts, user, EventTypes(rnd.nextInt(5)), v, props)
+    }.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), ntz(col("us")).as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props")),
+      dir, "events")
+
+    // documents: the adversarial heart (see fuzzText)
+    val nDocs = n(100)
+    val seen = new ArrayBuffer[String]
+    writeTable((0 until nDocs).map { i =>
+      val t = if (single) "plain single row text" else fuzzText(rnd, seen)
+      val lang = if (!single && rnd.nextInt(25) == 0) "" else Langs(rnd.nextInt(5))
+      val nc: java.lang.Long =
+        if (t == null) null else t.codePointCount(0, t.length).toLong
+      (i.toLong, t, lang, s"src${rnd.nextInt(20)}", nc)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars"), dir, "documents")
+
+    // embeddings: exact-duplicate vectors, zero vectors (norm 0), tied
+    // labels — 64-dim to match the fixture contract
+    val nVec = n(96)
+    val dupVec = Array.fill(64)(math.rint(rnd.nextGaussian() * 1000) / 1000f)
+      .map(_.toFloat)
+    writeTable((0 until nVec).map { i =>
+      val v: Array[Float] =
+        if (!single && rnd.nextInt(12) == 0) Array.fill(64)(0.0f)
+        else if (!single && rnd.nextInt(5) == 0) dupVec
+        else Array.fill(64)((math.rint(rnd.nextGaussian() * 1000) / 1000).toFloat)
+      (i.toLong, v, rnd.nextInt(10))
+    }.toDF("vec_id", "embedding", "label"), dir, "embeddings")
+  }
+
+  /** Usage: runMain graft.Fuzz <outDir> <seed> */
+  def main(args: Array[String]): Unit = {
+    val (out, seed) = (args(0), args(1).toLong)
+    val spark = GraftSession.local()
+    writeCorpus(spark, out, seed)
+    System.err.println(s"[fuzz] corpus seed=$seed at $out")
+    spark.stop()
+  }
+}

@@ -42,10 +42,15 @@ object EmbedQueries {
        |    (x, y) -> x + y)""".stripMargin
 
   /** cos(a,b) from precomputed squared norms — single canonical form
-    * `dot / sqrt(n2a * n2b)` on both engines.
+    * `dot / sqrt(n2a * n2b)` on both engines. Zero-norm vectors have
+    * UNDEFINED cosine → NULL (try_divide; DuckDB's `/` yields NULL on
+    * a zero divisor natively), which then fails every threshold /
+    * comparison identically in both engines — under ANSI mode the
+    * plain `/` would instead kill a 100 TB job on one degenerate
+    * vector (fuzz-harness find, seed 1).
     */
   private[graft] def cosine(d: Column, n2a: Column, n2b: Column): Column =
-    round(d / sqrt(n2a * n2b), 6)
+    round(try_divide(d, sqrt(n2a * n2b)), 6)
 
   val CosThreshold = 0.3
   val TopK = 10
@@ -807,7 +812,7 @@ object EmbedQueries {
     val e = withNorms(spark, dir)
     e.select(col("vec_id"), col("n2"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos").as("dim_idx"),
-        round(col("col").cast("double") / sqrt(col("n2")), 6).as("unit_val"),
+        round(try_divide(col("col").cast("double"), sqrt(col("n2"))), 6).as("unit_val"),
         round(sqrt(col("n2")), 6).as("norm"))
       .orderBy("vec_id", "dim_idx")
   }
@@ -831,7 +836,7 @@ object EmbedQueries {
     val e = withNorms(spark, dir)
     e.select(col("vec_id"),
         transform(col("embedding"),
-          x => round(x.cast("double") / sqrt(col("n2")), 6)).as("unit"),
+          x => round(try_divide(x.cast("double"), sqrt(col("n2"))), 6)).as("unit"),
         round(sqrt(col("n2")), 6).as("norm"))
       .orderBy("vec_id")
   }

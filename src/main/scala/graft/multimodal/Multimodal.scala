@@ -31,19 +31,32 @@ object Multimodal {
         concat(lit(Magic), col("text").cast("binary")).as("payload"))
 
   /** Stub "decode": header sniff + pseudo width/height from the first 8
-    * body bytes. Replace the body of [[decodeOne]] with a real codec
-    * call; the batching and schema stay.
+    * body CODEPOINTS (both engines speak codepoints — DuckDB's `ascii` —
+    * while raw UTF-8 bytes are Spark-only; fuzz-harness find on
+    * accented/astral texts). Byte-level facts (n_bytes, the %3 format
+    * rule) stay byte-level: the twin reads them via
+    * `octet_length(encode(text))`. A row with NO payload must survive
+    * decode as (NULL dims, format='missing') — the quarantine policy; a
+    * thrown NPE here would kill a 100 TB ingest on one bad row
+    * (fuzz-harness find, NULL-text domain). Replace the body of
+    * [[decodeOne]] with a real codec call; the batching, schema, and
+    * missing-row contract stay.
     */
-  private def decodeOne(d: DocBin): (Long, Long, Long, Long, String) = {
-    val isPng = d.payload.take(4).sameElements(Magic)
-    val body = d.payload.drop(4)
-    val s8 = body.take(8).map(b => (b.toLong & 0xffL)).sum
-    val width = 64L + (s8 * 31L) % 960L
-    val height = 64L + (s8 * 17L) % 960L
-    val fmt =
-      if (!isPng) "raw"
-      else (body.length % 3) match { case 0 => "png"; case 1 => "jpg"; case _ => "webm" }
-    (d.doc_id, d.payload.length.toLong, width, height, fmt)
+  private def decodeOne(d: DocBin): (Long, java.lang.Long, java.lang.Long, java.lang.Long, String) = {
+    if (d.payload == null) (d.doc_id, null, null, null, "missing")
+    else {
+      val isPng = d.payload.take(4).sameElements(Magic)
+      val body = d.payload.drop(4)
+      val cps = new String(body, java.nio.charset.StandardCharsets.UTF_8)
+        .codePoints().toArray
+      val s8 = cps.take(8).map(_.toLong).sum
+      val width = 64L + (s8 * 31L) % 960L
+      val height = 64L + (s8 * 17L) % 960L
+      val fmt =
+        if (!isPng) "raw"
+        else (body.length % 3) match { case 0 => "png"; case 1 => "jpg"; case _ => "webm" }
+      (d.doc_id, Long.box(d.payload.length.toLong), Long.box(width), Long.box(height), fmt)
+    }
   }
 
   def c12MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
@@ -59,14 +72,17 @@ object Multimodal {
   val c12Sql: String = {
     val s8 = (1 to 8).map(i => s"ascii(substring(text, $i, 1))").mkString(" + ")
     s"""WITH m AS (
-       |  SELECT doc_id, CAST(length(text) + 4 AS BIGINT) AS n_bytes,
-       |    CAST($s8 AS BIGINT) AS s8, length(text) AS body_len
+       |  SELECT doc_id,
+       |    CAST(octet_length(encode(text)) + 4 AS BIGINT) AS n_bytes,
+       |    CAST($s8 AS BIGINT) AS s8,
+       |    octet_length(encode(text)) AS body_len
        |  FROM documents
        |)
        |SELECT doc_id, n_bytes,
        |  64 + (s8 * 31) % 960 AS width,
        |  64 + (s8 * 17) % 960 AS height,
-       |  CASE WHEN body_len % 3 = 0 THEN 'png'
+       |  CASE WHEN n_bytes IS NULL THEN 'missing'
+       |       WHEN body_len % 3 = 0 THEN 'png'
        |       WHEN body_len % 3 = 1 THEN 'jpg'
        |       ELSE 'webm' END AS format
        |FROM m ORDER BY doc_id""".stripMargin

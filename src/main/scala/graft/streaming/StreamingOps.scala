@@ -381,10 +381,15 @@ object StreamingOps {
   }
 
   // --------------------------------------- D17: streaming doc packing
-  final case class PackDoc(doc_id: Long, source: String, n_tok: Long)
+  // n_tok is Option: a NULL text has NO token count (regexp_count(NULL)
+  // = NULL) — the batch C27 twin keeps such docs as zero-width rows
+  // with NULL pack fields (window SUM skips NULLs), so the fold must
+  // too; a primitive Long here killed the stream on one NULL-text doc
+  // (fuzz-harness find)
+  final case class PackDoc(doc_id: Long, source: String, n_tok: Option[Long])
   final case class PackCum(cum: Long)
-  final case class PackRow(doc_id: Long, source: String, n_tok: Long,
-      seq_id: Long, seq_off: Long)
+  final case class PackRow(doc_id: Long, source: String, n_tok: Option[Long],
+      seq_id: Option[Long], seq_off: Option[Long])
 
   /** D17: C27's deterministic sequence packing as a STATEFUL STREAM —
     * the ingest-time form: documents land, each is assigned its training
@@ -415,8 +420,11 @@ object StreamingOps {
       var cum = state.getOption.map(_.cum).getOrElse(0L)
       val out = it.toSeq.sortBy(_.doc_id).map { d =>
         val off = cum
-        cum += d.n_tok
-        PackRow(d.doc_id, source, d.n_tok, off / budget, off % budget)
+        cum += d.n_tok.getOrElse(0L)
+        // NULL n_tok ⇒ NULL seq fields, zero cum advance (= C27's
+        // window arithmetic on a NULL addend)
+        PackRow(d.doc_id, source, d.n_tok,
+          d.n_tok.map(_ => off / budget), d.n_tok.map(_ => off % budget))
       }
       state.update(PackCum(cum))
       out.iterator
@@ -455,6 +463,11 @@ object StreamingOps {
     import spark.implicits._
     val typed = bandHits
       .select(col("band").cast("int").as("band"), col("bh"), col("doc_id"))
+      // a NULL/empty text has NULL band hashes — such docs cannot be
+      // screened and must VANISH, exactly as the batch C6 bucket join
+      // and the oracle's bh equi-join drop NULL keys (fuzz-harness
+      // find: a primitive Long field killed the stream instead)
+      .filter(col("bh").isNotNull)
       .as[BandHit]
 
     def fold(key: (Int, Long), it: Iterator[BandHit],

@@ -4224,12 +4224,17 @@ object TextQueries {
         expr("cast(k as decimal(38,0)) * syy - cast(sy as decimal(38,0)) * sy").as("vary"),
         col("sx"), col("sy"))
       .select(col("lang"), col("k"),
-        round(col("cov").cast("double") / col("varx").cast("double"), 6).as("slope"),
-        round((col("sy").cast("double") - col("cov").cast("double")
-          / col("varx").cast("double") * col("sx").cast("double"))
+        // a degenerate fit (k=1 → varx=0, e.g. a language whose whole
+        // ranked vocabulary is one token — fuzz-harness find) has NO
+        // slope: try_divide → NULL, exactly DuckDB's x/0 semantics;
+        // under ANSI the plain `/` throws even for doubles
+        round(try_divide(col("cov").cast("double"), col("varx").cast("double")), 6)
+          .as("slope"),
+        round((col("sy").cast("double") - try_divide(col("cov").cast("double"),
+          col("varx").cast("double")) * col("sx").cast("double"))
           / col("k").cast("double") / 1e6, 6).as("intercept"),
-        round(col("cov").cast("double") * col("cov").cast("double")
-          / (col("varx").cast("double") * col("vary").cast("double")), 6).as("r2"))
+        round(try_divide(col("cov").cast("double") * col("cov").cast("double"),
+          col("varx").cast("double") * col("vary").cast("double")), 6).as("r2"))
       .orderBy("lang")
   }
 
@@ -5936,6 +5941,10 @@ object TextQueries {
         round(graft.embed.EmbedQueries.cosine(
           vec_dot(col("ea"), col("eb")), col("na"), col("nb")) * lit(1e9), 0)
           .cast("long").as("cos_nano"))
+      // zero-norm candidates have UNDEFINED cosine (NULL) — such pairs
+      // contribute NO penalty (dropped here; the greedy's max-over-
+      // defined with 0 fallback below = the oracle's COALESCE(MAX, 0))
+      .filter(col("cos_nano").isNotNull)
       .as[(Long, Long, Long, Long)]
     val rels = cand.select(col("qid"), col("doc_id"), col("score_nano"))
       .as[(Long, Long, Long)]
@@ -5946,8 +5955,8 @@ object TextQueries {
       (qid, rIt, pIt) =>
         val docRel = rIt.map(t => t._2 -> t._3).toMap
         val cosMap = pIt.map(t => (t._2, t._3) -> t._4).toMap
-        def cosOf(x: Long, y: Long): Long =
-          cosMap((math.min(x, y), math.max(x, y)))
+        def cosOf(x: Long, y: Long): Option[Long] =
+          cosMap.get((math.min(x, y), math.max(x, y)))
         var remaining = docRel.keys.toList.sorted
         var chosen = List.empty[Long]
         val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long, Long)]
@@ -5955,7 +5964,8 @@ object TextQueries {
         while (step <= kSel && remaining.nonEmpty) {
           val scored = remaining.map { d =>
             val rel = docRel(d)
-            val pen = if (chosen.isEmpty) 0L else chosen.map(s => cosOf(d, s)).max
+            val pens = chosen.flatMap(s => cosOf(d, s))
+            val pen = if (pens.isEmpty) 0L else pens.max
             val mmr = (lam * rel) / 1000000L -
               ((1000000L - lam) * pen) / 1000000L
             (d, rel, mmr)
@@ -5989,10 +5999,13 @@ object TextQueries {
            |), pk1 AS (SELECT * FROM p1)""".stripMargin
       else
         s"""pen$t AS (
-           |  SELECT c.qid, c.doc_id, c.rel, MAX(x.cos_nano) AS pen
+           |  -- COALESCE + LEFT pair join: an undefined (zero-norm, NULL)
+           |  -- cosine contributes NO penalty, mirroring the Spark fold's
+           |  -- max-over-defined-with-0-fallback
+           |  SELECT c.qid, c.doc_id, c.rel, COALESCE(MAX(x.cos_nano), 0) AS pen
            |  FROM cand c
            |  JOIN pk${t - 1} k ON k.qid = c.qid
-           |  JOIN pc x ON x.qid = c.qid
+           |  LEFT JOIN pc x ON x.qid = c.qid
            |    AND x.da = least(c.doc_id, k.doc_id)
            |    AND x.db = greatest(c.doc_id, k.doc_id)
            |  WHERE NOT EXISTS (SELECT 1 FROM pk${t - 1} z
