@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{GraftSession, Tables}
 import graft.dedup.MinHashLsh.shingleHashes
+import graft.util.Seal._
 
 /** Dev tool: stage-by-stage timing of the C19 collapse at an SF dir. */
 object C19Profile {
@@ -19,7 +20,7 @@ object C19Profile {
     val docs = Tables(spark, dir, "documents")
     val classes = docs.groupBy("text").agg(min("doc_id").as("rep"))
     val reps = time("reps checkpoint")(
-      classes.select(col("rep").as("doc_id"), col("text")).localCheckpoint(true))
+      classes.select(col("rep").as("doc_id"), col("text")).seal())
     val pairs = time("candidatePairsFor(reps) build + count") {
       val p = DedupQueries.candidatePairsForProfile(reps)
       println(s"[c19] pairs=${p.count()}")

@@ -3,6 +3,8 @@ package graft.dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.util.Seal._
+
 /** Generic min-label connected components over an arbitrary undirected
   * edge list — the graph twin of the grid-specialized
   * [[graft.tiles.Clustering]] loop, used to collapse near-duplicate
@@ -49,7 +51,7 @@ object GraphCC {
     // would otherwise re-evaluate the (possibly expensive) edge
     // derivation subtree per job.
     val e0 = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).localCheckpoint(true)
+      col("dst").cast("long").as("dst")).seal()
     val nE = e0.count()
     stamp(s"edges sealed nE=$nE")
     val impl = spark.conf.getOption("graft.gcc.impl")

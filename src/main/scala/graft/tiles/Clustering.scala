@@ -8,6 +8,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
+import graft.util.Seal._
+
 /** Connected components of positive tiles under 4-neighbor adjacency —
   * the reference's cluster detection (run_inference.py:21-60), which is a
   * driver-recursive DFS there, re-expressed as distributed pointer-jumping
@@ -84,7 +86,7 @@ object Clustering {
   def connectedComponents4(cells: DataFrame, maxIter: Int = 60): DataFrame = {
     val spark = cells.sparkSession
     val keys = cells.select(col("x").cast("long").as("x"), col("y").cast("long").as("y"))
-      .distinct().localCheckpoint(true)
+      .distinct().seal()
     val n = keys.count()
     val impl = spark.conf.getOption("graft.cc.impl")
       .getOrElse(if (n <= SmallLoopMax) "local" else "df")
@@ -286,7 +288,7 @@ object Clustering {
 
   def componentsFor(spark: SparkSession, dir: String): DataFrame =
     ccCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
-      connectedComponents4(GeoDerive.positives(spark, dir)).localCheckpoint(true))
+      connectedComponents4(GeoDerive.positives(spark, dir)).seal())
 
   /** Unrolled hook+jump min-label propagation as a DuckDB CTE chain —
     * the oracle-side replacement for the recursive transitive-closure

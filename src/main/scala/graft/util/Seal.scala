@@ -1,6 +1,7 @@
 package graft.util
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 
 /** The ONE sealing primitive for frozen session stores (memoized
   * intermediates, snapshot stores, truth frames): truncate lineage and
@@ -26,11 +27,30 @@ object Seal {
   implicit final class Sealable(private val df: DataFrame) extends AnyVal {
     def seal(eager: Boolean = true): DataFrame = {
       val sess = df.sparkSession
-      if (sess.conf.getOption("graft.seal.durable").contains("true")) {
+      val durable = sess.conf.getOption("graft.seal.durable")
+        .exists(_.equalsIgnoreCase("true"))
+      if (durable) {
         val sc = sess.sparkContext
         if (sc.getCheckpointDir.isEmpty)
           sess.conf.getOption("graft.seal.dir").foreach(sc.setCheckpointDir)
-        df.checkpoint(eager)
+        if (sc.getCheckpointDir.isEmpty)
+          throw new IllegalStateException(
+            "graft.seal.durable=true but no checkpoint directory is set: " +
+              "set graft.seal.dir (session conf) or " +
+              "SparkContext.setCheckpointDir before running sealed queries")
+        if (eager) {
+          // Persist before the eager checkpoint: without it the
+          // materializing count job computes the frame once and
+          // ReliableCheckpointRDD's write job recomputes the WHOLE
+          // lineage a second time — ~2x compute on exactly the 100 TB
+          // stores the hatch targets. With the plan cached, the write
+          // job reads the blocks instead; unpersist once the files are
+          // on stable storage (checkpoint(eager=true) returns only
+          // after the write job finishes).
+          val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+          try cached.checkpoint(eager = true)
+          finally { cached.unpersist(blocking = false); () }
+        } else df.checkpoint(eager = false)
       } else df.localCheckpoint(eager)
     }
   }

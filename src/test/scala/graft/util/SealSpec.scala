@@ -53,6 +53,67 @@ class SealSpec extends SparkTestBase {
       "graft.seal.durable=true wrote nothing under graft.seal.dir — hatch ignored")
   }
 
+  test("graft.seal.durable with no resolvable dir fails fast, naming graft.seal.dir") {
+    val sc = spark.sparkContext
+    sc.setCheckpointDir(null)
+    spark.conf.set("graft.seal.durable", "true")
+    try {
+      val e = intercept[IllegalStateException] {
+        spark.range(10).toDF("id").seal()
+      }
+      assert(e.getMessage.contains("graft.seal.dir"),
+        s"fail-fast message must name the conf to set, got: ${e.getMessage}")
+    } finally spark.conf.unset("graft.seal.durable")
+  }
+
+  test("graft.seal.durable flag parses case-insensitively") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-seal-ci").toFile
+    val sc = spark.sparkContext
+    sc.setCheckpointDir(null)
+    spark.conf.set("graft.seal.durable", "True") // not lowercase
+    spark.conf.set("graft.seal.dir", dir.toString)
+    try {
+      assert(spark.range(50).toDF("id").seal().count() == 50L)
+      assert(filesUnder(dir) > 0,
+        "'True' silently fell back to localCheckpoint — flag parse is case-sensitive")
+    } finally {
+      spark.conf.unset("graft.seal.durable")
+      spark.conf.unset("graft.seal.dir")
+    }
+  }
+
+  test("sweep: every sealed store in src/main routes through seal() or a named durable hatch") {
+    // The e039784 claim ("generalize the durable hatch to every sealed
+    // store") is enforced structurally: a raw .localCheckpoint( call in
+    // production code is allowed ONLY in (a) Seal.scala — the primitive
+    // itself, (b) ScaleSmoke.scala — synthetic fixture staging for the
+    // scale pins, never a production sealed store, or (c) a line inside
+    // a named durable hatch (graft.gcc.durable / graft.cc.durable),
+    // identified by the token `durable` on the call line or within the
+    // 4 lines above it. Anything else is a store the
+    // graft.seal.durable conf silently does not cover.
+    val root = new java.io.File("src/main/scala")
+    assert(root.isDirectory, s"expected to run from the repo root, cwd=${new java.io.File(".").getAbsolutePath}")
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(files)
+      else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+    val offenders = for {
+      f <- files(root)
+      if f.getName != "Seal.scala" && f.getName != "ScaleSmoke.scala"
+      lines = {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.getLines().toVector finally src.close()
+      }
+      (line, i) <- lines.zipWithIndex
+      if line.contains(".localCheckpoint(")
+      ctx = lines.slice(math.max(0, i - 4), i + 1)
+      if !ctx.exists(_.contains("durable"))
+    } yield s"${f.getPath}:${i + 1}: ${line.trim}"
+    assert(offenders.isEmpty,
+      "raw localCheckpoint sealed store(s) outside every durable hatch:\n" +
+        offenders.mkString("\n"))
+  }
+
   test("seal() default stays executor-local (no checkpoint files)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-seal-off").toFile
     spark.sparkContext.setCheckpointDir(dir.toString)
