@@ -63,7 +63,12 @@ object Fuzz {
       case 4 => " leading and trailing "
       case 5 => "😀 𝄞 emoji 😀 tail" // astral
       case 6 => "café naïve söze über" // 2-byte accents
-      case 7 => "w" * (32 + rnd.nextInt(32)) // one long token
+      // one long uniform token — capped at 19 chars because the unigram
+      // ORACLE (c132/d39) enumerates all segmentations of each word
+      // (compositions into 1..4-char pieces ≈ 1.93^len paths): 19 chars
+      // is ~2.7e5 paths per word — adversarial for the Spark Viterbi,
+      // still tractable for the DuckDB twin; 63 chars was ~10^18
+      case 7 => "w" * (12 + rnd.nextInt(8))
       case _ =>
         if (seen.nonEmpty && rnd.nextInt(10) < 3) seen(rnd.nextInt(seen.length))
         else (0 until (3 + rnd.nextInt(30)))
@@ -181,14 +186,25 @@ object Fuzz {
       dir, "lineitem")
 
     // events: hot user, tied timestamps (same user too), tied values,
-    // edge props ({} → missing key, negative k)
+    // edge props ({} → missing key, negative k). ~1/8 of rows land at an
+    // EXACT event-time boundary from the previous row — the session gap
+    // (30 min), the watermark delay (2 h), the window length (1 h), or
+    // ±1 µs around them — so every `<=` vs `<` tie rule in the D-block
+    // session/window/watermark logic is exercised against its batch
+    // oracle instead of waiting for a random collision.
     val nEvents = n(240)
     val evBaseUs = 1704067200000000L // 2024-01-01 UTC
+    val boundaryUs = Seq(1800000000L, 1800000001L, 1799999999L, // session gap
+      7200000000L, 7200000001L, 7199999999L, // watermark delay
+      3600000000L, 1L) // window length, adjacent-µs tie
     var lastTs = evBaseUs
     writeTable((1 to nEvents).map { i =>
       val user = if (rnd.nextInt(10) < 3) 0L else (1 + rnd.nextInt(12)).toLong
-      val ts = if (rnd.nextInt(5) == 0) lastTs
-        else evBaseUs + (rnd.nextDouble() * 30 * dayUs).toLong
+      val ts = rnd.nextInt(8) match {
+        case 0 => lastTs
+        case 1 => lastTs + boundaryUs(rnd.nextInt(boundaryUs.length))
+        case _ => evBaseUs + (rnd.nextDouble() * 30 * dayUs).toLong
+      }
       lastTs = ts
       val v = if (rnd.nextInt(10) == 0) 1.0
         else math.rint(rnd.nextDouble() * 300 * 100) / 100
@@ -207,7 +223,14 @@ object Fuzz {
     val nDocs = n(100)
     val seen = new ArrayBuffer[String]
     writeTable((0 until nDocs).map { i =>
-      val t = if (single) "plain single row text" else fuzzText(rnd, seen)
+      // seed 0's one text is repetition-rich on purpose: the C96 family
+      // sample-learns SegmentMerges=8 BPE merges and fails LOUDLY on a
+      // dry learn — a corpus with too few repeated adjacent pairs is
+      // outside the tokenizer's documented domain, not a crash bug.
+      val t = if (single)
+        "spark stream spark stream merge sort merge sort window batch " +
+          "window batch filter join filter join plain single row text"
+      else fuzzText(rnd, seen)
       val lang = if (!single && rnd.nextInt(25) == 0) "" else Langs(rnd.nextInt(5))
       val nc: java.lang.Long =
         if (t == null) null else t.codePointCount(0, t.length).toLong

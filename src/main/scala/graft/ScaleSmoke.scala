@@ -877,6 +877,77 @@ object ScaleSmoke {
       f"classJoinRows=$crossRows avoidedMemberPairs=$memberPairs " +
       f"maxTaskMs=$c126MaxMs meanTaskMs=$c126MeanMs " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // --- graph-ANN beam walk (the c136/c108 kernel) at 10× the sf0.1
+    // vector count, on a synthetic regular graph of KNOWN max degree:
+    // per hop, the candidate frame the walk scores is frontier ∪
+    // neighbors(frontier) deduped per probe, so its row count must obey
+    // |cands_h| ≤ nProbes·beam·(maxdeg+1) — a bound INDEPENDENT of the
+    // corpus size (hop 1's frontier is the probe itself: ≤
+    // nProbes·(maxdeg+1)). That is the claim that makes the walk
+    // 100 TB-safe: each hop shuffles the probe-bounded frontier against
+    // the edge list once and scores a probe-bounded candidate set;
+    // NOTHING scales with the vector count except the (embarrassingly
+    // partition-parallel) edge-list scan. Second pin: the same walk at
+    // 1× vectors takes comparable wall time — the per-hop JOB FLOOR
+    // (scheduling ~45 small jobs across the width sweep), not data
+    // volume, dominates, which is why the driver bench reads ~5 s for
+    // c136 at any test SF.
+    val beamDeg = 6
+    val beamB = graft.embed.EmbedQueries.BeamSweep.max
+    val beamHops = graft.embed.EmbedQueries.BeamHops
+    def beamWalkAt(nVec: Long): (Long, Seq[Long], Double) = {
+      // 8-dim embeddings (the bound is about row movement, not dim
+      // math); ring graph: node i ↔ i±1, i±2, i±3 → maxdeg = 6, mutual
+      // by construction
+      val vecs = spark.range(nVec).select(col("id").as("vec_id"),
+          expr("transform(sequence(0, 7), j -> cast((id * 31 + j * 17) % 97 as float))")
+            .as("embedding"))
+        .localCheckpoint(true)
+      val emb = vecs.select(col("vec_id").as("cand"), col("embedding").as("ce"),
+        aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (a, v) => a + v).as("cn"))
+      val probes = vecs.filter(col("vec_id") % 100L === 0L)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+            lit(0.0), (a, v) => a + v).as("pn"))
+        .localCheckpoint(true)
+      val adj = spark.range(nVec).select(col("id").as("node"),
+          explode(expr(s"transform(sequence(1, ${beamDeg / 2}), " +
+            s"d -> array((id + d) % $nVec, (id - d + $nVec) % $nVec))")).as("pair"))
+        .select(col("node"), explode(col("pair")).as("nbr"))
+        .filter(col("node") =!= col("nbr"))
+      val nProbes = probes.count()
+      val tw = System.nanoTime()
+      val (beamFrame, hopCounts) = graft.embed.EmbedQueries.beamWalkCounts(
+        probes, adj, emb, beamB, beamHops)
+      beamFrame.count(): Unit // force the final beam too
+      (nProbes, hopCounts, (System.nanoTime() - tw) / 1e9)
+    }
+    val (bigProbes, bigCounts, bigSec) = beamWalkAt(20000L)
+    val (smallProbes, smallCounts, smallSec) = beamWalkAt(2000L)
+    bigCounts.zipWithIndex.foreach { case (c, h) =>
+      val cap = if (h == 0) bigProbes * (beamDeg + 1)
+        else bigProbes * beamB * (beamDeg + 1)
+      require(c <= cap,
+        s"c136 hop ${h + 1} scored $c candidate rows > bound $cap — the " +
+          "frontier is growing beyond beam×(maxdeg+1) per probe")
+    }
+    smallCounts.zipWithIndex.foreach { case (c, h) =>
+      val cap = if (h == 0) smallProbes * (beamDeg + 1)
+        else smallProbes * beamB * (beamDeg + 1)
+      require(c <= cap, s"c136 (1×) hop ${h + 1} scored $c > bound $cap")
+    }
+    // 10× the vectors, 10× the probes — yet per-probe hop work is flat
+    // and wall time must stay within 3× (it is the job floor that
+    // dominates, not the 10× data)
+    require(bigSec < smallSec * 3 + 2.0,
+      f"c136 walk at 10× vectors took $bigSec%.1f s vs $smallSec%.1f s at 1× — " +
+        "data volume, not the job floor, is dominating")
+    println(f"SCALE beamWalk vec10x=20000 probes=$bigProbes b=$beamB " +
+      f"hopCands=${bigCounts.mkString("/")} " +
+      f"capPerHop=${bigProbes * beamB * (beamDeg + 1)} " +
+      f"sec10x=$bigSec%.1f sec1x=$smallSec%.1f")
     spark.stop()
   }
 }

@@ -107,7 +107,12 @@ object Verify {
               f"[verify] $name%-28s ${dt}%7.2fs (${done.incrementAndGet()}/${ordered.size})")
           } catch { case e: Throwable =>
             failed.add(name): Unit
-            System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+            // the first graft frames (walking causes) locate the failure
+            // without dumping Spark's full scheduler stack
+            val frames = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+              .flatMap(_.getStackTrace.filter(_.getClassName.startsWith("graft")).take(3))
+              .take(6).map(f => s"    at $f").mkString("\n")
+            System.err.println(s"[verify] $name FAILED: ${e.getMessage}\n$frames")
           }
         }
         kv = queue.poll()

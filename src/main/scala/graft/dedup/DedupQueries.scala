@@ -1454,8 +1454,10 @@ object DedupQueries {
         .agg(count(lit(1)).as("true_pairs"),
           coalesce(sum("hit"), lit(0L)).as("detected"))
       cost.crossJoin(det)
+        // try_divide: zero true pairs (fuzz seed 0) has no recall —
+        // NULL on both engines, never an ANSI throw
         .withColumn("recall",
-          round(col("detected").cast("double") / col("true_pairs"), 6))
+          round(try_divide(col("detected").cast("double"), col("true_pairs")), 6))
     }.reduce(_ unionByName _).orderBy("bands")
   }
 

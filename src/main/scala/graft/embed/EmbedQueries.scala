@@ -518,8 +518,14 @@ object EmbedQueries {
     ivfWithCcos(e, ivfCoarseCents(e))
       .groupBy("vec_id")
       // +0.0 normalizes a possible −0.0 (round of a tiny negative) so
-      // both engines order the tie identically
-      .agg(min(struct((negate(col("ccos")) + lit(0.0)).as("nc"), col("cid").as("cid"))).as("sc"),
+      // both engines order the tie identically. An UNDEFINED cosine
+      // (zero-norm vector or centroid → NULL, fuzz seed 1) must lose to
+      // every defined one: Spark's struct-min sorts a NULL field FIRST
+      // (it would hijack the argmin) while DuckDB's list-min sorts a
+      // NULL element LAST — coalesce to +∞, which matches DuckDB's
+      // ordering exactly (NULL sorts after inf, cid breaks the tie).
+      .agg(min(struct(coalesce(negate(col("ccos")) + lit(0.0),
+          lit(Double.PositiveInfinity)).as("nc"), col("cid").as("cid"))).as("sc"),
         first("embedding").as("embedding"), first("n2").as("n2"))
       .select(col("vec_id"), col("embedding"), col("n2"), col("sc.cid").as("cid"))
   }
@@ -812,7 +818,9 @@ object EmbedQueries {
     val e = withNorms(spark, dir)
     e.select(col("vec_id"), col("n2"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos").as("dim_idx"),
-        round(try_divide(col("col").cast("double"), sqrt(col("n2"))), 6).as("unit_val"),
+        // +0.0 folds a −0.0 round (tiny negative component) to +0.0 —
+        // the engines otherwise disagree on the zero's sign (fuzz seed 1)
+        (round(try_divide(col("col").cast("double"), sqrt(col("n2"))), 6) + lit(0.0)).as("unit_val"),
         round(sqrt(col("n2")), 6).as("norm"))
       .orderBy("vec_id", "dim_idx")
   }
@@ -824,7 +832,7 @@ object EmbedQueries {
   val c17Sql: String =
     s"""WITH $normsCte
        |SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim_idx,
-       |  round(CAST(unnest(embedding) AS DOUBLE) / sqrt(n2), 6) AS unit_val,
+       |  round(CAST(unnest(embedding) AS DOUBLE) / sqrt(n2), 6) + 0.0 AS unit_val,
        |  round(sqrt(n2), 6) AS norm
        |FROM norms ORDER BY vec_id, dim_idx""".stripMargin
 
@@ -1456,8 +1464,13 @@ object EmbedQueries {
       .unionByName(und.select(col("vec_b").as("node"), col("vec_a").as("nbr")))
       .seal()
     // min node: every edge is canonical vec_a < vec_b, so the global
-    // minimum appears as a vec_a (staging scalar, the c102 nTotal rule)
-    val entry = und.agg(min(col("vec_a"))).head.getLong(0)
+    // minimum appears as a vec_a (staging scalar, the c102 nTotal rule).
+    // An EDGELESS graph (fuzz seed 0's one vector) has no entry point:
+    // NULL, which joins to no candidate — empty result, exactly the
+    // oracle's `f0 CROSS JOIN en` with a NULL entry.
+    val entryRow = und.agg(min(col("vec_a"))).head
+    val entry: Column =
+      if (entryRow.isNullAt(0)) lit(null).cast("long") else lit(entryRow.getLong(0))
     val emb = e.select(col("vec_id").as("cand"), col("embedding").as("ce"),
       col("n2").as("cn"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand"))
@@ -1468,7 +1481,7 @@ object EmbedQueries {
         cosine(dot(col("pe"), col("ce")), col("pn"), col("cn")).as("cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= BeamWidth)
-    var beam = topB(probes.select(col("probe_id"), lit(entry).as("cand")))
+    var beam = topB(probes.select(col("probe_id"), entry.as("cand")))
     for (_ <- 1 to BeamHops) {
       val expanded = beam.select(col("probe_id"), col("cand"))
         .join(adj, col("cand") === col("node"))
@@ -1551,6 +1564,51 @@ object EmbedQueries {
     */
   val BeamSweep = Seq(2, 4, 8)
 
+  /** The width-b beam walk C136 sweeps (and C108 ships at a fixed
+    * width), on ANY (probes, adjacency, embedding) triple: returns the
+    * final beam and the per-hop candidate-row counts. The hop-h
+    * candidate set is frontier ∪ neighbors(frontier), deduped per
+    * probe, so its size is bounded by nProbes·b·(maxdeg+1) — a bound
+    * INDEPENDENT of the corpus size, which is the 100 TB safety claim:
+    * each hop touches the edge list once (shuffle on the frontier key)
+    * and scores a probe-bounded candidate frame; nothing grows with
+    * the vector count. ScaleSmoke pins exactly that bound (and that
+    * the per-width job floor, not data volume, dominates wall time)
+    * at ~10× the sf0.1 vector count.
+    */
+  private[graft] def beamWalkCounts(probes: DataFrame, adj: DataFrame,
+      emb: DataFrame, b: Int, hops: Int): (DataFrame, Seq[Long]) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand"))
+    // rank only non-self candidates (the ground truth excludes self)
+    def topB(cands: DataFrame): DataFrame = cands
+      .filter(col("cand") =!= col("probe_id"))
+      .join(broadcast(probes), "probe_id")
+      .join(emb, "cand")
+      .select(col("probe_id"), col("cand"),
+        cosine(dot(col("pe"), col("ce")), col("pn"), col("cn")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= b)
+    // hop 0: the frontier IS the probe — nothing scored yet
+    var counts = List.empty[Long]
+    var frontier = probes.select(col("probe_id"), col("probe_id").as("cand"))
+    var beam = frontier.limit(0)
+      .select(col("probe_id"), col("cand"), lit(0.0).as("cos"),
+        lit(0).as("rnk"))
+    for (_ <- 1 to hops) {
+      val cands = frontier
+        .unionByName(frontier
+          .join(adj, col("cand") === col("node"))
+          .select(col("probe_id"), col("nbr").as("cand")))
+        .distinct()
+        .seal()
+      counts = counts :+ cands.filter(col("cand") =!= col("probe_id")).count()
+      beam = topB(cands).seal()
+      frontier = beam.select("probe_id", "cand")
+    }
+    (beam, counts)
+  }
+
   def c136BeamRecall(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = withNorms(spark, dir)
@@ -1569,33 +1627,8 @@ object EmbedQueries {
       .seal()
     val nProbes = probes.count()
     BeamSweep.map { b =>
-      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand"))
-      // rank only non-self candidates (the ground truth excludes self)
-      def topB(cands: DataFrame): DataFrame = cands
-        .filter(col("cand") =!= col("probe_id"))
-        .join(broadcast(probes), "probe_id")
-        .join(emb, "cand")
-        .select(col("probe_id"), col("cand"),
-          cosine(dot(col("pe"), col("ce")), col("pn"), col("cn")).as("cos"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= b)
-      // hop 0: the frontier IS the probe — nothing scored yet
-      var scored = 0L
-      var frontier = probes.select(col("probe_id"), col("probe_id").as("cand"))
-      var beam = frontier.limit(0)
-        .select(col("probe_id"), col("cand"), lit(0.0).as("cos"),
-          lit(0).as("rnk"))
-      for (_ <- 1 to BeamHops) {
-        val cands = frontier
-          .unionByName(frontier
-            .join(adj, col("cand") === col("node"))
-            .select(col("probe_id"), col("nbr").as("cand")))
-          .distinct()
-          .seal()
-        scored += cands.filter(col("cand") =!= col("probe_id")).count()
-        beam = topB(cands).seal()
-        frontier = beam.select("probe_id", "cand")
-      }
+      val (beam, hopCounts) = beamWalkCounts(probes, adj, emb, b, BeamHops)
+      val scored = hopCounts.sum
       val ks = Seq(1L, b.toLong)
       beam.join(exact, Seq("probe_id", "cand"), "left")
         .groupBy(lit(b.toLong).as("beam_width"))
@@ -2385,7 +2418,9 @@ object EmbedQueries {
       .select(col("vec_id"),
         col("ds")(0).getField("cid").as("cluster"),
         expr("CAST(ROUND(ds[0].d * 1000000) AS BIGINT)").as("a_micro"),
-        expr("CAST(ROUND(ds[1].d * 1000000) AS BIGINT)").as("b_micro"))
+        // get(): a single-centroid corpus (fuzz seed 0) has no second-
+        // nearest — NULL, exactly DuckDB's out-of-range list index
+        expr("CAST(ROUND(get(ds, 1).d * 1000000) AS BIGINT)").as("b_micro"))
       .withColumn("s_ppm",
         expr("((b_micro - a_micro) * 1000000) div greatest(a_micro, b_micro, 1L)"))
       .orderBy("vec_id")
@@ -2576,36 +2611,53 @@ object EmbedQueries {
     * C122 fold (all BigInt; divisions truncate toward zero, the C94
     * rule both engines follow).
     */
-  private def powerFold(m: Map[(Int, Int), BigInt]): (Array[BigInt], BigInt, BigInt) = {
-    var v = Array.fill(Dims)(BigInt(1000000))
-    for (_ <- 1 to PcaIters) {
+  private def powerFold(m: Map[(Int, Int), BigInt]): (Array[Option[BigInt]], Option[BigInt], Option[BigInt]) = {
+    // A DEGENERATE matrix (mx=0 at some round — e.g. the all-zero
+    // covariance of a single- or all-identical-vector corpus, fuzz
+    // seed 0) drives the oracle's rescale `u*1e6 // mx` to NULL, and
+    // NULL then propagates through every later CTE: vector, λ, den all
+    // NULL. `None` mirrors that exactly; the propagation is
+    // all-or-nothing because every v cell nulls in the same round.
+    var v: Array[BigInt] = Array.fill(Dims)(BigInt(1000000))
+    for (_ <- 1 to PcaIters) if (v != null) {
       val u = Array.tabulate(Dims)(i => (0 until Dims)
         .map(j => m.getOrElse((i, j), BigInt(0)) * v(j)).sum)
       val mx = u.map(_.abs).max
-      v = u.map(x => x * 1000000 / mx)
+      v = if (mx == 0) null else u.map(x => x * 1000000 / mx)
     }
-    val num = (0 until Dims).flatMap(i => (0 until Dims)
-      .map(j => m.getOrElse((i, j), BigInt(0)) * v(i) * v(j))).sum
-    val den = v.map(x => x * x).sum
-    (v, num, den)
+    if (v == null) (Array.fill(Dims)(Option.empty[BigInt]), None, None)
+    else {
+      val num = (0 until Dims).flatMap(i => (0 until Dims)
+        .map(j => m.getOrElse((i, j), BigInt(0)) * v(i) * v(j))).sum
+      val den = v.map(x => x * x).sum
+      (v.map(Some(_): Option[BigInt]), Some(num / den), Some(den))
+    }
   }
+
+  /** NULL-faithful integer ratio: `a·scale div b`, NULL when either
+    * side is NULL or b = 0 (DuckDB's `//` semantics).
+    */
+  private def optRatio(a: Option[BigInt], scale: Long, b: BigInt): Option[Long] =
+    a.filter(_ => b != 0).map(x => (x * scale / b).toLong)
 
   def c112PcaPower(spark: SparkSession, dir: String): DataFrame = {
     val (mean, cov, covMap) = covMoments(spark, dir)
-    val (v, num, den) = powerFold(covMap)
-    val lambda = (num / den).toLong
+    val (v, lambdaOpt, _) = powerFold(covMap)
     val trace = (0 until Dims).map(i => covMap.getOrElse((i, i), BigInt(0))).sum
-    val aniso = (BigInt(lambda) * 1000000 / trace).toLong
+    val lambda = lambdaOpt.map(_.toLong)
+    val aniso = optRatio(lambdaOpt, 1000000L, trace)
     import spark.implicits._
     val pcdf = broadcast(
-      (0 until Dims).map(d => (d, v(d).toLong)).toDF("d", "pc_micro"))
+      (0 until Dims).map(d => (d, v(d).map(_.toLong))).toDF("d", "pc_micro"))
+    def optLit(o: Option[Long]): Column =
+      o.map(lit(_)).getOrElse(lit(null).cast("long"))
     mean
       .join(cov.filter(col("i") === col("j"))
         .select(col("i").as("d"), col("c").as("var_unit")), "d")
       .join(pcdf, "d")
       .select(col("d").cast("long").as("d"), col("m").as("mean_micro"),
         col("var_unit"), col("pc_micro"),
-        lit(lambda).as("lambda_unit"), lit(aniso).as("aniso_ppm"))
+        optLit(lambda).as("lambda_unit"), optLit(aniso).as("aniso_ppm"))
       .orderBy("d")
   }
 
@@ -2690,21 +2742,32 @@ object EmbedQueries {
     */
   def c122Abtt(spark: SparkSession, dir: String): DataFrame = {
     val (_, _, covMap) = covMoments(spark, dir)
-    val (v1, num1, den1) = powerFold(covMap)
-    val lambda1 = num1 / den1
     val trace1 = (0 until Dims).map(i => covMap.getOrElse((i, i), BigInt(0))).sum
-    def defl(i: Int, j: Int): BigInt = lambda1 * v1(i) * v1(j) / den1
-    val cov2 = (for (i <- 0 until Dims; j <- 0 until Dims)
-      yield ((i, j), covMap.getOrElse((i, j), BigInt(0)) - defl(i, j))).toMap
-    val (v2, num2, den2) = powerFold(cov2)
-    val lambda2 = num2 / den2
-    val trace2 = (0 until Dims).map(i => cov2((i, i))).sum
-    val anisoBefore = (lambda1 * 1000000 / trace1).toLong
-    val anisoAfter = (lambda2 * 1000000 / trace2).toLong
+    val (v1, lambda1Opt, den1Opt) = powerFold(covMap)
+    // a degenerate first fold (fuzz seed 0's all-zero covariance) NULLs
+    // the deflation, cov₂, and everything downstream — same as the
+    // oracle's NULL v-chain flowing through defl/cov2/w-chain/ray2/tr2
+    val rows: Seq[(Long, Option[Long], Option[Long], Option[Long], Option[Long],
+        Option[Long], Option[Long], Option[Long])] =
+      (lambda1Opt, den1Opt) match {
+        case (Some(lambda1), Some(den1)) =>
+          def defl(i: Int, j: Int): BigInt = lambda1 * v1(i).get * v1(j).get / den1
+          val cov2 = (for (i <- 0 until Dims; j <- 0 until Dims)
+            yield ((i, j), covMap.getOrElse((i, j), BigInt(0)) - defl(i, j))).toMap
+          val (v2, lambda2Opt, _) = powerFold(cov2)
+          val trace2 = (0 until Dims).map(i => cov2((i, i))).sum
+          val anisoBefore = optRatio(Some(lambda1), 1000000L, trace1)
+          val anisoAfter = optRatio(lambda2Opt, 1000000L, trace2)
+          (0 until Dims).map(d => (d.toLong, Some(v1(d).get.toLong),
+            v2(d).map(_.toLong), Some(defl(d, d).toLong), Some(lambda1.toLong),
+            lambda2Opt.map(_.toLong), anisoBefore, anisoAfter))
+        case _ =>
+          (0 until Dims).map(d => (d.toLong, Option.empty[Long], Option.empty[Long],
+            Option.empty[Long], Option.empty[Long], Option.empty[Long],
+            Option.empty[Long], Option.empty[Long]))
+      }
     import spark.implicits._
-    (0 until Dims).map(d => (d.toLong, v1(d).toLong, v2(d).toLong,
-        defl(d, d).toLong, lambda1.toLong, lambda2.toLong, anisoBefore, anisoAfter))
-      .toDF("d", "pc1_micro", "pc2_micro", "defl_diag", "lambda1_unit",
+    rows.toDF("d", "pc1_micro", "pc2_micro", "defl_diag", "lambda1_unit",
         "lambda2_unit", "aniso_before_ppm", "aniso_after_ppm")
       .orderBy("d")
   }

@@ -142,14 +142,32 @@ object StrPolyHash {
     * applies the identical two rounds in HUGEINT arithmetic.
     */
   def hash(b: Array[Byte]): Long = {
+    // Fold UNICODE CODE POINTS, not UTF-8 bytes: the DuckDB twin is
+    // `ascii(substr(token, i, 1))` over range(1, length+1), which walks
+    // characters — byte-folding silently diverges on any non-ASCII
+    // token (fuzz seed 1's accented/astral texts shifted one HLL
+    // register and only the register fingerprint caught it). The two
+    // coincide on ASCII, so ASCII corpora are unaffected.
     var acc = 0L
     var i = 0
     while (i < b.length) {
+      val b0 = b(i) & 0xff
+      var cp = 0L
+      var n = 1
+      if (b0 < 0x80) cp = b0.toLong
+      else if ((b0 & 0xe0) == 0xc0) { cp = (b0 & 0x1f).toLong; n = 2 }
+      else if ((b0 & 0xf0) == 0xe0) { cp = (b0 & 0x0f).toLong; n = 3 }
+      else { cp = (b0 & 0x07).toLong; n = 4 }
+      var k = 1
+      while (k < n && i + k < b.length) {
+        cp = (cp << 6) | (b(i + k) & 0x3fL)
+        k += 1
+      }
+      i += n
       var r = mulmod(acc, 131L)
-      r += (b(i) & 0xffL)
+      r += cp
       if (r >= M) r -= M
       acc = r
-      i += 1
     }
     var z = mulmod(acc, acc) + 12345L
     if (z >= M) z -= M

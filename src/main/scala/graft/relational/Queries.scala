@@ -796,7 +796,7 @@ object Queries {
     val c = Tables(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
     val n = Tables(spark, dir, "nation").select(col("n_nationkey"), col("n_regionkey"))
     val r = Tables(spark, dir, "region").select(col("r_regionkey"), col("r_name"))
-    o.join(c, col("o_custkey") === col("c_custkey"))
+    val cubed = o.join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .select(col("o_year").as("yr"), col("r_name").as("reg"), col("price_c"))
@@ -809,6 +809,23 @@ object Queries {
         sum("price_c").as("sum_price_c"))
       .selectExpr("gid", "coalesce(yr, -1L) AS o_year",
         "coalesce(reg, 'ALL') AS r_name", "n_orders", "sum_price_c")
+    // ANSI divergence on an EMPTY source (all orders dangling — fuzz
+    // seed 0): the () grouping set is a global aggregate, which SQL
+    // (DuckDB, Postgres) emits as one row even over no input, but
+    // Spark's cube emits nothing. Rebuild the () row from the cube's
+    // year-level (gid=1) rows with a global agg — groupBy().agg emits
+    // exactly one row even over empty input, and on non-empty input the
+    // integer-cent sums equal the cube's own () row. Runs on the tiny
+    // cubed frame, never a second corpus scan (and no nested-loop join,
+    // which PlanContractSpec forbids).
+    val globalRow = cubed.filter(col("gid") === 1)
+      .groupBy()
+      .agg(coalesce(sum("n_orders"), lit(0L)).as("n_orders"),
+        sum("sum_price_c").as("sum_price_c"))
+      .select(lit(3).cast(cubed.schema("gid").dataType).as("gid"),
+        lit(-1L).as("o_year"), lit("ALL").as("r_name"),
+        col("n_orders"), col("sum_price_c"))
+    cubed.filter(col("gid") =!= 3).unionByName(globalRow)
       .orderBy("gid", "o_year", "r_name")
   }
 

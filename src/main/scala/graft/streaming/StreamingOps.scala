@@ -659,9 +659,16 @@ object StreamingOps {
     * first), so multi-file staging with spaced timestamps yields a
     * DETERMINISTIC micro-batch sequence under `maxFilesPerTrigger=1` —
     * how D16 replays the reference's batch-by-batch operating loop.
+    *
+    * Returns the staged row count (parquet footer metadata — no Spark
+    * job), so replay call sites can derive how many DATA micro-batches
+    * the staging actually produced: an empty half stages an empty file,
+    * which `maxFilesPerTrigger=1` still reads but which contributes no
+    * `numInputRows>0` progress entry. The fuzz corpora (single-row
+    * seed 0) hit exactly this.
     */
   def stageFrameFile(df: DataFrame, dir: java.nio.file.Path, name: String,
-      modMs: Long): Unit = {
+      modMs: Long): Long = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stage-one")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = java.nio.file.Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
@@ -676,6 +683,11 @@ object StreamingOps {
       Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
     }
     rm(tmp.toFile)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(dst.toString),
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try reader.getRecordCount finally reader.close()
   }
 
   /** File-source stream over a staged documents directory — the ingest
@@ -760,7 +772,7 @@ object StreamingOps {
     * after the replay, as a top-k over the final state.
     */
   def vocabCounts(docs: DataFrame): DataFrame =
-    docs.select(explode(split(col("text"), " ")).as("token"))
+    docs.select(explode(graft.text.TextQueries.tokens(col("text"))).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("tf"))
 }

@@ -81,7 +81,7 @@ object StreamingQueries {
         // replay to one batch must fail loudly, not pass vacuously
         val dataBatches = q.recentProgress.count(_.numInputRows > 0)
         require(dataBatches == requireDataBatches,
-          s"$name expects exactly $requireDataBatches data micro-batches " +
+          s"$name expects $requireDataBatches data micro-batches " +
             s"(staged replay contract), got $dataBatches")
       }
       if (requireSingleBatch) {
@@ -479,10 +479,10 @@ object StreamingQueries {
     val dir = java.nio.file.Paths.get(track(
       Files.createTempDirectory("graft-d16-src").toString))
     val now = System.currentTimeMillis()
-    StreamingOps.stageFrameFile(
+    val n0 = StreamingOps.stageFrameFile(
       pos.filter(col("score") >= GeoQueries.IncrementalSplit).select("x", "y"),
       dir, "b0.parquet", now - 600000L)
-    StreamingOps.stageFrameFile(
+    val n1 = StreamingOps.stageFrameFile(
       pos.filter(col("score") < GeoQueries.IncrementalSplit).select("x", "y"),
       dir, "b1.parquet", now)
     val schema = new StructType().add("x", LongType).add("y", LongType)
@@ -506,8 +506,11 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-    require(dataBatches == 2,
-      s"d16 expects exactly 2 data micro-batches (oracle contract), got $dataBatches")
+    // every NON-EMPTY staged half must arrive as its own micro-batch —
+    // a degenerate corpus (fuzz seed 0) legitimately stages an empty half
+    val expected = Seq(n0, n1).count(_ > 0)
+    require(dataBatches == expected,
+      s"d16 expects $expected data micro-batches (oracle contract), got $dataBatches")
     state.orderBy("x", "y")
   }
 
@@ -530,13 +533,14 @@ object StreamingQueries {
     val dir = java.nio.file.Paths.get(track(
       Files.createTempDirectory("graft-d17-src").toString))
     val now = System.currentTimeMillis()
-    StreamingOps.stageFrameFile(docs.filter(col("doc_id") <= cut), dir, "b0.parquet",
-      now - 600000L)
-    StreamingOps.stageFrameFile(docs.filter(col("doc_id") > cut), dir, "b1.parquet", now)
+    val n0 = StreamingOps.stageFrameFile(docs.filter(col("doc_id") <= cut), dir,
+      "b0.parquet", now - 600000L)
+    val n1 = StreamingOps.stageFrameFile(docs.filter(col("doc_id") > cut), dir,
+      "b1.parquet", now)
     val src = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(dir.toString)
     runToTable(StreamingOps.packDocs(src).toDF(), "graft_d17_sink", "append",
-        requireDataBatches = 2)
+        requireDataBatches = Seq(n0, n1).count(_ > 0))
       .orderBy("doc_id")
   }
 
@@ -585,13 +589,15 @@ object StreamingQueries {
     val dir = java.nio.file.Paths.get(track(
       Files.createTempDirectory("graft-d19-src").toString))
     val now = System.currentTimeMillis()
-    StreamingOps.stageFrameFile(docs.filter(col("doc_id") <= cut), dir, "b0.parquet",
-      now - 600000L)
-    StreamingOps.stageFrameFile(docs.filter(col("doc_id") > cut), dir, "b1.parquet", now)
+    val n0 = StreamingOps.stageFrameFile(docs.filter(col("doc_id") <= cut), dir,
+      "b0.parquet", now - 600000L)
+    val n1 = StreamingOps.stageFrameFile(docs.filter(col("doc_id") > cut), dir,
+      "b1.parquet", now)
     val src = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(dir.toString)
     val verdicts = StreamingOps.lshDedup(graft.dedup.DedupQueries.bandRowsOn(src))
-    runToTable(verdicts.toDF(), "graft_d19_sink", "append", requireDataBatches = 2)
+    runToTable(verdicts.toDF(), "graft_d19_sink", "append",
+        requireDataBatches = Seq(n0, n1).count(_ > 0))
       .groupBy("doc_id")
       .agg(sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L)).as("dup_bands"),
         min("owner").as("owner_min"))
@@ -883,9 +889,10 @@ object StreamingQueries {
     val dir = java.nio.file.Paths.get(track(
       Files.createTempDirectory("graft-d28-src").toString))
     val now = System.currentTimeMillis()
-    StreamingOps.stageFrameFile(events.filter(col("event_id") <= cut), dir, "b0.parquet",
-      now - 600000L)
-    StreamingOps.stageFrameFile(events.filter(col("event_id") > cut), dir, "b1.parquet", now)
+    val n0 = StreamingOps.stageFrameFile(events.filter(col("event_id") <= cut), dir,
+      "b0.parquet", now - 600000L)
+    val n1 = StreamingOps.stageFrameFile(events.filter(col("event_id") > cut), dir,
+      "b1.parquet", now)
     val src = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1).parquet(dir.toString)
     val ckpt = track(Files.createTempDirectory("graft-ckpt-d28").toString)
@@ -906,8 +913,9 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-    require(dataBatches == 2,
-      s"d28 expects exactly 2 data micro-batches (staged replay contract), got $dataBatches")
+    val expected = Seq(n0, n1).count(_ > 0)
+    require(dataBatches == expected,
+      s"d28 expects $expected data micro-batches (staged replay contract), got $dataBatches")
     spark.table(table).orderBy("user_id")
   }
 
@@ -965,9 +973,10 @@ object StreamingQueries {
     val dir = java.nio.file.Paths.get(track(
       Files.createTempDirectory("graft-d29-src").toString))
     val now = System.currentTimeMillis()
-    StreamingOps.stageFrameFile(docs.filter(col("doc_id") <= cut), dir, "b0.parquet",
-      now - 600000L)
-    StreamingOps.stageFrameFile(docs.filter(col("doc_id") > cut), dir, "b1.parquet", now)
+    val n0 = StreamingOps.stageFrameFile(docs.filter(col("doc_id") <= cut), dir,
+      "b0.parquet", now - 600000L)
+    val n1 = StreamingOps.stageFrameFile(docs.filter(col("doc_id") > cut), dir,
+      "b1.parquet", now)
     val src = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(dir.toString)
     val board = new java.util.concurrent.atomic.AtomicReference[Seq[(Long, Long)]](Seq.empty)
@@ -987,8 +996,9 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-    require(dataBatches == 2,
-      s"d29 expects exactly 2 data micro-batches (staged replay contract), got $dataBatches")
+    val expected = Seq(n0, n1).count(_ > 0)
+    require(dataBatches == expected,
+      s"d29 expects $expected data micro-batches (staged replay contract), got $dataBatches")
     import spark.implicits._
     board.get.zipWithIndex
       .map { case ((id, s), i) => (i + 1L, id, s) }
@@ -998,11 +1008,12 @@ object StreamingQueries {
   val d29Sql: String =
     s"""WITH sc AS (
        |  SELECT doc_id,
-       |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    (CASE WHEN text IS NULL THEN NULL
+       |     ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
        |       list_transform(string_split(text, ' '),
        |         t -> (${graft.text.TextQueries.tokenHashSql("t")}
        |               % ${graft.text.TextQueries.ClsBuckets}) * 2654435761 % 2001 - 1000)),
-       |       (x, y) -> x + y) * 1000000)
+       |       (x, y) -> x + y) END * 1000000)
        |      // greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS score_micro
        |  FROM documents
        |)
@@ -1047,10 +1058,10 @@ object StreamingQueries {
       Files.createTempDirectory("graft-d30-src").toString))
     val now = System.currentTimeMillis()
     val day = 86400000000L
-    StreamingOps.stageFrameFile(ev, dir, "b0.parquet", now - 600000L)
+    StreamingOps.stageFrameFile(ev, dir, "b0.parquet", now - 600000L): Unit
     StreamingOps.stageFrameFile(sentinels(maxUs + 3 * day, -10L), dir, "b1.parquet",
-      now - 300000L)
-    StreamingOps.stageFrameFile(sentinels(maxUs + 6 * day, -20L), dir, "b2.parquet", now)
+      now - 300000L): Unit
+    StreamingOps.stageFrameFile(sentinels(maxUs + 6 * day, -20L), dir, "b2.parquet", now): Unit
     def src() = StreamingOps.normalize(
       spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(dir.toString))
@@ -1669,10 +1680,10 @@ object StreamingQueries {
       Files.createTempDirectory("graft-d33-src").toString))
     val now = System.currentTimeMillis()
     val day = 86400000000L
-    StreamingOps.stageFrameFile(ev, dir, "b0.parquet", now - 600000L)
+    StreamingOps.stageFrameFile(ev, dir, "b0.parquet", now - 600000L): Unit
     StreamingOps.stageFrameFile(sentinels(maxUs + 3 * day, -10L), dir, "b1.parquet",
-      now - 300000L)
-    StreamingOps.stageFrameFile(sentinels(maxUs + 6 * day, -20L), dir, "b2.parquet", now)
+      now - 300000L): Unit
+    StreamingOps.stageFrameFile(sentinels(maxUs + 6 * day, -20L), dir, "b2.parquet", now): Unit
     val src = StreamingOps.normalize(
       spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(dir.toString))

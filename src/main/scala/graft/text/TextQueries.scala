@@ -27,7 +27,16 @@ object TextQueries {
   def tokenHashSql(w: String): String =
     s"CAST(length($w)*1009 + ascii(left($w,1))*31 + ascii(right($w,1)) AS BIGINT)"
 
-  def tokens(c: Column): Column = split(c, " ")
+  /** Whitespace tokens, DuckDB-split-aligned on the one edge where the
+    * engines disagree: `string_split('', ' ')` is `['']` in DuckDB but
+    * `split('', ' ')` is `[]` in Spark — an empty (non-NULL) text must
+    * tokenize to ONE empty token on both engines or every token-derived
+    * stat (cls scores, vocab counts, drift, fertility) silently
+    * diverges on empty-text rows (fuzz seed 1 caught this across eight
+    * C-block keys). NULL text stays NULL on both engines.
+    */
+  def tokens(c: Column): Column =
+    when(c === "", array(lit(""))).otherwise(split(c, " "))
 
   // ---------------------------------------------------------------- C1
   /** Exact dedup, keep-min-id per identical text: one hash-agg shuffle on
@@ -191,10 +200,10 @@ object TextQueries {
 
   val c5Sql: String =
     s"""SELECT doc_id,
-       |  list_reduce(
+       |  CASE WHEN text IS NULL THEN NULL ELSE list_reduce(
        |    list_prepend(CAST(0 AS BIGINT),
        |      list_transform(string_split(text, ' '), w -> ${tokenHashSql("w")})),
-       |    (acc, h) -> (acc * $FpB + h) % $FpM) AS fingerprint
+       |    (acc, h) -> (acc * $FpB + h) % $FpM) END AS fingerprint
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- C14
@@ -316,7 +325,8 @@ object TextQueries {
     */
   def lengthQuantilesOn(docs: DataFrame): DataFrame =
     quantilesFromHistogram(
-      docs.groupBy("lang", "n_chars").agg(count(lit(1)).as("cnt")))
+      docs.filter(col("n_chars").isNotNull)
+        .groupBy("lang", "n_chars").agg(count(lit(1)).as("cnt")))
 
   /** Phase 2 (the CDF walk) on any (lang, n_chars, cnt) histogram — the
     * ONE finalize definition shared by the batch c22 and the D18
@@ -324,12 +334,18 @@ object TextQueries {
     */
   def quantilesFromHistogram(hist: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NULL n_chars (NULL-text docs, fuzz seed 1) are not part of the
+    // length distribution — and Spark's ASC window sorts them FIRST
+    // where DuckDB sorts them LAST, so keeping them shifts every rank
     val wCum = Window.partitionBy("lang").orderBy("n_chars")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("lang")
     def pick(q: Double) =
       min(when(col("cum") >= ceil(lit(q) * col("n")).cast("long"), col("n_chars")))
     hist
+      // here, not only in the batch builder: D18's streaming state
+      // histogram feeds this finalize too
+      .filter(col("n_chars").isNotNull)
       .withColumn("cum", sum("cnt").over(wCum))
       .withColumn("n", sum("cnt").over(wAll))
       .groupBy("lang")
@@ -343,7 +359,7 @@ object TextQueries {
       |  SELECT lang, n_chars,
       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
       |    COUNT(*) OVER (PARTITION BY lang) AS n
-      |  FROM documents
+      |  FROM documents WHERE n_chars IS NOT NULL
       |)
       |SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
       |  CAST(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN n_chars END) AS BIGINT) AS p50,
@@ -482,10 +498,10 @@ object TextQueries {
        |)
        |SELECT doc_id, n_email, n_longnum, n_entity,
        |  CAST(length(red) AS BIGINT) AS redacted_len,
-       |  list_reduce(
+       |  CASE WHEN red IS NULL THEN NULL ELSE list_reduce(
        |    list_prepend(CAST(0 AS BIGINT),
        |      list_transform(string_split(red, ' '), w -> ${tokenHashSql("w")})),
-       |    (acc, h) -> (acc * $FpB + h) % $FpM) AS redacted_fp
+       |    (acc, h) -> (acc * $FpB + h) % $FpM) END AS redacted_fp
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
@@ -1380,8 +1396,12 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     df.withColumn("u", expr(EsUniformSql))
       .withColumn("skey", expr("(u * 1000000) div w_micro"))
+      // asc_nulls_last: a NULL sort key (NULL-text doc → NULL weight,
+      // fuzz seed 1) must lose the race, as in DuckDB's default ASC
+      // NULLS LAST — Spark's ASC default would hand it rank 1
       .withColumn("rnk", row_number().over(
-        Window.partitionBy("source").orderBy(col("skey"), col("doc_id"))).cast("long"))
+        Window.partitionBy("source")
+          .orderBy(col("skey").asc_nulls_last, col("doc_id"))).cast("long"))
   }
 
   def c130WeightedSample(spark: SparkSession, dir: String): DataFrame = {
@@ -1930,7 +1950,10 @@ object TextQueries {
       .withColumn("punct_per_tok_micro", expr("(punct_cnt * 1000000) div n_tokens"))
       .withColumn("alpha_frac_micro", expr("(alpha_cnt * 1000000) div n_tokens"))
       .withColumn("reason",
-        when(col("n_tokens") < GopherMinTokens, "too_few_tokens")
+        // a NULL-text doc must not fall through every NULL comparison
+        // into 'ok' (fuzz seed 1): reject it explicitly on both engines
+        when(col("n_tokens").isNull, "no_text")
+          .when(col("n_tokens") < GopherMinTokens, "too_few_tokens")
           .when(col("n_tokens") > GopherMaxTokens, "too_many_tokens")
           .when(col("mean_len_micro") < GopherMinMeanMicro, "short_words")
           .when(col("mean_len_micro") > GopherMaxMeanMicro, "long_words")
@@ -1960,7 +1983,8 @@ object TextQueries {
        |  FROM f
        |), r AS (
        |  SELECT *,
-       |    CASE WHEN n_tokens < $GopherMinTokens THEN 'too_few_tokens'
+       |    CASE WHEN n_tokens IS NULL THEN 'no_text'
+       |         WHEN n_tokens < $GopherMinTokens THEN 'too_few_tokens'
        |         WHEN n_tokens > $GopherMaxTokens THEN 'too_many_tokens'
        |         WHEN mean_len_micro < $GopherMinMeanMicro THEN 'short_words'
        |         WHEN mean_len_micro > $GopherMaxMeanMicro THEN 'long_words'
@@ -2162,10 +2186,11 @@ object TextQueries {
     s"""WITH s AS (
        |  SELECT doc_id,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    CASE WHEN text IS NULL THEN NULL
+       |    ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
        |      list_transform(string_split(text, ' '),
        |        t -> (${tokenHashSql("t")} % $ClsBuckets) * 2654435761 % 2001 - 1000)),
-       |      (x, y) -> x + y) AS score_raw
+       |      (x, y) -> x + y) END AS score_raw
        |  FROM documents)
        |SELECT doc_id, n_tokens, score_raw,
        |  (score_raw * 1000000) // greatest(n_tokens, 1) AS score_micro,
@@ -2234,10 +2259,11 @@ object TextQueries {
     val stops = Stopwords.map(s => s"'$s'").mkString(", ")
     s"""WITH sc AS (
        |  SELECT doc_id,
-       |    (((list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    (((CASE WHEN text IS NULL THEN NULL
+       |    ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
        |        list_transform(string_split(text, ' '),
        |          t -> (${tokenHashSql("t")} % $ClsBuckets) * 2654435761 % 2001 - 1000)),
-       |        (x, y) -> x + y) * 1000000)
+       |        (x, y) -> x + y) END * 1000000)
        |      // greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1))
        |     + 1000000000) // 2000 AS conf_micro
        |  FROM documents
@@ -2376,7 +2402,11 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir, "documents")
     val cut = docs.agg(((min("doc_id") + max("doc_id")) / 2).cast("long").as("cut"))
+    // the KS statistic is defined over SCORED docs: NULL scores
+    // (NULL-text docs, fuzz seed 1) would otherwise sort NULLS FIRST in
+    // Spark's ASC window but NULLS LAST in DuckDB's — a silent CDF shift
     val perScore = clsScoreCols(docs).select(col("doc_id"), col("score_micro"))
+      .filter(col("score_micro").isNotNull)
       .crossJoin(broadcast(cut))
       .select(col("score_micro"), (col("doc_id") < col("cut")).cast("long").as("is_old"))
       .groupBy("score_micro")
@@ -2395,8 +2425,12 @@ object TextQueries {
       .withColumn("cum_old", sum("c_old").over(wl) + col("p_old"))
       .withColumn("cum_new", sum("c_new").over(wl) + col("p_new"))
       .crossJoin(broadcast(tot))
-      .withColumn("f_old_micro", expr("(cum_old * 1000000) div n_old"))
-      .withColumn("f_new_micro", expr("(cum_new * 1000000) div n_new"))
+      // NULL-guarded div: an empty snapshot side (fuzz seed 0) has no
+      // CDF — DuckDB's x//0 is NULL, ANSI div throws
+      .withColumn("f_old_micro", expr(
+        "CASE WHEN n_old = 0 THEN CAST(NULL AS BIGINT) ELSE (cum_old * 1000000) div n_old END"))
+      .withColumn("f_new_micro", expr(
+        "CASE WHEN n_new = 0 THEN CAST(NULL AS BIGINT) ELSE (cum_new * 1000000) div n_new END"))
       .withColumn("gap_micro", abs(col("f_old_micro") - col("f_new_micro")))
     val top = gaps.orderBy(col("gap_micro").desc, col("score_micro")).limit(10)
     top.withColumn("rk",
@@ -2411,17 +2445,18 @@ object TextQueries {
        |  SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS cut FROM documents
        |), sc AS (
        |  SELECT doc_id,
-       |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    (CASE WHEN text IS NULL THEN NULL
+       |    ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
        |      list_transform(string_split(text, ' '),
        |        t -> (${tokenHashSql("t")} % $ClsBuckets) * 2654435761 % 2001 - 1000)),
-       |      (x, y) -> x + y) * 1000000)
+       |      (x, y) -> x + y) END * 1000000)
        |      // greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS score_micro
        |  FROM documents
        |), g AS (
        |  SELECT score_micro,
        |    CAST(SUM(CASE WHEN doc_id < cut THEN 1 ELSE 0 END) AS BIGINT) AS c_old,
        |    CAST(SUM(CASE WHEN doc_id >= cut THEN 1 ELSE 0 END) AS BIGINT) AS c_new
-       |  FROM sc, cut GROUP BY 1
+       |  FROM sc, cut WHERE score_micro IS NOT NULL GROUP BY 1
        |), tot AS (
        |  SELECT CAST(SUM(c_old) AS BIGINT) AS n_old,
        |    CAST(SUM(c_new) AS BIGINT) AS n_new FROM g
@@ -2482,7 +2517,11 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("lang").orderBy("cnt")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val c = g.withColumn("cum", coalesce(sum("m").over(w), lit(0L)))
+    // a NULL count (NULL-text doc, fuzz seed 1) is not a rankable
+    // member of the Lorenz population — and it would sort NULLS FIRST
+    // here but NULLS LAST in DuckDB, silently shifting every cum
+    val c = g.filter(col("cnt").isNotNull)
+      .withColumn("cum", coalesce(sum("m").over(w), lit(0L)))
     val l = c.groupBy("lang").agg(
       sum("m").as("n_docs"),
       sum(expr("cnt * m")).as("total_tokens"),
@@ -2502,7 +2541,7 @@ object TextQueries {
   val c118Sql: String =
     """WITH d AS (
       |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS cnt
-      |  FROM documents
+      |  FROM documents WHERE text IS NOT NULL
       |), g AS (
       |  SELECT lang, cnt, CAST(COUNT(*) AS BIGINT) AS m FROM d GROUP BY 1, 2
       |), c AS (
@@ -2576,17 +2615,22 @@ object TextQueries {
         sum(when(col("split") === "test" && col("score_micro") >= col("threshold_micro"),
           1L).otherwise(0L)).as("kept_test"))
       .select(col("n_val"), col("n_test"), lit(k).as("k"), col("threshold_micro"),
-        expr("(kept_val * 1000000) div n_val").as("coverage_val_ppm"),
-        expr("(kept_test * 1000000) div n_test").as("coverage_test_ppm"))
+        // NULL-guarded div: an empty split (fuzz seed 0's one doc lands
+        // in train) has no coverage — DuckDB x//0 is NULL
+        expr("CASE WHEN n_val = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE (kept_val * 1000000) div n_val END").as("coverage_val_ppm"),
+        expr("CASE WHEN n_test = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE (kept_test * 1000000) div n_test END").as("coverage_test_ppm"))
   }
 
   val c123Sql: String =
     s"""WITH sc AS (
        |  SELECT doc_id,
-       |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    (CASE WHEN text IS NULL THEN NULL
+       |    ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
        |      list_transform(string_split(text, ' '),
        |        t -> (${tokenHashSql("t")} % $ClsBuckets) * 2654435761 % 2001 - 1000)),
-       |      (x, y) -> x + y) * 1000000)
+       |      (x, y) -> x + y) END * 1000000)
        |      // greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS score_micro,
        |    CASE WHEN (doc_id * 2654435761 + 40503) % 100 < 80 THEN 'train'
        |         WHEN (doc_id * 2654435761 + 40503) % 100 < 90 THEN 'val'
@@ -2719,6 +2763,11 @@ object TextQueries {
           .cast("long").as("n_pieces"))
       .groupBy("lang", "is_old")
       .agg(sum("n_words").as("n_words"), sum("n_pieces").as("n_pieces"))
+      // a half EXISTS iff it has at least one nonempty word — the
+      // oracle's hwords⋈wcount group; an all-NULL/empty half (fuzz
+      // seed 1) must drop its lang via the inner join, not emit NULL
+      // fertility rows the oracle doesn't have
+      .filter(col("n_words") > 0)
       .withColumn("fert_nano", expr("(n_pieces * 1000000000) div n_words"))
     halves.filter(col("is_old") === 1L)
       .select(col("lang"), col("fert_nano").as("fert_old_nano"))
@@ -3453,7 +3502,7 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
     var toks = docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
     val summaries = (1 to iters).map { it =>
       // Materialize the windowed token stream ONCE per iteration: it
@@ -3699,6 +3748,10 @@ object TextQueries {
     */
   def bpeSegmentStatCols(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
     docs
+      // a NULL-text doc is not part of the tokenizer corpus (the phash
+      // rule): the oracle's UNNEST chain drops the row, so must we —
+      // NOT emit a NULL-stat row (fuzz seed 1)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         graft.functions.textseg.bpe_segment(col("text"), merges).as("toks"))
       .select(col("doc_id"),
@@ -3841,6 +3894,10 @@ object TextQueries {
     */
   def c100Fertility(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
+      // oracle inner-joins base⋈seg on doc_id, and the segment chain
+      // drops NULL-text docs (no tokens to unnest) — mirror that drop
+      // or n_docs counts ghost documents (fuzz seed 1)
+      .filter(col("text").isNotNull)
       .select(col("lang"),
         size(tokens(col("text"))).cast("long").as("n_words"),
         length(col("text")).cast("long").as("n_chars"),
@@ -4011,8 +4068,11 @@ object TextQueries {
       .select(col("doc_id"), col("score_micro"), col("keep").as("pred"))
     val lab = c36QualityGate(spark, dir)
       .select(col("doc_id"), col("keep").cast("long").as("label"))
+    // (score >= t) CAST, not when/otherwise: a NULL score (NULL-text
+    // doc, fuzz seed 1) must propagate to the NULL bucket exactly like
+    // the oracle's CAST(score_micro >= t AS BIGINT) sum
     val bucket = EvalThresholds
-      .map(t => when(col("score_micro") >= lit(t), 1L).otherwise(0L))
+      .map(t => (col("score_micro") >= lit(t)).cast("long"))
       .reduce(_ + _)
     pred.join(lab, "doc_id")
       .select(bucket.as("bucket"), col("pred"), col("label"))
@@ -4345,8 +4405,11 @@ object TextQueries {
   private[graft] def driftReportFrom(counts: DataFrame): DataFrame = {
     val totals = counts.agg(sum("cnt_old").as("n_old"), sum("cnt_new").as("n_new"))
     val scored = counts.crossJoin(broadcast(totals))
-      .withColumn("p", col("cnt_old").cast("double") / col("n_old"))
-      .withColumn("q", col("cnt_new").cast("double") / col("n_new"))
+      // try_divide: an empty snapshot side (n=0, e.g. a single-row or
+      // all-new corpus) must yield NULL contribs exactly like DuckDB's
+      // x/0 — ANSI `/` would throw instead (fuzz seed 0)
+      .withColumn("p", try_divide(col("cnt_old").cast("double"), col("n_old")))
+      .withColumn("q", try_divide(col("cnt_new").cast("double"), col("n_new")))
       .withColumn("m", (col("p") + col("q")) / lit(2.0))
       .withColumn("contrib_nano", round((
           when(col("cnt_old") > 0, col("p") * log(col("p") / col("m"))).otherwise(lit(0.0))
@@ -4999,9 +5062,13 @@ object TextQueries {
     val contrib = tf.join(broadcast(terms), "token").crossJoin(broadcast(totals))
       .join(norm2, "doc_id").join(broadcast(qnorm2), "qid")
       .withColumn("contrib_nano", round(
-        expr("""(tf * ln(cast(n_docs as double) / df) * ln(cast(n_docs as double) / df))
-               | / (sqrt(cast(norm2_nano as double) / 1e9)
-               |    * sqrt(cast(qnorm2_nano as double) / 1e9))""".stripMargin)
+        // try_divide: an all-zero-weight doc (every query term in every
+        // doc, e.g. a single-doc corpus where ln(N/df)=0 — fuzz seed 0)
+        // has norm 0 and an UNDEFINED cosine — NULL on both engines
+        expr("""try_divide(
+               |   tf * ln(cast(n_docs as double) / df) * ln(cast(n_docs as double) / df),
+               |   sqrt(cast(norm2_nano as double) / 1e9)
+               |     * sqrt(cast(qnorm2_nano as double) / 1e9))""".stripMargin)
           * lit(1e9), 0).cast("long"))
     val w = Window.partitionBy("qid").orderBy(col("score_nano").desc, col("doc_id"))
     val tfidfR = contrib.groupBy("qid", "doc_id")
@@ -5408,9 +5475,11 @@ object TextQueries {
         expr("cast(k as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy").as("cov"),
         expr("cast(k as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx").as("varx"),
         expr("cast(k as decimal(38,0)) * syy - cast(sy as decimal(38,0)) * sy").as("vary"))
-      .select(round(col("cov").cast("double") / col("varx").cast("double"), 6).as("beta"),
-        round(col("cov").cast("double") * col("cov").cast("double")
-          / (col("varx").cast("double") * col("vary").cast("double")), 6).as("r2"))
+      // try_divide: a single checkpoint (k=1 ⇒ varx=0, fuzz seed 0)
+      // fits no slope — NULL on both engines, never an ANSI throw
+      .select(round(try_divide(col("cov").cast("double"), col("varx").cast("double")), 6).as("beta"),
+        round(try_divide(col("cov").cast("double") * col("cov").cast("double"),
+          col("varx").cast("double") * col("vary").cast("double")), 6).as("r2"))
     pts.select("cp", "cum_tokens", "cum_types").crossJoin(broadcast(fit))
       .orderBy("cp")
   }
@@ -5576,9 +5645,11 @@ object TextQueries {
        |  ) WHERE rn <= $BlocklistK
        |)
        |SELECT d.doc_id,
-       |  CAST(SUM(CASE WHEN strpos(d.text, k.token) > 0
+       |  CAST(SUM(CASE WHEN d.text IS NULL THEN NULL
+       |           WHEN strpos(d.text, k.token) > 0
        |           THEN (CAST(1 AS BIGINT) << (k.rn - 1)) ELSE 0 END) AS BIGINT) AS kw_mask,
-       |  CAST(SUM(CASE WHEN strpos(d.text, k.token) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kw
+       |  CAST(SUM(CASE WHEN d.text IS NULL THEN NULL
+       |           WHEN strpos(d.text, k.token) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kw
        |FROM documents d CROSS JOIN kw k
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 

@@ -477,9 +477,9 @@ class StreamingSpec extends SparkTestBase {
       Files.createTempDirectory("graft-d23-spec").toString)
     val now = System.currentTimeMillis()
     StreamingOps.stageFrameFile(ev.filter(expr(s"unix_micros(cast(ts as timestamp)) <= ${cut}L")),
-      dir, "b0.parquet", now - 600000L)
+      dir, "b0.parquet", now - 600000L): Unit
     StreamingOps.stageFrameFile(ev.filter(expr(s"unix_micros(cast(ts as timestamp)) > ${cut}L")),
-      dir, "b1.parquet", now)
+      dir, "b1.parquet", now): Unit
     val src = StreamingOps.normalize(spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(dir.toString))
     val got = runToMemory(StreamingOps.scd2Stream(src).toDF(), "d23_spec", "append")
