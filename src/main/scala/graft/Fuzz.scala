@@ -63,12 +63,17 @@ object Fuzz {
       case 4 => " leading and trailing "
       case 5 => "😀 𝄞 emoji 😀 tail" // astral
       case 6 => "café naïve söze über" // 2-byte accents
-      // one long uniform token — capped at 19 chars because the unigram
-      // ORACLE (c132/d39) enumerates all segmentations of each word
-      // (compositions into 1..4-char pieces ≈ 1.93^len paths): 19 chars
-      // is ~2.7e5 paths per word — adversarial for the Spark Viterbi,
-      // still tractable for the DuckDB twin; 63 chars was ~10^18
-      case 7 => "w" * (12 + rnd.nextInt(8))
+      // uniform run: capped at 10 chars because the unigram ORACLE
+      // (c132/d39) ENUMERATES segmentations (~1.93^len compositions of
+      // len into 1..4-char vocab pieces — every substring of a uniform
+      // run is a high-frequency piece); 63 chars was ~10^18 paths
+      case 7 => "w" * (5 + rnd.nextInt(4))
+      // random-letters token, also capped: on a 100-doc corpus even
+      // freq-1 substrings make the top-500 unigram vocab, so ANY long
+      // token gives the enumeration oracle ~2 branches per position —
+      // 15 chars ≈ 3e4 paths/word, 63 chars ≈ 10^18
+      case 8 => (0 until (10 + rnd.nextInt(3)))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
       case _ =>
         if (seen.nonEmpty && rnd.nextInt(10) < 3) seen(rnd.nextInt(seen.length))
         else (0 until (3 + rnd.nextInt(30)))

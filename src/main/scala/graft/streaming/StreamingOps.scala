@@ -250,7 +250,12 @@ object StreamingOps {
     val ttl = AlertTtlUs
     val fold = (userId: Long, it: Iterator[AlertEv],
         state: GroupState[PendingErrs]) => {
-      val evs = it.toSeq.sortBy(e => (e.us, e.event_id))
+      // errors BEFORE clicks at the same timestamp: the batch contract
+      // is the order-free interval test err_us <= click_us, so an
+      // equal-us click must see (and resolve) the equal-us error —
+      // sorted the other way it slips past a not-yet-pending error
+      // (fuzz seed 1's planted timestamp ties caught this)
+      val evs = it.toSeq.sortBy(e => (e.us, e.is_click, e.event_id))
       var pending = state.getOption.map(_.errs).getOrElse(Seq.empty)
       evs.foreach { e =>
         if (e.is_click)

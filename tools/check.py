@@ -68,12 +68,22 @@ def main():
         if name not in oracles:
             print(f"{name:24s} ROWS-ONLY rows={len(spark_df)}", flush=True)
             continue
+        # per-key oracle timeout: an enumeration-style oracle on a
+        # pathological corpus (e.g. c132 on long uniform tokens) must
+        # fail LOUDLY here, not hang the whole differential loop
+        import threading
+        budget = float(os.environ.get("CHECK_ORACLE_TIMEOUT_SEC", "180"))
+        timer = threading.Timer(budget, con.interrupt)
+        timer.start()
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:
-            print(f"{name:24s} ORACLE-ERROR {e}", flush=True)
+            kind = "ORACLE-TIMEOUT" if time.time() - t0 >= budget else "ORACLE-ERROR"
+            print(f"{name:24s} {kind} {str(e)[:120]}", flush=True)
             failed.append(name)
             continue
+        finally:
+            timer.cancel()
         scols, skinds, srows = canon(spark_df)
         ocols, okinds, orows = canon(odf)
         if scols != ocols:
