@@ -842,6 +842,44 @@ class StreamingSpec extends SparkTestBase {
     assert(nState < graft.Tables(spark, sf, "documents").count())
   }
 
+  test("D33 timeout alerts: an equal-timestamp click resolves the error (order-free tie rule)") {
+    // the batch contract is the interval test err_us <= click_us — a
+    // click AT the error's timestamp resolves it regardless of which
+    // event the fold sees first (the fuzz loop caught clicks-first
+    // ordering letting an equal-us click slip past the error)
+    import spark.implicits._
+    val baseUs = 1704067200000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft-d33-tie")
+    def evDf(rows: Seq[(Long, Long, Long, String, Double, String)]) = rows
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val data = evDf(Seq(
+      (1L, baseUs, 7L, "click", 0.0, "{}"), // same us as the error below
+      (2L, baseUs, 7L, "error", 0.0, "{}"), // resolved by the tied click
+      (3L, baseUs + 1L, 8L, "error", 0.0, "{}"), // 1 µs AFTER its click
+      (4L, baseUs, 8L, "click", 0.0, "{}"))) // cannot resolve a later error
+    // two pusher batches: the watermark only advances AFTER a batch, and
+    // a timer only fires in a SUBSEQUENT batch (the d33 two-sentinel
+    // mechanism). Sentinels must be CLICKS, not views: the
+    // click/error filter is pushed below the watermark node, so a view
+    // sentinel never reaches it and the watermark never advances.
+    val push1 = evDf(Seq((5L, baseUs + 10L * 86400000000L, 9L, "click", 0.0, "{}")))
+    val push2 = evDf(Seq((6L, baseUs + 20L * 86400000000L, 9L, "click", 0.0, "{}")))
+    val now = System.currentTimeMillis()
+    StreamingOps.stageFrameFile(data, dir, "b0.parquet", now - 600000L): Unit
+    StreamingOps.stageFrameFile(push1, dir, "b1.parquet", now - 300000L): Unit
+    StreamingOps.stageFrameFile(push2, dir, "b2.parquet", now): Unit
+    val src = StreamingOps.normalize(
+      spark.readStream.schema(data.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString))
+    val got = runToMemory(StreamingOps.timeoutAlerts(src).toDF(), "d33_tie", "append")
+      .collect().map(_.getLong(0)).sorted
+    // user 7's error is resolved (click_us == err_us); user 8's error is
+    // NOT (its only click is 1 µs BEFORE the error, outside [err, err+ttl])
+    assert(got.toSeq == Seq(3L), s"expected only event 3 to alert, got ${got.toSeq}")
+  }
+
   test("D33 timeout alerts: timer-path emission == batch NOT EXISTS, exactly once") {
     val got = StreamingQueries.d33StreamTimeoutAlert(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
