@@ -1473,22 +1473,10 @@ object EmbedQueries {
       if (entryRow.isNullAt(0)) lit(null).cast("long") else lit(entryRow.getLong(0))
     val emb = e.select(col("vec_id").as("cand"), col("embedding").as("ce"),
       col("n2").as("cn"))
-    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand"))
-    def topB(cands: DataFrame): DataFrame = cands
-      .join(broadcast(probes), "probe_id")
-      .join(emb, "cand")
-      .select(col("probe_id"), col("cand"),
-        cosine(dot(col("pe"), col("ce")), col("pn"), col("cn")).as("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= BeamWidth)
-    var beam = topB(probes.select(col("probe_id"), entry.as("cand")))
-    for (_ <- 1 to BeamHops) {
-      val expanded = beam.select(col("probe_id"), col("cand"))
-        .join(adj, col("cand") === col("node"))
-        .select(col("probe_id"), col("nbr").as("cand"))
-      beam = topB(beam.select("probe_id", "cand").unionByName(expanded).distinct())
-        .seal()
-    }
+    // the ONE walk kernel c136 sweeps and ScaleSmoke pins — entry-seeded,
+    // self kept (the oracle's f-chain never excludes it), no count jobs
+    val (beam, _) = beamWalk(probes, adj, emb, BeamWidth, BeamHops, entry,
+      excludeSelf = false, countCands = false)
     beam.select(col("probe_id"), col("rnk"), col("cand").as("vec_id"), col("cos"))
       .orderBy("probe_id", "rnk")
   }
@@ -1577,32 +1565,51 @@ object EmbedQueries {
     * at ~10× the sf0.1 vector count.
     */
   private[graft] def beamWalkCounts(probes: DataFrame, adj: DataFrame,
-      emb: DataFrame, b: Int, hops: Int): (DataFrame, Seq[Long]) = {
+      emb: DataFrame, b: Int, hops: Int): (DataFrame, Seq[Long]) =
+    // self-excluded (the ground truth excludes self) + per-hop counts
+    beamWalk(probes, adj, emb, b, hops, col("probe_id"),
+      excludeSelf = true, countCands = true)
+
+  /** The parameterized walk body: `seed` is the hop-0 frontier (the
+    * probe itself for C136's sweep, the graph entry node for C108's
+    * shipped search), `excludeSelf` drops the probe from its own
+    * candidate ranks (C136's ground-truth convention; C108 keeps it,
+    * like its oracle), `countCands` collects the per-hop candidate-row
+    * counts the ScaleSmoke frontier-bound pin asserts (skipped when
+    * false — no extra count jobs on the shipped path).
+    */
+  private[graft] def beamWalk(probes: DataFrame, adj: DataFrame,
+      emb: DataFrame, b: Int, hops: Int, seed: Column, excludeSelf: Boolean,
+      countCands: Boolean): (DataFrame, Seq[Long]) = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand"))
-    // rank only non-self candidates (the ground truth excludes self)
-    def topB(cands: DataFrame): DataFrame = cands
-      .filter(col("cand") =!= col("probe_id"))
-      .join(broadcast(probes), "probe_id")
-      .join(emb, "cand")
-      .select(col("probe_id"), col("cand"),
-        cosine(dot(col("pe"), col("ce")), col("pn"), col("cn")).as("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= b)
-    // hop 0: the frontier IS the probe — nothing scored yet
+    def topB(cands: DataFrame): DataFrame = {
+      val base = if (excludeSelf) cands.filter(col("cand") =!= col("probe_id"))
+        else cands
+      base
+        .join(broadcast(probes), "probe_id")
+        .join(emb, "cand")
+        .select(col("probe_id"), col("cand"),
+          cosine(dot(col("pe"), col("ce")), col("pn"), col("cn")).as("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= b)
+    }
+    // hop 0: the frontier IS the seed — nothing scored yet
     var counts = List.empty[Long]
-    var frontier = probes.select(col("probe_id"), col("probe_id").as("cand"))
+    var frontier = probes.select(col("probe_id"), seed.as("cand"))
     var beam = frontier.limit(0)
       .select(col("probe_id"), col("cand"), lit(0.0).as("cos"),
         lit(0).as("rnk"))
     for (_ <- 1 to hops) {
-      val cands = frontier
+      var cands = frontier
         .unionByName(frontier
           .join(adj, col("cand") === col("node"))
           .select(col("probe_id"), col("nbr").as("cand")))
         .distinct()
-        .seal()
-      counts = counts :+ cands.filter(col("cand") =!= col("probe_id")).count()
+      if (countCands) {
+        cands = cands.seal()
+        counts = counts :+ cands.filter(col("cand") =!= col("probe_id")).count()
+      }
       beam = topB(cands).seal()
       frontier = beam.select("probe_id", "cand")
     }

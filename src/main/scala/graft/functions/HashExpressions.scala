@@ -79,13 +79,16 @@ case class RollingHashes(first: Expression, second: Expression, third: Expressio
   * (SURVEY.md §2 C107).
   *
   * `str_poly_hash(s) = (c₁·131^{L−1} + … + c_L) mod (2⁶¹−1)` over the
-  * string's bytes — a 61-bit, well-dispersed, ENGINE-NEUTRAL hash for
-  * sketching (HLL needs dispersion in every bit; the cheap
-  * length/first/last token hash the near-dup family uses is fine for
-  * shingle identity but useless as a sketch hash). The DuckDB twin is
-  * the same fold in 128-bit integers (`HUGEINT` accumulate, `% 2⁶¹−1`);
-  * byte values equal `ascii()` code points on this corpus's ASCII text
-  * — the C12-documented testdata contract both engines rely on.
+  * string's UNICODE CODE POINTS — a 61-bit, well-dispersed,
+  * ENGINE-NEUTRAL hash for sketching (HLL needs dispersion in every
+  * bit; the cheap length/first/last token hash the near-dup family
+  * uses is fine for shingle identity but useless as a sketch hash).
+  * The DuckDB twin is the same fold in 128-bit integers (`HUGEINT`
+  * accumulate, `% 2⁶¹−1`) over `ascii(substr(s, i, 1))` — which walks
+  * CHARACTERS, so the Scala side must fold code points too, never raw
+  * UTF-8 bytes (a byte fold coincides on ASCII but silently diverges
+  * on any accented/astral token — caught by fuzz seed 1 via the HLL
+  * register fingerprint).
   *
   * The mod-multiply never overflows: acc < 2⁶¹, so acc·131 < 2⁶⁸ is
   * computed as a 128-bit product (`Math.multiplyHigh`) and reduced with

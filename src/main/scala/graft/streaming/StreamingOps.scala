@@ -195,7 +195,18 @@ object StreamingOps {
 
   // ------------------- D33: timeout-path unresolved-error alerting
   final case class PendingErr(id: Long, us: Long)
-  final case class PendingErrs(errs: Seq[PendingErr])
+
+  /** D33 state: unresolved errors PLUS the in-watermark click times.
+    * Remembering clicks makes resolution independent of ARRIVAL order
+    * across micro-batches: a click in batch N must still resolve an
+    * equal-or-earlier-timestamped error arriving in batch N+1 (the
+    * batch contract err_us <= click_us is order-free). Clicks older
+    * than the watermark are pruned — an arriving error's event time is
+    * >= the watermark (older rows are dropped upstream), so a pruned
+    * click could never have resolved it; state stays bounded by one
+    * watermark window of clicks per user, never stream length.
+    */
+  final case class PendingErrs(errs: Seq[PendingErr], clicks: Seq[Long])
   /** Carries the watermarked `event_time` column through the typed
     * projection — EventTimeTimeout requires the watermark attribute to
     * SURVIVE into the stateful operator's child plan; projecting it
@@ -256,23 +267,33 @@ object StreamingOps {
       // sorted the other way it slips past a not-yet-pending error
       // (fuzz seed 1's planted timestamp ties caught this)
       val evs = it.toSeq.sortBy(e => (e.us, e.is_click, e.event_id))
-      var pending = state.getOption.map(_.errs).getOrElse(Seq.empty)
+      val prev = state.getOption.getOrElse(PendingErrs(Seq.empty, Seq.empty))
+      var pending = prev.errs
+      var clicks = prev.clicks
       evs.foreach { e =>
-        if (e.is_click)
+        if (e.is_click) {
           pending = pending.filterNot(p => p.us <= e.us && e.us <= p.us + ttl)
-        else pending = pending :+ PendingErr(e.event_id, e.us)
+          clicks = clicks :+ e.us
+        } else if (!clicks.exists(c => e.us <= c && c <= e.us + ttl))
+          pending = pending :+ PendingErr(e.event_id, e.us)
       }
       // the watermark is the flush authority on BOTH paths (timer and
       // data): everything it proves unresolvable fires now, exactly once
       val wmUs = state.getCurrentWatermarkMs() * 1000L
       val (fire, keep) = pending.partition(p => p.us + ttl < wmUs)
-      if (keep.isEmpty) state.remove()
+      val keepClicks = clicks.filter(_ >= wmUs)
+      if (keep.isEmpty && keepClicks.isEmpty) state.remove()
       else {
-        state.update(PendingErrs(keep))
+        state.update(PendingErrs(keep, keepClicks))
         // strictly-future guard: setTimeoutTimestamp rejects timestamps
-        // at or before the current watermark
+        // at or before the current watermark. With no pending error the
+        // state holds only click memory, which the NEXT watermark
+        // advance can prune — time the wakeup off the youngest click.
+        val nextUs =
+          if (keep.nonEmpty) keep.map(_.us).min + ttl
+          else keepClicks.max
         state.setTimeoutTimestamp(math.max(
-          (keep.map(_.us).min + ttl) / 1000L + 1L,
+          nextUs / 1000L + 1L,
           state.getCurrentWatermarkMs() + 1L))
       }
       fire.sortBy(p => (p.us, p.id))

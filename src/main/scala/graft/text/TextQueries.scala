@@ -325,8 +325,7 @@ object TextQueries {
     */
   def lengthQuantilesOn(docs: DataFrame): DataFrame =
     quantilesFromHistogram(
-      docs.filter(col("n_chars").isNotNull)
-        .groupBy("lang", "n_chars").agg(count(lit(1)).as("cnt")))
+      docs.groupBy("lang", "n_chars").agg(count(lit(1)).as("cnt")))
 
   /** Phase 2 (the CDF walk) on any (lang, n_chars, cnt) histogram — the
     * ONE finalize definition shared by the batch c22 and the D18
@@ -4762,8 +4761,13 @@ object TextQueries {
       // so the product routes through DECIMAL(38,0) (C43/C47's rule)
       .withColumn("target_tokens",
         expr(s"(cast($EpochBudgetFactor as decimal(38,0)) * tok_tot * weight_micro) div w_tot"))
+      // NULL-guarded div: a zero-token source (all-empty docs, fuzz
+      // seed 8) has no epoch count — DuckDB's //0 is NULL, and BOTH
+      // engines' least() skip the NULL, capping such a source at
+      // MaxEpochs with 0 effective tokens
       .withColumn("epochs",
-        least(expr("(target_tokens + sum_tokens - 1) div sum_tokens"), lit(MaxEpochs)))
+        least(expr("CASE WHEN sum_tokens = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE (target_tokens + sum_tokens - 1) div sum_tokens END"), lit(MaxEpochs)))
       .withColumn("effective_tokens", least(col("target_tokens"),
         col("sum_tokens") * MaxEpochs))
       .withColumn("deficit", col("target_tokens") - col("effective_tokens"))

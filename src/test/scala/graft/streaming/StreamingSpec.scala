@@ -880,6 +880,38 @@ class StreamingSpec extends SparkTestBase {
     assert(got.toSeq == Seq(3L), s"expected only event 3 to alert, got ${got.toSeq}")
   }
 
+  test("D33 timeout alerts: a click in an EARLIER micro-batch still resolves a later-arriving error") {
+    // cross-batch disorder within the watermark: the resolving click is
+    // processed in batch 0, the equal-timestamped error arrives in
+    // batch 1. The batch contract err_us <= click_us is arrival-order
+    // free, so the click memory in state must resolve it — without it,
+    // the click is forgotten and a spurious alert fires.
+    import spark.implicits._
+    val baseUs = 1704067200000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft-d33-xbatch")
+    def evDf(rows: Seq[(Long, Long, Long, String, Double, String)]) = rows
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val b0 = evDf(Seq((1L, baseUs, 7L, "click", 0.0, "{}")))
+    val b1 = evDf(Seq(
+      (2L, baseUs, 7L, "error", 0.0, "{}"), // equal ts — resolved by b0's click
+      (3L, baseUs + 1L, 7L, "error", 0.0, "{}"))) // 1 µs after the click — alerts
+    val push1 = evDf(Seq((4L, baseUs + 10L * 86400000000L, 9L, "click", 0.0, "{}")))
+    val push2 = evDf(Seq((5L, baseUs + 20L * 86400000000L, 9L, "click", 0.0, "{}")))
+    val now = System.currentTimeMillis()
+    StreamingOps.stageFrameFile(b0, dir, "b0.parquet", now - 900000L): Unit
+    StreamingOps.stageFrameFile(b1, dir, "b1.parquet", now - 600000L): Unit
+    StreamingOps.stageFrameFile(push1, dir, "b2.parquet", now - 300000L): Unit
+    StreamingOps.stageFrameFile(push2, dir, "b3.parquet", now): Unit
+    val src = StreamingOps.normalize(
+      spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString))
+    val got = runToMemory(StreamingOps.timeoutAlerts(src).toDF(), "d33_xbatch", "append")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(3L), s"expected only event 3 to alert, got ${got.toSeq}")
+  }
+
   test("D33 timeout alerts: timer-path emission == batch NOT EXISTS, exactly once") {
     val got = StreamingQueries.d33StreamTimeoutAlert(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

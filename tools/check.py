@@ -52,11 +52,14 @@ def canon(df: pd.DataFrame):
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    def connect():
+        c = duckdb.connect()
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.exists(p):
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        return c
+    con = connect()
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = [d for d in sorted(os.listdir(out_dir))
              if os.path.isdir(os.path.join(out_dir, d)) and not d.startswith(".")]
@@ -70,20 +73,34 @@ def main():
             continue
         # per-key oracle timeout: an enumeration-style oracle on a
         # pathological corpus (e.g. c132 on long uniform tokens) must
-        # fail LOUDLY here, not hang the whole differential loop
+        # fail LOUDLY here, not hang the whole differential loop. The
+        # timer wraps ONLY the oracle execute (t_oracle, not the Spark
+        # dump read), and any key where it fired — even spuriously in
+        # the cancel race after a near-budget finish — gets a FRESH
+        # connection so a stale interrupt flag can never poison the
+        # next key's execute.
         import threading
         budget = float(os.environ.get("CHECK_ORACLE_TIMEOUT_SEC", "180"))
-        timer = threading.Timer(budget, con.interrupt)
+        fired = threading.Event()
+        def interrupt():
+            fired.set()
+            con.interrupt()
+        timer = threading.Timer(budget, interrupt)
+        t_oracle = time.time()
         timer.start()
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:
-            kind = "ORACLE-TIMEOUT" if time.time() - t0 >= budget else "ORACLE-ERROR"
-            print(f"{name:24s} {kind} {str(e)[:120]}", flush=True)
+            kind = "ORACLE-TIMEOUT" if fired.is_set() else "ORACLE-ERROR"
+            print(f"{name:24s} {kind} {str(e)[:120]} "
+                  f"({time.time() - t_oracle:.0f}s)", flush=True)
             failed.append(name)
+            con = connect()
             continue
         finally:
             timer.cancel()
+            if fired.is_set():
+                con = connect()
         scols, skinds, srows = canon(spark_df)
         ocols, okinds, orows = canon(odf)
         if scols != ocols:

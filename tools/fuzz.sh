@@ -41,11 +41,17 @@ fail=0
 for s in "${seeds[@]}"; do
   out="$root/out_s$s"
   # Verify exits 0 even when a query dies (driver-budget semantics), so
-  # gate on the dump count: every oracle key must have a parquet dir.
-  want=$(python3 -c "import json; print(len(json.load(open('$out/oracle_sql.json'))))")
+  # gate on the dump count: every oracle'd key must have a parquet dir
+  # (rows-only keys may add EXTRA dirs — only fewer-than-want means a
+  # crash). A missing/unreadable oracle_sql.json is itself a failure.
+  if ! want=$(python3 -c "import json; print(len(json.load(open('$out/oracle_sql.json'))))"); then
+    echo "[fuzz] seed $s: oracle_sql.json missing/unreadable — Verify died at startup"
+    fail=1
+    continue
+  fi
   have=$(find "$out" -mindepth 1 -maxdepth 1 -type d ! -name '.*' | wc -l)
   echo "=== seed $s: $have/$want keys dumped ==="
-  if [ "$have" -ne "$want" ]; then
+  if [ "$have" -lt "$want" ]; then
     echo "[fuzz] seed $s: MISSING DUMPS — a query crashed; see Verify stderr above"
     fail=1
   fi
