@@ -161,7 +161,14 @@ object Fuzz {
       val cust = 1 + rnd.nextInt(nCust + 2) // +2 → dangling keys
       val price = if (rnd.nextInt(4) == 0) 55555.55
         else math.rint(rnd.nextDouble() * 200000 * 100) / 100
-      val date = baseDateUs + (if (rnd.nextInt(4) == 0) 100L else rnd.nextInt(2400).toLong) * dayUs
+      // mostly the 1995–2001 band with heavy ties; ~1/30 at the 1970
+      // epoch and ~1/30 far future (year/date arithmetic extremes)
+      val date = rnd.nextInt(30) match {
+        case 0 => 0L // 1970-01-01
+        case 1 => baseDateUs + 38000L * dayUs // ~2099
+        case _ =>
+          baseDateUs + (if (rnd.nextInt(4) == 0) 100L else rnd.nextInt(2400).toLong) * dayUs
+      }
       (i.toLong, cust.toLong, Seq("P", "O", "F")(rnd.nextInt(3)), price, date,
         Priorities(rnd.nextInt(5)))
     }
@@ -213,9 +220,19 @@ object Fuzz {
       lastTs = ts
       val v = if (rnd.nextInt(10) == 0) 1.0
         else math.rint(rnd.nextDouble() * 300 * 100) / 100
-      val props = rnd.nextInt(10) match {
+      // dirty-JSON classes: malformed, NULL, wrong-typed / nested /
+      // array k — a real event pipeline ingests all of these, and the
+      // engines must agree on the NULL they collapse to
+      val props = rnd.nextInt(16) match {
         case 0 => "{}"
         case 1 => s"""{"k": ${-1 - rnd.nextInt(50)}}"""
+        case 2 => "{"
+        case 3 => "not json"
+        case 4 => null
+        case 5 => """{"k": "str"}"""
+        case 6 => """{"k": {"j": 1}}"""
+        case 7 => """{"k": [1, 2]}"""
+        case 8 => "null"
         case _ => s"""{"k": ${rnd.nextInt(100)}}"""
       }
       (i.toLong, ts, user, EventTypes(rnd.nextInt(5)), v, props)
@@ -236,10 +253,18 @@ object Fuzz {
         "spark stream spark stream merge sort merge sort window batch " +
           "window batch filter join filter join plain single row text"
       else fuzzText(rnd, seen)
-      val lang = if (!single && rnd.nextInt(25) == 0) "" else Langs(rnd.nextInt(5))
+      // lang/source: empty AND NULL classes (grouping, joining and
+      // window-partitioning on NULL keys is its own divergence surface)
+      val lang = if (!single) rnd.nextInt(25) match {
+        case 0 => ""
+        case 1 => null
+        case _ => Langs(rnd.nextInt(5))
+      } else Langs(rnd.nextInt(5))
+      val source = if (!single && rnd.nextInt(25) == 0) null
+        else s"src${rnd.nextInt(20)}"
       val nc: java.lang.Long =
         if (t == null) null else t.codePointCount(0, t.length).toLong
-      (i.toLong, t, lang, s"src${rnd.nextInt(20)}", nc)
+      (i.toLong, t, lang, source, nc)
     }.toDF("doc_id", "text", "lang", "source", "n_chars"), dir, "documents")
 
     // embeddings: exact-duplicate vectors, zero vectors (norm 0), tied

@@ -257,7 +257,11 @@ object Queries {
     */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "events")
-    e.select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+    // try_cast: dirty props (malformed JSON → get_json_object NULL;
+    // string/nested k → non-numeric text) must aggregate as NULL, not
+    // ANSI-throw — the oracle mirrors with json_valid + TRY_CAST
+    e.select(col("event_type"),
+        expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
       .withColumn("avg_k_micro", expr("(sum_k * 1000000) div n"))
@@ -265,11 +269,16 @@ object Queries {
   }
 
   val jsonExtractSql: String =
-    """SELECT event_type, COUNT(*) AS n,
-      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) * 1000000
-      |    // COUNT(*) AS avg_k_micro
-      |FROM events
+    """WITH e AS (
+      |  SELECT event_type,
+      |    TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+      |      THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
+      |  FROM events
+      |)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(SUM(k) AS BIGINT) * 1000000 // COUNT(*) AS avg_k_micro
+      |FROM e
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
@@ -2194,7 +2203,10 @@ object Queries {
         SELECT MIN(year(to_date(o_orderdate)) * 12 + month(to_date(o_orderdate)) - 1) AS lo,
                MAX(year(to_date(o_orderdate)) * 12 + month(to_date(o_orderdate)) - 1) AS hi
         FROM b46_orders
-      ), spine(m, hi) AS (
+      ), spine(m, hi) MAX RECURSION LEVEL 10000 AS (
+        -- 10000 months ≈ 833 years: Spark's default level cap is 100,
+        -- which a corpus spanning 1970→2099 (fuzz date extremes)
+        -- legitimately exceeds; DuckDB has no comparable default cap
         SELECT lo, hi FROM bounds
         UNION ALL
         SELECT m + 1, hi FROM spine WHERE m < hi

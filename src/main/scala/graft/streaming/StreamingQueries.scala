@@ -1130,7 +1130,7 @@ object StreamingQueries {
        |SELECT b.lang, b.n_tokens, s.reg_fp,
        |  CAST(s.n_zero AS BIGINT) AS n_zero,
        |  ${graft.text.TextQueries.hllEstSql} AS est
-       |FROM base b JOIN stats s USING (lang)
+       |FROM base b JOIN stats s ON b.lang IS NOT DISTINCT FROM s.lang
        |ORDER BY b.lang""".stripMargin
 
   // ---------------------------------------------------------------- D32

@@ -830,7 +830,11 @@ object TextQueries {
     val rows = dom.select("source", "loss_micro")
       .limit(4097) // cap BEFORE collecting (the c111 guard pattern)
       .collect()
-      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      // Option ordering: a NULL source (fuzz corpus) must sort, not NPE —
+      // it participates in the weight-iteration mass exactly like the
+      // oracle's w-chain, and drops from the OUTPUT via the null-unsafe
+      // source join, also exactly like the oracle's USING (source)
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(r => Option(r._1))
     // 'source' is a bounded value domain (≤ ~10 labels); a
     // high-cardinality source column would make this driver fold a
     // scale hazard — fail loudly instead of quietly materializing it
@@ -969,7 +973,8 @@ object TextQueries {
       |  CROSS JOIN (SELECT UNNEST(range(0, 256)) AS j) g
       |), regs AS (
       |  SELECT grid.lang, list(COALESCE(reg0.m, 0) ORDER BY grid.j) AS rl
-      |  FROM grid LEFT JOIN reg0 ON reg0.lang = grid.lang AND reg0.j = grid.j
+      |  FROM grid LEFT JOIN reg0
+      |    ON reg0.lang IS NOT DISTINCT FROM grid.lang AND reg0.j = grid.j
       |  GROUP BY grid.lang
       |), stats AS (
       |  SELECT lang,
@@ -998,7 +1003,7 @@ object TextQueries {
        |SELECT b.lang, b.n_tokens, b.n_distinct, s.reg_fp,
        |  CAST(s.n_zero AS BIGINT) AS n_zero,
        |  $hllEstSql AS est
-       |FROM base b JOIN stats s USING (lang)
+       |FROM base b JOIN stats s ON b.lang IS NOT DISTINCT FROM s.lang
        |ORDER BY b.lang""".stripMargin
 
   // ---------------------------------------------------------------- C32
