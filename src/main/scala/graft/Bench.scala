@@ -12,6 +12,46 @@ object Bench {
       .split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** JVM/session state snapshot taken at block boundaries — the
+    * late-run-drag telemetry (r15 verdict item 2): cumulative GC and
+    * JIT time, code-cache occupancy, heap, and the block-manager
+    * storage held by the sealed memo stores. One line per boundary in
+    * the bench JSON turns "the D block runs slower late in a 281-query
+    * session" from a hypothesis into an attributed mechanism.
+    */
+  private def telemetry(spark: org.apache.spark.sql.SparkSession, at: String): String = {
+    import scala.jdk.CollectionConverters._
+    import java.lang.management.ManagementFactory
+    val gcMs = ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+    val jitMs = Option(ManagementFactory.getCompilationMXBean)
+      .map(_.getTotalCompilationTime).getOrElse(-1L)
+    val codeCacheMb = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+      .map(_.getUsage.getUsed).sum / 1048576.0
+    val heapMb = ManagementFactory.getMemoryMXBean
+      .getHeapMemoryUsage.getUsed / 1048576.0
+    val rdds = spark.sparkContext.getRDDStorageInfo
+    val storMb = rdds.map(i => i.memSize + i.diskSize).sum / 1048576.0
+    // math.rint + plain interpolation: Double.toString is locale-free
+    // (the f-interpolator is not, and this line must stay valid JSON)
+    def r1(x: Double): Double = math.rint(x * 10) / 10
+    s"""{"at":"$at","gc_ms":$gcMs,"jit_ms":$jitMs,"code_cache_mb":${r1(codeCacheMb)},"heap_mb":${r1(heapMb)},"storage_mb":${r1(storMb)},"storage_rdds":${rdds.length}}"""
+  }
+
+  /** Releases every sealed session store: drop the Memo references,
+    * unpersist the orphaned checkpoint blocks, and ask for a full GC.
+    * Driven by `GRAFT_BENCH_RELEASE` (comma-separated block letters;
+    * the release runs BEFORE the named block) — the A/B lever for the
+    * sealed-store late-run-drag suspect, and the hygiene call a
+    * production long-session driver would make between work phases.
+    */
+  private def releaseStores(spark: org.apache.spark.sql.SparkSession): Unit = {
+    graft.util.Memo.clearAll()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    System.gc()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val loadStart = load1m()
@@ -79,7 +119,25 @@ object Bench {
     // FAILED query still records its delta so its bytes don't inflate
     // the next query's row
     val shuffle = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val releaseBefore = sys.env.get("GRAFT_BENCH_RELEASE")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
+    val telem = scala.collection.mutable.ArrayBuffer.empty[String]
+    telem += telemetry(spark, "after_prep")
+    var curBlock = ""
     val results = selected.map { case (name, fn) =>
+      val block = name.take(1)
+      if (block != curBlock) {
+        if (curBlock.nonEmpty) telem += telemetry(spark, s"after_$curBlock")
+        if (releaseBefore.contains(block)) {
+          val t0 = System.nanoTime()
+          releaseStores(spark)
+          telem += telemetry(spark, s"released_before_$block")
+          System.err.println(
+            f"[bench] released sealed stores before '$block' block " +
+              f"(${(System.nanoTime() - t0) / 1e9}%.1fs)")
+        }
+        curBlock = block
+      }
       val before = shuffleW.get
       val t0 = System.nanoTime()
       val timed =
@@ -97,6 +155,7 @@ object Bench {
       shuffle(name) = shuffleW.get - before
       timed
     }
+    telem += telemetry(spark, s"after_$curBlock")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val sh = shuffle.map { case (k, v) =>
@@ -118,8 +177,9 @@ object Bench {
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"prep_sec":$prepSec,"spill_mb_total":${(spillB.get - spillBase) / 1048576.0},"errors":$errs,"load_1m_start":$loadStart,"load_1m_end":$loadEnd,"sf":"$sfDir"}"""
     println(summary)
+    val telemJson = telem.mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"prep":$prepJson,"prep_sec":$prepSec,"shuffle_mb":$sh,"spill_mb_total":${(spillB.get - spillBase) / 1048576.0},"errors":$errs,"load_1m_start":$loadStart,"load_1m_end":$loadEnd,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"prep":$prepJson,"prep_sec":$prepSec,"shuffle_mb":$sh,"spill_mb_total":${(spillB.get - spillBase) / 1048576.0},"telemetry":$telemJson,"errors":$errs,"load_1m_start":$loadStart,"load_1m_end":$loadEnd,"sf":"$sfDir"}"""
     println(json)
     // ...and print the short summary LAST too: the driver's capture is a
     // TAIL, so whatever it keeps must END with a complete JSON record —

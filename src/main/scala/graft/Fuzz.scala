@@ -63,17 +63,24 @@ object Fuzz {
       case 4 => " leading and trailing "
       case 5 => "😀 𝄞 emoji 😀 tail" // astral
       case 6 => "café naïve söze über" // 2-byte accents
-      // uniform run: capped at 10 chars because the unigram ORACLE
-      // (c132/d39) ENUMERATES segmentations (~1.93^len compositions of
-      // len into 1..4-char vocab pieces — every substring of a uniform
-      // run is a high-frequency piece); 63 chars was ~10^18 paths
-      case 7 => "w" * (5 + rnd.nextInt(4))
-      // random-letters token, also capped: on a 100-doc corpus even
-      // freq-1 substrings make the top-500 unigram vocab, so ANY long
-      // token gives the enumeration oracle ~2 branches per position —
-      // 15 chars ≈ 3e4 paths/word, 63 chars ≈ 10^18
-      case 8 => (0 until (10 + rnd.nextInt(3)))
+      // long uniform run (UNCAPPED since round 16: the c132/d39 oracle
+      // was an enumeration — ~1.93^len paths — and censored tokens at
+      // ~10 chars; it is now a linear recursive-CTE Viterbi, so the
+      // long-token domain where segmenter cover guards and overflow
+      // paths live is finally differentially tested)
+      case 7 => "w" * (5 + rnd.nextInt(252))
+      // long random-letters token (64-256 chars): every position gives
+      // the segmenters real branch choices at length
+      case 8 => (0 until (64 + rnd.nextInt(193)))
         .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      // long unicode token: astral (surrogate-pair) and 2-byte chars at
+      // length, the code-point-vs-UTF-16 stress for the segment kernels
+      case 9 => Iterator.continually(rnd.nextInt(4) match {
+          case 0 => "😀"
+          case 1 => "é"
+          case 2 => "𝄞"
+          case _ => "x"
+        }).take(64 + rnd.nextInt(129)).mkString
       case _ =>
         if (seen.nonEmpty && rnd.nextInt(10) < 3) seen(rnd.nextInt(seen.length))
         else (0 until (3 + rnd.nextInt(30)))

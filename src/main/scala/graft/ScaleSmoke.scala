@@ -938,16 +938,75 @@ object ScaleSmoke {
         else smallProbes * beamB * (beamDeg + 1)
       require(c <= cap, s"c136 (1×) hop ${h + 1} scored $c > bound $cap")
     }
-    // 10× the vectors, 10× the probes — yet per-probe hop work is flat
-    // and wall time must stay within 3× (it is the job floor that
-    // dominates, not the 10× data)
-    require(bigSec < smallSec * 3 + 2.0,
-      f"c136 walk at 10× vectors took $bigSec%.1f s vs $smallSec%.1f s at 1× — " +
-        "data volume, not the job floor, is dominating")
+    // 10× the vectors, 10× the probes — per-probe hop work is flat (the
+    // hard require above); the wall-clock comparison is PRINTED as a
+    // diagnostic only (r15 advice: a timing assertion on shared
+    // hardware fails spuriously under JIT ordering / GC / load even
+    // when the hop-candidate bound — the actual scale claim — holds)
+    if (bigSec >= smallSec * 3 + 2.0)
+      println(f"SCALE beamWalk WARN wall 10x=$bigSec%.1f s vs 1x=$smallSec%.1f s " +
+        "(>3x+2s — expected the job floor to dominate; hop bounds held, " +
+        "so treat as load/JIT noise unless it reproduces quiet)")
     println(f"SCALE beamWalk vec10x=20000 probes=$bigProbes b=$beamB " +
       f"hopCands=${bigCounts.mkString("/")} " +
       f"capPerHop=${bigProbes * beamB * (beamDeg + 1)} " +
       f"sec10x=$bigSec%.1f sec1x=$smallSec%.1f")
+
+    // --- c93/c60 candidate boundedness: the sorted-merge scoring (c93)
+    // and the S-curve decile pass (c60) both run over the LSH candidate
+    // list — the scale claim is that the list is one row per colliding
+    // pair, never |corpus|². Planted corpus: doc 2i (en) and 2i+1 (de)
+    // share an identical SINGLE-token text of pair-UNIQUE LENGTH.
+    // tokenHash is (length, first, last) only, so pair-unique length is
+    // the one injective dimension available — same-length trickery
+    // (earlier draft: 5 short id-suffixed tokens) collides thousands of
+    // pairs onto one signature and quadratically explodes the very list
+    // under test. With injective hashes: candidates == planted pairs
+    // EXACTLY, c93 scores every one as a cross-lingual dup, zero noise.
+    t0 = System.nanoTime()
+    val xlPlanted = 10000L
+    val xlDocs = spark.range(2L * xlPlanted).select(
+      col("id").as("doc_id"),
+      when(col("id") % 2L === 0L, "en").otherwise("de").as("lang"),
+      expr("repeat('a', cast(10 + id div 2 as int))").as("text"))
+    val xlCands = graft.dedup.DedupQueries.candidatePairsOn(xlDocs)
+      .localCheckpoint(true)
+    val candN = xlCands.count()
+    require(candN == xlPlanted,
+      s"c93/c60 candidate list has $candN rows for $xlPlanted planted pairs — " +
+        "candidate generation is not pair-bounded")
+    val xlN = graft.dedup.DedupQueries.crossLingualScore(xlDocs, xlCands).count()
+    val curveRows = graft.dedup.DedupQueries.lshCurveScore(xlDocs, xlCands).count()
+    println(f"SCALE c93c60 docs=${2 * xlPlanted} cands=$candN xlPairs=$xlN " +
+      f"curveDeciles=$curveRows ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    require(xlN == xlPlanted,
+      s"c93 scored $xlN cross-lingual pairs, expected the $xlPlanted planted")
+    require(curveRows <= 10L, s"c60 emitted $curveRows deciles (> 10)")
+
+    // --- c48 ExactSubstr span mining at 10×: span candidates come from
+    // grouped window-fingerprint collisions, so the mined-span mass is
+    // bounded by duplicated-gram mass, not docs². Planted corpus: 10%
+    // of docs share one 12-token run (their only >= k-token windows,
+    // modulo the id-bearing tail windows — id-token hash collisions can
+    // duplicate those too, but they MERGE into the same per-doc span,
+    // so the output stays one row per planted doc); the other 90% are
+    // single-token (< k) and never window at all. Output must be
+    // exactly one span row per planted-dup doc.
+    t0 = System.nanoTime()
+    val dupRun = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val spanDocs = spark.range(100000L).select(col("id").as("doc_id"),
+      when(col("id") % 10L === 0L,
+        concat(lit(dupRun + " tail nr "), col("id").cast("string")))
+        .otherwise(concat(lit("u"), col("id").cast("string"))).as("text"))
+    val spans = graft.text.TextQueries.dupSpans(spanDocs).localCheckpoint(true)
+    val spanN = spans.count()
+    val spanDocsN = spans.select("doc_id").distinct().count()
+    println(f"SCALE c48 docs=100000 spanRows=$spanN spanDocs=$spanDocsN " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    require(spanN == 10000L && spanDocsN == 10000L,
+      s"c48 mined $spanN span rows over $spanDocsN docs from 10000 " +
+        "planted-dup docs — span mass is not duplicated-mass-bounded")
+
     spark.stop()
   }
 }

@@ -50,13 +50,17 @@ object Verify {
   ) ++ SparkEntry.queries.keys.filter(_.startsWith("d")).toSeq.sorted
 
   def main(args: Array[String]): Unit = {
-    // optional 3rd arg: comma-separated query names (iteration aid;
-    // the driver always runs the full surface with two args)
+    // optional 3rd arg: comma-separated query names; a trailing `*`
+    // makes an entry a prefix match (`d*` = the whole D block — how
+    // tools/fuzz.sh selects the split-fuzz lane without hardcoding 41
+    // key names). The driver always runs the full surface with two args.
     val (sfDir, outDir, keep) = args match {
       case Array(s, o) => (s, o, (_: String) => true)
       case Array(s, o, names) =>
-        val set = names.split(',').toSet
-        (s, o, set.contains _)
+        val (globs, exact) = names.split(',').partition(_.endsWith("*"))
+        val set = exact.toSet
+        val prefixes = globs.map(_.dropRight(1)).toSeq
+        (s, o, (n: String) => set.contains(n) || prefixes.exists(n.startsWith))
     }
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()

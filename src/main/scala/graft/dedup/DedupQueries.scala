@@ -199,6 +199,12 @@ object DedupQueries {
   private[dedup] def candidatePairsForProfile(docs: DataFrame): DataFrame =
     candidatePairsFor(docs)
 
+  /** Frame-level candidate generation for the ScaleSmoke 10x pins —
+    * same body the memoized session path runs.
+    */
+  private[graft] def candidatePairsOn(docs: DataFrame): DataFrame =
+    candidatePairsFor(docs)
+
   /** Supernode candidate generation over any (doc_id, text) frame —
     * shared by the whole-corpus C6/C7 path and C19's
     * representatives-only path.
@@ -329,7 +335,11 @@ object DedupQueries {
     * expression each row, never a double SUM — SURVEY §5), then one
     * decile partial agg.
     */
-  def c60LshCurve(spark: SparkSession, dir: String): DataFrame = {
+  def c60LshCurve(spark: SparkSession, dir: String): DataFrame =
+    lshCurveScore(Tables(spark, dir, "documents"), candidatePairs(spark, dir))
+
+  /** Frame-level C60 core — see [[crossLingualScore]] for why it exists. */
+  private[graft] def lshCurveScore(docs: DataFrame, cand: DataFrame): DataFrame = {
     // ONE pass over the pair list: the candidate frame already carries
     // n_bands, so the exact-jaccard re-rank joins the per-doc sets
     // straight onto it (C7's shape, identical jaccard expression) —
@@ -339,8 +349,7 @@ object DedupQueries {
     // (80 s, single-threaded); this form is two doc-dim set joins plus
     // the decile agg (~2 s), and at 100 TB never moves more than the
     // pair list once.
-    val cand = candidatePairs(spark, dir)
-    val sets = Tables(spark, dir, "documents")
+    val sets = docs
       .select(col("doc_id"),
         array_sort(array_distinct(shingleHashes(col("text")))).as("hs"))
     val jac = cand
@@ -1282,14 +1291,20 @@ object DedupQueries {
     */
   val CrossLingualJac = 0.5
 
-  def c93CrossLingual(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+  def c93CrossLingual(spark: SparkSession, dir: String): DataFrame =
+    crossLingualScore(Tables(spark, dir, "documents"), candidatePairs(spark, dir))
+
+  /** Frame-level C93 core over any (doc_id, text, lang) frame and its
+    * candidate list — the ScaleSmoke 10x pin drives it with a planted
+    * pair structure so candidate-boundedness is asserted, not claimed.
+    */
+  private[graft] def crossLingualScore(docs: DataFrame, cands: DataFrame): DataFrame = {
     val langs = docs.select("doc_id", "lang")
     val sets = docs.select(col("doc_id"),
         array_sort(array_distinct(transform(tokens(col("text")), tokenHash(_))))
           .as("s"))
       .withColumn("ns", size(col("s")))
-    candidatePairs(spark, dir).select("doc_a", "doc_b")
+    cands.select("doc_a", "doc_b")
       .join(sets.select(col("doc_id").as("doc_a"),
         col("s").as("sa"), col("ns").as("na")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"),

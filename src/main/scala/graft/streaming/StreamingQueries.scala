@@ -28,9 +28,35 @@ object StreamingQueries {
     */
   private val stagedCache = new graft.util.Memo[(String, String, String), String]
 
-  private def staged(spark: SparkSession, sfDir: String, table: String = "events"): String =
-    stagedCache.getOrElseUpdate((spark.sparkContext.applicationId, sfDir, table),
-      track(StreamingOps.stageTableDir(spark, sfDir, table)))
+  /** Split-fuzz mode: `GRAFT_STREAM_SPLIT=k:seed` stages every
+    * staged()-sourced table as k watermark-respecting micro-batches
+    * (see [[StreamingOps.stageTableDirSplit]]) and flips the file
+    * sources to one-file-per-trigger — the batch-boundary adversary for
+    * the stateful D folds. tools/fuzz.sh drives it; exempt keys
+    * (documented single-batch oracle contracts) are excluded there.
+    */
+  /** `GRAFT_STREAM_SPLIT=k` or `k:seed`: number of batch cuts, plus an
+    * optional explicit seed (omitted ⇒ derived per (corpus, table), so
+    * one env value covers a whole multi-seed fuzz.sh run).
+    */
+  private[streaming] def splitEnv: Option[(Int, Option[Long])] =
+    sys.env.get("GRAFT_STREAM_SPLIT").map { s =>
+      val parts = s.split(':')
+      require(parts.length <= 2, s"GRAFT_STREAM_SPLIT wants k or k:seed, got '$s'")
+      (parts(0).toInt, parts.lift(1).map(_.toLong))
+    }
+
+  private def staged(spark: SparkSession, sfDir: String, table: String = "events"): String = {
+    val mode = splitEnv.fold("single") { case (k, seed) => s"split$k:$seed" }
+    stagedCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, sfDir, s"$table#$mode"),
+      track(splitEnv match {
+        case Some((k, seedOpt)) if k > 1 =>
+          val seed = seedOpt.getOrElse((sfDir + "#" + table).hashCode.toLong)
+          StreamingOps.stageTableDirSplit(spark, sfDir, table, k, seed)
+        case _ => StreamingOps.stageTableDir(spark, sfDir, table)
+      }))
+  }
 
   /** Staged copies and per-run checkpoints are deleted when the JVM
     * exits — repeated bench/verify sessions must not accumulate /tmp
@@ -84,13 +110,17 @@ object StreamingQueries {
           s"$name expects $requireDataBatches data micro-batches " +
             s"(staged replay contract), got $dataBatches")
       }
-      if (requireSingleBatch) {
+      if (requireSingleBatch && splitEnv.isEmpty) {
         // d11's batch-ASOF oracle equality holds only when the replay is
         // ONE in-order micro-batch: the asofAttribute disorder guard
         // drops a late error whose carried click postdates it, so a
         // multi-file staging (or maxFilesPerTrigger) with interleaved
         // time ranges would diverge from the oracle as a silent hash
         // mismatch. Fail loudly here instead if staging ever changes.
+        // EXCEPT under split-fuzz (GRAFT_STREAM_SPLIT): the split cuts
+        // are event-time-ordered — no interleaving, no late data — so
+        // the oracle compare itself becomes the (stronger) gate: a
+        // mismatch there is a real cross-batch state-carry bug.
         val dataBatches = q.recentProgress.count(_.numInputRows > 0)
         require(dataBatches <= 1,
           s"$name expects a single data micro-batch (oracle contract), " +

@@ -27,16 +27,18 @@ object TextQueries {
   def tokenHashSql(w: String): String =
     s"CAST(length($w)*1009 + ascii(left($w,1))*31 + ascii(right($w,1)) AS BIGINT)"
 
-  /** Whitespace tokens, DuckDB-split-aligned on the one edge where the
-    * engines disagree: `string_split('', ' ')` is `['']` in DuckDB but
-    * `split('', ' ')` is `[]` in Spark — an empty (non-NULL) text must
-    * tokenize to ONE empty token on both engines or every token-derived
-    * stat (cls scores, vocab counts, drift, fertility) silently
-    * diverges on empty-text rows (fuzz seed 1 caught this across eight
-    * C-block keys). NULL text stays NULL on both engines.
+  /** Whitespace tokens. On THIS Spark (4.1.2) `split('', ' ')` returns
+    * `['']` — same as DuckDB's `string_split` — so no empty-text special
+    * case is needed: an empty (non-NULL) text tokenizes to ONE empty
+    * token on both engines, which every token-derived stat (cls scores,
+    * vocab counts, drift, fertility) depends on (fuzz seed 1 caught the
+    * r14 divergence across eight C-block keys when the two sides
+    * disagreed here). NULL text stays NULL on both engines. The
+    * assumption is PINNED by TextQueriesSpec's "engine pin" test — if a
+    * Spark upgrade changes the `['']` behavior, that spec (not a silent
+    * oracle hash drift) is what breaks.
     */
-  def tokens(c: Column): Column =
-    when(c === "", array(lit(""))).otherwise(split(c, " "))
+  def tokens(c: Column): Column = split(c, " ")
 
   // ---------------------------------------------------------------- C1
   /** Exact dedup, keep-min-id per identical text: one hash-agg shuffle on
@@ -3142,38 +3144,86 @@ object TextQueries {
       .orderBy("lang")
   }
 
-  /** One EM round's oracle CTEs: enumerate every segmentation of each
-    * distinct word under cost{i-1} (recursive), argmax per word by
-    * (score DESC, path ASC), then re-count / prune / re-quantize.
+  /** One EM round's oracle CTEs: LINEAR Viterbi segmentation of each
+    * distinct word under cost{i-1}, then re-count / prune / re-quantize.
+    *
+    * Until round 16 this ENUMERATED every segmentation (a recursive
+    * path walk, ~1.93^len compositions of len into 1..4-char vocab
+    * pieces), which forced the fuzz corpus to censor tokens at ~10
+    * chars — exactly the domain where segmenter cover guards live. The
+    * rewrite is a forward DP, linear in total word length and uncapped:
+    *
+    *  - `r$i(w, q, s0..s3)`: s0 = best score of the LAST q chars of w;
+    *    s1..s3 are the trailing window that the next step's length-2..4
+    *    pieces extend (the Viterbi state vector carried in COLUMNS, so
+    *    the recursive term needs no aggregate — DuckDB forbids them).
+    *    GREATEST skips NULL terms (piece not in vocab, or q < l-1).
+    *  - `edges$i`: per boundary b, the MIN optimal first piece. This IS
+    *    the old (score DESC, path ASC) tie rule: two optimal paths from
+    *    one boundary differ first at their first differing piece, and
+    *    piece string order equals path string order there (when one
+    *    piece prefixes the other, the shorter sorts first in both,
+    *    because the path's ' ' separator < every letter); induction
+    *    along the walk extends the argument to the full path.
+    *  - `walk$i`: follows the unique chosen edge from b=0, emitting one
+    *    piece per step — multiplicity preserved without path strings.
+    *
+    * Hub CTEs are MATERIALIZED: DuckDB inlines a CTE per REFERENCE
+    * (each reference re-executes its whole upstream chain — with the
+    * cost table referenced 5x per round that re-ran the prior round's
+    * full pipeline multiplicatively); a materialized hub runs once.
     */
-  private def uniIterCtes(i: Int): String =
-    s"""e$i(w, pos, score, path) AS (
-       |  SELECT w, CAST(1 AS BIGINT), CAST(0 AS BIGINT), '' FROM wf
+  private def uniIterCtes(i: Int): String = {
+    val j = i - 1
+    val joins = (1 to UniMaxPieceLen).map { l =>
+      val guard = if (l > 1) s" AND g.q >= ${l - 1}" else ""
+      s"  LEFT JOIN cost$j c$l ON c$l.piece = " +
+        s"substr(g.w, CAST(len(g.w) - g.q AS INTEGER), $l)$guard"
+    }.mkString("\n")
+    val terms = (1 to UniMaxPieceLen).map(l => s"c$l.cost + g.s${l - 1}")
+      .mkString(", ")
+    s"""r$i(w, q, s0, s1, s2, s3) AS (
+       |  SELECT w, 0, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+       |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM wf
        |  UNION ALL
-       |  SELECT s.w, s.pos + len(v.piece), s.score + v.cost,
-       |    CASE WHEN s.path = '' THEN v.piece ELSE s.path || ' ' || v.piece END
-       |  FROM e$i s JOIN cost${i - 1} v
-       |    ON substr(s.w, CAST(s.pos AS INTEGER), CAST(len(v.piece) AS INTEGER)) = v.piece
-       |), best$i AS (
-       |  SELECT w, path FROM (
-       |    SELECT w, path, ROW_NUMBER() OVER (
-       |      PARTITION BY w ORDER BY score DESC, path ASC) AS rn
-       |    FROM e$i WHERE pos = len(w) + 1) WHERE rn = 1
+       |  SELECT g.w, g.q + 1, GREATEST($terms),
+       |    g.s0, g.s1, g.s2
+       |  FROM r$i g
+       |$joins
+       |  WHERE g.q < len(g.w)
+       |), gall$i AS MATERIALIZED (
+       |  SELECT w, len(w) - q AS b, s0 AS s FROM r$i WHERE s0 IS NOT NULL
+       |), edges$i AS MATERIALIZED (
+       |  SELECT w, b, MIN(piece) AS piece FROM (
+       |    SELECT gb.w, gb.b, c.piece
+       |    FROM gall$i gb
+       |    JOIN cost$j c
+       |      ON c.piece = substr(gb.w, CAST(gb.b + 1 AS INTEGER), len(c.piece))
+       |    JOIN gall$i gn ON gn.w = gb.w AND gn.b = gb.b + len(c.piece)
+       |    WHERE c.cost + gn.s = gb.s
+       |  ) GROUP BY w, b
+       |), walk$i(w, b, piece) AS (
+       |  SELECT w, CAST(0 AS BIGINT) AS b, CAST(NULL AS VARCHAR) AS piece FROM wf
+       |  UNION ALL
+       |  SELECT s.w, s.b + len(e.piece), e.piece
+       |  FROM walk$i s JOIN edges$i e ON e.w = s.w AND e.b = s.b
+       |), pieces$i AS MATERIALIZED (
+       |  SELECT w, b, piece FROM walk$i WHERE piece IS NOT NULL
        |)""".stripMargin
+  }
 
   private def uniRecountCtes(i: Int): String =
-    s"""cnt$i AS (
+    s"""cnt$i AS MATERIALIZED (
        |  SELECT piece, CAST(SUM(f) AS BIGINT) AS cnt FROM (
-       |    SELECT wf.f, UNNEST(string_split(b.path, ' ')) AS piece
-       |    FROM best$i b JOIN wf ON wf.w = b.w)
+       |    SELECT wf.f, p.piece FROM pieces$i p JOIN wf ON wf.w = p.w)
        |  GROUP BY piece
-       |), v$i AS (
+       |), v$i AS MATERIALIZED (
        |  SELECT v.piece,
        |    CASE WHEN len(v.piece) = 1 THEN GREATEST(COALESCE(c.cnt, 0), 1)
        |         ELSE c.cnt END AS cnt
        |  FROM v${i - 1} v LEFT JOIN cnt$i c USING (piece)
        |  WHERE len(v.piece) = 1 OR c.cnt IS NOT NULL
-       |), cost$i AS (
+       |), cost$i AS MATERIALIZED (
        |  SELECT piece, CAST(ROUND(ln(CAST(cnt AS DOUBLE)
        |    / CAST((SELECT SUM(cnt) FROM v$i) AS DOUBLE)) * 1000000) AS BIGINT) AS cost
        |  FROM v$i
@@ -3181,8 +3231,9 @@ object TextQueries {
 
   /** The C132 oracle chain through `base` (per-lang word/piece sums) —
     * D39's streaming twin reuses it minus the unstreamable
-    * distinct-piece column (the wpBaseCtes/d34 pattern). `best$apply`
-    * is the final-cost segmentation the tails read.
+    * distinct-piece column (the wpBaseCtes/d34 pattern). `pieces$apply`
+    * is the final-cost segmentation (one row per piece occurrence) the
+    * tails read.
     */
   private[graft] val uniApplyIdx: Int = UniEmIters + 1
 
@@ -3192,13 +3243,13 @@ object TextQueries {
       uniIterCtes(i) + ",\n" + uniRecountCtes(i)).mkString(",\n")
     s"""WITH RECURSIVE words AS (
        |  SELECT lang, UNNEST(string_split(text, ' ')) AS w FROM documents
-       |), wf AS (
+       |), wf AS MATERIALIZED (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM words
        |  WHERE len(w) > 0 GROUP BY w
        |), pos AS (
-       |  SELECT UNNEST(range(1, (SELECT MAX(len(w)) + 1 FROM wf))) AS p
+       |  SELECT UNNEST(range(1, (SELECT COALESCE(MAX(len(w)), 0) + 1 FROM wf))) AS p
        |), lens AS (SELECT UNNEST(range(1, $UniMaxPieceLen + 1)) AS l),
-       |sub AS (
+       |sub AS MATERIALIZED (
        |  SELECT substr(f.w, CAST(t.p AS INTEGER), CAST(u.l AS INTEGER)) AS piece,
        |    CAST(SUM(f.f) AS BIGINT) AS wt
        |  FROM wf f, pos t, lens u
@@ -3207,21 +3258,24 @@ object TextQueries {
        |), top AS (
        |  SELECT piece FROM sub WHERE len(piece) >= 2
        |  ORDER BY wt DESC, piece LIMIT $UniTopPieces
-       |), v0 AS (
+       |), v0 AS MATERIALIZED (
        |  SELECT piece, wt AS cnt FROM sub WHERE len(piece) = 1
        |  UNION ALL
        |  SELECT s.piece, s.wt AS cnt FROM sub s JOIN top t USING (piece)
-       |), cost0 AS (
+       |), cost0 AS MATERIALIZED (
        |  SELECT piece, CAST(ROUND(ln(CAST(cnt AS DOUBLE)
        |    / CAST((SELECT SUM(cnt) FROM v0) AS DOUBLE)) * 1000000) AS BIGINT) AS cost
        |  FROM v0
        |),
        |$iters,
        |${uniIterCtes(apply)},
+       |wpc AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS np FROM pieces$apply GROUP BY w
+       |),
        |base AS (
        |  SELECT wd.lang, CAST(COUNT(*) AS BIGINT) AS n_words,
-       |    CAST(SUM(len(string_split(c.path, ' '))) AS BIGINT) AS n_pieces
-       |  FROM words wd JOIN best$apply c ON c.w = wd.w
+       |    CAST(SUM(c.np) AS BIGINT) AS n_pieces
+       |  FROM words wd JOIN wpc c ON c.w = wd.w
        |  GROUP BY wd.lang
        |)""".stripMargin
   }
@@ -3230,8 +3284,7 @@ object TextQueries {
     s"""$uniBaseCtes, dp AS (
        |  SELECT wd.lang, CAST(COUNT(DISTINCT p.piece) AS BIGINT) AS n_distinct_pieces
        |  FROM (SELECT DISTINCT lang, w FROM words WHERE len(w) > 0) wd
-       |  JOIN (SELECT b.w, UNNEST(string_split(b.path, ' ')) AS piece
-       |        FROM best$uniApplyIdx b) p ON p.w = wd.w
+       |  JOIN (SELECT DISTINCT w, piece FROM pieces$uniApplyIdx) p ON p.w = wd.w
        |  GROUP BY wd.lang
        |)
        |SELECT b.lang, b.n_words, b.n_pieces,

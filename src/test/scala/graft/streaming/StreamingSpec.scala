@@ -22,6 +22,44 @@ class StreamingSpec extends SparkTestBase {
 
   private lazy val stagedDir = StreamingOps.stageEventsDir(spark, sf)
 
+  test("split staging: k files, lossless, event-time-ordered, ties never straddle") {
+    val dir = StreamingOps.stageTableDirSplit(spark, sf, "events", 4, seed = 7L)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    assert(files.length == 4, s"expected 4 staged files, got ${files.length}")
+    // modTimes strictly increase with batch index (the file-source replay order)
+    assert(files.map(_.lastModified).sliding(2).forall(p => p(0) < p(1)))
+    val whole = Tables(spark, sf, "events")
+    val parts = files.map(f => spark.read.parquet(f.getPath))
+    assert(parts.map(_.count()).sum == whole.count(), "split staging lost rows")
+    assert(parts.head.schema == whole.schema, "split staging changed the schema")
+    // watermark-respecting: batch i's max ts < batch i+1's min ts —
+    // STRICT, which also proves equal timestamps never straddle a cut
+    // (ts arrives as parquet-nanos BIGINT or NTZ timestamp depending on
+    // the reader flags — normalize to epoch-µs like Tables.eventsWithUs)
+    def usCol(p: org.apache.spark.sql.DataFrame) = p.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("ts").cast("timestamp"))
+      case _ => unix_micros(col("ts"))
+    }
+    val spans = parts.map { p =>
+      val r = p.agg(min(usCol(p)), max(usCol(p))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    spans.sliding(2).foreach { w =>
+      val hi = w(0)._2
+      val lo = w(1)._1
+      assert(hi < lo, s"batch boundary not watermark-respecting: $hi >= $lo")
+    }
+    // determinism: same seed → same cut row counts
+    val dir2 = StreamingOps.stageTableDirSplit(spark, sf, "events", 4, seed = 7L)
+    val counts2 = new java.io.File(dir2).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => spark.read.parquet(f.getPath).count()).toSeq
+    assert(counts2 == parts.map(_.count()).toSeq)
+  }
+
   test("D1 streaming windowed agg == batch B6 mirror (same buckets and sums)") {
     val stream = StreamingOps.eventsStream(spark, sf, stagedDir)
     // complete mode so not-yet-finalized tail windows are emitted too —

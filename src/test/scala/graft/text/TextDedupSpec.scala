@@ -6,6 +6,26 @@ import graft.dedup.{DedupQueries, MinHashLsh}
 
 class TextQueriesSpec extends SparkTestBase {
 
+  test("engine pin: split('', ' ') and tokens('') both yield ['']") {
+    import spark.implicits._
+    // tokens()'s empty-text branch assumes Spark and DuckDB disagree on
+    // splitting '' — pin what THIS Spark actually returns so the
+    // assumption is checked, not remembered (r15 advice: verify whether
+    // the special case is even live)
+    val row = Seq(("", "x y")).toDF("empty", "two")
+      .select(split(col("empty"), " ").as("raw"),
+        TextQueries.tokens(col("empty")).as("tok"),
+        TextQueries.tokens(col("two")).as("tok2"),
+        TextQueries.tokens(lit(null).cast("string")).as("tokNull"))
+      .head
+    assert(row.getSeq[String](0) == Seq(""),
+      "split('', ' ') no longer returns [''] — re-audit tokens() and " +
+        "every token-derived oracle against DuckDB string_split")
+    assert(row.getSeq[String](1) == Seq(""))
+    assert(row.getSeq[String](2) == Seq("x", "y"))
+    assert(row.get(3) == null)
+  }
+
   test("c5 fingerprint matches a plain-Scala reimplementation") {
     val doc = Tables(spark, sf, "documents")
       .select("doc_id", "text").orderBy("doc_id").head

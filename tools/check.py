@@ -99,6 +99,11 @@ def main():
             continue
         finally:
             timer.cancel()
+            # cancel() does not stop an in-flight callback: join the
+            # timer thread so a near-budget firing cannot set `fired` /
+            # interrupt the connection AFTER this check and poison the
+            # NEXT key's execute as a misattributed ORACLE-ERROR
+            timer.join()
             if fired.is_set():
                 con = connect()
         scols, skinds, srows = canon(spark_df)

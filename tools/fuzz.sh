@@ -13,8 +13,17 @@
 # Usage: tools/fuzz.sh [seed ...]        default seeds: 0 1 2 3 4
 # Env:   FUZZ_DIR   scratch root        (default /tmp/graft_fuzz)
 #        FUZZ_KEYS  comma-separated key subset forwarded to Verify
+#                   (entries may end in `*` for a prefix match)
+#        FUZZ_SPLIT micro-batch count for the D-block split lane
+#                   (default 4; 0 disables). The split lane re-stages
+#                   the SAME corpus as K watermark-respecting random
+#                   batch cuts (GRAFT_STREAM_SPLIT) and requires every
+#                   D key to STILL hash-match its batch oracle — the
+#                   batch-boundary adversary for cross-batch state
+#                   (d33's click-memory gap was this bug class).
 #
-# Exit 0 iff every seed dumps every key AND every key hash-matches DuckDB.
+# Exit 0 iff every seed dumps every key AND every key hash-matches DuckDB,
+# in both the single-batch and (unless disabled) the split-replay lane.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
@@ -37,25 +46,72 @@ for s in "${seeds[@]}"; do
 done
 sbt -batch "${cmds[@]}" || { echo "[fuzz] sbt run failed"; exit 2; }
 
+# Split lane: one more sbt invocation with GRAFT_STREAM_SPLIT exported
+# (env is per-process, so the single-batch lane above must run in its
+# own sbt). Seeds derive per (corpus, table) inside staged(), so one
+# env value covers every seed.
+split_k="${FUZZ_SPLIT:-4}"
+if [ "$split_k" != "0" ]; then
+  scmds=()
+  for s in "${seeds[@]}"; do
+    rm -rf "$root/out_s${s}_split"
+    scmds+=("runMain graft.Verify $root/corpus_s$s $root/out_s${s}_split d*")
+  done
+  GRAFT_STREAM_SPLIT="$split_k" sbt -batch "${scmds[@]}" \
+    || { echo "[fuzz] split-lane sbt run failed"; exit 2; }
+fi
+
 fail=0
 for s in "${seeds[@]}"; do
   out="$root/out_s$s"
   # Verify exits 0 even when a query dies (driver-budget semantics), so
-  # gate on the dump count: every oracle'd key must have a parquet dir
-  # (rows-only keys may add EXTRA dirs — only fewer-than-want means a
-  # crash). A missing/unreadable oracle_sql.json is itself a failure.
-  if ! want=$(python3 -c "import json; print(len(json.load(open('$out/oracle_sql.json'))))"); then
+  # gate BY NAME: every key in oracle_sql.json must have its own dump
+  # dir (a count compare would let a rows-only key's extra dir pad over
+  # a crashed oracle'd key — check.py iterates only existing dirs, so
+  # the missing key would never even be compared). A missing/unreadable
+  # oracle_sql.json is itself a failure.
+  if ! missing=$(python3 - "$out" <<'PY'
+import json, os, sys
+out = sys.argv[1]
+keys = sorted(json.load(open(f"{out}/oracle_sql.json")))
+missing = [k for k in keys if not os.path.isdir(os.path.join(out, k))]
+print(f"=== {len(keys) - len(missing)}/{len(keys)} oracle'd keys dumped ===",
+      file=sys.stderr)
+print(" ".join(missing))
+PY
+  ); then
     echo "[fuzz] seed $s: oracle_sql.json missing/unreadable — Verify died at startup"
     fail=1
     continue
   fi
-  have=$(find "$out" -mindepth 1 -maxdepth 1 -type d ! -name '.*' | wc -l)
-  echo "=== seed $s: $have/$want keys dumped ==="
-  if [ "$have" -lt "$want" ]; then
-    echo "[fuzz] seed $s: MISSING DUMPS — a query crashed; see Verify stderr above"
+  if [ -n "$missing" ]; then
+    echo "[fuzz] seed $s: MISSING DUMPS ($missing) — a query crashed; see Verify stderr above"
     fail=1
   fi
   python3 tools/check.py "$out" "$root/corpus_s$s" || fail=1
+  if [ "$split_k" != "0" ]; then
+    sout="$root/out_s${s}_split"
+    echo "--- seed $s split lane (k=$split_k) ---"
+    if ! smissing=$(python3 - "$sout" <<'PY'
+import json, os, sys
+out = sys.argv[1]
+keys = sorted(json.load(open(f"{out}/oracle_sql.json")))
+missing = [k for k in keys if not os.path.isdir(os.path.join(out, k))]
+print(f"=== {len(keys) - len(missing)}/{len(keys)} split-lane keys dumped ===",
+      file=sys.stderr)
+print(" ".join(missing))
+PY
+    ); then
+      echo "[fuzz] seed $s split: oracle_sql.json missing — Verify died at startup"
+      fail=1
+      continue
+    fi
+    if [ -n "$smissing" ]; then
+      echo "[fuzz] seed $s split: MISSING DUMPS ($smissing) — a query crashed under split replay"
+      fail=1
+    fi
+    python3 tools/check.py "$sout" "$root/corpus_s$s" || fail=1
+  fi
 done
 
 if [ "$fail" -eq 0 ]; then
