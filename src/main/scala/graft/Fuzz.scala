@@ -275,15 +275,31 @@ object Fuzz {
     }.toDF("doc_id", "text", "lang", "source", "n_chars"), dir, "documents")
 
     // embeddings: exact-duplicate vectors, zero vectors (norm 0), tied
-    // labels — 64-dim to match the fixture contract
+    // labels — 64-dim to match the fixture contract. Since r16 the wave
+    // also plants QUARANTINE-class vectors (NULL / NaN / ±Inf
+    // components): the c139 ingest contract filters them at the read
+    // boundary on both engines, so every embed key must stay
+    // oracle-green with poisoned rows in the RAW table (before the
+    // contract, one Inf component CAST_OVERFLOWed c112/c54 — a single
+    // bad row killing a corpus-wide job).
     val nVec = n(96)
     val dupVec = Array.fill(64)(math.rint(rnd.nextGaussian() * 1000) / 1000f)
       .map(_.toFloat)
     writeTable((0 until nVec).map { i =>
+      def rand64() =
+        Array.fill(64)((math.rint(rnd.nextGaussian() * 1000) / 1000).toFloat)
       val v: Array[Float] =
-        if (!single && rnd.nextInt(12) == 0) Array.fill(64)(0.0f)
+        if (!single && rnd.nextInt(24) == 0) null
+        else if (!single && rnd.nextInt(20) == 0) {
+          val a = rand64(); a(rnd.nextInt(64)) = Float.NaN; a
+        } else if (!single && rnd.nextInt(20) == 0) {
+          val a = rand64()
+          a(rnd.nextInt(64)) =
+            if (rnd.nextBoolean()) Float.PositiveInfinity else Float.NegativeInfinity
+          a
+        } else if (!single && rnd.nextInt(12) == 0) Array.fill(64)(0.0f)
         else if (!single && rnd.nextInt(5) == 0) dupVec
-        else Array.fill(64)((math.rint(rnd.nextGaussian() * 1000) / 1000).toFloat)
+        else rand64()
       (i.toLong, v, rnd.nextInt(10))
     }.toDF("vec_id", "embedding", "label"), dir, "embeddings")
   }

@@ -56,12 +56,107 @@ object EmbedQueries {
   val TopK = 10
   val ProbeMod = 100 // probes = vec_id % 100 == 0
 
-  private def withNorms(spark: SparkSession, dir: String): DataFrame =
+  /** TRUE iff the vector is present and every component is finite —
+    * the c139 ingest contract (r16). One NaN/Inf component poisons
+    * every derived double downstream, and the two engines then diverge
+    * IN DIFFERENT WAYS (Spark throws CAST_OVERFLOW quantizing
+    * Infinity*1e6 to BIGINT — one bad vector kills a corpus-wide job;
+    * DuckDB errors on the same cast; NaN ordering flips compare
+    * results), so non-finite vectors are quarantined at the READ
+    * boundary, in one place, instead of NaN-guarding thirty query
+    * bodies. `x - x = 0` would also work; the explicit form reads.
+    */
+  def finiteVec(c: Column): Column =
+    c.isNotNull && forall(c, x =>
+      // x.isNotNull FIRST: a NULL element must make the per-element
+      // predicate FALSE, not NULL — Spark's forall returns NULL (row
+      // silently dropped) where DuckDB's list_filter drops the
+      // NULL-predicate element (row KEPT): the engines would disagree
+      // on exactly the defective rows the contract exists to quarantine
+      x.isNotNull && !isnan(x) && abs(x) =!= lit(Float.PositiveInfinity))
+
+  /** The ONE embeddings read every embed-family query goes through:
+    * the raw table minus quarantined (NULL / NaN / Inf) vectors. The
+    * oracle twin is [[fembCte]]; the quarantine REPORT over the raw
+    * table is c139.
+    */
+  private[graft] def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings").filter(finiteVec(col("embedding")))
+
+  /** DuckDB twin of [[vectors]] — isfinite(NaN) is false, so one
+    * predicate covers both defect classes.
+    */
+  private[graft] val fembCte: String =
+    "femb AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL " +
+      "AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0)"
+
+  // --------------------------------------------------------------- C139
+  /** C139: the vector ingest-quarantine report — the observability half
+    * of the [[vectors]] contract. Classifies every RAW vector by its
+    * first defect (null_vec > has_null > has_nan > has_inf > zero_norm > ok; NaN
+    * before Inf because isfinite rejects both and the tie must be
+    * deterministic) and reports per-class counts with a min-vec_id
+    * witness. A 100 TB ingest runs exactly this before the embed
+    * family: one map-side classify + a ≤5-row aggregate — and without
+    * the quarantine, ONE non-finite component makes Spark throw
+    * CAST_OVERFLOW quantizing Infinity·1e6 to BIGINT (a poisoned row
+    * kills the corpus-wide job) while DuckDB errors on the same cast —
+    * the r16 fuzz probe's finding. Zero-norm vectors are reported but
+    * NOT quarantined: their downstream semantics (cosine NULL/+∞
+    * coalesces) are already defined and oracle-pinned.
+    */
+  def c139VectorQuarantine(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        when(col("embedding").isNull, "null_vec")
+          .when(exists(col("embedding"), x => x.isNull), "has_null")
+          .when(exists(col("embedding"), x => isnan(x)), "has_nan")
+          .when(exists(col("embedding"),
+            x => abs(x) === lit(Float.PositiveInfinity)), "has_inf")
+          .when(forall(col("embedding"), x => x === lit(0.0f)), "zero_norm")
+          .otherwise("ok").as("defect"))
+      .groupBy("defect")
+      .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("first_vec"))
+      .orderBy("defect")
+
+  val c139Sql: String =
+    """SELECT defect, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  MIN(vec_id) AS first_vec
+      |FROM (
+      |  SELECT vec_id, CASE
+      |    WHEN embedding IS NULL THEN 'null_vec'
+      |    WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN 'has_null'
+      |    WHEN len(list_filter(embedding, x -> isnan(x))) > 0 THEN 'has_nan'
+      |    WHEN len(list_filter(embedding, x -> NOT isfinite(x))) > 0 THEN 'has_inf'
+      |    WHEN len(list_filter(embedding, x -> x <> 0)) = 0 THEN 'zero_norm'
+      |    ELSE 'ok' END AS defect
+      |  FROM embeddings)
+      |GROUP BY defect ORDER BY defect""".stripMargin
+
+  /** Micro-quantization that is TOTAL on raw (possibly quarantined)
+    * elements. The plain `round(cast).cast(long)` lambda is a landmine
+    * under `posexplode(transform(...))`: Catalyst infers
+    * `size(transform(...)) > 0` from the Generate, merges it into the
+    * SAME Filter as the [[vectors]] quarantine check, and predicate
+    * subexpression elimination then evaluates the casting transform
+    * UNCONDITIONALLY on pre-filter rows — one Inf/NaN component in the
+    * RAW table CAST_OVERFLOWs the whole job straight past the guard
+    * (the r16 non-finite fuzz probe's second find). The guard makes
+    * quarantined elements quantize to NULL instead of throwing; the
+    * rows never survive the filter, so post-filter values are
+    * identical — and genuinely huge FINITE values still throw loudly.
+    */
+  private def qMicroTotal(e: Column, scale: Double = 1000000.0): Column =
+    when(e.isNotNull && !isnan(e) && abs(e) =!= lit(Float.PositiveInfinity),
+      round(e.cast("double") * lit(scale), 0).cast("long"))
+
+  private def withNorms(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir)
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
 
   private val normsCte: String =
-    s"norms AS (SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2 FROM embeddings)"
+    s"$fembCte,\n" +
+      s"norms AS (SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2 FROM femb)"
 
   // ---------------------------------------------------------------- C9
   /** Block count for the C9 self-join: each side is replicated
@@ -321,7 +416,7 @@ object EmbedQueries {
     */
   def c42MrlRecall(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = Tables(spark, dir, "embeddings")
+    val t = vectors(spark, dir)
       .select(col("vec_id"), slice(col("embedding"), 1, MrlDims).as("te"))
       .withColumn("n2", norm2(col("te")))
     val probes = t.filter(col("vec_id") % ProbeMod === 0)
@@ -341,7 +436,7 @@ object EmbedQueries {
        |trunc AS (
        |  SELECT vec_id, embedding[1:$MrlDims] AS te,
        |    ${norm2Sql(s"embedding[1:$MrlDims]")} AS n2
-       |  FROM embeddings),
+       |  FROM femb),
        |aprob AS (SELECT vec_id AS probe_id, te AS pe, n2 AS pn FROM trunc WHERE vec_id % $ProbeMod = 0),
        |asc0 AS (
        |  SELECT p.probe_id, e.vec_id,
@@ -767,7 +862,7 @@ object EmbedQueries {
     * path is the C19 one.
     */
   def c20SemanticCollapse(spark: SparkSession, dir: String): DataFrame = {
-    val verts = Tables(spark, dir, "embeddings").select(col("vec_id").as("id"))
+    val verts = vectors(spark, dir).select(col("vec_id").as("id"))
     val edges = cosinePairFrame(spark, dir)
       .select(col("vec_a").as("src"), col("vec_b").as("dst"))
     graft.dedup.GraphCC.connectedComponents(verts, edges)
@@ -795,7 +890,7 @@ object EmbedQueries {
        |),
        |e AS MATERIALIZED (SELECT vec_a AS src, vec_b AS dst FROM pairs
        |      UNION ALL SELECT vec_b, vec_a FROM pairs),
-       |${graft.tiles.Clustering.minLabelCtes("sc", SemCcRounds, Nil, "embeddings", "vec_id", "e").mkString(",\n")}
+       |${graft.tiles.Clustering.minLabelCtes("sc", SemCcRounds, Nil, "femb", "vec_id", "e").mkString(",\n")}
        |SELECT v AS vec_id, lbl AS canonical_id, v = lbl AS keep
        |FROM sc_m$SemCcRounds ORDER BY vec_id""".stripMargin
 
@@ -864,7 +959,7 @@ object EmbedQueries {
   val QSteps = 254.0
 
   def c28VectorQuantize(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir, "embeddings")
+    val e = vectors(spark, dir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("vec_id"), col("dim"), col("v").cast("double").as("v"))
     val stats = e.groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
@@ -880,10 +975,11 @@ object EmbedQueries {
   }
 
   val c28Sql: String =
-    s"""WITH e AS (
+    s"""WITH $fembCte,
+       |e AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
        |    CAST(UNNEST(embedding) AS DOUBLE) AS v
-       |  FROM embeddings
+       |  FROM femb
        |), d AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM e GROUP BY dim),
        |q AS (
        |  SELECT vec_id,
@@ -927,7 +1023,7 @@ object EmbedQueries {
     * donate their subvectors (see C39 doc).
     */
   private def pqCentsFrame(spark: SparkSession, dir: String): DataFrame =
-    pqSubspaces(Tables(spark, dir, "embeddings")
+    pqSubspaces(vectors(spark, dir)
         .select(col("vec_id"), col("embedding")).filter(col("vec_id") < PqCents))
       .select(col("s"), col("vec_id").as("cid"), col("sub").as("ce"))
 
@@ -944,7 +1040,7 @@ object EmbedQueries {
     * scans it as the index payload.
     */
   private def pqCodeFrame(spark: SparkSession, dir: String): DataFrame =
-    pqSubspaces(Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding")))
+    pqSubspaces(vectors(spark, dir).select(col("vec_id"), col("embedding")))
       .join(broadcast(pqCentsFrame(spark, dir)), "s")
       .select(col("vec_id"), col("s"), col("cid"), pqDist6.as("d"))
       .groupBy("vec_id", "s")
@@ -968,9 +1064,10 @@ object EmbedQueries {
         |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
         |           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
         |      (x, y) -> x + y)""".stripMargin
-    s"""WITH sub AS (
+    s"""WITH $fembCte,
+       |sub AS (
        |  SELECT vec_id, s, embedding[s*$PqSubDim+1 : s*$PqSubDim+$PqSubDim] AS sub
-       |  FROM (SELECT vec_id, embedding, UNNEST(range(0, $PqSub)) AS s FROM embeddings)
+       |  FROM (SELECT vec_id, embedding, UNNEST(range(0, $PqSub)) AS s FROM femb)
        |), cents AS (
        |  SELECT s, vec_id AS cid, sub AS ce FROM sub WHERE vec_id < $PqCents
        |), assigned AS (
@@ -1125,7 +1222,7 @@ object EmbedQueries {
     val shared = m.join(la, "a").join(lb, Seq("b", "c"))
       .groupBy("a", "b").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= SnnKt)
-    val verts = Tables(spark, dir, "embeddings").select(col("vec_id").as("id"))
+    val verts = vectors(spark, dir).select(col("vec_id").as("id"))
     val cc = graft.dedup.GraphCC.connectedComponents(verts,
       shared.select(col("a").as("src"), col("b").as("dst")))
     val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
@@ -1167,7 +1264,7 @@ object EmbedQueries {
     val nb = td.select(col("vec_a"), col("vec_b"))
       .join(kd.select(col("vec_a").as("vec_b"), col("kdist_micro").as("nk")), "vec_b")
       .groupBy("vec_a").agg(expr("sum(nk) div count(1)").as("nbr_kdist_micro"))
-    Tables(spark, dir, "embeddings").select(col("vec_id"))
+    vectors(spark, dir).select(col("vec_id"))
       .join(kd.withColumnRenamed("vec_a", "vec_id"), Seq("vec_id"), "left")
       .join(nb.withColumnRenamed("vec_a", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"),
@@ -1199,7 +1296,7 @@ object EmbedQueries {
        |  COALESCE(kd.kdist_micro, -1) AS kdist_micro,
        |  COALESCE(nb.nbr_kdist_micro, -1) AS nbr_kdist_micro,
        |  COALESCE((nb.nbr_kdist_micro * 1000000) // kd.kdist_micro, -1) AS lof_ppm
-       |FROM embeddings e
+       |FROM femb e
        |LEFT JOIN kd ON kd.vec_a = e.vec_id
        |LEFT JOIN nb ON nb.vec_a = e.vec_id
        |ORDER BY e.vec_id""".stripMargin
@@ -1216,7 +1313,7 @@ object EmbedQueries {
        |  SELECT a AS src, b AS dst FROM sn WHERE shared >= $SnnKt
        |  UNION ALL SELECT b, a FROM sn WHERE shared >= $SnnKt
        |),
-       |${graft.tiles.Clustering.minLabelCtes("sq", SnnCcRounds, Nil, "embeddings", "vec_id", "ke").mkString(",\n")},
+       |${graft.tiles.Clustering.minLabelCtes("sq", SnnCcRounds, Nil, "femb", "vec_id", "ke").mkString(",\n")},
        |sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n_members
        |       FROM sq_m$SnnCcRounds GROUP BY lbl)
        |SELECT m.v AS vec_id, m.lbl AS cluster_id, sz.n_members
@@ -1257,7 +1354,7 @@ object EmbedQueries {
     val edges = und.select(col("vec_a").as("src"), col("vec_b").as("dst"))
       .unionByName(und.select(col("vec_b").as("src"), col("vec_a").as("dst")))
       .seal()
-    val nodes = graft.Tables(spark, dir, "embeddings").select(col("vec_id").as("id"))
+    val nodes = vectors(spark, dir).select(col("vec_id").as("id"))
     val nTotal = nodes.count()
     val degt = nodes
       .join(edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")),
@@ -1305,7 +1402,7 @@ object EmbedQueries {
        |e AS MATERIALIZED (
        |  SELECT vec_a AS src, vec_b AS dst FROM mutual
        |  UNION ALL SELECT vec_b, vec_a FROM mutual),
-       |nodes AS (SELECT vec_id AS id FROM embeddings),
+       |nodes AS (SELECT vec_id AS id FROM femb),
        |nt AS (SELECT COUNT(*) AS n FROM nodes),
        |degt AS MATERIALIZED (
        |  SELECT n1.id, COALESCE(dg.deg, 0) AS deg
@@ -1351,7 +1448,7 @@ object EmbedQueries {
   def c104Triangles(spark: SparkSession, dir: String): DataFrame = {
     val und = mutualEdges(spark, dir).select("vec_a", "vec_b")
     val (deg, perNode) = triangleCounts(und)
-    Tables(spark, dir, "embeddings").select(col("vec_id"))
+    vectors(spark, dir).select(col("vec_id"))
       .join(deg.select(col("id").as("vec_id"), col("deg")), Seq("vec_id"), "left")
       .join(perNode.select(col("id").as("vec_id"), col("tri")), Seq("vec_id"), "left")
       .select(col("vec_id"),
@@ -1425,7 +1522,7 @@ object EmbedQueries {
        |  CAST(CASE WHEN COALESCE(d.deg, 0) >= 2
        |    THEN (2 * COALESCE(p.tri, 0) * 1000000000) // (d.deg * (d.deg - 1))
        |    ELSE 0 END AS BIGINT) AS lcc_nano
-       |FROM embeddings v
+       |FROM femb v
        |LEFT JOIN deg d ON d.id = v.vec_id
        |LEFT JOIN pt p ON p.id = v.vec_id
        |ORDER BY v.vec_id""".stripMargin
@@ -1736,7 +1833,7 @@ object EmbedQueries {
     * directly; C51's SemDeDup partitions its pair search by it.
     */
   private def kmAssigned(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val e = vectors(spark, dir).select(col("vec_id"), col("embedding"))
     val cents = e.filter(col("vec_id") < KmCents)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
     // same sequential subtract-square fold as C39 (and the oracle's
@@ -1762,11 +1859,11 @@ object EmbedQueries {
         |           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
         |      (x, y) -> x + y)""".stripMargin
     s"""cents AS (
-       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $KmCents
+       |  SELECT vec_id AS cid, embedding AS ce FROM femb WHERE vec_id < $KmCents
        |), assigned AS (
        |  SELECT v.vec_id,
        |    min([round($distSql, 6), CAST(c.cid AS DOUBLE)]) AS sc
-       |  FROM embeddings v CROSS JOIN cents c
+       |  FROM femb v CROSS JOIN cents c
        |  GROUP BY v.vec_id
        |)""".stripMargin
   }
@@ -1776,7 +1873,7 @@ object EmbedQueries {
     * crosses against.
     */
   private[graft] def kmCentroidRow(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "embeddings").filter(col("vec_id") < KmCents)
+    vectors(spark, dir).filter(col("vec_id") < KmCents)
       .select(struct(col("vec_id").as("cid"), col("embedding").as("ce")).as("c"))
       .agg(sort_array(collect_list(col("c"))).as("cents"))
 
@@ -1801,7 +1898,7 @@ object EmbedQueries {
       .orderBy("vec_id")
 
   val c50Sql: String =
-    s"""WITH $kmAssignedCte
+    s"""WITH $fembCte, $kmAssignedCte
        |SELECT vec_id, CAST(sc[2] AS BIGINT) AS cluster,
        |  CAST(ROUND(sc[1] * 1000000) AS BIGINT) AS dist_micro
        |FROM assigned ORDER BY vec_id""".stripMargin
@@ -1880,7 +1977,7 @@ object EmbedQueries {
        |ac AS (
        |  SELECT a.vec_id, CAST(a.sc[2] AS BIGINT) AS cluster, n.embedding, n.n2
        |  FROM assigned a JOIN norms n USING (vec_id)),
-       |vcut AS (SELECT (MIN(vec_id) + MAX(vec_id)) // 2 AS cut FROM embeddings),
+       |vcut AS (SELECT (MIN(vec_id) + MAX(vec_id)) // 2 AS cut FROM femb),
        |hits AS (
        |  SELECT * FROM (
        |    SELECT nw.vec_id AS new_id, o.vec_id AS corpus_id,
@@ -1910,10 +2007,10 @@ object EmbedQueries {
     * signal a driver loop would test.
     */
   def c56KmeansUpdate(spark: SparkSession, dir: String): DataFrame = {
-    val q = Tables(spark, dir, "embeddings")
+    val q = vectors(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"),
-          e => round(e.cast("double") * lit(1000000.0), 0).cast("long")).as("q"))
+          e => qMicroTotal(e)).as("q"))
     val members = kmAssigned(spark, dir).select(col("vec_id"), col("cluster"))
       .join(q, "vec_id")
       .select(col("cluster"), posexplode(col("q")))
@@ -1933,11 +2030,11 @@ object EmbedQueries {
   }
 
   val c56Sql: String =
-    s"""WITH $kmAssignedCte, q AS (
+    s"""WITH $fembCte, $kmAssignedCte, q AS (
        |  SELECT vec_id,
        |    list_transform(embedding,
        |      e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS q
-       |  FROM embeddings
+       |  FROM femb
        |), a AS (SELECT vec_id, CAST(sc[2] AS BIGINT) AS cluster FROM assigned),
        |m AS (
        |  SELECT a.cluster, d, COUNT(*) AS n_members,
@@ -1984,10 +2081,10 @@ object EmbedQueries {
       val m = pmod(h, lit(6))
       when(m === 0, 1L).when(m === 1, -1L).otherwise(0L)
     }
-    Tables(spark, dir, "embeddings")
+    vectors(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"),
-          e => round(e.cast("double") * lit(1000000.0), 0).cast("long")).as("q"))
+          e => qMicroTotal(e)).as("q"))
       .select(col("vec_id"), posexplode(
         transform(sequence(lit(0), lit(RpDims - 1)),
           j => aggregate(sequence(lit(0), lit(Dims - 1)), lit(0L),
@@ -1997,11 +2094,12 @@ object EmbedQueries {
   }
 
   val c54Sql: String =
-    s"""WITH q AS (
+    s"""WITH $fembCte,
+       |q AS (
        |  SELECT vec_id,
        |    list_transform(embedding,
        |      e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS q
-       |  FROM embeddings
+       |  FROM femb
        |), cells AS (
        |  SELECT vec_id, j, d, q[d + 1] AS qd,
        |    ((1103515245 * (j * $Dims + d) + 12345) % 2147483648) % 6 AS m
@@ -2043,7 +2141,7 @@ object EmbedQueries {
       .join(ivfAssigned(spark, dir).select("vec_id", "cid"), "vec_id")
     val probeCells = ivfProbeLists(spark, dir).select("probe_id", "cid")
     val lut = pqSubspaces(
-        Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        vectors(spark, dir).select(col("vec_id"), col("embedding"))
           .filter(col("vec_id") % ProbeMod === 0))
       .join(broadcast(pqCentsFrame(spark, dir)), "s")
       .select(col("vec_id").as("probe_id"), col("s"), col("cid").as("code"),
@@ -2086,7 +2184,7 @@ object EmbedQueries {
        |),
        |sub AS (
        |  SELECT vec_id, s, embedding[s*$PqSubDim+1 : s*$PqSubDim+$PqSubDim] AS sub
-       |  FROM (SELECT vec_id, embedding, UNNEST(range(0, $PqSub)) AS s FROM embeddings)
+       |  FROM (SELECT vec_id, embedding, UNNEST(range(0, $PqSub)) AS s FROM femb)
        |), pqcents AS (
        |  SELECT s, vec_id AS cid, sub AS ce FROM sub WHERE vec_id < $PqCents
        |), codes AS (
@@ -2132,7 +2230,7 @@ object EmbedQueries {
   def c69LabelProp(spark: SparkSession, dir: String): DataFrame = {
     val g = c46KnnGraph(spark, dir).select("vec_a", "vec_b")
     val edges = g.union(g.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
-    val lab = Tables(spark, dir, "embeddings")
+    val lab = vectors(spark, dir)
       .select(col("vec_id"), col("label").cast("long").as("label"))
     val votes = edges
       .join(lab.select(col("vec_id").as("vec_b"), col("label").as("nb_label")), "vec_b")
@@ -2175,7 +2273,7 @@ object EmbedQueries {
        |  UNION ALL SELECT vec_b AS vec_a, vec_a AS vec_b FROM mut),
        |votes AS (
        |  SELECT e.vec_a, CAST(l.label AS BIGINT) AS nb_label, COUNT(*) AS cnt
-       |  FROM edges e JOIN embeddings l ON l.vec_id = e.vec_b
+       |  FROM edges e JOIN femb l ON l.vec_id = e.vec_b
        |  GROUP BY e.vec_a, l.label),
        |best AS (
        |  SELECT vec_a AS vec_id, CAST(SUM(cnt) AS BIGINT) AS n_neighbors,
@@ -2187,7 +2285,7 @@ object EmbedQueries {
        |  COALESCE(v.b[2], -1) AS majority_label,
        |  CAST(COALESCE(v.n_neighbors, 0) > 0
        |    AND COALESCE(v.b[2], -1) <> l.label AS BIGINT) AS is_suspect
-       |FROM embeddings l LEFT JOIN best v ON v.vec_id = l.vec_id
+       |FROM femb l LEFT JOIN best v ON v.vec_id = l.vec_id
        |ORDER BY l.vec_id""".stripMargin
 
   // ---------------------------------------------------------------- C70
@@ -2208,10 +2306,10 @@ object EmbedQueries {
     */
   def c70Prototypicality(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = Tables(spark, dir, "embeddings")
+    val q = vectors(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"),
-          e => round(e.cast("double") * lit(1000000.0), 0).cast("long") + lit(1000000L))
+          e => qMicroTotal(e) + lit(1000000L))
           .as("q"))
     val memberDims = kmAssigned(spark, dir).select(col("vec_id"), col("cluster"))
       .join(q, "vec_id")
@@ -2234,11 +2332,11 @@ object EmbedQueries {
   }
 
   val c70Sql: String =
-    s"""WITH $kmAssignedCte, q AS (
+    s"""WITH $fembCte, $kmAssignedCte, q AS (
        |  SELECT vec_id,
        |    list_transform(embedding,
        |      e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000000) AS BIGINT) + 1000000) AS q
-       |  FROM embeddings
+       |  FROM femb
        |), a AS (SELECT vec_id, CAST(sc[2] AS BIGINT) AS cluster FROM assigned),
        |md AS (
        |  SELECT a.vec_id, a.cluster, d, q.q[d + 1] AS vq
@@ -2289,10 +2387,10 @@ object EmbedQueries {
     * driver.
     */
   def c78CentroidEval(spark: SparkSession, dir: String): DataFrame = {
-    val q = Tables(spark, dir, "embeddings")
+    val q = vectors(spark, dir)
       .select(col("vec_id"), col("label").cast("long").as("label"),
         transform(col("embedding"),
-          e => round(e.cast("double") * lit(1000000.0), 0).cast("long")).as("q"))
+          e => qMicroTotal(e)).as("q"))
     val cent = q.select(col("label").as("pred"), posexplode(col("q")))
       .groupBy("pred", "pos")
       .agg(count(lit(1)).as("n"), sum("col").as("s"))
@@ -2312,11 +2410,12 @@ object EmbedQueries {
   }
 
   val c78Sql: String =
-    s"""WITH q AS (
+    s"""WITH $fembCte,
+       |q AS (
        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
        |    list_transform(embedding,
        |      e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS q
-       |  FROM embeddings
+       |  FROM femb
        |), cent AS (
        |  SELECT label AS pred, d,
        |    CAST(ROUND(CAST(SUM(q[d + 1]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c_micro
@@ -2352,7 +2451,7 @@ object EmbedQueries {
     */
   def c81HardNegatives(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = Tables(spark, dir, "embeddings")
+    val e = vectors(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"), norm2(col("embedding")).as("n2"))
     val probes = e.filter(col("vec_id") % ProbeMod === 0)
       .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
@@ -2369,10 +2468,11 @@ object EmbedQueries {
   }
 
   val c81Sql: String =
-    s"""WITH lnorms AS (
+    s"""WITH $fembCte,
+       |lnorms AS (
        |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
        |    ${norm2Sql("embedding")} AS n2
-       |  FROM embeddings
+       |  FROM femb
        |), probes AS (
        |  SELECT vec_id AS probe_id, label AS plabel, embedding AS pe, n2 AS pn
        |  FROM lnorms WHERE vec_id % $ProbeMod = 0
@@ -2412,7 +2512,7 @@ object EmbedQueries {
     * extra shuffle.
     */
   def c114Silhouette(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val e = vectors(spark, dir).select(col("vec_id"), col("embedding"))
     val cents = e.filter(col("vec_id") < KmCents)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val dist6 = round(aggregate(zip_with(col("embedding"), col("ce"),
@@ -2440,12 +2540,13 @@ object EmbedQueries {
         |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
         |           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
         |      (x, y) -> x + y)""".stripMargin
-    s"""WITH cents AS (
-       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $KmCents
+    s"""WITH $fembCte,
+       |cents AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM femb WHERE vec_id < $KmCents
        |), dd AS (
        |  SELECT v.vec_id,
        |    list_sort(list([round($distSql, 6), CAST(c.cid AS DOUBLE)])) AS ds
-       |  FROM embeddings v CROSS JOIN cents c
+       |  FROM femb v CROSS JOIN cents c
        |  GROUP BY v.vec_id
        |), ab AS (
        |  SELECT vec_id, CAST(ds[1][2] AS BIGINT) AS cluster,
@@ -2486,18 +2587,28 @@ object EmbedQueries {
   val KCenters = 8
 
   def c115KCenter(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    import spark.implicits._
+    val e = vectors(spark, dir).select(col("vec_id"), col("embedding"))
+    // seed = MIN(vec_id) of the QUARANTINED view, not the literal 0:
+    // vec_id 0 can be a quarantined (NaN/Inf/NULL) vector, and an empty
+    // center frame made every round's argmax head() NULL-crash (r16
+    // fuzz probe). Identical on clean corpora, where min(vec_id) = 0.
+    val seedRow = e.agg(min("vec_id")).head()
+    if (seedRow.isNullAt(0))
+      return Seq.empty[(Long, Long, Long)]
+        .toDF("step", "center_id", "radius_micro")
+    val seed = seedRow.getLong(0)
     val dMicro = expr("CAST(ROUND(d6 * 1000000) AS BIGINT)")
     def d6(ce: Column): Column = round(aggregate(zip_with(col("embedding"), ce,
         (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, v) => acc + v), 6)
     def centerFrame(id: Long): DataFrame =
       e.filter(col("vec_id") === id).select(col("embedding").as("ce"))
-    var mind = e.crossJoin(broadcast(centerFrame(0L)))
+    var mind = e.crossJoin(broadcast(centerFrame(seed)))
       .select(col("vec_id"), d6(col("ce")).as("d6"))
       .select(col("vec_id"), dMicro.as("md"))
       .seal()
-    val centers = scala.collection.mutable.ListBuffer[(Long, Long, Long)]((1L, 0L, -1L))
+    val centers = scala.collection.mutable.ListBuffer[(Long, Long, Long)]((1L, seed, -1L))
     for (t <- 2 to KCenters) {
       val row = mind
         .agg(max(struct(col("md"), (lit(-1L) * col("vec_id")).as("nid"))).as("m"))
@@ -2510,7 +2621,6 @@ object EmbedQueries {
         .select(col("vec_id"), least(col("md"), dMicro).as("md"))
         .seal()
     }
-    import spark.implicits._
     centers.toSeq.toDF("step", "center_id", "radius_micro").orderBy("step")
   }
 
@@ -2532,15 +2642,18 @@ object EmbedQueries {
          |    LEAST(m.md, CAST(ROUND(round($distSql, 6) * 1000000) AS BIGINT)) AS md
          |  FROM e v JOIN m${t - 1} m USING (vec_id) CROSS JOIN c$t c
          |)""".stripMargin
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       |c1 AS (SELECT embedding AS ce FROM e WHERE vec_id = 0),
+    s"""WITH $fembCte,
+       |e AS (SELECT vec_id, embedding FROM femb),
+       |seed AS (SELECT MIN(vec_id) AS sid FROM e),
+       |c1 AS (SELECT e.embedding AS ce FROM e JOIN seed s ON e.vec_id = s.sid),
        |m1 AS MATERIALIZED (
        |  SELECT v.vec_id,
        |    CAST(ROUND(round($distSql, 6) * 1000000) AS BIGINT) AS md
        |  FROM e v CROSS JOIN c1 c),
        |${(2 to KCenters).map(lvl).mkString(",\n")}
-       |SELECT CAST(1 AS BIGINT) AS step, CAST(0 AS BIGINT) AS center_id,
+       |SELECT CAST(1 AS BIGINT) AS step, CAST(sid AS BIGINT) AS center_id,
        |  CAST(-1 AS BIGINT) AS radius_micro
+       |FROM seed WHERE sid IS NOT NULL
        |${(2 to KCenters).map(t =>
           s"UNION ALL SELECT $t, cid, radius FROM p$t").mkString("\n")}
        |ORDER BY step""".stripMargin
@@ -2593,12 +2706,18 @@ object EmbedQueries {
   private def covMoments(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, Map[(Int, Int), BigInt]) =
     covCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      val q = Tables(spark, dir, "embeddings")
-        .select(col("vec_id"),
-          transform(col("embedding"),
-            e => round(e.cast("double") * lit(1000000.0), 0).cast("long")).as("q"))
-      val cells = q.select(col("vec_id"), posexplode(col("q")).as(Seq("d", "qd")))
-      val nTotal = Tables(spark, dir, "embeddings").count()
+      // EXPLODE the raw floats, cast scalars AFTER: posexplode over a
+      // casting transform makes Catalyst infer `size(transform(...))>0`
+      // predicates that merge into the SAME Filter as the quarantine
+      // check, where subexpression elimination evaluates the ANSI cast
+      // UNCONDITIONALLY on pre-filter rows — one Inf row in the RAW
+      // table then CAST_OVERFLOWs the job straight past the c139 guard
+      // (found by the r16 non-finite fuzz probe)
+      val cells = vectors(spark, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "e")))
+        .select(col("vec_id"), col("d"),
+          round(col("e").cast("double") * lit(1000000.0), 0).cast("long").as("qd"))
+      val nTotal = vectors(spark, dir).count()
       val mean = cells.groupBy("d").agg(expr(s"sum(qd) div $nTotal").as("m"))
         .seal()
       val cent = cells.join(broadcast(mean), "d")
@@ -2685,14 +2804,15 @@ object EmbedQueries {
     * first power chain (v0..v[[PcaIters]]), Rayleigh λ and trace.
     */
   private lazy val pcaBaseCtes: String =
-    s"""q AS (
+    s"""$fembCte,
+       |q AS (
        |  SELECT vec_id,
        |    list_transform(embedding,
        |      e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS q
-       |  FROM embeddings
+       |  FROM femb
        |), cells AS (
        |  SELECT vec_id, d, q[d + 1] AS qd FROM q, range(0, $Dims) td(d)
-       |), nt AS (SELECT COUNT(*) AS n FROM embeddings),
+       |), nt AS (SELECT COUNT(*) AS n FROM femb),
        |mean AS MATERIALIZED (
        |  SELECT d, CAST(SUM(qd) AS BIGINT) // (SELECT n FROM nt) AS m
        |  FROM cells GROUP BY d),
@@ -2844,7 +2964,8 @@ object EmbedQueries {
     "c51_semdedup" -> (c51SemDedup _),
     "c54_random_projection" -> (c54RandomProjection _),
     "c56_kmeans_update" -> (c56KmeansUpdate _),
-    "c62_ivf_pq" -> (c62IvfPq _))
+    "c62_ivf_pq" -> (c62IvfPq _),
+    "c139_vector_quarantine" -> (c139VectorQuarantine _))
 
   val oracles: Map[String, String] = Map(
     "c115_kcenter" -> c115Sql,
@@ -2879,7 +3000,8 @@ object EmbedQueries {
     "c51_semdedup" -> c51Sql,
     "c54_random_projection" -> c54Sql,
     "c56_kmeans_update" -> c56Sql,
-    "c62_ivf_pq" -> c62Sql)
+    "c62_ivf_pq" -> c62Sql,
+    "c139_vector_quarantine" -> c139Sql)
 
   /** Session-shared memo builders for the bench prep section
     * ([[graft.Prep]]) — see TextQueries.prepItems for the rationale.

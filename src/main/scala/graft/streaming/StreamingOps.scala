@@ -741,7 +741,10 @@ object StreamingOps {
 
   def embeddingsStream(spark: SparkSession, sfDir: String, sourceDir: String): DataFrame = {
     val schema = Tables(spark, sfDir, "embeddings").schema
+    // the c139 ingest contract, applied at the STREAM boundary too:
+    // quarantined (NULL/NaN/Inf) vectors never reach the operators
     spark.readStream.schema(schema).options(sourceOptions).parquet(sourceDir)
+      .filter(graft.embed.EmbedQueries.finiteVec(col("embedding")))
   }
 
   /** Split-fuzz staging: the SAME table cut into `k` event-time-ordered

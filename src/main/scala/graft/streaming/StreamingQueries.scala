@@ -1215,15 +1215,16 @@ object StreamingQueries {
   }
 
   val d32Sql: String =
-    s"""WITH q AS (
+    s"""WITH ${graft.embed.EmbedQueries.fembCte},
+       |q AS (
        |  SELECT vec_id,
        |    list_transform(embedding,
        |      e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS q
-       |  FROM embeddings
+       |  FROM femb
        |), cells AS (
        |  SELECT vec_id, d, q[d + 1] AS qd
        |  FROM q, range(0, ${graft.embed.EmbedQueries.Dims}) td(d)
-       |), nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+       |), nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM femb),
        |sx AS (SELECT d, CAST(SUM(qd) AS BIGINT) AS s FROM cells GROUP BY d),
        |sxy AS (
        |  SELECT a.d AS i, b.d AS j, CAST(SUM(a.qd * b.qd) AS BIGINT) AS sxy
@@ -1392,7 +1393,7 @@ object StreamingQueries {
   def d40StreamSemScreen(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.embed.EmbedQueries
     import graft.functions.vector.{vec_dot, vec_norm2}
-    val emb = graft.Tables(spark, sfDir, "embeddings")
+    val emb = graft.embed.EmbedQueries.vectors(spark, sfDir)
     // staging-harness scalar (1 row), not operator code: the snapshot cut
     val cut = emb.agg(((min("vec_id") + max("vec_id")) / 2).cast("long"))
       .head.getLong(0)

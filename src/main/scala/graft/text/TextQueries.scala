@@ -6061,7 +6061,7 @@ object TextQueries {
     import graft.functions.vector.{vec_dot, vec_norm2}
     import spark.implicits._
     val run = bm25Ranked(spark, dir)
-    val emb = Tables(spark, dir, "embeddings")
+    val emb = graft.embed.EmbedQueries.vectors(spark, dir)
       .select(col("vec_id").as("doc_id"), col("embedding"),
         vec_norm2(col("embedding")).as("n2"))
     val cand = run.select("qid", "doc_id", "score_nano").join(emb, "doc_id")
@@ -6156,10 +6156,11 @@ object TextQueries {
            |  FROM m$t WHERE rn = 1
            |), pk$t AS (SELECT * FROM pk${t - 1} UNION ALL SELECT * FROM p$t)""".stripMargin
     s"""WITH $bm25Ctes,
+       |${graft.embed.EmbedQueries.fembCte},
        |cand AS MATERIALIZED (
        |  SELECT r.qid, r.doc_id, r.score_nano AS rel, e.embedding,
        |    ${norm2Sql("e.embedding")} AS n2
-       |  FROM bm25r r JOIN embeddings e ON e.vec_id = r.doc_id
+       |  FROM bm25r r JOIN femb e ON e.vec_id = r.doc_id
        |  WHERE r.rnk <= $Bm25TopK
        |), pc AS MATERIALIZED (
        |  SELECT a.qid, a.doc_id AS da, b.doc_id AS db,
