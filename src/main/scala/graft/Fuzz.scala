@@ -219,12 +219,24 @@ object Fuzz {
     var lastTs = evBaseUs
     writeTable((1 to nEvents).map { i =>
       val user = if (rnd.nextInt(10) < 3) 0L else (1 + rnd.nextInt(12)).toLong
-      val ts = rnd.nextInt(8) match {
-        case 0 => lastTs
-        case 1 => lastTs + boundaryUs(rnd.nextInt(boundaryUs.length))
-        case _ => evBaseUs + (rnd.nextDouble() * 30 * dayUs).toLong
-      }
-      lastTs = ts
+      // Since r17 the wave plants QUARANTINE-class rows (NULL event
+      // time, ~1/12): the b55 ingest contract filters them at the read
+      // boundary on both engines, so every event key must stay
+      // oracle-green with poisoned rows in the RAW table (before the
+      // contract, one null-ts row NOT_NULL_ASSERT-crashed the d3 typed
+      // sessionizer and silently split d1's stream from its batch
+      // oracle — the r16 §7m probe).
+      val tsOpt: java.lang.Long =
+        if (!single && rnd.nextInt(12) == 0) null
+        else {
+          val ts = rnd.nextInt(8) match {
+            case 0 => lastTs
+            case 1 => lastTs + boundaryUs(rnd.nextInt(boundaryUs.length))
+            case _ => evBaseUs + (rnd.nextDouble() * 30 * dayUs).toLong
+          }
+          lastTs = ts
+          java.lang.Long.valueOf(ts)
+        }
       val v = if (rnd.nextInt(10) == 0) 1.0
         else math.rint(rnd.nextDouble() * 300 * 100) / 100
       // dirty-JSON classes: malformed, NULL, wrong-typed / nested /
@@ -242,7 +254,7 @@ object Fuzz {
         case 8 => "null"
         case _ => s"""{"k": ${rnd.nextInt(100)}}"""
       }
-      (i.toLong, ts, user, EventTypes(rnd.nextInt(5)), v, props)
+      (i.toLong, tsOpt, user, EventTypes(rnd.nextInt(5)), v, props)
     }.toDF("event_id", "us", "user_id", "event_type", "value", "props")
       .select(col("event_id"), ntz(col("us")).as("ts"), col("user_id"),
         col("event_type"), col("value"), col("props")),

@@ -76,7 +76,8 @@ object SparkEntry {
     "b51_ntile_listagg" -> (Queries.ntileListagg _),
     "b52_bucketed_join" -> (Queries.bucketedJoin _),
     "b53_partition_prune" -> (Queries.b53PartitionPrune _),
-    "b54_composed_layout" -> (Queries.b54ComposedLayout _)
+    "b54_composed_layout" -> (Queries.b54ComposedLayout _),
+    "b55_event_quarantine" -> (Queries.b55EventQuarantine _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
@@ -141,6 +142,7 @@ object SparkEntry {
     "b51_ntile_listagg" -> Queries.ntileListaggSql,
     "b52_bucketed_join" -> Queries.bucketedJoinSql,
     "b53_partition_prune" -> Queries.b53Sql,
-    "b54_composed_layout" -> Queries.b54Sql
+    "b54_composed_layout" -> Queries.b54Sql,
+    "b55_event_quarantine" -> Queries.b55Sql
   )
 }

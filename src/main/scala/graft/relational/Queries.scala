@@ -161,13 +161,14 @@ object Queries {
   }
 
   val eventSessionsSql: String =
-    """WITH g AS (
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+      |g AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us,
       |    CAST(ROUND(value*100.0) AS BIGINT) AS value_c,
       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
       |         THEN 1 ELSE 0 END AS new_sess
-      |  FROM events
+      |  FROM fev
       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
       |), s AS (
       |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
@@ -208,13 +209,14 @@ object Queries {
     * deterministic, same as eventSessionsSql/d3Sql).
     */
   val sessionWindowBodySql: String =
-    """WITH g AS (
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+      |g AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us,
       |    CAST(ROUND(value*100.0) AS BIGINT) AS value_c,
       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
       |         THEN 1 ELSE 0 END AS new_sess
-      |  FROM events
+      |  FROM fev
       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
       |), s AS (
       |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
@@ -244,10 +246,11 @@ object Queries {
   }
 
   val eventWindowedSql: String =
-    """SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL)
+      |SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
       |  event_type, COUNT(*) AS n,
       |  CAST(SUM(CAST(ROUND(value*100.0) AS BIGINT)) AS BIGINT) AS sum_value_c
-      |FROM events
+      |FROM fev
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
@@ -256,7 +259,7 @@ object Queries {
     * sums via integer division (µ-units) for oracle stability.
     */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir, "events")
+    val e = Tables.events(spark, dir) // b55 quarantined view
     // try_cast: dirty props (malformed JSON → get_json_object NULL;
     // string/nested k → non-numeric text) must aggregate as NULL, not
     // ANSI-throw — the oracle mirrors with json_valid + TRY_CAST
@@ -269,11 +272,12 @@ object Queries {
   }
 
   val jsonExtractSql: String =
-    """WITH e AS (
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+      |e AS (
       |  SELECT event_type,
       |    TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
       |      THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
-      |  FROM events
+      |  FROM fev
       |)
       |SELECT event_type, COUNT(*) AS n,
       |  CAST(SUM(k) AS BIGINT) AS sum_k,
@@ -402,10 +406,11 @@ object Queries {
     * exactly one row, the same row the window form carries forward.
     */
   val asofJoinSql: String =
-    """WITH clicks AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
-      |  FROM events WHERE event_type = 'click'),
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+      |clicks AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
+      |  FROM fev WHERE event_type = 'click'),
       |errors AS (SELECT event_id, user_id, epoch_us(ts) AS err_us
-      |  FROM events WHERE event_type = 'error')
+      |  FROM fev WHERE event_type = 'error')
       |SELECT e.event_id, e.user_id, e.err_us, c.click_id, c.click_us,
       |  e.err_us - c.click_us AS gap_us
       |FROM errors e ASOF JOIN clicks c
@@ -479,10 +484,11 @@ object Queries {
   }
 
   val rangeJoinSql: String =
-    s"""WITH clicks AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
-       |  FROM events WHERE event_type = 'click'),
+    s"""WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+       |clicks AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
+       |  FROM fev WHERE event_type = 'click'),
        |errors AS (SELECT event_id, user_id, epoch_us(ts) AS err_us
-       |  FROM events WHERE event_type = 'error')
+       |  FROM fev WHERE event_type = 'error')
        |SELECT e.event_id, e.user_id, e.err_us, c.click_id, c.click_us
        |FROM errors e JOIN clicks c
        |  ON c.user_id = e.user_id
@@ -765,7 +771,8 @@ object Queries {
   }
 
   val eventFunnelSql: String =
-    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    s"""WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+       |e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM fev),
        |t1 AS (SELECT user_id, MIN(us) AS t1_us FROM e WHERE event_type = 'view' GROUP BY user_id),
        |t2 AS (
        |  SELECT e.user_id, MIN(e.us) AS t2_us FROM e JOIN t1 USING (user_id)
@@ -877,7 +884,7 @@ object Queries {
     * Catalyst would otherwise broadcast the small dim away.
     */
   def saltedEnrich(spark: SparkSession, dir: String): DataFrame = {
-    val fact = Tables(spark, dir, "events")
+    val fact = Tables.events(spark, dir) // b55 quarantined view
       .select(col("user_id"), col("event_type"), cents(col("value")).as("value_c"))
     val dim = Tables(spark, dir, "orders")
       .groupBy(col("o_custkey").as("user_id"))
@@ -894,10 +901,11 @@ object Queries {
   }
 
   val saltedEnrichSql: String =
-    """WITH f AS (
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+      |f AS (
       |  SELECT user_id, event_type,
       |    CAST(ROUND(value * 100.0) AS BIGINT) AS value_c
-      |  FROM events
+      |  FROM fev
       |), d AS (
       |  SELECT o_custkey AS user_id, COUNT(*) AS n_orders,
       |    CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS spend_c
@@ -1424,7 +1432,7 @@ object Queries {
     */
   def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val changes = Tables(spark, dir, "events")
+    val changes = Tables.events(spark, dir) // b55 quarantined view
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("prev_type", lag("event_type", 1).over(w))
       .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
@@ -2129,10 +2137,11 @@ object Queries {
       |ORDER BY b.r_name, b.n_name""".stripMargin
 
   val scd2IntervalsSql: String =
-    """WITH ordered AS (
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+      |ordered AS (
       |  SELECT user_id, ts, event_id, event_type,
       |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-      |  FROM events
+      |  FROM fev
       |), changes AS (
       |  SELECT user_id, ts, event_id, event_type FROM ordered
       |  WHERE prev_type IS NULL OR prev_type <> event_type
@@ -2338,10 +2347,11 @@ object Queries {
   }
 
   val cusumChangepointSql: String =
-    """WITH daily AS (
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+      |daily AS (
       |  SELECT epoch_us(ts) // 86400000000 AS day_idx,
       |    CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS x_c
-      |  FROM events GROUP BY 1
+      |  FROM fev GROUP BY 1
       |), b AS (SELECT MIN(day_idx) AS lo, MAX(day_idx) AS hi FROM daily),
       |spine AS (
       |  SELECT UNNEST(range(lo, hi + 1)) AS day_idx, hi - lo + 1 AS n_days FROM b
@@ -2427,10 +2437,11 @@ object Queries {
   }
 
   val nearestEventSql: String =
-    """WITH clicks AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
-      |  FROM events WHERE event_type = 'click'),
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+      |clicks AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
+      |  FROM fev WHERE event_type = 'click'),
       |errors AS (SELECT event_id, user_id, epoch_us(ts) AS err_us
-      |  FROM events WHERE event_type = 'error')
+      |  FROM fev WHERE event_type = 'error')
       |SELECT e.event_id, e.user_id, e.err_us,
       |  COALESCE(n.click_id, -1) AS click_id,
       |  COALESCE(n.click_us, -1) AS click_us,
@@ -2719,6 +2730,47 @@ object Queries {
       |  CAST(SUM(li.qty_c) AS BIGINT) AS qty_c
       |FROM li JOIN orders o ON o.o_orderkey = li.l_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------- B55
+  /** B55: the event ingest-quarantine report — the observability half
+    * of the [[graft.Tables.events]] contract, and the events twin of
+    * c139's vector report. Classifies every RAW event row by its first
+    * defect (null_ts > null_user > null_type > null_value > ok — the
+    * tie order is by how load-bearing the column is: a NULL event time
+    * crashes typed session encoders and silently splits stream vs
+    * batch, so it wins) and reports per-class counts with a
+    * min-event_id witness. Only `null_ts` rows are QUARANTINED by the
+    * read boundary; NULL user/type/value stay in the domain (grouping
+    * and joining on NULL keys is defined and oracle-pinned) and are
+    * reported here for the same reason zero_norm vectors are: a 100 TB
+    * ingest wants the defect histogram before the job, not a crash
+    * during it. This is the one key that reads the RAW table — every
+    * other events read routes through the quarantined view.
+    */
+  def b55EventQuarantine(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_id"),
+        when(col("ts").isNull, "null_ts")
+          .when(col("user_id").isNull, "null_user")
+          .when(col("event_type").isNull, "null_type")
+          .when(col("value").isNull, "null_value")
+          .otherwise("ok").as("defect"))
+      .groupBy("defect")
+      .agg(count(lit(1)).as("n_events"), min("event_id").as("first_event"))
+      .orderBy("defect")
+
+  val b55Sql: String =
+    """SELECT defect, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  MIN(event_id) AS first_event
+      |FROM (
+      |  SELECT event_id, CASE
+      |    WHEN ts IS NULL THEN 'null_ts'
+      |    WHEN user_id IS NULL THEN 'null_user'
+      |    WHEN event_type IS NULL THEN 'null_type'
+      |    WHEN value IS NULL THEN 'null_value'
+      |    ELSE 'ok' END AS defect
+      |  FROM events)
+      |GROUP BY defect ORDER BY defect""".stripMargin
 
   /** Bench prep entries ([[graft.Prep]]): the bucketed/partitioned/
     * composed table writes are one-time layout costs, billed to their

@@ -663,7 +663,14 @@ object StreamingOps {
 
   def eventsStream(spark: SparkSession, sfDir: String, sourceDir: String): DataFrame = {
     val schema = Tables(spark, sfDir, "events").schema
-    normalize(spark.readStream.schema(schema).options(sourceOptions).parquet(sourceDir))
+    // the b55 ingest contract, applied at the STREAM boundary too: a
+    // NULL event-time row never reaches a watermark/session operator
+    // (the typed sessionizer encoder NOT_NULL_ASSERT-crashes on it, and
+    // watermarked aggs silently drop what their batch oracles keep —
+    // the r16 null-ts probe). Staged dirs are RAW copies, so this
+    // filter IS the stream-side quarantine point.
+    normalize(spark.readStream.schema(schema).options(sourceOptions).parquet(sourceDir)
+      .filter(col("ts").isNotNull))
   }
 
   /** Stage a single-file table as a streaming source directory.

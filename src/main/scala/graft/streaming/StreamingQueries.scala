@@ -28,16 +28,16 @@ object StreamingQueries {
     */
   private val stagedCache = new graft.util.Memo[(String, String, String), String]
 
-  /** Split-fuzz mode: `GRAFT_STREAM_SPLIT=k:seed` stages every
+  /** Split-fuzz mode: `GRAFT_STREAM_SPLIT=k` or `k:seed` stages every
     * staged()-sourced table as k watermark-respecting micro-batches
     * (see [[StreamingOps.stageTableDirSplit]]) and flips the file
     * sources to one-file-per-trigger — the batch-boundary adversary for
-    * the stateful D folds. tools/fuzz.sh drives it; exempt keys
-    * (documented single-batch oracle contracts) are excluded there.
-    */
-  /** `GRAFT_STREAM_SPLIT=k` or `k:seed`: number of batch cuts, plus an
-    * optional explicit seed (omitted ⇒ derived per (corpus, table), so
-    * one env value covers a whole multi-seed fuzz.sh run).
+    * the stateful D folds, run by tools/fuzz.sh over ALL d* keys (no
+    * exemption list: the d11/d23 `requireSingleBatch` contracts relax
+    * under this env — see runToTable — because the ordered cuts make
+    * the oracle compare itself the stronger gate). The seed is optional
+    * (omitted ⇒ derived per (corpus, table), so one env value covers a
+    * whole multi-seed fuzz.sh run).
     */
   private[streaming] def splitEnv: Option[(Int, Option[Long])] =
     sys.env.get("GRAFT_STREAM_SPLIT").map { s =>
@@ -156,7 +156,7 @@ object StreamingQueries {
       .orderBy("event_id")
 
   val d2Sql: String =
-    "SELECT DISTINCT event_id FROM events ORDER BY event_id"
+    "WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL)\nSELECT DISTINCT event_id FROM fev ORDER BY event_id"
 
   // ---------------------------------------------------------------- D3
   /** Stateful sessionization (flatMapGroupsWithState), append mode: emits
@@ -171,13 +171,14 @@ object StreamingQueries {
       .orderBy("user_id", "start_us")
 
   val d3Sql: String =
-    """WITH g AS (
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+      |g AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us,
       |    CAST(ROUND(value*100.0) AS BIGINT) AS value_c,
       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
       |         THEN 1 ELSE 0 END AS new_sess
-      |  FROM events
+      |  FROM fev
       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
       |), s AS (
       |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
@@ -205,10 +206,11 @@ object StreamingQueries {
       .orderBy("window_start", "c_mktsegment")
 
   val d4Sql: String =
-    """SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL)
+      |SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
       |  c_mktsegment, COUNT(*) AS n,
       |  CAST(SUM(CAST(ROUND(value*100.0) AS BIGINT)) AS BIGINT) AS sum_value_c
-      |FROM events JOIN customer ON user_id = c_custkey
+      |FROM fev JOIN customer ON user_id = c_custkey
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
@@ -235,9 +237,10 @@ object StreamingQueries {
       .orderBy("event_type")
 
   val d6Sql: String =
-    """SELECT event_type, COUNT(*) AS n,
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL)
+      |SELECT event_type, COUNT(*) AS n,
       |  CAST(SUM(CAST(ROUND(value*100.0) AS BIGINT)) AS BIGINT) AS sum_value_c
-      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+      |FROM fev GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------- D7
   /** Running vocabulary counts over a streamed documents directory,
@@ -290,9 +293,10 @@ object StreamingQueries {
   }
 
   val d8Sql: String =
-    """SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL)
+      |SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
       |  CAST(ROUND(value*100.0) AS BIGINT) AS value_c
-      |FROM events
+      |FROM fev
       |QUALIFY row_number() OVER (PARTITION BY user_id
       |  ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
       |ORDER BY user_id""".stripMargin
@@ -317,11 +321,12 @@ object StreamingQueries {
     * watermark-eviction filter (no second hand-maintained copy).
     */
   val d9Sql: String =
-    s"""SELECT user_id, start_us, end_us, n_events, sum_value_c FROM (
+    s"""WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL)
+       |SELECT user_id, start_us, end_us, n_events, sum_value_c FROM (
        |${graft.relational.Queries.sessionWindowBodySql}
        |)
        |WHERE end_us + ${StreamingOps.SessionGapUs} <=
-       |  (SELECT MAX(epoch_us(ts)) FROM events) - ${StreamingOps.WatermarkDelayUs}
+       |  (SELECT MAX(epoch_us(ts)) FROM fev) - ${StreamingOps.WatermarkDelayUs}
        |ORDER BY user_id, start_us""".stripMargin
 
   // --------------------------------------------------------------- D11
@@ -381,11 +386,12 @@ object StreamingQueries {
 
   val d10Sql: String = {
     import graft.relational.Queries.{kmvEstimateSql, kmvHashSql, KmvK}
-    s"""WITH h AS (
+    s"""WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+       |h AS (
        |  -- NULL keys dropped explicitly: the Spark BottomK aggregate
        |  -- skips nulls, DuckDB's DISTINCT would keep an all-NULL row
        |  SELECT DISTINCT event_type, ${kmvHashSql("user_id")} AS h
-       |  FROM events WHERE user_id IS NOT NULL
+       |  FROM fev WHERE user_id IS NOT NULL
        |), topk AS (
        |  SELECT event_type, h FROM h
        |  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h) <= $KmvK
@@ -477,10 +483,11 @@ object StreamingQueries {
       .orderBy("window_start", "event_type")
 
   val d15Sql: String =
-    """SELECT make_timestamp(((epoch_us(ts) // 1800000000) - k) * 1800000000) AS window_start,
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL)
+      |SELECT make_timestamp(((epoch_us(ts) // 1800000000) - k) * 1800000000) AS window_start,
       |  event_type, COUNT(*) AS n,
       |  CAST(SUM(CAST(ROUND(value*100.0) AS BIGINT)) AS BIGINT) AS sum_value_c
-      |FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks
+      |FROM fev CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
@@ -737,10 +744,11 @@ object StreamingQueries {
       .orderBy("user_id", "version")
 
   val d23Sql: String =
-    """WITH ordered AS (
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+      |ordered AS (
       |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
       |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-      |  FROM events
+      |  FROM fev
       |), changes AS (
       |  SELECT user_id, us, event_id, event_type FROM ordered
       |  WHERE prev_type IS NULL OR prev_type <> event_type
@@ -908,14 +916,18 @@ object StreamingQueries {
     */
   def d28StreamMergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.Tables
-    val events = Tables(spark, sfDir, "events")
+    val events = Tables.events(spark, sfDir) // b55 quarantined view
     val table = "graft.d28_user_totals"
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(
       s"""CREATE TABLE $table (user_id BIGINT NOT NULL, n_events BIGINT, sum_value_c BIGINT)
          |TBLPROPERTIES ('write.mode'='delta', 'rowid'='user_id')""".stripMargin)
-    // staging harness: two disjoint halves, forced one-file-per-trigger
-    val cut = events.agg(max("event_id")).head.getLong(0) / 2
+    // staging harness: two disjoint halves, forced one-file-per-trigger.
+    // A fully-quarantined corpus leaves the view empty (NULL max) — stage
+    // two empty halves and let the replay produce the empty table the
+    // fev oracle also yields (the c115 empty-view rule).
+    val cutRow = events.agg(max("event_id")).head
+    val cut = if (cutRow.isNullAt(0)) 0L else cutRow.getLong(0) / 2
     val dir = java.nio.file.Paths.get(track(
       Files.createTempDirectory("graft-d28-src").toString))
     val now = System.currentTimeMillis()
@@ -950,9 +962,10 @@ object StreamingQueries {
   }
 
   val d28Sql: String =
-    """SELECT user_id, COUNT(*) AS n_events,
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL)
+      |SELECT user_id, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_c
-      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+      |FROM fev GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------- D27
   /** D27: streaming tokenizer apply — the C96 one-pass BPE segmentation
@@ -1070,10 +1083,20 @@ object StreamingQueries {
     */
   def d30StreamOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.Tables
-    val ev = Tables(spark, sfDir, "events")
+    import spark.implicits._
+    // b55 quarantined view — this replay builds its OWN file stream
+    // (not eventsStream), so the batch-side read is the quarantine point
+    val ev = Tables.events(spark, sfDir)
+    // a fully-quarantined corpus has no valid event time to anchor the
+    // sentinel watermarks on — the fev oracle is empty, return it
+    // directly (the c115 empty-view rule)
+    val maxRow = StreamingOps.normalize(ev)
+      .agg(max(unix_micros(col("event_time")))).head
+    if (maxRow.isNullAt(0))
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("event_id", "user_id", "err_us", "click_id", "click_us")
     val tsType = ev.schema("ts").dataType
-    val maxUs = StreamingOps.normalize(ev)
-      .agg(max(unix_micros(col("event_time")))).head.getLong(0)
+    val maxUs = maxRow.getLong(0)
     def sentinels(us: Long, idBase: Long): DataFrame = {
       def one(id: Long, user: Long, etype: String) = ev.limit(1).select(
         lit(id).as("event_id"),
@@ -1113,12 +1136,13 @@ object StreamingQueries {
     * with the same range condition and sentinel coalesce.
     */
   val d30Sql: String =
-    s"""WITH errors AS (
+    s"""WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+       |errors AS (
        |  SELECT event_id, user_id, epoch_us(ts) AS err_us
-       |  FROM events WHERE event_type = 'error'),
+       |  FROM fev WHERE event_type = 'error'),
        |clicks AS (
        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
-       |  FROM events WHERE event_type = 'click')
+       |  FROM fev WHERE event_type = 'click')
        |SELECT e.event_id, e.user_id, e.err_us,
        |  COALESCE(c.click_id, -1) AS click_id,
        |  COALESCE(c.click_us, -1) AS click_us
@@ -1393,10 +1417,17 @@ object StreamingQueries {
   def d40StreamSemScreen(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.embed.EmbedQueries
     import graft.functions.vector.{vec_dot, vec_norm2}
+    import spark.implicits._
     val emb = graft.embed.EmbedQueries.vectors(spark, sfDir)
-    // staging-harness scalar (1 row), not operator code: the snapshot cut
-    val cut = emb.agg(((min("vec_id") + max("vec_id")) / 2).cast("long"))
-      .head.getLong(0)
+    // staging-harness scalar (1 row), not operator code: the snapshot
+    // cut. A fully-quarantined corpus leaves the view empty (NULL
+    // aggregate) — return the empty frame the oracle also yields
+    // instead of NPE-ing on getLong (the c115 empty-view rule).
+    val cutRow = emb.agg(((min("vec_id") + max("vec_id")) / 2).cast("long")).head
+    if (cutRow.isNullAt(0))
+      return Seq.empty[(Long, Long, Double, Long)]
+        .toDF("new_id", "n_matches", "best_cos", "match_id")
+    val cut = cutRow.getLong(0)
     val centRow = EmbedQueries.kmCentroidRow(spark, sfDir)
     val store = emb.filter(col("vec_id") < cut)
       .crossJoin(broadcast(centRow))
@@ -1656,10 +1687,11 @@ object StreamingQueries {
 
   /** Batch twin over observed days (no spine — see the scaladoc). */
   val d35Sql: String =
-    """WITH daily AS (
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+      |daily AS (
       |  SELECT epoch_us(ts) // 86400000000 AS day_idx,
       |    CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS x_c
-      |  FROM events GROUP BY 1
+      |  FROM fev GROUP BY 1
       |), c AS (
       |  SELECT day_idx, x_c,
       |    CAST(SUM(x_c) OVER w AS BIGINT) AS prefix_c,
@@ -1693,10 +1725,16 @@ object StreamingQueries {
     */
   def d33StreamTimeoutAlert(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.Tables
-    val ev = Tables(spark, sfDir, "events")
+    import spark.implicits._
+    // b55 quarantined view + empty-view guard (see d30's scaladoc note)
+    val ev = Tables.events(spark, sfDir)
+    val maxRow = StreamingOps.normalize(ev)
+      .agg(max(unix_micros(col("event_time")))).head
+    if (maxRow.isNullAt(0))
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("event_id", "user_id", "err_us", "deadline_us")
     val tsType = ev.schema("ts").dataType
-    val maxUs = StreamingOps.normalize(ev)
-      .agg(max(unix_micros(col("event_time")))).head.getLong(0)
+    val maxUs = maxRow.getLong(0)
     def sentinels(us: Long, idBase: Long): DataFrame = {
       def one(id: Long, user: Long, etype: String) = ev.limit(1).select(
         lit(id).as("event_id"),
@@ -1725,12 +1763,13 @@ object StreamingQueries {
   }
 
   val d33Sql: String =
-    s"""WITH errors AS (
+    s"""WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+       |errors AS (
        |  SELECT event_id, user_id, epoch_us(ts) AS err_us
-       |  FROM events WHERE event_type = 'error'),
+       |  FROM fev WHERE event_type = 'error'),
        |clicks AS (
        |  SELECT user_id, epoch_us(ts) AS c_us
-       |  FROM events WHERE event_type = 'click')
+       |  FROM fev WHERE event_type = 'click')
        |SELECT e.event_id, e.user_id, e.err_us,
        |  e.err_us + ${StreamingOps.AlertTtlUs} AS deadline_us
        |FROM errors e

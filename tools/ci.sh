@@ -22,7 +22,14 @@ sbt -batch compile test
 echo "[ci] 2/4 scale smoke (CC / anti-join / range-join / beam / c93+c60 / c48 pins)"
 sbt -batch "runMain graft.ScaleSmoke"
 
-echo "[ci] 3/4 differential fuzz, single-batch + split lanes"
-tools/fuzz.sh "${@:-0 1}"
+echo "[ci] 3/4 differential fuzz, single-batch + split-width sweep"
+# No-arg default is TWO seeds, not the single word "0 1" (the quoted
+# ${@:-0 1} expansion collapses to one arg — r16 advice).
+if [ $# -eq 0 ]; then set -- 0 1; fi
+# First listed seed also runs the k∈{2,8} split widths (D block only);
+# every seed runs the default k=4 lane inside this same invocation.
+first="$1"
+tools/fuzz.sh "$@"
+FUZZ_SPLIT=2,8 FUZZ_KEYS='d*' tools/fuzz.sh "$first"
 
 echo "[ci] 4/4 done — all gates green"

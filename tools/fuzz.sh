@@ -14,11 +14,12 @@
 # Env:   FUZZ_DIR   scratch root        (default /tmp/graft_fuzz)
 #        FUZZ_KEYS  comma-separated key subset forwarded to Verify
 #                   (entries may end in `*` for a prefix match)
-#        FUZZ_SPLIT micro-batch count for the D-block split lane
-#                   (default 4; 0 disables). The split lane re-stages
-#                   the SAME corpus as K watermark-respecting random
-#                   batch cuts (GRAFT_STREAM_SPLIT) and requires every
-#                   D key to STILL hash-match its batch oracle — the
+#        FUZZ_SPLIT micro-batch count(s) for the D-block split lane —
+#                   a single k or a comma list, e.g. "2,4,8" (default
+#                   4; 0 disables). Each k re-stages the SAME corpus as
+#                   k watermark-respecting random batch cuts
+#                   (GRAFT_STREAM_SPLIT) and requires every D key to
+#                   STILL hash-match its batch oracle — the
 #                   batch-boundary adversary for cross-batch state
 #                   (d33's click-memory gap was this bug class).
 #
@@ -46,20 +47,21 @@ for s in "${seeds[@]}"; do
 done
 sbt -batch "${cmds[@]}" || { echo "[fuzz] sbt run failed"; exit 2; }
 
-# Split lane: one more sbt invocation with GRAFT_STREAM_SPLIT exported
-# (env is per-process, so the single-batch lane above must run in its
-# own sbt). Seeds derive per (corpus, table) inside staged(), so one
-# env value covers every seed.
-split_k="${FUZZ_SPLIT:-4}"
-if [ "$split_k" != "0" ]; then
+# Split lane(s): one more sbt invocation PER k with GRAFT_STREAM_SPLIT
+# exported (env is per-process, so the single-batch lane above — and
+# each k — must run in its own sbt). Seeds derive per (corpus, table)
+# inside staged(), so one env value covers every seed.
+IFS=',' read -r -a split_ks <<<"${FUZZ_SPLIT:-4}"
+if [ "${split_ks[0]}" = "0" ]; then split_ks=(); fi
+for split_k in "${split_ks[@]}"; do
   scmds=()
   for s in "${seeds[@]}"; do
-    rm -rf "$root/out_s${s}_split"
-    scmds+=("runMain graft.Verify $root/corpus_s$s $root/out_s${s}_split d*")
+    rm -rf "$root/out_s${s}_split$split_k"
+    scmds+=("runMain graft.Verify $root/corpus_s$s $root/out_s${s}_split$split_k d*")
   done
   GRAFT_STREAM_SPLIT="$split_k" sbt -batch "${scmds[@]}" \
-    || { echo "[fuzz] split-lane sbt run failed"; exit 2; }
-fi
+    || { echo "[fuzz] split-lane (k=$split_k) sbt run failed"; exit 2; }
+done
 
 fail=0
 for s in "${seeds[@]}"; do
@@ -89,8 +91,8 @@ PY
     fail=1
   fi
   python3 tools/check.py "$out" "$root/corpus_s$s" || fail=1
-  if [ "$split_k" != "0" ]; then
-    sout="$root/out_s${s}_split"
+  for split_k in "${split_ks[@]}"; do
+    sout="$root/out_s${s}_split$split_k"
     echo "--- seed $s split lane (k=$split_k) ---"
     if ! smissing=$(python3 - "$sout" <<'PY'
 import json, os, sys
@@ -102,16 +104,16 @@ print(f"=== {len(keys) - len(missing)}/{len(keys)} split-lane keys dumped ===",
 print(" ".join(missing))
 PY
     ); then
-      echo "[fuzz] seed $s split: oracle_sql.json missing — Verify died at startup"
+      echo "[fuzz] seed $s split k=$split_k: oracle_sql.json missing — Verify died at startup"
       fail=1
       continue
     fi
     if [ -n "$smissing" ]; then
-      echo "[fuzz] seed $s split: MISSING DUMPS ($smissing) — a query crashed under split replay"
+      echo "[fuzz] seed $s split k=$split_k: MISSING DUMPS ($smissing) — a query crashed under split replay"
       fail=1
     fi
     python3 tools/check.py "$sout" "$root/corpus_s$s" || fail=1
-  fi
+  done
 done
 
 if [ "$fail" -eq 0 ]; then
