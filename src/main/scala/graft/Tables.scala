@@ -23,10 +23,12 @@ object Tables {
     * frames emit NULL bounds — the engines diverge on exactly the rows
     * the contract removes. The oracle twin is [[fevCte]]; the
     * quarantine REPORT over the raw table is b55_event_quarantine.
-    * NULL user_id / event_type / value stay IN the domain: grouping and
-    * joining on NULL keys is well-defined on both engines (and fuzzed);
-    * only the event-TIME axis is load-bearing for session/window/
-    * watermark semantics.
+    * NULL user_id / event_type / value are NOT quarantined: they are
+    * reported by b55 but outside the generated domain (neither the
+    * driver testdata nor the fuzz corpus plants them — the typed
+    * D-block folds' primitive-Long encoders assume them non-null, the
+    * same crash class `ts` had; §7n records this as the scoped
+    * residual).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col

@@ -2740,12 +2740,12 @@ object Queries {
     * crashes typed session encoders and silently splits stream vs
     * batch, so it wins) and reports per-class counts with a
     * min-event_id witness. Only `null_ts` rows are QUARANTINED by the
-    * read boundary; NULL user/type/value stay in the domain (grouping
-    * and joining on NULL keys is defined and oracle-pinned) and are
-    * reported here for the same reason zero_norm vectors are: a 100 TB
-    * ingest wants the defect histogram before the job, not a crash
-    * during it. This is the one key that reads the RAW table — every
-    * other events read routes through the quarantined view.
+    * read boundary; NULL user/type/value are reported-only (outside
+    * the generated domain — see [[graft.Tables.events]]) for the same
+    * reason zero_norm vectors are: a 100 TB ingest wants the defect
+    * histogram before the job, not a crash during it. This is the one
+    * key that reads the RAW table — every other events read routes
+    * through the quarantined view.
     */
   def b55EventQuarantine(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")

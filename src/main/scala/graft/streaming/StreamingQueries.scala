@@ -90,6 +90,17 @@ object StreamingQueries {
     */
   val StatePartitions = 8
 
+  /** The most recent completed replay's progress entries — captured so
+    * ScaleSmoke's d30 pin can assert the replay MECHANICS (data batches
+    * == staged files, final state rows bounded by open windows, not by
+    * corpus size) without threading StreamingQuery handles through the
+    * driver contract. Meaningful for SERIAL callers only: Verify's
+    * concurrent sweep overwrites it (harmlessly — nothing reads it
+    * there).
+    */
+  @volatile private[graft] var lastReplayProgress:
+    Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
+
   private def runToTable(df: DataFrame, name: String, mode: String,
       requireSingleBatch: Boolean = false, requireDataBatches: Int = 0): DataFrame = {
     val spark = df.sparkSession
@@ -101,6 +112,7 @@ object StreamingQueries {
         .outputMode(mode).option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      lastReplayProgress = q.recentProgress.toSeq
       if (requireDataBatches > 0) {
         // multi-file staged replays (d17): the cross-batch state carry is
         // the thing under test, so a staging change that collapses the

@@ -70,6 +70,36 @@ class GuardPathSpec extends SparkTestBase {
       s"wrong failure: ${e.getMessage}")
   }
 
+  test("every oracle reads events/embeddings through the quarantine CTEs") {
+    // The b55/c139 ingest contracts hold only if BOTH engines filter:
+    // a raw `FROM events` / `FROM embeddings` in an oracle would
+    // silently diverge from the quarantined Spark side on poisoned
+    // corpora. The CTE text is pasted (not interpolated — `$.k`-style
+    // payloads forbid s-strings), so also pin each paste against the
+    // canonical constant: a drifted copy fails here, not in a fuzz run.
+    val rawEvents = "(FROM|JOIN)\\s+events\\b".r
+    val rawEmb = "(FROM|JOIN)\\s+embeddings\\b".r
+    val exemptEvents = Set("b55_event_quarantine")
+    val exemptEmb = Set("c139_vector_quarantine")
+    for ((k, sql) <- SparkEntry.oracleSql) {
+      val stripped = sql
+        .replace(Tables.fevCte, "")
+        .replace(graft.embed.EmbedQueries.fembCte, "")
+      if (!exemptEvents(k))
+        assert(rawEvents.findFirstIn(stripped).isEmpty,
+          s"$k oracle reads the RAW events table (wants the fev CTE)")
+      if (!exemptEmb(k))
+        assert(rawEmb.findFirstIn(stripped).isEmpty,
+          s"$k oracle reads the RAW embeddings table (wants the femb CTE)")
+      if (sql.contains("FROM fev"))
+        assert(sql.contains(Tables.fevCte),
+          s"$k reads fev but its CTE text drifted from Tables.fevCte")
+      if (sql.contains("FROM femb"))
+        assert(sql.contains(graft.embed.EmbedQueries.fembCte),
+          s"$k reads femb but its CTE text drifted from EmbedQueries.fembCte")
+    }
+  }
+
   test("MomentMatrix state restored under a different d fails loudly") {
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
     import org.apache.spark.sql.types.{ArrayType, LongType}
