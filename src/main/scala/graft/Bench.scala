@@ -43,8 +43,13 @@ object Bench {
     * unpersist the orphaned checkpoint blocks, and ask for a full GC.
     * Driven by `GRAFT_BENCH_RELEASE` (comma-separated block letters;
     * the release runs BEFORE the named block) — the A/B lever for the
-    * sealed-store late-run-drag suspect, and the hygiene call a
-    * production long-session driver would make between work phases.
+    * sealed-store late-run-drag suspect. SCOPE CAVEAT (r16 advice): the
+    * unpersist sweeps EVERY persistent RDD in the context, not just
+    * blocks owned by the cleared Memo stores — safe here because Bench
+    * calls it only at a quiesced block boundary where Memo entries are
+    * the only persisted frames. A production long-session driver
+    * holding its own cached frames would scope the unpersist to blocks
+    * traced from the memoized frames before borrowing this.
     */
   private def releaseStores(spark: org.apache.spark.sql.SparkSession): Unit = {
     graft.util.Memo.clearAll()

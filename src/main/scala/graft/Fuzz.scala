@@ -170,9 +170,13 @@ object Fuzz {
         else math.rint(rnd.nextDouble() * 200000 * 100) / 100
       // mostly the 1995–2001 band with heavy ties; ~1/30 at the 1970
       // epoch and ~1/30 far future (year/date arithmetic extremes)
-      val date = rnd.nextInt(30) match {
+      // NULL order dates (~1/30, r17): the b56 ingest contract filters
+      // them at the read boundary on both engines — before it, two
+      // null-date rows hash-diverged the b29/b34/b38 date windows
+      val date: java.lang.Long = rnd.nextInt(30) match {
         case 0 => 0L // 1970-01-01
         case 1 => baseDateUs + 38000L * dayUs // ~2099
+        case 2 if !single => null
         case _ =>
           baseDateUs + (if (rnd.nextInt(4) == 0) 100L else rnd.nextInt(2400).toLong) * dayUs
       }
@@ -283,7 +287,14 @@ object Fuzz {
         else s"src${rnd.nextInt(20)}"
       val nc: java.lang.Long =
         if (t == null) null else t.codePointCount(0, t.length).toLong
-      (i.toLong, t, lang, source, nc)
+      // NULL doc_ids (~1/25, r17): the c140 ingest contract filters
+      // them at the read boundary on both engines — before it, two
+      // null-id rows crashed the typed DocBin/PackDoc encoders
+      // (NOT_NULL_ASSERT) and hash-diverged a dozen tokenizer/dedup
+      // keys (the r17 probe)
+      val docId: java.lang.Long =
+        if (!single && rnd.nextInt(25) == 0) null else java.lang.Long.valueOf(i.toLong)
+      (docId, t, lang, source, nc)
     }.toDF("doc_id", "text", "lang", "source", "n_chars"), dir, "documents")
 
     // embeddings: exact-duplicate vectors, zero vectors (norm 0), tied

@@ -77,11 +77,51 @@ object SparkEntry {
     "b52_bucketed_join" -> (Queries.bucketedJoin _),
     "b53_partition_prune" -> (Queries.b53PartitionPrune _),
     "b54_composed_layout" -> (Queries.b54ComposedLayout _),
-    "b55_event_quarantine" -> (Queries.b55EventQuarantine _)
+    "b55_event_quarantine" -> (Queries.b55EventQuarantine _),
+    "b56_order_quarantine" -> (Queries.b56OrderQuarantine _)
   )
 
+  /** Quarantine-view CTEs, keyed by the view name oracle SQL reads.
+    * `fev`/`femb` predate the injector and paste their CTE text at each
+    * site (29 sites — GuardPathSpec pins the pastes); `fdoc`/`ford`
+    * arrived with ~155 read sites, where per-site pasting stops being
+    * reviewable, so [[injectQuarantineCtes]] prepends the definition at
+    * THIS assembly point instead — the oracle map the driver, fuzz
+    * loop, and specs consume is always post-injection.
+    */
+  private val quarantineCtes: Seq[(String, String)] = Seq(
+    "fev" -> Tables.fevCte,
+    "fdoc" -> Tables.fdocCte,
+    "ford" -> Tables.fordCte,
+    "femb" -> graft.embed.EmbedQueries.fembCte)
+
+  /** Prepend the quarantine CTEs a SQL references but does not define.
+    * Handles the three statement shapes the oracles use: `WITH
+    * RECURSIVE …` (the CTE list joins under the RECURSIVE keyword —
+    * non-recursive members are legal there), `WITH …`, and a bare
+    * query. A nested `WITH` inside a derived table is untouched (the
+    * outer definition is shadowed there, which is the same view).
+    */
+  private[graft] def injectQuarantineCtes(sql: String): String = {
+    val needed = quarantineCtes.collect {
+      case (name, cte) if ("\\b" + name + "\\b").r.findFirstIn(sql).isDefined
+        && !sql.contains(cte) => cte
+    }
+    if (needed.isEmpty) sql
+    else if (sql.startsWith("WITH RECURSIVE "))
+      "WITH RECURSIVE " + needed.mkString(",\n") + ",\n" + sql.drop("WITH RECURSIVE ".length)
+    else if (sql.startsWith("WITH "))
+      "WITH " + needed.mkString(",\n") + ",\n" + sql.drop("WITH ".length)
+    else
+      "WITH " + needed.mkString(",\n") + "\n" + sql
+  }
+
   /** DuckDB-runnable oracle SQL per query (same column aliases). */
-  def oracleSql: Map[String, String] =
+  def oracleSql: Map[String, String] = rawOracleSql.map {
+    case (k, sql) => k -> injectQuarantineCtes(sql)
+  }
+
+  private def rawOracleSql: Map[String, String] =
     graft.tiles.GeoQueries.oracles ++
     graft.text.TextQueries.oracles ++
     graft.text.FunnelQueries.oracles ++
@@ -143,6 +183,7 @@ object SparkEntry {
     "b52_bucketed_join" -> Queries.bucketedJoinSql,
     "b53_partition_prune" -> Queries.b53Sql,
     "b54_composed_layout" -> Queries.b54Sql,
-    "b55_event_quarantine" -> Queries.b55Sql
+    "b55_event_quarantine" -> Queries.b55Sql,
+    "b56_order_quarantine" -> Queries.b56Sql
   )
 }

@@ -42,6 +42,45 @@ object Tables {
     */
   val fevCte: String = "fev AS (SELECT * FROM events WHERE ts IS NOT NULL)"
 
+  /** The ONE documents read every text/dedup/multimodal query goes
+    * through: the raw table minus quarantined (NULL doc_id) rows — the
+    * c140 ingest contract. A document without identity cannot
+    * participate in id-keyed dedup, pairing, packing, or provenance,
+    * and the r17 probe (2 null-id rows in a fuzz corpus) broke ~18
+    * keys in every class at once: the typed DocBin/PackDoc encoders
+    * NOT_NULL_ASSERT-crash (c12/c16/c34 — one poisoned row kills a
+    * corpus-wide job), c99 DIVIDE_BY_ZEROs, and a dozen tokenizer/
+    * dedup keys silently hash-diverge from their oracles (the engines
+    * disagree on NULL-id grouping vs joining row-by-row). NULL text /
+    * lang / source stay IN the domain — they are fuzzed and every key
+    * handles them. Oracle twin: [[fdocCte]] (injected — see
+    * SparkEntry.injectQuarantineCtes); raw-table reader: c140 only.
+    */
+  def documents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    apply(spark, dir, "documents").filter(col("doc_id").isNotNull)
+  }
+
+  val fdocCte: String =
+    "fdoc AS (SELECT * FROM documents WHERE doc_id IS NOT NULL)"
+
+  /** The ONE orders read — raw minus quarantined (NULL o_orderdate)
+    * rows, the b56 contract: the order-TIME axis drives the date
+    * spines, cohort months, streaks, and cumulative windows, and the
+    * r17 probe proved 2 null-date rows hash-diverge b29/b34/b38 (the
+    * engines disagree on NULL-date window frames), the same class the
+    * events `ts` quarantine closed. NULL o_orderkey/custkey stay
+    * reported-only (b56) — dangling keys are already a fuzzed domain.
+    * Oracle twin: [[fordCte]] (injected); raw-table reader: b56 only.
+    */
+  def orders(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    apply(spark, dir, "orders").filter(col("o_orderdate").isNotNull)
+  }
+
+  val fordCte: String =
+    "ford AS (SELECT * FROM orders WHERE o_orderdate IS NOT NULL)"
+
   /** `events` with `ts` normalized to epoch microseconds (`us`).
     *
     * The driver writes `ts` as parquet TIMESTAMP(NANOS), which Spark only

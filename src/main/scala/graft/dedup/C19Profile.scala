@@ -17,7 +17,7 @@ object C19Profile {
       println(f"[c19] $what ${(System.nanoTime() - t0) / 1e9}%.1f s")
       r
     }
-    val docs = Tables(spark, dir, "documents")
+    val docs = Tables.documents(spark, dir)
     val classes = docs.groupBy("text").agg(min("doc_id").as("rep"))
     val reps = time("reps checkpoint")(
       classes.select(col("rep").as("doc_id"), col("text")).seal())

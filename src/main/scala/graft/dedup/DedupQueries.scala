@@ -127,10 +127,10 @@ object DedupQueries {
         bandHash(col("sig"), bn)): _*)).as(Seq("band", "bh")))
 
   private def bandRows(spark: SparkSession, dir: String): DataFrame =
-    bandRowsOn(Tables(spark, dir, "documents"))
+    bandRowsOn(Tables.documents(spark, dir))
 
   private[graft] val bandRowsCtes: Seq[String] = Seq(
-    s"toks AS (SELECT doc_id, $shingleHashesSql AS ths FROM documents)",
+    s"toks AS (SELECT doc_id, $shingleHashesSql AS ths FROM fdoc)",
     s"""mh AS (
        |  SELECT doc_id, [${(0 until NumPerms).map(j =>
               s"list_min(list_transform(ths, s -> (s * ${a(j)} + ${b(j)}) % $M))").mkString(",\n    ")}] AS mhs
@@ -167,7 +167,7 @@ object DedupQueries {
 
   private[dedup] def signatures(spark: SparkSession, dir: String): DataFrame =
     sigCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
-      Tables(spark, dir, "documents")
+      Tables.documents(spark, dir)
         .select(col("doc_id"), shingleHashes(col("text")).as("ths"))
         .select(col("doc_id"), signature(col("ths")).as("sig"))
         .seal())
@@ -283,7 +283,7 @@ object DedupQueries {
     */
   def c7NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val cand = candidatePairs(spark, dir).select("doc_a", "doc_b")
-    val sets = Tables(spark, dir, "documents")
+    val sets = Tables.documents(spark, dir)
       .select(col("doc_id"), array_distinct(tokens(col("text"))).as("s"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
@@ -300,7 +300,7 @@ object DedupQueries {
        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
        |),
-       |sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents)
+       |sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM fdoc)
        |SELECT c.doc_a, c.doc_b,
        |  round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
        |    / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
@@ -336,7 +336,7 @@ object DedupQueries {
     * decile partial agg.
     */
   def c60LshCurve(spark: SparkSession, dir: String): DataFrame =
-    lshCurveScore(Tables(spark, dir, "documents"), candidatePairs(spark, dir))
+    lshCurveScore(Tables.documents(spark, dir), candidatePairs(spark, dir))
 
   /** Frame-level C60 core — see [[crossLingualScore]] for why it exists. */
   private[graft] def lshCurveScore(docs: DataFrame, cand: DataFrame): DataFrame = {
@@ -385,7 +385,7 @@ object DedupQueries {
        |  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
        |  GROUP BY 1, 2
        |),
-       |sets AS (SELECT doc_id, list_distinct($shingleHashesSql) AS s FROM documents),
+       |sets AS (SELECT doc_id, list_distinct($shingleHashesSql) AS s FROM fdoc),
        |jraw AS (
        |  SELECT c.doc_a, c.doc_b, c.n_bands,
        |    CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS ni,
@@ -430,7 +430,7 @@ object DedupQueries {
         .as(s"s_$bn"))
     val sim = (0 until SimBits).map(bn =>
       when(col(s"s_$bn") > 0, lit(1L << bn)).otherwise(lit(0L))).reduce(_ + _)
-    val sims = Tables(spark, dir, "documents")
+    val sims = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), th32.as("th32"))
       .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
@@ -451,7 +451,7 @@ object DedupQueries {
     val simExpr = (0 until SimBits).map(bn =>
       s"CASE WHEN s_$bn > 0 THEN ${1L << bn} ELSE 0 END").mkString(" + ")
     s"""WITH tokrows AS (
-       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM fdoc
        |), th AS (
        |  SELECT doc_id, (${tokenHashSql("tok")} * $Spread) % $SpreadMod AS th32 FROM tokrows
        |), bs AS (
@@ -513,7 +513,7 @@ object DedupQueries {
       collapseUncached(spark, dir).seal())
 
   private def collapseUncached(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+    val docs = Tables.documents(spark, dir)
     val classes = docs.groupBy("text").agg(min("doc_id").as("rep"))
     val stars = docs.select(col("doc_id"), col("text")).join(classes, "text")
       .filter(col("doc_id") =!= col("rep"))
@@ -588,7 +588,7 @@ object DedupQueries {
        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
        |),
-       |sets AS (SELECT doc_id, list_distinct($shingleHashesSql) AS s FROM documents),
+       |sets AS (SELECT doc_id, list_distinct($shingleHashesSql) AS s FROM fdoc),
        |jac AS (
        |  SELECT c.doc_a, c.doc_b FROM cand c
        |  JOIN sets x ON x.doc_id = c.doc_a
@@ -598,7 +598,7 @@ object DedupQueries {
        |),
        |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM jac
        |      UNION ALL SELECT doc_b, doc_a FROM jac),
-       |${graft.tiles.Clustering.minLabelCtes("dc", DedupCcRounds, Nil, "documents", "doc_id", "e").mkString(",\n")}
+       |${graft.tiles.Clustering.minLabelCtes("dc", DedupCcRounds, Nil, "fdoc", "doc_id", "e").mkString(",\n")}
        |SELECT v AS doc_id, lbl AS canonical_id, v = lbl AS keep
        |FROM dc_m$DedupCcRounds ORDER BY doc_id""".stripMargin
 
@@ -614,7 +614,7 @@ object DedupQueries {
     */
   def c35DedupInflation(spark: SparkSession, dir: String): DataFrame = {
     val collapse = c19DedupCollapse(spark, dir).select(col("doc_id"), col("keep"))
-    val docs = Tables(spark, dir, "documents")
+    val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         regexp_count(col("text"), lit("\\S+")).cast("long").as("n_toks"))
     docs.join(collapse, "doc_id")
@@ -635,7 +635,7 @@ object DedupQueries {
        |), d AS (
        |  SELECT doc_id, source,
        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_toks
-       |  FROM documents
+       |  FROM fdoc
        |)
        |SELECT d.source, COUNT(*) AS n_docs,
        |  CAST(SUM(CASE WHEN c.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -742,7 +742,7 @@ object DedupQueries {
 
   def c66Containment(spark: SparkSession, dir: String): DataFrame = {
     val cand = candidatePairs(spark, dir).select("doc_a", "doc_b")
-    val sets = Tables(spark, dir, "documents")
+    val sets = Tables.documents(spark, dir)
       .select(col("doc_id"),
         array_sort(array_distinct(shingleHashes(col("text")))).as("hs"))
     cand
@@ -767,7 +767,7 @@ object DedupQueries {
        |  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
        |),
        |sets AS (
-       |  SELECT doc_id, list_distinct($shingleHashesSql) AS hs FROM documents
+       |  SELECT doc_id, list_distinct($shingleHashesSql) AS hs FROM fdoc
        |),
        |sc AS (
        |  SELECT c.doc_a, c.doc_b,
@@ -800,7 +800,7 @@ object DedupQueries {
     * partial agg.
     */
   def c74MinhashError(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = Tables(spark, dir, "documents")
+    val sigs = Tables.documents(spark, dir)
       .select(col("doc_id"), shingleHashes(col("text")).as("ths"))
       .select(col("doc_id"), signature(col("ths")).as("sig"),
         array_sort(array_distinct(col("ths"))).as("hs"))
@@ -942,7 +942,7 @@ object DedupQueries {
     */
   def c79CrossSource(spark: SparkSession, dir: String): DataFrame = {
     val bySrc = c19DedupCollapse(spark, dir).select("doc_id", "canonical_id")
-      .join(Tables(spark, dir, "documents").select("doc_id", "source"), "doc_id")
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
       .groupBy("canonical_id", "source").agg(count(lit(1)).as("n"))
     bySrc.select(col("canonical_id"), col("source").as("source_a"), col("n").as("na"))
       .join(bySrc.select(col("canonical_id"), col("source").as("source_b"), col("n").as("nb")),
@@ -960,7 +960,7 @@ object DedupQueries {
        |$c19Body
        |), by_src AS (
        |  SELECT c.canonical_id, d.source, COUNT(*) AS n
-       |  FROM collapse c JOIN documents d USING (doc_id)
+       |  FROM collapse c JOIN fdoc d USING (doc_id)
        |  GROUP BY c.canonical_id, d.source
        |)
        |SELECT a.source AS source_a, b.source AS source_b,
@@ -1029,7 +1029,7 @@ object DedupQueries {
     * (source, lang) pre-agg, never collect_set over documents.
     */
   def c82DatasetCard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+    val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("lang"),
         size(graft.text.TextQueries.tokens(col("text"))).cast("long").as("n_toks"))
     val qual = graft.text.TextQueries.c3QualityScore(spark, dir)
@@ -1059,7 +1059,7 @@ object DedupQueries {
        |), d AS (
        |  SELECT doc_id, source, lang,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
-       |  FROM documents
+       |  FROM fdoc
        |), langs AS (
        |  SELECT source, COUNT(*) AS n_langs FROM (
        |    SELECT DISTINCT source, lang FROM d
@@ -1095,7 +1095,7 @@ object DedupQueries {
     * (C75's frequency-of-frequencies argument — never the corpus).
     */
   def c84ClusterSizes(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+    val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(graft.text.TextQueries.tokens(col("text"))).cast("long").as("n_toks"))
     c19DedupCollapse(spark, dir).select("doc_id", "canonical_id")
@@ -1114,7 +1114,7 @@ object DedupQueries {
        |$c19Body
        |), d AS (
        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
-       |  FROM documents
+       |  FROM fdoc
        |), per_cluster AS (
        |  SELECT c.canonical_id, COUNT(*) AS k, CAST(SUM(d.n_toks) AS BIGINT) AS toks
        |  FROM collapse c JOIN d USING (doc_id) GROUP BY c.canonical_id
@@ -1163,7 +1163,7 @@ object DedupQueries {
       minJac: Double): DataFrame =
     scoredCache.getOrElseUpdate(
       (spark.sparkContext.applicationId, dir, math.round(minJac * 1e6)),
-      scoredRepPairsFor(Tables(spark, dir, "documents"), minJac)
+      scoredRepPairsFor(Tables.documents(spark, dir), minJac)
         .seal())
 
   /** The scoring recipe on any (doc_id, text) frame — shared by the
@@ -1197,7 +1197,7 @@ object DedupQueries {
   }
 
   def c85ThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+    val docs = Tables.documents(spark, dir)
     val scored = scoredRepPairs(spark, dir, SweepTaus.min)
     def stats(lab: DataFrame, tau: Double): DataFrame =
       lab.groupBy("cl").agg(count(lit(1)).as("k"))
@@ -1234,7 +1234,7 @@ object DedupQueries {
       s"""e$tag AS MATERIALIZED (
          |  SELECT doc_a AS src, doc_b AS dst FROM scored WHERE jac >= $tau
          |  UNION ALL SELECT doc_b, doc_a FROM scored WHERE jac >= $tau),
-         |${graft.tiles.Clustering.minLabelCtes(s"r$tag", DedupCcRounds, Nil, "documents", "doc_id", s"e$tag").mkString(",\n")},
+         |${graft.tiles.Clustering.minLabelCtes(s"r$tag", DedupCcRounds, Nil, "fdoc", "doc_id", s"e$tag").mkString(",\n")},
          |g$tag AS (
          |  SELECT lbl AS cid, COUNT(*) AS k FROM r${tag}_m$DedupCcRounds GROUP BY lbl
          |),
@@ -1251,7 +1251,7 @@ object DedupQueries {
        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
        |),
-       |sets AS (SELECT doc_id, list_distinct($shingleHashesSql) AS s FROM documents),
+       |sets AS (SELECT doc_id, list_distinct($shingleHashesSql) AS s FROM fdoc),
        |scored AS (
        |  SELECT c.doc_a, c.doc_b,
        |    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
@@ -1292,7 +1292,7 @@ object DedupQueries {
   val CrossLingualJac = 0.5
 
   def c93CrossLingual(spark: SparkSession, dir: String): DataFrame =
-    crossLingualScore(Tables(spark, dir, "documents"), candidatePairs(spark, dir))
+    crossLingualScore(Tables.documents(spark, dir), candidatePairs(spark, dir))
 
   /** Frame-level C93 core over any (doc_id, text, lang) frame and its
     * candidate list — the ScaleSmoke 10x pin drives it with a planted
@@ -1330,7 +1330,7 @@ object DedupQueries {
        |sets AS (
        |  SELECT doc_id, list_distinct(list_transform(string_split(text, ' '),
        |    w -> ${tokenHashSql("w")})) AS s
-       |  FROM documents
+       |  FROM fdoc
        |),
        |scored AS (
        |  SELECT c.doc_a, c.doc_b,
@@ -1343,8 +1343,8 @@ object DedupQueries {
        |SELECT s.doc_a, s.doc_b, a.lang AS lang_a, b.lang AS lang_b,
        |  CAST(ROUND(s.jac * 1e6) AS BIGINT) AS jac_micro
        |FROM scored s
-       |JOIN documents a ON a.doc_id = s.doc_a
-       |JOIN documents b ON b.doc_id = s.doc_b
+       |JOIN fdoc a ON a.doc_id = s.doc_a
+       |JOIN fdoc b ON b.doc_id = s.doc_b
        |WHERE s.jac >= $CrossLingualJac AND a.lang <> b.lang
        |ORDER BY s.doc_a, s.doc_b""".stripMargin
 
@@ -1506,7 +1506,7 @@ object DedupQueries {
        |ws AS (
        |  SELECT list_sort(list_distinct($shingleHashesSql)) AS s,
        |    MIN(doc_id) AS rep
-       |  FROM documents GROUP BY 1),
+       |  FROM fdoc GROUP BY 1),
        |rb AS (SELECT b.doc_id, b.band, b.bh FROM bands b JOIN ws ON ws.rep = b.doc_id),
        |rcand AS (
        |  SELECT DISTINCT l.doc_id AS src, r.doc_id AS dst

@@ -26,7 +26,7 @@ object Multimodal {
 
   /** Synthesize the binary column: 4-byte magic + UTF-8 text payload. */
   def payloads(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.documents(spark, dir)
       .select(col("doc_id"),
         concat(lit(Magic), col("text").cast("binary")).as("payload"))
 
@@ -76,7 +76,7 @@ object Multimodal {
        |    CAST(octet_length(encode(text)) + 4 AS BIGINT) AS n_bytes,
        |    CAST($s8 AS BIGINT) AS s8,
        |    octet_length(encode(text)) AS body_len
-       |  FROM documents
+       |  FROM fdoc
        |)
        |SELECT doc_id, n_bytes,
        |  64 + (s8 * 31) % 960 AS width,
@@ -102,7 +102,7 @@ object Multimodal {
   val FrameMs = 40L // 25 fps
 
   def c13FrameSample(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"),
         greatest(lit(1L), expr(s"n_chars div $FrameBytes")).as("n_frames"))
       .select(col("doc_id"), col("n_frames"),
@@ -117,7 +117,7 @@ object Multimodal {
 
   val c13Sql: String =
     s"""WITH f AS (
-       |  SELECT doc_id, greatest(1, n_chars // $FrameBytes) AS n_frames FROM documents
+       |  SELECT doc_id, greatest(1, n_chars // $FrameBytes) AS n_frames FROM fdoc
        |), fr AS (
        |  SELECT doc_id, n_frames, UNNEST(range(0, n_frames)) AS frame_idx FROM f
        |)
@@ -157,7 +157,7 @@ object Multimodal {
        |  SELECT doc_id,
        |    64 + (CAST($s8 AS BIGINT) * 31) % 960 AS width,
        |    64 + (CAST($s8 AS BIGINT) * 17) % 960 AS height
-       |  FROM documents
+       |  FROM fdoc
        |), s AS (
        |  SELECT doc_id, width, height,
        |    ($TargetDim * 1000000) // greatest(width, height) AS scale_ppm
@@ -205,7 +205,7 @@ object Multimodal {
        |  SELECT doc_id,
        |    64 + (CAST($s8 AS BIGINT) * 31) % 960 AS width,
        |    64 + (CAST($s8 AS BIGINT) * 17) % 960 AS height
-       |  FROM documents
+       |  FROM fdoc
        |), s AS (
        |  SELECT doc_id, width, height,
        |    ($TargetDim * 1000000) // greatest(width, height) AS scale_ppm
@@ -251,7 +251,7 @@ object Multimodal {
   val FrameHop = 16L
 
   def c65AudioFrames(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), expr("n_chars div 2").as("n_samples"))
       .filter(col("n_samples") >= FrameWin)
       .withColumn("n_frames", expr(s"1 + (n_samples - $FrameWin) div $FrameHop"))
@@ -266,7 +266,7 @@ object Multimodal {
 
   val c65Sql: String =
     s"""WITH a AS (
-       |  SELECT doc_id, n_chars // 2 AS n_samples FROM documents
+       |  SELECT doc_id, n_chars // 2 AS n_samples FROM fdoc
        |  WHERE n_chars // 2 >= $FrameWin
        |), f AS (
        |  SELECT doc_id, n_samples,
@@ -480,7 +480,7 @@ object Multimodal {
     * against a direct all-pairs recompute; oracle unchanged).
     */
   def c126Phash(spark: SparkSession, dir: String): DataFrame =
-    phashCandCounts(Tables(spark, dir, "documents"))
+    phashCandCounts(Tables.documents(spark, dir))
 
   /** The C126 kernel on any (doc_id, text) frame (class doc above). */
   private[graft] def phashCandCounts(docs: DataFrame): DataFrame = {
@@ -515,7 +515,7 @@ object Multimodal {
     s"""ex AS (
        |  SELECT doc_id, t.i AS pos,
        |    ascii(substring(text, CAST(t.i AS INTEGER), 1)) AS b
-       |  FROM documents,
+       |  FROM fdoc,
        |    LATERAL (SELECT UNNEST(range(1, len(text) + 1)) AS i) t
        |), blocks AS (
        |  -- Spark's posexplode is 0-based; i here is 1-based

@@ -53,7 +53,7 @@ object Queries {
     */
   def topUnshipped(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-    val o = Tables(spark, dir, "orders")
+    val o = Tables.orders(spark, dir)
       .filter(col("o_orderdate") < lit("1998-06-01 00:00:00").cast("timestamp"))
     val l = Tables(spark, dir, "lineitem")
       .filter(col("l_shipdate") > lit("1998-06-01 00:00:00").cast("timestamp"))
@@ -68,7 +68,7 @@ object Queries {
   val topUnshippedSql: String =
     """SELECT l_orderkey, o_orderdate, o_orderpriority,
       |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100.0) AS BIGINT)) AS BIGINT) AS revenue_c
-      |FROM customer, orders, lineitem
+      |FROM customer, ford, lineitem
       |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
       |  AND l_orderkey = o_orderkey
       |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
@@ -86,7 +86,7 @@ object Queries {
     val n = Tables(spark, dir, "nation")
     val c = Tables(spark, dir, "customer")
     val s = Tables(spark, dir, "supplier")
-    val o = Tables(spark, dir, "orders")
+    val o = Tables.orders(spark, dir)
       .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
         && col("o_orderdate") < lit("1999-01-01 00:00:00").cast("timestamp"))
     val l = Tables(spark, dir, "lineitem")
@@ -104,7 +104,7 @@ object Queries {
   val regionVolumeSql: String =
     """SELECT n_name,
       |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100.0) AS BIGINT)) AS BIGINT) AS revenue_c
-      |FROM customer, orders, lineitem, supplier, nation, region
+      |FROM customer, ford, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
@@ -120,7 +120,7 @@ object Queries {
     */
   def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables(spark, dir, "customer")
-    val o = Tables(spark, dir, "orders")
+    val o = Tables.orders(spark, dir)
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
@@ -137,7 +137,7 @@ object Queries {
       |    CAST(ROUND(o_totalprice*100.0) AS BIGINT) AS totalprice_c,
       |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
       |      ORDER BY CAST(ROUND(o_totalprice*100.0) AS BIGINT) DESC, o_orderkey) AS rk
-      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  FROM ford JOIN customer ON o_custkey = c_custkey
       |) WHERE rk <= 3
       |ORDER BY c_mktsegment, rk""".stripMargin
 
@@ -504,7 +504,7 @@ object Queries {
     * lexsort portably — the c17 lesson).
     */
   def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables(spark, dir, "orders")
+    val o = Tables.orders(spark, dir)
     o.select(year(col("o_orderdate")).cast("long").as("o_year"),
         col("o_orderpriority"), cents(col("o_totalprice")).as("price_c"))
       .rollup("o_year", "o_orderpriority")
@@ -529,7 +529,7 @@ object Queries {
       |FROM (
       |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderpriority,
       |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS price_c
-      |  FROM orders
+      |  FROM ford
       |)
       |GROUP BY ROLLUP (o_year, o_orderpriority)
       |ORDER BY gid, o_year, o_orderpriority""".stripMargin
@@ -596,7 +596,7 @@ object Queries {
       .select(col("c_custkey"), col("c_nationkey"), cents(col("c_acctbal")).as("bal_c"))
     val thresh = c.filter(col("bal_c") > 0)
       .agg(sum("bal_c").as("sum_c"), count(lit(1)).as("cnt"))
-    val o = Tables(spark, dir, "orders")
+    val o = Tables.orders(spark, dir)
       .filter(col("o_orderdate") >= lit(LapsedCutoff).cast("timestamp"))
       .select(col("o_custkey"))
     val n = Tables(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
@@ -623,7 +623,7 @@ object Queries {
        |FROM c, t
        |JOIN nation n ON n.n_nationkey = c.c_nationkey
        |WHERE c.bal_c * t.cnt > t.sum_c
-       |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+       |  AND NOT EXISTS (SELECT 1 FROM ford o WHERE o.o_custkey = c.c_custkey
        |                  AND o.o_orderdate >= TIMESTAMP '$LapsedCutoff')
        |GROUP BY n.n_name
        |ORDER BY n.n_name""".stripMargin
@@ -635,7 +635,7 @@ object Queries {
     * no row multiplication, one shuffle per side on the join key.
     */
   def existsReturned(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority"))
     val ret = Tables(spark, dir, "lineitem")
       .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
     o.join(ret, col("o_orderkey") === col("l_orderkey"), "left_semi")
@@ -646,7 +646,7 @@ object Queries {
 
   val existsReturnedSql: String =
     """SELECT o_orderpriority, COUNT(*) AS n_orders
-      |FROM orders o
+      |FROM ford o
       |WHERE EXISTS (SELECT 1 FROM lineitem l
       |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
       |GROUP BY o_orderpriority
@@ -669,7 +669,7 @@ object Queries {
       .groupBy("l_orderkey")
       .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"))
       .filter(col("sum_qty_c") > BigOrderQtyC)
-    val o = Tables(spark, dir, "orders")
+    val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
     val c = Tables(spark, dir, "customer").select(col("c_custkey"), col("c_name"))
     big.join(o, col("l_orderkey") === col("o_orderkey"))
@@ -687,7 +687,7 @@ object Queries {
        |  FROM lineitem GROUP BY l_orderkey
        |  HAVING sum_qty_c > $BigOrderQtyC
        |) b
-       |JOIN orders o ON o.o_orderkey = b.l_orderkey
+       |JOIN ford o ON o.o_orderkey = b.l_orderkey
        |JOIN customer c ON c.c_custkey = o.o_custkey
        |ORDER BY b.sum_qty_c DESC, o.o_orderkey
        |LIMIT 100""".stripMargin
@@ -706,7 +706,7 @@ object Queries {
     * engines (SUM over an empty set).
     */
   def pivotRevenue(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables(spark, dir, "orders").select(col("o_orderpriority"),
+    val o = Tables.orders(spark, dir).select(col("o_orderpriority"),
       year(col("o_orderdate")).as("yr"), cents(col("o_totalprice")).as("price_c"))
     o.groupBy("o_orderpriority")
       .pivot("yr", PivotYears.map(y => y: Any))
@@ -722,7 +722,7 @@ object Queries {
        |  $cases
        |FROM (SELECT o_orderpriority, year(o_orderdate) AS yr,
        |        CAST(ROUND(o_totalprice*100.0) AS BIGINT) AS price_c
-       |      FROM orders)
+       |      FROM ford)
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
   }
@@ -806,7 +806,7 @@ object Queries {
     * shuffled join — on the same o_custkey key at any scale.
     */
   def cubeRevenue(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables(spark, dir, "orders")
+    val o = Tables.orders(spark, dir)
       .select(col("o_custkey"), year(col("o_orderdate")).cast("long").as("o_year"),
         cents(col("o_totalprice")).as("price_c"))
     val c = Tables(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
@@ -854,7 +854,7 @@ object Queries {
       |FROM (
       |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, r.r_name,
       |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS price_c
-      |  FROM orders o
+      |  FROM ford o
       |  JOIN customer c ON c.c_custkey = o.o_custkey
       |  JOIN nation n ON n.n_nationkey = c.c_nationkey
       |  JOIN region r ON r.r_regionkey = n.n_regionkey
@@ -886,7 +886,7 @@ object Queries {
   def saltedEnrich(spark: SparkSession, dir: String): DataFrame = {
     val fact = Tables.events(spark, dir) // b55 quarantined view
       .select(col("user_id"), col("event_type"), cents(col("value")).as("value_c"))
-    val dim = Tables(spark, dir, "orders")
+    val dim = Tables.orders(spark, dir)
       .groupBy(col("o_custkey").as("user_id"))
       .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("spend_c"))
     graft.scale.ScaleOps
@@ -909,7 +909,7 @@ object Queries {
       |), d AS (
       |  SELECT o_custkey AS user_id, COUNT(*) AS n_orders,
       |    CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS spend_c
-      |  FROM orders GROUP BY o_custkey
+      |  FROM ford GROUP BY o_custkey
       |)
       |SELECT f.event_type, COUNT(*) AS n_events,
       |  CAST(SUM(CASE WHEN d.n_orders IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_history,
@@ -960,7 +960,7 @@ object Queries {
     * fewer than k distinct hashes report exactly.
     */
   def distinctSketch(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables(spark, dir, "orders").select(
+    val o = Tables.orders(spark, dir).select(
       (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("long").as("ym"),
       col("o_custkey"))
     val exact = o.groupBy("ym").agg(countDistinct("o_custkey").as("n_exact"))
@@ -981,7 +981,7 @@ object Queries {
   val distinctSketchSql: String =
     s"""WITH o AS (
        |  SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS ym, o_custkey
-       |  FROM orders
+       |  FROM ford
        |), exact AS (
        |  SELECT ym, COUNT(DISTINCT o_custkey) AS n_exact FROM o GROUP BY ym
        |), h AS (
@@ -1061,7 +1061,7 @@ object Queries {
     * Exact integer cents; the average in micro-cents via `div`.
     */
   def movingAvgRevenue(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables(spark, dir, "orders")
+    val daily = Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority").as("priority"),
         datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date")).as("day_idx"))
       .agg(sum(cents(col("o_totalprice"))).as("rev_c"), count(lit(1)).as("n_orders"))
@@ -1081,7 +1081,7 @@ object Queries {
       |    CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS day_idx,
       |    CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev_c,
       |    COUNT(*) AS n_orders
-      |  FROM orders GROUP BY 1, 2
+      |  FROM ford GROUP BY 1, 2
       |), win AS (
       |  SELECT priority, day_idx, n_orders, rev_c,
       |    CAST(SUM(rev_c) OVER w AS BIGINT) AS rev_7d_c,
@@ -1109,7 +1109,7 @@ object Queries {
     * equivalence row-for-row.
     */
   def setOpsRetention(spark: SparkSession, dir: String): DataFrame = {
-    def yr(y: Int) = Tables(spark, dir, "orders")
+    def yr(y: Int) = Tables.orders(spark, dir)
       .filter(year(col("o_orderdate")) === y)
       .select(col("o_custkey")).distinct()
     val y95 = yr(1995)
@@ -1121,8 +1121,8 @@ object Queries {
   }
 
   val setOpsRetentionSql: String =
-    """WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
-      |y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+    """WITH y95 AS (SELECT DISTINCT o_custkey FROM ford WHERE year(o_orderdate) = 1995),
+      |y96 AS (SELECT DISTINCT o_custkey FROM ford WHERE year(o_orderdate) = 1996)
       |SELECT o_custkey, 'retained' AS status FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
       |UNION ALL
       |SELECT o_custkey, 'lapsed' FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
@@ -1152,7 +1152,7 @@ object Queries {
   val unpivotRevenueSql: String =
     s"""SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS yr,
        |  CAST(SUM(CAST(ROUND(o_totalprice*100.0) AS BIGINT)) AS BIGINT) AS revenue_c
-       |FROM orders
+       |FROM ford
        |WHERE year(o_orderdate) BETWEEN ${PivotYears.head} AND ${PivotYears.last}
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
@@ -1187,7 +1187,7 @@ object Queries {
     */
   def notInNulls(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables(spark, dir, "customer").select(col("c_custkey"))
-    val urgent = Tables(spark, dir, "orders")
+    val urgent = Tables.orders(spark, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_custkey").as("k")).distinct()
     // NAAJ condition: matches when key = k OR the comparison is UNKNOWN
@@ -1215,7 +1215,7 @@ object Queries {
 
   val notInNullsSql: String =
     """WITH urgent AS (
-      |  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  SELECT DISTINCT o_custkey AS k FROM ford WHERE o_orderpriority = '1-URGENT'
       |), ni AS (
       |  SELECT c_custkey FROM customer WHERE c_custkey NOT IN (SELECT k FROM urgent)
       |), kp AS (SELECT MIN(c_custkey) AS kpick FROM ni)
@@ -1243,7 +1243,7 @@ object Queries {
   def nationPercentile(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables(spark, dir, "nation")
       .select(col("n_nationkey"), col("n_name"))
-    val rev = Tables(spark, dir, "orders")
+    val rev = Tables.orders(spark, dir)
       .join(Tables(spark, dir, "customer"),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey"))
@@ -1261,7 +1261,7 @@ object Queries {
     """WITH rev AS (
       |  SELECT n.n_name,
       |    CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_c
-      |  FROM orders o
+      |  FROM ford o
       |  JOIN customer c ON o.o_custkey = c.c_custkey
       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
       |  GROUP BY n.n_name
@@ -1290,7 +1290,7 @@ object Queries {
     * runs over calendar-bounded rows only.
     */
   def dateSpineRevenue(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables(spark, dir, "orders")
+    val daily = Tables.orders(spark, dir)
       .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
         .cast("long").as("day_idx"))
       .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("rev_c"))
@@ -1311,7 +1311,7 @@ object Queries {
       |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS day_idx,
       |    COUNT(*) AS n_orders,
       |    CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev_c
-      |  FROM orders GROUP BY 1
+      |  FROM ford GROUP BY 1
       |), b AS (SELECT MIN(day_idx) AS lo, MAX(day_idx) AS hi FROM daily),
       |spine AS (SELECT UNNEST(range(lo, hi + 1)) AS day_idx FROM b),
       |f AS (
@@ -1340,7 +1340,7 @@ object Queries {
     * min(struct) argmin (ties → earliest start), never a re-sort.
     */
   def orderStreaks(spark: SparkSession, dir: String): DataFrame = {
-    val months = Tables(spark, dir, "orders")
+    val months = Tables.orders(spark, dir)
       .select(col("o_custkey"),
         (year(col("o_orderdate")) * 12L + month(col("o_orderdate")) - 1L).as("month_idx"))
       .distinct()
@@ -1364,7 +1364,7 @@ object Queries {
     """WITH months AS (
       |  SELECT DISTINCT o_custkey,
       |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS month_idx
-      |  FROM orders
+      |  FROM ford
       |), isl AS (
       |  SELECT o_custkey, month_idx,
       |    month_idx - DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY month_idx) AS island
@@ -1396,7 +1396,7 @@ object Queries {
     * aggregation still collapses replicas map-side before the exchange.
     */
   def multiDistinct(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "orders")
+    Tables.orders(spark, dir)
       .select(col("o_orderpriority"), col("o_custkey"),
         (year(col("o_orderdate")) * 12L + month(col("o_orderdate")) - 1L).as("month_idx"),
         cents(col("o_totalprice")).as("price_c"))
@@ -1413,7 +1413,7 @@ object Queries {
       |  COUNT(DISTINCT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)) AS n_months,
       |  COUNT(*) AS n_orders,
       |  CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev_c
-      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+      |FROM ford GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // ------------------------------------------------------------- B31
   /** B31: SCD type-2 interval construction from a change log — compress
@@ -1463,7 +1463,7 @@ object Queries {
     * brute-force recompute).
     */
   def cumulativeDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val src = Tables(spark, dir, "orders")
+    val src = Tables.orders(spark, dir)
       .select(col("o_orderpriority").as("prio"), col("o_custkey").as("cust"),
         (year(col("o_orderdate")) * 12L + month(col("o_orderdate")) - 1L).as("month_idx"))
     val monthly = src.groupBy("prio", "month_idx")
@@ -1483,7 +1483,7 @@ object Queries {
     """WITH src AS (
       |  SELECT o_orderpriority AS prio, o_custkey AS cust,
       |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS month_idx
-      |  FROM orders
+      |  FROM ford
       |), monthly AS (
       |  SELECT prio, month_idx, COUNT(DISTINCT cust) AS n_active_custs
       |  FROM src GROUP BY prio, month_idx
@@ -1515,7 +1515,7 @@ object Queries {
     * the same grand total.
     */
   def groupingSetsRevenue(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "orders")
+    Tables.orders(spark, dir)
       .select(year(col("o_orderdate")).cast("long").as("o_year"),
         col("o_orderpriority").as("prio"),
         cents(col("o_totalprice")).as("price_c"))
@@ -1533,7 +1533,7 @@ object Queries {
     """WITH src AS (
       |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderpriority AS prio,
       |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS price_c
-      |  FROM orders
+      |  FROM ford
       |), g AS (
       |  SELECT o_year, prio, GROUPING(o_year, prio) AS gid,
       |    COUNT(*) AS n_orders, CAST(SUM(price_c) AS BIGINT) AS rev_c
@@ -1560,7 +1560,7 @@ object Queries {
   val PctQs: Seq[Long] = Seq(250000L, 500000L, 900000L)
 
   def percentileCont(spark: SparkSession, dir: String): DataFrame = {
-    val classes = Tables(spark, dir, "orders")
+    val classes = Tables.orders(spark, dir)
       .select(col("o_orderpriority").as("prio"),
         (cents(col("o_totalprice")) / 100L).cast("long").as("price_d"))
       .groupBy("prio", "price_d").agg(count(lit(1)).as("cnt"))
@@ -1596,7 +1596,7 @@ object Queries {
       |  SELECT o_orderpriority AS prio,
       |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) // 100 AS price_d,
       |    COUNT(*) AS cnt
-      |  FROM orders GROUP BY 1, 2
+      |  FROM ford GROUP BY 1, 2
       |), cdf AS (
       |  SELECT prio, price_d, cnt,
       |    COALESCE(CAST(SUM(cnt) OVER (PARTITION BY prio ORDER BY price_d
@@ -1653,7 +1653,7 @@ object Queries {
   val DormantCut = "1998-04-01"
 
   def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables(spark, dir, "orders")
+    val o = Tables.orders(spark, dir)
       .select(col("o_custkey").as("cust"), col("o_orderdate").as("d"),
         cents(col("o_totalprice")).as("price_c"))
     val tgt = o.filter(col("d") < lit(MergeCut))
@@ -1683,7 +1683,7 @@ object Queries {
     s"""WITH o AS (
        |  SELECT o_custkey AS cust, o_orderdate AS d,
        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
-       |  FROM orders
+       |  FROM ford
        |), tgt AS (
        |  SELECT cust, COUNT(*) AS old_cnt, CAST(SUM(price_c) AS BIGINT) AS old_c,
        |    MAX(d) AS last_d
@@ -1730,7 +1730,7 @@ object Queries {
     * argument). Idempotent per run: the table is dropped and reseeded.
     */
   def mergeCommitted(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables(spark, dir, "orders")
+    val o = Tables.orders(spark, dir)
       .select(col("o_custkey").as("cust"), col("o_orderdate").as("d"),
         cents(col("o_totalprice")).as("price_c"))
     val table = "graft.b43_customers"
@@ -1760,7 +1760,7 @@ object Queries {
     s"""WITH o AS (
        |  SELECT o_custkey AS cust, o_orderdate AS d,
        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
-       |  FROM orders
+       |  FROM ford
        |), tgt AS (
        |  SELECT cust, COUNT(*) AS cnt, CAST(SUM(price_c) AS BIGINT) AS price_c,
        |    MAX(d) AS last_d
@@ -1795,7 +1795,7 @@ object Queries {
     * oracle is b43's verbatim.
     */
   def mergeDelta(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables(spark, dir, "orders")
+    val o = Tables.orders(spark, dir)
       .select(col("o_custkey").as("cust"), col("o_orderdate").as("d"),
         cents(col("o_totalprice")).as("price_c"))
     val table = "graft.b44_customers"
@@ -1845,7 +1845,7 @@ object Queries {
     * agree on every boundary row.
     */
   def aboveAvg(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir, "orders")
+    Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey").as("cust"),
         cents(col("o_totalprice")).as("price_c"))
       .createOrReplaceTempView("b36_orders")
@@ -1866,7 +1866,7 @@ object Queries {
     """WITH o AS (
       |  SELECT o_orderkey, o_custkey AS cust,
       |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
-      |  FROM orders
+      |  FROM ford
       |)
       |SELECT cust, o_orderkey, price_c,
       |  (SELECT COUNT(*) FROM o i WHERE i.cust = o.cust) AS n_orders,
@@ -1893,7 +1893,7 @@ object Queries {
     * diagonal via a tiny self-join (never a window over the matrix).
     */
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
-    val src = Tables(spark, dir, "orders")
+    val src = Tables.orders(spark, dir)
       .select(col("o_custkey").as("cust"),
         (year(col("o_orderdate")) * 12L + month(col("o_orderdate")) - 1L).as("m"))
     val first = src.groupBy("cust").agg(min("m").as("cohort"))
@@ -1912,7 +1912,7 @@ object Queries {
     """WITH src AS (
       |  SELECT o_custkey AS cust,
       |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m
-      |  FROM orders
+      |  FROM ford
       |), first_m AS (
       |  SELECT cust, MIN(m) AS cohort FROM src GROUP BY cust
       |), matrix AS (
@@ -1940,7 +1940,7 @@ object Queries {
     * base propagates NULL rather than a division blow-up.
     */
   def momGrowth(spark: SparkSession, dir: String): DataFrame = {
-    val monthly = Tables(spark, dir, "orders")
+    val monthly = Tables.orders(spark, dir)
       .select((year(col("o_orderdate")) * 12L + month(col("o_orderdate")) - 1L).as("month_idx"),
         cents(col("o_totalprice")).as("price_c"))
       .groupBy("month_idx")
@@ -1960,7 +1960,7 @@ object Queries {
       |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS month_idx,
       |    COUNT(*) AS n_orders,
       |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
-      |  FROM orders GROUP BY 1
+      |  FROM ford GROUP BY 1
       |)
       |SELECT month_idx, n_orders, rev_c,
       |  LAG(rev_c) OVER (ORDER BY month_idx) AS prev_rev_c,
@@ -1988,7 +1988,7 @@ object Queries {
     * exist.
     */
   def shipLatency(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables(spark, dir, "orders")
+    val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
         col("o_orderdate").cast("date").as("od"))
     val l = Tables(spark, dir, "lineitem")
@@ -2004,7 +2004,7 @@ object Queries {
     """SELECT o.o_orderpriority AS prio,
       |  CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) AS BIGINT) AS days,
       |  COUNT(*) AS n_items
-      |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |FROM ford o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ------------------------------------------------------------- B40
@@ -2098,7 +2098,7 @@ object Queries {
     * fact-sized shuffle total.
     */
   def ratioToReport(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables(spark, dir, "orders")
+    val o = Tables.orders(spark, dir)
       .select(col("o_custkey"), cents(col("o_totalprice")).as("price_c"))
     val c = Tables(spark, dir, "customer").select("c_custkey", "c_nationkey")
     val n = Tables(spark, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
@@ -2121,7 +2121,7 @@ object Queries {
     """WITH by_nation AS (
       |  SELECT r.r_name, n.n_name,
       |    CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
-      |  FROM orders o
+      |  FROM ford o
       |  JOIN customer c ON c.c_custkey = o.o_custkey
       |  JOIN nation n ON n.n_nationkey = c.c_nationkey
       |  JOIN region r ON r.r_regionkey = n.n_regionkey
@@ -2206,7 +2206,7 @@ object Queries {
     * bottleneck; the revenue agg is one map-side-combinable shuffle.
     */
   def recursiveSpine(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir, "orders").createOrReplaceTempView("b46_orders")
+    Tables.orders(spark, dir).createOrReplaceTempView("b46_orders")
     spark.sql("""
       WITH RECURSIVE bounds AS (
         SELECT MIN(year(to_date(o_orderdate)) * 12 + month(to_date(o_orderdate)) - 1) AS lo,
@@ -2235,7 +2235,7 @@ object Queries {
     """WITH RECURSIVE bounds AS (
       |  SELECT MIN(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1) AS lo,
       |         MAX(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1) AS hi
-      |  FROM orders
+      |  FROM ford
       |), spine(m, hi) AS (
       |  SELECT lo, hi FROM bounds
       |  UNION ALL
@@ -2244,7 +2244,7 @@ object Queries {
       |  SELECT year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS m,
       |    COUNT(*) AS n_orders,
       |    CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev_c
-      |  FROM orders GROUP BY 1
+      |  FROM ford GROUP BY 1
       |)
       |SELECT s.m // 12 AS yr, s.m % 12 + 1 AS mon,
       |  COALESCE(r.n_orders, 0) AS n_orders, COALESCE(r.rev_c, 0) AS rev_c
@@ -2472,7 +2472,7 @@ object Queries {
     * the carry window partitions by priority — never corpus-wide.
     */
   def gapFillLocf(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables(spark, dir, "orders")
+    val daily = Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority").as("priority"),
         datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
           .cast("long").as("day_idx"))
@@ -2502,7 +2502,7 @@ object Queries {
       |    CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS day_idx,
       |    COUNT(*) AS n_obs,
       |    CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev_obs
-      |  FROM orders GROUP BY 1, 2
+      |  FROM ford GROUP BY 1, 2
       |), b AS (SELECT MIN(day_idx) AS lo, MAX(day_idx) AS hi FROM daily),
       |spine AS (SELECT UNNEST(range(lo, hi + 1)) AS day_idx FROM b),
       |prios AS (SELECT DISTINCT priority FROM daily),
@@ -2555,7 +2555,7 @@ object Queries {
         Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity"),
         lt, "l_orderkey", B52Buckets)
       graft.scale.Bucketing.writeBucketed(
-        Tables(spark, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
         ot, "o_orderkey", B52Buckets)
       (lt, ot)
     })
@@ -2597,7 +2597,7 @@ object Queries {
       |SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
       |  CAST(SUM(li.n_items) AS BIGINT) AS n_items,
       |  CAST(SUM(li.qty_c) AS BIGINT) AS qty_c
-      |FROM li JOIN orders o ON o.o_orderkey = li.l_orderkey
+      |FROM li JOIN ford o ON o.o_orderkey = li.l_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------- B53
@@ -2612,7 +2612,7 @@ object Queries {
   private def partitionedOrders(spark: SparkSession, dir: String): String =
     partTableCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       val t = s"pt53_orders_${dirTag(dir)}"
-      Tables(spark, dir, "orders")
+      Tables.orders(spark, dir)
         .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
         .write.format("parquet").partitionBy("o_month")
         .mode("overwrite").saveAsTable(t)
@@ -2635,7 +2635,7 @@ object Queries {
   def b53PartitionPrune(spark: SparkSession, dir: String): DataFrame = {
     val t = partitionedOrders(spark, dir)
     // staging scalar (1 row): the deterministic target month
-    val m0 = Tables(spark, dir, "orders")
+    val m0 = Tables.orders(spark, dir)
       .agg(date_format(min("o_orderdate"), "yyyy-MM")).head.getString(0)
     spark.table(t)
       .filter(col("o_month") === m0)
@@ -2646,11 +2646,11 @@ object Queries {
   }
 
   val b53Sql: String =
-    """WITH m0 AS (SELECT strftime(MIN(o_orderdate), '%Y-%m') AS m FROM orders)
+    """WITH m0 AS (SELECT strftime(MIN(o_orderdate), '%Y-%m') AS m FROM ford)
       |SELECT m0.m AS o_month, o_orderpriority,
       |  CAST(COUNT(*) AS BIGINT) AS n_orders,
       |  CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev_c
-      |FROM orders, m0 WHERE strftime(o_orderdate, '%Y-%m') = m0.m
+      |FROM ford, m0 WHERE strftime(o_orderdate, '%Y-%m') = m0.m
       |GROUP BY 1, 2 ORDER BY o_orderpriority""".stripMargin
 
   // ---------------------------------------------------------------- B54
@@ -2728,7 +2728,7 @@ object Queries {
       |SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
       |  CAST(SUM(li.n_items) AS BIGINT) AS n_items,
       |  CAST(SUM(li.qty_c) AS BIGINT) AS qty_c
-      |FROM li JOIN orders o ON o.o_orderkey = li.l_orderkey
+      |FROM li JOIN ford o ON o.o_orderkey = li.l_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ------------------------------------------------------------- B55
@@ -2770,6 +2770,41 @@ object Queries {
       |    WHEN value IS NULL THEN 'null_value'
       |    ELSE 'ok' END AS defect
       |  FROM events)
+      |GROUP BY defect ORDER BY defect""".stripMargin
+
+  // ------------------------------------------------------------- B56
+  /** B56: the order ingest-quarantine report — the observability half
+    * of the [[graft.Tables.orders]] contract (probe evidence in its
+    * scaladoc), sibling of b55/c139/c140. Classifies every RAW order by
+    * first defect (null_date > null_cust > null_status > null_priority
+    * > ok — the order-TIME axis first: it is the quarantined one) with
+    * per-class counts + a min-o_orderkey witness. Dangling custkeys are
+    * a separate, already-fuzzed domain (referential, not ingest-shape)
+    * and are deliberately not classified here.
+    */
+  def b56OrderQuarantine(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_orderdate").isNull, "null_date")
+          .when(col("o_custkey").isNull, "null_cust")
+          .when(col("o_orderstatus").isNull, "null_status")
+          .when(col("o_orderpriority").isNull, "null_priority")
+          .otherwise("ok").as("defect"))
+      .groupBy("defect")
+      .agg(count(lit(1)).as("n_orders"), min("o_orderkey").as("first_order"))
+      .orderBy("defect")
+
+  val b56Sql: String =
+    """SELECT defect, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  MIN(o_orderkey) AS first_order
+      |FROM (
+      |  SELECT o_orderkey, CASE
+      |    WHEN o_orderdate IS NULL THEN 'null_date'
+      |    WHEN o_custkey IS NULL THEN 'null_cust'
+      |    WHEN o_orderstatus IS NULL THEN 'null_status'
+      |    WHEN o_orderpriority IS NULL THEN 'null_priority'
+      |    ELSE 'ok' END AS defect
+      |  FROM orders)
       |GROUP BY defect ORDER BY defect""".stripMargin
 
   /** Bench prep entries ([[graft.Prep]]): the bucketed/partitioned/

@@ -738,7 +738,11 @@ object StreamingOps {
     */
   def docsStream(spark: SparkSession, sfDir: String, sourceDir: String): DataFrame = {
     val schema = Tables(spark, sfDir, "documents").schema
+    // the c140 ingest contract at the STREAM boundary: a NULL-doc_id
+    // row never reaches the typed PackDoc/dedup folds (staged dirs are
+    // RAW copies, so this filter IS the stream-side quarantine point)
     spark.readStream.schema(schema).options(sourceOptions).parquet(sourceDir)
+      .filter(col("doc_id").isNotNull)
   }
 
   def lineitemStream(spark: SparkSession, sfDir: String, sourceDir: String): DataFrame = {

@@ -273,7 +273,7 @@ object StreamingQueries {
 
   val d7Sql: String =
     s"""SELECT token, COUNT(*) AS tf
-       |FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+       |FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM fdoc)
        |GROUP BY token
        |ORDER BY tf DESC, token
        |LIMIT ${graft.text.TextQueries.VocabTopK}""".stripMargin
@@ -576,7 +576,7 @@ object StreamingQueries {
     */
   def d17StreamPack(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.Tables
-    val docs = Tables(spark, sfDir, "documents")
+    val docs = Tables.documents(spark, sfDir)
     // staging-harness scalar (1 row), not operator code: pick the cut
     val cut = docs.agg(max("doc_id")).head.getLong(0) / 2
     val dir = java.nio.file.Paths.get(track(
@@ -632,7 +632,7 @@ object StreamingQueries {
     */
   def d19StreamLshDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.Tables
-    val docs = Tables(spark, sfDir, "documents")
+    val docs = Tables.documents(spark, sfDir)
     // staging-harness scalar (1 row), not operator code: pick the cut
     val cut = docs.agg(max("doc_id")).head.getLong(0) / 2
     val dir = java.nio.file.Paths.get(track(
@@ -795,7 +795,7 @@ object StreamingQueries {
         .filter(col("doc_id") >= cut), "cnt_new")
     val sunk = runToTable(newCounts, "graft_d24_sink", "complete")
     val oldCounts = TextQueries.tokenCountsOn(
-      graft.Tables(spark, sfDir, "documents").filter(col("doc_id") < cut), "cnt_old")
+      graft.Tables.documents(spark, sfDir).filter(col("doc_id") < cut), "cnt_old")
     val merged = oldCounts.join(sunk, Seq("token"), "full_outer")
       .select(col("token"), coalesce(col("cnt_old"), lit(0L)).as("cnt_old"),
         coalesce(col("cnt_new"), lit(0L)).as("cnt_new"))
@@ -842,7 +842,7 @@ object StreamingQueries {
     import graft.text.TextQueries
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.Column
-    val statToks = graft.Tables(spark, sfDir, "documents")
+    val statToks = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(TextQueries.tokens(col("text"))).as("token"))
     val nTerms = TextQueries.Bm25Queries * TextQueries.Bm25TermsPerQuery
     val terms = statToks.groupBy("token")
@@ -883,7 +883,7 @@ object StreamingQueries {
   val d26Sql: String = {
     import graft.text.TextQueries._
     s"""WITH toks AS (
-       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM fdoc
        |), stats AS (
        |  SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
        |), terms AS (
@@ -1023,7 +1023,7 @@ object StreamingQueries {
 
   def d29StreamTopk(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.Tables
-    val docs = Tables(spark, sfDir, "documents")
+    val docs = Tables.documents(spark, sfDir)
     val cut = docs.agg(max("doc_id")).head.getLong(0) / 2
     val dir = java.nio.file.Paths.get(track(
       Files.createTempDirectory("graft-d29-src").toString))
@@ -1070,7 +1070,7 @@ object StreamingQueries {
        |               % ${graft.text.TextQueries.ClsBuckets}) * 2654435761 % 2001 - 1000)),
        |       (x, y) -> x + y) END * 1000000)
        |      // greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS score_micro
-       |  FROM documents
+       |  FROM fdoc
        |)
        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk,
        |  doc_id, score_micro
@@ -1293,7 +1293,7 @@ object StreamingQueries {
   def d37StreamCdc(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.text.TextQueries
     val store = TextQueries
-      .cdcChunkFrame(graft.Tables(spark, sfDir, "documents"), Seq("doc_id"))
+      .cdcChunkFrame(graft.Tables.documents(spark, sfDir), Seq("doc_id"))
       .groupBy("fp", "clen").agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2)
       .select(col("fp"), col("clen"), lit(1L).as("hit"))
@@ -1335,7 +1335,7 @@ object StreamingQueries {
        |  CAST(SUM(fl.hit * fl.clen) AS BIGINT) AS dup_tokens,
        |  (CAST(SUM(fl.hit * fl.clen) AS BIGINT) * 1000000)
        |    // CAST(SUM(fl.clen) AS BIGINT) AS dup_mass_ppm
-       |FROM fl JOIN documents d USING (doc_id)
+       |FROM fl JOIN fdoc d USING (doc_id)
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
   // ---------------------------------------------------------------- D38
@@ -1372,7 +1372,7 @@ object StreamingQueries {
     */
   def d38StreamSnapshotDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.dedup.DedupQueries
-    val docs = graft.Tables(spark, sfDir, "documents")
+    val docs = graft.Tables.documents(spark, sfDir)
     // staging-harness scalar (1 row), not operator code: the snapshot cut
     val cut = docs.agg(((min("doc_id") + max("doc_id")) / 2).cast("long"))
       .head.getLong(0)
@@ -1397,7 +1397,7 @@ object StreamingQueries {
     */
   val d38Sql: String =
     s"""WITH ${graft.dedup.DedupQueries.bandRowsCtes.mkString(",\n")},
-       |cut AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS cut FROM documents),
+       |cut AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS cut FROM fdoc),
        |ob AS (
        |  SELECT band, bh, MIN(doc_id) AS owner FROM bands, cut
        |  WHERE doc_id < cut GROUP BY band, bh),
@@ -1506,7 +1506,7 @@ object StreamingQueries {
     */
   def d41StreamPhashScreen(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.multimodal.Multimodal
-    val docs = graft.Tables(spark, sfDir, "documents")
+    val docs = graft.Tables.documents(spark, sfDir)
     // staging-harness scalar (1 row), not operator code: the snapshot cut
     val cut = docs.agg(((min("doc_id") + max("doc_id")) / 2).cast("long"))
       .head.getLong(0)
@@ -1543,7 +1543,7 @@ object StreamingQueries {
     */
   val d41Sql: String =
     s"""WITH ${graft.multimodal.Multimodal.phashCtes},
-       |cut AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS cut FROM documents),
+       |cut AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS cut FROM fdoc),
        |ob AS (
        |  SELECT k, bv, phash AS pold, MIN(doc_id) AS owner
        |  FROM bands, cut WHERE doc_id < cut GROUP BY k, bv, phash),

@@ -92,7 +92,7 @@ object CurationPipeline {
   }
 
   def run(spark: SparkSession, dir: String, outDir: String): Result = {
-    val docs = Tables(spark, dir, "documents")
+    val docs = Tables.documents(spark, dir)
 
     // 1. quality + repetition gates (C3, C26)
     val quality = TextQueries.c3QualityScore(spark, dir)

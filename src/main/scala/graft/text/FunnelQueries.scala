@@ -37,7 +37,7 @@ object FunnelQueries {
   def c61CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
     val gate = TextQueries.c36QualityGate(spark, dir)
       .select(col("doc_id"), col("n_tokens"), col("keep").cast("long").as("f1"))
-    val exact = Tables(spark, dir, "documents")
+    val exact = Tables.documents(spark, dir)
       .groupBy("text").agg(min("doc_id").as("doc_id"))
       .select(col("doc_id"), lit(1L).as("f2raw"))
     val near = DedupQueries.c19DedupCollapse(spark, dir)
@@ -78,7 +78,7 @@ object FunnelQueries {
        |  SELECT doc_id, n_tokens, CAST(keep AS INT) AS f1 FROM (
        |${TextQueries.c36Sql}
        |)), ex AS (
-       |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+       |  SELECT MIN(doc_id) AS doc_id FROM fdoc GROUP BY text
        |), near AS (
        |  SELECT doc_id, CAST(keep AS INT) AS f3 FROM (
        |${DedupQueries.c19Sql}

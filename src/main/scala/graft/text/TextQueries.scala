@@ -46,7 +46,7 @@ object TextQueries {
     * shuffle 32 bytes/row instead of the document (same semantics).
     */
   def c1DedupExact(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.documents(spark, dir)
       .groupBy("text")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
@@ -54,14 +54,14 @@ object TextQueries {
 
   val c1Sql: String =
     """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+      |FROM fdoc GROUP BY text ORDER BY keep_id""".stripMargin
 
   // ---------------------------------------------------------------- C2
   /** Token counting: whitespace tokens + a BPE-ish piece regex
     * (letter-runs / digit-runs / single other-glyphs). Pure map-side.
     */
   def c2TokenCount(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.documents(spark, dir)
       .select(col("doc_id"),
         regexp_count(col("text"), lit("\\S+")).cast("long").as("ws_tokens"),
         regexp_count(col("text"), lit("[a-z0-9]+|[^a-z0-9\\s]")).cast("long").as("bpe_tokens"),
@@ -73,7 +73,7 @@ object TextQueries {
       |  len(regexp_extract_all(text, '\S+')) AS ws_tokens,
       |  len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS bpe_tokens,
       |  n_chars
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM fdoc ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- C3
   /** Quality features: stopword ratio, punctuation count, mean token
@@ -102,7 +102,7 @@ object TextQueries {
     val nTok = size(toks).cast("long")
     val stopCnt = size(filter(toks, t => t.isin(Stopwords: _*))).cast("long")
     val punctCnt = regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("long")
-    Tables(spark, dir, "documents")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"), nTok.as("n_tokens"),
         stopCnt.as("stop_cnt"), punctCnt.as("punct_cnt"))
       // micro-unit (1e-6) ratios via integer division: exact on every
@@ -122,7 +122,7 @@ object TextQueries {
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS BIGINT) AS stop_cnt,
        |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS punct_cnt
-       |  FROM documents
+       |  FROM fdoc
        |)
        |SELECT doc_id, n_tokens, stop_cnt, punct_cnt,
        |  (stop_cnt * 1000000) // n_tokens AS stop_ratio_micro,
@@ -154,7 +154,7 @@ object TextQueries {
       val s = scores.toMap.apply(lg)
       when(scores.filter(_._1 != lg).map(_._2).map(o => s >= o).reduce(_ && _), lit(lg)).otherwise(els)
     }
-    Tables(spark, dir, "documents")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), guess.as("guess"))
       .groupBy("lang", "guess").agg(count(lit(1)).as("n"))
       .orderBy("lang", "guess")
@@ -174,7 +174,7 @@ object TextQueries {
     s"""WITH s AS (
        |  SELECT doc_id, lang,
        |    $defs
-       |  FROM documents
+       |  FROM fdoc
        |), g AS (
        |  SELECT lang,
        |    CASE $cases ELSE '${langs.last}' END AS guess
@@ -194,7 +194,7 @@ object TextQueries {
   val FpM = 1000000007L
 
   def c5Fingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.documents(spark, dir)
       .select(col("doc_id"),
         aggregate(transform(tokens(col("text")), tokenHash _), lit(0L),
           (acc, h) => (acc * lit(FpB) + h) % lit(FpM)).as("fingerprint"))
@@ -206,7 +206,7 @@ object TextQueries {
        |    list_prepend(CAST(0 AS BIGINT),
        |      list_transform(string_split(text, ' '), w -> ${tokenHashSql("w")})),
        |    (acc, h) -> (acc * $FpB + h) % $FpM) END AS fingerprint
-       |FROM documents ORDER BY doc_id""".stripMargin
+       |FROM fdoc ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- C14
   /** Corpus vocabulary: token frequencies with doc frequencies, top 30.
@@ -216,7 +216,7 @@ object TextQueries {
   val VocabTopK = 30
 
   def c14VocabTopk(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
@@ -225,7 +225,7 @@ object TextQueries {
 
   val c14Sql: String =
     s"""SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
-       |FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
+       |FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM fdoc)
        |GROUP BY token
        |ORDER BY tf DESC, token
        |LIMIT $VocabTopK""".stripMargin
@@ -238,7 +238,7 @@ object TextQueries {
   val HistBucket = 50L
 
   def c15LengthHistogram(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.documents(spark, dir)
       .select(expr(s"(n_chars div $HistBucket) * $HistBucket").as("bucket_lo"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
       .groupBy("bucket_lo")
@@ -249,7 +249,7 @@ object TextQueries {
     s"""SELECT (n_chars // $HistBucket) * $HistBucket AS bucket_lo,
        |  COUNT(*) AS n_docs,
        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
-       |FROM documents
+       |FROM fdoc
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------- C21
@@ -265,7 +265,7 @@ object TextQueries {
 
   def c21TfidfTopk(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables(spark, dir, "documents")
+    val docs = Tables.documents(spark, dir)
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -285,10 +285,10 @@ object TextQueries {
   val c21Sql: String =
     s"""WITH tf AS (
        |  SELECT doc_id, term, COUNT(*) AS tf
-       |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents)
+       |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM fdoc)
        |  GROUP BY doc_id, term
        |), dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-       |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+       |n AS (SELECT COUNT(*) AS n_docs FROM fdoc)
        |SELECT doc_id, term, tf, df, tfidf, rnk FROM (
        |  SELECT t.doc_id, t.term, t.tf, d.df,
        |    round(CAST(t.tf AS DOUBLE)
@@ -320,7 +320,7 @@ object TextQueries {
     * dominant language's entire corpus in a single task.
     */
   def c22LengthQuantiles(spark: SparkSession, dir: String): DataFrame =
-    lengthQuantilesOn(Tables(spark, dir, "documents"))
+    lengthQuantilesOn(Tables.documents(spark, dir))
 
   /** The operator body on any (lang, n_chars) frame — ScaleSmoke drives
     * this same code at 10M docs with a 90% dominant language.
@@ -360,7 +360,7 @@ object TextQueries {
       |  SELECT lang, n_chars,
       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
       |    COUNT(*) OVER (PARTITION BY lang) AS n
-      |  FROM documents WHERE n_chars IS NOT NULL
+      |  FROM fdoc WHERE n_chars IS NOT NULL
       |)
       |SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
       |  CAST(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN n_chars END) AS BIGINT) AS p50,
@@ -377,7 +377,7 @@ object TextQueries {
     * assignment + one partial-agg shuffle.
     */
   def c23SplitAssign(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir, "documents")
+    Tables.documents(spark, dir)
       .withColumn("split", splitCol)
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"),
@@ -392,7 +392,7 @@ object TextQueries {
       |       ELSE 'test' END AS split,
       |  COUNT(*) AS n_docs,
       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
-      |FROM documents
+      |FROM fdoc
       |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
 
   // ---------------------------------------------------------------- C24
@@ -404,7 +404,7 @@ object TextQueries {
     * pairs and drop here, matching the window form's IS NOT NULL.
     */
   private def bigramPairs(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -439,7 +439,7 @@ object TextQueries {
     s"""WITH toks AS (
        |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
        |    UNNEST(string_split(text, ' ')) AS w1
-       |  FROM documents
+       |  FROM fdoc
        |), pairs AS (
        |  SELECT w1, LEAD(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM toks
        |), pp AS (SELECT w1, w2 FROM pairs WHERE w2 IS NOT NULL),
@@ -475,7 +475,7 @@ object TextQueries {
     val counts = PiiPatterns.map { case (name, pat) =>
       regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$name")
     }
-    Tables(spark, dir, "documents")
+    Tables.documents(spark, dir)
       .select(col("doc_id") +: counts :+ redacted.as("red"): _*)
       .select(col("doc_id"), col("n_email"), col("n_longnum"), col("n_entity"),
         length(col("red")).cast("long").as("redacted_len"),
@@ -495,7 +495,7 @@ object TextQueries {
        |  SELECT doc_id,
        |    $counts,
        |    $red AS red
-       |  FROM documents
+       |  FROM fdoc
        |)
        |SELECT doc_id, n_email, n_longnum, n_entity,
        |  CAST(length(red) AS BIGINT) AS redacted_len,
@@ -516,7 +516,7 @@ object TextQueries {
     * micro-units (SURVEY §5).
     */
   def c26Repetition(spark: SparkSession, dir: String): DataFrame = {
-    val uni = Tables(spark, dir, "documents")
+    val uni = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id")
@@ -536,7 +536,7 @@ object TextQueries {
     """WITH toks AS (
       |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
       |    UNNEST(string_split(text, ' ')) AS w
-      |  FROM documents
+      |  FROM fdoc
       |), uni AS (
       |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
       |    MAX(cnt) AS top_token_cnt
@@ -570,7 +570,7 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables(spark, dir, "documents")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tok"))
       .withColumn("cum", sum("n_tok").over(w))
@@ -584,7 +584,7 @@ object TextQueries {
     s"""WITH t AS (
        |  SELECT doc_id, source,
        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
-       |  FROM documents
+       |  FROM fdoc
        |), c AS (
        |  SELECT doc_id, source, n_tok,
        |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
@@ -637,7 +637,7 @@ object TextQueries {
 
   def distinctGrams(spark: SparkSession, dir: String): DataFrame =
     gramCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
-      Tables(spark, dir, "documents")
+      Tables.documents(spark, dir)
         .withColumn("toks", tokens(col("text")))
         .filter(size(col("toks")) >= ContamN)
         .select(col("doc_id"), explode(gramHashes(col("toks"))).as("gh"))
@@ -661,7 +661,7 @@ object TextQueries {
        |         WHEN (doc_id * 2654435761 + 40503) % 100 < 90 THEN 'val'
        |         ELSE 'test' END AS split,
        |    string_split(text, ' ') AS toks
-       |  FROM documents
+       |  FROM fdoc
        |), g AS (
        |  SELECT doc_id, split,
        |    UNNEST(list_transform(range(1, len(toks) - $ContamN + 2),
@@ -686,7 +686,7 @@ object TextQueries {
     * broadcast 1-row max.
     */
   def c30DomainMix(spark: SparkSession, dir: String): DataFrame = {
-    val bySource = Tables(spark, dir, "documents")
+    val bySource = Tables.documents(spark, dir)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(regexp_count(col("text"), lit("\\S+")).cast("long")).as("sum_tokens"))
@@ -702,7 +702,7 @@ object TextQueries {
     """WITH s AS (
       |  SELECT source, COUNT(*) AS n_docs,
       |    CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sum_tokens
-      |  FROM documents GROUP BY source
+      |  FROM fdoc GROUP BY source
       |), m AS (SELECT MAX(sum_tokens) AS max_tokens FROM s)
       |SELECT source, n_docs, sum_tokens,
       |  CAST(floor(sqrt(CAST(sum_tokens AS DOUBLE)) * 1000000.0
@@ -763,7 +763,7 @@ object TextQueries {
     """toks AS (
       |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
       |    UNNEST(string_split(text, ' ')) AS w1
-      |  FROM documents
+      |  FROM fdoc
       |), pairs AS (
       |  SELECT doc_id, w1, LEAD(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
       |  FROM toks
@@ -815,7 +815,7 @@ object TextQueries {
 
   def c105Doremi(spark: SparkSession, dir: String): DataFrame =
     doremiWeights(
-      Tables(spark, dir, "documents").select(col("doc_id"), col("source"))
+      Tables.documents(spark, dir).select(col("doc_id"), col("source"))
         .join(lmScoredDocs(spark, dir).select("doc_id", "avg_cond_micro"), "doc_id"))
 
   /** The C105 body on any (source, avg_cond_micro) doc frame — the
@@ -882,7 +882,7 @@ object TextQueries {
        |dom AS MATERIALIZED (
        |  SELECT d.source, COUNT(*) AS n_docs,
        |    1000000 - (CAST(SUM(p.avg_cond_micro) AS BIGINT) // COUNT(*)) AS loss_micro
-       |  FROM documents d JOIN perdoc p USING (doc_id)
+       |  FROM fdoc d JOIN perdoc p USING (doc_id)
        |  GROUP BY d.source
        |), kt AS (SELECT COUNT(*) AS k FROM dom),
        |w0 AS (SELECT source, loss_micro, 1000000 // k AS w FROM dom CROSS JOIN kt),
@@ -937,7 +937,7 @@ object TextQueries {
         expr("256.0 * ln(256.0 / n_zero)")).otherwise(col("raw")), 6))
 
   def c107HllVocab(spark: SparkSession, dir: String): DataFrame = {
-    val h = hllTokenHashes(Tables(spark, dir, "documents"))
+    val h = hllTokenHashes(Tables.documents(spark, dir))
     hllFinalize(h.groupBy("lang")
       .agg(count(lit(1)).as("n_tokens"),
         count_distinct(col("h")).as("n_distinct"),
@@ -952,7 +952,7 @@ object TextQueries {
     */
   private[graft] val hllCtes: String =
     """toks AS (
-      |  SELECT lang, UNNEST(string_split(text, ' ')) AS token FROM documents
+      |  SELECT lang, UNNEST(string_split(text, ' ')) AS token FROM fdoc
       |), hraw AS (
       |  SELECT lang, list_reduce(list_prepend(CAST(0 AS HUGEINT),
       |      list_transform(range(1, length(token) + 1),
@@ -971,7 +971,7 @@ object TextQueries {
       |  FROM hh GROUP BY lang, h % 256
       |), grid AS (
       |  SELECT l.lang, g.j
-      |  FROM (SELECT DISTINCT lang FROM documents) l
+      |  FROM (SELECT DISTINCT lang FROM fdoc) l
       |  CROSS JOIN (SELECT UNNEST(range(0, 256)) AS j) g
       |), regs AS (
       |  SELECT grid.lang, list(COALESCE(reg0.m, 0) ORDER BY grid.j) AS rl
@@ -1024,7 +1024,7 @@ object TextQueries {
 
   def c32SampleBudget(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = Tables(spark, dir, "documents")
+    val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
         regexp_count(col("text"), lit("\\S+")).cast("long").as("n_toks"))
       .withColumn("hkey", expr("(doc_id * 2654435761 + 40503) % 1000000007"))
@@ -1041,7 +1041,7 @@ object TextQueries {
        |  SELECT doc_id, lang, source,
        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_toks,
        |    (doc_id * 2654435761 + 40503) % 1000000007 AS hkey
-       |  FROM documents
+       |  FROM fdoc
        |), c AS (
        |  SELECT doc_id, lang, source, n_toks,
        |    CAST(SUM(n_toks) OVER (PARTITION BY lang, source ORDER BY hkey, doc_id
@@ -1066,7 +1066,7 @@ object TextQueries {
     * corpus where the DuckDB twin's O(n²) startswith does not.
     */
   def c33PrefixDups(spark: SparkSession, dir: String): DataFrame =
-    prefixDups(Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
+    prefixDups(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
 
   /** Frame-level core of C33 over any (doc_id, text) frame — reused by
     * the ScaleSmoke long-document worst case.
@@ -1099,7 +1099,7 @@ object TextQueries {
     """SELECT a.doc_id AS dup_id, b.doc_id AS host_id,
       |  CAST(len(string_split(a.text, ' ')) AS BIGINT) AS dup_tokens,
       |  CAST(len(string_split(b.text, ' ')) AS BIGINT) AS host_tokens
-      |FROM documents a JOIN documents b
+      |FROM fdoc a JOIN fdoc b
       |  ON a.doc_id <> b.doc_id AND starts_with(b.text, a.text || ' ')
       |ORDER BY dup_id, host_id""".stripMargin
 
@@ -1122,7 +1122,7 @@ object TextQueries {
     // C36 only appends the one cross-document signal (C26 repetition)
     // into the cascade, between low_quality and ok, so batch and
     // stream gates share a single definition by construction
-    val g = gateCols(Tables(spark, dir, "documents"))
+    val g = gateCols(Tables.documents(spark, dir))
     val r = c26Repetition(spark, dir).select(col("doc_id"), col("dup_frac_micro"))
     g.join(r, Seq("doc_id"), "left")
       .withColumn("dup_frac_micro", coalesce(col("dup_frac_micro"), lit(0L)))
@@ -1148,7 +1148,7 @@ object TextQueries {
        |$rBody
        |)), d AS (
        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-       |  FROM documents
+       |  FROM fdoc
        |), g AS (
        |  SELECT d.doc_id, d.n_tokens, q.quality_micro,
        |    COALESCE(r.dup_frac_micro, 0) AS dup_frac_micro,
@@ -1180,7 +1180,7 @@ object TextQueries {
   val WinnowW = 4
 
   def c37Winnowing(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.documents(spark, dir)
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= WinnowK)
       .withColumn("g", transform(sequence(lit(1), size(col("toks")) - WinnowK + 1),
@@ -1198,7 +1198,7 @@ object TextQueries {
 
   val c37Sql: String =
     s"""WITH d AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM fdoc
        |), g AS (
        |  SELECT doc_id, list_transform(range(1, len(toks) - $WinnowK + 2),
        |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -1283,7 +1283,7 @@ object TextQueries {
   }
 
   def c127CdcChunks(spark: SparkSession, dir: String): DataFrame = {
-    val chunks = cdcChunkFrame(Tables(spark, dir, "documents"), Seq("doc_id"))
+    val chunks = cdcChunkFrame(Tables.documents(spark, dir), Seq("doc_id"))
     val occ = chunks.groupBy("fp", "clen").agg(count(lit(1)).as("occ"))
     chunks.join(occ, Seq("fp", "clen"))
       .groupBy("doc_id")
@@ -1303,7 +1303,7 @@ object TextQueries {
     val wh = (0 until CdcWindow).map(k =>
       s"h[i - $k + 1] * ${Seq.fill(k)(CdcB).product}").mkString(" + ")
     s"""d AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM fdoc
        |), hh AS (
        |  SELECT doc_id, list_transform(toks, w -> ${tokenHashSql("w")}) AS h,
        |    CAST(len(toks) AS BIGINT) AS n
@@ -1412,7 +1412,7 @@ object TextQueries {
 
   def c130WeightedSample(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
-    val q = Tables(spark, dir, "documents")
+    val q = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         size(toks).cast("long").as("n_tokens"),
         size(filter(toks, t => t.isin(Stopwords: _*))).cast("long").as("stop_cnt"))
@@ -1429,7 +1429,7 @@ object TextQueries {
        |  SELECT doc_id, source,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS BIGINT) AS stop_cnt
-       |  FROM documents
+       |  FROM fdoc
        |), q AS (
        |  SELECT doc_id, source, $QualityMicroSql + 1 AS w_micro,
        |    $EsUniformSql AS u
@@ -1469,7 +1469,7 @@ object TextQueries {
 
   val c38Sql: String =
     s"""WITH d AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM fdoc
        |), g AS (
        |  SELECT DISTINCT doc_id,
        |    UNNEST(list_transform(range(1, len(toks) - $ContamN + 2),
@@ -1524,7 +1524,7 @@ object TextQueries {
 
   def c40SegmentDedup(spark: SparkSession, dir: String): DataFrame = {
     val segs = segmentsOn(
-      Tables(spark, dir, "documents").select("doc_id", "text"))
+      Tables.documents(spark, dir).select("doc_id", "text"))
       .select("doc_id", "seg_text", "seg_len")
     val counts = segs.groupBy("seg_text").agg(count(lit(1)).as("occ"))
     segs.join(counts, "seg_text")
@@ -1540,7 +1540,7 @@ object TextQueries {
 
   val c40Sql: String =
     s"""WITH t AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM fdoc
        |), s AS (
        |  SELECT doc_id,
        |    array_to_string(toks[(u.seg*$SegTokens+1):((u.seg+1)*$SegTokens)], ' ') AS seg_text,
@@ -1590,7 +1590,7 @@ object TextQueries {
        |  SELECT doc_id,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS BIGINT) AS stop_cnt
-       |  FROM documents
+       |  FROM fdoc
        |), g AS (
        |  SELECT doc_id, n_tokens,
        |    $QualityMicroSql AS quality_micro
@@ -1635,7 +1635,7 @@ object TextQueries {
   val DsirBuckets = 256
 
   def c43DsirWeights(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables(spark, dir, "documents")
+    val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
       .select(col("doc_id"), col("lang"),
         pmod(tokenHash(col("w")), lit(DsirBuckets.toLong)).as("b"))
@@ -1660,7 +1660,7 @@ object TextQueries {
   val c43Sql: String =
     s"""WITH tb AS (
        |  SELECT doc_id, lang, ${tokenHashSql("w")} % $DsirBuckets AS b
-       |  FROM (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS w FROM documents)
+       |  FROM (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS w FROM fdoc)
        |), hist AS (
        |  SELECT b, COUNT(*) AS raw_cnt,
        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tgt_cnt
@@ -1696,7 +1696,7 @@ object TextQueries {
   val ChunkStride = 24
 
   def c44ChunkOverlap(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(1), size(col("toks")), lit(ChunkStride))).as("start_tok"))
@@ -1712,7 +1712,7 @@ object TextQueries {
 
   val c44Sql: String =
     s"""WITH t AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM fdoc
        |), s AS (
        |  SELECT doc_id, (u.s - 1) // $ChunkStride AS chunk_idx,
        |    CAST(u.s AS BIGINT) AS start_tok,
@@ -1740,7 +1740,7 @@ object TextQueries {
     * doc-level agg — shuffle is O(docs · alphabet), not O(chars).
     */
   def c45CharStats(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
       .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id")
@@ -1755,7 +1755,7 @@ object TextQueries {
 
   val c45Sql: String =
     """WITH ch AS (
-      |  SELECT doc_id, UNNEST(string_split(text, '')) AS ch FROM documents
+      |  SELECT doc_id, UNNEST(string_split(text, '')) AS ch FROM fdoc
       |), c AS (
       |  SELECT doc_id, ch, COUNT(*) AS cnt FROM ch GROUP BY doc_id, ch
       |)
@@ -1785,7 +1785,7 @@ object TextQueries {
   val PhraseTopK = 30
 
   def c47PhraseMining(spark: SparkSession, dir: String): DataFrame = {
-    val uniAll = Tables(spark, dir, "documents")
+    val uniAll = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n_w"))
     val totals = uniAll.agg(sum("n_w").as("n_total"))
@@ -1809,7 +1809,7 @@ object TextQueries {
     s"""WITH toks AS (
        |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
        |    UNNEST(string_split(text, ' ')) AS w
-       |  FROM documents
+       |  FROM fdoc
        |), uni AS (SELECT w, COUNT(*) AS n_w FROM toks GROUP BY w),
        |tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_total FROM uni),
        |adj AS (
@@ -1850,7 +1850,7 @@ object TextQueries {
   val DupSpanK = 10
 
   def c48DupSpans(spark: SparkSession, dir: String): DataFrame =
-    dupSpans(Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
+    dupSpans(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
 
   /** Frame-level core of C48 over any (doc_id, text) frame — reused by
     * the synthetic span-merge pins in the spec.
@@ -1885,7 +1885,7 @@ object TextQueries {
 
   val c48Sql: String =
     s"""WITH t AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM fdoc
        |), w AS (
        |  SELECT doc_id, CAST(u.i AS BIGINT) AS p,
        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -1943,7 +1943,7 @@ object TextQueries {
     */
   private def c49Rows(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
-    Tables(spark, dir, "documents")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"),
         size(toks).cast("long").as("n_tokens"),
         regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("long").as("punct_cnt"),
@@ -1980,7 +1980,7 @@ object TextQueries {
        |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS punct_cnt,
        |    CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha_cnt,
        |    CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t IN ($stops)))) AS BIGINT) AS stop_kinds
-       |  FROM documents
+       |  FROM fdoc
        |), g AS (
        |  SELECT doc_id, n_tokens, stop_kinds,
        |    ((n_chars - n_tokens + 1) * 1000000) // n_tokens AS mean_len_micro,
@@ -2083,7 +2083,7 @@ object TextQueries {
        |         WHEN (doc_id * 2654435761 + 40503) % 100 < 90 THEN 'val'
        |         ELSE 'test' END AS split,
        |    string_split(text, ' ') AS toks
-       |  FROM documents
+       |  FROM fdoc
        |), graw AS (
        |  SELECT doc_id, split,
        |    UNNEST(list_transform(range(1, len(toks) - $ContamN + 2),
@@ -2183,7 +2183,7 @@ object TextQueries {
   }
 
   private def c52Scored(spark: SparkSession, dir: String): DataFrame =
-    clsScoreCols(Tables(spark, dir, "documents"))
+    clsScoreCols(Tables.documents(spark, dir))
 
   def c52HashClassifier(spark: SparkSession, dir: String): DataFrame =
     c52Scored(spark, dir).orderBy("doc_id")
@@ -2197,7 +2197,7 @@ object TextQueries {
        |      list_transform(string_split(text, ' '),
        |        t -> (${tokenHashSql("t")} % $ClsBuckets) * 2654435761 % 2001 - 1000)),
        |      (x, y) -> x + y) END AS score_raw
-       |  FROM documents)
+       |  FROM fdoc)
        |SELECT doc_id, n_tokens, score_raw,
        |  (score_raw * 1000000) // greatest(n_tokens, 1) AS score_micro,
        |  CAST(((score_raw * 1000000) // greatest(n_tokens, 1)) >= 0 AS BIGINT) AS keep
@@ -2272,14 +2272,14 @@ object TextQueries {
        |        (x, y) -> x + y) END * 1000000)
        |      // greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1))
        |     + 1000000000) // 2000 AS conf_micro
-       |  FROM documents
+       |  FROM fdoc
        |), f AS (
        |  SELECT doc_id, n_chars,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS punct_cnt,
        |    CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha_cnt,
        |    CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t IN ($stops)))) AS BIGINT) AS stop_kinds
-       |  FROM documents
+       |  FROM fdoc
        |), lab AS (
        |  SELECT doc_id,
        |    CASE WHEN n_tokens >= $GopherMinTokens AND n_tokens <= $GopherMaxTokens
@@ -2406,7 +2406,7 @@ object TextQueries {
     */
   def c117KsDrift(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables(spark, dir, "documents")
+    val docs = Tables.documents(spark, dir)
     val cut = docs.agg(((min("doc_id") + max("doc_id")) / 2).cast("long").as("cut"))
     // the KS statistic is defined over SCORED docs: NULL scores
     // (NULL-text docs, fuzz seed 1) would otherwise sort NULLS FIRST in
@@ -2448,7 +2448,7 @@ object TextQueries {
 
   val c117Sql: String =
     s"""WITH cut AS (
-       |  SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS cut FROM documents
+       |  SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS cut FROM fdoc
        |), sc AS (
        |  SELECT doc_id,
        |    (CASE WHEN text IS NULL THEN NULL
@@ -2457,7 +2457,7 @@ object TextQueries {
        |        t -> (${tokenHashSql("t")} % $ClsBuckets) * 2654435761 % 2001 - 1000)),
        |      (x, y) -> x + y) END * 1000000)
        |      // greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS score_micro
-       |  FROM documents
+       |  FROM fdoc
        |), g AS (
        |  SELECT score_micro,
        |    CAST(SUM(CASE WHEN doc_id < cut THEN 1 ELSE 0 END) AS BIGINT) AS c_old,
@@ -2511,7 +2511,7 @@ object TextQueries {
     * K-row aggs finish.
     */
   def c118Gini(spark: SparkSession, dir: String): DataFrame =
-    giniFromHistogram(Tables(spark, dir, "documents")
+    giniFromHistogram(Tables.documents(spark, dir)
       .select(col("lang"), size(tokens(col("text"))).cast("long").as("cnt"))
       .groupBy("lang", "cnt").agg(count(lit(1)).as("m")))
 
@@ -2547,7 +2547,7 @@ object TextQueries {
   val c118Sql: String =
     """WITH d AS (
       |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS cnt
-      |  FROM documents WHERE text IS NOT NULL
+      |  FROM fdoc WHERE text IS NOT NULL
       |), g AS (
       |  SELECT lang, cnt, CAST(COUNT(*) AS BIGINT) AS m FROM d GROUP BY 1, 2
       |), c AS (
@@ -2641,7 +2641,7 @@ object TextQueries {
        |    CASE WHEN (doc_id * 2654435761 + 40503) % 100 < 80 THEN 'train'
        |         WHEN (doc_id * 2654435761 + 40503) % 100 < 90 THEN 'val'
        |         ELSE 'test' END AS split
-       |  FROM documents
+       |  FROM fdoc
        |), nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_val FROM sc WHERE split = 'val'),
        |kk AS (SELECT (n_val + 1) * $ConformalAlphaMicro // 1000000 AS k, n_val FROM nv),
        |hist AS (
@@ -2688,7 +2688,7 @@ object TextQueries {
 
   def c124Hill(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = Tables(spark, dir, "documents")
+    val tf = Tables.documents(spark, dir)
       .select(col("lang"), explode(tokens(col("text"))).as("token"))
       .groupBy("lang", "token").agg(count(lit(1)).as("tf"))
     val w = Window.partitionBy("lang").orderBy(col("tf").desc, col("token"))
@@ -2717,7 +2717,7 @@ object TextQueries {
     s"""WITH tf AS (
        |  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS tf
        |  FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS token
-       |        FROM documents)
+       |        FROM fdoc)
        |  GROUP BY 1, 2
        |), ranked AS (
        |  SELECT lang, rnk,
@@ -2758,7 +2758,7 @@ object TextQueries {
     */
   def c125FertilityDrift(spark: SparkSession, dir: String): DataFrame = {
     val (init, cont) = wpVocab(spark, dir)
-    val docs = Tables(spark, dir, "documents")
+    val docs = Tables.documents(spark, dir)
     val cut = docs.agg(((min("doc_id") + max("doc_id")) / 2).cast("long").as("cut"))
     val halves = docs.crossJoin(broadcast(cut))
       .select(col("lang"),
@@ -2786,11 +2786,11 @@ object TextQueries {
   // lazy: wpBaseCtes is declared further down in this object
   lazy val c125Sql: String =
     s"""$wpBaseCtes, cut AS (
-       |  SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS cut FROM documents
+       |  SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS cut FROM fdoc
        |), hwords AS (
        |  SELECT d.lang, CAST(d.doc_id < c.cut AS BIGINT) AS is_old,
        |    UNNEST(string_split(d.text, ' ')) AS w
-       |  FROM documents d, cut c
+       |  FROM fdoc d, cut c
        |), halves AS (
        |  SELECT hw.lang, hw.is_old,
        |    CAST(COUNT(*) AS BIGINT) AS n_words,
@@ -2829,7 +2829,7 @@ object TextQueries {
     */
   private[graft] def wpVocab(spark: SparkSession, dir: String): (Seq[String], Seq[String]) =
     wpVocabCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
-      wpVocabOn(Tables(spark, dir, "documents")))
+      wpVocabOn(Tables.documents(spark, dir)))
 
   /** The vocab build on ANY (text) frame — the curation pipeline
     * derives it from the curated TRAIN split only (stage 7's held-out
@@ -2879,7 +2879,7 @@ object TextQueries {
     */
   def c120Burstiness(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables(spark, dir, "documents")
+    val docs = Tables.documents(spark, dir)
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val perTok = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
@@ -2900,14 +2900,14 @@ object TextQueries {
     """WITH x AS (
       |  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS x
       |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
-      |        FROM documents)
+      |        FROM fdoc)
       |  GROUP BY 1, 2
       |), pt AS (
       |  SELECT token, CAST(SUM(x) AS BIGINT) AS n_total,
       |    CAST(SUM(x * x) AS BIGINT) AS sx2,
       |    CAST(COUNT(*) AS BIGINT) AS df_docs
       |  FROM x GROUP BY 1
-      |), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      |), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM fdoc),
       |top AS (SELECT * FROM pt ORDER BY n_total DESC, token LIMIT 20)
       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_total DESC, token) AS INTEGER) AS rk,
       |  token, n_total, df_docs,
@@ -2938,7 +2938,7 @@ object TextQueries {
     */
   def c119Wordpiece(spark: SparkSession, dir: String): DataFrame = {
     val (init, cont) = wpVocab(spark, dir)
-    val seg = Tables(spark, dir, "documents")
+    val seg = Tables.documents(spark, dir)
       .select(col("lang"),
         size(expr("filter(split(text, ' '), t -> length(t) > 0)"))
           .cast("long").as("n_words"),
@@ -2962,7 +2962,7 @@ object TextQueries {
     */
   private[graft] val wpBaseCtes: String =
     s"""WITH RECURSIVE words AS (
-       |  SELECT lang, UNNEST(string_split(text, ' ')) AS w FROM documents
+       |  SELECT lang, UNNEST(string_split(text, ' ')) AS w FROM fdoc
        |), wf AS (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM words
        |  WHERE len(w) > 0 GROUP BY w
@@ -3059,7 +3059,7 @@ object TextQueries {
     */
   private[graft] def uniVocab(spark: SparkSession, dir: String): (Seq[String], Seq[Long]) =
     uniVocabCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
-      uniVocabOn(Tables(spark, dir, "documents")))
+      uniVocabOn(Tables.documents(spark, dir)))
 
   private def lnMicro(c: Long, total: Long): Long =
     BigDecimal(math.log(c.toDouble / total.toDouble) * 1e6)
@@ -3126,7 +3126,7 @@ object TextQueries {
     */
   def c132UnigramLm(spark: SparkSession, dir: String): DataFrame = {
     val (ps, cs) = uniVocab(spark, dir)
-    val seg = Tables(spark, dir, "documents")
+    val seg = Tables.documents(spark, dir)
       .select(col("lang"),
         size(expr("filter(split(text, ' '), t -> length(t) > 0)"))
           .cast("long").as("n_words"),
@@ -3242,7 +3242,7 @@ object TextQueries {
     val iters = (1 to UniEmIters).map(i =>
       uniIterCtes(i) + ",\n" + uniRecountCtes(i)).mkString(",\n")
     s"""WITH RECURSIVE words AS (
-       |  SELECT lang, UNNEST(string_split(text, ' ')) AS w FROM documents
+       |  SELECT lang, UNNEST(string_split(text, ' ')) AS w FROM fdoc
        |), wf AS MATERIALIZED (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM words
        |  WHERE len(w) > 0 GROUP BY w
@@ -3316,7 +3316,7 @@ object TextQueries {
 
   def c55VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cnts = Tables(spark, dir, "documents")
+    val cnts = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
     val cls = cnts.groupBy("cnt").agg(count(lit(1)).as("n_toks"))
@@ -3339,7 +3339,7 @@ object TextQueries {
   val c55Sql: String =
     s"""WITH cnts AS (
        |  SELECT token, COUNT(*) AS cnt
-       |  FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+       |  FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM fdoc)
        |  GROUP BY token
        |), cls AS (SELECT cnt, COUNT(*) AS n_toks FROM cnts GROUP BY cnt),
        |cum AS (
@@ -3380,7 +3380,7 @@ object TextQueries {
   def c57PplBuckets(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val classes = lmScoredDocs(spark, dir).select("doc_id", "avg_cond_micro")
-      .join(Tables(spark, dir, "documents").select("doc_id", "lang"), "doc_id")
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
       .groupBy("lang", "avg_cond_micro").agg(count(lit(1)).as("cnt"))
     val wCum = Window.partitionBy("lang").orderBy(col("avg_cond_micro").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -3399,7 +3399,7 @@ object TextQueries {
   val c57Sql: String =
     s"""WITH $lmScoredCtes, j AS (
        |  SELECT p.doc_id, d.lang, p.avg_cond_micro
-       |  FROM perdoc p JOIN documents d USING (doc_id)
+       |  FROM perdoc p JOIN fdoc d USING (doc_id)
        |), cl AS (
        |  SELECT lang, avg_cond_micro, COUNT(*) AS cnt
        |  FROM j GROUP BY lang, avg_cond_micro
@@ -3438,7 +3438,7 @@ object TextQueries {
     * segment agg, exactly like C40.
     */
   def c58Boilerplate(spark: SparkSession, dir: String): DataFrame =
-    boilerplateOn(Tables(spark, dir, "documents").select("doc_id", "source", "text"))
+    boilerplateOn(Tables.documents(spark, dir).select("doc_id", "source", "text"))
 
   /** The operator body on any (doc_id, source, text) frame — the driver
     * testdata is synthetic-random and contains no real in-source repeats
@@ -3466,13 +3466,13 @@ object TextQueries {
 
   val c58Sql: String =
     s"""WITH t AS (
-       |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+       |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM fdoc
        |), s AS (
        |  SELECT doc_id, source,
        |    array_to_string(toks[(u.seg*$SegTokens+1):((u.seg+1)*$SegTokens)], ' ') AS seg_text,
        |    len(toks[(u.seg*$SegTokens+1):((u.seg+1)*$SegTokens)]) AS seg_len
        |  FROM t, UNNEST(range(0, CAST(ceil(len(toks) / $SegTokens.0) AS BIGINT))) AS u(seg)
-       |), nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+       |), nd AS (SELECT source, COUNT(*) AS n_docs FROM fdoc GROUP BY source),
        |dfq AS (
        |  SELECT source, seg_text, COUNT(DISTINCT doc_id) AS df
        |  FROM s GROUP BY source, seg_text
@@ -3534,7 +3534,7 @@ object TextQueries {
 
   private def bpeLoopFor(spark: SparkSession, dir: String): (Seq[DataFrame], DataFrame) =
     bpeCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
-      bpeLoop(Tables(spark, dir, "documents")))
+      bpeLoop(Tables.documents(spark, dir)))
 
   def c59BpeMerges(spark: SparkSession, dir: String): DataFrame = {
     val (summaries, _) = bpeLoopFor(spark, dir)
@@ -3672,7 +3672,7 @@ object TextQueries {
     s"""t1 AS (
        |  SELECT doc_id, CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS pos,
        |    UNNEST(string_split(text, ' ')) AS tok
-       |  FROM documents
+       |  FROM fdoc
        |),
        |$chain""".stripMargin
   }
@@ -3770,7 +3770,7 @@ object TextQueries {
       // corpus-sized parallelism — ~50 jobs of mostly-empty tasks.
       // Re-key it to a handful of partitions first (hash on doc_id, so
       // deterministic); a production run sizes this to sample/128MB.
-      val sample = Tables(spark, dir, "documents")
+      val sample = Tables.documents(spark, dir)
         .filter(col("doc_id") % SegmentSampleMod === 0)
         .repartition(4, col("doc_id"))
       val (summaries, _) = bpeLoop(sample, SegmentMerges)
@@ -3789,7 +3789,7 @@ object TextQueries {
     })
 
   def c96BpeSegment(spark: SparkSession, dir: String): DataFrame =
-    bpeSegmentStats(Tables(spark, dir, "documents"), learnedMerges(spark, dir))
+    bpeSegmentStats(Tables.documents(spark, dir), learnedMerges(spark, dir))
 
   /** The apply+stats body on any (doc_id, text) frame and merge list —
     * spec-pinned against [[bpeApplyOn]] (one-pass apply ≡ per-merge
@@ -3828,12 +3828,12 @@ object TextQueries {
     s"""WITH lt1 AS (
        |  SELECT doc_id, CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS pos,
        |    UNNEST(string_split(text, ' ')) AS tok
-       |  FROM documents WHERE doc_id % $SegmentSampleMod = 0
+       |  FROM fdoc WHERE doc_id % $SegmentSampleMod = 0
        |),
        |at1 AS (
        |  SELECT doc_id, CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS pos,
        |    UNNEST(string_split(text, ' ')) AS tok
-       |  FROM documents
+       |  FROM fdoc
        |),
        |$learn,
        |$apply
@@ -3873,7 +3873,7 @@ object TextQueries {
   def c138MergeSweep(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.textseg.bpe_segment
     val merges = learnedMerges(spark, dir)
-    val sized = Tables(spark, dir, "documents").select(
+    val sized = Tables.documents(spark, dir).select(
       MergeSweepKs.map { k =>
         val toks = if (k == 0) tokens(col("text"))
           else bpe_segment(col("text"), merges.take(k))
@@ -3914,12 +3914,12 @@ object TextQueries {
     s"""WITH lt1 AS (
        |  SELECT doc_id, CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS pos,
        |    UNNEST(string_split(text, ' ')) AS tok
-       |  FROM documents WHERE doc_id % $SegmentSampleMod = 0
+       |  FROM fdoc WHERE doc_id % $SegmentSampleMod = 0
        |),
        |at1 AS (
        |  SELECT doc_id, CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS pos,
        |    UNNEST(string_split(text, ' ')) AS tok
-       |  FROM documents
+       |  FROM fdoc
        |),
        |$learn,
        |$apply,
@@ -3950,7 +3950,7 @@ object TextQueries {
     * corpus size. All-integer outputs (nano ratios via BIGINT div).
     */
   def c100Fertility(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.documents(spark, dir)
       // oracle inner-joins base⋈seg on doc_id, and the segment chain
       // drops NULL-text docs (no tokens to unnest) — mirror that drop
       // or n_docs counts ghost documents (fuzz seed 1)
@@ -3977,12 +3977,12 @@ object TextQueries {
     s"""WITH lt1 AS (
        |  SELECT doc_id, CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS pos,
        |    UNNEST(string_split(text, ' ')) AS tok
-       |  FROM documents WHERE doc_id % $SegmentSampleMod = 0
+       |  FROM fdoc WHERE doc_id % $SegmentSampleMod = 0
        |),
        |at1 AS (
        |  SELECT doc_id, CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS pos,
        |    UNNEST(string_split(text, ' ')) AS tok
-       |  FROM documents
+       |  FROM fdoc
        |),
        |$learn,
        |$apply,
@@ -3991,7 +3991,7 @@ object TextQueries {
        |  SELECT doc_id, lang,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
        |    CAST(length(text) AS BIGINT) AS n_chars
-       |  FROM documents
+       |  FROM fdoc
        |)
        |SELECT b.lang, COUNT(*) AS n_docs,
        |  CAST(SUM(b.n_words) AS BIGINT) AS sum_words,
@@ -4051,7 +4051,7 @@ object TextQueries {
     */
   private[graft] def cmsReportFrom(cells: DataFrame, spark: SparkSession,
       dir: String): DataFrame = {
-    val vocab = Tables(spark, dir, "documents")
+    val vocab = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("tf"))
       .orderBy(col("tf").desc, col("token")).limit(VocabTopK)
@@ -4067,7 +4067,7 @@ object TextQueries {
   }
 
   def c63CmsFreq(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables(spark, dir, "documents")
+    val toks = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("token"))
     cmsReportFrom(cmsCellsOn(toks), spark, dir)
   }
@@ -4081,7 +4081,7 @@ object TextQueries {
       s"SELECT CAST($i AS BIGINT) AS r, ${posSql("h", i)} AS p FROM th").mkString("\n  UNION ALL\n  ")
     val probeRows = CmsRows.indices.map(i =>
       s"SELECT token, tf, CAST($i AS BIGINT) AS r, ${posSql("h", i)} AS p FROM vocab").mkString("\n  UNION ALL\n  ")
-    s"""WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),
+    s"""WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS token FROM fdoc),
        |th AS (SELECT ${tokenHashSql("token")} AS h FROM toks),
        |cellsrc AS (
        |  $cellRows
@@ -4189,7 +4189,7 @@ object TextQueries {
     * never touched — A31's immutability contract.
     */
   def c67IncrementalDedup(spark: SparkSession, dir: String): DataFrame =
-    incrementalDedupOn(Tables(spark, dir, "documents").select("doc_id", "text"))
+    incrementalDedupOn(Tables.documents(spark, dir).select("doc_id", "text"))
 
   /** The incremental-dedup body on ANY (doc_id, text) frame —
     * ScaleSmoke drives this same code at 10M docs with ONE text owning
@@ -4220,12 +4220,12 @@ object TextQueries {
 
   val c67Sql: String =
     """WITH cut AS (
-      |  SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS cut FROM documents
+      |  SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS cut FROM fdoc
       |), old_keep AS (
-      |  SELECT text, MIN(doc_id) AS old_min FROM documents, cut
+      |  SELECT text, MIN(doc_id) AS old_min FROM fdoc, cut
       |  WHERE doc_id < cut GROUP BY text
       |), fresh AS (
-      |  SELECT doc_id, text FROM documents, cut WHERE doc_id >= cut
+      |  SELECT doc_id, text FROM fdoc, cut WHERE doc_id >= cut
       |), new_min AS (
       |  SELECT text, MIN(doc_id) AS new_min FROM fresh GROUP BY text
       |)
@@ -4284,7 +4284,7 @@ object TextQueries {
     s"""WITH toks AS (
        |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
        |    UNNEST(string_split(text, ' ')) AS w1
-       |  FROM documents
+       |  FROM fdoc
        |), adj AS (
        |  SELECT w1, LEAD(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM toks
        |), pp AS (SELECT w1, w2 FROM adj WHERE w2 IS NOT NULL),
@@ -4322,7 +4322,7 @@ object TextQueries {
 
   def c71ZipfFit(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = Tables(spark, dir, "documents")
+    val tf = Tables.documents(spark, dir)
       .select(col("lang"), explode(tokens(col("text"))).as("token"))
       .groupBy("lang", "token").agg(count(lit(1)).as("tf"))
     val w = Window.partitionBy("lang").orderBy(col("tf").desc, col("token"))
@@ -4357,7 +4357,7 @@ object TextQueries {
 
   val c71Sql: String =
     s"""WITH tf AS (
-       |  SELECT lang, UNNEST(string_split(text, ' ')) AS token FROM documents
+       |  SELECT lang, UNNEST(string_split(text, ' ')) AS token FROM fdoc
        |), cnt AS (SELECT lang, token, COUNT(*) AS tf FROM tf GROUP BY lang, token),
        |ranked AS (
        |  SELECT lang,
@@ -4407,7 +4407,7 @@ object TextQueries {
   val RareMax = 2L
 
   def c72RareTokens(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables(spark, dir, "documents")
+    val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val tf = toks.groupBy("token").agg(count(lit(1)).as("tf"))
     toks.join(tf, "token")
@@ -4423,7 +4423,7 @@ object TextQueries {
 
   val c72Sql: String =
     s"""WITH toks AS (
-       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM fdoc
        |), tf AS (SELECT token, COUNT(*) AS tf FROM toks GROUP BY token)
        |SELECT t.doc_id, COUNT(*) AS n_tokens,
        |  CAST(SUM(CASE WHEN f.tf <= $RareMax THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
@@ -4480,7 +4480,7 @@ object TextQueries {
 
   /** The snapshot/batch split point — the staging scalar D24 shares. */
   private[graft] def driftCut(spark: SparkSession, dir: String): Long =
-    Tables(spark, dir, "documents")
+    Tables.documents(spark, dir)
       .agg(((min("doc_id") + max("doc_id")) / 2).cast("long")).head.getLong(0)
 
   /** One side's token histogram (map-side explode + one token agg). */
@@ -4489,7 +4489,7 @@ object TextQueries {
       .groupBy("token").agg(count(lit(1)).as(as))
 
   def c73CorpusDrift(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+    val docs = Tables.documents(spark, dir)
     val cut = docs.agg(((min("doc_id") + max("doc_id")) / 2).cast("long").as("cut"))
     val toks = docs.crossJoin(broadcast(cut))
       .select(col("doc_id"), col("cut"), explode(tokens(col("text"))).as("token"))
@@ -4504,9 +4504,9 @@ object TextQueries {
     def qd = "(CAST(cnt_new AS DOUBLE) / n_new)"
     val md = s"(($pd + $qd) / 2.0)"
     s"""WITH cut AS (
-       |  SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS cut FROM documents
+       |  SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS cut FROM fdoc
        |), toks AS (
-       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM fdoc
        |), counts AS (
        |  SELECT token,
        |    CAST(SUM(CASE WHEN doc_id < cut THEN 1 ELSE 0 END) AS BIGINT) AS cnt_old,
@@ -4555,7 +4555,7 @@ object TextQueries {
   val GtMaxR = 10L
 
   def c75GoodTuring(spark: SparkSession, dir: String): DataFrame = {
-    val tf = Tables(spark, dir, "documents")
+    val tf = Tables.documents(spark, dir)
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= ContamN)
       .select(explode(gramHashes(col("toks"))).as("gh"))
@@ -4576,7 +4576,7 @@ object TextQueries {
 
   val c75Sql: String =
     s"""WITH d AS (
-       |  SELECT string_split(text, ' ') AS toks FROM documents
+       |  SELECT string_split(text, ' ') AS toks FROM fdoc
        |), tf AS (
        |  SELECT gh, COUNT(*) AS tf FROM (
        |    SELECT UNNEST(list_transform(range(1, len(toks) - $ContamN + 2),
@@ -4622,7 +4622,7 @@ object TextQueries {
     * agg. No windows, no broadcast of anything document-scaled.
     */
   def c76DocEntropy(spark: SparkSession, dir: String): DataFrame = {
-    val counts = Tables(spark, dir, "documents")
+    val counts = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
     val totals = counts.groupBy("doc_id")
@@ -4644,7 +4644,7 @@ object TextQueries {
   val c76Sql: String =
     """WITH counts AS (
       |  SELECT doc_id, token, COUNT(*) AS c FROM (
-      |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+      |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM fdoc
       |  ) GROUP BY doc_id, token
       |), tot AS (
       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_types
@@ -4684,7 +4684,7 @@ object TextQueries {
   val MaskSpanLen = 3L
 
   def c83SpanCorruption(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("off", expr(s"(doc_id * 2654435761 + 40503) % $MaskStride"))
       .filter(col("n_tokens") >= col("off") + MaskSpanLen)
@@ -4700,7 +4700,7 @@ object TextQueries {
        |  SELECT doc_id,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        |    (doc_id * 2654435761 + 40503) % $MaskStride AS off
-       |  FROM documents
+       |  FROM fdoc
        |)
        |SELECT doc_id, off + 1 + k * $MaskStride AS span_start,
        |  CAST($MaskSpanLen AS BIGINT) AS span_len, n_tokens
@@ -4734,7 +4734,7 @@ object TextQueries {
         lit(0L), (acc, g) => (acc * lit(FpB) + g) % lit(FpM)))
 
   def c86ContamSweep(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables(spark, dir, "documents")
+    val base = Tables.documents(spark, dir)
       .withColumn("split", splitCol)
       .withColumn("toks", tokens(col("text")))
     ContamSweepNs.map { n =>
@@ -4780,7 +4780,7 @@ object TextQueries {
        |         WHEN (doc_id * 2654435761 + 40503) % 100 < 90 THEN 'val'
        |         ELSE 'test' END AS split,
        |    string_split(text, ' ') AS toks
-       |  FROM documents
+       |  FROM fdoc
        |)
        |${block(4)}
        |UNION ALL
@@ -4838,7 +4838,7 @@ object TextQueries {
     s"""WITH s AS (
        |  SELECT source, COUNT(*) AS n_docs,
        |    CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS sum_tokens
-       |  FROM documents GROUP BY source
+       |  FROM fdoc GROUP BY source
        |), m AS (SELECT MAX(sum_tokens) AS max_tokens FROM s),
        |mix AS (
        |  SELECT source, sum_tokens,
@@ -4896,7 +4896,7 @@ object TextQueries {
   private[text] def bm25Ranked(spark: SparkSession, dir: String): DataFrame =
     bm25Cache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       import org.apache.spark.sql.expressions.Window
-      val toks = Tables(spark, dir, "documents")
+      val toks = Tables.documents(spark, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       val stats = toks.groupBy("token")
         .agg(count_distinct(col("doc_id")).as("df"))
@@ -4940,7 +4940,7 @@ object TextQueries {
     */
   private val bm25Ctes: String =
     s"""toks AS (
-       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM fdoc
        |), stats AS (
        |  SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
        |), terms AS (
@@ -5008,7 +5008,7 @@ object TextQueries {
 
   def c109RetrievalEval(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables(spark, dir, "documents")
+    val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val stats = toks.groupBy("token").agg(count_distinct(col("doc_id")).as("df"))
     val cov = toks.join(broadcast(queryTerms(stats)), "token")
@@ -5103,12 +5103,12 @@ object TextQueries {
 
   private def retrievalRuns(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables(spark, dir, "documents")
+    val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val stats = toks.groupBy("token")
       .agg(count_distinct(col("doc_id")).as("df"))
     val terms = queryTerms(stats)
-    val totals = Tables(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val totals = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     // per-(doc, term) squared weight, quantized BEFORE the norm sum
     val w2 = tf.join(stats, "token").crossJoin(broadcast(totals))
@@ -5312,7 +5312,7 @@ object TextQueries {
   val PmiMinPair = 5L
 
   def c89PmiPairs(spark: SparkSession, dir: String): DataFrame = {
-    val pos = Tables(spark, dir, "documents")
+    val pos = Tables.documents(spark, dir)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "w")))
     val uni = pos.groupBy("w").agg(count(lit(1)).as("n_w"))
     val nTok = pos.agg(count(lit(1)).as("n_tok"))
@@ -5341,7 +5341,7 @@ object TextQueries {
        |  SELECT doc_id, i - 1 AS i, w FROM (
        |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w,
        |      generate_subscripts(string_split(text, ' '), 1) AS i
-       |    FROM documents
+       |    FROM fdoc
        |  )
        |), uni AS (SELECT w, COUNT(*) AS n_w FROM pos GROUP BY w),
        |tot AS (SELECT COUNT(*) AS n_tok FROM pos),
@@ -5382,7 +5382,7 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = Tables(spark, dir, "documents")
+    val cum = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         regexp_count(col("text"), lit("\\S+")).cast("long").as("n_tok"))
       .withColumn("cum", sum("n_tok").over(w))
@@ -5418,7 +5418,7 @@ object TextQueries {
     s"""WITH t AS (
        |  SELECT doc_id, source,
        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
-       |  FROM documents
+       |  FROM fdoc
        |), c AS (
        |  SELECT doc_id, source, n_tok,
        |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
@@ -5453,7 +5453,7 @@ object TextQueries {
 
   def c91DsirDraw(spark: SparkSession, dir: String): DataFrame = {
     val weights = c43DsirWeights(spark, dir).select("doc_id", "dsir_micro")
-    val src = Tables(spark, dir, "documents").select("doc_id", "source")
+    val src = Tables.documents(spark, dir).select("doc_id", "source")
     weights.join(src, "doc_id")
       .withColumn("draw", expr(s"(doc_id * 2654435761 + 40503) % $DsirDrawMod"))
       .withColumn("keep", col("draw") < col("dsir_micro"))
@@ -5473,7 +5473,7 @@ object TextQueries {
   val c91Sql: String =
     s"""WITH w AS (
        |${c43Sql.stripSuffix("ORDER BY doc_id").trim}
-       |), s AS (SELECT doc_id, source FROM documents),
+       |), s AS (SELECT doc_id, source FROM fdoc),
        |d AS (
        |  SELECT w.doc_id, s.source, w.dsir_micro,
        |    (w.doc_id * 2654435761 + 40503) % $DsirDrawMod AS draw
@@ -5511,10 +5511,10 @@ object TextQueries {
     * pattern).
     */
   def c92HeapsLaw(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+    val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .select(col("doc_id"), tokenHash(col("w")).as("th"))
-    val maxDoc = Tables(spark, dir, "documents").agg(max("doc_id")).head.getLong(0)
+    val maxDoc = Tables.documents(spark, dir).agg(max("doc_id")).head.getLong(0)
     val cps = (0 to 40).map(k => 1L << k).filter(_ <= maxDoc).toSeq :+ (maxDoc + 1L)
     import spark.implicits._
     val cpDf = cps.distinct.sorted.toDF("cp")
@@ -5549,12 +5549,12 @@ object TextQueries {
   val c92Sql: String =
     s"""WITH d AS (
        |  SELECT doc_id, ${tokenHashSql("w")} AS th
-       |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+       |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM fdoc)
        |), cps AS (
        |  SELECT DISTINCT cp FROM (
        |    SELECT power(2, k)::BIGINT AS cp FROM range(0, 41) t(k)
-       |    WHERE power(2, k)::BIGINT <= (SELECT MAX(doc_id) FROM documents)
-       |    UNION ALL SELECT MAX(doc_id) + 1 FROM documents
+       |    WHERE power(2, k)::BIGINT <= (SELECT MAX(doc_id) FROM fdoc)
+       |    UNION ALL SELECT MAX(doc_id) + 1 FROM fdoc
        |  )
        |), per_doc AS (SELECT doc_id, COUNT(*) AS n_tok FROM d GROUP BY doc_id),
        |first_doc AS (SELECT th, MIN(doc_id) AS fd FROM d GROUP BY th),
@@ -5681,14 +5681,14 @@ object TextQueries {
 
   def c97Blocklist(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables(spark, dir, "documents")
+    val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val kws = toks.filter(length(col("token")) >= 4)
       .groupBy("token").agg(count_distinct(col("doc_id")).as("df"))
       .withColumn("rn", row_number().over(Window.orderBy(col("df").desc, col("token"))))
       .filter(col("rn") <= BlocklistK).orderBy("rn")
       .collect().map(_.getString(0)).toSeq
-    Tables(spark, dir, "documents")
+    Tables.documents(spark, dir)
       .select(col("doc_id"),
         graft.functions.multisearch.multi_contains(col("text"), kws).as("kw_mask"))
       .withColumn("n_kw", expr("bit_count(kw_mask)").cast("long"))
@@ -5697,7 +5697,7 @@ object TextQueries {
 
   val c97Sql: String =
     s"""WITH toks AS (
-       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM fdoc
        |), dfreq AS (
        |  SELECT token, COUNT(DISTINCT doc_id) AS df
        |  FROM toks WHERE length(token) >= 4 GROUP BY token
@@ -5712,7 +5712,7 @@ object TextQueries {
        |           THEN (CAST(1 AS BIGINT) << (k.rn - 1)) ELSE 0 END) AS BIGINT) AS kw_mask,
        |  CAST(SUM(CASE WHEN d.text IS NULL THEN NULL
        |           WHEN strpos(d.text, k.token) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kw
-       |FROM documents d CROSS JOIN kw k
+       |FROM fdoc d CROSS JOIN kw k
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- C98
@@ -5736,7 +5736,7 @@ object TextQueries {
   val HashEmbedDim = 16L
 
   def c98HashEmbed(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .select(col("doc_id"), tokenHash(col("t")).as("hv"))
       .select(col("doc_id"), expr(s"hv % $HashEmbedDim").as("dim"),
@@ -5747,7 +5747,7 @@ object TextQueries {
 
   val c98Sql: String =
     s"""WITH toks AS (
-       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM fdoc
        |), h AS (
        |  SELECT doc_id, ${tokenHashSql("t")} AS hv FROM toks
        |)
@@ -5792,7 +5792,7 @@ object TextQueries {
   val TrMinLen = 4
 
   def c110Textrank(spark: SparkSession, dir: String): DataFrame = {
-    val pos = Tables(spark, dir, "documents")
+    val pos = Tables.documents(spark, dir)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "w")))
     val pairs = pos
       .withColumn("j", explode(array((1 to PmiWindow).map(d => col("i") + d): _*)))
@@ -5857,7 +5857,7 @@ object TextQueries {
        |  SELECT doc_id, i - 1 AS i, w FROM (
        |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w,
        |      generate_subscripts(string_split(text, ' '), 1) AS i
-       |    FROM documents
+       |    FROM fdoc
        |  )
        |), cand AS (SELECT DISTINCT w AS tok FROM pos WHERE length(w) >= $TrMinLen),
        |pr AS (
@@ -5918,13 +5918,13 @@ object TextQueries {
 
   def c111BradleyTerry(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
-    val q = Tables(spark, dir, "documents")
+    val q = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         size(toks).cast("long").as("n_tokens"),
         size(filter(toks, t => t.isin(Stopwords: _*))).cast("long").as("stop_cnt"))
       .withColumn("q", qualityMicro)
       .select("doc_id", "source", "q")
-    val cells = Tables(spark, dir, "documents")
+    val cells = Tables.documents(spark, dir)
       .groupBy(col("lang"), expr(s"doc_id div $BtBlock").as("blk"))
       .agg(min("doc_id").as("a"), max("doc_id").as("b"), count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
@@ -5995,12 +5995,12 @@ object TextQueries {
        |  SELECT doc_id, source,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS BIGINT) AS stop_cnt
-       |  FROM documents
+       |  FROM fdoc
        |), q AS (
        |  SELECT doc_id, source, $QualityMicroSql AS q FROM f
        |), cells AS (
        |  SELECT lang, doc_id // $BtBlock AS blk, MIN(doc_id) AS a, MAX(doc_id) AS b
-       |  FROM documents GROUP BY lang, doc_id // $BtBlock HAVING COUNT(*) >= 2
+       |  FROM fdoc GROUP BY lang, doc_id // $BtBlock HAVING COUNT(*) >= 2
        |), duels AS MATERIALIZED (
        |  SELECT qa.source AS sa, qb.source AS sb,
        |    CASE WHEN qa.q >= qb.q THEN qa.source ELSE qb.source END AS win_src
@@ -6174,7 +6174,45 @@ object TextQueries {
        |ORDER BY qid, step""".stripMargin
   }
 
+  // ------------------------------------------------------------- C140
+  /** C140: the document ingest-quarantine report — the observability
+    * half of the [[graft.Tables.documents]] contract (see its scaladoc
+    * for the probe evidence), sibling of c139 (vectors) and b55
+    * (events). Classifies every RAW document by first defect
+    * (null_doc_id > null_text > null_lang > null_source > ok — identity
+    * first: it is the one quarantined axis) and reports per-class
+    * counts with a min-doc_id witness (NULL for the null_doc_id class,
+    * identically on both engines). One map-side classify + a ≤5-row
+    * agg — the histogram a 100 TB ingest reads before the curation
+    * pipeline runs.
+    */
+  def c140DocQuarantine(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id").isNull, "null_doc_id")
+          .when(col("text").isNull, "null_text")
+          .when(col("lang").isNull, "null_lang")
+          .when(col("source").isNull, "null_source")
+          .otherwise("ok").as("defect"))
+      .groupBy("defect")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .orderBy("defect")
+
+  val c140Sql: String =
+    """SELECT defect, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  MIN(doc_id) AS first_doc
+      |FROM (
+      |  SELECT doc_id, CASE
+      |    WHEN doc_id IS NULL THEN 'null_doc_id'
+      |    WHEN text IS NULL THEN 'null_text'
+      |    WHEN lang IS NULL THEN 'null_lang'
+      |    WHEN source IS NULL THEN 'null_source'
+      |    ELSE 'ok' END AS defect
+      |  FROM documents)
+      |GROUP BY defect ORDER BY defect""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c140_doc_quarantine" -> (c140DocQuarantine _),
     "c113_mmr_rerank" -> (c113MmrRerank _),
     "c111_bradley_terry" -> (c111BradleyTerry _),
     "c110_textrank" -> (c110Textrank _),
@@ -6256,6 +6294,7 @@ object TextQueries {
     "c130_weighted_sample" -> (c130WeightedSample _))
 
   val oracles: Map[String, String] = Map(
+    "c140_doc_quarantine" -> c140Sql,
     "c127_cdc_chunks" -> c127Sql,
     "c130_weighted_sample" -> c130Sql,
     "c113_mmr_rerank" -> c113Sql,

@@ -74,7 +74,7 @@ object GeoDerive {
 
   /** OSM-node analogue derived from orders: lon/lat points. */
   def nodes(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "orders")
+    Tables.orders(spark, dir)
       .select(
         (lit(-180.0) + (col("o_orderkey") % 36000) / lit(100.0)).as("lon"),
         (lit(-85.0) + (col("o_custkey") % 17000) / lit(100.0)).as("lat"),
@@ -86,7 +86,7 @@ object GeoDerive {
       |  SELECT (-180.0 + (o_orderkey % 36000) / 100.0) AS lon,
       |         (-85.0 + (o_custkey % 17000) / 100.0) AS lat,
       |         (o_orderkey % 97) AS nx, (o_custkey % 89) AS ny
-      |  FROM orders
+      |  FROM ford
       |)""".stripMargin
 
   /** lon/lat point per lineitem (the deg2num input world). */

@@ -355,7 +355,7 @@ object GeoQueries {
   /** ON-CONFLICT-IGNORE upsert (solardb.py:51): first batch wins per PK. */
   def a17UpsertIgnore(spark: SparkSession, dir: String): DataFrame = {
     val b1 = GeoDerive.cells(spark, dir).select(col("x"), col("y"), col("score"), lit(1L).as("src"))
-    val b2 = Tables(spark, dir, "orders")
+    val b2 = Tables.orders(spark, dir)
       .select((col("o_orderkey") % GeoDerive.W).as("x"), (col("o_custkey") % GeoDerive.H).as("y"),
         ((((col("o_orderkey") * 48271L) + (col("o_custkey") * 16807L)) % 1000) / lit(1000.0)).as("score"))
       .groupBy("x", "y").agg(max("score").as("score"))
@@ -371,7 +371,7 @@ object GeoQueries {
     """b2 AS (
       |  SELECT (o_orderkey % 97) AS x, (o_custkey % 89) AS y,
       |         MAX((((o_orderkey * 48271) + (o_custkey * 16807)) % 1000) / 1000.0) AS score
-      |  FROM orders GROUP BY 1, 2
+      |  FROM ford GROUP BY 1, 2
       |),
       |unioned AS (
       |  SELECT x, y, score, 1 AS src FROM cells

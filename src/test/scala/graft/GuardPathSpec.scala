@@ -70,33 +70,31 @@ class GuardPathSpec extends SparkTestBase {
       s"wrong failure: ${e.getMessage}")
   }
 
-  test("every oracle reads events/embeddings through the quarantine CTEs") {
-    // The b55/c139 ingest contracts hold only if BOTH engines filter:
-    // a raw `FROM events` / `FROM embeddings` in an oracle would
-    // silently diverge from the quarantined Spark side on poisoned
-    // corpora. The CTE text is pasted (not interpolated — `$.k`-style
-    // payloads forbid s-strings), so also pin each paste against the
-    // canonical constant: a drifted copy fails here, not in a fuzz run.
-    val rawEvents = "(FROM|JOIN)\\s+events\\b".r
-    val rawEmb = "(FROM|JOIN)\\s+embeddings\\b".r
-    val exemptEvents = Set("b55_event_quarantine")
-    val exemptEmb = Set("c139_vector_quarantine")
+  test("every oracle reads quarantined tables through their CTEs") {
+    // The b55/b56/c139/c140 ingest contracts hold only if BOTH engines
+    // filter: a raw `FROM events/documents/orders/embeddings` in an
+    // oracle would silently diverge from the quarantined Spark side on
+    // poisoned corpora. fev/femb are pasted per site (`$.k`-style
+    // payloads forbid s-strings); fdoc/ford are injected centrally
+    // (SparkEntry.injectQuarantineCtes) — either way the FINAL oracle
+    // map must carry the canonical definition next to every read.
+    val contracts = Seq(
+      ("events", Tables.fevCte, Set("b55_event_quarantine")),
+      ("documents", Tables.fdocCte, Set("c140_doc_quarantine")),
+      ("orders", Tables.fordCte, Set("b56_order_quarantine")),
+      ("embeddings", graft.embed.EmbedQueries.fembCte,
+        Set("c139_vector_quarantine")))
     for ((k, sql) <- SparkEntry.oracleSql) {
-      val stripped = sql
-        .replace(Tables.fevCte, "")
-        .replace(graft.embed.EmbedQueries.fembCte, "")
-      if (!exemptEvents(k))
-        assert(rawEvents.findFirstIn(stripped).isEmpty,
-          s"$k oracle reads the RAW events table (wants the fev CTE)")
-      if (!exemptEmb(k))
-        assert(rawEmb.findFirstIn(stripped).isEmpty,
-          s"$k oracle reads the RAW embeddings table (wants the femb CTE)")
-      if (sql.contains("FROM fev"))
-        assert(sql.contains(Tables.fevCte),
-          s"$k reads fev but its CTE text drifted from Tables.fevCte")
-      if (sql.contains("FROM femb"))
-        assert(sql.contains(graft.embed.EmbedQueries.fembCte),
-          s"$k reads femb but its CTE text drifted from EmbedQueries.fembCte")
+      for ((table, cte, exempt) <- contracts) {
+        val stripped = contracts.foldLeft(sql)((s, c) => s.replace(c._2, ""))
+        if (!exempt(k))
+          assert(s"(FROM|JOIN|, )\\s*$table\\b".r.findFirstIn(stripped).isEmpty,
+            s"$k oracle reads the RAW $table table (wants its quarantine CTE)")
+        val view = cte.takeWhile(_ != ' ')
+        if (s"\\b$view\\b".r.findFirstIn(sql).isDefined)
+          assert(sql.contains(cte),
+            s"$k reads $view but lacks the canonical CTE text (drifted or uninjected)")
+      }
     }
   }
 
