@@ -222,14 +222,19 @@ object Fuzz {
       3600000000L, 1L) // window length, adjacent-µs tie
     var lastTs = evBaseUs
     writeTable((1 to nEvents).map { i =>
-      val user = if (rnd.nextInt(10) < 3) 0L else (1 + rnd.nextInt(12)).toLong
-      // Since r17 the wave plants QUARANTINE-class rows (NULL event
-      // time, ~1/12): the b55 ingest contract filters them at the read
-      // boundary on both engines, so every event key must stay
-      // oracle-green with poisoned rows in the RAW table (before the
-      // contract, one null-ts row NOT_NULL_ASSERT-crashed the d3 typed
-      // sessionizer and silently split d1's stream from its batch
-      // oracle — the r16 §7m probe).
+      // Since r17 the wave plants ALL FOUR b55 QUARANTINE classes (NULL
+      // event time ~1/12, NULL user/type/value ~1/30 each): the ingest
+      // contract filters them at the read boundary on both engines, so
+      // every event key must stay oracle-green with poisoned rows in
+      // the RAW table. Before the contract, any one of these
+      // NOT_NULL_ASSERT-crashed the typed stream folds (null-ts: d3;
+      // null user/value/type: d3/d11/d12/d23/d28/d33) and silently
+      // split d1/b49/d30 from their batch oracles — the r16 §7m probe
+      // and its r17 follow-up.
+      val user: java.lang.Long =
+        if (!single && rnd.nextInt(30) == 0) null
+        else if (rnd.nextInt(10) < 3) 0L
+        else (1 + rnd.nextInt(12)).toLong
       val tsOpt: java.lang.Long =
         if (!single && rnd.nextInt(12) == 0) null
         else {
@@ -241,7 +246,9 @@ object Fuzz {
           lastTs = ts
           java.lang.Long.valueOf(ts)
         }
-      val v = if (rnd.nextInt(10) == 0) 1.0
+      val v: java.lang.Double =
+        if (!single && rnd.nextInt(30) == 0) null
+        else if (rnd.nextInt(10) == 0) 1.0
         else math.rint(rnd.nextDouble() * 300 * 100) / 100
       // dirty-JSON classes: malformed, NULL, wrong-typed / nested /
       // array k — a real event pipeline ingests all of these, and the
@@ -258,7 +265,10 @@ object Fuzz {
         case 8 => "null"
         case _ => s"""{"k": ${rnd.nextInt(100)}}"""
       }
-      (i.toLong, tsOpt, user, EventTypes(rnd.nextInt(5)), v, props)
+      val etype =
+        if (!single && rnd.nextInt(30) == 0) null
+        else EventTypes(rnd.nextInt(5))
+      (i.toLong, tsOpt, user, etype, v, props)
     }.toDF("event_id", "us", "user_id", "event_type", "value", "props")
       .select(col("event_id"), ntz(col("us")).as("ts"), col("user_id"),
         col("event_type"), col("value"), col("props")),

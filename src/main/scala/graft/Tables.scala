@@ -21,18 +21,22 @@ object Tables {
     * poisoned row kills a corpus-wide job), watermarked streams silently
     * drop it while batch windows keep a NULL bucket, and epoch-µs window
     * frames emit NULL bounds — the engines diverge on exactly the rows
-    * the contract removes. The oracle twin is [[fevCte]]; the
-    * quarantine REPORT over the raw table is b55_event_quarantine.
-    * NULL user_id / event_type / value are NOT quarantined: they are
-    * reported by b55 but outside the generated domain (neither the
-    * driver testdata nor the fuzz corpus plants them — the typed
-    * D-block folds' primitive-Long encoders assume them non-null, the
-    * same crash class `ts` had; §7n records this as the scoped
-    * residual).
+    * the contract removes. Since late r17 the contract covers the FULL
+    * row shape (ts, user_id, event_type, value all non-null): the
+    * follow-up probe proved NULL user_id/value/event_type rows
+    * NOT_NULL_ASSERT-crash SIX typed stream folds (d3/d11/d12/d23/d28/
+    * d33 — `Ev`, `AsofEv`, `Scd2Ev`, `FunnelEv`, `AlertEv` all carry
+    * primitive Longs) and hash-diverge b49/d30 — an event without an
+    * actor, a kind, or a metric cannot be attributed, sessionized, or
+    * aggregated, so it is quarantined and REPORTED (b55), not crashed
+    * on. `props` stays nullable: dirty JSON is a first-class fuzzed
+    * domain every consumer handles. The oracle twin is [[fevCte]].
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    apply(spark, dir, "events").filter(col("ts").isNotNull)
+    apply(spark, dir, "events").filter(
+      col("ts").isNotNull && col("user_id").isNotNull
+        && col("event_type").isNotNull && col("value").isNotNull)
   }
 
   /** DuckDB twin of [[events]]. Every oracle SQL that reads the events
@@ -40,7 +44,7 @@ object Tables {
     * text, so a drifted copy fails CI); the sole raw-table reader is
     * b55's quarantine report itself.
     */
-  val fevCte: String = "fev AS (SELECT * FROM events WHERE ts IS NOT NULL)"
+  val fevCte: String = "fev AS (SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL)"
 
   /** The ONE documents read every text/dedup/multimodal query goes
     * through: the raw table minus quarantined (NULL doc_id) rows — the

@@ -161,7 +161,7 @@ object Queries {
   }
 
   val eventSessionsSql: String =
-    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL),
       |g AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us,
       |    CAST(ROUND(value*100.0) AS BIGINT) AS value_c,
@@ -209,7 +209,7 @@ object Queries {
     * deterministic, same as eventSessionsSql/d3Sql).
     */
   val sessionWindowBodySql: String =
-    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL),
       |g AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us,
       |    CAST(ROUND(value*100.0) AS BIGINT) AS value_c,
@@ -246,7 +246,7 @@ object Queries {
   }
 
   val eventWindowedSql: String =
-    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL)
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL)
       |SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
       |  event_type, COUNT(*) AS n,
       |  CAST(SUM(CAST(ROUND(value*100.0) AS BIGINT)) AS BIGINT) AS sum_value_c
@@ -272,7 +272,7 @@ object Queries {
   }
 
   val jsonExtractSql: String =
-    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL),
       |e AS (
       |  SELECT event_type,
       |    TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
@@ -406,7 +406,7 @@ object Queries {
     * exactly one row, the same row the window form carries forward.
     */
   val asofJoinSql: String =
-    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL),
       |clicks AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
       |  FROM fev WHERE event_type = 'click'),
       |errors AS (SELECT event_id, user_id, epoch_us(ts) AS err_us
@@ -484,7 +484,7 @@ object Queries {
   }
 
   val rangeJoinSql: String =
-    s"""WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+    s"""WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL),
        |clicks AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
        |  FROM fev WHERE event_type = 'click'),
        |errors AS (SELECT event_id, user_id, epoch_us(ts) AS err_us
@@ -771,7 +771,7 @@ object Queries {
   }
 
   val eventFunnelSql: String =
-    s"""WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+    s"""WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL),
        |e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM fev),
        |t1 AS (SELECT user_id, MIN(us) AS t1_us FROM e WHERE event_type = 'view' GROUP BY user_id),
        |t2 AS (
@@ -901,7 +901,7 @@ object Queries {
   }
 
   val saltedEnrichSql: String =
-    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL),
       |f AS (
       |  SELECT user_id, event_type,
       |    CAST(ROUND(value * 100.0) AS BIGINT) AS value_c
@@ -2137,7 +2137,7 @@ object Queries {
       |ORDER BY b.r_name, b.n_name""".stripMargin
 
   val scd2IntervalsSql: String =
-    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL),
       |ordered AS (
       |  SELECT user_id, ts, event_id, event_type,
       |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
@@ -2347,7 +2347,7 @@ object Queries {
   }
 
   val cusumChangepointSql: String =
-    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL),
       |daily AS (
       |  SELECT epoch_us(ts) // 86400000000 AS day_idx,
       |    CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS x_c
@@ -2437,7 +2437,7 @@ object Queries {
   }
 
   val nearestEventSql: String =
-    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL),
       |clicks AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
       |  FROM fev WHERE event_type = 'click'),
       |errors AS (SELECT event_id, user_id, epoch_us(ts) AS err_us
@@ -2739,13 +2739,13 @@ object Queries {
     * tie order is by how load-bearing the column is: a NULL event time
     * crashes typed session encoders and silently splits stream vs
     * batch, so it wins) and reports per-class counts with a
-    * min-event_id witness. Only `null_ts` rows are QUARANTINED by the
-    * read boundary; NULL user/type/value are reported-only (outside
-    * the generated domain — see [[graft.Tables.events]]) for the same
-    * reason zero_norm vectors are: a 100 TB ingest wants the defect
-    * histogram before the job, not a crash during it. This is the one
-    * key that reads the RAW table — every other events read routes
-    * through the quarantined view.
+    * min-event_id witness. ALL four classes are QUARANTINED by the
+    * read boundary (since late r17 — the follow-up probe proved NULL
+    * user/value/type rows crash six typed stream folds, see
+    * [[graft.Tables.events]]); the report exists because a 100 TB
+    * ingest wants the defect histogram before the job, not a crash
+    * during it. This is the one key that reads the RAW table — every
+    * other events read routes through the quarantined view.
     */
   def b55EventQuarantine(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")

@@ -664,13 +664,16 @@ object StreamingOps {
   def eventsStream(spark: SparkSession, sfDir: String, sourceDir: String): DataFrame = {
     val schema = Tables(spark, sfDir, "events").schema
     // the b55 ingest contract, applied at the STREAM boundary too: a
-    // NULL event-time row never reaches a watermark/session operator
-    // (the typed sessionizer encoder NOT_NULL_ASSERT-crashes on it, and
-    // watermarked aggs silently drop what their batch oracles keep —
-    // the r16 null-ts probe). Staged dirs are RAW copies, so this
-    // filter IS the stream-side quarantine point.
+    // NULL-shaped row (event time, actor, kind or metric missing) never
+    // reaches a watermark/session operator — the typed fold encoders
+    // NOT_NULL_ASSERT-crash on any of them, and watermarked aggs
+    // silently drop what their batch oracles keep (the r16/r17 null
+    // probes). Staged dirs are RAW copies, so this filter IS the
+    // stream-side quarantine point; it must stay equal to
+    // Tables.events' predicate.
     normalize(spark.readStream.schema(schema).options(sourceOptions).parquet(sourceDir)
-      .filter(col("ts").isNotNull))
+      .filter(col("ts").isNotNull && col("user_id").isNotNull
+        && col("event_type").isNotNull && col("value").isNotNull))
   }
 
   /** Stage a single-file table as a streaming source directory.

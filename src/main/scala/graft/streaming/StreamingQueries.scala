@@ -168,7 +168,7 @@ object StreamingQueries {
       .orderBy("event_id")
 
   val d2Sql: String =
-    "WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL)\nSELECT DISTINCT event_id FROM fev ORDER BY event_id"
+    "WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL)\nSELECT DISTINCT event_id FROM fev ORDER BY event_id"
 
   // ---------------------------------------------------------------- D3
   /** Stateful sessionization (flatMapGroupsWithState), append mode: emits
@@ -183,7 +183,7 @@ object StreamingQueries {
       .orderBy("user_id", "start_us")
 
   val d3Sql: String =
-    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL),
       |g AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us,
       |    CAST(ROUND(value*100.0) AS BIGINT) AS value_c,
@@ -218,7 +218,7 @@ object StreamingQueries {
       .orderBy("window_start", "c_mktsegment")
 
   val d4Sql: String =
-    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL)
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL)
       |SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
       |  c_mktsegment, COUNT(*) AS n,
       |  CAST(SUM(CAST(ROUND(value*100.0) AS BIGINT)) AS BIGINT) AS sum_value_c
@@ -249,7 +249,7 @@ object StreamingQueries {
       .orderBy("event_type")
 
   val d6Sql: String =
-    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL)
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL)
       |SELECT event_type, COUNT(*) AS n,
       |  CAST(SUM(CAST(ROUND(value*100.0) AS BIGINT)) AS BIGINT) AS sum_value_c
       |FROM fev GROUP BY 1 ORDER BY 1""".stripMargin
@@ -305,7 +305,7 @@ object StreamingQueries {
   }
 
   val d8Sql: String =
-    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL)
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL)
       |SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
       |  CAST(ROUND(value*100.0) AS BIGINT) AS value_c
       |FROM fev
@@ -333,7 +333,7 @@ object StreamingQueries {
     * watermark-eviction filter (no second hand-maintained copy).
     */
   val d9Sql: String =
-    s"""WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL)
+    s"""WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL)
        |SELECT user_id, start_us, end_us, n_events, sum_value_c FROM (
        |${graft.relational.Queries.sessionWindowBodySql}
        |)
@@ -398,7 +398,7 @@ object StreamingQueries {
 
   val d10Sql: String = {
     import graft.relational.Queries.{kmvEstimateSql, kmvHashSql, KmvK}
-    s"""WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+    s"""WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL),
        |h AS (
        |  -- NULL keys dropped explicitly: the Spark BottomK aggregate
        |  -- skips nulls, DuckDB's DISTINCT would keep an all-NULL row
@@ -495,7 +495,7 @@ object StreamingQueries {
       .orderBy("window_start", "event_type")
 
   val d15Sql: String =
-    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL)
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL)
       |SELECT make_timestamp(((epoch_us(ts) // 1800000000) - k) * 1800000000) AS window_start,
       |  event_type, COUNT(*) AS n,
       |  CAST(SUM(CAST(ROUND(value*100.0) AS BIGINT)) AS BIGINT) AS sum_value_c
@@ -756,7 +756,7 @@ object StreamingQueries {
       .orderBy("user_id", "version")
 
   val d23Sql: String =
-    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL),
       |ordered AS (
       |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
       |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
@@ -974,7 +974,7 @@ object StreamingQueries {
   }
 
   val d28Sql: String =
-    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL)
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL)
       |SELECT user_id, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_c
       |FROM fev GROUP BY user_id ORDER BY user_id""".stripMargin
@@ -1148,7 +1148,7 @@ object StreamingQueries {
     * with the same range condition and sentinel coalesce.
     */
   val d30Sql: String =
-    s"""WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+    s"""WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL),
        |errors AS (
        |  SELECT event_id, user_id, epoch_us(ts) AS err_us
        |  FROM fev WHERE event_type = 'error'),
@@ -1699,7 +1699,7 @@ object StreamingQueries {
 
   /** Batch twin over observed days (no spine — see the scaladoc). */
   val d35Sql: String =
-    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL),
       |daily AS (
       |  SELECT epoch_us(ts) // 86400000000 AS day_idx,
       |    CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS x_c
@@ -1775,7 +1775,7 @@ object StreamingQueries {
   }
 
   val d33Sql: String =
-    s"""WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+    s"""WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL),
        |errors AS (
        |  SELECT event_id, user_id, epoch_us(ts) AS err_us
        |  FROM fev WHERE event_type = 'error'),

@@ -196,8 +196,17 @@ class PlanContractSpec extends SparkTestBase {
   }
 
   test("predicate pushdown reaches the scan: b9's event_type filters are in PushedFilters") {
-    val plan = SparkEntry.queries("b9_asof_join")(spark, sf)
-      .queryExecution.executedPlan.toString
+    // raise the scan-metadata truncation width for this render: the b55
+    // quarantine contract puts four IsNotNull filters AHEAD of the
+    // EqualTo in the pushed list, and the default 100-char elision cut
+    // the EqualTo mid-value ("EqualTo(event_type,c...") — the pushdown
+    // was intact, the STRING was not (found by this pin, r17)
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "400")
+    val plan =
+      try SparkEntry.queries("b9_asof_join")(spark, sf)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
     // both union branches filter event_type on the raw parquet column —
     // the scan, not a post-scan Filter, must carry it. Match loosely:
     // the exact rendering ("EqualTo(event_type,click)") varies across

@@ -25,7 +25,7 @@ class EventQuarantineSpec extends SparkTestBase {
     * `stageTableDir` REQUIRES one regular file).
     */
   private def writeEvents(dir: java.nio.file.Path, rows: Seq[
-      (Long, java.lang.Long, Long, String, Double, String)]): String = {
+      (Long, java.lang.Long, java.lang.Long, String, java.lang.Double, String)]): String = {
     import spark.implicits._
     val df = rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
       .select(col("event_id"),
@@ -61,14 +61,33 @@ class EventQuarantineSpec extends SparkTestBase {
         (i % 7) * 10.5, s"""{"k": $i}""")
     }
 
-  private val poisonRows = cleanRows ++ Seq[
-      (Long, java.lang.Long, Long, String, Double, String)](
-    (900L, null, 1L, "click", 5.0, "{}"),
-    (901L, null, 2L, "error", 6.0, "{}"),
-    (902L, null, 0L, "view", 7.0, "{}"))
+  // all four b55 defect classes: 3 null-ts rows plus (valid-ts) one
+  // null-user, one null-type and one null-value row — the late-r17
+  // full-shape extension (the follow-up probe proved the latter three
+  // crash the typed folds exactly like null-ts did)
+  private lazy val poisonRows: Seq[(Long, java.lang.Long, java.lang.Long,
+      String, java.lang.Double, String)] =
+    box(cleanRows) ++ Seq(
+      (900L, null: java.lang.Long, java.lang.Long.valueOf(1L), "click",
+        java.lang.Double.valueOf(5.0), "{}"),
+      (901L, null: java.lang.Long, java.lang.Long.valueOf(2L), "error",
+        java.lang.Double.valueOf(6.0), "{}"),
+      (902L, null: java.lang.Long, java.lang.Long.valueOf(0L), "view",
+        java.lang.Double.valueOf(7.0), "{}"),
+      (903L, java.lang.Long.valueOf(base), null, "click",
+        java.lang.Double.valueOf(8.0), "{}"),
+      (904L, java.lang.Long.valueOf(base), java.lang.Long.valueOf(1L), null,
+        java.lang.Double.valueOf(9.0), "{}"),
+      (905L, java.lang.Long.valueOf(base), java.lang.Long.valueOf(2L), "error",
+        null, "{}"))
+
+  private def box(rows: Seq[(Long, java.lang.Long, Long, String, Double, String)]) =
+    rows.map { case (id, us, u, t, v, p) =>
+      (id, us, java.lang.Long.valueOf(u), t, java.lang.Double.valueOf(v), p)
+    }
 
   private lazy val cleanDir =
-    writeEvents(java.nio.file.Files.createTempDirectory("evq-clean"), cleanRows)
+    writeEvents(java.nio.file.Files.createTempDirectory("evq-clean"), box(cleanRows))
   private lazy val poisonDir =
     writeEvents(java.nio.file.Files.createTempDirectory("evq-poison"), poisonRows)
   /** EVERY row quarantined — the empty-view edge the d28/d30/d33
@@ -76,12 +95,13 @@ class EventQuarantineSpec extends SparkTestBase {
     */
   private lazy val allNullDir =
     writeEvents(java.nio.file.Files.createTempDirectory("evq-allnull"),
-      Seq((1L, null, 1L, "click", 1.0, "{}"), (2L, null, 2L, "error", 2.0, "{}")))
+      box(Seq((1L, null, 1L, "click", 1.0, "{}"), (2L, null, 2L, "error", 2.0, "{}"))))
 
   test("b55 classifies every defect class exactly, with min-id witnesses") {
     val got = graft.relational.Queries.b55EventQuarantine(spark, poisonDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-    assert(got == Seq(("null_ts", 3L, 900L), ("ok", 36L, 0L)))
+    assert(got == Seq(("null_ts", 3L, 900L), ("null_type", 1L, 904L),
+      ("null_user", 1L, 903L), ("null_value", 1L, 905L), ("ok", 36L, 0L)))
   }
 
   test("quarantined view == clean corpus; poison is a no-op, batch and stream") {
@@ -90,8 +110,12 @@ class EventQuarantineSpec extends SparkTestBase {
     // entry surface: b5 (NULL bounds), b17 (hash mismatch), d1 (stream
     // silently dropped what batch kept), d3 (typed-encoder crash) — and
     // b6, d1's batch twin, pinning stream == batch == clean three ways
+    // b5/b17/b6/d1/d3: the r16 null-ts probe's casualties; b49/d23/d12:
+    // the r17 full-shape probe's (null user/value crashed or diverged
+    // them through the other typed folds)
     for (key <- Seq("b5_event_sessions", "b17_session_window",
-        "b6_event_windowed", "d1_stream_windowed", "d3_stream_sessions")) {
+        "b6_event_windowed", "d1_stream_windowed", "d3_stream_sessions",
+        "b49_nearest_event", "d23_stream_scd2", "d12_stream_funnel")) {
       val q = graft.SparkEntry.queries(key)
       val a = q(spark.newSession(), poisonDir).collect().map(_.toString).toSeq
       val b = q(spark.newSession(), cleanDir).collect().map(_.toString).toSeq
