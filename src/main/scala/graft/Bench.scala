@@ -191,11 +191,22 @@ object Bench {
     // round 6's tail still cut the big line's head off (parsed: null)
     println(summary)
     // also persist to a file: the driver's stdout capture has truncated
-    // mid-line before, losing the totals — the file copy is authoritative
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] could not write $out: $e") }
+    // mid-line before, losing the totals — the file copy is authoritative.
+    // Default target is a DATED file under bench_runs/ (gitignored), NOT
+    // BENCH_LAST.json: the committed pin run must survive the driver's
+    // (often contended) per-round run (r17 verdict item 8). Promoting a
+    // run to the pin is a deliberate act: SPARK_GRAFT_BENCH_OUT=BENCH_LAST.json.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
+      val stamp = new java.text.SimpleDateFormat("yyyyMMdd-HHmmss")
+        .format(new java.util.Date())
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench_runs"))
+      s"bench_runs/BENCH_${stamp}_load$loadStart.json"
+    })
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] per-query dump written to $out")
+    } catch { case e: Throwable => System.err.println(s"[bench] could not write $out: $e") }
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
     spark.stop()

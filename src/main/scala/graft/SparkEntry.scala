@@ -105,7 +105,18 @@ object SparkEntry {
   private[graft] def injectQuarantineCtes(sql: String): String = {
     val needed = quarantineCtes.collect {
       case (name, cte) if ("\\b" + name + "\\b").r.findFirstIn(sql).isDefined
-        && !sql.contains(cte) => cte
+        && !sql.contains(cte) =>
+        // A definition that isn't the canonical text (whitespace/case
+        // variant, or a drifted predicate) would be double-defined by
+        // injection and fail at DuckDB runtime — fail loudly HERE
+        // instead, naming the site. GuardPathSpec pins the canonical
+        // pastes, so exact-text match is the only accepted definition.
+        val defRe = ("(?is)\\b" + name + "\\s+AS\\s*\\(").r
+        require(defRe.findFirstIn(sql).isEmpty,
+          s"oracle SQL defines a variant of quarantine CTE '$name' " +
+            "(not the canonical Tables.*Cte text) — use the canonical " +
+            "paste or drop the local definition")
+        cte
     }
     if (needed.isEmpty) sql
     else if (sql.startsWith("WITH RECURSIVE "))

@@ -577,8 +577,12 @@ object StreamingQueries {
   def d17StreamPack(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.Tables
     val docs = Tables.documents(spark, sfDir)
-    // staging-harness scalar (1 row), not operator code: pick the cut
-    val cut = docs.agg(max("doc_id")).head.getLong(0) / 2
+    // staging-harness scalar (1 row), not operator code: pick the cut.
+    // A fully-quarantined corpus leaves the view empty (NULL max) —
+    // stage two empty halves and let the replay yield the empty table
+    // the fdoc oracle also yields (the c115 empty-view rule, d28 form).
+    val cutRow = docs.agg(max("doc_id")).head
+    val cut = if (cutRow.isNullAt(0)) 0L else cutRow.getLong(0) / 2
     val dir = java.nio.file.Paths.get(track(
       Files.createTempDirectory("graft-d17-src").toString))
     val now = System.currentTimeMillis()
@@ -633,8 +637,11 @@ object StreamingQueries {
   def d19StreamLshDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.Tables
     val docs = Tables.documents(spark, sfDir)
-    // staging-harness scalar (1 row), not operator code: pick the cut
-    val cut = docs.agg(max("doc_id")).head.getLong(0) / 2
+    // staging-harness scalar (1 row), not operator code: pick the cut.
+    // Empty (fully-quarantined) view ⇒ NULL max ⇒ cut=0, empty halves,
+    // empty replay == empty fdoc oracle (c115 empty-view rule).
+    val cutRow = docs.agg(max("doc_id")).head
+    val cut = if (cutRow.isNullAt(0)) 0L else cutRow.getLong(0) / 2
     val dir = java.nio.file.Paths.get(track(
       Files.createTempDirectory("graft-d19-src").toString))
     val now = System.currentTimeMillis()
@@ -840,18 +847,22 @@ object StreamingQueries {
     */
   def d26StreamBm25(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.text.TextQueries
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.Column
     val statToks = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(TextQueries.tokens(col("text"))).as("token"))
     val nTerms = TextQueries.Bm25Queries * TextQueries.Bm25TermsPerQuery
+    // orderBy+limit (NOT an unpartitioned row_number window): plans as
+    // TakeOrderedAndProject — per-partition top-nTerms then a driver
+    // merge — so the frozen-index selection never single-tasks the
+    // corpus-scale token vocabulary (r17 verdict item 5). qid is the
+    // rank div TermsPerQuery, assigned on the collected (ordered) rows.
     val terms = statToks.groupBy("token")
       .agg(count_distinct(col("doc_id")).as("df"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("df").asc, col("token"))))
-      .filter(col("rn") <= nTerms)
-      .select(col("token"), col("df"),
-        expr(s"(rn - 1) div ${TextQueries.Bm25TermsPerQuery}").as("qid"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .orderBy(col("df").asc, col("token"))
+      .limit(nTerms)
+      .collect().zipWithIndex.map { case (r, i) =>
+        (r.getString(0), r.getLong(1), i.toLong / TextQueries.Bm25TermsPerQuery)
+      }
     val dlStats = statToks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")).head()
     val (nDocs, sumDl) = (dlStats.getLong(0), dlStats.getLong(1))
@@ -1024,7 +1035,10 @@ object StreamingQueries {
   def d29StreamTopk(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.Tables
     val docs = Tables.documents(spark, sfDir)
-    val cut = docs.agg(max("doc_id")).head.getLong(0) / 2
+    // Empty (fully-quarantined) view ⇒ NULL max ⇒ cut=0, empty halves,
+    // empty board == empty fdoc oracle (c115 empty-view rule).
+    val cutRow = docs.agg(max("doc_id")).head
+    val cut = if (cutRow.isNullAt(0)) 0L else cutRow.getLong(0) / 2
     val dir = java.nio.file.Paths.get(track(
       Files.createTempDirectory("graft-d29-src").toString))
     val now = System.currentTimeMillis()
@@ -1372,10 +1386,17 @@ object StreamingQueries {
     */
   def d38StreamSnapshotDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.dedup.DedupQueries
+    import spark.implicits._
     val docs = graft.Tables.documents(spark, sfDir)
-    // staging-harness scalar (1 row), not operator code: the snapshot cut
-    val cut = docs.agg(((min("doc_id") + max("doc_id")) / 2).cast("long"))
-      .head.getLong(0)
+    // staging-harness scalar (1 row), not operator code: the snapshot
+    // cut. A fully-quarantined corpus leaves the view empty (NULL
+    // aggregate) — return the empty frame the fdoc oracle also yields
+    // instead of NPE-ing on getLong (the c115 empty-view rule).
+    val cutRow = docs.agg(((min("doc_id") + max("doc_id")) / 2).cast("long")).head
+    if (cutRow.isNullAt(0))
+      return Seq.empty[(Long, Long, Long)]
+        .toDF("new_id", "n_hit_bands", "owner_min")
+    val cut = cutRow.getLong(0)
     val store = DedupQueries.bandRowsOn(docs.filter(col("doc_id") < cut))
       .groupBy("band", "bh").agg(min("doc_id").as("owner"))
       // sealed: the frozen owner store is materialized once, not
@@ -1506,10 +1527,17 @@ object StreamingQueries {
     */
   def d41StreamPhashScreen(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.multimodal.Multimodal
+    import spark.implicits._
     val docs = graft.Tables.documents(spark, sfDir)
-    // staging-harness scalar (1 row), not operator code: the snapshot cut
-    val cut = docs.agg(((min("doc_id") + max("doc_id")) / 2).cast("long"))
-      .head.getLong(0)
+    // staging-harness scalar (1 row), not operator code: the snapshot
+    // cut. A fully-quarantined corpus leaves the view empty (NULL
+    // aggregate) — return the empty frame the fdoc oracle also yields
+    // instead of NPE-ing on getLong (the c115 empty-view rule).
+    val cutRow = docs.agg(((min("doc_id") + max("doc_id")) / 2).cast("long")).head
+    if (cutRow.isNullAt(0))
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("new_id", "n_cand", "n_near", "near_witness")
+    val cut = cutRow.getLong(0)
     val store = Multimodal.phashBands(
         Multimodal.phashOn(docs.filter(col("doc_id") < cut)))
       .groupBy("k", "bv", "phash").agg(min("doc_id").as("owner"))

@@ -88,7 +88,9 @@ class GuardPathSpec extends SparkTestBase {
       for ((table, cte, exempt) <- contracts) {
         val stripped = contracts.foldLeft(sql)((s, c) => s.replace(c._2, ""))
         if (!exempt(k))
-          assert(s"(FROM|JOIN|, )\\s*$table\\b".r.findFirstIn(stripped).isEmpty,
+          // `,\s*` (not ", ") so a FROM-list item split across lines or
+          // written without a space after the comma can't evade the check
+          assert(s"(FROM|JOIN|,)\\s*$table\\b".r.findFirstIn(stripped).isEmpty,
             s"$k oracle reads the RAW $table table (wants its quarantine CTE)")
         val view = cte.takeWhile(_ != ' ')
         if (s"\\b$view\\b".r.findFirstIn(sql).isDefined)

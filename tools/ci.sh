@@ -28,8 +28,10 @@ echo "[ci] 3/4 differential fuzz, single-batch + split-width sweep"
 if [ $# -eq 0 ]; then set -- 0 1; fi
 # First listed seed also runs the k∈{2,8} split widths (D block only);
 # every seed runs the default k=4 lane inside this same invocation.
+# FUZZ_SPLIT_ONLY reuses the corpus the full run just generated and
+# skips the already-gated single-batch lane (r17 advice).
 first="$1"
 tools/fuzz.sh "$@"
-FUZZ_SPLIT=2,8 FUZZ_KEYS='d*' tools/fuzz.sh "$first"
+FUZZ_SPLIT_ONLY=1 FUZZ_SPLIT=2,8 tools/fuzz.sh "$first"
 
 echo "[ci] 4/4 done — all gates green"

@@ -22,6 +22,11 @@
 #                   STILL hash-match its batch oracle — the
 #                   batch-boundary adversary for cross-batch state
 #                   (d33's click-memory gap was this bug class).
+#        FUZZ_SPLIT_ONLY=1 reuse the existing corpus_s<seed> dirs and
+#                   run ONLY the split lane(s) — for width sweeps after
+#                   a full run has already generated the corpus and
+#                   proven the single-batch lane (ci.sh's k∈{2,8}
+#                   sweep). Fails if a corpus dir is missing.
 #
 # Exit 0 iff every seed dumps every key AND every key hash-matches DuckDB,
 # in both the single-batch and (unless disabled) the split-replay lane.
@@ -35,17 +40,27 @@ mkdir -p "$root"
 
 # One sbt invocation for ALL seeds (startup + compile amortized); each
 # runMain forks its own JVM (run/fork := true in build.sbt).
-cmds=()
-for s in "${seeds[@]}"; do
-  rm -rf "$root/corpus_s$s" "$root/out_s$s"
-  cmds+=("runMain graft.Fuzz $root/corpus_s$s $s")
-  if [ -n "${FUZZ_KEYS:-}" ]; then
-    cmds+=("runMain graft.Verify $root/corpus_s$s $root/out_s$s $FUZZ_KEYS")
-  else
-    cmds+=("runMain graft.Verify $root/corpus_s$s $root/out_s$s")
-  fi
-done
-sbt -batch "${cmds[@]}" || { echo "[fuzz] sbt run failed"; exit 2; }
+split_only="${FUZZ_SPLIT_ONLY:-0}"
+if [ "$split_only" = "1" ]; then
+  for s in "${seeds[@]}"; do
+    [ -d "$root/corpus_s$s" ] || {
+      echo "[fuzz] FUZZ_SPLIT_ONLY=1 but $root/corpus_s$s missing — run a full lane first"
+      exit 2
+    }
+  done
+else
+  cmds=()
+  for s in "${seeds[@]}"; do
+    rm -rf "$root/corpus_s$s" "$root/out_s$s"
+    cmds+=("runMain graft.Fuzz $root/corpus_s$s $s")
+    if [ -n "${FUZZ_KEYS:-}" ]; then
+      cmds+=("runMain graft.Verify $root/corpus_s$s $root/out_s$s $FUZZ_KEYS")
+    else
+      cmds+=("runMain graft.Verify $root/corpus_s$s $root/out_s$s")
+    fi
+  done
+  sbt -batch "${cmds[@]}" || { echo "[fuzz] sbt run failed"; exit 2; }
+fi
 
 # Split lane(s): one more sbt invocation PER k with GRAFT_STREAM_SPLIT
 # exported (env is per-process, so the single-batch lane above — and
@@ -66,6 +81,7 @@ done
 fail=0
 for s in "${seeds[@]}"; do
   out="$root/out_s$s"
+  if [ "$split_only" != "1" ]; then
   # Verify exits 0 even when a query dies (driver-budget semantics), so
   # gate BY NAME: every key in oracle_sql.json must have its own dump
   # dir (a count compare would let a rows-only key's extra dir pad over
@@ -91,6 +107,7 @@ PY
     fail=1
   fi
   python3 tools/check.py "$out" "$root/corpus_s$s" || fail=1
+  fi # split_only skips the single-batch gate (ran in the prior full lane)
   for split_k in "${split_ks[@]}"; do
     sout="$root/out_s${s}_split$split_k"
     echo "--- seed $s split lane (k=$split_k) ---"
