@@ -301,7 +301,16 @@ object Fuzz {
       // them at the read boundary on both engines — before it, two
       // null-id rows crashed the typed DocBin/PackDoc encoders
       // (NOT_NULL_ASSERT) and hash-diverged a dozen tokenizer/dedup
-      // keys (the r17 probe)
+      // keys (the r17 probe).
+      // DUPLICATE doc_ids are deliberately NOT planted (r18 decision):
+      // uniqueness is a documented pipeline PRECONDITION (Tables.
+      // documents), not a quarantined or defined domain — the engines
+      // legitimately disagree row-by-row on which copy feeds id-keyed
+      // joins, so planting collisions would force an arbitrary tie
+      // rule into ~60 id-keyed oracles to paper over a state the
+      // contract forbids. c141_doc_collisions is the detector
+      // (spec-pinned on a planted-collision corpus), and the
+      // CurationPipeline output is pinned collision-free.
       val docId: java.lang.Long =
         if (!single && rnd.nextInt(25) == 0) null else java.lang.Long.valueOf(i.toLong)
       (docId, t, lang, source, nc)

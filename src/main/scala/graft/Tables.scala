@@ -59,6 +59,16 @@ object Tables {
     * lang / source stay IN the domain — they are fuzzed and every key
     * handles them. Oracle twin: [[fdocCte]] (injected — see
     * SparkEntry.injectQuarantineCtes); raw-table reader: c140 only.
+    *
+    * PRECONDITION (not enforced here): doc_id is UNIQUE within the
+    * corpus. The r18 probe proved 2 rows sharing an id hash-diverge ≥6
+    * id-keyed keys (the engines disagree row-by-row on which copy
+    * feeds joins), and per-read enforcement would add a
+    * count-over-window shuffle to every documents scan at 100 TB.
+    * Uniqueness is an ingest-JOB invariant — the c1 exact-dedup stage
+    * and the CurationPipeline output produce it (spec-pinned) — and
+    * c141_doc_collisions is the cheap detector an ingest runs before
+    * trusting a corpus.
     */
   def documents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col

@@ -6211,8 +6211,44 @@ object TextQueries {
       |  FROM documents)
       |GROUP BY defect ORDER BY defect""".stripMargin
 
+  // ------------------------------------------------------------- C141
+  /** C141: the document identity-collision report — the observability
+    * half of the doc_id UNIQUENESS precondition (see
+    * [[graft.Tables.documents]]). The r17 probe proved 2 rows sharing a
+    * doc_id hash-diverge ≥6 keys (c96/c97/d26/d27/d37 + the pack
+    * class): the engines disagree row-by-row on which copy feeds
+    * id-keyed joins, so duplicate ids are a pipeline-PRECONDITION
+    * violation, not a definable semantics. Per-read enforcement would
+    * add a count-over-window shuffle to every documents scan at 100 TB;
+    * instead uniqueness is an ingest-JOB invariant (exactly what the c1
+    * exact-dedup stage and the CurationPipeline output produce —
+    * CurationPipelineSpec pins the output collision-free), and THIS key
+    * is the cheap detector an ingest runs before trusting a corpus:
+    * a multiplicity histogram over the quarantined view (copies →
+    * id-class count, min-doc_id witness per class). The copies=1 row
+    * doubles as the clean-corpus identity attestation. Report-only:
+    * one (doc_id) hash-agg + a ≤handful-row re-agg, never on a read
+    * path. Reference anchor: solardb.py:83-97 — ON CONFLICT IGNORE is
+    * ingest-level identity enforcement of the same invariant.
+    */
+  def c141DocCollisions(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(spark, dir)
+      .groupBy("doc_id").agg(count(lit(1)).as("copies"))
+      .groupBy("copies")
+      .agg(count(lit(1)).as("n_ids"), min("doc_id").as("first_doc"))
+      .orderBy("copies")
+
+  val c141Sql: String =
+    """SELECT copies, CAST(COUNT(*) AS BIGINT) AS n_ids,
+      |  MIN(doc_id) AS first_doc
+      |FROM (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS copies
+      |  FROM fdoc GROUP BY doc_id)
+      |GROUP BY copies ORDER BY copies""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c140_doc_quarantine" -> (c140DocQuarantine _),
+    "c141_doc_collisions" -> (c141DocCollisions _),
     "c113_mmr_rerank" -> (c113MmrRerank _),
     "c111_bradley_terry" -> (c111BradleyTerry _),
     "c110_textrank" -> (c110Textrank _),
@@ -6295,6 +6331,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "c140_doc_quarantine" -> c140Sql,
+    "c141_doc_collisions" -> c141Sql,
     "c127_cdc_chunks" -> c127Sql,
     "c130_weighted_sample" -> c130Sql,
     "c113_mmr_rerank" -> c113Sql,

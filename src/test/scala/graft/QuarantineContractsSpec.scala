@@ -122,6 +122,37 @@ class QuarantineContractsSpec extends SparkTestBase {
     }
   }
 
+  test("c141 reports identity collisions exactly, clean corpus attests copies=1") {
+    // duplicate doc_ids are a PRECONDITION violation, not a quarantined
+    // class (per-read uniqueness = a count-window shuffle on every scan
+    // at 100 TB — Tables.documents scaladoc); c141 is the detector.
+    val dir = java.nio.file.Files.createTempDirectory("qc-dup")
+    import spark.implicits._
+    val dup = (0 until 20).map(i => (i.toLong, docText(i), "en", "src0",
+        docText(i).length.toLong)) ++
+      Seq(3L, 3L, 7L).map(id => (id, docText(id.toInt + 500), "fr", "src1",
+        docText(id.toInt + 500).length.toLong))
+    writeTable(dir, "documents",
+      dup.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = graft.text.TextQueries.c141DocCollisions(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 18L, 0L), (2L, 1L, 7L), (3L, 1L, 3L)))
+    val clean = graft.text.TextQueries.c141DocCollisions(spark, cleanDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(clean == Seq((1L, 20L)))
+  }
+
+  test("a variant quarantine-CTE paste fails at injection time") {
+    // a whitespace/case variant of the canonical CTE text would be
+    // double-defined by injection and only fail at DuckDB runtime —
+    // the injector must reject it loudly instead
+    val variant = "WITH fdoc AS ( SELECT * FROM documents WHERE doc_id IS NOT NULL ) SELECT * FROM fdoc"
+    val e = intercept[IllegalArgumentException](
+      SparkEntry.injectQuarantineCtes(variant))
+    assert(e.getMessage.contains("variant of quarantine CTE 'fdoc'"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
   test("oracle CTE injection covers the three statement shapes") {
     val cte = Tables.fdocCte
     assert(SparkEntry.injectQuarantineCtes("SELECT * FROM fdoc") ==

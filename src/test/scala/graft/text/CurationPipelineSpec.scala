@@ -38,6 +38,11 @@ class CurationPipelineSpec extends SparkTestBase {
     // texts are unique after the exact-dedup stage
     assert(corpus.select("text").distinct().count() == corpus.count())
 
+    // identity is unique too: the pipeline OUTPUT satisfies the doc_id
+    // uniqueness precondition Tables.documents documents (the c141
+    // contract — ingest-job enforcement, not per-read)
+    assert(corpus.select("doc_id").distinct().count() == corpus.count())
+
     // tokenization stage: every doc carries a token array; merges
     // learned (BpeIters of them) and applied — post-merge token mass is
     // below the whitespace mass by exactly the merge reduction, and
