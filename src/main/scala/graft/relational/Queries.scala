@@ -1724,10 +1724,14 @@ object Queries {
     * Scale shape: seed and source are cust-keyed partial aggs; the
     * merge itself is one full-outer shuffle join inside Spark's rewrite
     * (identical to b35's plan) plus the group-based rewrite's write.
-    * At whole-table group granularity the write is a full copy — the
-    * honest copy-on-write cost, confined to affected groups once a
-    * store shards them (UpsertCatalog's scaladoc carries that
-    * argument). Idempotent per run: the table is dropped and reseeded.
+    * The store runs copy-on-write at hash-SHARD granularity (r18):
+    * merges whose condition Spark can group-filter rewrite only the
+    * touched shards via `SupportsRuntimeV2Filtering` (the spec pins a
+    * 1-key merge to a 1-shard rewrite). THIS merge's NOT-MATCHED-BY-
+    * SOURCE clause must evaluate every target row, so Spark plans no
+    * group filter and it pays the honest full rewrite — the documented
+    * cost of that clause family on any copy-on-write store.
+    * Idempotent per run: the table is dropped and reseeded.
     */
   def mergeCommitted(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)

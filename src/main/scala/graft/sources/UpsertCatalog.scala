@@ -24,15 +24,25 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (which could only ever SHOW the post-merge rows) to an actual
   * mutable table.
   *
-  * Group granularity is the whole table: the row-level operation's scan
-  * has no runtime group filter, so Spark's group-based rewrite reads
-  * every row and the ReplaceData write delivers the COMPLETE post-merge
-  * contents, which `commit` swaps in atomically (one volatile write).
-  * That is exactly Delta/Iceberg copy-on-write at one-group
-  * granularity; a production store shards groups into files and adds
-  * `SupportsRuntimeV2Filtering` so only affected groups rewrite — the
-  * planning/commit PROTOCOL, which is what this connector proves, is
-  * unchanged by that sharding.
+  * Group granularity is a HASH SHARD (r17 verdict item 4): rows hash
+  * into `shards` groups (TBLPROPERTIES 'shards', default 8) on the
+  * 'shard.by' column (default: 'rowid', else the first column), and
+  * the row-level scan implements `SupportsRuntimeV2Filtering` on that
+  * column — Spark's `RowLevelOperationRuntimeGroupFiltering` rule
+  * plans a dynamic-pruning subquery over the merge/delete/update
+  * condition, pushes the matched key values as an IN predicate, the
+  * scan maps them to their shards and reads ONLY those, and `commit`
+  * replaces exactly the scanned shards (carry-over rows of a touched
+  * shard arrive through ReplaceData's WRITE_WITH_METADATA lane;
+  * NOT-MATCHED inserts may land in untouched shards and simply
+  * append). A rewrite therefore costs O(touched shards), not O(table)
+  * — the same cliff-removal Iceberg/Delta get from file-level
+  * copy-on-write. When no runtime filter arrives (the rule can't
+  * prune a merge with NOT MATCHED BY SOURCE clauses, which must scan
+  * every row), the scan reads everything and commit replaces the full
+  * table — the pre-shard behavior, still correct. The shard count
+  * maps to files/partitions in a durable store; the planning/commit
+  * PROTOCOL this connector proves is unchanged by that mapping.
   *
   * Storage is an in-JVM row store (the same stand-in Spark's own
   * reference row-level-operation table uses): rows live on the driver,
@@ -104,6 +114,29 @@ object UpsertStore {
   final class State(val schema: StructType,
       val props: Map[String, String] = Map.empty) {
     @volatile var rows: Array[InternalRow] = Array.empty
+
+    /** Hash-shard group granularity for group-based (copy-on-write)
+      * rewrites: 'shards' buckets on the 'shard.by' column (default:
+      * the 'rowid' column, else position 0 — the merge key for every
+      * table this repo creates). The hash must be stable across row
+      * copies and match the values Spark pushes through the runtime IN
+      * filter, so it hashes the VALUE (boxed Long/Int/UTF8String —
+      * all content-hashed), never the row object.
+      */
+    val shards: Int = props.get("shards").map(_.toInt).getOrElse(8)
+    require(shards > 0, s"'shards' must be positive, got $shards")
+    private val shardByIdx: Int = props.get("shard.by").orElse(props.get("rowid"))
+      .map(schema.fieldIndex).getOrElse(0)
+    private val shardByType = schema(shardByIdx).dataType
+    def shardByName: String = schema(shardByIdx).name
+    def shardOf(value: Any): Int =
+      java.lang.Math.floorMod(java.util.Objects.hashCode(value), shards)
+    def shardOfRow(r: InternalRow): Int = shardOf(r.get(shardByIdx, shardByType))
+
+    /** Diagnostics for the granularity spec pin: how many of `shards`
+      * groups the last group-based rewrite replaced.
+      */
+    @volatile var lastRewriteShards: Int = -1
   }
   val tables: TrieMap[String, State] = TrieMap.empty
 }
@@ -231,17 +264,105 @@ private[sources] class UpsertWriterFactory(schema: StructType)
     }
 }
 
-/** The row-level operation: scan = the plain table scan (no group
-  * filter → the rewrite covers the whole single group), write =
-  * truncate-and-swap with the full post-operation contents.
+/** The group-based row-level operation: scan = the shard-pruning scan
+  * below, write = replace exactly the shards that scan read. The scan
+  * instance is shared between the read side and the write's commit so
+  * the replaced-group set is, by construction, the scanned-group set —
+  * the one invariant group-based copy-on-write needs.
   */
 private[sources] class UpsertRowLevelOperation(state: UpsertStore.State,
     cmd: RowLevelOperation.Command) extends RowLevelOperation {
+  @volatile private var scan: UpsertGroupScan = _
   override def command(): RowLevelOperation.Command = cmd
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new UpsertScanBuilder(state)
+    () => { scan = new UpsertGroupScan(state); scan }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new UpsertWriteBuilder(state, replace = true)
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new UpsertGroupWrite(state, () => Option(scan).flatMap(_.touched))
+      }
+    }
+}
+
+/** The row-level scan with hash-shard runtime group filtering.
+  *
+  * `filterAttributes` advertises the shard-by column; at execution
+  * Spark's dynamic-pruning subquery (RowLevelOperationRuntimeGroup-
+  * Filtering) collects the DISTINCT shard-by values of rows matched by
+  * the operation's condition and pushes them back as
+  * `Predicate("IN", FieldReference(col) +: LiteralValue*)`. The scan
+  * maps the values to their shards and reads every row OF those shards
+  * (a deliberate superset of the matched rows: unmatched rows of a
+  * touched shard must flow through ReplaceData's carry-over lane so
+  * the shard's full post-operation contents come back to `commit`).
+  * `touched = None` (no filter call — e.g. a merge with NOT MATCHED BY
+  * SOURCE, which Spark never group-filters) means every shard. The
+  * group-filter subquery itself scans through this same instance
+  * BEFORE `filter` is invoked, so `planInputPartitions` stays
+  * side-effect-free and unfiltered there.
+  */
+private[sources] class UpsertGroupScan(state: UpsertStore.State)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  import org.apache.spark.sql.connector.expressions
+
+  @volatile private[sources] var touched: Option[Set[Int]] = None
+
+  override def readSchema(): StructType = state.schema
+  override def toBatch: Batch = this
+
+  override def filterAttributes(): Array[expressions.NamedReference] =
+    Array(expressions.Expressions.column(state.shardByName))
+
+  override def filter(
+      predicates: Array[expressions.filter.Predicate]): Unit = {
+    val shardSets: Seq[Set[Int]] = predicates.toSeq.collect {
+      case p if p.name() == "IN" && p.children().nonEmpty &&
+          p.children()(0).isInstanceOf[expressions.NamedReference] &&
+          p.children()(0).toString.equalsIgnoreCase(state.shardByName) =>
+        p.children().drop(1).collect {
+          case l: expressions.Literal[_] => state.shardOf(l.value())
+        }.toSet
+    }
+    if (shardSets.nonEmpty) touched = Some(shardSets.reduce(_ intersect _))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val rows = touched match {
+      case Some(sh) => state.rows.filter(r => sh(state.shardOfRow(r)))
+      case None => state.rows
+    }
+    if (rows.isEmpty) Array(UpsertPartition(Array.empty))
+    else rows.grouped(8192).map(g => UpsertPartition(g): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = UpsertReaderFactory
+}
+
+/** ReplaceData commit at shard granularity: drop the rows of exactly
+  * the shards the (possibly runtime-filtered) scan read, append the
+  * delivered post-operation rows — one atomic swap. With no runtime
+  * filter the scanned set is every shard and this degenerates to the
+  * full truncate-and-swap.
+  */
+private[sources] class UpsertGroupWrite(state: UpsertStore.State,
+    touchedShards: () => Option[Set[Int]]) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new UpsertWriterFactory(state.schema)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val delivered = messages.flatMap(_.asInstanceOf[UpsertCommit].rows)
+    state.synchronized {
+      touchedShards() match {
+        case Some(sh) =>
+          state.lastRewriteShards = sh.size
+          state.rows = state.rows.filterNot(r => sh(state.shardOfRow(r))) ++ delivered
+        case None =>
+          state.lastRewriteShards = state.shards
+          state.rows = delivered
+      }
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 /** The DELTA (merge-on-read-style) write path — the scale counterpart

@@ -136,6 +136,104 @@ class UpsertCatalogSpec extends SparkTestBase {
     assert(planOf("graft.spec_g3").contains("ReplaceData"))
   }
 
+  test("a merge touching 1 shard rewrites 1 shard (runtime group filtering)") {
+    // the granularity pin (r17 verdict item 4): the group-based rewrite
+    // must runtime-filter to the shards the merge condition touches,
+    // not copy the whole table. Keys 0..15 on 4 shards; a single-key
+    // merge must report exactly 1 rewritten shard and leave every
+    // untouched row bit-identical.
+    spark.sql("DROP TABLE IF EXISTS graft.spec_sh1")
+    spark.sql(
+      "CREATE TABLE graft.spec_sh1 (k BIGINT, n BIGINT) TBLPROPERTIES ('shards'='4')")
+    spark.sql("INSERT INTO graft.spec_sh1 VALUES " +
+      (0L until 16L).map(k => s"($k, $k)").mkString(", "))
+    val st = UpsertStore.tables("graft.spec_sh1")
+    assert(st.shards == 4)
+    import spark.implicits._
+    Seq((5L, 500L)).toDF("k", "n").createOrReplaceTempView("spec_sh1_up")
+    spark.sql(
+      """MERGE INTO graft.spec_sh1 t USING spec_sh1_up u ON t.k = u.k
+        |WHEN MATCHED THEN UPDATE SET n = u.n
+        |WHEN NOT MATCHED THEN INSERT (k, n) VALUES (u.k, u.n)""".stripMargin)
+    assert(st.lastRewriteShards == 1,
+      s"single-key merge rewrote ${st.lastRewriteShards} of 4 shards")
+    val r = spark.table("graft.spec_sh1").orderBy("k").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toList
+    assert(r == (0L until 16L).map(k => (k, if (k == 5L) 500L else k)).toList)
+    // a NOT-MATCHED insert whose key hashes OUTSIDE the touched shards
+    // must still land (inserts append; they don't need their shard read)
+    val far = (16L to 64L).find(k => st.shardOf(k) != st.shardOf(5L)).get
+    Seq((5L, 501L), (far, 999L)).toDF("k", "n")
+      .createOrReplaceTempView("spec_sh1_up2")
+    spark.sql(
+      """MERGE INTO graft.spec_sh1 t USING spec_sh1_up2 u ON t.k = u.k
+        |WHEN MATCHED THEN UPDATE SET n = u.n
+        |WHEN NOT MATCHED THEN INSERT (k, n) VALUES (u.k, u.n)""".stripMargin)
+    val r2 = spark.table("graft.spec_sh1").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r2(5L) == 501L && r2(far) == 999L && r2.size == 17)
+  }
+
+  test("a merge with NOT MATCHED BY SOURCE scans (and rewrites) every shard") {
+    // Spark cannot group-filter a merge that must evaluate every target
+    // row — the connector must fall back to the full rewrite, not lose
+    // the unscanned shards
+    spark.sql("DROP TABLE IF EXISTS graft.spec_sh2")
+    spark.sql(
+      "CREATE TABLE graft.spec_sh2 (k BIGINT, n BIGINT) TBLPROPERTIES ('shards'='4')")
+    spark.sql("INSERT INTO graft.spec_sh2 VALUES (1, 1), (2, 2), (3, 3), (4, 4)")
+    import spark.implicits._
+    Seq((2L, 200L)).toDF("k", "n").createOrReplaceTempView("spec_sh2_up")
+    spark.sql(
+      """MERGE INTO graft.spec_sh2 t USING spec_sh2_up u ON t.k = u.k
+        |WHEN MATCHED THEN UPDATE SET n = u.n
+        |WHEN NOT MATCHED BY SOURCE AND t.k = 4 THEN DELETE""".stripMargin)
+    val st = UpsertStore.tables("graft.spec_sh2")
+    assert(st.lastRewriteShards == 4,
+      s"NOT-MATCHED-BY-SOURCE merge must rewrite all shards, got ${st.lastRewriteShards}")
+    val r = spark.table("graft.spec_sh2").orderBy("k").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toList
+    assert(r == List((1L, 1L), (2L, 200L), (3L, 3L)))
+  }
+
+  test("concurrent merges to disjoint shards both land (shard-granular commits commute)") {
+    // at whole-table granularity the second commit's snapshot (scanned
+    // before the first landed) silently drops the first merge's effect;
+    // shard-granular ReplaceData makes disjoint-shard merges commute.
+    // Run the pair repeatedly to actually overlap the windows.
+    spark.sql("DROP TABLE IF EXISTS graft.spec_sh3")
+    spark.sql(
+      "CREATE TABLE graft.spec_sh3 (k BIGINT, n BIGINT) TBLPROPERTIES ('shards'='8')")
+    spark.sql("INSERT INTO graft.spec_sh3 VALUES " +
+      (0L until 16L).map(k => s"($k, 0)").mkString(", "))
+    val st = UpsertStore.tables("graft.spec_sh3")
+    val ka = 1L
+    val kb = (2L to 64L).find(k => st.shardOf(k) != st.shardOf(ka)).get
+    import spark.implicits._
+    Seq(ka).toDF("k").createOrReplaceTempView("spec_sh3_a")
+    Seq(kb).toDF("k").createOrReplaceTempView("spec_sh3_b")
+    def mergeInc(view: String): Unit = {
+      spark.sql(
+        s"""MERGE INTO graft.spec_sh3 t USING $view u ON t.k = u.k
+           |WHEN MATCHED THEN UPDATE SET n = t.n + 1""".stripMargin): Unit
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rounds = 5
+    (1 to rounds).foreach { _ =>
+      val fa = Future(mergeInc("spec_sh3_a"))
+      val fb = Future(mergeInc("spec_sh3_b"))
+      Await.result(fa, 120.seconds)
+      Await.result(fb, 120.seconds)
+    }
+    val r = spark.table("graft.spec_sh3").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r(ka) == rounds.toLong && r(kb) == rounds.toLong,
+      s"lost updates: k$ka=${r(ka)} k$kb=${r(kb)} (want $rounds each)")
+    assert(r.size == 16 && r.filterNot(p => p._1 == ka || p._1 == kb).values.forall(_ == 0L))
+  }
+
   test("DELETE FROM and UPDATE route through the row-level ops in both modes") {
     for ((table, props) <- Seq(
         ("graft.spec_u1", ""),
