@@ -252,8 +252,14 @@ object Fuzz {
         else math.rint(rnd.nextDouble() * 300 * 100) / 100
       // dirty-JSON classes: malformed, NULL, wrong-typed / nested /
       // array k — a real event pipeline ingests all of these, and the
-      // engines must agree on the NULL they collapse to
-      val props = rnd.nextInt(16) match {
+      // engines must agree on the NULL (or value) they collapse to.
+      // Widened r18 after the props probe to every class the
+      // StrictJson contract defines: duplicate keys, non-integral
+      // numerics (the try_cast-rounding trap), trailing garbage (the
+      // Jackson-leniency trap), BOM, lone surrogates, trailing commas
+      // (yyjson-valid!), nan/inf literals, deep nesting, kB-scale pads,
+      // escaped/case-variant keys, integral-string k (which CASTS).
+      val props = rnd.nextInt(32) match {
         case 0 => "{}"
         case 1 => s"""{"k": ${-1 - rnd.nextInt(50)}}"""
         case 2 => "{"
@@ -263,6 +269,28 @@ object Fuzz {
         case 6 => """{"k": {"j": 1}}"""
         case 7 => """{"k": [1, 2]}"""
         case 8 => "null"
+        case 9 => s"""{"k": ${rnd.nextInt(9)}, "k": ${rnd.nextInt(9)}}"""
+        case 10 => Seq("""{"k": 5.5}""", """{"k": 1e3}""", """{"k": -0}""",
+          """{"k": 5e-1}""")(rnd.nextInt(4))
+        case 11 => s"""{"k": ${rnd.nextInt(99)}} trailing"""
+        case 12 => "\uFEFF" + s"""{"k": ${rnd.nextInt(99)}}"""
+        case 13 => "{\"k\": \"\\ud800\"}" // lone surrogate escape
+        case 14 => s"""{"pad": "${"x" * (512 + rnd.nextInt(8192))}", "k": ${rnd.nextInt(99)}}"""
+        case 15 => // balanced deep nesting: VALID (no depth limit either side)
+          val d = 50 + rnd.nextInt(350)
+          """{"k": """ + "[" * d + "1" + "]" * d + "}"
+        case 16 => """{"k": null}"""
+        case 17 => """{"k": true}"""
+        case 18 => s"""{"k": "${rnd.nextInt(999)}"}""" // integral string: CASTS
+        case 19 => """{"k": " 7 "}"""
+        case 20 => """{"k": 99999999999999999999}"""
+        case 21 => s"""{"k": ${rnd.nextInt(99)},}""" // trailing comma: VALID
+        case 22 => s"""{"K": ${rnd.nextInt(99)}}"""
+        case 23 => "{\"\\u006b\": " + rnd.nextInt(99) + "}" // escaped key: MATCHES
+        case 24 => Seq("""{"k": nan}""", """{"k": -Infinity}""",
+          """{"k": INF}""", """{"k": NaN}""")(rnd.nextInt(4))
+        case 25 => s"""{"k": 0${rnd.nextInt(9) + 1}}""" // leading zero: invalid
+        case 26 => s"""{"k": ${rnd.nextInt(9)}} {"k": ${rnd.nextInt(9)}}"""
         case _ => s"""{"k": ${rnd.nextInt(100)}}"""
       }
       val etype =

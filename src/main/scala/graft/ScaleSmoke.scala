@@ -1024,7 +1024,10 @@ object ScaleSmoke {
       spark, "/root/testdata/sf0.1")
     val d30Rows = d30.count()
     val prog = graft.streaming.StreamingQueries.lastReplayProgress
-    val dataBatches = prog.count(_.numInputRows > 0)
+    // file-consuming batches by source-offset advance — the same
+    // pruning-immune metric the in-operator require uses (r18)
+    val dataBatches = prog.count(_.sources.exists(s =>
+      s.endOffset != null && s.endOffset != s.startOffset))
     val finalState = prog.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum)
       .getOrElse(-1L)
     println(f"SCALE d30 events=500000 rows=$d30Rows batches=$dataBatches " +

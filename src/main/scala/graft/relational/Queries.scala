@@ -254,17 +254,28 @@ object Queries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
-  /** B7: JSON field extraction + rollup over the events `props` payload —
-    * `get_json_object` stays codegen'd; avg derived from exact integer
-    * sums via integer division (µ-units) for oracle stability.
+  /** B7: JSON field extraction + rollup over the events `props` payload.
+    *
+    * Extraction is [[graft.functions.StrictJson]] semantics, NOT bare
+    * `get_json_object`: the r18 props probe proved lenient-Jackson
+    * extraction hash-diverges from the DuckDB oracle on trailing-garbage
+    * documents (`{"k":12} trailing` → 12 vs json_valid-rejected NULL),
+    * and bare `try_cast` diverges on every non-integral numeric lexeme
+    * (Spark NULLs `'5.5'`; DuckDB TRY_CAST rounds it to 6). The defined
+    * domain: k counts iff the WHOLE payload is strict JSON and the
+    * top-level `k` is an integral lexeme fitting BIGINT — the integral
+    * regex guard collapses every double-path normalization difference
+    * (`1e3` → raw `"1e3"` here vs `"1000.0"` there) to the same NULL on
+    * both engines. Everything stays codegen'd (the scanner rides into
+    * WholeStageCodegen as a static call); avg derived from exact
+    * integer sums via integer division (µ-units) for oracle stability.
     */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir) // b55 quarantined view
-    // try_cast: dirty props (malformed JSON → get_json_object NULL;
-    // string/nested k → non-numeric text) must aggregate as NULL, not
-    // ANSI-throw — the oracle mirrors with json_valid + TRY_CAST
     e.select(col("event_type"),
-        expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"))
+        graft.functions.json.json_strict_field(col("props"), "k").as("s"))
+      .withColumn("k",
+        expr("try_cast(CASE WHEN s RLIKE '^-?[0-9]+$' THEN s END AS BIGINT)"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
       .withColumn("avg_k_micro", expr("(sum_k * 1000000) div n"))
@@ -273,11 +284,17 @@ object Queries {
 
   val jsonExtractSql: String =
     """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL),
+      |s AS (
+      |  SELECT event_type,
+      |    CASE WHEN props IS NOT NULL AND json_valid(props)
+      |      THEN json_extract_string(props, '$.k') END AS s
+      |  FROM fev
+      |),
       |e AS (
       |  SELECT event_type,
-      |    TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
-      |      THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
-      |  FROM fev
+      |    TRY_CAST(CASE WHEN regexp_matches(s, '^-?[0-9]+$') THEN s END
+      |      AS BIGINT) AS k
+      |  FROM s
       |)
       |SELECT event_type, COUNT(*) AS n,
       |  CAST(SUM(k) AS BIGINT) AS sum_k,

@@ -101,6 +101,16 @@ object StreamingQueries {
   @volatile private[graft] var lastReplayProgress:
     Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
 
+  /** Micro-batches that CONSUMED at least one staged file, measured by
+    * source-offset advance — the pruning-immune replay-contract metric
+    * (see the comment in [[runToTable]]). Empty staged files count:
+    * every file advances the file-source log exactly once.
+    */
+  private def fileBatchCount(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Int =
+    q.recentProgress.count(_.sources.exists(s =>
+      s.endOffset != null && s.endOffset != s.startOffset))
+
   private def runToTable(df: DataFrame, name: String, mode: String,
       requireSingleBatch: Boolean = false, requireDataBatches: Int = 0): DataFrame = {
     val spark = df.sparkSession
@@ -116,11 +126,20 @@ object StreamingQueries {
       if (requireDataBatches > 0) {
         // multi-file staged replays (d17): the cross-batch state carry is
         // the thing under test, so a staging change that collapses the
-        // replay to one batch must fail loudly, not pass vacuously
-        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-        require(dataBatches == requireDataBatches,
-          s"$name expects $requireDataBatches data micro-batches " +
-            s"(staged replay contract), got $dataBatches")
+        // replay to one batch must fail loudly, not pass vacuously.
+        // "Consumed a file" is measured by SOURCE OFFSET ADVANCE, not
+        // numInputRows > 0: the row count is pruning-sensitive — a
+        // staged file whose rows are all removed by a pushed predicate
+        // (d30's event_type filter against a file with no error/click
+        // rows, a quarantine IsNotNull against an all-poisoned cut)
+        // reports 0 input rows from its own perfectly-real micro-batch
+        // (r18, found by the widened-fuzz rnd shift flipping seed 0's
+        // single event to 'signup'). Every staged file — empty ones
+        // included — advances the file-source log exactly once.
+        val fb = fileBatchCount(q)
+        require(fb == requireDataBatches,
+          s"$name expects $requireDataBatches file micro-batches " +
+            s"(staged replay contract), got $fb")
       }
       if (requireSingleBatch && splitEnv.isEmpty) {
         // d11's batch-ASOF oracle equality holds only when the replay is
@@ -528,12 +547,12 @@ object StreamingQueries {
     val dir = java.nio.file.Paths.get(track(
       Files.createTempDirectory("graft-d16-src").toString))
     val now = System.currentTimeMillis()
-    val n0 = StreamingOps.stageFrameFile(
+    StreamingOps.stageFrameFile(
       pos.filter(col("score") >= GeoQueries.IncrementalSplit).select("x", "y"),
-      dir, "b0.parquet", now - 600000L)
-    val n1 = StreamingOps.stageFrameFile(
+      dir, "b0.parquet", now - 600000L): Unit
+    StreamingOps.stageFrameFile(
       pos.filter(col("score") < GeoQueries.IncrementalSplit).select("x", "y"),
-      dir, "b1.parquet", now)
+      dir, "b1.parquet", now): Unit
     val schema = new StructType().add("x", LongType).add("y", LongType)
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(dir.toString)
@@ -554,12 +573,11 @@ object StreamingQueries {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-    // every NON-EMPTY staged half must arrive as its own micro-batch —
-    // a degenerate corpus (fuzz seed 0) legitimately stages an empty half
-    val expected = Seq(n0, n1).count(_ > 0)
-    require(dataBatches == expected,
-      s"d16 expects $expected data micro-batches (oracle contract), got $dataBatches")
+    // both staged halves must arrive as their own micro-batch; counted
+    // by offset advance (pruning-immune, empty halves included)
+    val fb16 = fileBatchCount(q)
+    require(fb16 == 2,
+      s"d16 expects 2 file micro-batches (oracle contract), got $fb16")
     state.orderBy("x", "y")
   }
 
@@ -586,14 +604,14 @@ object StreamingQueries {
     val dir = java.nio.file.Paths.get(track(
       Files.createTempDirectory("graft-d17-src").toString))
     val now = System.currentTimeMillis()
-    val n0 = StreamingOps.stageFrameFile(docs.filter(col("doc_id") <= cut), dir,
-      "b0.parquet", now - 600000L)
-    val n1 = StreamingOps.stageFrameFile(docs.filter(col("doc_id") > cut), dir,
-      "b1.parquet", now)
+    StreamingOps.stageFrameFile(docs.filter(col("doc_id") <= cut), dir,
+      "b0.parquet", now - 600000L): Unit
+    StreamingOps.stageFrameFile(docs.filter(col("doc_id") > cut), dir,
+      "b1.parquet", now): Unit
     val src = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(dir.toString)
     runToTable(StreamingOps.packDocs(src).toDF(), "graft_d17_sink", "append",
-        requireDataBatches = Seq(n0, n1).count(_ > 0))
+        requireDataBatches = 2) // both staged files, empty cuts included
       .orderBy("doc_id")
   }
 
@@ -645,15 +663,15 @@ object StreamingQueries {
     val dir = java.nio.file.Paths.get(track(
       Files.createTempDirectory("graft-d19-src").toString))
     val now = System.currentTimeMillis()
-    val n0 = StreamingOps.stageFrameFile(docs.filter(col("doc_id") <= cut), dir,
-      "b0.parquet", now - 600000L)
-    val n1 = StreamingOps.stageFrameFile(docs.filter(col("doc_id") > cut), dir,
-      "b1.parquet", now)
+    StreamingOps.stageFrameFile(docs.filter(col("doc_id") <= cut), dir,
+      "b0.parquet", now - 600000L): Unit
+    StreamingOps.stageFrameFile(docs.filter(col("doc_id") > cut), dir,
+      "b1.parquet", now): Unit
     val src = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(dir.toString)
     val verdicts = StreamingOps.lshDedup(graft.dedup.DedupQueries.bandRowsOn(src))
     runToTable(verdicts.toDF(), "graft_d19_sink", "append",
-        requireDataBatches = Seq(n0, n1).count(_ > 0))
+        requireDataBatches = 2) // both staged files, empty cuts included
       .groupBy("doc_id")
       .agg(sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L)).as("dup_bands"),
         min("owner").as("owner_min"))
@@ -954,10 +972,10 @@ object StreamingQueries {
     val dir = java.nio.file.Paths.get(track(
       Files.createTempDirectory("graft-d28-src").toString))
     val now = System.currentTimeMillis()
-    val n0 = StreamingOps.stageFrameFile(events.filter(col("event_id") <= cut), dir,
-      "b0.parquet", now - 600000L)
-    val n1 = StreamingOps.stageFrameFile(events.filter(col("event_id") > cut), dir,
-      "b1.parquet", now)
+    StreamingOps.stageFrameFile(events.filter(col("event_id") <= cut), dir,
+      "b0.parquet", now - 600000L): Unit
+    StreamingOps.stageFrameFile(events.filter(col("event_id") > cut), dir,
+      "b1.parquet", now): Unit
     val src = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1).parquet(dir.toString)
     val ckpt = track(Files.createTempDirectory("graft-ckpt-d28").toString)
@@ -977,10 +995,9 @@ object StreamingQueries {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-    val expected = Seq(n0, n1).count(_ > 0)
-    require(dataBatches == expected,
-      s"d28 expects $expected data micro-batches (staged replay contract), got $dataBatches")
+    val fb = fileBatchCount(q)
+    require(fb == 2,
+      s"d28 expects 2 file micro-batches (staged replay contract), got $fb")
     spark.table(table).orderBy("user_id")
   }
 
@@ -1042,10 +1059,10 @@ object StreamingQueries {
     val dir = java.nio.file.Paths.get(track(
       Files.createTempDirectory("graft-d29-src").toString))
     val now = System.currentTimeMillis()
-    val n0 = StreamingOps.stageFrameFile(docs.filter(col("doc_id") <= cut), dir,
-      "b0.parquet", now - 600000L)
-    val n1 = StreamingOps.stageFrameFile(docs.filter(col("doc_id") > cut), dir,
-      "b1.parquet", now)
+    StreamingOps.stageFrameFile(docs.filter(col("doc_id") <= cut), dir,
+      "b0.parquet", now - 600000L): Unit
+    StreamingOps.stageFrameFile(docs.filter(col("doc_id") > cut), dir,
+      "b1.parquet", now): Unit
     val src = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(dir.toString)
     val board = new java.util.concurrent.atomic.AtomicReference[Seq[(Long, Long)]](Seq.empty)
@@ -1064,10 +1081,9 @@ object StreamingQueries {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-    val expected = Seq(n0, n1).count(_ > 0)
-    require(dataBatches == expected,
-      s"d29 expects $expected data micro-batches (staged replay contract), got $dataBatches")
+    val fb = fileBatchCount(q)
+    require(fb == 2,
+      s"d29 expects 2 file micro-batches (staged replay contract), got $fb")
     import spark.implicits._
     board.get.zipWithIndex
       .map { case ((id, s), i) => (i + 1L, id, s) }
