@@ -78,7 +78,8 @@ object SparkEntry {
     "b53_partition_prune" -> (Queries.b53PartitionPrune _),
     "b54_composed_layout" -> (Queries.b54ComposedLayout _),
     "b55_event_quarantine" -> (Queries.b55EventQuarantine _),
-    "b56_order_quarantine" -> (Queries.b56OrderQuarantine _)
+    "b56_order_quarantine" -> (Queries.b56OrderQuarantine _),
+    "b57_props_quality" -> (Queries.b57PropsQuality _)
   )
 
   /** Quarantine-view CTEs, keyed by the view name oracle SQL reads.
@@ -195,6 +196,7 @@ object SparkEntry {
     "b53_partition_prune" -> Queries.b53Sql,
     "b54_composed_layout" -> Queries.b54Sql,
     "b55_event_quarantine" -> Queries.b55Sql,
-    "b56_order_quarantine" -> Queries.b56Sql
+    "b56_order_quarantine" -> Queries.b56Sql,
+    "b57_props_quality" -> Queries.b57Sql
   )
 }

@@ -2828,6 +2828,62 @@ object Queries {
       |  FROM orders)
       |GROUP BY defect ORDER BY defect""".stripMargin
 
+  // ------------------------------------------------------------- B57
+  /** B57: the props payload-quality report — the observability half of
+    * the [[graft.functions.StrictJson]] contract, sibling of b55/b56/
+    * c139/c141. `props` is DELIBERATELY nullable and dirty (the fuzzed
+    * domain every consumer handles), so unlike the quarantine reports
+    * this one classifies the quarantined VIEW's payloads by how far
+    * each gets through the b7 extraction pipeline: `null_props` →
+    * `invalid` (fails the strict whole-document parse) → `no_scalar_k`
+    * (valid JSON, but `$.k` is absent / JSON-null / composite / the
+    * root is not an object) → `k_castable` (integral lexeme fitting
+    * BIGINT — the rows b7 aggregates) → `k_other` (scalar k the cast
+    * rejects: floats, strings, booleans, overflow). Per-class count +
+    * min-event_id witness, the c139 shape. The oracle mirrors the
+    * scalar test with `json_type` (OBJECT/ARRAY/NULL/missing — pinned
+    * class-by-class in §7p) and the cast test with the same integral
+    * regex, so the classes are engine-stable even though the engines
+    * normalize extracted numbers differently. One scan, map-side agg
+    * on a ≤5-row key space — free at any scale.
+    */
+  def b57PropsQuality(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir) // b55 quarantined view
+    e.select(col("event_id"), col("props"),
+        graft.functions.json.json_strict_valid(col("props")).as("v"),
+        graft.functions.json.json_strict_field(col("props"), "k").as("s"))
+      .withColumn("k",
+        expr("try_cast(CASE WHEN s RLIKE '^-?[0-9]+$' THEN s END AS BIGINT)"))
+      .select(col("event_id"),
+        when(col("props").isNull, "null_props")
+          .when(!col("v"), "invalid")
+          .when(col("s").isNull, "no_scalar_k")
+          .when(col("k").isNotNull, "k_castable")
+          .otherwise("k_other").as("k_class"))
+      .groupBy("k_class")
+      .agg(count(lit(1)).as("n_events"), min("event_id").as("first_event"))
+      .orderBy("k_class")
+  }
+
+  val b57Sql: String =
+    """WITH fev AS (SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL),
+      |cls AS (
+      |  SELECT event_id, CASE
+      |    WHEN props IS NULL THEN 'null_props'
+      |    WHEN NOT json_valid(props) THEN 'invalid'
+      |    WHEN json_type(props, '$.k') IS NULL
+      |      OR json_type(props, '$.k') IN ('OBJECT', 'ARRAY', 'NULL')
+      |      THEN 'no_scalar_k'
+      |    WHEN TRY_CAST(CASE WHEN regexp_matches(
+      |        json_extract_string(props, '$.k'), '^-?[0-9]+$')
+      |      THEN json_extract_string(props, '$.k') END AS BIGINT)
+      |      IS NOT NULL THEN 'k_castable'
+      |    ELSE 'k_other' END AS k_class
+      |  FROM fev)
+      |SELECT k_class, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  MIN(event_id) AS first_event
+      |FROM cls GROUP BY k_class ORDER BY k_class""".stripMargin
+
   /** Bench prep entries ([[graft.Prep]]): the bucketed/partitioned/
     * composed table writes are one-time layout costs, billed to their
     * own lines.

@@ -1835,7 +1835,36 @@ object StreamingQueries {
        |    AND c.c_us <= e.err_us + ${StreamingOps.AlertTtlUs})
        |ORDER BY e.event_id""".stripMargin
 
+
+  // --------------------------------------------------------------- D42
+  /** D42: streaming strict-JSON field rollup — b7's extraction pipeline
+    * ([[graft.functions.StrictJson]] + the integral-lexeme guard) run
+    * INSIDE a streaming aggregation, complete mode. The point of the
+    * key: the strict-parse contract is a plain codegen'd scalar
+    * expression, so it composes with grouped streaming aggs unchanged —
+    * the dirty-props domain (fuzz plants ~27 classes) is first-class in
+    * the D block too, and the oracle is b7's SQL verbatim. The sum is
+    * associative over micro-batches (NULL-k rows add nothing), so the
+    * result is replay-shape-free; the avg is derived on the sink table
+    * from the exact integer sums, the b7 µ-unit rule.
+    */
+  def d42StreamJson(spark: SparkSession, sfDir: String): DataFrame =
+    runToTable(
+        stream(spark, sfDir)
+          .select(col("event_type"),
+            graft.functions.json.json_strict_field(col("props"), "k").as("s"))
+          .withColumn("k",
+            expr("try_cast(CASE WHEN s RLIKE '^-?[0-9]+$' THEN s END AS BIGINT)"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k")),
+        "graft_d42_sink", "complete")
+      .withColumn("avg_k_micro", expr("(sum_k * 1000000) div n"))
+      .orderBy("event_type")
+
+  val d42Sql: String = graft.relational.Queries.jsonExtractSql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d42_stream_json" -> (d42StreamJson _),
     "d36_stream_gini" -> (d36StreamGini _),
     "d37_stream_cdc" -> (d37StreamCdc _),
     "d38_stream_snapshot_dedup" -> (d38StreamSnapshotDedup _),
@@ -1879,6 +1908,7 @@ object StreamingQueries {
     "d18_stream_quantile" -> (d18StreamQuantile _))
 
   val oracles: Map[String, String] = Map(
+    "d42_stream_json" -> d42Sql,
     "d36_stream_gini" -> d36Sql,
     "d37_stream_cdc" -> d37Sql,
     "d38_stream_snapshot_dedup" -> d38Sql,

@@ -142,6 +142,42 @@ class QuarantineContractsSpec extends SparkTestBase {
     assert(clean == Seq((1L, 20L)))
   }
 
+  test("b57 classifies every props-quality class exactly, quarantined rows excluded") {
+    // props is the DIRTY-BY-DESIGN domain: b57 classifies (never
+    // quarantines) payloads of the b55-quarantined VIEW by how far
+    // they get through b7's StrictJson extraction pipeline.
+    val dir = java.nio.file.Files.createTempDirectory("qc-props")
+    import spark.implicits._
+    val base = 1704067200000000L // 2024-01-01 UTC
+    val rows = Seq(
+      (1L, null: String),                        // null_props
+      (2L, "{"),                                 // invalid: truncated
+      (3L, """{"k": 3} trailing"""),             // invalid: trailing garbage
+      (4L, "{}"),                                // no_scalar_k: absent
+      (5L, """{"k": null}"""),                   // no_scalar_k: JSON null
+      (6L, """{"k": [1, 2]}"""),                 // no_scalar_k: composite
+      (7L, "12"),                                // no_scalar_k: non-object root
+      (8L, """{"k": 7}"""),                      // k_castable
+      (9L, """{"k": "08"}"""),                   // k_castable: string integral
+      (10L, """{"k": 5.5}"""),                   // k_other: float
+      (11L, """{"k": "x"}"""),                   // k_other: string
+      (12L, """{"k": 99999999999999999999}""")   // k_other: overflow
+    ).map { case (id, p) =>
+      (id, java.lang.Long.valueOf(base + id * 1000000L), 1L, "click", 1.0, p)
+    } :+ ((99L, null: java.lang.Long, 1L, "click", 1.0,
+      """{"k": 1}""")) // b55-quarantined (null ts): must NOT be classified
+    writeTable(dir, "events", rows
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"),
+        timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props")))
+    val got = graft.relational.Queries.b57PropsQuality(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("invalid", 2L, 2L), ("k_castable", 2L, 8L), ("k_other", 3L, 10L),
+      ("no_scalar_k", 4L, 4L), ("null_props", 1L, 1L)))
+  }
+
   test("a variant quarantine-CTE paste fails at injection time") {
     // a whitespace/case variant of the canonical CTE text would be
     // double-defined by injection and only fail at DuckDB runtime —
