@@ -222,6 +222,37 @@ class PlanContractSpec extends SparkTestBase {
       s"error filter not pushed to the events scan (pushed=[$pushed])")
   }
 
+  test("b7 plan contract: json_strict_field compiles into whole-stage codegen") {
+    // the StrictJson expressions provide doGenCode (a static call into
+    // the scanner); if that ever breaks, Spark silently falls back to
+    // interpreted eval for the whole stage — this pin makes the
+    // fallback loud. The check: the generated code for b7's scan stage
+    // references the scanner class, i.e. the expression was CODEGEN'D,
+    // not wrapped in a fallback evaluator.
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    val df = SparkEntry.queries("b7_json_extract")(spark, sf)
+    df.collect(): Unit // materialize: AQE inserts codegen stages per-stage
+    // manual walk: both the AQE wrapper and QueryStageExec hide their
+    // finalized subplans from plain collect()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[WholeStageCodegenExec] = {
+      val here = p match { case w: WholeStageCodegenExec => Seq(w); case _ => Nil }
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(walk)
+    }
+    val stages = walk(df.queryExecution.executedPlan)
+    assert(stages.nonEmpty, "b7 plan has no whole-stage codegen stages at all")
+    val generated = stages.map(_.doCodeGen()._2.body).mkString("\n")
+    assert(generated.contains("StrictJson"),
+      "json_strict_field did not land inside a WholeStageCodegen stage — " +
+        "the expression fell back to interpreted eval")
+  }
+
   test("a44 plan contract: one fold, no checkpoint scans, bounded exchanges") {
     // the round-11 rewrite's shape must not regress to the join-cascade
     // form: no materialized-RDD scans (localCheckpoint leaves 'Scan
