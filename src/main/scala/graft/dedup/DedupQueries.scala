@@ -335,8 +335,53 @@ object DedupQueries {
     * expression each row, never a double SUM — SURVEY §5), then one
     * decile partial agg.
     */
-  def c60LshCurve(spark: SparkSession, dir: String): DataFrame =
-    lshCurveScore(Tables.documents(spark, dir), candidatePairs(spark, dir))
+  def c60LshCurve(spark: SparkSession, dir: String): DataFrame = {
+    // r18: class-compressed form of [[lshCurveScore]] (which remains
+    // the frame-level reference the ScaleSmoke pin and spec drive).
+    // Every per-pair column the decile agg consumes — jaccard, n_bands,
+    // tb, tc — is constant across all doc pairs spanning one pair of
+    // set classes, so the kernel scores |class pairs| rows and the agg
+    // weights them by EXACT integer multiplicities: ka·kb for a
+    // cross-class pair, k·(k−1)/2 for an intra-class (jaccard-1,
+    // all-bands) pair. 7.7M kernel merges at sf0.1 collapse to the
+    // rep-pair count; results are bit-identical (integer weighted sums
+    // of identical per-pair longs; ClassCompressionSpec pins it).
+    val u = setClassUniverse(spark, dir)
+    val k = u.docMap.groupBy("srep").agg(count(lit(1)).as("kk"))
+    val sets = u.reps.select(col("doc_id"), col("s"))
+      .withColumn("ns", size(col("s")))
+    val cross = u.repCands
+      .join(sets.select(col("doc_id").as("doc_a"),
+        col("s").as("sa"), col("ns").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"),
+        col("s").as("sb"), col("ns").as("nb")), "doc_b")
+      .join(k.select(col("srep").as("doc_a"), col("kk").as("ka")), "doc_a")
+      .join(k.select(col("srep").as("doc_b"), col("kk").as("kb")), "doc_b")
+      .withColumn("ni", sorted_intersect_count(col("sa"), col("sb")))
+      .select((col("ka") * col("kb")).as("m"), col("n_bands"),
+        round(col("ni").cast("double")
+          / (col("na") + col("nb") - col("ni")), 6).as("jaccard"))
+    val intra = k.filter(col("kk") >= 2L)
+      .select(expr("kk * (kk - 1) div 2").as("m"),
+        lit(Bands.toLong).as("n_bands"), lit(1.0).as("jaccard"))
+    val s = col("jaccard")
+    val sr = pow(s, lit(Rows.toDouble))
+    cross.unionByName(intra)
+      .select(col("m"),
+        least(floor(s * 10).cast("long"), lit(9L)).as("decile"),
+        col("n_bands"),
+        round(sr * lit(Bands.toDouble) * lit(1000000.0), 0).cast("long").as("tb"),
+        round((lit(1.0) - pow(lit(1.0) - sr, lit(Bands.toDouble))) * lit(1000000.0), 0)
+          .cast("long").as("tc"))
+      .groupBy("decile")
+      .agg(sum("m").as("n_pairs"), sum(col("n_bands") * col("m")).as("sum_bands"),
+        sum(col("tb") * col("m")).as("sum_tb"), sum(col("tc") * col("m")).as("sum_tc"))
+      .select(col("decile"), col("n_pairs"),
+        expr("sum_bands * 1000000 div n_pairs").as("obs_bands_micro"),
+        expr("sum_tb div n_pairs").as("theo_bands_micro"),
+        expr("sum_tc div n_pairs").as("theo_cand_micro"))
+      .orderBy("decile")
+  }
 
   /** Frame-level C60 core — see [[crossLingualScore]] for why it exists. */
   private[graft] def lshCurveScore(docs: DataFrame, cand: DataFrame): DataFrame = {
@@ -800,28 +845,41 @@ object DedupQueries {
     * partial agg.
     */
   def c74MinhashError(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingleHashes(col("text")).as("ths"))
-      .select(col("doc_id"), signature(col("ths")).as("sig"),
-        array_sort(array_distinct(col("ths"))).as("hs"))
-    val cand = candidatePairs(spark, dir).select("doc_a", "doc_b")
-    cand
+    // r18: class-compressed (see [[setClassUniverse]]) — the signature
+    // (hence `matched`) and the sorted hash set (hence jac) are
+    // functions of the set class, so the zip_with fold and the merge
+    // kernel run once per CLASS pair and the decile agg weights by
+    // exact integer multiplicities. Intra-class pairs carry
+    // matched = NumPerms and ni = |s| by identity: est_micro =
+    // jac_micro = 1000000 exactly, no kernel work.
+    val u = setClassUniverse(spark, dir)
+    val k = u.docMap.groupBy("srep").agg(count(lit(1)).as("kk"))
+    val sigs = u.reps
+      .select(col("doc_id"), signature(col("s")).as("sig"), col("s").as("hs"))
+    val cross = u.repCands.select("doc_a", "doc_b")
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("siga"),
         col("hs").as("ha")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sigb"),
         col("hs").as("hb")), "doc_b")
+      .join(k.select(col("srep").as("doc_a"), col("kk").as("ka")), "doc_a")
+      .join(k.select(col("srep").as("doc_b"), col("kk").as("kb")), "doc_b")
       .withColumn("matched", expr(
         "aggregate(zip_with(siga, sigb, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END), 0L, (a, v) -> a + v)"))
       .withColumn("ni", expr("sorted_intersect_count(ha, hb)"))
-      .withColumn("est_micro", expr(s"matched * 1000000 div ${MinHashLsh.NumPerms}"))
-      .withColumn("jac_micro", expr("ni * 1000000 div (size(ha) + size(hb) - ni)"))
+      .select((col("ka") * col("kb")).as("m"),
+        expr(s"matched * 1000000 div ${MinHashLsh.NumPerms}").as("est_micro"),
+        expr("ni * 1000000 div (size(ha) + size(hb) - ni)").as("jac_micro"))
+    val intra = k.filter(col("kk") >= 2L)
+      .select(expr("kk * (kk - 1) div 2").as("m"),
+        lit(1000000L).as("est_micro"), lit(1000000L).as("jac_micro"))
+    cross.unionByName(intra)
       .withColumn("decile", least(expr("jac_micro div 100000"), lit(9L)))
       .withColumn("abs_err", abs(col("est_micro") - col("jac_micro")))
       .groupBy("decile")
-      .agg(count(lit(1)).as("n_pairs"),
-        expr("sum(est_micro) div count(1)").as("mean_est_micro"),
-        expr("sum(jac_micro) div count(1)").as("mean_jac_micro"),
-        expr("sum(abs_err) div count(1)").as("mean_err_micro"))
+      .agg(sum("m").as("n_pairs"),
+        expr("sum(est_micro * m) div sum(m)").as("mean_est_micro"),
+        expr("sum(jac_micro * m) div sum(m)").as("mean_jac_micro"),
+        expr("sum(abs_err * m) div sum(m)").as("mean_err_micro"))
       .orderBy("decile")
   }
 
@@ -1162,9 +1220,56 @@ object DedupQueries {
   private[dedup] def scoredRepPairs(spark: SparkSession, dir: String,
       minJac: Double): DataFrame =
     scoredCache.getOrElseUpdate(
-      (spark.sparkContext.applicationId, dir, math.round(minJac * 1e6)),
-      scoredRepPairsFor(Tables.documents(spark, dir), minJac)
-        .seal())
+      (spark.sparkContext.applicationId, dir, math.round(minJac * 1e6)), {
+        val u = setClassUniverse(spark, dir)
+        scoreRepCands(u.reps, u.repCands.select("doc_a", "doc_b"), minJac)
+          .seal()
+      })
+
+  /** Set-class universe for class-compressed candidate scoring (r18
+    * optimization, guide §2.3/§8 — decide with small rows, expand
+    * once): every per-pair quantity the C60/C74/C93 reports compute —
+    * exact hashed-set jaccard, containment, signature slot agreement,
+    * band agreement — is a function of the two endpoints' shingle-hash
+    * SETS alone, so all doc pairs spanning the same pair of set
+    * classes share one value. This universe is the two-level star
+    * compression [[scoredRepPairsFor]] always ran (identical text →
+    * text-rep, identical set → set-rep = `srep`), plus the two pieces
+    * a class-first query needs: the doc→srep expansion map and the
+    * CLASS-level candidate pairs with their band agreement. Scoring
+    * then runs the sorted-merge kernel over |class pairs| rows instead
+    * of |doc pairs| (sf0.1: ~7.7M doc pairs vs rep-scale pairs), and
+    * doc-level answers come back by cheap long-key equi-join expansion
+    * (row reports: C93) or exact integer multiplicities (aggregate
+    * reports: C60/C74). Value-identity is structural, and pinned in
+    * ClassCompressionSpec: the minhash signature — hence every band
+    * hash — is a deterministic function of the set, so class-level
+    * band collisions are exactly doc-level ones, and intra-class pairs
+    * are all-bands candidates at jaccard 1.
+    */
+  private[dedup] final case class SetClassUniverse(
+      docMap: DataFrame,   // (doc_id, srep) for every quarantined doc
+      reps: DataFrame,     // (doc_id, text, s) — one row per set class
+      repCands: DataFrame) // (doc_a, doc_b, n_bands) — class-level candidates
+
+  private val universeCache =
+    new graft.util.Memo[(String, String), SetClassUniverse]
+
+  private[dedup] def setClassUniverse(spark: SparkSession, dir: String): SetClassUniverse =
+    universeCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val docs = Tables.documents(spark, dir)
+      val classes = docs.groupBy("text").agg(min("doc_id").as("rep"))
+      val withSet = classes.select(col("rep").as("doc_id"), col("text"))
+        .withColumn("s", array_sort(array_distinct(shingleHashes(col("text")))))
+      val setClasses = withSet.groupBy("s").agg(min("doc_id").as("srep"))
+      val joined = withSet.join(setClasses, "s").seal()
+      val reps = joined.filter(col("doc_id") === col("srep"))
+        .select(col("doc_id"), col("text"), col("s")).seal()
+      val docMap = docs.select(col("doc_id"), col("text"))
+        .join(joined.select(col("text"), col("srep")), "text")
+        .select(col("doc_id"), col("srep")).seal()
+      SetClassUniverse(docMap, reps, candidatePairsFor(reps).seal())
+    })
 
   /** The scoring recipe on any (doc_id, text) frame — shared by the
     * memoized query path and the broadcast-dispatch specs.
@@ -1178,11 +1283,19 @@ object DedupQueries {
     val joined = withSet.join(setClasses, "s").seal()
     val reps = joined.filter(col("doc_id") === col("srep"))
       .select(col("doc_id"), col("text"), col("s")).seal()
+    scoreRepCands(reps, candidatePairsFor(reps).select("doc_a", "doc_b"), minJac)
+  }
+
+  /** Kernel scoring of class-level candidate pairs against the rep set
+    * frame — the tail every scored-pair consumer shares.
+    */
+  private def scoreRepCands(reps: DataFrame, cands: DataFrame,
+      minJac: Double): DataFrame = {
     // count+bytes-gated hint — plain equi-joins above the gate (see
     // the dispatch scaladoc at the top of this object)
     val hintS = setsHint(reps)
     val sets = reps.select(col("doc_id"), col("s")).withColumn("ns", size(col("s")))
-    candidatePairsFor(reps).select("doc_a", "doc_b")
+    cands
       .join(hintS(sets.select(col("doc_id").as("doc_a"),
         col("s").as("sa"), col("ns").as("na"))), "doc_a")
       .join(hintS(sets.select(col("doc_id").as("doc_b"),
@@ -1291,8 +1404,42 @@ object DedupQueries {
     */
   val CrossLingualJac = 0.5
 
-  def c93CrossLingual(spark: SparkSession, dir: String): DataFrame =
-    crossLingualScore(Tables.documents(spark, dir), candidatePairs(spark, dir))
+  def c93CrossLingual(spark: SparkSession, dir: String): DataFrame = {
+    // r18: class-compressed (see [[setClassUniverse]]) — the jaccard of
+    // a candidate doc pair is its set-class pair's jaccard, and the
+    // ≥ τ qualifying class pairs are EXACTLY the memoized scored-pair
+    // frame (τ = SweepTaus.min = CrossLingualJac) the prep line already
+    // builds for C85/C137. So this query runs zero kernel merges: the
+    // scored class pairs expand to doc pairs through two long-key
+    // equi-joins on the doc→srep map (plus the jaccard-1 intra-class
+    // pairs, which the old doc-level form scored 7.7M-wide at sf0.1),
+    // and the lang filter applies on the expanded rows as before.
+    // [[crossLingualScore]] remains the frame-level reference the
+    // ScaleSmoke pin and ClassCompressionSpec drive.
+    val u = setClassUniverse(spark, dir)
+    val dl = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(u.docMap, "doc_id")
+    val scored = scoredRepPairs(spark, dir, CrossLingualJac)
+    val cross = scored
+      .join(dl.select(col("srep").as("src"), col("doc_id").as("da"),
+        col("lang").as("la")), "src")
+      .join(dl.select(col("srep").as("dst"), col("doc_id").as("db"),
+        col("lang").as("lb")), "dst")
+      .filter(col("la") =!= col("lb"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        when(col("da") < col("db"), col("la")).otherwise(col("lb")).as("lang_a"),
+        when(col("da") < col("db"), col("lb")).otherwise(col("la")).as("lang_b"),
+        round(col("jac") * 1e6, 0).cast("long").as("jac_micro"))
+    val intra = dl.select(col("srep"), col("doc_id").as("da"), col("lang").as("la"))
+      .join(dl.select(col("srep"), col("doc_id").as("db"), col("lang").as("lb")),
+        "srep")
+      .filter(col("da") < col("db") && col("la") =!= col("lb"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("la").as("lang_a"), col("lb").as("lang_b"),
+        lit(1000000L).as("jac_micro"))
+    cross.unionByName(intra).orderBy("doc_a", "doc_b")
+  }
 
   /** Frame-level C93 core over any (doc_id, text, lang) frame and its
     * candidate list — the ScaleSmoke 10x pin drives it with a planted
