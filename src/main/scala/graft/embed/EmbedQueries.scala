@@ -1349,6 +1349,20 @@ object EmbedQueries {
     */
   val PrIters = 10
 
+  /** Edge-count cap for the single-task power-iteration fast path
+    * (r18, the [[graft.dedup.GraphCC.SmallGraphMax]] size-dispatch
+    * idiom applied to the Pregel loops): below it, [[PrIters]] rounds
+    * of join+agg+seal — ~3 tiny jobs per round whose wall time is the
+    * scheduling floor, not data — collapse into ONE `mapPartitions`
+    * task running the identical integer recurrence (all adds commute,
+    * all values non-negative, so the result is bit-identical; the
+    * dispatch spec pins local == df). Above the cap — any real corpus,
+    * where the kNN/co-occurrence graph is corpus-sized — the
+    * DataFrame iterate runs unchanged. `graft.pr.impl` (local|df)
+    * overrides for specs.
+    */
+  val PrLocalMaxEdges = 2000000L
+
   def c102Pagerank(spark: SparkSession, dir: String): DataFrame = {
     val und = mutualEdges(spark, dir).select("vec_a", "vec_b")
     val edges = und.select(col("vec_a").as("src"), col("vec_b").as("dst"))
@@ -1361,6 +1375,19 @@ object EmbedQueries {
         Seq("id"), "left")
       .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
       .seal()
+    val nE = edges.count()
+    val impl = spark.conf.getOption("graft.pr.impl")
+      .getOrElse(if (nE <= PrLocalMaxEdges) "local" else "df")
+    val ranks =
+      if (impl == "local") prLocal(spark, degt, edges, nTotal)
+      else prDf(degt, edges, nTotal)
+    degt.join(ranks, "id")
+      .select(col("id").as("vec_id"), col("deg"), col("r").as("rank_nano"))
+      .orderBy("vec_id")
+  }
+
+  /** The DataFrame power iterate (the shipped 100 TB path). */
+  private def prDf(degt: DataFrame, edges: DataFrame, nTotal: Long): DataFrame = {
     var ranks = degt.select(col("id"), lit(1000000000L).as("r"))
     for (_ <- 1 to PrIters) {
       val dm = ranks.join(degt.filter(col("deg") === 0L).select("id"), "id")
@@ -1377,9 +1404,48 @@ object EmbedQueries {
           s"150000000L + ((coalesce(csum, 0L) + dm div $nTotal) * 850) div 1000").as("r"))
         .seal()
     }
-    degt.join(ranks, "id")
-      .select(col("id").as("vec_id"), col("deg"), col("r").as("rank_nano"))
-      .orderBy("vec_id")
+    ranks
+  }
+
+  /** Single-task integer PageRank for small graphs — one executor task
+    * (no collect), same recurrence, bit-identical output. */
+  private def prLocal(spark: SparkSession, degt: DataFrame, edges: DataFrame,
+      nTotal: Long): DataFrame = {
+    import spark.implicits._
+    val tagged = degt.select(lit(0).as("tag"), col("id").as("a"), col("deg").as("b"))
+      .unionByName(edges.select(lit(1).as("tag"), col("src").as("a"), col("dst").as("b")))
+      .as[(Int, Long, Long)]
+    val iters = PrIters
+    tagged.coalesce(1).mapPartitions { it =>
+      val deg = new java.util.HashMap[Long, Long]()
+      val es = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      it.foreach {
+        case (0, id, d) => deg.put(id, d): Unit
+        case (_, s, d) => es += ((s, d))
+      }
+      var r = new java.util.HashMap[Long, Long]()
+      deg.keySet.forEach(id => r.put(id, 1000000000L): Unit)
+      for (_ <- 1 to iters) {
+        var dm = 0L
+        deg.forEach((id, d) => if (d == 0L) dm += r.get(id))
+        val csum = new java.util.HashMap[Long, Long]()
+        es.foreach { case (s, d) =>
+          csum.merge(d, r.get(s) / deg.get(s), (x, y) => x + y): Unit
+        }
+        val nr = new java.util.HashMap[Long, Long]()
+        // empty-corpus guard: no nodes ⇒ nothing to rank (the DF path's
+        // `dm div 0` never evaluates because ranks is empty there)
+        val dshare = if (nTotal == 0L) 0L else dm / nTotal
+        deg.keySet.forEach { id =>
+          nr.put(id,
+            150000000L + ((csum.getOrDefault(id, 0L) + dshare) * 850) / 1000): Unit
+        }
+        r = nr
+      }
+      val out = Iterator.newBuilder[(Long, Long)]
+      r.forEach((id, v) => out += ((id, v)))
+      out.result()
+    }.toDF("id", "r")
   }
 
   lazy val c102Sql: String = {
@@ -1730,25 +1796,41 @@ object EmbedQueries {
       .select(col("probe_id"), col("vec_id").as("cand"), col("rnk").as("rnk_e"))
       .seal()
     val nProbes = probes.count()
-    BeamSweep.map { b =>
-      val (beam, hopCounts) = beamWalkCounts(probes, adj, emb, b, BeamHops)
-      val scored = hopCounts.sum
-      val ks = Seq(1L, b.toLong)
-      beam.join(exact, Seq("probe_id", "cand"), "left")
-        .groupBy(lit(b.toLong).as("beam_width"))
-        .agg(sum(when(col("rnk") <= ks.head && col("rnk_e") <= ks.head, 1L)
-            .otherwise(0L)).as(s"hits_${ks.head}"),
-          ks.tail.map(k =>
-            sum(when(col("rnk") <= k && col("rnk_e") <= k, 1L).otherwise(0L))
-              .as(s"hits_$k")): _*)
-        .select(col("beam_width"), explode(array(ks.map(k =>
-          struct(lit(k).as("k"), col(s"hits_$k").as("hits"))): _*)).as("kh"))
-        .select(col("beam_width"), col("kh.k").as("k"),
-          lit(nProbes).as("n_probes"), lit(scored).as("n_scored"),
-          col("kh.hits").as("hits"),
-          round(col("kh.hits").cast("double") / (lit(nProbes) * col("kh.k")), 6)
-            .as("recall"))
-    }.reduce(_ unionByName _).orderBy("beam_width", "k")
+    // r18 (guide §2.6): the three width walks are INDEPENDENT chains of
+    // ~15 tiny jobs each (per hop: seal + count + seal) whose wall time
+    // is the per-job scheduling floor, not data volume — run them from
+    // a thread pool so the widths' job chains interleave on the idle
+    // executor slots instead of serializing 45 jobs. Inputs (probes,
+    // adj, emb, exact) are sealed once above and shared read-only;
+    // results are deterministic per width and the final union orders by
+    // beam_width, so concurrency cannot reorder anything observable.
+    val perWidth = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(BeamSweep.size)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.sequence(BeamSweep.map { b => Future {
+        val (beam, hopCounts) = beamWalkCounts(probes, adj, emb, b, BeamHops)
+        val scored = hopCounts.sum
+        val ks = Seq(1L, b.toLong)
+        beam.join(exact, Seq("probe_id", "cand"), "left")
+          .groupBy(lit(b.toLong).as("beam_width"))
+          .agg(sum(when(col("rnk") <= ks.head && col("rnk_e") <= ks.head, 1L)
+              .otherwise(0L)).as(s"hits_${ks.head}"),
+            ks.tail.map(k =>
+              sum(when(col("rnk") <= k && col("rnk_e") <= k, 1L).otherwise(0L))
+                .as(s"hits_$k")): _*)
+          .select(col("beam_width"), explode(array(ks.map(k =>
+            struct(lit(k).as("k"), col(s"hits_$k").as("hits"))): _*)).as("kh"))
+          .select(col("beam_width"), col("kh.k").as("k"),
+            lit(nProbes).as("n_probes"), lit(scored).as("n_scored"),
+            col("kh.hits").as("hits"),
+            round(col("kh.hits").cast("double") / (lit(nProbes) * col("kh.k")), 6)
+              .as("recall"))
+      }}), Duration.Inf)
+      finally pool.shutdown()
+    }
+    perWidth.reduce(_ unionByName _).orderBy("beam_width", "k")
   }
 
   lazy val c136Sql: String = {

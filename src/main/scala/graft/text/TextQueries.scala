@@ -5816,6 +5816,25 @@ object TextQueries {
       .select(col("tok"), coalesce(col("s"), lit(0L)).as("s"),
         coalesce(col("deg"), lit(0L)).as("deg"))
       .seal()
+    // r18 size dispatch (the GraphCC / c102 idiom): below the edge cap
+    // the TrIters-round Pregel loop — ~3 tiny jobs a round, pure
+    // scheduling floor on a vocab-sized graph — runs as ONE
+    // mapPartitions task with the identical integer recurrence
+    // (bit-identical; dispatch spec pins local == df). The DataFrame
+    // iterate below is the corpus-scale path. `graft.tr.impl` overrides.
+    val nE = edges.count()
+    val impl = spark.conf.getOption("graft.tr.impl")
+      .getOrElse(if (nE <= graft.embed.EmbedQueries.PrLocalMaxEdges) "local" else "df")
+    val ranks =
+      if (impl == "local") trLocal(spark, st, edges, nTotal)
+      else trDf(st, edges, nTotal)
+    st.join(ranks, "tok")
+      .select(col("tok"), col("deg"), col("s"), col("r").as("rank_nano"))
+      .orderBy("tok")
+  }
+
+  /** The DataFrame weighted power iterate (the shipped 100 TB path). */
+  private def trDf(st: DataFrame, edges: DataFrame, nTotal: Long): DataFrame = {
     var ranks = st.select(col("tok"), lit(1000000000L).as("r"))
     for (_ <- 1 to TrIters) {
       val dm = ranks.join(st.filter(col("s") === 0L).select("tok"), "tok")
@@ -5832,9 +5851,48 @@ object TextQueries {
           s"150000000L + ((coalesce(csum, 0L) + dm div $nTotal) * 850) div 1000").as("r"))
         .seal()
     }
-    st.join(ranks, "tok")
-      .select(col("tok"), col("deg"), col("s"), col("r").as("rank_nano"))
-      .orderBy("tok")
+    ranks
+  }
+
+  /** Single-task weighted integer PageRank for small graphs — one
+    * executor task (no collect), same recurrence, bit-identical. */
+  private def trLocal(spark: SparkSession, st: DataFrame, edges: DataFrame,
+      nTotal: Long): DataFrame = {
+    import spark.implicits._
+    val tagged = st.select(lit(0).as("tag"), col("tok").as("a"),
+        col("tok").as("b"), col("s").as("v"))
+      .unionByName(edges.select(lit(1).as("tag"), col("src").as("a"),
+        col("dst").as("b"), col("wt").as("v")))
+      .as[(Int, String, String, Long)]
+    val iters = TrIters
+    tagged.coalesce(1).mapPartitions { it =>
+      val strength = new java.util.HashMap[String, Long]()
+      val es = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      it.foreach {
+        case (0, tok, _, s) => strength.put(tok, s): Unit
+        case (_, s, d, w) => es += ((s, d, w))
+      }
+      var r = new java.util.HashMap[String, Long]()
+      strength.keySet.forEach(t => r.put(t, 1000000000L): Unit)
+      for (_ <- 1 to iters) {
+        var dm = 0L
+        strength.forEach((t, s) => if (s == 0L) dm += r.get(t))
+        val csum = new java.util.HashMap[String, Long]()
+        es.foreach { case (s, d, w) =>
+          csum.merge(d, (r.get(s) * w) / strength.get(s), (x, y) => x + y): Unit
+        }
+        val nr = new java.util.HashMap[String, Long]()
+        val dshare = if (nTotal == 0L) 0L else dm / nTotal
+        strength.keySet.forEach { t =>
+          nr.put(t,
+            150000000L + ((csum.getOrDefault(t, 0L) + dshare) * 850) / 1000): Unit
+        }
+        r = nr
+      }
+      val out = Iterator.newBuilder[(String, Long)]
+      r.forEach((t, v) => out += ((t, v)))
+      out.result()
+    }.toDF("tok", "r")
   }
 
   lazy val c110Sql: String = {
