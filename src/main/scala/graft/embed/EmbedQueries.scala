@@ -2680,6 +2680,28 @@ object EmbedQueries {
       return Seq.empty[(Long, Long, Long)]
         .toDF("step", "center_id", "radius_micro")
     val seed = seedRow.getLong(0)
+    // r18 size dispatch (the GraphCC/c102 idiom): the greedy loop is
+    // K·(argmax head + seal + broadcast) ≈ 20 tiny jobs — scheduling
+    // floor on small corpora. Below the cap the identical integer
+    // recurrence (same left-to-right IEEE subtract-square fold, same
+    // HALF_UP quantizations, same (md, −id) argmax) runs in ONE
+    // executor task; above it the K-pass DataFrame loop is the honest
+    // corpus-scale shape. Dims are uniform by the embeddings contract
+    // (every embed kernel — dot, cosine — already assumes it).
+    // `graft.kc.impl` overrides for the dispatch spec.
+    val nVec = e.count()
+    val impl = spark.conf.getOption("graft.kc.impl")
+      .getOrElse(if (nVec <= KcLocalMaxVectors) "local" else "df")
+    val centers =
+      if (impl == "local") kcLocal(e, seed)
+      else kcDf(e, seed)
+    centers.toDF("step", "center_id", "radius_micro").orderBy("step")
+  }
+
+  val KcLocalMaxVectors = 1000000L
+
+  /** The K-pass DataFrame greedy loop (the corpus-scale path). */
+  private def kcDf(e: DataFrame, seed: Long): Seq[(Long, Long, Long)] = {
     val dMicro = expr("CAST(ROUND(d6 * 1000000) AS BIGINT)")
     def d6(ce: Column): Column = round(aggregate(zip_with(col("embedding"), ce,
         (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
@@ -2703,7 +2725,54 @@ object EmbedQueries {
         .select(col("vec_id"), least(col("md"), dMicro).as("md"))
         .seal()
     }
-    centers.toSeq.toDF("step", "center_id", "radius_micro").orderBy("step")
+    centers.toSeq
+  }
+
+  /** Single-task greedy k-center for small corpora — one executor task
+    * (only the K result rows return to the driver, exactly what the DF
+    * loop's K head() calls already returned). */
+  private def kcLocal(e: DataFrame, seed: Long): Seq[(Long, Long, Long)] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val k = KCenters
+    e.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .coalesce(1).mapPartitions { it =>
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        it.foreach { case (id, v) => ids += id; vecs += v.toArray }
+        def dmicro(a: Array[Double], b: Array[Double]): Long = {
+          var acc = 0.0
+          var i = 0
+          while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+          val d6 = java.math.BigDecimal.valueOf(acc)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          java.math.BigDecimal.valueOf(d6 * 1e6)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        }
+        val si = ids.indexOf(seed)
+        val sv = vecs(si)
+        val md = Array.tabulate(ids.length)(i => dmicro(vecs(i), sv))
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]((1L, seed, -1L))
+        for (t <- 2 to k) {
+          // argmax (md DESC, vec_id ASC) — the max(struct(md, −id)) rule
+          var bi = 0
+          var i = 1
+          while (i < ids.length) {
+            if (md(i) > md(bi) || (md(i) == md(bi) && ids(i) < ids(bi))) bi = i
+            i += 1
+          }
+          out += ((t.toLong, ids(bi), md(bi)))
+          val cv = vecs(bi)
+          i = 0
+          while (i < ids.length) {
+            val d = dmicro(vecs(i), cv)
+            if (d < md(i)) md(i) = d
+            i += 1
+          }
+        }
+        Iterator.single(out.toSeq)
+      }.collect().head
   }
 
   lazy val c115Sql: String = {

@@ -482,7 +482,19 @@ object Multimodal {
   def c126Phash(spark: SparkSession, dir: String): DataFrame =
     phashCandCounts(Tables.documents(spark, dir))
 
-  /** The C126 kernel on any (doc_id, text) frame (class doc above). */
+  /** The C126 kernel on any (doc_id, text) frame (class doc above).
+    *
+    * r18 measured note: fingerprinting here deliberately stays on
+    * [[phashOn]]'s explode + map-side agg. The column-level fold twin
+    * was tried (it removes two |chars|-row Exchanges) and measured
+    * ~70× SLOWER in this batch plan at sf0.01: CollapseProject inlines
+    * the `bys` alias into the 48 per-block folds, so
+    * `element_at(bys, i)` re-builds the whole byte array per element —
+    * O(48·len²) per doc (the DedupQueries bandRows staging trap). The
+    * stream side keeps the fold because its per-trigger projection
+    * boundary prevents the collapse and line-rate statelessness is the
+    * point there.
+    */
   private[graft] def phashCandCounts(docs: DataFrame): DataFrame = {
     val phash = phashOn(docs)
     val classes = phash.groupBy("phash").agg(count(lit(1)).as("cnt"))

@@ -1857,13 +1857,29 @@ object TextQueries {
     */
   def dupSpans(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r18: window hashes from the ONE-pass rolling prefix array (the
+    // c33 kernel) instead of a per-window slice+fold — the old form
+    // re-hashed every token DupSpanK times and allocated a slice per
+    // window (O(n·k) per doc); the rolling identity
+    //   wh_i = (P[i+k−1] − b^k·P[i−1]) mod m
+    // is O(n) and bit-identical (same polynomial, same modulus; the
+    // oracle's definitional per-window fold is the value gate). The
+    // zip_with operands reference `ph` OUTSIDE any lambda, so a
+    // collapsed projection re-evaluates the prefix array at most a
+    // constant number of times per row — never per element (the c126
+    // element_at-in-lambda trap).
+    val bk = (1 to DupSpanK).foldLeft(1L)((x, _) => (x * FpB) % FpM)
     val wins = d
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= DupSpanK)
+      .withColumn("ph", graft.functions.hashes.rolling_hashes(
+        transform(col("toks"), tokenHash _), lit(FpB), lit(FpM)))
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(1), size(col("toks")) - DupSpanK + 1),
-          i => aggregate(transform(slice(col("toks"), i, lit(DupSpanK)), tokenHash _),
-            lit(0L), (acc, g) => (acc * lit(FpB) + g) % lit(FpM)))).as(Seq("p0", "wh")))
+        posexplode(zip_with(
+          slice(col("ph"), lit(DupSpanK), size(col("ph")) - DupSpanK + 1),
+          concat(array(lit(0L)), slice(col("ph"), lit(1), size(col("ph")) - DupSpanK)),
+          (hi, lo) => ((hi - (lo * lit(bk)) % lit(FpM)) % lit(FpM) + lit(FpM)) % lit(FpM)))
+          .as(Seq("p0", "wh")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("wh"))
     val occ = wins.groupBy("wh").agg(count(lit(1)).as("occ"))
     val dup = wins.join(occ.filter(col("occ") >= 2), "wh").select("doc_id", "p")
@@ -3126,18 +3142,27 @@ object TextQueries {
     */
   def c132UnigramLm(spark: SparkSession, dir: String): DataFrame = {
     val (ps, cs) = uniVocab(spark, dir)
+    // r18: ONE segmentation pass. The old base⋈dp form referenced the
+    // unsealed `seg` from two agg branches of one join plan, so the
+    // Viterbi expression ran over the corpus TWICE (Spark does not
+    // dedupe common subtrees across join branches). posexplode carries
+    // the per-doc word count on the pos-0 row only, so a single
+    // (lang)-keyed agg computes all three measures; piece-less docs
+    // always have n_words = 0 (the char vocab covers every nonempty
+    // token), so dropping them in the explode loses nothing, and langs
+    // whose every doc is empty vanish exactly as the old INNER join
+    // dropped them.
     val seg = Tables.documents(spark, dir)
       .select(col("lang"),
         size(expr("filter(split(text, ' '), t -> length(t) > 0)"))
-          .cast("long").as("n_words"),
+          .cast("long").as("nw"),
         graft.functions.textseg.unigram_segment(col("text"), ps, cs)
           .as("pieces"))
-    val base = seg.groupBy("lang")
-      .agg(sum("n_words").as("n_words"),
-        sum(size(col("pieces")).cast("long")).as("n_pieces"))
-    val dp = seg.select(col("lang"), explode(col("pieces")).as("p"))
-      .groupBy("lang").agg(countDistinct(col("p")).as("n_distinct_pieces"))
-    base.join(dp, "lang")
+    seg.select(col("lang"), col("nw"), posexplode(col("pieces")).as(Seq("pos", "p")))
+      .groupBy("lang")
+      .agg(sum(when(col("pos") === 0, col("nw"))).as("n_words"),
+        count(lit(1)).as("n_pieces"),
+        countDistinct(col("p")).as("n_distinct_pieces"))
       .select(col("lang"), col("n_words"), col("n_pieces"),
         expr("(n_pieces * 1000000000) div n_words").as("fertility_nano"),
         col("n_distinct_pieces"))
@@ -3763,6 +3788,18 @@ object TextQueries {
   private val mergeTableCache =
     new graft.util.Memo[(String, String), Seq[(String, String)]]
 
+  /** Token-count cap for the single-task sample-learn fast path (r18,
+    * the GraphCC/c102 size-dispatch idiom): below it the
+    * [[SegmentMerges]]-iteration DF loop — ~5 tiny jobs per iteration
+    * (window seal, best-pair limit, islands, token rewrite, summary
+    * counts), pure scheduling floor on a deliberately small sample —
+    * runs as ONE mapPartitions task with the identical greedy
+    * recurrence. Above the cap the DF loop runs unchanged (a 100 TB
+    * corpus's 1/SegmentSampleMod sample is not driver-task-sized).
+    * `graft.bpe.impl` (local|df) overrides for specs.
+    */
+  val BpeLocalMaxTokens = 4000000L
+
   private[graft] def learnedMerges(spark: SparkSession, dir: String): Seq[(String, String)] =
     mergeTableCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       // the sample is SampleMod-times smaller than the corpus, but the
@@ -3772,10 +3809,18 @@ object TextQueries {
       // deterministic); a production run sizes this to sample/128MB.
       val sample = Tables.documents(spark, dir)
         .filter(col("doc_id") % SegmentSampleMod === 0)
-        .repartition(4, col("doc_id"))
-      val (summaries, _) = bpeLoop(sample, SegmentMerges)
-      val merges = summaries.reduce(_.unionByName(_)).orderBy("iter").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val nTok = sample.agg(coalesce(sum(size(tokens(col("text")))
+        .cast("long")), lit(0L))).head.getLong(0)
+      val impl = spark.conf.getOption("graft.bpe.impl")
+        .getOrElse(if (nTok <= BpeLocalMaxTokens) "local" else "df")
+      val merges =
+        if (impl == "local") bpeLearnLocal(sample, SegmentMerges)
+        else {
+          val (summaries, _) = bpeLoop(sample.repartition(4, col("doc_id")),
+            SegmentMerges)
+          summaries.reduce(_.unionByName(_)).orderBy("iter").collect()
+            .map(r => (r.getString(1), r.getString(2))).toSeq
+        }
       // The oracle's apply chain CROSS JOINs each learned-pair CTE: a
       // dry learn iteration (sample too small to yield an adjacent
       // pair) would empty the oracle's corpus while the Spark apply
@@ -3787,6 +3832,78 @@ object TextQueries {
           "or lower SegmentMerges; the DuckDB oracle assumes a full table")
       merges
     })
+
+  /** Single-task BPE learn on a small sample — one executor task (no
+    * corpus collect; only the K merge rows return to the driver, the
+    * same driver artifact the DF path collected). Semantics are the
+    * [[bpeLoop]] iteration verbatim: count ALL adjacent pairs, best =
+    * (count DESC, pair_a ASC, pair_b ASC) with string order compared
+    * on UTF-8 BYTES (Spark's UTF8String/DuckDB binary collation — Java
+    * String compareTo is UTF-16 and DIVERGES on supplementary planes;
+    * the dispatch spec plants exactly that tie), then the greedy
+    * non-overlap left-to-right merge (the islands odd-rank rule).
+    * Stops early if no pair exists — the caller's require() then
+    * reports the dry run exactly as the DF path does.
+    */
+  private[graft] def bpeLearnLocal(sample: DataFrame, iters: Int): Seq[(String, String)] = {
+    val spark = sample.sparkSession
+    import spark.implicits._
+    val utf8Lt: (String, String) => Boolean = { (a, b) =>
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      var r = 0
+      while (r == 0 && i < n) { r = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+      if (r != 0) r < 0 else x.length < y.length
+    }
+    sample.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .as[(Long, Seq[String])]
+      .coalesce(1).mapPartitions { it =>
+        val docs = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+        it.foreach { case (_, ts) =>
+          if (ts != null && ts.nonEmpty) docs += ts.toArray
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        var continue = true
+        for (_ <- 1 to iters if continue) {
+          val cnt = new java.util.HashMap[(String, String), Long]()
+          docs.foreach { ts =>
+            var i = 0
+            while (i < ts.length - 1) {
+              cnt.merge((ts(i), ts(i + 1)), 1L, (a, b) => a + b): Unit
+              i += 1
+            }
+          }
+          if (cnt.isEmpty) continue = false
+          else {
+            var best: (String, String) = null
+            var bc = -1L
+            cnt.forEach { (p, c) =>
+              if (c > bc || (c == bc &&
+                  (utf8Lt(p._1, best._1) || (p._1 == best._1 && utf8Lt(p._2, best._2))))) {
+                best = p; bc = c
+              }
+            }
+            val (pa, pb) = best
+            val merged = pa + "_" + pb
+            docs.indices.foreach { d =>
+              val ts = docs(d)
+              val nb = scala.collection.mutable.ArrayBuffer.empty[String]
+              var i = 0
+              while (i < ts.length) {
+                if (i < ts.length - 1 && ts(i) == pa && ts(i + 1) == pb) {
+                  nb += merged; i += 2
+                } else { nb += ts(i); i += 1 }
+              }
+              docs(d) = nb.toArray
+            }
+            out += ((pa, pb))
+          }
+        }
+        Iterator.single(out.toSeq)
+      }.collect().head
+  }
 
   def c96BpeSegment(spark: SparkSession, dir: String): DataFrame =
     bpeSegmentStats(Tables.documents(spark, dir), learnedMerges(spark, dir))

@@ -31,4 +31,44 @@ class PowerIterDispatchSpec extends SparkTestBase {
       rows(graft.text.TextQueries.c110Textrank(spark, sf)))
     assert(df.nonEmpty && df == loc)
   }
+
+  test("c115 k-center: local single-task kernel == DataFrame greedy loop") {
+    val df = withImpl("graft.kc.impl", "df")(
+      rows(graft.embed.EmbedQueries.c115KCenter(spark, sf)))
+    val loc = withImpl("graft.kc.impl", "local")(
+      rows(graft.embed.EmbedQueries.c115KCenter(spark, sf)))
+    assert(df.nonEmpty && df == loc)
+  }
+
+  private def dfMerges(docs: org.apache.spark.sql.DataFrame, iters: Int): Seq[(String, String)] =
+    graft.text.TextQueries.bpeMergesOn(docs).orderBy("iter").collect()
+      .toSeq.take(iters).map(r => (r.getString(1), r.getString(2)))
+
+  test("bpe sample-learn: local single-task kernel == DataFrame loop (sf sample)") {
+    import org.apache.spark.sql.functions._
+    val sample = Tables(spark, sf, "documents")
+      .filter(col("doc_id").isNotNull &&
+        col("doc_id") % graft.text.TextQueries.SegmentSampleMod === 0)
+      .select("doc_id", "text")
+    val df = dfMerges(sample, 2)
+    val loc = graft.text.TextQueries.bpeLearnLocal(sample, 2)
+    assert(df.nonEmpty && df == loc)
+  }
+
+  test("bpe sample-learn: UTF-8-byte tie-break (supplementary plane vs BMP)") {
+    import spark.implicits._
+    // (x, ｡) and (x, 𐀀) tie on count; UTF-8 bytes say
+    // ｡ (EF BD A1) < U+10000 (F0 90 80 80), Java UTF-16 compareTo
+    // says the opposite — the kernel must match Spark/DuckDB binary
+    // order, and the DF loop is the arbiter.
+    val hi = new String(Character.toChars(0x10000))
+    val docs = Seq(
+      (1L, s"x ｡ q x $hi"),
+      (2L, s"x ｡ r x $hi"),
+      (3L, s"x ｡ s x $hi"))
+      .toDF("doc_id", "text")
+    val df = dfMerges(docs, 2)
+    val loc = graft.text.TextQueries.bpeLearnLocal(docs, 2)
+    assert(df == loc && df.head._2 == "｡")
+  }
 }
