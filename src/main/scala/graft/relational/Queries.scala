@@ -1594,13 +1594,20 @@ object Queries {
         expr("t_micro div 1000000").as("lo"),
         expr("(t_micro + 999999) div 1000000").as("hi"),
         expr("t_micro % 1000000").as("frac"))
-    val vlo = cdf.join(broadcast(targets), "prio")
-      .filter(col("lo") >= col("cum_before") && col("lo") < col("cum_before") + col("cnt"))
-      .select(col("prio"), col("q_ppm"), col("n"), col("frac"), col("price_d").as("v_lo"))
-    val vhi = cdf.join(broadcast(targets.select("prio", "q_ppm", "hi")), "prio")
-      .filter(col("hi") >= col("cum_before") && col("hi") < col("cum_before") + col("cnt"))
-      .select(col("prio"), col("q_ppm"), col("price_d").as("v_hi"))
-    vlo.join(vhi, Seq("prio", "q_ppm"))
+    // r18: ONE pass over the cdf — the old vlo/vhi branches each
+    // re-evaluated the classes agg + window chain (two full scans
+    // joined back together); the lo- and hi-rank rows are at most two
+    // rows per (prio, q), so one filtered join + a conditional agg
+    // picks both in a single evaluation (n/frac are target-constant,
+    // max() just carries them). Values identical by construction.
+    val loHit = col("lo") >= col("cum_before") && col("lo") < col("cum_before") + col("cnt")
+    val hiHit = col("hi") >= col("cum_before") && col("hi") < col("cum_before") + col("cnt")
+    cdf.join(broadcast(targets), "prio")
+      .filter(loHit || hiHit)
+      .groupBy("prio", "q_ppm")
+      .agg(max("n").as("n"), max("frac").as("frac"),
+        max(when(loHit, col("price_d"))).as("v_lo"),
+        max(when(hiHit, col("price_d"))).as("v_hi"))
       .select(col("prio"), col("q_ppm"), col("n"), col("v_lo"), col("v_hi"),
         (col("v_lo") * 1000000L + col("frac") * (col("v_hi") - col("v_lo")))
           .as("pct_micro"))

@@ -624,10 +624,28 @@ object TextQueries {
     * Caller must pre-filter `size(toks) >= ContamN` (Spark's `sequence`
     * reverses direction for an empty range).
     */
-  def gramHashes(toks: Column): Column =
-    transform(sequence(lit(1), size(toks) - ContamN + 1),
-      i => aggregate(transform(slice(toks, i, lit(ContamN)), tokenHash _),
-        lit(0L), (acc, g) => (acc * lit(FpB) + g) % lit(FpM)))
+  def gramHashes(toks: Column): Column = rollingGramHashes(toks, ContamN)
+
+  /** r18: every n-gram fold hash from the ONE-pass rolling prefix
+    * array (the c33/c48 kernel) — the per-gram slice+fold form
+    * re-hashed each token n times and allocated a slice per gram
+    * (O(len·n) work and O(len) allocations per doc); the rolling
+    * identity gh_i = (P[i+n−1] − bⁿ·P[i−1]) mod m is O(len) and
+    * bit-identical (same polynomial, same modulus — the oracles keep
+    * the definitional per-gram fold as the value gate). The prefix
+    * array is referenced only OUTSIDE lambdas (slice operands), so a
+    * collapsed projection re-evaluates it at most a constant number
+    * of times per row — never per element (the c126 trap).
+    */
+  private def rollingGramHashes(toks: Column, n: Int): Column = {
+    val bn = (1 to n).foldLeft(1L)((x, _) => (x * FpB) % FpM)
+    val ph = graft.functions.hashes.rolling_hashes(
+      transform(toks, tokenHash _), lit(FpB), lit(FpM))
+    zip_with(
+      slice(ph, lit(n), size(ph) - n + 1),
+      concat(array(lit(0L)), slice(ph, lit(1), size(ph) - n)),
+      (hi, lo) => ((hi - (lo * lit(bn)) % lit(FpM)) % lit(FpM) + lit(FpM)) % lit(FpM))
+  }
 
   /** The deterministic 80/10/10 doc split (C23/C29/D14 — one definition). */
   def splitCol: Column = {
@@ -3142,27 +3160,27 @@ object TextQueries {
     */
   def c132UnigramLm(spark: SparkSession, dir: String): DataFrame = {
     val (ps, cs) = uniVocab(spark, dir)
-    // r18: ONE segmentation pass. The old base⋈dp form referenced the
-    // unsealed `seg` from two agg branches of one join plan, so the
-    // Viterbi expression ran over the corpus TWICE (Spark does not
-    // dedupe common subtrees across join branches). posexplode carries
-    // the per-doc word count on the pos-0 row only, so a single
-    // (lang)-keyed agg computes all three measures; piece-less docs
-    // always have n_words = 0 (the char vocab covers every nonempty
-    // token), so dropping them in the explode loses nothing, and langs
-    // whose every doc is empty vanish exactly as the old INNER join
-    // dropped them.
+    // r18 measured note: this two-branch form evaluates the Viterbi
+    // segmentation TWICE (base and dp are two agg branches over the
+    // unsealed `seg`; Spark does not dedupe common subtrees across a
+    // join). A single-pass posexplode + one (lang) agg with
+    // countDistinct was tried and measured 1.5× SLOWER in the
+    // interleaved A/B (min 2.28 → 3.42 s): the distinct agg plans an
+    // Expand that doubles every exploded piece row through BOTH
+    // shuffles, which costs more than the second scan-stage
+    // segmentation. Kept as-is deliberately.
     val seg = Tables.documents(spark, dir)
       .select(col("lang"),
         size(expr("filter(split(text, ' '), t -> length(t) > 0)"))
-          .cast("long").as("nw"),
+          .cast("long").as("n_words"),
         graft.functions.textseg.unigram_segment(col("text"), ps, cs)
           .as("pieces"))
-    seg.select(col("lang"), col("nw"), posexplode(col("pieces")).as(Seq("pos", "p")))
-      .groupBy("lang")
-      .agg(sum(when(col("pos") === 0, col("nw"))).as("n_words"),
-        count(lit(1)).as("n_pieces"),
-        countDistinct(col("p")).as("n_distinct_pieces"))
+    val base = seg.groupBy("lang")
+      .agg(sum("n_words").as("n_words"),
+        sum(size(col("pieces")).cast("long")).as("n_pieces"))
+    val dp = seg.select(col("lang"), explode(col("pieces")).as("p"))
+      .groupBy("lang").agg(countDistinct(col("p")).as("n_distinct_pieces"))
+    base.join(dp, "lang")
       .select(col("lang"), col("n_words"), col("n_pieces"),
         expr("(n_pieces * 1000000000) div n_words").as("fertility_nano"),
         col("n_distinct_pieces"))
@@ -4845,10 +4863,7 @@ object TextQueries {
   /** [[gramHashes]] with the gram length as a parameter (same fold,
     * same family — n = [[ContamN]] reproduces it exactly).
     */
-  def gramHashesN(toks: Column, n: Int): Column =
-    transform(sequence(lit(1), size(toks) - n + 1),
-      i => aggregate(transform(slice(toks, i, lit(n)), tokenHash _),
-        lit(0L), (acc, g) => (acc * lit(FpB) + g) % lit(FpM)))
+  def gramHashesN(toks: Column, n: Int): Column = rollingGramHashes(toks, n)
 
   def c86ContamSweep(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir)
