@@ -866,24 +866,13 @@ object StreamingQueries {
   def d26StreamBm25(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.text.TextQueries
     import org.apache.spark.sql.Column
-    val statToks = graft.Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(TextQueries.tokens(col("text"))).as("token"))
-    val nTerms = TextQueries.Bm25Queries * TextQueries.Bm25TermsPerQuery
-    // orderBy+limit (NOT an unpartitioned row_number window): plans as
-    // TakeOrderedAndProject — per-partition top-nTerms then a driver
-    // merge — so the frozen-index selection never single-tasks the
-    // corpus-scale token vocabulary (r17 verdict item 5). qid is the
-    // rank div TermsPerQuery, assigned on the collected (ordered) rows.
-    val terms = statToks.groupBy("token")
-      .agg(count_distinct(col("doc_id")).as("df"))
-      .orderBy(col("df").asc, col("token"))
-      .limit(nTerms)
-      .collect().zipWithIndex.map { case (r, i) =>
-        (r.getString(0), r.getLong(1), i.toLong / TextQueries.Bm25TermsPerQuery)
-      }
-    val dlStats = statToks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")).head()
-    val (nDocs, sumDl) = (dlStats.getLong(0), dlStats.getLong(1))
+    // r18: the frozen index (rarest-term table + corpus totals) comes
+    // from the SESSION-shared bm25Stats memo — one derivation for the
+    // whole retrieval family (c88/c99/c109 + this stream); the
+    // orderBy+limit TakeOrderedAndProject selection rule (r17 verdict
+    // item 5) now lives at that one site. Before this the stream key
+    // re-ran both corpus stat passes privately at every invocation.
+    val (terms, nDocs, sumDl) = TextQueries.bm25Stats(spark, sfDir)
     def contrib(term: String, df: Long): Column = {
       val idf = math.log(1.0 + (nDocs.toDouble - df + 0.5) / (df + 0.5))
       val tf = size(filter(col("toks"), x => x === lit(term))).cast("long")

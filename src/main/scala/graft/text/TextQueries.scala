@@ -5025,22 +5025,54 @@ object TextQueries {
     */
   private val bm25Cache = new graft.util.Memo[(String, String), DataFrame]
 
+  /** Session memo of the frozen BM25 index pieces — the query-term
+    * table (the Bm25Queries·Bm25TermsPerQuery rarest tokens, df asc /
+    * token asc, chunked into qids) plus (n_docs, sum_dl). One
+    * derivation shared by the batch retrieval family (c88/c99/c109 via
+    * [[bm25Ranked]]) and D26's frozen-index stream — before r18 the
+    * stream key re-ran both corpus stat passes privately. The term
+    * selection is orderBy+limit (TakeOrderedAndProject — never an
+    * unpartitioned row_number over the corpus-scale vocabulary; the
+    * r17-verdict d26 rule, now the ONE shared selection site).
+    */
+  private val bm25StatsCache =
+    new graft.util.Memo[(String, String), (Seq[(String, Long, Long)], Long, Long)]
+
+  private[graft] def bm25Stats(spark: SparkSession, dir: String)
+      : (Seq[(String, Long, Long)], Long, Long) =
+    bm25StatsCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val toks = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val nTerms = Bm25Queries * Bm25TermsPerQuery
+      val terms = toks.groupBy("token")
+        .agg(count_distinct(col("doc_id")).as("df"))
+        .orderBy(col("df").asc, col("token"))
+        .limit(nTerms)
+        .collect().zipWithIndex.map { case (r, i) =>
+          (r.getString(0), r.getLong(1), i.toLong / Bm25TermsPerQuery)
+        }.toSeq
+      val dlStats = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), coalesce(sum("dl"), lit(0L)).as("sum_dl"))
+        .head()
+      (terms, dlStats.getLong(0), dlStats.getLong(1))
+    })
+
   private[text] def bm25Ranked(spark: SparkSession, dir: String): DataFrame =
     bm25Cache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      val (termSeq, nDocs, sumDl) = bm25Stats(spark, dir)
       val toks = Tables.documents(spark, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      val stats = toks.groupBy("token")
-        .agg(count_distinct(col("doc_id")).as("df"))
       val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-      val tf = toks.join(broadcast(queryTerms(stats)), "token")
+      val terms = termSeq.toDF("token", "df", "qid")
+      val tf = toks.join(broadcast(terms), "token")
         .groupBy("doc_id", "qid", "token", "df").agg(count(lit(1)).as("tf"))
-      val contrib = tf.join(dl, "doc_id").crossJoin(broadcast(totals))
+      val contrib = tf.join(dl, "doc_id")
         .withColumn("contrib_nano", round(
-          expr("ln(1.0 + (cast(n_docs as double) - df + 0.5) / (df + 0.5))") *
+          expr(s"ln(1.0 + (cast($nDocs as double) - df + 0.5) / (df + 0.5))") *
             (col("tf") * lit(2.2) / (col("tf") + lit(1.2) *
-              (lit(0.25) + lit(0.75) * col("dl") * col("n_docs") / col("sum_dl"))))
+              (lit(0.25) + lit(0.75) * col("dl") * lit(nDocs) / lit(sumDl))))
             * lit(1e9), 0).cast("long"))
       val w = Window.partitionBy("qid").orderBy(col("score_nano").desc, col("doc_id"))
       contrib.groupBy("qid", "doc_id")
@@ -5050,19 +5082,6 @@ object TextQueries {
         .select("qid", "rnk", "doc_id", "score_nano", "n_terms_hit")
         .seal()
     })
-
-  /** The deterministic query-term sets both retrieval runs share: the
-    * Bm25Queries·Bm25TermsPerQuery rarest tokens (df asc, token), chunked
-    * Bm25TermsPerQuery-per-query.
-    */
-  private def queryTerms(stats: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    stats
-      .withColumn("rn", row_number().over(Window.orderBy(col("df").asc, col("token"))))
-      .filter(col("rn") <= Bm25Queries * Bm25TermsPerQuery)
-      .withColumn("qid", expr(s"(rn - 1) div $Bm25TermsPerQuery"))
-      .select("token", "df", "qid")
-  }
 
   def c88Bm25(spark: SparkSession, dir: String): DataFrame =
     bm25Ranked(spark, dir).orderBy("qid", "rnk")
@@ -5142,8 +5161,13 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val stats = toks.groupBy("token").agg(count_distinct(col("doc_id")).as("df"))
-    val cov = toks.join(broadcast(queryTerms(stats)), "token")
+    // r18: query terms from the shared bm25Stats memo (one derivation
+    // for the whole retrieval family; see bm25Stats scaladoc)
+    val termsDf = {
+      import spark.implicits._
+      bm25Stats(spark, dir)._1.toDF("token", "df", "qid")
+    }
+    val cov = toks.join(broadcast(termsDf), "token")
       .groupBy("qid", "doc_id").agg(count_distinct(col("token")).as("rel"))
     def gNano(rel: String, rank: String): Column = expr(
       s"""CAST(ROUND(CAST(shiftleft(1, CAST($rel AS INT)) - 1 AS DOUBLE)
@@ -5239,7 +5263,13 @@ object TextQueries {
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val stats = toks.groupBy("token")
       .agg(count_distinct(col("doc_id")).as("df"))
-    val terms = queryTerms(stats)
+    // r18: query terms from the shared bm25Stats memo — stats stays
+    // (run B's tf-idf weights need the FULL-vocabulary df), but the
+    // term selection no longer re-runs its own window over it
+    val terms = {
+      import spark.implicits._
+      bm25Stats(spark, dir)._1.toDF("token", "df", "qid")
+    }
     val totals = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     // per-(doc, term) squared weight, quantized BEFORE the norm sum
