@@ -348,15 +348,21 @@ object DedupQueries {
     // of identical per-pair longs; ClassCompressionSpec pins it).
     val u = setClassUniverse(spark, dir)
     val k = u.docMap.groupBy("srep").agg(count(lit(1)).as("kk"))
+    // the sealed rep/class frames have NO size statistics (LogicalRDD),
+    // so without the gated hints the planner sort-merges these joins
+    // and ships the pair frame WITH both hash arrays attached — a
+    // 210 MB shuffle measured at sf0.1 where the broadcast form
+    // shuffles zero. Same dispatch rule as scoredRepPairsFor.
+    val hintS = setsHint(u.reps)
     val sets = u.reps.select(col("doc_id"), col("s"))
       .withColumn("ns", size(col("s")))
     val cross = u.repCands
-      .join(sets.select(col("doc_id").as("doc_a"),
-        col("s").as("sa"), col("ns").as("na")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"),
-        col("s").as("sb"), col("ns").as("nb")), "doc_b")
-      .join(k.select(col("srep").as("doc_a"), col("kk").as("ka")), "doc_a")
-      .join(k.select(col("srep").as("doc_b"), col("kk").as("kb")), "doc_b")
+      .join(hintS(sets.select(col("doc_id").as("doc_a"),
+        col("s").as("sa"), col("ns").as("na"))), "doc_a")
+      .join(hintS(sets.select(col("doc_id").as("doc_b"),
+        col("s").as("sb"), col("ns").as("nb"))), "doc_b")
+      .join(hintS(k.select(col("srep").as("doc_a"), col("kk").as("ka"))), "doc_a")
+      .join(hintS(k.select(col("srep").as("doc_b"), col("kk").as("kb"))), "doc_b")
       .withColumn("ni", sorted_intersect_count(col("sa"), col("sb")))
       .select((col("ka") * col("kb")).as("m"), col("n_bands"),
         round(col("ni").cast("double")
@@ -854,15 +860,18 @@ object DedupQueries {
     // jac_micro = 1000000 exactly, no kernel work.
     val u = setClassUniverse(spark, dir)
     val k = u.docMap.groupBy("srep").agg(count(lit(1)).as("kk"))
+    // gated broadcast hints — the sealed rep frames carry no size
+    // statistics, see the c60 comment (210 MB array shuffle otherwise)
+    val hintS = setsHint(u.reps)
     val sigs = u.reps
       .select(col("doc_id"), signature(col("s")).as("sig"), col("s").as("hs"))
     val cross = u.repCands.select("doc_a", "doc_b")
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("siga"),
-        col("hs").as("ha")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sigb"),
-        col("hs").as("hb")), "doc_b")
-      .join(k.select(col("srep").as("doc_a"), col("kk").as("ka")), "doc_a")
-      .join(k.select(col("srep").as("doc_b"), col("kk").as("kb")), "doc_b")
+      .join(hintS(sigs.select(col("doc_id").as("doc_a"), col("sig").as("siga"),
+        col("hs").as("ha"))), "doc_a")
+      .join(hintS(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sigb"),
+        col("hs").as("hb"))), "doc_b")
+      .join(hintS(k.select(col("srep").as("doc_a"), col("kk").as("ka"))), "doc_a")
+      .join(hintS(k.select(col("srep").as("doc_b"), col("kk").as("kb"))), "doc_b")
       .withColumn("matched", expr(
         "aggregate(zip_with(siga, sigb, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END), 0L, (a, v) -> a + v)"))
       .withColumn("ni", expr("sorted_intersect_count(ha, hb)"))
