@@ -1730,6 +1730,10 @@ object DedupQueries {
     "dedup_signatures" -> ((s, d) => { signatures(s, d): Unit }),
     "dedup_candidates" -> ((s, d) => { candidatePairs(s, d): Unit }),
     "dedup_collapse" -> ((s, d) => { c19DedupCollapse(s, d): Unit }),
+    // r18: the set-class universe (doc→srep map + class-level
+    // candidates) billed to its own line — c60/c74/c93 and the scored
+    // frame all read it
+    "dedup_universe" -> ((s, d) => { setClassUniverse(s, d): Unit }),
     "dedup_scored_pairs" -> ((s, d) =>
       { scoredRepPairs(s, d, SweepTaus.min): Unit }))
 }
