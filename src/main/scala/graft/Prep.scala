@@ -29,5 +29,10 @@ object Prep {
     ) ++ text.TextQueries.prepItems ++
       dedup.DedupQueries.prepItems ++
       embed.EmbedQueries.prepItems ++
-      relational.Queries.prepItems
+      relational.Queries.prepItems ++
+      // LAST: the overlapped D-block replay consumes the batch-side
+      // memos above (bm25Stats, learned merges, vocab tables, centroid
+      // row, geo cells) — building them first keeps each billed to its
+      // own line instead of the replay pool's
+      streaming.StreamingQueries.prepItems
 }

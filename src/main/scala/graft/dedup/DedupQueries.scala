@@ -1309,8 +1309,15 @@ object DedupQueries {
         col("s").as("sa"), col("ns").as("na"))), "doc_a")
       .join(hintS(sets.select(col("doc_id").as("doc_b"),
         col("s").as("sb"), col("ns").as("nb"))), "doc_b")
+      // size-ratio prefilter: jac ≤ min/max, so min/max < τ prunes the
+      // pair before the merge kernel. The final gate is on the ROUNDED
+      // jaccard (6 dp), so the prune carries the rounding slack (5e-7):
+      // a pair with true jac in [τ−5e-7, τ) rounds UP to τ and must
+      // reach the exact filter, not be pruned here (r18 advice — needs
+      // ~10⁶-element sets to matter, but the exactness argument should
+      // not depend on that)
       .filter(least(col("na"), col("nb")).cast("double")
-        >= lit(minJac) * greatest(col("na"), col("nb")))
+        >= lit(minJac - 1e-6) * greatest(col("na"), col("nb")))
       .withColumn("inter", sorted_intersect_count(col("sa"), col("sb")))
       .withColumn("jac", round(col("inter").cast("double")
         / (col("na") + col("nb") - col("inter")).cast("double"), 6))

@@ -1360,6 +1360,12 @@ object EmbedQueries {
     * where the kNN/co-occurrence graph is corpus-sized — the
     * DataFrame iterate runs unchanged. `graft.pr.impl` (local|df)
     * overrides for specs.
+    *
+    * Heap bound at the cap (r18 advice): the local task buffers edges
+    * as two primitive-long arrays plus per-node rank/degree maps — at
+    * 2M edges ≈ 32 MB of edge longs + node-bounded maps, far inside one
+    * task's heap. The row count IS the byte bound here (fixed-width
+    * longs), unlike the vector/string kernels which carry element caps.
     */
   val PrLocalMaxEdges = 2000000L
 
@@ -2691,14 +2697,24 @@ object EmbedQueries {
     // `graft.kc.impl` overrides for the dispatch spec.
     val nVec = e.count()
     val impl = spark.conf.getOption("graft.kc.impl")
-      .getOrElse(if (nVec <= KcLocalMaxVectors) "local" else "df")
+      .getOrElse(if (nVec <= KcLocalMaxVectors
+        && nVec * Dims <= KcLocalMaxElems) "local" else "df")
     val centers =
       if (impl == "local") kcLocal(e, seed)
       else kcDf(e, seed)
     centers.toDF("step", "center_id", "radius_micro").orderBy("step")
   }
 
+  /** Local-path caps (r18 advice: the gate must bound the single task's
+    * HEAP, not just its row count). [[kcLocal]] buffers id + unboxed
+    * Array[Double] per vector: at the double cap of 1M rows AND 32M
+    * elements that is ≤ ~256 MB of vector payload + ~80 MB of
+    * ids/object headers — comfortably inside one executor task on any
+    * reasonable heap. A wide-embedding corpus (Dims ≫ 64) trips the
+    * element cap long before the row cap and stays on the DF path.
+    */
   val KcLocalMaxVectors = 1000000L
+  val KcLocalMaxElems = 32000000L
 
   /** The K-pass DataFrame greedy loop (the corpus-scale path). */
   private def kcDf(e: DataFrame, seed: Long): Seq[(Long, Long, Long)] = {

@@ -1852,6 +1852,82 @@ object StreamingQueries {
 
   val d42Sql: String = graft.relational.Queries.jsonExtractSql
 
+  /** Session memo of each D key's result frame (r19, guide §2.6 — the
+    * c136 overlap idiom applied across the block): the dominant cost of
+    * every D key is its AvailableNow replay — checkpoint setup,
+    * per-micro-batch planning, state-store lifecycle, source staging —
+    * a fixed ~1–2 s floor per key at ANY scale factor, 41 of which ran
+    * strictly serially in the bench loop. The replays are INDEPENDENT
+    * streaming jobs, so [[replayAll]] runs them once per session from a
+    * thread pool (each worker on its own `spark.newSession()` clone —
+    * the Verify isolation pattern: private SQLConf, temp views, memory
+    * sinks), billed to the `stream_replays` prep line like every other
+    * shared session store (bm25Stats, the dedup universe). Invoking a
+    * key still executes its finalize plan over the replayed sink; only
+    * the replay side-effect is shared. Keyed on applicationId —
+    * nothing persists across runs; with no prior [[replayAll]] (subset
+    * bench runs, specs, ScaleSmoke) the key's first invocation runs its
+    * replay exactly as before, serially, in the caller's session.
+    */
+  private val resultCache = new graft.util.Memo[(String, String, String), DataFrame]
+
+  private def memoized(name: String,
+      fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (spark, sfDir) => resultCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, sfDir, name), fn(spark, sfDir))
+
+  /** Longest-replay-first dispatch (sf0.1 measurements) so the pool's
+    * tail is the cheap stateless screens, not a straggling 7 s outer
+    * join — Verify's LPT trick.
+    */
+  private val replayHeavyFirst = Seq(
+    "d30_stream_outer_join", "d41_stream_phash_screen", "d33_stream_timeout_alert",
+    "d5_stream_interval_join", "d14_stream_decontam", "d40_stream_sem_screen",
+    "d37_stream_cdc", "d26_stream_bm25", "d19_stream_lsh_dedup",
+    "d38_stream_snapshot_dedup", "d24_stream_drift", "d16_stream_cluster",
+    "d9_stream_sessions_native", "d17_stream_pack", "d10_stream_distinct_sketch")
+
+  /** Run every D-block replay once, overlapped. Pool width: the replays
+    * are scheduler/IO-bound (tiny data at bench SF; micro-batch planning
+    * and state-store commits dominate), so the width is about keeping
+    * query-start latencies overlapped, not about cores — 8 matches the
+    * Verify sweep's width; `graft.stream.replayPar` overrides (a live
+    * cluster would size it to its driver, like StatePartitions).
+    */
+  private[graft] def replayAll(spark: SparkSession, sfDir: String): Unit = {
+    val par = spark.conf.getOption("graft.stream.replayPar").map(_.toInt).getOrElse(8)
+    val rank = replayHeavyFirst.zipWithIndex.toMap
+    val queue = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    queries.keys.toSeq.sortBy(n => (rank.getOrElse(n, Int.MaxValue), n))
+      .foreach(queue.add(_): Unit)
+    val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    def worker(): Thread = new Thread(() => {
+      val session = spark.newSession()
+      var name = queue.poll()
+      while (name != null) {
+        try { queries(name)(session, sfDir): Unit }
+        catch { case e: Throwable =>
+          failed.add(name): Unit
+          System.err.println(s"[stream_replays] $name FAILED in overlapped replay: $e")
+        }
+        name = queue.poll()
+      }
+    })
+    val threads = (1 to math.max(1, par)).map(_ => worker())
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    // fail the prep line loudly; the memo holder retries a failed body,
+    // so the key's own bench/verify slot re-runs serially and reports
+    // the real error in its own row — a broken replay can never hide
+    if (!failed.isEmpty)
+      sys.error(s"stream_replays: ${failed.size} replays failed: " +
+        java.util.List.copyOf(failed))
+  }
+
+  /** Shared-memo prep registration (the [[graft.Prep]] contract). */
+  private[graft] def prepItems: Seq[(String, (SparkSession, String) => Unit)] =
+    Seq("stream_replays" -> ((s, d) => replayAll(s, d)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d42_stream_json" -> (d42StreamJson _),
     "d36_stream_gini" -> (d36StreamGini _),
@@ -1895,6 +1971,7 @@ object StreamingQueries {
     "d16_stream_cluster" -> (d16StreamCluster _),
     "d17_stream_pack" -> (d17StreamPack _),
     "d18_stream_quantile" -> (d18StreamQuantile _))
+    .map { case (k, fn) => k -> memoized(k, fn) }
 
   val oracles: Map[String, String] = Map(
     "d42_stream_json" -> d42Sql,

@@ -3815,6 +3815,13 @@ object TextQueries {
     * recurrence. Above the cap the DF loop runs unchanged (a 100 TB
     * corpus's 1/SegmentSampleMod sample is not driver-task-sized).
     * `graft.bpe.impl` (local|df) overrides for specs.
+    *
+    * Heap bound at the cap (r18 advice): the local task buffers the
+    * sample as String-array docs — 4M tokens of the corpus's ~40-word
+    * vocabulary intern-share their characters, so the dominant cost is
+    * 4M references + header overhead ≈ 200–300 MB worst-case, inside
+    * one task's heap; a corpus whose 1/[[SegmentSampleMod]] sample
+    * exceeds the cap runs the DF loop.
     */
   val BpeLocalMaxTokens = 4000000L
 
@@ -3920,7 +3927,11 @@ object TextQueries {
           }
         }
         Iterator.single(out.toSeq)
-      }.collect().head
+        // headOption: a zero-partition sample frame (empty source after
+        // an empty split) collects to an EMPTY array — no merges, same
+        // as the DF loop's dry run — where .head would throw
+        // NoSuchElementException (r18 advice)
+      }.collect().headOption.getOrElse(Seq.empty)
   }
 
   def c96BpeSegment(spark: SparkSession, dir: String): DataFrame =
@@ -5841,14 +5852,28 @@ object TextQueries {
     */
   val BlocklistK = 24
 
-  def c97Blocklist(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(spark, dir)
+  /** The C97 blocklist derivation (the [[BlocklistK]] most
+    * document-frequent ≥4-char tokens, df desc / token asc) — r19:
+    * orderBy+limit (TakeOrderedAndProject) instead of a row_number
+    * window with NO partition key — the window form sorts the full
+    * ≥4-char token vocabulary on ONE task at corpus scale (the exact
+    * pattern r18 removed from the BM25 family; bm25Stats is the shared
+    * idiom). The (df desc, token) tie order is total, so the selected
+    * K terms — and their collect() order, which fixes the bitmask
+    * positions — are identical to the window form's rn order.
+    * Exposed so PlanContractSpec can pin the TakeOrderedAndProject
+    * shape (the derivation is eager inside [[c97Blocklist]]).
+    */
+  private[graft] def blocklistTerms(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val kws = toks.filter(length(col("token")) >= 4)
+      .filter(length(col("token")) >= 4)
       .groupBy("token").agg(count_distinct(col("doc_id")).as("df"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("df").desc, col("token"))))
-      .filter(col("rn") <= BlocklistK).orderBy("rn")
+      .orderBy(col("df").desc, col("token"))
+      .limit(BlocklistK)
+
+  def c97Blocklist(spark: SparkSession, dir: String): DataFrame = {
+    val kws = blocklistTerms(spark, dir)
       .collect().map(_.getString(0)).toSeq
     Tables.documents(spark, dir)
       .select(col("doc_id"),

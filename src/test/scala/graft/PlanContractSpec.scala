@@ -253,6 +253,21 @@ class PlanContractSpec extends SparkTestBase {
         "the expression fell back to interpreted eval")
   }
 
+  test("c97 blocklist derivation plans as TakeOrderedAndProject, never an unpartitioned window") {
+    // the r19 fix: the K-term selection must be a top-K
+    // (TakeOrderedAndProject — partial per-partition top-K, then one
+    // K-row merge), not a row_number window with no PARTITION BY, which
+    // sorts the full ≥4-char vocabulary on a single task at corpus
+    // scale (the r17-verdict d26 risk, removed from the BM25 family in
+    // r18 and from c97 here)
+    val plan = graft.text.TextQueries.blocklistTerms(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"blocklist selection is not a top-K:\n$plan")
+    assert(!plan.contains("Window"),
+      s"unpartitioned window survived in the blocklist derivation:\n$plan")
+  }
+
   test("a44 plan contract: one fold, no checkpoint scans, bounded exchanges") {
     // the round-11 rewrite's shape must not regress to the join-cascade
     // form: no materialized-RDD scans (localCheckpoint leaves 'Scan
