@@ -106,7 +106,13 @@ object Bench {
     // full runs — the driver's — always pay it here, so `value` =
     // prep + queries stays comparable round over round.
     val prep = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // r19: per-prep-line shuffle bytes, same listener-delta mechanism as
+    // the per-query map — the dedup/universe prep lines are where the
+    // shuffle-byte optimizations land, and without this line they were
+    // invisible in the bench record
+    val prepShuffle = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     if (prefixes.isEmpty) Prep.items.foreach { case (name, fn) =>
+      val before = shuffleW.get
       val t0 = System.nanoTime()
       try fn(spark, sfDir)
       catch {
@@ -116,6 +122,8 @@ object Bench {
           failed += s"prep:$name"
       }
       prep(name) = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.GraftBridge.drainListeners(spark.sparkContext)
+      prepShuffle(name) = shuffleW.get - before
     }
     org.apache.spark.sql.GraftBridge.drainListeners(spark.sparkContext)
     // per-query deltas of the cumulative counters are exact: the bus is
@@ -189,8 +197,11 @@ object Bench {
     // telemetry) — the per-query timings never reached the driver
     // (PERF_r18: n_common=0). With queries last, whatever suffix the
     // tail keeps ends in per-query "name":seconds pairs.
+    val prepSh = prepShuffle.map { case (k, v) =>
+      s"\"" + k + "\":" + v / 1048576.0
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","prep":$prepJson,"prep_sec":$prepSec,"shuffle_mb":$sh,"spill_mb_total":${(spillB.get - spillBase) / 1048576.0},"telemetry":$telemJson,"errors":$errs,"load_1m_start":$loadStart,"load_1m_end":$loadEnd,"sf":"$sfDir","queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","prep":$prepJson,"prep_sec":$prepSec,"prep_shuffle_mb":$prepSh,"shuffle_mb":$sh,"spill_mb_total":${(spillB.get - spillBase) / 1048576.0},"telemetry":$telemJson,"errors":$errs,"load_1m_start":$loadStart,"load_1m_end":$loadEnd,"sf":"$sfDir","queries":$qs}"""
     println(json)
     // ...and a compact queries-only record (3 decimals — precision is
     // noise beyond ms) immediately before the final summary, the other

@@ -166,11 +166,26 @@ object DedupQueries {
   private val sigCache = new graft.util.Memo[(String, String), DataFrame]
 
   private[dedup] def signatures(spark: SparkSession, dir: String): DataFrame =
-    sigCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), shingleHashes(col("text")).as("ths"))
-        .select(col("doc_id"), signature(col("ths")).as("sig"))
-        .seal())
+    sigCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      // r19 (verdict item 6): minhash is order/multiplicity-invariant
+      // (array_min over the distinct sorted set == over the raw token
+      // multiset), so a doc's signature IS its set class's — computed
+      // once per CLASS from the universe's rep sets and expanded through
+      // the doc→srep map, instead of this memo paying a second
+      // full-corpus tokenize + 16-perm pass. NULL-text docs keep their
+      // all-NULL-slot signature rows (the c137 re-slicer and its oracle
+      // both bucket them; the universe excludes them by contract) —
+      // signature(NULL ths) evaluates to the 16-NULL array without
+      // tokenizing anything.
+      val u = setClassUniverse(spark, dir)
+      val expanded = u.docMap
+        .join(narrowHint(u.reps)(u.reps.select(col("doc_id").as("srep"),
+          signature(col("s")).as("sig"))), "srep")
+        .select(col("doc_id"), col("sig"))
+      val nulls = Tables.documents(spark, dir).filter(col("text").isNull)
+        .select(col("doc_id"), signature(shingleHashes(col("text"))).as("sig"))
+      expanded.unionByName(nulls).seal()
+    })
 
   /** Signature-supernode pair generation. Duplicate-heavy corpora (the
     * normal case for LLM training data — and extreme here) collapse
@@ -188,12 +203,30 @@ object DedupQueries {
     * number of bands whose hashes agree.
     */
   private def candidatePairs(spark: SparkSession, dir: String): DataFrame =
-    candCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
-      // derive band hashes from the session-shared sealed signature
-      // frame — the corpus tokenize+minhash pass runs once per session
-      // TOTAL (here or in [[signatures]]'s prep line), not once per
-      // memo family
-      candidatePairsFromSigs(signatures(spark, dir)))
+    candCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      // r19 (verdict item 6): doc-level candidates by EXPANSION of the
+      // universe's class-level pairs — a doc pair's band agreement is
+      // its set classes' (the signature is a function of the set), and
+      // intra-class pairs agree on every band. Two long-keyed equi-joins
+      // on the doc→srep map replace the private doc-level band-hash +
+      // supernode chain this memo used to run; NULL-text docs produce no
+      // pairs in either form (NULL band keys never equi-join, and the
+      // universe excludes them by contract).
+      val u = setClassUniverse(spark, dir)
+      val hintM = narrowHint(u.docMap)
+      val dm = u.docMap
+      val cross = u.repCands
+        .join(hintM(dm.select(col("srep").as("doc_a"), col("doc_id").as("da"))), "doc_a")
+        .join(hintM(dm.select(col("srep").as("doc_b"), col("doc_id").as("db"))), "doc_b")
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"), col("n_bands"))
+      val intra = dm.select(col("srep"), col("doc_id").as("da"))
+        .join(hintM(dm.select(col("srep"), col("doc_id").as("db"))), "srep")
+        .filter(col("da") < col("db"))
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          lit(Bands.toLong).as("n_bands"))
+      cross.unionByName(intra)
+    })
 
   /** Dev-profiling access to [[candidatePairsFor]]. */
   private[dedup] def candidatePairsForProfile(docs: DataFrame): DataFrame =
@@ -282,16 +315,51 @@ object DedupQueries {
     * final rounded division). Candidate-driven — never all-pairs.
     */
   def c7NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val cand = candidatePairs(spark, dir).select("doc_a", "doc_b")
-    val sets = Tables.documents(spark, dir)
-      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("s"))
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
+    // r19 class compression (guide §2.3/§8): the STRING-set jaccard is a
+    // function of the TEXT class pair (identical text ⇒ identical token
+    // set) — deliberately text-level, not set-class-level: under
+    // token-hash collisions two texts can share a shingle-HASH set with
+    // different string sets, and this report is defined on the strings,
+    // so compressing by srep would assume collision-freeness. The
+    // boxed-string intersect/union kernel runs once per text-class pair
+    // (set-class pairs expanded to text-class pairs through the rep→srep
+    // map, plus intra-set-class text pairs); intra-text-class doc pairs
+    // are jaccard exactly 1.0 by identity. ClassCompressionSpec pins
+    // this against the doc-level reference.
+    val u = setClassUniverse(spark, dir)
+    val rs = u.textReps.select(col("rep"), col("srep"))
+    val hintR = narrowHint(rs)
+    val tsets = u.textReps.select(col("rep"),
+      array_distinct(tokens(col("text"))).as("ws"))
+    val crossT = u.repCands
+      .join(hintR(rs.select(col("srep").as("doc_a"), col("rep").as("ra"))), "doc_a")
+      .join(hintR(rs.select(col("srep").as("doc_b"), col("rep").as("rb"))), "doc_b")
+      .select(col("ra"), col("rb"))
+    val intraT = rs.select(col("srep"), col("rep").as("ra"))
+      .join(hintR(rs.select(col("srep"), col("rep").as("rb"))), "srep")
+      .filter(col("ra") < col("rb"))
+      .select(col("ra"), col("rb"))
+    // the kernel: once per text-class pair (string sets are class-bound
+    // payloads here, never join keys)
+    val scoredT = crossT.unionByName(intraT)
+      .join(hintR(tsets.select(col("rep").as("ra"), col("ws").as("sa"))), "ra")
+      .join(hintR(tsets.select(col("rep").as("rb"), col("ws").as("sb"))), "rb")
+      .select(col("ra"), col("rb"),
         round(size(array_intersect(col("sa"), col("sb"))).cast("double")
           / size(array_union(col("sa"), col("sb"))), 6).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    val tm = u.textMap
+    val hintM = narrowHint(tm)
+    val cross = scoredT
+      .join(hintM(tm.select(col("rep").as("ra"), col("doc_id").as("da"))), "ra")
+      .join(hintM(tm.select(col("rep").as("rb"), col("doc_id").as("db"))), "rb")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+    val intra = tm.select(col("rep"), col("doc_id").as("da"))
+      .join(hintM(tm.select(col("rep"), col("doc_id").as("db"))), "rep")
+      .filter(col("da") < col("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(intra).orderBy("doc_a", "doc_b")
   }
 
   val c7Sql: String =
@@ -564,56 +632,27 @@ object DedupQueries {
       collapseUncached(spark, dir).seal())
 
   private def collapseUncached(spark: SparkSession, dir: String): DataFrame = {
+    // r19 (verdict item 6): the collapse rides the session universe —
+    // the same two-level star (identical text → rep, identical shingle
+    // set → srep: guaranteed jaccard-1 closure edges) every scored
+    // consumer shares — and its τ=0.9 edge set is the ≥0.9 slice of the
+    // τ=0.5 scored memo: the memo's gate is on the ROUNDED jaccard, so
+    // slicing the looser frame is exactly the ≥0.9 rounded filter this
+    // function used to apply after its own kernel pass. The private
+    // text-groupBy + set-star + candidate + kernel chain the collapse
+    // duplicated (a full tokenize of every text class, a second
+    // supernode build) is gone; only the CC remains billed here.
     val docs = Tables.documents(spark, dir)
-    val classes = docs.groupBy("text").agg(min("doc_id").as("rep"))
-    val stars = docs.select(col("doc_id"), col("text")).join(classes, "text")
-      .filter(col("doc_id") =!= col("rep"))
+    val u = setClassUniverse(spark, dir)
+    val stars = u.textMap.filter(col("doc_id") =!= col("rep"))
       .select(col("doc_id").as("src"), col("rep").as("dst"))
-    val textReps = classes.select(col("rep").as("doc_id"), col("text"))
-    // SECOND compression level: distinct texts whose distinct SHINGLE
-    // SETS coincide (word order / multiplicity differ) have Jaccard 1
-    // AND identical minhash signatures — so they are guaranteed LSH
-    // candidates and guaranteed closure edges. Collapse them to one
-    // set-representative before candidate generation: the pair graph
-    // shrinks quadratically in the set-dup rate with bit-identical
-    // components (same star argument as the text level).
-    val setKey = array_sort(array_distinct(shingleHashes(col("text"))))
-    val withSet = textReps.withColumn("s", setKey)
-    val setClasses = withSet.groupBy("s").agg(min("doc_id").as("srep"))
-    val joined = withSet.join(setClasses, "s").seal()
-    val stars2 = joined.filter(col("doc_id") =!= col("srep"))
-      .select(col("doc_id").as("src"), col("srep").as("dst"))
-    val reps = joined.filter(col("doc_id") === col("srep"))
-      .select(col("doc_id"), col("text"), col("s")).seal()
-    // Jaccard in the SHINGLE-HASH space (long arrays — the exact set
-    // the MinHash signatures estimate), scored by the native
-    // sorted_intersect_count merge scan: sets are sorted ONCE per
-    // distinct text, then each of the ~10M candidate scorings is one
-    // allocation-free fused loop (array_intersect/array_union build two
-    // hash sets per pair — that generic path measured 19 s at sf0.1
-    // where this one takes ~1 s). |A∪B| = na + nb − |A∩B| since the
-    // sets are distinct, so the Jaccard double is bit-identical to the
-    // intersect/union form the oracle computes. The size-ratio
-    // prefilter J≥t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|) still skips
-    // obviously-too-different pairs before the merge. Sets broadcast
-    // only while the count+bytes gate says the build side is small
-    // (one row per distinct SET, but each row carries the hash array —
-    // see the dispatch scaladoc): above the gate these are plain
-    // doc_id equi-joins.
-    val hintS = setsHint(reps)
-    val sets = reps.select(col("doc_id"), col("s"))
-      .withColumn("ns", size(col("s")))
-    val repEdges = candidatePairsFor(reps).select("doc_a", "doc_b")
-      .join(hintS(sets.select(col("doc_id").as("doc_a"),
-        col("s").as("sa"), col("ns").as("na"))), "doc_a")
-      .join(hintS(sets.select(col("doc_id").as("doc_b"),
-        col("s").as("sb"), col("ns").as("nb"))), "doc_b")
-      .filter(least(col("na"), col("nb")).cast("double")
-        >= lit(CollapseJaccard) * greatest(col("na"), col("nb")))
-      .withColumn("inter", sorted_intersect_count(col("sa"), col("sb")))
-      .filter(round(col("inter").cast("double")
-        / (col("na") + col("nb") - col("inter")).cast("double"), 6) >= CollapseJaccard)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val stars2 = u.textReps.filter(col("rep") =!= col("srep"))
+      .select(col("rep").as("src"), col("srep").as("dst"))
+    val repEdges = scoredRepPairs(spark, dir, SweepTaus.min)
+      .filter(col("jac") >= CollapseJaccard)
+      .select(col("src"), col("dst"))
+    // vertices = EVERY quarantined doc (NULL-text docs stay isolated
+    // singletons with keep=true, as before)
     val vertices = docs.select(col("doc_id").as("id"))
     GraphCC.connectedComponents(vertices, repEdges.union(stars).union(stars2))
       .select(col("id").as("doc_id"), col("cluster_id").as("canonical_id"))
@@ -792,17 +831,42 @@ object DedupQueries {
   val ContainMicro = 900000L
 
   def c66Containment(spark: SparkSession, dir: String): DataFrame = {
-    val cand = candidatePairs(spark, dir).select("doc_a", "doc_b")
-    val sets = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        array_sort(array_distinct(shingleHashes(col("text")))).as("hs"))
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+    // r19 class compression (guide §2.3/§8 — the c60/c74 pattern):
+    // every c66 column is a function of the endpoints' shingle-hash
+    // SETS (n_common by the sorted merge, na/nb the set sizes), so the
+    // kernel runs once per set-class pair; doc pairs expand through the
+    // doc→srep map with na/nb swapped to follow the (least, greatest)
+    // id order, and intra-class pairs are full containment by identity
+    // (n_common = na = nb = |s|, cont = 10⁶ exactly). Pinned against
+    // the doc-level reference in ClassCompressionSpec.
+    val u = setClassUniverse(spark, dir)
+    val hintS = setsHint(u.reps)
+    val sets = u.reps.select(col("doc_id"), col("s"))
+      .withColumn("ns", size(col("s")).cast("long"))
+    val scoredC = u.repCands.select("doc_a", "doc_b")
+      .join(hintS(sets.select(col("doc_id").as("doc_a"),
+        col("s").as("sa"), col("ns").as("ka"))), "doc_a")
+      .join(hintS(sets.select(col("doc_id").as("doc_b"),
+        col("s").as("sb"), col("ns").as("kb"))), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        expr("sorted_intersect_count(ha, hb)").as("n_common"),
-        size(col("ha")).cast("long").as("na"),
-        size(col("hb")).cast("long").as("nb"))
+        expr("sorted_intersect_count(sa, sb)").as("nc"), col("ka"), col("kb"))
+    val dm = u.docMap
+    val hintM = narrowHint(dm)
+    val cross = scoredC
+      .join(hintM(dm.select(col("srep").as("doc_a"), col("doc_id").as("da"))), "doc_a")
+      .join(hintM(dm.select(col("srep").as("doc_b"), col("doc_id").as("db"))), "doc_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        col("nc").as("n_common"),
+        when(col("da") < col("db"), col("ka")).otherwise(col("kb")).as("na"),
+        when(col("da") < col("db"), col("kb")).otherwise(col("ka")).as("nb"))
+    val intra = dm.select(col("srep"), col("doc_id").as("da"))
+      .join(hintM(dm.select(col("srep"), col("doc_id").as("db"))), "srep")
+      .filter(col("da") < col("db"))
+      .join(hintS(sets.select(col("doc_id").as("srep"), col("ns"))), "srep")
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("ns").as("n_common"), col("ns").as("na"), col("ns").as("nb"))
+    cross.unionByName(intra)
       .withColumn("cont_a_micro", expr("n_common * 1000000 div na"))
       .withColumn("cont_b_micro", expr("n_common * 1000000 div nb"))
       .withColumn("is_contained",
@@ -1257,41 +1321,97 @@ object DedupQueries {
     * are all-bands candidates at jaccard 1.
     */
   private[dedup] final case class SetClassUniverse(
-      docMap: DataFrame,   // (doc_id, srep) for every quarantined doc
+      docMap: DataFrame,   // (doc_id, srep) for every quarantined non-NULL-text doc
+      textMap: DataFrame,  // (doc_id, rep) — doc → text-class rep (r19, c7)
+      textReps: DataFrame, // (rep, text, s, srep) — one row per TEXT class
       reps: DataFrame,     // (doc_id, text, s) — one row per set class
       repCands: DataFrame) // (doc_a, doc_b, n_bands) — class-level candidates
 
   private val universeCache =
     new graft.util.Memo[(String, String), SetClassUniverse]
 
+  /** Two-level class star (identical text → rep, identical shingle set
+    * → srep) over any (doc_id, text) frame — the shared construction
+    * behind [[setClassUniverse]] and [[scoredRepPairsFor]].
+    *
+    * r19 (guide §2.3 — shuffle keys and metadata, never payloads): the
+    * text-class agg and every class join key on a 128-bit TEXT DIGEST
+    * (two independently-seeded xxhash64 lanes) instead of the raw
+    * `text` column, so document bodies never ride a shuffle as keys;
+    * the rep's text re-attaches through ONE doc_id equi-join (broadcast
+    * of the class-rep ids below the groups gate — zero text movement;
+    * a long-keyed equi-join above it). The set-class key gets the same
+    * treatment: the sorted shingle-hash ARRAY was the groupBy/join key,
+    * now its two digest lanes are, and the array stays a payload.
+    * Exactness: a wrong class merge needs a simultaneous collision in
+    * both independent 64-bit lanes — P ≈ n²/2^129, ~10⁻¹⁵ at 10¹²
+    * documents — and the oracle hash gate would surface one as a value
+    * mismatch on any tested corpus.
+    *
+    * NULL-text docs are filtered EXPLICITLY (r18 advice): they carry no
+    * shingle set, every oracle drops them from candidate relations via
+    * NULL-key equi-joins, and the pre-digest form dropped them
+    * implicitly in its text/s equi-joins — the digest lanes of a NULL
+    * are non-NULL (the hash of zero fields is the seed), so without
+    * this filter the digest form would silently START matching them.
+    */
+  private def setClassStar(docsIn: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val docs = docsIn.filter(col("text").isNotNull)
+    def d1(c: Column): Column = xxhash64(c)
+    def d2(c: Column): Column = xxhash64(lit(0x9E3779B97F4A7C15L), c)
+    val hdocs = docs.select(col("doc_id"), d1(col("text")).as("h1"),
+      d2(col("text")).as("h2")).seal()
+    val textClasses = hdocs.groupBy("h1", "h2").agg(min("doc_id").as("rep"))
+    // |text classes| gate, same dispatch rule as the supernode groups:
+    // narrow 3-long rows, broadcastable to ~4M classes; above it every
+    // class join is a plain long-keyed equi-join under AQE
+    val hintT: DataFrame => DataFrame =
+      if (textClasses.count() <=
+          confLong(hdocs, "graft.dedup.maxBcastGroups", MaxBcastGroups))
+        broadcast else identity
+    val repText = docs
+      .join(hintT(textClasses.select(col("rep").as("doc_id"))), "doc_id")
+      .select(col("doc_id"), col("text"))
+    val withSet = repText
+      .withColumn("s", array_sort(array_distinct(shingleHashes(col("text")))))
+      .withColumn("sh1", d1(col("s")))
+      .withColumn("sh2", d2(col("s")))
+    val setClasses = withSet.groupBy("sh1", "sh2").agg(min("doc_id").as("srep"))
+    val textReps = withSet
+      .join(setClasses, Seq("sh1", "sh2"))
+      .select(col("doc_id").as("rep"), col("text"), col("s"), col("srep"))
+      .seal()
+    val reps = textReps.filter(col("rep") === col("srep"))
+      .select(col("rep").as("doc_id"), col("text"), col("s")).seal()
+    val textMap = hdocs.join(hintT(textClasses), Seq("h1", "h2"))
+      .select(col("doc_id"), col("rep")).seal()
+    (textMap, textReps, reps)
+  }
+
+  /** Count-gated broadcast hint for a narrow class-keyed frame (ids and
+    * sizes only — the set/sig ARRAY frames go through [[setsHint]]'s
+    * bytes gate instead).
+    */
+  private def narrowHint(df: DataFrame): DataFrame => DataFrame =
+    if (df.count() <= confLong(df, "graft.dedup.maxBcastGroups", MaxBcastGroups))
+      broadcast else identity
+
   private[dedup] def setClassUniverse(spark: SparkSession, dir: String): SetClassUniverse =
     universeCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      val docs = Tables.documents(spark, dir)
-      val classes = docs.groupBy("text").agg(min("doc_id").as("rep"))
-      val withSet = classes.select(col("rep").as("doc_id"), col("text"))
-        .withColumn("s", array_sort(array_distinct(shingleHashes(col("text")))))
-      val setClasses = withSet.groupBy("s").agg(min("doc_id").as("srep"))
-      val joined = withSet.join(setClasses, "s").seal()
-      val reps = joined.filter(col("doc_id") === col("srep"))
-        .select(col("doc_id"), col("text"), col("s")).seal()
-      val docMap = docs.select(col("doc_id"), col("text"))
-        .join(joined.select(col("text"), col("srep")), "text")
+      val (textMap, textReps, reps) = setClassStar(Tables.documents(spark, dir))
+      val docMap = textMap
+        .join(narrowHint(textReps)(textReps.select(col("rep"), col("srep"))), "rep")
         .select(col("doc_id"), col("srep")).seal()
-      SetClassUniverse(docMap, reps, candidatePairsFor(reps).seal())
+      SetClassUniverse(docMap, textMap, textReps, reps,
+        candidatePairsFor(reps).seal())
     })
 
   /** The scoring recipe on any (doc_id, text) frame — shared by the
     * memoized query path and the broadcast-dispatch specs.
     */
   private[graft] def scoredRepPairsFor(docs: DataFrame, minJac: Double): DataFrame = {
-    val classes = docs.groupBy("text").agg(min("doc_id").as("rep"))
-    val textReps = classes.select(col("rep").as("doc_id"), col("text"))
-    val withSet = textReps
-      .withColumn("s", array_sort(array_distinct(shingleHashes(col("text")))))
-    val setClasses = withSet.groupBy("s").agg(min("doc_id").as("srep"))
-    val joined = withSet.join(setClasses, "s").seal()
-    val reps = joined.filter(col("doc_id") === col("srep"))
-      .select(col("doc_id"), col("text"), col("s")).seal()
+    val (_, _, reps) = setClassStar(docs)
     scoreRepCands(reps, candidatePairsFor(reps).select("doc_a", "doc_b"), minJac)
   }
 
@@ -1734,13 +1854,15 @@ object DedupQueries {
     * ([[graft.Prep]]) — see TextQueries.prepItems for the rationale.
     */
   private[graft] def prepItems: Seq[(String, (SparkSession, String) => Unit)] = Seq(
-    "dedup_signatures" -> ((s, d) => { signatures(s, d): Unit }),
-    "dedup_candidates" -> ((s, d) => { candidatePairs(s, d): Unit }),
-    "dedup_collapse" -> ((s, d) => { c19DedupCollapse(s, d): Unit }),
-    // r18: the set-class universe (doc→srep map + class-level
-    // candidates) billed to its own line — c60/c74/c93 and the scored
-    // frame all read it
+    // r19 dependency order: everything derives from the universe now —
+    // the scored memo kernels over its class candidates, the collapse
+    // slices the scored memo, and signatures/candidates are cheap
+    // expansions through its maps (one corpus tokenize per session,
+    // billed here)
     "dedup_universe" -> ((s, d) => { setClassUniverse(s, d): Unit }),
     "dedup_scored_pairs" -> ((s, d) =>
-      { scoredRepPairs(s, d, SweepTaus.min): Unit }))
+      { scoredRepPairs(s, d, SweepTaus.min): Unit }),
+    "dedup_collapse" -> ((s, d) => { c19DedupCollapse(s, d): Unit }),
+    "dedup_signatures" -> ((s, d) => { signatures(s, d): Unit }),
+    "dedup_candidates" -> ((s, d) => { candidatePairs(s, d): Unit }))
 }

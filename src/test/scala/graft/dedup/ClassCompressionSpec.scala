@@ -50,7 +50,12 @@ class ClassCompressionSpec extends SparkTestBase {
       // NULL lang rides a dup class
       (8L, base, null),
       // singleton near the small docs
-      (9L, "one two three four five seven", "fr"))
+      (9L, "one two three four five seven", "fr"),
+      // NULL-text docs (r18 advice): the universe filters them
+      // EXPLICITLY, every reference drops them via NULL-key equi-joins
+      // — two of them, so an accidental NULL-key class would produce a
+      // visible intra pair in any form that diverges
+      (10L, null, "en"), (11L, null, "de"))
   }
 
   private def docs(dir: String): DataFrame = graft.Tables(spark, dir, "documents")
@@ -90,6 +95,52 @@ class ClassCompressionSpec extends SparkTestBase {
       .orderBy("decile")
   }
 
+  /** Doc-level C6 reference: the literal per-band bucket self-join the
+    * oracle SQL states (no supernode compression, no class expansion).
+    */
+  private def referenceC6(d: DataFrame): DataFrame = {
+    val b = DedupQueries.bandRowsOn(d)
+    val l = b.select(col("band").as("b1"), col("bh").as("h1"), col("doc_id").as("doc_a"))
+    val r = b.select(col("band").as("b2"), col("bh").as("h2"), col("doc_id").as("doc_b"))
+    l.join(r, col("b1") === col("b2") && col("h1") === col("h2")
+        && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Doc-level C7 reference: score every candidate pair's STRING token
+    * sets (the pre-r19 implementation).
+    */
+  private def referenceC7(d: DataFrame, cand: DataFrame): DataFrame = {
+    val sets = d.select(col("doc_id"),
+      array_distinct(graft.text.TextQueries.tokens(col("text"))).as("s"))
+    cand.select("doc_a", "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sa"), col("sb"))).cast("double")
+          / size(array_union(col("sa"), col("sb"))), 6).as("jaccard"))
+  }
+
+  /** Doc-level C66 reference: per-candidate-pair hashed-set containment
+    * (the pre-r19 implementation).
+    */
+  private def referenceC66(d: DataFrame, cand: DataFrame): DataFrame = {
+    val sets = d.select(col("doc_id"),
+      array_sort(array_distinct(MinHashLsh.shingleHashes(col("text")))).as("hs"))
+    cand.select("doc_a", "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("sorted_intersect_count(ha, hb)").as("n_common"),
+        size(col("ha")).cast("long").as("na"),
+        size(col("hb")).cast("long").as("nb"))
+      .withColumn("cont_a_micro", expr("n_common * 1000000 div na"))
+      .withColumn("cont_b_micro", expr("n_common * 1000000 div nb"))
+      .withColumn("is_contained",
+        (greatest(col("cont_a_micro"), col("cont_b_micro"))
+          >= DedupQueries.ContainMicro).cast("long"))
+  }
+
   private def checkAll(dir: String): Unit = {
     val d = docs(dir)
     val cand = DedupQueries.candidatePairsOn(d)
@@ -99,6 +150,13 @@ class ClassCompressionSpec extends SparkTestBase {
       referenceC74(d, cand))
     assertSame(DedupQueries.c93CrossLingual(spark, dir),
       DedupQueries.crossLingualScore(d, cand))
+    // r19 additions: c6 by expansion, c7 text-class-compressed, c66
+    // set-class-compressed — each against its literal doc-level form
+    assertSame(DedupQueries.c6MinhashLsh(spark, dir), referenceC6(d))
+    assertSame(DedupQueries.c7NgramJaccard(spark, dir),
+      referenceC7(d, cand.select("doc_a", "doc_b")))
+    assertSame(DedupQueries.c66Containment(spark, dir),
+      referenceC66(d, cand.select("doc_a", "doc_b")))
   }
 
   test("planted corpus: class-compressed c60/c74/c93 == doc-level reference") {
@@ -113,7 +171,9 @@ class ClassCompressionSpec extends SparkTestBase {
     val dir = stage(planted)
     val u = DedupQueries.setClassUniverse(spark, dir)
     val d = docs(dir)
-    assert(u.docMap.count() == d.count())
+    // NULL-text docs are OUTSIDE the universe by explicit contract
+    assert(u.docMap.count() == d.filter(col("text").isNotNull).count())
+    assert(u.docMap.count() < d.count(), "planted NULL-text rows missing")
     // identical sets share an srep: docs 1,2,3,4,8 form one class
     val m = u.docMap.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(Seq(2L, 3L, 4L, 8L).forall(i => m(i) == m(1L)))
