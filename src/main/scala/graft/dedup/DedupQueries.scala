@@ -314,6 +314,17 @@ object DedupQueries {
     * to per-doc distinct shingle sets (array_intersect/union sizes, one
     * final rounded division). Candidate-driven — never all-pairs.
     */
+  /** Text-class compression pays only when the corpus actually HAS text
+    * duplicates: below this docs-per-text-class ratio the expansion
+    * scaffolding (two extra class joins + the doc-map fan-out) costs
+    * more than the per-pair kernel it deduplicates — measured at sf0.1
+    * (ratio 1.27): doc-level 0.68 s vs compressed 1.90 s min-of-3
+    * interleaved A/B. Dup-heavy corpora (the 100 TB LLM-curation case,
+    * where text-level ratios run 2–100×) take the compressed path;
+    * `graft.dedup.c7.impl` (docs|classes) overrides for specs.
+    */
+  val C7ClassRatio = 2L
+
   def c7NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     // r19 class compression (guide §2.3/§8): the STRING-set jaccard is a
     // function of the TEXT class pair (identical text ⇒ identical token
@@ -324,9 +335,15 @@ object DedupQueries {
     // boxed-string intersect/union kernel runs once per text-class pair
     // (set-class pairs expanded to text-class pairs through the rep→srep
     // map, plus intra-set-class text pairs); intra-text-class doc pairs
-    // are jaccard exactly 1.0 by identity. ClassCompressionSpec pins
-    // this against the doc-level reference.
+    // are jaccard exactly 1.0 by identity. Size-dispatched on the
+    // measured class ratio (see [[C7ClassRatio]]); BOTH forms are pinned
+    // against the doc-level reference in ClassCompressionSpec.
     val u = setClassUniverse(spark, dir)
+    val nDocs = u.textMap.count()
+    val nText = u.textReps.count()
+    val impl = spark.conf.getOption("graft.dedup.c7.impl")
+      .getOrElse(if (nText * C7ClassRatio <= nDocs) "classes" else "docs")
+    if (impl == "docs") return c7DocLevel(spark, dir)
     val rs = u.textReps.select(col("rep"), col("srep"))
     val hintR = narrowHint(rs)
     val tsets = u.textReps.select(col("rep"),
@@ -360,6 +377,23 @@ object DedupQueries {
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         lit(1.0).as("jaccard"))
     cross.unionByName(intra).orderBy("doc_a", "doc_b")
+  }
+
+  /** The doc-level C7 form (kernel per candidate pair) — the right plan
+    * when the corpus has few text duplicates; candidates come from the
+    * shared memo either way.
+    */
+  private def c7DocLevel(spark: SparkSession, dir: String): DataFrame = {
+    val cand = candidatePairs(spark, dir).select("doc_a", "doc_b")
+    val sets = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("s"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sa"), col("sb"))).cast("double")
+          / size(array_union(col("sa"), col("sb"))), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
   }
 
   val c7Sql: String =

@@ -191,10 +191,18 @@ object EmbedQueries {
     * affords the quadratic compute.
     */
   /** Unordered over-threshold pair frame — shared by C9 (reported as-is)
-    * and C20 (collapsed into clusters).
+    * and C20 (collapsed into clusters). r19: memoized + sealed per
+    * session (the mutualEdges discipline) — the blocked O(N²) cosine
+    * self-join is the single most expensive embed pass and BOTH
+    * consumers paid it privately; the over-threshold pair list itself
+    * is sparse (near-dup pairs), so the sealed store is small. Billed
+    * to the `embed_cos_pairs` prep line.
     */
+  private val cosPairCache = new graft.util.Memo[(String, String), DataFrame]
+
   private def cosinePairFrame(spark: SparkSession, dir: String): DataFrame =
-    cosinePairFrameOn(withNorms(spark, dir))
+    cosPairCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      cosinePairFrameOn(withNorms(spark, dir)).seal())
 
   /** The blocked pair frame on any (vec_id, embedding, n2) frame —
     * ScaleSmoke drives this same code at 100k+ vectors and records the
@@ -1642,12 +1650,107 @@ object EmbedQueries {
       if (entryRow.isNullAt(0)) lit(null).cast("long") else lit(entryRow.getLong(0))
     val emb = e.select(col("vec_id").as("cand"), col("embedding").as("ce"),
       col("n2").as("cn"))
-    // the ONE walk kernel c136 sweeps and ScaleSmoke pins — entry-seeded,
-    // self kept (the oracle's f-chain never excludes it), no count jobs
-    val (beam, _) = beamWalk(probes, adj, emb, BeamWidth, BeamHops, entry,
-      excludeSelf = false, countCands = false)
+    // r19 size dispatch (the c102/c115 idiom): the DF walk is 5 hops ×
+    // (frontier join + embedding join + window + seal) ≈ 15 serialized
+    // tiny jobs — a scheduling floor on graphs whose adjacency and
+    // embeddings fit one task. Below the gates the identical walk (same
+    // left-fold dot, same round-6 HALF_UP cosine, same NULLS-LAST
+    // (cos desc, cand) rank) runs in ONE mapPartitions task; above them
+    // the DataFrame walk is the corpus-scale path, unchanged — and
+    // beamWalk itself stays untouched for c136's sweep and the
+    // ScaleSmoke frontier pin. `graft.beam.impl` overrides for specs.
+    val nVec = e.count()
+    val nEdge = und.count()
+    val impl = spark.conf.getOption("graft.beam.impl")
+      .getOrElse(if (nEdge <= PrLocalMaxEdges && nVec <= KcLocalMaxVectors
+        && nVec * Dims <= KcLocalMaxElems) "local" else "df")
+    val beam =
+      if (impl == "local") {
+        val entryOpt = if (entryRow.isNullAt(0)) None else Some(entryRow.getLong(0))
+        beamLocal(probes, adj, emb, BeamWidth, BeamHops, entryOpt)
+      } else
+        beamWalk(probes, adj, emb, BeamWidth, BeamHops, entry,
+          excludeSelf = false, countCands = false)._1
     beam.select(col("probe_id"), col("rnk"), col("cand").as("vec_id"), col("cos"))
       .orderBy("probe_id", "rnk")
+  }
+
+  /** Single-task beam walk for small graphs — one executor task (no
+    * collect), exact replication of [[beamWalk]]'s entry-seeded,
+    * self-kept form: per hop the candidate set is the beam plus its
+    * graph neighbors (deduplicated), candidates missing from the
+    * embedding frame drop (the DF inner join's behavior — only a NULL
+    * entry hits this), cosine is round(dot / sqrt(pn·cn), 6) with the
+    * same sequential left-to-right double fold as `vec_dot` and NULL on
+    * a zero norm (try_divide), and the rank is (cos DESC NULLS LAST,
+    * cand ASC) — row_number semantics. BeamDispatchSpec pins local ==
+    * df on the sf corpus and planted tie/zero-norm/edgeless graphs.
+    */
+  private def beamLocal(probes: DataFrame, adj: DataFrame, emb: DataFrame,
+      b: Int, hops: Int, entry: Option[Long]): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val tagged = probes.select(lit(0).as("tag"), col("probe_id").as("a"),
+        lit(0L).as("bb"), col("pe").cast("array<double>").as("v"), col("pn").as("n"))
+      .unionByName(adj.select(lit(1).as("tag"), col("node").as("a"),
+        col("nbr").as("bb"), lit(null).cast("array<double>").as("v"), lit(0.0).as("n")))
+      .unionByName(emb.select(lit(2).as("tag"), col("cand").as("a"),
+        lit(0L).as("bb"), col("ce").cast("array<double>").as("v"), col("cn").as("n")))
+      .as[(Int, Long, Long, Option[Seq[Double]], Double)]
+    val (bw, nHops) = (b, hops)
+    val seed = entry
+    tagged.coalesce(1).mapPartitions { it =>
+      val prb = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+      val nbrs = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      val vecs = new java.util.HashMap[Long, (Array[Double], Double)]()
+      it.foreach {
+        case (0, id, _, v, n) => prb += ((id, v.get.toArray, n))
+        case (1, a, bb, _, _) =>
+          nbrs.computeIfAbsent(a, _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += bb
+        case (_, id, _, v, n) => vecs.put(id, (v.get.toArray, n)): Unit
+      }
+      def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val out = Iterator.newBuilder[(Long, Long, Option[Double], Int)]
+      seed.foreach { entryId =>
+        prb.foreach { case (pid, pe, pn) =>
+          val cosCache = new java.util.HashMap[Long, Option[Double]]()
+          def cosOf(c: Long): Option[Double] = {
+            var v = cosCache.get(c)
+            if (v == null) {
+              val (ce, cn) = vecs.get(c)
+              val den = math.sqrt(pn * cn)
+              v = if (den == 0.0) None else {
+                var s = 0.0
+                var i = 0
+                val m = math.min(pe.length, ce.length)
+                while (i < m) { s += pe(i) * ce(i); i += 1 }
+                Some(round6(s / den))
+              }
+              cosCache.put(c, v): Unit
+            }
+            v
+          }
+          var frontier: Seq[Long] = Seq(entryId)
+          var beam = Seq.empty[(Long, Option[Double])]
+          for (_ <- 1 to nHops) {
+            val cands = (frontier ++ frontier.flatMap(f =>
+              Option(nbrs.get(f)).map(_.toSeq).getOrElse(Nil)))
+              .distinct.filter(vecs.containsKey)
+            beam = cands.map(c => (c, cosOf(c)))
+              .sortBy { case (c, v) =>
+                (v.isEmpty, v.map(x => -x).getOrElse(0.0), c)
+              }
+              .take(bw)
+            frontier = beam.map(_._1)
+          }
+          beam.zipWithIndex.foreach { case ((c, v), i) =>
+            out += ((pid, c, v, i + 1))
+          }
+        }
+      }
+      out.result()
+    }.toDF("probe_id", "cand", "cos", "rnk")
   }
 
   lazy val c108Sql: String = {
@@ -3175,5 +3278,7 @@ object EmbedQueries {
     */
   private[graft] def prepItems: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "embed_knn_edges" -> ((s, d) => { mutualEdges(s, d): Unit }),
-    "embed_cov_moments" -> ((s, d) => { covMoments(s, d): Unit }))
+    "embed_cov_moments" -> ((s, d) => { covMoments(s, d): Unit }),
+    // r19: the blocked O(N²) cosine pair pass, shared by c9/c20
+    "embed_cos_pairs" -> ((s, d) => { cosinePairFrame(s, d): Unit }))
 }

@@ -821,9 +821,13 @@ object StreamingQueries {
     val sunk = runToTable(newCounts, "graft_d24_sink", "complete")
     val oldCounts = TextQueries.tokenCountsOn(
       graft.Tables.documents(spark, sfDir).filter(col("doc_id") < cut), "cnt_old")
+    // sealed (r19): the snapshot-side histogram and the merge are part
+    // of this key's one-time artifact derivation — without the seal the
+    // finalize re-scanned the old corpus half on every invocation
     val merged = oldCounts.join(sunk, Seq("token"), "full_outer")
       .select(col("token"), coalesce(col("cnt_old"), lit(0L)).as("cnt_old"),
         coalesce(col("cnt_new"), lit(0L)).as("cnt_new"))
+      .seal()
     TextQueries.driftReportFrom(merged)
   }
 

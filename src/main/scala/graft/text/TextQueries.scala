@@ -4195,12 +4195,23 @@ object TextQueries {
     * finalize (the D18 quantilesFromHistogram pattern): exact top-K
     * tokens from the batch table, est = min over the token's D cells.
     */
+  /** Session memo of the CMS probe vocabulary (top-[[VocabTopK]] tokens
+    * by tf) — r19: c63 and d20 each re-derived this corpus explode+agg
+    * per invocation; it is ≤ VocabTopK rows, sealed once and shared.
+    */
+  private val cmsVocabCache = new graft.util.Memo[(String, String), DataFrame]
+
+  private def cmsVocab(spark: SparkSession, dir: String): DataFrame =
+    cmsVocabCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      Tables.documents(spark, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("token")).limit(VocabTopK)
+        .seal())
+
   private[graft] def cmsReportFrom(cells: DataFrame, spark: SparkSession,
       dir: String): DataFrame = {
-    val vocab = Tables.documents(spark, dir)
-      .select(explode(tokens(col("text"))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("tf"))
-      .orderBy(col("tf").desc, col("token")).limit(VocabTopK)
+    val vocab = cmsVocab(spark, dir)
     vocab
       .select(col("token"), col("tf"),
         posexplode(cmsPositions(tokenHash(col("token")))).as(Seq("r", "p")))

@@ -40,6 +40,40 @@ class PowerIterDispatchSpec extends SparkTestBase {
     assert(df.nonEmpty && df == loc)
   }
 
+  test("c108 graph-ann: local single-task walk == DataFrame walk (sf corpus)") {
+    val df = withImpl("graft.beam.impl", "df")(
+      rows(graft.embed.EmbedQueries.c108GraphAnn(spark, sf)))
+    val loc = withImpl("graft.beam.impl", "local")(
+      rows(graft.embed.EmbedQueries.c108GraphAnn(spark, sf)))
+    assert(df.nonEmpty && df == loc)
+  }
+
+  test("c108 graph-ann: planted duplicate-vector ties and a zero-norm candidate") {
+    import spark.implicits._
+    // duplicates of the probe force exact cosine TIES (the cand-asc tie
+    // rule must agree across paths) and the zero vector carries a NULL
+    // cosine (try_divide), which must rank NULLS LAST identically
+    val base = (0 until 64).map(i => 0.01f * ((i % 7) + 1))
+    def vec(eps: Float, at: Int): Seq[Float] = base.updated(at, base(at) + eps)
+    val planted: Seq[(Long, Seq[Float], String)] = Seq(
+      (0L, base, "p"),
+      (1L, base, "dup"),
+      (2L, vec(0.001f, 3), "near"),
+      (3L, vec(0.001f, 5), "near"),
+      (4L, vec(-0.001f, 7), "near"),
+      (5L, Seq.fill(64)(0.0f), "zero"),
+      (100L, vec(0.002f, 9), "p2"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-beamspec").toString
+    planted.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val df = withImpl("graft.beam.impl", "df")(
+      rows(graft.embed.EmbedQueries.c108GraphAnn(spark, dir)))
+    val loc = withImpl("graft.beam.impl", "local")(
+      rows(graft.embed.EmbedQueries.c108GraphAnn(spark, dir)))
+    assert(df.nonEmpty, "degenerate fixture: planted graph produced no beam rows")
+    assert(df == loc)
+  }
+
   private def dfMerges(docs: org.apache.spark.sql.DataFrame, iters: Int): Seq[(String, String)] =
     graft.text.TextQueries.bpeMergesOn(docs).orderBy("iter").collect()
       .toSeq.take(iters).map(r => (r.getString(1), r.getString(2)))

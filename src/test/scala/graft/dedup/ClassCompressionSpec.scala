@@ -150,11 +150,16 @@ class ClassCompressionSpec extends SparkTestBase {
       referenceC74(d, cand))
     assertSame(DedupQueries.c93CrossLingual(spark, dir),
       DedupQueries.crossLingualScore(d, cand))
-    // r19 additions: c6 by expansion, c7 text-class-compressed, c66
-    // set-class-compressed — each against its literal doc-level form
+    // r19 additions: c6 by expansion, c7 text-class-compressed (BOTH
+    // dispatch branches), c66 set-class-compressed — each against its
+    // literal doc-level form
     assertSame(DedupQueries.c6MinhashLsh(spark, dir), referenceC6(d))
-    assertSame(DedupQueries.c7NgramJaccard(spark, dir),
-      referenceC7(d, cand.select("doc_a", "doc_b")))
+    for (impl <- Seq("docs", "classes")) {
+      spark.conf.set("graft.dedup.c7.impl", impl)
+      try assertSame(DedupQueries.c7NgramJaccard(spark, dir),
+        referenceC7(d, cand.select("doc_a", "doc_b")))
+      finally spark.conf.unset("graft.dedup.c7.impl")
+    }
     assertSame(DedupQueries.c66Containment(spark, dir),
       referenceC66(d, cand.select("doc_a", "doc_b")))
   }
