@@ -3596,8 +3596,121 @@ object TextQueries {
   /** The shared merge-loop body: per-iteration summaries plus the final
     * segmented token stream (C59 reports the former; C95's tokenizer
     * apply aggregates the latter).
+    *
+    * r19 size dispatch (the c102/learnedMerges idiom): the DF loop is
+    * ~10 serialized corpus-window jobs per iteration (lead window, best
+    * agg, island windows, rebuild joins, 4 seals) — a scheduling floor
+    * whenever the token stream fits one task. Below
+    * [[BpeLocalMaxTokens]] the identical greedy recurrence (UTF-8-byte
+    * tie order, left-to-right non-overlap, original positions kept,
+    * empty-best ⇒ empty stream semantics) runs in ONE mapPartitions
+    * task; above it the DF loop is the corpus path, unchanged.
+    * `graft.bpeloop.impl` (local|df) overrides for specs; TextDedupSpec's
+    * planted traces and the dispatch pin drive both forms.
     */
   private def bpeLoop(docs: DataFrame,
+      iters: Int = BpeIters): (Seq[DataFrame], DataFrame) = {
+    val nTok = docs.agg(coalesce(sum(size(tokens(col("text"))).cast("long")),
+      lit(0L))).head.getLong(0)
+    val impl = docs.sparkSession.conf.getOption("graft.bpeloop.impl")
+      .getOrElse(if (nTok <= BpeLocalMaxTokens) "local" else "df")
+    if (impl == "local") bpeLoopLocal(docs, iters) else bpeLoopDf(docs, iters)
+  }
+
+  /** Single-task loop for small corpora — one executor task, the
+    * bpeLearnLocal mechanics extended with the summary statistics and
+    * the surviving (doc_id, original pos, tok) stream C95 consumes.
+    */
+  private def bpeLoopLocal(docs: DataFrame,
+      iters: Int): (Seq[DataFrame], DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tagged = docs
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .as[(Long, Option[Seq[String]])]
+      .coalesce(1).mapPartitions { it =>
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val poss = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+        val toks = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+        it.foreach { case (id, ts) =>
+          // NULL text explodes to no rows in the DF form — skip
+          ts.foreach { t =>
+            ids += id
+            poss += Array.tabulate(t.length)(_.toLong)
+            toks += t.toArray
+          }
+        }
+        val out = Iterator.newBuilder[(Int, Int, Option[String], Option[String],
+          Long, Long, Long, Long, Long, Option[String])]
+        var alive = true
+        for (itN <- 1 to iters if alive) {
+          val cnt = new java.util.HashMap[(String, String), Long]()
+          toks.foreach { ts =>
+            var i = 0
+            while (i < ts.length - 1) {
+              cnt.merge((ts(i), ts(i + 1)), 1L, (a, b) => a + b): Unit
+              i += 1
+            }
+          }
+          if (cnt.isEmpty) {
+            // the DF loop's cross join with an EMPTY best frame empties
+            // the stream and emits no summary row — replicate exactly
+            ids.clear(); poss.clear(); toks.clear()
+            alive = false
+          } else {
+            var best: (String, String) = null
+            var bc = -1L
+            cnt.forEach { (p, c) =>
+              if (c > bc || (c == bc &&
+                  (utf8Lt(p._1, best._1) || (p._1 == best._1 && utf8Lt(p._2, best._2))))) {
+                best = p; bc = c
+              }
+            }
+            val (pa, pb) = best
+            val merged = pa + "_" + pb
+            var nMerged = 0L
+            var after = 0L
+            toks.indices.foreach { d =>
+              val ts = toks(d)
+              val ps = poss(d)
+              val nt = scala.collection.mutable.ArrayBuffer.empty[String]
+              val np = scala.collection.mutable.ArrayBuffer.empty[Long]
+              var i = 0
+              while (i < ts.length) {
+                if (i < ts.length - 1 && ts(i) == pa && ts(i + 1) == pb) {
+                  nt += merged; np += ps(i); nMerged += 1; i += 2
+                } else { nt += ts(i); np += ps(i); i += 1 }
+              }
+              toks(d) = nt.toArray
+              poss(d) = np.toArray
+              after += nt.length
+            }
+            out += ((0, itN, Some(pa), Some(pb), bc, nMerged, after, 0L, 0L, None))
+          }
+        }
+        toks.indices.foreach { d =>
+          val ts = toks(d); val ps = poss(d)
+          var i = 0
+          while (i < ts.length) {
+            out += ((1, 0, None, None, 0L, 0L, 0L, ids(d), ps(i), Some(ts(i))))
+            i += 1
+          }
+        }
+        out.result()
+      }
+      .toDF("tag", "iter", "pair_a", "pair_b", "pair_count",
+        "n_merged", "tokens_after", "doc_id", "pos", "tok")
+      .seal()
+    val summaries = (1 to iters).map(n =>
+      tagged.filter(col("tag") === 0 && col("iter") === n)
+        .select(col("iter"), col("pair_a"), col("pair_b"),
+          col("pair_count"), col("n_merged"), col("tokens_after")))
+    val finalToks = tagged.filter(col("tag") === 1)
+      .select(col("doc_id"), col("pos"), col("tok"))
+    (summaries, finalToks)
+  }
+
+  private def bpeLoopDf(docs: DataFrame,
       iters: Int = BpeIters): (Seq[DataFrame], DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
@@ -3870,18 +3983,23 @@ object TextQueries {
     * Stops early if no pair exists — the caller's require() then
     * reports the dry run exactly as the DF path does.
     */
+  /** UTF-8-byte string comparison — Spark UTF8String / DuckDB binary
+    * collation order (Java String compareTo is UTF-16 and diverges on
+    * supplementary planes). Shared by the local BPE kernels.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    var r = 0
+    while (r == 0 && i < n) { r = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+    if (r != 0) r < 0 else x.length < y.length
+  }
+
   private[graft] def bpeLearnLocal(sample: DataFrame, iters: Int): Seq[(String, String)] = {
     val spark = sample.sparkSession
     import spark.implicits._
-    val utf8Lt: (String, String) => Boolean = { (a, b) =>
-      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      var i = 0
-      val n = math.min(x.length, y.length)
-      var r = 0
-      while (r == 0 && i < n) { r = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
-      if (r != 0) r < 0 else x.length < y.length
-    }
     sample.select(col("doc_id"), tokens(col("text")).as("toks"))
       .as[(Long, Seq[String])]
       .coalesce(1).mapPartitions { it =>

@@ -74,6 +74,20 @@ class PowerIterDispatchSpec extends SparkTestBase {
     assert(df == loc)
   }
 
+  test("c59/c95 corpus BPE loop: local single-task kernel == DataFrame loop") {
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    val mDf = withImpl("graft.bpeloop.impl", "df")(
+      rows(graft.text.TextQueries.bpeMergesOn(docs)))
+    val mLoc = withImpl("graft.bpeloop.impl", "local")(
+      rows(graft.text.TextQueries.bpeMergesOn(docs)))
+    assert(mDf.nonEmpty && mDf == mLoc)
+    val aDf = withImpl("graft.bpeloop.impl", "df")(
+      rows(graft.text.TextQueries.bpeApplyOn(docs)))
+    val aLoc = withImpl("graft.bpeloop.impl", "local")(
+      rows(graft.text.TextQueries.bpeApplyOn(docs)))
+    assert(aDf.nonEmpty && aDf == aLoc)
+  }
+
   private def dfMerges(docs: org.apache.spark.sql.DataFrame, iters: Int): Seq[(String, String)] =
     graft.text.TextQueries.bpeMergesOn(docs).orderBy("iter").collect()
       .toSeq.take(iters).map(r => (r.getString(1), r.getString(2)))
